@@ -1,13 +1,168 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry has a DuckDB-runnable mirror in `oracleSql`
+  * (same column names, same ordering, same fixed-point arithmetic — see
+  * [[Fx]]) unless the operator is not SQL-expressible (ML/streaming), in
+  * which case the driver records a rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.recommendTop25(spark, "/root/testdata/sf0.001", minCnt = 5)
+
+  /** Shared oracle fragment: the decoded ratings table (F3). */
+  private val ratingsSql =
+    "SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS song_id, value AS rating FROM events"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_decode_ratings" -> ((s, d) => Relational.jsonDecodeRatings(s, d)),
+    "agg_count_avg" -> ((s, d) => Relational.aggCountAvg(s, d)),
+    "recommend_top25" -> ((s, d) => Relational.recommendTop25(s, d)),
+    "join_truth_prediction" -> ((s, d) => Relational.joinTruthPrediction(s, d)),
+    "rmse_eval" -> ((s, d) => Relational.rmseEval(s, d)),
+    "anti_join_unrated" -> ((s, d) => Relational.antiJoinUnrated(s, d)),
+    "union_retrain_input" -> ((s, d) => Relational.unionRetrainInput(s, d)),
+    "distinct_pairs" -> ((s, d) => Relational.distinctPairs(s, d)),
+    "drop_duplicates_by_user" -> ((s, d) => Relational.dropDuplicatesByUser(s, d)),
+    "filter_project" -> ((s, d) => Relational.filterProject(s, d)),
+    "topk25_parts" -> ((s, d) => Relational.topk25Parts(s, d)),
+    "top200_songs" -> ((s, d) => Relational.top200Songs(s, d)),
+    "pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "window_running_sum" -> ((s, d) => Relational.windowRunningSum(s, d)),
+    "quantile_rating_levels" -> ((s, d) => Relational.quantileRatingLevels(s, d)),
+    "marker_sessions" -> ((s, d) => Relational.markerSessions(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "json_decode_ratings" ->
+      s"$ratingsSql ORDER BY event_id",
+
+    "agg_count_avg" ->
+      s"""SELECT song_id, COUNT(*) AS cnt, ${Fx.davgSql("rating")} AS avg_rating
+         |FROM ($ratingsSql) GROUP BY song_id ORDER BY song_id""".stripMargin,
+
+    "recommend_top25" ->
+      s"""WITH per_song AS (
+         |  SELECT song_id, COUNT(*) AS cnt, ${Fx.davgSql("rating")} AS avg_rating
+         |  FROM ($ratingsSql) GROUP BY song_id HAVING COUNT(*) >= 25
+         |)
+         |SELECT song_id, p.p_name AS title, cnt, avg_rating
+         |FROM per_song JOIN part p ON per_song.song_id = p.p_partkey
+         |ORDER BY avg_rating DESC, song_id LIMIT 25""".stripMargin,
+
+    "join_truth_prediction" ->
+      s"""WITH r AS ($ratingsSql),
+         |pred AS (
+         |  SELECT user_id, song_id, ${Fx.davgSql("rating")} AS prediction
+         |  FROM r GROUP BY user_id, song_id
+         |)
+         |SELECT r.event_id, r.user_id, r.song_id, r.rating, pred.prediction
+         |FROM r JOIN pred ON r.user_id = pred.user_id AND r.song_id = pred.song_id
+         |ORDER BY r.event_id""".stripMargin,
+
+    "rmse_eval" ->
+      s"""WITH r AS ($ratingsSql),
+         |pred AS (
+         |  SELECT song_id, ${Fx.davgSql("rating")} AS prediction
+         |  FROM r GROUP BY song_id
+         |)
+         |SELECT ROUND(SQRT(${Fx.dsumSql("POW(r.rating - pred.prediction, 2)", 8)} / COUNT(*)), 6) AS rmse
+         |FROM r JOIN pred ON r.song_id = pred.song_id""".stripMargin,
+
+    "anti_join_unrated" ->
+      s"""SELECT p_partkey, p_name FROM part
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ($ratingsSql) r WHERE r.song_id = part.p_partkey
+         |) ORDER BY p_partkey""".stripMargin,
+
+    "union_retrain_input" ->
+      s"""WITH r AS (
+         |  SELECT event_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id, event_type
+         |  FROM events
+         |)
+         |SELECT song_id, COUNT(*) AS cnt FROM (
+         |  SELECT * FROM r WHERE event_type <> 'purchase'
+         |  UNION ALL
+         |  SELECT * FROM r WHERE event_type = 'purchase'
+         |) GROUP BY song_id ORDER BY song_id""".stripMargin,
+
+    "distinct_pairs" ->
+      s"""SELECT DISTINCT user_id, song_id FROM ($ratingsSql)
+         |ORDER BY user_id, song_id""".stripMargin,
+
+    "drop_duplicates_by_user" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 25 AND l_suppkey <> 3
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+
+    "topk25_parts" ->
+      s"""SELECT l_partkey, ${Fx.dsumSql("l_quantity")} AS total_qty, COUNT(*) AS cnt
+         |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 3
+         |ORDER BY total_qty DESC, l_partkey LIMIT 25""".stripMargin,
+
+    "top200_songs" ->
+      s"""SELECT song_id, ${Fx.dsumSql("rating")} AS total
+         |FROM ($ratingsSql) GROUP BY song_id
+         |ORDER BY total DESC, song_id LIMIT 200""".stripMargin,
+
+    "pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Fx.dsumSql("l_quantity")} AS sum_qty,
+         |  ${Fx.dsumSql("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")}) * (${Fx.oneSql} + ${Fx.rate2Sql("l_tax")})) AS DOUBLE) AS sum_charge,
+         |  ${Fx.davgSql("l_quantity")} AS avg_qty,
+         |  ${Fx.davgSql("l_extendedprice")} AS avg_price,
+         |  ${Fx.davgSql("l_discount", 4)} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity, running_qty""".stripMargin,
+
+    "quantile_rating_levels" ->
+      """WITH qs AS (
+        |  SELECT user_id,
+        |    quantile_cont(value, 0.2) AS q20, quantile_cont(value, 0.4) AS q40,
+        |    quantile_cont(value, 0.6) AS q60, quantile_cont(value, 0.8) AS q80
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN e.value >= q80 THEN 5 WHEN e.value >= q60 THEN 4
+        |       WHEN e.value >= q40 THEN 3 WHEN e.value >= q20 THEN 2
+        |       ELSE 1 END AS level
+        |FROM events e JOIN qs ON e.user_id = qs.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "marker_sessions" ->
+      """SELECT event_id, user_id, marker_id FROM (
+        |  SELECT event_id, user_id,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN event_id END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS marker_id
+        |  FROM events
+        |) WHERE marker_id IS NOT NULL ORDER BY event_id""".stripMargin,
+  )
 }

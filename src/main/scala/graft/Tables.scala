@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * Every loader is a plain parquet scan with no driver-side work, so
+  * Catalyst column pruning + filter pushdown reach the parquet reader
+  * (verify with `.explain`: `PushedFilters`, `ReadSchema`). At 100 TB the
+  * same code path applies — `spark.read.parquet` over a partitioned
+  * directory tree; partition pruning comes for free once the layout is
+  * hive-partitioned.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects by default. Read it as nanos-since-epoch
+    * LongType (`ts`): orderings are identical, and no query emits the
+    * raw timestamp. The conf is runtime-settable, so this works under
+    * any caller-provided session (driver smoke included).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,293 @@
+package graft.operators
+
+import graft.{Fx, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator layer (SURVEY.md §2.1–2.9).
+  *
+  * The reference (jimmy29304825/spark_streaming_kafka) models ratings as
+  * RDDs of (userId, songId, rating) tuples decoded from CSV/Kafka
+  * (engine.py:96, spark_kafka.py:76–80). On the driver corpus the
+  * `events` table plays that role: `user_id` is the rater, the JSON
+  * `props.k` field is the song id, `value` is the rating
+  * (FIXTURES.md §B role mapping).
+  *
+  * Everything here is declarative DataFrame code: Catalyst does predicate
+  * pushdown, column pruning, broadcast-join selection and partial
+  * aggregation. No collect(), no driver-side loops — every operator
+  * scales by partitioning alone.
+  */
+object Relational {
+
+  /** Decoded ratings stream-table: the F3 pseudo-JSON/JSON decode step
+    * (spark_streaming_kafka.py:18–20) as a columnar projection.
+    * `get_json_object` is codegen'd; the parquet scan reads only the
+    * referenced columns.
+    */
+  def ratings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).select(
+      $"event_id",
+      $"user_id",
+      get_json_object($"props", "$.k").cast("int").as("song_id"),
+      $"value".as("rating"))
+  }
+
+  /** F3: decode of event payloads, ordered for the oracle diff. */
+  def jsonDecodeRatings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ratings(spark, dir).orderBy($"event_id")
+  }
+
+  /** A1 `get_counts_and_averages` (engine.py:9–14): per-song count and
+    * mean rating. The reference uses groupByKey (ships every rating);
+    * here it is a partial+final HashAggregate — map-side combine shrinks
+    * the shuffle to one row per (partition, song).
+    */
+  def aggCountAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ratings(spark, dir)
+      .groupBy($"song_id")
+      .agg(count(lit(1)).as("cnt"), Fx.davg($"rating").as("avg_rating"))
+      .orderBy($"song_id")
+  }
+
+  /** J1 + P6 + T1 (engine.py:45,79): attach title + rating-count to each
+    * per-song average, keep songs with >= minCnt ratings, top-25 by
+    * average. `part` plays the 213-row song-metadata table; it is
+    * broadcast (explicitly, as Catalyst would choose under the
+    * threshold anyway) so the join is shuffle-free.
+    */
+  def recommendTop25(spark: SparkSession, dir: String, minCnt: Long = 25): DataFrame = {
+    import spark.implicits._
+    val perSong = ratings(spark, dir)
+      .groupBy($"song_id")
+      .agg(count(lit(1)).as("cnt"), Fx.davg($"rating").as("avg_rating"))
+      .filter($"cnt" >= minCnt)
+    val titles = Tables.part(spark, dir)
+      .select($"p_partkey".as("song_id"), $"p_name".as("title"))
+    perSong.join(broadcast(titles), Seq("song_id"))
+      .select($"song_id", $"title", $"cnt", $"avg_rating")
+      .orderBy($"avg_rating".desc, $"song_id")
+      .limit(25)
+  }
+
+  /** J2 (spark_music.py:35–36): composite-key equi-join of truth vs
+    * "prediction" — here the per-(user, song) mean joined back to each
+    * rating row on both keys.
+    */
+  def joinTruthPrediction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = ratings(spark, dir)
+    val pred = r.groupBy($"user_id", $"song_id")
+      .agg(Fx.davg($"rating").as("prediction"))
+    r.join(pred, Seq("user_id", "song_id"))
+      .select($"event_id", $"user_id", $"song_id", $"rating", $"prediction")
+      .orderBy($"event_id")
+  }
+
+  /** A3/M3 RMSE (spark_music.py:35–40): sqrt(mean((truth-pred)^2)) where
+    * pred is the per-song mean. Squares are accumulated in DECIMAL(18,8)
+    * so the result is bit-deterministic across engines.
+    */
+  def rmseEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = ratings(spark, dir)
+    val pred = r.groupBy($"song_id").agg(Fx.davg($"rating").as("prediction"))
+    r.join(pred, Seq("song_id"))
+      .select(($"rating" - $"prediction").as("diff"))
+      .agg(round(sqrt(Fx.dsum(pow($"diff", 2), 8) / count(lit(1))), 6).as("rmse"))
+  }
+
+  /** P7/J5 anti-join (spark_music.py:96–98 — the *intended* semantics of
+    * the reference's NOT-IN, minus its Py3 exhausted-iterator bug):
+    * catalog songs never rated by anyone. At 100 TB this is a broadcast
+    * or shuffle left-anti join, never a driver-side `isin` list.
+    */
+  def antiJoinUnrated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rated = ratings(spark, dir).select($"song_id")
+    Tables.part(spark, dir)
+      .join(rated, $"p_partkey" === rated("song_id"), "left_anti")
+      .select($"p_partkey", $"p_name")
+      .orderBy($"p_partkey")
+  }
+
+  /** U1 bag-semantics union (engine.py:56): history ∪ new ratings before
+    * retrain. Split the stream on event_type to model "new arrivals";
+    * the union must NOT dedup (Spark `union` is bag — exact match).
+    */
+  def unionRetrainInput(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.events(spark, dir).select(
+      $"event_id",
+      get_json_object($"props", "$.k").cast("int").as("song_id"),
+      $"event_type")
+    val history = r.filter($"event_type" =!= "purchase")
+    val fresh = r.filter($"event_type" === "purchase")
+    history.unionByName(fresh)
+      .groupBy($"song_id").agg(count(lit(1)).as("cnt"))
+      .orderBy($"song_id")
+  }
+
+  /** P9 distinct (engine.py:77): candidate (user, song) pairs. */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ratings(spark, dir)
+      .select($"user_id", $"song_id")
+      .distinct()
+      .orderBy($"user_id", $"song_id")
+  }
+
+  /** P10 drop-duplicates-by-key (music_ETL.ipynb cells 7,13). Spark's
+    * dropDuplicates keeps an *arbitrary* row per key — not
+    * oracle-checkable — so this is the deterministic form: first event
+    * per user in (ts, event_id) order via row_number. Same shuffle shape
+    * (hash partition by key), deterministic winner.
+    */
+  def dropDuplicatesByUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type")
+      .orderBy($"user_id")
+  }
+
+  /** P2/P3/P5/P6 filter+project: pushed to the parquet scan (verify:
+    * `PushedFilters: [GreaterThanOrEqual(l_quantity,25), Not(EqualTo(l_suppkey,3))]`,
+    * pruned ReadSchema).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 25 && $"l_suppkey" =!= 3)
+      .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
+      // order over ALL emitted columns: (l_orderkey, l_linenumber) alone
+      // is not unique in this corpus, and a non-total presentation order
+      // is nondeterministic across engines
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+  }
+
+  /** T1 top-K with threshold (engine.py:79 shape on lineitem): top-25
+    * parts by exact total quantity. orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition heap + driver merge of 25
+    * rows, no global sort.
+    */
+  def topk25Parts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(Fx.dsum($"l_quantity").as("total_qty"), count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 3)
+      .orderBy($"total_qty".desc, $"l_partkey")
+      .limit(25)
+  }
+
+  /** T4 top-200 slice (music_ETL.ipynb cell 12): top-200 songs by total
+    * listen volume.
+    */
+  def top200Songs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ratings(spark, dir)
+      .groupBy($"song_id")
+      .agg(Fx.dsum($"rating").as("total"))
+      .orderBy($"total".desc, $"song_id")
+      .limit(200)
+  }
+
+  /** TPC-H Q1-shaped pricing summary — the flagship batch aggregate
+    * (A1 generalized): partial aggregation, fixed-point money math,
+    * single shuffle of 4 groups.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Fx.dsum($"l_quantity").as("sum_qty"),
+        Fx.dsum($"l_extendedprice").as("sum_base_price"),
+        sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount"))
+          * (Fx.one + Fx.rate2($"l_tax"))).cast("double").as("sum_charge"),
+        Fx.davg($"l_quantity").as("avg_qty"),
+        Fx.davg($"l_extendedprice").as("avg_price"),
+        Fx.davg($"l_discount", 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Window running sum (§2.5 — absent in the reference, standard in any
+    * engine): per-supplier cumulative shipped quantity in (shipdate,
+    * orderkey, linenumber) order. Window sums run sequentially over a
+    * totally-ordered frame, so plain double accumulation is already
+    * deterministic — still DECIMAL'd for cross-engine equality.
+    */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus; the full
+    // (shipdate, orderkey, linenumber, partkey, quantity) tuple is, so
+    // the running-sum accumulation order is total => deterministic.
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        $"l_shipdate", $"l_quantity")
+      .withColumn("running_qty",
+        sum($"l_quantity".cast("decimal(18,2)")).over(w).cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        $"l_quantity", $"running_qty")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        $"l_quantity", $"running_qty")
+  }
+
+  /** A6 per-user quantile rating levels (music_ETL.ipynb cell 9): exact
+    * interpolated 0.2/0.4/0.6/0.8 quantiles of `value` per user, then
+    * the reference's >=-chain bucketing into levels 1–5. Exact
+    * `percentile` (not approx) to stay oracle-matchable; computed as one
+    * aggregate per user then a broadcastable join back.
+    */
+  def quantileRatingLevels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_id", $"user_id", $"value")
+    val qs = ev.groupBy($"user_id").agg(
+      percentile($"value", lit(0.2)).as("q20"),
+      percentile($"value", lit(0.4)).as("q40"),
+      percentile($"value", lit(0.6)).as("q60"),
+      percentile($"value", lit(0.8)).as("q80"))
+    ev.join(qs, Seq("user_id"))
+      .select($"event_id", $"user_id",
+        when($"value" >= $"q80", 5)
+          .when($"value" >= $"q60", 4)
+          .when($"value" >= $"q40", 3)
+          .when($"value" >= $"q20", 2)
+          .otherwise(1).as("level"))
+      .orderBy($"event_id")
+  }
+
+  /** ST7 batch analog (spark_kafka.py:71–96): marker-triggered
+    * accumulation. Each event is assigned to the next `purchase` marker
+    * of the same user (the 'm3' analog); events after a user's last
+    * marker stay unflushed (dropped, like the reference's still-buffered
+    * tail). Expressed as a forward-looking min window — no state loop,
+    * one shuffle by user.
+    */
+  def markerSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("marker_id",
+        min(when($"event_type" === "purchase", $"event_id")).over(w))
+      .filter($"marker_id".isNotNull)
+      .select($"event_id", $"user_id", $"marker_id")
+      .orderBy($"event_id")
+  }
+}

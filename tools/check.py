@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles, mimicking the driver's
+t2 check: run graft.Verify output (parquet per query + oracle_sql.json)
+against DuckDB over the same testdata tables, compare exactly.
+
+Usage: python3 tools/check.py <verify_outdir> <sf_dir>
+(dev tool only — the shipped Scala library has no Python dependency)
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}");  n_fail += 1;  continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1;  continue
+        if got.shape != want.shape:
+            print(f"FAIL {name}: shape {got.shape} vs {want.shape}")
+            n_fail += 1;  continue
+        dt_got, dt_want = list(map(str, got.dtypes)), list(map(str, want.dtypes))
+        if dt_got != dt_want:
+            print(f"WARN {name}: dtypes {dt_got} vs {dt_want}")
+        # exact compare in given order, then sorted order
+        eq_ordered = got.reset_index(drop=True).equals(want.reset_index(drop=True))
+        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+        eq_sorted = gs.equals(ws)
+        if eq_ordered:
+            print(f"PASS {name} ({got.shape[0]} rows)");  n_pass += 1
+        elif eq_sorted:
+            print(f"PASS* {name} (row order differs — ordered-compare would fail)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            diff = (gs != ws) & ~(gs.isna() & ws.isna())
+            bad = diff.any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())}/{len(gs)} rows differ; first diffs:")
+            idx = gs.index[bad][:3]
+            for i in idx:
+                print(f"  got : {gs.loc[i].to_dict()}")
+                print(f"  want: {ws.loc[i].to_dict()}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
