@@ -37,7 +37,24 @@ object SparkEntry {
     "window_running_sum" -> ((s, d) => Relational.windowRunningSum(s, d)),
     "quantile_rating_levels" -> ((s, d) => Relational.quantileRatingLevels(s, d)),
     "marker_sessions" -> ((s, d) => Relational.markerSessions(s, d)),
+    "wordcount" -> ((s, d) => TextOps.wordcount(s, d)),
+    "sentiment_afinn" -> ((s, d) => TextOps.sentimentAfinn(s, d)),
+    "sentiment_polarity" -> ((s, d) => TextOps.sentimentPolarity(s, d)),
+    "genre_first_token" -> ((s, d) => TextOps.genreFirstToken(s, d)),
+    "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
+    "pseudo_json_roundtrip" -> ((s, d) => TextOps.pseudoJsonRoundtrip(s, d)),
   )
+
+  /** DuckDB stopword-profile fragments shared by the lang_id oracle. */
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+  private val lexJoin =
+    s"""FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+       |LEFT JOIN ${graft.functions.Afinn.domainSql} lex(w, v) ON d.w = lex.w
+       |GROUP BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "json_decode_ratings" ->
@@ -164,5 +181,74 @@ object SparkEntry {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS marker_id
         |  FROM events
         |) WHERE marker_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "wordcount" ->
+      """SELECT word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+
+    "sentiment_afinn" ->
+      s"""SELECT d.doc_id, CAST(SUM(COALESCE(lex.v, 0)) AS INTEGER) AS sentiment
+         |$lexJoin ORDER BY d.doc_id""".stripMargin,
+
+    "sentiment_polarity" ->
+      s"""SELECT doc_id, CASE WHEN cnt = 0 THEN 0.0
+         |  ELSE CAST(s AS DOUBLE) / cnt / 5.0 END AS polarity
+         |FROM (
+         |  SELECT d.doc_id, COUNT(lex.v) AS cnt, SUM(lex.v) AS s
+         |  $lexJoin
+         |) ORDER BY doc_id""".stripMargin,
+
+    "genre_first_token" ->
+      """SELECT string_split(p_type, ' ')[1] AS genre, COUNT(*) AS cnt
+        |FROM part GROUP BY genre ORDER BY genre""".stripMargin,
+
+    "lang_id" -> {
+      val langs = graft.functions.TextFns.stopwordProfiles.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (l, ws) =>
+        s"SUM(CASE WHEN w IN ${inList(ws)} THEN 1 ELSE 0 END) AS s_$l"
+      }.mkString(",\n    ")
+      val gr = langs.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val pick = langs.map { case (l, _) =>
+        s"WHEN s_$l = $gr THEN '$l'"
+      }.mkString(" ")
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    $scoreCols
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, CASE WHEN $gr = 0 THEN 'und' $pick ELSE 'und' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_score" ->
+      s"""SELECT doc_id,
+         |  LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+         |  + CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) * 0.5
+         |  + CAST(len(list_filter(l, x -> x IN ${inList(graft.functions.TextFns.stopwordProfiles("en"))})) AS DOUBLE)
+         |    / CAST(len(l) AS DOUBLE) * 0.25 AS quality
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id, CAST(len(l) AS INTEGER) AS n_tokens,
+        |  CAST(list_sum(list_transform(l, w -> CAST(FLOOR((length(w) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_subwords
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, CASE WHEN len(l) < 5 THEN md5(text)
+        |  ELSE list_min(list_transform(generate_series(1, len(l) - 4),
+        |         i -> md5(array_to_string(l[i:i+4], ' ')))) END AS fingerprint
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pseudo_json_roundtrip" ->
+      """SELECT event_id, CAST(user_id AS INTEGER) AS userid,
+        |  'm' || CAST((event_id % 3) + 1 AS VARCHAR) AS tag,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS songid,
+        |  CAST(FLOOR(value) AS INTEGER) AS rating
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

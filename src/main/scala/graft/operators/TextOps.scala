@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Afinn, PseudoJson, TextFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table + pseudo-JSON
+  * round-trip over `events` (SURVEY.md §2.9 and the training-data
+  * text operators). All scalar work is per-row HOFs inside whole-stage
+  * codegen; the only shuffles are the final aggregations/sorts.
+  */
+object TextOps {
+
+  /** A2/F1 word count (kafka_streaming.py:33-37, batch form):
+    * explode(split) -> groupBy(word).count.
+    */
+  def wordcount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word")
+  }
+
+  /** F9 AFINN-style valence sum per document. */
+  def sentimentAfinn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextFns.sentimentSum($"text", Afinn.domain).as("sentiment"))
+      .orderBy($"doc_id")
+  }
+
+  /** F8 TextBlob-style polarity per document. */
+  def sentimentPolarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextFns.sentimentPolarity($"text", Afinn.domain).as("polarity"))
+      .orderBy($"doc_id")
+  }
+
+  /** F7 first-token genre extraction (lyric.ipynb cell 13), applied to
+    * part.p_type: split, take head, group count.
+    */
+  def genreFirstToken(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(split($"p_type", " ").getItem(0).as("genre"))
+      .groupBy($"genre").agg(count(lit(1)).as("cnt"))
+      .orderBy($"genre")
+  }
+
+  /** Language-ID heuristic per document. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextFns.langGuess($"text").as("lang_guess"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring per document. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextFns.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting (whitespace + BPE-ish subword estimate). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        TextFns.whitespaceTokenCount($"text").as("n_tokens"),
+        TextFns.subwordEstimate($"text").as("n_subwords"))
+      .orderBy($"doc_id")
+  }
+
+  /** Rolling-hash document fingerprint (min-MD5 over 5-gram shingles). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextFns.fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** F3/F4 round-trip: render each event as the reference's pseudo-JSON
+    * wire format (`{'userid': 88888,'music': ('m1', 1038), 'rating': 1}`),
+    * then decode it back with the engine's parser. The oracle computes
+    * the fields directly from the source columns, so any parse defect
+    * shows up as a mismatch.
+    */
+  def pseudoJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wire = Tables.events(spark, dir).select(
+      $"event_id",
+      concat(
+        lit("{'userid': "), $"user_id",
+        lit(",'music': ('m"), pmod($"event_id", lit(3)) + lit(1),
+        lit("', "), get_json_object($"props", "$.k").cast("int"),
+        lit("), 'rating': "), floor($"value").cast("int"), lit("}")).as("value"))
+    val (userid, tag, songid, rating) = PseudoJson.parse($"value")
+    wire.select($"event_id", userid.as("userid"), tag.as("tag"),
+        songid.as("songid"), rating.as("rating"))
+      .orderBy($"event_id")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Afinn, PseudoJson, TextFns}
+
+class TextFnsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("AFINN sentiment sum over literal lyrics") {
+    val df = Seq(
+      ("good good bad", 3 + 3 - 3),
+      ("love is awesome", 3 + 4),
+      ("neutral words only", 0)).toDF("lyric", "expected")
+    val got = df.select(
+      TextFns.sentimentSum($"lyric", Afinn.afinn).as("s"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("polarity is mean matched valence / 5, neutral default 0") {
+    val df = Seq("good bad", "nothing here").toDF("lyric")
+    val got = df.select(TextFns.sentimentPolarity($"lyric", Afinn.afinn))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == (3 - 3) / 2.0 / 5.0)
+    assert(got(1) == 0.0)
+  }
+
+  test("pseudo-JSON parse handles the reference wire format") {
+    // exact format from line_music.ipynb cell 0
+    val df = Seq("{'userid': 88888,'music': ('m1', 1038), 'rating': 1}").toDF("value")
+    val (userid, tag, songid, rating) = PseudoJson.parse($"value")
+    val r = df.select(userid, tag, songid, rating).head()
+    assert(r.getInt(0) == 88888 && r.getString(1) == "m1"
+      && r.getInt(2) == 1038 && r.getInt(3) == 1)
+  }
+
+  test("pseudo-JSON parse yields nulls (not crashes) on malformed input") {
+    val df = Seq("not json at all", "{'userid': }").toDF("value")
+    val (userid, tag, songid, rating) = PseudoJson.parse($"value")
+    val rows = df.select(userid, tag, songid, rating).collect()
+    assert(rows.forall(r => r.isNullAt(0) || r.getString(1).isEmpty || r.isNullAt(3)))
+  }
+
+  test("fingerprint: short docs fall back to md5(text)") {
+    val df = Seq("one two three", "a b c d e f").toDF("text")
+    val got = df.select(TextFns.fingerprint($"text").as("f"), md5($"text").as("m"))
+      .collect()
+    assert(got(0).getString(0) == got(0).getString(1)) // 3 tokens -> fallback
+    assert(got(1).getString(0) != null)
+  }
+
+  test("langGuess picks profile language; und when no function words") {
+    val df = Seq(
+      ("the cat sat of the mat", "en"),
+      ("der hund und die katze ist", "de"),
+      ("xyzzy qwerty", "und")).toDF("text", "expected")
+    df.select(TextFns.langGuess($"text").as("g"), $"expected").collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("token counts: whitespace + ceil(len/4) subwords") {
+    val r = Seq("spark is fast").toDF("text")
+      .select(TextFns.whitespaceTokenCount($"text"),
+        TextFns.subwordEstimate($"text")).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getLong(1) == 2 + 1 + 1) // ceil(5/4)+ceil(2/4)+ceil(4/4)
+  }
+}
