@@ -46,7 +46,33 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "pseudo_json_roundtrip" -> ((s, d) => TextOps.pseudoJsonRoundtrip(s, d)),
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
+
+  /** Shared oracle fragments for shingle-based dedup (md5-hashed word
+    * 3-gram shingle sets, mirroring Dedup.shingleSet).
+    */
+  private val shingleCtes =
+    """d AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM (
+      |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [md5(text)]
+      |    ELSE list_transform(generate_series(1, len(l) - 2),
+      |           i -> md5(array_to_string(l[i:i+2], ' '))) END AS ss FROM d)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle fragments for vector search (double-cast embeddings
+    * with precomputed norms — bit-identical to the Spark double fold).
+    */
+  private val vecCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
 
   /** DuckDB stopword-profile fragments shared by the lang_id oracle. */
   private def inList(ws: Seq[String]): String =
@@ -250,5 +276,76 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS songid,
         |  CAST(FLOOR(value) AS INTEGER) AS rating
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(c AS DOUBLE) / (x.sz + y.sz - c) AS jaccard
+         |FROM common JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+         |WHERE CAST(c AS DOUBLE) / (x.sz + y.sz - c) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val sigCols = (0 until 16).map(j => s"min(md5('$j|' || s)) AS sig$j").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val parts = (0 until 4).map(i => s"sig${b * 4 + i}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shingleCtes,
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |band AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM band x
+         |  JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT cand.da AS doc_a, cand.db AS doc_b,
+         |  CAST(c AS DOUBLE) / (x.sz + y.sz - c) AS jaccard
+         |FROM cand JOIN common ON cand.da = common.da AND cand.db = common.db
+         |JOIN sizes x ON cand.da = x.doc_id JOIN sizes y ON cand.db = y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "embedding_neardup" ->
+      s"""WITH $vecCtes
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  list_inner_product(a.v, b.v) / a.nrm / b.nrm AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_inner_product(a.v, b.v) / a.nrm / b.nrm >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "cosine_topk" ->
+      s"""WITH $vecCtes,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+         |scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(qv, a.v) / qn / a.nrm AS cos
+         |  FROM n a JOIN q ON a.vec_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH $vecCtes,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 250 = 0),
+         |assigned AS (SELECT cent_id, vec_id, v, nrm FROM (
+         |  SELECT n.vec_id, n.v, n.nrm, c.cent_id, ROW_NUMBER() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY list_inner_product(c.cv, n.v) / c.cn / n.nrm DESC, c.cent_id) AS arn
+         |  FROM n, cents c) WHERE arn = 1),
+         |probes AS (SELECT query_id, qv, qn, cent_id FROM (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cent_id, ROW_NUMBER() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY list_inner_product(c.cv, q.v) / c.cn / q.nrm DESC, c.cent_id) AS prn
+         |  FROM n q, cents c WHERE q.vec_id < 8) WHERE prn <= 2),
+         |scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(qv, a.v) / qn / a.nrm AS cos
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

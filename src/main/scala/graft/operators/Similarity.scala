@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.FloatDotProduct.floatDot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (north-star extension): brute-force cosine top-k as the exact
+  * baseline, and an IVF (inverted-file) variant as the scale path.
+  *
+  * All vector math is a sequential double fold over the float array —
+  * codegen'd higher-order functions, bit-identical to the DuckDB
+  * oracle's list_inner_product on DOUBLE[].
+  */
+object Similarity {
+
+  // native codegen'd dot product (graft.plans.FloatDotProduct): same
+  // left-to-right double accumulation as the HOF fold, no allocation
+  private def dot(a: Column, b: Column): Column = floatDot(a, b)
+  private def norm(c: Column): Column = sqrt(floatDot(c, c))
+
+  /** Brute-force cosine top-k neighbors for the first nQueries vectors.
+    *
+    * Scale shape: the query side is tiny and broadcast; the candidate
+    * scan is embarrassingly parallel; top-k is two-phase — a
+    * partition-local row_number prune keeps k rows per (query,
+    * partition) before the global per-query sort, so the final shuffle
+    * carries O(queries * partitions * k) rows, not the full candidate
+    * set. (With billions of candidates the global window would
+    * otherwise funnel everything into #queries reducers.)
+    */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (dot($"qv", $"v") / $"qn" / $"nrm").as("cos"))
+    val local = Window.partitionBy($"query_id", spark_partition_id())
+      .orderBy($"cos".desc, $"neighbor_id")
+    val global = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    scored
+      .withColumn("lrn", row_number().over(local)).filter($"lrn" <= k)
+      .withColumn("rank", row_number().over(global)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF-style ANN: coarse "centroids" are a deterministic subsample
+    * (vec_id % centroidEvery == 0); every vector is assigned to its
+    * nearest centroid (one broadcast join — this is the index build);
+    * each query probes its nprobe nearest centroids and scans only
+    * those clusters. Approximate by construction; the oracle mirrors
+    * the same algorithm, so the check is still exact.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cents = e.filter(pmod($"vec_id", lit(centroidEvery)) === 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val simToCent = (v: Column, n: Column) => dot($"cv", v) / $"cn" / n
+    // index build: nearest centroid per vector
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    val assigned = e.join(broadcast(cents))
+      .select($"vec_id", $"v", $"nrm", $"cent_id", simToCent($"v", $"nrm").as("csim"))
+      .withColumn("arn", row_number().over(wAssign)).filter($"arn" === 1)
+      .select($"cent_id", $"vec_id", $"v", $"nrm")
+    // query probe lists: nprobe nearest centroids per query
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wProbe = Window.partitionBy($"query_id").orderBy($"csim".desc, $"cent_id")
+    val probes = q.join(broadcast(cents))
+      .select($"query_id", $"qv", $"qn", $"cent_id",
+        (dot($"cv", $"qv") / $"cn" / $"qn").as("csim"))
+      .withColumn("prn", row_number().over(wProbe)).filter($"prn" <= nprobe)
+      .select($"query_id", $"qv", $"qn", $"cent_id")
+    // scan only the probed clusters
+    val scored = assigned.join(probes, Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (dot($"qv", $"v") / $"qn" / $"nrm").as("cos"))
+    val global = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(global)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+}

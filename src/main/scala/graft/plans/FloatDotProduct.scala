@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two ARRAY<FLOAT> columns, accumulating in
+  * double: acc += (double)a[i] * (double)b[i], left to right.
+  *
+  * Semantically identical (bit-for-bit) to the composable form
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  * 0.0, _ + _)`, but with whole-stage codegen emitting a tight primitive
+  * loop — no per-row array allocation, no lambda-variable boxing. On the
+  * all-pairs similarity workloads this is the hot inner loop (O(n²·d)
+  * multiplies), where the HOF form spends most of its time building
+  * intermediate ArrayData.
+  *
+  * Norms reuse it as dot(v, v).
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatDotProduct {
+  import org.apache.spark.sql.GraftBridge
+  /** Column-level entry point: float_dot(a, b). */
+  def floatDot(a: Column, b: Column): Column =
+    GraftBridge.column(FloatDotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("exact dedup covers all docs exactly once at this sf (no dups)") {
+    val d = Dedup.exactDedup(spark, sf)
+    val total = d.agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("jaccard pairs are valid: 0 < j <= 1, a < b") {
+    val j = Dedup.ngramJaccard(spark, sf)
+    assert(j.filter("jaccard <= 0 OR jaccard > 1 OR doc_a >= doc_b").count() == 0)
+  }
+
+  test("minhash candidates verify to real overlapping pairs") {
+    val m = Dedup.minhashLsh(spark, sf)
+    assert(m.filter("jaccard <= 0 OR doc_a >= doc_b").count() == 0)
+  }
+
+  test("minhash recall: every very-similar pair (j >= 0.7) is a candidate") {
+    // with 4 bands of 4 rows, P(miss | j=0.7) = (1-0.7^4)^4 ~ 0.1;
+    // the sf0.001 corpus near-dups are j ~ 0.98 where P(miss) ~ 1e-5
+    val high = Dedup.ngramJaccard(spark, sf, minJ = 0.95).select("doc_a", "doc_b")
+    val cand = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+    assert(high.exceptAll(cand).count() == 0)
+  }
+
+  test("cosine top-k: ranks 1..k per query, no self-match, descending cos") {
+    val t = Similarity.cosineTopK(spark, sf).collect()
+    assert(t.nonEmpty)
+    t.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(3) >= b.getDouble(3); case _ => true })
+      assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+    }
+  }
+
+  test("IVF top-1 with full probe coverage matches brute force on rank 1 cos bound") {
+    val brute = Similarity.cosineTopK(spark, sf, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(spark, sf, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // IVF is approximate: its best-found cos is <= brute-force best
+    ivf.foreach { case (q, c) => assert(c <= brute(q) + 1e-12) }
+  }
+}
