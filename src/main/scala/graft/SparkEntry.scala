@@ -54,18 +54,22 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
-  /** Shared oracle fragments for shingle-based dedup (md5-hashed word
-    * 3-gram shingle sets, mirroring Dedup.shingleSet).
+  /** Shared oracle fragments for shingle-based dedup: word 3-gram
+    * shingles hashed to 60-bit BIGINTs, mirroring Dedup.shingleSet /
+    * Dedup.hash60 bit-for-bit (`conv(substr(md5,1,15),16,10)` in Spark
+    * == `CAST('0x'||substr(md5,1,15) AS BIGINT)` in DuckDB).
     */
+  private def h60(x: String) =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
   private val shingleCtes =
-    """d AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM (
-      |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [md5(text)]
-      |    ELSE list_transform(generate_series(1, len(l) - 2),
-      |           i -> md5(array_to_string(l[i:i+2], ' '))) END AS ss FROM d)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-      |common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+    s"""d AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(ss) AS h FROM (
+       |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [${h60("text")}]
+       |    ELSE list_transform(generate_series(1, len(l) - 2),
+       |           i -> ${h60("array_to_string(l[i:i+2], ' ')")}) END AS ss FROM d)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
   /** Shared oracle fragments for vector search (double-cast embeddings
     * with precomputed norms — bit-identical to the Spark double fold).
@@ -290,17 +294,20 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" -> {
-      val sigCols = (0 until 16).map(j => s"min(md5('$j|' || s)) AS sig$j").mkString(", ")
+      import graft.operators.Dedup.{P, hashParams}
+      val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
+        s"min(((h % $P) * $a + $b) % $P) AS sig$j"
+      }.mkString(", ")
       val bandRows = (0 until 4).map { b =>
-        val parts = (0 until 4).map(i => s"sig${b * 4 + i}").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sig"
+        val p = (0 until 4).map(i => s"sig${b * 4 + i}")
+        s"SELECT doc_id, $b AS band, ${p(0)} * $P + ${p(1)} AS k1, ${p(2)} * $P + ${p(3)} AS k2 FROM sig"
       }.mkString("\n  UNION ALL ")
       s"""WITH $shingleCtes,
          |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
          |band AS (
          |  $bandRows),
          |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM band x
-         |  JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |  JOIN band y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id)
          |SELECT cand.da AS doc_a, cand.db AS doc_b,
          |  CAST(c AS DOUBLE) / (x.sz + y.sz - c) AS jaccard
          |FROM cand JOIN common ON cand.da = common.da AND cand.db = common.db

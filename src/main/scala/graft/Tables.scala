@@ -35,4 +35,16 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Widen a scan to the session's parallelism when the file layout
+    * yields fewer input splits than cores (small single-file tables:
+    * every row lands in one task, serializing any CPU-heavy projection
+    * above it — hashing, shingling, tokenizing). A no-op whenever the
+    * source is already at least core-parallel, so at real scale (file
+    * splits >> cores) no extra shuffle is introduced.
+    */
+  def widened(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -21,19 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set, exploded as distinct (doc_id, shingle).
-    * Shingles are md5-hashed so downstream shuffles move 32-char keys
-    * instead of raw n-grams (and the hash is cross-engine stable).
+  /** Mersenne prime 2^31-1: the minhash universe. Affine-hash products
+    * stay below 2^62, so the arithmetic is overflow-free (and therefore
+    * bit-identical) in both Spark and the DuckDB oracle.
     */
-  private[operators] def shingleSet(spark: SparkSession, dir: String, n: Int): DataFrame = {
+  val P: Long = 2147483647L
+
+  /** Fixed affine hash params (a_j, b_j) for the 16 minhash functions. */
+  val hashParams: Seq[(Long, Long)] =
+    (0 until 16).map(j => ((j * 2654435761L + 1) % P, (j * 40503L + 7) % P))
+
+  /** Cross-engine-stable 60-bit hash of a string: the first 15 hex chars
+    * of its md5, as a non-negative BIGINT. DuckDB mirror:
+    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`.
+    */
+  private[graft] def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingle set, exploded as distinct (doc_id, h) with the
+    * shingle hashed to a 60-bit int: downstream shuffles (distinct,
+    * inverted-index joins, minhash aggregation) move 8-byte keys instead
+    * of 32-char md5 strings. One md5 per shingle total; collisions in a
+    * 2^60 universe are negligible and, being deterministic, identical in
+    * the oracle.
+    */
+  private[graft] def shingleSet(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
     val t = TextFns.tokens($"text")
-    val sh = when(size(t) < n, array(md5($"text")))
+    val sh = when(size(t) < n, array(hash60($"text")))
       .otherwise(transform(
         sequence(lit(1), size(t) - lit(n - 1)),
-        i => md5(concat_ws(" ", slice(t, i, lit(n))))))
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode(sh).as("shingle"))
+        i => hash60(concat_ws(" ", slice(t, i, lit(n))))))
+    Tables.widened(spark, Tables.documents(spark, dir))
+      .select($"doc_id", explode(sh).as("h"))
       .distinct()
   }
 
@@ -55,7 +75,7 @@ object Dedup {
     val sh = shingleSet(spark, dir, n).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("common"))
     val j = common
@@ -66,22 +86,26 @@ object Dedup {
     j.filter($"jaccard" >= minJ).orderBy($"doc_a", $"doc_b")
   }
 
-  /** MinHash signature columns: sig_j = min over shingles of
-    * md5(j || '|' || shingle). One aggregation pass computes all 16
-    * mins — no per-doc arrays, fully partial-aggregatable.
+  /** MinHash signature columns: sig_j = min over shingles of the affine
+    * hash (a_j * (h % P) + b_j) % P. One aggregation pass computes all
+    * 16 mins as pure BIGINT arithmetic (no per-shingle re-hashing) — no
+    * per-doc arrays, fully partial-aggregatable.
     */
   private def minhashSigs(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(jh =>
-      min(md5(concat(lit(jh.toString), lit("|"), col("shingle")))).as(s"sig$jh"))
+    val hp = col("h") % P
+    val aggs = hashParams.take(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min((hp * a + b) % P).as(s"sig$j")
+    }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH candidate pairs with verified Jaccard. bands=4 bands of
     * r=4 rows over 16 hashes; a pair is a candidate iff all 4 sigs of
-    * some band agree (md5 is injective in practice, so candidates
-    * always share >= 1 shingle and the verify join is never empty).
-    * Output is fully deterministic: candidates are a pure function of
-    * the md5 minhashes, and the verified jaccard of integer set sizes.
+    * some band agree. Each band's 4 sigs (< P < 2^31) pack into two
+    * BIGINT join keys (s0*P+s1, s2*P+s3) — the candidate join shuffles
+    * 16 bytes per band row, no string keys anywhere. Output is fully
+    * deterministic: candidates are a pure function of the md5-derived
+    * minhashes, and the verified jaccard of integer set sizes.
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
@@ -91,12 +115,15 @@ object Dedup {
     val sigs = minhashSigs(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until r).map(i => col(s"sig${b * r + i}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key"))
+      val k1 = parts(0) * P + parts(1)
+      val k2 = parts(2) * P + parts(3)
+      struct(lit(b).as("band"), k1.as("k1"), k2.as("k2"))
     }
     val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.k1".as("k1"), $"bk.k2".as("k2"))
     val cand = banded.as("x").join(banded.as("y"),
-        $"x.band" === $"y.band" && $"x.key" === $"y.key" && $"x.doc_id" < $"y.doc_id")
+        $"x.band" === $"y.band" && $"x.k1" === $"y.k1" && $"x.k2" === $"y.k2" &&
+          $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
@@ -104,8 +131,8 @@ object Dedup {
     // all-pairs shared-shingle join never happens). Candidates are few,
     // so the shingle joins below touch O(|cand| * shingles/doc) rows.
     val common = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
+      .join(sh.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("common"))
     common
