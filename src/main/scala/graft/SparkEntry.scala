@@ -52,7 +52,15 @@ object SparkEntry {
     "embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
+    "als_grid_rmse" -> ((s, d) => graft.ml.Recommender.alsGridRmse(s, d)),
   )
+
+  /** Queries excluded from the timing bench: ALS training dominates
+    * wall-clock and measures MLlib, not this engine's operators. They
+    * still run in Verify (rows-only correctness).
+    */
+  val benchExcluded: Set[String] = Set("als_recommend_top25", "als_grid_rmse")
 
   /** Shared oracle fragments for shingle-based dedup: word 3-gram
     * shingles hashed to 60-bit BIGINTs, mirroring Dedup.shingleSet /

@@ -1,0 +1,138 @@
+package graft.ml
+
+import graft.{Fx, Tables}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's core "query": ALS train / predict / recommend
+  * (SURVEY.md §2.11 M1–M6; engine.py:17–112, spark_music.py).
+  *
+  * spark.ml ALS instead of the reference's RDD-level mllib
+  * `ALS.train` — same model family and hyperparameters (rank grid
+  * {4,8,12}, 10 iterations, lambda 0.1, seed 5; spark_music.py:21–34,
+  * engine.py:108–111), but block-partitioned DataFrame execution:
+  * factor blocks shuffle by (user-block, item-block) key, so training
+  * scales horizontally with partitions rather than the reference's
+  * groupByKey-style all-to-all. Predictions are `model.transform` — a
+  * broadcast-able join against the factor tables — never a driver-side
+  * `predictAll` collect.
+  */
+object Recommender {
+
+  /** Ratings from the events table: the streaming payload decode of
+    * SURVEY §2.9 F3 feeding the batch trainer (spark_kafka.py:27).
+    */
+  def ratings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).select(
+      $"user_id".cast("int").as("userId"),
+      get_json_object($"props", "$.k").cast("int").as("songId"),
+      $"value".cast("float").as("rating"))
+  }
+
+  /** M1 ALS train, reference hyperparameters by default
+    * (spark_music.py:33: rank grid member, 10 iters, lambda 0.1, seed 5).
+    */
+  def train(df: DataFrame, rank: Int = 4, maxIter: Int = 10,
+      regParam: Double = 0.1, seed: Long = 5L): ALSModel =
+    new ALS()
+      .setUserCol("userId").setItemCol("songId").setRatingCol("rating")
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam).setSeed(seed)
+      .setColdStartStrategy("drop")
+      .fit(df)
+
+  /** M2 predictAll (engine.py:43): score (userId, songId) pairs. */
+  def predict(model: ALSModel, pairs: DataFrame): DataFrame =
+    model.transform(pairs)
+
+  /** M3 RMSE (spark_music.py:35–40). */
+  def rmse(model: ALSModel, df: DataFrame): Double =
+    new RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
+      .evaluate(predict(model, df))
+
+  /** M4 grid search (spark_music.py:32–44): best rank by validation
+    * RMSE. The loop is driver-side model selection — each candidate is
+    * a full distributed fit, as in the reference.
+    */
+  def gridSearch(train_ : DataFrame, validation: DataFrame,
+      ranks: Seq[Int] = Seq(4, 8, 12)): (Int, Double, ALSModel) =
+    ranks.map { r =>
+      val m = train(train_, rank = r)
+      (r, rmse(m, validation), m)
+    }.minBy(_._2)
+
+  /** M6 recommend-unrated top-K (engine.py:73–81, spark_music.py:96–111):
+    * candidates = catalog anti-join the user's rated set; predict; keep
+    * songs with >= minCnt ratings; top-K by predicted score.
+    *
+    * The anti-join replaces the reference's driver-side NOT-IN list
+    * (and its Py3 exhausted-iterator bug — spark_music.py:96–98); the
+    * per-song counts side is a partial agg and broadcasts.
+    */
+  def recommendTopK(model: ALSModel, ratings: DataFrame, userId: Int,
+      k: Int = 25, minCnt: Long = 25): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val rated = ratings.filter($"userId" === userId).select($"songId")
+    val candidates = ratings.select($"songId").distinct()
+      .join(rated, Seq("songId"), "left_anti")
+      .withColumn("userId", lit(userId))
+    val counts = ratings.groupBy($"songId").agg(count(lit(1)).as("cnt"))
+    predict(model, candidates)
+      .join(counts, "songId")
+      .filter($"cnt" >= minCnt)
+      .select($"songId", $"prediction", $"cnt")
+      .orderBy($"prediction".desc, $"songId")
+      .limit(k)
+  }
+
+  /** M5 retrain-on-append (engine.py:50–62): union new ratings with
+    * history, full refit — the reference has no incremental update.
+    */
+  def retrain(history: DataFrame, fresh: DataFrame, rank: Int = 4): ALSModel =
+    train(history.unionByName(fresh), rank = rank)
+
+  /** S11 model persistence (spark_music.py:114–123). */
+  def save(model: ALSModel, path: String): Unit = model.write.overwrite().save(path)
+  def load(path: String): ALSModel = ALSModel.load(path)
+
+  // ---- driver-contract query surfaces (rows-only checks: ALS output
+  // is not SQL-expressible, so there is no DuckDB oracle) ----
+
+  /** Flagship ALS query: train on all ratings at the given dir, emit
+    * top-25 recommendations for the most active user. Deterministic
+    * given the seed, but checked rows-only by the driver.
+    */
+  def alsRecommendTop25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = ratings(spark, dir).cache()
+    val topUser = r.groupBy($"userId").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"userId").limit(1)
+      .collect()(0).getInt(0)
+    val model = train(r, rank = 4)
+    recommendTopK(model, r, topUser, k = 25, minCnt = 5)
+  }
+
+  /** ALS holdout evaluation, reference protocol (spark_music.py:16):
+    * 60/20/20 split seed 0, grid over {4,8,12}, report per-rank
+    * validation RMSE and the chosen rank's test RMSE.
+    */
+  def alsGridRmse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Array(tr, va, te) =
+      ratings(spark, dir).randomSplit(Array(0.6, 0.2, 0.2), seed = 0L)
+    tr.cache(); va.cache()
+    val results = Seq(4, 8, 12).map { r =>
+      val m = train(tr, rank = r)
+      (r, rmse(m, va), rmse(m, te))
+    }
+    val best = results.minBy(_._2)._1
+    spark.createDataFrame(results.map { case (r, v, t) =>
+      (r, v, t, r == best)
+    }).toDF("rank", "rmse_validation", "rmse_test", "is_best")
+      .orderBy($"rank")
+  }
+}
