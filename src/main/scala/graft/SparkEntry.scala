@@ -54,6 +54,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
     "als_grid_rmse" -> ((s, d) => graft.ml.Recommender.alsGridRmse(s, d)),
+    "streaming_marker_flush" -> ((s, d) => graft.streaming.Streams.markerFlushQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates

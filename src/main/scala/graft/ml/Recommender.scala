@@ -57,12 +57,16 @@ object Recommender {
     * RMSE. The loop is driver-side model selection — each candidate is
     * a full distributed fit, as in the reference.
     */
-  def gridSearch(train_ : DataFrame, validation: DataFrame,
-      ranks: Seq[Int] = Seq(4, 8, 12)): (Int, Double, ALSModel) =
+  def gridEvaluate(train_ : DataFrame, validation: DataFrame,
+      ranks: Seq[Int]): Seq[(Int, Double, ALSModel)] =
     ranks.map { r =>
       val m = train(train_, rank = r)
       (r, rmse(m, validation), m)
-    }.minBy(_._2)
+    }
+
+  def gridSearch(train_ : DataFrame, validation: DataFrame,
+      ranks: Seq[Int] = Seq(4, 8, 12)): (Int, Double, ALSModel) =
+    gridEvaluate(train_, validation, ranks).minBy(_._2)
 
   /** M6 recommend-unrated top-K (engine.py:73–81, spark_music.py:96–111):
     * candidates = catalog anti-join the user's rated set; predict; keep

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import graft.functions.PseudoJson
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Structured Streaming layer (SURVEY.md §2.10).
+  *
+  * The reference runs receiver-based DStreams on the Kafka 0.8 API with
+  * ZK offsets and at-most-once collect-and-produce output
+  * (spark_streaming_kafka.py:139,64–75). Here every stream is an
+  * incremental DataFrame: sources are offset-tracked by the engine's
+  * own checkpoint/commit logs (exactly-once bookkeeping replaces the
+  * reference's ZK receiver), transforms are Catalyst plans, and sinks
+  * go through `foreachBatch` so a whole micro-batch is written as one
+  * distributed job — never a driver-side `collect()` loop.
+  */
+object Streams {
+
+  /** Decoded rating event from the wire format (SURVEY §1). */
+  case class RateEvent(userid: Int, tag: String, songid: Int, rating: Int)
+
+  // ---- sources (S4/S5/S6) ----
+
+  /** S4/S6 Kafka source (spark_streaming_kafka.py:139: topic rate_test).
+    * Requires the spark-sql-kafka connector on the classpath at runtime
+    * (not bundled in this container — exercised via MemoryStream in
+    * tests, which feeds the identical downstream plan).
+    */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S5 socket source (kafka_streaming.py:30). */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .toDF("value")
+
+  // ---- transforms ----
+
+  /** F3 decode: pseudo-JSON payload lines -> typed rating events
+    * (spark_streaming_kafka.py:18–20, minus the triple-collect and the
+    * eval — parsing happens inside codegen on the executors).
+    */
+  def decodeRateEvents(lines: DataFrame): DataFrame = {
+    val (userid, tag, songid, rating) = PseudoJson.parse(col("value"))
+    lines.select(userid.as("userid"), tag.as("tag"),
+      songid.as("songid"), rating.as("rating"))
+  }
+
+  /** A2 word count over a line stream, per-batch-stateless like the
+    * reference (kafka_streaming.py:36–37 has no updateStateByKey):
+    * each micro-batch's counts stand alone, so the aggregation runs
+    * inside foreachBatch as a plain batch groupBy — no streaming state
+    * store, no watermark needed.
+    */
+  def wordCounts(batch: DataFrame): DataFrame =
+    batch.select(explode(split(col("value"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").count()
+
+  // ---- sinks (S7/S8) ----
+
+  /** S7 Kafka producer sink payload: one message per row, JSON value
+    * (vs the reference's str(tuple) bytes — spark_streaming_kafka.py:72).
+    */
+  def toKafkaPayload(df: DataFrame, topic: String): DataFrame =
+    df.select(lit(topic).as("topic"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S8 JDBC sink for a micro-batch (spark_kafka.py:84–90's per-row
+    * pyodbc INSERT, as one parameterized batched write).
+    */
+  def jdbcBatchSink(url: String, table: String,
+      props: java.util.Properties): (DataFrame, Long) => Unit =
+    (batch, _) => batch.write.mode("append").jdbc(url, table, props)
+
+  // ---- stream wiring (ST1–ST6) ----
+
+  /** ST2/ST3 per-batch word count pipeline: 5s ticks
+    * (kafka_streaming.py:27), counts handed to `emit` per batch.
+    */
+  def wordCountStream(lines: DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"))(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, id: Long) => emit(wordCounts(batch), id))
+
+  /** Driver-contract query (rows-only — streaming state is not SQL):
+    * feed the corpus's decoded events through the real
+    * flatMapGroupsWithState marker operator via MemoryStream and
+    * return the flushed rows. One micro-batch carries all events, so
+    * within-user processing order (and hence exactly which trailing
+    * events stay buffered) follows the batch's group iteration — the
+    * operator's invariants (every flush ends at a marker, flushSeq
+    * increments per user) hold regardless.
+    */
+  def markerFlushQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = graft.operators.TextOps.pseudoJsonRoundtrip(spark, dir)
+      .limit(2000).collect()
+      .map(r => RateEvent(r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
+    val in = MemoryStream[RateEvent](spark)
+    in.addData(evs.toIndexedSeq)
+    val name = s"marker_flush_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = MarkerBuffer.markerFlush(in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy("userid", "flushSeq", "songid", "tag", "rating")
+  }
+
+  /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):
+    * per 1s batch — decode, union with static history, retrain ALS,
+    * emit top-K for the batch's users. The batch body is the §2.11
+    * pipeline; `emit` receives (recommendations, batchId).
+    */
+  def recommendLoop(events: DataFrame, history: DataFrame,
+      checkpoint: String, k: Int = 25, minCnt: Long = 25,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"))(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) { // ST4 empty-batch skip
+          val fresh = decodeRateEvents(batch)
+            .selectExpr("userid AS userId", "songid AS songId",
+              "CAST(rating AS FLOAT) AS rating")
+          val all = history.unionByName(fresh).cache() // ST5 stream-static union
+          val model = graft.ml.Recommender.train(all, rank = 4) // M5 full refit
+          val users = fresh.select("userId").distinct()
+            .collect().map(_.getInt(0)) // bounded: one entry per batch user
+          val recs = users.map { uid =>
+            graft.ml.Recommender.recommendTopK(model, all, uid, k, minCnt)
+              .withColumn("userId", lit(uid))
+          }.reduceOption(_ unionByName _)
+          recs.foreach(r => emit(r, id))
+          all.unpersist()
+          ()
+        }
+      }
+}

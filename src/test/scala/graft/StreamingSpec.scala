@@ -1,0 +1,105 @@
+package graft
+
+import graft.streaming.{MarkerBuffer, Streams}
+import graft.streaming.Streams.RateEvent
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Streaming layer (SURVEY §2.10) driven through MemoryStream — the
+  * same incremental plans a Kafka source would feed.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+
+  test("pseudo-JSON wire format decodes to typed rating events") {
+    import spark.implicits._
+    val lines = Seq(
+      "{'userid': 88888,'music': ('m1', 1038), 'rating': 1}",
+      "{'userid': 7,'music': ('m3', 42), 'rating': 5}").toDF("value")
+    val got = Streams.decodeRateEvents(lines).as[RateEvent].collect().sortBy(_.userid)
+    assert(got.toSeq == Seq(RateEvent(7, "m3", 42, 5), RateEvent(88888, "m1", 1038, 1)))
+  }
+
+  test("word count is per-batch stateless (reference DStream semantics)") {
+    import spark.implicits._
+    val in = MemoryStream[String](spark)
+    val perBatch = mutable.Map[Long, Map[String, Long]]()
+    val q = Streams.wordCountStream(in.toDF(), tmp(),
+      Trigger.AvailableNow()) { (counts, id) =>
+      perBatch.synchronized {
+        perBatch(id) = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    }.start()
+    in.addData("the cat and the hat")
+    q.awaitTermination()
+    val q2 = Streams.wordCountStream(in.toDF(), tmp(), Trigger.AvailableNow()) {
+      (counts, id) => perBatch.synchronized {
+        perBatch(100 + id) = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    }.start()
+    in.addData("the dog")
+    q2.awaitTermination()
+    val first = perBatch.filterKeys(_ < 100).values.flatten.toMap
+    assert(first("the") == 2L && first("cat") == 1L)
+    // second run (fresh checkpoint reprocesses all): 'the' counts both lines
+    val second = perBatch.filterKeys(_ >= 100).values.flatten.toMap
+    assert(second("the") == 3L && second("dog") == 1L)
+  }
+
+  test("marker flush buffers per-user events until m3 arrives") {
+    import spark.implicits._
+    val in = MemoryStream[RateEvent](spark)
+    val out = MarkerBuffer.markerFlush(in.toDS())
+    val q = out.writeStream.format("memory").queryName("flushed")
+      .option("checkpointLocation", tmp())
+      .outputMode("append").start()
+
+    in.addData(RateEvent(1, "m1", 10, 3), RateEvent(2, "m1", 11, 4))
+    q.processAllAvailable()
+    assert(spark.table("flushed").count() == 0, "nothing flushes before a marker")
+
+    in.addData(RateEvent(1, "m2", 12, 5))
+    in.addData(RateEvent(1, "m3", 13, 1)) // user 1's marker
+    q.processAllAvailable()
+    val flushed1 = spark.table("flushed").as[MarkerBuffer.Flushed].collect()
+    assert(flushed1.length == 3, "user 1's three buffered events flush together")
+    assert(flushed1.forall(f => f.userid == 1 && f.flushSeq == 1))
+    assert(flushed1.map(_.songid).sorted.toSeq == Seq(10, 12, 13))
+
+    // second cycle for user 1; user 2 still buffered
+    in.addData(RateEvent(1, "m3", 14, 2))
+    q.processAllAvailable()
+    val flushed2 = spark.table("flushed").as[MarkerBuffer.Flushed].collect()
+    assert(flushed2.count(_.flushSeq == 2) == 1, "second flush carries only the new event")
+    assert(flushed2.count(_.userid == 2) == 0, "user 2 never flushed")
+    q.stop()
+  }
+
+  test("recommend loop: batch body unions stream with history and emits top-K") {
+    import spark.implicits._
+    val history = Seq(
+      (1, 100, 4.0f), (1, 101, 5.0f), (2, 100, 3.0f), (2, 102, 4.0f),
+      (3, 101, 2.0f), (3, 102, 5.0f), (4, 100, 4.5f), (4, 101, 1.5f))
+      .toDF("userId", "songId", "rating")
+    val in = MemoryStream[String](spark)
+    val emitted = mutable.ArrayBuffer[(Int, Int)]() // (userId, songId)
+    val q = Streams.recommendLoop(in.toDF(), history, tmp(),
+      k = 5, minCnt = 1, trigger = Trigger.AvailableNow()) { (recs, _) =>
+      emitted.synchronized {
+        emitted ++= recs.select("userId", "songId").collect()
+          .map(r => (r.getInt(0), r.getInt(1)))
+      }
+    }.start()
+    in.addData("{'userid': 9,'music': ('m1', 102), 'rating': 5}")
+    q.awaitTermination()
+    assert(emitted.nonEmpty, "recommendations emitted for the batch user")
+    assert(emitted.forall(_._1 == 9))
+    assert(!emitted.map(_._2).contains(102), "rated song must not be recommended")
+  }
+}
