@@ -55,6 +55,9 @@ object SparkEntry {
     "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
     "als_grid_rmse" -> ((s, d) => graft.ml.Recommender.alsGridRmse(s, d)),
     "streaming_marker_flush" -> ((s, d) => graft.streaming.Streams.markerFlushQuery(s, d)),
+    "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
+    "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
+    "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -342,6 +345,27 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST((doc_id % 3) + 1 AS INT)] AS kind,
+        |  ['image/png','audio/wav','video/mp4'][CAST((doc_id % 3) + 1 AS INT)] AS mime,
+        |  CAST(octet_length(encode(repeat(md5(text), CAST(1 + doc_id % 4 AS INT)))) AS INT) AS n_bytes,
+        |  CAST((doc_id % 64) + 1 AS INT) AS width,
+        |  CAST((doc_id % 48) + 1 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    repeat(md5(text), CAST(1 + doc_id % 4 AS INT)) AS s,
+        |    CAST(2 * (1 + doc_id % 4) AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  substring(s, CAST(f AS INT) * 16 + 1, 16) AS frame
+        |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)
+        |WHERE f % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH $vecCtes,
