@@ -58,6 +58,7 @@ object SparkEntry {
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
+    "csv_roundtrip" -> ((s, d) => graft.sources.Sources.csvRoundtrip(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -345,6 +346,9 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "csv_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
 
     "media_meta" ->
       """SELECT doc_id AS media_id,

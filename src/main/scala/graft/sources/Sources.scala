@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Batch sources/sinks (SURVEY.md §2.1).
+  *
+  * The reference reads every file as `sc.textFile` + a hand-rolled
+  * header filter + `split(",")` casts (S1/S2/P1/P2 — engine.py:94–96
+  * and 7 more sites), which breaks on quoted commas and gives implicit
+  * positional schemas. Here each table is a schema'd `spark.read`:
+  * header handling, quoting, type coercion and malformed-row policy
+  * belong to the source, and Catalyst prunes columns/pushes filters
+  * into the scan.
+  */
+object Sources {
+
+  /** S1/S2 CSV with explicit schema + header. FAILFAST surfaces schema
+    * drift instead of silently nulling (the reference would crash on a
+    * bad split index instead).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      mode: String = "FAILFAST"): DataFrame =
+    spark.read.option("header", "true").option("mode", mode)
+      .schema(schema).csv(path)
+
+  /** The reference's ratings file schema (rating_data_to_longdb.txt:6,19–23). */
+  val ratingsSchema: StructType = StructType(Seq(
+    StructField("userId", IntegerType),
+    StructField("songId", IntegerType),
+    StructField("rating", DoubleType)))
+
+  /** The reference's song-metadata schema (songs_metadata_file_new.csv:1). */
+  val songsSchema: StructType = StructType(Seq(
+    StructField("songId", IntegerType),
+    StructField("title", StringType),
+    StructField("release", StringType),
+    StructField("artist", StringType),
+    StructField("year", IntegerType),
+    StructField("songCode", StringType)))
+
+  def csvRatings(spark: SparkSession, path: String): DataFrame =
+    csv(spark, path, ratingsSchema)
+
+  def csvSongs(spark: SparkSession, path: String): DataFrame =
+    csv(spark, path, songsSchema)
+
+  /** S13 JSON-lines (lyric.ipynb cell 3's per-line json.loads loop). */
+  def jsonLines(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** S3 in-memory source (`sc.parallelize` sites — engine.py:54,67…). */
+  def inMemory[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, rows: Seq[T]): DataFrame = {
+    import spark.implicits._
+    rows.toDS().toDF()
+  }
+
+  /** R1 train/validation/test split (spark_music.py:16: 60/20/20,
+    * seed 0). Weights are normalized by Spark; the split is sampled
+    * per-partition, so it scales without any driver materialization.
+    */
+  def trainValTest(df: DataFrame, seed: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
+    val Array(tr, va, te) = df.randomSplit(Array(0.6, 0.2, 0.2), seed)
+    (tr, va, te)
+  }
+
+  /** CSV sink (S12's to_csv sites): one header per part file, quoted
+    * as needed — partition-parallel write.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSON-lines sink. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Oracle-checked driver query: the part catalog written to CSV and
+    * read back through the explicit-schema reader — proves header,
+    * quoting (p_name has commas at some SFs), and type coercion
+    * roundtrip losslessly. The oracle reads the original parquet.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType)))
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    writeCsv(graft.Tables.part(spark, dir), out)
+    csv(spark, out, schema).orderBy("p_partkey")
+  }
+
+  /** S8 JDBC batch sink (rating_data_to_longdb.txt's row-at-a-time
+    * pyodbc INSERT loop, as one parameterized batched write; see also
+    * streaming.Streams.jdbcBatchSink for the foreachBatch form).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.Sources
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch source/sink layer (SURVEY §2.1). */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("CSV roundtrip with explicit schema, header, and quoted commas") {
+    import spark.implicits._
+    val songs = Seq(
+      (1, "All I Do Is Win (feat. T-Pain, Ludacris)", "Victory", "DJ Khaled", 2010, "SOxyz"),
+      (2, "Plain", "Rel", "Artist", 1999, "SOabc"))
+      .toDF("songId", "title", "release", "artist", "year", "songCode")
+    val dir = tmp()
+    Sources.writeCsv(songs, dir)
+    val back = Sources.csvSongs(spark, dir)
+    assert(back.schema == Sources.songsSchema)
+    val got = back.orderBy("songId").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(1).contains("T-Pain, Ludacris"),
+      "quoted comma survives the roundtrip (the reference's split(',') would not)")
+  }
+
+  test("JSON-lines roundtrip preserves nested fields") {
+    import spark.implicits._
+    val df = Seq((1, "pop, rock", 0.5), (2, "jazz", -0.25))
+      .toDF("id", "general", "score")
+    val dir = tmp()
+    Sources.writeJsonLines(df, dir)
+    val back = Sources.jsonLines(spark, dir).orderBy("id").collect()
+    assert(back.length == 2 && back(1).getAs[Double]("score") == -0.25)
+  }
+
+  test("in-memory source builds a DataFrame with product field names") {
+    import spark.implicits._
+    val df = Sources.inMemory(spark, Seq((1, "a"), (2, "b")))
+    assert(df.count() == 2)
+  }
+
+  test("train/val/test split is a disjoint cover with stable seed") {
+    val events = Tables.events(spark, sf).select("event_id")
+    val (tr, va, te) = Sources.trainValTest(events.toDF())
+    val n = events.count()
+    assert(tr.count() + va.count() + te.count() == n)
+    assert(tr.intersect(va).count() == 0 && tr.intersect(te).count() == 0
+      && va.intersect(te).count() == 0)
+    // deterministic under the fixed seed
+    val (tr2, _, _) = Sources.trainValTest(events.toDF())
+    assert(tr.exceptAll(tr2).count() == 0 && tr2.exceptAll(tr).count() == 0)
+  }
+}
