@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -325,6 +326,34 @@ object SparkEntry {
          |  CAST(c AS DOUBLE) / (x.sz + y.sz - c) AS jaccard
          |FROM cand JOIN common ON cand.da = common.da AND cand.db = common.db
          |JOIN sizes x ON cand.da = x.doc_id JOIN sizes y ON cand.db = y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val bits = Dedup.SimhashBits; val bands = Dedup.SimhashBands
+      val bandBits = bits / bands
+      val sumCols = (0 until bits).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+      val shExpr = (0 until bits).map(b =>
+        s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 until bands).map(b =>
+        s"SELECT doc_id, $b AS band, (sh >> ${b * bandBits}) & ${(1L << bandBits) - 1} AS key FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${h60("w")} AS h FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         |bits AS (SELECT doc_id,
+         |    $sumCols
+         |  FROM toks GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $shExpr AS sh FROM bits),
+         |band AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM band x
+         |  JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM cand JOIN sig a ON da = a.doc_id JOIN sig b ON db = b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

@@ -143,6 +143,75 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** (doc_id, token-hash) pairs with multiplicity — the simhash
+    * feature bag (classic simhash weights bits by term frequency, so
+    * no distinct: the only shuffle left is the partial-aggregatable
+    * signature groupBy).
+    */
+  private def tokenHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.widened(spark, Tables.documents(spark, dir))
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("w"))
+      .select($"doc_id", hash60($"w").as("h"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * Classic Charikar simhash over the distinct token set: bit b of a
+    * doc's signature is the sign of Σ_tokens (±1 by bit b of the token
+    * hash). All `bits` sign-sums compute in ONE partial-aggregatable
+    * groupBy pass (pure integer codegen, like the minhash mins), so
+    * signature cost is O(tokens), independent of pair count. Candidate
+    * pairs come from 4×8-bit band equality — by pigeonhole any pair
+    * within Hamming distance 3 of a 32-bit signature agrees on at
+    * least one band — then one xor+bit_count verifies the distance.
+    */
+  /** Simhash geometry: 60 signature bits (the full h60 width — every
+    * bit of the token hash is md5-unbiased) in 4 bands of 15; shared
+    * with the oracle generator.
+    */
+  val SimhashBits = 60
+  val SimhashBands = 4
+
+  /** (doc_id, simhash) signatures — one partial-aggregatable pass. */
+  private[graft] def simhashSignatures(spark: SparkSession, dir: String,
+      bits: Int = SimhashBits): DataFrame = {
+    import spark.implicits._
+    val toks = tokenHashes(spark, dir)
+    val sums = (0 until bits).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"s$b"))
+    val sh = (0 until bits)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id", sh.as("simhash"))
+  }
+
+  def simhash(spark: SparkSession, dir: String, bits: Int = SimhashBits,
+      bands: Int = SimhashBands, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val bandBits = bits / bands
+    val sig = simhashSignatures(spark, dir, bits).cache()
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      shiftright($"simhash", b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1)).as("key")))
+    val banded = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select($"doc_id".as("doc_a"), $"simhash".as("sa")), "doc_a")
+      .join(sig.select($"doc_id".as("doc_b"), $"simhash".as("sb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"sa".bitwiseXOR($"sb")).as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Embedding cosine near-dup pairs >= minCos. Norms are precomputed
     * per vector (one pass) so the pair loop does a single dot product.
     * Brute-force all-pairs is the verification baseline; the scale path

@@ -30,6 +30,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(high.exceptAll(cand).count() == 0)
   }
 
+  test("simhash equals brute-force all-pairs hamming <= 3 (banding is complete)") {
+    // by pigeonhole, a pair within hamming 3 of a 4-band signature
+    // agrees on >= 1 band, so LSH candidates lose nothing vs brute force
+    val sigs = Dedup.simhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val got = Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
+
   test("cosine top-k: ranks 1..k per query, no self-match, descending cos") {
     val t = Similarity.cosineTopK(spark, sf).collect()
     assert(t.nonEmpty)
