@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Relational}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.udaf
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide whether these
+  * operators survive a 100 TB scale-up — filters and projections
+  * reaching the parquet scan, small sides broadcast, aggregates
+  * partial+final, top-K as TakeOrderedAndProject, hot paths inside
+  * WholeStageCodegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan string after execution, when AQE has finalized stages and
+    * whole-stage codegen boundaries are visible.
+    */
+  private def executedPlanOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter+project pushes predicates and prunes columns at the scan") {
+    val p = plan(Relational.filterProject(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      "quantity predicate must reach the parquet reader")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "untouched columns must not be read")
+  }
+
+  test("recommend pipeline broadcasts the small sides, no sort-merge join") {
+    val p = plan(Relational.recommendTop25(spark, sf, minCnt = 5))
+    assert(p.contains("BroadcastHashJoin"), "catalog join should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here is big enough to justify a sort-merge shuffle")
+  }
+
+  test("count+avg aggregation is partial+final (map-side combine)") {
+    val p = executedPlanOf(Relational.aggCountAvg(spark, sf))
+    assert(p.contains("partial_"),
+      "aggregate must pre-reduce before the shuffle (vs the reference's groupByKey)")
+    assert(p.contains("*("), "agg pipeline must be codegen'd (starred stages)")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topk25Parts(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy.limit must plan as per-partition top-K + merge")
+  }
+
+  test("anti-join plans as a real join, not a driver-side IN list") {
+    val p = plan(Relational.antiJoinUnrated(spark, sf))
+    assert(p.contains("LeftAnti"), "NOT-IN semantics must be a distributed anti-join")
+  }
+
+  test("float dot product stays inside whole-stage codegen") {
+    val df = Dedup.embeddingNearDup(spark, sf)
+    val p = executedPlanOf(df)
+    assert(p.contains("FloatDotProduct") || p.toLowerCase.contains("float_dot"))
+    assert(p.contains("*("), "dot-product pipeline must be codegen'd (starred stages)")
+  }
+
+  test("typed CountAvg aggregator matches built-in count/avg") {
+    import spark.implicits._
+    val r = Relational.ratings(spark, sf)
+    val typed = r.select($"song_id", $"rating").as[(Int, Double)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.CountAvg.toColumn)
+      .map { case (k, (c, a)) => (k, c, a) }
+      .toDF("song_id", "cnt", "avg_rating")
+    val builtin = r.groupBy($"song_id").agg(
+      org.apache.spark.sql.functions.count("rating").as("cnt"),
+      org.apache.spark.sql.functions.avg("rating").as("avg_rating"))
+    assert(typed.exceptAll(builtin).count() == 0 &&
+      builtin.exceptAll(typed).count() == 0)
+  }
+}
