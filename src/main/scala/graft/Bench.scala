@@ -20,7 +20,11 @@ object Bench {
     val results = (SparkEntry.queries -- SparkEntry.benchExcluded).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed: drop any intra-query .cache() blocks so one query's
+      // leftovers don't GC-pressure the next measurement
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
