@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants over generated datasets (SURVEY §5): the
+  * operator laws that must hold for ANY input, not just the corpus.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // raw ScalaCheck (the scalatest bridge isn't in the offline cache):
+  // 8 deterministic samples per property
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 8).foreach(i => f(g.pureApply(Gen.Parameters.default, Seed(i.toLong))))
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 8).foreach { i =>
+      f(g1.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        g2.pureApply(Gen.Parameters.default, Seed(i.toLong + 100)))
+    }
+
+  private val rows = Gen.listOfN(60,
+    Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 19), Gen.chooseNum(0.0, 100.0)))
+
+  test("top-k is a prefix of the full descending sort") {
+    forAll(rows, Gen.chooseNum(1, 10)) { (xs, k) =>
+      val df = xs.toDF("u", "s", "v")
+      val full = df.orderBy($"v".desc, $"u", $"s").collect().toSeq
+      val topk = df.orderBy($"v".desc, $"u", $"s").limit(k).collect().toSeq
+      assert(topk == full.take(k))
+    }
+  }
+
+  test("union is bag-additive: counts add up per key") {
+    forAll(rows, rows) { (xs, ys) =>
+      val a = xs.toDF("u", "s", "v"); val b = ys.toDF("u", "s", "v")
+      val unioned = a.unionByName(b).groupBy("u").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ca = a.groupBy("u").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val cb = b.groupBy("u").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expect = (ca.keySet ++ cb.keySet)
+        .map(k => k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+      assert(unioned == expect)
+    }
+  }
+
+  test("anti-join result is disjoint from the right side and covers the rest") {
+    forAll(rows, rows) { (xs, ys) =>
+      val a = xs.toDF("u", "s", "v").select("s").distinct()
+      val b = ys.toDF("u", "s", "v").select("s").distinct()
+      val anti = a.join(b, Seq("s"), "left_anti")
+      assert(anti.intersect(b).count() == 0)
+      assert(anti.count() + a.intersect(b).count() == a.count())
+    }
+  }
+
+  test("quantile bucket levels are monotone in the value") {
+    forAll(rows) { xs =>
+      val df = xs.toDF("u", "s", "v")
+      val qs = df.groupBy($"u").agg(
+        percentile_approx($"v", array(lit(0.2), lit(0.4), lit(0.6), lit(0.8)),
+          lit(10000)).as("q"))
+      val lv = df.join(qs, "u").select($"u", $"v",
+        when($"v" >= $"q" (3), 5).when($"v" >= $"q" (2), 4)
+          .when($"v" >= $"q" (1), 3).when($"v" >= $"q" (0), 2)
+          .otherwise(1).as("level"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2)))
+      lv.groupBy(_._1).values.foreach { g =>
+        val sorted = g.sortBy(_._2)
+        assert(sorted.sliding(2).forall {
+          case Array(x, y) => x._3 <= y._3; case _ => true
+        }, "higher value never gets a lower level within a user")
+        assert(g.forall(t => t._3 >= 1 && t._3 <= 5))
+      }
+    }
+  }
+
+  test("dropDuplicates keeps exactly one row per key") {
+    forAll(rows) { xs =>
+      val df = xs.toDF("u", "s", "v")
+      val dd = df.dropDuplicates("u")
+      assert(dd.count() == df.select("u").distinct().count())
+      assert(dd.groupBy("u").count().filter($"count" > 1).count() == 0)
+    }
+  }
+}
