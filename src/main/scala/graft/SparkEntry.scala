@@ -53,6 +53,7 @@ object SparkEntry {
     "embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_srp_topk" -> ((s, d) => Similarity.srpTopK(s, d)),
     "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
     "als_grid_rmse" -> ((s, d) => graft.ml.Recommender.alsGridRmse(s, d)),
     "streaming_marker_flush" -> ((s, d) => graft.streaming.Streams.markerFlushQuery(s, d)),
@@ -399,6 +400,25 @@ object SparkEntry {
         |  substring(s, CAST(f AS INT) * 16 + 1, 16) AS frame
         |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)
         |WHERE f % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    "ann_srp_topk" -> {
+      val bucket = Similarity.SrpPlanes.zipWithIndex.map { case (p, j) =>
+        val lits = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(v, $lits) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $vecCtes,
+         |sig AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+         |  FROM sig WHERE vec_id < 8),
+         |scored AS (SELECT query_id, s.vec_id AS neighbor_id,
+         |    list_inner_product(qv, s.v) / qn / s.nrm AS cos
+         |  FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "ann_ivf_topk" ->
       s"""WITH $vecCtes,

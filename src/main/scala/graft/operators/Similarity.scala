@@ -53,6 +53,56 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Sign-random-projection (hyperplane) LSH geometry: `Planes(j)(i)`
+    * is a 3-decimal rational in [-1, 1] from a fixed multiplicative
+    * hash — exact to print, parse, and dot in both engines. Shared
+    * with the SQL oracle generator.
+    */
+  val SrpPlanes: Seq[Seq[Double]] = (0 until 16).map { j =>
+    (0 until 64).map { i =>
+      (((j * 64 + i) * 2654435761L % 2001) - 1000) / 1000.0
+    }
+  }
+
+  /** LSH-bucketed ANN (the other classic scale path besides IVF):
+    * each vector's bucket is the 16-bit sign pattern of its dot
+    * products with the fixed hyperplanes; a query scans only its own
+    * bucket. Index build is a single projection (no training pass, vs
+    * IVF's assignment join); recall comes from bucket granularity.
+    * Approximate by construction — the oracle mirrors the same
+    * algorithm, so the check is exact.
+    */
+  def srpTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8): DataFrame = {
+    import spark.implicits._
+    // plane dots run in the double domain (3-decimal plane values are
+    // parse-exact as doubles in both engines; they are NOT exact as
+    // floats): zip_with+aggregate == DuckDB list_inner_product on
+    // DOUBLE[], same left-to-right accumulation as FloatDotProduct
+    val vd = $"v".cast("array<double>")
+    val planeDots = SrpPlanes.map { p =>
+      aggregate(zip_with(vd, typedLit(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val bucket = planeDots.zipWithIndex
+      .map { case (d, j) => when(d >= 0, lit(1 << j)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+      .withColumn("bucket", bucket)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (dot($"qv", $"v") / $"qn" / $"nrm").as("cos"))
+    val global = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(global)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** IVF-style ANN: coarse "centroids" are a deterministic subsample
     * (vec_id % centroidEvery == 0); every vector is assigned to its
     * nearest centroid (one broadcast join — this is the index build);

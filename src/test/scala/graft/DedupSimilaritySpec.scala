@@ -56,6 +56,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("SRP-LSH neighbors come from the query's bucket, cos bounded by brute force") {
+    val brute = Similarity.cosineTopK(spark, sf, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val srp = Similarity.srpTopK(spark, sf)
+    srp.collect().foreach { r =>
+      assert(r.getDouble(3) <= brute(r.getLong(0)) + 1e-12,
+        "an approximate neighbor can never beat the exact best")
+      assert(r.getLong(2) != r.getLong(0), "no self-match")
+    }
+  }
+
   test("IVF top-1 with full probe coverage matches brute force on rank 1 cos bound") {
     val brute = Similarity.cosineTopK(spark, sf, k = 1)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
