@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{MarkerBuffer, Streams}
+import graft.streaming.{InMemoryKvSink, KvSink, MarkerBuffer, Streams}
 import graft.streaming.Streams.RateEvent
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -79,6 +79,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(flushed2.count(_.flushSeq == 2) == 1, "second flush carries only the new event")
     assert(flushed2.count(_.userid == 2) == 0, "user 2 never flushed")
     q.stop()
+  }
+
+  test("KV sink folds a batch into one JSON upsert per user, executor-side") {
+    import spark.implicits._
+    val recs = Seq((1, 100, 4.5f), (1, 101, 4.0f), (2, 102, 3.5f))
+      .toDF("userId", "songId", "prediction")
+    val sink = new InMemoryKvSink
+    KvSink.writeBatch(recs, sink)
+    assert(sink.store.size() == 2)
+    val u1 = sink.store.get("1")
+    assert(u1.contains("100") && u1.contains("101"))
+    assert(sink.store.get("2").contains("102"))
   }
 
   test("recommend loop: batch body unions stream with history and emits top-K") {
