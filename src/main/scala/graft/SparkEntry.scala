@@ -44,6 +44,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "token_count_bpe" -> ((s, d) => TextOps.tokenCountBpe(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "pseudo_json_roundtrip" -> ((s, d) => TextOps.pseudoJsonRoundtrip(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -281,6 +282,11 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(l, w -> CAST(FLOOR((length(w) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_subwords
         |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "token_count_bpe" ->
+      s"""SELECT doc_id, CAST(len(regexp_extract_all(text,
+         |  '${graft.functions.TextFns.BpePattern}')) AS INT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, CASE WHEN len(l) < 5 THEN md5(text)

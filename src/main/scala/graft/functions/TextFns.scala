@@ -94,6 +94,14 @@ object TextFns {
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc + floor((length(w) + lit(3)) / lit(4)))
 
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and each
+    * remaining symbol are separate tokens (the GPT-2 pre-tokenizer
+    * shape, simplified to a regex both Java and RE2 dialects agree on).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Document fingerprint: minimum MD5 over word 5-gram shingles
     * (winnowing-lite / MinHash with k=1). MD5 is bit-identical across
     * engines, so the fingerprint is oracle-checkable; short docs fall

@@ -76,6 +76,16 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** BPE-style pre-tokenizer counts (regex alternation of letter runs,
+    * digit runs, single symbols).
+    */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TextFns.bpeTokenCount($"text").as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprint (min-MD5 over 5-gram shingles). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

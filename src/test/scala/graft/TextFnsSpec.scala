@@ -27,6 +27,15 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got(1) == 0.0)
   }
 
+  test("BPE-ish pre-tokenizer counts letter runs, digit runs, symbols") {
+    val df = Seq(
+      ("Hello world, 42 tests! 你好", 8), // Hello|world|,|42|tests|!|你|好
+      ("a-b", 3),
+      ("", 0)).toDF("text", "expected")
+    df.select(TextFns.bpeTokenCount($"text").as("n"), $"expected").collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("pseudo-JSON parse handles the reference wire format") {
     // exact format from line_music.ipynb cell 0
     val df = Seq("{'userid': 88888,'music': ('m1', 1038), 'rating': 1}").toDF("value")
