@@ -65,6 +65,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "dot-product pipeline must be codegen'd (starred stages)")
   }
 
+  test("bucketed-by-key tables join with zero exchanges") {
+    import graft.sources.Bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val r = Relational.ratings(spark, sf)
+      Bucketing.writeBucketed(r, "ratings_b", 4, Seq("song_id"))
+      Bucketing.writeBucketed(
+        r.groupBy("song_id").count(), "counts_b", 4, Seq("song_id"))
+      val joined = Bucketing.readBucketed(spark, "ratings_b")
+        .join(Bucketing.readBucketed(spark, "counts_b"), "song_id")
+      val p = executedPlanOf(joined)
+      assert(!p.contains("Exchange"),
+        "same-bucketing join must not shuffle either side:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ratings_b")
+      spark.sql("DROP TABLE IF EXISTS counts_b")
+    }
+  }
+
   test("typed CountAvg aggregator matches built-in count/avg") {
     import spark.implicits._
     val r = Relational.ratings(spark, sf)
