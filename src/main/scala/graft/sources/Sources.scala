@@ -96,6 +96,15 @@ object Sources {
     csv(spark, out, schema).orderBy("p_partkey")
   }
 
+  /** Hive-style partitioned parquet layout: directory per key value,
+    * so filters on the partition key prune whole directories at plan
+    * time (PartitionFilters in the scan — never opens the files). The
+    * layout a 100 TB corpus would use for its coarse keys (date,
+    * source, language).
+    */
+  def writePartitioned(df: DataFrame, path: String, keys: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+
   /** S8 JDBC batch sink (rating_data_to_longdb.txt's row-at-a-time
     * pyodbc INSERT loop, as one parameterized batched write; see also
     * streaming.Streams.jdbcBatchSink for the foreachBatch form).

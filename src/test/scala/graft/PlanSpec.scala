@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.{Dedup, Relational}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{col, udaf}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan audits: the properties that decide whether these
@@ -84,6 +84,36 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ratings_b")
       spark.sql("DROP TABLE IF EXISTS counts_b")
     }
+  }
+
+  test("salted join equals plain join and spreads hot keys over salts") {
+    import graft.operators.Skew
+    import spark.implicits._
+    // one pathologically hot key (0) + a tail
+    val big = (1 to 2000).map(i => (if (i % 10 != 0) 0 else i % 50, s"p$i"))
+      .toDF("k", "payload")
+    val small = (0 until 50).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8, Seq("payload"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+    // the salt actually spreads key 0 across multiple sub-keys
+    val spread = big.filter($"k" === 0)
+      .select(Skew.salt(8, $"payload")).distinct().count()
+    assert(spread > 1)
+  }
+
+  test("partitioned layout prunes directories via PartitionFilters") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Sources.writePartitioned(
+      Tables.events(spark, sf).withColumn("etype", col("event_type")),
+      dir, Seq("etype"))
+    val scan = spark.read.parquet(dir).filter(col("etype") === "click")
+    val p = plan(scan)
+    assert(p.contains("PartitionFilters: [isnotnull(etype"),
+      "partition-key filter must prune at plan time:\n" + p)
+    assert(scan.count() > 0)
   }
 
   test("typed CountAvg aggregator matches built-in count/avg") {
