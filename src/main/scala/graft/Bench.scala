@@ -19,8 +19,13 @@ object Bench {
     Tables.region(spark, sfDir).count()
     val results = (SparkEntry.queries -- SparkEntry.benchExcluded).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // noop write forces full evaluation of every column and sort —
+      // a bare count() would let Catalyst prune the projections (JSON
+      // decode, regex, HOFs) that ARE the workload in many queries
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // untimed: drop any intra-query .cache() blocks so one query's
       // leftovers don't GC-pressure the next measurement
       spark.catalog.clearCache()
@@ -28,7 +33,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // -1 marks a failed query; don't let it shrink the total
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

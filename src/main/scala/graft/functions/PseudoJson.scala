@@ -20,18 +20,20 @@ object PseudoJson {
     StructField("userid", IntegerType),
     StructField("rating", IntegerType)))
 
-  /** Python-dict literal -> JSON text (quotes and tuple parens). */
-  def normalize(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c, "'", "\""), "\\(", "["), "\\)", "]")
+  /** Python-dict literal -> JSON text: single-pass character map
+    * (' -> ", ( -> [, ) -> ]) — no regex engine in the per-row path.
+    */
+  def normalize(c: Column): Column = translate(c, "'()", "\"[]")
 
-  /** Parsed columns (userid, tag, songid, rating) from a pseudo-JSON value. */
+  /** Parsed columns (userid, tag, songid, rating) from a pseudo-JSON
+    * value. The heterogeneous music tuple is read with JSON-path
+    * extraction over the normalized text (no per-row regex).
+    */
   def parse(c: Column): (Column, Column, Column, Column) = {
-    val parsed = from_json(normalize(c), schema)
-    val tag = regexp_extract(c, "\\('([^']+)'", 1)
-    // regexp_extract yields "" on no-match; under ANSI (Spark 4 default)
-    // ''::int throws, so route through nullif-style try_cast
-    val ext = regexp_extract(c, "\\('[^']+',\\s*(\\d+)\\)", 1)
-    val songid = when(ext === "", lit(null)).otherwise(ext).cast("int")
+    val norm = normalize(c)
+    val parsed = from_json(norm, schema)
+    val tag = get_json_object(norm, "$.music[0]")
+    val songid = get_json_object(norm, "$.music[1]").cast("int")
     (parsed.getField("userid"), tag, songid, parsed.getField("rating"))
   }
 }

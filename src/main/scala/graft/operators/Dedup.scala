@@ -78,12 +78,22 @@ object Dedup {
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    val j = common
+    jaccardOf(spark, common, sizes)
+      .filter($"jaccard" >= minJ).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** (doc_a, doc_b, common) + per-doc sizes -> Jaccard = c/(na+nb-c);
+    * shared by the all-pairs and LSH-candidate paths so both stay
+    * bit-identical to the oracle formula.
+    */
+  private def jaccardOf(spark: SparkSession, common: DataFrame,
+      sizes: DataFrame): DataFrame = {
+    import spark.implicits._
+    common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
       .select($"doc_a", $"doc_b",
         ($"common".cast("double") / ($"na" + $"nb" - $"common")).as("jaccard"))
-    j.filter($"jaccard" >= minJ).orderBy($"doc_a", $"doc_b")
   }
 
   /** MinHash signature columns: sig_j = min over shingles of the affine
@@ -110,6 +120,8 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     import spark.implicits._
+    require(numHashes == bands * 4,
+      s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
     val r = numHashes / bands
     val sh = shingleSet(spark, dir, n).cache()
     val sigs = minhashSigs(sh, numHashes)
@@ -135,12 +147,7 @@ object Dedup {
       .join(sh.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
-      .select($"doc_a", $"doc_b",
-        ($"common".cast("double") / ($"na" + $"nb" - $"common")).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+    jaccardOf(spark, common, sizes).orderBy($"doc_a", $"doc_b")
   }
 
   /** (doc_id, token-hash) pairs with multiplicity — the simhash
@@ -191,6 +198,10 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String, bits: Int = SimhashBits,
       bands: Int = SimhashBands, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
+    require(bits % bands == 0 && bits <= 60,
+      s"bits ($bits) must be a multiple of bands ($bands) and <= the 60-bit hash width")
+    require(maxHamming <= bands - 1,
+      s"banding is only complete for hamming <= bands-1 (pigeonhole); got maxHamming=$maxHamming, bands=$bands")
     val bandBits = bits / bands
     val sig = simhashSignatures(spark, dir, bits).cache()
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),

@@ -28,7 +28,7 @@ object Relational {
     */
   def ratings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir).select(
+    Tables.widened(spark, Tables.events(spark, dir)).select(
       $"event_id",
       $"user_id",
       get_json_object($"props", "$.k").cast("int").as("song_id"),
@@ -90,7 +90,12 @@ object Relational {
 
   /** A3/M3 RMSE (spark_music.py:35–40): sqrt(mean((truth-pred)^2)) where
     * pred is the per-song mean. Squares are accumulated in DECIMAL(18,8)
-    * so the result is bit-deterministic across engines.
+    * so the result is summation-order-independent across engines.
+    * Known latent edge: diff^2 is a derived double, so a value landing
+    * within half an ulp of an exact .5 at the 8th decimal could round
+    * differently in the two engines' double->decimal casts (Fx scaladoc);
+    * verified clean at sf0.01 and sf0.1, and the final round(...,6)
+    * absorbs single-row divergence.
     */
   def rmseEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

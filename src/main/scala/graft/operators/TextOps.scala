@@ -17,7 +17,7 @@ object TextOps {
     */
   def wordcount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(spark, Tables.documents(spark, dir))
       .select(explode(TextFns.tokens($"text")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"word")
@@ -26,7 +26,7 @@ object TextOps {
   /** F9 AFINN-style valence sum per document. */
   def sentimentAfinn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id", TextFns.sentimentSum($"text", Afinn.domain).as("sentiment"))
       .orderBy($"doc_id")
   }
@@ -34,7 +34,7 @@ object TextOps {
   /** F8 TextBlob-style polarity per document. */
   def sentimentPolarity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id", TextFns.sentimentPolarity($"text", Afinn.domain).as("polarity"))
       .orderBy($"doc_id")
   }
@@ -53,7 +53,7 @@ object TextOps {
   /** Language-ID heuristic per document. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id", TextFns.langGuess($"text").as("lang_guess"))
       .orderBy($"doc_id")
   }
@@ -61,7 +61,7 @@ object TextOps {
   /** Quality scoring per document. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id", TextFns.qualityScore($"text").as("quality"))
       .orderBy($"doc_id")
   }
@@ -69,7 +69,7 @@ object TextOps {
   /** Token counting (whitespace + BPE-ish subword estimate). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id",
         TextFns.whitespaceTokenCount($"text").as("n_tokens"),
         TextFns.subwordEstimate($"text").as("n_subwords"))
@@ -81,7 +81,7 @@ object TextOps {
     */
   def tokenCountBpe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id", TextFns.bpeTokenCount($"text").as("n_bpe"))
       .orderBy($"doc_id")
   }
@@ -89,7 +89,7 @@ object TextOps {
   /** Rolling-hash document fingerprint (min-MD5 over 5-gram shingles). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id", TextFns.fingerprint($"text").as("fingerprint"))
       .orderBy($"doc_id")
   }
@@ -102,7 +102,7 @@ object TextOps {
     */
   def pseudoJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wire = Tables.events(spark, dir).select(
+    val wire = Tables.widened(spark, Tables.events(spark, dir)).select(
       $"event_id",
       concat(
         lit("{'userid': "), $"user_id",

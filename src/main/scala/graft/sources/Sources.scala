@@ -91,7 +91,10 @@ object Sources {
       StructField("p_type", StringType),
       StructField("p_size", IntegerType),
       StructField("p_retailprice", DoubleType)))
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    // fixed scratch path (overwritten each run): repeated Verify/Bench
+    // invocations must not accumulate temp copies of the table
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_scratch/csv_roundtrip").toString
     writeCsv(graft.Tables.part(spark, dir), out)
     csv(spark, out, schema).orderBy("p_partkey")
   }

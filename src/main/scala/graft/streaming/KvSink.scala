@@ -53,9 +53,12 @@ object KvSink {
     val s = recs.sparkSession
     import s.implicits._
     recs
-      .select($"userId", struct($"songId", $"prediction").as("rec"))
+      // prediction leads the struct so sort_array orders by it; the
+      // groupBy shuffle loses input order, so the ranked-list contract
+      // must be re-established inside the aggregation
+      .select($"userId", struct($"prediction", $"songId").as("rec"))
       .groupBy($"userId")
-      .agg(to_json(collect_list($"rec")).as("value"))
+      .agg(to_json(sort_array(collect_list($"rec"), asc = false)).as("value"))
       .select($"userId".cast("string").as("key"), $"value")
   }
 

@@ -114,13 +114,18 @@ object Streams {
     val in = MemoryStream[RateEvent](spark)
     in.addData(evs.toIndexedSeq)
     val name = s"marker_flush_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
     val q = MarkerBuffer.markerFlush(in.toDS())
       .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(OutputMode.Append).start()
     q.processAllAvailable()
     q.stop()
+    // the checkpoint is single-use (memory sink); reclaim it now
+    // rather than letting repeated runs accumulate in tmp
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
     spark.table(name).orderBy("userid", "flushSeq", "songid", "tag", "rating")
   }
 
@@ -139,18 +144,27 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) { // ST4 empty-batch skip
+          import org.apache.spark.sql.expressions.Window
           val fresh = decodeRateEvents(batch)
             .selectExpr("userid AS userId", "songid AS songId",
               "CAST(rating AS FLOAT) AS rating")
           val all = history.unionByName(fresh).cache() // ST5 stream-static union
           val model = graft.ml.Recommender.train(all, rank = 4) // M5 full refit
+          // ONE job for every batch user (not a per-user pipeline
+          // union): batch-users x eligible songs, minus rated pairs,
+          // scored in a single transform, top-K per user by window
           val users = fresh.select("userId").distinct()
-            .collect().map(_.getInt(0)) // bounded: one entry per batch user
-          val recs = users.map { uid =>
-            graft.ml.Recommender.recommendTopK(model, all, uid, k, minCnt)
-              .withColumn("userId", lit(uid))
-          }.reduceOption(_ unionByName _)
-          recs.foreach(r => emit(r, id))
+          val eligible = all.groupBy("songId")
+            .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCnt)
+          val cand = users.crossJoin(eligible)
+            .join(all.select("userId", "songId").distinct(),
+              Seq("userId", "songId"), "left_anti")
+          val w = Window.partitionBy("userId")
+            .orderBy(col("prediction").desc, col("songId"))
+          val recs = graft.ml.Recommender.predict(model, cand)
+            .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+            .select("userId", "songId", "prediction", "cnt")
+          emit(recs, id)
           all.unpersist()
           ()
         }
