@@ -18,6 +18,10 @@ object PseudoJson {
 
   val schema: StructType = StructType(Seq(
     StructField("userid", IntegerType),
+    // the heterogeneous ('m1', 1038) tuple normalizes to a JSON array;
+    // reading it as array<string> lets ONE Jackson pass serve all four
+    // fields (numbers coerce to their literal text)
+    StructField("music", ArrayType(StringType)),
     StructField("rating", IntegerType)))
 
   /** Python-dict literal -> JSON text: single-pass character map
@@ -30,10 +34,9 @@ object PseudoJson {
     * extraction over the normalized text (no per-row regex).
     */
   def parse(c: Column): (Column, Column, Column, Column) = {
-    val norm = normalize(c)
-    val parsed = from_json(norm, schema)
-    val tag = get_json_object(norm, "$.music[0]")
-    val songid = get_json_object(norm, "$.music[1]").cast("int")
-    (parsed.getField("userid"), tag, songid, parsed.getField("rating"))
+    val parsed = from_json(normalize(c), schema)
+    val music = parsed.getField("music")
+    (parsed.getField("userid"), element_at(music, 1),
+      element_at(music, 2).cast("int"), parsed.getField("rating"))
   }
 }
