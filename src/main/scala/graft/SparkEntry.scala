@@ -339,10 +339,10 @@ object SparkEntry {
     "dedup_simhash" -> {
       val bits = Dedup.SimhashBits; val bands = Dedup.SimhashBands
       val bandBits = bits / bands
-      val sumCols = (0 until bits).map(b =>
-        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+      val sumCols = ((0 until bits).map(b =>
+        s"SUM((h >> $b) & 1) AS p$b") :+ "COUNT(*) AS n").mkString(",\n    ")
       val shExpr = (0 until bits).map(b =>
-        s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"(CASE WHEN 2 * p$b >= n THEN ${1L << b} ELSE 0 END)").mkString(" + ")
       val bandRows = (0 until bands).map(b =>
         s"SELECT doc_id, $b AS band, (sh >> ${b * bandBits}) & ${(1L << bandBits) - 1} AS key FROM sig")
         .mkString("\n  UNION ALL ")

@@ -180,18 +180,22 @@ object Dedup {
   val SimhashBits = 60
   val SimhashBands = 4
 
-  /** (doc_id, simhash) signatures — one partial-aggregatable pass. */
+  /** (doc_id, simhash) signatures — one partial-aggregatable pass.
+    * Branchless: the per-bit sign-sum Σ±1 equals 2·popcount − n, so
+    * each aggregate is a plain `sum((h >> b) & 1)` and the sign test
+    * becomes the integer comparison 2·pop_b >= n.
+    */
   private[graft] def simhashSignatures(spark: SparkSession, dir: String,
       bits: Int = SimhashBits): DataFrame = {
     import spark.implicits._
     val toks = tokenHashes(spark, dir)
-    val sums = (0 until bits).map(b =>
-      sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"s$b"))
+    val pops = (0 until bits).map(b =>
+      sum(shiftright($"h", b).bitwiseAND(lit(1L))).as(s"p$b"))
+    val aggs = pops :+ count(lit(1)).as("n")
     val sh = (0 until bits)
-      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .map(b => when(col(s"p$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    toks.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+    toks.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
       .select($"doc_id", sh.as("simhash"))
   }
 
