@@ -66,6 +66,24 @@ object Streams {
       .where(col("word") =!= "")
       .groupBy("word").count()
 
+  /** Event-time tumbling-window counts with a watermark.
+    *
+    * Beyond the reference (its DStreams know only processing time —
+    * SURVEY §2.10 "absent" list), but required for any at-scale
+    * pipeline: the watermark bounds state (windows older than the
+    * horizon are finalized and evicted) and defines the late-data
+    * policy (events older than the watermark are dropped, not
+    * misattributed). State is partitioned by (key, window) — the
+    * standard scalable streaming aggregation shape.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "10 seconds",
+      lateness: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .count()
+
   // ---- sinks (S7/S8) ----
 
   /** S7 Kafka producer sink payload: one message per row, JSON value

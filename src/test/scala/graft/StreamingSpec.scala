@@ -81,6 +81,43 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("watermarked window: counts by event time, drops data past the horizon") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val agg = Streams.windowedEventCounts(
+      in.toDF().toDF("ts", "k"), "ts", "k",
+      windowLen = "10 seconds", lateness = "10 seconds")
+    val name = "win_counts"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp())
+      .outputMode("append").start()
+
+    def t(s: Long) = new Timestamp(s * 1000L)
+    in.addData((t(5), "a"), (t(7), "a"), (t(12), "b"))
+    q.processAllAvailable()
+    // advance the watermark far past both windows -> they finalize
+    in.addData((t(100), "c"))
+    q.processAllAvailable()
+    val rows = spark.table(name)
+      .selectExpr("window.start AS ws", "k", "count").as[(Timestamp, String, Long)]
+      .collect().map { case (ws, k, c) => (ws.getTime / 1000, k, c) }.toSet
+    assert(rows.contains((0L, "a", 2L)), "window [0,10) holds both a events")
+    assert(rows.contains((10L, "b", 1L)))
+
+    // an event far behind the watermark (now ~90s) must be dropped
+    in.addData((t(6), "a"))
+    q.processAllAvailable()
+    in.addData((t(200), "c")) // push watermark so late window would emit if counted
+    q.processAllAvailable()
+    val after = spark.table(name)
+      .selectExpr("window.start AS ws", "k", "count").as[(Timestamp, String, Long)]
+      .collect().map { case (ws, k, c) => (ws.getTime / 1000, k, c) }
+    assert(!after.contains((0L, "a", 3L)) && !after.contains((0L, "a", 1L)),
+      "late event past the watermark is dropped, not re-aggregated")
+    q.stop()
+  }
+
   test("KV sink folds a batch into one JSON upsert per user, executor-side") {
     import spark.implicits._
     val recs = Seq((1, 100, 4.5f), (1, 101, 4.0f), (2, 102, 3.5f))
