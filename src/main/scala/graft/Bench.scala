@@ -18,18 +18,23 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.region(spark, sfDir).count()
     val results = (SparkEntry.queries -- SparkEntry.benchExcluded).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop write forces full evaluation of every column and sort —
       // a bare count() would let Catalyst prune the projections (JSON
-      // decode, regex, HOFs) that ARE the workload in many queries
-      val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-      } catch { case _: Throwable => false }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // untimed: drop any intra-query .cache() blocks so one query's
-      // leftovers don't GC-pressure the next measurement
-      spark.catalog.clearCache()
-      name -> dt
+      // decode, regex, HOFs) that ARE the workload in many queries.
+      // Two measured runs, min reported: the first run carries one-time
+      // codegen/JIT compilation that amortizes away at real scale.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // untimed: drop any intra-query .cache() blocks so one query's
+        // leftovers don't GC-pressure the next measurement
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
