@@ -44,6 +44,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("invalid LSH geometries are rejected, not silently wrong") {
+    intercept[IllegalArgumentException](Dedup.minhashLsh(spark, sf, bands = 8))
+    intercept[IllegalArgumentException](Dedup.simhash(spark, sf, maxHamming = 4))
+    intercept[IllegalArgumentException](Dedup.simhash(spark, sf, bands = 7))
+  }
+
   test("cosine top-k: ranks 1..k per query, no self-match, descending cos") {
     val t = Similarity.cosineTopK(spark, sf).collect()
     assert(t.nonEmpty)
