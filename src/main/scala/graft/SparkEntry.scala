@@ -37,6 +37,7 @@ object SparkEntry {
     "window_running_sum" -> ((s, d) => Relational.windowRunningSum(s, d)),
     "quantile_rating_levels" -> ((s, d) => Relational.quantileRatingLevels(s, d)),
     "marker_sessions" -> ((s, d) => Relational.markerSessions(s, d)),
+    "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "wordcount" -> ((s, d) => TextOps.wordcount(s, d)),
     "sentiment_afinn" -> ((s, d) => TextOps.sentimentAfinn(s, d)),
     "sentiment_polarity" -> ((s, d) => TextOps.sentimentPolarity(s, d)),
@@ -227,6 +228,25 @@ object SparkEntry {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS marker_id
         |  FROM events
         |) WHERE marker_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |              > 43200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM x
+        |), s AS (
+        |  SELECT user_id, tsu,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(tsu) AS t_start, MAX(tsu) AS t_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "wordcount" ->
       """SELECT word, COUNT(*) AS cnt

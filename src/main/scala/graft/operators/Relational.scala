@@ -295,4 +295,33 @@ object Relational {
       .select($"event_id", $"user_id", $"marker_id")
       .orderBy($"event_id")
   }
+
+  /** Inactivity-gap sessionization (beyond the reference — the
+    * standard training-pipeline grouping of user events into visits):
+    * a new session starts when the gap to the previous event exceeds
+    * `gapNanos`. The classic lag + running-sum formulation — one
+    * shuffle by user, two window passes, then a session-level
+    * aggregate. (Streaming analog: `session_window`; batch uses the
+    * lag form so the oracle semantics are engine-exact.)
+    */
+  def sessionize(spark: SparkSession, dir: String,
+      gapMicros: Long = 12L * 3600 * 1000000L): DataFrame = {
+    import spark.implicits._
+    // microsecond domain: DuckDB reads TIMESTAMP(NANOS) parquet at us
+    // precision, so the engine-exact mirror works on ts div 1000
+    // (integer div — the ns epoch exceeds a double's 53-bit mantissa)
+    val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+    val newSession =
+      when($"tsu" - lag($"tsu", 1).over(w) > gapMicros, 1).otherwise(0)
+    val sid = sum($"new_s")
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tsu"))
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sid)
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"tsu").as("t_start"), max($"tsu").as("t_end"))
+      .orderBy($"user_id", $"session_id")
+  }
 }
