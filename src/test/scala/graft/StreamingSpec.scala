@@ -118,6 +118,34 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming session_window groups events by inactivity gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, session_window}
+    import java.sql.Timestamp
+    val in = MemoryStream[(Timestamp, String)](spark)
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "5 seconds"), col("k"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .option("checkpointLocation", tmp())
+      .outputMode("append").start()
+    // two bursts for k=a separated by > 5s gap, one event for b
+    in.addData((t(1), "a"), (t(3), "a"), (t(20), "a"), (t(2), "b"))
+    q.processAllAvailable()
+    in.addData((t(100), "c")) // advance watermark, finalize sessions
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .selectExpr("session_window.start AS s", "k", "n")
+      .as[(Timestamp, String, Long)].collect()
+      .map { case (s, k, n) => (s.getTime / 1000, k, n) }.toSet
+    assert(rows.contains((1L, "a", 2L)), "burst [1,3] is one session of 2")
+    assert(rows.contains((20L, "a", 1L)), "event past the gap opens a new session")
+    assert(rows.contains((2L, "b", 1L)))
+    q.stop()
+  }
+
   test("KV sink folds a batch into one JSON upsert per user, executor-side") {
     import spark.implicits._
     val recs = Seq((1, 100, 4.5f), (1, 101, 4.0f), (2, 102, 3.5f))
