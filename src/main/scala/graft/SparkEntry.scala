@@ -85,8 +85,10 @@ object SparkEntry {
        |    ELSE list_transform(generate_series(1, len(l) - 2),
        |           i -> ${h60("array_to_string(l[i:i+2], ' ')")}) END AS ss FROM d)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |keep AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= ${Dedup.DefaultMaxDf}),
+       |shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN keep USING (h)),
        |common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+       |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
   /** Shared oracle fragments for vector search (double-cast embeddings
     * with precomputed norms — bit-identical to the Spark double fold).
@@ -426,6 +428,34 @@ object SparkEntry {
         |  substring(s, CAST(f AS INT) * 16 + 1, 16) AS frame
         |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)
         |WHERE f % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    // FakeCodec.embed is a normalized byte histogram of the payload =
+    // repeat(md5(text), reps). Repetition scales every bucket count and
+    // the L2 norm by the same factor, so the normalized vector equals
+    // the histogram of md5(text)'s 32 hex chars (ASCII % 16) alone; both
+    // engines quantize to float32 before the 6-decimal print, making the
+    // string compare exact.
+    "media_embed" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST((doc_id % 3) + 1 AS INT)] AS kind,
+        |    md5(text) AS h,
+        |    CAST(octet_length(encode(repeat(md5(text), CAST(1 + doc_id % 4 AS INT)))) AS INT) AS n_bytes
+        |  FROM documents),
+        |hist AS (
+        |  SELECT media_id, kind, n_bytes,
+        |    list_transform(range(16), b -> len(list_filter(
+        |      list_transform(range(32), i -> ascii(substring(h, CAST(i + 1 AS INT), 1)) % 16),
+        |      c -> c = b))) AS cnt
+        |  FROM m),
+        |nrmd AS (
+        |  SELECT media_id, kind, n_bytes, cnt,
+        |    sqrt(CAST(list_sum(list_transform(cnt, c -> c * c)) AS DOUBLE)) AS nrm
+        |  FROM hist)
+        |SELECT media_id, kind, n_bytes,
+        |  array_to_string(list_transform(cnt, c ->
+        |    printf('%.6f', CAST(CAST(CAST(c AS DOUBLE) / nrm AS FLOAT) AS DOUBLE))), ';') AS embedding
+        |FROM nrmd ORDER BY media_id""".stripMargin,
 
     "ann_srp_topk" -> {
       val bucket = Similarity.SrpPlanes.zipWithIndex.map { case (p, j) =>

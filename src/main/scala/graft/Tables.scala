@@ -45,6 +45,10 @@ object Tables {
     */
   def widened(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles is plan metadata (no RDD materialization, unlike
+    // df.rdd.getNumPartitions); it undercounts splits for multi-split
+    // files, but an already-parallel scan only gets a redundant — not
+    // wrong — repartition, and at real scale files >> cores anyway
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 }

@@ -26,6 +26,15 @@ object PseudoJson {
 
   /** Python-dict literal -> JSON text: single-pass character map
     * (' -> ", ( -> [, ) -> ]) — no regex engine in the per-row path.
+    *
+    * WIRE-FORMAT PRECONDITION: the translate runs over the whole
+    * payload, so quotes/parens/brackets INSIDE field values would be
+    * rewritten too. That is safe for this producer's controlled format
+    * (keys and the 'mN' tag are bare identifiers, every other field is
+    * numeric — line_music.ipynb cell 0); arbitrary text fields would
+    * need a real Python-literal parser. Payloads that fail to parse as
+    * JSON after normalization surface as NULL columns (from_json
+    * returns null on malformed input) rather than mis-parsing silently.
     */
   def normalize(c: Column): Column = translate(c, "'()", "\"[]")
 

@@ -146,13 +146,22 @@ object Multimodal {
       r.copy(payload = FakeCodec.resize(r.payload, w, h), width = w, height = h)))
   }
 
-  /** Rows-only driver query: media embeddings via the batched decode
-    * path (embedding content is stub-defined, hence no SQL oracle; the
-    * n_bytes column is the cross-checkable part).
+  /** Driver query: media embeddings via the batched decode path. The
+    * typed [[decodeFeatures]] API keeps `ARRAY<FLOAT>`; the driver
+    * projection renders the vector as ONE ';'-joined 6-decimal string
+    * column because the harness compare cannot hash array cells (same
+    * trick as [[frameSample]]'s byte decode). The stub embedding is a
+    * pure function of md5(text) — the payload repeat factor cancels
+    * under L2 normalization — so the DuckDB oracle mirrors it exactly,
+    * float32-quantizing on both sides before formatting.
     */
   def mediaEmbed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decodeFeatures(mediaTable(spark, dir).as[MediaRecord])
-      .toDF().orderBy($"media_id")
+      .toDF()
+      .select($"media_id", $"kind", $"n_bytes",
+        concat_ws(";", transform($"embedding",
+          x => format_string("%.6f", x))).as("embedding"))
+      .orderBy($"media_id")
   }
 }

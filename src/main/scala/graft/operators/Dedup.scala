@@ -38,6 +38,18 @@ object Dedup {
   private[graft] def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Posting-list (document-frequency) cap for the pair-generation
+    * joins: a shingle shared by d documents contributes O(d²) rows to a
+    * shared-shingle self-join, so ONE ubiquitous boilerplate shingle
+    * (d ≈ corpus size) turns the join cartesian. Dropping shingles with
+    * df > maxDf before any pair join bounds the per-shingle cost at
+    * maxDf² while leaving results bit-identical whenever no shingle
+    * exceeds the cap (true of this corpus — the oracle mirrors the cap,
+    * so the check stays exact either way). Pairs whose ONLY overlap is
+    * capped shingles are the standard accepted loss of this trick.
+    */
+  val DefaultMaxDf = 1000L
+
   /** Word n-gram shingle set, exploded as distinct (doc_id, h) with the
     * shingle hashed to a 60-bit int: downstream shuffles (distinct,
     * inverted-index joins, minhash aggregation) move 8-byte keys instead
@@ -45,16 +57,28 @@ object Dedup {
     * 2^60 universe are negligible and, being deterministic, identical in
     * the oracle.
     */
-  private[graft] def shingleSet(spark: SparkSession, dir: String, n: Int): DataFrame = {
-    import spark.implicits._
-    val t = TextFns.tokens($"text")
-    val sh = when(size(t) < n, array(hash60($"text")))
+  private[graft] def shingleSetOf(docs: DataFrame, n: Int): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val sh = when(size(t) < n, array(hash60(col("text"))))
       .otherwise(transform(
         sequence(lit(1), size(t) - lit(n - 1)),
         i => hash60(concat_ws(" ", slice(t, i, lit(n))))))
-    Tables.widened(spark, Tables.documents(spark, dir))
-      .select($"doc_id", explode(sh).as("h"))
+    docs.select(col("doc_id"), explode(sh).as("h"))
       .distinct()
+  }
+
+  private[graft] def shingleSet(spark: SparkSession, dir: String, n: Int): DataFrame =
+    shingleSetOf(Tables.widened(spark, Tables.documents(spark, dir)), n)
+
+  /** (doc_id, h) restricted to shingles with document frequency
+    * <= maxDf — the inverted-index side of every pair join. The df
+    * aggregation shuffles 8-byte keys with partial aggregation; the
+    * restriction itself is a semi-join on h (no row widening).
+    */
+  private[graft] def capDf(sh: DataFrame, maxDf: Long): DataFrame = {
+    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    sh.join(keep, Seq("h"), "left_semi")
   }
 
   /** Exact dedup: group identical texts (by md5), keep the smallest
@@ -68,13 +92,24 @@ object Dedup {
       .orderBy($"keeper")
   }
 
-  /** N-gram Jaccard near-dup pairs >= minJ via inverted-index join. */
+  /** N-gram Jaccard near-dup pairs >= minJ via inverted-index join.
+    * Set sizes count ALL shingles; only the pair-generation index is
+    * df-capped (see [[DefaultMaxDf]]).
+    */
   def ngramJaccard(spark: SparkSession, dir: String, n: Int = 3,
-      minJ: Double = 0.3): DataFrame = {
+      minJ: Double = 0.3, maxDf: Long = DefaultMaxDf): DataFrame =
+    ngramJaccardOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      n, minJ, maxDf)
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, text) relation. */
+  def ngramJaccardOf(docs: DataFrame, n: Int = 3, minJ: Double = 0.3,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val sh = shingleSet(spark, dir, n).cache()
+    val sh = shingleSetOf(docs, n).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("a").join(sh.as("b"),
+    val shc = capDf(sh, maxDf)
+    val common = shc.as("a").join(shc.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -118,7 +153,8 @@ object Dedup {
     * minhashes, and the verified jaccard of integer set sizes.
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 3,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     import spark.implicits._
     require(numHashes == bands * 4,
       s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
@@ -141,10 +177,13 @@ object Dedup {
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     // verify ONLY candidate pairs (this is the point of LSH: the
     // all-pairs shared-shingle join never happens). Candidates are few,
-    // so the shingle joins below touch O(|cand| * shingles/doc) rows.
+    // so the shingle joins below touch O(|cand| * shingles/doc) rows —
+    // and the df cap bounds the (doc, h)-keyed match side the same way
+    // it bounds the jaccard inverted index.
+    val shc = capDf(sh, maxDf)
     val common = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
+      .join(shc.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a"))
+      .join(shc.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("common"))
     jaccardOf(spark, common, sizes).orderBy($"doc_a", $"doc_b")
@@ -164,9 +203,12 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *
-    * Classic Charikar simhash over the distinct token set: bit b of a
-    * doc's signature is the sign of Σ_tokens (±1 by bit b of the token
-    * hash). All `bits` sign-sums compute in ONE partial-aggregatable
+    * Classic Charikar simhash over the token MULTISET — the sign-sums
+    * are term-frequency-weighted (a token occurring 3× contributes ±3),
+    * matching [[tokenHashes]] and the oracle, which deliberately keep
+    * multiplicity: bit b of a doc's signature is the sign of
+    * Σ_occurrences (±1 by bit b of the token hash). All `bits`
+    * sign-sums compute in ONE partial-aggregatable
     * groupBy pass (pure integer codegen, like the minhash mins), so
     * signature cost is O(tokens), independent of pair count. Candidate
     * pairs come from 4×8-bit band equality — by pigeonhole any pair

@@ -91,10 +91,13 @@ object Sources {
       StructField("p_type", StringType),
       StructField("p_size", IntegerType),
       StructField("p_retailprice", DoubleType)))
-    // fixed scratch path (overwritten each run): repeated Verify/Bench
-    // invocations must not accumulate temp copies of the table
+    // scratch path keyed by application id: stable within one session
+    // (overwritten each run, no temp-copy accumulation) but distinct
+    // across concurrent Verify/Bench processes, which would otherwise
+    // race on the same directory and read each other's partial output
     val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_scratch/csv_roundtrip").toString
+      sys.props("java.io.tmpdir"),
+      s"graft_scratch/csv_roundtrip_${spark.sparkContext.applicationId}").toString
     writeCsv(graft.Tables.part(spark, dir), out)
     csv(spark, out, schema).orderBy("p_partkey")
   }

@@ -53,13 +53,17 @@ object KvSink {
     val s = recs.sparkSession
     import s.implicits._
     recs
-      // prediction leads the struct so sort_array orders by it; the
-      // groupBy shuffle loses input order, so the ranked-list contract
-      // must be re-established inside the aggregation
-      .select($"userId", struct($"prediction", $"songId").as("rec"))
+      // the groupBy shuffle loses input order, so the ranked-list
+      // contract is re-established inside the aggregation. Sorting
+      // ascending on (-prediction, songId) matches recommendLoop's rank
+      // window (prediction DESC, songId ASC) exactly — a descending
+      // struct sort would flip songId on tied predictions
+      .select($"userId", struct((-$"prediction").as("np"), $"songId").as("rec"))
       .groupBy($"userId")
-      .agg(to_json(sort_array(collect_list($"rec"), asc = false)).as("value"))
-      .select($"userId".cast("string").as("key"), $"value")
+      .agg(sort_array(collect_list($"rec")).as("recs"))
+      .select($"userId".cast("string").as("key"),
+        to_json(transform($"recs", r =>
+          struct((-r("np")).as("prediction"), r("songId").as("songId")))).as("value"))
   }
 
   /** Write a micro-batch of recommendations: one upsert per user,

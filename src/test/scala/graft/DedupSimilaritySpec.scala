@@ -17,6 +17,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(j.filter("jaccard <= 0 OR jaccard > 1 OR doc_a >= doc_b").count() == 0)
   }
 
+  test("df cap prunes a ubiquitous shingle from the pair join") {
+    import spark.implicits._
+    // 40 docs that share exactly one trigram (hot1 hot2 hot3) and are
+    // otherwise disjoint: uncapped, the shared shingle alone produces
+    // all C(40,2) pairs; with maxDf below 40 it is dropped from the
+    // index, so the pair join generates NOTHING — the explosion a
+    // boilerplate shingle would cause at corpus scale never starts.
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"u$i v$i w$i hot1 hot2 hot3"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardOf(docs, minJ = 0.0, maxDf = 1000000L)
+    assert(uncapped.count() == 40L * 39 / 2)
+    val capped = Dedup.ngramJaccardOf(docs, minJ = 0.0, maxDf = 10L)
+    assert(capped.count() == 0)
+    // docs sharing MORE than the hot shingle still pair up under the cap
+    val twins = docs.union(Seq((100L, "u0 v0 w0 hot1 hot2 hot3"))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.ngramJaccardOf(twins, minJ = 0.5, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 100L)))
+  }
+
   test("minhash candidates verify to real overlapping pairs") {
     val m = Dedup.minhashLsh(spark, sf)
     assert(m.filter("jaccard <= 0 OR doc_a >= doc_b").count() == 0)

@@ -148,14 +148,22 @@ class StreamingSpec extends AnyFunSuite {
 
   test("KV sink folds a batch into one JSON upsert per user, executor-side") {
     import spark.implicits._
-    val recs = Seq((1, 100, 4.5f), (1, 101, 4.0f), (2, 102, 3.5f))
+    val recs = Seq((1, 100, 4.5f), (1, 101, 4.0f), (2, 102, 3.5f),
+      (3, 200, 4.0f), (3, 199, 4.0f))
       .toDF("userId", "songId", "prediction")
     val sink = new InMemoryKvSink
     KvSink.writeBatch(recs, sink)
-    assert(sink.store.size() == 2)
+    assert(sink.store.size() == 3)
     val u1 = sink.store.get("1")
     assert(u1.contains("100") && u1.contains("101"))
+    assert(u1.indexOf("100") < u1.indexOf("101"),
+      "list is ranked by prediction descending")
     assert(sink.store.get("2").contains("102"))
+    // tied predictions order songId ASCENDING, matching recommendLoop's
+    // rank window — a plain descending struct sort would flip this
+    val u3 = sink.store.get("3")
+    assert(u3.indexOf("199") < u3.indexOf("200"),
+      s"tie order must be songId asc to match the rank window: $u3")
   }
 
   test("recommend loop: batch body unions stream with history and emits top-K") {

@@ -49,8 +49,12 @@ def main():
         if eq_ordered:
             print(f"PASS {name} ({got.shape[0]} rows)");  n_pass += 1
         elif eq_sorted:
-            print(f"PASS* {name} (row order differs — ordered-compare would fail)")
-            n_pass += 1
+            # the driver's comparison is ordered-exact: a query whose
+            # ORDER BY is not total WILL fail there, so count it as a
+            # failure here too instead of green-lighting it
+            print(f"FAIL {name}: row order differs (ORDER BY not total; "
+                  "driver ordered-compare would fail)")
+            n_fail += 1
         else:
             n_fail += 1
             diff = (gs != ws) & ~(gs.isna() & ws.isna())
