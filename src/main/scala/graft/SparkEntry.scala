@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_srp_topk" -> ((s, d) => Similarity.srpTopK(s, d)),
@@ -393,6 +394,27 @@ object SparkEntry {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE list_inner_product(a.v, b.v) / a.nrm / b.nrm >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "embedding_neardup_lsh" -> {
+      val bandRows = (0 until Similarity.NearDupBands).map { b =>
+        val key = (0 until Similarity.NearDupRows).map { i =>
+          val lits = Similarity.NearDupPlanes(b * Similarity.NearDupRows + i)
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, $key AS key FROM n"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $vecCtes,
+         |band AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb FROM band x
+         |  JOIN band y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+         |SELECT va AS vec_a, vb AS vec_b,
+         |  list_inner_product(a.v, b.v) / a.nrm / b.nrm AS cos
+         |FROM cand JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id
+         |WHERE list_inner_product(a.v, b.v) / a.nrm / b.nrm >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "cosine_topk" ->
       s"""WITH $vecCtes,

@@ -288,4 +288,55 @@ object Dedup {
       .filter($"cos" >= minCos)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** SRP-banded embedding near-dup — the bucketed scale path that
+    * [[embeddingNearDup]] is the exact baseline for, mirroring the
+    * minhash pattern exactly: band-key equality generates candidates
+    * (a self-join on (band, 5-bit-key) integer keys, never all pairs),
+    * then one [[graft.plans.FloatDotProduct]] cosine verifies each
+    * candidate. Candidate cost is O(Σ_bucket |bucket|²) per band,
+    * tuned by [[Similarity.NearDupRows]] (more sign bits → smaller
+    * buckets); recall at the threshold by [[Similarity.NearDupBands]].
+    * Output = the subset of brute-force pairs whose vectors share at
+    * least one band — deterministic, so the DuckDB oracle mirrors it
+    * exactly.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String,
+      minCos: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    import graft.plans.FloatDotProduct.floatDot
+    // plane dots in the double domain (3-decimal plane literals are
+    // parse-exact as doubles): zip_with+aggregate == DuckDB
+    // list_inner_product on DOUBLE[], same left-to-right accumulation.
+    // All 80 dots run in ONE transform over the planes-as-data literal
+    // (80 separate aggregate() trees would blow up codegen/planning)
+    val vd = $"v".cast("array<double>")
+    val planesLit = typedLit(Similarity.NearDupPlanes.map(_.toSeq))
+    val dots = transform(planesLit, p =>
+      aggregate(zip_with(vd, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    val bandCols = (0 until Similarity.NearDupBands).map { b =>
+      val key = (0 until Similarity.NearDupRows).map { i =>
+        when(element_at($"pd", b * Similarity.NearDupRows + i + 1) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding".as("v"))
+    val banded = e.select($"vec_id", dots.as("pd"))
+      .select($"vec_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"vec_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+      .distinct()
+    val withNorm = e.withColumn("nrm", sqrt(floatDot($"v", $"v")))
+    cand
+      .join(withNorm.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na")), "vec_a")
+      .join(withNorm.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        (floatDot($"va", $"vb") / $"na" / $"nb").as("cos"))
+      .filter($"cos" >= minCos)
+      .orderBy($"vec_a", $"vec_b")
+  }
 }

@@ -64,6 +64,39 @@ object Similarity {
     }
   }
 
+  /** splitmix64 finalizer: a deterministic mixer whose successive
+    * outputs are decorrelated. [[SrpPlanes]]' multiplicative
+    * progression mod 2001 makes consecutive planes near-translates of
+    * each other — harmless for the oracle-mirrored top-k, fatal for
+    * BANDED LSH, where correlated planes make band keys collide
+    * together and miss together (measured: ~half the recall the
+    * independence math predicts). Kept separate so SrpPlanes stays
+    * frozen for the round-1 oracle.
+    */
+  private def mix64(k: Long): Long = {
+    var z = k + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Banded-SRP geometry for whole-corpus near-dup (Dedup
+    * .embeddingNearDupLsh): NearDupBands bands × NearDupRows sign bits,
+    * each bit from one 64-dim hyperplane of 3-decimal rationals
+    * (print-exact in both engines). A pair is a candidate iff some
+    * band's full sign pattern agrees — the cosine analog of the
+    * minhash band join. Recall at cos c: 1-(1-p^r)^L with
+    * p = 1-acos(c)/π; r (selectivity) is the knob that grows with
+    * corpus size, L (recall) with the miss budget.
+    */
+  val NearDupBands = 16
+  val NearDupRows = 5
+  val NearDupPlanes: Seq[Seq[Double]] = (0 until NearDupBands * NearDupRows).map { j =>
+    (0 until 64).map { i =>
+      (java.lang.Long.remainderUnsigned(mix64(j * 64L + i), 2001L) - 1000L) / 1000.0
+    }
+  }
+
   /** LSH-bucketed ANN (the other classic scale path besides IVF):
     * each vector's bucket is the 16-bit sign pattern of its dot
     * products with the fixed hyperplanes; a query scans only its own

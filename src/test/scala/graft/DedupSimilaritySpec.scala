@@ -72,6 +72,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.simhash(spark, sf, bands = 7))
   }
 
+  test("SRP-banded near-dup: subset of brute force, full recall on confident pairs") {
+    val brute = Dedup.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingNearDupLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    // every LSH pair is a brute-force pair with the identical cosine
+    lsh.foreach { case (p, c) =>
+      assert(brute.get(p).contains(c), s"$p not in brute force / cos differs")
+    }
+    // recall: banding must catch every pair the geometry is built for
+    // (cos >= 0.5 → per-plane agreement >= 2/3, miss < 8% per pair; on
+    // this fixed corpus+planes the catch is deterministic and total)
+    brute.filter(_._2 >= 0.5).keys.foreach { p =>
+      assert(lsh.contains(p), s"confident pair $p missed by banding")
+    }
+  }
+
   test("cosine top-k: ranks 1..k per query, no self-match, descending cos") {
     val t = Similarity.cosineTopK(spark, sf).collect()
     assert(t.nonEmpty)
