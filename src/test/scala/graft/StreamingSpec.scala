@@ -146,6 +146,41 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("marker state and source offsets survive a checkpoint restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.Dataset
+    // the exactly-once claim (Streams scaladoc): kill a query mid-flight,
+    // restart on the SAME checkpoint, and the flushed output equals what
+    // one uninterrupted run would emit — buffered state is recovered
+    // from the state store and committed offsets are not re-read.
+    val in = MemoryStream[RateEvent](spark)
+    val ckpt = tmp()
+    val buf = mutable.ArrayBuffer[MarkerBuffer.Flushed]()
+    def start() = MarkerBuffer.markerFlush(in.toDS()).writeStream
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (b: Dataset[MarkerBuffer.Flushed], _: Long) =>
+        buf.synchronized { buf ++= b.collect() }: Unit
+      }.start()
+    val q1 = start()
+    in.addData(RateEvent(1, "m1", 10, 3), RateEvent(1, "m2", 11, 4),
+      RateEvent(2, "m1", 20, 2))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(buf.isEmpty, "no marker yet -> all three events buffered in state")
+    in.addData(RateEvent(2, "m3", 21, 1)) // arrives while the query is DOWN
+    val q2 = start()
+    in.addData(RateEvent(1, "m3", 12, 5))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = buf.synchronized(buf.sortBy(f => (f.userid, f.songid)).toSeq)
+    val want = Seq(
+      MarkerBuffer.Flushed(1, "m1", 10, 3, 1), MarkerBuffer.Flushed(1, "m2", 11, 4, 1),
+      MarkerBuffer.Flushed(1, "m3", 12, 5, 1), MarkerBuffer.Flushed(2, "m1", 20, 2, 1),
+      MarkerBuffer.Flushed(2, "m3", 21, 1, 1))
+    assert(got == want,
+      "restart must recover pre-restart buffers and flush them exactly once")
+  }
+
   test("KV sink folds a batch into one JSON upsert per user, executor-side") {
     import spark.implicits._
     val recs = Seq((1, 100, 4.5f), (1, 101, 4.0f), (2, 102, 3.5f),
