@@ -1,6 +1,39 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Sort
+
 object Bench {
+
+  /** Drop a query's final presentation ORDER BY (the total global sort
+    * every oracle-compared query carries so the driver's hash compare
+    * sees deterministic row order). The sort is harness overhead, not
+    * operator work — at scale nobody totally orders a 60 M-row result —
+    * so the bench also reports each query with the top-level Sort
+    * stripped. Reflection because classic.Dataset.ofRows is
+    * private[sql] at the Scala level (public in bytecode).
+    */
+  private def stripTopSort(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case s: Sort if s.global =>
+        val cls = Class.forName("org.apache.spark.sql.classic.Dataset$")
+        val mod = cls.getField("MODULE$").get(null)
+        val ofRows = cls.getMethods
+          .find(m => m.getName == "ofRows" && m.getParameterCount == 2).get
+        ofRows.invoke(mod, df.sparkSession, s.child).asInstanceOf[DataFrame]
+      case _ => df
+    }
+
+  private def timeNoop(df: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    val ok = try {
+      // noop write forces full evaluation of every column and sort — a
+      // bare count() would let Catalyst prune the projections (JSON
+      // decode, regex, HOFs) that ARE the workload in many queries.
+      df.write.format("noop").mode("overwrite").save(); true
+    } catch { case _: Throwable => false }
+    if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,30 +50,41 @@ object Bench {
     // ~4s of one-time JVM cost. Table data itself stays uncached.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.region(spark, sfDir).count()
-    val results = (SparkEntry.queries -- SparkEntry.benchExcluded).map { case (name, fn) =>
-      // noop write forces full evaluation of every column and sort —
-      // a bare count() would let Catalyst prune the projections (JSON
-      // decode, regex, HOFs) that ARE the workload in many queries.
-      // Two measured runs, min reported: the first run carries one-time
-      // codegen/JIT compilation that amortizes away at real scale.
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case _: Throwable => false }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        // untimed: drop any intra-query .cache() blocks so one query's
-        // leftovers don't GC-pressure the next measurement
-        spark.catalog.clearCache()
-        dt
-      }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+
+    val queries = (SparkEntry.queries -- SparkEntry.benchExcluded).toSeq.sortBy(_._1)
+    // three INTERLEAVED rounds (q1..qN, q1..qN, q1..qN), min per query:
+    // a transient stall (GC, page cache eviction, a noisy neighbor)
+    // lands on different queries in different rounds instead of hitting
+    // the same query's back-to-back runs, so one bad window can't
+    // distort a query's reported time. Min-of-3 also sheds first-run
+    // codegen/JIT, which amortizes away at real scale.
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to 3; (name, fn) <- queries) {
+      val dt = timeNoop(fn(spark, sfDir))
+      // untimed: drop any intra-query .cache() blocks so one query's
+      // leftovers don't GC-pressure the next measurement
+      spark.catalog.clearCache()
+      times(name) = dt :: times.getOrElse(name, Nil)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // one operator-only pass: same plans minus the final presentation
+    // sort, showing what each operator costs without the oracle's
+    // total-order overhead (dominant for wide row-level outputs)
+    val noSort = queries.map { case (name, fn) =>
+      val dt = timeNoop(stripTopSort(fn(spark, sfDir)))
+      spark.catalog.clearCache()
+      name -> dt
+    }.toMap
+
+    val best = times.toSeq.sortBy(_._1).map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    def jmap(kvs: Seq[(String, Double)]) =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // -1 marks a failed query; don't let it shrink the total
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = best.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = jmap(best)
+    val ns = jmap(noSort.toSeq.sortBy(_._1))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_nosort":$ns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
