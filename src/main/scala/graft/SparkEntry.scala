@@ -56,6 +56,7 @@ object SparkEntry {
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_ivf_kmeans_topk" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "ann_srp_topk" -> ((s, d) => Similarity.srpTopK(s, d)),
     "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
     "als_grid_rmse" -> ((s, d) => graft.ml.Recommender.alsGridRmse(s, d)),
@@ -495,6 +496,48 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // trained-IVF mirror: the k-means runs in a fixed-point domain
+    // (round(x*1e6) integer-valued doubles) where inner products and
+    // per-dim sums are exact integers — fold-order-independent — and
+    // centroid updates are floor(sum/count), so two unrolled Lloyd
+    // iterations land on bit-identical centroids in both engines.
+    "ann_ivf_kmeans_topk" -> {
+      def sim(a: String, b: String) =
+        s"list_inner_product($a, $b) / sqrt(list_inner_product($a, $a)) / sqrt(list_inner_product($b, $b))"
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, qv, cent_id FROM (
+           |  SELECT q.vec_id, q.qv, c.cent_id, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |    ORDER BY ${sim("q.qv", "c.cv")} DESC, c.cent_id) AS rn
+           |  FROM qn q, $cents c) WHERE rn = 1)""".stripMargin
+      def stepCtes(a: String, m: String, c: String) =
+        s"""$m AS (SELECT cent_id, i, FLOOR(SUM(x) / COUNT(*)) AS m FROM (
+           |  SELECT cent_id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM $a)
+           |  GROUP BY cent_id, i),
+           |$c AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM $m GROUP BY cent_id)""".stripMargin
+      s"""WITH $vecCtes,
+         |qn AS (SELECT vec_id, list_transform(v, x -> round(x * 1000000.0)) AS qv FROM e),
+         |c0 AS (SELECT vec_id AS cent_id, qv AS cv FROM qn WHERE vec_id % 250 = 0),
+         |${assignCte("a1", "c0")},
+         |${stepCtes("a1", "m1", "c1")},
+         |${assignCte("a2", "c1")},
+         |${stepCtes("a2", "m2", "c2")},
+         |${assignCte("a3", "c2")},
+         |af AS (SELECT a.cent_id, a.vec_id, n.v, n.nrm FROM a3 a JOIN n USING (vec_id)),
+         |probes AS (SELECT query_id, cent_id FROM (
+         |  SELECT q.vec_id AS query_id, c.cent_id, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${sim("q.qv", "c.cv")} DESC, c.cent_id) AS prn
+         |  FROM qn q, c2 c WHERE q.vec_id < 8) WHERE prn <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(qq.v, a.v) / qq.nrm / a.nrm AS cos
+         |  FROM af a JOIN probes p ON a.cent_id = p.cent_id
+         |  JOIN n qq ON qq.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 

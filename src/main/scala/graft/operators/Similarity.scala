@@ -136,6 +136,96 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---- deterministic k-means (Lloyd) in a fixed-point domain ----
+  //
+  // Components quantize to integer-valued doubles (round(x*1e6)), so
+  // every inner product and per-dimension sum is an exact integer in
+  // double arithmetic — no fold-order sensitivity — and the centroid
+  // update floor(sum/count) keeps the domain closed under iteration.
+  // That makes a TRAINED coarse quantizer cross-engine deterministic:
+  // the DuckDB oracle unrolls the same iterations and lands on
+  // bit-identical centroids.
+
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def quantize(v: Column): Column =
+    transform(v.cast("array<double>"), x => round(x * lit(1000000.0)))
+
+  private def qsim(a: Column, b: Column): Column =
+    qdot(a, b) / sqrt(qdot(a, a)) / sqrt(qdot(b, b))
+
+  /** Nearest-centroid assignment over the quantized domain: one
+    * broadcast join + per-vector argmax (ties → smallest cent_id).
+    */
+  private def assignToCents(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    vecs.join(broadcast(cents))
+      .select($"vec_id", $"qv", $"cent_id", qsim($"qv", $"cv").as("csim"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"qv", $"cent_id")
+  }
+
+  /** One Lloyd step: element-wise floor-of-mean per cluster. The
+    * explode/groupBy is partial-aggregatable (shuffle key (cent_id,
+    * pos), integer sums); empty clusters drop out by GROUP BY
+    * semantics, identically in the oracle.
+    */
+  private def lloydStep(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select($"cent_id", posexplode($"qv"))
+      .toDF("cent_id", "pos", "x")
+      .groupBy($"cent_id", $"pos")
+      .agg(floor(sum($"x") / count(lit(1))).as("m"))
+      .groupBy($"cent_id")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        s => s("m")).as("cv"))
+  }
+
+  /** IVF with a TRAINED coarse quantizer: seeds = the vec_id %
+    * centroidEvery subsample, refined by `iters` Lloyd steps, then the
+    * standard IVF assign/probe/scan. Scoring uses the original float
+    * vectors (same codegen'd double fold as [[cosineTopK]]); only the
+    * quantizer runs in the fixed-point domain. Fully deterministic, so
+    * the oracle check is exact even though the index is approximate.
+    */
+  def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+      .withColumn("qv", quantize($"v"))
+    val vecs = e.select($"vec_id", $"qv")
+    var cents = e.filter(pmod($"vec_id", lit(centroidEvery)) === 0)
+      .select($"vec_id".as("cent_id"), $"qv".as("cv"))
+    for (_ <- 0 until iters)
+      cents = lloydStep(assignToCents(vecs, cents))
+    cents = cents.cache()
+    val assigned = assignToCents(vecs, cents)
+      .join(e.select($"vec_id", $"v", $"nrm"), "vec_id")
+      .select($"cent_id", $"vec_id", $"v", $"nrm")
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"qv".as("qq"), $"v".as("qvec"), $"nrm".as("qn"))
+    val wProbe = Window.partitionBy($"query_id").orderBy($"qcsim".desc, $"cent_id")
+    val probes = q.join(broadcast(cents))
+      .select($"query_id", $"qvec", $"qn", $"cent_id", qsim($"qq", $"cv").as("qcsim"))
+      .withColumn("prn", row_number().over(wProbe)).filter($"prn" <= nprobe)
+      .select($"query_id", $"qvec", $"qn", $"cent_id")
+    val scored = assigned.join(probes, Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (dot($"qvec", $"v") / $"qn" / $"nrm").as("cos"))
+    val global = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(global)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** IVF-style ANN: coarse "centroids" are a deterministic subsample
     * (vec_id % centroidEvery == 0); every vector is assigned to its
     * nearest centroid (one broadcast join — this is the index build);
