@@ -103,6 +103,56 @@ object Recommender {
   def save(model: ALSModel, path: String): Unit = model.write.overwrite().save(path)
   def load(path: String): ALSModel = ALSModel.load(path)
 
+  // ---- adapter for the reference's SAVED artifact ----
+
+  /** The factor tables of a saved mllib MatrixFactorizationModel
+    * (the artifact the reference actually ships: spark_music.py:116
+    * `model.save(sc, model_path)` writes metadata/ JSON + data/user +
+    * data/product parquet of (id INT, features ARRAY<DOUBLE>)).
+    */
+  case class MllibFactors(rank: Int, userFactors: DataFrame,
+      itemFactors: DataFrame)
+
+  /** Load the reference's on-disk layout directly — no mllib code
+    * path, just the parquet factor tables + the metadata JSON — so a
+    * user can consume their existing `music_lens_als/` artifact from
+    * this library without retraining (spark_music.py:123's
+    * MatrixFactorizationModel.load, minus the RDD machinery).
+    */
+  def loadMllibFactors(spark: SparkSession, path: String): MllibFactors = {
+    val rank = spark.read.json(s"$path/metadata")
+      .select("rank").head().getLong(0).toInt
+    MllibFactors(rank,
+      spark.read.parquet(s"$path/data/user"),
+      spark.read.parquet(s"$path/data/product"))
+  }
+
+  /** predictAll from loaded factors: prediction(u, p) = <uf, pf>, the
+    * mllib scoring rule, as two factor joins + one codegen'd fold.
+    * The small factor side broadcasts; no driver-side scoring.
+    */
+  def predictFromFactors(f: MllibFactors, pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val dot = aggregate(zip_with($"uf", $"pf", (a, b) => a * b),
+      lit(0.0), (s, x) => s + x)
+    pairs
+      .join(f.userFactors.select($"id".as("userId"), $"features".as("uf")), "userId")
+      .join(f.itemFactors.select($"id".as("songId"), $"features".as("pf")), "songId")
+      .select($"userId", $"songId", dot.as("prediction"))
+  }
+
+  /** Top-K catalog recommendations for one user from loaded factors
+    * (engine.py:73–81's recommendProducts against the saved model).
+    */
+  def recommendFromFactors(f: MllibFactors, userId: Int, k: Int = 25): DataFrame = {
+    val spark = f.itemFactors.sparkSession
+    import spark.implicits._
+    val pairs = f.itemFactors.select(lit(userId).as("userId"), $"id".as("songId"))
+    predictFromFactors(f, pairs)
+      .orderBy($"prediction".desc, $"songId").limit(k)
+  }
+
   // ---- driver-contract query surfaces (rows-only checks: ALS output
   // is not SQL-expressible, so there is no DuckDB oracle) ----
 

@@ -74,6 +74,31 @@ class MlSpec extends AnyFunSuite {
     assert(p1.map(_.toString).sameElements(p2.map(_.toString)))
   }
 
+  test("adapter consumes the reference's saved mllib artifact directly") {
+    import spark.implicits._
+    // the actual MatrixFactorizationModel the reference ships
+    // (music_lens_als/: metadata JSON + user/product factor parquet)
+    val f = Recommender.loadMllibFactors(spark, "/root/reference/music_lens_als")
+    assert(f.rank == 4)
+    val uSample = f.userFactors.limit(1).collect()(0)
+    assert(uSample.getSeq[Double](1).length == f.rank)
+    val userId = uSample.getInt(0)
+    val recs = Recommender.recommendFromFactors(f, userId, k = 25).collect()
+    assert(recs.length == 25)
+    val scores = recs.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)),
+      "top-25 must be score-descending")
+    // scoring rule check: prediction(u, p) == <uf, pf> for one pair
+    val uf = uSample.getSeq[Double](1)
+    val (songId, pf) = f.itemFactors.limit(1).collect()(0) match {
+      case r => (r.getInt(0), r.getSeq[Double](1))
+    }
+    val pair = Seq((userId, songId)).toDF("userId", "songId")
+    val got = Recommender.predictFromFactors(f, pair).collect()(0).getDouble(2)
+    val want = uf.zip(pf).map { case (a, b) => a * b }.sum
+    assert(math.abs(got - want) < 1e-12)
+  }
+
   test("grid search picks the rank with minimum validation RMSE") {
     val Array(tr, va) =
       Recommender.ratings(spark, sf).randomSplit(Array(0.7, 0.3), seed = 0L)
