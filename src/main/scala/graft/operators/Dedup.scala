@@ -73,12 +73,14 @@ object Dedup {
   /** (doc_id, h) restricted to shingles with document frequency
     * <= maxDf — the inverted-index side of every pair join. The df
     * aggregation shuffles 8-byte keys with partial aggregation; the
-    * restriction itself is a semi-join on h (no row widening).
+    * restriction is an anti-join against the HOT set (df > maxDf),
+    * which is tiny by construction — it broadcasts, so `sh` itself is
+    * never re-shuffled to apply the cap.
     */
   private[graft] def capDf(sh: DataFrame, maxDf: Long): DataFrame = {
-    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("h"))
-    sh.join(keep, Seq("h"), "left_semi")
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
   }
 
   /** Exact dedup: group identical texts (by md5), keep the smallest
@@ -138,9 +140,12 @@ object Dedup {
     */
   private def minhashSigs(sh: DataFrame, numHashes: Int): DataFrame = {
     val hp = col("h") % P
+    // the set size rides along in the SAME aggregation pass (it is the
+    // jaccard denominator) — a separate sizes groupBy would re-shuffle
+    // the whole shingle relation for one count
     val aggs = hashParams.take(numHashes).zipWithIndex.map { case ((a, b), j) =>
       min((hp * a + b) % P).as(s"sig$j")
-    }
+    } :+ count(lit(1)).as("sz")
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -160,7 +165,7 @@ object Dedup {
       s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
     val r = numHashes / bands
     val sh = shingleSet(spark, dir, n).cache()
-    val sigs = minhashSigs(sh, numHashes)
+    val sigs = minhashSigs(sh, numHashes).cache()
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until r).map(i => col(s"sig${b * r + i}"))
       val k1 = parts(0) * P + parts(1)
@@ -174,7 +179,7 @@ object Dedup {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val sizes = sigs.select($"doc_id", $"sz")
     // verify ONLY candidate pairs (this is the point of LSH: the
     // all-pairs shared-shingle join never happens). Candidates are few,
     // so the shingle joins below touch O(|cand| * shingles/doc) rows —

@@ -65,6 +65,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "dot-product pipeline must be codegen'd (starred stages)")
   }
 
+  test("df cap applies as a broadcast anti-join (sh is not re-shuffled)") {
+    val p = plan(Dedup.ngramJaccard(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the hot-shingle cap must broadcast the tiny hot set, not shuffle the index:\n")
+  }
+
+  test("banded near-dup joins on integer band keys, never cartesian") {
+    val p = plan(Dedup.embeddingNearDupLsh(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be a hash join on (band, key):\n" + p)
+  }
+
+  test("k-means assignment broadcasts centroids; IVF scan joins on cluster id") {
+    val p = plan(graft.operators.Similarity.ivfKmeansTopK(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid tables are tiny and must broadcast to the vector scan")
+    assert(!p.contains("CartesianProduct"),
+      "no stage may fall back to a cartesian product:\n")
+  }
+
   test("bucketed-by-key tables join with zero exchanges") {
     import graft.sources.Bucketing
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
