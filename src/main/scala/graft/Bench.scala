@@ -51,7 +51,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.region(spark, sfDir).count()
 
+    // dev knob: SPARK_GRAFT_QUERIES=a,b,c restricts the run for quick
+    // single-query iteration; unset = the full driver surface
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val queries = (SparkEntry.queries -- SparkEntry.benchExcluded).toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // three INTERLEAVED rounds (q1..qN, q1..qN, q1..qN), min per query:
     // a transient stall (GC, page cache eviction, a noisy neighbor)
     // lands on different queries in different rounds instead of hitting

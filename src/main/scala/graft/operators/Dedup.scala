@@ -309,16 +309,14 @@ object Dedup {
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
       minCos: Double = 0.4): DataFrame = {
     import spark.implicits._
-    import graft.plans.FloatDotProduct.floatDot
+    import graft.plans.FloatDotProduct.{doubleDot, floatDot}
     // plane dots in the double domain (3-decimal plane literals are
-    // parse-exact as doubles): zip_with+aggregate == DuckDB
+    // parse-exact as doubles): the codegen'd double_dot fold == DuckDB
     // list_inner_product on DOUBLE[], same left-to-right accumulation.
-    // All 80 dots run in ONE transform over the planes-as-data literal
-    // (80 separate aggregate() trees would blow up codegen/planning)
+    // All 80 dots land in one projected array, computed once per row.
     val vd = $"v".cast("array<double>")
-    val planesLit = typedLit(Similarity.NearDupPlanes.map(_.toSeq))
-    val dots = transform(planesLit, p =>
-      aggregate(zip_with(vd, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    val dots = array(Similarity.NearDupPlanes.map(p =>
+      doubleDot(vd, typedLit(p))): _*)
     val bandCols = (0 until Similarity.NearDupBands).map { b =>
       val key = (0 until Similarity.NearDupRows).map { i =>
         when(element_at($"pd", b * Similarity.NearDupRows + i + 1) >= 0,

@@ -69,10 +69,72 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatDotProduct]]'s ARRAY<DOUBLE> sibling: acc += a[i] * b[i],
+  * left to right — bit-identical to `aggregate(zip_with(a, b, _ * _),
+  * 0.0, _ + _)` and to DuckDB's list_inner_product on DOUBLE[], with
+  * the same tight codegen loop. The hyperplane-LSH projections use it
+  * against literal plane arrays (the planes are 3-decimal rationals,
+  * exact as doubles but NOT as floats, so the float variant can't
+  * serve there).
+  */
+case class DoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments, " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object FloatDotProduct {
   import org.apache.spark.sql.GraftBridge
   /** Column-level entry point: float_dot(a, b). */
   def floatDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatDotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-level entry point: double_dot(a, b). */
+  def doubleDot(a: Column, b: Column): Column =
+    GraftBridge.column(DoubleDotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
