@@ -43,6 +43,7 @@ object SparkEntry {
     "sentiment_polarity" -> ((s, d) => TextOps.sentimentPolarity(s, d)),
     "genre_first_token" -> ((s, d) => TextOps.genreFirstToken(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "corpus_clean" -> ((s, d) => TextOps.cleanCorpus(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "token_count_bpe" -> ((s, d) => TextOps.tokenCountBpe(s, d)),
@@ -102,6 +103,29 @@ object SparkEntry {
   /** DuckDB stopword-profile fragments shared by the lang_id oracle. */
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared language-ID oracle fragments (lang_id + corpus_clean):
+    * the per-language hit-count CTE `ls` and the argmax CASE, both
+    * generated from the same stopwordProfiles constants as the Spark
+    * side.
+    */
+  private lazy val (langScoreCte, langCaseExpr) = {
+    val langs = graft.functions.TextFns.stopwordProfiles.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ws) =>
+      s"SUM(CASE WHEN w IN ${inList(ws)} THEN 1 ELSE 0 END) AS s_$l"
+    }.mkString(",\n    ")
+    val gr = langs.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+    val pick = langs.map { case (l, _) =>
+      s"WHEN s_$l = $gr THEN '$l'"
+    }.mkString(" ")
+    (s"""ls AS (
+        |  SELECT doc_id,
+        |    $scoreCols
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY doc_id
+        |)""".stripMargin,
+      s"CASE WHEN $gr = 0 THEN 'und' $pick ELSE 'und' END")
+  }
   private val lexJoin =
     s"""FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
        |LEFT JOIN ${graft.functions.Afinn.domainSql} lex(w, v) ON d.w = lex.w
@@ -273,24 +297,26 @@ object SparkEntry {
       """SELECT string_split(p_type, ' ')[1] AS genre, COUNT(*) AS cnt
         |FROM part GROUP BY genre ORDER BY genre""".stripMargin,
 
-    "lang_id" -> {
-      val langs = graft.functions.TextFns.stopwordProfiles.toSeq.sortBy(_._1)
-      val scoreCols = langs.map { case (l, ws) =>
-        s"SUM(CASE WHEN w IN ${inList(ws)} THEN 1 ELSE 0 END) AS s_$l"
-      }.mkString(",\n    ")
-      val gr = langs.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
-      val pick = langs.map { case (l, _) =>
-        s"WHEN s_$l = $gr THEN '$l'"
-      }.mkString(" ")
-      s"""WITH s AS (
-         |  SELECT doc_id,
-         |    $scoreCols
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-         |  GROUP BY doc_id
-         |)
-         |SELECT doc_id, CASE WHEN $gr = 0 THEN 'und' $pick ELSE 'und' END AS lang_guess
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "lang_id" ->
+      s"""WITH $langScoreCte
+         |SELECT doc_id, $langCaseExpr AS lang_guess
+         |FROM ls ORDER BY doc_id""".stripMargin,
+
+    "corpus_clean" ->
+      s"""WITH $langScoreCte,
+         |lang AS (SELECT doc_id, $langCaseExpr AS lang_guess FROM ls),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |q AS (SELECT doc_id,
+         |  LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+         |  + CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) * 0.5
+         |  + CAST(len(list_filter(l, x -> x IN ${inList(graft.functions.TextFns.stopwordProfiles("en"))})) AS DOUBLE)
+         |    / CAST(len(l) AS DOUBLE) * 0.25 AS quality,
+         |  CAST(len(l) AS INTEGER) AS n_tokens
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents))
+         |SELECT q.doc_id, quality, n_tokens
+         |FROM q JOIN lang USING (doc_id) JOIN keep USING (doc_id)
+         |WHERE lang_guess = 'en' AND quality >= 0.41
+         |ORDER BY doc_id""".stripMargin,
 
     "quality_score" ->
       s"""SELECT doc_id,

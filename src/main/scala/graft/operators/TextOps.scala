@@ -66,6 +66,30 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The composite training-corpus filter — the shape a 100 TB
+    * pretraining pipeline actually runs: language gate + quality
+    * threshold + exact-dedup keeper selection, all in one pass over
+    * the documents scan plus one doc_id-keyed semi-join against the
+    * dedup keepers. Every stage is the already-oracle-checked operator
+    * (langGuess / qualityScore / exactDedup), so the composition is
+    * oracle-checkable end-to-end.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String,
+      lang: String = "en", minQuality: Double = 0.41): DataFrame = {
+    import spark.implicits._
+    val keepers = Tables.documents(spark, dir)
+      .groupBy(md5($"text")).agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    Tables.widened(spark, Tables.documents(spark, dir))
+      .select($"doc_id", TextFns.langGuess($"text").as("lang_guess"),
+        TextFns.qualityScore($"text").as("quality"),
+        TextFns.whitespaceTokenCount($"text").as("n_tokens"))
+      .filter($"lang_guess" === lang && $"quality" >= minQuality)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"quality", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
   /** Token counting (whitespace + BPE-ish subword estimate). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

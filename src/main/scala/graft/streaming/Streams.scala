@@ -84,6 +84,20 @@ object Streams {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .count()
 
+  /** Streaming exact dedup — the streaming analog of
+    * Dedup.exactDedup and the standard at-least-once -> effectively-
+    * once repair for a replayed feed: an event id seen once is dropped
+    * on redelivery for as long as the watermark allows it to reappear.
+    * State is keyed by the id columns and BOUNDED by the lateness
+    * horizon (entries older than the watermark are evicted), so this
+    * runs indefinitely at any scale, unlike an unbounded
+    * dropDuplicates.
+    */
+  def dedupEvents(events: DataFrame, tsCol: String, idCols: Seq[String],
+      lateness: String = "30 seconds"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   // ---- sinks (S7/S8) ----
 
   /** S7 Kafka producer sink payload: one message per row, JSON value

@@ -146,6 +146,27 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val in = MemoryStream[(Timestamp, Int)](spark)
+    val dd = Streams.dedupEvents(
+      in.toDF().toDF("ts", "event_id"), "ts", Seq("event_id"),
+      lateness = "1 minute")
+    val q = dd.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", tmp())
+      .outputMode("append").start()
+    in.addData((t(1), 1), (t(1), 1), (t(2), 2)) // same-batch duplicate
+    q.processAllAvailable()
+    in.addData((t(3), 1)) // cross-batch redelivery, inside the horizon
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").as[(Timestamp, Int)].collect()
+      .map(_._2).sorted.toSeq
+    assert(got == Seq(1, 2), "each event id must survive exactly once")
+    q.stop()
+  }
+
   test("marker state and source offsets survive a checkpoint restart") {
     import spark.implicits._
     import org.apache.spark.sql.Dataset

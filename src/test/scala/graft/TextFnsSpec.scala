@@ -69,6 +69,18 @@ class TextFnsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("cleanCorpus composes lang gate + quality threshold + dedup keepers") {
+    import graft.operators.{Dedup, TextOps}
+    val clean = TextOps.cleanCorpus(spark, sf).collect()
+    assert(clean.nonEmpty)
+    assert(clean.forall(_.getDouble(1) >= 0.41), "quality gate holds")
+    val en = TextOps.langId(spark, sf).collect()
+      .filter(_.getString(1) == "en").map(_.getLong(0)).toSet
+    assert(clean.forall(r => en.contains(r.getLong(0))), "language gate holds")
+    val keepers = Dedup.exactDedup(spark, sf).collect().map(_.getLong(1)).toSet
+    assert(clean.forall(r => keepers.contains(r.getLong(0))), "dedup gate holds")
+  }
+
   test("token counts: whitespace + ceil(len/4) subwords") {
     val r = Seq("spark is fast").toDF("text")
       .select(TextFns.whitespaceTokenCount($"text"),
