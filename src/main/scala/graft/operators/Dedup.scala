@@ -81,6 +81,7 @@ object Dedup {
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
     sh.join(broadcast(hot), Seq("h"), "left_anti")
+      .select(sh.columns.map(col): _*) // using-join moves h first; keep the input shape
   }
 
   /** Exact dedup: group identical texts (by md5), keep the smallest

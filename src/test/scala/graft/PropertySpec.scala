@@ -78,6 +78,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd dot products are bit-identical to the HOF fold") {
+    // the whole oracle strategy for vector queries rests on this
+    // equality: custom-expression dot == aggregate(zip_with) fold ==
+    // DuckDB list_inner_product, all left-to-right double adds
+    import graft.plans.FloatDotProduct.{doubleDot, floatDot}
+    val vec = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
+    forAll(vec, vec) { (a, b) =>
+      val af = a.map(_.toFloat); val bf = b.map(_.toFloat)
+      val df = Seq((af, bf)).toDF("a", "b")
+      val gotF = df.select(floatDot($"a", $"b")).head().getDouble(0)
+      val refF = df.select(
+        aggregate(zip_with($"a".cast("array<double>"), $"b".cast("array<double>"),
+          (x, y) => x * y), lit(0.0), (s, x) => s + x)).head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(gotF) ==
+        java.lang.Double.doubleToLongBits(refF), "float_dot == HOF fold")
+      val dd = Seq((a, b)).toDF("a", "b")
+      val gotD = dd.select(doubleDot($"a", $"b")).head().getDouble(0)
+      val refD = dd.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0.0), (s, x) => s + x)).head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(gotD) ==
+        java.lang.Double.doubleToLongBits(refD), "double_dot == HOF fold")
+    }
+  }
+
+  test("df cap is the identity when no shingle exceeds the cap") {
+    forAll(Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 200L)))) { xs =>
+      val sh = xs.distinct.toDF("doc_id", "h")
+      val capped = graft.operators.Dedup.capDf(sh, maxDf = 1000L)
+      assert(capped.exceptAll(sh).count() == 0 && sh.exceptAll(capped).count() == 0)
+    }
+  }
+
   test("dropDuplicates keeps exactly one row per key") {
     forAll(rows) { xs =>
       val df = xs.toDF("u", "s", "v")
