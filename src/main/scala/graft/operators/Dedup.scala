@@ -87,9 +87,14 @@ object Dedup {
   /** Exact dedup: group identical texts (by md5), keep the smallest
     * doc_id as the canonical representative.
     */
-  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedupOf(Tables.documents(spark, dir))
+
+  /** [[exactDedup]] over an arbitrary (doc_id, text) relation. */
+  def exactDedupOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .groupBy(md5($"text").as("text_hash"))
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy($"keeper")
@@ -160,12 +165,20 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4,
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    minhashLshOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      n, numHashes, bands, maxDf)
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text) relation. */
+  def minhashLshOf(docs: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
       maxDf: Long = DefaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes == bands * 4,
       s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
     val r = numHashes / bands
-    val sh = shingleSet(spark, dir, n).cache()
+    val sh = shingleSetOf(docs, n).cache()
     val sigs = minhashSigs(sh, numHashes).cache()
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until r).map(i => col(s"sig${b * r + i}"))
@@ -200,12 +213,10 @@ object Dedup {
     * no distinct: the only shuffle left is the partial-aggregatable
     * signature groupBy).
     */
-  private def tokenHashes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.widened(spark, Tables.documents(spark, dir))
-      .select($"doc_id", explode(TextFns.tokens($"text")).as("w"))
-      .select($"doc_id", hash60($"w").as("h"))
-  }
+  private def tokenHashesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), hash60(col("w")).as("h"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *
@@ -234,9 +245,15 @@ object Dedup {
     * becomes the integer comparison 2·pop_b >= n.
     */
   private[graft] def simhashSignatures(spark: SparkSession, dir: String,
+      bits: Int = SimhashBits): DataFrame =
+    simhashSignaturesOf(
+      Tables.widened(spark, Tables.documents(spark, dir)), bits)
+
+  private[graft] def simhashSignaturesOf(docs: DataFrame,
       bits: Int = SimhashBits): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val toks = tokenHashes(spark, dir)
+    val toks = tokenHashesOf(docs)
     val pops = (0 until bits).map(b =>
       sum(shiftright($"h", b).bitwiseAND(lit(1L))).as(s"p$b"))
     val aggs = pops :+ count(lit(1)).as("n")
@@ -248,14 +265,21 @@ object Dedup {
   }
 
   def simhash(spark: SparkSession, dir: String, bits: Int = SimhashBits,
+      bands: Int = SimhashBands, maxHamming: Int = 3): DataFrame =
+    simhashOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      bits, bands, maxHamming)
+
+  /** [[simhash]] over an arbitrary (doc_id, text) relation. */
+  def simhashOf(docs: DataFrame, bits: Int = SimhashBits,
       bands: Int = SimhashBands, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     require(bits % bands == 0 && bits <= 60,
       s"bits ($bits) must be a multiple of bands ($bands) and <= the 60-bit hash width")
     require(maxHamming <= bands - 1,
       s"banding is only complete for hamming <= bands-1 (pigeonhole); got maxHamming=$maxHamming, bands=$bands")
     val bandBits = bits / bands
-    val sig = simhashSignatures(spark, dir, bits).cache()
+    val sig = simhashSignaturesOf(docs, bits).cache()
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
       shiftright($"simhash", b * bandBits)
         .bitwiseAND(lit((1L << bandBits) - 1)).as("key")))
@@ -281,10 +305,16 @@ object Dedup {
     * is Similarity.ivfTopK's bucketing.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
+      minCos: Double = 0.4): DataFrame =
+    embeddingNearDupOf(Tables.embeddings(spark, dir), minCos)
+
+  /** [[embeddingNearDup]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def embeddingNearDupOf(embeddings: DataFrame,
       minCos: Double = 0.4): DataFrame = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
     import graft.plans.FloatDotProduct.floatDot
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding".as("v"))
+    val e = embeddings.select($"vec_id", $"embedding".as("v"))
     val withNorm = e.withColumn("nrm", sqrt(floatDot($"v", $"v")))
     val a = withNorm.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
     val b = withNorm.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
@@ -308,7 +338,13 @@ object Dedup {
     * exactly.
     */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
+      minCos: Double = 0.4): DataFrame =
+    embeddingNearDupLshOf(Tables.embeddings(spark, dir), minCos)
+
+  /** [[embeddingNearDupLsh]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def embeddingNearDupLshOf(embeddings: DataFrame,
       minCos: Double = 0.4): DataFrame = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
     import graft.plans.FloatDotProduct.{doubleDot, floatDot}
     // plane dots in the double domain (3-decimal plane literals are
@@ -325,7 +361,7 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("key"))
     }
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding".as("v"))
+    val e = embeddings.select($"vec_id", $"embedding".as("v"))
     val banded = e.select($"vec_id", dots.as("pd"))
       .select($"vec_id", explode(array(bandCols: _*)).as("bk"))
       .select($"vec_id", $"bk.band".as("band"), $"bk.key".as("key"))

@@ -32,9 +32,15 @@ object Similarity {
     * otherwise funnel everything into #queries reducers.)
     */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8): DataFrame =
+    cosineTopKOf(Tables.embeddings(spark, dir), k, nQueries)
+
+  /** [[cosineTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def cosineTopKOf(embeddings: DataFrame, k: Int = 5,
       nQueries: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    val e = embeddings
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
     val q = e.filter($"vec_id" < nQueries)
@@ -106,7 +112,13 @@ object Similarity {
     * algorithm, so the check is exact.
     */
   def srpTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8): DataFrame =
+    srpTopKOf(Tables.embeddings(spark, dir), k, nQueries)
+
+  /** [[srpTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def srpTopKOf(embeddings: DataFrame, k: Int = 5,
       nQueries: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
     // plane dots run in the double domain (3-decimal plane values are
     // parse-exact as doubles in both engines; they are NOT exact as
@@ -120,7 +132,7 @@ object Similarity {
     val bucket = planeDots.zipWithIndex
       .map { case (d, j) => when(d >= 0, lit(1 << j)).otherwise(lit(0)) }
       .reduce(_ + _)
-    val e = Tables.embeddings(spark, dir)
+    val e = embeddings
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
       .withColumn("bucket", bucket)
@@ -194,9 +206,17 @@ object Similarity {
     */
   def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2,
+      iters: Int = 2): DataFrame =
+    ivfKmeansTopKOf(Tables.embeddings(spark, dir), k, nQueries,
+      centroidEvery, nprobe, iters)
+
+  /** [[ivfKmeansTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def ivfKmeansTopKOf(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2,
       iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    val e = embeddings
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
       .withColumn("qv", quantize($"v"))
@@ -234,9 +254,15 @@ object Similarity {
     * the same algorithm, so the check is still exact.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2): DataFrame =
+    ivfTopKOf(Tables.embeddings(spark, dir), k, nQueries, centroidEvery, nprobe)
+
+  /** [[ivfTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def ivfTopKOf(embeddings: DataFrame, k: Int = 5,
       nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    val e = embeddings
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
     val cents = e.filter(pmod($"vec_id", lit(centroidEvery)) === 0)

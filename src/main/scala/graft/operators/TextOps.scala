@@ -75,12 +75,19 @@ object TextOps {
     * oracle-checkable end-to-end.
     */
   def cleanCorpus(spark: SparkSession, dir: String,
+      lang: String = "en", minQuality: Double = 0.41): DataFrame =
+    cleanCorpusOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      lang, minQuality)
+
+  /** [[cleanCorpus]] over an arbitrary (doc_id, text) relation. */
+  def cleanCorpusOf(docs: DataFrame,
       lang: String = "en", minQuality: Double = 0.41): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val keepers = Tables.documents(spark, dir)
+    val keepers = docs
       .groupBy(md5($"text")).agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
-    Tables.widened(spark, Tables.documents(spark, dir))
+    docs
       .select($"doc_id", TextFns.langGuess($"text").as("lang_guess"),
         TextFns.qualityScore($"text").as("quality"),
         TextFns.whitespaceTokenCount($"text").as("n_tokens"))
