@@ -44,6 +44,8 @@ object SparkEntry {
     "genre_first_token" -> ((s, d) => TextOps.genreFirstToken(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "corpus_clean" -> ((s, d) => TextOps.cleanCorpus(s, d)),
+    "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
+    "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "token_count_bpe" -> ((s, d) => TextOps.tokenCountBpe(s, d)),
@@ -92,6 +94,16 @@ object SparkEntry {
        |shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN keep USING (h)),
        |common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
        |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Word n-gram shingle CTE for arbitrary n (the n=3 jaccard/minhash
+    * CTEs above predate this and stay frozen verbatim).
+    */
+  private def shingleSqlCte(cte: String, n: Int): String =
+    s"""$cte AS (SELECT DISTINCT doc_id, unnest(ss) AS h FROM (
+       |  SELECT doc_id, CASE WHEN len(l) < $n THEN [${h60("text")}]
+       |    ELSE list_transform(generate_series(1, len(l) - ${n - 1}),
+       |           i -> ${h60(s"array_to_string(l[i:i+${n - 1}], ' ')")}) END AS ss
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)))""".stripMargin
 
   /** Shared oracle fragments for vector search (double-cast embeddings
     * with precomputed norms — bit-identical to the Spark double fold).
@@ -351,6 +363,23 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS songid,
         |  CAST(FLOOR(value) AS INTEGER) AS rating
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "corpus_stats" ->
+      s"""WITH $langScoreCte,
+         |lang AS (SELECT doc_id, $langCaseExpr AS lang FROM ls),
+         |t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+         |  CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM lang JOIN t USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH ${shingleSqlCte("sh8", 8)},
+         |bench AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 49 = 0)
+         |SELECT doc_id, COUNT(*) AS n_contaminated
+         |FROM sh8 JOIN bench USING (h)
+         |WHERE doc_id % 49 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies

@@ -208,6 +208,35 @@ object Dedup {
     jaccardOf(spark, common, sizes).orderBy($"doc_a", $"doc_b")
   }
 
+  /** Benchmark decontamination — the standard pretraining hygiene
+    * pass: flag corpus documents sharing at least one word n-gram
+    * (default 8, the common contamination shingle size) with a
+    * benchmark/holdout set, reporting how many of the document's
+    * distinct shingles are contaminated. The benchmark shingle set is
+    * tiny at any corpus scale (eval sets are MBs against TBs), so it
+    * BROADCASTS — the corpus side is scanned once and never shuffled
+    * before the per-doc count.
+    */
+  def decontaminateOf(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val corpusSh = shingleSetOf(docs, n)
+    val benchSh = shingleSetOf(benchmark, n).select(col("h")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver form: documents with doc_id % benchMod == 0 stand in for
+    * the held-out benchmark, the rest are the training corpus.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8,
+      benchMod: Long = 49L): DataFrame = {
+    val d = Tables.widened(spark, Tables.documents(spark, dir))
+    decontaminateOf(
+      d.filter(col("doc_id") % benchMod =!= 0),
+      d.filter(col("doc_id") % benchMod === 0), n)
+  }
+
   /** (doc_id, token-hash) pairs with multiplicity — the simhash
     * feature bag (classic simhash weights bits by term frequency, so
     * no distinct: the only shuffle left is the partial-aggregatable

@@ -97,6 +97,28 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-language corpus statistics (doc counts, token volumes) — the
+    * aggregate a pipeline reports after every filter stage. Token sums
+    * are integer arithmetic, so the averages are cross-engine exact
+    * without the decimal machinery.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStatsOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[corpusStats]] over an arbitrary (doc_id, text) relation. */
+  def corpusStatsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(TextFns.langGuess($"text").as("lang"),
+        TextFns.whitespaceTokenCount($"text").as("nt"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("sum_tokens"))
+      .select($"lang", $"n_docs", $"sum_tokens",
+        ($"sum_tokens".cast("double") / $"n_docs").as("avg_tokens"))
+      .orderBy($"lang")
+  }
+
   /** Token counting (whitespace + BPE-ish subword estimate). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -72,6 +72,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.simhash(spark, sf, bands = 7))
   }
 
+  test("decontamination flags docs sharing 8-grams with the benchmark") {
+    import spark.implicits._
+    val benchmark = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x a b c d e f g h i j y"), // contains the benchmark run
+      (11L, "totally different words with no overlap at all here ok"),
+      (12L, "a b c d e f g SEVEN only seven shared tokens here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateOf(corpus, benchmark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 10 embeds the 10-token benchmark text -> shares its 3
+    // distinct 8-grams; docs 11/12 share no full 8-gram
+    assert(got == Seq((10L, 3L)), got.toString)
+  }
+
   test("SRP-banded near-dup: subset of brute force, full recall on confident pairs") {
     val brute = Dedup.embeddingNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -81,6 +81,20 @@ class TextFnsSpec extends AnyFunSuite {
     assert(clean.forall(r => keepers.contains(r.getLong(0))), "dedup gate holds")
   }
 
+  test("corpusStats aggregates are consistent with the per-doc operators") {
+    import graft.operators.TextOps
+    val stats = TextOps.corpusStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = TextOps.langId(spark, sf).collect().map(_.getString(1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(stats.view.mapValues(_._1).toMap == docs,
+      "per-language doc counts must match langId")
+    val totalTokens = TextOps.tokenCount(spark, sf).collect()
+      .map(_.getInt(1).toLong).sum
+    assert(stats.values.map(_._2).sum == totalTokens,
+      "token volume must partition exactly across languages")
+  }
+
   test("token counts: whitespace + ceil(len/4) subwords") {
     val r = Seq("spark is fast").toDF("text")
       .select(TextFns.whitespaceTokenCount($"text"),
