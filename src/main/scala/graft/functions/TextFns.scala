@@ -102,6 +102,25 @@ object TextFns {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** PII scrubbing (training-data hygiene): replace email addresses
+    * and long digit runs (phone/account numbers) with stable tags.
+    * Conservative patterns on purpose — a scrubber must never corrupt
+    * non-PII text, and anything fancier belongs in a dedicated NER
+    * pass. Pure regexp_replace, so the scrub stays inside codegen.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitPattern = "\\(?[0-9][0-9 ()\\-]{6,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongDigitPattern, "<NUMBER>")
+
+  /** Count of PII hits a scrub would make (for corpus audit reports). */
+  def piiHits(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(LongDigitPattern), lit(0)))
+
   /** Document fingerprint: minimum MD5 over word 5-gram shingles
     * (winnowing-lite / MinHash with k=1). MD5 is bit-identical across
     * engines, so the fingerprint is oracle-checkable; short docs fall

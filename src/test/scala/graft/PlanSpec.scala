@@ -85,6 +85,12 @@ class PlanSpec extends AnyFunSuite {
       "no stage may fall back to a cartesian product:\n")
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan(Dedup.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark side is tiny and must broadcast — the corpus scan is never shuffled for the join")
+  }
+
   test("bucketed-by-key tables join with zero exchanges") {
     import graft.sources.Bucketing
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

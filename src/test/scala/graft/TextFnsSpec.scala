@@ -81,6 +81,20 @@ class TextFnsSpec extends AnyFunSuite {
     assert(clean.forall(r => keepers.contains(r.getLong(0))), "dedup gate holds")
   }
 
+  test("PII scrub replaces emails and number runs, leaves clean text alone") {
+    val df = Seq(
+      ("contact bob.smith+x@example.co.uk today", "contact <EMAIL> today", 1),
+      ("call (555) 123-4567 or 555 987 6543 now", "call <NUMBER> or <NUMBER> now", 2),
+      ("plain text with short 123 number", "plain text with short 123 number", 0))
+      .toDF("text", "expected", "hits")
+    df.select(TextFns.redactPii($"text").as("got"), $"expected",
+        TextFns.piiHits($"text").as("h"), $"hits")
+      .collect().foreach { r =>
+        assert(r.getString(0) == r.getString(1), r.toString)
+        assert(r.getInt(2) == r.getInt(3), r.toString)
+      }
+  }
+
   test("corpusStats aggregates are consistent with the per-doc operators") {
     import graft.operators.TextOps
     val stats = TextOps.corpusStats(spark, sf).collect()
