@@ -122,13 +122,11 @@ object Similarity {
     import spark.implicits._
     // plane dots run in the double domain (3-decimal plane values are
     // parse-exact as doubles in both engines; they are NOT exact as
-    // floats): zip_with+aggregate == DuckDB list_inner_product on
-    // DOUBLE[], same left-to-right accumulation as FloatDotProduct
+    // floats): the codegen'd double_dot fold == DuckDB
+    // list_inner_product on DOUBLE[], same left-to-right accumulation
     val vd = $"v".cast("array<double>")
-    val planeDots = SrpPlanes.map { p =>
-      aggregate(zip_with(vd, typedLit(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-    }
+    val planeDots = SrpPlanes.map(p =>
+      graft.plans.FloatDotProduct.doubleDot(vd, typedLit(p)))
     val bucket = planeDots.zipWithIndex
       .map { case (d, j) => when(d >= 0, lit(1 << j)).otherwise(lit(0)) }
       .reduce(_ + _)
@@ -158,8 +156,12 @@ object Similarity {
   // the DuckDB oracle unrolls the same iterations and lands on
   // bit-identical centroids.
 
+  // codegen'd fold — bit-identical to aggregate(zip_with(...)) by
+  // PropertySpec's doubleToLongBits law; both sides arrive as
+  // ARRAY<DOUBLE> (centroid means are floor()ed to integer-valued
+  // doubles below so the fixed-point domain stays closed AND typed)
   private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    graft.plans.FloatDotProduct.doubleDot(a, b)
 
   private def quantize(v: Column): Column =
     transform(v.cast("array<double>"), x => round(x * lit(1000000.0)))
@@ -191,7 +193,7 @@ object Similarity {
     assigned.select($"cent_id", posexplode($"qv"))
       .toDF("cent_id", "pos", "x")
       .groupBy($"cent_id", $"pos")
-      .agg(floor(sum($"x") / count(lit(1))).as("m"))
+      .agg(floor(sum($"x") / count(lit(1))).cast("double").as("m"))
       .groupBy($"cent_id")
       .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
         s => s("m")).as("cv"))
