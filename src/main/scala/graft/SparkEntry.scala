@@ -67,6 +67,7 @@ object SparkEntry {
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
+    "media_resize" -> ((s, d) => graft.multimodal.Multimodal.mediaResize(s, d)),
     "csv_roundtrip" -> ((s, d) => graft.sources.Sources.csvRoundtrip(s, d)),
   )
 
@@ -506,6 +507,12 @@ object SparkEntry {
         |  substring(s, CAST(f AS INT) * 16 + 1, 16) AS frame
         |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)
         |WHERE f % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    "media_resize" ->
+      """SELECT doc_id AS media_id, 25 AS n_bytes,
+        |  substring(repeat(md5(text), CAST(1 + doc_id % 4 AS INT)), 1, 25) AS payload_prefix,
+        |  5 AS width, 5 AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // FakeCodec.embed is a normalized byte histogram of the payload =
     // repeat(md5(text), reps). Repetition scales every bucket count and

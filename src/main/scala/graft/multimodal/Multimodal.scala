@@ -146,6 +146,25 @@ object Multimodal {
       r.copy(payload = FakeCodec.resize(r.payload, w, h), width = w, height = h)))
   }
 
+  /** Driver query for the resize path: every payload resized to w×h
+    * bytes through the typed batched [[resizeAll]] operator. w*h is
+    * chosen below the minimum payload size, so the contract exercised
+    * here is pure truncation — ASCII in, ASCII out — which keeps the
+    * emitted prefix hashable and the oracle a plain substring. (The
+    * zero-pad branch of [[FakeCodec.resize]] emits NUL bytes the
+    * harness compare cannot hash; MultimodalSpec covers it.)
+    */
+  def mediaResize(spark: SparkSession, dir: String, w: Int = 5,
+      h: Int = 5): DataFrame = {
+    import spark.implicits._
+    resizeAll(mediaTable(spark, dir).as[MediaRecord], w, h)
+      .toDF()
+      .select($"media_id", octet_length($"payload").as("n_bytes"),
+        $"payload".cast("string").as("payload_prefix"),
+        $"width", $"height")
+      .orderBy($"media_id")
+  }
+
   /** Driver query: media embeddings via the batched decode path. The
     * typed [[decodeFeatures]] API keeps `ARRAY<FLOAT>`; the driver
     * projection renders the vector as ONE ';'-joined 6-decimal string

@@ -36,10 +36,16 @@ class InMemoryKvSink extends KvSink {
     InMemoryKvSink.stores.get(id)
   }
   override def put(key: String, value: String): Unit = store.put(key, value)
+
+  /** Drop this sink's map from the JVM-static registry (the registry
+    * otherwise outlives the instance — fine for short-lived tests,
+    * a leak for anything else).
+    */
+  def close(): Unit = InMemoryKvSink.stores.remove(id)
 }
 
 object InMemoryKvSink {
-  private val stores = new java.util.concurrent.ConcurrentHashMap[
+  private[streaming] val stores = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[String, String]]()
 }
 
