@@ -69,6 +69,8 @@ object SparkEntry {
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
     "media_resize" -> ((s, d) => graft.multimodal.Multimodal.mediaResize(s, d)),
     "csv_roundtrip" -> ((s, d) => graft.sources.Sources.csvRoundtrip(s, d)),
+    "json_roundtrip" -> ((s, d) => graft.sources.Sources.jsonRoundtrip(s, d)),
+    "partition_prune" -> ((s, d) => graft.sources.Sources.partitionPruneRoundtrip(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -486,6 +488,13 @@ object SparkEntry {
 
     "csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+
+    "json_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
+
+    "partition_prune" ->
+      """SELECT event_id, user_id, value, event_type FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "media_meta" ->
       """SELECT doc_id AS media_id,

@@ -102,6 +102,49 @@ object Sources {
     csv(spark, out, schema).orderBy("p_partkey")
   }
 
+  /** Oracle-checked driver query: the part catalog through the
+    * JSON-lines sink and schema'd reader (S13's lyric.ipynb per-line
+    * json.loads, as a real newline-delimited-JSON source with type
+    * coercion). Same scratch-keying discipline as [[csvRoundtrip]].
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType)))
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_scratch/json_roundtrip_${spark.sparkContext.applicationId}").toString
+    writeJsonLines(graft.Tables.part(spark, dir), out)
+    jsonLines(spark, out, Some(schema)).orderBy("p_partkey")
+  }
+
+  /** Oracle-checked driver query: events written to a hive-partitioned
+    * layout (directory per event_type), read back through a
+    * partition-key filter — the filter prunes whole directories at
+    * plan time (PartitionFilters, asserted in PlanSpec), which is THE
+    * coarse-pruning mechanism for a 100 TB corpus.
+    */
+  def partitionPruneRoundtrip(spark: SparkSession, dir: String,
+      keep: String = "click"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_scratch/part_prune_${spark.sparkContext.applicationId}").toString
+    writePartitioned(
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type")),
+      out, Seq("event_type"))
+    spark.read.parquet(out)
+      .filter(col("event_type") === keep)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   /** Hive-style partitioned parquet layout: directory per key value,
     * so filters on the partition key prune whole directories at plan
     * time (PartitionFilters in the scan — never opens the files). The

@@ -202,6 +202,38 @@ class StreamingSpec extends AnyFunSuite {
       "restart must recover pre-restart buffers and flush them exactly once")
   }
 
+  test("end-to-end stream: decode -> watermark dedup -> marker flush") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // the reference's topology (wire decode -> stateful buffer) with
+    // the dedup stage a replayed Kafka feed needs, chained as TWO
+    // stateful operators in ONE incremental query
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val deduped = Streams.dedupEvents(
+      in.toDF().toDF("ts", "value"), "ts", Seq("value"), lateness = "1 minute")
+    val events = Streams.decodeRateEvents(deduped).as[Streams.RateEvent]
+    val q = MarkerBuffer.markerFlush(events)
+      .writeStream.format("memory").queryName("e2e_flush")
+      .option("checkpointLocation", tmp())
+      .outputMode("append").start()
+    val e1 = "{'userid': 1,'music': ('m1', 10), 'rating': 3}"
+    val e2 = "{'userid': 1,'music': ('m2', 11), 'rating': 4}"
+    in.addData((t(1), e1), (t(1), e1), (t(2), e2)) // e1 delivered twice
+    q.processAllAvailable()
+    in.addData((t(3), e1), // redelivered again across batches
+      (t(4), "{'userid': 1,'music': ('m3', 12), 'rating': 5}"))
+    q.processAllAvailable()
+    val got = spark.table("e2e_flush").as[MarkerBuffer.Flushed].collect()
+      .sortBy(_.songid).toSeq
+    assert(got == Seq(
+      MarkerBuffer.Flushed(1, "m1", 10, 3, 1),
+      MarkerBuffer.Flushed(1, "m2", 11, 4, 1),
+      MarkerBuffer.Flushed(1, "m3", 12, 5, 1)),
+      s"duplicates must not reach the buffer; one flush of 3: $got")
+    q.stop()
+  }
+
   test("KV sink folds a batch into one JSON upsert per user, executor-side") {
     import spark.implicits._
     val recs = Seq((1, 100, 4.5f), (1, 101, 4.0f), (2, 102, 3.5f),
