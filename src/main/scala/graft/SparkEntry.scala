@@ -34,6 +34,8 @@ object SparkEntry {
     "topk25_parts" -> ((s, d) => Relational.topk25Parts(s, d)),
     "top200_songs" -> ((s, d) => Relational.top200Songs(s, d)),
     "pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "pricing_rollup" -> ((s, d) => Relational.pricingRollup(s, d)),
+    "ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
     "window_running_sum" -> ((s, d) => Relational.windowRunningSum(s, d)),
     "quantile_rating_levels" -> ((s, d) => Relational.quantileRatingLevels(s, d)),
     "marker_sessions" -> ((s, d) => Relational.markerSessions(s, d)),
@@ -240,6 +242,17 @@ object SparkEntry {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "pricing_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  ${Fx.dsumSql("l_quantity")} AS sum_qty,
+         |  ${Fx.dsumSql("l_extendedprice")} AS sum_base_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
     "window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
@@ -248,6 +261,11 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity, running_qty""".stripMargin,
+
+    "ntile_quartiles" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS INT) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "quantile_rating_levels" ->
       """WITH qs AS (

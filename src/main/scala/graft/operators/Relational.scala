@@ -227,6 +227,45 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** ROLLUP subtotals over the pricing summary dimensions (beyond the
+    * reference — the standard OLAP subtotal/grand-total shape). NULL
+    * grouping markers are coalesced to 'ALL' so the ordering is
+    * engine-neutral (Spark and DuckDB disagree on default NULL sort
+    * order); sums stay in the exact decimal domain ([[graft.Fx]]).
+    * Rollup is one pass: Spark expands grouping sets inside the same
+    * partial-aggregatable hash aggregate, not one job per level.
+    */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        Fx.dsum($"l_quantity").as("sum_qty"),
+        Fx.dsum($"l_extendedprice").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"sum_qty", $"sum_base_price", $"count_order")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** Equal-frequency bucketing via ntile (§2.5 family): per-user event
+    * quartiles by value. Unlike [[quantileRatingLevels]]' exact
+    * percentile thresholds, ntile assigns equal-count buckets in one
+    * window pass — no per-group percentile aggregation. The (value,
+    * event_id) ordering is total, so assignment is deterministic.
+    */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"value")
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy($"user_id").orderBy($"value", $"event_id")))
+      .orderBy($"event_id")
+  }
+
   /** Window running sum (§2.5 — absent in the reference, standard in any
     * engine): per-supplier cumulative shipped quantity in (shipdate,
     * orderkey, linenumber) order. Window sums run sequentially over a
