@@ -28,6 +28,7 @@ object SparkEntry {
     "rmse_eval" -> ((s, d) => Relational.rmseEval(s, d)),
     "anti_join_unrated" -> ((s, d) => Relational.antiJoinUnrated(s, d)),
     "union_retrain_input" -> ((s, d) => Relational.unionRetrainInput(s, d)),
+    "except_intersect_songs" -> ((s, d) => Relational.exceptIntersectSongs(s, d)),
     "distinct_pairs" -> ((s, d) => Relational.distinctPairs(s, d)),
     "drop_duplicates_by_user" -> ((s, d) => Relational.dropDuplicatesByUser(s, d)),
     "filter_project" -> ((s, d) => Relational.filterProject(s, d)),
@@ -200,6 +201,15 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT * FROM r WHERE event_type = 'purchase'
          |) GROUP BY song_id ORDER BY song_id""".stripMargin,
+
+    "except_intersect_songs" ->
+      """WITH r AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS song_id, event_type FROM events),
+        |browsed AS (SELECT song_id FROM r WHERE event_type <> 'purchase'),
+        |bought AS (SELECT song_id FROM r WHERE event_type = 'purchase')
+        |SELECT song_id, 'browsed_only' AS relation FROM (SELECT song_id FROM browsed EXCEPT SELECT song_id FROM bought)
+        |UNION ALL
+        |SELECT song_id, 'both' AS relation FROM (SELECT song_id FROM browsed INTERSECT SELECT song_id FROM bought)
+        |ORDER BY song_id, relation""".stripMargin,
 
     "distinct_pairs" ->
       s"""SELECT DISTINCT user_id, song_id FROM ($ratingsSql)

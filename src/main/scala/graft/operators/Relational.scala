@@ -137,6 +137,26 @@ object Relational {
       .orderBy($"song_id")
   }
 
+  /** Set difference/intersection (§2.7 family beyond the reference's
+    * bag union): songs that appear in non-purchase events but never in
+    * a purchase, tagged against songs appearing in both. EXCEPT /
+    * INTERSECT are set-semantic (distinct) in both engines; each plans
+    * as one aggregate-style shuffle on the compared columns, not an
+    * all-pairs comparison.
+    */
+  def exceptIntersectSongs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.events(spark, dir).select(
+      get_json_object($"props", "$.k").cast("int").as("song_id"),
+      $"event_type")
+    val browsed = r.filter($"event_type" =!= "purchase").select($"song_id")
+    val bought = r.filter($"event_type" === "purchase").select($"song_id")
+    browsed.except(bought).withColumn("relation", lit("browsed_only"))
+      .unionByName(
+        browsed.intersect(bought).withColumn("relation", lit("both")))
+      .orderBy($"song_id", $"relation")
+  }
+
   /** P9 distinct (engine.py:77): candidate (user, song) pairs. */
   def distinctPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
