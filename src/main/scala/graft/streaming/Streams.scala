@@ -84,6 +84,27 @@ object Streams {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .count()
 
+  /** Watermarked stream-stream inner join (the attribution shape:
+    * match each right-stream event to a left-stream event for the same
+    * key within [0, window] AFTER the left event). Both sides carry
+    * watermarks and the join condition is time-bounded in both
+    * directions, so each side's buffered state is evictable once the
+    * other side's watermark passes — bounded state, the only way a
+    * stream-stream join survives unbounded input. Beyond the
+    * reference's DStreams (SURVEY §2.10 absent list).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      window: String = "10 seconds",
+      lateness: String = "30 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $window"))
+  }
+
   /** Streaming exact dedup — the streaming analog of
     * Dedup.exactDedup and the standard at-least-once -> effectively-
     * once repair for a replayed feed: an event id seen once is dropped

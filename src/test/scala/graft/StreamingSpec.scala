@@ -202,6 +202,29 @@ class StreamingSpec extends AnyFunSuite {
       "restart must recover pre-restart buffers and flush them exactly once")
   }
 
+  test("stream-stream join matches events within the time window only") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val imp = MemoryStream[(Timestamp, String)](spark) // impressions
+    val clk = MemoryStream[(Timestamp, String)](spark) // clicks
+    val joined = Streams.streamStreamJoin(
+      imp.toDF().toDF("its", "k"), clk.toDF().toDF("cts", "k"),
+      "k", "its", "cts", window = "10 seconds")
+      .selectExpr("l.k AS k", "its", "cts")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", tmp())
+      .outputMode("append").start()
+    imp.addData((t(1), "a"), (t(1), "b"))
+    clk.addData((t(5), "a"),   // within 10s of a's impression -> match
+      (t(30), "b"))            // 29s later -> outside the window
+    q.processAllAvailable()
+    val got = spark.table("ss_join").as[(String, Timestamp, Timestamp)]
+      .collect().map(_._1).toSeq
+    assert(got == Seq("a"), s"only the in-window click may join: $got")
+    q.stop()
+  }
+
   test("end-to-end stream: decode -> watermark dedup -> marker flush") {
     import spark.implicits._
     import java.sql.Timestamp
