@@ -77,12 +77,19 @@ class PlanSpec extends AnyFunSuite {
       "candidate generation must be a hash join on (band, key):\n" + p)
   }
 
-  test("k-means assignment broadcasts centroids; IVF scan joins on cluster id") {
+  test("k-means/IVF assignment is a projection — only the final top-k windows") {
     val p = plan(graft.operators.Similarity.ivfKmeansTopK(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
-      "centroid tables are tiny and must broadcast to the vector scan")
+      "the probe list is tiny and must broadcast to the assigned scan")
     assert(!p.contains("CartesianProduct"),
       "no stage may fall back to a cartesian product:\n")
+    // round-2 verdict: assignment must not be a row_number window over
+    // the vecs×cents product. The only Window left is the final top-k
+    // over probe-bounded rows (WindowGroupLimit nodes belong to it, so
+    // count window SPECS, not the substring "Window").
+    val windows = p.split("windowspecdefinition", -1).length - 1
+    assert(windows == 1,
+      s"expected exactly one (final top-k) window, got $windows:\n$p")
   }
 
   test("decontamination broadcasts the benchmark shingle set") {
