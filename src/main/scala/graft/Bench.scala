@@ -89,6 +89,14 @@ object Bench {
     val qs = jmap(best)
     val ns = jmap(noSort.toSeq.sortBy(_._1))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_nosort":$ns,"sf":"$sfDir"}""")
+    // The per-query JSON above is one very long line; a tail-capture of
+    // the run can truncate its head and lose the leading "value" field.
+    // Re-state the headline numbers as short, final, machine-greppable
+    // lines so the total always survives any bounded capture.
+    val totalNoSort = noSort.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_count":${best.size}}""")
+    println(f"BENCH_TOTAL_SECONDS=$total%.3f")
+    println(f"BENCH_TOTAL_NOSORT_SECONDS=$totalNoSort%.3f")
     spark.stop()
   }
 }

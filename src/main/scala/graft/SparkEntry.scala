@@ -67,6 +67,10 @@ object SparkEntry {
     "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
     "als_grid_rmse" -> ((s, d) => graft.ml.Recommender.alsGridRmse(s, d)),
     "streaming_marker_flush" -> ((s, d) => graft.streaming.Streams.markerFlushQuery(s, d)),
+    "streaming_windowed_counts" -> ((s, d) => graft.streaming.Streams.windowedCountsQuery(s, d)),
+    "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
+    "bucket_join" -> ((s, d) => graft.sources.Bucketing.bucketJoinQuery(s, d)),
+    "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
@@ -513,6 +517,37 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // generated from the same frozen TextFns pattern constants as the
+    // Spark side; DuckDB needs the explicit 'g' flag Spark implies, and
+    // the email pass runs first in both engines ('<EMAIL>' contains no
+    // digits, so pass order is visible only through that tag)
+    "pii_scrub" -> {
+      val em = graft.functions.TextFns.EmailPattern
+      val dg = graft.functions.TextFns.LongDigitPattern
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+         |    '$dg', '<NUMBER>', 'g') AS redacted_text,
+         |  CAST(len(regexp_extract_all(text, '$em'))
+         |    + len(regexp_extract_all(text, '$dg')) AS INT) AS pii_hits
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "bucket_join" ->
+      s"""WITH supp AS (
+         |  SELECT l_suppkey, ${Fx.dsumSql("l_quantity")} AS supp_qty,
+         |    COUNT(*) AS supp_cnt
+         |  FROM lineitem GROUP BY l_suppkey
+         |)
+         |SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity,
+         |  supp.supp_qty, supp.supp_cnt
+         |FROM lineitem l JOIN supp USING (l_suppkey)
+         |ORDER BY l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity, p.p_name
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity""".stripMargin,
 
     "csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",

@@ -198,10 +198,12 @@ object Similarity {
     * row_number. No join, no shuffle, no sort, no window (round 2's
     * one remaining scale-killer was a row_number window forcing a
     * sort-shuffle of the vecs×cents product): assignment is O(rows·k·d)
-    * map-side work, exactly MLlib KMeans' broadcast-assign. For a k
-    * too large for a plan literal (≈10⁴+), the same argmax would read
-    * a broadcast variable inside mapPartitions; IVF keeps k ≈ √n, far
-    * below that point here.
+    * map-side work, exactly MLlib KMeans' broadcast-assign. A NaN csim
+    * (zero-norm vector or centroid) is consistent with the oracle as
+    * is: both engines order NaN largest and equate NaN with NaN, so
+    * both pick the smallest-id NaN centroid. Beyond [[MaxLiteralCents]]
+    * centroids the caller switches to the broadcast-variable argmax
+    * ([[bcAssignQ]]/[[bcAssignF]]) — same arithmetic, no plan literals.
     */
   private def nearestCent(csims: Seq[Column], ids: Seq[Long]): Column = {
     val cs = array(csims: _*)
@@ -210,13 +212,171 @@ object Similarity {
 
   /** Top-`nprobe` centroid ids by (csim desc, cent_id asc), again as a
     * projection: sort (-csim, cent_id) pairs ascending, slice. The
-    * negation is exact, so the order equals the oracle's csim DESC.
+    * negation is exact, so the order equals the oracle's csim DESC —
+    * except NaN, which negation would send LAST while the oracle's
+    * DESC puts it first; -∞ restores the oracle order and cannot
+    * collide with a real key (a cosine is finite whenever not NaN).
     */
   private def topProbes(csims: Seq[Column], ids: Seq[Long], nprobe: Int): Column = {
     val pairs = array(csims.zip(ids).map { case (c, id) =>
-      struct((-c).as("nc"), lit(id).as("cent_id"))
+      struct(when(isnan(c), lit(Double.NegativeInfinity)).otherwise(-c).as("nc"),
+        lit(id).as("cent_id"))
     }: _*)
     slice(array_sort(pairs), 1, nprobe)
+  }
+
+  // ---- large-k assignment fallback (broadcast variable, no literals) ----
+  //
+  // The projection path embeds one d-element literal per centroid: at
+  // k beyond a few hundred the generated code and analysis time grow
+  // O(k·d) and eventually trip the 64KB codegen method limit. Past
+  // this threshold assignment/probing read the centroids from a
+  // broadcast variable inside mapPartitions instead — identical
+  // left-to-right folds, operand order, NaN/-0.0 and tie semantics
+  // (bit-equality asserted in DedupSimilaritySpec on a forced-small
+  // threshold), still zero shuffles.
+
+  val MaxLiteralCents = 512
+
+  private def dotDD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def dotFD(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Spark's double ordering: primitive == first (-0.0 equals 0.0),
+    * then Double.compare (NaN largest, NaN equals NaN) — the exact
+    * comparator behind array_max/array_position/array_sort.
+    */
+  private def cmpD(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** First index attaining the max under [[cmpD]] — mirrors
+    * array_position(cs, array_max(cs)).
+    */
+  private def argmaxFirst(cs: Array[Double]): Int = {
+    var bi = 0; var i = 1
+    while (i < cs.length) { if (cmpD(cs(i), cs(bi)) > 0) bi = i; i += 1 }
+    bi
+  }
+
+  /** Centroid indices in probe order — mirrors [[topProbes]]' sort on
+    * (NaN→-∞ else -csim, cent_id) ascending.
+    */
+  private def probeOrder(cs: Array[Double], nprobe: Int): Seq[Int] = {
+    val keys = cs.map(c => if (c.isNaN) Double.NegativeInfinity else -c)
+    cs.indices.toArray.sortWith { (a, b) =>
+      val c = cmpD(keys(a), keys(b)); if (c != 0) c < 0 else a < b
+    }.take(nprobe).toSeq
+  }
+
+  /** Quantized-domain csims for one row against the broadcast payload:
+    * (qdot(qv, cv) / |qv|) / cn — [[qcsims]]' operand order exactly.
+    */
+  private def qsimsArr(qv: Array[Double],
+      cs: Array[(Long, Array[Double], Double)]): Array[Double] = {
+    val na = math.sqrt(dotDD(qv, qv))
+    cs.map { case (_, cv, cn) => dotDD(qv, cv) / na / cn }
+  }
+
+  /** Float-domain csims: (dot(cv, v) / cn) / nrm — [[fcsims]]' order. */
+  private def fsimsArr(v: Array[Float], nrm: Double,
+      cs: Array[(Long, Array[Float], Double)]): Array[Double] =
+    cs.map { case (_, cv, cn) => dotFD(cv, v) / cn / nrm }
+
+  private def qPayload(spark: SparkSession, cents: Seq[(Long, Seq[Double])]) =
+    spark.sparkContext.broadcast(cents.map { case (id, cv) =>
+      (id, cv.toArray, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+    }.toArray)
+
+  private def fPayload(spark: SparkSession, cents: Seq[(Long, Seq[Float])]) =
+    spark.sparkContext.broadcast(cents.map { case (id, cv) =>
+      (id, cv.toArray,
+        math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    }.toArray)
+
+  /** Quantized-domain assignment via broadcast argmax: emits the same
+    * (cent_id, vec_id, v, nrm, qv) rows as the projection path.
+    */
+  private def bcAssignQ(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = qPayload(spark, cents)
+    e.select($"vec_id", $"v", $"nrm", $"qv")
+      .as[(Long, Seq[Float], Double, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (vid, v, nrm, qv) =>
+          (cs(argmaxFirst(qsimsArr(qv.toArray, cs)))._1, vid, v, nrm, qv)
+        }
+      }.toDF("cent_id", "vec_id", "v", "nrm", "qv")
+  }
+
+  /** Quantized-domain probe lists via broadcast: one (query_id, qvec,
+    * qn, cent_id) row per probe, same set as explode(topProbes(...)).
+    */
+  private def bcProbesQ(e: DataFrame, cents: Seq[(Long, Seq[Double])],
+      nQueries: Int, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = qPayload(spark, cents)
+    e.filter($"vec_id" < nQueries).select($"vec_id", $"v", $"nrm", $"qv")
+      .as[(Long, Seq[Float], Double, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (vid, v, nrm, qv) =>
+          probeOrder(qsimsArr(qv.toArray, cs), nprobe)
+            .map(i => (vid, v, nrm, cs(i)._1))
+        }
+      }.toDF("query_id", "qvec", "qn", "cent_id")
+  }
+
+  /** Float-domain assignment via broadcast argmax ([[ivfTopKOf]]). */
+  private def bcAssignF(e: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = fPayload(spark, cents)
+    e.select($"vec_id", $"v", $"nrm").as[(Long, Seq[Float], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (vid, v, nrm) =>
+          (cs(argmaxFirst(fsimsArr(v.toArray, nrm, cs)))._1, vid, v, nrm)
+        }
+      }.toDF("cent_id", "vec_id", "v", "nrm")
+  }
+
+  /** Float-domain probe lists via broadcast ([[ivfTopKOf]]). */
+  private def bcProbesF(e: DataFrame, cents: Seq[(Long, Seq[Float])],
+      nQueries: Int, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = fPayload(spark, cents)
+    e.filter($"vec_id" < nQueries).select($"vec_id", $"v", $"nrm")
+      .as[(Long, Seq[Float], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (vid, v, nrm) =>
+          probeOrder(fsimsArr(v.toArray, nrm, cs), nprobe)
+            .map(i => (vid, v, nrm, cs(i)._1))
+        }
+      }.toDF("query_id", "qv", "qn", "cent_id")
+  }
+
+  /** Analysis-safe empty result for an empty centroid set (empty
+    * input): the projection path cannot build a zero-arg csim array,
+    * so short-circuit to an empty frame with the output schema.
+    */
+  private def emptyTopK(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.filter(lit(false)).select($"vec_id".as("query_id"),
+      lit(1).as("rank"), $"vec_id".as("neighbor_id"), lit(0.0).as("cos"))
   }
 
   /** One Lloyd step: element-wise floor-of-mean per cluster. The
@@ -249,35 +409,50 @@ object Similarity {
     ivfKmeansTopKOf(Tables.embeddings(spark, dir), k, nQueries,
       centroidEvery, nprobe, iters)
 
-  /** [[ivfKmeansTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  /** [[ivfKmeansTopK]] over any (vec_id, embedding ARRAY<FLOAT>).
+    * `maxLiteralCents` picks the assignment strategy: plan-literal
+    * projection up to it, broadcast-variable mapPartitions beyond
+    * (bit-identical results either way — asserted in spec).
+    */
   def ivfKmeansTopKOf(embeddings: DataFrame, k: Int = 5,
       nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, maxLiteralCents: Int = MaxLiteralCents): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // cached: quantizer training runs iters+1 short jobs over this
-    // projection. Like Dedup's *Of entry points, the block lives until
-    // the caller clears the session cache (Bench/Verify do per query).
+    // cached for the iters+1 short quantizer-training jobs; unpersisted
+    // below once the last collect has run, so long-lived sessions don't
+    // accumulate blocks (the caller's final pass recomputes this cheap
+    // projection from the scan instead of reading the cache)
     val e = embeddings
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
       .withColumn("qv", quantize($"v"))
       .cache()
+    def assign(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      if (cs.size <= maxLiteralCents)
+        e.select(nearestCent(qcsims($"qv", cs), cs.map(_._1)).as("cent_id"),
+          $"vec_id", $"v", $"nrm", $"qv")
+      else bcAssignQ(e, cs)
     var cents = collectCents[Double](
       e.filter(pmod($"vec_id", lit(centroidEvery)) === 0)
         .select($"vec_id".as("cent_id"), $"qv".as("cv")))
+    if (cents.isEmpty) { e.unpersist(); return emptyTopK(e) }
     for (_ <- 0 until iters)
       cents = collectCents[Double](lloydStep(
-        e.select($"vec_id", $"qv",
-          nearestCent(qcsims($"qv", cents), cents.map(_._1)).as("cent_id"))))
+        assign(cents).select($"cent_id", $"vec_id", $"qv")))
     val ids = cents.map(_._1)
-    val assigned = e.select(
-      nearestCent(qcsims($"qv", cents), ids).as("cent_id"),
-      $"vec_id", $"v", $"nrm")
-    val probes = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qvec"), $"nrm".as("qn"),
-        explode(topProbes(qcsims($"qv", cents), ids, nprobe)).as("p"))
-      .select($"query_id", $"qvec", $"qn", $"p.cent_id".as("cent_id"))
+    val assigned = assign(cents).select($"cent_id", $"vec_id", $"v", $"nrm")
+    val probes =
+      if (cents.size <= maxLiteralCents)
+        e.filter($"vec_id" < nQueries)
+          .select($"vec_id".as("query_id"), $"v".as("qvec"), $"nrm".as("qn"),
+            explode(topProbes(qcsims($"qv", cents), ids, nprobe)).as("p"))
+          .select($"query_id", $"qvec", $"qn", $"p.cent_id".as("cent_id"))
+      else bcProbesQ(e, cents, nQueries, nprobe)
+    // training is done — drop the cached blocks now (cache substitution
+    // happens when the CALLER executes, so the final pass below simply
+    // plans against the raw scan)
+    e.unpersist()
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
@@ -312,9 +487,12 @@ object Similarity {
       dot(typedLit(cv), v) / lit(cn) / nrm
     }
 
-  /** [[ivfTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  /** [[ivfTopK]] over any (vec_id, embedding ARRAY<FLOAT>). Same
+    * `maxLiteralCents` strategy switch as [[ivfKmeansTopKOf]].
+    */
   def ivfTopKOf(embeddings: DataFrame, k: Int = 5,
-      nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2): DataFrame = {
+      nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2,
+      maxLiteralCents: Int = MaxLiteralCents): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings
@@ -324,15 +502,21 @@ object Similarity {
     // over the collected subsample quantizer (see nearestCent)
     val cents = collectCents[Float](
       e.filter(pmod($"vec_id", lit(centroidEvery)) === 0).select($"vec_id", $"v"))
+    if (cents.isEmpty) return emptyTopK(e)
     val ids = cents.map(_._1)
-    val assigned = e.select(
-      nearestCent(fcsims($"v", $"nrm", cents), ids).as("cent_id"),
-      $"vec_id", $"v", $"nrm")
+    val assigned =
+      if (cents.size <= maxLiteralCents)
+        e.select(nearestCent(fcsims($"v", $"nrm", cents), ids).as("cent_id"),
+          $"vec_id", $"v", $"nrm")
+      else bcAssignF(e, cents)
     // query probe lists: nprobe nearest centroids per query
-    val probes = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
-        explode(topProbes(fcsims($"v", $"nrm", cents), ids, nprobe)).as("p"))
-      .select($"query_id", $"qv", $"qn", $"p.cent_id".as("cent_id"))
+    val probes =
+      if (cents.size <= maxLiteralCents)
+        e.filter($"vec_id" < nQueries)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+            explode(topProbes(fcsims($"v", $"nrm", cents), ids, nprobe)).as("p"))
+          .select($"query_id", $"qv", $"qn", $"p.cent_id".as("cent_id"))
+      else bcProbesF(e, cents, nQueries, nprobe)
     // scan only the probed clusters
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter($"vec_id" =!= $"query_id")

@@ -37,4 +37,25 @@ object Skew {
       .withColumn("__salt", col("__salt").cast("int"))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Oracle-checked driver query: lineitem ⋈ part through the salted
+    * join (part replicated over 8 salts, lineitem salted per-row from
+    * its primary key). The oracle is the PLAIN join — salting must be
+    * result-invisible row-for-row. The shuffle hint keeps the join a
+    * real (key, __salt) shuffle join, the path salting exists for,
+    * instead of a broadcast that would bypass the salt entirely.
+    */
+  def saltedJoinQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
+      salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val big = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    val small = graft.Tables.part(spark, dir)
+      .select($"p_partkey".as("l_partkey"), $"p_name").hint("shuffle_hash")
+    saltedJoin(big, small, "l_partkey", salts, Seq("l_orderkey", "l_linenumber"))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity", $"p_name")
+      // (l_orderkey, l_linenumber) is not unique in the synthetic corpus;
+      // ordering by every column makes remaining ties identical rows
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+  }
 }

@@ -139,6 +139,20 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** PII scrub + audit count per document (training-data hygiene):
+    * emails and long digit runs replaced with stable tags, plus the
+    * hit count a corpus audit reports. Pure regexp work from the
+    * frozen TextFns pattern constants (the oracle SQL is generated
+    * from the same strings), all inside whole-stage codegen.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.widened(spark, Tables.documents(spark, dir))
+      .select($"doc_id", TextFns.redactPii($"text").as("redacted_text"),
+        TextFns.piiHits($"text").as("pii_hits"))
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprint (min-MD5 over 5-gram shingles). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -21,6 +21,10 @@ object Streams {
   /** Decoded rating event from the wire format (SURVEY §1). */
   case class RateEvent(userid: Int, tag: String, songid: Int, rating: Int)
 
+  /** Event with a real event-time column (windowed-counts feed). */
+  case class TimedEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+
   // ---- sources (S4/S5/S6) ----
 
   /** S4/S6 Kafka source (spark_streaming_kafka.py:139: topic rate_test).
@@ -180,6 +184,60 @@ object Streams {
     java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
     spark.table(name).orderBy("userid", "flushSeq", "songid", "tag", "rating")
+  }
+
+  /** Driver-contract query (rows-only — the emission set is watermark
+    * state, not a function of the input relation alone): event-time
+    * tumbling-window counts with a REAL watermark lifecycle under the
+    * driver. The corpus events arrive as one micro-batch; two
+    * far-future sentinel batches then march the watermark past every
+    * data window, so Append mode emits exactly the FINALIZED
+    * (window, event_type) counts — late-data eviction and bounded
+    * state, exercised end-to-end, not just in spec.
+    */
+  def windowedCountsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // events.ts is nanos-since-epoch (TESTDATA note); ordered + capped
+    // feed like markerFlushQuery's — the harness edge, not the operator
+    val evs = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+      .orderBy($"ts", $"user_id").limit(2000).collect()
+      .map(r => TimedEvent(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(r.getLong(2) / 1000000L)))
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[TimedEvent](spark)
+    val name = s"windowed_counts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    // state-store partition count is frozen per stream from this conf
+    // at start: 4 is plenty for the 2k-row harness feed and cuts the
+    // per-batch checkpoint fan-out 8× vs the session's batch setting
+    // (a production deployment sizes this to its key cardinality)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      windowedEventCounts(in.toDF(), "ts", "event_type",
+          windowLen = "1 hour", lateness = "30 seconds")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    in.addData(evs.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel 1 advances the watermark past the data; sentinel 2
+    // triggers the batch in which the last data windows are emitted
+    in.addData(TimedEvent(0, "sentinel", new java.sql.Timestamp(maxMs + 2 * 3600 * 1000L)))
+    q.processAllAvailable()
+    in.addData(TimedEvent(0, "sentinel", new java.sql.Timestamp(maxMs + 4 * 3600 * 1000L)))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.table(name)
+      .select($"window.start".as("w_start"), $"window.end".as("w_end"),
+        $"event_type", $"count")
+      .orderBy($"w_start", $"event_type")
   }
 
   /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):

@@ -152,4 +152,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // IVF is approximate: its best-found cos is <= brute-force best
     ivf.foreach { case (q, c) => assert(c <= brute(q) + 1e-12) }
   }
+
+  test("large-k broadcast-argmax fallback is bit-identical to the literal path") {
+    // maxLiteralCents = 0 forces every assignment/probe through the
+    // mapPartitions-over-broadcast path; results must match the plan-
+    // literal projection bit-for-bit (doubleToLongBits on cos), ties
+    // and NaN ordering included
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val emb = Tables.embeddings(spark, sf)
+    assert(key(Similarity.ivfKmeansTopKOf(emb, maxLiteralCents = 0)) ==
+      key(Similarity.ivfKmeansTopKOf(emb)))
+    assert(key(Similarity.ivfTopKOf(emb, maxLiteralCents = 0)) ==
+      key(Similarity.ivfTopKOf(emb)))
+  }
+
+  test("empty embedding input short-circuits to an empty, well-typed result") {
+    val empty = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.lit(false))
+    for (df <- Seq(Similarity.ivfKmeansTopKOf(empty), Similarity.ivfTopKOf(empty))) {
+      assert(df.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cos"))
+      assert(df.count() == 0)
+    }
+  }
 }
