@@ -71,6 +71,9 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "bucket_join" -> ((s, d) => graft.sources.Bucketing.bucketJoinQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
+    "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
+    "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
+    "hash_split" -> ((s, d) => TextOps.hashSplit(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
@@ -548,6 +551,45 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity, p.p_name
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is a genuinely independent
+    // implementation of the point-in-time semantics; clicks are
+    // pre-deduped per (user, µs) in both engines so the equal-timestamp
+    // winner is pinned
+    "asof_join_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, p.tsu, p.value,
+        |  c.click_id, c.tsu AS click_tsu
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsu >= c.tsu
+        |ORDER BY p.event_id""".stripMargin,
+
+    "range_join_nearby" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.event_id, e.user_id, e.tsu, COUNT(c.tsu) AS n_clicks
+        |FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |  AND c.tsu BETWEEN e.tsu - 300000000 AND e.tsu + 300000000
+        |GROUP BY e.event_id, e.user_id, e.tsu
+        |ORDER BY e.event_id""".stripMargin,
+
+    "hash_split" ->
+      s"""SELECT doc_id, CAST(h % 100 AS INT) AS bucket,
+         |  CASE WHEN h % 100 < 80 THEN 'train'
+         |       WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ${h60("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for: as-of
+  * (point-in-time) and tolerance range joins.
+  *
+  * Both avoid the naive theta-join (an O(n·m) BroadcastNestedLoopJoin
+  * at plan time, a non-starter at scale) by reducing to shapes Catalyst
+  * executes well:
+  *
+  *  - As-of: union both sides and take a running `last(...ignoreNulls)`
+  *    over a per-key time-ordered window — ONE shuffle on the key, one
+  *    sort, linear scan; the same plan kdb's `aj` and Flink's temporal
+  *    join lower to. No range explosion, no per-row probe.
+  *  - Range (|Δt| ≤ tol): quantize time into tol-width buckets, probe
+  *    the three adjacent buckets, equi-join on (key, bucket), then
+  *    filter the exact predicate — candidates are bounded by bucket
+  *    occupancy, so the join stays an equi shuffle join at any scale.
+  *
+  * Extends the reference's event-attribution semantics
+  * (spark_streaming_kafka.py:11–60 joins live events against history)
+  * from equality matching to time-travel matching.
+  */
+object Temporal {
+
+  /** Point-in-time join: for each `left` row, the single `right` row
+    * with the greatest `rightTs` ≤ `leftTs` within the same `keys`
+    * (ties on the timestamp resolved toward the greatest `rightOrd`).
+    * Left rows with no such match keep NULL payload columns (left
+    * outer as-of).
+    *
+    * `leftOrd`/`rightOrd` must make (ts, ord) unique per key on their
+    * side — they pin a total sort order so the result is deterministic
+    * run-to-run and engine-to-engine.
+    *
+    * Output: every `left` column, then `rightPayload` columns renamed
+    * with `prefix`. Plan shape: one Exchange on `keys`, one sort, one
+    * running-window pass — nothing quadratic, nothing broadcast.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, leftOrd: String, rightOrd: String,
+      rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), col(leftOrd).as("__ord"),
+        lit(1).as("__tag"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), col(rightOrd).as("__ord"),
+        lit(0).as("__tag"),
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+    // unionByName fills each side's missing struct with a typed NULL;
+    // __tag orders right rows before left at an equal timestamp, so a
+    // payload AT the left row's time is visible (as-of ≤ semantics)
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__l.*") +:
+        rightPayload.map(p => col(s"__m.$p").as(s"$prefix$p")): _*)
+  }
+
+  /** All (a, b) pairs sharing `keys` with |aTs − bTs| ≤ `tol` (both
+    * timestamps in the same integer unit, `tol` > 0). Each qualifying
+    * pair matches in exactly one probe bucket, so no dedup pass is
+    * needed. Output: every `a` column plus `bPayload` (renamed with
+    * `prefix`); `a` rows with no partner are absent (inner semantics —
+    * wrap with a left join on `a` for outer counts).
+    */
+  def rangeJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aTs: String, bTs: String, tol: Long, bPayload: Seq[String],
+      prefix: String = "near_"): DataFrame = {
+    require(tol > 0, "tol must be positive")
+    // integer bucket arithmetic: the microsecond epoch exceeds a double
+    // mantissa, so `div`, not `/`
+    val pa = a.withColumn("__probe",
+      explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket", expr(s"$aTs div $tol") + col("__probe"))
+      .drop("__probe")
+    val pb = b.select(
+      keys.map(col) ++ Seq(expr(s"$bTs div $tol").as("__bucket"),
+        col(bTs).as("__bts"),
+        struct(bPayload.map(col): _*).as("__b")): _*)
+    pa.join(pb, keys :+ "__bucket")
+      .filter(abs(col(aTs) - col("__bts")) <= tol)
+      .select(a.columns.map(col) ++
+        bPayload.map(p => col(s"__b.$p").as(s"$prefix$p")): _*)
+  }
+
+  // ---- driver-contract queries ----
+
+  /** Oracle-checked as-of query: each purchase event attributed to the
+    * user's most recent click at-or-before it. Clicks are first
+    * deduplicated to one per (user, µs) — max event_id — so the as-of
+    * pick is unambiguous in both engines (DuckDB's ASOF JOIN leaves
+    * the equal-timestamp winner unspecified otherwise).
+    */
+  def asofAttributionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("tsu"),
+        $"value", $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tsu", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"tsu").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"tsu".as("click_tsu"), $"click_id")
+    asofJoin(purchases, clicks, Seq("user_id"), "tsu", "click_tsu",
+        "event_id", "click_id", Seq("click_id", "click_tsu"), prefix = "")
+      .orderBy($"event_id")
+  }
+
+  /** Oracle-checked range-join query: per error event, how many clicks
+    * the same user produced within ±5 minutes (error-burst context, the
+    * classic ops correlation). Inner pairs come from [[rangeJoin]];
+    * a left join puts zero-click errors back (count 0).
+    */
+  def nearbyClicksQuery(spark: SparkSession, dir: String,
+      tolUs: Long = 300L * 1000000L): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("tsu"),
+        $"event_type")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"tsu")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tsu".as("c_tsu"), $"event_id".as("c_id"))
+    val pairs = rangeJoin(errors, clicks, Seq("user_id"), "tsu", "c_tsu",
+      tolUs, Seq("c_id"))
+    val counts = pairs.groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+    errors.join(counts, Seq("event_id"), "left")
+      .select($"event_id", $"user_id", $"tsu",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+      .orderBy($"event_id")
+  }
+}

@@ -153,6 +153,24 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic train/val/test assignment by content-independent
+    * key hash (80/10/10): the standard leakage-safe corpus split — a
+    * document lands in the same split on every run, every engine, every
+    * re-shard, because the split is a pure function of doc_id (via the
+    * same md5-prefix hash the dedup family uses). Pure projection, no
+    * shuffle, no RNG state.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (Dedup.hash60($"doc_id".cast("string")) % 100).cast("int").as("bucket"))
+      .select($"doc_id", $"bucket",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprint (min-MD5 over 5-gram shingles). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

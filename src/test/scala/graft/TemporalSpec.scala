@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Temporal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of and range join semantics + the plan shapes that make them
+  * scale (one hash exchange for as-of; an equi shuffle join — never a
+  * nested loop — for the bucketed range join).
+  */
+class TemporalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def leftDF = Seq(
+    (1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L), (3L, 10L, 13L)
+  ).toDF("k", "ts", "lid")
+
+  test("asofJoin: latest right row at-or-before, per key, nulls when none") {
+    val right = Seq(
+      (1L, 100L, 77L), (1L, 150L, 88L), (1L, 201L, 66L), (2L, 60L, 99L)
+    ).toDF("k", "rts", "rid")
+    val out = Temporal.asofJoin(leftDF, right, Seq("k"), "ts", "rts",
+        "lid", "rid", Seq("rid", "rts"))
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSeq
+    assert(out == Seq(
+      (1L, 100L, Some(77L), Some(100L)), // equal timestamp IS visible
+      (1L, 200L, Some(88L), Some(150L)), // 201 is in the future
+      (2L, 50L, None, None),             // nearest right row is later
+      (3L, 10L, None, None)))            // key absent on the right
+  }
+
+  test("asofJoin: equal-timestamp tie resolves to the greatest rightOrd") {
+    val right = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 100L, 7L))
+      .toDF("k", "rts", "rid")
+    val out = Temporal.asofJoin(leftDF.filter($"k" === 1), right, Seq("k"),
+        "ts", "rts", "lid", "rid", Seq("rid"))
+      .orderBy("ts").collect().map(_.getLong(3)).toSeq
+    assert(out == Seq(9L, 9L))
+  }
+
+  test("rangeJoin equals the naive theta join, pair for pair") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "ts div 1000 AS tsu", "event_type")
+    val a = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"tsu")
+    val b = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tsu".as("bts"), $"event_id".as("bid"))
+    val tol = 300L * 1000000L
+    val got = Temporal.rangeJoin(a, b, Seq("user_id"), "tsu", "bts", tol,
+        Seq("bid"))
+      .select($"event_id", $"near_bid").as[(Long, Long)].collect().toSet
+    val want = a.join(b, "user_id")
+      .filter(org.apache.spark.sql.functions.abs($"tsu" - $"bts") <= tol)
+      .select($"event_id", $"bid").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture must produce at least one pair")
+    assert(got == want)
+  }
+
+  test("asofJoin plans exactly one hash exchange, nothing quadratic") {
+    val right = Seq((1L, 100L, 77L)).toDF("k", "rts", "rid")
+    val p = Temporal.asofJoin(leftDF, right, Seq("k"), "ts", "rts",
+      "lid", "rid", Seq("rid")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"as-of is one shuffle on the key:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"as-of must never plan a quadratic join:\n$p")
+  }
+
+  test("rangeJoin plans an equi join on (key, bucket), never a nested loop") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "ts div 1000 AS tsu", "event_type")
+    val a = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"tsu")
+    val b = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tsu".as("bts"), $"event_id".as("bid"))
+    val p = Temporal.rangeJoin(a, b, Seq("user_id"), "tsu", "bts",
+        300L * 1000000L, Seq("bid"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__bucket"), "join key must include the time bucket")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"range join must stay an equi join:\n$p")
+  }
+}
