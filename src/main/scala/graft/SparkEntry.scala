@@ -74,6 +74,8 @@ object SparkEntry {
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
     "hash_split" -> ((s, d) => TextOps.hashSplit(s, d)),
+    "repetition_score" -> ((s, d) => TextOps.repetitionScore(s, d)),
+    "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
@@ -590,6 +592,48 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |  ${h60("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // list slicing l[i:i+2] is inclusive in DuckDB → 3 tokens, matching
+    // Spark's slice(t, i, 3); the ratio is one IEEE divide of two exact
+    // ints, identical in both engines
+    "repetition_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(l) AS INT) AS total_words,
+        |    CASE WHEN len(l) >= 3 THEN list_transform(
+        |      generate_series(1, len(l) - 2), i -> array_to_string(l[i:i+2], ' '))
+        |    ELSE [] END AS grams
+        |  FROM d
+        |), tf AS (
+        |  SELECT doc_id, MAX(c) AS max_word_tf FROM (
+        |    SELECT doc_id, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |    GROUP BY doc_id, w)
+        |  GROUP BY doc_id
+        |)
+        |SELECT g.doc_id, g.total_words, tf.max_word_tf,
+        |  CAST(len(grams) AS INT) AS total_3grams,
+        |  CAST(len(list_distinct(grams)) AS INT) AS distinct_3grams,
+        |  CASE WHEN len(grams) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |    ELSE 0.0 END AS dup3_frac
+        |FROM g JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+        |), df AS (
+        |  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+        |), r AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rank
+        |  FROM tf JOIN df USING (word)
+        |)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, df
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",

@@ -139,6 +139,66 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Intra-document repetition audit (the Gopher/C4-style quality
+    * signal): per doc, the duplicate-3-gram fraction and the hottest
+    * word's frequency. Gram stats are a pure projection (one HOF pass
+    * over the token array — no explode, no shuffle); only the
+    * max-word-frequency side shuffles, partial-aggregated on
+    * (doc_id, word). The ratio is a single IEEE divide of two exact
+    * integers, so it is bit-identical across engines.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    repetitionScoreOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[repetitionScore]] over an arbitrary (doc_id, text) relation. */
+  def repetitionScoreOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = TextFns.tokens($"text")
+    val grams = when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", slice(t, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select($"doc_id", size(t).as("total_words"),
+      size(grams).as("total_3grams"),
+      size(array_distinct(grams)).as("distinct_3grams"))
+    val maxTf = docs.select($"doc_id", explode(t).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("max_word_tf"))
+    base.join(maxTf, Seq("doc_id"))
+      .select($"doc_id", $"total_words", $"max_word_tf",
+        $"total_3grams", $"distinct_3grams",
+        when($"total_3grams" > 0,
+            lit(1.0) - $"distinct_3grams".cast("double") / $"total_3grams")
+          .otherwise(lit(0.0)).as("dup3_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Top-k distinctive terms per document — TF-IDF's ordering without
+    * its float log: rank by (tf desc, df asc, word asc), all integers,
+    * so the ranking is exact in any engine. The vocabulary-sized df
+    * table is broadcast (vocab ≪ corpus at any scale); the per-doc
+    * window is bounded by the doc's own vocabulary.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfTopTermsOf(Tables.widened(spark, Tables.documents(spark, dir)), k)
+
+  /** [[tfidfTopTerms]] over an arbitrary (doc_id, text) relation. */
+  def tfidfTopTermsOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"word".asc)
+    tf.join(broadcast(df), Seq("word"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"rank".cast("int").as("rank"), $"word", $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+
   /** PII scrub + audit count per document (training-data hygiene):
     * emails and long digit runs replaced with stable tags, plus the
     * hit count a corpus audit reports. Pure regexp work from the

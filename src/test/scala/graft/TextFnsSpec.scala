@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{Afinn, PseudoJson, TextFns}
+import graft.operators.TextOps
 
 class TextFnsSpec extends AnyFunSuite {
   import TestSpark._
@@ -115,5 +116,34 @@ class TextFnsSpec extends AnyFunSuite {
         TextFns.subwordEstimate($"text")).head()
     assert(r.getInt(0) == 3)
     assert(r.getLong(1) == 2 + 1 + 1) // ceil(5/4)+ceil(2/4)+ceil(4/4)
+  }
+
+  test("repetition score: known gram/word stats on literal docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // 3-grams: "a b a","b a b","a b a","b a b" → 2 distinct of 4
+      (2L, "x y"),         // too short for 3-grams
+      (3L, "w w w w")      // all grams identical
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5)))).toMap
+    assert(got(1L) == ((6, 3L, 4, 2, 1.0 - 2.0 / 4)))
+    assert(got(2L) == ((2, 1L, 0, 0, 0.0)))
+    assert(got(3L) == ((4, 4L, 2, 1, 1.0 - 1.0 / 2)))
+  }
+
+  test("tfidf top terms: integer ranking (tf desc, df asc, word asc)") {
+    val docs = Seq(
+      (1L, "rare common common"), // tf: common=2, rare=1; df: rare=1, common=2
+      (2L, "common only")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTermsOf(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1, "common", 2L, 2L), // highest tf wins despite higher df
+      (1L, 2, "rare", 1L, 1L),
+      (2L, 1, "only", 1L, 1L),   // tf tie → lower df first
+      (2L, 2, "common", 1L, 2L)))
   }
 }
