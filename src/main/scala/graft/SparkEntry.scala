@@ -76,6 +76,8 @@ object SparkEntry {
     "hash_split" -> ((s, d) => TextOps.hashSplit(s, d)),
     "repetition_score" -> ((s, d) => TextOps.repetitionScore(s, d)),
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "streaming_asof_enrich" -> ((s, d) =>
+      graft.streaming.TemporalState.streamingAsofQuery(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
@@ -565,6 +567,25 @@ object SparkEntry {
         |), c AS (
         |  SELECT user_id, epoch_us(ts) AS tsu, MAX(event_id) AS click_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, p.tsu, p.value,
+        |  c.click_id, c.tsu AS click_tsu
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsu >= c.tsu
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the STREAMING state machine fed one in-trigger-ordered batch
+    // computes the identical as-of join, so the same independent DuckDB
+    // ASOF oracle checks the stateful implementation too; the event_id
+    // cap mirrors the query's bounded harness feed (a no-op at the
+    // driver's sf0.01)
+    "streaming_asof_enrich" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+        |  FROM events WHERE event_type = 'purchase' AND event_id < 10000
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' AND event_id < 10000
+        |  GROUP BY 1, 2
         |)
         |SELECT p.event_id, p.user_id, p.tsu, p.value,
         |  c.click_id, c.tsu AS click_tsu
