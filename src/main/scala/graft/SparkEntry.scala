@@ -78,6 +78,8 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "streaming_asof_enrich" -> ((s, d) =>
       graft.streaming.TemporalState.streamingAsofQuery(s, d)),
+    "label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "orc_roundtrip" -> ((s, d) => graft.sources.Sources.orcRoundtrip(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
@@ -658,6 +660,29 @@ object SparkEntry {
 
     "csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+
+    "orc_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
+
+    // fixed-point per-label mean embedding: quantized components sum to
+    // exact integers in both engines, floor(sum/count) per dimension,
+    // ';'-joined (the compare can't hash arrays)
+    "label_centroids" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> round(x * 1000000.0)) AS qv
+        |  FROM embeddings
+        |), u AS (
+        |  SELECT label, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM q
+        |), m AS (
+        |  SELECT label, i, CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT) AS m,
+        |    COUNT(*) AS n
+        |  FROM u GROUP BY label, i
+        |)
+        |SELECT label, MAX(n) AS n_vecs,
+        |  array_to_string(list(CAST(m AS VARCHAR) ORDER BY i), ';') AS centroid
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "json_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",

@@ -166,6 +166,33 @@ object Similarity {
   private def quantize(v: Column): Column =
     transform(v.cast("array<double>"), x => round(x * lit(1000000.0)))
 
+  /** Per-label mean embedding in the fixed-point domain (the centroid
+    * a pipeline reports per class/cluster/source): quantize, explode
+    * to (label, pos, x), one partial-aggregatable integer-sum shuffle,
+    * floor(sum/count) per dimension, reassemble in pos order. Emitted
+    * as a ';'-joined integer string because the oracle compare can't
+    * hash arrays — components are exact integers in both engines.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidsOf(Tables.embeddings(spark, dir))
+
+  /** [[labelCentroids]] over any (label, embedding ARRAY<FLOAT>). */
+  def labelCentroidsOf(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select($"label", posexplode(quantize($"embedding")))
+      .toDF("label", "pos", "x")
+      .groupBy($"label", $"pos")
+      .agg(floor(sum($"x") / count(lit(1))).cast("long").as("m"),
+        count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(max($"n").as("n_vecs"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          s => s("m").cast("string")), ";").as("centroid"))
+      .orderBy($"label")
+  }
+
   /** Centroids collected to the driver, ascending cent_id (the argmax
     * tie order). Coarse-quantizer centroid sets are tiny by
     * construction (k = n/centroidEvery here, k ≈ √n in production

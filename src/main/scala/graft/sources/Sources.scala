@@ -122,6 +122,21 @@ object Sources {
     jsonLines(spark, out, Some(schema)).orderBy("p_partkey")
   }
 
+  /** Oracle-checked driver query: the part catalog through Spark's
+    * built-in columnar ORC source/sink — the other first-class
+    * warehouse format besides parquet (schema'd, predicate-pushdown
+    * capable, splittable). Same scratch-keying discipline as
+    * [[csvRoundtrip]]; ORC carries its schema, so the read-back needs
+    * no external one.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_scratch/orc_roundtrip_${spark.sparkContext.applicationId}").toString
+    graft.Tables.part(spark, dir).write.mode("overwrite").orc(out)
+    spark.read.orc(out).orderBy("p_partkey")
+  }
+
   /** Oracle-checked driver query: events written to a hive-partitioned
     * layout (directory per event_type), read back through a
     * partition-key filter — the filter prunes whole directories at

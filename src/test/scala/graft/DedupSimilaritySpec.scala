@@ -176,4 +176,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(df.count() == 0)
     }
   }
+
+  test("label centroids are exact fixed-point means") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(0.5f, -0.25f)),
+      (1, Seq(0.5f, 0.25f)),
+      (2, Seq(1.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroidsOf(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1, 2L, "500000;0"), (2, 1L, "1000000;0")))
+  }
 }
