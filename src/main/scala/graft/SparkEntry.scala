@@ -80,6 +80,7 @@ object SparkEntry {
       graft.streaming.TemporalState.streamingAsofQuery(s, d)),
     "label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "orc_roundtrip" -> ((s, d) => graft.sources.Sources.orcRoundtrip(s, d)),
+    "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
@@ -641,6 +642,20 @@ object SparkEntry {
         |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
         |    ELSE 0.0 END AS dup3_frac
         |FROM g JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // exclusive running token sum div budget; // is DuckDB floor
+    // division, equal to Spark's div on these non-negative sums
+    "token_pack" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH w AS (

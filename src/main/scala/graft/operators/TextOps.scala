@@ -199,6 +199,51 @@ object TextOps {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** Token-budgeted shard packing (the sequence-packing/sharding step
+    * before training): documents in doc_id order are assigned to
+    * contiguous shards of ~`budget` tokens — shard = exclusive running
+    * token sum div budget.
+    *
+    * The running sum is a GLOBAL prefix sum, which a naive
+    * `Window.orderBy` would execute in one task. This computes it as
+    * the classic distributed two-phase prefix sum instead: per-bucket
+    * token totals (one tiny row per `bucketSize` docs) are collected,
+    * exclusive-prefix-summed on the driver, and broadcast back as
+    * per-bucket offsets; each bucket then runs its own local window in
+    * parallel and adds its offset. Driver state is n_docs/bucketSize
+    * rows — size `bucketSize` so that stays thousands at any corpus.
+    */
+  def tokenPack(spark: SparkSession, dir: String, budget: Long = 2000L,
+      bucketSize: Long = 1000L): DataFrame =
+    tokenPackOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      budget, bucketSize)
+
+  /** [[tokenPack]] over an arbitrary (doc_id, text) relation. */
+  def tokenPackOf(docs: DataFrame, budget: Long = 2000L,
+      bucketSize: Long = 1000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select($"doc_id",
+        TextFns.whitespaceTokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val bucketTotals = d.groupBy($"bucket")
+      .agg(sum($"n_tokens").as("bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = bucketTotals.map(_._1)
+      .zip(bucketTotals.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = spark.createDataFrame(offsets).toDF("bucket", "off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("cum_excl",
+        sum($"n_tokens").over(w) + $"off" - $"n_tokens")
+      .select($"doc_id", $"n_tokens",
+        expr(s"cum_excl div $budget").as("shard_id"))
+      .orderBy($"doc_id")
+  }
+
   /** PII scrub + audit count per document (training-data hygiene):
     * emails and long digit runs replaced with stable tags, plus the
     * hit count a corpus audit reports. Pure regexp work from the

@@ -132,6 +132,27 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got(3L) == ((4, 4L, 2, 1, 1.0 - 1.0 / 2)))
   }
 
+  test("token packing: bucketed prefix sum == global window, any bucket size") {
+    val docs = Tables.widened(spark, Tables.documents(spark, sf))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val naive = docs.select($"doc_id",
+        TextFns.whitespaceTokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"n_tokens",
+        expr("(cum - n_tokens) div 2000").as("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    for (bs <- Seq(1L, 7L, 1000L)) {
+      val got = TextOps.tokenPackOf(docs, budget = 2000L, bucketSize = bs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == naive, s"bucketSize=$bs must not change the packing")
+    }
+    // shards are contiguous in doc_id order and start at 0
+    assert(naive.map(_._3).distinct == naive.map(_._3).distinct.sorted)
+    assert(naive.head._3 == 0L)
+  }
+
   test("tfidf top terms: integer ranking (tf desc, df asc, word asc)") {
     val docs = Seq(
       (1L, "rare common common"), // tf: common=2, rare=1; df: rare=1, common=2
