@@ -149,6 +149,22 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.count() > 0)
   }
 
+  test("tfidf broadcasts the vocabulary-sized df side") {
+    val p = plan(graft.operators.TextOps.tfidfTopTerms(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the df table is vocab-sized and must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("token packing windows are per-bucket, never one global task") {
+    val p = plan(graft.operators.TextOps.tokenPack(spark, sf))
+    assert("windowspecdefinition\\(bucket".r.findFirstIn(p).isDefined,
+      s"the running-sum window must partition by bucket:\n$p")
+    assert(!"windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined &&
+      !"windowspecdefinition\\(, ".r.findFirstIn(p).isDefined,
+      s"no unpartitioned (single-task) window allowed:\n$p")
+  }
+
   test("typed CountAvg aggregator matches built-in count/avg") {
     import spark.implicits._
     val r = Relational.ratings(spark, sf)
