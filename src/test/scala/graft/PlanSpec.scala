@@ -165,6 +165,20 @@ class PlanSpec extends AnyFunSuite {
       s"no unpartitioned (single-task) window allowed:\n$p")
   }
 
+  test("extensions expose float_dot/double_dot to SQL, same expression") {
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT double_dot(array(1.5d, 2.0d), array(3.0d, -0.5d)) AS d,
+        |  float_dot(CAST(array(1.5, 2.0) AS ARRAY<FLOAT>),
+        |            CAST(array(3.0, -0.5) AS ARRAY<FLOAT>)) AS f""".stripMargin)
+      .head()
+    assert(viaSql.getDouble(0) == 1.5 * 3.0 + 2.0 * -0.5)
+    assert(viaSql.getDouble(1) == 1.5 * 3.0 + 2.0 * -0.5)
+    // the production wiring path accepts the injector without error
+    new graft.plans.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("typed CountAvg aggregator matches built-in count/avg") {
     import spark.implicits._
     val r = Relational.ratings(spark, sf)
