@@ -165,6 +165,18 @@ class PlanSpec extends AnyFunSuite {
       s"no unpartitioned (single-task) window allowed:\n$p")
   }
 
+  test("round-4 ops prune untouched columns at the scan") {
+    val p1 = plan(graft.operators.TextOps.tokenPack(spark, sf))
+    assert(p1.contains("ReadSchema") && !p1.contains("n_chars") &&
+      !p1.contains("lang"), s"tokenPack must read only doc_id+text:\n$p1")
+    val p2 = plan(graft.operators.Similarity.labelCentroids(spark, sf))
+    assert(!p2.contains("vec_id"),
+      s"labelCentroids must read only label+embedding:\n$p2")
+    val p3 = plan(graft.operators.Temporal.asofAttributionQuery(spark, sf))
+    assert(!p3.contains("props"),
+      s"as-of attribution must not read the events props column:\n$p3")
+  }
+
   test("extensions expose float_dot/double_dot to SQL, same expression") {
     graft.plans.GraftExtensions.register(spark)
     val viaSql = spark.sql(
