@@ -81,6 +81,7 @@ object SparkEntry {
     "label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "orc_roundtrip" -> ((s, d) => graft.sources.Sources.orcRoundtrip(s, d)),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
+    "chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
@@ -642,6 +643,21 @@ object SparkEntry {
         |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
         |    ELSE 0.0 END AS dup3_frac
         |FROM g JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // 16-token windows, 4-token overlap (stride 12), mirrored from the
+    // Spark defaults; inclusive list slicing l[a:b] == slice(t, a, 16)
+    "chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0,
+        |      GREATEST(1, CAST(FLOOR((len(l) - 4 + 11) / 12.0) AS INT)) - 1),
+        |    i -> struct_pack(chunk_id := i,
+        |      chunk := array_to_string(l[i*12+1 : i*12+16], ' '),
+        |      n_tokens := LEAST(16, len(l) - i*12)))) AS c
+        |  FROM d)
+        |SELECT doc_id, CAST(c.chunk_id AS INT) AS chunk_id, c.chunk,
+        |  CAST(c.n_tokens AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // exclusive running token sum div budget; // is DuckDB floor
     // division, equal to Spark's div on these non-negative sums

@@ -199,6 +199,40 @@ object TextOps {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** Overlapping token-window chunking (the RAG / context-window prep
+    * step): each document becomes ceil((n − overlap) / stride) chunks
+    * of up to `chunkTokens` tokens, consecutive chunks sharing
+    * `overlap` tokens. Chunk construction is a pure HOF projection
+    * over the token array (no shuffle; the explode multiplies rows,
+    * not bytes read), so it parallelizes per input split at any scale.
+    */
+  def chunkDocs(spark: SparkSession, dir: String, chunkTokens: Int = 16,
+      overlap: Int = 4): DataFrame =
+    chunkDocsOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      chunkTokens, overlap)
+
+  /** [[chunkDocs]] over an arbitrary (doc_id, text) relation. */
+  def chunkDocsOf(docs: DataFrame, chunkTokens: Int = 16,
+      overlap: Int = 4): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      "need 0 <= overlap < chunkTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stride = chunkTokens - overlap
+    val t = TextFns.tokens($"text")
+    val n = size(t)
+    // at least one chunk per non-degenerate doc; last chunk may be short
+    val num = greatest(lit(1),
+      floor((n - lit(overlap) + lit(stride - 1)) / lit(stride)).cast("int"))
+    docs.select($"doc_id",
+        explode(transform(sequence(lit(0), num - 1), i =>
+          struct(i.as("chunk_id"),
+            concat_ws(" ", slice(t, i * stride + 1, lit(chunkTokens))).as("chunk"),
+            least(lit(chunkTokens), n - i * stride).as("n_tokens")))).as("c"))
+      .select($"doc_id", $"c.chunk_id", $"c.chunk", $"c.n_tokens")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** Token-budgeted shard packing (the sequence-packing/sharding step
     * before training): documents in doc_id order are assigned to
     * contiguous shards of ~`budget` tokens — shard = exclusive running

@@ -132,6 +132,28 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got(3L) == ((4, 4L, 2, 1, 1.0 - 1.0 / 2)))
   }
 
+  test("chunking: overlap windows reconstruct every document exactly") {
+    val docs = Tables.widened(spark, Tables.documents(spark, sf))
+    val (chunkTokens, overlap) = (16, 4)
+    val chunks = TextOps.chunkDocsOf(docs, chunkTokens, overlap).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == texts.keySet)
+    var multi = 0
+    for ((id, cs) <- chunks) {
+      // drop each later chunk's leading overlap, rejoin → original text
+      val rebuilt = (cs.head._3.split(" ", -1) ++ cs.tail.flatMap(
+        _._3.split(" ", -1).drop(overlap))).mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id must reconstruct")
+      assert(cs.map(_._2).toSeq == cs.indices.map(identity))
+      assert(cs.forall(c => c._4 == c._3.split(" ", -1).length))
+      if (cs.length > 1) multi += 1
+    }
+    assert(multi > 0, "fixture must exercise multi-chunk docs")
+  }
+
   test("token packing: bucketed prefix sum == global window, any bucket size") {
     val docs = Tables.widened(spark, Tables.documents(spark, sf))
     val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
