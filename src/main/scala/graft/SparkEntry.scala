@@ -82,6 +82,7 @@ object SparkEntry {
     "orc_roundtrip" -> ((s, d) => graft.sources.Sources.orcRoundtrip(s, d)),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
+    "vocab_oov" -> ((s, d) => TextOps.vocabOov(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
@@ -643,6 +644,23 @@ object SparkEntry {
         |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
         |    ELSE 0.0 END AS dup3_frac
         |FROM g JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // top-50 vocab by (cnt desc, word); OOV rate = one IEEE divide of
+    // exact integer counts
+    "vocab_oov" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), vocab AS (
+        |  SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1)
+        |  ORDER BY cnt DESC, word LIMIT 50
+        |), d AS (
+        |  SELECT w.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM w LEFT JOIN vocab v USING (word) GROUP BY w.doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // 16-token windows, 4-token overlap (stride 12), mirrored from the
     // Spark defaults; inclusive list slicing l[a:b] == slice(t, a, 16)

@@ -199,6 +199,32 @@ object TextOps {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** Vocabulary truncation + OOV audit (tokenizer prep): the corpus
+    * top-`v` words by (count desc, word), and each document's
+    * out-of-vocabulary token fraction against that vocabulary. The
+    * vocab is by construction tiny and broadcast; the OOV ratio is one
+    * IEEE divide of exact integer counts.
+    */
+  def vocabOov(spark: SparkSession, dir: String, v: Int = 50): DataFrame =
+    vocabOovOf(Tables.widened(spark, Tables.documents(spark, dir)), v)
+
+  /** [[vocabOov]] over an arbitrary (doc_id, text) relation. */
+  def vocabOovOf(docs: DataFrame, v: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+    val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word").limit(v).select($"word")
+    val perDoc = words.join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("word"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+    perDoc.select($"doc_id", $"n_tokens", $"n_oov",
+        ($"n_oov".cast("double") / $"n_tokens").as("oov_rate"))
+      .orderBy($"doc_id")
+  }
+
   /** Overlapping token-window chunking (the RAG / context-window prep
     * step): each document becomes ceil((n − overlap) / stride) chunks
     * of up to `chunkTokens` tokens, consecutive chunks sharing
