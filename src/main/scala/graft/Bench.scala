@@ -92,9 +92,10 @@ object Bench {
     // The per-query JSON above is one very long line; a tail-capture of
     // the run can truncate its head and lose the leading "value" field.
     // Re-state the headline numbers as short, final, machine-greppable
-    // lines so the total always survives any bounded capture.
+    // plain lines (NOT a second "metric" JSON record, which a parser
+    // aggregating metric lines would double-count).
     val totalNoSort = noSort.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_count":${best.size}}""")
+    println(f"BENCH_QUERIES_COUNT=${best.size}%d")
     println(f"BENCH_TOTAL_SECONDS=$total%.3f")
     println(f"BENCH_TOTAL_NOSORT_SECONDS=$totalNoSort%.3f")
     spark.stop()

@@ -265,13 +265,17 @@ object TextOps {
     * token sum div budget.
     *
     * The running sum is a GLOBAL prefix sum, which a naive
-    * `Window.orderBy` would execute in one task. This computes it as
-    * the classic distributed two-phase prefix sum instead: per-bucket
-    * token totals (one tiny row per `bucketSize` docs) are collected,
-    * exclusive-prefix-summed on the driver, and broadcast back as
-    * per-bucket offsets; each bucket then runs its own local window in
-    * parallel and adds its offset. Driver state is n_docs/bucketSize
-    * rows — size `bucketSize` so that stays thousands at any corpus.
+    * `Window.orderBy` would execute in one task over the whole corpus.
+    * This computes it as the classic distributed two-phase prefix sum:
+    * per-bucket local running sums in parallel (one shuffle on
+    * `bucket`), then an exclusive prefix over the per-bucket TOTALS —
+    * a relation of n_docs/bucketSize rows, small enough that its
+    * single-task window is free — broadcast back as offsets. The
+    * (doc_id, n_tokens, bucket) projection feeding both branches is
+    * cached (three longs per row — the text is pruned before caching),
+    * so the corpus is scanned and tokenized ONCE; like the Dedup *Of
+    * entry points, the block lives until the caller clears the session
+    * cache (Bench/Verify do per query).
     */
   def tokenPack(spark: SparkSession, dir: String, budget: Long = 2000L,
       bucketSize: Long = 1000L): DataFrame =
@@ -283,24 +287,23 @@ object TextOps {
       bucketSize: Long = 1000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val d = docs.select($"doc_id",
         TextFns.whitespaceTokenCount($"text").cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
-    val bucketTotals = d.groupBy($"bucket")
-      .agg(sum($"n_tokens").as("bt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = bucketTotals.map(_._1)
-      .zip(bucketTotals.map(_._2).scanLeft(0L)(_ + _))
-    val offDf = spark.createDataFrame(offsets).toDF("bucket", "off")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"bucket").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    d.join(broadcast(offDf), Seq("bucket"))
-      .withColumn("cum_excl",
-        sum($"n_tokens").over(w) + $"off" - $"n_tokens")
+      .cache()
+    val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive prefix over bucket totals: tiny by construction
+    val wBuckets = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy($"bucket").agg(sum($"n_tokens").as("bt"))
+      .withColumn("off", coalesce(sum($"bt").over(wBuckets), lit(0L)))
+      .select($"bucket", $"off")
+    d.withColumn("local_cum", sum($"n_tokens").over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
       .select($"doc_id", $"n_tokens",
-        expr(s"cum_excl div $budget").as("shard_id"))
+        expr(s"(local_cum + off - n_tokens) div $budget").as("shard_id"))
       .orderBy($"doc_id")
   }
 

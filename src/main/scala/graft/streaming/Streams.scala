@@ -153,6 +153,41 @@ object Streams {
       .trigger(trigger)
       .foreachBatch((batch: DataFrame, id: Long) => emit(wordCounts(batch), id))
 
+  /** Shared MemoryStream harness lifecycle for the driver-contract
+    * streaming queries: unique memory-sink name, temp checkpoint,
+    * optional stream-local state-partition override (saved and
+    * restored around `start`), and GUARANTEED query stop + checkpoint
+    * reclamation even when the feed fails mid-way — a failed
+    * `processAllAvailable` must not leave an orphaned streaming query
+    * holding state-store resources, nor litter tmp with checkpoints.
+    * Returns the memory-sink table name.
+    */
+  private[streaming] def runStreamToTable(spark: SparkSession,
+      prefix: String, statePartitions: Option[Int])(
+      start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): String = {
+    val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    try {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      statePartitions.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+      val q =
+        try start(name, ckpt.toString)
+        finally statePartitions.foreach(_ =>
+          spark.conf.set("spark.sql.shuffle.partitions", prev))
+      try feed(q) finally q.stop()
+      name
+    } finally {
+      // single-use checkpoint (memory sink can't recover anyway)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Driver-contract query (rows-only — streaming state is not SQL):
     * feed the corpus's decoded events through the real
     * flatMapGroupsWithState marker operator via MemoryStream and
@@ -160,7 +195,9 @@ object Streams {
     * within-user processing order (and hence exactly which trailing
     * events stay buffered) follows the batch's group iteration — the
     * operator's invariants (every flush ends at a marker, flushSeq
-    * increments per user) hold regardless.
+    * increments per user) hold regardless. State partitions stay at
+    * the session setting: the recorded row set depends on within-group
+    * input order, which must not shift between rounds.
     */
   def markerFlushQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -170,19 +207,12 @@ object Streams {
       .map(r => RateEvent(r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
     val in = MemoryStream[RateEvent](spark)
     in.addData(evs.toIndexedSeq)
-    val name = s"marker_flush_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
-    val q = MarkerBuffer.markerFlush(in.toDS())
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode(OutputMode.Append).start()
-    q.processAllAvailable()
-    q.stop()
-    // the checkpoint is single-use (memory sink); reclaim it now
-    // rather than letting repeated runs accumulate in tmp
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val name = runStreamToTable(spark, "marker_flush", None) { (n, ck) =>
+      MarkerBuffer.markerFlush(in.toDS())
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q => q.processAllAvailable() }
     spark.table(name).orderBy("userid", "flushSeq", "songid", "tag", "rating")
   }
 
@@ -205,36 +235,36 @@ object Streams {
       .orderBy($"ts", $"user_id").limit(2000).collect()
       .map(r => TimedEvent(r.getLong(0), r.getString(1),
         new java.sql.Timestamp(r.getLong(2) / 1000000L)))
+    if (evs.isEmpty)
+      return Seq.empty[(java.sql.Timestamp, java.sql.Timestamp, String, Long)]
+        .toDF("w_start", "w_end", "event_type", "count")
     val maxMs = evs.map(_.ts.getTime).max
     val in = MemoryStream[TimedEvent](spark)
-    val name = s"windowed_counts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
-    // state-store partition count is frozen per stream from this conf
-    // at start: 4 is plenty for the 2k-row harness feed and cuts the
-    // per-batch checkpoint fan-out 8× vs the session's batch setting
-    // (a production deployment sizes this to its key cardinality)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
+    // state partitions = 4: plenty for the 2k-row harness feed, 8× less
+    // per-batch checkpoint fan-out than the session's batch setting (a
+    // production deployment sizes this to its key cardinality)
+    val name = runStreamToTable(spark, "windowed_counts", Some(4)) { (n, ck) =>
       windowedEventCounts(in.toDF(), "ts", "event_type",
           windowLen = "1 hour", lateness = "30 seconds")
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt.toString)
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
         .outputMode(OutputMode.Append).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    in.addData(evs.toIndexedSeq)
-    q.processAllAvailable()
-    // sentinel 1 advances the watermark past the data; sentinel 2
-    // triggers the batch in which the last data windows are emitted
-    in.addData(TimedEvent(0, "sentinel", new java.sql.Timestamp(maxMs + 2 * 3600 * 1000L)))
-    q.processAllAvailable()
-    in.addData(TimedEvent(0, "sentinel", new java.sql.Timestamp(maxMs + 4 * 3600 * 1000L)))
-    q.processAllAvailable()
-    q.stop()
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } { q =>
+      in.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel 1 advances the watermark past the data; sentinel 2
+      // triggers the batch in which the last data windows are emitted
+      in.addData(TimedEvent(0, "sentinel",
+        new java.sql.Timestamp(maxMs + 2 * 3600 * 1000L)))
+      q.processAllAvailable()
+      in.addData(TimedEvent(0, "sentinel",
+        new java.sql.Timestamp(maxMs + 4 * 3600 * 1000L)))
+      q.processAllAvailable()
+    }
+    // sentinel 1's own window finalizes once sentinel 2 passes it —
+    // keep the synthetic rows out of the reported counts
     spark.table(name)
+      .filter($"event_type" =!= "sentinel")
       .select($"window.start".as("w_start"), $"window.end".as("w_end"),
         $"event_type", $"count")
       .orderBy($"w_start", $"event_type")

@@ -90,22 +90,16 @@ object TemporalState {
       .map(r => AsofIn(r.getLong(1), r.getLong(2),
         if (r.getString(4) == "click") 0 else 1, r.getLong(0), r.getDouble(3)))
     val in = MemoryStream[AsofIn](spark)
-    val name = s"asof_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      asofEnrich(in.toDS())
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode(OutputMode.Append).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    in.addData(ev.toIndexedSeq)
-    q.processAllAvailable()
-    q.stop()
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val name = Streams.runStreamToTable(spark, "asof_enrich", Some(4)) {
+      (n, ck) =>
+        asofEnrich(in.toDS())
+          .writeStream.format("memory").queryName(n)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Append).start()
+    } { q =>
+      in.addData(ev.toIndexedSeq)
+      q.processAllAvailable()
+    }
     spark.table(name)
       .select(col("event_id"), col("user_id"), col("tsu"), col("value"),
         col("click_id"), col("click_tsu"))
