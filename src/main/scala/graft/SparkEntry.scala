@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
@@ -130,6 +131,30 @@ object SparkEntry {
   /** Shared oracle fragments for vector search (double-cast embeddings
     * with precomputed norms — bit-identical to the Spark double fold).
     */
+  /** MinHash+LSH pair SQL (no trailing ORDER BY) — shared by the
+    * dedup_minhash_lsh oracle and, CTE-wrapped, by dedup_clusters.
+    */
+  private lazy val minhashPairsSql: String = {
+    import graft.operators.Dedup.{P, hashParams}
+    val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
+      s"min(((h % $P) * $a + $b) % $P) AS sig$j"
+    }.mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val p = (0 until 4).map(i => s"sig${b * 4 + i}")
+      s"SELECT doc_id, $b AS band, ${p(0)} * $P + ${p(1)} AS k1, ${p(2)} * $P + ${p(3)} AS k2 FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCtes,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |band AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM band x
+       |  JOIN band y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id)
+       |SELECT cand.da AS doc_a, cand.db AS doc_b,
+       |  CAST(c AS DOUBLE) / (x.sz + y.sz - c) AS jaccard
+       |FROM cand JOIN common ON cand.da = common.da AND cand.db = common.db
+       |JOIN sizes x ON cand.da = x.doc_id JOIN sizes y ON cand.db = y.doc_id""".stripMargin
+  }
+
   private val vecCtes =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
@@ -440,26 +465,26 @@ object SparkEntry {
          |WHERE CAST(c AS DOUBLE) / (x.sz + y.sz - c) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      import graft.operators.Dedup.{P, hashParams}
-      val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
-        s"min(((h % $P) * $a + $b) % $P) AS sig$j"
-      }.mkString(", ")
-      val bandRows = (0 until 4).map { b =>
-        val p = (0 until 4).map(i => s"sig${b * 4 + i}")
-        s"SELECT doc_id, $b AS band, ${p(0)} * $P + ${p(1)} AS k1, ${p(2)} * $P + ${p(3)} AS k2 FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $shingleCtes,
-         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-         |band AS (
-         |  $bandRows),
-         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM band x
-         |  JOIN band y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id)
-         |SELECT cand.da AS doc_a, cand.db AS doc_b,
-         |  CAST(c AS DOUBLE) / (x.sz + y.sz - c) AS jaccard
-         |FROM cand JOIN common ON cand.da = common.da AND cand.db = common.db
-         |JOIN sizes x ON cand.da = x.doc_id JOIN sizes y ON cand.db = y.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
+    "dedup_minhash_lsh" -> s"$minhashPairsSql\nORDER BY doc_a, doc_b",
+
+    // bounded min-label propagation over the minhash pairs, unrolled
+    // the SAME Dedup.ClusterRounds as the Spark loop (exact compare
+    // regardless of convergence; the spec asserts convergence)
+    "dedup_clusters" -> {
+      val rounds = graft.operators.Dedup.ClusterRounds
+      val steps = (1 to rounds).map(i =>
+        s"""l$i AS (SELECT s.dst AS node, MIN(l.label) AS label
+           |  FROM sym s JOIN l${i - 1} l ON s.src = l.node GROUP BY s.dst)"""
+          .stripMargin).mkString(",\n")
+      s"""WITH pairs AS ($minhashPairsSql),
+         |verts AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |  UNION ALL SELECT id, id FROM verts),
+         |l0 AS (SELECT id AS node, id AS label FROM verts),
+         |$steps
+         |SELECT node AS doc_id, label AS cluster_id FROM l$rounds
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dedup_simhash" -> {

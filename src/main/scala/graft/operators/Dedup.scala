@@ -208,6 +208,63 @@ object Dedup {
     jaccardOf(spark, common, sizes).orderBy($"doc_a", $"doc_b")
   }
 
+  /** Label-propagation rounds for [[clusterPairsOf]] — shared with the
+    * generated oracle SQL (both engines unroll the SAME count, so the
+    * compare is exact even before convergence; the spec asserts the
+    * corpus actually converges within this bound). Each unrolled round
+    * costs a fresh codegen'd join+agg stage, so the default stays at
+    * the smallest count the corpus's cluster diameter needs; callers
+    * with deeper chains pass a larger `rounds`.
+    */
+  val ClusterRounds = 4
+
+  /** Near-duplicate CLUSTER resolution: pair lists (from any of the
+    * dedup detectors) are only half the job — keeping one document per
+    * duplicate GROUP needs the transitive closure. Computed as bounded
+    * min-label propagation (the CCF / large-star shape): every node
+    * starts as its own label; each round, a node takes the min label
+    * among itself and its neighbors; after `rounds` ≥ the cluster
+    * diameter, each node's label is the smallest doc_id in its
+    * component — the canonical keeper. Each round is one
+    * partial-aggregatable (dst, min(label)) shuffle over the EDGE
+    * list, which is candidate-bounded by construction, so the whole
+    * pass scales with the number of near-dup pairs, not the corpus.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      rounds: Int = ClusterRounds): DataFrame =
+    clusterPairsOf(minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")),
+      rounds)
+
+  /** [[nearDupClusters]] over any (doc_a, doc_b) pair relation. */
+  def clusterPairsOf(pairs: DataFrame, rounds: Int = ClusterRounds): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // the symmetric+self-loop edge list is the loop's only repeated
+    // input — cache IT so neither the upstream detector pipeline nor
+    // the 3-way union replans per round (caller clears the session
+    // cache, as with the other *Of entry points)
+    val e = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val verts = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id"))).distinct()
+    val sym = e
+      .union(e.select($"dst".as("src"), $"src".as("dst")))
+      .union(verts.select($"id".as("src"), $"id".as("dst")))
+      .cache()
+    var labels = sym.filter($"src" === $"dst")
+      .select($"src".as("node"), $"src".as("label"))
+    for (i <- 0 until rounds) {
+      labels = sym.join(labels, $"src" === $"node")
+        .groupBy($"dst").agg(min($"label").as("label"))
+        .select($"dst".as("node"), $"label")
+      // truncate lineage between rounds (the GraphFrames iterative
+      // idiom): without this every round replans, re-codegens, and
+      // re-runs AQE over all prior rounds' stages
+      if (i < rounds - 1) labels = labels.localCheckpoint(true)
+    }
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   /** Benchmark decontamination — the standard pretraining hygiene
     * pass: flag corpus documents sharing at least one word n-gram
     * (default 8, the common contamination shingle size) with a

@@ -177,6 +177,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster resolution: transitive closure, min-id keeper, converged") {
+    import spark.implicits._
+    // chain 1-2-3 plus island 4-5: labels propagate across hops
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairsOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // the corpus pair graph must converge within ClusterRounds: one
+    // more round changes nothing
+    val corpus = Dedup.minhashLshOf(Tables.widened(spark, Tables.documents(spark, sf)))
+      .select($"doc_a", $"doc_b")
+    def labels(r: Int) = Dedup.clusterPairsOf(corpus, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(labels(Dedup.ClusterRounds) == labels(Dedup.ClusterRounds + 1))
+  }
+
   test("label centroids are exact fixed-point means") {
     import spark.implicits._
     val df = Seq(
