@@ -82,6 +82,7 @@ object SparkEntry {
     "label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "orc_roundtrip" -> ((s, d) => graft.sources.Sources.orcRoundtrip(s, d)),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
+    "shard_export" -> ((s, d) => TextOps.shardExport(s, d)),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
     "vocab_oov" -> ((s, d) => TextOps.vocabOov(s, d)),
     "media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
@@ -131,6 +132,21 @@ object SparkEntry {
   /** Shared oracle fragments for vector search (double-cast embeddings
     * with precomputed norms — bit-identical to the Spark double fold).
     */
+  /** Token-packing SQL — shared by token_pack and shard_export (the
+    * partitioned layout must be row-identical to the packing).
+    */
+  private val tokenPackSql =
+    """SELECT doc_id, n_tokens,
+      |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** MinHash+LSH pair SQL (no trailing ORDER BY) — shared by the
     * dedup_minhash_lsh oracle and, CTE-wrapped, by dedup_clusters.
     */
@@ -704,17 +720,11 @@ object SparkEntry {
 
     // exclusive running token sum div budget; // is DuckDB floor
     // division, equal to Spark's div on these non-negative sums
-    "token_pack" ->
-      """SELECT doc_id, n_tokens,
-        |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
-        |      ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+    "token_pack" -> tokenPackSql,
+
+    // the shard-partitioned parquet layout must preserve the packing
+    // row-for-row, so the same SQL is the oracle
+    "shard_export" -> tokenPackSql,
 
     "tfidf_top_terms" ->
       """WITH w AS (

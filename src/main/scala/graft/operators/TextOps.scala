@@ -307,6 +307,25 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The packing made real: write the token-packed corpus as a
+    * shard_id-partitioned parquet layout (one directory per training
+    * shard — the artifact a loader actually consumes) and read it
+    * back. Round-trips through the hive-partitioned writer, so the
+    * oracle (the plain packing SQL) also proves the layout preserves
+    * every row and value.
+    */
+  def shardExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scratch/shard_export_${spark.sparkContext.applicationId}").toString
+    tokenPack(spark, dir).write.mode("overwrite")
+      .partitionBy("shard_id").parquet(out)
+    // partition-column discovery types shard_id as INT; restore BIGINT
+    spark.read.parquet(out)
+      .select($"doc_id", $"n_tokens", $"shard_id".cast("long").as("shard_id"))
+      .orderBy($"doc_id")
+  }
+
   /** PII scrub + audit count per document (training-data hygiene):
     * emails and long digit runs replaced with stable tags, plus the
     * hit count a corpus audit reports. Pure regexp work from the

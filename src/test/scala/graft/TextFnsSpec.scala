@@ -132,6 +132,25 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got(3L) == ((4, 4L, 2, 1, 1.0 - 1.0 / 2)))
   }
 
+  test("approx percentile sketch stays within its rank-error bound vs exact") {
+    // the scale path for quantiles (exact percentile_approx(accuracy)
+    // is a GK sketch, mergeable/partial-aggregatable); its contract is
+    // a rank error of at most 1/accuracy — checked against the exact
+    // per-column quantiles the quantile_rating_levels oracle uses
+    val acc = 100
+    val vals = Tables.events(spark, sf).select($"value")
+    val n = vals.count()
+    val approx = vals.agg(expr(
+        s"percentile_approx(value, array(0.25, 0.5, 0.75), $acc)"))
+      .head().getSeq[Double](0)
+    val sorted = vals.collect().map(_.getDouble(0)).sorted
+    for ((q, a) <- Seq(0.25, 0.5, 0.75).zip(approx)) {
+      val rank = sorted.indexWhere(_ >= a) match { case -1 => n - 1; case i => i }
+      assert(math.abs(rank - q * n) <= n.toDouble / acc + 1,
+        s"q=$q approx=$a rank=$rank n=$n exceeds 1/$acc rank error")
+    }
+  }
+
   test("chunking: overlap windows reconstruct every document exactly") {
     val docs = Tables.widened(spark, Tables.documents(spark, sf))
     val (chunkTokens, overlap) = (16, 4)
