@@ -118,4 +118,46 @@ class PropertySpec extends AnyFunSuite {
       assert(dd.groupBy("u").count().filter($"count" > 1).count() == 0)
     }
   }
+
+  // unique (key, ts, ord) triples with negative and colliding timestamps
+  private val asofSide = Gen.listOfN(40,
+    Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(-20L, 20L)))
+
+  test("asofJoin equals an independent max_by formulation on random data") {
+    forAll(asofSide, asofSide) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "ts", "lid")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (k, t, 1000L + i) }.toDF("k", "rts", "rid")
+      val got = graft.operators.Temporal
+        .asofJoin(left, right, Seq("k"), "ts", "rts", "lid", "rid", Seq("rid"))
+        .select($"lid", $"asof_rid")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      // independent formulation: theta-join candidates, keep the
+      // (rts, rid)-max per left row, left-outer for unmatched
+      val naive = left.join(right, left("k") === right("k") &&
+            $"rts" <= $"ts", "left")
+        .groupBy($"lid")
+        .agg(max_by($"rid", struct($"rts", $"rid")).as("pick"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got == naive)
+    }
+  }
+
+  test("rangeJoin equals the theta join on random data incl. negative ts") {
+    forAll(asofSide, asofSide) { (as, bs) =>
+      val a = as.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "ts", "aid")
+      val b = bs.zipWithIndex
+        .map { case ((k, t), i) => (k, t, 1000L + i) }.toDF("k", "bts", "bid")
+      val tol = 3L
+      val got = graft.operators.Temporal
+        .rangeJoin(a, b, Seq("k"), "ts", "bts", tol, Seq("bid"))
+        .select($"aid", $"near_bid").as[(Long, Long)].collect()
+      val want = a.join(b, a("k") === b("k") && abs($"ts" - $"bts") <= tol)
+        .select($"aid", $"bid").as[(Long, Long)].collect()
+      assert(got.sorted.toSeq == want.sorted.toSeq,
+        "every in-tolerance pair exactly once, trunc-div buckets included")
+    }
+  }
 }
