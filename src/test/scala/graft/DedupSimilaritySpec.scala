@@ -193,6 +193,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(labels(Dedup.ClusterRounds) == labels(Dedup.ClusterRounds + 1))
   }
 
+  test("cluster resolution: empty pair list yields an empty typed result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.clusterPairsOf(empty)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(out.count() == 0)
+  }
+
+  test("cluster propagation rounds stay partial-aggregated, never cartesian") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val df = Dedup.clusterPairsOf(pairs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"per-round min must map-side combine:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"label propagation must stay an equi join:\n$p")
+  }
+
   test("label centroids are exact fixed-point means") {
     import spark.implicits._
     val df = Seq(
