@@ -81,6 +81,7 @@ object SparkEntry {
       graft.streaming.TemporalState.streamingAsofQuery(s, d)),
     "label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "orc_roundtrip" -> ((s, d) => graft.sources.Sources.orcRoundtrip(s, d)),
+    "merge_schema_read" -> ((s, d) => graft.sources.Sources.mergeSchemaRead(s, d)),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
     "shard_export" -> ((s, d) => TextOps.shardExport(s, d)),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
@@ -747,6 +748,14 @@ object SparkEntry {
 
     "orc_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+
+    // union schema with NULLs where a file generation lacks the column
+    "merge_schema_read" ->
+      """SELECT p_partkey, 1 AS gen, p_name, CAST(NULL AS INT) AS p_size
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 2 AS gen, CAST(NULL AS VARCHAR), p_size FROM part
+        |ORDER BY p_partkey, gen""".stripMargin,
 
     // fixed-point per-label mean embedding: quantized components sum to
     // exact integers in both engines, floor(sum/count) per dimension,

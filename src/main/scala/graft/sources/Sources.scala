@@ -137,6 +137,31 @@ object Sources {
     spark.read.orc(out).orderBy("p_partkey")
   }
 
+  /** Oracle-checked driver query: SCHEMA EVOLUTION read — two parquet
+    * file generations with different column sets (an old writer
+    * emitting (p_partkey, p_name), a newer one (p_partkey, p_size))
+    * land in one directory; `mergeSchema` reconciles them into the
+    * union schema with NULLs where a generation lacks the column.
+    * This is the mechanism that lets a 100 TB table add columns
+    * without rewriting history. A `gen` discriminator column makes
+    * the compare order total.
+    */
+  def mergeSchemaRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_scratch/merge_schema_${spark.sparkContext.applicationId}").toString
+    val part = graft.Tables.part(spark, dir)
+    part.select(part("p_partkey"), lit(1).as("gen"), part("p_name"))
+      .write.mode("overwrite").parquet(s"$out/g=1")
+    part.select(part("p_partkey"), lit(2).as("gen"), part("p_size"))
+      .write.mode("overwrite").parquet(s"$out/g=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/g=1", s"$out/g=2")
+      .select("p_partkey", "gen", "p_name", "p_size")
+      .orderBy("p_partkey", "gen")
+  }
+
   /** Oracle-checked driver query: events written to a hive-partitioned
     * layout (directory per event_type), read back through a
     * partition-key filter — the filter prunes whole directories at
