@@ -130,9 +130,6 @@ object SparkEntry {
        |           i -> ${h60(s"array_to_string(l[i:i+${n - 1}], ' ')")}) END AS ss
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)))""".stripMargin
 
-  /** Shared oracle fragments for vector search (double-cast embeddings
-    * with precomputed norms — bit-identical to the Spark double fold).
-    */
   /** Token-packing SQL — shared by token_pack and shard_export (the
     * partitioned layout must be row-identical to the packing).
     */
@@ -172,6 +169,9 @@ object SparkEntry {
        |JOIN sizes x ON cand.da = x.doc_id JOIN sizes y ON cand.db = y.doc_id""".stripMargin
   }
 
+  /** Shared oracle fragments for vector search (double-cast embeddings
+    * with precomputed norms — bit-identical to the Spark double fold).
+    */
   private val vecCtes =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin

@@ -250,8 +250,7 @@ object Dedup {
       .union(e.select($"dst".as("src"), $"src".as("dst")))
       .union(verts.select($"id".as("src"), $"id".as("dst")))
       .cache()
-    var labels = sym.filter($"src" === $"dst")
-      .select($"src".as("node"), $"src".as("label"))
+    var labels = verts.select($"id".as("node"), $"id".as("label"))
     for (i <- 0 until rounds) {
       labels = sym.join(labels, $"src" === $"node")
         .groupBy($"dst").agg(min($"label").as("label"))

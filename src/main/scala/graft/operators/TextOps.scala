@@ -316,8 +316,7 @@ object TextOps {
     */
   def shardExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_scratch/shard_export_${spark.sparkContext.applicationId}").toString
+    val out = graft.sources.Sources.scratchDir(spark, "shard_export")
     tokenPack(spark, dir).write.mode("overwrite")
       .partitionBy("shard_id").parquet(out)
     // partition-column discovery types shard_id as INT; restore BIGINT

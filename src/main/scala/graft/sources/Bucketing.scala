@@ -55,10 +55,10 @@ object Bucketing {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count, lit}
     // app-scoped names/paths: stable within a session (overwritten per
-    // run), distinct across concurrent Verify/Bench processes
+    // run), distinct across concurrent Verify/Bench processes,
+    // reclaimed at JVM exit by the shared scratch registry
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_scratch/bucket_join_$app").toString
+    val scratch = Sources.scratchDir(spark, "bucket_join")
     val li = graft.Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_quantity")
     val supp = li.groupBy($"l_suppkey")

@@ -68,6 +68,30 @@ object Sources {
     (tr, va, te)
   }
 
+  /** Scratch directory for a roundtrip/layout query: keyed by app id
+    * (stable within a session — overwritten per run, no temp-copy
+    * accumulation — yet distinct across concurrent Verify/Bench
+    * processes, which would otherwise race on one directory and read
+    * each other's partial output), and registered ONCE for recursive
+    * deletion at JVM exit so repeated runs don't accumulate corpus
+    * copies in tmp.
+    */
+  private val scratchRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def scratchDir(spark: SparkSession, name: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scratch/${name}_${spark.sparkContext.applicationId}").toString
+    if (scratchRegistered.add(p))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }))
+    p
+  }
+
   /** CSV sink (S12's to_csv sites): one header per part file, quoted
     * as needed — partition-parallel write.
     */
@@ -91,13 +115,7 @@ object Sources {
       StructField("p_type", StringType),
       StructField("p_size", IntegerType),
       StructField("p_retailprice", DoubleType)))
-    // scratch path keyed by application id: stable within one session
-    // (overwritten each run, no temp-copy accumulation) but distinct
-    // across concurrent Verify/Bench processes, which would otherwise
-    // race on the same directory and read each other's partial output
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_scratch/csv_roundtrip_${spark.sparkContext.applicationId}").toString
+    val out = scratchDir(spark, "csv_roundtrip")
     writeCsv(graft.Tables.part(spark, dir), out)
     csv(spark, out, schema).orderBy("p_partkey")
   }
@@ -115,9 +133,7 @@ object Sources {
       StructField("p_type", StringType),
       StructField("p_size", IntegerType),
       StructField("p_retailprice", DoubleType)))
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_scratch/json_roundtrip_${spark.sparkContext.applicationId}").toString
+    val out = scratchDir(spark, "json_roundtrip")
     writeJsonLines(graft.Tables.part(spark, dir), out)
     jsonLines(spark, out, Some(schema)).orderBy("p_partkey")
   }
@@ -130,9 +146,7 @@ object Sources {
     * no external one.
     */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_scratch/orc_roundtrip_${spark.sparkContext.applicationId}").toString
+    val out = scratchDir(spark, "orc_roundtrip")
     graft.Tables.part(spark, dir).write.mode("overwrite").orc(out)
     spark.read.orc(out).orderBy("p_partkey")
   }
@@ -148,9 +162,7 @@ object Sources {
     */
   def mergeSchemaRead(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_scratch/merge_schema_${spark.sparkContext.applicationId}").toString
+    val out = scratchDir(spark, "merge_schema")
     val part = graft.Tables.part(spark, dir)
     part.select(part("p_partkey"), lit(1).as("gen"), part("p_name"))
       .write.mode("overwrite").parquet(s"$out/g=1")
@@ -171,9 +183,7 @@ object Sources {
   def partitionPruneRoundtrip(spark: SparkSession, dir: String,
       keep: String = "click"): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_scratch/part_prune_${spark.sparkContext.applicationId}").toString
+    val out = scratchDir(spark, "part_prune")
     writePartitioned(
       graft.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("value"),

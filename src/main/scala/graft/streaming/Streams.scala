@@ -176,7 +176,16 @@ object Streams {
         try start(name, ckpt.toString)
         finally statePartitions.foreach(_ =>
           spark.conf.set("spark.sql.shuffle.partitions", prev))
-      try feed(q) finally q.stop()
+      // stop() can itself throw (e.g. a stop timeout on a wedged
+      // query) — keep the feed's root-cause exception primary and
+      // attach the stop failure as suppressed
+      try { feed(q); q.stop() } catch {
+        case t: Throwable =>
+          try q.stop() catch {
+            case s: Throwable if s ne t => t.addSuppressed(s)
+          }
+          throw t
+      }
       name
     } finally {
       // single-use checkpoint (memory sink can't recover anyway)
