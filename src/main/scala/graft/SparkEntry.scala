@@ -82,6 +82,7 @@ object SparkEntry {
     "label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "orc_roundtrip" -> ((s, d) => graft.sources.Sources.orcRoundtrip(s, d)),
     "merge_schema_read" -> ((s, d) => graft.sources.Sources.mergeSchemaRead(s, d)),
+    "pivot_event_counts" -> ((s, d) => Relational.pivotEventCounts(s, d)),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
     "shard_export" -> ((s, d) => TextOps.shardExport(s, d)),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
@@ -748,6 +749,16 @@ object SparkEntry {
 
     "orc_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+
+    // the declared-domain pivot IS this CASE-sum aggregate
+    "pivot_event_counts" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // union schema with NULLs where a file generation lacks the column
     "merge_schema_read" ->

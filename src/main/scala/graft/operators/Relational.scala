@@ -311,6 +311,25 @@ object Relational {
         $"l_quantity", $"running_qty")
   }
 
+  /** Pivot reshape (§2-beyond — long-to-wide, the reporting staple):
+    * per-user event counts with one column per event type. The pivot
+    * values are DECLARED (the fixed event-type domain), so Spark skips
+    * the extra distinct-values job and the plan is a single
+    * partial-aggregatable groupBy — exactly the CASE-sum form the
+    * oracle states. Unseen types yield zero columns; counts are longs.
+    */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type")
+      .groupBy($"user_id")
+      .pivot($"event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy($"user_id")
+  }
+
   /** A6 per-user quantile rating levels (music_ETL.ipynb cell 9): exact
     * interpolated 0.2/0.4/0.6/0.8 quantiles of `value` per user, then
     * the reference's >=-chain bucketing into levels 1–5. Exact
