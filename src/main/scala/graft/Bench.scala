@@ -98,6 +98,12 @@ object Bench {
     println(f"BENCH_QUERIES_COUNT=${best.size}%d")
     println(f"BENCH_TOTAL_SECONDS=$total%.3f")
     println(f"BENCH_TOTAL_NOSORT_SECONDS=$totalNoSort%.3f")
+    // ALSO a compact single-line JSON of totals only, for parsers that
+    // want a parseable JSON record: short enough that no tail-capture
+    // truncates it, and deliberately WITHOUT a "metric" key so a
+    // metric-line aggregator can't double-count it against the full
+    // record above.
+    println(f"""{"bench_total_seconds":$total%.3f,"bench_total_nosort_seconds":$totalNoSort%.3f,"n_queries":${best.size}%d,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

@@ -485,25 +485,30 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> s"$minhashPairsSql\nORDER BY doc_a, doc_b",
 
-    // bounded min-label propagation over the minhash pairs, unrolled
-    // the SAME Dedup.ClusterRounds as the Spark loop (exact compare
-    // regardless of convergence; the spec asserts convergence)
-    "dedup_clusters" -> {
-      val rounds = graft.operators.Dedup.ClusterRounds
-      val steps = (1 to rounds).map(i =>
-        s"""l$i AS (SELECT s.dst AS node, MIN(l.label) AS label
-           |  FROM sym s JOIN l${i - 1} l ON s.src = l.node GROUP BY s.dst)"""
-          .stripMargin).mkString(",\n")
+    // connected components over the minhash pairs as a recursive CTE:
+    // `reach` enumerates every (node, label) with a path label→node
+    // and label < node, so MIN(label) per node is the true component
+    // minimum — the genuine fixed point, independent of any round
+    // count. The Spark loop iterates min-label propagation (with
+    // pointer jumping) to its own DETECTED fixed point, so both sides
+    // converge to the same labels with no unroll parity to maintain.
+    // WITH RECURSIVE sits inside a derived table because DuckDB does
+    // not resolve the pair CTE's own nested WITH under a recursive
+    // WITH clause.
+    "dedup_clusters" ->
       s"""WITH pairs AS ($minhashPairsSql),
          |verts AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs
-         |  UNION ALL SELECT id, id FROM verts),
-         |l0 AS (SELECT id AS node, id AS label FROM verts),
-         |$steps
-         |SELECT node AS doc_id, label AS cluster_id FROM l$rounds
-         |ORDER BY doc_id""".stripMargin
-    },
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs)
+         |SELECT node AS doc_id, MIN(label) AS cluster_id FROM (
+         |  WITH RECURSIVE reach AS (
+         |    SELECT id AS node, id AS label FROM verts
+         |    UNION
+         |    SELECT s.dst AS node, r.label
+         |    FROM reach r JOIN sym s ON s.src = r.node
+         |    WHERE r.label < s.dst)
+         |  SELECT * FROM reach)
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       val bits = Dedup.SimhashBits; val bands = Dedup.SimhashBands
@@ -639,6 +644,20 @@ object SparkEntry {
         |  c.click_id, c.tsu AS click_tsu
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsu >= c.tsu
         |ORDER BY p.event_id""".stripMargin,
+
+    // the streaming tumbling-window counts, fed one batch + sentinel
+    // watermark marches, emit exactly the FINALIZED windows of the
+    // capped feed — i.e. a plain hour-bucketed GROUP BY. Bounds are
+    // epoch-µs BIGINTs on both sides (hour buckets are unaffected by
+    // the feed's ns→ms truncation); the // floor-div returns DOUBLE in
+    // DuckDB, hence the CAST (exact: epoch-µs < 2^53)
+    "streaming_windowed_counts" ->
+      s"""SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600000000 AS w_start_us,
+         |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600000000 + 3600000000 AS w_end_us,
+         |  event_type, COUNT(*) AS n_events
+         |FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
+         |GROUP BY 1, 2, 3
+         |ORDER BY w_start_us, event_type""".stripMargin,
 
     "range_join_nearby" ->
       """WITH e AS (

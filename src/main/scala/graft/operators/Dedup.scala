@@ -208,60 +208,122 @@ object Dedup {
     jaccardOf(spark, common, sizes).orderBy($"doc_a", $"doc_b")
   }
 
-  /** Label-propagation rounds for [[clusterPairsOf]] — shared with the
-    * generated oracle SQL (both engines unroll the SAME count, so the
-    * compare is exact even before convergence; the spec asserts the
-    * corpus actually converges within this bound). Each unrolled round
-    * costs a fresh codegen'd join+agg stage, so the default stays at
-    * the smallest count the corpus's cluster diameter needs; callers
-    * with deeper chains pass a larger `rounds`.
+  /** Hard cap on label-propagation rounds — a runaway guard, not a
+    * tuning knob: [[clusterPairsOf]] stops at its DETECTED fixed
+    * point, and with the pointer-jumping step each round roughly
+    * doubles the hop distance a label has travelled, so 50 rounds
+    * covers components of diameter ~2^49 — i.e. any graph that can
+    * physically exist.
     */
-  val ClusterRounds = 4
+  val MaxClusterRounds = 50
 
   /** Near-duplicate CLUSTER resolution: pair lists (from any of the
     * dedup detectors) are only half the job — keeping one document per
-    * duplicate GROUP needs the transitive closure. Computed as bounded
+    * duplicate GROUP needs the transitive closure. Computed as
     * min-label propagation (the CCF / large-star shape): every node
     * starts as its own label; each round, a node takes the min label
-    * among itself and its neighbors; after `rounds` ≥ the cluster
-    * diameter, each node's label is the smallest doc_id in its
-    * component — the canonical keeper. Each round is one
-    * partial-aggregatable (dst, min(label)) shuffle over the EDGE
-    * list, which is candidate-bounded by construction, so the whole
-    * pass scales with the number of near-dup pairs, not the corpus.
+    * among itself and its neighbors; at the fixed point each node's
+    * label is the smallest doc_id in its component — the canonical
+    * keeper. Each round is one partial-aggregatable (dst, min(label))
+    * shuffle over the EDGE list, which is candidate-bounded by
+    * construction, so the whole pass scales with the number of
+    * near-dup pairs, not the corpus.
     */
   def nearDupClusters(spark: SparkSession, dir: String,
-      rounds: Int = ClusterRounds): DataFrame =
+      maxRounds: Int = MaxClusterRounds): DataFrame =
     clusterPairsOf(minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")),
-      rounds)
+      maxRounds)
 
-  /** [[nearDupClusters]] over any (doc_a, doc_b) pair relation. */
-  def clusterPairsOf(pairs: DataFrame, rounds: Int = ClusterRounds): DataFrame = {
+  /** One propagation round: every node takes the min label among its
+    * in-neighbors on the symmetric+self-loop edge list. Kept as its
+    * own method so the plan-shape spec audits exactly the stage the
+    * loop repeats (partial-aggregated equi join, never cartesian).
+    */
+  private[graft] def propagateRound(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels, col("src") === col("node"))
+      .groupBy(col("dst")).agg(min(col("label")).as("label"))
+      .select(col("dst").as("node"), col("label"))
+
+  /** [[nearDupClusters]] over any (doc_a, doc_b) pair relation,
+    * iterated to a DETECTED fixed point rather than a fixed unroll —
+    * a fixed round count silently under-merges any component whose
+    * diameter exceeds it, and diameter is data-dependent at scale.
+    *
+    * Each round is neighbor-min propagation followed by one POINTER
+    * JUMP (a node re-reads the label of its own label — both steps
+    * keep every label ≤ the node and inside its component), so the
+    * hop distance a label has travelled roughly doubles per round:
+    * convergence in O(log diameter) rounds, the PRAM
+    * pointer-doubling / CCF bound, instead of O(diameter) — at 100 TB
+    * a duplicate chain of 10^4 documents resolves in ~15 rounds, not
+    * 10^4.
+    *
+    * Detection is one tiny aggregate per round, no join against the
+    * previous labels: both steps can only ever DECREASE a label, so
+    * the exact integer label sum is a strictly monotone potential —
+    * an unchanged sum IS the fixed point. The sum runs over the
+    * round's already-materialized checkpoint (decimal(38,0): sums of
+    * 10^9 vertices × 10^10 ids overflow a long, never a 38-digit
+    * decimal).
+    */
+  def clusterPairsOf(pairs: DataFrame,
+      maxRounds: Int = MaxClusterRounds): DataFrame =
+    clusterPairsCounted(pairs, maxRounds)._1
+
+  /** [[clusterPairsOf]] plus the number of propagation rounds actually
+    * executed (spec hook for convergence assertions).
+    */
+  private[graft] def clusterPairsCounted(pairs: DataFrame,
+      maxRounds: Int = MaxClusterRounds): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // the symmetric+self-loop edge list is the loop's only repeated
-    // input — cache IT so neither the upstream detector pipeline nor
-    // the 3-way union replans per round (caller clears the session
-    // cache, as with the other *Of entry points)
+    // materialize the pair list ONCE and drop its lineage: verts, the
+    // symmetric edge list, and the initial labels all re-read this
+    // relation, and without truncation every read re-runs the entire
+    // upstream detector (minhash: shingle → signature → band join →
+    // verify) — measured as ~4× the detector's cost inside one query
+    // in the round-4 bench. The pair list itself is candidate-bounded
+    // and tiny relative to the corpus, so the checkpoint is cheap.
     val e = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .localCheckpoint(true)
     val verts = e.select($"src".as("id"))
       .union(e.select($"dst".as("id"))).distinct()
     val sym = e
       .union(e.select($"dst".as("src"), $"src".as("dst")))
       .union(verts.select($"id".as("src"), $"id".as("dst")))
       .cache()
+    def labelSum(df: DataFrame): BigDecimal = {
+      val s = df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) BigDecimal(0) else BigDecimal(s)
+    }
     var labels = verts.select($"id".as("node"), $"id".as("label"))
-    for (i <- 0 until rounds) {
-      labels = sym.join(labels, $"src" === $"node")
-        .groupBy($"dst").agg(min($"label").as("label"))
-        .select($"dst".as("node"), $"label")
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val prop = propagateRound(sym, labels)
+      // pointer jump: re-read the (previous, checkpointed) label OF
+      // the label. Every propagated label IS a node of the labels
+      // frame (propagation mins over existing labels; the self-loop
+      // keeps every node present), so the inner join is total, and
+      // l_prev(x) <= x keeps the step monotone and in-component. If
+      // a label has travelled k hops, propagate makes it k+1 and the
+      // jump composes another k: reach ~doubles per round — this is
+      // what turns O(diameter) rounds into O(log diameter).
+      val jumped = prop.as("c").join(labels.as("p"), $"c.label" === $"p.node")
+        .select($"c.node".as("node"), $"p.label".as("label"))
       // truncate lineage between rounds (the GraphFrames iterative
       // idiom): without this every round replans, re-codegens, and
       // re-runs AQE over all prior rounds' stages
-      if (i < rounds - 1) labels = labels.localCheckpoint(true)
+      labels = jumped.localCheckpoint(true)
+      rounds += 1
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
     }
-    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
-      .orderBy($"doc_id")
+    (labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id"), rounds)
   }
 
   /** Benchmark decontamination — the standard pretraining hygiene

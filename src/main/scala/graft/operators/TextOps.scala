@@ -266,11 +266,12 @@ object TextOps {
     *
     * The running sum is a GLOBAL prefix sum, which a naive
     * `Window.orderBy` would execute in one task over the whole corpus.
-    * This computes it as the classic distributed two-phase prefix sum:
-    * per-bucket local running sums in parallel (one shuffle on
-    * `bucket`), then an exclusive prefix over the per-bucket TOTALS —
-    * a relation of n_docs/bucketSize rows, small enough that its
-    * single-task window is free — broadcast back as offsets. The
+    * This computes it as the classic distributed multi-level prefix
+    * sum: per-bucket local running sums in parallel (one shuffle on
+    * `bucket`), an exclusive prefix over the per-bucket TOTALS —
+    * itself two-level over super-buckets, so the one remaining
+    * single-task window sees n_docs/bucketSize² rows — broadcast back
+    * as offsets. The
     * (doc_id, n_tokens, bucket) projection feeding both branches is
     * cached (three longs per row — the text is pruned before caching),
     * so the corpus is scanned and tokenized ONCE; like the Dedup *Of
@@ -294,12 +295,27 @@ object TextOps {
       .cache()
     val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // exclusive prefix over bucket totals: tiny by construction
-    val wBuckets = Window.orderBy($"bucket")
+    // exclusive prefix over the bucket totals, computed with the SAME
+    // two-level trick one more time (super-buckets of bucketSize
+    // buckets): the only single-task window left runs over the
+    // super-bucket totals — n_docs/bucketSize² rows, i.e. 10 rows for
+    // 10^10 docs at the default — so no stage is a one-task funnel at
+    // ANY scale. Exclusive prefix sums regroup exact long additions,
+    // so the result is bit-identical to the flat global window (the
+    // property spec asserts exactly that equality).
+    val wBucketLocal = Window.partitionBy($"b2").orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy($"bucket").agg(sum($"n_tokens").as("bt"))
-      .withColumn("off", coalesce(sum($"bt").over(wBuckets), lit(0L)))
-      .select($"bucket", $"off")
+    val wSuper = Window.orderBy($"b2")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bt = d.groupBy($"bucket").agg(sum($"n_tokens").as("bt"))
+      .withColumn("b2", expr(s"bucket div $bucketSize"))
+    val superOff = bt.groupBy($"b2").agg(sum($"bt").as("b2t"))
+      .withColumn("off2", coalesce(sum($"b2t").over(wSuper), lit(0L)))
+      .select($"b2", $"off2")
+    val offsets = bt
+      .withColumn("lo", coalesce(sum($"bt").over(wBucketLocal), lit(0L)))
+      .join(broadcast(superOff), Seq("b2"))
+      .select($"bucket", ($"lo" + $"off2").as("off"))
     d.withColumn("local_cum", sum($"n_tokens").over(wLocal))
       .join(broadcast(offsets), Seq("bucket"))
       .select($"doc_id", $"n_tokens",

@@ -225,28 +225,44 @@ object Streams {
     spark.table(name).orderBy("userid", "flushSeq", "songid", "tag", "rating")
   }
 
-  /** Driver-contract query (rows-only — the emission set is watermark
-    * state, not a function of the input relation alone): event-time
+  /** Deterministic event_id cap for driver-fed streaming harness
+    * queries, shared with the generated oracle SQL: a set-based
+    * predicate (unlike ORDER BY/LIMIT, whose tie-breaking at the cut
+    * could differ across engines) guarantees both engines see exactly
+    * the same feed rows. A no-op at the driver's sf0.01; bounds the
+    * MemoryStream collect at larger SFs.
+    */
+  val HarnessFeedCap = 10000L
+
+  /** Driver-contract query with a FULL DuckDB oracle: event-time
     * tumbling-window counts with a REAL watermark lifecycle under the
     * driver. The corpus events arrive as one micro-batch; two
     * far-future sentinel batches then march the watermark past every
     * data window, so Append mode emits exactly the FINALIZED
     * (window, event_type) counts — late-data eviction and bounded
-    * state, exercised end-to-end, not just in spec.
+    * state, exercised end-to-end. Because the emitted set is exactly
+    * the finalized tumbling windows of the capped feed, a plain
+    * epoch-µs-bucketed GROUP BY over the same rows states the oracle;
+    * window bounds are emitted as epoch-µs BIGINTs so the compare
+    * never hashes engine-specific timestamp encodings.
     */
   def windowedCountsQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    // events.ts is nanos-since-epoch (TESTDATA note); ordered + capped
-    // feed like markerFlushQuery's — the harness edge, not the operator
+    // events.ts is nanos-since-epoch (TESTDATA note). The feed cap is
+    // the same DETERMINISTIC event_id predicate streaming_asof_enrich
+    // mirrors in its oracle (an ORDER BY/LIMIT cap could tie-break
+    // differently across engines); order within the batch is fixed for
+    // reproducibility but can't affect the finalized counts.
     val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
       .select($"user_id", $"event_type", $"ts")
-      .orderBy($"ts", $"user_id").limit(2000).collect()
+      .orderBy($"ts", $"user_id").collect()
       .map(r => TimedEvent(r.getLong(0), r.getString(1),
         new java.sql.Timestamp(r.getLong(2) / 1000000L)))
     if (evs.isEmpty)
-      return Seq.empty[(java.sql.Timestamp, java.sql.Timestamp, String, Long)]
-        .toDF("w_start", "w_end", "event_type", "count")
+      return Seq.empty[(Long, Long, String, Long)]
+        .toDF("w_start_us", "w_end_us", "event_type", "n_events")
     val maxMs = evs.map(_.ts.getTime).max
     val in = MemoryStream[TimedEvent](spark)
     // state partitions = 4: plenty for the 2k-row harness feed, 8× less
@@ -271,12 +287,15 @@ object Streams {
       q.processAllAvailable()
     }
     // sentinel 1's own window finalizes once sentinel 2 passes it —
-    // keep the synthetic rows out of the reported counts
+    // keep the synthetic rows out of the reported counts. Hour windows
+    // are second-aligned, so timestamp→long (epoch seconds) ×1e6 is
+    // the exact epoch-µs bound the oracle computes from epoch_us(ts).
     spark.table(name)
       .filter($"event_type" =!= "sentinel")
-      .select($"window.start".as("w_start"), $"window.end".as("w_end"),
-        $"event_type", $"count")
-      .orderBy($"w_start", $"event_type")
+      .select(($"window.start".cast("long") * 1000000L).as("w_start_us"),
+        ($"window.end".cast("long") * 1000000L).as("w_end_us"),
+        $"event_type", $"count".as("n_events"))
+      .orderBy($"w_start_us", $"event_type")
   }
 
   /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):

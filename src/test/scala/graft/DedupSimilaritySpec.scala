@@ -184,13 +184,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val got = Dedup.clusterPairsOf(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
-    // the corpus pair graph must converge within ClusterRounds: one
-    // more round changes nothing
+    // the corpus labels are a genuine fixed point: re-running the loop
+    // from the returned labels changes nothing (detection, not unroll)
     val corpus = Dedup.minhashLshOf(Tables.widened(spark, Tables.documents(spark, sf)))
       .select($"doc_a", $"doc_b")
-    def labels(r: Int) = Dedup.clusterPairsOf(corpus, r).collect()
+    val (df, rounds) = Dedup.clusterPairsCounted(corpus)
+    val labels = df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(rounds < Dedup.MaxClusterRounds, "corpus must converge before the cap")
+    val again = Dedup.clusterPairsOf(corpus).collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
-    assert(labels(Dedup.ClusterRounds) == labels(Dedup.ClusterRounds + 1))
+    assert(labels == again)
+  }
+
+  test("cluster resolution: diameter-100 chain fully merges to one component") {
+    import spark.implicits._
+    // the case a fixed unroll fails: a literal chain 0-1-2-...-100 where
+    // each doc near-dups only its neighbor. Min-label propagation needs
+    // rounds ≈ the diameter; the detected fixed point must land every
+    // node on label 0, and must do so in more rounds than the old
+    // 4-round unroll ever ran (proving the loop really is dynamic).
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (df, rounds) = Dedup.clusterPairsCounted(chain)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 101)
+    assert(got.forall(_._2 == 0L), s"under-merged: ${got.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds > 4, s"a 100-hop chain cannot converge in 4 rounds (ran $rounds)")
+    assert(rounds <= Dedup.MaxClusterRounds)
   }
 
   test("cluster resolution: empty pair list yields an empty typed result") {
@@ -203,10 +222,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("cluster propagation rounds stay partial-aggregated, never cartesian") {
     import spark.implicits._
+    // the loop checkpoints each round, so the RETURNED frame's plan is
+    // a checkpoint scan — audit the repeated round stage itself: the
+    // propagate join+agg plus the pointer-jump self-join
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
-    val df = Dedup.clusterPairsOf(pairs)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    val e = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val verts = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .union(verts.select($"id".as("src"), $"id".as("dst")))
+    val labels = verts.select($"id".as("node"), $"id".as("label"))
+    val prop = Dedup.propagateRound(sym, labels)
+    val round = prop.as("c").join(labels.as("p"), $"c.label" === $"p.node")
+      .select($"c.node".as("node"), $"p.label".as("label"))
+    round.collect()
+    val p = round.queryExecution.executedPlan.toString
     assert(p.contains("partial_min") || p.contains("partial_"),
       s"per-round min must map-side combine:\n$p")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
