@@ -94,6 +94,9 @@ object SparkEntry {
     "csv_roundtrip" -> ((s, d) => graft.sources.Sources.csvRoundtrip(s, d)),
     "json_roundtrip" -> ((s, d) => graft.sources.Sources.jsonRoundtrip(s, d)),
     "partition_prune" -> ((s, d) => graft.sources.Sources.partitionPruneRoundtrip(s, d)),
+    "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
+    "embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -950,5 +953,42 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // per-language downsample to the rarest language's count: the keep
+    // test h % n_stratum < quota is pure integer arithmetic, so both
+    // engines agree exactly; the "mix:" salt decorrelates membership
+    // from hash_split's md5 of the bare doc_id
+    "mixture_rebalance" ->
+      s"""WITH c AS (SELECT lang AS stratum, COUNT(*) AS n_stratum
+         |  FROM documents GROUP BY lang),
+         |q AS (SELECT MIN(n_stratum) AS quota FROM c),
+         |d AS (SELECT doc_id, lang AS stratum FROM documents)
+         |SELECT doc_id, stratum, n_stratum, quota
+         |FROM d JOIN c USING (stratum) CROSS JOIN q
+         |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % n_stratum < quota
+         |ORDER BY doc_id""".stripMargin,
+
+    // int8 codes are floor((x·127)/mx) on exact float→double values —
+    // the same IEEE op sequence in both engines; ';'-joined because
+    // the compare can't hash arrays
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
+        |SELECT vec_id, mx AS max_abs,
+        |  CASE WHEN mx = 0
+        |    THEN array_to_string(list_transform(v, x -> '0'), ';')
+        |    ELSE array_to_string(list_transform(v, x ->
+        |      CAST(CAST(floor(x * 127 / mx) AS BIGINT) AS VARCHAR)), ';')
+        |  END AS codes
+        |FROM m ORDER BY vec_id""".stripMargin,
+
+    // the incremental detector emits exactly the full detector's pairs
+    // that touch the new batch (doc_id % 10 = 0), with identical
+    // verified jaccards — the oracle states it as that filter
+    "dedup_incremental" ->
+      s"""WITH p AS ($minhashPairsSql)
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

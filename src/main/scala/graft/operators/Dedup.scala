@@ -155,6 +155,25 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (doc_id, band, k1, k2) band keys from a minhash signature frame:
+    * each band's 4 sigs (< P < 2^31) pack into two BIGINT join keys
+    * (s0·P+s1, s2·P+s3), so every candidate join shuffles 16 bytes per
+    * band row, no string keys anywhere. Shared by the full self-join
+    * detector and the incremental (new-batch) variant.
+    */
+  private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => col(s"sig${b * r + i}"))
+      val k1 = parts(0) * P + parts(1)
+      val k2 = parts(2) * P + parts(3)
+      struct(lit(b).as("band"), k1.as("k1"), k2.as("k2"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+  }
+
   /** MinHash+LSH candidate pairs with verified Jaccard. bands=4 bands of
     * r=4 rows over 16 hashes; a pair is a candidate iff all 4 sigs of
     * some band agree. Each band's 4 sigs (< P < 2^31) pack into two
@@ -177,28 +196,28 @@ object Dedup {
     import spark.implicits._
     require(numHashes == bands * 4,
       s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
-    val r = numHashes / bands
     val sh = shingleSetOf(docs, n).cache()
     val sigs = minhashSigs(sh, numHashes).cache()
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until r).map(i => col(s"sig${b * r + i}"))
-      val k1 = parts(0) * P + parts(1)
-      val k2 = parts(2) * P + parts(3)
-      struct(lit(b).as("band"), k1.as("k1"), k2.as("k2"))
-    }
-    val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.k1".as("k1"), $"bk.k2".as("k2"))
+    val banded = bandKeys(sigs, numHashes, bands)
     val cand = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.k1" === $"y.k1" && $"x.k2" === $"y.k2" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
+    verifyCandidates(cand, sh, sigs, maxDf)
+  }
+
+  /** Verify ONLY candidate pairs (this is the point of LSH: the
+    * all-pairs shared-shingle join never happens). Candidates are few,
+    * so the shingle joins touch O(|cand| * shingles/doc) rows — and
+    * the df cap bounds the (doc, h)-keyed match side the same way it
+    * bounds the jaccard inverted index.
+    */
+  private def verifyCandidates(cand: DataFrame, sh: DataFrame,
+      sigs: DataFrame, maxDf: Long): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
     val sizes = sigs.select($"doc_id", $"sz")
-    // verify ONLY candidate pairs (this is the point of LSH: the
-    // all-pairs shared-shingle join never happens). Candidates are few,
-    // so the shingle joins below touch O(|cand| * shingles/doc) rows —
-    // and the df cap bounds the (doc, h)-keyed match side the same way
-    // it bounds the jaccard inverted index.
     val shc = capDf(sh, maxDf)
     val common = cand
       .join(shc.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a"))
@@ -206,6 +225,46 @@ object Dedup {
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("common"))
     jaccardOf(spark, common, sizes).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** INCREMENTAL near-dup detection — the shape a production corpus
+    * actually runs day to day: a new ingest batch is checked against
+    * the standing corpus (and itself) without ever re-joining the
+    * standing corpus against itself. The candidate join is
+    * new-side × all-sides on the same packed band keys, so its cost is
+    * O(|new| · bands) probe rows against the (bucketed, incrementally
+    * maintainable) band index — at 100 TB the daily batch is GBs, not
+    * the corpus. Emits exactly the [[minhashLsh]] pairs that touch at
+    * least one new document, with identical verified jaccards; pair
+    * orientation is normalized (least, greatest) because the new doc
+    * may be either side.
+    */
+  def minhashIncremental(spark: SparkSession, dir: String,
+      newMod: Long = 10L, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    minhashIncrementalOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      col("doc_id") % newMod === 0, n, numHashes, bands, maxDf)
+
+  /** [[minhashIncremental]] over any (doc_id, text) relation; `isNew`
+    * is a predicate over doc_id marking the fresh batch.
+    */
+  def minhashIncrementalOf(docs: DataFrame, isNew: Column, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes == bands * 4,
+      s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
+    val sh = shingleSetOf(docs, n).cache()
+    val sigs = minhashSigs(sh, numHashes).cache()
+    val banded = bandKeys(sigs, numHashes, bands)
+    val cand = banded.filter(isNew).as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.k1" === $"y.k1" && $"x.k2" === $"y.k2" &&
+          $"x.doc_id" =!= $"y.doc_id")
+      .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
+        greatest($"x.doc_id", $"y.doc_id").as("doc_b"))
+      .distinct()
+    verifyCandidates(cand, sh, sigs, maxDf)
   }
 
   /** Hard cap on label-propagation rounds — a runaway guard, not a

@@ -193,6 +193,37 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Per-vector symmetric int8 quantization — the storage step that
+    * makes a 100 TB embedding store tractable (4× smaller than float32
+    * and SIMD-friendly for the ANN scan): code_i = floor(v_i · 127 /
+    * max|v|), codes in [-127, 127], plus the per-vector max-abs scale
+    * a reader needs to dequantize. An all-zero vector has no scale and
+    * quantizes to all-zero codes.
+    *
+    * Pure projection (HOFs inside whole-stage codegen, zero shuffles —
+    * the sort is presentation only). Cross-engine exact: float→double
+    * casts are exact, the max-abs compare is exact, and
+    * (x·127)/mx + floor is the same IEEE double op sequence the oracle
+    * states in DuckDB. Codes are ';'-joined because the driver compare
+    * can't hash arrays.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8Of(Tables.embeddings(spark, dir))
+
+  /** [[quantizeInt8]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def quantizeInt8Of(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vd = $"embedding".cast("array<double>")
+    val mx = array_max(transform(vd, x => abs(x)))
+    val codes = when(mx === 0d,
+        transform(vd, _ => lit(0L)))
+      .otherwise(transform(vd, x => floor(x * lit(127d) / mx)))
+    embeddings.select($"vec_id", mx.as("max_abs"),
+      array_join(transform(codes, c => c.cast("string")), ";").as("codes"))
+      .orderBy($"vec_id")
+  }
+
   /** Centroids collected to the driver, ascending cent_id (the argmax
     * tie order). Coarse-quantizer centroid sets are tiny by
     * construction (k = n/centroidEvery here, k ≈ √n in production

@@ -373,6 +373,43 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic data-mixture rebalancing: downsample every stratum
+    * (here: language — the corpus's genuinely skewed dimension, en ≈
+    * 3× the rest) to the rarest stratum's share, the standard step
+    * before training on a multi-source corpus so one slice doesn't
+    * drown the rest.
+    *
+    * A doc survives iff hash(doc_id) % n_stratum < quota, where quota
+    * is the smallest per-stratum count: the keep probability is the
+    * EXACT integer fraction quota/n_stratum — no float rates, no RNG
+    * state, and a doc's fate is a pure function of its id (stable
+    * across runs, re-shards, and engines). The decision hash is salted
+    * with its own key-space prefix ("mix:") so membership is
+    * independent of [[hashSplit]]'s train/val/test assignment — the
+    * same md5 would otherwise correlate the two decisions.
+    *
+    * Scale shape: one partial-aggregatable count per stratum (strata
+    * number in the hundreds at any scale), broadcast back — the corpus
+    * itself is filtered in place as a pure projection, never shuffled.
+    */
+  def mixtureRebalance(spark: SparkSession, dir: String): DataFrame =
+    mixtureRebalanceOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("stratum")))
+
+  /** [[mixtureRebalance]] over any (doc_id, stratum) relation. */
+  def mixtureRebalanceOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy($"stratum").agg(count(lit(1)).as("n_stratum"))
+    val quota = counts.agg(min($"n_stratum").as("quota"))
+    docs.join(broadcast(counts), Seq("stratum"))
+      .crossJoin(broadcast(quota))
+      .filter(Dedup.hash60(concat(lit("mix:"), $"doc_id".cast("string")))
+        % $"n_stratum" < $"quota")
+      .select($"doc_id", $"stratum", $"n_stratum", $"quota")
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprint (min-MD5 over 5-gram shingles). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -242,6 +242,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"label propagation must stay an equi join:\n$p")
   }
 
+  test("incremental minhash == full detector filtered to pairs touching the new batch") {
+    import spark.implicits._
+    val docs = Tables.widened(spark, Tables.documents(spark, sf))
+    val newMod = 10L
+    val full = Dedup.minhashLshOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 % newMod == 0 || p._2 % newMod == 0).toSet
+    val inc = Dedup.minhashIncrementalOf(docs, $"doc_id" % newMod === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, "incremental must emit exactly the touching-new subset")
+    // and it must emit SOMETHING here, or the property is vacuous
+    assert(inc.nonEmpty)
+  }
+
+  test("int8 quantization: codes bounded, scale hit exactly, zero vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -2.0f, 1.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)), // no scale: all-zero codes
+      (3L, Seq(3.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8Of(vecs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 2.0, "31;-127;63"), (2L, 0.0, "0;0;0"),
+      (3L, 3.0, "127")))
+    // corpus-wide: every code in [-127, 127] and the max-abs component
+    // always maps to ±127 (the scale is tight)
+    val all = Similarity.quantizeInt8(spark, sf).collect().map { r =>
+      r.getString(2).split(";").map(_.toLong)
+    }
+    assert(all.forall(_.forall(c => c >= -127 && c <= 127)))
+    assert(all.forall(cs => cs.exists(c => math.abs(c) == 127)))
+  }
+
   test("label centroids are exact fixed-point means") {
     import spark.implicits._
     val df = Seq(

@@ -194,6 +194,34 @@ class TextFnsSpec extends AnyFunSuite {
     assert(naive.head._3 == 0L)
   }
 
+  test("mixture rebalance: rarest stratum survives whole, skewed ones shrink") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang".as("stratum"))
+    val counts = docs.groupBy($"stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = counts.values.min
+    val kept = TextOps.mixtureRebalanceOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keptByStratum = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // h % n < quota is ALWAYS true when n == quota: the rarest stratum
+    // is kept in full, every other stratum shrinks toward quota
+    val rarest = counts.minBy(_._2)._1
+    assert(keptByStratum(rarest) == quota)
+    counts.foreach { case (s, n) =>
+      assert(keptByStratum.getOrElse(s, 0L) <= n)
+    }
+    // the corpus IS skewed (en ~3x), so the hash gate must actually
+    // drop documents — the property is not vacuous on this data
+    val dominant = counts.maxBy(_._2)
+    assert(dominant._2 > quota, "corpus must be skewed for this test to bite")
+    assert(keptByStratum(dominant._1) < dominant._2,
+      "the dominant stratum must actually downsample")
+    // membership is a pure function of doc_id: a second run is identical
+    val again = TextOps.mixtureRebalanceOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSeq == again.toSeq)
+  }
+
   test("tfidf top terms: integer ranking (tf desc, df asc, word asc)") {
     val docs = Seq(
       (1L, "rare common common"), // tf: common=2, rare=1; df: rare=1, common=2
