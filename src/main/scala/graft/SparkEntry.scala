@@ -97,6 +97,8 @@ object SparkEntry {
     "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
     "embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d)),
+    "streaming_join_attribution" -> ((s, d) =>
+      graft.streaming.Streams.streamStreamJoinQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -981,6 +983,22 @@ object SparkEntry {
         |      CAST(CAST(floor(x * 127 / mx) AS BIGINT) AS VARCHAR)), ';')
         |  END AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // an INNER stream-stream join emits each match in the batch that
+    // completes it (watermarks only bound state), so the one-batch
+    // harness feed emits exactly this time-bounded theta join; the
+    // // 1000 floor mirrors the feed's ns→ms truncation
+    "streaming_join_attribution" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id,
+         |    CAST(epoch_us(ts) // 1000 AS BIGINT) AS c_ts_ms
+         |  FROM events WHERE event_type = 'click' AND event_id < ${graft.streaming.Streams.HarnessFeedCap}),
+         |p AS (SELECT event_id AS purchase_id, user_id,
+         |    CAST(epoch_us(ts) // 1000 AS BIGINT) AS p_ts_ms
+         |  FROM events WHERE event_type = 'purchase' AND event_id < ${graft.streaming.Streams.HarnessFeedCap})
+         |SELECT c.click_id, p.purchase_id, c.user_id, c.c_ts_ms, p.p_ts_ms
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p.p_ts_ms BETWEEN c.c_ts_ms AND c.c_ts_ms + 1800000
+         |ORDER BY click_id, purchase_id""".stripMargin,
 
     // the incremental detector emits exactly the full detector's pairs
     // that touch the new batch (doc_id % 10 = 0), with identical

@@ -22,6 +22,8 @@ object Streams {
   case class RateEvent(userid: Int, tag: String, songid: Int, rating: Int)
 
   /** Event with a real event-time column (windowed-counts feed). */
+  case class KeyedTimedEvent(eventId: Long, userId: Long,
+      ts: java.sql.Timestamp)
   case class TimedEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
 
@@ -296,6 +298,55 @@ object Streams {
         ($"window.end".cast("long") * 1000000L).as("w_end_us"),
         $"event_type", $"count".as("n_events"))
       .orderBy($"w_start_us", $"event_type")
+  }
+
+  /** Driver-contract query with a FULL DuckDB oracle: the watermarked
+    * stream-stream inner join run end-to-end under the driver — every
+    * purchase attributed to every click by the same user in the 30
+    * minutes before it. Unlike the windowed-counts query, no sentinel
+    * batches are needed: an INNER stream-stream join emits a match in
+    * the batch that completes it (watermarks only bound retained
+    * state), so the one-batch feed emits exactly the time-bounded
+    * theta join of the capped feed — which is what the oracle states.
+    * Timestamps are emitted as epoch-ms BIGINTs; the oracle mirrors
+    * the feed's ns→ms floor so the join condition compares identical
+    * values in both engines.
+    */
+  def streamStreamJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def feed(eventType: String): Array[KeyedTimedEvent] =
+      graft.Tables.events(spark, dir)
+        .filter($"event_id" < HarnessFeedCap && $"event_type" === eventType)
+        .select($"event_id", $"user_id", $"ts")
+        .orderBy($"event_id").collect()
+        .map(r => KeyedTimedEvent(r.getLong(0), r.getLong(1),
+          new java.sql.Timestamp(r.getLong(2) / 1000000L)))
+    val clicks = feed("click"); val purchases = feed("purchase")
+    if (clicks.isEmpty || purchases.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("click_id", "purchase_id", "user_id", "c_ts_ms", "p_ts_ms")
+    val inC = MemoryStream[KeyedTimedEvent](spark)
+    val inP = MemoryStream[KeyedTimedEvent](spark)
+    val joined = streamStreamJoin(
+      inC.toDF().select($"eventId".as("c_id"), $"userId", $"ts".as("c_ts")),
+      inP.toDF().select($"eventId".as("p_id"), $"userId", $"ts".as("p_ts")),
+      "userId", "c_ts", "p_ts", window = "30 minutes")
+    val name = runStreamToTable(spark, "ss_join", Some(4)) { (n, ck) =>
+      joined
+        .select(col("l.c_id").as("click_id"), col("r.p_id").as("purchase_id"),
+          col("l.userId").as("user_id"),
+          unix_millis(col("l.c_ts")).as("c_ts_ms"),
+          unix_millis(col("r.p_ts")).as("p_ts_ms"))
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q =>
+      inC.addData(clicks.toIndexedSeq)
+      inP.addData(purchases.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    spark.table(name).orderBy($"click_id", $"purchase_id")
   }
 
   /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):
