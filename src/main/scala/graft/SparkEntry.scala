@@ -67,6 +67,8 @@ object SparkEntry {
     "ann_srp_topk" -> ((s, d) => Similarity.srpTopK(s, d)),
     "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
     "als_grid_rmse" -> ((s, d) => graft.ml.Recommender.alsGridRmse(s, d)),
+    "als_factors_topk" -> ((s, _) =>
+      graft.ml.Recommender.factorsTopK(s, MllibArtifactPath)),
     "streaming_marker_flush" -> ((s, d) => graft.streaming.Streams.markerFlushQuery(s, d)),
     "streaming_windowed_counts" -> ((s, d) => graft.streaming.Streams.windowedCountsQuery(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
@@ -106,6 +108,12 @@ object SparkEntry {
     * still run in Verify (rows-only correctness).
     */
   val benchExcluded: Set[String] = Set("als_recommend_top25", "als_grid_rmse")
+
+  /** The reference's shipped mllib artifact (spark_music.py:116's
+    * model.save output) — read directly by both the Spark query and
+    * the DuckDB oracle for `als_factors_topk`.
+    */
+  val MllibArtifactPath = "/root/reference/music_lens_als"
 
   /** Shared oracle fragments for shingle-based dedup: word 3-gram
     * shingles hashed to 60-bit BIGINTs, mirroring Dedup.shingleSet /
@@ -216,6 +224,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "json_decode_ratings" ->
       s"$ratingsSql ORDER BY event_id",
+
+    // the mllib scoring rule <uf,pf> over the reference's saved factor
+    // parquet; list_inner_product == Spark's double fold bit-for-bit
+    // (same pairing as cosine_topk's oracle)
+    "als_factors_topk" ->
+      s"""WITH u AS (SELECT id AS userId FROM
+         |    read_parquet('$MllibArtifactPath/data/user/*.parquet')
+         |  ORDER BY id LIMIT 20),
+         |p AS (SELECT id AS songId, features AS pf FROM
+         |  read_parquet('$MllibArtifactPath/data/product/*.parquet')),
+         |uf AS (SELECT id, features AS uf FROM
+         |  read_parquet('$MllibArtifactPath/data/user/*.parquet')),
+         |s AS (SELECT userId, songId, list_inner_product(uf, pf) AS prediction
+         |  FROM u JOIN uf ON uf.id = u.userId CROSS JOIN p),
+         |r AS (SELECT userId, songId, prediction, ROW_NUMBER() OVER (
+         |    PARTITION BY userId ORDER BY prediction DESC, songId) AS rk FROM s)
+         |SELECT userId, songId, prediction, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY userId, rk""".stripMargin,
 
     "agg_count_avg" ->
       s"""SELECT song_id, COUNT(*) AS cnt, ${Fx.davgSql("rating")} AS avg_rating
@@ -661,6 +687,7 @@ object SparkEntry {
          |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600000000 + 3600000000 AS w_end_us,
          |  event_type, COUNT(*) AS n_events
          |FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
+         |  AND event_type <> 'sentinel'
          |GROUP BY 1, 2, 3
          |ORDER BY w_start_us, event_type""".stripMargin,
 

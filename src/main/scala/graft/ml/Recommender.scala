@@ -93,6 +93,59 @@ object Recommender {
       .limit(k)
   }
 
+  /** M6 for a *batch* of users at once — the streaming recommend loop's
+    * shape (spark_streaming_kafka.py:48–58) without materializing
+    * users × catalog: `recommendForUserSubset` does a blocked factor
+    * matmul with per-block top-k pruning (never a row-level cartesian),
+    * and the M6 gates (song count >= minCnt, rated pairs excluded) are
+    * applied as post-filters.
+    *
+    * Post-filtering can eat into the top-N list, so N escalates
+    * (×4 per round) until every requested user either has `k`
+    * survivors or the full catalog has been ranked — at which point
+    * the result is exactly the reference's candidates-minus-rated
+    * top-k. Typical feeds converge in one pass; the escalation is a
+    * driver-side loop over tiny aggregates, never a collect of
+    * candidates.
+    */
+  def recommendTopKUsers(model: ALSModel, ratings: DataFrame,
+      users: DataFrame, k: Int = 25, minCnt: Long = 25): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val eligible = ratings.groupBy($"songId")
+      .agg(count(lit(1)).as("cnt")).filter($"cnt" >= minCnt)
+    val rated = ratings.select($"userId", $"songId").distinct()
+    val nItems = model.itemFactors.count()
+    val nUsers = users.select($"userId").distinct().count()
+    val w = Window.partitionBy($"userId")
+      .orderBy($"prediction".desc, $"songId")
+    var n: Long = math.max(4L * k, 64L)
+    var result: DataFrame = null
+    var done = false
+    while (!done) {
+      val capped = math.min(n, nItems).toInt
+      val scored = model.recommendForUserSubset(users, capped)
+        .select($"userId", explode($"recommendations").as("rec"))
+        .select($"userId", $"rec.songId".as("songId"),
+          $"rec.rating".as("prediction"))
+      result = scored
+        .join(eligible, "songId")
+        .join(rated, Seq("userId", "songId"), "left_anti")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+        .select($"userId", $"songId", $"prediction", $"cnt")
+      if (capped >= nItems) done = true
+      else {
+        result.cache()
+        val complete = result.groupBy($"userId")
+          .agg(count(lit(1)).as("got")).filter($"got" >= k).count() == nUsers
+        if (complete) done = true else { result.unpersist(); n *= 4 }
+      }
+    }
+    result
+  }
+
   /** M5 retrain-on-append (engine.py:50–62): union new ratings with
     * history, full refit — the reference has no incremental update.
     */
@@ -151,6 +204,35 @@ object Recommender {
     val pairs = f.itemFactors.select(lit(userId).as("userId"), $"id".as("songId"))
     predictFromFactors(f, pairs)
       .orderBy($"prediction".desc, $"songId").limit(k)
+  }
+
+  /** Hash-checked surface for the saved-artifact path (M2/M6 against
+    * spark_music.py:116–123's persisted model): score a deterministic
+    * pair set — the `nUsers` smallest user ids × the full catalog —
+    * through [[predictFromFactors]] and keep top-`k` per user.
+    *
+    * The factor dot product is plain SQL, so unlike the training-side
+    * ALS queries this one carries a full DuckDB oracle. At scale the
+    * item-factor side broadcasts (rank·|items| doubles) and the user
+    * subset prunes before the join, so cost is O(|subset|·|items|) —
+    * the same inherent cost as exact top-K retrieval.
+    */
+  def factorsTopK(spark: SparkSession, path: String, nUsers: Int = 20,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = loadMllibFactors(spark, path)
+    val users = f.userFactors.select($"id".as("userId"))
+      .orderBy($"userId").limit(nUsers)
+    val pairs = users.crossJoin(
+      broadcast(f.itemFactors.select($"id".as("songId"))))
+    val w = Window.partitionBy($"userId")
+      .orderBy($"prediction".desc, $"songId")
+    predictFromFactors(f, pairs)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"userId", $"songId", $"prediction", $"rk")
+      .orderBy($"userId", $"rk")
   }
 
   // ---- driver-contract query surfaces (rows-only checks: ALS output

@@ -364,26 +364,18 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) { // ST4 empty-batch skip
-          import org.apache.spark.sql.expressions.Window
           val fresh = decodeRateEvents(batch)
             .selectExpr("userid AS userId", "songid AS songId",
               "CAST(rating AS FLOAT) AS rating")
           val all = history.unionByName(fresh).cache() // ST5 stream-static union
           val model = graft.ml.Recommender.train(all, rank = 4) // M5 full refit
-          // ONE job for every batch user (not a per-user pipeline
-          // union): batch-users x eligible songs, minus rated pairs,
-          // scored in a single transform, top-K per user by window
+          // ONE blocked top-k job for every batch user — a factor
+          // matmul with per-block pruning via recommendForUserSubset,
+          // never a users x catalog row cartesian (M6 gates applied as
+          // post-filters with escalation; see recommendTopKUsers)
           val users = fresh.select("userId").distinct()
-          val eligible = all.groupBy("songId")
-            .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCnt)
-          val cand = users.crossJoin(eligible)
-            .join(all.select("userId", "songId").distinct(),
-              Seq("userId", "songId"), "left_anti")
-          val w = Window.partitionBy("userId")
-            .orderBy(col("prediction").desc, col("songId"))
-          val recs = graft.ml.Recommender.predict(model, cand)
-            .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-            .select("userId", "songId", "prediction", "cnt")
+          val recs = graft.ml.Recommender
+            .recommendTopKUsers(model, all, users, k, minCnt)
           emit(recs, id)
           all.unpersist()
           ()

@@ -99,6 +99,66 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-12)
   }
 
+  test("factorsTopK: deterministic top-k per user from the saved artifact") {
+    val rows = Recommender
+      .factorsTopK(spark, "/root/reference/music_lens_als", nUsers = 7, k = 3)
+      .collect()
+    assert(rows.length == 7 * 3)
+    val byUser = rows.groupBy(_.getInt(0))
+    assert(byUser.size == 7)
+    byUser.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(Array(1, 2, 3)))
+      val scores = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    }
+    // stable across invocations (pure function of the artifact)
+    val again = Recommender
+      .factorsTopK(spark, "/root/reference/music_lens_als", nUsers = 7, k = 3)
+      .collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("recommendTopKUsers == the candidates-minus-rated crossJoin form, " +
+      "without a row-level cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val all = Recommender.ratings(spark, sf).cache()
+    val model = Recommender.train(all, rank = 4, maxIter = 5)
+    val users = all.select("userId").distinct()
+      .orderBy("userId").limit(6).cache()
+
+    // the reference M6 formulation (what recommendLoop used to build
+    // explicitly): users x eligible minus rated, full transform, top-k
+    def referenceForm(k: Int, minCnt: Long) = {
+      val eligible = all.groupBy("songId")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCnt)
+      val cand = users.crossJoin(eligible.select("songId"))
+        .join(all.select("userId", "songId").distinct(),
+          Seq("userId", "songId"), "left_anti")
+      val w = Window.partitionBy("userId")
+        .orderBy(col("prediction").desc, col("songId"))
+      Recommender.predict(model, cand)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("userId", "songId", "rank")
+    }
+
+    // one config that converges in the first blocked pass and one whose
+    // aggressive post-filter forces the numItems escalation path
+    for ((k, minCnt) <- Seq((5, 1L), (3, 15L))) {
+      val got = Recommender.recommendTopKUsers(model, all, users, k, minCnt)
+      assert(!got.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "post-filter side must not nested-loop over the catalog")
+      val g = got.select("userId", "songId").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      val w = referenceForm(k, minCnt).select("userId", "songId").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(g == w, s"k=$k minCnt=$minCnt: blocked top-k must equal " +
+        s"the crossJoin formulation")
+    }
+  }
+
   test("grid search picks the rank with minimum validation RMSE") {
     val Array(tr, va) =
       Recommender.ratings(spark, sf).randomSplit(Array(0.7, 0.3), seed = 0L)
