@@ -188,23 +188,100 @@ object Dedup {
     minhashLshOf(Tables.widened(spark, Tables.documents(spark, dir)),
       n, numHashes, bands, maxDf)
 
-  /** [[minhashLsh]] over an arbitrary (doc_id, text) relation. */
-  def minhashLshOf(docs: DataFrame, n: Int = 3,
-      numHashes: Int = 16, bands: Int = 4,
-      maxDf: Long = DefaultMaxDf): DataFrame = {
+  /** (doc_id, rep) with rep = the smallest doc_id among byte-identical
+    * texts: the degenerate-corpus guard for the pair generators.
+    * Identical texts have identical shingle sets, minhash signatures,
+    * and band keys, so a feed of B copies of one document puts B rows
+    * in every one of its band buckets — an O(B²) candidate blowup that
+    * no df cap sees (the cap keys on shingles, not docs). Collapsing
+    * banding to one representative per group makes that cost O(B), and
+    * expanding results back through the groups is exact, not an
+    * approximation. The mapping shuffles (doc_id, md5) rows only —
+    * text bodies never move.
+    */
+  private[graft] def exactRepOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit("<null>"))).as("tkey"))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("tkey")))
+      .select(col("doc_id"), col("rep"))
+  }
+
+  /** Rep-level LSH candidate pairs (band-key equi-join over one doc per
+    * exact-duplicate group) plus the shared intermediates. Shingles
+    * still cover every doc — the df cap must count duplicates exactly
+    * as an unguarded run would — but only representatives are
+    * signature-aggregated and enter the band join. Exposed for the
+    * degeneracy spec, which asserts a feed of N identical docs yields
+    * zero candidates here rather than N²/2.
+    */
+  private[graft] def lshCandidates(docs: DataFrame, n: Int,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes == bands * 4,
       s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
+    val members = exactRepOf(docs).cache()
+    val repIds = members.filter($"doc_id" === $"rep").select($"doc_id")
     val sh = shingleSetOf(docs, n).cache()
-    val sigs = minhashSigs(sh, numHashes).cache()
+    val sigs = minhashSigs(sh.join(repIds, "doc_id"), numHashes).cache()
     val banded = bandKeys(sigs, numHashes, bands)
     val cand = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.k1" === $"y.k1" && $"x.k2" === $"y.k2" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    verifyCandidates(cand, sh, sigs, maxDf)
+    (members, cand, sh, sigs)
+  }
+
+  /** Expand rep-level verified pairs back through the exact groups.
+    * Inter-group: every member pair inherits its reps' verified jaccard
+    * (identical texts have identical capped shingle sets), re-normalized
+    * with least/greatest because member ids need not order like their
+    * reps. Intra-group: two identical docs score kept/(2·sz − kept)
+    * where kept is the doc's post-cap shingle count — exactly what
+    * verifying the pair directly computes (capped common = kept), and
+    * exactly 1.0 when nothing was capped; a fully-capped doc (kept = 0)
+    * emits nothing, matching the unguarded inner join on common
+    * shingles.
+    */
+  private def expandThroughGroups(repPairs: DataFrame, members: DataFrame,
+      sh: DataFrame, sigs: DataFrame, maxDf: Long): DataFrame = {
+    val spark = repPairs.sparkSession
+    import spark.implicits._
+    val m = members.select($"doc_id", $"rep")
+    val inter = repPairs
+      .join(m.select($"doc_id".as("da"), $"rep".as("doc_a")), "doc_a")
+      .join(m.select($"doc_id".as("db"), $"rep".as("doc_b")), "doc_b")
+      .select(least($"da", $"db").as("doc_a"),
+        greatest($"da", $"db").as("doc_b"), $"jaccard")
+    val multiReps = m.groupBy($"rep").agg(count(lit(1)).as("gsz"))
+      .filter($"gsz" > 1).select($"rep".as("doc_id"))
+    val selfJ = capDf(sh, maxDf).join(multiReps, "doc_id")
+      .groupBy($"doc_id").agg(count(lit(1)).as("kept"))
+      .join(sigs.select($"doc_id", $"sz"), "doc_id")
+      .select($"doc_id".as("rep"),
+        ($"kept".cast("double") / ($"sz" * 2 - $"kept")).as("jaccard"))
+    val intra = m.as("p").join(m.as("q"),
+        $"p.rep" === $"q.rep" && $"p.doc_id" < $"q.doc_id")
+      .select($"p.rep".as("rep"), $"p.doc_id".as("doc_a"),
+        $"q.doc_id".as("doc_b"))
+      .join(selfJ, "rep")
+      .select($"doc_a", $"doc_b", $"jaccard")
+    inter.unionByName(intra)
+  }
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text) relation. */
+  def minhashLshOf(docs: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (members, cand, sh, sigs) = lshCandidates(docs, n, numHashes, bands)
+    val repPairs = verifyCandidates(cand, sh, sigs, maxDf)
+    expandThroughGroups(repPairs, members, sh, sigs, maxDf)
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Verify ONLY candidate pairs (this is the point of LSH: the
@@ -224,7 +301,7 @@ object Dedup {
       .join(shc.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("common"))
-    jaccardOf(spark, common, sizes).orderBy($"doc_a", $"doc_b")
+    jaccardOf(spark, common, sizes)
   }
 
   /** INCREMENTAL near-dup detection — the shape a production corpus
@@ -264,7 +341,7 @@ object Dedup {
       .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
         greatest($"x.doc_id", $"y.doc_id").as("doc_b"))
       .distinct()
-    verifyCandidates(cand, sh, sigs, maxDf)
+    verifyCandidates(cand, sh, sigs, maxDf).orderBy($"doc_a", $"doc_b")
   }
 
   /** Hard cap on label-propagation rounds — a runaway guard, not a

@@ -52,6 +52,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(high.exceptAll(cand).count() == 0)
   }
 
+  test("degenerate corpus: N identical docs cost O(N), with exact pair output") {
+    import spark.implicits._
+    val n = 40
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((0 until n).map(i => (i.toLong, base)) :+
+      (1000L, "a completely different text about something else entirely ok"))
+      .toDF("doc_id", "text")
+    // the band join sees one representative per exact group: zero
+    // candidate pairs instead of n*(n-1)/2 — the O(N²) blowup the
+    // guard exists to prevent
+    val (_, cand, _, _) = Dedup.lshCandidates(docs, n = 3, numHashes = 16, bands = 4)
+    assert(cand.count() == 0)
+    // the expanded output is still the full exact pair list at j = 1.0
+    val out = Dedup.minhashLshOf(docs).collect()
+    assert(out.length == n * (n - 1) / 2)
+    assert(out.forall(_.getDouble(2) == 1.0))
+    val ids = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids == (for (a <- 0 until n; b <- a + 1 until n)
+      yield (a.toLong, b.toLong)).toSet)
+  }
+
+  test("mixed degenerate groups: cross-group pairs inherit the rep jaccard") {
+    import spark.implicits._
+    // two exact groups whose texts are near-duplicates of each other
+    // (j = 115/121 ~ 0.95, so some band collides; fixed data => stable)
+    val ta = (0 until 120).map(i => s"w$i").mkString(" ")
+    val tb = (0 until 119).map(i => s"w$i").mkString(" ") + " wX"
+    val docs = (Seq((0L, ta), (1L, ta), (2L, ta)) ++ Seq((10L, tb), (11L, tb)))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshOf(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // intra: C(3,2) + C(2,2) pairs at 1.0; inter: 3*2 pairs sharing the
+    // verified rep jaccard
+    assert(out.size == 3 + 1 + 6)
+    assert(out((0L, 1L)) == 1.0 && out((0L, 2L)) == 1.0 &&
+      out((1L, 2L)) == 1.0 && out((10L, 11L)) == 1.0)
+    val interJ = out((0L, 10L))
+    assert(interJ > 0 && interJ < 1)
+    assert(Seq((0L, 11L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .forall(p => out(p) == interJ))
+  }
+
   test("simhash equals brute-force all-pairs hamming <= 3 (banding is complete)") {
     // by pigeonhole, a pair within hamming 3 of a 4-band signature
     // agrees on >= 1 band, so LSH candidates lose nothing vs brute force
