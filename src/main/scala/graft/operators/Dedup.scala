@@ -458,6 +458,14 @@ object Dedup {
       converged = s == prevSum
       prevSum = s
     }
+    // the cap is a runaway guard, not a tuning knob: exiting on it
+    // would silently return under-merged labels — the failure mode the
+    // detected fixed point exists to eliminate. Unreachable with
+    // pointer jumping (maxRounds=50 covers diameter ~2^49), so if it
+    // ever fires something is genuinely broken — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds")
     (labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id"), rounds)
   }

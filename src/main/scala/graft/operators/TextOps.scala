@@ -212,7 +212,13 @@ object TextOps {
   def vocabOovOf(docs: DataFrame, v: Int = 50): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the exploded (doc_id, word) projection feeds BOTH the vocab
+    // aggregate and the per-doc OOV join; cached (two narrow columns —
+    // the text is pruned before caching) so the corpus is scanned and
+    // tokenized once, like tokenPack's 3-column block. Lives until the
+    // caller clears the session cache (Bench/Verify do per query).
     val words = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+      .cache()
     val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"word").limit(v).select($"word")
     val perDoc = words.join(broadcast(vocab.withColumn("in_vocab", lit(1))),

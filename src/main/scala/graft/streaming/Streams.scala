@@ -21,9 +21,10 @@ object Streams {
   /** Decoded rating event from the wire format (SURVEY §1). */
   case class RateEvent(userid: Int, tag: String, songid: Int, rating: Int)
 
-  /** Event with a real event-time column (windowed-counts feed). */
+  /** Keyed event-time record (stream-stream join feed). */
   case class KeyedTimedEvent(eventId: Long, userId: Long,
       ts: java.sql.Timestamp)
+  /** Event with a real event-time column (windowed-counts feed). */
   case class TimedEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
 
@@ -267,7 +268,8 @@ object Streams {
         .toDF("w_start_us", "w_end_us", "event_type", "n_events")
     val maxMs = evs.map(_.ts.getTime).max
     val in = MemoryStream[TimedEvent](spark)
-    // state partitions = 4: plenty for the 2k-row harness feed, 8× less
+    // state partitions = 4: plenty for the HarnessFeedCap-bounded
+    // (event_id < 10000) harness feed, 8× less
     // per-batch checkpoint fan-out than the session's batch setting (a
     // production deployment sizes this to its key cardinality)
     val name = runStreamToTable(spark, "windowed_counts", Some(4)) { (n, ck) =>

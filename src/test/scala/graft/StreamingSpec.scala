@@ -202,6 +202,86 @@ class StreamingSpec extends AnyFunSuite {
       "restart must recover pre-restart buffers and flush them exactly once")
   }
 
+  test("windowed counts survive a kill/restart on the same checkpoint") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // the streaming guarantee a deployment leans on: kill the query
+    // while windows are still open (state unflushed), restart on the
+    // SAME checkpoint, and the finalized output equals what one
+    // uninterrupted run would emit — partial counts are recovered from
+    // the state store, the watermark resumes from the commit log, and
+    // no window emits twice.
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val ckpt = tmp()
+    val buf = mutable.ArrayBuffer[(Long, String, Long)]()
+    def start() = Streams.windowedEventCounts(
+        in.toDF().toDF("ts", "k"), "ts", "k",
+        windowLen = "10 seconds", lateness = "10 seconds")
+      .selectExpr("window.start AS ws", "k", "count")
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.collect().map(r =>
+            (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+        }: Unit
+      }.start()
+    val q1 = start()
+    in.addData((t(5), "a"), (t(7), "a"), (t(12), "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(buf.isEmpty, "watermark behind window ends -> all counts still in state")
+    in.addData((t(100), "c")) // arrives while the query is DOWN
+    val q2 = start()
+    q2.processAllAvailable()
+    in.addData((t(200), "c")) // finalize c's window too
+    q2.processAllAvailable()
+    q2.stop()
+    val got = buf.synchronized(buf.toList)
+    assert(got.toSet == Set((0L, "a", 2L), (10L, "b", 1L), (100L, "c", 1L)),
+      s"restart must recover partial counts and finalize each window once: $got")
+    assert(got.size == got.toSet.size, "no window may emit twice across the restart")
+  }
+
+  test("stream-stream join state survives a kill/restart on the same checkpoint") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // impressions buffered in join state before the kill must still
+    // match clicks that arrive after the restart (same checkpoint),
+    // each pair exactly once.
+    val imp = MemoryStream[(Timestamp, String)](spark)
+    val clk = MemoryStream[(Timestamp, String)](spark)
+    val ckpt = tmp()
+    val buf = mutable.ArrayBuffer[(String, Long, Long)]()
+    def start() = Streams.streamStreamJoin(
+        imp.toDF().toDF("its", "k"), clk.toDF().toDF("cts", "k"),
+        "k", "its", "cts", window = "10 seconds")
+      .selectExpr("l.k AS k", "its", "cts")
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.collect().map(r => (r.getString(0),
+            r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000))
+        }: Unit
+      }.start()
+    val q1 = start()
+    imp.addData((t(1), "a"), (t(2), "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(buf.isEmpty, "no clicks yet -> both impressions buffered in join state")
+    clk.addData((t(5), "a")) // arrives while the query is DOWN
+    val q2 = start()
+    clk.addData((t(8), "b"),  // in-window match for b's buffered impression
+      (t(30), "a"))           // 29s after a's impression -> outside the window
+    q2.processAllAvailable()
+    q2.stop()
+    val got = buf.synchronized(buf.toList)
+    assert(got.toSet == Set(("a", 1L, 5L), ("b", 2L, 8L)),
+      s"pre-kill impressions must join post-restart clicks exactly once: $got")
+    assert(got.size == got.toSet.size, "no pair may emit twice across the restart")
+  }
+
   test("stream-stream join matches events within the time window only") {
     import spark.implicits._
     import java.sql.Timestamp
