@@ -101,6 +101,10 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d)),
     "streaming_join_attribution" -> ((s, d) =>
       graft.streaming.Streams.streamStreamJoinQuery(s, d)),
+    "mixture_rebalance_2d" -> ((s, d) => TextOps.mixtureRebalance2d(s, d)),
+    "quality_filter_top_p" -> ((s, d) => TextOps.qualityTopP(s, d)),
+    "streaming_incremental_minhash" -> ((s, d) =>
+      graft.streaming.Streams.incrementalMinhashQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1031,6 +1035,45 @@ object SparkEntry {
     // that touch the new batch (doc_id % 10 = 0), with identical
     // verified jaccards — the oracle states it as that filter
     "dedup_incremental" ->
+      s"""WITH p AS ($minhashPairsSql)
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // per-(lang, source) cell counts; each cell's quota is the
+    // smallest cell within its language (sources equalized inside each
+    // language, languages keep their relative sizes)
+    "mixture_rebalance_2d" ->
+      s"""WITH c AS (SELECT lang, source, COUNT(*) AS n_cell
+         |  FROM documents GROUP BY lang, source),
+         |q AS (SELECT lang, source, n_cell,
+         |  MIN(n_cell) OVER (PARTITION BY lang) AS quota FROM c)
+         |SELECT doc_id, lang, source, n_cell, quota
+         |FROM documents JOIN q USING (lang, source)
+         |WHERE ${h60("'mix2:' || CAST(doc_id AS VARCHAR)")} % n_cell < quota
+         |ORDER BY doc_id""".stripMargin,
+
+    // same score formula as quality_score; percent_rank over a UNIQUE
+    // ordering (quality DESC, doc_id) so the kept set is deterministic
+    // in both engines
+    "quality_filter_top_p" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+         |  + CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) * 0.5
+         |  + CAST(len(list_filter(l, x -> x IN ${inList(graft.functions.TextFns.stopwordProfiles("en"))})) AS DOUBLE)
+         |    / CAST(len(l) AS DOUBLE) * 0.25 AS quality
+         |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS l FROM documents)),
+         |r AS (SELECT doc_id, lang, quality, percent_rank()
+         |  OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS q_rank FROM s)
+         |SELECT doc_id, lang, quality, q_rank FROM r
+         |WHERE q_rank <= 0.5
+         |ORDER BY doc_id""".stripMargin,
+
+    // the streamed run emits each qualifying pair exactly once (in the
+    // batch where its later member arrives), so the accumulated output
+    // is the one-shot incremental query — same oracle as
+    // dedup_incremental
+    "streaming_incremental_minhash" ->
       s"""WITH p AS ($minhashPairsSql)
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0

@@ -327,7 +327,93 @@ object Dedup {
     */
   def minhashIncrementalOf(docs: DataFrame, isNew: Column, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4,
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    minhashIncrementalCore(docs, _.filter(isNew), n, numHashes, bands, maxDf)
+
+  /** [[minhashIncrementalOf]] with the fresh batch given as a
+    * (doc_id) RELATION instead of a Column predicate — the shape a
+    * streaming ingest actually has (this batch's ids are a DataFrame,
+    * not a literal list; `isin` over thousands of ids would not plan).
+    * The probe side is a semi-join against the id relation, which
+    * Spark broadcasts when the batch is small — identical output to
+    * the predicate form for the same membership.
+    */
+  def minhashIncrementalIdsOf(docs: DataFrame, newIds: DataFrame,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       maxDf: Long = DefaultMaxDf): DataFrame = {
+    val ids = newIds.select(col("doc_id"))
+    minhashIncrementalCore(docs, _.join(ids, Seq("doc_id"), "left_semi"),
+      n, numHashes, bands, maxDf)
+  }
+
+  /** Incrementally-maintained MinHash band index: the materialized
+    * shingles, signatures, and band keys of the corpus indexed so far.
+    * This is the state a day-2 deduplication service actually keeps —
+    * the corpus TEXT is read exactly once, when a document first
+    * arrives; every later batch only shingles ITSELF and probes /
+    * extends these three relations. At 100 TB each is a bucketed table
+    * keyed by doc_id (sh, sigs) / band key (banded); here they are
+    * lineage-truncated DataFrames.
+    */
+  final case class MinhashIndex private[operators] (
+      sh: DataFrame, sigs: DataFrame, banded: DataFrame,
+      n: Int, numHashes: Int, bands: Int)
+
+  /** Build the index over a standing corpus — the one-time backfill. */
+  def buildIndex(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): MinhashIndex = {
+    require(numHashes == bands * 4,
+      s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
+    val sh = shingleSetOf(docs, n).localCheckpoint(true)
+    val sigs = minhashSigs(sh, numHashes).localCheckpoint(true)
+    val banded = bandKeys(sigs, numHashes, bands).localCheckpoint(true)
+    MinhashIndex(sh, sigs, banded, n, numHashes, bands)
+  }
+
+  /** Probe the index with a fresh (doc_id, text) batch and fold the
+    * batch in: returns (verified pairs touching the batch, extended
+    * index). Only the BATCH is shingled and signed; the probe is
+    * batch-bands × index-bands on the packed keys, so per-batch cost
+    * is O(|batch| · bands) probe rows plus the candidate-bounded
+    * verify — the standing corpus text is never re-read and never
+    * self-joins. The df-cap census is recomputed over the accumulated
+    * shingle relation each batch (exact, one integer aggregation; a
+    * deployment maintains the (h, df) census incrementally instead).
+    * Emits each qualifying pair exactly once across a batch sequence:
+    * in the batch where its later member arrives.
+    */
+  def probeAndExtend(idx: MinhashIndex, batch: DataFrame,
+      maxDf: Long = DefaultMaxDf): (DataFrame, MinhashIndex) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val shB = shingleSetOf(batch, idx.n).localCheckpoint(true)
+    val sigsB = minhashSigs(shB, idx.numHashes).localCheckpoint(true)
+    val bandedB = bandKeys(sigsB, idx.numHashes, idx.bands)
+      .localCheckpoint(true)
+    // accumulated relations stay unions of checkpointed parts: each
+    // part is already materialized, so no per-batch O(corpus) re-copy
+    val allBanded = idx.banded.union(bandedB)
+    val cand = bandedB.as("x").join(allBanded.as("y"),
+        $"x.band" === $"y.band" && $"x.k1" === $"y.k1" && $"x.k2" === $"y.k2" &&
+          $"x.doc_id" =!= $"y.doc_id")
+      .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
+        greatest($"x.doc_id", $"y.doc_id").as("doc_b"))
+      .distinct()
+    val shAll = idx.sh.union(shB)
+    val sigsAll = idx.sigs.union(sigsB)
+    val pairs = verifyCandidates(cand, shAll, sigsAll, maxDf)
+      .orderBy($"doc_a", $"doc_b")
+    (pairs, MinhashIndex(shAll, sigsAll, allBanded,
+      idx.n, idx.numHashes, idx.bands))
+  }
+
+  /** Shared core: `probe` selects the new-side band rows; everything
+    * else (signatures, band join, candidate verify) is common to the
+    * predicate and relation entry points.
+    */
+  private def minhashIncrementalCore(docs: DataFrame,
+      probe: DataFrame => DataFrame, n: Int, numHashes: Int, bands: Int,
+      maxDf: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes == bands * 4,
@@ -335,7 +421,7 @@ object Dedup {
     val sh = shingleSetOf(docs, n).cache()
     val sigs = minhashSigs(sh, numHashes).cache()
     val banded = bandKeys(sigs, numHashes, bands)
-    val cand = banded.filter(isNew).as("x").join(banded.as("y"),
+    val cand = probe(banded).as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.k1" === $"y.k1" && $"x.k2" === $"y.k2" &&
           $"x.doc_id" =!= $"y.doc_id")
       .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),

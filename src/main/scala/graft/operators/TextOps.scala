@@ -416,6 +416,81 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** TWO-dimensional mixture rebalance (lang × source): real corpora
+    * are skewed along several axes at once, and balancing only one
+    * leaves the other's skew intact inside every stratum. Cells are
+    * the cross product; each cell's quota is the smallest cell count
+    * WITHIN ITS LANGUAGE — sources are equalized inside each language
+    * while languages keep their own (already [[mixtureRebalance]]-able)
+    * relative sizes, so the two corrections compose instead of
+    * fighting.
+    *
+    * Same exact-integer keep rule as the 1-D form, salted with its own
+    * "mix2:" prefix so the three hash decisions in this file (split /
+    * 1-D mix / 2-D mix) are pairwise independent. Scale shape is
+    * unchanged: one partial-aggregatable count per cell (cells number
+    * in the thousands at any scale, langs × sources), the per-lang min
+    * computed on that tiny frame, broadcast back; the corpus is
+    * filtered in place as a pure projection — never shuffled.
+    */
+  def mixtureRebalance2d(spark: SparkSession, dir: String): DataFrame =
+    mixtureRebalance2dOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source")))
+
+  /** [[mixtureRebalance2d]] over any (doc_id, lang, source) relation. */
+  def mixtureRebalance2dOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the window runs over the #cells-row counts frame, not the corpus
+    val cells = docs.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn("quota", min($"n_cell").over(Window.partitionBy($"lang")))
+    docs.join(broadcast(cells), Seq("lang", "source"))
+      .filter(Dedup.hash60(concat(lit("mix2:"), $"doc_id".cast("string")))
+        % $"n_cell" < $"quota")
+      .select($"doc_id", $"lang", $"source", $"n_cell", $"quota")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-stratum quality top-p filter — the other standard curation
+    * gate: instead of one global threshold (which [[cleanCorpus]]
+    * applies, and which under-selects whole languages whose score
+    * distribution sits lower), keep the best `p` fraction of each
+    * language by [[TextFns.qualityScore]]. Deterministic: ranks are
+    * made unique with a doc_id tiebreak, so the kept set is identical
+    * across engines and runs — no RNG, no float-equality cliff.
+    *
+    * Scale shape: one shuffle, partitioned by lang — the partition key
+    * is low-cardinality and skewed (one dominant language) by nature;
+    * at 100 TB the rank-within-stratum is the operator's honest cost,
+    * and the remedy is the usual two-phase trick (per-partition
+    * pre-rank → per-stratum threshold from a sampled quantile sketch)
+    * at the price of an approximate cut. This operator keeps the exact
+    * contract; the approximate path composes from
+    * [[Relational.quantileRatingLevels]]'s machinery when a deployment
+    * wants it.
+    */
+  def qualityTopP(spark: SparkSession, dir: String,
+      p: Double = 0.5): DataFrame =
+    qualityTopPOf(Tables.widened(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("text")), p)
+
+  /** [[qualityTopP]] over any (doc_id, lang, text) relation. */
+  def qualityTopPOf(docs: DataFrame, p: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang")
+      .orderBy($"quality".desc, $"doc_id")
+    docs
+      .select($"doc_id", $"lang", TextFns.qualityScore($"text").as("quality"))
+      .withColumn("q_rank", percent_rank().over(w))
+      .filter($"q_rank" <= p)
+      .select($"doc_id", $"lang", $"quality", $"q_rank")
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprint (min-MD5 over 5-gram shingles). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

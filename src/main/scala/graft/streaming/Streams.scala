@@ -24,6 +24,8 @@ object Streams {
   /** Keyed event-time record (stream-stream join feed). */
   case class KeyedTimedEvent(eventId: Long, userId: Long,
       ts: java.sql.Timestamp)
+  /** (doc_id, text) ingest record (incremental-minhash feed). */
+  case class DocEvent(doc_id: Long, text: String)
   /** Event with a real event-time column (windowed-counts feed). */
   case class TimedEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
@@ -349,6 +351,74 @@ object Streams {
       q.processAllAvailable()
     }
     spark.table(name).orderBy($"click_id", $"purchase_id")
+  }
+
+  /** Driver-contract query with a FULL DuckDB oracle: the day-2 dedup
+    * pipeline run AS A STREAM — a standing corpus (doc_id % 10 != 0)
+    * stands still while fresh documents (doc_id % 10 == 0) arrive over
+    * `numBatches` micro-batches; each batch is near-dup-checked
+    * against corpus-so-far + itself via
+    * [[graft.operators.Dedup.minhashIncrementalIdsOf]] (the batch's
+    * ids are a relation, never an isin literal list), then folded into
+    * the corpus. Every qualifying pair is emitted exactly once — in
+    * the batch where its later member arrives — so the accumulated
+    * output equals the one-shot batch [[graft.operators.Dedup
+    * .minhashIncremental]], and the oracle is the same SQL: all
+    * verified pairs touching at least one streamed doc. (Exact
+    * equality also needs the df cap to bite identically per batch;
+    * the cap is a degenerate-corpus guard sized 40× above this
+    * corpus's max shingle df, and a spec pins batched == one-shot.)
+    *
+    * Scale shape per batch: the corpus text is read ONCE, at index
+    * build; each batch shingles only itself, probes O(|batch| · bands)
+    * rows against the maintained [[graft.operators.Dedup.MinhashIndex]],
+    * and extends it — the corpus never re-joins itself and is never
+    * re-shingled, exactly the incremental contract, now with streaming
+    * ingest driving it.
+    */
+  def incrementalMinhashQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = graft.Tables.widened(spark, graft.Tables.documents(spark, dir))
+      .select($"doc_id", $"text")
+    // the standing corpus text is read exactly once — by buildIndex's
+    // backfill; afterwards only the (checkpointed) index relations live
+    val standing = docs.filter($"doc_id" % 10 =!= 0)
+    val streamed = docs.filter($"doc_id" % 10 === 0)
+      .orderBy($"doc_id")
+      .as[DocEvent].collect()
+    val empty = Seq.empty[(Long, Long, Double)]
+      .toDF("doc_a", "doc_b", "jaccard")
+    if (streamed.isEmpty) return empty
+    val slices = {
+      val per = math.max(1, math.ceil(streamed.length.toDouble / numBatches).toInt)
+      streamed.grouped(per).toSeq
+    }
+    val in = MemoryStream[DocEvent](spark)
+    // driver-side accumulation of per-batch PAIR LISTS (candidate-
+    // bounded and tiny), not documents — the corpus itself stays
+    // distributed throughout
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var idx = graft.operators.Dedup.buildIndex(standing)
+    runStreamToTable(spark, "inc_minhash", None) { (n, ck) =>
+      in.toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .queryName(n)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) { // ST4 empty-batch skip
+            val (pairs, next) = graft.operators.Dedup
+              .probeAndExtend(idx, batch.localCheckpoint(true))
+            out += pairs.localCheckpoint(true)
+            idx = next
+            ()
+          }
+        }.start()
+    } { q =>
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    out.foldLeft(empty)(_ unionByName _).orderBy($"doc_a", $"doc_b")
   }
 
   /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):

@@ -318,6 +318,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(all.forall(cs => cs.exists(c => math.abs(c) == 127)))
   }
 
+  test("incremental minhash: id-relation form matches the predicate form") {
+    import spark.implicits._
+    val docs = Tables.widened(spark, Tables.documents(spark, sf))
+      .select($"doc_id", $"text")
+    val byPredicate = Dedup
+      .minhashIncrementalOf(docs, $"doc_id" % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ids = docs.filter($"doc_id" % 10 === 0).select($"doc_id")
+    val byRelation = Dedup.minhashIncrementalIdsOf(docs, ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(byPredicate.nonEmpty, "feed must produce pairs for parity to bite")
+    assert(byRelation == byPredicate)
+  }
+
   test("label centroids are exact fixed-point means") {
     import spark.implicits._
     val df = Seq(

@@ -12,6 +12,21 @@ import scala.collection.mutable
   * same incremental plans a Kafka source would feed.
   */
 class StreamingSpec extends AnyFunSuite {
+
+  test("streaming incremental minhash equals the one-shot batch query") {
+    val sf = TestSpark.sf
+    // each qualifying pair must be emitted exactly ONCE — in the batch
+    // where its later member arrives — so the accumulated stream output
+    // is the one-shot incremental result (this is also what licenses
+    // reusing dedup_incremental's oracle). 3 batches exercises
+    // new-vs-standing, new-vs-earlier-batch, and new-vs-same-batch pairs.
+    val streamed = Streams.incrementalMinhashQuery(spark, sf, numBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val oneShot = graft.operators.Dedup.minhashIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(oneShot.nonEmpty, "corpus must contain near-dup pairs to compare")
+    assert(streamed == oneShot)
+  }
   private val spark = TestSpark.spark
 
   private def tmp(): String =

@@ -222,6 +222,61 @@ class TextFnsSpec extends AnyFunSuite {
     assert(kept.toSeq == again.toSeq)
   }
 
+  test("2-D mixture rebalance: sources equalize within each lang, langs keep size") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"source")
+    val cells = docs.groupBy($"lang", $"source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val quotaByLang = cells.groupBy(_._1._1).view.mapValues(_.values.min).toMap
+    val kept = TextOps.mixtureRebalance2dOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // emitted n_cell/quota columns state the census they were gated by
+    kept.foreach { case (_, lang, src, nCell, quota) =>
+      assert(nCell == cells((lang, src)))
+      assert(quota == quotaByLang(lang))
+    }
+    val keptByCell = kept.groupBy(k => (k._2, k._3))
+      .view.mapValues(_.length.toLong).toMap
+    cells.foreach { case ((lang, src), n) =>
+      // h % n < quota is always true when n == quota: each lang's
+      // rarest cell survives whole; no cell ever grows
+      if (n == quotaByLang(lang)) assert(keptByCell((lang, src)) == n)
+      assert(keptByCell.getOrElse((lang, src), 0L) <= n)
+    }
+    // the census IS skewed within langs, so the gate must actually bite
+    assert(cells.exists { case ((lang, src), n) =>
+      n > quotaByLang(lang) && keptByCell.getOrElse((lang, src), 0L) < n },
+      "some over-quota cell must actually downsample")
+    // membership is a pure function of doc_id: a second run is identical
+    val again = TextOps.mixtureRebalance2dOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(kept.toSeq == again.toSeq)
+  }
+
+  test("quality top-p: kept set is exactly each lang's best half") {
+    val docs = Tables.widened(spark, Tables.documents(spark, sf))
+      .select($"doc_id", $"lang", $"text")
+    val scored = docs.select($"doc_id", $"lang",
+        graft.functions.TextFns.qualityScore($"text").as("q")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val kept = TextOps.qualityTopPOf(docs, p = 0.5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val keptIds = kept.map(_._1).toSet
+    scored.groupBy(_._2).foreach { case (lang, rows) =>
+      // percent_rank <= 0.5 over a unique ordering keeps exactly the
+      // first floor((n-1)/2)+1 docs by (quality desc, doc_id)
+      val ordered = rows.sortBy(r => (-r._3, r._1)).map(_._1)
+      val expect = ordered.take((rows.length - 1) / 2 + 1).toSet
+      assert(rows.filter(r => keptIds(r._1)).map(_._1).toSet == expect,
+        s"lang $lang kept set must be its top half")
+    }
+    // deterministic: second run identical
+    val again = TextOps.qualityTopPOf(docs, p = 0.5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(kept.toSeq == again.toSeq)
+  }
+
   test("tfidf top terms: integer ranking (tf desc, df asc, word asc)") {
     val docs = Seq(
       (1L, "rare common common"), // tf: common=2, rare=1; df: rare=1, common=2
