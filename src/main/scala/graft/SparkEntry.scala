@@ -105,6 +105,9 @@ object SparkEntry {
     "quality_filter_top_p" -> ((s, d) => TextOps.qualityTopP(s, d)),
     "streaming_incremental_minhash" -> ((s, d) =>
       graft.streaming.Streams.incrementalMinhashQuery(s, d)),
+    "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    "funnel_steps" -> ((s, d) => Relational.funnelSteps(s, d)),
+    "shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1078,5 +1081,47 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // generated from the same term list + frozen constants as the Spark
+    // plan, so both sides run the identical IEEE op sequence (rational
+    // idf — no libm log anywhere)
+    "bm25_topk" -> graft.operators.Retrieval.bm25Sql(),
+
+    // chained-min formulation: t_k = MIN(ts) of stage k strictly after
+    // t_{k-1}; equals the Spark side's greedy sorted walk by induction
+    // (earliest qualifying event never forecloses a later stage)
+    "funnel_steps" -> {
+      val stages = graft.operators.Relational.FunnelStages
+      val ctes = stages.zipWithIndex.map { case (st, i) =>
+        val prev = if (i == 0) "" else
+          s" JOIN s${i - 1} USING (user_id) WHERE e.tsu > s${i - 1}.t_${stages(i - 1)}"
+        s"""s$i AS (SELECT user_id, MIN(tsu) AS t_$st
+           |  FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+           |        FROM events WHERE event_type = '$st') e$prev
+           |  GROUP BY user_id)""".stripMargin
+      }.mkString(",\n")
+      val tCols = stages.map(st => s"t_$st").mkString(", ")
+      val nStages = stages.map(st =>
+        s"CASE WHEN t_$st IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type IN (${stages.map(s => s"'$s'").mkString(", ")})),
+         |$ctes
+         |SELECT user_id, CAST($nStages AS INTEGER) AS n_stages, $tCols
+         |FROM u ${stages.indices.map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")}
+         |ORDER BY user_id""".stripMargin
+    },
+
+    // Q3 shape; revenue in the exact decimal domain (Fx mirror)
+    "shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS revenue,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
   )
 }

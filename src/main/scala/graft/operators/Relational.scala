@@ -402,4 +402,85 @@ object Relational {
         min($"tsu").as("t_start"), max($"tsu").as("t_end"))
       .orderBy($"user_id", $"session_id")
   }
+
+  /** The funnel stage sequence (product-analytics order of the events
+    * corpus's types). Shared with the oracle generator.
+    */
+  val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered event funnel per user: how far through
+    * signup → view → click → purchase each user progressed, each stage
+    * strictly after the previous one in event time.
+    *
+    * ONE shuffle: events fold into a per-user time-sorted list
+    * (bounded by a user's own activity — the same state bound
+    * [[sessionize]] and every sessionizer accepts), and the greedy
+    * stage walk is a pure `aggregate` HOF over that list inside
+    * codegen. The greedy earliest-match walk computes the same stage
+    * times as the "min ts after previous stage" fixpoint (induction:
+    * taking the earliest qualifying event never forecloses a later
+    * stage), which is exactly how the DuckDB oracle states it — two
+    * independent formulations meeting at the same rows.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnelStepsOf(Tables.events(spark, dir), FunnelStages)
+
+  /** [[funnelSteps]] over any (user_id, ts NANOS-LONG, event_type). */
+  def funnelStepsOf(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stagesArr = array(stages.map(lit): _*)
+    val perUser = events
+      .filter($"event_type".isin(stages: _*))
+      .select($"user_id", expr("ts div 1000").as("tsu"), $"event_type")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tsu", $"event_type"))).as("seq"))
+    // greedy walk: state = the reached stages' timestamps; an event
+    // advances the walk iff it is the next expected stage and strictly
+    // later than the last reached one
+    val walked = aggregate($"seq",
+      array().cast("array<bigint>"),
+      (st, e) => when(
+        size(st) < stages.size &&
+          e.getField("event_type") === element_at(stagesArr, size(st) + 1) &&
+          (size(st) === 0 || e.getField("tsu") > element_at(st, -1)),
+        concat(st, array(e.getField("tsu")))).otherwise(st))
+    perUser.select($"user_id", walked.as("ts_arr"))
+      .select(($"user_id" +: size($"ts_arr").as("n_stages") +:
+        stages.indices.map(i => get($"ts_arr", lit(i)).as(s"t_${stages(i)}"))): _*)
+      .orderBy($"user_id")
+  }
+
+  /** TPC-H Q3-shaped shipping-priority headline join: segment-filtered
+    * customers ⨝ date-filtered orders ⨝ ship-date-filtered lineitems,
+    * revenue per order, top 10. The canonical big-join benchmark shape:
+    * both filters are pushed to the parquet scans, the
+    * customer side broadcasts (a 0.2% segment of the smallest fact
+    * table), the aggregation is partial+final on l_orderkey, and the
+    * top-10 is a TakeOrderedAndProject — no global sort at any scale.
+    * Revenue accumulates in the exact decimal domain ([[graft.Fx]]).
+    */
+  def shippingPriority(spark: SparkSession, dir: String,
+      segment: String = "BUILDING", cutoff: String = "1996-06-30",
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === segment).select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+        .cast("double").as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        $"o_orderdate".cast("date").as("o_orderdate"), $"o_orderpriority")
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(k)
+  }
 }

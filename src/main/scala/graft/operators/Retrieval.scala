@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval scoring over the `documents` table — the index-side query
+  * path a RAG / data-curation pipeline runs next to chunking
+  * ([[TextOps.chunkDocs]]) and TF-IDF term extraction
+  * ([[TextOps.tfidfTopTerms]]).
+  *
+  * Scale shape: one projection pass computes every per-document
+  * statistic (doc length + one term frequency per query term, all
+  * inside whole-stage codegen — the term list is a compile-time
+  * constant, so there is no explode and no per-token shuffle); the
+  * corpus-level statistics (N, Σdl, per-term document frequencies)
+  * are ONE single-row aggregate broadcast back over the projection;
+  * the top-k is a TakeOrderedAndProject. Nothing shuffles the corpus
+  * itself at any scale.
+  */
+object Retrieval {
+
+  /** BM25 parameters (the standard Robertson defaults). `K1Plus1` is a
+    * frozen literal — NOT computed as k1+1 — so the Spark plan and the
+    * DuckDB oracle parse the identical decimal string to the identical
+    * double.
+    */
+  val K1 = 1.2
+  val K1Plus1 = 2.2
+  val B = 0.75
+
+  /** Fixed query terms (mid-frequency words of the synthetic corpus).
+    * Shared with the oracle generator.
+    */
+  val QueryTerms: Seq[String] = Seq("hash", "merge", "vector")
+
+  /** BM25 top-k with a RATIONAL idf: idf(t) = (N − df + 0.5)/(df + 0.5)
+    * — the classic Robertson idf with the outer log dropped. The log is
+    * a monotone transform applied per term, and libm log is the one
+    * piece of BM25 that is not bit-reproducible across engines, so the
+    * rational form keeps every arithmetic step an IEEE +,−,×,/ of
+    * exactly-agreed operands (exact integer counts, print-exact
+    * constants) — deterministic to the last bit on both sides. Rankings
+    * differ from log-BM25 only through the per-term idf weighting, and
+    * the score is still the textbook tf-saturation × idf structure.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25TopKOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      QueryTerms, k)
+
+  /** [[bm25TopK]] over an arbitrary (doc_id, text) relation. */
+  def bm25TopKOf(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(terms.nonEmpty, "need at least one query term")
+    val t = TextFns.tokens($"text")
+    // one pass: dl + a tf column per query term (array_size of a
+    // filtered constant-term scan — codegen, no explode)
+    val proj = docs.select(
+      ($"doc_id" +: size(t).as("dl") +:
+        terms.zipWithIndex.map { case (term, i) =>
+          size(filter(t, x => x === lit(term))).as(s"tf$i")
+        }): _*)
+      .cache()
+    // single-row corpus stats: N, Σdl, df per term
+    val statCols = count(lit(1)).as("n") +: sum($"dl").as("sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = proj.agg(statCols.head, statCols.tail: _*)
+    val withStats = proj.crossJoin(broadcast(stats))
+    // avgdl = Σdl / N: one divide of two exact integers
+    val avgdl = $"sdl".cast("double") / $"n"
+    // per-term score, every operand/association mirrored in the oracle:
+    //   idf  = ((N − df) + 0.5) / (df + 0.5)
+    //   norm = K1 * ((1 − B) + (B * (dl / avgdl)))
+    //   s    = idf * ((tf * (K1+1)) / (tf + norm))
+    def termScore(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = (($"n" - col(s"df$i")).cast("double") + lit(0.5)) /
+        (df + lit(0.5))
+      val norm = lit(K1) * ((lit(1.0) - lit(B)) +
+        (lit(B) * ($"dl".cast("double") / avgdl)))
+      idf * ((tf * lit(K1Plus1)) / (tf + norm))
+    }
+    val score = terms.indices.map(termScore).reduceLeft(_ + _)
+    withStats
+      .select(($"doc_id" +: $"dl".as("n_tokens") +:
+        terms.indices.map(i => col(s"tf$i"))) :+ score.as("score"): _*)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[bm25TopKOf]] for the driver oracle — generated
+    * from the same term list and constants so the expression trees
+    * match operation-for-operation.
+    */
+  def bm25Sql(terms: Seq[String] = QueryTerms, k: Int = 10): String = {
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(l, x -> x = '$term')) AS INTEGER) AS tf$i"
+    }.mkString(",\n  ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val scoreTerms = terms.indices.map { i =>
+      val idf = s"((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))"
+      val norm = s"($K1 * ((1.0 - $B) + ($B * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n)))))"
+      s"($idf * ((CAST(tf$i AS DOUBLE) * $K1Plus1) / (CAST(tf$i AS DOUBLE) + $norm)))"
+    }
+    val score = scoreTerms.reduceLeft((a, b) => s"($a + $b)")
+    val tfOut = terms.indices.map(i => s"tf$i").mkString(", ")
+    s"""WITH p AS (
+       |  SELECT doc_id, CAST(len(l) AS INTEGER) AS dl,
+       |  $tfCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+       |), s AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS sdl, $dfCols FROM p
+       |)
+       |SELECT doc_id, dl AS n_tokens, $tfOut, $score AS score
+       |FROM p, s
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+}
