@@ -108,6 +108,10 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "funnel_steps" -> ((s, d) => Relational.funnelSteps(s, d)),
     "shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
+    "decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
+    "dup_span_coverage" -> ((s, d) => Dedup.dupSpanCoverage(s, d)),
+    "approx_distinct_hll" -> ((s, d) => Sketches.hllDistinct(s, d)),
+    "streaming_hll" -> ((s, d) => graft.streaming.Streams.hllStreamQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -150,6 +154,18 @@ object SparkEntry {
        |    ELSE list_transform(generate_series(1, len(l) - ${n - 1}),
        |           i -> ${h60(s"array_to_string(l[i:i+${n - 1}], ' ')")}) END AS ss
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)))""".stripMargin
+
+  /** Decontamination SQL — shared by decontaminate (broadcast plan) and
+    * decontaminate_bloom (Bloom-prefilter + shuffle-verify plan): both
+    * compute the same relation by construction.
+    */
+  private lazy val decontaminateSql =
+    s"""WITH ${shingleSqlCte("sh8", 8)},
+       |bench AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 49 = 0)
+       |SELECT doc_id, COUNT(*) AS n_contaminated
+       |FROM sh8 JOIN bench USING (h)
+       |WHERE doc_id % 49 <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Token-packing SQL — shared by token_pack and shard_export (the
     * partitioned layout must be row-identical to the packing).
@@ -501,13 +517,12 @@ object SparkEntry {
          |FROM lang JOIN t USING (doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "decontaminate" ->
-      s"""WITH ${shingleSqlCte("sh8", 8)},
-         |bench AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 49 = 0)
-         |SELECT doc_id, COUNT(*) AS n_contaminated
-         |FROM sh8 JOIN bench USING (h)
-         |WHERE doc_id % 49 <> 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> decontaminateSql,
+
+    // the Bloom prefilter is lossless after the exact verify join, so
+    // the bloom path answers the identical question — one oracle, two
+    // independent physical strategies
+    "decontaminate_bloom" -> decontaminateSql,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
@@ -1110,6 +1125,42 @@ object SparkEntry {
          |FROM u ${stages.indices.map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")}
          |ORDER BY user_id""".stripMargin
     },
+
+    // positional 8-grams; a gram is duplicated iff its hash occurs in
+    // >= 2 distinct docs; interval union per doc via the LEAD-gap trick
+    // (last interval contributes n). Mirrors Dedup.dupSpanCoverageOf.
+    "dup_span_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 7),
+         |    i -> struct_pack(pos := i, h := ${h60("array_to_string(l[i:i+7], ' ')")}))) AS s
+         |  FROM toks WHERE len(l) >= 8)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+         |  GROUP BY h HAVING COUNT(*) >= 2),
+         |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+         |cov AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+         |  CAST(SUM(LEAST(gap, 8)) AS BIGINT) AS covered_tokens FROM (
+         |    SELECT doc_id, pos, COALESCE(LEAD(pos) OVER (
+         |      PARTITION BY doc_id ORDER BY pos) - pos, 8) AS gap FROM dp)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+         |  COALESCE(covered_tokens, 0) AS covered_tokens,
+         |  CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / b.n_tokens AS covered_frac
+         |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)
+         |      AS n_tokens FROM documents) b
+         |LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // deterministic HLL: md5-based hash, integer register math, one
+    // final IEEE divide — the oracle runs the identical algorithm, so
+    // the approximate answer is exactly reproduced (SRP/IVF contract)
+    "approx_distinct_hll" -> graft.operators.Sketches.hllSql(),
+
+    // the streamed register state max-merges to exactly the one-shot
+    // registers (max is associative/commutative), so the streaming
+    // query answers the batch SQL on the fed slice
+    "streaming_hll" -> graft.operators.Sketches.hllSql(table =
+      s"(SELECT * FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})"),
 
     // Q3 shape; revenue in the exact decimal domain (Fx mirror)
     "shipping_priority" ->

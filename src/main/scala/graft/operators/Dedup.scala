@@ -585,6 +585,136 @@ object Dedup {
       d.filter(col("doc_id") % benchMod === 0), n)
   }
 
+  /** Bloom-filter size/probes for [[decontaminateBloomOf]]: m bits as
+    * 64-bit words, 2 probes from independent affine hashes over the
+    * [[P]] universe (products stay < 2^62, overflow-free in both
+    * engines). 2^16 bits keeps the false-positive rate < 1e-4 up to
+    * ~300 benchmark shingles per 1e4 bits; callers with bigger
+    * benchmarks raise `mBits`.
+    */
+  val BloomProbeParams: Seq[(Long, Long)] =
+    Seq((981272653L, 12345L), (1327217885L, 67890L))
+
+  private def bloomPos(h: Column, a: Long, b: Long, mBits: Int): Column =
+    ((h % P) * a + b) % P % mBits
+
+  /** Bloom-prefiltered decontamination — bit-identical output to
+    * [[decontaminateOf]], built for the regime where the benchmark
+    * shingle set is too large to broadcast as an equality set (an
+    * exact set of 1e9 shingles is tens of GB; its Bloom filter at
+    * 10 bits/key is ~1 GB of longs). The corpus side is cut to Bloom
+    * survivors — true matches plus the filter's small false-positive
+    * mass — BEFORE the only shuffle, then a shuffle hash join against
+    * the exact benchmark set removes the false positives. Lossless by
+    * construction (Bloom filters have no false negatives), so the
+    * oracle is decontaminate's own SQL.
+    *
+    * The filter is built distributed (positions → per-word `bit_or`,
+    * one partial-aggregatable shuffle of <= m/64 rows) and collected
+    * as a words array — the broadcast-quantizer pattern: m/64 longs on
+    * the driver, never the shingles.
+    */
+  def decontaminateBloomOf(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8, mBits: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(mBits % 64 == 0, "mBits must be 64-aligned")
+    val benchSh = shingleSetOf(benchmark, n).select($"h").distinct()
+      .cache()
+    // single-bit longs indexed by (pos & 63): a 64-entry literal lookup
+    // replaces the dynamic shift (functions.shiftleft takes only a
+    // constant shift) and keeps the whole probe integral in codegen
+    val bitLit = typedLit((0 until 64).map(1L << _))
+    def bitOf(pos: Column): Column =
+      element_at(bitLit, pos.bitwiseAND(63L).cast("int") + 1)
+    val positions = BloomProbeParams.map { case (a, b) =>
+      benchSh.select(bloomPos($"h", a, b, mBits).as("pos"))
+    }.reduce(_ union _)
+    val words = positions
+      .select(shiftrightunsigned($"pos", 6).as("w"), bitOf($"pos").as("bit"))
+      .groupBy($"w").agg(expr("bit_or(bit)").as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitset = Array.tabulate(mBits / 64)(i => words.getOrElse(i.toLong, 0L))
+    val bitsLit = typedLit(bitset.toSeq)
+    def hit(h: Column): Column = BloomProbeParams.map { case (a, b) =>
+      val pos = bloomPos(h, a, b, mBits)
+      (element_at(bitsLit, shiftrightunsigned(pos, 6).cast("int") + 1)
+        .bitwiseAND(bitOf(pos)) =!= 0L)
+    }.reduce(_ && _)
+    val survivors = shingleSetOf(docs, n).filter(hit($"h"))
+    // exact verify: shuffle hash join (NOT broadcast — the premise is
+    // a benchmark beyond broadcast size; survivors are already a tiny
+    // fraction of the corpus, so both shuffle sides are small)
+    survivors.join(benchSh.hint("shuffle_hash"), Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  /** Driver form of [[decontaminateBloomOf]] — same corpus/benchmark
+    * split as [[decontaminate]], same rows out.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 8,
+      benchMod: Long = 49L): DataFrame = {
+    val d = Tables.widened(spark, Tables.documents(spark, dir))
+    decontaminateBloomOf(
+      d.filter(col("doc_id") % benchMod =!= 0),
+      d.filter(col("doc_id") % benchMod === 0), n)
+  }
+
+  /** Cross-document duplicate n-gram SPAN coverage — the
+    * substring-level dedup signal (word-8-gram granularity): for each
+    * document, how many of its token positions sit inside at least one
+    * n-gram that also occurs in a DIFFERENT document. Pipelines use
+    * the fraction to route documents to span-removal vs whole-doc
+    * drop.
+    *
+    * Dataflow: positional grams (one projection, the explode multiplies
+    * rows not bytes), gram document-frequency on the 8-byte hash
+    * (partial-aggregatable), duplicated grams join back on the hash —
+    * corpus-scale shuffle on integer keys only — then per-doc interval
+    * union via LEAD over (doc, pos): covered = Σ min(n, next_pos − pos)
+    * with the last interval contributing n. The window is per-document
+    * (bounded), never global. Integer output; the fraction is one IEEE
+    * divide.
+    */
+  def dupSpanCoverage(spark: SparkSession, dir: String, n: Int = 8)
+      : DataFrame =
+    dupSpanCoverageOf(Tables.widened(spark, Tables.documents(spark, dir)), n)
+
+  /** [[dupSpanCoverage]] over an arbitrary (doc_id, text) relation. */
+  def dupSpanCoverageOf(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = TextFns.tokens($"text")
+    val base = docs.select($"doc_id", size(t).as("n_tokens"))
+    // positional grams for docs long enough to have one (short docs
+    // have no n-gram and so zero coverage by definition)
+    val grams = docs.filter(size(t) >= n)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(1), size(t) - lit(n - 1)),
+        i => hash60(concat_ws(" ", slice(t, i, lit(n)))))))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("h"))
+    val dupGrams = grams.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("dfh"))
+      .filter($"dfh" >= 2).select($"h")
+    val dupPos = grams.join(dupGrams, Seq("h"))
+      .select($"doc_id", $"pos")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val cov = dupPos
+      .withColumn("gap", coalesce(lead($"pos", 1).over(w) - $"pos", lit(n)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(least($"gap", lit(n))).as("covered_tokens"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+        coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+        (coalesce($"covered_tokens", lit(0L)).cast("double") / $"n_tokens")
+          .as("covered_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** (doc_id, token-hash) pairs with multiplicity — the simhash
     * feature bag (classic simhash weights bits by term frequency, so
     * no distinct: the only shuffle left is the partial-aggregatable

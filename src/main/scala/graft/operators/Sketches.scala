@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates for corpus-scale profiling — the cardinality
+  * report a pipeline runs per partition/day/source where an exact
+  * COUNT(DISTINCT) would shuffle every key.
+  *
+  * The HyperLogLog here is DETERMINISTIC end-to-end: the key hash is
+  * the engine's md5-based 60-bit hash ([[Dedup.hash60]] — stable
+  * across engines by construction), registers are max-aggregates
+  * (order-independent), and the harmonic sum is computed in EXACT
+  * integer arithmetic (Σ 2^(55−r) as a BIGINT — at most 64·2^55 = 2^61,
+  * overflow-free) with ONE final IEEE divide. The DuckDB oracle runs
+  * the identical algorithm, so the driver check is exact — approximate
+  * answer, exactly reproduced (the same contract as the SRP/IVF ANN
+  * queries).
+  *
+  * Scale shape: register formation is a partial-aggregatable
+  * groupBy((key, register)).max then groupBy(key) — two integer
+  * shuffles of at most 64 rows per key group; nothing holds distinct
+  * values anywhere. Registers max-merge across any partitioning of the
+  * input (the spec proves split-merge equals whole-corpus), which is
+  * what makes the sketch usable as a streaming/partitioned accumulator.
+  */
+object Sketches {
+
+  /** m = 64 registers (6 index bits); rho counts into the remaining
+    * 54 hash bits. alpha(64) = 0.709 — the standard HLL bias constant.
+    */
+  val HllRegisters = 64
+  val HllAlpha = 0.709
+
+  /** K in `estimate = K / Σ 2^(55−r_j)`: alpha·m²·2^55, with the
+    * inexact factor (alpha·m²) computed FIRST and the power-of-two
+    * scaling applied last (exact in IEEE), shared textually with the
+    * oracle via shortest-round-trip printing.
+    */
+  val HllK: Double = HllAlpha * HllRegisters * HllRegisters *
+    math.pow(2.0, 55)
+
+  /** rho(w) over the 54-bit suffix: leading zeros + 1 = 55 − bitlen(w),
+    * with bin() giving the minimal binary string in BOTH engines
+    * (bin(0)='0' needs the explicit case).
+    */
+  private def rho(w: Column): Column =
+    when(w === 0L, lit(55)).otherwise(lit(55) - length(bin(w)))
+
+  /** Small-range correction (linear counting): below 2.5m the raw
+    * harmonic estimate is badly biased (V empty registers each inject
+    * 2^0 into the sum), so HLL switches to m·ln(m/V). V only takes
+    * values 1..m, so the correction is PRECOMPUTED as an m-entry
+    * literal both engines index — no runtime libm log whose last bit
+    * could differ between JVM and C. (No large-range correction: the
+    * 54-bit rho space makes hash saturation unreachable.)
+    */
+  val LinearCountThreshold: Double = 2.5 * HllRegisters
+  val LinearCountTable: Seq[Double] = (1 to HllRegisters).map(v =>
+    HllRegisters * math.log(HllRegisters.toDouble / v))
+
+  /** Per-`event_type` exact distinct user count next to its HLL-64
+    * estimate — the self-auditing form (at 100 TB one drops the exact
+    * column; it is here so the driver row proves the estimate from the
+    * same scan).
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hllDistinctOf(Tables.widened(spark, Tables.events(spark, dir)),
+      $"event_type", $"user_id")
+  }
+
+  /** [[hllDistinct]] over any relation: HLL-64 estimate + exact
+    * distinct of `value` per `key`.
+    */
+  def hllDistinctOf(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val est = estimateFromRegisters(hllRegistersOf(df, key, value))
+    val exact = df.select(key.as("k"), value.as("v")).distinct()
+      .groupBy($"k").agg(count(lit(1)).as("n_exact"))
+    exact.join(est, Seq("k"))
+      .select($"k".as("key"), $"n_exact", $"hll_estimate")
+      .orderBy($"key")
+  }
+
+  /** Finish a register relation (k, reg, r) into (k, hll_estimate) —
+    * shared by the batch query and the streaming accumulator (whose
+    * state IS a register relation, max-merged per micro-batch).
+    */
+  private[graft] def estimateFromRegisters(regs: DataFrame): DataFrame = {
+    val spark = regs.sparkSession
+    import spark.implicits._
+    regs.groupBy($"k")
+      .agg(
+        // exact integer harmonic sum; absent registers contribute
+        // 2^55 each (rho would be 0)
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")) +
+          (lit(HllRegisters.toLong) - count(lit(1))) * lit(1L << 55))
+          .as("s"),
+        (lit(HllRegisters.toLong) - count(lit(1))).as("v"))
+      .select($"k", (lit(HllK) / $"s".cast("double")).as("raw"), $"v")
+      .select($"k",
+        when($"v" > 0L && $"raw" <= lit(LinearCountThreshold),
+          element_at(typedLit(LinearCountTable), $"v".cast("int")))
+          .otherwise($"raw").as("hll_estimate"))
+  }
+
+  /** The mergeable register relation (k, reg, r): max-aggregate over
+    * any partition of the input and max-merge across partitions — the
+    * accumulator shape a streaming or per-shard rollup keeps.
+    */
+  private[graft] def hllRegistersOf(df: DataFrame, key: Column,
+      value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.as("k"),
+        Dedup.hash60(value.cast("string")).as("h"))
+      .select($"k", ($"h" % HllRegisters).as("reg"),
+        rho(shiftrightunsigned($"h", 6)).as("rho"))
+      .groupBy($"k", $"reg").agg(max($"rho").as("r"))
+  }
+
+  /** DuckDB mirror of [[hllDistinct]] for the driver oracle — the same
+    * hash, register math, and constant, textually shared.
+    */
+  def hllSql(table: String = "events", keyCol: String = "event_type",
+      valCol: String = "user_id"): String = {
+    val h60 = s"CAST(('0x' || substr(md5(CAST($valCol AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val lcList = LinearCountTable.mkString("[", ", ", "]")
+    s"""WITH hx AS (SELECT $keyCol AS k, $h60 AS h FROM $table),
+       |rr AS (SELECT k, h % ${HllRegisters} AS reg,
+       |  CASE WHEN (h // 64) = 0 THEN 55
+       |       ELSE 55 - length(bin(h // 64)) END AS rho FROM hx),
+       |regs AS (SELECT k, reg, MAX(rho) AS r FROM rr GROUP BY k, reg),
+       |s AS (SELECT k,
+       |  CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - r AS INTEGER)) AS BIGINT)
+       |    + ($HllRegisters - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS s,
+       |  $HllRegisters - COUNT(*) AS v
+       |  FROM regs GROUP BY k),
+       |e AS (SELECT k, $HllK / CAST(s AS DOUBLE) AS raw, v FROM s),
+       |ex AS (SELECT $keyCol AS k, COUNT(DISTINCT $valCol) AS n_exact
+       |  FROM $table GROUP BY $keyCol)
+       |SELECT ex.k AS key, ex.n_exact,
+       |  CASE WHEN e.v > 0 AND e.raw <= $LinearCountThreshold
+       |       THEN ($lcList)[e.v] ELSE e.raw END AS hll_estimate
+       |FROM ex JOIN e USING (k) ORDER BY key""".stripMargin
+  }
+}

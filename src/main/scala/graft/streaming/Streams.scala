@@ -26,6 +26,8 @@ object Streams {
       ts: java.sql.Timestamp)
   /** (doc_id, text) ingest record (incremental-minhash feed). */
   case class DocEvent(doc_id: Long, text: String)
+  /** (key, id) record (streaming-HLL feed). */
+  case class KeyedId(k: String, v: Long)
   /** Event with a real event-time column (windowed-counts feed). */
   case class TimedEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
@@ -419,6 +421,67 @@ object Streams {
       slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
     }
     out.foldLeft(empty)(_ unionByName _).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Streaming distinct-count sketch: the HLL register relation
+    * ([[graft.operators.Sketches.hllRegistersOf]]) maintained across
+    * micro-batches. Each batch contributes its own register maxima and
+    * max-merges into the standing state — the sketch's defining
+    * property (the batch spec proves split-merge == whole) driven by
+    * actual streaming ingest. State is at most keys × 64 tiny integer
+    * rows regardless of stream length; the values themselves are never
+    * retained — THE reason a 100 TB stream can afford per-key
+    * cardinality at all.
+    *
+    * Output: same shape as the batch `approx_distinct_hll` on the fed
+    * slice (the exact column is computed from the static table — it is
+    * the audit column, per the batch query's contract), so the oracle
+    * is the same generated SQL over the capped subset.
+    */
+  def hllStreamQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.operators.Sketches
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"event_id", $"event_type", $"user_id")
+      .orderBy($"event_id").collect()
+      .map(r => KeyedId(r.getString(1), r.getLong(2)))
+    val emptyOut = Seq.empty[(String, Long, Double)]
+      .toDF("key", "n_exact", "hll_estimate")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val in = MemoryStream[KeyedId](spark)
+    var regs = Seq.empty[(String, Long, Int)].toDF("k", "reg", "r")
+    runStreamToTable(spark, "hll_stream", None) { (n, ck) =>
+      in.toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .queryName(n)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) { // ST4 empty-batch skip
+            val batchRegs = Sketches.hllRegistersOf(batch, col("k"), col("v"))
+            regs = regs.union(batchRegs)
+              .groupBy(col("k"), col("reg")).agg(max(col("r")).as("r"))
+              .localCheckpoint(true) // state: <= keys*64 integer rows
+            ()
+          }
+        }.start()
+    } { q =>
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    val est = Sketches.estimateFromRegisters(regs)
+    val exact = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"event_type".as("k"), $"user_id".as("v")).distinct()
+      .groupBy($"k").agg(count(lit(1)).as("n_exact"))
+    exact.join(est, Seq("k"))
+      .select($"k".as("key"), $"n_exact", $"hll_estimate")
+      .orderBy($"key")
   }
 
   /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):

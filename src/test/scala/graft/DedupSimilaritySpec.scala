@@ -332,6 +332,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byRelation == byPredicate)
   }
 
+  test("bloom decontamination equals the broadcast-exact plan, and the " +
+      "verify join removes forced false positives") {
+    import spark.implicits._
+    val exact = Dedup.decontaminate(spark, sf).collect().toSeq
+    val bloom = Dedup.decontaminateBloom(spark, sf).collect().toSeq
+    assert(exact.nonEmpty && bloom == exact)
+    // 128-bit filter vs hundreds of distinct shingles: nearly every
+    // probe is a false positive, so only the exact join keeps this
+    // output right
+    val d = Tables.documents(spark, sf)
+    val tiny = Dedup.decontaminateBloomOf(
+      d.filter($"doc_id" % 49 =!= 0), d.filter($"doc_id" % 49 === 0),
+      n = 8, mBits = 128).collect().toSeq
+    assert(tiny == exact)
+  }
+
+  test("bloom verify join is a shuffle join, not a broadcast") {
+    val plan = Dedup.decontaminateBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"))
+  }
+
+  test("dup-span coverage: hand corpus with overlapping shared spans") {
+    import spark.implicits._
+    // A and B share two overlapping 8-grams (a..h at A:1/B:2, b..i at
+    // A:2/B:3): interval union covers 9 of 10 tokens on each side; C
+    // is untouched
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x a b c d e f g h i"),
+      (2L, "p q r s t u v w y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverageOf(docs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 10, 2L, 9L, 0.9),
+      (1L, 10, 2L, 9L, 0.9),
+      (2L, 10, 0L, 0L, 0.0)))
+  }
+
+  test("dup-span coverage: within-doc repetition alone is not a dup") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h a b c d e f g h"), // self-repeat only
+      (1L, "m n o p q r s t u v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverageOf(docs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("label centroids are exact fixed-point means") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("hll-64 estimate tracks exact distinct across 2 orders of magnitude") {
+    import spark.implicits._
+    // 3 keys with 10 / 300 / 3000 distinct values (each value repeated
+    // 3x to prove multiplicity doesn't bias the registers)
+    val df = Seq("a" -> 10, "b" -> 300, "c" -> 3000).flatMap { case (k, n) =>
+      (0 until n).flatMap(i => Seq.fill(3)((k, s"$k-$i")))
+    }.toDF("k", "v")
+    val out = Sketches.hllDistinctOf(df, col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2))).toList
+    assert(out.map(t => (t._1, t._2)) ==
+      List(("a", 10L), ("b", 300L), ("c", 3000L)))
+    // m=64 -> std err ~13%; 35% is a ~2.7 sigma band — deterministic
+    // anyway (fixed hash), the band just documents the accuracy class
+    out.foreach { case (k, exact, est) =>
+      assert(math.abs(est - exact) / exact < 0.35,
+        s"$k: est $est vs exact $exact")
+    }
+  }
+
+  test("hll registers max-merge: split halves merged == whole corpus") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => ("k", s"v$i")).toDF("k", "v")
+    val whole = Sketches.hllRegistersOf(df, col("k"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val lo = Sketches.hllRegistersOf(
+      df.filter(substring($"v", 2, 10).cast("int") < 1000), col("k"), col("v"))
+    val hi = Sketches.hllRegistersOf(
+      df.filter(substring($"v", 2, 10).cast("int") >= 1000), col("k"), col("v"))
+    val merged = lo.union(hi).groupBy($"k", $"reg")
+      .agg(max($"r").as("r"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(merged == whole)
+  }
+}

@@ -372,6 +372,22 @@ class StreamingSpec extends AnyFunSuite {
       s"tie order must be songId asc to match the rank window: $u3")
   }
 
+  test("streaming HLL equals the one-shot batch sketch on the fed slice") {
+    import spark.implicits._
+    val streamed = Streams.hllStreamQuery(spark, TestSpark.sf, numBatches = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val batch = graft.operators.Sketches.hllDistinctOf(
+      Tables.events(spark, TestSpark.sf)
+        .filter($"event_id" < Streams.HarnessFeedCap),
+      $"event_type", $"user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(streamed.nonEmpty, "feed must produce sketch rows")
+    assert(streamed == batch,
+      "max-merged micro-batch registers must finish to the one-shot estimate")
+  }
+
   test("recommend loop: batch body unions stream with history and emits top-K") {
     import spark.implicits._
     val history = Seq(
