@@ -112,6 +112,9 @@ object SparkEntry {
     "dup_span_coverage" -> ((s, d) => Dedup.dupSpanCoverage(s, d)),
     "approx_distinct_hll" -> ((s, d) => Sketches.hllDistinct(s, d)),
     "streaming_hll" -> ((s, d) => graft.streaming.Streams.hllStreamQuery(s, d)),
+    "streaming_funnel" -> ((s, d) => graft.streaming.Streams.funnelStreamQuery(s, d)),
+    "profile_columns" -> ((s, d) => Sketches.profileColumns(s, d)),
+    "zorder_key" -> ((s, d) => graft.sources.ZOrder.zorderKey(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -154,6 +157,31 @@ object SparkEntry {
        |    ELSE list_transform(generate_series(1, len(l) - ${n - 1}),
        |           i -> ${h60(s"array_to_string(l[i:i+${n - 1}], ' ')")}) END AS ss
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)))""".stripMargin
+
+  /** Funnel SQL (chained-min fixpoint) — shared by funnel_steps (whole
+    * table) and streaming_funnel (the HarnessFeedCap-bounded feed via
+    * `extraWhere`).
+    */
+  private def funnelSql(extraWhere: String): String = {
+    val stages = graft.operators.Relational.FunnelStages
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      val prev = if (i == 0) "" else
+        s" JOIN s${i - 1} USING (user_id) WHERE e.tsu > s${i - 1}.t_${stages(i - 1)}"
+      s"""s$i AS (SELECT user_id, MIN(tsu) AS t_$st
+         |  FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+         |        FROM events WHERE event_type = '$st'$extraWhere) e$prev
+         |  GROUP BY user_id)""".stripMargin
+    }.mkString(",\n")
+    val tCols = stages.map(st => s"t_$st").mkString(", ")
+    val nStages = stages.map(st =>
+      s"CASE WHEN t_$st IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events
+       |  WHERE event_type IN (${stages.map(s => s"'$s'").mkString(", ")})$extraWhere),
+       |$ctes
+       |SELECT user_id, CAST($nStages AS INTEGER) AS n_stages, $tCols
+       |FROM u ${stages.indices.map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")}
+       |ORDER BY user_id""".stripMargin
+  }
 
   /** Decontamination SQL — shared by decontaminate (broadcast plan) and
     * decontaminate_bloom (Bloom-prefilter + shuffle-verify plan): both
@@ -1105,26 +1133,13 @@ object SparkEntry {
     // chained-min formulation: t_k = MIN(ts) of stage k strictly after
     // t_{k-1}; equals the Spark side's greedy sorted walk by induction
     // (earliest qualifying event never forecloses a later stage)
-    "funnel_steps" -> {
-      val stages = graft.operators.Relational.FunnelStages
-      val ctes = stages.zipWithIndex.map { case (st, i) =>
-        val prev = if (i == 0) "" else
-          s" JOIN s${i - 1} USING (user_id) WHERE e.tsu > s${i - 1}.t_${stages(i - 1)}"
-        s"""s$i AS (SELECT user_id, MIN(tsu) AS t_$st
-           |  FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
-           |        FROM events WHERE event_type = '$st') e$prev
-           |  GROUP BY user_id)""".stripMargin
-      }.mkString(",\n")
-      val tCols = stages.map(st => s"t_$st").mkString(", ")
-      val nStages = stages.map(st =>
-        s"CASE WHEN t_$st IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH u AS (SELECT DISTINCT user_id FROM events
-         |  WHERE event_type IN (${stages.map(s => s"'$s'").mkString(", ")})),
-         |$ctes
-         |SELECT user_id, CAST($nStages AS INTEGER) AS n_stages, $tCols
-         |FROM u ${stages.indices.map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")}
-         |ORDER BY user_id""".stripMargin
-    },
+    "funnel_steps" -> funnelSql(""),
+
+    // the stateful walk is the batch walk folded online (same advance
+    // rule, same per-user order), so the streamed final states answer
+    // the same chained-min SQL over the fed slice
+    "streaming_funnel" -> funnelSql(
+      s" AND event_id < ${graft.streaming.Streams.HarnessFeedCap}"),
 
     // positional 8-grams; a gram is duplicated iff its hash occurs in
     // >= 2 distinct docs; interval union per doc via the LEAD-gap trick
@@ -1161,6 +1176,19 @@ object SparkEntry {
     // query answers the batch SQL on the fed slice
     "streaming_hll" -> graft.operators.Sketches.hllSql(table =
       s"(SELECT * FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})"),
+
+    // counts are integers, min/max are selection not arithmetic — the
+    // one-pass expanded aggregate and the per-column UNION ALL must
+    // agree exactly
+    "profile_columns" -> graft.operators.Sketches.profileSql(),
+
+    // Morton interleave from the same byte-spread tables — pure integer
+    // mask/shift/lookup arithmetic, exact in both engines
+    "zorder_key" ->
+      s"""SELECT l_partkey, l_suppkey,
+         |  ${graft.sources.ZOrder.zvalSql("l_partkey", "l_suppkey")} AS zval
+         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         |ORDER BY zval, l_partkey, l_suppkey""".stripMargin,
 
     // Q3 shape; revenue in the exact decimal domain (Fx mirror)
     "shipping_priority" ->

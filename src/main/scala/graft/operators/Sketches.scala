@@ -122,6 +122,74 @@ object Sketches {
       .groupBy($"k", $"reg").agg(max($"rho").as("r"))
   }
 
+  /** Profiled columns of the events table: name → numeric? The ts
+    * column is profiled in the µs domain both engines share.
+    */
+  val ProfileCols: Seq[(String, Boolean)] = Seq(
+    "event_id" -> true, "event_type" -> false, "props" -> false,
+    "ts_us" -> true, "user_id" -> true, "value" -> true)
+
+  /** One-pass column profiling — the stats report a pipeline emits
+    * after every ingest/filter stage (null rates, cardinalities,
+    * ranges). ONE aggregate over ONE scan produces every column's
+    * stats (Spark plans the multi-distinct via a single expanded
+    * aggregate, not one job per column); the single stats row is then
+    * unpivoted to a row per column.
+    *
+    * Exactness: counts are integers; min/max are SELECTION (not
+    * arithmetic) so doubles come out bit-identical and strings compare
+    * in binary order in both engines — nothing here can diverge.
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_id", $"event_type", $"props",
+        expr("ts div 1000").as("ts_us"), $"user_id", $"value")
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap {
+      case (c, _) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = ProfileCols.map { case (c, isNum) =>
+      struct(lit(c).as("col_name"), $"n_rows",
+        col(s"${c}_nn").as("n_null"), col(s"${c}_nd").as("n_distinct"),
+        (if (isNum) col(s"${c}_mn").cast("double")
+         else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"${c}_mx").cast("double")
+         else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string")
+         else col(s"${c}_mn").cast("string")).as("min_str"),
+        (if (isNum) lit(null).cast("string")
+         else col(s"${c}_mx").cast("string")).as("max_str"))
+    }
+    row.select(explode(array(entries: _*)).as("e"))
+      .select($"e.*").orderBy($"col_name")
+  }
+
+  /** DuckDB mirror of [[profileColumns]]: one aggregate per column,
+    * UNION ALL'd — an independent plan shape for the same stats.
+    */
+  def profileSql(): String = {
+    val selects = ProfileCols.map { case (c, isNum) =>
+      val (mnN, mxN, mnS, mxS) =
+        if (isNum) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  $mnN AS min_num, $mxN AS max_num,
+         |  $mnS AS min_str, $mxS AS max_str FROM ev""".stripMargin
+    }
+    s"""WITH ev AS (SELECT event_id, event_type, props,
+       |  CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, value FROM events)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** DuckDB mirror of [[hllDistinct]] for the driver oracle — the same
     * hash, register math, and constant, textually shared.
     */

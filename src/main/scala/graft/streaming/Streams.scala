@@ -28,6 +28,18 @@ object Streams {
   case class DocEvent(doc_id: Long, text: String)
   /** (key, id) record (streaming-HLL feed). */
   case class KeyedId(k: String, v: Long)
+  /** (user, µs timestamp, type) record (streaming-funnel feed) —
+    * already in the µs domain the batch funnel and its oracle share,
+    * so no Timestamp round-trip can lose precision.
+    */
+  case class StampedType(user_id: Long, tsu: Long, event_type: String)
+  /** Per-trigger funnel progress emission: `seq` (events processed so
+    * far) is strictly monotone per user, so the final answer is the
+    * max_by(seq) row.
+    */
+  case class FunnelProgress(user_id: Long, seq: Long, n_stages: Int,
+      t_signup: Option[Long], t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long])
   /** Event with a real event-time column (windowed-counts feed). */
   case class TimedEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
@@ -482,6 +494,87 @@ object Streams {
     exact.join(est, Seq("k"))
       .select($"k".as("key"), $"n_exact", $"hll_estimate")
       .orderBy($"key")
+  }
+
+  /** One funnel-walk step — the SAME advance rule as the batch
+    * `Relational.funnelStepsOf` HOF (next expected stage, strictly
+    * later than the last reached timestamp), applied to an arriving
+    * event against the reached-timestamps state. The greedy walk is
+    * ONLINE: folding events one at a time in (tsu, event_type) order
+    * IS the batch walk over the sorted list, which is what makes the
+    * stateful streaming form answer the batch oracle exactly.
+    */
+  private def funnelAdvance(stages: IndexedSeq[String],
+      state: Vector[Long], e: StampedType): Vector[Long] =
+    if (state.length < stages.length &&
+        e.event_type == stages(state.length) &&
+        (state.isEmpty || e.tsu > state.last)) state :+ e.tsu
+    else state
+
+  /** Streaming funnel: per-user signup→view→click→purchase progression
+    * maintained as `mapGroupsWithState` state (the reached stages'
+    * timestamps — at most 4 longs per user, the same per-key state
+    * bound the batch walk's per-user list has, but never holding the
+    * events themselves). Each trigger emits the user's progress with a
+    * monotone per-user `seq`; the final per-user row (max_by seq) is
+    * proven equal to the batch `funnel_steps` on the fed slice, so the
+    * oracle is the same chained-min SQL over the capped subset.
+    */
+  def funnelStreamQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.GroupState
+    import spark.implicits._
+    val stages = graft.operators.Relational.FunnelStages.toIndexedSeq
+    // feed in (tsu, user, type) order: per user this is exactly the
+    // batch walk's (tsu, event_type) sort order, split across batches
+    // in a way that preserves it (slices keep the global order)
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap &&
+        $"event_type".isin(stages: _*))
+      .select($"user_id", expr("ts div 1000").as("tsu"), $"event_type")
+      .orderBy($"tsu", $"user_id", $"event_type")
+      .as[StampedType].collect()
+    val emptyOut = Seq.empty[FunnelProgress].toDS().toDF()
+      .drop("seq")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val in = MemoryStream[StampedType](spark)
+    val name = runStreamToTable(spark, "funnel_stream", Some(4)) { (n, ck) =>
+      in.toDS()
+        .groupByKey(_.user_id)
+        .mapGroupsWithState[(Vector[Long], Long), FunnelProgress](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[StampedType],
+           gs: GroupState[(Vector[Long], Long)]) =>
+            val (st0, seq0) = gs.getOption.getOrElse((Vector.empty[Long], 0L))
+            // within a trigger the iterator order is arbitrary — sort
+            // into the walk order (cross-trigger order is the feed's)
+            val batch = it.toIndexedSeq.sortBy(e => (e.tsu, e.event_type))
+            val st = batch.foldLeft(st0)(funnelAdvance(stages, _, _))
+            val seq = seq0 + batch.length
+            gs.update((st, seq))
+            FunnelProgress(uid, seq, st.length,
+              st.lift(0), st.lift(1), st.lift(2), st.lift(3))
+        }
+        .toDF()
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).start()
+    } { q =>
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    val all = spark.table(name)
+    // monotone seq -> the max_by(seq) row is each user's final state
+    all.groupBy($"user_id")
+      .agg(max_by(struct($"n_stages", $"t_signup", $"t_view", $"t_click",
+        $"t_purchase"), $"seq").as("f"))
+      .select($"user_id", $"f.n_stages", $"f.t_signup", $"f.t_view",
+        $"f.t_click", $"f.t_purchase")
+      .orderBy($"user_id")
   }
 
   /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):

@@ -191,6 +191,26 @@ class PlanSpec extends AnyFunSuite {
       new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("round-6 ops keep their scale shapes: bm25 top-k, funnel single shuffle, profile single scan") {
+    // bm25: corpus never shuffles — the only exchanges feed the 1-row
+    // stats broadcast and the TakeOrderedAndProject
+    val bm25 = graft.operators.Retrieval.bm25TopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bm25.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!bm25.contains("SortMergeJoin") && !bm25.contains("CartesianProduct"))
+    // funnel: ONE exchange (the per-user groupBy); the walk is a
+    // projection over the collected list
+    val funnel = Relational.funnelSteps(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(funnel.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"funnel must shuffle once (plus oracle-order sort at most):\n$funnel")
+    // dup spans: pair work joins on the 8-byte gram hash, never cartesian
+    val spans = graft.operators.Dedup.dupSpanCoverage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!spans.contains("CartesianProduct") &&
+      !spans.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("typed CountAvg aggregator matches built-in count/avg") {
     import spark.implicits._
     val r = Relational.ratings(spark, sf)

@@ -27,6 +27,27 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("column profile: one scan, stats match direct aggregates") {
+    import spark.implicits._
+    val p = Sketches.profileColumns(spark, sf)
+    // single-pass: the expanded multi-distinct aggregate reads the
+    // parquet exactly once
+    assert(p.queryExecution.executedPlan.toString
+      .sliding("Scan parquet".length).count(_ == "Scan parquet") == 1)
+    val rows = p.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == Sketches.ProfileCols.size)
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    assert(rows.values.forall(_.getAs[Long]("n_rows") == n))
+    val directDistinct = ev.select(countDistinct($"event_type")).head().getLong(0)
+    assert(rows("event_type").getAs[Long]("n_distinct") == directDistinct)
+    val (mn, mx) = ev.agg(min($"value"), max($"value")).as[(Double, Double)].head()
+    assert(rows("value").getAs[Double]("min_num") == mn)
+    assert(rows("value").getAs[Double]("max_num") == mx)
+    assert(rows("value").getAs[Any]("min_str") == null)
+    assert(rows("event_type").getAs[Any]("min_num") == null)
+  }
+
   test("hll registers max-merge: split halves merged == whole corpus") {
     import spark.implicits._
     val df = (0 until 2000).map(i => ("k", s"v$i")).toDF("k", "v")

@@ -388,6 +388,72 @@ class StreamingSpec extends AnyFunSuite {
       "max-merged micro-batch registers must finish to the one-shot estimate")
   }
 
+  test("streaming funnel equals the batch walk on the fed slice") {
+    import spark.implicits._
+    val streamed = Streams.funnelStreamQuery(spark, TestSpark.sf, numBatches = 3)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Relational.funnelStepsOf(
+      Tables.events(spark, TestSpark.sf)
+        .filter($"event_id" < Streams.HarnessFeedCap),
+      graft.operators.Relational.FunnelStages)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "feed must produce funnel rows")
+    assert(streamed == batch,
+      "per-user state folded across micro-batches must equal the one-shot walk")
+  }
+
+  test("streaming funnel state survives a kill/restart on the same checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.streaming.Streams.{FunnelProgress, StampedType}
+    // kill the query with users mid-funnel, restart on the SAME
+    // checkpoint, feed the remaining stages: the recovered state must
+    // resume the walk exactly where it stopped (no stage lost, no
+    // stage double-counted)
+    val stages = graft.operators.Relational.FunnelStages.toIndexedSeq
+    val in = MemoryStream[StampedType](spark)
+    val ckpt = tmp()
+    val rows = mutable.ArrayBuffer[(Long, Long, Int)]() // (user, seq, n_stages)
+    def start() = in.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Vector[Long], Long), FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[StampedType],
+         gs: GroupState[(Vector[Long], Long)]) =>
+          val (st0, seq0) = gs.getOption.getOrElse((Vector.empty[Long], 0L))
+          val batch = it.toIndexedSeq.sortBy(e => (e.tsu, e.event_type))
+          val st = batch.foldLeft(st0) { (s, e) =>
+            if (s.length < stages.length && e.event_type == stages(s.length) &&
+              (s.isEmpty || e.tsu > s.last)) s :+ e.tsu else s
+          }
+          gs.update((st, seq0 + batch.length))
+          FunnelProgress(uid, seq0 + batch.length, st.length,
+            st.lift(0), st.lift(1), st.lift(2), st.lift(3))
+      }
+      .toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows.synchronized {
+          rows ++= b.collect().map(r => (r.getAs[Long]("user_id"),
+            r.getAs[Long]("seq"), r.getAs[Int]("n_stages")))
+        }: Unit
+      }.start()
+    val q1 = start()
+    in.addData(StampedType(1, 10, "signup"), StampedType(1, 20, "view"))
+    q1.processAllAvailable()
+    q1.stop()
+    // these arrive while the query is DOWN
+    in.addData(StampedType(1, 30, "click"), StampedType(1, 40, "purchase"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val g = rows.synchronized(rows.toList)
+    assert(g.contains((1L, 2L, 2)), s"pre-kill progress: $g")
+    assert(g.contains((1L, 4L, 4)),
+      s"restart must resume the recovered walk to completion: $g")
+  }
+
   test("recommend loop: batch body unions stream with history and emits top-K") {
     import spark.implicits._
     val history = Seq(

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ZOrder
+
+class ZOrderSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("zval interleaves bits (hand cases)") {
+    import spark.implicits._
+    // interleave(a=0b11, b=0b01) = a bits at even, b at odd:
+    // z = 1*1 + 1*4 (a) + 1*2 (b) = 7; plus byte-boundary cases
+    val got = Seq((3L, 1L), (0L, 0L), (255L, 0L), (0L, 255L), (256L, 0L))
+      .toDF("a", "b")
+      .select(ZOrder.zval($"a", $"b")).collect().map(_.getLong(0)).toSeq
+    val spread = (x: Long) => (0 until 16)
+      .map(i => ((x >> i) & 1L) << (2 * i)).sum
+    assert(got == Seq(7L, 0L, spread(255), 2 * spread(255), spread(256)))
+  }
+
+  /** files whose [min,max] box intersects the query box, by reading
+    * each file's own stats — what parquet footer pruning sees.
+    */
+  private def overlapping(dir: String, aRange: (Long, Long),
+      bRange: (Long, Long)): Int = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    files.count { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("a"), max("a"), min("b"), max("b")).head()
+      val (amn, amx, bmn, bmx) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      !(amx < aRange._1 || amn > aRange._2) &&
+        !(bmx < bRange._1 || bmn > bRange._2)
+    }
+  }
+
+  test("z-ordered layout prunes files on BOTH dimensions; linear only on its sort key") {
+    import spark.implicits._
+    // full 256x256 grid: both dimensions equal width, so the layout —
+    // not data skew — decides what prunes
+    val grid = spark.range(65536L)
+      .select(($"id" % 256).as("a"), ($"id" / 256).cast("long").as("b"))
+    val zDir = graft.sources.Sources.scratchDir(spark, "zorder_grid")
+    val linDir = graft.sources.Sources.scratchDir(spark, "linear_grid")
+    ZOrder.zorderWrite(grid, "a", "b", zDir, 16)
+    grid.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.mode("overwrite").parquet(linDir)
+    val full = (0L, 255L)
+    val box = (0L, 63L) // a quarter of either dimension
+    // a-box: linear-by-a is optimal there, z still prunes to a subset
+    val (zA, linA) = (overlapping(zDir, box, full), overlapping(linDir, box, full))
+    assert(linA <= zA && zA < 16, s"a-box: z=$zA lin=$linA")
+    // b-box: linear-by-a cannot prune AT ALL; z-order prunes hard
+    val (zB, linB) = (overlapping(zDir, full, box), overlapping(linDir, full, box))
+    assert(linB == 16 && zB <= 8, s"b-box: z=$zB lin=$linB")
+    // combined 2-D box: z localizes both dimensions at once
+    val (zAB, linAB) = (overlapping(zDir, box, box), overlapping(linDir, box, box))
+    assert(zAB < linAB || (zAB <= 2 && linAB >= zAB), s"ab-box: z=$zAB lin=$linAB")
+    // the balanced-workload claim the layout exists for
+    assert(zA + zB < linA + linB, s"sum: z=${zA + zB} lin=${linA + linB}")
+  }
+}
