@@ -115,6 +115,10 @@ object SparkEntry {
     "streaming_funnel" -> ((s, d) => graft.streaming.Streams.funnelStreamQuery(s, d)),
     "profile_columns" -> ((s, d) => Sketches.profileColumns(s, d)),
     "zorder_key" -> ((s, d) => graft.sources.ZOrder.zorderKey(s, d)),
+    "histogram_quantiles" -> ((s, d) => Sketches.histogramQuantiles(s, d)),
+    "negative_samples" -> ((s, d) => Retrieval.negativeSamples(s, d)),
+    "table_diff" -> ((s, d) => Relational.tableDiff(s, d)),
+    "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1181,6 +1185,39 @@ object SparkEntry {
     // one-pass expanded aggregate and the per-column UNION ALL must
     // agree exactly
     "profile_columns" -> graft.operators.Sketches.profileSql(),
+
+    // integer-scaled ranks, floor arithmetic at every step — the five
+    // unrolled rounds are bit-identical in both engines
+    "pagerank_corated" -> graft.operators.Graph.pagerankSql(),
+
+    // power-of-two bin width (0.5) -> exact binning; integer ceil
+    // thresholds -> the same bin picked in both engines
+    "histogram_quantiles" -> graft.operators.Sketches.histogramQuantilesSql(),
+
+    // same md5 hash + salt as the Spark side; anti-join removes drawn
+    // items the user actually interacted with
+    "negative_samples" -> graft.operators.Retrieval.negativeSamplesSql(),
+
+    // v2 is the same deterministic mutation of documents in both
+    // engines (delete %17=3, edit %13=5, append %29=0 at +100000),
+    // so the diff needs no second physical table
+    "table_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM v1 WHERE doc_id % 29 = 0),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    md5(a.text) AS h1, md5(b.text) AS h2
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed' END AS status
+        |FROM j WHERE (h1 IS NULL OR h2 IS NULL OR h1 <> h2)
+        |ORDER BY doc_id""".stripMargin,
 
     // Morton interleave from the same byte-spread tables — pure integer
     // mask/shift/lookup arithmetic, exact in both engines

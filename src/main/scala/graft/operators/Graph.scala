@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components
+  * ([[Dedup.clusterPairsOf]]): PageRank over the song co-rating graph
+  * — the "related items" centrality a recommender sidecar computes.
+  *
+  * Determinism: ranks are SCALED INTEGERS (units of 1e-12) and every
+  * step is integer floor arithmetic — contributions `r div out_deg`,
+  * damping `(85 · Σ) div 100` — so partial aggregation order cannot
+  * move a bit and the DuckDB oracle (the same five rounds unrolled)
+  * matches exactly. 85·Σ ≤ 85·10^12·N stays far below 2^63 for any
+  * realistic catalog.
+  *
+  * Scale shape: each round is ONE partial-aggregatable (dst,
+  * Σ contrib) shuffle over the edge list — the same bound as label
+  * propagation; the edge list and degree table are computed once and
+  * cached. The co-rating edge build is a per-user self-join that is
+  * candidate-bounded by each user's own item count (the same per-key
+  * quadratic every co-occurrence miner accepts; a power-user cap is
+  * where a production run would bound it).
+  */
+object Graph {
+
+  /** Rank scale (1e12) and damping as exact integer percents. */
+  val RankScale = 1000000000000L
+  val DampingPct = 85L
+  val Rounds = 5
+
+  /** Distinct directed co-rating edges (a→b and b→a both present). */
+  def coRatingEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pos = Relational.ratings(spark, dir)
+      .select($"user_id", $"song_id").distinct()
+    pos.as("x").join(pos.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.song_id" =!= $"y.song_id")
+      .select($"x.song_id".as("src"), $"y.song_id".as("dst"))
+      .distinct()
+  }
+
+  /** Five integer-scaled PageRank rounds over [[coRatingEdges]]. */
+  def pagerank(spark: SparkSession, dir: String,
+      rounds: Int = Rounds): DataFrame =
+    pagerankOf(coRatingEdges(spark, dir), rounds)
+
+  /** [[pagerank]] over any symmetric (src, dst) edge relation. */
+  def pagerankOf(edgesIn: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val edges = edgesIn.cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg")).cache()
+    val nodes = deg.select($"src".as("node")) // symmetric graph: src set == node set
+    val n = nodes.count()
+    var ranks = nodes.select($"node",
+      lit(RankScale / n).as("r")) // integer floor, mirrored in the oracle
+    val base = (RankScale * (100L - DampingPct) / 100L) / n
+    for (_ <- 1 to rounds) {
+      val contrib = edges.join(deg, Seq("src"))
+        .join(ranks, $"src" === $"node")
+        .select($"dst", expr("r div out_deg").as("c"))
+      ranks = contrib.groupBy($"dst")
+        .agg((lit(base) +
+          expr(s"($DampingPct * sum(c)) div 100")).as("r"))
+        .select($"dst".as("node"), $"r")
+    }
+    ranks.select($"node".as("song_id"), $"r".as("rank_scaled"))
+      .orderBy($"rank_scaled".desc, $"song_id")
+  }
+
+  /** DuckDB mirror: the same rounds unrolled with the same integer
+    * floor operations.
+    */
+  def pagerankSql(rounds: Int = Rounds): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  (($RankScale * ${100L - DampingPct} // 100) // (SELECT n FROM nn))
+         |    + ($DampingPct * SUM(r${i - 1}.r // d.out_deg)) // 100 AS r
+         |  FROM e JOIN d USING (src) JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pos AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |e AS (SELECT DISTINCT x.song_id AS src, y.song_id AS dst
+       |  FROM pos x JOIN pos y ON x.user_id = y.user_id
+       |    AND x.song_id <> y.song_id),
+       |d AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM d),
+       |r0 AS (SELECT src AS node, $RankScale // (SELECT n FROM nn) AS r FROM d),
+       |$iter
+       |SELECT node AS song_id, CAST(r AS BIGINT) AS rank_scaled FROM r$rounds
+       |ORDER BY rank_scaled DESC, song_id""".stripMargin
+  }
+}

@@ -451,6 +451,47 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Snapshot reconciliation (table diff) — the incremental-sync audit
+    * a pipeline runs between corpus versions: full outer join on the
+    * key, rows classified added / removed / changed by md5 content
+    * comparison, unchanged rows dropped (the overwhelming majority at
+    * scale, so the output is change-sized). One key-partitioned
+    * shuffle join; content hashes travel instead of bodies.
+    */
+  def tableDiffOf(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val spark = v1.sparkSession
+    import spark.implicits._
+    val a = v1.select($"doc_id", md5($"text").as("h1"))
+    val b = v2.select($"doc_id", md5($"text").as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"h1".isNull, lit("added"))
+          .when($"h2".isNull, lit("removed"))
+          .when($"h1" =!= $"h2", lit("changed")))
+      .filter($"status".isNotNull)
+      .select($"doc_id", $"status")
+      .orderBy($"doc_id")
+  }
+
+  /** Driver form: v2 is a deterministic mutation of the documents
+    * corpus (every 17th doc deleted, every 13th remaining doc edited,
+    * one appended doc per 29th) — both engines construct the same v2,
+    * so the diff is oracle-checkable without a second table.
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = Tables.widened(spark, Tables.documents(spark, dir))
+      .select($"doc_id", $"text")
+    val v2 = v1
+      .filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id",
+        when($"doc_id" % 13 === 5, concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+      .unionByName(v1.filter($"doc_id" % 29 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    tableDiffOf(v1, v2)
+  }
+
   /** TPC-H Q3-shaped shipping-priority headline join: segment-filtered
     * customers ⨝ date-filtered orders ⨝ ship-date-filtered lineitems,
     * revenue per order, top 10. The canonical big-join benchmark shape:

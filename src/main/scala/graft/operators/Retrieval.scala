@@ -92,6 +92,62 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Negative-sampling draws per user (contrastive training prep). */
+  val NegativeDraws = 8
+  /** Item-id space of the ratings corpus (song_id ∈ [0, 100)). */
+  val NegativeItemSpace = 100
+
+  /** Deterministic negative sampling — the contrastive-pair generator
+    * a recommender/embedding trainer runs next to the positives: for
+    * each user, `NegativeDraws` candidate items from the engine's
+    * md5-based hash (RNG-free, so retrains see the same negatives),
+    * minus any candidate the user actually interacted with (anti-join
+    * against the positives). Draws are independent, so the same item
+    * can be drawn twice for a user under different draw indices —
+    * standard with-replacement sampling; the draw index is part of the
+    * output key.
+    *
+    * Scale shape: candidate generation is a pure projection (explode
+    * multiplies rows, not bytes); the only shuffle is the positives
+    * anti-join on (user, item) — integer keys. Works at any item-space
+    * size because nothing enumerates the catalog.
+    */
+  def negativeSamples(spark: SparkSession, dir: String,
+      k: Int = NegativeDraws, itemSpace: Int = NegativeItemSpace)
+      : DataFrame = {
+    import spark.implicits._
+    val positives = Relational.ratings(spark, dir)
+      .select($"user_id", $"song_id").distinct()
+    val users = positives.select($"user_id").distinct()
+    val cands = users
+      .select($"user_id", explode(sequence(lit(0), lit(k - 1))).as("draw"))
+      .select($"user_id", $"draw",
+        (Dedup.hash60(concat(lit("neg:"), $"user_id", lit(":"), $"draw"))
+          % itemSpace).cast("int").as("neg_song_id"))
+    cands.join(positives,
+        cands("user_id") === positives("user_id") &&
+          cands("neg_song_id") === positives("song_id"), "left_anti")
+      .orderBy($"user_id", $"draw")
+  }
+
+  /** DuckDB mirror of [[negativeSamples]] (same hash, same salt). */
+  def negativeSamplesSql(k: Int = NegativeDraws,
+      itemSpace: Int = NegativeItemSpace): String = {
+    val h = "CAST(('0x' || substr(md5('neg:' || CAST(user_id AS VARCHAR) || ':' " +
+      "|| CAST(draw AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""WITH pos AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |u AS (SELECT DISTINCT user_id FROM pos),
+       |cand AS (SELECT user_id, draw,
+       |    CAST($h % $itemSpace AS INTEGER) AS neg_song_id
+       |  FROM u, LATERAL (SELECT unnest(generate_series(0, ${k - 1})) AS draw))
+       |SELECT c.user_id, CAST(c.draw AS INTEGER) AS draw, c.neg_song_id FROM cand c
+       |LEFT JOIN pos p ON c.user_id = p.user_id AND c.neg_song_id = p.song_id
+       |WHERE p.user_id IS NULL
+       |ORDER BY c.user_id, c.draw""".stripMargin
+  }
+
   /** DuckDB mirror of [[bm25TopKOf]] for the driver oracle — generated
     * from the same term list and constants so the expression trees
     * match operation-for-operation.

@@ -48,6 +48,33 @@ object Sketches {
   private def rho(w: Column): Column =
     when(w === 0L, lit(55)).otherwise(lit(55) - length(bin(w)))
 
+  /** JVM mirror of [[Dedup.hash60]]
+    * (`conv(substr(md5(s),1,15),16,10)`): md5 of the UTF-8 bytes, first
+    * 15 hex chars as a non-negative long. Used by the STATEFUL
+    * streaming sketch, whose per-event work runs inside
+    * mapGroupsWithState rather than as a Column; the spec pins the
+    * streamed result equal to the Column-path batch sketch, which is
+    * what proves the two hashes identical.
+    */
+  private[graft] def hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = first 7 bytes + high nibble of the 8th
+    val full = d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    full >>> 4
+  }
+
+  /** JVM mirror of the register/rho decomposition: (register index,
+    * rho of the 54-bit suffix).
+    */
+  private[graft] def regRhoJvm(v: String): (Int, Int) = {
+    val h = hash60Jvm(v)
+    val w = h >>> 6
+    val rho = if (w == 0L) 55
+      else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    ((h % HllRegisters).toInt, rho)
+  }
+
   /** Small-range correction (linear counting): below 2.5m the raw
     * harmonic estimate is badly biased (V empty registers each inject
     * 2^0 into the sum), so HLL switches to m·ln(m/V). V only takes
@@ -166,6 +193,82 @@ object Sketches {
     }
     row.select(explode(array(entries: _*)).as("e"))
       .select($"e.*").orderBy($"col_name")
+  }
+
+  /** Histogram-quantile geometry: bins of width 1/2 over [0, 512) —
+    * a POWER-OF-TWO width, so `floor(v * 2)` is one exact IEEE
+    * multiply + floor in both engines (no decimal width like 0.1 whose
+    * representation error could flip a boundary value's bin).
+    */
+  val QuantileBins = 1024
+  val QuantileBinWidth = 0.5
+
+  /** The quantiles reported, as exact rationals (num/100). */
+  val QuantilePcts: Seq[Int] = Seq(50, 95, 99)
+
+  /** Mergeable histogram quantiles — per-key p50/p95/p99 WITHOUT a
+    * sort: bin counts are one partial-aggregatable integer shuffle
+    * (the histogram is the mergeable sketch — shards/streams add
+    * theirs), and the quantile pick is integer threshold arithmetic
+    * (t = ceil(p·total) computed as (total·p + 99) div 100) over a
+    * per-key cumulative sum whose partition is bounded by the BIN
+    * COUNT, not the data. The reported value is the bin's lower edge —
+    * rank error ≤ one bin width, the standard histogram contract; the
+    * oracle runs the identical algorithm, so the check is exact.
+    */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    histogramQuantilesOf(Tables.widened(spark, Tables.events(spark, dir)),
+      $"event_type", $"value")
+  }
+
+  /** [[histogramQuantiles]] over any (key, value in [0, 512)). */
+  def histogramQuantilesOf(df: DataFrame, key: Column, value: Column)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bin = least(lit(QuantileBins - 1),
+      greatest(lit(0L), floor(value * lit(2.0)))).cast("long")
+    val counts = df.select(key.as("k"), bin.as("bin"))
+      .groupBy($"k", $"bin").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy($"k").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"k")
+    val cum = counts
+      .withColumn("cum", sum($"n").over(wCum))
+      .withColumn("total", sum($"n").over(wTot))
+    val qCols = QuantilePcts.map { p =>
+      val t = expr(s"(total * $p + 99) div 100")
+      (min(when($"cum" >= t, $"bin")) * lit(QuantileBinWidth))
+        .as(s"p$p")
+    }
+    cum.groupBy($"k")
+      .agg(max($"total").as("total"), qCols: _*)
+      .select(($"k".as("key") +: $"total" +:
+        QuantilePcts.map(p => col(s"p$p"))): _*)
+      .orderBy($"key")
+  }
+
+  /** DuckDB mirror of [[histogramQuantiles]] — same bins, same integer
+    * thresholds.
+    */
+  def histogramQuantilesSql(table: String = "events",
+      keyCol: String = "event_type", valCol: String = "value"): String = {
+    val qSelects = QuantilePcts.map(p =>
+      s"MIN(CASE WHEN cum >= (total * $p + 99) // 100 THEN bin END) * $QuantileBinWidth AS p$p")
+      .mkString(",\n  ")
+    s"""WITH b AS (SELECT $keyCol AS k,
+       |  LEAST(${QuantileBins - 1}, GREATEST(0, CAST(FLOOR($valCol * 2.0) AS BIGINT))) AS bin
+       |  FROM $table),
+       |c AS (SELECT k, bin, COUNT(*) AS n FROM b GROUP BY k, bin),
+       |m AS (SELECT k, bin, n,
+       |  SUM(n) OVER (PARTITION BY k ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  SUM(n) OVER (PARTITION BY k) AS total FROM c)
+       |SELECT k AS key, CAST(MAX(total) AS BIGINT) AS total,
+       |  $qSelects
+       |FROM m GROUP BY k ORDER BY key""".stripMargin
   }
 
   /** DuckDB mirror of [[profileColumns]]: one aggregate per column,

@@ -435,15 +435,21 @@ object Streams {
     out.foldLeft(empty)(_ unionByName _).orderBy($"doc_a", $"doc_b")
   }
 
-  /** Streaming distinct-count sketch: the HLL register relation
-    * ([[graft.operators.Sketches.hllRegistersOf]]) maintained across
-    * micro-batches. Each batch contributes its own register maxima and
-    * max-merges into the standing state — the sketch's defining
-    * property (the batch spec proves split-merge == whole) driven by
-    * actual streaming ingest. State is at most keys × 64 tiny integer
-    * rows regardless of stream length; the values themselves are never
-    * retained — THE reason a 100 TB stream can afford per-key
-    * cardinality at all.
+  /** Per-trigger sketch emission: `regs(j)` is register j's max rho so
+    * far (0 = untouched); `seq` is monotone per key, so max_by(seq)
+    * selects the final state.
+    */
+  case class HllProgress(k: String, seq: Long, regs: Seq[Int])
+
+  /** Streaming distinct-count sketch: per-key HLL registers maintained
+    * as mapGroupsWithState STATE-STORE state (64 ints + a counter per
+    * key — checkpoint-recoverable like every stateful operator here,
+    * not driver memory). Each arriving value max-folds its rho into
+    * its register — the sketch's defining merge property (the batch
+    * spec proves split-merge == whole) driven by actual streaming
+    * ingest. State size is independent of stream length and the
+    * values themselves are never retained — THE reason a 100 TB
+    * stream can afford per-key cardinality at all.
     *
     * Output: same shape as the batch `approx_distinct_hll` on the fed
     * slice (the exact column is computed from the static table — it is
@@ -453,6 +459,7 @@ object Streams {
   def hllStreamQuery(spark: SparkSession, dir: String,
       numBatches: Int = 3): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import spark.implicits._
     import graft.operators.Sketches
     val evs = graft.Tables.events(spark, dir)
@@ -468,25 +475,39 @@ object Streams {
       evs.grouped(per).toSeq
     }
     val in = MemoryStream[KeyedId](spark)
-    var regs = Seq.empty[(String, Long, Int)].toDF("k", "reg", "r")
-    runStreamToTable(spark, "hll_stream", None) { (n, ck) =>
-      in.toDF().writeStream
-        .outputMode(OutputMode.Append)
+    val name = runStreamToTable(spark, "hll_stream", Some(4)) { (n, ck) =>
+      in.toDS()
+        .groupByKey(_.k)
+        .mapGroupsWithState[(Vector[Int], Long), HllProgress](
+          GroupStateTimeout.NoTimeout) {
+          (key: String, it: Iterator[KeyedId],
+           gs: GroupState[(Vector[Int], Long)]) =>
+            val (st0, seq0) = gs.getOption
+              .getOrElse((Vector.fill(Sketches.HllRegisters)(0), 0L))
+            var st = st0
+            var n = 0L
+            it.foreach { e =>
+              val (reg, rho) = Sketches.regRhoJvm(e.v.toString)
+              if (rho > st(reg)) st = st.updated(reg, rho)
+              n += 1
+            }
+            gs.update((st, seq0 + n))
+            HllProgress(key, seq0 + n, st)
+        }
+        .toDF()
+        .writeStream.format("memory").queryName(n)
         .option("checkpointLocation", ck)
-        .queryName(n)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) { // ST4 empty-batch skip
-            val batchRegs = Sketches.hllRegistersOf(batch, col("k"), col("v"))
-            regs = regs.union(batchRegs)
-              .groupBy(col("k"), col("reg")).agg(max(col("r")).as("r"))
-              .localCheckpoint(true) // state: <= keys*64 integer rows
-            ()
-          }
-        }.start()
+        .outputMode(OutputMode.Update).start()
     } { q =>
       slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
     }
-    val est = Sketches.estimateFromRegisters(regs)
+    // final state per key -> (k, reg, r) relation -> shared finisher
+    val finalRegs = spark.table(name)
+      .groupBy($"k").agg(max_by($"regs", $"seq").as("regs"))
+      .select($"k", posexplode($"regs"))
+      .select($"k", $"pos".cast("long").as("reg"), $"col".as("r"))
+      .filter($"r" > 0)
+    val est = Sketches.estimateFromRegisters(finalRegs)
     val exact = graft.Tables.events(spark, dir)
       .filter($"event_id" < HarnessFeedCap)
       .select($"event_type".as("k"), $"user_id".as("v")).distinct()

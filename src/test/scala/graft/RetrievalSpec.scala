@@ -78,6 +78,56 @@ class RetrievalSpec extends AnyFunSuite {
     assert(byStage.head > 0)
   }
 
+  test("negative samples: never a positive, bounded per user, rerun-identical") {
+    import spark.implicits._
+    val neg = Retrieval.negativeSamples(spark, sf)
+    val pos = Relational.ratings(spark, sf)
+      .select($"user_id", $"song_id").distinct()
+    assert(neg.join(pos,
+      neg("user_id") === pos("user_id") &&
+        neg("neg_song_id") === pos("song_id")).count() == 0,
+      "a drawn item the user interacted with must be filtered out")
+    val perUser = neg.groupBy($"user_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perUser <= Retrieval.NegativeDraws)
+    assert(neg.filter($"draw" < 0 || $"draw" >= Retrieval.NegativeDraws)
+      .count() == 0)
+    // RNG-free: a retrain sees the same negatives
+    val again = Retrieval.negativeSamples(spark, sf)
+    assert(neg.exceptAll(again).count() == 0 && again.exceptAll(neg).count() == 0)
+  }
+
+  test("table diff classifies added/removed/changed and drops unchanged rows") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val got = Relational.tableDiffOf(v1, v2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (4L, "added")),
+      s"unchanged doc 1 must not appear: $got")
+  }
+
+  test("pagerank: hub of a star ranks first, leaves tie, mass ~conserved") {
+    import spark.implicits._
+    // star: 0 <-> {1,2,3,4}: hub collects every leaf's full rank
+    val edges = (1 to 4).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+      .toDF("src", "dst")
+    val r = graft.operators.Graph.pagerankOf(edges).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    assert(r.head._1 == 0L, s"hub must rank first: ${r.toSeq}")
+    val leaves = r.tail.map(_._2)
+    assert(leaves.distinct.length == 1, "leaves are symmetric -> equal ranks")
+    assert(r.head._2 > 2 * leaves.head, "hub collects all leaf mass")
+    // integer floors only LOSE mass, never create it
+    val total = r.map(_._2).sum
+    assert(total <= graft.operators.Graph.RankScale &&
+      total > graft.operators.Graph.RankScale * 9 / 10)
+    // deterministic: a rerun is bit-identical
+    val again = graft.operators.Graph.pagerankOf(edges).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    assert(r.sameElements(again))
+  }
+
   test("shipping priority: broadcast join + TakeOrderedAndProject, no global sort") {
     val df = Relational.shippingPriority(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

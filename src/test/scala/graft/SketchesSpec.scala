@@ -48,6 +48,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows("event_type").getAs[Any]("min_num") == null)
   }
 
+  test("histogram quantiles: reported edge is within one bin of the exact rank value") {
+    import spark.implicits._
+    val got = Sketches.histogramQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byKey = Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((k, vals) <- byKey; p <- Sketches.QuantilePcts) {
+      val exact = vals((vals.length * p + 99) / 100 - 1) // ceil rank, 1-based
+      val edge = got(k).getAs[Double](s"p$p")
+      assert(edge <= exact && exact < edge + Sketches.QuantileBinWidth,
+        s"$k p$p: edge $edge vs exact $exact")
+    }
+  }
+
+  test("histogram quantiles: hand case picks the ceil-rank bin") {
+    import spark.implicits._
+    // 4 values -> p50 threshold = ceil(0.5*4) = 2nd value's bin
+    val df = Seq(("k", 0.1), ("k", 0.9), ("k", 5.0), ("k", 7.3)).toDF("k", "v")
+    val r = Sketches.histogramQuantilesOf(df, $"k", $"v").head()
+    assert(r.getAs[Long]("total") == 4L)
+    assert(r.getAs[Double]("p50") == 0.5)  // 0.9 lives in bin [0.5, 1.0)
+    assert(r.getAs[Double]("p95") == 7.0)  // 4th value 7.3 -> bin [7.0, 7.5)
+  }
+
   test("hll registers max-merge: split halves merged == whole corpus") {
     import spark.implicits._
     val df = (0 until 2000).map(i => ("k", s"v$i")).toDF("k", "v")

@@ -402,6 +402,61 @@ class StreamingSpec extends AnyFunSuite {
       "per-user state folded across micro-batches must equal the one-shot walk")
   }
 
+  test("streaming HLL registers survive a kill/restart on the same checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.streaming.Streams.{HllProgress, KeyedId}
+    import graft.operators.Sketches
+    val in = MemoryStream[KeyedId](spark)
+    val ckpt = tmp()
+    val out = mutable.ArrayBuffer[(String, Long, Seq[Int])]()
+    def start() = in.toDS()
+      .groupByKey(_.k)
+      .mapGroupsWithState[(Vector[Int], Long), HllProgress](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedId],
+         gs: GroupState[(Vector[Int], Long)]) =>
+          val (st0, seq0) = gs.getOption
+            .getOrElse((Vector.fill(Sketches.HllRegisters)(0), 0L))
+          var st = st0; var n = 0L
+          it.foreach { e =>
+            val (reg, rho) = Sketches.regRhoJvm(e.v.toString)
+            if (rho > st(reg)) st = st.updated(reg, rho)
+            n += 1
+          }
+          gs.update((st, seq0 + n))
+          HllProgress(key, seq0 + n, st)
+      }
+      .toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getString(0), r.getLong(1),
+            r.getSeq[Int](2)))
+        }: Unit
+      }.start()
+    val q1 = start()
+    in.addData((0 until 500).map(i => KeyedId("k", i.toLong)))
+    q1.processAllAvailable()
+    q1.stop()
+    in.addData((500 until 1000).map(i => KeyedId("k", i.toLong))) // while DOWN
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val g = out.synchronized(out.toList)
+    val after = g.find(_._2 == 1000L)
+      .getOrElse(fail(s"restart must process the down-time batch: $g"))._3
+    // the recovered registers must equal the one-shot fold of all 1000
+    var whole = Vector.fill(Sketches.HllRegisters)(0)
+    (0 until 1000).foreach { i =>
+      val (reg, rho) = Sketches.regRhoJvm(i.toString)
+      if (rho > whole(reg)) whole = whole.updated(reg, rho)
+    }
+    assert(after == whole,
+      "registers recovered from the checkpoint must resume exactly")
+  }
+
   test("streaming funnel state survives a kill/restart on the same checkpoint") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
