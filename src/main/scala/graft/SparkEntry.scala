@@ -119,6 +119,8 @@ object SparkEntry {
     "negative_samples" -> ((s, d) => Retrieval.negativeSamples(s, d)),
     "table_diff" -> ((s, d) => Relational.tableDiff(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
+    "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
+    "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1189,6 +1191,14 @@ object SparkEntry {
     // integer-scaled ranks, floor arithmetic at every step — the five
     // unrolled rounds are bit-identical in both engines
     "pagerank_corated" -> graft.operators.Graph.pagerankSql(),
+
+    // counters are exact COUNTs on the same affine buckets — the
+    // sketch estimate (min over rows) reproduces exactly
+    "cms_heavy_hitters" -> graft.operators.Sketches.cmsSql(),
+
+    // power-of-two symbol widths -> exact symbolization; motifs are
+    // the n-gram inverted-index shape applied to time series
+    "sax_motifs" -> graft.operators.Temporal.saxMotifsSql(),
 
     // power-of-two bin width (0.5) -> exact binning; integer ceil
     // thresholds -> the same bin picked in both engines

@@ -195,6 +195,74 @@ object Sketches {
       .select($"e.*").orderBy($"col_name")
   }
 
+  /** Count-min sketch geometry: d=4 independent affine hash rows over
+    * the [[Dedup.P]] universe, w=1024 buckets each — 4·1024 counters
+    * per keyspace regardless of item count. Affine products stay
+    * < 2^62: overflow-free, bit-identical in both engines.
+    */
+  val CmsRows = 4
+  val CmsWidth = 1024
+  val CmsParams: Seq[(Long, Long)] =
+    Seq((86028157L, 104729L), (472882049L, 224737L),
+      (898133173L, 350377L), (1299709L, 479909L))
+
+  private def cmsBucket(x: Column, a: Long, b: Long): Column =
+    ((x % Dedup.P) * a + b) % Dedup.P % CmsWidth
+
+  /** Count-min heavy hitters — the frequency-sketch audit next to the
+    * HLL cardinality sketch: every item's sketched count (min over the
+    * d rows of exact bucket counters) beside its true count. Counters
+    * are plain COUNTs, so the sketch is MERGEABLE by addition (shards/
+    * streams sum theirs) and the whole build is one partial-
+    * aggregatable (row, bucket) integer shuffle of d·w cells — at
+    * 100 TB the sketch answers "is this item hot?" without a per-item
+    * aggregation. cms >= exact always (collisions only inflate); the
+    * exact column is the audit side, as in approx_distinct_hll.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cmsHeavyHittersOf(
+      Relational.ratings(spark, dir).select($"song_id".cast("long").as("v")))
+  }
+
+  /** [[cmsHeavyHitters]] over any single-column (v: BIGINT) relation. */
+  def cmsHeavyHittersOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counters = CmsParams.zipWithIndex.map { case ((a, b), j) =>
+      df.select(lit(j).as("j"), cmsBucket($"v", a, b).as("bucket"))
+    }.reduce(_ union _)
+      .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+    val items = df.groupBy($"v").agg(count(lit(1)).as("n_exact"))
+    val probes = CmsParams.zipWithIndex.map { case ((a, b), j) =>
+      items.select($"v", $"n_exact", lit(j).as("j"),
+        cmsBucket($"v", a, b).as("bucket"))
+    }.reduce(_ union _)
+    probes.join(counters, Seq("j", "bucket"))
+      .groupBy($"v", $"n_exact").agg(min($"c").as("n_cms"))
+      .select($"v".as("item"), $"n_exact", $"n_cms")
+      .orderBy($"item")
+  }
+
+  /** DuckDB mirror of [[cmsHeavyHitters]] (same hash rows). */
+  def cmsSql(): String = {
+    val rowSelects = CmsParams.zipWithIndex.map { case ((a, b), j) =>
+      s"SELECT $j AS j, ((v % ${Dedup.P}) * $a + $b) % ${Dedup.P} % $CmsWidth AS bucket FROM vals"
+    }.mkString("\nUNION ALL\n")
+    val probeSelects = CmsParams.zipWithIndex.map { case ((a, b), j) =>
+      s"SELECT v, n_exact, $j AS j, ((v % ${Dedup.P}) * $a + $b) % ${Dedup.P} % $CmsWidth AS bucket FROM items"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vals AS (SELECT CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS BIGINT) AS v FROM events),
+       |rows_ AS ($rowSelects),
+       |counters AS (SELECT j, bucket, COUNT(*) AS c FROM rows_ GROUP BY j, bucket),
+       |items AS (SELECT v, COUNT(*) AS n_exact FROM vals GROUP BY v),
+       |probes AS ($probeSelects)
+       |SELECT p.v AS item, CAST(p.n_exact AS BIGINT) AS n_exact,
+       |  CAST(MIN(c.c) AS BIGINT) AS n_cms
+       |FROM probes p JOIN counters c USING (j, bucket)
+       |GROUP BY p.v, p.n_exact ORDER BY item""".stripMargin
+  }
+
   /** Histogram-quantile geometry: bins of width 1/2 over [0, 512) —
     * a POWER-OF-TWO width, so `floor(v * 2)` is one exact IEEE
     * multiply + floor in both engines (no decimal width like 0.1 whose

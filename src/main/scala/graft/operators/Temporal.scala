@@ -137,4 +137,82 @@ object Temporal {
         coalesce($"n_clicks", lit(0L)).as("n_clicks"))
       .orderBy($"event_id")
   }
+
+  /** SAX geometry: 8 symbol levels of width 64 over the value domain
+    * [0, 512) — power-of-two widths, so symbolization is one exact
+    * IEEE divide+floor in both engines (same argument as the
+    * histogram-quantile bins) — and 4-symbol motif words.
+    */
+  val SaxLevels = 8
+  val SaxLevelWidth = 64.0
+  val SaxWord = 4
+
+  /** SAX time-series motif discovery (Lin et al.'s symbolic aggregate
+    * approximation, the standard first move of distributed time-series
+    * similarity search): each user's event-value series becomes a
+    * symbol string, every [[SaxWord]]-symbol sliding window becomes a
+    * word, and a MOTIF is a word that appears in ≥ 2 distinct users'
+    * series — the cross-series repeated pattern a monitoring pipeline
+    * hunts for.
+    *
+    * The same inverted-index shape as n-gram dedup, applied to time
+    * series: per-user symbolization is one shuffle into time-sorted
+    * lists (the sessionize bound), word explosion is a projection,
+    * and the motif aggregate is partial-aggregatable on the word —
+    * never an all-pairs series comparison.
+    */
+  def saxMotifs(spark: SparkSession, dir: String,
+      minUsers: Int = 2): DataFrame =
+    saxMotifsOf(graft.Tables.events(spark, dir), minUsers)
+
+  /** [[saxMotifs]] over any (user_id, event_id, ts NANOS-LONG, value). */
+  def saxMotifsOf(events: DataFrame, minUsers: Int = 2): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val syms = events
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tsu"),
+        least(lit(SaxLevels - 1),
+          floor($"value" / lit(SaxLevelWidth))).cast("int").as("lvl"))
+      // (tsu, event_id) pins a total per-user order, like sessionize
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tsu", $"event_id", $"lvl")))
+        .as("seq"))
+      .select($"user_id",
+        transform($"seq", e => e.getField("lvl")).as("lvls"))
+    val letters = typedLit(('a' until ('a' + SaxLevels).toChar).map(_.toString))
+    val words = syms
+      .select($"user_id", transform($"lvls",
+        l => element_at(letters, l + 1)).as("syms"))
+      .filter(size($"syms") >= SaxWord)
+      .select($"user_id", explode(transform(
+        sequence(lit(1), size($"syms") - lit(SaxWord - 1)),
+        i => concat_ws("", slice($"syms", i, lit(SaxWord))))).as("word"))
+    words.groupBy($"word")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_occurrences"))
+      .filter($"n_users" >= minUsers)
+      .orderBy($"word")
+  }
+
+  /** DuckDB mirror of [[saxMotifs]] (same levels, same word length). */
+  def saxMotifsSql(minUsers: Int = 2): String = {
+    val letters = ('a' until ('a' + SaxLevels).toChar)
+      .map(c => s"'$c'").mkString("[", ", ", "]")
+    s"""WITH sy AS (SELECT user_id, event_id,
+       |    CAST(epoch_us(ts) AS BIGINT) AS tsu,
+       |    CAST(LEAST(${SaxLevels - 1}, FLOOR(value / $SaxLevelWidth)) AS INTEGER) AS lvl
+       |  FROM events),
+       |s AS (SELECT user_id,
+       |    list_transform(list(lvl ORDER BY tsu, event_id),
+       |      l -> ($letters)[l + 1]) AS syms
+       |  FROM sy GROUP BY user_id),
+       |w AS (SELECT user_id, unnest(list_transform(
+       |    generate_series(1, len(syms) - ${SaxWord - 1}),
+       |    i -> array_to_string(syms[i:i+${SaxWord - 1}], ''))) AS word
+       |  FROM s WHERE len(syms) >= $SaxWord)
+       |SELECT word, COUNT(DISTINCT user_id) AS n_users,
+       |  COUNT(*) AS n_occurrences
+       |FROM w GROUP BY word HAVING COUNT(DISTINCT user_id) >= $minUsers
+       |ORDER BY word""".stripMargin
+  }
 }

@@ -73,6 +73,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p95") == 7.0)  // 4th value 7.3 -> bin [7.0, 7.5)
   }
 
+  test("cms never underestimates; collision-free hand case is exact") {
+    import spark.implicits._
+    val got = Sketches.cmsHeavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.forall { case (_, exact, cms) => cms >= exact },
+      "count-min collisions can only inflate")
+    // 2 items in 4x1024 buckets: no collisions, estimates are exact
+    val hand = Sketches.cmsHeavyHittersOf(
+      Seq(1L, 1L, 1L, 2L).toDF("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hand == Seq((1L, 3L, 3L), (2L, 1L, 1L)))
+  }
+
   test("hll registers max-merge: split halves merged == whole corpus") {
     import spark.implicits._
     val df = (0 until 2000).map(i => ("k", s"v$i")).toDF("k", "v")

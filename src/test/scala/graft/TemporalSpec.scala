@@ -85,4 +85,41 @@ class TemporalSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"range join must stay an equi join:\n$p")
   }
+
+  test("sax motifs: shared symbol patterns across users, loners excluded") {
+    import spark.implicits._
+    def ns(us: Long) = us * 1000
+    // users 1 and 2 trace the same level pattern (a,b,c,d = values
+    // 10, 70, 140, 200) at different times; user 3's series visits
+    // distinct levels (e,f,g,h = 300, 330, 390, 450) shared by no one
+    val mk = (uid: Long, base: Long, vals: Seq[Double]) =>
+      vals.zipWithIndex.map { case (v, i) =>
+        (uid, uid * 1000 + i, ns(base + i * 10), v)
+      }
+    val ev = (mk(1L, 0L, Seq(10, 70, 140, 200)) ++
+      mk(2L, 100L, Seq(10, 70, 140, 200)) ++
+      mk(3L, 200L, Seq(300, 330, 390, 450)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.saxMotifsOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("abcd", 2L, 2L)),
+      s"only the cross-user word qualifies: $got")
+  }
+
+  test("sax motifs: symbolization order follows event time, not arrival") {
+    import spark.implicits._
+    def ns(us: Long) = us * 1000
+    // same events, one user's rows deliberately out of time order in
+    // the input: the sorted walk must still produce the time-ordered
+    // word
+    val ev = Seq(
+      (1L, 11L, ns(30), 140.0), (1L, 12L, ns(10), 10.0),
+      (1L, 13L, ns(40), 200.0), (1L, 14L, ns(20), 70.0),
+      (2L, 21L, ns(100), 10.0), (2L, 22L, ns(110), 70.0),
+      (2L, 23L, ns(120), 140.0), (2L, 24L, ns(130), 200.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.saxMotifsOf(ev).collect()
+      .map(r => r.getString(0)).toSeq
+    assert(got == Seq("abcd"))
+  }
 }
