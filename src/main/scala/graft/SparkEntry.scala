@@ -121,6 +121,7 @@ object SparkEntry {
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
+    "leakage_safe_split" -> ((s, d) => TextOps.leakageSafeSplit(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -188,6 +189,33 @@ object SparkEntry {
        |FROM u ${stages.indices.map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")}
        |ORDER BY user_id""".stripMargin
   }
+
+  /** Connected components over the minhash pairs as a recursive CTE
+    * (no trailing ORDER BY): `reach` enumerates every (node, label)
+    * with a path label→node and label < node, so MIN(label) per node
+    * is the true component minimum — the genuine fixed point,
+    * independent of any round count. The Spark loop iterates min-label
+    * propagation (with pointer jumping) to its own DETECTED fixed
+    * point, so both sides converge to the same labels with no unroll
+    * parity to maintain. WITH RECURSIVE sits inside a derived table
+    * because DuckDB does not resolve the pair CTE's own nested WITH
+    * under a recursive WITH clause. Shared by dedup_clusters and
+    * leakage_safe_split.
+    */
+  private lazy val dedupClustersSql =
+    s"""WITH pairs AS ($minhashPairsSql),
+       |verts AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs)
+       |SELECT node AS doc_id, MIN(label) AS cluster_id FROM (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT id AS node, id AS label FROM verts
+       |    UNION
+       |    SELECT s.dst AS node, r.label
+       |    FROM reach r JOIN sym s ON s.src = r.node
+       |    WHERE r.label < s.dst)
+       |  SELECT * FROM reach)
+       |GROUP BY node""".stripMargin
 
   /** Decontamination SQL — shared by decontaminate (broadcast plan) and
     * decontaminate_bloom (Bloom-prefilter + shuffle-verify plan): both
@@ -582,20 +610,7 @@ object SparkEntry {
     // WITH RECURSIVE sits inside a derived table because DuckDB does
     // not resolve the pair CTE's own nested WITH under a recursive
     // WITH clause.
-    "dedup_clusters" ->
-      s"""WITH pairs AS ($minhashPairsSql),
-         |verts AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
-         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs)
-         |SELECT node AS doc_id, MIN(label) AS cluster_id FROM (
-         |  WITH RECURSIVE reach AS (
-         |    SELECT id AS node, id AS label FROM verts
-         |    UNION
-         |    SELECT s.dst AS node, r.label
-         |    FROM reach r JOIN sym s ON s.src = r.node
-         |    WHERE r.label < s.dst)
-         |  SELECT * FROM reach)
-         |GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> s"$dedupClustersSql\nORDER BY doc_id",
 
     "dedup_simhash" -> {
       val bits = Dedup.SimhashBits; val bands = Dedup.SimhashBands
@@ -1199,6 +1214,20 @@ object SparkEntry {
     // power-of-two symbol widths -> exact symbolization; motifs are
     // the n-gram inverted-index shape applied to time series
     "sax_motifs" -> graft.operators.Temporal.saxMotifsSql(),
+
+    // split keyed on the near-dup cluster representative ("cl:" salt)
+    // so whole duplicate groups land on one side of the fence;
+    // singletons fall back to their own id
+    "leakage_safe_split" ->
+      s"""WITH cl AS ($dedupClustersSql)
+         |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep,
+         |  CAST(${h60("'cl:' || CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")} % 100 AS INTEGER) AS bucket,
+         |  CASE WHEN ${h60("'cl:' || CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${h60("'cl:' || CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // power-of-two bin width (0.5) -> exact binning; integer ceil
     // thresholds -> the same bin picked in both engines

@@ -379,6 +379,37 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Leakage-safe train/val/test split: [[hashSplit]] with the split
+    * decision keyed on the document's NEAR-DUP CLUSTER representative
+    * instead of its own id. Hashing bare doc_ids strands near-copies
+    * of one document on both sides of the train/test fence — the
+    * dedup-leakage failure that inflates eval scores; assigning every
+    * cluster member its representative's hash pins whole duplicate
+    * groups to one side. Composition of two already-checked operators
+    * ([[Dedup.nearDupClusters]] + the hash gate), so the whole thing
+    * stays oracle-checkable; singleton docs (no near-dup) fall back to
+    * their own id — for them this IS hashSplit (on the "cl:" salt).
+    *
+    * Cost at scale: the cluster relation is pair-bounded (tiny next to
+    * the corpus) and the join is one broadcastable-or-shuffled
+    * id-to-id equi join; everything else is a projection.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = Dedup.nearDupClusters(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("rep"))
+      .select($"doc_id", $"rep",
+        (Dedup.hash60(concat(lit("cl:"), $"rep".cast("string"))) % 100)
+          .cast("int").as("bucket"))
+      .select($"doc_id", $"rep", $"bucket",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic data-mixture rebalancing: downsample every stratum
     * (here: language — the corpus's genuinely skewed dimension, en ≈
     * 3× the rest) to the rarest stratum's share, the standard step

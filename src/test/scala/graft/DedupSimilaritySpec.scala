@@ -384,6 +384,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L))
   }
 
+  test("leakage-safe split: every near-dup pair lands in one split; singletons = hash split") {
+    import spark.implicits._
+    val split = graft.operators.TextOps.leakageSafeSplit(spark, sf)
+    val pairs = Dedup.minhashLsh(spark, sf).select($"doc_a", $"doc_b")
+    assert(pairs.count() > 0, "corpus must contain near-dups for this to bite")
+    val crossFence = pairs
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), Seq("doc_a"))
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), Seq("doc_b"))
+      .filter($"sa" =!= $"sb")
+    assert(crossFence.count() == 0,
+      "a near-dup pair split across train/test is exactly the leakage this prevents")
+    // singletons' fate is a pure function of their own id
+    val members = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b")).distinct()
+    val singleton = split.join(members, Seq("doc_id"), "left_anti")
+    assert(singleton.filter($"rep" =!= $"doc_id").count() == 0)
+  }
+
   test("label centroids are exact fixed-point means") {
     import spark.implicits._
     val df = Seq(
