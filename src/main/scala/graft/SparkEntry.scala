@@ -122,6 +122,8 @@ object SparkEntry {
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
     "leakage_safe_split" -> ((s, d) => TextOps.leakageSafeSplit(s, d)),
+    "streaming_cms" -> ((s, d) => graft.streaming.Streams.cmsStreamQuery(s, d)),
+    "returned_item_ranking" -> ((s, d) => Relational.returnedItemRanking(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1211,6 +1213,11 @@ object SparkEntry {
     // sketch estimate (min over rows) reproduces exactly
     "cms_heavy_hitters" -> graft.operators.Sketches.cmsSql(),
 
+    // counters are additive, so the streamed state equals the
+    // one-shot build — same SQL over the fed slice
+    "streaming_cms" -> graft.operators.Sketches.cmsSql(table =
+      s"(SELECT * FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})"),
+
     // power-of-two symbol widths -> exact symbolization; motifs are
     // the n-gram inverted-index shape applied to time series
     "sax_motifs" -> graft.operators.Temporal.saxMotifsSql(),
@@ -1265,6 +1272,20 @@ object SparkEntry {
          |  ${graft.sources.ZOrder.zvalSql("l_partkey", "l_suppkey")} AS zval
          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
          |ORDER BY zval, l_partkey, l_suppkey""".stripMargin,
+
+    // Q10 shape; revenue in the exact decimal domain (Fx mirror)
+    "returned_item_ranking" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS revenue,
+         |  c_acctbal, n_name
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     // Q3 shape; revenue in the exact decimal domain (Fx mirror)
     "shipping_priority" ->

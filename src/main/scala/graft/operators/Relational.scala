@@ -492,6 +492,40 @@ object Relational {
     tableDiffOf(v1, v2)
   }
 
+  /** TPC-H Q10-shaped returned-item customer ranking: which customers
+    * returned the most revenue in a quarter — the four-table headline
+    * join (lineitem ⨝ orders ⨝ customer ⨝ nation). Both date/flag
+    * filters push to the scans; nation (25 rows) broadcasts; customer
+    * joins on the shuffled key only after orders are date-pruned;
+    * revenue accumulates in the exact decimal domain; top 20 is a
+    * TakeOrderedAndProject.
+    */
+  def returnedItemRanking(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01",
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val lo = lit(from).cast("timestamp")
+    val hi = lit(until).cast("timestamp")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+        .cast("double").as("revenue"))
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(k)
+  }
+
   /** TPC-H Q3-shaped shipping-priority headline join: segment-filtered
     * customers ⨝ date-filtered orders ⨝ ship-date-filtered lineitems,
     * revenue per order, top 10. The canonical big-join benchmark shape:

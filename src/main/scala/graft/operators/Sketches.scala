@@ -234,6 +234,17 @@ object Sketches {
     }.reduce(_ union _)
       .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
     val items = df.groupBy($"v").agg(count(lit(1)).as("n_exact"))
+    cmsEstimate(counters, items)
+  }
+
+  /** Finish a counters relation (j, bucket, c) against an items
+    * relation (v, n_exact) — shared by the batch build and the
+    * streaming accumulator (whose state IS the counters).
+    */
+  private[graft] def cmsEstimate(counters: DataFrame,
+      items: DataFrame): DataFrame = {
+    val spark = counters.sparkSession
+    import spark.implicits._
     val probes = CmsParams.zipWithIndex.map { case ((a, b), j) =>
       items.select($"v", $"n_exact", lit(j).as("j"),
         cmsBucket($"v", a, b).as("bucket"))
@@ -244,15 +255,23 @@ object Sketches {
       .orderBy($"item")
   }
 
-  /** DuckDB mirror of [[cmsHeavyHitters]] (same hash rows). */
-  def cmsSql(): String = {
+  /** JVM mirror of [[cmsBucket]] (pure long arithmetic — overflow-free
+    * by the same < 2^62 bound). Used by the stateful streaming sketch.
+    */
+  private[graft] def cmsBucketJvm(v: Long, a: Long, b: Long): Int =
+    ((((v % Dedup.P) * a + b) % Dedup.P) % CmsWidth).toInt
+
+  /** DuckDB mirror of [[cmsHeavyHitters]] (same hash rows); `table`
+    * lets the streaming form cap the fed slice.
+    */
+  def cmsSql(table: String = "events"): String = {
     val rowSelects = CmsParams.zipWithIndex.map { case ((a, b), j) =>
       s"SELECT $j AS j, ((v % ${Dedup.P}) * $a + $b) % ${Dedup.P} % $CmsWidth AS bucket FROM vals"
     }.mkString("\nUNION ALL\n")
     val probeSelects = CmsParams.zipWithIndex.map { case ((a, b), j) =>
       s"SELECT v, n_exact, $j AS j, ((v % ${Dedup.P}) * $a + $b) % ${Dedup.P} % $CmsWidth AS bucket FROM items"
     }.mkString("\nUNION ALL\n")
-    s"""WITH vals AS (SELECT CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS BIGINT) AS v FROM events),
+    s"""WITH vals AS (SELECT CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS BIGINT) AS v FROM $table),
        |rows_ AS ($rowSelects),
        |counters AS (SELECT j, bucket, COUNT(*) AS c FROM rows_ GROUP BY j, bucket),
        |items AS (SELECT v, COUNT(*) AS n_exact FROM vals GROUP BY v),

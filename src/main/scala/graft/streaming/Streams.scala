@@ -517,6 +517,86 @@ object Streams {
       .orderBy($"key")
   }
 
+  /** Per-trigger CMS emission: row j's counter vector after this
+    * trigger; `seq` monotone per row.
+    */
+  case class CmsProgress(j: Int, seq: Long, counters: Seq[Long])
+
+  /** Streaming count-min sketch: the d counter rows live as
+    * mapGroupsWithState state (w longs per row — checkpoint-
+    * recoverable, size independent of stream length), each arriving
+    * value incrementing its bucket; counters are ADDITIVE, so the
+    * streamed state equals the one-shot build exactly — the sketch's
+    * merge property driven by streaming ingest, completing the
+    * streaming sketch family next to [[hllStreamQuery]].
+    *
+    * Output: the batch `cms_heavy_hitters` shape on the fed slice
+    * (exact counts from the static table as the audit column), so the
+    * oracle is the same generated SQL over the capped subset.
+    */
+  def cmsStreamQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    import graft.operators.Sketches
+    val vals = graft.operators.Relational.ratings(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"event_id", $"song_id".cast("long").as("v"))
+      .orderBy($"event_id")
+      .select($"v").as[Long].collect()
+    val emptyOut = Seq.empty[(Long, Long, Long)]
+      .toDF("item", "n_exact", "n_cms")
+    if (vals.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(vals.length.toDouble / numBatches).toInt)
+      vals.grouped(per).toSeq
+    }
+    // every value feeds every row j: key the stream records by row
+    val in = MemoryStream[(Int, Long)](spark)
+    val name = runStreamToTable(spark, "cms_stream", Some(4)) { (n, ck) =>
+      in.toDS()
+        .groupByKey(_._1)
+        .mapGroupsWithState[(Vector[Long], Long), CmsProgress](
+          GroupStateTimeout.NoTimeout) {
+          (j: Int, it: Iterator[(Int, Long)],
+           gs: GroupState[(Vector[Long], Long)]) =>
+            val (a, b) = Sketches.CmsParams(j)
+            val (st0, seq0) = gs.getOption
+              .getOrElse((Vector.fill(Sketches.CmsWidth)(0L), 0L))
+            var st = st0
+            var n = 0L
+            it.foreach { case (_, v) =>
+              val bkt = Sketches.cmsBucketJvm(v, a, b)
+              st = st.updated(bkt, st(bkt) + 1)
+              n += 1
+            }
+            gs.update((st, seq0 + n))
+            CmsProgress(j, seq0 + n, st)
+        }
+        .toDF()
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).start()
+    } { q =>
+      slices.foreach { s =>
+        in.addData(s.toIndexedSeq.flatMap(v =>
+          Sketches.CmsParams.indices.map(j => (j, v))))
+        q.processAllAvailable()
+      }
+    }
+    val counters = spark.table(name)
+      .groupBy($"j").agg(max_by($"counters", $"seq").as("counters"))
+      .select($"j", posexplode($"counters"))
+      .select($"j", $"pos".cast("long").as("bucket"), $"col".as("c"))
+      .filter($"c" > 0)
+    val items = graft.operators.Relational.ratings(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"song_id".cast("long").as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("n_exact"))
+    Sketches.cmsEstimate(counters, items)
+  }
+
   /** One funnel-walk step — the SAME advance rule as the batch
     * `Relational.funnelStepsOf` HOF (next expected stage, strictly
     * later than the last reached timestamp), applied to an arriving

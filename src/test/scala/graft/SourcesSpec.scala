@@ -53,4 +53,38 @@ class SourcesSpec extends AnyFunSuite {
     val (tr2, _, _) = Sources.trainValTest(events.toDF())
     assert(tr.exceptAll(tr2).count() == 0 && tr2.exceptAll(tr).count() == 0)
   }
+
+  test("malformed CSV rows: PERMISSIVE nulls them, DROPMALFORMED drops them, " +
+      "FAILFAST raises — the ingest robustness contract") {
+    import org.apache.spark.sql.types._
+    val dir = Sources.scratchDir(spark, "bad_csv")
+    new java.io.File(dir).mkdirs()
+    // structural malformation (wrong column count) — what the CSV
+    // parser itself flags; a bad-typed CELL is a different contract
+    // (nulled in permissive, NOT considered malformed since Spark 2.x)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"),
+      "id,qty\n1,10\n2\n3,thirty\n4,40\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    def read(mode: String) = spark.read.schema(schema)
+      .option("header", "true").option("mode", mode).csv(dir)
+    val permissive = read("PERMISSIVE").collect()
+    assert(permissive.length == 4, "permissive keeps every row")
+    assert(permissive.count(_.isNullAt(1)) == 2,
+      "short row and bad-typed cell both surface as NULL qty")
+    // with every column materialized, both the short row and the
+    // bad-typed row count as malformed and drop
+    val dropped = read("DROPMALFORMED").collect()
+    assert(dropped.map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L),
+      "dropmalformed drops short and bad-typed rows when columns are read")
+    // ...but malformed-ness is judged against the PARSED columns: a
+    // count() prunes every column, nothing fails conversion, and all
+    // 4 rows survive — the pruning/mode interaction a pipeline must
+    // know before trusting row counts from a raw-CSV audit
+    assert(read("DROPMALFORMED").count() == 4)
+    intercept[org.apache.spark.SparkException] {
+      read("FAILFAST").collect()
+    }
+  }
 }

@@ -457,6 +457,20 @@ class StreamingSpec extends AnyFunSuite {
       "registers recovered from the checkpoint must resume exactly")
   }
 
+  test("streaming CMS equals the one-shot batch sketch on the fed slice") {
+    import spark.implicits._
+    val streamed = Streams.cmsStreamQuery(spark, TestSpark.sf, numBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Sketches.cmsHeavyHittersOf(
+      graft.operators.Relational.ratings(spark, TestSpark.sf)
+        .filter($"event_id" < Streams.HarnessFeedCap)
+        .select($"song_id".cast("long").as("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty, "feed must produce sketch rows")
+    assert(streamed == batch,
+      "additive counters across micro-batches must equal the one-shot build")
+  }
+
   test("streaming funnel state survives a kill/restart on the same checkpoint") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
