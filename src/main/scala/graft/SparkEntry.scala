@@ -124,6 +124,8 @@ object SparkEntry {
     "leakage_safe_split" -> ((s, d) => TextOps.leakageSafeSplit(s, d)),
     "streaming_cms" -> ((s, d) => graft.streaming.Streams.cmsStreamQuery(s, d)),
     "returned_item_ranking" -> ((s, d) => Relational.returnedItemRanking(s, d)),
+    "word_associations" -> ((s, d) => TextOps.wordAssociations(s, d)),
+    "compact_roundtrip" -> ((s, d) => graft.sources.Sources.compactRoundtrip(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1272,6 +1274,31 @@ object SparkEntry {
          |  ${graft.sources.ZOrder.zvalSql("l_partkey", "l_suppkey")} AS zval
          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
          |ORDER BY zval, l_partkey, l_suppkey""".stripMargin,
+
+    // PMI ORDER is the exact integer ratio N·c_xy/(c1·c2) — the log is
+    // monotone, so no libm anywhere; one IEEE divide for the score
+    "word_associations" ->
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |vocab AS (SELECT word FROM (
+        |  SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+        |  ORDER BY cnt DESC, word LIMIT 50)),
+        |vw AS (SELECT w.doc_id, w.word FROM w JOIN vocab USING (word)),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT word, COUNT(*) AS c FROM vw GROUP BY word),
+        |p AS (SELECT x.word AS w1, y.word AS w2, COUNT(*) AS c_xy
+        |  FROM vw x JOIN vw y ON x.doc_id = y.doc_id AND x.word < y.word
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, c_xy, s1.c AS c1, s2.c AS c2,
+        |  CAST((n.n_docs * c_xy) AS DOUBLE) / (s1.c * s2.c) AS pmi_ratio
+        |FROM p JOIN s s1 ON w1 = s1.word JOIN s s2 ON w2 = s2.word CROSS JOIN n
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // compaction must be row-preserving: the read-back answers the
+    // plain source SELECT
+    "compact_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // Q10 shape; revenue in the exact decimal domain (Fx mirror)
     "returned_item_ranking" ->

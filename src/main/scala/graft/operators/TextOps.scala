@@ -379,6 +379,54 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Word-association mining (PMI ordering without the log): for
+    * vocabulary words co-occurring in documents, the pointwise mutual
+    * information ORDER is fully determined by the exact integer ratio
+    * N·c(x,y) / (c(x)·c(y)) — the log is monotone, so ranking by the
+    * ratio ranks by PMI while every input stays an exact integer and
+    * the emitted score is ONE IEEE divide (the same no-libm trick as
+    * BM25's rational idf).
+    *
+    * Scale shape: pair generation is restricted to the top-`v`
+    * vocabulary (the standard association-mining move — the pair space
+    * is bounded v²/2 per doc, not doc-length²), built as a per-doc
+    * self-join of the distinct vocab-word sets; marginals and pair
+    * counts are partial-aggregatable integer shuffles.
+    */
+  def wordAssociations(spark: SparkSession, dir: String, v: Int = 50,
+      minPairDf: Long = 5L, k: Int = 100): DataFrame =
+    wordAssociationsOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      v, minPairDf, k)
+
+  /** [[wordAssociations]] over an arbitrary (doc_id, text) relation. */
+  def wordAssociationsOf(docs: DataFrame, v: Int = 50,
+      minPairDf: Long = 5L, k: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+      .distinct().cache()
+    val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word").limit(v)
+    val vw = words.join(broadcast(vocab.select($"word")), Seq("word"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val singles = vw.groupBy($"word").agg(count(lit(1)).as("c"))
+    val pairs = vw.as("x").join(vw.as("y"),
+        $"x.doc_id" === $"y.doc_id" && $"x.word" < $"y.word")
+      .groupBy($"x.word".as("w1"), $"y.word".as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter($"c_xy" >= minPairDf)
+    pairs
+      .join(broadcast(singles.select($"word".as("w1"), $"c".as("c1"))), Seq("w1"))
+      .join(broadcast(singles.select($"word".as("w2"), $"c".as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select($"w1", $"w2", $"c_xy", $"c1", $"c2",
+        (($"n_docs" * $"c_xy").cast("double") / ($"c1" * $"c2"))
+          .as("pmi_ratio"))
+      .orderBy($"pmi_ratio".desc, $"w1", $"w2")
+      .limit(k)
+  }
+
   /** Leakage-safe train/val/test split: [[hashSplit]] with the split
     * decision keyed on the document's NEAR-DUP CLUSTER representative
     * instead of its own id. Hashing bare doc_ids strands near-copies

@@ -151,6 +151,42 @@ object Sources {
     spark.read.orc(out).orderBy("p_partkey")
   }
 
+  /** Small-files compaction — the table-maintenance pass every 100 TB
+    * deployment schedules: a fragmented landing zone (here: the events
+    * table deliberately written as `fragments` tiny files, the shape
+    * per-trigger streaming sinks produce) is rewritten into
+    * `compacted` range-partitioned, internally sorted files. Range
+    * partitioning on the sort key means each output file owns a
+    * contiguous key span (tight min/max footers → file pruning on the
+    * key), and the sorted layout keeps row-group stats tight. The
+    * read-back IS the query result, so the oracle (a plain SELECT of
+    * the source table) proves compaction preserved every row and
+    * value; the spec additionally asserts the file counts.
+    */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+      fragments: Int = 64, compacted: Int = 4): (String, String) = {
+    import org.apache.spark.sql.functions.col
+    val fragDir = scratchDir(spark, "compact_fragments")
+    val outDir = scratchDir(spark, "compact_out")
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(fragments)
+      .write.mode("overwrite").parquet(fragDir)
+    spark.read.parquet(fragDir)
+      .repartitionByRange(compacted, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite").parquet(outDir)
+    (fragDir, outDir)
+  }
+
+  /** Driver query form of [[compactSmallFiles]]: the compacted
+    * read-back, totally ordered.
+    */
+  def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (_, out) = compactSmallFiles(spark, dir)
+    spark.read.parquet(out).orderBy("event_id")
+  }
+
   /** Oracle-checked driver query: SCHEMA EVOLUTION read — two parquet
     * file generations with different column sets (an old writer
     * emitting (p_partkey, p_name), a newer one (p_partkey, p_size))

@@ -54,6 +54,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(tr.exceptAll(tr2).count() == 0 && tr2.exceptAll(tr).count() == 0)
   }
 
+  test("compaction: 64 fragments become 4 disjoint-keyed sorted files, rows intact") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val (fragDir, outDir) = Sources.compactSmallFiles(spark, sf)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(parquetFiles(fragDir).length == 64)
+    val outFiles = parquetFiles(outDir)
+    assert(outFiles.length == 4, "compaction target file count")
+    // range partitioning: each file owns a disjoint event_id span
+    val spans = outFiles.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(spans.zip(spans.tail).forall { case ((_, hi), (lo2, _)) => hi < lo2 },
+      s"file key spans must not overlap: ${spans.toSeq}")
+    // row preservation
+    val src = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val back = spark.read.parquet(outDir)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
   test("malformed CSV rows: PERMISSIVE nulls them, DROPMALFORMED drops them, " +
       "FAILFAST raises — the ingest robustness contract") {
     import org.apache.spark.sql.types._

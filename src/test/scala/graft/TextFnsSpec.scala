@@ -291,4 +291,22 @@ class TextFnsSpec extends AnyFunSuite {
       (2L, 1, "only", 1L, 1L),   // tf tie → lower df first
       (2L, 2, "common", 1L, 2L)))
   }
+
+  test("word associations: exclusive co-occurrence outranks a diluted pair") {
+    import spark.implicits._
+    // (s,t) always co-occur and appear nowhere else; (p,q) co-occur
+    // but p is diluted across q and r: ratio(s,t) = 15·5/(5·5) = 3.0
+    // beats ratio(p,q) = 15·5/(10·5) = 1.5
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "p q")) ++
+      (5 until 10).map(i => (i.toLong, "p r")) ++
+      (10 until 15).map(i => (i.toLong, "s t"))
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps
+      .wordAssociationsOf(docs, v = 50, minPairDf = 2L, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("s", "t", 3.0), ("p", "q", 1.5), ("p", "r", 1.5)))
+  }
 }
