@@ -126,6 +126,7 @@ object SparkEntry {
     "returned_item_ranking" -> ((s, d) => Relational.returnedItemRanking(s, d)),
     "word_associations" -> ((s, d) => TextOps.wordAssociations(s, d)),
     "compact_roundtrip" -> ((s, d) => graft.sources.Sources.compactRoundtrip(s, d)),
+    "streaming_quantiles" -> ((s, d) => graft.streaming.Streams.histStreamQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1241,6 +1242,11 @@ object SparkEntry {
     // power-of-two bin width (0.5) -> exact binning; integer ceil
     // thresholds -> the same bin picked in both engines
     "histogram_quantiles" -> graft.operators.Sketches.histogramQuantilesSql(),
+
+    // bins are additive, so the streamed state equals the one-shot
+    // histogram — same SQL over the fed slice
+    "streaming_quantiles" -> graft.operators.Sketches.histogramQuantilesSql(
+      table = s"(SELECT * FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})"),
 
     // same md5 hash + salt as the Spark side; anti-join removes drawn
     // items the user actually interacted with

@@ -314,11 +314,21 @@ object Sketches {
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val bin = least(lit(QuantileBins - 1),
       greatest(lit(0L), floor(value * lit(2.0)))).cast("long")
     val counts = df.select(key.as("k"), bin.as("bin"))
       .groupBy($"k", $"bin").agg(count(lit(1)).as("n"))
+    quantilesFromCounts(counts)
+  }
+
+  /** Finish a bin-count relation (k, bin, n) into per-key quantiles —
+    * shared by the batch build and the streaming accumulator (whose
+    * state IS the histogram).
+    */
+  private[graft] def quantilesFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy($"k").orderBy($"bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy($"k")
@@ -336,6 +346,12 @@ object Sketches {
         QuantilePcts.map(p => col(s"p$p"))): _*)
       .orderBy($"key")
   }
+
+  /** JVM mirror of the bin assignment (the identical IEEE multiply +
+    * floor). Used by the stateful streaming histogram.
+    */
+  private[graft] def quantileBinJvm(v: Double): Int =
+    math.min(QuantileBins - 1, math.max(0L, math.floor(v * 2.0).toLong)).toInt
 
   /** DuckDB mirror of [[histogramQuantiles]] — same bins, same integer
     * thresholds.

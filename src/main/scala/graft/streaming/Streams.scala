@@ -597,6 +597,71 @@ object Streams {
     Sketches.cmsEstimate(counters, items)
   }
 
+  /** Per-trigger histogram emission (streaming quantile sketch). */
+  case class HistProgress(k: String, seq: Long, bins: Seq[Long])
+
+  /** Streaming histogram-quantile sketch: per-key bin counts as
+    * mapGroupsWithState state (the histogram IS the mergeable sketch —
+    * bins are additive, so the streamed state equals the one-shot
+    * build exactly). With [[hllStreamQuery]] (max-merged registers)
+    * and [[cmsStreamQuery]] (additive counters) this completes the
+    * streaming form of every batch sketch: per-key cardinality,
+    * frequency, and distribution over an unbounded stream in bounded,
+    * checkpoint-recoverable state.
+    */
+  def histStreamQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    import graft.operators.Sketches
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val emptyOut = Seq.empty[(String, Long, Double, Double, Double)]
+      .toDF("key", "total", "p50", "p95", "p99")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val in = MemoryStream[(String, Double)](spark)
+    val name = runStreamToTable(spark, "hist_stream", Some(4)) { (n, ck) =>
+      in.toDS()
+        .groupByKey(_._1)
+        .mapGroupsWithState[(Vector[Long], Long), HistProgress](
+          GroupStateTimeout.NoTimeout) {
+          (key: String, it: Iterator[(String, Double)],
+           gs: GroupState[(Vector[Long], Long)]) =>
+            val (st0, seq0) = gs.getOption
+              .getOrElse((Vector.fill(Sketches.QuantileBins)(0L), 0L))
+            var st = st0
+            var n = 0L
+            it.foreach { case (_, v) =>
+              val b = Sketches.quantileBinJvm(v)
+              st = st.updated(b, st(b) + 1)
+              n += 1
+            }
+            gs.update((st, seq0 + n))
+            HistProgress(key, seq0 + n, st)
+        }
+        .toDF()
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).start()
+    } { q =>
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    val counts = spark.table(name)
+      .groupBy($"k").agg(max_by($"bins", $"seq").as("bins"))
+      .select($"k", posexplode($"bins"))
+      .select($"k", $"pos".cast("long").as("bin"), $"col".as("n"))
+      .filter($"n" > 0)
+    Sketches.quantilesFromCounts(counts)
+  }
+
   /** One funnel-walk step — the SAME advance rule as the batch
     * `Relational.funnelStepsOf` HOF (next expected stage, strictly
     * later than the last reached timestamp), applied to an arriving

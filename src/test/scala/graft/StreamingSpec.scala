@@ -471,6 +471,75 @@ class StreamingSpec extends AnyFunSuite {
       "additive counters across micro-batches must equal the one-shot build")
   }
 
+  test("streaming quantiles equal the one-shot batch histogram on the fed slice") {
+    import spark.implicits._
+    val streamed = Streams.histStreamQuery(spark, TestSpark.sf, numBatches = 3)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Sketches.histogramQuantilesOf(
+      Tables.events(spark, TestSpark.sf)
+        .filter($"event_id" < Streams.HarnessFeedCap),
+      $"event_type", $"value")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "additive bins across micro-batches must equal the one-shot histogram")
+  }
+
+  test("streaming CMS counters survive a kill/restart on the same checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.streaming.Streams.CmsProgress
+    import graft.operators.Sketches
+    val in = MemoryStream[(Int, Long)](spark)
+    val ckpt = tmp()
+    val out = mutable.ArrayBuffer[(Int, Long, Seq[Long])]()
+    def start() = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Vector[Long], Long), CmsProgress](
+        GroupStateTimeout.NoTimeout) {
+        (j: Int, it: Iterator[(Int, Long)],
+         gs: GroupState[(Vector[Long], Long)]) =>
+          val (a, b) = Sketches.CmsParams(j)
+          val (st0, seq0) = gs.getOption
+            .getOrElse((Vector.fill(Sketches.CmsWidth)(0L), 0L))
+          var st = st0; var n = 0L
+          it.foreach { case (_, v) =>
+            val bkt = Sketches.cmsBucketJvm(v, a, b)
+            st = st.updated(bkt, st(bkt) + 1); n += 1
+          }
+          gs.update((st, seq0 + n))
+          CmsProgress(j, seq0 + n, st)
+      }
+      .toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getInt(0), r.getLong(1),
+            r.getSeq[Long](2)))
+        }: Unit
+      }.start()
+    def feed(vals: Range) = vals.flatMap(v => Seq((0, v.toLong % 7)))
+    val q1 = start()
+    in.addData(feed(0 until 300))
+    q1.processAllAvailable()
+    q1.stop()
+    in.addData(feed(300 until 600)) // while DOWN
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val g = out.synchronized(out.toList)
+    val after = g.find(t => t._1 == 0 && t._2 == 600L)
+      .getOrElse(fail(s"restart must process the down-time batch: ${g.map(t => (t._1, t._2))}"))._3
+    var whole = Vector.fill(Sketches.CmsWidth)(0L)
+    val (a, b) = Sketches.CmsParams(0)
+    (0 until 600).foreach { v =>
+      val bkt = Sketches.cmsBucketJvm(v.toLong % 7, a, b)
+      whole = whole.updated(bkt, whole(bkt) + 1)
+    }
+    assert(after == whole,
+      "counters recovered from the checkpoint must resume exactly")
+  }
+
   test("streaming funnel state survives a kill/restart on the same checkpoint") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
