@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics beyond connected components
@@ -17,10 +18,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: each round is ONE partial-aggregatable (dst,
   * Σ contrib) shuffle over the edge list — the same bound as label
   * propagation; the edge list and degree table are computed once and
-  * cached. The co-rating edge build is a per-user self-join that is
-  * candidate-bounded by each user's own item count (the same per-key
-  * quadratic every co-occurrence miner accepts; a power-user cap is
-  * where a production run would bound it).
+  * cached. The co-rating edge build caps each user's contribution at
+  * [[MaxItemsPerUser]] items BEFORE the per-user self-join (the same
+  * hot-key bound as `Dedup.DefaultMaxDf` posting-list capping): a
+  * power user with 10⁵ rated items contributes O(cap²) pairs, not
+  * 10¹⁰. The kept items are each user's most-popular songs
+  * (deterministic: popularity desc, song_id asc), so the capped graph
+  * keeps the edges that carry rank mass.
   */
 object Graph {
 
@@ -29,12 +33,42 @@ object Graph {
   val DampingPct = 85L
   val Rounds = 5
 
-  /** Distinct directed co-rating edges (a→b and b→a both present). */
-  def coRatingEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user item cap for the co-rating edge build. 50 bites at the
+    * test SFs (max 67 distinct songs/user) so the capped path is
+    * oracle-exercised, and bounds any power user to ≤50·49 directed
+    * pairs at production scale.
+    */
+  val MaxItemsPerUser = 50
+
+  /** Distinct directed co-rating edges (a→b and b→a both present),
+    * with each user's item set capped at `maxItemsPerUser` first.
+    */
+  def coRatingEdges(spark: SparkSession, dir: String,
+      maxItemsPerUser: Int = MaxItemsPerUser): DataFrame = {
     import spark.implicits._
     val pos = Relational.ratings(spark, dir)
       .select($"user_id", $"song_id").distinct()
-    pos.as("x").join(pos.as("y"),
+    coRatingEdgesOf(pos, maxItemsPerUser)
+  }
+
+  /** [[coRatingEdges]] over any (user_id, song_id) relation. The cap
+    * runs before the self-join: per-user candidates are O(cap²)
+    * regardless of how many items one user rated. Kept items are the
+    * user's top-`maxItemsPerUser` by global popularity (ties by
+    * song_id) — a deterministic selection both engines reproduce.
+    */
+  def coRatingEdgesOf(pos: DataFrame,
+      maxItemsPerUser: Int = MaxItemsPerUser): DataFrame = {
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val popularity = pos.groupBy($"song_id")
+      .agg(count(lit(1)).as("pop"))
+    val capped = pos.join(popularity, Seq("song_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"pop".desc, $"song_id")))
+      .filter($"rn" <= maxItemsPerUser)
+      .select($"user_id", $"song_id")
+    capped.as("x").join(capped.as("y"),
         $"x.user_id" === $"y.user_id" && $"x.song_id" =!= $"y.song_id")
       .select($"x.song_id".as("src"), $"y.song_id".as("dst"))
       .distinct()
@@ -70,9 +104,11 @@ object Graph {
   }
 
   /** DuckDB mirror: the same rounds unrolled with the same integer
-    * floor operations.
+    * floor operations, and the same per-user popularity-ranked item
+    * cap before the co-rating self-join.
     */
-  def pagerankSql(rounds: Int = Rounds): String = {
+  def pagerankSql(rounds: Int = Rounds,
+      maxItemsPerUser: Int = MaxItemsPerUser): String = {
     val iter = (1 to rounds).map { i =>
       s"""r$i AS (SELECT e.dst AS node,
          |  (($RankScale * ${100L - DampingPct} // 100) // (SELECT n FROM nn))
@@ -80,9 +116,15 @@ object Graph {
          |  FROM e JOIN d USING (src) JOIN r${i - 1} ON e.src = r${i - 1}.node
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pos AS (SELECT DISTINCT user_id,
+    s"""WITH pos0 AS (SELECT DISTINCT user_id,
        |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
        |  FROM events),
+       |popc AS (SELECT song_id, COUNT(*) AS pop FROM pos0 GROUP BY song_id),
+       |pos AS (SELECT user_id, song_id FROM (
+       |    SELECT p.user_id, p.song_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.user_id ORDER BY c.pop DESC, p.song_id) AS rn
+       |    FROM pos0 p JOIN popc c USING (song_id))
+       |  WHERE rn <= $maxItemsPerUser),
        |e AS (SELECT DISTINCT x.song_id AS src, y.song_id AS dst
        |  FROM pos x JOIN pos y ON x.user_id = y.user_id
        |    AND x.song_id <> y.song_id),

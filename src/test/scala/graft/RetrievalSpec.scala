@@ -128,6 +128,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.sameElements(again))
   }
 
+  test("co-rating edge build: power user bounded to O(cap^2), not O(N^2)") {
+    import spark.implicits._
+    // one pathological user rated 1000 items; uncapped this is 10^6
+    // directed pairs — capped it must be exactly cap*(cap-1)
+    val cap = 20
+    val pos = (1 to 1000).map(i => (7L, i.toLong))
+      .toDF("user_id", "song_id")
+    val edges = graft.operators.Graph.coRatingEdgesOf(pos, cap)
+    assert(edges.count() == cap.toLong * (cap - 1),
+      "per-user candidates must be bounded by the item cap")
+    // deterministic selection: popularity ties broken by song_id, so
+    // the kept items are exactly songs 1..cap and a rerun is identical
+    val kept = edges.select($"src").distinct().as[Long].collect().sorted.toSeq
+    assert(kept == (1L to cap.toLong))
+    // a normal user under the cap is untouched
+    val small = (1 to 5).map(i => (1L, i.toLong)).toDF("user_id", "song_id")
+    assert(graft.operators.Graph.coRatingEdgesOf(small, cap).count() == 20)
+  }
+
   test("shipping priority: broadcast join + TakeOrderedAndProject, no global sort") {
     val df = Relational.shippingPriority(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
