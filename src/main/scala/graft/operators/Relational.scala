@@ -473,6 +473,13 @@ object Relational {
       .orderBy($"doc_id")
   }
 
+  /** Offset for the fixture's appended doc_ids; [[tableDiff]] asserts
+    * the corpus stays below it so appended ids can never collide with
+    * genuine ones (a collision would duplicate v2 keys and silently
+    * corrupt the 'added' classification on both engines).
+    */
+  val DiffAppendOffset = 100000L
+
   /** Driver form: v2 is a deterministic mutation of the documents
     * corpus (every 17th doc deleted, every 13th remaining doc edited,
     * one appended doc per 29th) — both engines construct the same v2,
@@ -482,13 +489,16 @@ object Relational {
     import spark.implicits._
     val v1 = Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id", $"text")
+    val maxId = v1.agg(max($"doc_id")).head().getLong(0)
+    require(maxId < DiffAppendOffset,
+      s"tableDiff fixture offset $DiffAppendOffset collides: max doc_id $maxId")
     val v2 = v1
       .filter($"doc_id" % 17 =!= 3)
       .select($"doc_id",
         when($"doc_id" % 13 === 5, concat($"text", lit(" rev2")))
           .otherwise($"text").as("text"))
       .unionByName(v1.filter($"doc_id" % 29 === 0)
-        .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+        .select(($"doc_id" + DiffAppendOffset).as("doc_id"), $"text"))
     tableDiffOf(v1, v2)
   }
 

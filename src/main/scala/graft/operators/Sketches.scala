@@ -99,13 +99,17 @@ object Sketches {
   }
 
   /** [[hllDistinct]] over any relation: HLL-64 estimate + exact
-    * distinct of `value` per `key`.
+    * distinct of `value` per `key`. NULL values are excluded up front
+    * on BOTH paths: the register path would drop them silently anyway
+    * (md5(NULL) is NULL), and COUNT(DISTINCT) in the oracle ignores
+    * them — filtering first makes every path agree by construction.
     */
   def hllDistinctOf(df: DataFrame, key: Column, value: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val est = estimateFromRegisters(hllRegistersOf(df, key, value))
-    val exact = df.select(key.as("k"), value.as("v")).distinct()
+    val nn = df.filter(value.isNotNull)
+    val est = estimateFromRegisters(hllRegistersOf(nn, key, value))
+    val exact = nn.select(key.as("k"), value.as("v")).distinct()
       .groupBy($"k").agg(count(lit(1)).as("n_exact"))
     exact.join(est, Seq("k"))
       .select($"k".as("key"), $"n_exact", $"hll_estimate")
@@ -403,7 +407,8 @@ object Sketches {
       valCol: String = "user_id"): String = {
     val h60 = s"CAST(('0x' || substr(md5(CAST($valCol AS VARCHAR)), 1, 15)) AS BIGINT)"
     val lcList = LinearCountTable.mkString("[", ", ", "]")
-    s"""WITH hx AS (SELECT $keyCol AS k, $h60 AS h FROM $table),
+    s"""WITH nn AS (SELECT * FROM $table WHERE $valCol IS NOT NULL),
+       |hx AS (SELECT $keyCol AS k, $h60 AS h FROM nn),
        |rr AS (SELECT k, h % ${HllRegisters} AS reg,
        |  CASE WHEN (h // 64) = 0 THEN 55
        |       ELSE 55 - length(bin(h // 64)) END AS rho FROM hx),
@@ -415,7 +420,7 @@ object Sketches {
        |  FROM regs GROUP BY k),
        |e AS (SELECT k, $HllK / CAST(s AS DOUBLE) AS raw, v FROM s),
        |ex AS (SELECT $keyCol AS k, COUNT(DISTINCT $valCol) AS n_exact
-       |  FROM $table GROUP BY $keyCol)
+       |  FROM nn GROUP BY $keyCol)
        |SELECT ex.k AS key, ex.n_exact,
        |  CASE WHEN e.v > 0 AND e.raw <= $LinearCountThreshold
        |       THEN ($lcList)[e.v] ELSE e.raw END AS hll_estimate

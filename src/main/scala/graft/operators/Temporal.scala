@@ -171,8 +171,11 @@ object Temporal {
     import spark.implicits._
     val syms = events
       .select($"user_id", $"event_id", expr("ts div 1000").as("tsu"),
-        least(lit(SaxLevels - 1),
-          floor($"value" / lit(SaxLevelWidth))).cast("int").as("lvl"))
+        // clamp BOTH ends like histogramQuantilesOf: a negative value
+        // bins to level 0 instead of indexing letters at <= 0 (which
+        // throws in Spark but NULLs in DuckDB — divergent failures)
+        greatest(lit(0), least(lit(SaxLevels - 1),
+          floor($"value" / lit(SaxLevelWidth)))).cast("int").as("lvl"))
       // (tsu, event_id) pins a total per-user order, like sessionize
       .groupBy($"user_id")
       .agg(sort_array(collect_list(struct($"tsu", $"event_id", $"lvl")))
@@ -200,7 +203,7 @@ object Temporal {
       .map(c => s"'$c'").mkString("[", ", ", "]")
     s"""WITH sy AS (SELECT user_id, event_id,
        |    CAST(epoch_us(ts) AS BIGINT) AS tsu,
-       |    CAST(LEAST(${SaxLevels - 1}, FLOOR(value / $SaxLevelWidth)) AS INTEGER) AS lvl
+       |    CAST(GREATEST(0, LEAST(${SaxLevels - 1}, FLOOR(value / $SaxLevelWidth))) AS INTEGER) AS lvl
        |  FROM events),
        |s AS (SELECT user_id,
        |    list_transform(list(lvl ORDER BY tsu, event_id),

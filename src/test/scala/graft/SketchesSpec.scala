@@ -27,6 +27,17 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll: NULL values are excluded identically on exact and sketch paths") {
+    import spark.implicits._
+    val df = Seq(("a", Some("x")), ("a", Some("y")), ("a", None),
+      ("b", None), ("b", None)).toDF("k", "v")
+    val out = Sketches.hllDistinctOf(df, col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // key 'a': NULL not counted (COUNT(DISTINCT) semantics); key 'b'
+    // has only NULLs -> no row at all, same as the oracle
+    assert(out == List(("a", 2L)), s"NULLs must not count: $out")
+  }
+
   test("column profile: one scan, stats match direct aggregates") {
     import spark.implicits._
     val p = Sketches.profileColumns(spark, sf)

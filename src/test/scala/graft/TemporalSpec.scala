@@ -122,4 +122,22 @@ class TemporalSpec extends AnyFunSuite {
       .map(r => r.getString(0)).toSeq
     assert(got == Seq("abcd"))
   }
+
+  test("sax motifs: out-of-domain values clamp to the edge levels") {
+    import spark.implicits._
+    def ns(us: Long) = us * 1000
+    // negative values must bin to level 0 (not throw on element_at <= 0)
+    // and oversized values to the top level, matching the oracle's
+    // GREATEST/LEAST clamps
+    val mk = (uid: Long, base: Long, vals: Seq[Double]) =>
+      vals.zipWithIndex.map { case (v, i) =>
+        (uid, uid * 1000 + i, ns(base + i * 10), v)
+      }
+    val ev = (mk(1L, 0L, Seq(-50, -0.1, 9999, 200)) ++
+      mk(2L, 100L, Seq(-5, 0, 5000, 200)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.saxMotifsOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("aahd", 2L)), s"clamped word expected: $got")
+  }
 }
