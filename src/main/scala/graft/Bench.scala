@@ -89,27 +89,41 @@ object Bench {
     val best = times.toSeq.sortBy(_._1).map { case (name, ts) =>
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
+    def r3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     def jmap(kvs: Seq[(String, Double)]) =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
     // -1 marks a failed query; don't let it shrink the total
     val total = best.collect { case (_, v) if v >= 0 => v }.sum
-    val qs = jmap(best)
-    val ns = jmap(noSort.toSeq.sortBy(_._1))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_nosort":$ns,"sf":"$sfDir"}""")
-    // The per-query JSON above is one very long line; a tail-capture of
-    // the run can truncate its head and lose the leading "value" field.
-    // Re-state the headline numbers as short, final, machine-greppable
-    // plain lines (NOT a second "metric" JSON record, which a parser
-    // aggregating metric lines would double-count).
     val totalNoSort = noSort.values.filter(_ >= 0).sum
+    // The harness that records this run keeps only the LAST ~2000
+    // chars of output, so layout is deliberate: inside the (long)
+    // metric line both per-query maps are ordered by time ASCENDING —
+    // when the capture truncates the line's head, the surviving end
+    // holds the SLOWEST (informative) queries — and the totals fields
+    // sit at the very end of the line. Values are ms-rounded: at 23
+    // chars/entry the capture retains the ~80 slowest entries instead
+    // of an arbitrary alphabetical half.
+    val qs = jmap(best.sortBy(_._2))
+    val ns = jmap(noSort.toSeq.sortBy(_._2))
+    println(s"""{"metric":"total","unit":"sec","queries_nosort":$ns,"queries":$qs,"nosort_value":${r3(totalNoSort)},"value":${r3(total)},"n_queries":${best.size},"sf":"$sfDir"}""")
+    // The COMPLETE per-query record also goes to a file in the repo
+    // (committed at round end), so every query's time is recoverable
+    // even when the stdout capture truncates the line above.
+    val fullRecord =
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"nosort_value":${r3(totalNoSort)},"n_queries":${best.size},"sf":"$sfDir","queries":${jmap(best)},"queries_nosort":${jmap(noSort.toSeq.sortBy(_._1))}}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (fullRecord + "\n").getBytes("UTF-8"))
+      println("BENCH_FULL_RECORD=BENCH_LOCAL.json")
+    } catch { case _: Throwable => () } // bench must not fail on an RO cwd
+    // Short, final, machine-greppable headline lines — small enough
+    // that no tail-capture ever loses them (NOT a second "metric" JSON
+    // record, which a parser aggregating metric lines would
+    // double-count).
     println(f"BENCH_QUERIES_COUNT=${best.size}%d")
     println(f"BENCH_TOTAL_SECONDS=$total%.3f")
     println(f"BENCH_TOTAL_NOSORT_SECONDS=$totalNoSort%.3f")
-    // ALSO a compact single-line JSON of totals only, for parsers that
-    // want a parseable JSON record: short enough that no tail-capture
-    // truncates it, and deliberately WITHOUT a "metric" key so a
-    // metric-line aggregator can't double-count it against the full
-    // record above.
     println(f"""{"bench_total_seconds":$total%.3f,"bench_total_nosort_seconds":$totalNoSort%.3f,"n_queries":${best.size}%d,"sf":"$sfDir%s"}""")
     spark.stop()
   }
