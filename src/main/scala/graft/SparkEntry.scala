@@ -922,11 +922,14 @@ object SparkEntry {
       """SELECT event_id, user_id, value, event_type FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
+    // n_bytes = decoded content size: w*h gray bytes for images,
+    // synthetic payload length (32 * reps) for the fallback kinds
     "media_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST((doc_id % 3) + 1 AS INT)] AS kind,
         |  ['image/png','audio/wav','video/mp4'][CAST((doc_id % 3) + 1 AS INT)] AS mime,
-        |  CAST(octet_length(encode(repeat(md5(text), CAST(1 + doc_id % 4 AS INT)))) AS INT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 64) + 1) * ((doc_id % 48) + 1)
+        |       ELSE 32 * (1 + doc_id % 4) END AS INT) AS n_bytes,
         |  CAST((doc_id % 64) + 1 AS INT) AS width,
         |  CAST((doc_id % 48) + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
@@ -943,35 +946,61 @@ object SparkEntry {
         |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)
         |WHERE f % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
 
+    // The Spark side runs PNG encode -> ImageIO decode -> nearest
+    // neighbor -> PNG re-encode -> decode; the oracle reproduces the
+    // 4x4 output from the pixel-pattern formula alone, so any codec
+    // loss or resample index error hash-mismatches.
     "media_resize" ->
-      """SELECT doc_id AS media_id, 25 AS n_bytes,
-        |  substring(repeat(md5(text), CAST(1 + doc_id % 4 AS INT)), 1, 25) AS payload_prefix,
-        |  5 AS width, 5 AS height
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH img AS (SELECT doc_id AS media_id,
+        |    (doc_id % 64) + 1 AS sw, (doc_id % 48) + 1 AS sh
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (SELECT media_id, sw, sh, unnest(range(4)) AS x FROM img),
+        |ys AS (SELECT media_id, sw, sh, x, unnest(range(4)) AS y FROM xs),
+        |px AS (SELECT media_id, y * 4 + x AS pos,
+        |    (media_id * 31 + ((x * sw) // 4) * 7 + ((y * sh) // 4) * 13) % 256 AS p
+        |  FROM ys)
+        |SELECT media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  string_agg(CAST(p AS VARCHAR), ';' ORDER BY pos) AS pixels
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
-    // FakeCodec.embed is a normalized byte histogram of the payload =
-    // repeat(md5(text), reps). Repetition scales every bucket count and
-    // the L2 norm by the same factor, so the normalized vector equals
-    // the histogram of md5(text)'s 32 hex chars (ASCII % 16) alone; both
-    // engines quantize to float32 before the 6-decimal print, making the
+    // Two branches mirroring decodeFeatures' dispatch. Image rows:
+    // 16-bin intensity histogram (p // 16) of the deterministic pixel
+    // pattern the Spark side recovers via a REAL ImageIO decode.
+    // Fallback kinds: byte histogram of payload = repeat(md5(text),
+    // reps); repetition scales every bucket and the L2 norm by the
+    // same factor, so the normalized vector equals the histogram of
+    // md5(text)'s 32 hex chars (ASCII % 16) alone. Both engines
+    // quantize to float32 before the 6-decimal print, making the
     // string compare exact.
     "media_embed" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |    ['image','audio','video'][CAST((doc_id % 3) + 1 AS INT)] AS kind,
-        |    md5(text) AS h,
-        |    CAST(octet_length(encode(repeat(md5(text), CAST(1 + doc_id % 4 AS INT)))) AS INT) AS n_bytes
+        |    md5(text) AS hsh,
+        |    (doc_id % 64) + 1 AS w, (doc_id % 48) + 1 AS h,
+        |    CAST(1 + doc_id % 4 AS INT) AS reps
         |  FROM documents),
-        |hist AS (
-        |  SELECT media_id, kind, n_bytes,
+        |ix AS (SELECT media_id, w, h, unnest(range(w)) AS x FROM m WHERE kind = 'image'),
+        |iy AS (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM ix),
+        |ih AS (SELECT media_id, ((media_id * 31 + x * 7 + y * 13) % 256) // 16 AS b,
+        |    COUNT(*) AS c
+        |  FROM iy GROUP BY 1, 2),
+        |ibins AS (SELECT media_id, unnest(range(16)) AS b FROM m WHERE kind = 'image'),
+        |icnt AS (SELECT ibins.media_id, ibins.b, COALESCE(ih.c, 0) AS c
+        |  FROM ibins LEFT JOIN ih ON ibins.media_id = ih.media_id AND ibins.b = ih.b),
+        |icl AS (SELECT media_id, list(c ORDER BY b) AS cnt FROM icnt GROUP BY media_id),
+        |iout AS (SELECT m.media_id, m.kind, CAST(m.w * m.h AS INT) AS n_bytes, icl.cnt
+        |  FROM m JOIN icl USING (media_id)),
+        |fout AS (SELECT media_id, kind, CAST(32 * reps AS INT) AS n_bytes,
         |    list_transform(range(16), b -> len(list_filter(
-        |      list_transform(range(32), i -> ascii(substring(h, CAST(i + 1 AS INT), 1)) % 16),
+        |      list_transform(range(32), i -> ascii(substring(hsh, CAST(i + 1 AS INT), 1)) % 16),
         |      c -> c = b))) AS cnt
-        |  FROM m),
+        |  FROM m WHERE kind <> 'image'),
+        |u AS (SELECT * FROM iout UNION ALL SELECT * FROM fout),
         |nrmd AS (
         |  SELECT media_id, kind, n_bytes, cnt,
         |    sqrt(CAST(list_sum(list_transform(cnt, c -> c * c)) AS DOUBLE)) AS nrm
-        |  FROM hist)
+        |  FROM u)
         |SELECT media_id, kind, n_bytes,
         |  array_to_string(list_transform(cnt, c ->
         |    printf('%.6f', CAST(CAST(CAST(c AS DOUBLE) / nrm AS FLOAT) AS DOUBLE))), ';') AS embedding

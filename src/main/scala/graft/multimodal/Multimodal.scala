@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column layer: image/audio/video as opaque `BINARY`
@@ -9,19 +9,22 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample operators a
   * training-data pipeline runs over them.
   *
-  * The container has no media codecs, so the *decode step itself* is a
-  * clearly-marked deterministic fake ([[FakeCodec]]); everything
-  * Spark-side — schema, binary columns, partition-parallel batched
-  * execution, frame explosion, embedding shape — is real and is what
-  * would carry a 100 TB media corpus. Payload bytes never reach the
-  * driver: every operator is a projection or mapPartitions over the
-  * executors.
+  * Image payloads are REAL PNGs, decoded with the in-JDK
+  * `javax.imageio` ([[ImageCodec]]) — encode → decode roundtrips
+  * through actual codec machinery on the executors, and the driver
+  * queries are checked against an oracle that recomputes the same
+  * features from the deterministic pixel pattern, so a lossy or
+  * misbehaving decode would hash-mismatch. Audio/video kinds have no
+  * in-JDK codec (no ffmpeg in this container), so they fall back to
+  * the byte-level [[ByteFallbackCodec]] — clearly marked, and confined
+  * to those kinds. Payload bytes never reach the driver: every
+  * operator is a projection or mapPartitions over the executors.
   */
 object Multimodal {
 
   /** One media row: opaque payload + typed metadata. The payload stays
-    * byte-opaque to the engine (codec concerns live behind the decode
-    * stubs), the metadata is columnar and prunable.
+    * byte-opaque to the engine (codec concerns live behind the codec
+    * objects), the metadata is columnar and prunable.
     */
   case class MediaRecord(media_id: Long, kind: String, mime: String,
       payload: Array[Byte], width: Int, height: Int,
@@ -31,15 +34,95 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       embedding: Array[Float])
 
-  /** Deterministic stand-in for real codecs.
-    *
-    * STUB: a production build binds an actual decoder here (JPEG/PNG
-    * via ImageIO, audio/video via ffmpeg). Those libraries are not in
-    * this container, so decode is a pure function of the raw bytes —
-    * which keeps every downstream pipeline shape (schemas, batching,
-    * shuffles) identical to the real thing and fully testable.
+  /** REAL image codec on the JDK's own `javax.imageio` (java.desktop
+    * ships with the JDK — zero new dependencies). Grayscale 8-bit
+    * PNG: lossless, so encode → decode reproduces the source pixels
+    * bit-exactly, which the driver oracle verifies end-to-end.
     */
-  object FakeCodec {
+  object ImageCodec {
+    System.setProperty("java.awt.headless", "true")
+    val embedDim = 16
+
+    /** The deterministic test pattern both engines compute: pixel
+      * (x, y) of image `mediaId` — pure integer arithmetic, mirrored
+      * literally in the DuckDB oracle.
+      */
+    def pixel(mediaId: Long, x: Int, y: Int): Int =
+      ((mediaId * 31 + x * 7 + y * 13) % 256).toInt
+
+    /** Row-major w×h render of [[pixel]]. */
+    def renderPattern(mediaId: Long, w: Int, h: Int): Array[Int] =
+      Array.tabulate(w * h)(i => pixel(mediaId, i % w, i / w))
+
+    /** Encode row-major 8-bit grayscale pixels as a real PNG. */
+    def encodePng(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pix(y * w + x)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(img, "png", bos))
+        sys.error("no PNG writer available in this JDK")
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload to (w, h, row-major gray
+      * samples). Reads raster samples directly (band 0) — no
+      * ColorModel conversion that could perturb grayscale values.
+      */
+    def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) sys.error("undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](w * h)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, out)
+    }
+
+    /** Nearest-neighbor resample: out(x, y) = in(x·W div w2, y·H div
+      * h2) — integer floor selection, so both engines agree exactly
+      * (works for up- and down-sampling).
+      */
+    def resizeNearest(pix: Array[Int], w: Int, h: Int,
+        w2: Int, h2: Int): Array[Int] =
+      Array.tabulate(w2 * h2) { i =>
+        val (x, y) = (i % w2, i / w2)
+        pix((y * h / h2) * w + (x * w / w2))
+      }
+
+    /** 16-bin pixel-intensity histogram (bin = value div 16),
+      * L2-normalized — float op order identical to the byte fallback
+      * so the oracle mirrors one formula for both.
+      */
+    def histEmbed(pix: Array[Int]): Array[Float] = {
+      val hgm = new Array[Float](embedDim)
+      var i = 0
+      while (i < pix.length) { hgm(pix(i) / 16) += 1f; i += 1 }
+      val n = math.sqrt(hgm.map(x => x.toDouble * x).sum)
+      if (n > 0) hgm.map(x => (x / n).toFloat) else hgm
+    }
+  }
+
+  /** Byte-level FALLBACK for kinds with no in-JDK codec (audio/video —
+    * ffmpeg-class libraries are not in this container). A production
+    * build binds real decoders here; the fallback is a pure function
+    * of the raw bytes, which keeps every downstream pipeline shape
+    * (schemas, batching, shuffles) identical to the real thing and
+    * fully testable. Image kinds never take this path.
+    */
+  object ByteFallbackCodec {
     val embedDim = 16
 
     /** "Decode" a payload to a unit-norm byte-histogram embedding. */
@@ -52,20 +135,19 @@ object Multimodal {
     }
 
     /** "Resize": contract = output is exactly w*h bytes (truncate or
-      * zero-pad). A real impl would resample pixels.
+      * zero-pad). A real impl would resample samples/frames.
       */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       java.util.Arrays.copyOf(payload, w * h)
   }
 
-  /** Synthesize the media table from the documents corpus: payload =
-    * UTF-8 bytes of md5(text) repeated 1 + doc_id % 4 times (ASCII, so
-    * byte arithmetic is mirrorable in the SQL oracle), kind/meta
-    * derived from doc_id. This models binary ingest; a real pipeline
-    * would read payloads from object storage with
-    * `spark.read.format("binaryFile")`.
+  /** Metadata + synthetic fallback payload as PURE column expressions
+    * (so metadata consumers stay fully prunable): payload = UTF-8
+    * bytes of md5(text) repeated 1 + doc_id % 4 times, kind/meta
+    * derived from doc_id. [[mediaTable]] swaps in real PNG payloads
+    * for image rows; this base is what payload-agnostic readers scan.
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+  private def mediaBase(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val kind = element_at(typedLit(Seq("image", "audio", "video")),
       (($"doc_id" % 3) + 1).cast("int"))
@@ -80,24 +162,51 @@ object Multimodal {
       (($"doc_id" % 64) + 1).cast("int").as("width"),
       (($"doc_id" % 48) + 1).cast("int").as("height"),
       (lit(8000) * (($"doc_id" % 3) + 1)).cast("int").as("sample_rate"),
-      // payload bytes = 32 * (1 + doc_id % 4); frames are 16 bytes
+      // fallback payload bytes = 32 * (1 + doc_id % 4); frames are 16 bytes
       (lit(2) * (lit(1) + $"doc_id" % 4)).cast("int").as("n_frames"))
   }
 
-  /** Metadata projection — payload column pruned away entirely, so the
-    * scan never materializes the bytes (check ReadSchema in .explain).
+  /** The media table: image rows carry REAL PNG payloads (the
+    * [[ImageCodec.pixel]] pattern encoded executor-side), audio/video
+    * rows the synthetic fallback bytes. This models binary ingest; a
+    * real pipeline would read payloads from object storage with
+    * `spark.read.format("binaryFile")`.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBase(spark, dir).as[MediaRecord].mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind == "image")
+          r.copy(payload = ImageCodec.encodePng(r.width, r.height,
+            ImageCodec.renderPattern(r.media_id, r.width, r.height)))
+        else r
+      }
+    }.toDF()
+  }
+
+  /** Metadata projection — reads the column-expression base, so the
+    * payload is pruned away entirely and no PNG is ever encoded
+    * (models a metadata-only columnar read at scale; check ReadSchema
+    * in .explain). n_bytes is the DECODED content size: w·h gray bytes
+    * for images, stored byte length for the fallback kinds (computed
+    * from the length formula, not by materializing bytes).
     */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
+    mediaBase(spark, dir)
       .select($"media_id", $"kind", $"mime",
-        octet_length($"payload").as("n_bytes"), $"width", $"height")
+        when($"kind" === "image", $"width" * $"height")
+          .otherwise(lit(32) * (lit(1) + $"media_id" % 4))
+          .cast("int").as("n_bytes"),
+        $"width", $"height")
       .orderBy($"media_id")
   }
 
   /** Frame sampling: split a video payload into 16-byte frames, keep
     * every `stride`-th. The explode happens executor-side; each output
-    * row carries only its frame slice, not the whole payload.
+    * row carries only its frame slice, not the whole payload. Reads
+    * the base relation — video payloads are identical there and the
+    * image rows' PNG encode is skipped entirely.
     */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 2): DataFrame = {
     import spark.implicits._
@@ -105,7 +214,7 @@ object Multimodal {
       sequence(lit(0), $"n_frames" - 1),
       i => struct(i.as("frame_idx"),
         substring_bytes($"payload", i * 16 + 1, 16).as("frame")))
-    mediaTable(spark, dir)
+    mediaBase(spark, dir)
       .filter($"kind" === "video")
       .select($"media_id", explode(frames).as("f"))
       // emit the frame bytes UTF-8-decoded: the payloads are ASCII by
@@ -119,60 +228,74 @@ object Multimodal {
 
   // substring on BinaryType: Spark's substring Column helper only
   // accepts Int positions; expr keeps the byte semantics + codegen
-  private def substring_bytes(payload: org.apache.spark.sql.Column,
-      pos: org.apache.spark.sql.Column, len: Int) =
+  private def substring_bytes(payload: Column, pos: Column, len: Int) =
     call_function("substring", payload, pos, lit(len))
 
   /** Batched decode: the mapInPandas/mapPartitions shape. Each
-    * partition's rows stream through the (stub) codec once, so a real
-    * decoder would amortize model/codec init per partition — the
-    * standard batched-UDF deployment pattern for media decode.
+    * partition's rows stream through the codec once, so decoder init
+    * amortizes per partition — the standard batched-UDF deployment
+    * pattern for media decode. Image rows run the REAL ImageIO decode
+    * and embed the decoded PIXELS; other kinds take the byte fallback.
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init would go here (codec handles, ONNX session…)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.payload.length,
-          FakeCodec.embed(r.payload))
+        if (r.kind == "image") {
+          val (w, h, pix) = ImageCodec.decodeGray(r.payload)
+          MediaFeatures(r.media_id, r.kind, w * h, ImageCodec.histEmbed(pix))
+        } else
+          MediaFeatures(r.media_id, r.kind, r.payload.length,
+            ByteFallbackCodec.embed(r.payload))
       }
     }
   }
 
-  /** Resize over the typed path (same batched shape as decode). */
+  /** Resize over the typed path (same batched shape as decode): image
+    * rows decode → nearest-neighbor resample → RE-ENCODE as PNG; other
+    * kinds take the byte-truncation fallback.
+    */
   def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r =>
-      r.copy(payload = FakeCodec.resize(r.payload, w, h), width = w, height = h)))
+    media.mapPartitions(_.map { r =>
+      if (r.kind == "image") {
+        val (sw, sh, pix) = ImageCodec.decodeGray(r.payload)
+        r.copy(payload = ImageCodec.encodePng(w, h,
+          ImageCodec.resizeNearest(pix, sw, sh, w, h)), width = w, height = h)
+      } else
+        r.copy(payload = ByteFallbackCodec.resize(r.payload, w, h),
+          width = w, height = h)
+    })
   }
 
-  /** Driver query for the resize path: every payload resized to w×h
-    * bytes through the typed batched [[resizeAll]] operator. w*h is
-    * chosen below the minimum payload size, so the contract exercised
-    * here is pure truncation — ASCII in, ASCII out — which keeps the
-    * emitted prefix hashable and the oracle a plain substring. (The
-    * zero-pad branch of [[FakeCodec.resize]] emits NUL bytes the
-    * harness compare cannot hash; MultimodalSpec covers it.)
+  /** Driver query for the resize path, REAL end to end: PNG-encoded
+    * pattern → ImageIO decode → integer nearest-neighbor resample →
+    * PNG re-encode → ImageIO decode again → emitted pixels. Two full
+    * codec roundtrips; the oracle computes the same 4×4 from the
+    * pattern formula alone, so any codec loss or index error
+    * hash-mismatches.
     */
-  def mediaResize(spark: SparkSession, dir: String, w: Int = 5,
-      h: Int = 5): DataFrame = {
+  def mediaResize(spark: SparkSession, dir: String, w: Int = 4,
+      h: Int = 4): DataFrame = {
     import spark.implicits._
-    resizeAll(mediaTable(spark, dir).as[MediaRecord], w, h)
-      .toDF()
-      .select($"media_id", octet_length($"payload").as("n_bytes"),
-        $"payload".cast("string").as("payload_prefix"),
-        $"width", $"height")
+    resizeAll(mediaTable(spark, dir).filter($"kind" === "image")
+        .as[MediaRecord], w, h)
+      .mapPartitions(_.map { r =>
+        val (dw, dh, pix) = ImageCodec.decodeGray(r.payload)
+        (r.media_id, dw, dh, pix.mkString(";"))
+      })
+      .toDF("media_id", "width", "height", "pixels")
       .orderBy($"media_id")
   }
 
-  /** Driver query: media embeddings via the batched decode path. The
-    * typed [[decodeFeatures]] API keeps `ARRAY<FLOAT>`; the driver
-    * projection renders the vector as ONE ';'-joined 6-decimal string
-    * column because the harness compare cannot hash array cells (same
-    * trick as [[frameSample]]'s byte decode). The stub embedding is a
-    * pure function of md5(text) — the payload repeat factor cancels
-    * under L2 normalization — so the DuckDB oracle mirrors it exactly,
-    * float32-quantizing on both sides before formatting.
+  /** Driver query: media embeddings via the batched decode path over
+    * ALL kinds — image rows from REAL decoded pixels, fallback kinds
+    * from payload bytes. The typed [[decodeFeatures]] API keeps
+    * `ARRAY<FLOAT>`; the driver projection renders the vector as ONE
+    * ';'-joined 6-decimal string column because the harness compare
+    * cannot hash array cells (same trick as [[frameSample]]'s byte
+    * decode). Both engines quantize to float32 before formatting.
     */
   def mediaEmbed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

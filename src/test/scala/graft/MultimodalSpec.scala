@@ -1,25 +1,51 @@
 package graft
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{FakeCodec, MediaRecord}
+import graft.multimodal.Multimodal.{ByteFallbackCodec, ImageCodec, MediaRecord}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal binary-column layer: schema, batched decode plumbing,
-  * resize/frame-sample contracts. Codec internals are stubs; the
-  * Spark-side shapes under test are the real pipeline.
+/** Multimodal binary-column layer: real in-JDK PNG codec for images,
+  * byte fallback for codec-less kinds, batched decode plumbing,
+  * resize/frame-sample contracts.
   */
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("media table schema: opaque binary payload + typed metadata") {
+  test("png codec: encode -> decode roundtrips pixels bit-exactly") {
+    val (w, h) = (37, 23)
+    val pix = ImageCodec.renderPattern(99L, w, h)
+    val png = ImageCodec.encodePng(w, h, pix)
+    // a real PNG: magic bytes present, compressed (not raw pixels)
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val (dw, dh, dec) = ImageCodec.decodeGray(png)
+    assert(dw == w && dh == h)
+    assert(dec.sameElements(pix), "PNG is lossless: decoded == source")
+  }
+
+  test("nearest-neighbor resize selects exact source pixels, up and down") {
+    // downsample 8x8 -> 4x4: src index = x*8/4 = 2x
+    val pix = Array.tabulate(64)(identity)
+    val down = ImageCodec.resizeNearest(pix, 8, 8, 4, 4)
+    assert(down.toSeq == (for (y <- 0 until 4; x <- 0 until 4)
+      yield (y * 2) * 8 + x * 2).toSeq)
+    // upsample 2x2 -> 4x4: src index = x*2/4 = x/2
+    val up = ImageCodec.resizeNearest(Array(10, 20, 30, 40), 2, 2, 4, 4)
+    assert(up.toSeq == Seq(10, 10, 20, 20, 10, 10, 20, 20,
+      30, 30, 40, 40, 30, 30, 40, 40))
+  }
+
+  test("media table schema: binary payload + typed metadata; images are real PNGs") {
     val df = Multimodal.mediaTable(spark, sf)
     val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
     assert(types("payload") == "binary")
     assert(types("kind") == "string" && types("width") == "integer")
-    val r = df.filter(df("kind") === "video").limit(1).collect()(0)
-    val payload = r.getAs[Array[Byte]]("payload")
-    assert(payload.length == 16 * r.getAs[Int]("n_frames"),
-      "payload length consistent with frame metadata")
+    val v = df.filter(df("kind") === "video").limit(1).collect()(0)
+    assert(v.getAs[Array[Byte]]("payload").length == 16 * v.getAs[Int]("n_frames"),
+      "fallback payload length consistent with frame metadata")
+    val i = df.filter(df("kind") === "image").limit(1).collect()(0)
+    val (dw, dh, _) = ImageCodec.decodeGray(i.getAs[Array[Byte]]("payload"))
+    assert(dw == i.getAs[Int]("width") && dh == i.getAs[Int]("height"),
+      "image payload is a real decodable PNG matching its metadata")
   }
 
   test("batched decode emits unit-norm embeddings of the declared dim") {
@@ -27,17 +53,35 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = Multimodal.decodeFeatures(
       Multimodal.mediaTable(spark, sf).as[MediaRecord]).collect()
     assert(feats.nonEmpty)
-    assert(feats.forall(_.embedding.length == FakeCodec.embedDim))
+    assert(feats.forall(_.embedding.length == ImageCodec.embedDim))
     assert(feats.forall(f =>
       math.abs(f.embedding.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
-    assert(feats.forall(_.n_bytes % 32 == 0), "payloads are md5 repeats")
+    // image rows report decoded pixel count, fallback rows byte length
+    val img = feats.filter(_.kind == "image")
+    assert(img.nonEmpty && img.forall(f =>
+      f.n_bytes == (f.media_id % 64 + 1) * (f.media_id % 48 + 1)))
+    assert(feats.filter(_.kind != "image").forall(_.n_bytes % 32 == 0))
   }
 
-  test("resize contract: output payload is exactly w*h bytes, meta updated") {
+  test("resize: images resampled through the real codec, fallback truncates") {
     import spark.implicits._
     val resized = Multimodal.resizeAll(
       Multimodal.mediaTable(spark, sf).as[MediaRecord], 8, 5).collect()
-    assert(resized.forall(r => r.payload.length == 40 && r.width == 8 && r.height == 5))
+    assert(resized.forall(r => r.width == 8 && r.height == 5))
+    val (img, rest) = resized.partition(_.kind == "image")
+    assert(img.nonEmpty && rest.nonEmpty)
+    assert(rest.forall(_.payload.length == 40), "fallback: exactly w*h bytes")
+    img.foreach { r =>
+      val (dw, dh, pix) = ImageCodec.decodeGray(r.payload)
+      assert(dw == 8 && dh == 5)
+      // re-encoded PNG decodes to the nearest-neighbor selection of
+      // the original pattern
+      val src = ImageCodec.renderPattern(r.media_id,
+        (r.media_id % 64 + 1).toInt, (r.media_id % 48 + 1).toInt)
+      val expect = ImageCodec.resizeNearest(src,
+        (r.media_id % 64 + 1).toInt, (r.media_id % 48 + 1).toInt, 8, 5)
+      assert(pix.sameElements(expect))
+    }
   }
 
   test("frame sample keeps every 2nd 16-byte frame of video payloads") {
@@ -50,9 +94,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byMedia.values.forall(n => n >= 1 && n <= 4))
   }
 
-  test("metadata projection prunes the text column work to one scan pass") {
-    val plan = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
+  test("metadata projection prunes payloads: no PNG encode, no typed node") {
+    val qe = Multimodal.mediaMeta(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"),
+      "metadata-only read must not pass through the payload-building typed node")
     assert(!plan.contains("Exchange") || plan.contains("Sort"),
       "meta projection is scan+project+sort, no join/agg shuffles")
+  }
+
+  test("byte fallback codec: unit norm and exact truncation contract") {
+    val e = ByteFallbackCodec.embed("abcdef".getBytes("UTF-8"))
+    assert(math.abs(e.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+    assert(ByteFallbackCodec.resize(Array[Byte](1, 2, 3), 2, 2).toSeq ==
+      Seq[Byte](1, 2, 3, 0))
   }
 }
