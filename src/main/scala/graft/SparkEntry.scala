@@ -318,6 +318,31 @@ object SparkEntry {
     // the mllib scoring rule <uf,pf> over the reference's saved factor
     // parquet; list_inner_product == Spark's double fold bit-for-bit
     // (same pairing as cosine_topk's oracle)
+    // post-training pipeline over the factors the query just exported:
+    // same most-active-user rule, catalog-minus-rated candidates,
+    // cnt >= 5 gate, <uf,pf> scoring (list_inner_product == Spark's
+    // double fold bit-for-bit), top 25. Training itself is upstream of
+    // the export and not replayed here.
+    "als_recommend_top25" ->
+      s"""WITH r AS ($ratingsSql),
+         |tu AS (SELECT user_id FROM r GROUP BY user_id
+         |  ORDER BY COUNT(*) DESC, user_id LIMIT 1),
+         |uf AS (SELECT features FROM
+         |    read_parquet('${graft.ml.Recommender.TrainedFactorsPath}/user/*.parquet') f
+         |  JOIN tu ON f.id = tu.user_id),
+         |itf AS (SELECT id, features FROM
+         |  read_parquet('${graft.ml.Recommender.TrainedFactorsPath}/item/*.parquet')),
+         |counts AS (SELECT song_id, COUNT(*) AS cnt FROM r GROUP BY song_id),
+         |rated AS (SELECT DISTINCT song_id FROM r, tu WHERE r.user_id = tu.user_id),
+         |cand AS (SELECT c.song_id, c.cnt FROM counts c
+         |  LEFT JOIN rated ON c.song_id = rated.song_id
+         |  WHERE rated.song_id IS NULL AND c.cnt >= 5),
+         |s AS (SELECT cand.song_id AS songId,
+         |    list_inner_product(uf.features, i.features) AS prediction, cand.cnt
+         |  FROM cand JOIN itf i ON i.id = cand.song_id CROSS JOIN uf)
+         |SELECT songId, prediction, cnt
+         |FROM s ORDER BY prediction DESC, songId LIMIT 25""".stripMargin,
+
     "als_factors_topk" ->
       s"""WITH u AS (SELECT id AS userId FROM
          |    read_parquet('$MllibArtifactPath/data/user/*.parquet')

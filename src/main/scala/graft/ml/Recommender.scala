@@ -235,21 +235,50 @@ object Recommender {
       .orderBy($"userId", $"rk")
   }
 
-  // ---- driver-contract query surfaces (rows-only checks: ALS output
-  // is not SQL-expressible, so there is no DuckDB oracle) ----
+  // ---- driver-contract query surfaces ----
 
-  /** Flagship ALS query: train on all ratings at the given dir, emit
-    * top-25 recommendations for the most active user. Deterministic
-    * given the seed, but checked rows-only by the driver.
+  /** Export location for the TRAINED model's factors — a constant
+    * because the oracle SQL is a static string; every run overwrites
+    * the export before the oracle reads it, so the two always see the
+    * same factors (training determinism is not even required for the
+    * check to be exact).
+    */
+  val TrainedFactorsPath = "/tmp/graft_trained_als"
+
+  /** Flagship ALS query, oracle-anchored past training: train (rank 4,
+    * seed 5), EXPORT the trained factors to parquet (float → double
+    * widening, exact), then run the reference's M6 recommend pipeline
+    * — candidates = catalog minus the most-active user's rated set,
+    * song count ≥ 5, top 25 by ⟨uf, pf⟩ — entirely through the
+    * exported factor relations. The DuckDB oracle replays the same
+    * join/filter/top-k over the same parquet, so the whole
+    * post-training path is hash-checked; only the fit itself remains
+    * rows-only (als_grid_rmse), being genuinely not SQL-expressible.
     */
   def alsRecommendTop25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val r = ratings(spark, dir).cache()
+    val model = train(r, rank = 4)
+    def export(factors: DataFrame, sub: String): DataFrame = {
+      factors.select($"id",
+          transform($"features", x => x.cast("double")).as("features"))
+        .write.mode("overwrite").parquet(s"$TrainedFactorsPath/$sub")
+      spark.read.parquet(s"$TrainedFactorsPath/$sub")
+    }
+    val f = MllibFactors(model.rank,
+      export(model.userFactors, "user"), export(model.itemFactors, "item"))
     val topUser = r.groupBy($"userId").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"userId").limit(1)
       .collect()(0).getInt(0)
-    val model = train(r, rank = 4)
-    recommendTopK(model, r, topUser, k = 25, minCnt = 5)
+    val rated = r.filter($"userId" === topUser).select($"songId").distinct()
+    val cand = r.groupBy($"songId").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 5)
+      .join(rated, Seq("songId"), "left_anti")
+    predictFromFactors(f, cand.select(lit(topUser).as("userId"), $"songId"))
+      .join(cand.select($"songId", $"cnt"), "songId")
+      .select($"songId", $"prediction", $"cnt")
+      .orderBy($"prediction".desc, $"songId")
+      .limit(25)
   }
 
   /** ALS holdout evaluation, reference protocol (spark_music.py:16):
