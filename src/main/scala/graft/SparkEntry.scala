@@ -118,6 +118,7 @@ object SparkEntry {
     "histogram_quantiles" -> ((s, d) => Sketches.histogramQuantiles(s, d)),
     "negative_samples" -> ((s, d) => Retrieval.negativeSamples(s, d)),
     "table_diff" -> ((s, d) => Relational.tableDiff(s, d)),
+    "merge_apply" -> ((s, d) => graft.sources.Maintenance.mergeApplyQuery(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
@@ -1325,6 +1326,20 @@ object SparkEntry {
         |       WHEN h2 IS NULL THEN 'removed'
         |       WHEN h1 <> h2 THEN 'changed' END AS status
         |FROM j WHERE (h1 IS NULL OR h2 IS NULL OR h1 <> h2)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the oracle reconstructs the expected post-merge table (v2)
+    // directly from documents; the Spark side actually wrote v1 to a
+    // partitioned table and merged the change feed into it partition-
+    // scoped, so stale/lost/duplicated rows hash-mismatch
+    "merge_apply" ->
+      s"""SELECT doc_id, CAST(doc_id % ${graft.sources.Maintenance.NumParts} AS INT) AS part, text FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + ${graft.operators.Relational.DiffAppendOffset} AS doc_id, text
+        |  FROM documents WHERE doc_id % 29 = 0)
         |ORDER BY doc_id""".stripMargin,
 
     // Morton interleave from the same byte-spread tables — pure integer
