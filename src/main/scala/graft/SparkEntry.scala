@@ -97,6 +97,7 @@ object SparkEntry {
     "json_roundtrip" -> ((s, d) => graft.sources.Sources.jsonRoundtrip(s, d)),
     "partition_prune" -> ((s, d) => graft.sources.Sources.partitionPruneRoundtrip(s, d)),
     "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
+    "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d)),
     "streaming_join_attribution" -> ((s, d) =>
@@ -1126,6 +1127,17 @@ object SparkEntry {
          |SELECT doc_id, stratum, n_stratum, quota
          |FROM d JOIN c USING (stratum) CROSS JOIN q
          |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % n_stratum < quota
+         |ORDER BY doc_id""".stripMargin,
+
+    // same salted hash gate as mixture_rebalance, arbitrary per-stratum
+    // integer fractions: en 1/4, de 1/2, default 3/4
+    "stratified_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang AS stratum,
+         |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 1 ELSE 3 END AS numer,
+         |    CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 ELSE 4 END AS denom
+         |  FROM documents)
+         |SELECT doc_id, stratum, numer, denom FROM d
+         |WHERE ${h60("'samp:' || CAST(doc_id AS VARCHAR)")} % denom < numer
          |ORDER BY doc_id""".stripMargin,
 
     // int8 codes are floor((x·127)/mx) on exact float→double values —

@@ -495,6 +495,48 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** TABLESAMPLE-shaped deterministic stratified sampling — the
+    * generalization of [[mixtureRebalanceOf]] from derived quotas to
+    * ARBITRARY per-stratum target fractions: a row survives iff
+    * hash("samp:" + doc_id) % denom < numer for its stratum's rate.
+    * The keep probability is the EXACT integer fraction numer/denom —
+    * no float rates, no RNG state — so a row's fate is a pure function
+    * of its id: stable across runs, re-shards, and engines, and
+    * subsetting is monotone (shrinking a stratum's fraction keeps a
+    * subset of the previous sample when denom is fixed).
+    *
+    * Scale shape: the rate table is strata-sized and broadcasts; the
+    * corpus is filtered in place as a pure projection — never
+    * shuffled, nothing collected. This is the sampling you can push
+    * beneath any downstream operator at 100 TB.
+    */
+  def stratifiedSampleOf(docs: DataFrame, rates: Map[String, (Int, Int)],
+      defaultRate: (Int, Int)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(defaultRate._2 > 0 && rates.values.forall(_._2 > 0))
+    val rateDf = rates.toSeq.map { case (s, (n, d)) => (s, n, d) }
+      .toDF("stratum", "numer", "denom")
+    docs.join(broadcast(rateDf), Seq("stratum"), "left")
+      .select($"doc_id", $"stratum",
+        coalesce($"numer", lit(defaultRate._1)).as("numer"),
+        coalesce($"denom", lit(defaultRate._2)).as("denom"))
+      .filter(Dedup.hash60(concat(lit("samp:"), $"doc_id".cast("string")))
+        % $"denom" < $"numer")
+      .orderBy($"doc_id")
+  }
+
+  /** Driver form over documents-by-language: downsample the dominant
+    * stratum hard (en → 1/4), de → 1/2, everything else 3/4. The
+    * "samp:" salt keeps this decision independent of the split / mix /
+    * mix2 hash gates in this file.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang").as("stratum")),
+      Map("en" -> (1, 4), "de" -> (1, 2)), (3, 4))
+
   /** TWO-dimensional mixture rebalance (lang × source): real corpora
     * are skewed along several axes at once, and balancing only one
     * leaves the other's skew intact inside every stratum. Cells are

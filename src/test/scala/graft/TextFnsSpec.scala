@@ -222,6 +222,44 @@ class TextFnsSpec extends AnyFunSuite {
     assert(kept.toSeq == again.toSeq)
   }
 
+  test("stratified sample: exact-fraction gate, rerun-identical, monotone subset") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang".as("stratum"))
+    val total = docs.groupBy($"stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.stratifiedSampleOf(docs,
+      Map("en" -> (1, 4), "de" -> (1, 2)), (3, 4)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    // each row carries its stratum's rate
+    kept.foreach { case (_, s, n, d) =>
+      val expect = s match {
+        case "en" => (1, 4); case "de" => (1, 2); case _ => (3, 4)
+      }
+      assert((n, d) == expect)
+    }
+    // a 1/4 gate keeps roughly a quarter: 3-sigma binomial band around
+    // n*p (deterministic anyway — the band only documents the class)
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def band(s: String, p: Double): Unit = {
+      val n = total(s); val mean = n * p
+      val sd = math.sqrt(n * p * (1 - p))
+      assert(math.abs(byStratum.getOrElse(s, 0L) - mean) <= 3 * sd + 1,
+        s"$s: kept ${byStratum.getOrElse(s, 0L)} of $n at rate $p")
+    }
+    band("en", 0.25); band("de", 0.5); band("fr", 0.75)
+    // pure function of doc_id: rerun identical
+    val again = TextOps.stratifiedSampleOf(docs,
+      Map("en" -> (1, 4), "de" -> (1, 2)), (3, 4)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(kept.toSeq == again.toSeq)
+    // monotone at fixed denom: shrinking en 2/4 -> 1/4 yields a subset
+    val wider = TextOps.stratifiedSampleOf(docs,
+      Map("en" -> (2, 4), "de" -> (1, 2)), (3, 4)).collect()
+      .filter(_.getString(1) == "en").map(_.getLong(0)).toSet
+    val enKept = kept.filter(_._2 == "en").map(_._1).toSet
+    assert(enKept.subsetOf(wider))
+  }
+
   test("2-D mixture rebalance: sources equalize within each lang, langs keep size") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"source")
     val cells = docs.groupBy($"lang", $"source").count().collect()
