@@ -457,7 +457,7 @@ object Streams {
     * is the same generated SQL over the capped subset.
     */
   def hllStreamQuery(spark: SparkSession, dir: String,
-      numBatches: Int = 3): DataFrame = {
+      numBatches: Int = 2): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import spark.implicits._
@@ -535,7 +535,7 @@ object Streams {
     * oracle is the same generated SQL over the capped subset.
     */
   def cmsStreamQuery(spark: SparkSession, dir: String,
-      numBatches: Int = 3): DataFrame = {
+      numBatches: Int = 2): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import spark.implicits._
@@ -610,7 +610,7 @@ object Streams {
     * checkpoint-recoverable state.
     */
   def histStreamQuery(spark: SparkSession, dir: String,
-      numBatches: Int = 3): DataFrame = {
+      numBatches: Int = 2): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import spark.implicits._
@@ -687,7 +687,7 @@ object Streams {
     * oracle is the same chained-min SQL over the capped subset.
     */
   def funnelStreamQuery(spark: SparkSession, dir: String,
-      numBatches: Int = 3): DataFrame = {
+      numBatches: Int = 2): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.GroupState
     import spark.implicits._
