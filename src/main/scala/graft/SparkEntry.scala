@@ -93,6 +93,7 @@ object SparkEntry {
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
     "media_resize" -> ((s, d) => graft.multimodal.Multimodal.mediaResize(s, d)),
+    "audio_resample" -> ((s, d) => graft.multimodal.Multimodal.audioResample(s, d)),
     "csv_roundtrip" -> ((s, d) => graft.sources.Sources.csvRoundtrip(s, d)),
     "json_roundtrip" -> ((s, d) => graft.sources.Sources.jsonRoundtrip(s, d)),
     "partition_prune" -> ((s, d) => graft.sources.Sources.partitionPruneRoundtrip(s, d)),
@@ -956,6 +957,7 @@ object SparkEntry {
         |  ['image','audio','video'][CAST((doc_id % 3) + 1 AS INT)] AS kind,
         |  ['image/png','audio/wav','video/mp4'][CAST((doc_id % 3) + 1 AS INT)] AS mime,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 64) + 1) * ((doc_id % 48) + 1)
+        |       WHEN doc_id % 3 = 1 THEN 2 * (64 + doc_id % 64)
         |       ELSE 32 * (1 + doc_id % 4) END AS INT) AS n_bytes,
         |  CAST((doc_id % 64) + 1 AS INT) AS width,
         |  CAST((doc_id % 48) + 1 AS INT) AS height
@@ -990,15 +992,33 @@ object SparkEntry {
         |  string_agg(CAST(p AS VARCHAR), ';' ORDER BY pos) AS pixels
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
-    // Two branches mirroring decodeFeatures' dispatch. Image rows:
+    // The Spark side runs WAV encode -> javax.sound decode -> integer
+    // decimation -> WAV re-encode at the halved rate -> decode; the
+    // oracle reproduces the decimated sequence from the sample formula
+    // alone (sample 2i of the pattern), so codec loss hash-mismatches.
+    "audio_resample" ->
+      """WITH a AS (SELECT doc_id AS media_id, 64 + (doc_id % 64) AS ns
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id, ns, unnest(range(ns // 2)) AS i FROM a),
+        |v AS (SELECT media_id, ns, i,
+        |    ((media_id * 7919 + (2 * i) * 104729) % 65536) - 32768 AS v
+        |  FROM s)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(ns // 2 AS INT) AS n_samples,
+        |  string_agg(CAST(v AS VARCHAR), ';' ORDER BY i) AS samples
+        |FROM v GROUP BY media_id, ns ORDER BY media_id""".stripMargin,
+
+    // Three branches mirroring decodeFeatures' dispatch. Image rows:
     // 16-bin intensity histogram (p // 16) of the deterministic pixel
     // pattern the Spark side recovers via a REAL ImageIO decode.
-    // Fallback kinds: byte histogram of payload = repeat(md5(text),
-    // reps); repetition scales every bucket and the L2 norm by the
-    // same factor, so the normalized vector equals the histogram of
-    // md5(text)'s 32 hex chars (ASCII % 16) alone. Both engines
-    // quantize to float32 before the 6-decimal print, making the
-    // string compare exact.
+    // Audio rows: 16-bin amplitude histogram of the sample pattern the
+    // Spark side recovers via a REAL javax.sound WAV decode. Video
+    // (the only remaining fallback kind): byte histogram of payload =
+    // repeat(md5(text), reps); repetition scales every bucket and the
+    // L2 norm by the same factor, so the normalized vector equals the
+    // histogram of md5(text)'s 32 hex chars (ASCII % 16) alone. All
+    // branches quantize to float32 before the 6-decimal print, making
+    // the string compare exact.
     "media_embed" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
@@ -1018,12 +1038,23 @@ object SparkEntry {
         |icl AS (SELECT media_id, list(c ORDER BY b) AS cnt FROM icnt GROUP BY media_id),
         |iout AS (SELECT m.media_id, m.kind, CAST(m.w * m.h AS INT) AS n_bytes, icl.cnt
         |  FROM m JOIN icl USING (media_id)),
+        |ax AS (SELECT media_id, 64 + (media_id % 64) AS ns FROM m WHERE kind = 'audio'),
+        |aidx AS (SELECT media_id, unnest(range(ns)) AS i FROM ax),
+        |ah AS (SELECT media_id, ((media_id * 7919 + i * 104729) % 65536) // 4096 AS b,
+        |    COUNT(*) AS c
+        |  FROM aidx GROUP BY 1, 2),
+        |abins AS (SELECT media_id, unnest(range(16)) AS b FROM ax),
+        |acnt AS (SELECT abins.media_id, abins.b, COALESCE(ah.c, 0) AS c
+        |  FROM abins LEFT JOIN ah ON abins.media_id = ah.media_id AND abins.b = ah.b),
+        |acl AS (SELECT media_id, list(c ORDER BY b) AS cnt FROM acnt GROUP BY media_id),
+        |aout AS (SELECT ax.media_id, 'audio' AS kind, CAST(2 * ax.ns AS INT) AS n_bytes, acl.cnt
+        |  FROM ax JOIN acl USING (media_id)),
         |fout AS (SELECT media_id, kind, CAST(32 * reps AS INT) AS n_bytes,
         |    list_transform(range(16), b -> len(list_filter(
         |      list_transform(range(32), i -> ascii(substring(hsh, CAST(i + 1 AS INT), 1)) % 16),
         |      c -> c = b))) AS cnt
-        |  FROM m WHERE kind <> 'image'),
-        |u AS (SELECT * FROM iout UNION ALL SELECT * FROM fout),
+        |  FROM m WHERE kind = 'video'),
+        |u AS (SELECT * FROM iout UNION ALL SELECT * FROM aout UNION ALL SELECT * FROM fout),
         |nrmd AS (
         |  SELECT media_id, kind, n_bytes, cnt,
         |    sqrt(CAST(list_sum(list_transform(cnt, c -> c * c)) AS DOUBLE)) AS nrm

@@ -115,12 +115,92 @@ object Multimodal {
     }
   }
 
-  /** Byte-level FALLBACK for kinds with no in-JDK codec (audio/video —
-    * ffmpeg-class libraries are not in this container). A production
-    * build binds real decoders here; the fallback is a pure function
-    * of the raw bytes, which keeps every downstream pipeline shape
-    * (schemas, batching, shuffles) identical to the real thing and
-    * fully testable. Image kinds never take this path.
+  /** REAL audio codec on the JDK's own `javax.sound.sampled` (also
+    * java.desktop — zero new dependencies). PCM16 mono WAV: lossless,
+    * so encode → decode reproduces the source samples bit-exactly,
+    * verified end-to-end by the driver oracle like the image path.
+    */
+  object AudioCodec {
+    val embedDim = 16
+
+    /** The deterministic sample pattern both engines compute: sample i
+      * of clip `mediaId` in [-32768, 32767] — pure integer arithmetic,
+      * mirrored literally in the DuckDB oracle.
+      */
+    def sample(mediaId: Long, i: Int): Int =
+      (((mediaId * 7919 + i.toLong * 104729) % 65536) - 32768).toInt
+
+    /** Clip length: 64 + (mediaId % 64) samples. */
+    def nSamples(mediaId: Long): Int = (64 + mediaId % 64).toInt
+
+    def renderSamples(mediaId: Long, n: Int): Array[Int] =
+      Array.tabulate(n)(sample(mediaId, _))
+
+    /** Encode PCM16 mono samples as a real RIFF/WAVE payload. */
+    def encodeWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV payload to (sample_rate, PCM16 samples). */
+    def decodePcm16(payload: Array[Byte]): (Int, Array[Int]) = {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected PCM16 mono, got $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val (lo, hi) =
+          if (fmt.isBigEndian) (raw(2 * i + 1) & 0xff, raw(2 * i).toInt)
+          else (raw(2 * i) & 0xff, raw(2 * i + 1).toInt)
+        out(i) = (hi << 8) | lo
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, out)
+    }
+
+    /** Integer decimation resample: keep every `factor`-th sample, new
+      * rate = rate div factor — exact selection, both engines agree.
+      */
+    def decimate(samples: Array[Int], factor: Int): Array[Int] =
+      Array.tabulate(samples.length / factor)(i => samples(i * factor))
+
+    /** 16-bin amplitude histogram (bin = (s + 32768) div 4096),
+      * L2-normalized — same float op order as the image/byte embeds.
+      */
+    def histEmbed(samples: Array[Int]): Array[Float] = {
+      val hgm = new Array[Float](embedDim)
+      var i = 0
+      while (i < samples.length) { hgm((samples(i) + 32768) / 4096) += 1f; i += 1 }
+      val n = math.sqrt(hgm.map(x => x.toDouble * x).sum)
+      if (n > 0) hgm.map(x => (x / n).toFloat) else hgm
+    }
+  }
+
+  /** Byte-level FALLBACK for kinds with no in-JDK codec (now video
+    * only — ffmpeg-class libraries are not in this container). A
+    * production build binds real decoders here; the fallback is a pure
+    * function of the raw bytes, which keeps every downstream pipeline
+    * shape (schemas, batching, shuffles) identical to the real thing
+    * and fully testable. Image and audio kinds never take this path.
     */
   object ByteFallbackCodec {
     val embedDim = 16
@@ -167,10 +247,11 @@ object Multimodal {
   }
 
   /** The media table: image rows carry REAL PNG payloads (the
-    * [[ImageCodec.pixel]] pattern encoded executor-side), audio/video
-    * rows the synthetic fallback bytes. This models binary ingest; a
-    * real pipeline would read payloads from object storage with
-    * `spark.read.format("binaryFile")`.
+    * [[ImageCodec.pixel]] pattern), audio rows REAL PCM16 WAV payloads
+    * (the [[AudioCodec.sample]] pattern), both encoded executor-side;
+    * video rows keep the synthetic fallback bytes. This models binary
+    * ingest; a real pipeline would read payloads from object storage
+    * with `spark.read.format("binaryFile")`.
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -179,6 +260,10 @@ object Multimodal {
         if (r.kind == "image")
           r.copy(payload = ImageCodec.encodePng(r.width, r.height,
             ImageCodec.renderPattern(r.media_id, r.width, r.height)))
+        else if (r.kind == "audio")
+          r.copy(payload = AudioCodec.encodeWav(r.sample_rate,
+            AudioCodec.renderSamples(r.media_id,
+              AudioCodec.nSamples(r.media_id))))
         else r
       }
     }.toDF()
@@ -196,6 +281,7 @@ object Multimodal {
     mediaBase(spark, dir)
       .select($"media_id", $"kind", $"mime",
         when($"kind" === "image", $"width" * $"height")
+          .when($"kind" === "audio", lit(2) * (lit(64) + $"media_id" % 64))
           .otherwise(lit(32) * (lit(1) + $"media_id" % 4))
           .cast("int").as("n_bytes"),
         $"width", $"height")
@@ -245,6 +331,10 @@ object Multimodal {
         if (r.kind == "image") {
           val (w, h, pix) = ImageCodec.decodeGray(r.payload)
           MediaFeatures(r.media_id, r.kind, w * h, ImageCodec.histEmbed(pix))
+        } else if (r.kind == "audio") {
+          val (_, samples) = AudioCodec.decodePcm16(r.payload)
+          MediaFeatures(r.media_id, r.kind, samples.length * 2,
+            AudioCodec.histEmbed(samples))
         } else
           MediaFeatures(r.media_id, r.kind, r.payload.length,
             ByteFallbackCodec.embed(r.payload))
@@ -286,6 +376,28 @@ object Multimodal {
         (r.media_id, dw, dh, pix.mkString(";"))
       })
       .toDF("media_id", "width", "height", "pixels")
+      .orderBy($"media_id")
+  }
+
+  /** Driver query for the audio path, REAL end to end: WAV-encoded
+    * sample pattern → javax.sound decode → integer decimation (every
+    * 2nd sample, rate halved) → WAV re-encode at the new rate → decode
+    * again → emitted samples. Two full codec roundtrips, mirroring
+    * [[mediaResize]]; the oracle computes the decimated sequence from
+    * the sample formula alone.
+    */
+  def audioResample(spark: SparkSession, dir: String,
+      factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).filter($"kind" === "audio").as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (rate, samples) = AudioCodec.decodePcm16(r.payload)
+        val out = AudioCodec.decimate(samples, factor)
+        val reenc = AudioCodec.encodeWav(rate / factor, out)
+        val (rate2, dec2) = AudioCodec.decodePcm16(reenc)
+        (r.media_id, rate2, dec2.length, dec2.mkString(";"))
+      })
+      .toDF("media_id", "sample_rate", "n_samples", "samples")
       .orderBy($"media_id")
   }
 

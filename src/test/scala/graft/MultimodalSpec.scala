@@ -1,7 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{ByteFallbackCodec, ImageCodec, MediaRecord}
+import graft.multimodal.Multimodal.{AudioCodec, ByteFallbackCodec, ImageCodec, MediaRecord}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal binary-column layer: real in-JDK PNG codec for images,
@@ -34,6 +34,25 @@ class MultimodalSpec extends AnyFunSuite {
       30, 30, 40, 40, 30, 30, 40, 40))
   }
 
+  test("wav codec: encode -> decode roundtrips PCM16 samples bit-exactly") {
+    val samples = AudioCodec.renderSamples(42L, 127)
+    assert(samples.exists(_ < 0) && samples.exists(_ > 0),
+      "pattern exercises both signs")
+    val wav = AudioCodec.encodeWav(16000, samples)
+    // a real RIFF/WAVE container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, dec) = AudioCodec.decodePcm16(wav)
+    assert(rate == 16000)
+    assert(dec.sameElements(samples), "WAV PCM is lossless")
+  }
+
+  test("audio decimation keeps exactly every factor-th sample") {
+    val s = Array.tabulate(11)(i => i * 100 - 500)
+    assert(AudioCodec.decimate(s, 2).toSeq == Seq(-500, -300, -100, 100, 300))
+    assert(AudioCodec.decimate(s, 3).toSeq == Seq(-500, -200, 100))
+  }
+
   test("media table schema: binary payload + typed metadata; images are real PNGs") {
     val df = Multimodal.mediaTable(spark, sf)
     val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
@@ -46,6 +65,11 @@ class MultimodalSpec extends AnyFunSuite {
     val (dw, dh, _) = ImageCodec.decodeGray(i.getAs[Array[Byte]]("payload"))
     assert(dw == i.getAs[Int]("width") && dh == i.getAs[Int]("height"),
       "image payload is a real decodable PNG matching its metadata")
+    val a = df.filter(df("kind") === "audio").limit(1).collect()(0)
+    val (rate, samples) = AudioCodec.decodePcm16(a.getAs[Array[Byte]]("payload"))
+    assert(rate == a.getAs[Int]("sample_rate"),
+      "audio payload is a real decodable WAV carrying its declared rate")
+    assert(samples.length == AudioCodec.nSamples(a.getAs[Long]("media_id")))
   }
 
   test("batched decode emits unit-norm embeddings of the declared dim") {
@@ -56,11 +80,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.embedding.length == ImageCodec.embedDim))
     assert(feats.forall(f =>
       math.abs(f.embedding.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
-    // image rows report decoded pixel count, fallback rows byte length
+    // image rows report decoded pixel count, audio rows decoded PCM
+    // byte count, video (fallback) rows stored byte length
     val img = feats.filter(_.kind == "image")
     assert(img.nonEmpty && img.forall(f =>
       f.n_bytes == (f.media_id % 64 + 1) * (f.media_id % 48 + 1)))
-    assert(feats.filter(_.kind != "image").forall(_.n_bytes % 32 == 0))
+    val aud = feats.filter(_.kind == "audio")
+    assert(aud.nonEmpty && aud.forall(f =>
+      f.n_bytes == 2 * AudioCodec.nSamples(f.media_id)))
+    assert(feats.filter(_.kind == "video").forall(_.n_bytes % 32 == 0))
   }
 
   test("resize: images resampled through the real codec, fallback truncates") {
