@@ -121,6 +121,8 @@ object SparkEntry {
     "negative_samples" -> ((s, d) => Retrieval.negativeSamples(s, d)),
     "table_diff" -> ((s, d) => Relational.tableDiff(s, d)),
     "merge_apply" -> ((s, d) => graft.sources.Maintenance.mergeApplyQuery(s, d)),
+    "table_fingerprint" -> ((s, d) => graft.sources.Maintenance.tableFingerprint(s, d)),
+    "moving_window_features" -> ((s, d) => Relational.movingWindowFeatures(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
@@ -1384,6 +1386,27 @@ object SparkEntry {
         |  SELECT doc_id + ${graft.operators.Relational.DiffAppendOffset} AS doc_id, text
         |  FROM documents WHERE doc_id % 29 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // XOR of 60-bit content hashes per partition: order-independent,
+    // overflow-free, identical aggregation in both engines
+    "table_fingerprint" ->
+      s"""SELECT CAST(doc_id % ${graft.sources.Maintenance.NumParts} AS INT) AS part,
+         |  COUNT(*) AS n_rows,
+         |  bit_xor(${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS xor_fingerprint
+         |FROM documents GROUP BY 1 ORDER BY part""".stripMargin,
+
+    // bounded ROWS frame + LAG over the same total (event_id) order;
+    // decimal accumulation, first-row delta 0 via COALESCE
+    "moving_window_features" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3,
+        |  CAST(CAST(value AS DECIMAL(18,2)) - COALESCE(
+        |    LAG(CAST(value AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY user_id ORDER BY event_id),
+        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // Morton interleave from the same byte-spread tables — pure integer
     // mask/shift/lookup arithmetic, exact in both engines

@@ -311,6 +311,30 @@ object Relational {
         $"l_quantity", $"running_qty")
   }
 
+  /** Bounded-frame moving aggregate + lag (§2-beyond — the sliding
+    * feature every time-series feature pipeline computes): per-user
+    * 3-event moving sum of value and the delta vs the previous event,
+    * ordered by event_id (globally unique ⇒ total order ⇒
+    * deterministic frame contents). Sums run in the DECIMAL domain for
+    * cross-engine equality; the first event's delta is zero by
+    * definition. One shuffle on user_id; the frame is O(1) state per
+    * row — the same cost class as the running sum.
+    */
+  def movingWindowFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val dec = $"value".cast("decimal(18,2)")
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"value")
+      .withColumn("moving_sum_3",
+        sum(dec).over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+      .withColumn("delta",
+        (dec - coalesce(lag(dec, 1).over(w), lit(0).cast("decimal(18,2)")))
+          .cast("double"))
+      .orderBy($"event_id")
+  }
+
   /** Pivot reshape (§2-beyond — long-to-wide, the reporting staple):
     * per-user event counts with one column per event type. The pivot
     * values are DECLARED (the fixed event-type domain), so Spark skips

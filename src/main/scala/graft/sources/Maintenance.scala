@@ -64,6 +64,36 @@ object Maintenance {
     affected
   }
 
+  /** Per-partition table fingerprint — the anti-entropy primitive that
+    * makes [[mergeApply]] auditable at scale: row count + XOR of
+    * per-row content hashes for every partition. XOR is commutative,
+    * associative, and self-inverse, so the aggregate is
+    * order-independent (partial-aggregatable), never overflows, and
+    * two replicas can be compared partition-by-partition shipping only
+    * #partitions × 16 bytes — reconciliation cost is metadata-sized
+    * while touching every byte of content exactly once.
+    */
+  def fingerprintOf(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select($"part", $"doc_id",
+        graft.operators.Dedup.hash60(
+          concat($"doc_id".cast("string"), lit(":"), $"text")).as("h"))
+      .groupBy($"part")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_fingerprint"))
+      .orderBy($"part")
+  }
+
+  /** Driver form over the documents corpus hashed into [[NumParts]]
+    * partitions (the same layout [[mergeApplyQuery]] maintains).
+    */
+  def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fingerprintOf(Tables.widened(spark, Tables.documents(spark, dir))
+      .select($"doc_id", $"text", partOf($"doc_id").as("part")))
+  }
+
   /** Driver query: seed the table with documents v1, apply the same
     * deterministic mutation `Relational.tableDiff` classifies (every
     * 17th doc deleted, every 13th surviving doc edited, one appended

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.Maintenance
+import org.apache.spark.sql.functions.{lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -55,6 +56,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got(17L) == "text-17-v2")
     assert(got(101L) == "text-101")
     assert(got(3L) == "text-3", "unrelated rows unchanged")
+  }
+
+  test("fingerprint: partition-layout independent, content sensitive") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, s"body-$i", (i % 4).toInt))
+      .toDF("doc_id", "text", "part")
+    val fp = Maintenance.fingerprintOf(rows).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(fp.length == 4 && fp.forall(_._2 == 10L))
+    // XOR is order/partitioning independent: a reshuffled layout agrees
+    val fp2 = Maintenance.fingerprintOf(rows.repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(fp.sortBy(_._1).toSeq == fp2.sortBy(_._1).toSeq)
+    // one changed row flips exactly its partition's fingerprint
+    val mutated = rows.withColumn("text",
+      when($"doc_id" === 6L, lit("EDITED")).otherwise($"text"))
+    val fp3 = Maintenance.fingerprintOf(mutated).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val diff = fp.sortBy(_._1).zip(fp3.sortBy(_._1))
+      .filter { case (a, b) => a != b }.map(_._1._1)
+    assert(diff.toSeq == Seq(2), s"only part 2 (doc 6) may differ: ${diff.toSeq}")
   }
 
   test("merge read is partition-pruned to the affected set") {

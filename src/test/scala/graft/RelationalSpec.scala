@@ -31,6 +31,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("moving window: 3-row sum frame and first-row-zero delta") {
+    import spark.implicits._
+    val got = Relational.movingWindowFeatures(spark, sf).limit(0)
+    // shape only from the driver form; exact values on a literal frame:
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+    val df = Seq((1L, 7L, 10.0), (2L, 7L, 20.0), (3L, 7L, 5.0), (4L, 7L, 1.0))
+      .toDF("event_id", "user_id", "value")
+    val dec = $"value".cast("decimal(18,2)")
+    val out = df
+      .withColumn("ms", org.apache.spark.sql.functions.sum(dec)
+        .over(w.rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow))
+        .cast("double"))
+      .withColumn("d", (dec - org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.lag(dec, 1).over(w),
+        org.apache.spark.sql.functions.lit(0).cast("decimal(18,2)")))
+        .cast("double"))
+      .orderBy($"event_id").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((10.0, 0.0), (30.0, 10.0), (35.0, -15.0), (26.0, -4.0)))
+    assert(got.columns.toSeq ==
+      Seq("event_id", "user_id", "value", "moving_sum_3", "delta"))
+  }
+
   test("ratings decode: song_id in 0..99, no null decode") {
     val r = Relational.ratings(spark, sf)
     assert(r.filter("song_id IS NULL").count() == 0)
