@@ -123,6 +123,9 @@ object SparkEntry {
     "merge_apply" -> ((s, d) => graft.sources.Maintenance.mergeApplyQuery(s, d)),
     "table_fingerprint" -> ((s, d) => graft.sources.Maintenance.tableFingerprint(s, d)),
     "moving_window_features" -> ((s, d) => Relational.movingWindowFeatures(s, d)),
+    "ewma_value" -> ((s, d) => Temporal.ewmaValue(s, d)),
+    "triangle_counts" -> ((s, d) => Graph.triangleCounts(s, d)),
+    "daily_activity" -> ((s, d) => Relational.dailyActivity(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
@@ -1386,6 +1389,21 @@ object SparkEntry {
         |  SELECT doc_id + ${graft.operators.Relational.DiffAppendOffset} AS doc_id, text
         |  FROM documents WHERE doc_id % 29 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // integer-cents EWMA fold, seeded with the first element on both
+    // sides (list_reduce's seeding == the Spark slice-and-init fold)
+    "ewma_value" -> graft.operators.Temporal.ewmaSql,
+
+    // oriented wedge-close enumeration over the SAME capped edge CTEs
+    // as pagerank_corated
+    "triangle_counts" -> graft.operators.Graph.triangleSql(),
+
+    // day index = epoch floor-div in each engine's native epoch unit
+    // (nanos here, micros there — same quotient)
+    "daily_activity" ->
+      s"""SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_idx,
+         |  event_type, COUNT(*) AS n_events, ${Fx.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY day_idx, event_type""".stripMargin,
 
     // XOR of 60-bit content hashes per partition: order-independent,
     // overflow-free, identical aggregation in both engines

@@ -103,6 +103,63 @@ object Graph {
       .orderBy($"rank_scaled".desc, $"song_id")
   }
 
+  /** Per-song triangle participation counts on the capped co-rating
+    * graph — the local clustering signal a related-items pipeline uses
+    * to separate genuine cliques from hub noise.
+    *
+    * The count enumerates each triangle once on ORIENTED edges
+    * (src < dst): candidates for the wedge join are bounded by
+    * Σ_v out_deg(v)², and out-degree is already bounded by the
+    * [[MaxItemsPerUser]] edge-build cap upstream, so no hub can
+    * explode the wedge stage. Each wedge (a<b<c via a→b, b→c) is
+    * closed by ONE hash equi-join probe against the oriented edge
+    * list — never a triangle-shaped theta join.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsOf(coRatingEdges(spark, dir))
+
+  /** [[triangleCounts]] over any symmetric (src, dst) edge relation. */
+  def triangleCountsOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val elt = edges.filter($"src" < $"dst").cache()
+    val tri = elt.as("ab")
+      .join(elt.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(elt.as("ac"),
+        col("ab.src") === col("ac.src") && col("bc.dst") === col("ac.dst"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"),
+        col("bc.dst").as("c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("song_id"))
+      .groupBy($"song_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"song_id")
+  }
+
+  /** DuckDB mirror of [[triangleCounts]]: same capped edge CTEs as
+    * [[pagerankSql]], same oriented wedge-close enumeration.
+    */
+  def triangleSql(maxItemsPerUser: Int = MaxItemsPerUser): String =
+    s"""WITH pos0 AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |popc AS (SELECT song_id, COUNT(*) AS pop FROM pos0 GROUP BY song_id),
+       |pos AS (SELECT user_id, song_id FROM (
+       |    SELECT p.user_id, p.song_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.user_id ORDER BY c.pop DESC, p.song_id) AS rn
+       |    FROM pos0 p JOIN popc c USING (song_id))
+       |  WHERE rn <= $maxItemsPerUser),
+       |e AS (SELECT DISTINCT x.song_id AS src, y.song_id AS dst
+       |  FROM pos x JOIN pos y ON x.user_id = y.user_id
+       |    AND x.song_id < y.song_id),
+       |tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+       |  FROM e ab JOIN e bc ON ab.dst = bc.src
+       |  JOIN e ac ON ab.src = ac.src AND bc.dst = ac.dst)
+       |SELECT song_id, COUNT(*) AS n_triangles FROM (
+       |  SELECT a AS song_id FROM tri UNION ALL
+       |  SELECT b FROM tri UNION ALL
+       |  SELECT c FROM tri)
+       |GROUP BY song_id ORDER BY song_id""".stripMargin
+
   /** DuckDB mirror: the same rounds unrolled with the same integer
     * floor operations, and the same per-user popularity-ranked item
     * cap before the co-rating self-join.

@@ -311,6 +311,24 @@ object Relational {
         $"l_quantity", $"running_qty")
   }
 
+  /** Calendar-grain rollup (§2-beyond — the daily activity report
+    * every event pipeline lands in a dashboard): per (day, event_type)
+    * event counts and exact decimal value sums. The day index is pure
+    * integer floor arithmetic on the epoch (ts nanos div 86 400e9) so
+    * both engines bucket identically — no timezone/date-type semantics
+    * to diverge on. One partial-aggregatable shuffle; grain cardinality
+    * (days × types) is tiny at any scale.
+    */
+  def dailyActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day_idx"),
+        $"event_type", $"value")
+      .groupBy($"day_idx", $"event_type")
+      .agg(count(lit(1)).as("n_events"), Fx.dsum($"value").as("sum_value"))
+      .orderBy($"day_idx", $"event_type")
+  }
+
   /** Bounded-frame moving aggregate + lag (§2-beyond — the sliding
     * feature every time-series feature pipeline computes): per-user
     * 3-event moving sum of value and the delta vs the previous event,

@@ -197,6 +197,53 @@ object Temporal {
       .orderBy($"word")
   }
 
+  /** Per-user EWMA (α = 1/2) of event values in event order — the
+    * exponential-decay recency score every feature store keeps per
+    * entity. Values are scaled to integer cents and each step is exact
+    * integer floor arithmetic, state = (state + v) div 2, so the fold
+    * is bit-identical in both engines (DuckDB `list_reduce` seeds with
+    * the first element; the Spark fold mirrors that: init = vs[0],
+    * fold over the tail).
+    *
+    * Scale shape: ONE shuffle into per-user time-sorted lists (the
+    * sessionize bound) and a linear projection fold; per-user state is
+    * one long. The event_id order is total, so no tie can reorder the
+    * fold.
+    */
+  def ewmaValue(spark: SparkSession, dir: String): DataFrame =
+    ewmaValueOf(graft.Tables.events(spark, dir))
+
+  /** [[ewmaValue]] over any (user_id, event_id, value) relation. */
+  def ewmaValueOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select($"user_id", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"event_id", $"cents"))).as("seq"))
+      .select($"user_id",
+        expr("transform(seq, e -> e.cents)").as("vs"))
+      .select($"user_id",
+        size($"vs").cast("long").as("n_events"),
+        expr("aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)), vs[0]," +
+          " (acc, x) -> (acc + x) div 2)").as("ewma_cents"))
+      .orderBy($"user_id")
+  }
+
+  /** DuckDB mirror of [[ewmaValueOf]]: the same seeded integer fold. */
+  def ewmaSql: String =
+    """WITH s AS (SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (SELECT user_id, list(cents ORDER BY event_id) AS vs,
+      |    COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  CASE WHEN len(vs) = 1 THEN vs[1]
+      |       ELSE list_reduce(vs, (a, b) -> (a + b) // 2) END AS ewma_cents
+      |FROM l ORDER BY user_id""".stripMargin
+
   /** DuckDB mirror of [[saxMotifs]] (same levels, same word length). */
   def saxMotifsSql(minUsers: Int = 2): String = {
     val letters = ('a' until ('a' + SaxLevels).toChar)

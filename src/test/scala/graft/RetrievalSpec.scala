@@ -128,6 +128,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.sameElements(again))
   }
 
+  test("triangle counts: closed triple found once per member, wedges excluded") {
+    import spark.implicits._
+    // triangle 1-2-3, plus a dangling edge 3-4 (wedge 2-3-4 is open)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.triangleCountsOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)),
+      s"each triangle member participates once, node 4 in none: $got")
+  }
+
   test("co-rating edge build: power user bounded to O(cap^2), not O(N^2)") {
     import spark.implicits._
     // one pathological user rated 1000 items; uncapped this is 10^6

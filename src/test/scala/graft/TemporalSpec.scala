@@ -123,6 +123,18 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq("abcd"))
   }
 
+  test("ewma: seeded integer halving fold in event order; singleton = itself") {
+    import spark.implicits._
+    // user 1: cents 1000, 2000, 600 -> ((1000+2000)/2 + 600)/2 = 1050
+    // user 2: single event -> its own cents
+    // rows arrive out of event order; the sorted fold must not care
+    val ev = Seq((1L, 13L, 6.0), (1L, 11L, 10.0), (1L, 12L, 20.0),
+      (2L, 21L, 3.5)).toDF("user_id", "event_id", "value")
+    val got = Temporal.ewmaValueOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 1050L), (2L, 1L, 350L)), s"got $got")
+  }
+
   test("sax motifs: out-of-domain values clamp to the edge levels") {
     import spark.implicits._
     def ns(us: Long) = us * 1000
