@@ -126,6 +126,9 @@ object SparkEntry {
     "ewma_value" -> ((s, d) => Temporal.ewmaValue(s, d)),
     "triangle_counts" -> ((s, d) => Graph.triangleCounts(s, d)),
     "daily_activity" -> ((s, d) => Relational.dailyActivity(s, d)),
+    "distribution_drift" -> ((s, d) => TextOps.distributionDrift(s, d)),
+    "streaming_ewma" -> ((s, d) => graft.streaming.Streams.ewmaStreamQuery(s, d)),
+    "streaming_exact_dedup" -> ((s, d) => graft.streaming.Streams.dedupStreamQuery(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
@@ -1306,6 +1309,17 @@ object SparkEntry {
     "streaming_hll" -> graft.operators.Sketches.hllSql(table =
       s"(SELECT * FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})"),
 
+    // streamed EWMA == the batch fold over the capped feed
+    "streaming_ewma" -> graft.operators.Temporal.ewmaSqlOver(
+      s"(SELECT * FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})"),
+
+    // watermarked dropDuplicates over a feed that re-sends every slice:
+    // the appended output must equal the distinct relation
+    "streaming_exact_dedup" ->
+      s"""SELECT event_id, user_id, value FROM events
+         |WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
+         |ORDER BY event_id""".stripMargin,
+
     // counts are integers, min/max are selection not arithmetic — the
     // one-pass expanded aggregate and the per-column UNION ALL must
     // agree exactly
@@ -1389,6 +1403,24 @@ object SparkEntry {
         |  SELECT doc_id + ${graft.operators.Relational.DiffAppendOffset} AS doc_id, text
         |  FROM documents WHERE doc_id % 29 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // exact integer TVD fraction: num = sum |n_sl*N - n_l*N_s|,
+    // den = 2*N*N_s — selection + integer products, no libm
+    "distribution_drift" ->
+      """WITH cells AS (SELECT source, lang, COUNT(*) AS n_sl
+        |  FROM documents GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+        |bl AS (SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT bs.source, bs.n_s, bl.lang, bl.n_l,
+        |    COALESCE(cells.n_sl, 0) AS n_sl
+        |  FROM bs CROSS JOIN bl
+        |  LEFT JOIN cells ON cells.source = bs.source AND cells.lang = bl.lang)
+        |SELECT source,
+        |  CAST(SUM(ABS(n_sl * t.n - n_l * n_s)) AS BIGINT) AS drift_num,
+        |  CAST(2 * t.n * n_s AS BIGINT) AS drift_den
+        |FROM grid CROSS JOIN t
+        |GROUP BY source, n_s, t.n ORDER BY source""".stripMargin,
 
     // integer-cents EWMA fold, seeded with the first element on both
     // sides (list_reduce's seeding == the Spark slice-and-init fold)

@@ -232,10 +232,15 @@ object Temporal {
   }
 
   /** DuckDB mirror of [[ewmaValueOf]]: the same seeded integer fold. */
-  def ewmaSql: String =
-    """WITH s AS (SELECT user_id, event_id,
+  def ewmaSql: String = ewmaSqlOver("events")
+
+  /** [[ewmaSql]] over any relation expression (the streaming form runs
+    * it over the capped harness subset).
+    */
+  def ewmaSqlOver(table: String): String =
+    s"""WITH s AS (SELECT user_id, event_id,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      |  FROM events),
+      |  FROM $table),
       |l AS (SELECT user_id, list(cents ORDER BY event_id) AS vs,
       |    COUNT(*) AS n_events
       |  FROM s GROUP BY user_id)

@@ -574,6 +574,44 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-source distribution drift vs the corpus: total variation
+    * distance between each source's language distribution and the
+    * global one — the drift monitor a data pipeline alarms on when one
+    * feed's mix shifts. TVD = ½·Σ_l |p_l − q_l| is computed as an EXACT
+    * integer fraction: num = Σ_l |n_sl·N − n_l·N_s|, den = 2·N·N_s —
+    * no floats, no logs (deliberately TVD and not KL: KL needs libm
+    * and diverges cross-engine; TVD is selection + integer products).
+    * Emitted un-divided (num, den) so the check is exact; callers
+    * divide. Counts here are corpus-sized (products ≤ N², within
+    * BIGINT for any corpus under ~3e9 docs; beyond that lift to
+    * DECIMAL).
+    *
+    * Scale shape: two partial-aggregatable counts over one scan (cells
+    * = sources × langs, tiny), a broadcast join of the two census
+    * frames, and an integer aggregate on the cell frame — the corpus
+    * itself is never shuffled.
+    */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"source", $"lang")
+    val cells = docs.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_sl"))
+    val bySource = cells.groupBy($"source").agg(sum($"n_sl").as("n_s"))
+    val byLang = cells.groupBy($"lang").agg(sum($"n_sl").as("n_l"))
+    val total = cells.agg(sum($"n_sl").as("n"))
+    // every (source, lang) pair — including langs a source never emits,
+    // where the |0·N − n_l·N_s| term still contributes
+    bySource.crossJoin(broadcast(byLang))
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n_sl"))
+      .crossJoin(broadcast(total))
+      .groupBy($"source", $"n_s", $"n")
+      .agg(sum(abs($"n_sl" * $"n" - $"n_l" * $"n_s")).as("drift_num"))
+      .select($"source", $"drift_num",
+        (lit(2L) * $"n" * $"n_s").as("drift_den"))
+      .orderBy($"source")
+  }
+
   /** Per-stratum quality top-p filter — the other standard curation
     * gate: instead of one global threshold (which [[cleanCorpus]]
     * applies, and which under-selects whole languages whose score

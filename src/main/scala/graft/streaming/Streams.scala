@@ -33,6 +33,11 @@ object Streams {
     * so no Timestamp round-trip can lose precision.
     */
   case class StampedType(user_id: Long, tsu: Long, event_type: String)
+  case class CentEvent(user_id: Long, event_id: Long, cents: Long)
+  case class EwmaProgress(user_id: Long, seq: Long, n_events: Long,
+      ewma_cents: Long)
+  case class StampedRow(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double)
   /** Per-trigger funnel progress emission: `seq` (events processed so
     * far) is strictly monotone per user, so the final answer is the
     * max_by(seq) row.
@@ -741,6 +746,114 @@ object Streams {
       .select($"user_id", $"f.n_stages", $"f.t_signup", $"f.t_view",
         $"f.t_click", $"f.t_purchase")
       .orderBy($"user_id")
+  }
+
+  /** Streaming EWMA: the per-user exponential recency score
+    * (`Temporal.ewmaValueOf`, α = 1/2 integer-cents halving) maintained
+    * as ONE long of `mapGroupsWithState` state per user — the
+    * feature-store decay signal kept live instead of recomputed. Events
+    * are fed in event_id order (the fold's total order); within a
+    * trigger the iterator is re-sorted, across triggers the feed
+    * preserves it, so streamed == one-shot exactly — the oracle is the
+    * batch EWMA SQL over the capped subset.
+    */
+  def ewmaStreamQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"user_id", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .orderBy($"event_id")
+      .as[CentEvent].collect()
+    val emptyOut = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "n_events", "ewma_cents")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val in = MemoryStream[CentEvent](spark)
+    val name = runStreamToTable(spark, "ewma_stream", Some(4)) { (n, ck) =>
+      in.toDS()
+        .groupByKey(_.user_id)
+        .mapGroupsWithState[(Long, Long), EwmaProgress](
+          GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[CentEvent], gs: GroupState[(Long, Long)]) =>
+            var (ewma, cnt) = gs.getOption.getOrElse((0L, 0L))
+            it.toIndexedSeq.sortBy(_.event_id).foreach { e =>
+              ewma = if (cnt == 0L) e.cents else (ewma + e.cents) / 2
+              cnt += 1
+            }
+            gs.update((ewma, cnt))
+            EwmaProgress(uid, cnt, cnt, ewma)
+        }
+        .toDF()
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).start()
+    } { q =>
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    spark.table(name)
+      .groupBy($"user_id")
+      .agg(max_by(struct($"n_events", $"ewma_cents"), $"seq").as("f"))
+      .select($"user_id", $"f.n_events", $"f.ewma_cents")
+      .orderBy($"user_id")
+  }
+
+  /** Streaming exact dedup — `dropDuplicates` on the event key under a
+    * WATERMARK, the canonical Structured Streaming dedup: duplicate
+    * arrivals inside the watermark horizon are suppressed by key state,
+    * and the watermark bounds that state's lifetime (keys older than
+    * the horizon are evicted — THE property that lets an unbounded
+    * stream dedup with bounded state; an unwatermarked dropDuplicates
+    * grows forever). The harness feeds every slice WITH the previous
+    * slice re-sent (guaranteed duplicate arrivals across triggers); the
+    * appended output must still equal the distinct batch relation.
+    */
+  def dedupStreamQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"event_id", $"user_id",
+        expr("timestamp_micros(ts div 1000)").as("ts"), $"value")
+      .orderBy($"event_id")
+      .as[StampedRow].collect()
+    val emptyOut = Seq.empty[(Long, Long, Double)]
+      .toDF("event_id", "user_id", "value")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    // every slice after the first re-sends its predecessor: duplicates
+    // are guaranteed to arrive in a LATER trigger, exercising the
+    // cross-trigger key state, not just intra-batch distinct
+    val feeds = slices.zipWithIndex.map { case (s, i) =>
+      if (i == 0) s else slices(i - 1) ++ s
+    }
+    val in = MemoryStream[StampedRow](spark)
+    val name = runStreamToTable(spark, "dedup_stream", Some(4)) { (n, ck) =>
+      in.toDS()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q =>
+      // dedup in Append emits first arrivals immediately; re-sent rows
+      // are suppressed by key state (or dropped as late once the
+      // watermark passes them — either way never emitted twice)
+      feeds.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    spark.table(name)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
   }
 
   /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):

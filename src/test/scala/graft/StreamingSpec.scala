@@ -402,6 +402,31 @@ class StreamingSpec extends AnyFunSuite {
       "per-user state folded across micro-batches must equal the one-shot walk")
   }
 
+  test("streaming EWMA equals the one-shot batch fold on the fed slice") {
+    import spark.implicits._
+    val streamed = Streams.ewmaStreamQuery(spark, TestSpark.sf, numBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Temporal.ewmaValueOf(
+      Tables.events(spark, TestSpark.sf)
+        .filter($"event_id" < Streams.HarnessFeedCap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty, "feed must produce ewma rows")
+    assert(streamed == batch,
+      "one long of per-user state folded across triggers == one-shot fold")
+  }
+
+  test("streaming exact dedup suppresses re-sent rows across triggers") {
+    import spark.implicits._
+    val streamed = Streams.dedupStreamQuery(spark, TestSpark.sf, numBatches = 3)
+      .collect()
+    val distinct = Tables.events(spark, TestSpark.sf)
+      .filter($"event_id" < Streams.HarnessFeedCap).count()
+    assert(streamed.nonEmpty)
+    assert(streamed.length.toLong == distinct,
+      "every event exactly once despite every slice being re-sent")
+    assert(streamed.map(_.getLong(0)).distinct.length == streamed.length)
+  }
+
   test("streaming HLL registers survive a kill/restart on the same checkpoint") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
