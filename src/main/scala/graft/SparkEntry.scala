@@ -129,6 +129,7 @@ object SparkEntry {
     "distribution_drift" -> ((s, d) => TextOps.distributionDrift(s, d)),
     "streaming_ewma" -> ((s, d) => graft.streaming.Streams.ewmaStreamQuery(s, d)),
     "streaming_exact_dedup" -> ((s, d) => graft.streaming.Streams.dedupStreamQuery(s, d)),
+    "entity_match" -> ((s, d) => graft.operators.EntityResolution.entityMatch(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
@@ -1403,6 +1404,10 @@ object SparkEntry {
         |  SELECT doc_id + ${graft.operators.Relational.DiffAppendOffset} AS doc_id, text
         |  FROM documents WHERE doc_id % 29 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // blocked levenshtein record linkage — integer DP distance is
+    // bit-identical across engines; same corruption/blocking/selection
+    "entity_match" -> graft.operators.EntityResolution.entityMatchSql(),
 
     // exact integer TVD fraction: num = sum |n_sl*N - n_l*N_s|,
     // den = 2*N*N_s — selection + integer products, no libm

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EntityResolution
 import graft.operators.{Dedup, Similarity}
 
 class DedupSimilaritySpec extends AnyFunSuite {
@@ -412,5 +413,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val got = Similarity.labelCentroidsOf(df).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == Seq((1, 2L, "500000;0"), (2, 1L, "1000000;0")))
+  }
+
+  test("entity match: blocked levenshtein linkage, first-char miss, tie-break") {
+    import spark.implicits._
+    val canon = Seq("red widget", "red gadget", "blue bolt")
+      .toDF("canon")
+    val dirty = Seq(
+      (1L, "red widet"),   // 1 deletion -> red widget (dist 1)
+      (2L, "ed widget"),   // first char gone -> wrong block, unmatched
+      (3L, "red wadget"),  // dist 1 to BOTH canons -> tie-break by name
+      (4L, "zzz")          // nothing within distance anywhere
+    ).toDF("p_partkey", "dirty_name")
+    val got = EntityResolution.matchOf(dirty, canon).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3))).toSeq
+    assert(got == Seq((1L, "red widget", 1), (3L, "red gadget", 1)),
+      s"block-miss and no-match rows must be absent, ties by name: $got")
   }
 }
