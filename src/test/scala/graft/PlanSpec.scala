@@ -211,6 +211,29 @@ class PlanSpec extends AnyFunSuite {
       !spans.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("round-7 operators keep their scale shapes: broadcasts, no cartesians") {
+    // entity match: the canonical dimension broadcasts, candidates are
+    // an equi join on the block key — never a nested-loop compare
+    val em = plan(graft.operators.EntityResolution.entityMatch(spark, sf))
+    assert(em.contains("BroadcastHashJoin"))
+    assert(!em.contains("CartesianProduct") &&
+      !em.contains("BroadcastNestedLoopJoin"), s"ER must stay blocked:\n$em")
+    // triangle counting: oriented wedge-close is hash equi joins only
+    val tc = plan(graft.operators.Graph.triangleCounts(spark, sf))
+    assert(!tc.contains("CartesianProduct") &&
+      !tc.contains("BroadcastNestedLoopJoin"))
+    // moving window: exactly one exchange moves the events (user_id),
+    // plus the final presentation sort's range exchange
+    val mw = plan(Relational.movingWindowFeatures(spark, sf))
+    assert(mw.contains("hashpartitioning(user_id"),
+      "both window passes share the one user_id exchange")
+    assert(!mw.contains("CartesianProduct"))
+    // stratified sample: the rate table broadcasts; the corpus is a
+    // filtered projection (no hash shuffle of the docs before the sort)
+    val ss = plan(graft.operators.TextOps.stratifiedSample(spark, sf))
+    assert(ss.contains("BroadcastHashJoin") && !ss.contains("SortMergeJoin"))
+  }
+
   test("typed CountAvg aggregator matches built-in count/avg") {
     import spark.implicits._
     val r = Relational.ratings(spark, sf)
