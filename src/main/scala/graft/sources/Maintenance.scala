@@ -57,8 +57,13 @@ object Maintenance {
       .select($"doc_id", $"text", $"part")
       .unionByName(upserts.select($"doc_id", $"text", partOf($"doc_id").as("part")))
     // dynamic overwrite: only partitions PRESENT in `merged` are
-    // replaced; every other partition's files stay untouched on disk
-    merged.write.mode(SaveMode.Overwrite)
+    // replaced; every other partition's files stay untouched on disk.
+    // Cluster rows by the partition column first so each rewritten
+    // partition lands as one file per holding task instead of every
+    // task spraying a sliver into every partition (the small-files
+    // debt compact_roundtrip exists to pay down — don't mint it here).
+    merged.repartition(affected.size.max(1), $"part")
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part").parquet(path)
     affected
@@ -107,6 +112,7 @@ object Maintenance {
     val v1 = Tables.widened(spark, Tables.documents(spark, dir))
       .select($"doc_id", $"text")
     v1.select($"doc_id", $"text", partOf($"doc_id").as("part"))
+      .repartition(NumParts, $"part") // one file per partition, not 32
       .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(MergePath)
     val offset = graft.operators.Relational.DiffAppendOffset
     val upserts = v1.filter($"doc_id" % 13 === 5 && $"doc_id" % 17 =!= 3)
