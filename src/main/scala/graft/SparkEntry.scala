@@ -130,6 +130,7 @@ object SparkEntry {
     "streaming_ewma" -> ((s, d) => graft.streaming.Streams.ewmaStreamQuery(s, d)),
     "streaming_exact_dedup" -> ((s, d) => graft.streaming.Streams.dedupStreamQuery(s, d)),
     "entity_match" -> ((s, d) => graft.operators.EntityResolution.entityMatch(s, d)),
+    "kmv_set_ops" -> ((s, d) => Sketches.kmvSetOps(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
@@ -1408,6 +1409,58 @@ object SparkEntry {
     // blocked levenshtein record linkage — integer DP distance is
     // bit-identical across engines; same corruption/blocking/selection
     "entity_match" -> graft.operators.EntityResolution.entityMatchSql(),
+
+    // KMV set-op sketch: pure integer selection (row_number over the
+    // shared hash60) until one exact power-of-two division
+    "kmv_set_ops" -> {
+      val k = graft.operators.Sketches.KmvK
+      s"""WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type,
+         |    ${h60("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM pairs),
+         |sk AS (SELECT event_type, h FROM (
+         |    SELECT event_type, h, ROW_NUMBER() OVER (
+         |      PARTITION BY event_type ORDER BY h) AS rk FROM h)
+         |  WHERE rk <= $k),
+         |tt AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM (SELECT DISTINCT event_type FROM sk) a
+         |  JOIN (SELECT DISTINCT event_type FROM sk) b
+         |    ON a.event_type < b.event_type),
+         |uni AS (SELECT type_a, type_b, h FROM (
+         |    SELECT type_a, type_b, h, ROW_NUMBER() OVER (
+         |      PARTITION BY type_a, type_b ORDER BY h) AS rk
+         |    FROM (SELECT DISTINCT type_a, type_b, h FROM (
+         |      SELECT tt.type_a, tt.type_b, s.h FROM tt
+         |        JOIN sk s ON s.event_type = tt.type_a
+         |      UNION ALL
+         |      SELECT tt.type_a, tt.type_b, s.h FROM tt
+         |        JOIN sk s ON s.event_type = tt.type_b)))
+         |  WHERE rk <= $k),
+         |uk AS (SELECT type_a, type_b, COUNT(*) AS ku FROM uni GROUP BY 1, 2),
+         |m AS (SELECT u.type_a, u.type_b, COUNT(*) AS kmv_matches
+         |  FROM uni u
+         |  JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+         |  JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    COUNT(*) AS inter_exact
+         |  FROM pairs a JOIN pairs b ON a.user_id = b.user_id
+         |    AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT event_type, COUNT(*) AS n FROM pairs GROUP BY 1)
+         |SELECT tt.type_a, tt.type_b,
+         |  COALESCE(m.kmv_matches, 0) AS kmv_matches,
+         |  CAST(COALESCE(m.kmv_matches, 0) AS DOUBLE)
+         |    / COALESCE(uk.ku, $k) AS jaccard_kmv,
+         |  COALESCE(ex.inter_exact, 0) AS inter_exact,
+         |  CAST(sa.n + sb.n - COALESCE(ex.inter_exact, 0) AS BIGINT) AS union_exact
+         |FROM tt
+         |LEFT JOIN m USING (type_a, type_b)
+         |LEFT JOIN uk USING (type_a, type_b)
+         |LEFT JOIN ex USING (type_a, type_b)
+         |JOIN sz sa ON sa.event_type = tt.type_a
+         |JOIN sz sb ON sb.event_type = tt.type_b
+         |ORDER BY type_a, type_b""".stripMargin
+    },
 
     // exact integer TVD fraction: num = sum |n_sl*N - n_l*N_s|,
     // den = 2*N*N_s — selection + integer products, no libm

@@ -153,6 +153,97 @@ object Sketches {
       .groupBy($"k", $"reg").agg(max($"rho").as("r"))
   }
 
+  /** K for the KMV (k-minimum-values) sketch. The jaccard estimate
+    * divides by min(K, |union|) — the correct estimator when a set is
+    * smaller than the sketch — as ONE IEEE division of two small
+    * integers (correctly rounded, so identical in both engines; the
+    * same contract as HLL's single final divide).
+    */
+  val KmvK = 64
+
+  /** KMV set-operation sketch: per event_type, keep the [[KmvK]]
+    * smallest 60-bit value hashes — the sketch family that, unlike
+    * HLL, supports SET OPERATIONS: the Jaccard of two keys' value sets
+    * is estimated as |union's K-mins present in BOTH sketches| / K,
+    * without ever holding either set. Everything up to the final
+    * power-of-two division is integer selection (row_number over
+    * hashes), so both engines agree bit-for-bit; the exact
+    * intersection/union counts ride along as the audit columns (at
+    * 100 TB one drops them — they are the proof, not the product).
+    *
+    * Scale shape: sketches are K rows per key (top-K via partial
+    * min-heap style TakeOrdered per key group — a window over
+    * key-partitioned hashes whose input is already the distinct
+    * (key, value) census); pair estimation touches only sketch rows
+    * (≤ K · #keys), never the corpus.
+    */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame =
+    kmvSetOpsOf(Tables.widened(spark, Tables.events(spark, dir))
+      .select(col("event_type"), col("user_id")))
+
+  /** [[kmvSetOps]] over any (event_type, user_id) relation. */
+  def kmvSetOpsOf(rel: DataFrame): DataFrame = {
+    val spark = rel.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = rel.select($"event_type", $"user_id").distinct().cache()
+    val hashed = pairs.select($"event_type",
+      Dedup.hash60(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+    val wk = Window.partitionBy($"event_type").orderBy($"h")
+    val sketch = hashed
+      .withColumn("rk", row_number().over(wk))
+      .filter($"rk" <= KmvK)
+      .select($"event_type", $"h")
+      .cache()
+    val types = sketch.select($"event_type").distinct()
+    val tt = types.select($"event_type".as("type_a"))
+      .crossJoin(types.select($"event_type".as("type_b")))
+      .filter($"type_a" < $"type_b")
+    // union K-mins per type pair, from sketch rows only (two equi
+    // joins + union, not an OR join — an OR condition would plan as a
+    // nested loop)
+    val wu = Window.partitionBy($"type_a", $"type_b").orderBy($"h")
+    val unionK = tt
+      .join(sketch.select($"event_type".as("type_a"), $"h"), Seq("type_a"))
+      .select($"type_a", $"type_b", $"h")
+      .unionByName(tt
+        .join(sketch.select($"event_type".as("type_b"), $"h"), Seq("type_b"))
+        .select($"type_a", $"type_b", $"h"))
+      .distinct()
+      .withColumn("rk", row_number().over(wu))
+      .filter($"rk" <= KmvK)
+    val inA = sketch.select($"event_type".as("type_a"), $"h")
+    val inB = sketch.select($"event_type".as("type_b"), $"h")
+    val ku = unionK.groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("ku"))
+    val est = unionK
+      .join(inA, Seq("type_a", "h"), "left_semi")
+      .join(inB, Seq("type_b", "h"), "left_semi")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("kmv_matches"))
+      .join(ku, Seq("type_a", "type_b"))
+    // exact audit: true intersection/union of the user sets
+    val exact = pairs.select($"event_type".as("type_a"), $"user_id")
+      .join(pairs.select($"event_type".as("type_b"), $"user_id"),
+        Seq("user_id"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("inter_exact"))
+    val sizes = pairs.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    tt.join(est, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("kmv_matches"))
+      .na.fill(KmvK.toLong, Seq("ku"))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("inter_exact"))
+      .join(sizes.select($"event_type".as("type_a"), $"n".as("na")), "type_a")
+      .join(sizes.select($"event_type".as("type_b"), $"n".as("nb")), "type_b")
+      .select($"type_a", $"type_b", $"kmv_matches",
+        ($"kmv_matches".cast("double") / $"ku").as("jaccard_kmv"),
+        $"inter_exact",
+        ($"na" + $"nb" - $"inter_exact").as("union_exact"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Profiled columns of the events table: name → numeric? The ts
     * column is profiled in the µs domain both engines share.
     */

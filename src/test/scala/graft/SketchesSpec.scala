@@ -38,6 +38,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(out == List(("a", 2L)), s"NULLs must not count: $out")
   }
 
+  test("kmv set ops: jaccard estimate tracks known overlaps") {
+    import spark.implicits._
+    // a: 1..300, b: 101..400 (J = 200/400 = 0.5), c: 1000..1299 (disjoint)
+    val rel = ((1 to 300).map(i => ("a", i.toLong)) ++
+      (101 to 400).map(i => ("b", i.toLong)) ++
+      (1000 to 1299).map(i => ("c", i.toLong)))
+      .toDF("event_type", "user_id")
+    val out = Sketches.kmvSetOpsOf(rel).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    val (jab, iab, uab) = out(("a", "b"))
+    assert(iab == 200 && uab == 400, "exact audit columns")
+    // K = 64 -> sigma ~ sqrt(J(1-J)/K) ~ 0.0625; 0.2 is a 3-sigma band
+    assert(math.abs(jab - 0.5) < 0.2, s"J(a,b) est $jab for true 0.5")
+    val (jac, iac, _) = out(("a", "c"))
+    assert(iac == 0 && jac == 0.0, "disjoint sets estimate exactly zero")
+    // small sets: |union| < K makes the estimate EXACT (divisor = |union|)
+    val tiny = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("x", 4L),
+      ("y", 3L), ("y", 4L), ("y", 5L), ("y", 6L))
+      .toDF("event_type", "user_id")
+    val t = Sketches.kmvSetOpsOf(tiny).collect()(0)
+    assert(t.getDouble(3) == 2.0 / 6.0 && t.getLong(4) == 2 && t.getLong(5) == 6,
+      "under-K sets: estimator degenerates to the exact jaccard")
+  }
+
   test("column profile: one scan, stats match direct aggregates") {
     import spark.implicits._
     val p = Sketches.profileColumns(spark, sf)
