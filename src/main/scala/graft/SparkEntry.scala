@@ -1513,7 +1513,7 @@ object SparkEntry {
         |  CAST(CAST(value AS DECIMAL(18,2)) - COALESCE(
         |    LAG(CAST(value AS DECIMAL(18,2))) OVER (
         |      PARTITION BY user_id ORDER BY event_id),
-        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS delta
+        |    CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS delta
         |FROM events ORDER BY event_id""".stripMargin,
 
     // Morton interleave from the same byte-spread tables — pure integer

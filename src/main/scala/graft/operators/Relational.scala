@@ -348,8 +348,7 @@ object Relational {
       .withColumn("moving_sum_3",
         sum(dec).over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
       .withColumn("delta",
-        (dec - coalesce(lag(dec, 1).over(w), lit(0).cast("decimal(18,2)")))
-          .cast("double"))
+        (dec - coalesce(lag(dec, 1).over(w), dec)).cast("double"))
       .orderBy($"event_id")
   }
 
@@ -609,5 +608,89 @@ object Relational {
         $"o_orderdate".cast("date").as("o_orderdate"), $"o_orderpriority")
       .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
       .limit(k)
+  }
+
+  /** Cohort retention (§2-beyond — the product-analytics staple over an
+    * event log): users are cohorted by the week of their first event
+    * (integer floor on the epoch, `ts div 604_800e9 ns` — no calendar
+    * semantics to diverge on), and each (cohort, week-offset) cell
+    * counts the users active that week. TWO partial-aggregatable
+    * shuffles at any scale: per-user week sets fold in one pass
+    * (`collect_set` state bounded by the corpus duration in weeks, not
+    * by user activity), then the exploded (cohort, offset) grid — at
+    * most weeks² cells — aggregates. Cohort sizes come from the
+    * offset-0 diagonal of the same grid via a broadcast self-join
+    * (cohort count = corpus weeks, tiny at any scale).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables.events(spark, dir)
+      .select($"user_id", expr("ts div 604800000000000").as("wk"))
+      .groupBy($"user_id")
+      .agg(collect_set($"wk").as("wks"))
+      .select($"user_id", array_min($"wks").as("cohort_week"),
+        explode($"wks").as("wk"))
+    val act = weeks
+      .groupBy($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = act.filter($"week_offset" === 0)
+      .select($"cohort_week", $"active_users".as("cohort_size"))
+    act.join(broadcast(sizes), Seq("cohort_week"))
+      .select($"cohort_week", $"week_offset", $"active_users", $"cohort_size")
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** SCD type-2 dimension build (§2-beyond — the warehouse-maintenance
+    * sibling of [[tableDiffOf]]/merge-apply): compress a change-event
+    * log into validity intervals. Each user's `event_type` stream is
+    * collapsed to its change points (`lag` ≠ current), then `lead`
+    * supplies each version's `valid_to`; the open interval is the
+    * current row. ONE shuffle on the entity key serves both window
+    * passes (same partitioning + ordering, so the sort is reused);
+    * state per row is O(1). `(tsu, event_id)` ordering makes the
+    * version sequence total and engine-identical.
+    */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", expr("ts div 1000").as("tsu"), $"event_id",
+        $"event_type".as("attr"))
+      .withColumn("prev", lag($"attr", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"attr")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead($"tsu", 1).over(w))
+      .select($"user_id", $"attr", $"tsu".as("valid_from"), $"valid_to",
+        $"version",
+        when($"valid_to".isNull, 1).otherwise(0).as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  /** Per-group top-k without a global sort (§2-beyond — "top 3
+    * customers by spend in every nation"): the rank-filter formulation
+    * `row_number() <= k` that Spark ≥3.5 rewrites into a
+    * `WindowGroupLimit` with a PARTIAL pass before the exchange — each
+    * map task keeps only its local top-k per group, so the shuffle
+    * carries O(groups × k) rows per task instead of every customer.
+    * That rewrite is exactly why the declarative window form beats a
+    * hand-rolled per-group heap here (plan-asserted in PlanSpec).
+    * Spend accumulates in the exact decimal domain; `(spend DESC,
+    * c_custkey)` is a total order so ranks are engine-identical.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(Fx.dsum($"o_totalprice").as("spend"))
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val w = Window.partitionBy($"n_name")
+      .orderBy($"spend".desc, $"c_custkey")
+    spend.join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"n_name", $"c_custkey", $"spend", $"rk")
+      .orderBy($"n_name", $"rk")
   }
 }

@@ -45,8 +45,7 @@ class RelationalSpec extends AnyFunSuite {
         .over(w.rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow))
         .cast("double"))
       .withColumn("d", (dec - org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.lag(dec, 1).over(w),
-        org.apache.spark.sql.functions.lit(0).cast("decimal(18,2)")))
+        org.apache.spark.sql.functions.lag(dec, 1).over(w), dec))
         .cast("double"))
       .orderBy($"event_id").collect()
       .map(r => (r.getDouble(3), r.getDouble(4)))
