@@ -140,6 +140,9 @@ object SparkEntry {
     "word_associations" -> ((s, d) => TextOps.wordAssociations(s, d)),
     "compact_roundtrip" -> ((s, d) => graft.sources.Sources.compactRoundtrip(s, d)),
     "streaming_quantiles" -> ((s, d) => graft.streaming.Streams.histStreamQuery(s, d)),
+    "cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
+    "scd2_dimension" -> ((s, d) => Relational.scd2Dimension(s, d)),
+    "topk_per_group" -> ((s, d) => Relational.topkPerGroup(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1575,5 +1578,64 @@ object SparkEntry {
          |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    // week index is integer floor on the epoch in BOTH engines
+    // (Spark: nanos div 604_800e9; DuckDB: epoch_us // 604_800e6)
+    "cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id
+        |), act AS (
+        |  SELECT cohort_week, wk - cohort_week AS week_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS active_users
+        |  FROM wk JOIN f USING (user_id) GROUP BY 1, 2
+        |)
+        |SELECT a.cohort_week, a.week_offset, a.active_users,
+        |  s.active_users AS cohort_size
+        |FROM act a JOIN act s
+        |  ON a.cohort_week = s.cohort_week AND s.week_offset = 0
+        |ORDER BY a.cohort_week, a.week_offset""".stripMargin,
+
+    "scd2_dimension" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    event_type AS attr
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, tsu, event_id, attr FROM (
+        |    SELECT *, LAG(attr) OVER (
+        |      PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        |    FROM x)
+        |  WHERE prev IS NULL OR prev <> attr
+        |)
+        |SELECT user_id, attr, tsu AS valid_from,
+        |  LEAD(tsu) OVER (
+        |    PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY tsu, event_id) AS INTEGER) AS version,
+        |  CASE WHEN LEAD(tsu) OVER (
+        |    PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin,
+
+    // spend in the exact decimal domain (Fx mirror); (spend DESC,
+    // c_custkey) is a total order so ranks are engine-identical
+    "topk_per_group" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${Fx.dsumSql("o_totalprice")} AS spend
+         |  FROM orders GROUP BY o_custkey
+         |), r AS (
+         |  SELECT n.n_name, c.c_custkey, s.spend,
+         |    CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY n.n_name
+         |      ORDER BY s.spend DESC, c.c_custkey) AS INTEGER) AS rk
+         |  FROM spend s
+         |  JOIN customer c ON s.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |)
+         |SELECT n_name, c_custkey, spend, rk FROM r WHERE rk <= 3
+         |ORDER BY n_name, rk""".stripMargin,
   )
 }

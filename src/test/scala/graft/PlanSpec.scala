@@ -58,6 +58,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "NOT-IN semantics must be a distributed anti-join")
   }
 
+  test("per-group top-k plans a partial WindowGroupLimit before the shuffle") {
+    val p = plan(Relational.topkPerGroup(spark, sf))
+    // Spark >=3.5 rewrites rank-filter windows so each map task keeps
+    // only its local top-k per group — the property that makes the
+    // declarative form shuffle O(groups x k) per task, not all rows
+    assert(p.contains("WindowGroupLimit"),
+      "rank <= k filter must trigger the group-limit rewrite")
+    assert(p.contains("Partial"),
+      "the group limit must run map-side before the exchange")
+  }
+
   test("float dot product stays inside whole-stage codegen") {
     val df = Dedup.embeddingNearDup(spark, sf)
     val p = executedPlanOf(df)

@@ -54,6 +54,68 @@ class RelationalSpec extends AnyFunSuite {
       Seq("event_id", "user_id", "value", "moving_sum_3", "delta"))
   }
 
+  test("cohort retention: offset-0 diagonal is the cohort size and " +
+    "cells never exceed it") {
+    import spark.implicits._
+    val r = Relational.cohortRetention(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(3),
+        "active_users must not exceed cohort_size")
+      if (row.getLong(1) == 0L)
+        assert(row.getLong(2) == row.getLong(3))
+    }
+    // cohort sizes partition the user population: every user is in
+    // exactly one cohort and active at offset 0 by construction
+    val totalUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    val sumSizes = r.filter(_.getLong(1) == 0L).map(_.getLong(3)).sum
+    assert(sumSizes == totalUsers)
+  }
+
+  test("scd2: versions are contiguous, intervals chain, one open row per user") {
+    val rows = Relational.scd2Dimension(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getInt(4), r.getInt(5)))
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to vs.length).toSeq,
+        "versions must be 1..n with no gaps")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            "a version's valid_to must be the next version's valid_from")
+          assert(a._2 != b._2, "consecutive versions must differ in value")
+        case _ =>
+      }
+      assert(sorted.count(_._6 == 1) == 1 && sorted.last._6 == 1,
+        "exactly the latest version is current")
+      assert(sorted.init.forall(_._4.isDefined) && sorted.last._4.isEmpty,
+        "only the current version's interval is open")
+    }
+  }
+
+  test("top-k per group: at most k rows per group and rank 1 is the max spend") {
+    import spark.implicits._
+    val r = Relational.topkPerGroup(spark, sf, k = 3)
+    val byNation = r.collect().groupBy(_.getString(0))
+    byNation.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // independent recomputation of each nation's max spend
+    val maxSpend = Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(graft.Fx.dsum($"o_totalprice").as("spend"))
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").agg(org.apache.spark.sql.functions.max($"spend").as("mx"))
+      .collect().map(r0 => r0.getString(0) -> r0.getDouble(1)).toMap
+    byNation.foreach { case (n, rows) =>
+      assert(rows.find(_.getInt(3) == 1).get.getDouble(2) == maxSpend(n))
+    }
+  }
+
   test("ratings decode: song_id in 0..99, no null decode") {
     val r = Relational.ratings(spark, sf)
     assert(r.filter("song_id IS NULL").count() == 0)
