@@ -143,6 +143,12 @@ object SparkEntry {
     "cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
     "scd2_dimension" -> ((s, d) => Relational.scd2Dimension(s, d)),
     "topk_per_group" -> ((s, d) => Relational.topkPerGroup(s, d)),
+    "event_transitions" -> ((s, d) => Relational.eventTransitions(s, d)),
+    "winsorize" -> ((s, d) => Relational.winsorize(s, d)),
+    "dq_audit" -> ((s, d) => Audit.dqAudit(s, d)),
+    "assoc_rules" -> ((s, d) => Basket.assocRules(s, d)),
+    "rolling_distinct_users" -> ((s, d) => Temporal.rollingDistinctUsers(s, d)),
+    "gap_fill_ffill" -> ((s, d) => Temporal.gapFillDaily(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1637,5 +1643,135 @@ object SparkEntry {
          |)
          |SELECT n_name, c_custkey, spend, rk FROM r WHERE rk <= 3
          |ORDER BY n_name, rk""".stripMargin,
+
+    // LEAD over the same (tsu, event_id) total order; probability is
+    // the exact integer floor(cnt·1e6/row-total) — no IEEE division
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    event_type FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY tsu, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  CAST((cnt * 1000000) // SUM(cnt) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS prob_ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // value-level cumulative histogram; percentile_disc(q) = smallest
+    // value with cum >= ceil(q·n); ceil via integer (n·q + 99) // 100;
+    // clip is least/greatest selection — every double is an input double
+    "winsorize" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, o_totalprice, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |), c AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    SUM(cnt) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM h
+        |), b AS (
+        |  SELECT o_orderpriority,
+        |    MIN(CASE WHEN cum >= (n * 5 + 99) // 100
+        |      THEN o_totalprice END) AS lo,
+        |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100
+        |      THEN o_totalprice END) AS hi
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+        |  LEAST(GREATEST(o_totalprice, lo), hi) AS clipped, lo, hi
+        |FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // fixed (check_name, violations) contract; NULL status is its own
+    // check, not a domain violation (NOT IN yields NULL, not counted)
+    "dq_audit" ->
+      """WITH b AS (SELECT COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nok,
+        |    COUNT(DISTINCT o_orderkey) AS dok,
+        |    COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS npt,
+        |    COUNT(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |      THEN 1 END) AS bs,
+        |    COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS nod
+        |  FROM orders),
+        |fk AS (SELECT COUNT(*) AS v FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'bad_status' AS check_name, CAST(bs AS BIGINT) AS violations FROM b
+        |UNION ALL SELECT 'dup_orderkey', CAST(n_rows - dok AS BIGINT) FROM b
+        |UNION ALL SELECT 'fk_custkey', CAST(v AS BIGINT) FROM fk
+        |UNION ALL SELECT 'nonpositive_totalprice', CAST(npt AS BIGINT) FROM b
+        |UNION ALL SELECT 'null_orderdate', CAST(nod AS BIGINT) FROM b
+        |UNION ALL SELECT 'null_orderkey', CAST(nok AS BIGINT) FROM b
+        |ORDER BY check_name""".stripMargin,
+
+    // basket cap mirrors Basket.DefaultMaxItemsPerBasket; rank order is
+    // decided by integer conf_ppm + (antecedent, consequent) — the one
+    // IEEE divide (lift) never breaks a tie
+    "assoc_rules" ->
+      s"""WITH it0 AS (SELECT DISTINCT l_orderkey AS basket,
+         |    l_partkey AS item FROM lineitem),
+         |it AS (SELECT basket, item FROM (
+         |  SELECT basket, item, ROW_NUMBER() OVER (
+         |    PARTITION BY basket ORDER BY item) AS rn FROM it0)
+         |  WHERE rn <= ${Basket.DefaultMaxItemsPerBasket}),
+         |n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM it),
+         |s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s_item
+         |  FROM it GROUP BY item),
+         |p AS (SELECT x.item AS a, y.item AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS s_ab
+         |  FROM it x JOIN it y ON x.basket = y.basket AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |d AS (SELECT a AS antecedent, b AS consequent, s_ab FROM p
+         |  UNION ALL SELECT b, a, s_ab FROM p)
+         |SELECT antecedent, consequent, s_ab,
+         |  sa.s_item AS s_ant, sc.s_item AS s_con,
+         |  CAST((s_ab * 1000000) // sa.s_item AS BIGINT) AS conf_ppm,
+         |  CAST((n.n_baskets * s_ab) AS DOUBLE) / (sa.s_item * sc.s_item)
+         |    AS lift_ratio
+         |FROM d JOIN s sa ON d.antecedent = sa.item
+         |JOIN s sc ON d.consequent = sc.item CROSS JOIN n
+         |ORDER BY conf_ppm DESC, antecedent, consequent
+         |LIMIT 100""".stripMargin,
+
+    // grid [min, max] inner-joined on the 7-day window == the explode
+    // form (both emit exactly the days with >= 1 event in-window)
+    "rolling_distinct_users" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events)
+        |SELECT g.window_day,
+        |  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS active_users
+        |FROM (SELECT UNNEST(generate_series(
+        |    (SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d)))
+        |    AS window_day) g
+        |JOIN d ON d.day BETWEEN g.window_day - 6 AND g.window_day
+        |GROUP BY g.window_day ORDER BY g.window_day""".stripMargin,
+
+    // last event per (user, day) by the (tsu, event_id) total order,
+    // per-user day grid, IGNORE NULLS forward fill — carried values are
+    // untouched input doubles
+    "gap_fill_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) AS tsu, event_id, value FROM events),
+        |dv AS (SELECT user_id, day, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |    ORDER BY tsu DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |sp AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM dv GROUP BY 1),
+        |g AS (SELECT user_id, UNNEST(generate_series(d0, d1)) AS day
+        |  FROM sp)
+        |SELECT g.user_id, g.day,
+        |  LAST_VALUE(dv.value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM g LEFT JOIN dv
+        |  ON g.user_id = dv.user_id AND g.day = dv.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
   )
 }

@@ -693,4 +693,71 @@ object Relational {
       .select($"n_name", $"c_custkey", $"spend", $"rk")
       .orderBy($"n_name", $"rk")
   }
+
+  /** Markov transition counts (§2-beyond — the "what happens next"
+    * matrix behind path analysis and next-event prediction): per-user
+    * event bigrams via LEAD over the (ts, event_id) total order, then a
+    * plain partial-aggregatable count per (from, to) pair. The
+    * transition probability is the exact integer floor(cnt·10⁶ /
+    * row-total) — ppm, no IEEE division anywhere — computed with one
+    * tiny window over the (from_type) marginals (|event types|² rows,
+    * driver-free). One shuffle on user_id for the LEAD, one on the pair
+    * key for the count; both survive any scale-up because state per key
+    * is a single long.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("from_total",
+        sum($"cnt").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"cnt",
+        expr("(cnt * 1000000) div from_total").as("prob_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** Percentile winsorization (§2-beyond — outlier clipping, the
+    * feature-engineering staple): clip `o_totalprice` to its per-group
+    * [p05, p95] DISC percentiles. The bounds come from a VALUE-level
+    * cumulative histogram, not a per-row sort: count per (group, price)
+    * is partial-aggregated first, the running total runs over distinct
+    * values only, and percentile_disc(q) is then "smallest value whose
+    * cumulative count ≥ ceil(q·n)" — selection arithmetic on exact
+    * integers, engine-identical (ceil via `(n·q + 99) div 100`). The
+    * tiny bounds table broadcasts back onto the fact scan, and the clip
+    * itself is least/greatest — every output double is one of the
+    * input doubles, so cross-engine hashing is exact. At 100 TB the
+    * sketch path (Sketches.histogramQuantiles) replaces the exact
+    * histogram when distinct values explode; the SHAPE here (agg →
+    * distinct-value window → broadcast join) is already the scaled one.
+    */
+  def winsorize(spark: SparkSession, dir: String,
+                loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    val byGrp = Window.partitionBy($"o_orderpriority")
+    val hist = orders
+      .groupBy($"o_orderpriority", $"o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        byGrp.orderBy($"o_totalprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"cnt").over(byGrp))
+    val bounds = hist.groupBy($"o_orderpriority").agg(
+      min(when($"cum" >= expr(s"(n * $loPct + 99) div 100"),
+        $"o_totalprice")).as("lo"),
+      min(when($"cum" >= expr(s"(n * $hiPct + 99) div 100"),
+        $"o_totalprice")).as("hi"))
+    orders.join(broadcast(bounds), Seq("o_orderpriority"))
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        least(greatest($"o_totalprice", $"lo"), $"hi").as("clipped"),
+        $"lo", $"hi")
+      .orderBy($"o_orderkey")
+  }
 }

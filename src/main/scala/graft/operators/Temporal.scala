@@ -270,4 +270,80 @@ object Temporal {
        |FROM w GROUP BY word HAVING COUNT(DISTINCT user_id) >= $minUsers
        |ORDER BY word""".stripMargin
   }
+
+  /** Exact sliding-window distinct count (§2-beyond — "7-day active
+    * users", the DAU/WAU primitive). COUNT(DISTINCT) over a RANGE frame
+    * is not a window Spark (or any engine) can evaluate incrementally,
+    * and the naive grid×events range join re-reads every event once per
+    * window day. Instead each (user, day) pair — already deduplicated
+    * by a partial-aggregatable distinct — is EXPLODED into the ≤
+    * `windowDays` window-end days it contributes to, and the result is
+    * one count-distinct per day. The shuffle volume is bounded by
+    * |distinct (user,day)| · windowDays regardless of raw event count,
+    * and both phases are two-level aggregations with map-side combine.
+    * The 1-row max-day frame broadcasts (the stats-frame crossJoin
+    * idiom) to trim phantom trailing days.
+    */
+  def rollingDistinctUsers(spark: SparkSession, dir: String,
+                           windowDays: Int = 7): DataFrame =
+    rollingDistinctUsersOf(graft.Tables.events(spark, dir), windowDays)
+
+  /** The testable core over any (user_id, ts) event frame. */
+  def rollingDistinctUsersOf(events: DataFrame,
+                             windowDays: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val maxDay = days.agg(max($"day").as("max_day"))
+    days
+      .withColumn("window_day",
+        explode(expr(s"sequence(day, day + ${windowDays - 1})")))
+      .crossJoin(broadcast(maxDay))
+      .filter($"window_day" <= $"max_day")
+      .groupBy($"window_day")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"window_day")
+  }
+
+  /** Daily gap-fill with forward fill (§2-beyond — resampling an
+    * irregular event stream onto a regular grid, the first step of
+    * every time-series feature pipeline). Three declarative stages:
+    * (1) last value per (user, day) by the (ts, event_id) total order —
+    * a windowed row_number, partial per input split; (2) the per-user
+    * day grid from min to max day via `sequence` + `explode` — span-
+    * bounded, no driver enumeration; (3) a co-partitioned left join
+    * back and `last(value, ignoreNulls)` over an unbounded-preceding
+    * frame for the fill. The grid's first day always carries a real
+    * value, so no leading nulls. Carried values are untouched input
+    * doubles — cross-engine exact. All three shuffles share the
+    * user_id key; at scale the join is co-located with the window.
+    */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame =
+    gapFillDailyOf(graft.Tables.events(spark, dir))
+
+  /** The testable core over any (user_id, ts, event_id, value) frame. */
+  def gapFillDailyOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val daily = events
+      .select($"user_id", expr("ts div 86400000000000").as("day"),
+        $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wDay))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day", $"value")
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .withColumn("day", explode(expr("sequence(d0, d1)")))
+      .select($"user_id", $"day")
+    val wFill = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value", last($"value", ignoreNulls = true).over(wFill))
+      .select($"user_id", $"day", $"filled_value")
+      .orderBy($"user_id", $"day")
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Audit, Basket}
+
+class AuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dq audit: driver corpus is healthy (all checks zero) and the " +
+    "check contract is fixed") {
+    val rows = Audit.dqAudit(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("bad_status", "dup_orderkey",
+      "fk_custkey", "nonpositive_totalprice", "null_orderdate",
+      "null_orderkey"))
+    assert(rows.forall(_.getLong(1) == 0L),
+      s"expected all-zero violations, got ${rows.mkString(", ")}")
+  }
+
+  test("assoc rules: confidence is a valid ppm, pair support is bounded " +
+    "by both item supports, rules are never self-referential") {
+    val r = Basket.assocRules(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (ant, con) = (row.getLong(0), row.getLong(1))
+      val (sAb, sAnt, sCon, conf) =
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+      assert(ant != con)
+      assert(sAb >= 2 && sAb <= math.min(sAnt, sCon))
+      assert(conf > 0 && conf <= 1000000L)
+    }
+  }
+
+  test("assoc rules degeneracy: a mega-basket is capped before pairing " +
+    "(O(cap^2), not O(n^2) candidates)") {
+    import spark.implicits._
+    val n = 500 // >> cap
+    val mega = (1 to n).map(i => (1L, i.toLong)) ++
+      // a few normal baskets so supports/rules exist at all
+      Seq((2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))
+    val out = Basket.assocRulesOf(mega.toDF("basket", "item"),
+      minSupport = 2, k = 10000).collect()
+    val cap = Basket.DefaultMaxItemsPerBasket
+    // every surviving item id is within the capped prefix of the
+    // mega-basket (lowest `cap` item ids kept)
+    assert(out.forall(r => r.getLong(0) <= cap && r.getLong(1) <= cap))
+    // the rule space is bounded by the CAPPED pair count, not n^2
+    assert(out.length <= cap * (cap - 1))
+  }
+}

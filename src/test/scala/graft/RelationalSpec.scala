@@ -157,6 +157,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(lv.filter("level = 5").select("user_id").distinct().count() == users)
   }
 
+  test("event transitions: bigram counts sum to events minus users and " +
+    "ppm probabilities are valid floors") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val t = Relational.eventTransitions(spark, sf)
+    val totalPairs = t.agg(fsum("cnt")).head().getLong(0)
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(totalPairs == nEvents - nUsers)
+    assert(t.filter("prob_ppm <= 0 OR prob_ppm > 1000000").count() == 0)
+    // floors per from_type row-sum land within one ulp-per-row of 1e6
+    val sums = t.groupBy("from_type")
+      .agg(fsum("prob_ppm").as("s"), fsum("cnt").as("c")).collect()
+    sums.foreach { r =>
+      assert(r.getLong(1) <= 1000000L && r.getLong(1) > 1000000L - 25)
+    }
+  }
+
+  test("winsorize: clip respects disc-percentile bounds and passes " +
+    "in-range values through untouched") {
+    val w = Relational.winsorize(spark, sf)
+    assert(w.filter("clipped < lo OR clipped > hi").count() == 0)
+    assert(w.filter("o_totalprice >= lo AND o_totalprice <= hi " +
+      "AND clipped <> o_totalprice").count() == 0)
+    // at most ~5% of each group sits strictly outside either bound
+    val per = w.groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END")).as("below"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END")).as("above"))
+      .collect()
+    per.foreach { r =>
+      val (n, below, above) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(below < 0.05 * n + 1, s"below=$below n=$n")
+      assert(above <= 0.05 * n, s"above=$above n=$n")
+    }
+  }
+
   test("marker sessions: marker is a purchase event of the same user") {
     val ev = Tables.events(spark, sf).select("event_id", "event_type", "user_id")
     val ms = Relational.markerSessions(spark, sf)

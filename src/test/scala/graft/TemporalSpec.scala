@@ -152,4 +152,39 @@ class TemporalSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("aahd", 2L)), s"clamped word expected: $got")
   }
+
+  test("rolling distinct users: hand-computed 7-day windows, gap days " +
+    "absent, trailing phantom days trimmed") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    val d0 = 20000L
+    // u1 and u2 active on d0; u1 again on d0+8; nothing else
+    val ev = Seq((1L, d0 * dayNs + 1L), (2L, d0 * dayNs + 2L),
+      (1L, (d0 + 8) * dayNs + 3L)).toDF("user_id", "ts")
+    val got = Temporal.rollingDistinctUsersOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0L to 6L).map(i => (d0 + i, 2L)) :+ (d0 + 8, 1L)
+    // d0+7's window [d0+1, d0+7] holds no events -> absent;
+    // d0+9..d0+14 would be pure explode phantoms -> trimmed at max day
+    assert(got == want, s"got $got")
+  }
+
+  test("gap fill: last value per day wins (event_id tiebreak), gaps " +
+    "carry the previous day's value, spans are dense") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    val d0 = 20000L
+    val ev = Seq(
+      (7L, d0 * dayNs + 100L, 1L, 5.0), // d0, earlier
+      (7L, d0 * dayNs + 200L, 2L, 7.0), // d0, later -> day value 7.0
+      (7L, (d0 + 2) * dayNs + 1L, 3L, 9.0), // d0+2
+      (8L, d0 * dayNs + 50L, 4L, 1.5), // tie on ts with id 5:
+      (8L, d0 * dayNs + 50L, 5L, 2.5)) // higher event_id wins -> 2.5
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal.gapFillDailyOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Seq((7L, d0, 7.0), (7L, d0 + 1, 7.0), (7L, d0 + 2, 9.0),
+      (8L, d0, 2.5))
+    assert(got == want, s"got $got")
+  }
 }
