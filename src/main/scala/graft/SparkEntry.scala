@@ -149,6 +149,13 @@ object SparkEntry {
     "assoc_rules" -> ((s, d) => Basket.assocRules(s, d)),
     "rolling_distinct_users" -> ((s, d) => Temporal.rollingDistinctUsers(s, d)),
     "gap_fill_ffill" -> ((s, d) => Temporal.gapFillDaily(s, d)),
+    "local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "temporal_split_embargo" -> ((s, d) => Relational.temporalSplitEmbargo(s, d)),
+    "anomaly_zscore" -> ((s, d) => Temporal.anomalyZscore(s, d)),
+    "incremental_agg_merge" -> ((s, d) =>
+      graft.sources.Maintenance.incrementalAggMerge(s, d)),
+    "streaming_session_window" -> ((s, d) =>
+      graft.streaming.Streams.sessionWindowQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1773,5 +1780,74 @@ object SparkEntry {
         |FROM g LEFT JOIN dv
         |  ON g.user_id = dv.user_id AND g.day = dv.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    // Q5 shape; revenue in the exact decimal domain (Fx mirror); the
+    // same-nation predicate rides the supplier equi-join in both
+    "local_supplier_volume" ->
+      s"""SELECT n_name,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // cutoff = floored exact interpolated 70th percentile of epoch-µs
+    // (integer input → identical interpolation arithmetic), embargo
+    // width shared from Relational.EmbargoUs
+    "temporal_split_embargo" ->
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+         |c AS (SELECT CAST(FLOOR(quantile_cont(tsu, 0.7)) AS BIGINT)
+         |    AS cutoff FROM e)
+         |SELECT event_id,
+         |  CASE WHEN tsu <= cutoff THEN 'train'
+         |       WHEN tsu <= cutoff + ${Relational.EmbargoUs} THEN 'embargo'
+         |       ELSE 'test' END AS split
+         |FROM e CROSS JOIN c
+         |ORDER BY event_id""".stripMargin,
+
+    "anomaly_zscore" -> Temporal.anomalyZscoreSql,
+
+    // from-scratch aggregate == the maintained base+delta merge (the
+    // algebraic-state contract the query exists to prove)
+    "incremental_agg_merge" ->
+      s"""WITH c AS (SELECT user_id, event_type, epoch_us(ts) AS tsu,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents_floor,
+         |  MIN(tsu) AS min_tsu, MAX(tsu) AS max_tsu
+         |FROM c GROUP BY user_id, event_type
+         |ORDER BY user_id, event_type""".stripMargin,
+
+    // finalized session windows == gaps-and-islands over the same
+    // capped feed in epoch-ms (the feed truncates ns → ms exactly as
+    // epoch_ms floors); session end = last event + gap by definition.
+    // Spark merges a boundary-touching event (diff == gap) into the
+    // open session — spec-pinned — so a new island needs diff > gap
+    "streaming_session_window" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events
+         |  WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}),
+         |d AS (SELECT user_id, tms,
+         |    CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id
+         |        ORDER BY tms) > ${graft.streaming.Streams.SessionGapMs}
+         |      THEN 1 ELSE 0 END AS ns
+         |  FROM e),
+         |s AS (SELECT user_id, tms,
+         |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM d)
+         |SELECT user_id, MIN(tms) AS s_start_ms,
+         |  MAX(tms) + ${graft.streaming.Streams.SessionGapMs} AS s_end_ms,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, s_start_ms""".stripMargin,
   )
 }

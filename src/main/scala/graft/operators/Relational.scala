@@ -610,6 +610,78 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q5-shaped local-supplier volume: revenue per nation for
+    * orders whose customer AND supplier sit in the same nation of one
+    * region, one order-date year. The six-table star join in its
+    * scaled shape: region (5 rows) and nation (25 rows) broadcast and
+    * prune the customer/supplier scans; the date filter pushes to the
+    * orders scan; the only shuffles are the two fact-fact equi-joins
+    * (lineitem ⨝ orders, ⨝ supplier) plus the 25-group final
+    * aggregate, all partial-aggregatable. The same-nation predicate is
+    * applied as an equi-join condition (c_nationkey = s_nationkey), so
+    * Catalyst keeps it a hash join — never a theta join. Revenue
+    * accumulates in the exact decimal domain ([[graft.Fx]]).
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String,
+      region: String = "ASIA", from: String = "1996-01-01",
+      until: String = "1997-01-01"): DataFrame = {
+    import spark.implicits._
+    val reg = Tables.region(spark, dir)
+      .filter($"r_name" === region).select($"r_regionkey")
+    val nat = Tables.nation(spark, dir)
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey", $"n_name")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(from).cast("timestamp") &&
+        $"o_orderdate" < lit(until).cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val sup = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_nationkey")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Embargo micro-gap between the train cutoff and the test start
+    * (2 days in µs) — shared with the oracle SQL.
+    */
+  val EmbargoUs: Long = 2L * 24 * 3600 * 1000000L
+
+  /** Time-ordered train/test split with an embargo gap — the temporal
+    * analog of [[graft.operators.TextOps]]'s leakage-safe split: train
+    * is everything up to the 70th time percentile, test starts only
+    * after a 2-day embargo, and the in-between rows are labeled
+    * `embargo` and dropped by the consumer (they'd leak trailing-window
+    * features across the fence). The cutoff is ONE broadcast scalar
+    * (exact interpolated percentile floored to integer µs, identical
+    * in both engines on integer input); the labeling itself is a pure
+    * projection — no per-row shuffle at any scale.
+    */
+  def temporalSplitEmbargo(spark: SparkSession, dir: String,
+      trainPct: Double = 0.7, embargoUs: Long = EmbargoUs): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", expr("ts div 1000").as("tsu"))
+    val cut = ev.agg(
+      floor(percentile($"tsu", lit(trainPct))).cast("long").as("cutoff"))
+    ev.crossJoin(broadcast(cut))
+      .select($"event_id",
+        when($"tsu" <= $"cutoff", "train")
+          .when($"tsu" <= $"cutoff" + embargoUs, "embargo")
+          .otherwise("test").as("split"))
+      .orderBy($"event_id")
+  }
+
   /** Cohort retention (§2-beyond — the product-analytics staple over an
     * event log): users are cohorted by the week of their first event
     * (integer floor on the epoch, `ts div 604_800e9 ns` — no calendar

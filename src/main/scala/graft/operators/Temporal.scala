@@ -231,6 +231,72 @@ object Temporal {
       .orderBy($"user_id")
   }
 
+  /** Trailing-window size and the squared z-threshold (k = 3 → k² = 9)
+    * for [[anomalyZscore]], shared with the oracle SQL.
+    */
+  val AnomalyWindow = 20
+  val AnomalyK2 = 9L
+  val AnomalyMinN = 8
+
+  /** Trailing-window z-score anomaly flags — the monitoring primitive
+    * every event pipeline runs: an event is anomalous when it sits
+    * more than k standard deviations from the mean of the SAME user's
+    * previous [[AnomalyWindow]] events (at least [[AnomalyMinN]] of
+    * them, so a 2-event history can't fire). The test is stated
+    * entirely in exact integers: with cents x, trailing count n,
+    * trailing sums s = Σx and s2 = Σx², the z² > k² inequality
+    * multiplies out to (n·x − s)² > k²·(n·s2 − s²) — no division, no
+    * sqrt, no float, so both engines agree to the bit. Magnitudes are
+    * bounded (x ≤ 5·10⁴ cents, n ≤ 20 → every term ≤ ~10¹³ ≪ 2⁶³).
+    *
+    * Scale shape: ONE shuffle by user into the standard bounded-frame
+    * window ([[Relational.movingWindowFeatures]]' bound — frame size is
+    * a constant 20, never a whole partition), then a pure projection.
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame =
+    anomalyZscoreOf(graft.Tables.events(spark, dir))
+
+  /** [[anomalyZscore]] over any (user_id, event_id, ts, value). */
+  def anomalyZscoreOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tsu", $"event_id")
+      .rowsBetween(-AnomalyWindow, -1)
+    events
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tsu"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("n", count($"cents").over(w))
+      .withColumn("s", sum($"cents").over(w))
+      .withColumn("s2", sum($"cents" * $"cents").over(w))
+      .filter($"n" >= AnomalyMinN &&
+        ($"n" * $"cents" - $"s") * ($"n" * $"cents" - $"s") >
+          lit(AnomalyK2) * ($"n" * $"s2" - $"s" * $"s"))
+      .select($"event_id", $"user_id", $"cents", $"n",
+        ($"n" * $"cents" - $"s").as("dev_num"))
+      .orderBy($"event_id")
+  }
+
+  /** DuckDB mirror of [[anomalyZscoreOf]]: the same integer inequality
+    * over the same trailing frame.
+    */
+  def anomalyZscoreSql: String =
+    s"""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |t AS (SELECT user_id, event_id, cents,
+       |    COUNT(cents) OVER w AS n,
+       |    CAST(SUM(cents) OVER w AS BIGINT) AS s,
+       |    CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+       |    ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING))
+       |SELECT event_id, user_id, cents, n, n * cents - s AS dev_num
+       |FROM t
+       |WHERE n >= $AnomalyMinN
+       |  AND (n * cents - s) * (n * cents - s) > $AnomalyK2 * (n * s2 - s * s)
+       |ORDER BY event_id""".stripMargin
+
   /** DuckDB mirror of [[ewmaValueOf]]: the same seeded integer fold. */
   def ewmaSql: String = ewmaSqlOver("events")
 

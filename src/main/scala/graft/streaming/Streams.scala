@@ -112,6 +112,86 @@ object Streams {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .count()
 
+  /** Watermarked session-window aggregation — Structured Streaming's
+    * gap-based sessionizer (`session_window`): each event opens a
+    * [ts, ts+gap) window, overlapping windows for the same key merge,
+    * and a session finalizes once the watermark passes its end. The
+    * streaming counterpart of the batch lag-form
+    * [[graft.operators.Relational.sessionize]]: state per key is the
+    * OPEN sessions only (bounded by the lateness horizon), so this
+    * runs indefinitely — the merge logic that takes a
+    * flatMapGroupsWithState loop to hand-roll is native here.
+    */
+  def sessionWindowCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "12 hours",
+      lateness: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .count()
+
+  /** Session gap for the driver query (ms), shared with the oracle. */
+  val SessionGapMs: Long = 12L * 3600 * 1000
+
+  /** Driver-contract query with a FULL DuckDB oracle: per-user session
+    * windows with a REAL watermark lifecycle. The capped corpus feed
+    * arrives as one micro-batch; two far-future sentinel batches march
+    * the watermark past every session end, so Append mode emits
+    * exactly the FINALIZED merged sessions. Because `session_window`
+    * is definitionally the union of per-key [ts, ts+gap] intervals
+    * merged when they touch (an event at exactly session-end + 0 joins
+    * the open session — spec-pinned in StreamingSpec), the finalized
+    * set equals the classic gaps-and-islands statement (new island
+    * when the gap to the previous event EXCEEDS gap, a
+    * window-function formulation with no streaming notion at all) —
+    * two independent formulations meeting at the same rows, emitted as
+    * epoch-ms BIGINTs so the compare never hashes engine timestamp
+    * encodings.
+    */
+  def sessionWindowQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"user_id", $"event_type", $"ts")
+      .orderBy($"ts", $"user_id").collect()
+      .map(r => TimedEvent(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(r.getLong(2) / 1000000L)))
+    if (evs.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("user_id", "s_start_ms", "s_end_ms", "n_events")
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[TimedEvent](spark)
+    val name = runStreamToTable(spark, "session_windows", Some(4)) { (n, ck) =>
+      sessionWindowCounts(in.toDF(), "ts", "user_id",
+          gap = "12 hours", lateness = "30 seconds")
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q =>
+      in.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel 1 advances the watermark past every data session's
+      // end; sentinel 2 triggers the batch that emits them. user -1
+      // keeps the synthetic sessions out of the data keys.
+      in.addData(TimedEvent(-1L, "sentinel",
+        new java.sql.Timestamp(maxMs + 2 * SessionGapMs)))
+      q.processAllAvailable()
+      in.addData(TimedEvent(-1L, "sentinel",
+        new java.sql.Timestamp(maxMs + 4 * SessionGapMs)))
+      q.processAllAvailable()
+    }
+    // ms-precision feed → unix_millis bounds are exact; session end is
+    // last-event ts + gap by definition, mirrored verbatim in SQL.
+    spark.table(name)
+      .filter($"user_id" =!= -1L)
+      .select($"user_id",
+        unix_millis($"session_window.start").as("s_start_ms"),
+        unix_millis($"session_window.end").as("s_end_ms"),
+        $"count".as("n_events"))
+      .orderBy($"user_id", $"s_start_ms")
+  }
+
   /** Watermarked stream-stream inner join (the attribution shape:
     * match each right-stream event to a left-stream event for the same
     * key within [0, window] AFTER the left event). Both sides carry

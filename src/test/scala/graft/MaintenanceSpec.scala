@@ -93,4 +93,22 @@ class MaintenanceSpec extends AnyFunSuite {
       s"partition filter must reach the scan:\n$scan")
     assert(pruned.count() == 4, "2 partitions x 2 rows")
   }
+
+  test("incremental agg: base+delta merge equals the from-scratch " +
+    "aggregate for ANY cutoff (algebraic-state contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val ev = Tables.events(spark, sf)
+    val full = Maintenance.incrementalAggOf(
+        Maintenance.aggPartial(ev), Maintenance.aggPartial(ev).limit(0))
+      .collect().map(_.toSeq).toSet
+    // three different cutovers, including degenerate all-base/all-delta
+    for (frac <- Seq(0L, 1705795200000000L, Long.MaxValue)) {
+      val base = Maintenance.aggPartial(ev.filter(expr("ts div 1000") <= frac))
+      val delta = Maintenance.aggPartial(ev.filter(expr("ts div 1000") > frac))
+      val merged = Maintenance.incrementalAggOf(base, delta)
+        .collect().map(_.toSeq).toSet
+      assert(merged == full, s"cutoff $frac diverges from scratch")
+    }
+  }
 }

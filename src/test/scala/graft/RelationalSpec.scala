@@ -54,6 +54,71 @@ class RelationalSpec extends AnyFunSuite {
       Seq("event_id", "user_id", "value", "moving_sum_3", "delta"))
   }
 
+  test("local supplier volume: equals an independent SQL statement of " +
+    "Q5 and only returns the region's nations") {
+    import spark.implicits._
+    val got = Relational.localSupplierVolume(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // independent formulation: plain spark.sql over views, same-nation
+    // stated as a WHERE predicate instead of a join condition
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+      .foreach(t => Tables.table(spark, sf, t).createOrReplaceTempView(t))
+    val want = spark.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_name").as[String].collect().toSet
+    assert(got.map(_._1).toSet.subsetOf(asiaNations))
+  }
+
+  test("temporal split: labels partition the events, the fences are in " +
+    "time order, and no test row is within the embargo of any train row") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", org.apache.spark.sql.functions.expr("ts div 1000").as("tsu"))
+    val labeled = Relational.temporalSplitEmbargo(spark, sf)
+      .join(ev, "event_id")
+    val byLabel = labeled.groupBy($"split")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min($"tsu").as("lo"),
+        org.apache.spark.sql.functions.max($"tsu").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val total = ev.count()
+    assert(byLabel.values.map(_._1).sum == total, "every event labeled once")
+    val (nTrain, _, trainHi) = byLabel("train")
+    // ~70% of rows land in train (exact interpolated percentile cutoff)
+    assert(math.abs(nTrain.toDouble / total - 0.7) < 0.02)
+    // the fences, restated against an independently recomputed cutoff
+    val cutoff = ev.agg(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.percentile($"tsu",
+          org.apache.spark.sql.functions.lit(0.7))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(trainHi <= cutoff)
+    for ((_, lo, hi) <- byLabel.get("embargo"))
+      assert(lo > cutoff && hi <= cutoff + Relational.EmbargoUs)
+    for ((_, lo, _) <- byLabel.get("test")) {
+      assert(lo > cutoff + Relational.EmbargoUs,
+        "temporal leakage: a test row within the embargo horizon")
+      assert(lo - trainHi > Relational.EmbargoUs)
+    }
+  }
+
   test("cohort retention: offset-0 diagonal is the cohort size and " +
     "cells never exceed it") {
     import spark.implicits._

@@ -161,6 +161,43 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("session_window boundary: a gap of exactly `gap` MERGES " +
+    "(closed boundary); gap + 1ms starts a new session (the oracle's " +
+    "strict-> mirror)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val q = Streams.sessionWindowCounts(
+        in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+        gap = "5 seconds", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess_boundary")
+      .option("checkpointLocation", tmp())
+      .outputMode("append").start()
+    // user 1: events at 0ms and exactly 5000ms — the second event sits
+    // ON the first session's end and Spark MERGES it (closed
+    // boundary): one session [0, 10000]. user 2: 0ms and 4999ms merge
+    // trivially. user 3: 0ms and 5001ms — strictly past the boundary,
+    // two sessions. This pins the island rule the DuckDB oracle
+    // mirrors: new island iff diff > gap, NOT >=.
+    in.addData((new Timestamp(0L), 1L), (new Timestamp(5000L), 1L),
+      (new Timestamp(0L), 2L), (new Timestamp(4999L), 2L),
+      (new Timestamp(0L), 3L), (new Timestamp(5001L), 3L))
+    q.processAllAvailable()
+    in.addData((new Timestamp(100000L), 99L)) // finalize all
+    q.processAllAvailable()
+    val rows = spark.table("sess_boundary")
+      .filter($"user_id" =!= 99L)
+      .selectExpr("user_id", "session_window.start AS s",
+        "session_window.end AS e", "count")
+      .as[(Long, Timestamp, Timestamp, Long)].collect()
+      .map { case (u, s, e, n) => (u, s.getTime, e.getTime, n) }.toSet
+    assert(rows == Set(
+      (1L, 0L, 10000L, 2L),
+      (2L, 0L, 9999L, 2L),
+      (3L, 0L, 5000L, 1L), (3L, 5001L, 10001L, 1L)))
+    q.stop()
+  }
+
   test("streaming dedup drops redelivered events within the watermark") {
     import spark.implicits._
     import java.sql.Timestamp

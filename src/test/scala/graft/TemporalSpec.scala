@@ -187,4 +187,31 @@ class TemporalSpec extends AnyFunSuite {
       (8L, d0, 2.5))
     assert(got == want, s"got $got")
   }
+
+  test("anomaly z-score: a 3-sigma spike fires, an in-band value and a " +
+    "zero-variance history never do") {
+    import spark.implicits._
+    // user 1: 20-event alternating 10.00/12.00 history (mean 11.00,
+    // sigma 1.00), then a 100.00 spike (z = 89) and an in-band 11.50
+    // (z = 0.5). user 2: constant history -> variance 0, and the
+    // strict > means even a repeat of the constant never fires.
+    val hist1 = (0 until 20).map(i =>
+      (1L, i.toLong * 1000000000L, i.toLong, if (i % 2 == 0) 10.0 else 12.0))
+    val probe1 = Seq(
+      (1L, 20L * 1000000000L, 20L, 100.0),
+      (1L, 21L * 1000000000L, 21L, 11.5))
+    val user2 = (0 until 12).map(i => (2L, i.toLong * 1000000000L, i.toLong, 50.0))
+    val ev = (hist1 ++ probe1 ++ user2)
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal.anomalyZscoreOf(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSeq
+    // only the spike fires: (user 1, event 20). The 11.5 probe's
+    // trailing window CONTAINS the spike, which inflates sigma far
+    // above the probe's deviation - it stays quiet.
+    assert(got == Seq((1L, 20L)), s"got $got")
+    // first AnomalyMinN-1 events of any user can never fire (n guard)
+    val early = Temporal.anomalyZscoreOf(ev)
+      .filter($"event_id" < (Temporal.AnomalyMinN - 1)).count()
+    assert(early == 0L)
+  }
 }
