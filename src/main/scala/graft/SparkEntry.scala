@@ -156,6 +156,9 @@ object SparkEntry {
       graft.sources.Maintenance.incrementalAggMerge(s, d)),
     "streaming_session_window" -> ((s, d) =>
       graft.streaming.Streams.sessionWindowQuery(s, d)),
+    "cube_report" -> ((s, d) => Relational.cubeReport(s, d)),
+    "supplier_part_variety" -> ((s, d) => Relational.supplierPartVariety(s, d)),
+    "corr_moments" -> ((s, d) => Audit.corrMoments(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1849,5 +1852,34 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_events
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, s_start_ms""".stripMargin,
+
+    // full 2-D grouping lattice; 'ALL' markers + grouping flags keep
+    // the output NULL-free (NULL ordering differs across engines)
+    "cube_report" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  ${Fx.dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+
+    // Q16 shape adapted to the corpus (part-supplier pairs derived
+    // from lineitem; blocklist = negative-balance suppliers)
+    "supplier_part_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'STANDARD'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "corr_moments" -> Audit.corrMomentsSql,
   )
 }

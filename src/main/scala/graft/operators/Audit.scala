@@ -53,4 +53,78 @@ object Audit {
         $"fk_violations".as("violations")))
       .orderBy($"check_name")
   }
+
+  /** Per-group Pearson correlation from EXACT integer co-moments —
+    * the profiling stat a feature-audit pass computes per segment
+    * (here: does event value correlate with hour-of-day, per type?).
+    *
+    * Determinism strategy: the six co-moments (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) are exact BIGINTs (cents × hour), accumulated in ONE
+    * partial+final aggregate pass, so accumulation order cannot move a
+    * bit. The correlation is then derived from those scalars with the
+    * SAME IEEE expression tree in both engines — ×, −, /, sqrt are all
+    * correctly-rounded operations, so identical integer inputs give
+    * bit-identical doubles. The moments are emitted too: they're the
+    * mergeable state (two shards' moments ADD), which is what makes
+    * this incremental-maintenance-friendly at 100 TB — the same
+    * algebraic contract as [[graft.sources.Maintenance.incrementalAggOf]].
+    * Moments stay linear in n (no n·Σx² product in the integer
+    * domain), so they don't overflow where a pre-multiplied integer
+    * formulation would.
+    */
+  def corrMoments(spark: SparkSession, dir: String): DataFrame =
+    corrMomentsOf(Tables.events(spark, dir))
+
+  /** [[corrMoments]] over any (event_type, ts NANOS-LONG, value). */
+  def corrMomentsOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val m = events
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("x"),
+        expr("(ts div 1000) div 3600000000 % 24").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    m.select($"event_type", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy",
+        when(d($"n") * d($"sxx") - d($"sx") * d($"sx") === 0.0 ||
+             d($"n") * d($"syy") - d($"sy") * d($"sy") === 0.0, lit(null))
+          .otherwise(
+            (d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+              (sqrt(d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+               sqrt(d($"n") * d($"syy") - d($"sy") * d($"sy"))))
+          .as("corr_value_hour"))
+      .orderBy($"event_type")
+  }
+
+  /** DuckDB mirror of [[corrMomentsOf]]: same integer moments, same
+    * IEEE expression tree for the derived correlation.
+    */
+  def corrMomentsSql: String =
+    """WITH c AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    (epoch_us(ts) // 3600000000) % 24 AS y
+      |  FROM events),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, n, sx, sy, sxy, sxx, syy,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+      |    OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+      |    THEN NULL
+      |    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  END AS corr_value_hour
+      |FROM m ORDER BY event_type""".stripMargin
 }

@@ -610,6 +610,60 @@ object Relational {
       .limit(k)
   }
 
+  /** CUBE report over (status, priority) — the full 2-D grouping-sets
+    * lattice ([both], [status], [priority], [grand total]) in ONE
+    * partial-aggregatable pass (Spark's Expand feeds a single hash
+    * aggregate; no per-grouping rescans). Rolled-up keys are emitted
+    * as the literal 'ALL' plus explicit grouping flags, so the output
+    * carries no NULLs — that sidesteps the one cross-engine hazard of
+    * cube results (NULL ordering differs between engines) and makes
+    * the ORDER BY total. Measures: exact count + decimal-domain sum.
+    */
+  def cubeReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Fx.dsum($"o_totalprice").as("sum_price"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"g_status", $"g_priority", $"n_orders", $"sum_price")
+      .orderBy($"g_status", $"g_priority", $"status", $"priority")
+  }
+
+  /** TPC-H Q16-shaped supplier variety: how many distinct suppliers
+    * stock each surviving (brand, type, size) bucket, with a
+    * supplier blocklist (the complaints analog: negative account
+    * balance) excluded up front. The scaled shape: the part-supplier
+    * relation is DERIVED from lineitem as distinct pairs (this corpus
+    * has no partsupp table) — one partial-aggregatable distinct; the
+    * blocklist anti-join broadcasts (it's a filtered sliver of the
+    * smallest dimension); part filters push to the scan; the count
+    * distinct is the standard two-phase expand aggregate.
+    */
+  def supplierPartVariety(spark: SparkSession, dir: String,
+      excludeBrand: String = "Brand#45",
+      excludeType: String = "STANDARD",
+      sizes: Seq[Int] = Seq(1, 5, 10, 15, 20, 25, 30, 35)): DataFrame = {
+    import spark.implicits._
+    val blocked = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val ps = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(broadcast(blocked), $"l_suppkey" === $"s_suppkey", "left_anti")
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand" =!= excludeBrand && $"p_type" =!= excludeType &&
+        $"p_size".isin(sizes.map(Integer.valueOf): _*))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    ps.join(parts, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
   /** TPC-H Q5-shaped local-supplier volume: revenue per nation for
     * orders whose customer AND supplier sit in the same nation of one
     * region, one order-date year. The six-table star join in its

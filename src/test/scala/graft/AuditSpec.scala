@@ -46,4 +46,27 @@ class AuditSpec extends AnyFunSuite {
     // the rule space is bounded by the CAPPED pair count, not n^2
     assert(out.length <= cap * (cap - 1))
   }
+
+  test("corr moments: perfect linear -> +-1 within ulps, constant -> " +
+    "null, moments are the exact integers") {
+    import spark.implicits._
+    // hour i carries value i dollars (pos), (23-i) dollars (neg), or a
+    // constant (flat); ts = i hours in nanos so y = i
+    val ev = (0 until 10).flatMap { i =>
+      Seq(("pos", i.toLong * 3600000000000L, i.toDouble),
+        ("neg", i.toLong * 3600000000000L, (23 - i).toDouble),
+        ("flat", i.toLong * 3600000000000L, 7.0))
+    }.toDF("event_type", "ts", "value")
+    val rows = Audit.corrMomentsOf(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val pos = rows("pos")
+    // x = 100*y for y=0..9: n=10, sx=4500, sy=45, sxy=100*285,
+    // sxx=10000*285, syy=285
+    assert((pos.getLong(1), pos.getLong(2), pos.getLong(3), pos.getLong(4),
+      pos.getLong(5), pos.getLong(6)) ==
+      ((10L, 4500L, 45L, 28500L, 2850000L, 285L)))
+    assert(math.abs(pos.getDouble(7) - 1.0) < 1e-12)
+    assert(math.abs(rows("neg").getDouble(7) + 1.0) < 1e-12)
+    assert(rows("flat").isNullAt(7), "zero variance must yield NULL, not NaN")
+  }
 }

@@ -54,6 +54,49 @@ class RelationalSpec extends AnyFunSuite {
       Seq("event_id", "user_id", "value", "moving_sum_3", "delta"))
   }
 
+  test("cube report: the 2-D lattice is internally consistent (margins " +
+    "sum their cells, grand total sums everything, no NULL keys)") {
+    import spark.implicits._
+    val rows = Relational.cubeReport(spark, sf).collect()
+      .map(r => ((r.getInt(2), r.getInt(3), r.getString(0), r.getString(1)),
+        r.getLong(4))).toMap
+    assert(rows.keys.forall { case (_, _, s, p) => s != null && p != null })
+    val cells = rows.filter(_._1._1 == 0).filter(_._1._2 == 0)
+    val nStatus = cells.keys.map(_._3).toSet.size
+    val nPrio = cells.keys.map(_._4).toSet.size
+    assert(rows.size == cells.size + nStatus + nPrio + 1,
+      "lattice must hold cells + both margins + grand total")
+    // each status margin row sums its cells; same for priority margins
+    for (((g1, g2, s, p), n) <- rows if (g1, g2) == (0, 1))
+      assert(n == cells.collect { case ((_, _, `s`, _), c) => c }.sum, s"margin $s")
+    for (((g1, g2, s, p), n) <- rows if (g1, g2) == (1, 0))
+      assert(n == cells.collect { case ((_, _, _, `p`), c) => c }.sum, s"margin $p")
+    assert(rows((1, 1, "ALL", "ALL")) == cells.values.sum)
+    assert(rows((1, 1, "ALL", "ALL")) == Tables.orders(spark, sf).count())
+  }
+
+  test("supplier variety: blocked suppliers never counted, counts match " +
+    "an independent recomputation") {
+    import spark.implicits._
+    val got = Relational.supplierPartVariety(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3)))
+      .toMap
+    val blocked = Tables.supplier(spark, sf)
+      .filter($"s_acctbal" < 0).select($"s_suppkey").as[Long].collect().toSet
+    val sizes = Set(1, 5, 10, 15, 20, 25, 30, 35)
+    val want = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(Tables.part(spark, sf), $"l_partkey" === $"p_partkey")
+      .select($"l_suppkey", $"p_brand", $"p_type", $"p_size")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .filter { case (sup, b, t, sz) =>
+        !blocked(sup) && b != "Brand#45" && t != "STANDARD" && sizes(sz) }
+      .groupBy { case (_, b, t, sz) => (b, t, sz) }
+      .map { case (k, vs) => k -> vs.map(_._1).toSet.size.toLong }
+    assert(got == want)
+  }
+
   test("local supplier volume: equals an independent SQL statement of " +
     "Q5 and only returns the region's nations") {
     import spark.implicits._
