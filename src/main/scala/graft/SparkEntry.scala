@@ -159,6 +159,7 @@ object SparkEntry {
     "cube_report" -> ((s, d) => Relational.cubeReport(s, d)),
     "supplier_part_variety" -> ((s, d) => Relational.supplierPartVariety(s, d)),
     "corr_moments" -> ((s, d) => Audit.corrMoments(s, d)),
+    "open_orders_daily" -> ((s, d) => Temporal.openOrdersDaily(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1881,5 +1882,6 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "corr_moments" -> Audit.corrMomentsSql,
+    "open_orders_daily" -> Temporal.openOrdersSql,
   )
 }

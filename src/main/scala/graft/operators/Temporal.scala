@@ -231,6 +231,69 @@ object Temporal {
       .orderBy($"user_id")
   }
 
+  /** Interval-concurrency sweep: how many orders are OPEN (placed but
+    * not yet fully shipped) at each breakpoint day — the classic
+    * +1/−1 delta-sweep statement of interval overlap counting, the
+    * shape that replaces a quadratic interval self-join at any scale.
+    * Each order contributes two deltas (+1 at its order day, −1 the
+    * day after its last ship day); deltas pre-aggregate per day
+    * (partial+final — data-sized work all partial-aggregatable), and
+    * the running sum then walks a frame bounded by the CALENDAR (a few
+    * thousand day rows regardless of corpus size), so the global
+    * window is constant-sized, not data-sized — unlike a naive
+    * per-order running sum. Emitted rows are the step function's
+    * breakpoints; days between breakpoints hold the last emitted
+    * count.
+    */
+  def openOrdersDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // day index = pure calendar datediff from the epoch date (the
+    // corpus timestamps are NTZ; no timezone may enter the arithmetic)
+    val shipped = graft.Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(max(expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"))
+        .as("d1"))
+    // the synthetic corpus contains orders whose last ship day PRECEDES
+    // the order day; clamp to [d0, max(d0, d1)] (an order is open at
+    // least on its placement day) so no interval is inverted — an
+    // inverted interval would make the sweep and the per-day coverage
+    // count disagree (spec-pinned)
+    val iv = graft.Tables.orders(spark, dir)
+      .join(shipped, $"o_orderkey" === $"l_orderkey")
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+        .cast("long").as("d0"), $"d1".cast("long").as("d1"))
+      .select($"d0", greatest($"d0", $"d1").as("d1"))
+    val deltas = iv.select($"d0".as("day"), lit(1L).as("d"))
+      .unionAll(iv.select(($"d1" + 1).as("day"), lit(-1L).as("d")))
+      .groupBy($"day").agg(sum($"d").as("delta"))
+    deltas
+      .withColumn("open_cnt", sum($"delta").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select($"day", $"delta", $"open_cnt")
+      .orderBy($"day")
+  }
+
+  /** DuckDB mirror of [[openOrdersDaily]]: same deltas, same sweep. */
+  def openOrdersSql: String =
+    """WITH sh AS (SELECT l_orderkey,
+      |    MAX(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)))
+      |      AS d1
+      |  FROM lineitem GROUP BY l_orderkey),
+      |iv AS (SELECT d0, GREATEST(d0, d1) AS d1 FROM (SELECT
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0,
+      |    d1
+      |  FROM orders JOIN sh ON o_orderkey = l_orderkey)),
+      |dl AS (SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+      |    SELECT d0 AS day, 1 AS d FROM iv
+      |    UNION ALL SELECT d1 + 1, -1 FROM iv)
+      |  GROUP BY day)
+      |SELECT day, delta,
+      |  CAST(SUM(delta) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open_cnt
+      |FROM dl ORDER BY day""".stripMargin
+
   /** Trailing-window size and the squared z-threshold (k = 3 → k² = 9)
     * for [[anomalyZscore]], shared with the oracle SQL.
     */

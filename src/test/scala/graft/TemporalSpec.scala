@@ -214,4 +214,30 @@ class TemporalSpec extends AnyFunSuite {
       .filter($"event_id" < (Temporal.AnomalyMinN - 1)).count()
     assert(early == 0L)
   }
+
+  test("open orders sweep equals brute-force per-day interval counting") {
+    import spark.implicits._
+    val got = Temporal.openOrdersDaily(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // brute force: count intervals covering each emitted breakpoint day
+    val iv = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf)
+          .groupBy($"l_orderkey")
+          .agg(org.apache.spark.sql.functions.expr(
+            "max(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01'))")
+            .as("su")),
+        $"o_orderkey" === $"l_orderkey")
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d0",
+        "GREATEST(CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT), CAST(su AS BIGINT)) AS d1")
+      .as[(Long, Long)].collect()
+    assert(iv.forall { case (d0, d1) => d0 <= d1 },
+      "clamp invariant: no inverted interval survives")
+    got.foreach { case (day, cnt) =>
+      val brute = iv.count { case (d0, d1) => d0 <= day && day <= d1 }
+      assert(cnt == brute, s"day $day: sweep $cnt vs brute $brute")
+    }
+    // the step function ends at zero: all intervals eventually close
+    assert(got.maxBy(_._1)._2 == 0L)
+  }
 }
