@@ -160,6 +160,7 @@ object SparkEntry {
     "supplier_part_variety" -> ((s, d) => Relational.supplierPartVariety(s, d)),
     "corr_moments" -> ((s, d) => Audit.corrMoments(s, d)),
     "open_orders_daily" -> ((s, d) => Temporal.openOrdersDaily(s, d)),
+    "streaming_scd2" -> ((s, d) => graft.streaming.Streams.scd2StreamQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1883,5 +1884,31 @@ object SparkEntry {
 
     "corr_moments" -> Audit.corrMomentsSql,
     "open_orders_daily" -> Temporal.openOrdersSql,
+
+    // streamed CLOSED versions == the batch SCD2's non-current rows
+    // over the same capped feed (the open version lives in state)
+    "streaming_scd2" ->
+      s"""WITH x AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+         |    event_type AS attr
+         |  FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
+         |), c AS (
+         |  SELECT user_id, tsu, event_id, attr FROM (
+         |    SELECT *, LAG(attr) OVER (
+         |      PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+         |    FROM x)
+         |  WHERE prev IS NULL OR prev <> attr
+         |), v AS (
+         |  SELECT user_id, attr, tsu AS valid_from,
+         |    LEAD(tsu) OVER (
+         |      PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to,
+         |    CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY user_id ORDER BY tsu, event_id) AS INTEGER)
+         |      AS version
+         |  FROM c
+         |)
+         |SELECT user_id, attr, valid_from, valid_to, version FROM v
+         |WHERE valid_to IS NOT NULL
+         |ORDER BY user_id, version""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.PseudoJson
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
@@ -48,6 +48,16 @@ object Streams {
   /** Event with a real event-time column (windowed-counts feed). */
   case class TimedEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
+  /** Attribute-change record (streaming-SCD2 feed, µs domain). */
+  case class AttrEvent(user_id: Long, tsu: Long, event_id: Long,
+      attr: String)
+  /** Open SCD2 version carried as per-user state: one small row. */
+  case class Scd2Open(attr: String, validFrom: Long, version: Int)
+  /** A CLOSED dimension version — the immutable history row the
+    * streaming SCD2 maintainer appends downstream.
+    */
+  case class Scd2Closed(user_id: Long, attr: String, valid_from: Long,
+      valid_to: Long, version: Int)
 
   // ---- sources (S4/S5/S6) ----
 
@@ -242,6 +252,24 @@ object Streams {
   def jdbcBatchSink(url: String, table: String,
       props: java.util.Properties): (DataFrame, Long) => Unit =
     (batch, _) => batch.write.mode("append").jdbc(url, table, props)
+
+  /** Exactly-once parquet sink for `foreachBatch` — the standard
+    * replay-safe file sink a production pipeline pairs with a
+    * checkpoint: each micro-batch lands in its OWN `batch_id=N`
+    * partition via dynamic overwrite, so a batch replayed after a
+    * crash (foreachBatch is at-least-once by contract) OVERWRITES its
+    * own partition instead of appending duplicates — idempotence
+    * turns at-least-once delivery into exactly-once table contents.
+    * Readers see `path` as an ordinary partitioned table; downstream
+    * compaction ([[graft.sources.Sources.compactRoundtrip]]'s shape)
+    * folds the per-batch dirs when batch count grows.
+    */
+  def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
 
   // ---- stream wiring (ST1–ST6) ----
 
@@ -934,6 +962,69 @@ object Streams {
     spark.table(name)
       .select($"event_id", $"user_id", $"value")
       .orderBy($"event_id")
+  }
+
+  /** Streaming SCD2 maintenance — the CDC shape of
+    * [[graft.operators.Relational.scd2Dimension]]: each user's OPEN
+    * dimension version is per-key state (one small row), and an
+    * attribute change CLOSES it — the closed version is emitted
+    * exactly once (Append) as the immutable history row a warehouse
+    * appends, while the replacement stays in state. State per key is
+    * O(1) forever (it does NOT grow with the stream), which is what
+    * makes this run indefinitely where the batch window form would
+    * re-shuffle all history every run. Within a batch the group's
+    * events replay in the same (tsu, event_id) total order the batch
+    * operator and the oracle use, so the streamed closed set equals
+    * the batch form's non-current rows exactly (spec'd multi-batch).
+    */
+  def scd2StreamQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"user_id", expr("ts div 1000").as("tsu"), $"event_id",
+        $"event_type".as("attr"))
+      .orderBy($"tsu", $"event_id")
+      .as[AttrEvent].collect()
+    val emptyOut = Seq.empty[Scd2Closed].toDF()
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val in = MemoryStream[AttrEvent](spark)
+    val name = runStreamToTable(spark, "scd2_stream", Some(4)) { (n, ck) =>
+      in.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[AttrEvent], gs: GroupState[Scd2Open]) =>
+            var st = gs.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+            it.toIndexedSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+              st match {
+                case None => st = Some(Scd2Open(e.attr, e.tsu, 1))
+                case Some(s) if s.attr != e.attr =>
+                  out += Scd2Closed(uid, s.attr, s.validFrom, e.tsu, s.version)
+                  st = Some(Scd2Open(e.attr, e.tsu, s.version + 1))
+                case _ => () // same attr: the open version absorbs it
+              }
+            }
+            st.foreach(gs.update)
+            out.iterator
+        }
+        .toDF()
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q =>
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    spark.table(name)
+      .select($"user_id", $"attr", $"valid_from", $"valid_to", $"version")
+      .orderBy($"user_id", $"version")
   }
 
   /** ST2/ST5 streaming recommend loop (spark_streaming_kafka.py:11–60):

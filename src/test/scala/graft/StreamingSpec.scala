@@ -198,6 +198,41 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming SCD2: closed versions across 3 triggers equal the " +
+    "batch form's non-current rows") {
+    import spark.implicits._
+    val sf = TestSpark.sf
+    val got = Streams.scd2StreamQuery(spark, sf, numBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    // the sf0.001 corpus sits entirely under HarnessFeedCap, so the
+    // batch operator over the full table IS the capped-feed reference
+    assert(Tables.events(spark, sf)
+      .filter($"event_id" >= Streams.HarnessFeedCap).count() == 0L)
+    val want = graft.operators.Relational.scd2Dimension(spark, sf)
+      .filter($"is_current" === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got == want)
+  }
+
+  test("idempotent parquet sink: a replayed batch overwrites its own " +
+    "partition - no duplicates, other batches untouched") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idem_sink").toString + "/t"
+    val sink = Streams.idempotentParquetSink(path)
+    sink(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    // crash-replay of batch 1 with different task-level row order
+    sink(Seq((3L, "c")).toDF("id", "v").repartition(3), 1L)
+    val rows = spark.read.parquet(path)
+      .select($"id", $"v", $"batch_id".cast("long"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(rows == Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)),
+      s"replay must not duplicate: $rows")
+  }
+
   test("streaming dedup drops redelivered events within the watermark") {
     import spark.implicits._
     import java.sql.Timestamp
