@@ -161,6 +161,8 @@ object SparkEntry {
     "corr_moments" -> ((s, d) => Audit.corrMoments(s, d)),
     "open_orders_daily" -> ((s, d) => Temporal.openOrdersDaily(s, d)),
     "streaming_scd2" -> ((s, d) => graft.streaming.Streams.scd2StreamQuery(s, d)),
+    "pareto_frontier" -> ((s, d) => Relational.paretoFrontier(s, d)),
+    "quantile_normalize" -> ((s, d) => Relational.quantileNormalize(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1910,5 +1912,32 @@ object SparkEntry {
          |SELECT user_id, attr, valid_from, valid_to, version FROM v
          |WHERE valid_to IS NOT NULL
          |ORDER BY user_id, version""".stripMargin,
+
+    // independent NOT EXISTS statement of dominance (the engine uses
+    // the distinct-value prefix-min form — two formulations, same rows)
+    "pareto_frontier" ->
+      """SELECT r.p_partkey, r.p_retailprice, r.p_size
+        |FROM part r
+        |WHERE NOT EXISTS (SELECT 1 FROM part s
+        |  WHERE s.p_retailprice <= r.p_retailprice
+        |    AND s.p_size <= r.p_size
+        |    AND (s.p_retailprice < r.p_retailprice
+        |      OR s.p_size < r.p_size))
+        |ORDER BY r.p_partkey""".stripMargin,
+
+    // RANK() is definitionally min-rank == cum - cnt + 1 over the
+    // value histogram, which is how the engine computes it
+    "quantile_normalize" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_id, event_type, cents,
+        |    RANK() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_id, event_type, cents,
+        |  CASE WHEN n = 1 THEN 0
+        |       ELSE ((rk - 1) * 1000000) // (n - 1) END AS pct_ppm
+        |FROM r ORDER BY event_id""".stripMargin,
   )
 }

@@ -664,6 +664,70 @@ object Relational {
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
   }
 
+  /** Pareto frontier (skyline) over (price, size) — multi-objective
+    * selection ("no other part is both cheaper and smaller"), the
+    * pruning primitive behind config/offer dedup. The naive statement
+    * is a quadratic dominance self-join; this is the scaled form built
+    * on the [[winsorize]] distinct-value idiom: per-VALUE minima
+    * (partial-aggregatable), a prefix-min window over DISTINCT price
+    * points only (bounded by the price domain, never by row count),
+    * then one broadcast join back to the scan. A row is dominated iff
+    * a strictly-cheaper price point carries size ≤ its own, or its own
+    * price point carries a strictly smaller size. Ties on both
+    * dimensions are mutually non-dominating, so duplicates co-survive
+    * — the definition the oracle's NOT EXISTS states directly, met by
+    * an independent formulation.
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_retailprice", $"p_size",
+        ($"p_retailprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val perPrice = rows.groupBy($"cents")
+      .agg(min($"p_size").as("min_size_here"))
+      .withColumn("min_size_cheaper",
+        min($"min_size_here").over(Window.orderBy($"cents")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    rows.join(broadcast(perPrice), Seq("cents"))
+      .filter(($"min_size_cheaper".isNull ||
+          $"min_size_cheaper" > $"p_size") &&
+        $"min_size_here" === $"p_size")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  /** Rank-based quantile normalization of event values per type — the
+    * ML feature transform that maps every value onto its within-group
+    * percentile (integer ppm). A direct `rank() OVER (PARTITION BY
+    * type)` puts each group in ONE task (5 types ⇒ 5 tasks at any
+    * scale); this uses the [[winsorize]] histogram idiom instead:
+    * per-(type, value) counts (partial-aggregatable over all cores),
+    * a cumulative window over DISTINCT value points only, and a
+    * broadcast join back — min-rank = cum − cnt + 1, identical to SQL
+    * RANK() by definition, which is exactly how the oracle states it.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val byType = Window.partitionBy($"event_type")
+    val hist = ev.groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        byType.orderBy($"cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"cnt").over(byType))
+      .select($"event_type", $"cents",
+        ($"cum" - $"cnt" + 1).as("rank_min"), $"n")
+    ev.join(broadcast(hist), Seq("event_type", "cents"))
+      .select($"event_id", $"event_type", $"cents",
+        when($"n" === 1, 0L)
+          .otherwise(expr("(rank_min - 1) * 1000000 div (n - 1)"))
+          .as("pct_ppm"))
+      .orderBy($"event_id")
+  }
+
   /** TPC-H Q5-shaped local-supplier volume: revenue per nation for
     * orders whose customer AND supplier sit in the same nation of one
     * region, one order-date year. The six-table star join in its

@@ -54,6 +54,42 @@ class RelationalSpec extends AnyFunSuite {
       Seq("event_id", "user_id", "value", "moving_sum_3", "delta"))
   }
 
+  test("pareto frontier: equals the brute-force dominance filter") {
+    import spark.implicits._
+    val got = Relational.paretoFrontier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val all = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val want = all.filter { case (_, pr, sz) =>
+      !all.exists { case (_, pr2, sz2) =>
+        pr2 <= pr && sz2 <= sz && (pr2 < pr || sz2 < sz) }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("quantile normalize: histogram min-rank equals a direct RANK() " +
+    "computation, bounds hold") {
+    import spark.implicits._
+    val got = Relational.quantileNormalize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"cents")
+    val direct = Tables.events(spark, sf)
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rk", org.apache.spark.sql.functions.rank().over(w))
+      .withColumn("n", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+      .selectExpr("event_id",
+        "CASE WHEN n = 1 THEN 0L ELSE (rk - 1) * 1000000 div (n - 1) END AS p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == direct)
+    assert(got.values.forall(p => p >= 0L && p <= 1000000L))
+    assert(got.values.exists(_ == 0L) && got.values.exists(_ > 900000L))
+  }
+
   test("cube report: the 2-D lattice is internally consistent (margins " +
     "sum their cells, grand total sums everything, no NULL keys)") {
     import spark.implicits._
