@@ -163,6 +163,7 @@ object SparkEntry {
     "streaming_scd2" -> ((s, d) => graft.streaming.Streams.scd2StreamQuery(s, d)),
     "pareto_frontier" -> ((s, d) => Relational.paretoFrontier(s, d)),
     "quantile_normalize" -> ((s, d) => Relational.quantileNormalize(s, d)),
+    "label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1939,5 +1940,7 @@ object SparkEntry {
         |  CASE WHEN n = 1 THEN 0
         |       ELSE ((rk - 1) * 1000000) // (n - 1) END AS pct_ppm
         |FROM r ORDER BY event_id""".stripMargin,
+
+    "label_propagation" -> Graph.labelPropagationSql(),
   )
 }

@@ -103,6 +103,84 @@ object Graph {
       .orderBy($"rank_scaled".desc, $"song_id")
   }
 
+  /** Label-propagation rounds for [[labelPropagation]]. 3 keeps the
+    * unrolled oracle readable; convergence on the small co-rating
+    * graph is near-immediate.
+    */
+  val LpRounds = 3
+
+  /** Deterministic label propagation over the capped co-rating graph —
+    * the community-detection member of the graph family (PageRank =
+    * centrality, triangles = clustering, CCF = components). Each round
+    * every node adopts the PLURALITY label among its neighbors, ties
+    * broken by smallest label — a total order, so the fixpoint walk is
+    * engine-identical (vanilla LP's arbitrary tie-break is exactly
+    * what makes it non-reproducible; pinning (count DESC, label ASC)
+    * restores determinism without changing the algorithm).
+    *
+    * Scale shape per round: ONE partial-aggregatable (node, label)
+    * count shuffle over the edge list, then a per-node top-1 window
+    * (rank-filter form → WindowGroupLimit partial pass). Labels are
+    * node ids (longs); state per round is one label per node.
+    */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = LpRounds): DataFrame =
+    labelPropagationOf(coRatingEdges(spark, dir), rounds)
+
+  /** [[labelPropagation]] over any symmetric (src, dst) relation. */
+  def labelPropagationOf(edgesIn: DataFrame,
+      rounds: Int = LpRounds): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val edges = edgesIn.cache()
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to rounds) {
+      val counted = edges.join(labels, $"src" === $"node")
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"dst").orderBy($"c".desc, $"label")
+      labels = counted
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"dst".as("node"), $"label")
+    }
+    labels.select($"node".as("song_id"), $"label".as("community"))
+      .orderBy($"song_id")
+  }
+
+  /** DuckDB mirror of [[labelPropagation]]: the same rounds unrolled,
+    * same (count DESC, label ASC) plurality tie-break, over the same
+    * capped co-rating edges as [[pagerankSql]].
+    */
+  def labelPropagationSql(rounds: Int = LpRounds,
+      maxItemsPerUser: Int = MaxItemsPerUser): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""l$i AS (SELECT dst AS node, label FROM (
+         |  SELECT e.dst, l.label, COUNT(*) AS c,
+         |    ROW_NUMBER() OVER (PARTITION BY e.dst
+         |      ORDER BY COUNT(*) DESC, l.label) AS rn
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node
+         |  GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pos0 AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |popc AS (SELECT song_id, COUNT(*) AS pop FROM pos0 GROUP BY song_id),
+       |pos AS (SELECT user_id, song_id FROM (
+       |    SELECT p.user_id, p.song_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.user_id ORDER BY c.pop DESC, p.song_id) AS rn
+       |    FROM pos0 p JOIN popc c USING (song_id))
+       |  WHERE rn <= $maxItemsPerUser),
+       |e AS (SELECT DISTINCT x.song_id AS src, y.song_id AS dst
+       |  FROM pos x JOIN pos y ON x.user_id = y.user_id
+       |    AND x.song_id <> y.song_id),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$iter
+       |SELECT node AS song_id, label AS community
+       |FROM l$rounds ORDER BY song_id""".stripMargin
+  }
+
   /** Per-song triangle participation counts on the capped co-rating
     * graph — the local clustering signal a related-items pipeline uses
     * to separate genuine cliques from hub noise.

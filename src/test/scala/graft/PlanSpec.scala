@@ -245,6 +245,38 @@ class PlanSpec extends AnyFunSuite {
     assert(ss.contains("BroadcastHashJoin") && !ss.contains("SortMergeJoin"))
   }
 
+  test("Q5 star join: dims broadcast, date filter reaches the orders " +
+    "scan, no cartesian anywhere") {
+    val p = plan(Relational.localSupplierVolume(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "region/nation pruning must ride broadcast joins")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the same-nation predicate must stay inside a hash join:\n" + p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "the order-date range must reach the parquet reader")
+  }
+
+  test("quantile normalize joins the histogram back as a broadcast, " +
+    "and the only window runs over distinct values") {
+    val p = plan(Relational.quantileNormalize(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the value histogram is domain-bounded and must broadcast")
+    // the rank window must sit above the per-(type,value) aggregate,
+    // never above the raw event scan — partial_count proves the
+    // histogram collapsed rows before any window saw them
+    assert(p.contains("partial_count"),
+      "histogram counts must pre-reduce map-side:\n" + p)
+  }
+
+  test("incremental agg merge: both the base build and the merge are " +
+    "partial+final aggregates") {
+    val p = executedPlanOf(
+      graft.sources.Maintenance.incrementalAggMerge(spark, sf))
+    assert(p.contains("partial_"),
+      "the merge re-aggregate must pre-reduce before its shuffle")
+  }
+
   test("typed CountAvg aggregator matches built-in count/avg") {
     import spark.implicits._
     val r = Relational.ratings(spark, sf)

@@ -140,6 +140,27 @@ class RetrievalSpec extends AnyFunSuite {
       s"each triangle member participates once, node 4 in none: $got")
   }
 
+  test("label propagation: cliques converge to distinct communities, " +
+    "rerun is bit-identical") {
+    import spark.implicits._
+    // two triangles bridged by one edge: within-clique plurality beats
+    // the single bridge vote, so each clique keeps its own label
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.labelPropagationOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cliqueA = Set(1L, 2L, 3L).map(got)
+    val cliqueB = Set(10L, 11L, 12L).map(got)
+    assert(cliqueA.size == 1, s"clique A must agree on one label: $got")
+    assert(cliqueB.size == 1, s"clique B must agree on one label: $got")
+    assert(cliqueA != cliqueB, s"the bridge must not merge the cliques: $got")
+    val again = graft.operators.Graph.labelPropagationOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == again)
+  }
+
   test("co-rating edge build: power user bounded to O(cap^2), not O(N^2)") {
     import spark.implicits._
     // one pathological user rated 1000 items; uncapped this is 10^6
