@@ -164,6 +164,9 @@ object SparkEntry {
     "pareto_frontier" -> ((s, d) => Relational.paretoFrontier(s, d)),
     "quantile_normalize" -> ((s, d) => Relational.quantileNormalize(s, d)),
     "label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
+    "snapshot_publish" -> ((s, d) =>
+      graft.sources.Maintenance.snapshotPublishQuery(s, d)),
+    "sample_k_per_group" -> ((s, d) => TextOps.sampleKPerGroup(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1942,5 +1945,28 @@ object SparkEntry {
         |FROM r ORDER BY event_id""".stripMargin,
 
     "label_propagation" -> Graph.labelPropagationSql(),
+
+    // CURRENT-pointer read == reconstructed v2 (same mutation as
+    // merge_apply/table_diff; the isolation property itself is spec'd)
+    "snapshot_publish" ->
+      s"""SELECT doc_id, text FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + ${graft.operators.Relational.DiffAppendOffset} AS doc_id, text
+         |  FROM documents WHERE doc_id % 29 = 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    // same salted hash order, same (h, doc_id) total order
+    "sample_k_per_group" ->
+      s"""SELECT lang, source, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT lang, source, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY lang, source
+         |      ORDER BY ${h60("'kpg:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |    AS rn
+         |  FROM documents)
+         |WHERE rn <= 5
+         |ORDER BY lang, source, rn""".stripMargin,
   )
 }

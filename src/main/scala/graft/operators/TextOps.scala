@@ -537,6 +537,32 @@ object TextOps {
         .select(col("doc_id"), col("lang").as("stratum")),
       Map("en" -> (1, 4), "de" -> (1, 2)), (3, 4))
 
+  /** Deterministic k-per-group sampling — the eval-set builder's
+    * complement to rate-based [[stratifiedSampleOf]]: exactly
+    * min(k, |group|) docs per (lang, source) cell, selected by the
+    * salted 60-bit hash order so the draw is uniform-ish, RNG-free,
+    * and rerun-identical. The rank-filter form compiles to Spark's
+    * WindowGroupLimit (each map task keeps only its local top-k per
+    * group BEFORE the exchange — the [[graft.operators.Relational.topkPerGroup]]
+    * property), so the shuffle carries O(groups × k) rows per task at
+    * any corpus size. `(hash, doc_id)` is a total order, making the
+    * selected set engine-identical.
+    */
+  def sampleKPerGroup(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"source")
+      .orderBy($"h", $"doc_id")
+    Tables.widened(spark, Tables.documents(spark, dir))
+      .select($"doc_id", $"lang", $"source",
+        Dedup.hash60(concat(lit("kpg:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"lang", $"source", $"doc_id", $"rn")
+      .orderBy($"lang", $"source", $"rn")
+  }
+
   /** TWO-dimensional mixture rebalance (lang × source): real corpora
     * are skewed along several axes at once, and balancing only one
     * leaves the other's skew intact inside every stratum. Cells are

@@ -94,6 +94,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(pruned.count() == 4, "2 partitions x 2 rows")
   }
 
+  test("snapshot publish: v1 stays byte-identical and readable via its " +
+    "own manifest after v2 lands; CURRENT flips atomically to v2") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    assert(Maintenance.publishSnapshot(spark, path, v1) == 1)
+    val bytesBefore = snapshot(path + "/data/snap-1")
+    val v2 = Seq((1L, "a"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    assert(Maintenance.publishSnapshot(spark, path, v2) == 2)
+    // time travel: v1 via its own manifest, exactly as published
+    val r1 = Maintenance.readSnapshot(spark, path, Some(1))
+      .as[(Long, String)].collect().toSet
+    assert(r1 == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // immutability: no file of snapshot 1 was touched by publish 2
+    assert(snapshot(path + "/data/snap-1") == bytesBefore)
+    // the pointer reads v2
+    assert(Maintenance.currentVersion(path).contains(2))
+    val cur = Maintenance.readSnapshot(spark, path)
+      .as[(Long, String)].collect().toSet
+    assert(cur == Set((1L, "a"), (3L, "c2"), (4L, "d")))
+    // no torn pointer scratch left behind
+    assert(!Files.list(Paths.get(path)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("CURRENT.tmp")))
+  }
+
   test("incremental agg: base+delta merge equals the from-scratch " +
     "aggregate for ANY cutoff (algebraic-state contract)") {
     import spark.implicits._

@@ -277,6 +277,25 @@ class PlanSpec extends AnyFunSuite {
       "the merge re-aggregate must pre-reduce before its shuffle")
   }
 
+  test("k-per-group sample plans a partial WindowGroupLimit, and each " +
+    "group yields exactly min(k, group size) rows") {
+    val df = graft.operators.TextOps.sampleKPerGroup(spark, sf, k = 5)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter must trigger the group-limit rewrite")
+    import spark.implicits._
+    val sizes = Tables.documents(spark, sf)
+      .groupBy($"lang", $"source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val picked = df.collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(picked.keySet == sizes.keySet)
+    picked.foreach { case (g, n) => assert(n == math.min(5L, sizes(g))) }
+  }
+
   test("typed CountAvg aggregator matches built-in count/avg") {
     import spark.implicits._
     val r = Relational.ratings(spark, sf)
