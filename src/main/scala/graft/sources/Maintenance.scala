@@ -166,6 +166,42 @@ object Maintenance {
     spark.read.parquet(files: _*)
   }
 
+  /** Retention expiry for a snapshot table: drop every snapshot older
+    * than the newest `keepLast`, deleting each expired manifest FIRST
+    * and its data directory second — a reader that can still resolve
+    * a manifest can always read every file it lists, so expiry is
+    * safe against concurrent readers of retained versions (readers of
+    * expired versions fail fast at manifest resolution, never with a
+    * half-deleted file list). CURRENT is never eligible. Returns the
+    * expired version numbers.
+    */
+  def expireSnapshots(path: String, keepLast: Int = 2): Seq[Int] = {
+    require(keepLast >= 1)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    val cur = currentVersion(path).getOrElse(return Seq.empty)
+    val listing = Files.list(root)
+    val versions =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("manifest-v") =>
+          s.stripPrefix("manifest-v").stripSuffix(".txt").toInt }
+        .toSeq.sorted
+      finally listing.close()
+    val expired = versions.filter(_ != cur).dropRight(keepLast - 1)
+    expired.foreach { v =>
+      Files.deleteIfExists(root.resolve(s"manifest-v$v.txt"))
+      val dataDir = root.resolve(s"data/snap-$v")
+      if (Files.exists(dataDir)) {
+        val walk = Files.walk(dataDir)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    expired
+  }
+
   /** Driver query: publish documents v1, then the deterministic v2
     * mutation (the `tableDiff` edit/delete/append), and read back
     * through the CURRENT pointer. The oracle reconstructs v2 directly;

@@ -119,6 +119,27 @@ class MaintenanceSpec extends AnyFunSuite {
       .exists(_.getFileName.toString.startsWith("CURRENT.tmp")))
   }
 
+  test("snapshot expiry: oldest versions beyond the retention drop, " +
+    "retained versions stay fully readable, CURRENT survives") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_expire_spec").toString + "/t"
+    for (v <- 1 to 3)
+      Maintenance.publishSnapshot(spark, path,
+        Seq((v.toLong, s"v$v")).toDF("doc_id", "text"))
+    assert(Maintenance.expireSnapshots(path, keepLast = 2) == Seq(1))
+    // v1 is gone at manifest resolution (fail fast, not half-read)
+    intercept[Exception] { Maintenance.readSnapshot(spark, path, Some(1)).collect() }
+    assert(!Files.exists(Paths.get(path, "data/snap-1")))
+    // v2 and v3 read exactly as published
+    assert(Maintenance.readSnapshot(spark, path, Some(2))
+      .as[(Long, String)].collect().toSeq == Seq((2L, "v2")))
+    assert(Maintenance.currentVersion(path).contains(3))
+    assert(Maintenance.readSnapshot(spark, path)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "v3")))
+    // idempotent: nothing further to expire
+    assert(Maintenance.expireSnapshots(path, keepLast = 2).isEmpty)
+  }
+
   test("incremental agg: base+delta merge equals the from-scratch " +
     "aggregate for ANY cutoff (algebraic-state contract)") {
     import spark.implicits._
