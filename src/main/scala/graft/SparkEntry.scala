@@ -167,6 +167,7 @@ object SparkEntry {
     "snapshot_publish" -> ((s, d) =>
       graft.sources.Maintenance.snapshotPublishQuery(s, d)),
     "sample_k_per_group" -> ((s, d) => TextOps.sampleKPerGroup(s, d)),
+    "forecast_revenue_change" -> ((s, d) => Relational.forecastRevenueChange(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1968,5 +1969,14 @@ object SparkEntry {
          |  FROM documents)
          |WHERE rn <= 5
          |ORDER BY lang, source, rn""".stripMargin,
+
+    // Q6 shape: one scan, three pushed filters, one decimal aggregate
+    "forecast_revenue_change" ->
+      s"""SELECT CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * ${Fx.rate2Sql("l_discount")}) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
   )
 }

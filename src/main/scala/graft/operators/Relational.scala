@@ -610,6 +610,28 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q6-shaped forecast-revenue-change: the canonical
+    * single-scan benchmark — three pushed predicates, zero joins, one
+    * global aggregate in the exact decimal domain. At any scale the
+    * plan is a parquet scan with all three filters in `PushedFilters`
+    * (row groups whose min/max exclude the date or discount range are
+    * never decompressed) feeding a partial+final agg of one decimal —
+    * the query IO bandwidth is the only cost. The clean 2-decimal
+    * discount column compares exactly as DOUBLE in both engines, so
+    * the BETWEEN needs no epsilon dance.
+    */
+  def forecastRevenueChange(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(from).cast("timestamp") &&
+        $"l_shipdate" < lit(until).cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(sum(Fx.dec2($"l_extendedprice") * Fx.rate2($"l_discount"))
+        .cast("double").as("revenue"))
+  }
+
   /** CUBE report over (status, priority) — the full 2-D grouping-sets
     * lattice ([both], [status], [priority], [grand total]) in ONE
     * partial-aggregatable pass (Spark's Expand feeds a single hash

@@ -296,6 +296,21 @@ class PlanSpec extends AnyFunSuite {
     picked.foreach { case (g, n) => assert(n == math.min(5L, sizes(g))) }
   }
 
+  test("Q6 scan pushes all three predicates and aggregates partial+final") {
+    val df = Relational.forecastRevenueChange(spark, sf)
+    val p = executedPlanOf(df)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.contains(s"IsNotNull($c)") || p.contains(c),
+        s"$c predicate must reach the reader")
+    assert(p.contains("PushedFilters") && !p.contains("PushedFilters: []"),
+      "filters must reach the parquet reader:\n" + p)
+    assert(p.contains("partial_"), "single-scan agg must pre-reduce map-side")
+    import spark.implicits._
+    // exactly one row, non-null at this SF
+    val r = df.collect()
+    assert(r.length == 1 && !r(0).isNullAt(0) && r(0).getDouble(0) > 0)
+  }
+
   test("typed CountAvg aggregator matches built-in count/avg") {
     import spark.implicits._
     val r = Relational.ratings(spark, sf)
