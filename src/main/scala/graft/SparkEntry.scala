@@ -168,6 +168,7 @@ object SparkEntry {
       graft.sources.Maintenance.snapshotPublishQuery(s, d)),
     "sample_k_per_group" -> ((s, d) => TextOps.sampleKPerGroup(s, d)),
     "forecast_revenue_change" -> ((s, d) => Relational.forecastRevenueChange(s, d)),
+    "priority_line_counts" -> ((s, d) => Relational.priorityLineCounts(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1978,5 +1979,18 @@ object SparkEntry {
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_discount >= 0.05 AND l_discount <= 0.07
          |  AND l_quantity < 24""".stripMargin,
+
+    // Q12 shape adapted to the corpus (l_linestatus for l_shipmode)
+    "priority_line_counts" ->
+      """SELECT l_linestatus,
+        |  CAST(COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS high_line_count,
+        |  CAST(COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
   )
 }

@@ -632,6 +632,33 @@ object Relational {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q12-shaped priority-class counts (adapted: this corpus has
+    * no l_shipmode, so the two-way split groups by l_linestatus): one
+    * date-pruned fact-fact join, then conditional counts — urgent
+    * (priority 1/2) vs other — per group. The Q12 pattern at scale:
+    * the date filter pushes to the lineitem scan, the join is one
+    * shuffle on the order key, and the CASE counts fold partial+final
+    * so the conditional split costs nothing beyond the join.
+    */
+  def priorityLineCounts(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(from).cast("timestamp") &&
+        $"l_shipdate" < lit(until).cast("timestamp"))
+      .select($"l_orderkey", $"l_linestatus")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        count(when($"o_orderpriority" === "1-URGENT" ||
+          $"o_orderpriority" === "2-HIGH", 1)).as("high_line_count"),
+        count(when($"o_orderpriority" =!= "1-URGENT" &&
+          $"o_orderpriority" =!= "2-HIGH", 1)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
   /** CUBE report over (status, priority) — the full 2-D grouping-sets
     * lattice ([both], [status], [priority], [grand total]) in ONE
     * partial-aggregatable pass (Spark's Expand feeds a single hash

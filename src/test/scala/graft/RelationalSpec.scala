@@ -54,6 +54,20 @@ class RelationalSpec extends AnyFunSuite {
       Seq("event_id", "user_id", "value", "moving_sum_3", "delta"))
   }
 
+  test("priority line counts: high+low partition the joined rows " +
+    "exactly (no line counted twice or dropped)") {
+    import spark.implicits._
+    val rows = Relational.priorityLineCounts(spark, sf).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val lo = org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp")
+    val hi = org.apache.spark.sql.functions.lit("1997-01-01").cast("timestamp")
+    val joined = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .count()
+    assert(total == joined && rows.nonEmpty)
+  }
+
   test("pareto frontier: equals the brute-force dominance filter") {
     import spark.implicits._
     val got = Relational.paretoFrontier(spark, sf).collect()

@@ -198,6 +198,44 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("session windows survive a kill/restart on the same checkpoint: " +
+    "an open session extends across the outage") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val ckpt = tmp()
+    val buf = mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    def start() = Streams.sessionWindowCounts(
+        in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+        gap = "5 seconds", lateness = "0 seconds")
+      .selectExpr("user_id", "session_window.start AS s",
+        "session_window.end AS e", "count")
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= b.collect().map(r => (r.getLong(0),
+            r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+            r.getLong(3)))
+        }: Unit
+      }.start()
+    val q1 = start()
+    in.addData((new Timestamp(0L), 1L), (new Timestamp(2000L), 1L))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(buf.isEmpty, "session still open -> stays in state, not output")
+    // arrives while the query is DOWN, within the gap of the open
+    // session: the restarted query must EXTEND the recovered session
+    in.addData((new Timestamp(4000L), 1L))
+    val q2 = start()
+    q2.processAllAvailable()
+    in.addData((new Timestamp(60000L), 99L)) // advance watermark, finalize
+    q2.processAllAvailable()
+    q2.stop()
+    val got = buf.synchronized(buf.filter(_._1 != 99L).toList)
+    assert(got == List((1L, 0L, 9000L, 3L)),
+      s"one merged session [0, 4000+gap) of 3 events, not fragments: $got")
+  }
+
   test("streaming SCD2: closed versions across 3 triggers equal the " +
     "batch form's non-current rows") {
     import spark.implicits._
