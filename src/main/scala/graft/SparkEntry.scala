@@ -169,6 +169,10 @@ object SparkEntry {
     "sample_k_per_group" -> ((s, d) => TextOps.sampleKPerGroup(s, d)),
     "forecast_revenue_change" -> ((s, d) => Relational.forecastRevenueChange(s, d)),
     "priority_line_counts" -> ((s, d) => Relational.priorityLineCounts(s, d)),
+    "late_order_priority" -> ((s, d) => Relational.lateOrderPriority(s, d)),
+    "nation_volume_shipping" -> ((s, d) => Relational.nationVolumeShipping(s, d)),
+    "promo_revenue_ratio" -> ((s, d) => Relational.promoRevenueRatio(s, d)),
+    "large_volume_orders" -> ((s, d) => Relational.largeVolumeOrders(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1992,5 +1996,62 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+
+    // Q4 shape: EXISTS-style semi join on key + 60-day skew
+    "late_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Q7 shape: nation-pair directed volume by ship year
+    "nation_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND sn.n_name <> cn.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // Q14 shape: conditional decimal sums, ratio derived with the same
+    // IEEE tree from the two exact decimals
+    "promo_revenue_ratio" ->
+      s"""SELECT promo_revenue, total_revenue,
+         |  100.0 * promo_revenue / total_revenue AS promo_pct
+         |FROM (SELECT
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN ${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})
+         |    ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE) AS promo_revenue,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')""".stripMargin,
+
+    // Q18 shape: whale orders by HAVING-filtered quantity, top 20
+    "large_volume_orders" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |    ${Fx.dsumSql("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${Fx.dsumSql("l_quantity")} > 250.0)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, total_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
   )
 }

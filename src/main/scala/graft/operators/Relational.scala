@@ -632,6 +632,121 @@ object Relational {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q4-shaped late-order priority counts (adapted: no
+    * commit/receipt dates in this corpus, so "problem order" = any
+    * lineitem shipped more than 60 days after the order date). The Q4
+    * pattern: a date-windowed order scan SEMI-joined against its
+    * lineitems on a compound (key + time-skew) condition — each order
+    * counted once no matter how many late lines — then a tiny
+    * priority rollup. Both date filters push to their scans; the semi
+    * join is one hash shuffle; nothing here is quadratic.
+    */
+  def lateOrderPriority(spark: SparkSession, dir: String,
+      from: String = "1996-07-01", until: String = "1996-10-01",
+      lateDays: Int = 60): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(from).cast("timestamp") &&
+        $"o_orderdate" < lit(until).cast("timestamp"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q7-shaped nation-pair volume shipping: revenue flowing
+    * between two trading nations in each direction, by ship year. The
+    * two-dimension filter (supplier nation × customer nation, either
+    * orientation) broadcasts — both nation slivers are 1-row frames —
+    * so the fact-side work is the usual two key shuffles; the pair
+    * orientation is decided by equi-joined dimension columns, never a
+    * theta condition. Year is a pure calendar extract, identical in
+    * both engines on NTZ timestamps.
+    */
+  def nationVolumeShipping(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2",
+      from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+      .filter($"n_name" === nationA || $"n_name" === nationB)
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(from).cast("timestamp") &&
+        $"l_shipdate" < lit(until).cast("timestamp"))
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q14-shaped promo revenue share: what fraction of one
+    * month's discounted revenue came from promo parts. Both sums
+    * accumulate exactly in the decimal domain in ONE conditional
+    * aggregate pass; the ratio is derived from the two exact decimals
+    * with the same IEEE expression tree in both engines (the
+    * [[graft.operators.Audit.corrMoments]] determinism pattern).
+    */
+  def promoRevenueRatio(spark: SparkSession, dir: String,
+      from: String = "1996-09-01", until: String = "1996-10-01"): DataFrame = {
+    import spark.implicits._
+    val rev = Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(from).cast("timestamp") &&
+        $"l_shipdate" < lit(until).cast("timestamp"))
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_type"),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", rev).otherwise(lit(0).cast("decimal(3,2)")))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select($"promo_revenue", $"total_revenue",
+        (lit(100.0) * $"promo_revenue" / $"total_revenue").as("promo_pct"))
+  }
+
+  /** TPC-H Q18-shaped large-volume customers ("whales"): orders whose
+    * total quantity crosses a threshold, joined back to their
+    * customer. The HAVING-filtered aggregate runs FIRST (partial+final
+    * on the order key), so only the whale slice — a tiny fraction of
+    * orders — ever joins the dimension tables; top-k is a
+    * TakeOrderedAndProject over that slice.
+    */
+  def largeVolumeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 250.0, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(Fx.dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > minQty)
+    big.join(Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_name"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        $"o_orderdate".cast("date").as("o_orderdate"), $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+      .limit(k)
+  }
+
   /** TPC-H Q12-shaped priority-class counts (adapted: this corpus has
     * no l_shipmode, so the two-way split groups by l_linestatus): one
     * date-pruned fact-fact join, then conditional counts — urgent

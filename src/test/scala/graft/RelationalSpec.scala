@@ -68,6 +68,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(total == joined && rows.nonEmpty)
   }
 
+  test("TPC-H family invariants: Q4 semi-join counts distinct late " +
+    "orders, Q7 pairs directed, Q14 ratio bounded, Q18 whales only") {
+    import spark.implicits._
+    // Q4: the semi join must count each qualifying order exactly once
+    val q4 = Relational.lateOrderPriority(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lo = org.apache.spark.sql.functions.lit("1996-07-01").cast("timestamp")
+    val hi = org.apache.spark.sql.functions.lit("1996-10-01").cast("timestamp")
+    val recomputed = Tables.orders(spark, sf)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + org.apache.spark.sql.functions
+          .expr("INTERVAL 60 DAYS"))
+      .select($"o_orderkey", $"o_orderpriority").distinct()
+      .groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q4 == recomputed && q4.values.sum > 0)
+    // Q7: only the configured pair, both directions possible, never
+    // self (pair chosen to actually trade in the sf0.001 sample)
+    val q7 = Relational.nationVolumeShipping(spark, sf,
+        nationA = "NATION_12", nationB = "NATION_10").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(q7.nonEmpty && q7.forall { case (s, c) =>
+      Set("NATION_12", "NATION_10")(s) && Set("NATION_12", "NATION_10")(c) &&
+        s != c })
+    // Q14: promo share is a valid percentage of a positive total
+    val q14 = Relational.promoRevenueRatio(spark, sf).collect()(0)
+    assert(q14.getDouble(0) >= 0 && q14.getDouble(0) <= q14.getDouble(1))
+    assert(q14.getDouble(2) >= 0.0 && q14.getDouble(2) <= 100.0)
+    // Q18: strictly-descending whales above the threshold
+    val q18 = Relational.largeVolumeOrders(spark, sf).collect()
+      .map(_.getDouble(4))
+    assert(q18.forall(_ > 250.0) &&
+      q18.sameElements(q18.sortBy(-(_: Double))))
+  }
+
   test("pareto frontier: equals the brute-force dominance filter") {
     import spark.implicits._
     val got = Relational.paretoFrontier(spark, sf).collect()
