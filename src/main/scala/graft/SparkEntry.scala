@@ -173,6 +173,10 @@ object SparkEntry {
     "nation_volume_shipping" -> ((s, d) => Relational.nationVolumeShipping(s, d)),
     "promo_revenue_ratio" -> ((s, d) => Relational.promoRevenueRatio(s, d)),
     "large_volume_orders" -> ((s, d) => Relational.largeVolumeOrders(s, d)),
+    "top_supplier_revenue" -> ((s, d) => Relational.topSupplierRevenue(s, d)),
+    "small_quantity_revenue" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    "waiting_supplier_ranking" -> ((s, d) => Relational.waitingSupplierRanking(s, d)),
+    "idle_customer_balance" -> ((s, d) => Relational.idleCustomerBalance(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2053,5 +2057,79 @@ object SparkEntry {
          |FROM big JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // Q15 shape: per-supplier interval revenue, winner(s) by exact
+    // decimal max (the comparison never leaves the decimal domain)
+    "top_supplier_revenue" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev = (SELECT MAX(rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    // Q17 shape: correlated 0.2*avg(qty) threshold cross-multiplied
+    // into integer cents so both engines decide rows exactly
+    "small_quantity_revenue" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty_cents,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |stats AS (SELECT l_partkey AS sp,
+        |    CAST(SUM(qty_cents) AS BIGINT) AS qty_sum,
+        |    COUNT(*) AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(SUM(price_cents) AS DOUBLE) / 700.0 AS avg_yearly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM li JOIN stats ON l_partkey = sp
+        |WHERE qty_cents * 5 * cnt < qty_sum""".stripMargin,
+
+    // Q21 shape (adapted: late = shipped >60d after order date; one
+    // count per (order, supplier) pair): sole late supplier on a
+    // finished multi-supplier order
+    "waiting_supplier_ranking" ->
+      """WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |sole AS (SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey))
+        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
+
+    // Q22 shape (adapted: segments play the country-code IN-list,
+    // nations the grouping, "idle" = no order since the cutoff —
+    // never-ordered is vacuous in this corpus); the avg compare is
+    // exact integer cents
+    "idle_customer_balance" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('MACHINERY', 'BUILDING', 'FURNITURE')),
+        |stats AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS pos_sum,
+        |    COUNT(*) AS pos_cnt
+        |  FROM cust WHERE bal_cents > 0)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM cust CROSS JOIN stats
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_cents * pos_cnt > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
   )
 }

@@ -1114,4 +1114,141 @@ object Relational {
         $"lo", $"hi")
       .orderBy($"o_orderkey")
   }
+
+  /** TPC-H Q15-shaped top supplier(s) by interval revenue. The classic
+    * "create view revenue0" pattern becomes a reused DataFrame: one
+    * key-shuffle aggregate per supplier in the exact decimal domain,
+    * then the global max — a 1-row frame — broadcasts back and the
+    * winners equi-join it ON THE EXACT DECIMAL (never the double
+    * projection), so ties and the winner set are bit-identical in both
+    * engines. At 100 TB: the fact scan is date-pruned, the per-supplier
+    * agg folds partial+final, and the max+filter adds one broadcast —
+    * no window over all suppliers, no second fact scan.
+    */
+  def topSupplierRevenue(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(from).cast("timestamp") &&
+        $"l_shipdate" < lit(until).cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+        .as("rev"))
+    val best = rev.agg(max($"rev").as("max_rev"))
+    rev.join(broadcast(best), $"rev" === $"max_rev")
+      .join(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"rev".cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: average yearly revenue
+    * lost if orders below 20% of a part's mean quantity were not
+    * filled, over one brand's parts. The correlated `0.2 * avg(...)`
+    * subquery becomes a self-agg + join-back on the part key; the
+    * threshold compare is cross-multiplied into pure integer-cents
+    * arithmetic (`qty_cents * 5 * cnt < sum_cents` ⟺
+    * `qty < 0.2 * avg(qty)`) so no division or float ever decides a
+    * row. At 100 TB: the brand sliver broadcasts, so the fact table is
+    * touched once for stats and once for the probe — both restricted
+    * to the sliver's partitions — and both aggs fold partial+final.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String,
+      brand: String = "Brand#1"): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.part(spark, dir)
+      .filter($"p_brand" === brand).select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(pts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey",
+        (Fx.dec2($"l_quantity") * 100).cast("long").as("qty_cents"),
+        (Fx.dec2($"l_extendedprice") * 100).cast("long").as("price_cents"))
+    val stats = li.groupBy($"l_partkey".as("sp"))
+      .agg(sum($"qty_cents").as("qty_sum"), count(lit(1)).as("cnt"))
+    li.join(stats, $"l_partkey" === $"sp")
+      .filter($"qty_cents" * 5 * $"cnt" < $"qty_sum")
+      .agg(
+        (sum($"price_cents").cast("double") / 700.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21-shaped waiting-supplier ranking (adapted: no
+    * commit/receipt dates in this corpus, so "late" = shipped more
+    * than `lateDays` after the order date, and each supplier counts
+    * once per order via the distinct pair). A supplier "kept an order
+    * waiting" when, on a finished multi-supplier order, it was the
+    * SOLE late supplier: EXISTS another supplier on the order, NOT
+    * EXISTS another late one. All three joins — the order-date
+    * attach, the semi, and the anti — hash on the SAME order key, so
+    * one exchange's partitioning is reused across the chain; the late
+    * pair set is computed once and probed twice. Top-k is a
+    * TakeOrderedAndProject over the per-supplier counts.
+    */
+  def waitingSupplierRanking(spark: SparkSession, dir: String,
+      lateDays: Int = 60, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val late = li
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lateDays DAYS"))
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val others = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+    val lateOthers = late.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+    late
+      .join(others, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+      .join(lateOthers, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_suppkey")
+      .limit(k)
+  }
+
+  /** TPC-H Q22-shaped idle-customer balance (adapted: no phone country
+    * codes in this corpus, so the segment filter plays the
+    * substring-IN role and nations play the country-code grouping).
+    * Customers in the chosen market segments whose balance exceeds the
+    * mean POSITIVE balance and who have never ordered, rolled up per
+    * nation. The correlated average becomes a 1-row broadcast and the
+    * `> avg` compare is cross-multiplied into integer cents
+    * (`bal_cents * pos_cnt > pos_sum`), so no float decides
+    * membership; "idle" = no order on/after `lapsedSince` (this
+    * corpus's every customer has SOME order, so the literal
+    * never-ordered predicate is vacuous — the date-windowed form is
+    * the one a retention pipeline runs anyway), one anti join on the
+    * customer key with the date filter PUSHED to the orders scan so
+    * old partitions are never read. At 100 TB the orders side is the
+    * big probe — the anti join shuffles both sides once on custkey,
+    * everything else broadcasts.
+    */
+  def idleCustomerBalance(spark: SparkSession, dir: String,
+      lapsedSince: String = "2000-07-01",
+      segments: Seq[String] = Seq("MACHINERY", "BUILDING", "FURNITURE")): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment".isin(segments: _*))
+      .select($"c_custkey", $"c_nationkey",
+        (Fx.dec2($"c_acctbal") * 100).cast("long").as("bal_cents"))
+    val stats = cust.filter($"bal_cents" > 0)
+      .agg(sum($"bal_cents").as("pos_sum"), count(lit(1)).as("pos_cnt"))
+    cust.crossJoin(broadcast(stats))
+      .filter($"bal_cents" * $"pos_cnt" > $"pos_sum")
+      .join(Tables.orders(spark, dir)
+        .filter($"o_orderdate" >= lit(lapsedSince).cast("timestamp"))
+        .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"),
+        (sum($"bal_cents").cast("double") / 100.0).as("totacctbal"))
+      .orderBy($"n_name")
+  }
 }

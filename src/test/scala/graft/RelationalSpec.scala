@@ -399,4 +399,77 @@ class RelationalSpec extends AnyFunSuite {
       .withColumnRenamed("user_id", "m_user"), Seq("marker_id"))
     assert(joined.filter("event_type <> 'purchase' OR m_user <> user_id").count() == 0)
   }
+
+  test("TPC-H tail: Q15 winner is the true max, Q17 matches brute " +
+    "force, Q21 sole-late semantics, Q22 lapsed+above-avg only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Q15: the emitted supplier(s) carry exactly the max recomputed revenue
+    val perSupp = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+        .cast("double").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q15 = Relational.topSupplierRevenue(spark, sf).collect()
+    assert(q15.nonEmpty)
+    val best = perSupp.values.max
+    assert(q15.forall(r => r.getDouble(2) == best && perSupp(r.getLong(0)) == best))
+    assert(q15.length == perSupp.values.count(_ == best))
+    // Q17: brute-force the correlated threshold on the brand slice
+    val slice = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter($"p_brand" === "Brand#1"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avgQty = slice.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2).sum / xs.length }
+    val kept = slice.filter { case (k, q, _) => q < 0.2 * avgQty(k) }
+    val q17 = Relational.smallQuantityRevenue(spark, sf).collect()(0)
+    assert(q17.getLong(1) == kept.length && kept.nonEmpty)
+    assert(math.abs(q17.getDouble(0) - kept.map(_._3).sum / 7.0) < 1e-6)
+    // Q21: every ranked supplier was the SOLE late supplier on some
+    // multi-supplier finished order; counts match brute force
+    val epoch = lit("1970-01-01").cast("date")
+    val ordDate = Tables.orders(spark, sf)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", datediff($"o_orderdate".cast("date"), epoch))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lines = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey",
+        datediff($"l_shipdate".cast("date"), epoch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val latePairs = lines.collect { case (o, s, ship)
+      if ordDate.contains(o) && ship > ordDate(o) + 60 =>
+        (o, s) }.distinct
+    val suppsPerOrder = lines.groupBy(_._1).map { case (o, xs) =>
+      o -> xs.map(_._2).distinct.toSet }
+    val latePerOrder = latePairs.groupBy(_._1).map { case (o, xs) =>
+      o -> xs.map(_._2).toSet }
+    val soleCounts = latePairs.filter { case (o, s) =>
+      suppsPerOrder(o).exists(_ != s) && latePerOrder(o) == Set(s) }
+      .groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    val q21 = Relational.waitingSupplierRanking(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q21 == soleCounts && q21.nonEmpty)
+    // Q22: group totals equal the brute-force lapsed+above-avg set
+    val segs = Set("MACHINERY", "BUILDING", "FURNITURE")
+    val custs = Tables.customer(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(2).toLong, math.round(r.getDouble(3) * 100),
+        r.getString(4))).filter(c => segs(c._4))
+    val pos = custs.map(_._3).filter(_ > 0)
+    val active = Tables.orders(spark, sf)
+      .filter($"o_orderdate" >= lit("2000-07-01").cast("timestamp"))
+      .select($"o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val chosen = custs.filter(c =>
+      c._3 * pos.length > pos.sum && !active(c._1))
+    val nations = Tables.nation(spark, sf).collect()
+      .map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val wantCounts = chosen.groupBy(c => nations(c._2))
+      .map { case (n, xs) => n -> xs.length.toLong }
+    val q22 = Relational.idleCustomerBalance(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q22 == wantCounts && q22.nonEmpty)
+  }
 }
