@@ -85,13 +85,18 @@ object Graph {
     import spark.implicits._
     val edges = edgesIn.cache()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg")).cache()
+    // (src, dst, out_deg) is loop-invariant: join it ONCE and cache, so
+    // each rank round is a single join with the ranks frame — not a
+    // rebuild of the same edge×degree join five times over.
+    val edgesDeg = edges.join(deg, Seq("src"))
+      .select($"src", $"dst", $"out_deg").cache()
     val nodes = deg.select($"src".as("node")) // symmetric graph: src set == node set
     val n = nodes.count()
     var ranks = nodes.select($"node",
       lit(RankScale / n).as("r")) // integer floor, mirrored in the oracle
     val base = (RankScale * (100L - DampingPct) / 100L) / n
     for (_ <- 1 to rounds) {
-      val contrib = edges.join(deg, Seq("src"))
+      val contrib = edgesDeg
         .join(ranks, $"src" === $"node")
         .select($"dst", expr("r div out_deg").as("c"))
       ranks = contrib.groupBy($"dst")
