@@ -132,6 +132,7 @@ object SparkEntry {
     "entity_match" -> ((s, d) => graft.operators.EntityResolution.entityMatch(s, d)),
     "kmv_set_ops" -> ((s, d) => Sketches.kmvSetOps(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
+    "item_similarity_topk" -> ((s, d) => Graph.itemSimilarityTopK(s, d)),
     "cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "sax_motifs" -> ((s, d) => Temporal.saxMotifs(s, d)),
     "leakage_safe_split" -> ((s, d) => TextOps.leakageSafeSplit(s, d)),
@@ -1367,6 +1368,8 @@ object SparkEntry {
     // integer-scaled ranks, floor arithmetic at every step — the five
     // unrolled rounds are bit-identical in both engines
     "pagerank_corated" -> graft.operators.Graph.pagerankSql(),
+    // item-item cosine top-k over the same capped co-rating sets
+    "item_similarity_topk" -> graft.operators.Graph.itemSimilaritySql(),
 
     // counters are exact COUNTs on the same affine buckets — the
     // sketch estimate (min over rows) reproduces exactly

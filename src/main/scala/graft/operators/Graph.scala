@@ -247,6 +247,109 @@ object Graph {
     * floor operations, and the same per-user popularity-ranked item
     * cap before the co-rating self-join.
     */
+  /** Scale for the exact cosine² ranking metric (parts-per-million). */
+  val SimScale = 1000000L
+
+  /** Item-item similarity top-k — the neighborhood-based collaborative
+    * filter (the classic alternative to the reference's ALS,
+    * engine.py:24–38 trains the factor model; this is the
+    * memory-based method over the same co-rating signal). For each
+    * item, the k most-similar others by co-occurrence cosine
+    * `c_ab / sqrt(c_a·c_b)` over the SAME capped per-user item sets
+    * as [[coRatingEdgesOf]] — the cap bounds a power user's pair
+    * contribution at O(cap²) before the self-join.
+    *
+    * Determinism: items are RANKED by the exact scaled integer
+    * `cos2_ppm = (c_ab²·10⁶) div (c_a·c_b)` — monotone in cosine, all
+    * floor arithmetic, so the ranking and the emitted metric are
+    * bit-identical in both engines (ties broken by other-id asc, a
+    * total order). The integer stays far below 2⁶³ while
+    * `c_ab² · 10⁶ < 9.2e18`, i.e. co-rating counts up to ~3e6 users
+    * per pair; past that, rescale SimScale or lift to DECIMAL.
+    *
+    * Scale shape: the oriented pair count is ONE (a, b) shuffle whose
+    * input is cap-bounded per user; per-item counts broadcast
+    * (catalog-sized); the per-item top-k is a rank-filter window
+    * (WindowGroupLimit partial pass), never a global sort of pairs.
+    */
+  def itemSimilarityTopK(spark: SparkSession, dir: String,
+      k: Int = 5, maxItemsPerUser: Int = MaxItemsPerUser): DataFrame = {
+    import spark.implicits._
+    val pos = Relational.ratings(spark, dir)
+      .select($"user_id", $"song_id").distinct()
+    itemSimilarityTopKOf(pos, k, maxItemsPerUser)
+  }
+
+  /** [[itemSimilarityTopK]] over any (user_id, song_id) relation. */
+  def itemSimilarityTopKOf(pos: DataFrame, k: Int = 5,
+      maxItemsPerUser: Int = MaxItemsPerUser): DataFrame = {
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val popularity = pos.groupBy($"song_id")
+      .agg(count(lit(1)).as("pop"))
+    val capped = pos.join(popularity, Seq("song_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"pop".desc, $"song_id")))
+      .filter($"rn" <= maxItemsPerUser)
+      .select($"user_id", $"song_id").cache()
+    val cnt = capped.groupBy($"song_id").agg(count(lit(1)).as("n"))
+    // oriented (a < b) so each pair is counted once, then mirrored
+    val coc = capped.as("x").join(capped.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.song_id" < $"y.song_id")
+      .groupBy($"x.song_id".as("a"), $"y.song_id".as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val sym = coc.select($"a".as("item"), $"b".as("other"), $"c_ab")
+      .unionByName(coc.select($"b".as("item"), $"a".as("other"), $"c_ab"))
+    val scored = sym
+      .join(broadcast(cnt.select($"song_id".as("item"), $"n".as("n_item"))),
+        Seq("item"))
+      .join(broadcast(cnt.select($"song_id".as("other"), $"n".as("n_other"))),
+        Seq("other"))
+      .select($"item", $"other", $"c_ab",
+        expr(s"(c_ab * c_ab * $SimScale) div (n_item * n_other)")
+          .as("cos2_ppm"))
+    val w = Window.partitionBy($"item").orderBy($"cos2_ppm".desc, $"other")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"item", $"rank", $"other", $"c_ab", $"cos2_ppm")
+      .orderBy($"item", $"rank")
+  }
+
+  /** DuckDB mirror of [[itemSimilarityTopK]]: same capped sets, same
+    * oriented pair count, same integer cos²-ppm ranking.
+    */
+  def itemSimilaritySql(k: Int = 5,
+      maxItemsPerUser: Int = MaxItemsPerUser): String =
+    s"""WITH pos0 AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |popc AS (SELECT song_id, COUNT(*) AS pop FROM pos0 GROUP BY song_id),
+       |pos AS (SELECT user_id, song_id FROM (
+       |    SELECT p.user_id, p.song_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.user_id ORDER BY c.pop DESC, p.song_id) AS rn
+       |    FROM pos0 p JOIN popc c USING (song_id))
+       |  WHERE rn <= $maxItemsPerUser),
+       |cnt AS (SELECT song_id, COUNT(*) AS n FROM pos GROUP BY song_id),
+       |coc AS (SELECT x.song_id AS a, y.song_id AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c_ab
+       |  FROM pos x JOIN pos y ON x.user_id = y.user_id
+       |    AND x.song_id < y.song_id
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT a AS item, b AS other, c_ab FROM coc
+       |  UNION ALL SELECT b AS item, a AS other, c_ab FROM coc)
+       |SELECT item, rank, other, c_ab, cos2_ppm FROM (
+       |  SELECT s.item, s.other, s.c_ab,
+       |    CAST((s.c_ab * s.c_ab * $SimScale) // (ci.n * co.n) AS BIGINT)
+       |      AS cos2_ppm,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.item
+       |      ORDER BY (s.c_ab * s.c_ab * $SimScale) // (ci.n * co.n) DESC,
+       |        s.other) AS INTEGER) AS rank
+       |  FROM sym s
+       |  JOIN cnt ci ON s.item = ci.song_id
+       |  JOIN cnt co ON s.other = co.song_id)
+       |WHERE rank <= $k
+       |ORDER BY item, rank""".stripMargin
+
   def pagerankSql(rounds: Int = Rounds,
       maxItemsPerUser: Int = MaxItemsPerUser): String = {
     val iter = (1 to rounds).map { i =>

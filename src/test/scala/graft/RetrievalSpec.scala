@@ -161,6 +161,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == again)
   }
 
+  test("item similarity: exact cos2-ppm on a literal fixture, cap " +
+    "bounds the pair space, rerun bit-identical") {
+    import spark.implicits._
+    // u1,u2 rate {1,2}; u3 rates {1,3}: n1=3, n2=2, n3=1;
+    // c(1,2)=2 -> cos2 = 4e6//6 = 666666; c(1,3)=1 -> 1e6//3 = 333333
+    val pos = Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 1L), (103L, 3L)).toDF("user_id", "song_id")
+    val got = graft.operators.Graph.itemSimilarityTopKOf(pos, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1, 2L, 2L, 666666L), (1L, 2, 3L, 1L, 333333L),
+      (2L, 1, 1L, 2L, 666666L),
+      (3L, 1, 1L, 1L, 333333L)), s"got: ${got.toSeq}")
+    // a power user rating 30 items with cap=3 contributes 3 choose 2
+    // oriented pairs, not 435
+    val power = (1 to 30).map(i => (7L, i.toLong)).toDF("user_id", "song_id")
+    val capped = graft.operators.Graph.itemSimilarityTopKOf(
+      power, k = 100, maxItemsPerUser = 3).collect()
+    assert(capped.length == 6, // 3 pairs mirrored both directions
+      s"cap must bound the pair space: ${capped.length}")
+    val again = graft.operators.Graph.itemSimilarityTopKOf(pos, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.sameElements(again))
+  }
+
   test("co-rating edge build: power user bounded to O(cap^2), not O(N^2)") {
     import spark.implicits._
     // one pathological user rated 1000 items; uncapped this is 10^6
