@@ -325,4 +325,34 @@ class PlanSpec extends AnyFunSuite {
     assert(typed.exceptAll(builtin).count() == 0 &&
       builtin.exceptAll(typed).count() == 0)
   }
+
+  test("TPC-H tail shapes: Q15 broadcasts the 1-row max, Q21 semi/anti " +
+    "are hash joins, Q22 pushes the lapse date, item-sim windows " +
+    "partially") {
+    // Q15: the max-revenue frame joins back as a broadcast, and the
+    // winner filter never triggers a nested-loop compare
+    val q15 = plan(Relational.topSupplierRevenue(spark, sf))
+    assert(q15.contains("BroadcastHashJoin") &&
+      !q15.contains("CartesianProduct"), s"Q15 max join must broadcast:\n$q15")
+    // Q21: EXISTS/NOT EXISTS plan as real semi/anti hash joins with the
+    // suppkey inequality as a residual condition, never nested loops
+    val q21 = plan(Relational.waitingSupplierRanking(spark, sf))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"Q21 must keep semi+anti joins:\n$q21")
+    assert(!q21.contains("CartesianProduct") &&
+      !q21.contains("BroadcastNestedLoopJoin"))
+    // Q22: the lapse cutoff reaches the orders parquet scan, so dead
+    // date ranges are skipped at the reader
+    val q22 = plan(Relational.idleCustomerBalance(spark, sf))
+    assert(q22.contains("PushedFilters") && q22.contains("o_orderdate"),
+      s"Q22 lapse date must push down:\n$q22")
+    assert(q22.contains("LeftAnti"))
+    // item similarity: per-item top-k is a partial WindowGroupLimit
+    // (never a global pair sort) and the count side broadcasts
+    val sim = plan(graft.operators.Graph.itemSimilarityTopK(spark, sf))
+    assert(sim.contains("WindowGroupLimit"),
+      s"per-item top-k must rank-filter partially:\n$sim")
+    assert(sim.contains("BroadcastHashJoin") &&
+      !sim.contains("CartesianProduct"))
+  }
 }
