@@ -15,15 +15,33 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects by default. Read it as nanos-since-epoch
-    * LongType (`ts`): orderings are identical, and no query emits the
-    * raw timestamp. The conf is runtime-settable, so this works under
-    * any caller-provided session (driver smoke included).
+  /** `events.parquet`'s `ts` column arrives in whatever precision the
+    * corpus generator chose — TIMESTAMP(NANOS) in earlier drops (which
+    * Spark's vectorized reader only accepts as a nanos-since-epoch
+    * LONG under the legacy conf) or TIMESTAMP(MICROS)/NTZ in current
+    * ones. Every downstream operator works on ONE contract: `ts` is
+    * nanos-since-epoch LongType of the UTC wall time (matching the
+    * DuckDB oracle's `epoch_us(ts) * 1000`). Normalize here: a LONG
+    * read passes through; a timestamp read is converted via
+    * `unix_micros` under a UTC session zone (micros→nanos ×1000 is
+    * exact — epoch-µs < 2^53 ≪ 2^63). Both confs are runtime-settable,
+    * so this works under any caller-provided session (driver smoke
+    * included).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        // NTZ→LTZ cast reads the wall time in the session zone; pin
+        // UTC so the epoch matches the oracle regardless of host zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
