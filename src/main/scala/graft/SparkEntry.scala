@@ -178,6 +178,14 @@ object SparkEntry {
     "small_quantity_revenue" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
     "waiting_supplier_ranking" -> ((s, d) => Relational.waitingSupplierRanking(s, d)),
     "idle_customer_balance" -> ((s, d) => Relational.idleCustomerBalance(s, d)),
+    "nation_market_share" -> ((s, d) => Relational.nationMarketShare(s, d)),
+    "customer_order_distribution" -> ((s, d) =>
+      Relational.customerOrderDistribution(s, d)),
+    "disjunctive_discount_revenue" -> ((s, d) =>
+      Relational.disjunctiveDiscountRevenue(s, d)),
+    "boilerplate_remove" -> ((s, d) => TextOps.boilerplateRemove(s, d)),
+    "bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
+    "median_impute" -> ((s, d) => Relational.medianImpute(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2134,5 +2142,107 @@ object SparkEntry {
         |      AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // Q8 shape: regional market share of one nation's suppliers in a
+    // part type, by order year; two conditional decimal sums, the
+    // share divides the exact decimals with the same IEEE tree
+    "nation_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+         |    THEN ${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})
+         |    ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE) AS nation_revenue,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS total_revenue,
+         |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+         |    THEN ${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})
+         |    ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+         |    / CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE p_type = 'ECONOMY'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND o_custkey IN (SELECT c_custkey FROM customer
+         |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |    JOIN region ON cn.n_regionkey = r_regionkey
+         |    WHERE r_name = 'AMERICA')
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // Q13 shape: order-count histogram over a filtered LEFT join that
+    // preserves zero-order customers
+    "customer_order_distribution" ->
+      """WITH per_cust AS (SELECT o_custkey, COUNT(*) AS cnt
+        |  FROM orders
+        |  WHERE o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+        |  GROUP BY o_custkey)
+        |SELECT CAST(COALESCE(cnt, 0) AS BIGINT) AS c_count,
+        |  CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q19 shape: OR-of-conjunctions over the part join; the oracle
+    // states the disjunction directly, the Spark plan decomposes it
+    // into pushed envelopes + residual — same algebra
+    "disjunctive_discount_revenue" ->
+      s"""SELECT CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // CCNet-style line-level boilerplate removal: "line" = 3-token
+    // non-overlapping slice, boilerplate = line in >= 5 distinct docs
+    "boilerplate_remove" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (SELECT doc_id, i AS line_no,
+        |    array_to_string(ws[i*3+1:i*3+3], ' ') AS line
+        |  FROM w, unnest(range(CAST(ceil(len(ws)/3.0) AS BIGINT))) AS t(i)),
+        |b AS (SELECT line FROM l GROUP BY line
+        |  HAVING COUNT(DISTINCT doc_id) >= 5),
+        |k AS (SELECT doc_id, line_no, line FROM l
+        |  WHERE line NOT IN (SELECT line FROM b)),
+        |a AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY line_no) AS clean_text
+        |  FROM k GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT tot.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |  tot.n_lines, tot.n_lines - COALESCE(a.n_kept, 0) AS n_removed
+        |FROM tot LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // bigram fluency gate: share of a doc's bigrams inside the top-100
+    // corpus bigram vocabulary (ties broken by bigram text)
+    "bigram_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram
+        |  FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |v AS (SELECT bigram FROM (SELECT bigram, COUNT(*) AS cnt FROM bg
+        |  GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100))
+        |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(SUM(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS coverage
+        |FROM bg LEFT JOIN v ON bg.bigram = v.bigram
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-type exact median imputation over hash-gated injected
+    // missingness (same salted h60 gate as the sampling family)
+    "median_impute" ->
+      s"""WITH ev AS (SELECT event_id, event_type, value,
+         |    ${h60("'imp:' || CAST(event_id AS VARCHAR)")} % 100 < 10 AS was_missing
+         |  FROM events),
+         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS median_value
+         |  FROM ev WHERE NOT was_missing GROUP BY event_type)
+         |SELECT event_id, ev.event_type,
+         |  CASE WHEN was_missing THEN median_value ELSE value END AS value_imputed,
+         |  was_missing
+         |FROM ev JOIN m ON ev.event_type = m.event_type
+         |ORDER BY event_id""".stripMargin,
   )
 }

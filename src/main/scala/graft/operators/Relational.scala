@@ -395,6 +395,35 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Per-group median imputation (the feature-engineering staple: fill
+    * missing numerics with their group's central value). This corpus
+    * has no NULLs, so missingness is INJECTED deterministically — the
+    * salted hash gate the sampling family uses (exact integer
+    * `h % 100 < pct`, RNG-free, rerun-identical) marks ~`pct`% of rows
+    * missing; the imputed value is the per-event_type EXACT
+    * interpolated median of the present rows (same `percentile` ↔
+    * `quantile_cont` bit-agreement as [[quantileRatingLevels]]). Scale
+    * shape: one partial-aggregatable grouped percentile over the
+    * present slice, then a broadcast join back — the fact table
+    * shuffles once for the percentile and never again.
+    */
+  def medianImpute(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_id", $"event_type", $"value",
+        (Dedup.hash60(concat(lit("imp:"), $"event_id".cast("string"))) % 100 < pct)
+          .as("was_missing"))
+    val med = ev.filter(!$"was_missing")
+      .groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("median_value"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .select($"event_id", $"event_type",
+        when($"was_missing", $"median_value").otherwise($"value")
+          .as("value_imputed"),
+        $"was_missing")
+      .orderBy($"event_id")
+  }
+
   /** ST7 batch analog (spark_kafka.py:71–96): marker-triggered
     * accumulation. Each event is assigned to the next `purchase` marker
     * of the same user (the 'm3' analog); events after a user's last
@@ -1227,6 +1256,122 @@ object Relational {
     * big probe — the anti join shuffles both sides once on custkey,
     * everything else broadcasts.
     */
+  /** TPC-H Q8-shaped national market share: of a region's revenue in
+    * one part type, what fraction came from a chosen nation's
+    * suppliers, per order year. The two conditional decimal sums ride
+    * ONE aggregate pass (the Q14 idiom) and the share divides the two
+    * exact decimals with the same IEEE tree in both engines. Join
+    * order is fact-outward: the p_type sliver of `part` prunes
+    * lineitem first (at 100 TB `part` is ~0.1% of lineitem; the
+    * 1-in-6 type slice broadcasts or AQE picks a shuffle join — either
+    * way the probe side shrinks before orders attaches), the region's
+    * customer set is built dim-first (region→nation→customer, all
+    * broadcast), and the supplier nation name arrives by equi-join so
+    * the CASE tests a plain column, never a correlated subquery.
+    */
+  def nationMarketShare(spark: SparkSession, dir: String,
+      region: String = "AMERICA", nation: String = "NATION_1",
+      ptype: String = "ECONOMY",
+      from: String = "1995-01-01", until: String = "1998-01-01"): DataFrame = {
+    import spark.implicits._
+    val regKey = Tables.region(spark, dir)
+      .filter($"r_name" === region).select($"r_regionkey")
+    val regNations = Tables.nation(spark, dir)
+      .join(broadcast(regKey), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(regNations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"supp_nation")
+    val typedParts = Tables.part(spark, dir)
+      .filter($"p_type" === ptype).select($"p_partkey")
+    val rev = Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount"))
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount")
+      .join(typedParts, $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, dir)
+        .filter($"o_orderdate" >= lit(from).cast("timestamp") &&
+          $"o_orderdate" < lit(until).cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey", "left_semi")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        sum(when($"supp_nation" === nation, rev)
+          .otherwise(lit(0).cast("decimal(3,2)"))).cast("double")
+          .as("nation_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select($"o_year", $"nation_revenue", $"total_revenue",
+        ($"nation_revenue" / $"total_revenue").as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution (adapted: the
+    * comment NOT-LIKE filter becomes a priority-class exclusion —
+    * same algebra, a filtered LEFT join preserving zero-order
+    * customers). Two cascaded aggregations: orders collapse to
+    * per-customer counts FIRST (partial+final on o_custkey, the big
+    * shuffle), the customer left-join then touches one row per
+    * customer, and the histogram regroup moves at most
+    * |distinct counts| rows — trivially small at any scale. The
+    * zero bucket exists only because the join is LEFT; an inner join
+    * here is the classic silent-wrong-answer, spec-guarded.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String,
+      excluded: Seq[String] = Seq("5-LOW", "4-NOT SPECIFIED")): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .filter(!$"o_orderpriority".isin(excluded: _*))
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"cnt", lit(0L)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q19-shaped disjunctive discount revenue: three
+    * brand/size/quantity branches OR-ed across the part join. The
+    * scale point is predicate decomposition: the disjunction's COARSE
+    * envelope is applied per-side BEFORE the join — `p_brand IN
+    * (b1,b2,b3)` prunes the part scan and `l_quantity <= qmax` the
+    * lineitem scan (both reach `PushedFilters`, so row groups outside
+    * the envelope are never decompressed) — while the exact per-branch
+    * conjunction runs as a residual filter after the join, where both
+    * sides' columns exist. Equivalent because each branch implies its
+    * envelope; the join itself stays a pure equi-join on l_partkey
+    * (hashable, broadcastable), never an OR-of-conjunctions theta join.
+    */
+  def disjunctiveDiscountRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val branches = Seq( // (brand, maxSize, minQty, maxQty)
+      ("Brand#1", 10, 1.0, 11.0),
+      ("Brand#2", 20, 10.0, 20.0),
+      ("Brand#3", 30, 20.0, 30.0))
+    val brands = branches.map(_._1)
+    val qmax = branches.map(_._4).max
+    val part = Tables.part(spark, dir)
+      .filter($"p_brand".isin(brands: _*) && $"p_size" >= 1)
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val residual = branches.map { case (b, sz, qlo, qhi) =>
+      $"p_brand" === b && $"p_size" <= sz &&
+        $"l_quantity" >= qlo && $"l_quantity" <= qhi
+    }.reduce(_ || _)
+    Tables.lineitem(spark, dir)
+      .filter($"l_quantity" <= qmax)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(part, $"l_partkey" === $"p_partkey")
+      .filter(residual)
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+        .cast("double").as("revenue"))
+  }
+
   def idleCustomerBalance(spark: SparkSession, dir: String,
       lapsedSince: String = "2000-07-01",
       segments: Seq[String] = Seq("MACHINERY", "BUILDING", "FURNITURE")): DataFrame = {

@@ -684,6 +684,95 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style line-level boilerplate removal (Wenzek et al. 2020's
+    * per-line dedup, adapted to this newline-free corpus: a "line" is a
+    * deterministic non-overlapping `span`-token slice). A line whose
+    * text recurs in >= `minDf` distinct documents is boilerplate
+    * (headers, nav bars, cookie banners at web scale) and is dropped
+    * from EVERY document; each doc re-assembles from its kept lines in
+    * order. Scale shape: line construction is a pure HOF projection
+    * (no shuffle), the boilerplate census is one partial-aggregatable
+    * count per distinct line, and the removal is a hash anti-join on
+    * the line text — the classic high-df key set is tiny relative to
+    * the corpus, and no per-doc state ever leaves its partition. The
+    * in-order reassembly sorts each doc's OWN kept lines inside one
+    * aggregate (array_sort over a collected struct — per-group work,
+    * never a global sort).
+    */
+  def boilerplateRemove(spark: SparkSession, dir: String): DataFrame =
+    boilerplateRemoveOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[boilerplateRemove]] over an arbitrary (doc_id, text) relation. */
+  def boilerplateRemoveOf(docs: DataFrame, span: Int = 3,
+      minDf: Long = 5L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // (doc_id, line_no, line) feeds the census, the anti-join, and the
+    // per-doc totals — cache so the corpus is tokenized once
+    val lines = docs
+      .select($"doc_id", TextFns.tokens($"text").as("ws"))
+      .select($"doc_id", posexplode(
+        transform(
+          sequence(lit(0),
+            ceil(size($"ws") / lit(span.toDouble)).cast("int") - 1),
+          i => array_join(slice($"ws", i * span + 1, lit(span)), " "))))
+      .toDF("doc_id", "line_no", "line")
+      .cache()
+    val boiler = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= minDf)
+      .select($"line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct($"line_no", $"line"))),
+            s => s.getField("line")), " ").as("clean_text"))
+    lines.groupBy($"doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        $"n_lines",
+        ($"n_lines" - coalesce($"n_kept", lit(0L))).as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bigram-coverage quality score: the fraction of a document's word
+    * bigrams found in the corpus's top-`v` bigram vocabulary — a
+    * fluency gate (vocabOov's unigram test passes scrambled text;
+    * bigram coverage does not). Same two-pass shape as [[vocabOov]]:
+    * the exploded (doc_id, bigram) projection is computed once
+    * (cached), the vocabulary is one count-ordered aggregate with a
+    * total (cnt, bigram) tie-break, and the per-doc score is a
+    * broadcast membership join — the corpus never shuffles.
+    */
+  def bigramCoverage(spark: SparkSession, dir: String, v: Int = 100): DataFrame =
+    bigramCoverageOf(Tables.widened(spark, Tables.documents(spark, dir)), v)
+
+  /** [[bigramCoverage]] over an arbitrary (doc_id, text) relation. */
+  def bigramCoverageOf(docs: DataFrame, v: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bigrams = docs
+      .select($"doc_id", TextFns.tokens($"text").as("ws"))
+      .select($"doc_id", explode(
+        when(size($"ws") < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size($"ws") - 1),
+            i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1)))))
+        .as("bigram"))
+      .cache()
+    val vocab = bigrams.groupBy($"bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bigram").limit(v).select($"bigram")
+    bigrams.join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("bigram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"in_vocab".isNotNull, 1L).otherwise(0L)).as("n_covered"))
+      .select($"doc_id", $"n_bigrams", $"n_covered",
+        ($"n_covered".cast("double") / $"n_bigrams").as("coverage"))
+      .orderBy($"doc_id")
+  }
+
   /** F3/F4 round-trip: render each event as the reference's pseudo-JSON
     * wire format (`{'userid': 88888,'music': ('m1', 1038), 'rating': 1}`),
     * then decode it back with the engine's parser. The oracle computes

@@ -355,4 +355,22 @@ class PlanSpec extends AnyFunSuite {
     assert(sim.contains("BroadcastHashJoin") &&
       !sim.contains("CartesianProduct"))
   }
+
+  test("Q19 decomposition: coarse envelopes reach both parquet scans, " +
+    "join stays equi, Q13 join is LEFT outer") {
+    // the quantity envelope must reach the lineitem reader and the
+    // brand IN-list the part reader — that's the whole point of
+    // decomposing the disjunction; the join must stay a hash equi-join
+    val q19 = plan(Relational.disjunctiveDiscountRevenue(spark, sf))
+    assert(q19.contains("PushedFilters") && q19.contains("l_quantity"),
+      s"Q19 quantity envelope must push to the lineitem scan:\n$q19")
+    assert(q19.contains("p_brand"),
+      s"Q19 brand IN-list must push to the part scan:\n$q19")
+    assert(!q19.contains("CartesianProduct") &&
+      !q19.contains("BroadcastNestedLoopJoin"),
+      s"Q19 join must stay equi:\n$q19")
+    // Q13's zero bucket depends on the outer join surviving optimization
+    val q13 = plan(Relational.customerOrderDistribution(spark, sf))
+    assert(q13.contains("LeftOuter"), s"Q13 must keep the LEFT join:\n$q13")
+  }
 }

@@ -472,4 +472,42 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(q22 == wantCounts && q22.nonEmpty)
   }
+
+  test("TPC-H Q8/Q13/Q19 invariants: share bounded, LEFT join keeps " +
+    "every customer, envelope decomposition equals the raw disjunction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Q8: per-year nation slice never exceeds the total; share in [0,1]
+    val q8 = Relational.nationMarketShare(spark, sf).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      val (nat, tot, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nat >= 0.0 && nat <= tot && share >= 0.0 && share <= 1.0)
+    }
+    // Q13: histogram partitions the customer table exactly (the LEFT
+    // join keeps zero-order customers), and weighted mass equals the
+    // qualifying order count
+    val q13 = Relational.customerOrderDistribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(q13.map(_._2).sum == Tables.customer(spark, sf).count())
+    val qualifying = Tables.orders(spark, sf)
+      .filter(!$"o_orderpriority".isin("5-LOW", "4-NOT SPECIFIED")).count()
+    assert(q13.map { case (c, d) => c * d }.sum == qualifying)
+    // Q19: the pushed-envelope + residual plan must equal the naive
+    // undecomposed disjunction evaluated after an unfiltered join
+    val raw = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(1.0, 11.0)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 20) &&
+          $"l_quantity".between(10.0, 20.0)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 30) &&
+          $"l_quantity".between(20.0, 30.0)))
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+        .cast("double")).collect()(0).getDouble(0)
+    val got = Relational.disjunctiveDiscountRevenue(spark, sf)
+      .collect()(0).getDouble(0)
+    assert(got == raw && got > 0.0)
+  }
 }
