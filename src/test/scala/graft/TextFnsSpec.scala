@@ -347,4 +347,63 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got == Seq(
       ("s", "t", 3.0), ("p", "q", 1.5), ("p", "r", 1.5)))
   }
+
+  test("boilerplate removal: the shared banner line vanishes from every " +
+    "doc, unique bodies survive verbatim, vanished docs report empty") {
+    // 6 docs share the 3-token banner "cookie notice accept"; each has
+    // a unique 3-token body; doc 6 is banner-only
+    val docs = ((0 until 6).map(i =>
+        (i.toLong, s"cookie notice accept body$i text here")) :+
+      (6L, "cookie notice accept")).toDF("doc_id", "text")
+    val got = TextOps.boilerplateRemoveOf(docs, span = 3, minDf = 5L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 7)
+    got.foreach { case (id, clean, nLines, nRemoved) =>
+      if (id < 6) {
+        assert(clean == s"body$id text here" && nLines == 2 && nRemoved == 1)
+      } else {
+        assert(clean == "" && nLines == 1 && nRemoved == 1)
+      }
+    }
+    // below the df threshold nothing is boilerplate: everything survives
+    val kept = TextOps.boilerplateRemoveOf(docs, span = 3, minDf = 8L)
+      .collect()
+    kept.foreach(r => assert(r.getLong(3) == 0L))
+  }
+
+  test("bigram coverage: in-vocab docs score 1, novel-bigram docs score " +
+    "their overlap fraction exactly") {
+    // "a b" dominates the vocabulary; doc 10's "x y" bigrams are novel
+    val docs = ((0 until 10).map(i => (i.toLong, "a b a b a")) :+
+      (10L, "a b x y")).toDF("doc_id", "text")
+    // v=2 vocab: "a b" (cnt 21), "b a" (cnt 20) — doc 10 has bigrams
+    // [a b, b x, x y]: only 1 of 3 covered
+    val by = TextOps.bigramCoverageOf(docs, v = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(by(0L) == ((4L, 4L, 1.0)))
+    assert(by(10L) == ((3L, 1L, 1.0 / 3.0)))
+  }
+
+  test("median impute: present rows pass through, missing rows get their " +
+    "type's exact median, flags partition the table") {
+    val sf = TestSpark.sf
+    val got = graft.operators.Relational.medianImpute(spark, sf).collect()
+    assert(got.nonEmpty)
+    // recompute medians per type over present rows (exact interpolated)
+    val present = got.filter(!_.getBoolean(3))
+    val medians = present.groupBy(_.getString(1)).map { case (t, rs) =>
+      val v = rs.map(_.getDouble(2)).sorted
+      val n = v.length
+      val m = if (n % 2 == 1) v(n / 2) else {
+        val (a, b) = (v(n / 2 - 1), v(n / 2)); a + (b - a) * 0.5
+      }
+      t -> m
+    }
+    val missing = got.filter(_.getBoolean(3))
+    assert(missing.nonEmpty && present.nonEmpty)
+    missing.foreach(r =>
+      assert(r.getDouble(2) == medians(r.getString(1))))
+  }
 }
