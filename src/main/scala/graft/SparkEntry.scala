@@ -183,6 +183,7 @@ object SparkEntry {
       Relational.customerOrderDistribution(s, d)),
     "disjunctive_discount_revenue" -> ((s, d) =>
       Relational.disjunctiveDiscountRevenue(s, d)),
+    "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "boilerplate_remove" -> ((s, d) => TextOps.boilerplateRemove(s, d)),
     "bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
     "median_impute" -> ((s, d) => Relational.medianImpute(s, d)),
@@ -338,6 +339,65 @@ object SparkEntry {
   private val vecCtes =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** PQ oracle: per-subspace CTE chain (seed → L2-assign → one Lloyd
+    * step → encode → ADC lookup table), unrolled for the same m=4
+    * subspaces of 16 dims, centroidEvery=50, iters=1, 8 queries, k=5
+    * as [[graft.operators.Similarity.pqTopK]]'s defaults. Everything
+    * up to the final cosine divide is exact integer arithmetic in the
+    * round(x·1e6) domain, so codes and scores are bit-identical.
+    */
+  private def pqOracle(m: Int = 4, sd: Int = 16, every: Int = 50,
+      nq: Int = 8, k: Int = 5): String = {
+    def l2(s: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, $sd), i -> ($s[i]-$c[i])*($s[i]-$c[i])))"
+    val subCtes = (0 until m).map { j =>
+      val (lo, hi) = (j * sd + 1, (j + 1) * sd)
+      s"""s$j AS (SELECT vec_id, qv[$lo:$hi] AS s FROM q),
+         |c0_$j AS (SELECT vec_id AS cent_id, s AS cv FROM s$j WHERE vec_id % $every = 0),
+         |a1_$j AS (SELECT vec_id, s, cent_id FROM (
+         |  SELECT t.vec_id, t.s, c.cent_id, ROW_NUMBER() OVER (PARTITION BY t.vec_id
+         |    ORDER BY ${l2("t.s", "c.cv")} ASC, c.cent_id) AS rn
+         |  FROM s$j t, c0_$j c) WHERE rn = 1),
+         |m1_$j AS (SELECT cent_id, i, FLOOR(SUM(x) / COUNT(*)) AS m FROM (
+         |  SELECT cent_id, unnest(s) AS x, unnest(range(len(s))) AS i FROM a1_$j)
+         |  GROUP BY cent_id, i),
+         |c1_$j AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM m1_$j GROUP BY cent_id),
+         |a2_$j AS (SELECT vec_id, cent_id AS code$j FROM (
+         |  SELECT t.vec_id, c.cent_id, ROW_NUMBER() OVER (PARTITION BY t.vec_id
+         |    ORDER BY ${l2("t.s", "c.cv")} ASC, c.cent_id) AS rn
+         |  FROM s$j t, c1_$j c) WHERE rn = 1),
+         |lut_$j AS (SELECT qq.vec_id AS query_id, c.cent_id AS code$j,
+         |    list_sum(list_transform(generate_series(1, $sd), i -> qq.s[i]*c.cv[i])) AS pdot$j,
+         |    list_sum(list_transform(generate_series(1, $sd), i -> c.cv[i]*c.cv[i])) AS cn2_$j
+         |  FROM s$j qq, c1_$j c WHERE qq.vec_id < $nq)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until m)
+      .map(j => s"JOIN lut_$j l$j ON l$j.query_id = qn.query_id AND l$j.code$j = v.code$j")
+      .mkString("\n  ")
+    val approx = (0 until m).map(j => s"l$j.pdot$j").mkString(" + ")
+    val recon2 = (0 until m).map(j => s"l$j.cn2_$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS qv
+       |  FROM embeddings),
+       |$subCtes,
+       |qn AS (SELECT vec_id AS query_id,
+       |    list_sum(list_transform(generate_series(1, ${m * sd}), i -> qv[i]*qv[i])) AS qn2
+       |  FROM q WHERE vec_id < $nq),
+       |scored AS (SELECT qn.query_id, v.vec_id AS neighbor_id,
+       |    ($approx) / sqrt(qn.qn2) / sqrt($recon2) AS cos_adc
+       |  FROM (SELECT * FROM a2_0 $codeJoins) v
+       |  CROSS JOIN qn
+       |  $lutJoins
+       |  WHERE v.vec_id <> qn.query_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_adc FROM (
+       |  SELECT query_id, neighbor_id, cos_adc, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_adc DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB stopword-profile fragments shared by the lang_id oracle. */
   private def inList(ws: Seq[String]): String =
@@ -2195,6 +2255,10 @@ object SparkEntry {
          |    AND l_quantity BETWEEN 10 AND 20)
          |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
          |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // PQ/ADC: per-subspace trained codebooks, table-lookup scoring —
+    // the CTE chain unrolls the identical fixed-point training
+    "ann_pq_topk" -> pqOracle(),
 
     // CCNet-style line-level boilerplate removal: "line" = 3-token
     // non-overlapping slice, boilerplate = line in >= 5 distinct docs

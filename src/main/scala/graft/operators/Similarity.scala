@@ -585,4 +585,97 @@ object Similarity {
       .select($"query_id", $"rank", $"neighbor_id", $"cos")
       .orderBy($"query_id", $"rank")
   }
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid 2011 — the FAISS
+    * `PQ` index) with asymmetric-distance (ADC) scoring. The vector
+    * space splits into `m` subspaces; each trains its own small
+    * codebook (seeded by the vec_id % centroidEvery subsample, refined
+    * by `iters` Lloyd steps — the [[ivfKmeansTopKOf]] fixed-point
+    * machinery reused per subspace with L2 assignment); every vector
+    * compresses to `m` small code ids. A query builds one tiny
+    * lookup table per subspace (its dot with every codeword — the ADC
+    * trick: computed ONCE per query, not once per vector) and the scan
+    * scores each compressed vector by `m` table lookups instead of a
+    * d-dimensional dot.
+    *
+    * Scale shape: this is THE storage-bound ANN design — the corpus
+    * persists as m small ints per vector (here m·8 bytes vs d·4; with
+    * byte codes m bytes), the scan reads no float vectors at all, and
+    * each LUT join is a broadcast hash join on (query_id, code).
+    * Training cost is per-subspace constant; codebooks and LUTs are
+    * KB-sized broadcasts. Everything until the final cosine divide is
+    * exact integer arithmetic in the quantized domain (sums bounded by
+    * d·(2·10⁶)² ≪ 2⁵³), so the DuckDB oracle unrolls the identical
+    * training and lands on bit-identical codes and scores.
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 8,
+      m: Int = 4, centroidEvery: Int = 50, iters: Int = 1): DataFrame =
+    pqTopKOf(Tables.embeddings(spark, dir), k, nQueries, m, centroidEvery, iters)
+
+  /** [[pqTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def pqTopKOf(embeddings: DataFrame, k: Int = 5, nQueries: Int = 8,
+      m: Int = 4, centroidEvery: Int = 50, iters: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select($"vec_id", quantize($"embedding").as("qv")).cache()
+    val first = e.select(size($"qv")).limit(1).collect()
+    if (first.isEmpty) { e.unpersist(); return emptyTopK(
+      e.select($"vec_id")).withColumnRenamed("cos", "cos_adc") }
+    val dim = first(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    def sub(j: Int, c: Column) = slice(c, j * sd + 1, sd)
+    // negated exact-integer L2 so the shared argmax projection picks the
+    // NEAREST codeword, ties on the smallest cent_id (oracle: row_number
+    // over (dist ASC, cent_id ASC))
+    def negL2(s: Column, cv: Seq[Double]): Column =
+      -aggregate(zip_with(s, typedLit(cv), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, y) => acc + y)
+    def trainBook(j: Int): Seq[(Long, Seq[Double])] = {
+      val s = e.select($"vec_id", sub(j, $"qv").as("qv"))
+      var cents = collectCents[Double](
+        s.filter(pmod($"vec_id", lit(centroidEvery)) === 0)
+          .select($"vec_id".as("cent_id"), $"qv".as("cv")))
+      for (_ <- 0 until iters if cents.nonEmpty) {
+        val assigned = s.select(
+          nearestCent(cents.map(c => negL2($"qv", c._2)), cents.map(_._1))
+            .as("cent_id"), $"qv")
+        cents = collectCents[Double](lloydStep(assigned))
+      }
+      cents
+    }
+    val books = (0 until m).map(trainBook)
+    // encode: the whole corpus compresses to m code columns, one pure
+    // projection (no shuffle — this is the PQ index build)
+    val codes = e.select(($"vec_id" +: (0 until m).map(j =>
+      nearestCent(books(j).map(c => negL2(sub(j, $"qv"), c._2)),
+        books(j).map(_._1)).as(s"code$j"))): _*)
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"qv", qdot($"qv", $"qv").as("qn2"))
+    // per-subspace ADC lookup tables: query · codeword partial dots
+    // plus the codeword's squared norm (driver-side exact integer fold)
+    val luts = (0 until m).map { j =>
+      val bookDf = spark.createDataset(books(j).map { case (cid, cv) =>
+        (cid, cv, cv.foldLeft(0.0)((a, x) => a + x * x)) })
+        .toDF(s"code$j", "cv", s"cn2_$j")
+      queries.select($"query_id", sub(j, $"qv").as("qs"))
+        .crossJoin(broadcast(bookDf))
+        .select($"query_id", col(s"code$j"),
+          qdot($"qs", $"cv").as(s"pdot$j"), col(s"cn2_$j"))
+    }
+    e.unpersist()
+    var scored = codes
+      .crossJoin(broadcast(queries.select($"query_id", $"qn2")))
+      .filter($"vec_id" =!= $"query_id")
+    for (j <- 0 until m)
+      scored = scored.join(broadcast(luts(j)), Seq("query_id", s"code$j"))
+    val approx = (0 until m).map(j => col(s"pdot$j")).reduce(_ + _)
+    val recon2 = (0 until m).map(j => col(s"cn2_$j")).reduce(_ + _)
+    val out = scored.select($"query_id", $"vec_id".as("neighbor_id"),
+      (approx / sqrt($"qn2") / sqrt(recon2)).as("cos_adc"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_adc".desc, $"neighbor_id")
+    out.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_adc")
+      .orderBy($"query_id", $"rank")
+  }
 }

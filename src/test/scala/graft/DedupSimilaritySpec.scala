@@ -430,4 +430,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, "red widget", 1), (3L, "red gadget", 1)),
       s"block-miss and no-match rows must be absent, ties by name: $got")
   }
+
+  test("PQ/ADC: codeword-per-vector PQ degenerates to exact search; " +
+    "default index is structurally sound and rerun-identical") {
+    // exactness limit: with centroidEvery=1 and no Lloyd refinement,
+    // every vector is its own codeword, ADC reconstructs the quantized
+    // vector exactly, and the top-k equals brute force
+    val brute = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val exact = Similarity.pqTopKOf(
+        Tables.embeddings(spark, sf), centroidEvery = 1, iters = 0)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(exact == brute,
+      s"degenerate PQ must equal brute force: ${exact.toSeq.diff(brute.toSeq)}")
+    // default compressed index: every query gets k contiguous ranks,
+    // never itself, and the build is deterministic
+    val a = Similarity.pqTopK(spark, sf).collect()
+    val b = Similarity.pqTopK(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "PQ build must be rerun-identical")
+    val byQuery = a.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+      rows.foreach(r => assert(r.getLong(2) != q, "no self-match"))
+    }
+  }
 }
