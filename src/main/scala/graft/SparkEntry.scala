@@ -187,6 +187,8 @@ object SparkEntry {
     "boilerplate_remove" -> ((s, d) => TextOps.boilerplateRemove(s, d)),
     "bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
     "median_impute" -> ((s, d) => Relational.medianImpute(s, d)),
+    "weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
+    "length_bucket_audit" -> ((s, d) => TextOps.lengthBucketAudit(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2308,5 +2310,29 @@ object SparkEntry {
          |  was_missing
          |FROM ev JOIN m ON ev.event_type = m.event_type
          |ORDER BY event_id""".stripMargin,
+
+    // length-proportional Bernoulli keep: h % cap < min(n_chars, cap),
+    // exact integers, "wsamp:" salt decorrelates from the other gates
+    "weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |  CAST(LEAST(n_chars, 512) AS BIGINT) AS weight
+         |FROM documents
+         |WHERE ${h60("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 512
+         |  < LEAST(n_chars, 512)
+         |ORDER BY doc_id""".stripMargin,
+
+    // power-of-two padded-batch buckets from the binary digit count —
+    // no float log2 near exact powers of two
+    "length_bucket_audit" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN nt <= 1 THEN 1
+        |    ELSE CAST(1 AS BIGINT) << length(bin(nt - 1)) END AS bucket, nt
+        |  FROM d)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(*) * bucket AS BIGINT) AS pad_tokens,
+        |  1.0 - CAST(SUM(nt) AS DOUBLE) / (COUNT(*) * bucket) AS waste_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

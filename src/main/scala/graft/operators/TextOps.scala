@@ -773,6 +773,55 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Length-proportional weighted sampling (importance sampling by
+    * document size — the curriculum/mixing move that keeps token mass
+    * rather than doc count representative): each doc survives with
+    * probability min(n_chars, cap)/cap, decided by the same salted
+    * integer hash gate as [[stratifiedSampleOf]] — `h % cap <
+    * min(n_chars, cap)` is exact integer arithmetic, RNG-free,
+    * rerun-identical, and engine-identical. Docs at or above `cap`
+    * chars always survive; a doc half the cap survives half the time.
+    * Pure projection at any scale — no shuffle, no census pass,
+    * nothing collected.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+      cap: Int = 512): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        least($"n_chars", lit(cap.toLong)).as("weight"))
+      .filter(Dedup.hash60(concat(lit("wsamp:"), $"doc_id".cast("string")))
+        % cap < $"weight")
+      .orderBy($"doc_id")
+  }
+
+  /** Sequence-length bucketing audit (the training-batch efficiency
+    * report): docs group into power-of-two token-length buckets (the
+    * standard padded-batch layout) and each bucket reports its doc
+    * count, real token mass, padded token mass (count × bucket width),
+    * and padding waste. The power-of-two ceiling is computed from the
+    * BINARY DIGIT COUNT (`1 << length(bin(n-1))`) — exact integer
+    * arithmetic, no float log2 whose ulp error at exact powers of two
+    * would mis-bucket in one engine and not the other. One
+    * partial-aggregatable integer shuffle over at most ~40 buckets.
+    */
+  def lengthBucketAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = TextFns.whitespaceTokenCount($"text").cast("long")
+    Tables.widened(spark, Tables.documents(spark, dir))
+      .select(n.as("nt"))
+      .select(when($"nt" <= 1, lit(1L))
+        .otherwise(expr("shiftleft(1L, length(bin(nt - 1)))"))
+        .as("bucket"), $"nt")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("sum_tokens"))
+      .select($"bucket", $"n_docs", $"sum_tokens",
+        ($"n_docs" * $"bucket").as("pad_tokens"),
+        (lit(1.0) - $"sum_tokens".cast("double") / ($"n_docs" * $"bucket"))
+          .as("waste_frac"))
+      .orderBy($"bucket")
+  }
+
   /** F3/F4 round-trip: render each event as the reference's pseudo-JSON
     * wire format (`{'userid': 88888,'music': ('m1', 1038), 'rating': 1}`),
     * then decode it back with the engine's parser. The oracle computes

@@ -386,6 +386,41 @@ class TextFnsSpec extends AnyFunSuite {
     assert(by(10L) == ((3L, 1L, 1.0 / 3.0)))
   }
 
+  test("weighted sample: at-cap docs always survive, empty docs never, " +
+    "and the draw is rerun-identical") {
+    val sf = TestSpark.sf
+    val kept = graft.operators.TextOps.weightedSample(spark, sf).collect()
+    val keptIds = kept.map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    val all = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // every doc at or above the cap survives with certainty
+    all.filter(_._2 >= 512).foreach { case (id, _) =>
+      assert(keptIds.contains(id), s"doc $id at cap must survive") }
+    // weight column is the capped length
+    kept.foreach(r => assert(r.getLong(2) == math.min(r.getLong(1), 512L)))
+    val again = graft.operators.TextOps.weightedSample(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == keptIds)
+  }
+
+  test("length buckets: powers of two, every doc in exactly one bucket, " +
+    "each bucket's token mass inside its half-open range") {
+    val sf = TestSpark.sf
+    val rows = graft.operators.TextOps.lengthBucketAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    rows.foreach { case (bucket, nDocs, sumTok, padTok) =>
+      assert((bucket & (bucket - 1)) == 0L, s"bucket $bucket not a power of 2")
+      assert(padTok == nDocs * bucket)
+      assert(sumTok <= padTok)
+      if (bucket > 1) assert(sumTok > nDocs * bucket / 2,
+        s"a doc below bucket/2 leaked into bucket $bucket")
+    }
+  }
+
   test("median impute: present rows pass through, missing rows get their " +
     "type's exact median, flags partition the table") {
     val sf = TestSpark.sf
