@@ -189,6 +189,7 @@ object SparkEntry {
     "median_impute" -> ((s, d) => Relational.medianImpute(s, d)),
     "weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     "length_bucket_audit" -> ((s, d) => TextOps.lengthBucketAudit(s, d)),
+    "cluster_best_keeper" -> ((s, d) => Dedup.clusterBestKeeper(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2320,6 +2321,26 @@ object SparkEntry {
          |WHERE ${h60("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 512
          |  < LEAST(n_chars, 512)
          |ORDER BY doc_id""".stripMargin,
+
+    // production keeper policy: per near-dup cluster, the argmax by
+    // (quality DESC, doc_id ASC) — quality is the oracle-checked
+    // bit-identical double, so the winner is engine-identical
+    "cluster_best_keeper" ->
+      s"""WITH cl AS ($dedupClustersSql),
+         |q AS (SELECT doc_id,
+         |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+         |    + CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) * 0.5
+         |    + CAST(len(list_filter(l, x -> x IN ${inList(graft.functions.TextFns.stopwordProfiles("en"))})) AS DOUBLE)
+         |      / CAST(len(l) AS DOUBLE) * 0.25 AS quality
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT cluster_id, keeper, quality, n_members FROM (
+         |  SELECT cluster_id, doc_id AS keeper, quality,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM m) WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // power-of-two padded-batch buckets from the binary digit count —
     // no float log2 near exact powers of two

@@ -556,6 +556,42 @@ object Dedup {
       .orderBy($"doc_id"), rounds)
   }
 
+  /** Per-near-dup-cluster BEST-QUALITY keeper — the production keeper
+    * policy ([[exactDedupOf]]'s min-id rule is only right when the
+    * duplicates are byte-identical; near-dup members differ, and a
+    * pipeline keeps the best copy, not the first). Members of each
+    * resolved cluster rank by (quality DESC, doc_id ASC); the winner
+    * is picked by ONE partial-aggregatable struct-max per cluster —
+    * `max(struct(quality, -doc_id))` compares field-by-field, so the
+    * exact quality double decides and the negated id breaks ties
+    * toward the smallest doc_id, with no window, no sort, no
+    * per-cluster state beyond one struct. Quality is the
+    * already-oracle-checked [[graft.functions.TextFns.qualityScore]],
+    * bit-identical in both engines, so the argmax is engine-identical
+    * too. Singletons (docs in no pair) are not cluster members and do
+    * not appear — they need no keeper decision.
+    */
+  def clusterBestKeeper(spark: SparkSession, dir: String): DataFrame =
+    clusterBestKeeperOf(nearDupClusters(spark, dir),
+      Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[clusterBestKeeper]] over any (doc_id, cluster_id) membership
+    * and (doc_id, text) relation.
+    */
+  def clusterBestKeeperOf(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val spark = clusters.sparkSession
+    import spark.implicits._
+    val quality = docs
+      .select($"doc_id", TextFns.qualityScore($"text").as("quality"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"quality", (-$"doc_id").as("neg_id"))).as("best"))
+      .select($"cluster_id", (-$"best.neg_id").as("keeper"),
+        $"best.quality".as("quality"), $"n_members")
+      .orderBy($"cluster_id")
+  }
+
   /** Benchmark decontamination — the standard pretraining hygiene
     * pass: flag corpus documents sharing at least one word n-gram
     * (default 8, the common contamination shingle size) with a

@@ -431,6 +431,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"block-miss and no-match rows must be absent, ties by name: $got")
   }
 
+  test("cluster best keeper: quality argmax wins, min-id breaks exact " +
+    "ties, singletons excluded") {
+    import spark.implicits._
+    // cluster A = {1,2,3}: doc 3 has the longest text (highest length
+    // term of qualityScore, identical token diversity) and must win
+    // over the smaller ids; cluster B = {10,11}: identical texts tie
+    // on quality, so the smaller id 10 wins; doc 99 is a singleton
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (10L, "same words here"),
+      (11L, "same words here"),
+      (99L, "lonely text")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterBestKeeperOf(clusters, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 3L), (10L, 10L, 2L)), got.toSeq.toString)
+  }
+
   test("PQ/ADC: codeword-per-vector PQ degenerates to exact search; " +
     "default index is structurally sound and rerun-identical") {
     // exactness limit: with centroidEvery=1 and no Lloyd refinement,
