@@ -351,13 +351,14 @@ object SparkEntry {
     * round(x·1e6) domain, so codes and scores are bit-identical.
     */
   private def pqOracle(m: Int = 4, sd: Int = 16, every: Int = 50,
-      nq: Int = 8, k: Int = 5): String = {
+      nq: Int = 8, k: Int = 5, maxBook: Int = 64): String = {
     def l2(s: String, c: String) =
       s"list_sum(list_transform(generate_series(1, $sd), i -> ($s[i]-$c[i])*($s[i]-$c[i])))"
     val subCtes = (0 until m).map { j =>
       val (lo, hi) = (j * sd + 1, (j + 1) * sd)
       s"""s$j AS (SELECT vec_id, qv[$lo:$hi] AS s FROM q),
-         |c0_$j AS (SELECT vec_id AS cent_id, s AS cv FROM s$j WHERE vec_id % $every = 0),
+         |c0_$j AS (SELECT vec_id AS cent_id, s AS cv FROM s$j
+         |  WHERE vec_id % $every = 0 AND vec_id < ${every.toLong * maxBook}),
          |a1_$j AS (SELECT vec_id, s, cent_id FROM (
          |  SELECT t.vec_id, t.s, c.cent_id, ROW_NUMBER() OVER (PARTITION BY t.vec_id
          |    ORDER BY ${l2("t.s", "c.cv")} ASC, c.cent_id) AS rn

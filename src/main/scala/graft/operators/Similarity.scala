@@ -612,9 +612,17 @@ object Similarity {
       m: Int = 4, centroidEvery: Int = 50, iters: Int = 1): DataFrame =
     pqTopKOf(Tables.embeddings(spark, dir), k, nQueries, m, centroidEvery, iters)
 
-  /** [[pqTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  /** [[pqTopK]] over any (vec_id, embedding ARRAY<FLOAT>). `maxBook`
+    * BOUNDS each subspace's codebook (seeds are the subsample's first
+    * maxBook members): a production PQ codebook is a fixed size (256
+    * in FAISS) regardless of corpus size — an unbounded
+    * corpus-proportional codebook would both defeat the compression
+    * (codes need more bits) and grow the encode projection without
+    * limit at 100 TB.
+    */
   def pqTopKOf(embeddings: DataFrame, k: Int = 5, nQueries: Int = 8,
-      m: Int = 4, centroidEvery: Int = 50, iters: Int = 1): DataFrame = {
+      m: Int = 4, centroidEvery: Int = 50, iters: Int = 1,
+      maxBook: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings.select($"vec_id", quantize($"embedding").as("qv")).cache()
@@ -634,7 +642,8 @@ object Similarity {
     def trainBook(j: Int): Seq[(Long, Seq[Double])] = {
       val s = e.select($"vec_id", sub(j, $"qv").as("qv"))
       var cents = collectCents[Double](
-        s.filter(pmod($"vec_id", lit(centroidEvery)) === 0)
+        s.filter(pmod($"vec_id", lit(centroidEvery)) === 0 &&
+            $"vec_id" < centroidEvery.toLong * maxBook)
           .select($"vec_id".as("cent_id"), $"qv".as("cv")))
       for (_ <- 0 until iters if cents.nonEmpty) {
         val assigned = s.select(

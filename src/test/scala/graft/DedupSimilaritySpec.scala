@@ -460,7 +460,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val brute = Similarity.cosineTopK(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
     val exact = Similarity.pqTopKOf(
-        Tables.embeddings(spark, sf), centroidEvery = 1, iters = 0)
+        Tables.embeddings(spark, sf), centroidEvery = 1, iters = 0,
+        maxBook = Int.MaxValue)
       .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
     assert(exact == brute,
       s"degenerate PQ must equal brute force: ${exact.toSeq.diff(brute.toSeq)}")
