@@ -125,6 +125,7 @@ object SparkEntry {
     "moving_window_features" -> ((s, d) => Relational.movingWindowFeatures(s, d)),
     "ewma_value" -> ((s, d) => Temporal.ewmaValue(s, d)),
     "triangle_counts" -> ((s, d) => Graph.triangleCounts(s, d)),
+    "graph_components" -> ((s, d) => Graph.graphComponents(s, d)),
     "daily_activity" -> ((s, d) => Relational.dailyActivity(s, d)),
     "distribution_drift" -> ((s, d) => TextOps.distributionDrift(s, d)),
     "streaming_ewma" -> ((s, d) => graft.streaming.Streams.ewmaStreamQuery(s, d)),
@@ -1599,6 +1600,9 @@ object SparkEntry {
     // oriented wedge-close enumeration over the SAME capped edge CTEs
     // as pagerank_corated
     "triangle_counts" -> graft.operators.Graph.triangleSql(),
+    // components + sizes on the song graph: recursive-reach fixed
+    // point vs the engine's detected-fixpoint pointer jumping
+    "graph_components" -> graft.operators.Graph.componentsSql(),
 
     // day index = epoch floor-div in each engine's native epoch unit
     // (nanos here, micros there — same quotient)

@@ -186,6 +186,72 @@ object Graph {
        |FROM l$rounds ORDER BY song_id""".stripMargin
   }
 
+  /** Connected components over the capped co-rating graph, with
+    * per-component sizes — the graph family's components member made
+    * first-class on the SONG graph (the dedup pipeline already runs
+    * the same algorithm on near-dup pairs). Reuses
+    * [[Dedup.clusterPairsOf]]'s detected-fixpoint min-label
+    * propagation with pointer jumping: O(log diameter) rounds, each a
+    * partial-aggregatable (node, min label) shuffle, convergence
+    * DETECTED by the monotone label-sum potential (never an unroll
+    * count to keep in sync). The oracle states the genuine fixed point
+    * as a recursive CTE, so there is no round-parity to maintain.
+    * Isolated songs (no co-rating partner) have no component
+    * membership and are absent on both sides.
+    */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame =
+    graphComponentsOf(coRatingEdges(spark, dir))
+
+  /** [[graphComponents]] over any symmetric (src, dst) edge relation. */
+  def graphComponentsOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.filter($"src" < $"dst")
+      .select($"src".as("doc_a"), $"dst".as("doc_b"))
+    val comp = Dedup.clusterPairsOf(pairs)
+      .select(col("doc_id").as("song_id"), col("cluster_id").as("component_id"))
+    val sizes = comp.groupBy($"component_id")
+      .agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, Seq("component_id"))
+      .select($"song_id", $"component_id", $"component_size")
+      .orderBy($"song_id")
+  }
+
+  /** DuckDB mirror of [[graphComponents]]: the capped co-rating pair
+    * CTEs + the recursive-reach fixed point (the
+    * `dedup_clusters` oracle shape on the song graph).
+    */
+  def componentsSql(maxItemsPerUser: Int = MaxItemsPerUser): String =
+    s"""WITH pos0 AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |popc AS (SELECT song_id, COUNT(*) AS pop FROM pos0 GROUP BY song_id),
+       |pos AS (SELECT user_id, song_id FROM (
+       |    SELECT p.user_id, p.song_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.user_id ORDER BY c.pop DESC, p.song_id) AS rn
+       |    FROM pos0 p JOIN popc c USING (song_id))
+       |  WHERE rn <= $maxItemsPerUser),
+       |pairs AS (SELECT DISTINCT x.song_id AS src, y.song_id AS dst
+       |  FROM pos x JOIN pos y ON x.user_id = y.user_id
+       |    AND x.song_id < y.song_id),
+       |verts AS (SELECT src AS id FROM pairs UNION SELECT dst FROM pairs),
+       |sym AS (SELECT src, dst FROM pairs
+       |  UNION ALL SELECT dst, src FROM pairs),
+       |comp AS (SELECT node AS song_id, MIN(label) AS component_id FROM (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT id AS node, id AS label FROM verts
+       |    UNION
+       |    SELECT s.dst AS node, r.label
+       |    FROM reach r JOIN sym s ON s.src = r.node
+       |    WHERE r.label < s.dst)
+       |  SELECT * FROM reach)
+       |GROUP BY node),
+       |sizes AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+       |  FROM comp GROUP BY component_id)
+       |SELECT song_id, component_id, component_size
+       |FROM comp JOIN sizes USING (component_id)
+       |ORDER BY song_id""".stripMargin
+
   /** Per-song triangle participation counts on the capped co-rating
     * graph — the local clustering signal a related-items pipeline uses
     * to separate genuine cliques from hub noise.

@@ -207,6 +207,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(graft.operators.Graph.coRatingEdgesOf(small, cap).count() == 20)
   }
 
+  test("graph components: two components labeled by their minimum, " +
+    "sizes exact, isolated nodes absent") {
+    import spark.implicits._
+    // path 1-2-3 and pair 10-11 (symmetric directed edges, as the
+    // co-rating build emits); node 99 never appears in an edge
+    val edges = Seq((1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.graphComponentsOf(edges).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 1, 3L), (2, 1, 3L), (3, 1, 3L),
+      (10, 10, 2L), (11, 10, 2L)), got.toString)
+  }
+
   test("shipping priority: broadcast join + TakeOrderedAndProject, no global sort") {
     val df = Relational.shippingPriority(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
