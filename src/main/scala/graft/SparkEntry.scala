@@ -93,6 +93,8 @@ object SparkEntry {
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
     "media_resize" -> ((s, d) => graft.multimodal.Multimodal.mediaResize(s, d)),
+    "media_phash_dedup" -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaPhashDedup(s, d)),
     "audio_resample" -> ((s, d) => graft.multimodal.Multimodal.audioResample(s, d)),
     "csv_roundtrip" -> ((s, d) => graft.sources.Sources.csvRoundtrip(s, d)),
     "json_roundtrip" -> ((s, d) => graft.sources.Sources.jsonRoundtrip(s, d)),
@@ -1112,6 +1114,31 @@ object SparkEntry {
         |SELECT media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
         |  string_agg(CAST(p AS VARCHAR), ';' ORDER BY pos) AS pixels
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // aHash from the pixel formula: 8x8 nearest downsample, strict
+    // compare against the integer-floor mean, bit_or of set bits
+    "media_phash_dedup" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |    (doc_id % 64) + 1 AS sw, (doc_id % 48) + 1 AS sh
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (SELECT media_id, sw, sh, unnest(range(8)) AS x FROM img),
+        |ys AS (SELECT media_id, sw, sh, x, unnest(range(8)) AS y FROM xs),
+        |px AS (SELECT media_id, y * 8 + x AS pos,
+        |    (media_id * 31 + ((x * sw) // 8) * 7 + ((y * sh) // 8) * 13) % 256 AS p
+        |  FROM ys),
+        |m AS (SELECT media_id, SUM(p) // 64 AS mean FROM px GROUP BY media_id),
+        |hs AS (SELECT px.media_id,
+        |    bit_or(CASE WHEN p > mean AND pos < 32
+        |      THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS phash_lo,
+        |    bit_or(CASE WHEN p > mean AND pos >= 32
+        |      THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) ELSE 0 END) AS phash_hi
+        |  FROM px JOIN m USING (media_id) GROUP BY px.media_id),
+        |g AS (SELECT phash_lo, phash_hi, MIN(media_id) AS keeper,
+        |    CAST(COUNT(*) AS BIGINT) AS n_copies
+        |  FROM hs GROUP BY phash_lo, phash_hi)
+        |SELECT media_id, phash_lo, phash_hi, media_id = keeper AS is_keeper,
+        |  n_copies
+        |FROM hs JOIN g USING (phash_lo, phash_hi) ORDER BY media_id""".stripMargin,
 
     // The Spark side runs WAV encode -> javax.sound decode -> integer
     // decimation -> WAV re-encode at the halved rate -> decode; the

@@ -379,6 +379,53 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Perceptual-hash (average-hash) image dedup over the REAL codec
+    * path — the multimodal member of the dedup family: decode the PNG
+    * (ImageIO), downsample to `side`×`side` (the same integer
+    * nearest-neighbor as [[mediaResize]]), threshold each pixel
+    * against the integer-floor mean, pack the 64 bits into one long.
+    * Images whose content matches land on the same hash regardless of
+    * their original resolution — the synthetic pattern genuinely
+    * collides across ids (same pattern mod 256 and same dims), so
+    * duplicate groups exist and the keeper rule is exercised. Scale
+    * shape: hashing is per-row executor work on the binary column (no
+    * shuffle), the dedup is exactly [[graft.operators.Dedup]]'s
+    * hash-groupBy. The oracle reproduces the hash from the pixel
+    * formula alone, so any decode or resample defect flips bits and
+    * hash-mismatches.
+    */
+  def mediaPhashDedup(spark: SparkSession, dir: String,
+      side: Int = 8): DataFrame = {
+    import spark.implicits._
+    // hash carried as two 32-bit halves: a packed 64-bit long's sign
+    // bit would need 1<<63, which DuckDB's checked shift rejects —
+    // two non-negative halves group identically with no overflow on
+    // either engine
+    val hashed = mediaTable(spark, dir).filter($"kind" === "image")
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (w, h, pix) = ImageCodec.decodeGray(r.payload)
+        val small = ImageCodec.resizeNearest(pix, w, h, side, side)
+        val mean = small.map(_.toLong).sum / (side * side)
+        var lo = 0L
+        var hi = 0L
+        var i = 0
+        while (i < small.length) {
+          if (small(i) > mean) {
+            if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+          }
+          i += 1
+        }
+        (r.media_id, lo, hi)
+      }).toDF("media_id", "phash_lo", "phash_hi")
+    val groups = hashed.groupBy($"phash_lo", $"phash_hi")
+      .agg(min($"media_id").as("keeper"), count(lit(1)).as("n_copies"))
+    hashed.join(groups, Seq("phash_lo", "phash_hi"))
+      .select($"media_id", $"phash_lo", $"phash_hi",
+        ($"media_id" === $"keeper").as("is_keeper"), $"n_copies")
+      .orderBy($"media_id")
+  }
+
   /** Driver query for the audio path, REAL end to end: WAV-encoded
     * sample pattern → javax.sound decode → integer decimation (every
     * 2nd sample, rate halved) → WAV re-encode at the new rate → decode

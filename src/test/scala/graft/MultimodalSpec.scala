@@ -137,4 +137,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ByteFallbackCodec.resize(Array[Byte](1, 2, 3), 2, 2).toSeq ==
       Seq[Byte](1, 2, 3, 0))
   }
+
+  test("phash dedup: resolution-invariant for nearest-upscaled content, " +
+    "one keeper per group and it is the minimum id") {
+    // the same 8x8 content nearest-upscaled to 16x16 must hash equal:
+    // downsampling the upscale recovers the original pixels exactly
+    def hashOf(payload: Array[Byte]): (Long, Long) = {
+      val (w, h, pix) = ImageCodec.decodeGray(payload)
+      val small = ImageCodec.resizeNearest(pix, w, h, 8, 8)
+      val mean = small.map(_.toLong).sum / 64
+      var lo = 0L; var hi = 0L
+      for (i <- small.indices if small(i) > mean)
+        if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+      (lo, hi)
+    }
+    val base = ImageCodec.renderPattern(5L, 8, 8)
+    val up = ImageCodec.resizeNearest(base, 8, 8, 16, 16)
+    assert(hashOf(ImageCodec.encodePng(8, 8, base)) ==
+      hashOf(ImageCodec.encodePng(16, 16, up)))
+    // driver shape: per (lo, hi) group exactly one keeper, the min id
+    val rows = Multimodal.mediaPhashDedup(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)),
+        r.getBoolean(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.count(_._3) == 1, "exactly one keeper per hash group")
+      assert(g.filter(_._3).head._1 == g.map(_._1).min)
+      assert(g.forall(_._4 == g.length))
+    }
+  }
 }
