@@ -373,4 +373,35 @@ class PlanSpec extends AnyFunSuite {
     val q13 = plan(Relational.customerOrderDistribution(spark, sf))
     assert(q13.contains("LeftOuter"), s"Q13 must keep the LEFT join:\n$q13")
   }
+
+  test("late-batch shapes: boilerplate anti-join hashes, bigram vocab " +
+    "broadcasts, PQ LUT joins broadcast, phash dedup is one hash agg") {
+    // boilerplate removal: the high-df line set joins back as a hash
+    // anti-join on the line text — a nested-loop here would be
+    // corpus × boilerplate
+    val bp = plan(graft.operators.TextOps.boilerplateRemove(spark, sf))
+    assert(bp.contains("LeftAnti"), s"boilerplate must anti-join:\n$bp")
+    assert(!bp.contains("BroadcastNestedLoopJoin") &&
+      !bp.contains("CartesianProduct"))
+    // bigram coverage: the top-v vocabulary is a broadcast membership
+    // join — the corpus side never shuffles for the score
+    val bg = plan(graft.operators.TextOps.bigramCoverage(spark, sf))
+    assert(bg.contains("BroadcastHashJoin"),
+      s"bigram vocab must broadcast:\n$bg")
+    assert(!bg.contains("CartesianProduct"))
+    // PQ: every ADC lookup table attaches by broadcast hash join on
+    // (query_id, code); the only nested-loop is the intended 8-row
+    // query-id fan-out, and nothing is a cartesian product
+    val pq = plan(graft.operators.Similarity.pqTopK(spark, sf))
+    assert(pq.contains("BroadcastHashJoin"),
+      s"PQ LUTs must broadcast-hash-join:\n$pq")
+    assert(!pq.contains("CartesianProduct"))
+    // phash dedup: executor-side hashing feeds ONE partial+final hash
+    // aggregate; the group stats attach by a hash join, never a sort
+    // of the full image set beyond the presentation order
+    val ph = plan(graft.multimodal.Multimodal.mediaPhashDedup(spark, sf))
+    assert(ph.contains("HashAggregate"), s"phash dedup must hash-agg:\n$ph")
+    assert(!ph.contains("BroadcastNestedLoopJoin") &&
+      !ph.contains("CartesianProduct"))
+  }
 }
