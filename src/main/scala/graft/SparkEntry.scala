@@ -63,6 +63,7 @@ object SparkEntry {
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
     "ann_ivf_kmeans_topk" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "ann_srp_topk" -> ((s, d) => Similarity.srpTopK(s, d)),
     "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
@@ -187,6 +188,7 @@ object SparkEntry {
     "disjunctive_discount_revenue" -> ((s, d) =>
       Relational.disjunctiveDiscountRevenue(s, d)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "ann_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
     "boilerplate_remove" -> ((s, d) => TextOps.boilerplateRemove(s, d)),
     "bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
     "median_impute" -> ((s, d) => Relational.medianImpute(s, d)),
@@ -1272,6 +1274,31 @@ object SparkEntry {
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // day-2 index shape: base-only quantizer + assignment, the new
+    // batch probes and scans only its clusters — no self-exclusion
+    // (the batch is disjoint from the base by construction)
+    "ann_incremental_ivf" ->
+      s"""WITH $vecCtes,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+         |  WHERE vec_id % 250 = 0 AND vec_id >= 8),
+         |assigned AS (SELECT cent_id, vec_id, v, nrm FROM (
+         |  SELECT n.vec_id, n.v, n.nrm, c.cent_id, ROW_NUMBER() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY list_inner_product(c.cv, n.v) / c.cn / n.nrm DESC, c.cent_id) AS arn
+         |  FROM n, cents c WHERE n.vec_id >= 8) WHERE arn = 1),
+         |probes AS (SELECT query_id, qv, qn, cent_id FROM (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cent_id, ROW_NUMBER() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY list_inner_product(c.cv, q.v) / c.cn / q.nrm DESC, c.cent_id) AS prn
+         |  FROM n q, cents c WHERE q.vec_id < 8) WHERE prn <= 2),
+         |scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(qv, a.v) / qn / a.nrm AS cos
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH $vecCtes,

@@ -586,6 +586,62 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Incremental IVF — the DAY-2 ANN maintenance shape (the embedding
+    * analog of the incremental-MinHash dedup pattern): a standing IVF
+    * index over the BASE corpus, and a small NEW batch that (a) probes
+    * its nprobe nearest coarse centroids and (b) scans only those
+    * clusters of the base for its top-k existing neighbors. The base
+    * corpus never self-joins, the batch never meets un-probed
+    * clusters, and the coarse quantizer is the base's — new vectors
+    * append to the index by one assignment projection, no retrain, no
+    * base rescan. At 100 TB this is THE shape arriving embeddings
+    * take: the day-1 index build is amortized; day-2 cost is
+    * O(batch · nprobe · cluster), independent of base size growth per
+    * batch. Deterministic split: `vec_id < nNew` is the new batch.
+    */
+  def incrementalIvfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nNew: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2): DataFrame =
+    incrementalIvfTopKOf(Tables.embeddings(spark, dir), k, nNew,
+      centroidEvery, nprobe)
+
+  /** [[incrementalIvfTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def incrementalIvfTopKOf(embeddings: DataFrame, k: Int = 5,
+      nNew: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2,
+      maxLiteralCents: Int = MaxLiteralCents): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val base = e.filter($"vec_id" >= nNew)
+    // coarse quantizer belongs to the standing index: seeds from the
+    // BASE subsample only (the batch cannot retroactively move it)
+    val cents = collectCents[Float](
+      base.filter(pmod($"vec_id", lit(centroidEvery)) === 0)
+        .select($"vec_id", $"v"))
+    if (cents.isEmpty) return emptyTopK(e)
+    val ids = cents.map(_._1)
+    val assigned =
+      if (cents.size <= maxLiteralCents)
+        base.select(nearestCent(fcsims($"v", $"nrm", cents), ids).as("cent_id"),
+          $"vec_id", $"v", $"nrm")
+      else bcAssignF(base, cents)
+    val probes =
+      if (cents.size <= maxLiteralCents)
+        e.filter($"vec_id" < nNew)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+            explode(topProbes(fcsims($"v", $"nrm", cents), ids, nprobe)).as("p"))
+          .select($"query_id", $"qv", $"qn", $"p.cent_id".as("cent_id"))
+      else bcProbesF(e, cents, nNew, nprobe)
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (dot($"qv", $"v") / $"qn" / $"nrm").as("cos"))
+    val global = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(global)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Product-quantization ANN (Jégou, Douze, Schmid 2011 — the FAISS
     * `PQ` index) with asymmetric-distance (ADC) scoring. The vector
     * space splits into `m` subspaces; each trains its own small

@@ -452,6 +452,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 3L), (10L, 10L, 2L)), got.toSeq.toString)
   }
 
+  test("incremental IVF: neighbors only from the base, full-probe " +
+    "coverage equals exact base-restricted top-k") {
+    import spark.implicits._
+    val nNew = 8
+    // full probe coverage (nprobe >= #centroids) must equal the exact
+    // top-k among BASE vectors — the approximation comes only from
+    // probe truncation, never from the index structure
+    val full = Similarity.incrementalIvfTopKOf(
+        Tables.embeddings(spark, sf), nNew = nNew, nprobe = 1000)
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(2) >= nNew, "neighbors must come from the base")
+    }
+    // exact recompute in the same fold order (floats -> double L2R)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val base = vecs.filter(_._1 >= nNew)
+    val wantTop = (0L until nNew).map { q =>
+      val qv = vecs(q)
+      q -> base.toSeq.map { case (id, v) =>
+        (dot(qv, v) / nrm(qv) / nrm(v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+    }.toMap
+    val gotTop = full.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map(_.getLong(2)).toSet }
+    assert(gotTop == wantTop, "full-probe incremental IVF must be exact")
+  }
+
   test("PQ/ADC: codeword-per-vector PQ degenerates to exact search; " +
     "default index is structurally sound and rerun-identical") {
     // exactness limit: with centroidEvery=1 and no Lloyd refinement,

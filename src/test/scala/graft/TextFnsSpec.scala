@@ -366,10 +366,16 @@ class TextFnsSpec extends AnyFunSuite {
         assert(clean == "" && nLines == 1 && nRemoved == 1)
       }
     }
-    // below the df threshold nothing is boilerplate: everything survives
+    // below the df threshold nothing is boilerplate: everything
+    // survives AND reassembly is the identity — slicing into 3-token
+    // lines and rejoining with single spaces reconstructs the source
     val kept = TextOps.boilerplateRemoveOf(docs, span = 3, minDf = 8L)
-      .collect()
-    kept.foreach(r => assert(r.getLong(3) == 0L))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    val source = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    kept.foreach { case (id, (clean, nRemoved)) =>
+      assert(nRemoved == 0L)
+      assert(clean == source(id), s"reassembly must be identity for doc $id")
+    }
   }
 
   test("bigram coverage: in-vocab docs score 1, novel-bigram docs score " +
