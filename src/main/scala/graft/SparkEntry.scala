@@ -64,6 +64,8 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
+    "streaming_incremental_ivf" -> ((s, d) =>
+      graft.streaming.Streams.incrementalIvfQuery(s, d)),
     "ann_ivf_kmeans_topk" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "ann_srp_topk" -> ((s, d) => Similarity.srpTopK(s, d)),
     "als_recommend_top25" -> ((s, d) => graft.ml.Recommender.alsRecommendTop25(s, d)),
@@ -189,6 +191,8 @@ object SparkEntry {
       Relational.disjunctiveDiscountRevenue(s, d)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
+    "streaming_incremental_ivf" -> ((s, d) =>
+      graft.streaming.Streams.incrementalIvfQuery(s, d)),
     "boilerplate_remove" -> ((s, d) => TextOps.boilerplateRemove(s, d)),
     "bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
     "median_impute" -> ((s, d) => Relational.medianImpute(s, d)),
@@ -347,6 +351,32 @@ object SparkEntry {
   private val vecCtes =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** Shared oracle for the batch and streaming incremental-IVF
+    * queries: base-only quantizer + assignment, batch probes, no
+    * self-exclusion (batch and base are disjoint by construction).
+    */
+  private lazy val incrementalIvfSql: String =
+    s"""WITH $vecCtes,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % 250 = 0 AND vec_id >= 8),
+       |assigned AS (SELECT cent_id, vec_id, v, nrm FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY n.vec_id
+       |      ORDER BY list_inner_product(c.cv, n.v) / c.cn / n.nrm DESC, c.cent_id) AS arn
+       |  FROM n, cents c WHERE n.vec_id >= 8) WHERE arn = 1),
+       |probes AS (SELECT query_id, qv, qn, cent_id FROM (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q.vec_id
+       |      ORDER BY list_inner_product(c.cv, q.v) / c.cn / q.nrm DESC, c.cent_id) AS prn
+       |  FROM n q, cents c WHERE q.vec_id < 8) WHERE prn <= 2),
+       |scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |    list_inner_product(qv, a.v) / qn / a.nrm AS cos
+       |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** PQ oracle: per-subspace CTE chain (seed → L2-assign → one Lloyd
     * step → encode → ADC lookup table), unrolled for the same m=4
@@ -1278,27 +1308,11 @@ object SparkEntry {
     // day-2 index shape: base-only quantizer + assignment, the new
     // batch probes and scans only its clusters — no self-exclusion
     // (the batch is disjoint from the base by construction)
-    "ann_incremental_ivf" ->
-      s"""WITH $vecCtes,
-         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
-         |  WHERE vec_id % 250 = 0 AND vec_id >= 8),
-         |assigned AS (SELECT cent_id, vec_id, v, nrm FROM (
-         |  SELECT n.vec_id, n.v, n.nrm, c.cent_id, ROW_NUMBER() OVER (
-         |      PARTITION BY n.vec_id
-         |      ORDER BY list_inner_product(c.cv, n.v) / c.cn / n.nrm DESC, c.cent_id) AS arn
-         |  FROM n, cents c WHERE n.vec_id >= 8) WHERE arn = 1),
-         |probes AS (SELECT query_id, qv, qn, cent_id FROM (
-         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cent_id, ROW_NUMBER() OVER (
-         |      PARTITION BY q.vec_id
-         |      ORDER BY list_inner_product(c.cv, q.v) / c.cn / q.nrm DESC, c.cent_id) AS prn
-         |  FROM n q, cents c WHERE q.vec_id < 8) WHERE prn <= 2),
-         |scored AS (SELECT query_id, a.vec_id AS neighbor_id,
-         |    list_inner_product(qv, a.v) / qn / a.nrm AS cos
-         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id)
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
-         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_incremental_ivf" -> incrementalIvfSql,
+
+    // streaming day-2 ANN: per-batch probes of the standing index
+    // union to exactly the batch incremental-IVF relation
+    "streaming_incremental_ivf" -> incrementalIvfSql,
 
     "ann_ivf_topk" ->
       s"""WITH $vecCtes,

@@ -610,36 +610,70 @@ object Similarity {
       maxLiteralCents: Int = MaxLiteralCents): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = embeddings
-      .select($"vec_id", $"embedding".as("v"))
+    val idx = buildIvfIndex(embeddings.filter($"vec_id" >= nNew),
+      centroidEvery, maxLiteralCents)
+    probeIvfIndex(idx, embeddings.filter($"vec_id" < nNew),
+      k, nprobe, maxLiteralCents)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** A STANDING IVF index: the collected coarse quantizer plus the
+    * base assignment relation — built once, probed by any number of
+    * later batches (the [[graft.operators.Dedup.MinhashIndex]] analog
+    * for embeddings). In production `assigned` is a materialized
+    * table; callers that probe repeatedly should checkpoint it.
+    */
+  case class IvfIndex(cents: Seq[(Long, Seq[Float])], assigned: DataFrame)
+
+  /** Build the standing index over a (vec_id, embedding ARRAY<FLOAT>)
+    * base: seeds from the base subsample, one assignment projection.
+    */
+  def buildIvfIndex(base: DataFrame, centroidEvery: Int = 250,
+      maxLiteralCents: Int = MaxLiteralCents): IvfIndex = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val e = base.select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
-    val base = e.filter($"vec_id" >= nNew)
-    // coarse quantizer belongs to the standing index: seeds from the
-    // BASE subsample only (the batch cannot retroactively move it)
     val cents = collectCents[Float](
-      base.filter(pmod($"vec_id", lit(centroidEvery)) === 0)
+      e.filter(pmod($"vec_id", lit(centroidEvery)) === 0)
         .select($"vec_id", $"v"))
-    if (cents.isEmpty) return emptyTopK(e)
-    val ids = cents.map(_._1)
     val assigned =
-      if (cents.size <= maxLiteralCents)
-        base.select(nearestCent(fcsims($"v", $"nrm", cents), ids).as("cent_id"),
-          $"vec_id", $"v", $"nrm")
-      else bcAssignF(base, cents)
+      if (cents.isEmpty) e.filter(lit(false))
+        .select(lit(-1L).as("cent_id"), $"vec_id", $"v", $"nrm")
+      else if (cents.size <= maxLiteralCents)
+        e.select(nearestCent(fcsims($"v", $"nrm", cents), cents.map(_._1))
+          .as("cent_id"), $"vec_id", $"v", $"nrm")
+      else bcAssignF(e, cents)
+    IvfIndex(cents, assigned)
+  }
+
+  /** Probe the standing index with a (vec_id, embedding ARRAY<FLOAT>)
+    * batch: each batch vector probes its nprobe nearest centroids and
+    * scans only those base clusters for its top-k neighbors. The base
+    * never re-joins itself; cost is O(batch · nprobe · cluster).
+    * (The literal-probe path covers any batch; the broadcast fallback
+    * keeps every batch row — ids play no role in query selection.)
+    */
+  def probeIvfIndex(idx: IvfIndex, batch: DataFrame, k: Int = 5,
+      nprobe: Int = 2, maxLiteralCents: Int = MaxLiteralCents): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val q = batch.select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    if (idx.cents.isEmpty) return emptyTopK(q)
+    val ids = idx.cents.map(_._1)
     val probes =
-      if (cents.size <= maxLiteralCents)
-        e.filter($"vec_id" < nNew)
-          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
-            explode(topProbes(fcsims($"v", $"nrm", cents), ids, nprobe)).as("p"))
+      if (idx.cents.size <= maxLiteralCents)
+        q.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+          explode(topProbes(fcsims($"v", $"nrm", idx.cents), ids, nprobe)).as("p"))
           .select($"query_id", $"qv", $"qn", $"p.cent_id".as("cent_id"))
-      else bcProbesF(e, cents, nNew, nprobe)
-    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      else bcProbesF(q, idx.cents, Int.MaxValue, nprobe)
+    val scored = idx.assigned.join(broadcast(probes), Seq("cent_id"))
       .select($"query_id", $"vec_id".as("neighbor_id"),
         (dot($"qv", $"v") / $"qn" / $"nrm").as("cos"))
     val global = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(global)).filter($"rank" <= k)
       .select($"query_id", $"rank", $"neighbor_id", $"cos")
-      .orderBy($"query_id", $"rank")
   }
 
   /** Product-quantization ANN (Jégou, Douze, Schmid 2011 — the FAISS

@@ -26,6 +26,7 @@ object Streams {
       ts: java.sql.Timestamp)
   /** (doc_id, text) ingest record (incremental-minhash feed). */
   case class DocEvent(doc_id: Long, text: String)
+  case class VecEvent(vec_id: Long, embedding: Seq[Float])
   /** (key, id) record (streaming-HLL feed). */
   case class KeyedId(k: String, v: Long)
   /** (user, µs timestamp, type) record (streaming-funnel feed) —
@@ -546,6 +547,57 @@ object Streams {
       slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
     }
     out.foldLeft(empty)(_ unionByName _).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Streaming day-2 ANN: new embedding vectors ARRIVE AS A STREAM and
+    * each micro-batch probes the STANDING base IVF index for its top-k
+    * existing neighbors — the embedding analog of
+    * [[incrementalMinhashQuery]], with the same contract: the index is
+    * built once (coarse quantizer + assignment, materialized via
+    * localCheckpoint so no batch replans the base scan), each batch's
+    * cost is O(|batch| · nprobe · cluster), and the base never
+    * re-joins itself. Per-batch results union to exactly the batch
+    * [[graft.operators.Similarity.incrementalIvfTopKOf]] rows (probing
+    * is per-query independent), so the oracle is the same SQL.
+    */
+  def incrementalIvfQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val nNew = 8
+    val emb = graft.Tables.embeddings(spark, dir)
+    val streamed = emb.filter($"vec_id" < nNew).orderBy($"vec_id")
+      .as[VecEvent].collect()
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "neighbor_id", "cos")
+    if (streamed.isEmpty) return empty
+    val built = graft.operators.Similarity
+      .buildIvfIndex(emb.filter($"vec_id" >= nNew))
+    if (built.cents.isEmpty) return empty
+    val idx = built.copy(assigned = built.assigned.localCheckpoint(true))
+    val slices = {
+      val per = math.max(1, math.ceil(streamed.length.toDouble / numBatches).toInt)
+      streamed.grouped(per).toSeq
+    }
+    val in = MemoryStream[VecEvent](spark)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    runStreamToTable(spark, "inc_ivf", None) { (n, ck) =>
+      in.toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .queryName(n)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) { // ST4 empty-batch skip
+            out += graft.operators.Similarity
+              .probeIvfIndex(idx, batch.localCheckpoint(true))
+              .localCheckpoint(true)
+            ()
+          }
+        }.start()
+    } { q =>
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    out.foldLeft(empty)(_ unionByName _).orderBy($"query_id", $"rank")
   }
 
   /** Per-trigger sketch emission: `regs(j)` is register j's max rho so

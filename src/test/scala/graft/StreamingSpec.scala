@@ -748,4 +748,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.forall(_._1 == 9))
     assert(!emitted.map(_._2).contains(102), "rated song must not be recommended")
   }
+
+  test("streaming incremental IVF equals the batch form row for row") {
+    val sf = TestSpark.sf
+    val streamed = graft.streaming.Streams.incrementalIvfQuery(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = graft.operators.Similarity
+      .incrementalIvfTopK(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "per-batch probes of the standing index must union to the batch relation")
+  }
 }
