@@ -190,15 +190,16 @@ object SparkEntry {
     "disjunctive_discount_revenue" -> ((s, d) =>
       Relational.disjunctiveDiscountRevenue(s, d)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
-    "ann_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
-    "streaming_incremental_ivf" -> ((s, d) =>
-      graft.streaming.Streams.incrementalIvfQuery(s, d)),
     "boilerplate_remove" -> ((s, d) => TextOps.boilerplateRemove(s, d)),
     "bigram_coverage" -> ((s, d) => TextOps.bigramCoverage(s, d)),
     "median_impute" -> ((s, d) => Relational.medianImpute(s, d)),
     "weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     "length_bucket_audit" -> ((s, d) => TextOps.lengthBucketAudit(s, d)),
     "cluster_best_keeper" -> ((s, d) => Dedup.clusterBestKeeper(s, d)),
+    "zonemap_skip" -> ((s, d) => graft.sources.DataSkipping.zonemapSkip(s, d)),
+    "runtime_filter_join" -> ((s, d) => RuntimeFilter.runtimeFilterJoin(s, d)),
+    "gopher_quality_filter" -> ((s, d) => TextOps.gopherQualityFilter(s, d)),
+    "unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2428,5 +2429,67 @@ object SparkEntry {
         |  CAST(COUNT(*) * bucket AS BIGINT) AS pad_tokens,
         |  1.0 - CAST(SUM(nt) AS DOUBLE) / (COUNT(*) * bucket) AS waste_frac
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // zone-map file skipping is lossless by construction, so the oracle
+    // is the plain full-scan range filter over the raw events table
+    "zonemap_skip" ->
+      s"""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts,
+         |  user_id, value
+         |FROM events
+         |WHERE epoch_us(ts) * 1000 >= ${graft.sources.DataSkipping.QueryLoNs}
+         |  AND epoch_us(ts) * 1000 < ${graft.sources.DataSkipping.QueryHiNs}
+         |ORDER BY event_id""".stripMargin,
+
+    // the Bloom semi-join reduction is lossless (no false negatives;
+    // false positives removed by the exact join), so the oracle is the
+    // plain fact-dim join
+    "runtime_filter_join" ->
+      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |  AND o_orderdate >= TIMESTAMP '${graft.operators.RuntimeFilter.CutoffTs}'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY o_orderkey""".stripMargin,
+
+    // five exact-integer rules + conjunctive keep; thresholds mirror
+    // TextOps.gopherQualityFilterOf verbatim
+    "gopher_quality_filter" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |s AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(l, x -> len(x))) AS BIGINT) AS chars,
+         |    CAST(len(list_distinct(l)) AS BIGINT) AS nd,
+         |    CAST(list_max(list_transform(list_distinct(l),
+         |      d -> len(list_filter(l, x -> x = d)))) AS BIGINT) AS topc,
+         |    CAST(len(list_filter(list_distinct(l),
+         |      x -> x IN ${inList(graft.functions.TextFns.stopwordProfiles("en"))})) AS BIGINT) AS dstops
+         |  FROM w)
+         |SELECT doc_id, n AS n_words,
+         |  (n >= 20 AND n <= 80) AS words_ok,
+         |  (chars * 10 >= n * 38 AND chars * 10 <= n * 50) AS mean_len_ok,
+         |  (topc * 5 <= n) AS top_word_ok,
+         |  (nd * 10 >= n * 3) AS distinct_ok,
+         |  (dstops >= 2) AS stopword_ok,
+         |  ((n >= 20 AND n <= 80) AND (chars * 10 >= n * 38 AND chars * 10 <= n * 50)
+         |    AND (topc * 5 <= n) AND (nd * 10 >= n * 3) AND (dstops >= 2)) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // whole-bit unigram surprisal: floor(log2(total div cnt)) via the
+    // binary digit count, OOV words score as singletons
+    "unigram_surprisal" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+         |v AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word
+         |  LIMIT ${graft.operators.TextOps.SurprisalVocab}),
+         |t AS (SELECT SUM(cnt) AS total FROM c),
+         |b AS (SELECT w.doc_id,
+         |    length(bin((SELECT total FROM t) // COALESCE(v.cnt, 1))) - 1 AS bits
+         |  FROM w LEFT JOIN v USING (word))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+         |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -634,6 +634,48 @@ object Dedup {
   private def bloomPos(h: Column, a: Long, b: Long, mBits: Int): Column =
     ((h % P) * a + b) % P % mBits
 
+  /** Single-bit longs indexed by (pos & 63): a 64-entry literal lookup
+    * replaces the dynamic shift (functions.shiftleft takes only a
+    * constant shift) and keeps the whole probe integral in codegen.
+    */
+  private def bitOf(pos: Column): Column =
+    element_at(typedLit((0 until 64).map(1L << _)),
+      pos.bitwiseAND(63L).cast("int") + 1)
+
+  /** Distributed Bloom build over a single-column relation `keys("h")`
+    * of 60-bit hashes: probe positions → per-word `bit_or` (one
+    * partial-aggregatable shuffle of <= mBits/64 rows), collected as
+    * the words array — the broadcast-quantizer pattern: m/64 longs on
+    * the driver, never the keys. Shared by decontamination and the
+    * runtime-filter join reduction.
+    */
+  def bloomWordsOf(keys: DataFrame, mBits: Int): Array[Long] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    require(mBits % 64 == 0, "mBits must be 64-aligned")
+    val positions = BloomProbeParams.map { case (a, b) =>
+      keys.select(bloomPos($"h", a, b, mBits).as("pos"))
+    }.reduce(_ union _)
+    val words = positions
+      .select(shiftrightunsigned($"pos", 6).as("w"), bitOf($"pos").as("bit"))
+      .groupBy($"w").agg(expr("bit_or(bit)").as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Array.tabulate(mBits / 64)(i => words.getOrElse(i.toLong, 0L))
+  }
+
+  /** Membership probe over a built [[bloomWordsOf]] array, as a codegen
+    * boolean column. No false negatives by construction; the
+    * false-positive rate is set by mBits vs the key count.
+    */
+  def bloomHit(bitset: Array[Long], h: Column, mBits: Int): Column = {
+    val bitsLit = typedLit(bitset.toSeq)
+    BloomProbeParams.map { case (a, b) =>
+      val pos = bloomPos(h, a, b, mBits)
+      (element_at(bitsLit, shiftrightunsigned(pos, 6).cast("int") + 1)
+        .bitwiseAND(bitOf(pos)) =!= 0L)
+    }.reduce(_ && _)
+  }
+
   /** Bloom-prefiltered decontamination — bit-identical output to
     * [[decontaminateOf]], built for the regime where the benchmark
     * shingle set is too large to broadcast as an equality set (an
@@ -644,40 +686,15 @@ object Dedup {
     * the exact benchmark set removes the false positives. Lossless by
     * construction (Bloom filters have no false negatives), so the
     * oracle is decontaminate's own SQL.
-    *
-    * The filter is built distributed (positions → per-word `bit_or`,
-    * one partial-aggregatable shuffle of <= m/64 rows) and collected
-    * as a words array — the broadcast-quantizer pattern: m/64 longs on
-    * the driver, never the shingles.
     */
   def decontaminateBloomOf(docs: DataFrame, benchmark: DataFrame,
       n: Int = 8, mBits: Int = 1 << 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(mBits % 64 == 0, "mBits must be 64-aligned")
     val benchSh = shingleSetOf(benchmark, n).select($"h").distinct()
       .cache()
-    // single-bit longs indexed by (pos & 63): a 64-entry literal lookup
-    // replaces the dynamic shift (functions.shiftleft takes only a
-    // constant shift) and keeps the whole probe integral in codegen
-    val bitLit = typedLit((0 until 64).map(1L << _))
-    def bitOf(pos: Column): Column =
-      element_at(bitLit, pos.bitwiseAND(63L).cast("int") + 1)
-    val positions = BloomProbeParams.map { case (a, b) =>
-      benchSh.select(bloomPos($"h", a, b, mBits).as("pos"))
-    }.reduce(_ union _)
-    val words = positions
-      .select(shiftrightunsigned($"pos", 6).as("w"), bitOf($"pos").as("bit"))
-      .groupBy($"w").agg(expr("bit_or(bit)").as("bits"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bitset = Array.tabulate(mBits / 64)(i => words.getOrElse(i.toLong, 0L))
-    val bitsLit = typedLit(bitset.toSeq)
-    def hit(h: Column): Column = BloomProbeParams.map { case (a, b) =>
-      val pos = bloomPos(h, a, b, mBits)
-      (element_at(bitsLit, shiftrightunsigned(pos, 6).cast("int") + 1)
-        .bitwiseAND(bitOf(pos)) =!= 0L)
-    }.reduce(_ && _)
-    val survivors = shingleSetOf(docs, n).filter(hit($"h"))
+    val bitset = bloomWordsOf(benchSh, mBits)
+    val survivors = shingleSetOf(docs, n).filter(bloomHit(bitset, $"h", mBits))
     // exact verify: shuffle hash join (NOT broadcast — the premise is
     // a benchmark beyond broadcast size; survivors are already a tiny
     // fraction of the corpus, so both shuffle sides are small)

@@ -842,4 +842,108 @@ object TextOps {
         songid.as("songid"), rating.as("rating"))
       .orderBy($"event_id")
   }
+
+  /** Gopher/C4-style rule-suite document filter (Rae et al. 2021 §A1.1;
+    * Raffel et al. 2020 §2.2) — the multi-rule gate a pretraining
+    * pipeline runs BEFORE the expensive dedup/decontamination stages.
+    * Five rules, each an exact integer comparison (cross-multiplied
+    * rationals, no float thresholds), each emitted as its own flag so
+    * the filter is auditable per rule, plus the conjunctive keep:
+    *
+    *   words_ok:    20 <= n_words <= 80      (Gopher's 50..100k scaled
+    *                                          to this corpus's 10..99)
+    *   mean_len_ok: 3.8 <= mean word length <= 5.0  (as chars*10 vs n)
+    *   top_word_ok: most frequent word <= 20% of tokens
+    *   distinct_ok: distinct words >= 30% of tokens
+    *   stopword_ok: >= 2 distinct English function words (Gopher's
+    *                "stop word" rule; non-English docs fail by design —
+    *                the suite composes after a lang gate)
+    *
+    * Thresholds are calibrated so every rule has failing docs on the
+    * driver corpus (~43% keep) — a rule that never fires is dead code.
+    * Pure projection over one scan: O(n·distinct) per doc inside
+    * codegen, no shuffle, survives any scale-up by partitioning alone.
+    */
+  def gopherQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherQualityFilterOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[gopherQualityFilter]] over any (doc_id, text) relation. */
+  def gopherQualityFilterOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = TextFns.tokens($"text")
+    val n = size(t).cast("long")
+    val chars = aggregate(t, lit(0L), (acc, w) => acc + length(w))
+    val nd = size(array_distinct(t)).cast("long")
+    val topc = array_max(
+      transform(array_distinct(t), d => size(filter(t, w => w === d))))
+      .cast("long")
+    val en = typedLit(TextFns.stopwordProfiles("en"))
+    val dstops = size(filter(array_distinct(t),
+      w => array_contains(en, w))).cast("long")
+    docs
+      .select($"doc_id", n.as("n_words"),
+        (n >= 20L && n <= 80L).as("words_ok"),
+        (chars * 10L >= n * 38L && chars * 10L <= n * 50L).as("mean_len_ok"),
+        (topc * 5L <= n).as("top_word_ok"),
+        (nd * 10L >= n * 3L).as("distinct_ok"),
+        (dstops >= 2L).as("stopword_ok"))
+      .select($"doc_id", $"n_words", $"words_ok", $"mean_len_ok",
+        $"top_word_ok", $"distinct_ok", $"stopword_ok",
+        ($"words_ok" && $"mean_len_ok" && $"top_word_ok" &&
+          $"distinct_ok" && $"stopword_ok").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Top-vocabulary size for [[unigramSurprisal]]. 1000 covers the
+    * driver corpus's entire vocabulary; at web scale it is the cap
+    * that keeps the census broadcastable — OOV words score as
+    * singletons (maximum surprisal), which is the conservative
+    * direction for a quality gate.
+    */
+  val SurprisalVocab = 1000
+
+  /** Unigram-LM surprisal quality score — the cheap stand-in for the
+    * KenLM perplexity filter (CCNet, Wenzek et al. 2020): per-token
+    * surprisal in WHOLE BITS, floor(log2(total/count)), computed from
+    * the BINARY DIGIT COUNT of the exact integer quotient
+    * (`length(bin(total div cnt)) - 1`) — the same no-float-log2 idiom
+    * as [[lengthBucketAudit]], so both engines bucket identically and
+    * the per-doc sum is exact integer arithmetic. Rare-word-heavy docs
+    * (here: non-English) score high; repetitive common-word docs score
+    * low — exactly the perplexity filter's ordering.
+    *
+    * Scale shape: the census is one partial-aggregatable word shuffle
+    * capped to the top-[[SurprisalVocab]] rows (ORDER BY cnt DESC,
+    * word — deterministic tie-break), broadcast to the scoring join;
+    * the corpus is tokenized once and re-aggregated per doc_id. No
+    * all-pairs, no driver state beyond the bounded vocabulary.
+    */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisalOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[unigramSurprisal]] over any (doc_id, text) relation. */
+  def unigramSurprisalOf(docs: DataFrame,
+      vocab: Int = SurprisalVocab): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select($"doc_id",
+      explode(TextFns.tokens($"text")).as("word"))
+    // one tokenization pass feeds BOTH the total and the capped vocab:
+    // the uncapped census is cached (vocabulary-sized, not corpus-sized),
+    // the total is an aggregate over its rows, never a second corpus scan
+    val censusAll = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val total = censusAll.agg(sum($"cnt")).first().getLong(0)
+    val census = censusAll
+      .orderBy($"cnt".desc, $"word").limit(vocab)
+    val bits = length(bin(expr(s"${total}L div coalesce(cnt, 1L)"))) - 1
+    words.join(broadcast(census), Seq("word"), "left")
+      .select($"doc_id", bits.cast("long").as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"bits").as("sum_bits"))
+      .select($"doc_id", $"n_tokens", $"sum_bits",
+        ($"sum_bits".cast("double") / $"n_tokens").as("mean_bits"))
+      .orderBy($"doc_id")
+  }
 }

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max zone maps — the data-skipping index every
+  * object-store table format (Iceberg/Delta/parquet footers) keeps, in
+  * its minimal explicit form: a per-file (min, max, count) stats table
+  * built in ONE aggregate pass over the clustered layout, consulted at
+  * query time to read ONLY the files whose [min, max] span intersects
+  * the predicate range.
+  *
+  * This is the layer BELOW `partitionPruneRoundtrip`'s directory
+  * pruning: partition pruning cuts whole directories on the partition
+  * key; zone maps cut individual FILES on any clustered column, which
+  * is what `compactSmallFiles`' range-clustered layout exists to
+  * enable (a 100 TB time-series table clustered by ts answers a
+  * one-week scan by touching ~a week's worth of files).
+  *
+  * Scale shape: the stats build is one partial-aggregatable shuffle of
+  * <= #files rows; the stats table itself is metadata-sized (#files ×
+  * 4 columns), so collecting it to plan the read is the same
+  * metadata-sized collect `mergeApply` does for its affected-partition
+  * set — the data rows never leave the executors. Skipping is LOSSLESS
+  * by construction: a file eliminated by its min/max cannot contain a
+  * qualifying row, and the residual filter re-applies the exact
+  * predicate inside surviving files, so the oracle is the plain
+  * full-scan filter.
+  */
+object DataSkipping {
+
+  /** Range-clustered file count for the layout. Production would size
+    * files to ~1 GB; the skipping logic is count-agnostic.
+    */
+  val ZoneFiles = 16
+
+  /** Query window shared with the oracle SQL: 2024-01-08T00:00Z
+    * (inclusive) to 2024-01-15T00:00Z (exclusive) in epoch NANOS — one
+    * week of the corpus's fixed 30-day January window, so roughly 3/4
+    * of the files are skipped at every scale factor.
+    */
+  val QueryLoNs = 1704672000000000000L
+  val QueryHiNs = 1705276800000000000L
+
+  /** Write the events corpus as a ts-range-clustered layout (the
+    * compacted form a maintenance job keeps a time-series table in):
+    * each file holds a disjoint ts span, which is what makes its
+    * min/max stats selective.
+    */
+  def zoneLayout(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val out = Sources.scratchDir(spark, "zonemap_layout")
+    Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .repartitionByRange(ZoneFiles, $"ts")
+      .sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** The zone map: per-file (min_ts, max_ts, n_rows) in one aggregate
+    * pass. `input_file_name()` is plan metadata per row, so this is a
+    * single partial-aggregatable shuffle with <= #files output rows.
+    */
+  def zoneMapOf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"ts").as("min_ts"), max($"ts").as("max_ts"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Plan + execute a range read through the zone map: collect the
+    * metadata-sized stats, keep files whose span intersects [lo, hi),
+    * read only those, and re-apply the exact predicate as the residual
+    * filter. Returns (rows, filesRead, filesTotal) so callers (and the
+    * spec) can assert the skipping actually happened.
+    */
+  def zoneMapRead(spark: SparkSession, path: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val zones = zoneMapOf(spark, path)
+      .select($"file", $"min_ts", $"max_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val keep = zones.collect {
+      case (f, mn, mx) if mx >= lo && mn < hi => f
+    }.sorted
+    val rows =
+      if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep: _*)
+        .filter($"ts" >= lo && $"ts" < hi)
+    (rows, keep.length, zones.length)
+  }
+
+  /** Driver query: build the layout, answer the one-week window scan
+    * through the zone map. Oracle: the same filter over the raw events
+    * table — any row a skipped file actually contained would mismatch.
+    */
+  def zonemapSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = zoneLayout(spark, dir)
+    val (rows, _, _) = zoneMapRead(spark, path, QueryLoNs, QueryHiNs)
+    rows.select($"event_id", $"ts", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+}

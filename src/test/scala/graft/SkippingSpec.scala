@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Dedup, RuntimeFilter}
+import graft.sources.DataSkipping
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-skipping layer: zone-map file pruning must actually skip files
+  * (not just filter rows) and stay lossless; the Bloom runtime-filter
+  * join must cut the fact side before its shuffle and return exactly
+  * the plain join's rows.
+  */
+class SkippingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("zone map skips non-overlapping files and read is lossless") {
+    import spark.implicits._
+    val path = DataSkipping.zoneLayout(spark, sf)
+    val (rows, filesRead, filesTotal) = DataSkipping.zoneMapRead(
+      spark, path, DataSkipping.QueryLoNs, DataSkipping.QueryHiNs)
+    // one week of a 30-day range-clustered layout: most files skipped
+    assert(filesTotal >= DataSkipping.ZoneFiles / 2,
+      s"layout produced only $filesTotal files")
+    assert(filesRead < filesTotal,
+      s"no files skipped ($filesRead of $filesTotal read)")
+    assert(filesRead * 2 <= filesTotal,
+      s"expected <= half the files for a 7/30-day window, read $filesRead/$filesTotal")
+    // lossless: identical rows to the full-scan filter
+    val full = spark.read.parquet(path)
+      .filter($"ts" >= DataSkipping.QueryLoNs && $"ts" < DataSkipping.QueryHiNs)
+    assert(rows.count() === full.count())
+    assert(rows.join(full, Seq("event_id"), "left_anti").count() === 0L)
+    assert(full.join(rows, Seq("event_id"), "left_anti").count() === 0L)
+  }
+
+  test("zone map stats: per-file spans are disjoint under range clustering " +
+    "and cover every row") {
+    import spark.implicits._
+    val path = DataSkipping.zoneLayout(spark, sf)
+    val zones = DataSkipping.zoneMapOf(spark, path)
+      .orderBy($"min_ts").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(zones.forall { case (mn, mx, n) => mn <= mx && n > 0 })
+    zones.sliding(2).foreach {
+      case Array((_, mx1, _), (mn2, _, _)) =>
+        assert(mx1 <= mn2, "range-clustered file spans must not interleave")
+      case _ =>
+    }
+    assert(zones.map(_._3).sum === Tables.events(spark, sf).count())
+  }
+
+  test("bloom runtime filter: fact side shrinks before the shuffle and " +
+    "the reduced join equals the plain join") {
+    import spark.implicits._
+    val dim = RuntimeFilter.dimOrders(spark, sf)
+    val fact = Tables.lineitem(spark, sf)
+    // survivor fraction: true matches (~5%) + ~1% false positives
+    val bitset = Dedup.bloomWordsOf(
+      dim.select(Dedup.hash60(concat(lit("rf:"), $"o_orderkey".cast("string"))).as("h")),
+      RuntimeFilter.RfBits)
+    val total = fact.count()
+    val survivors = fact.filter(Dedup.bloomHit(bitset,
+      Dedup.hash60(concat(lit("rf:"), $"l_orderkey".cast("string"))),
+      RuntimeFilter.RfBits)).count()
+    assert(survivors < total / 4,
+      s"bloom prefilter kept $survivors of $total fact rows — no reduction")
+    // lossless: bit-identical rows to the unreduced join
+    val reduced = RuntimeFilter.bloomReducedRevenueOf(dim, fact)
+    val plain = fact
+      .join(dim, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .select($"o_orderkey", $"o_orderdate".cast("date").as("o_orderdate"),
+        $"revenue", $"n_lines")
+    assert(reduced.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(reduced).count() === 0L)
+    assert(reduced.count() > 0L)
+  }
+
+  test("bloom has no false negatives: every dim key probes true") {
+    import spark.implicits._
+    val dim = RuntimeFilter.dimOrders(spark, sf)
+    val keys = dim.select(
+      Dedup.hash60(concat(lit("rf:"), $"o_orderkey".cast("string"))).as("h"))
+    val bitset = Dedup.bloomWordsOf(keys, RuntimeFilter.RfBits)
+    val missed = keys.filter(
+      !Dedup.bloomHit(bitset, $"h", RuntimeFilter.RfBits)).count()
+    assert(missed === 0L)
+  }
+}
