@@ -200,6 +200,11 @@ object SparkEntry {
     "runtime_filter_join" -> ((s, d) => RuntimeFilter.runtimeFilterJoin(s, d)),
     "gopher_quality_filter" -> ((s, d) => TextOps.gopherQualityFilter(s, d)),
     "unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
+    "text_normalize" -> ((s, d) => TextOps.textNormalize(s, d)),
+    "feature_hash" -> ((s, d) => TextOps.featureHash(s, d)),
+    "target_encode_loo" -> ((s, d) => Relational.targetEncodeLoo(s, d)),
+    "k_anonymity_audit" -> ((s, d) => Audit.kAnonymityAudit(s, d)),
+    "embedding_covariance" -> ((s, d) => Similarity.embeddingCovariance(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2491,5 +2496,82 @@ object SparkEntry {
          |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
          |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // NFC canonicalization: DuckDB's nfc_normalize implements the same
+    // Unicode algorithm as java.text.Normalizer; the decomposed suffix
+    // is injected by the same salted gate in both engines
+    "text_normalize" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    CASE WHEN ${h60("'nfc:' || CAST(doc_id AS VARCHAR)")}
+         |        % ${graft.operators.TextOps.NfcInjectMod}
+         |        < ${graft.operators.TextOps.NfcInjectKeep}
+         |      THEN text || ' cafe' || chr(769) ELSE text END AS raw
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(raw) AS INTEGER) AS n_chars_raw,
+         |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_chars_nfc,
+         |  (CAST(length(nfc_normalize(raw)) AS INTEGER)
+         |    <> CAST(length(raw) AS INTEGER)) AS changed,
+         |  md5(nfc_normalize(raw)) AS norm_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // hashing-trick featurizer: same salted h60 % buckets on both sides
+    "feature_hash" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${h60("'fh:' || word")} % ${graft.operators.TextOps.FeatureHashBuckets} AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM w GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+
+    // leave-one-out target mean in exact floor cents; singleton
+    // categories encode NULL
+    "target_encode_loo" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_id, ev.event_type, cents,
+        |  CASE WHEN n > 1 THEN (cents_sum - cents) // (n - 1) END
+        |    AS loo_cents_floor
+        |FROM ev JOIN s USING (event_type) ORDER BY event_id""".stripMargin,
+
+    // quasi-identifier cell sizes + the segment-level generalization rung
+    "k_anonymity_audit" ->
+      s"""WITH cells AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+         |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+         |seg AS (SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_generalized
+         |  FROM cells GROUP BY c_mktsegment)
+         |SELECT c_mktsegment, c_nationkey, n,
+         |  (n >= ${graft.operators.Audit.KAnon}) AS k_ok, n_generalized,
+         |  (n_generalized >= ${graft.operators.Audit.KAnon}) AS generalized_ok
+         |FROM cells JOIN seg USING (c_mktsegment)
+         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // exact integer co-moments over the fixed-point quantized leading
+    // block; the derived double shares one IEEE expression tree
+    "embedding_covariance" -> {
+      val d = graft.operators.Similarity.CovBlockDims
+      val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+      val sums =
+        (0 until d).map(i => s"CAST(SUM(qv[${i + 1}]) AS BIGINT) AS s_$i") ++
+          pairs.map { case (i, j) =>
+            s"CAST(SUM(qv[${i + 1}] * qv[${j + 1}]) AS BIGINT) AS p_${i}_$j" }
+      val unpivot = pairs.map { case (i, j) =>
+        s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, n, " +
+          s"s_$i AS s_i, s_$j AS s_j, p_${i}_$j AS s_ij FROM a"
+      }.mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT list_transform(embedding[1:$d],
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sums.mkString(",\n  ")}
+         |  FROM q)
+         |SELECT i, j, n, s_i, s_j, s_ij,
+         |  CAST(n * s_ij - s_i * s_j AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0) AS cov
+         |FROM ($unpivot)
+         |ORDER BY i, j""".stripMargin
+    },
   )
 }

@@ -127,4 +127,31 @@ object Audit {
       |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
       |  END AS corr_value_hour
       |FROM m ORDER BY event_type""".stripMargin
+
+  /** k-anonymity threshold for [[kAnonymityAudit]]. */
+  val KAnon = 5L
+
+  /** k-anonymity audit over the (mktsegment, nation) quasi-identifier
+    * pair — the privacy gate a dataset release runs before publishing:
+    * any quasi-identifier cell with fewer than k members re-identifies
+    * its rows (Sweeney 2002), so the audit reports every cell's size,
+    * its k-flag, and the size of its GENERALIZED cell (segment only —
+    * the first rung of the generalization ladder a release would climb
+    * for failing cells). One partial-aggregatable two-column shuffle
+    * plus a broadcast join of the segment-level census; output is
+    * cell-count-sized at any scale.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("n"))
+    val seg = cells.groupBy($"c_mktsegment")
+      .agg(sum($"n").as("n_generalized"))
+    cells.join(broadcast(seg), Seq("c_mktsegment"))
+      .select($"c_mktsegment", $"c_nationkey", $"n",
+        ($"n" >= KAnon).as("k_ok"),
+        $"n_generalized", ($"n_generalized" >= KAnon).as("generalized_ok"))
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
 }

@@ -1396,4 +1396,31 @@ object Relational {
         (sum($"bal_cents").cast("double") / 100.0).as("totacctbal"))
       .orderBy($"n_name")
   }
+
+  /** Leave-one-out target encoding — the leakage-safe categorical
+    * feature every tabular training pipeline derives: each row's
+    * category is replaced by the mean target of all OTHER rows in its
+    * category, (Σ−y)/(n−1), so a row never sees its own label (the
+    * naive per-category mean leaks the target and inflates validation
+    * scores). Exact arithmetic end-to-end: the target is lifted to
+    * integer cents (the [[graft.sources.Maintenance.aggPartial]]
+    * contract), the per-category (n, Σ) state is one
+    * partial-aggregatable shuffle, and the LOO mean is emitted as a
+    * FLOOR-cents integer — no float decides anything. The category
+    * census is category-count-sized, broadcast back to the rows; a
+    * singleton category encodes NULL (no other rows to learn from).
+    */
+  def targetEncodeLoo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select($"event_id", $"event_type", $"cents",
+        when($"n" > 1, expr("(cents_sum - cents) div (n - 1)"))
+          .as("loo_cents_floor"))
+      .orderBy($"event_id")
+  }
 }

@@ -777,4 +777,58 @@ object Similarity {
       .select($"query_id", $"rank", $"neighbor_id", $"cos_adc")
       .orderBy($"query_id", $"rank")
   }
+  /** Dimension-block width for [[embeddingCovariance]]: the leading
+    * 8×8 block of the covariance matrix (36 upper-triangle pairs). A
+    * production whitening/PCA pass tiles the full d×d matrix in such
+    * blocks; the aggregation shape is identical per block.
+    */
+  val CovBlockDims = 8
+
+  /** Fixed-point scale for [[embeddingCovariance]] quantization:
+    * q = floor(x·1000). FLOAT→DOUBLE widening, the ×1000 double
+    * multiply, and floor are each bit-identical across engines, so the
+    * co-moment sums are EXACT BIGINTs — the mergeable state a
+    * distributed covariance pass ships (vs naive double sums, whose
+    * value depends on partition accumulation order).
+    */
+  val CovScale = 1000d
+
+  /** Covariance of the leading [[CovBlockDims]] embedding dimensions
+    * from exact integer co-moments: ONE expanded aggregate over ONE
+    * scan (the profile_columns shape) computes n, per-dim sums s_i and
+    * pair products s_ij in the quantized domain; the covariance
+    * n·s_ij − s_i·s_j stays integer (overflow-free: |q| ≤ ~10³, so the
+    * products sit far below 2^63 even at 10⁸ rows), and the derived
+    * double uses one fixed expression tree mirrored by the oracle.
+    * Output is pair-count-sized (36 rows) at any corpus size.
+    */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame =
+    embeddingCovarianceOf(Tables.embeddings(spark, dir))
+
+  /** [[embeddingCovariance]] over any (vec_id, embedding) relation. */
+  def embeddingCovarianceOf(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = CovBlockDims
+    def q(i: Int): Column =
+      floor(element_at($"embedding", i + 1).cast("double") * CovScale)
+        .cast("long")
+    val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val aggs =
+      (0 until d).map(i => sum(q(i)).as(s"s_$i")) ++
+        pairs.map { case (i, j) => sum(q(i) * q(j)).as(s"p_${i}_$j") }
+    val wide = embeddings.agg(count(lit(1)).as("n"), aggs: _*)
+    // unpivot the single wide row into (i, j, n, s_i, s_j, s_ij, cov):
+    // stack() is a plain projection over the one-row aggregate
+    val stackArgs = pairs.flatMap { case (i, j) =>
+      Seq(s"${i}L", s"${j}L", s"s_$i", s"s_$j", s"p_${i}_$j")
+    }.mkString(", ")
+    wide.selectExpr("n",
+        s"stack(${pairs.size}, $stackArgs) AS (i, j, s_i, s_j, s_ij)")
+      .selectExpr("i", "j", "n", "s_i", "s_j", "s_ij",
+        // one shared IEEE tree: numerator double / (n·n·scale²) double
+        "CAST(n * s_ij - s_i * s_j AS DOUBLE) / " +
+          s"(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * ${CovScale * CovScale}D) AS cov")
+      .orderBy("i", "j")
+  }
 }

@@ -922,6 +922,75 @@ object TextOps {
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     unigramSurprisalOf(Tables.widened(spark, Tables.documents(spark, dir)))
 
+  /** Share of docs the [[textNormalize]] gate decorates with a
+    * decomposed-Unicode suffix (the corpus is ASCII, so un-normalized
+    * text must be injected deterministically for the operator to have
+    * exercised behavior — the same salted-hash-gate idiom as
+    * median_impute's injected missingness).
+    */
+  val NfcInjectMod = 10L
+  val NfcInjectKeep = 3L
+
+  /** The decomposed suffix: "cafe" + COMBINING ACUTE (U+0301) — 5 code
+    * points that NFC-compose to "café" (4). Shared with the oracle as
+    * `'cafe' || chr(769)`.
+    */
+  val NfcSuffix = " cafe\u0301"
+
+  /** Unicode NFC canonicalization pass ([[graft.plans.NfcNormalize]],
+    * a native codegen Expression — Spark has no built-in normalizer and
+    * a UDF would leave whole-stage codegen). Emits per-doc code-point
+    * counts before/after, the changed flag, and the md5 of the
+    * normalized text so the oracle pins the exact output bytes.
+    * Pure projection: no shuffle, scales by partitioning alone.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.widened(spark, Tables.documents(spark, dir))
+      .select($"doc_id",
+        when(Dedup.hash60(concat(lit("nfc:"), $"doc_id".cast("string")))
+            % NfcInjectMod < NfcInjectKeep,
+          concat($"text", lit(NfcSuffix)))
+          .otherwise($"text").as("raw"))
+      .select($"doc_id", length($"raw").as("n_chars_raw"),
+        graft.plans.NfcNormalize.nfc($"raw").as("norm"))
+      .select($"doc_id", $"n_chars_raw",
+        length($"norm").as("n_chars_nfc"),
+        ($"n_chars_nfc" =!= $"n_chars_raw").as("changed"),
+        md5($"norm").as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bucket count for [[featureHash]]: small enough to read, large
+    * enough that collisions are the point (the hashing trick's fixed
+    * dimensionality is its contract — Weinberger et al. 2009).
+    */
+  val FeatureHashBuckets = 32L
+
+  /** Hashing-trick featurizer: every token hashes to one of
+    * [[FeatureHashBuckets]] buckets (salted h60, the corpus-wide
+    * deterministic hash family), per-doc bucket counts come out in
+    * long form (doc_id, bucket, n) — the sparse fixed-dimension
+    * feature vector a downstream linear model consumes without any
+    * vocabulary census. One explode + one partial-aggregatable
+    * (doc_id, bucket) shuffle; no vocabulary state anywhere.
+    */
+  def featureHash(spark: SparkSession, dir: String): DataFrame =
+    featureHashOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[featureHash]] over any (doc_id, text) relation. */
+  def featureHashOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+      .select($"doc_id",
+        (Dedup.hash60(concat(lit("fh:"), $"word")) % FeatureHashBuckets)
+          .as("bucket"))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
   /** [[unigramSurprisal]] over any (doc_id, text) relation. */
   def unigramSurprisalOf(docs: DataFrame,
       vocab: Int = SurprisalVocab): DataFrame = {

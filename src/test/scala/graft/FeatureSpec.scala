@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{Audit, Relational, Similarity, TextOps}
+import graft.plans.NfcNormalize
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Feature-engineering operators: NFC normalization (native codegen
+  * expression), the hashing-trick featurizer, leave-one-out target
+  * encoding, the k-anonymity audit, and exact-co-moment covariance.
+  */
+class FeatureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("nfc_normalize composes decomposed sequences and is identity on ASCII") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "café"),       // e + COMBINING ACUTE -> é
+      (2L, "café"),        // already precomposed
+      (3L, "plain ascii")).toDF("id", "raw")
+      .select($"id", NfcNormalize.nfc($"raw").as("norm"),
+        length($"raw").as("lr"))
+    val got = rows.select($"id", $"norm", length($"norm").as("ln"), $"lr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .toSeq.sortBy(_._1)
+    assert(got(0)._2 == "café" && got(0)._3 == 4 && got(0)._4 == 5)
+    assert(got(1)._2 == "café" && got(1)._3 == 4)
+    assert(got(2)._2 == "plain ascii")
+    // both decomposed and precomposed inputs md5-agree after NFC
+    val hashes = Seq((1L, "café"), (2L, "café")).toDF("id", "raw")
+      .select(md5(NfcNormalize.nfc($"raw"))).distinct().count()
+    assert(hashes === 1L)
+  }
+
+  test("text_normalize driver query: injected docs change, others don't") {
+    val got = TextOps.textNormalize(spark, sf).collect()
+    val changed = got.count(_.getBoolean(3))
+    assert(changed > 0, "the injection gate never fired")
+    assert(changed < got.length, "every doc changed — gate is not selective")
+    // changed docs lose exactly one code point (the composed accent)
+    got.filter(_.getBoolean(3)).foreach { r =>
+      assert(r.getInt(1) - r.getInt(2) === 1,
+        s"doc ${r.getLong(0)}: raw ${r.getInt(1)} vs nfc ${r.getInt(2)}")
+    }
+  }
+
+  test("feature_hash: bucket counts cover every token and hashing is stable") {
+    import spark.implicits._
+    val rows = Seq((1L, "a b a c"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextOps.featureHashOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.filter(_._1 == 1L).map(_._3).sum === 4L)
+    assert(got.filter(_._2 >= TextOps.FeatureHashBuckets).isEmpty)
+    // the same word lands in the same bucket in both docs
+    val aBucket1 = TextOps.featureHashOf(Seq((1L, "a")).toDF("doc_id", "text"))
+      .collect().head.getLong(1)
+    val aBucket2 = got.find(_._1 == 2L).get._2
+    assert(aBucket1 === aBucket2)
+  }
+
+  test("target encoding is leave-one-out exact and singleton encodes null") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 1.00), (2L, "click", 2.00), (3L, "click", 6.00),
+      (4L, "view", 5.00))
+      .toDF("event_id", "event_type", "value")
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("cents_sum"))
+    val got = ev
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(broadcast(stats), Seq("event_type"))
+      .select($"event_id",
+        when($"n" > 1, expr("(cents_sum - cents) div (n - 1)")).as("loo"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // click sums 900 cents: LOO(1)= (900-100)/2=400, LOO(2)=350, LOO(3)=150
+    assert(got == Map(1L -> Some(400L), 2L -> Some(350L),
+      3L -> Some(150L), 4L -> None))
+    // and the driver query emits one row per event with the same contract
+    val driver = Relational.targetEncodeLoo(spark, sf)
+    assert(driver.count() === Tables.events(spark, sf).count())
+    assert(driver.filter($"loo_cents_floor".isNull).count() === 0L,
+      "all corpus event types have n > 1")
+  }
+
+  test("k-anonymity audit: cell sizes sum to the table and flags are exact") {
+    import spark.implicits._
+    val got = Audit.kAnonymityAudit(spark, sf)
+    val rows = got.collect()
+    assert(rows.map(_.getLong(2)).sum === Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getBoolean(3) === (r.getLong(2) >= Audit.KAnon))
+      assert(r.getBoolean(5) === (r.getLong(4) >= Audit.KAnon))
+    }
+    // generalized size is the sum of its cells
+    val bySeg = rows.groupBy(_.getString(0))
+    bySeg.foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(2)).sum === cells.head.getLong(4))
+    }
+    // at sf0.001 (150 customers over 125 cells) violations must exist
+    assert(rows.exists(!_.getBoolean(3)), "no k-violation at tiny scale?")
+  }
+
+  test("embedding covariance from exact co-moments matches hand computation") {
+    import spark.implicits._
+    // two vectors: dim0 = {1, 0}, dim1 = {1, 0} -> var = 0.25, cov01 = 0.25;
+    // dim2 = {1, -1} vs dim0 -> cov = 0.5... hand: mean0=.5, mean2=0,
+    // E[x0*x2] = (1*1 + 0*(-1))/2 = .5 -> cov = .5 - .5*0 = .5
+    val v1 = Array(1f, 1f, 1f, 0f, 0f, 0f, 0f, 0f)
+    val v2 = Array(0f, 0f, -1f, 0f, 0f, 0f, 0f, 0f)
+    val rows = Seq((1L, v1.toSeq), (2L, v2.toSeq)).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingCovarianceOf(rows).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(6))).toMap
+    assert(got((0L, 0L)) === 0.25)
+    assert(got((0L, 1L)) === 0.25)
+    assert(got((0L, 2L)) === 0.5)
+    assert(got((3L, 3L)) === 0.0)
+    assert(got.size === 36)
+  }
+}
