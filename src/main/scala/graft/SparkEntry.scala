@@ -205,6 +205,12 @@ object SparkEntry {
     "target_encode_loo" -> ((s, d) => Relational.targetEncodeLoo(s, d)),
     "k_anonymity_audit" -> ((s, d) => Audit.kAnonymityAudit(s, d)),
     "embedding_covariance" -> ((s, d) => Similarity.embeddingCovariance(s, d)),
+    "mad_outliers" -> ((s, d) => Audit.madOutliers(s, d)),
+    "poisson_bootstrap" -> ((s, d) => Audit.poissonBootstrap(s, d)),
+    "streaming_left_join" -> ((s, d) =>
+      graft.streaming.Streams.streamStreamLeftJoinQuery(s, d)),
+    "zonemap_incremental" -> ((s, d) =>
+      graft.sources.DataSkipping.zonemapIncremental(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2573,5 +2579,81 @@ object SparkEntry {
          |FROM ($unpivot)
          |ORDER BY i, j""".stripMargin
     },
+
+    // median/MAD in the exact doubled-integer domain; the flag is the
+    // cross-multiplied inequality dev2*10000 > 22239*mad4
+    "mad_outliers" ->
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events),
+         |m AS (SELECT event_type,
+         |    CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+         |  FROM ev GROUP BY event_type),
+         |d AS (SELECT event_id, ev.event_type, cents, med2,
+         |    abs(2 * cents - med2) AS dev2
+         |  FROM ev JOIN m USING (event_type)),
+         |md AS (SELECT event_type,
+         |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+         |  FROM d GROUP BY event_type)
+         |SELECT event_id, d.event_type, cents, med2, dev2, mad4,
+         |  (dev2 * ${graft.operators.Audit.MadDen}
+         |    > ${graft.operators.Audit.MadNum} * mad4) AS is_outlier
+         |FROM d JOIN md USING (event_type) ORDER BY event_id""".stripMargin,
+
+    // Binomial(4,1/4) weights from four 2-bit fields of one salted md5;
+    // resample means are single exact-integer divisions
+    "poisson_bootstrap" -> {
+      val h = h60("'boot:' || CAST(r AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+      val w = (0 until 4).map(j =>
+        s"CASE WHEN (h >> ${2 * j}) & 3 = 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events),
+         |rx AS (SELECT event_id, event_type, cents, r, $h AS h
+         |  FROM ev, LATERAL (SELECT unnest(generate_series(0,
+         |    ${graft.operators.Audit.BootResamples - 1})) AS r)),
+         |wx AS (SELECT event_type, r, cents, $w AS w FROM rx),
+         |mn AS (SELECT event_type, r,
+         |    CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+         |      AS mean_cents
+         |  FROM wx GROUP BY event_type, r),
+         |rk AS (SELECT event_type, mean_cents,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY mean_cents, r) AS rk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nr FROM mn),
+         |ci AS (SELECT event_type, MIN(mean_cents) AS boot_lo,
+         |    MAX(mean_cents) AS boot_hi
+         |  FROM rk WHERE rk = 2 OR rk = nr - 1 GROUP BY event_type),
+         |f AS (SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS cs FROM ev GROUP BY event_type)
+         |SELECT ci.event_type, n, cs // n AS mean_floor_cents,
+         |  boot_lo, boot_hi
+         |FROM ci JOIN f USING (event_type) ORDER BY event_type""".stripMargin
+    },
+
+    // left-outer attribution: unconverted clicks carry NULL purchase
+    // columns; NULLS FIRST mirrors Spark's ascending null ordering
+    "streaming_left_join" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id,
+         |    CAST(epoch_us(ts) // 1000 AS BIGINT) AS c_ts_ms
+         |  FROM events WHERE event_type = 'click' AND event_id < ${graft.streaming.Streams.HarnessFeedCap}),
+         |p AS (SELECT event_id AS purchase_id, user_id,
+         |    CAST(epoch_us(ts) // 1000 AS BIGINT) AS p_ts_ms
+         |  FROM events WHERE event_type = 'purchase' AND event_id < ${graft.streaming.Streams.HarnessFeedCap})
+         |SELECT c.click_id, p.purchase_id, c.user_id, c.c_ts_ms, p.p_ts_ms
+         |FROM c LEFT JOIN p ON c.user_id = p.user_id
+         |  AND p.p_ts_ms BETWEEN c.c_ts_ms AND c.c_ts_ms + 1800000
+         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    // incremental stats maintenance is lossless like the full build:
+    // base + delta = all events, so the oracle is the same range filter
+    "zonemap_incremental" ->
+      s"""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts,
+         |  user_id, value
+         |FROM events
+         |WHERE epoch_us(ts) * 1000 >= ${graft.sources.DataSkipping.QueryLoNs}
+         |  AND epoch_us(ts) * 1000 < ${graft.sources.DataSkipping.QueryHiNs}
+         |ORDER BY event_id""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality constraint audit (§2-beyond — the "expectations" pass
@@ -153,5 +154,103 @@ object Audit {
         ($"n" >= KAnon).as("k_ok"),
         $"n_generalized", ($"n_generalized" >= KAnon).as("generalized_ok"))
       .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** Cross-multiplied outlier threshold for [[madOutliers]]:
+    * 3 · 1.4826 (the normal-consistency constant) = 4.4478, applied as
+    * the exact integer inequality dev2·10000 > 22239·mad4 — dev2 is in
+    * half-cents and mad4 in the doubled unit, so the 2× cancellation
+    * folds into 22239 = 44478/2. No float ever decides a flag.
+    */
+  val MadNum = 22239L
+  val MadDen = 10000L
+
+  /** Robust per-group outlier detection by median/MAD — the
+    * data-cleaning pass that survives the very outliers a mean/stddev
+    * z-score is skewed by. All state is exact: values lift to integer
+    * cents; the per-type median doubles to the integer med2
+    * (interpolated medians of integers are x.0 or x.5, exactly
+    * representable, and `percentile` / `quantile_cont` agree bitwise on
+    * them — the [[Relational.quantileRatingLevels]] contract); absolute
+    * deviations live in half-cents; the MAD doubles again to mad4.
+    * The flag is the cross-multiplied integer inequality above.
+    *
+    * Scale shape: two grouped-percentile shuffles (values, then
+    * deviations) + two broadcast joins back; the fact table never
+    * shuffles. Groups are event types — the percentile state is
+    * per-group, not per-row.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val med = ev.groupBy($"event_type")
+      .agg((percentile($"cents", lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .select($"event_id", $"event_type", $"cents", $"med2",
+        abs($"cents" * 2 - $"med2").as("dev2"))
+    val mad = dev.groupBy($"event_type")
+      .agg((percentile($"dev2", lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select($"event_id", $"event_type", $"cents", $"med2", $"dev2",
+        $"mad4", ($"dev2" * MadDen > $"mad4" * MadNum).as("is_outlier"))
+      .orderBy($"event_id")
+  }
+
+  /** Resample count for [[poissonBootstrap]]. */
+  val BootResamples = 32
+
+  /** Deterministic Poisson bootstrap — the single-pass bootstrap that
+    * works at any scale (classic resampling needs n draws from a
+    * global index; the Poisson approximation gives every row an
+    * independent Binomial(4, 1/4) ≈ Poisson(1) weight per resample, so
+    * the whole thing is a projection + one partial-aggregatable
+    * shuffle). Weights come from four 2-bit fields of ONE salted md5
+    * hash per (row, resample) — RNG-free, rerun-identical,
+    * engine-identical. Each resample's mean is one exact-integer
+    * division (Σ w·cents / Σ w as a single double op), so the resample
+    * distribution is bit-identical across engines; the CI endpoints
+    * are order statistics of those 32 means (2nd-smallest /
+    * 2nd-largest ≈ a 94% interval), selected by a deterministic
+    * (mean, resample-id) rank.
+    */
+  def poissonBootstrap(spark: SparkSession, dir: String,
+      resamples: Int = BootResamples): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val h = graft.operators.Dedup.hash60(concat(lit("boot:"), $"r",
+      lit(":"), $"event_id".cast("string")))
+    val w = (0 until 4).map(j =>
+        when(shiftrightunsigned(h, 2 * j).bitwiseAND(3L) === 0L, 1L)
+          .otherwise(0L))
+      .reduce(_ + _)
+    val means = ev
+      .select($"event_id", $"event_type", $"cents",
+        explode(sequence(lit(0), lit(resamples - 1))).as("r"))
+      .select($"event_type", $"r", w.as("w"), $"cents")
+      .groupBy($"event_type", $"r")
+      .agg(sum($"w" * $"cents").as("wc"), sum($"w").as("ws"))
+      .select($"event_type", $"r",
+        ($"wc".cast("double") / $"ws".cast("double")).as("mean_cents"))
+    val byMean = Window.partitionBy($"event_type")
+      .orderBy($"mean_cents", $"r")
+    val ranked = means
+      .withColumn("rk", row_number().over(byMean))
+      .withColumn("nr", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    val full = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+      .select($"event_type", $"n",
+        expr("cents_sum div n").as("mean_floor_cents"))
+    ranked.filter($"rk" === 2 || $"rk" === $"nr" - 1)
+      .groupBy($"event_type")
+      .agg(min($"mean_cents").as("boot_lo"), max($"mean_cents").as("boot_hi"))
+      .join(broadcast(full), Seq("event_type"))
+      .select($"event_type", $"n", $"mean_floor_cents",
+        $"boot_lo", $"boot_hi")
+      .orderBy($"event_type")
   }
 }

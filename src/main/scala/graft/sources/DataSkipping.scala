@@ -78,19 +78,86 @@ object DataSkipping {
     * spec) can assert the skipping actually happened.
     */
   def zoneMapRead(spark: SparkSession, path: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) =
+    zoneMapReadWith(spark, zoneMapOf(spark, path), lo, hi)
+
+  /** [[zoneMapRead]] against an explicitly maintained stats table (the
+    * incremental path hands in merged stats instead of rebuilding).
+    */
+  def zoneMapReadWith(spark: SparkSession, stats: DataFrame,
       lo: Long, hi: Long): (DataFrame, Int, Int) = {
     import spark.implicits._
-    val zones = zoneMapOf(spark, path)
+    val zones = stats
       .select($"file", $"min_ts", $"max_ts")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val keep = zones.collect {
       case (f, mn, mx) if mx >= lo && mn < hi => f
     }.sorted
     val rows =
-      if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+      if (keep.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(0L).as("event_id"), lit(0L).as("ts"),
+            lit(0L).as("user_id"), lit(0d).as("value"))
+          .filter(lit(false))
       else spark.read.parquet(keep: _*)
         .filter($"ts" >= lo && $"ts" < hi)
     (rows, keep.length, zones.length)
+  }
+
+  /** The zone map restricted to an explicit file list — the day-2
+    * maintenance primitive: after an append lands new files, ONLY they
+    * are scanned for stats.
+    */
+  def zoneMapOfFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"ts").as("min_ts"), max($"ts").as("max_ts"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** List the layout's current parquet files as the URI form
+    * `input_file_name()` reports, so before/after set difference
+    * identifies appended files.
+    */
+  def listFiles(path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    try stream.iterator().asScala.map(_.toUri.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    finally stream.close()
+  }
+
+  /** Day-2 zone-map maintenance: the base layout (events with
+    * event_id % 5 != 0) is written and stats-built once; the delta
+    * (event_id % 5 == 0) is APPENDED as new range-clustered files, and
+    * the stats table is updated by scanning ONLY the new files —
+    * base ∪ delta stats, never a full rebuild (per-file min/max/count
+    * is immutable once a file is written, the same argument that makes
+    * parquet footers trustworthy). The week-window query then runs
+    * against the MERGED stats over the whole layout. Spec asserts the
+    * merged stats equal a from-scratch rebuild; the oracle is the same
+    * plain range filter as [[zonemapSkip]] (base + delta = all events).
+    */
+  def zonemapIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Sources.scratchDir(spark, "zonemap_incr")
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"value")
+    ev.filter($"event_id" % 5 =!= 0)
+      .repartitionByRange(ZoneFiles - 4, $"ts").sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(out)
+    val baseFiles = listFiles(out)
+    val baseStats = zoneMapOfFiles(spark, baseFiles.toSeq.sorted)
+      .localCheckpoint() // freeze base stats BEFORE the append lands
+    ev.filter($"event_id" % 5 === 0)
+      .repartitionByRange(4, $"ts").sortWithinPartitions($"ts")
+      .write.mode("append").parquet(out)
+    val newFiles = (listFiles(out) -- baseFiles).toSeq.sorted
+    val merged = baseStats.unionByName(zoneMapOfFiles(spark, newFiles))
+    val (rows, _, _) = zoneMapReadWith(spark, merged, QueryLoNs, QueryHiNs)
+    rows.select($"event_id", $"ts", $"user_id", $"value")
+      .orderBy($"event_id")
   }
 
   /** Driver query: build the layout, answer the one-week window scan

@@ -215,13 +215,15 @@ object Streams {
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String,
       window: String = "10 seconds",
-      lateness: String = "30 seconds"): DataFrame = {
+      lateness: String = "30 seconds",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness).alias("l")
     val r = right.withWatermark(rightTs, lateness).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $window"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $window"),
+      joinType)
   }
 
   /** Streaming exact dedup — the streaming analog of
@@ -479,6 +481,67 @@ object Streams {
       q.processAllAvailable()
     }
     spark.table(name).orderBy($"click_id", $"purchase_id")
+  }
+
+  /** LEFT OUTER stream-stream join — the attribution variant that also
+    * emits UNCONVERTED clicks (purchase columns NULL), which is what a
+    * funnel/attribution consumer actually needs: the inner join alone
+    * silently drops every click that never converted. Outer emission is
+    * watermark-gated by contract — a null row may only appear once no
+    * future purchase could still match, i.e. when the GLOBAL watermark
+    * (the min across both sources) passes click_ts + window + lateness.
+    * The harness advances it with far-future sentinel events on BOTH
+    * streams, fed in two rounds because expiry emission happens in the
+    * trigger AFTER the watermark moves; sentinels use negative
+    * ids/keys on disjoint key spaces (so they match nothing) and are
+    * filtered from the result. The oracle is the plain batch LEFT JOIN
+    * over the capped feed.
+    */
+  def streamStreamLeftJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def feed(eventType: String): Array[KeyedTimedEvent] =
+      graft.Tables.events(spark, dir)
+        .filter($"event_id" < HarnessFeedCap && $"event_type" === eventType)
+        .select($"event_id", $"user_id", $"ts")
+        .orderBy($"event_id").collect()
+        .map(r => KeyedTimedEvent(r.getLong(0), r.getLong(1),
+          new java.sql.Timestamp(r.getLong(2) / 1000000L)))
+    val clicks = feed("click"); val purchases = feed("purchase")
+    if (clicks.isEmpty)
+      return Seq.empty[(Long, Option[Long], Long, Long, Option[Long])]
+        .toDF("click_id", "purchase_id", "user_id", "c_ts_ms", "p_ts_ms")
+    val inC = MemoryStream[KeyedTimedEvent](spark)
+    val inP = MemoryStream[KeyedTimedEvent](spark)
+    val joined = streamStreamJoin(
+      inC.toDF().select($"eventId".as("c_id"), $"userId", $"ts".as("c_ts")),
+      inP.toDF().select($"eventId".as("p_id"), $"userId", $"ts".as("p_ts")),
+      "userId", "c_ts", "p_ts", window = "30 minutes",
+      joinType = "left_outer")
+    val maxMs = (clicks ++ purchases).map(_.ts.getTime).max
+    def sentinel(id: Long, key: Long, plusDays: Long) =
+      KeyedTimedEvent(id, key,
+        new java.sql.Timestamp(maxMs + plusDays * 86400000L))
+    val name = runStreamToTable(spark, "ss_ljoin", Some(4)) { (n, ck) =>
+      joined
+        .select(col("l.c_id").as("click_id"), col("r.p_id").as("purchase_id"),
+          col("l.userId").as("user_id"),
+          unix_millis(col("l.c_ts")).as("c_ts_ms"),
+          unix_millis(col("r.p_ts")).as("p_ts_ms"))
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q =>
+      inC.addData(clicks.toIndexedSeq)
+      inP.addData(purchases.toIndexedSeq)
+      q.processAllAvailable()
+      inC.addData(sentinel(-1L, -1L, 100)); inP.addData(sentinel(-2L, -2L, 100))
+      q.processAllAvailable()
+      inC.addData(sentinel(-3L, -1L, 101)); inP.addData(sentinel(-4L, -2L, 101))
+      q.processAllAvailable()
+    }
+    spark.table(name).filter($"click_id" >= 0)
+      .orderBy($"click_id", $"purchase_id")
   }
 
   /** Driver-contract query with a FULL DuckDB oracle: the day-2 dedup

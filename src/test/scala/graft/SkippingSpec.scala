@@ -79,6 +79,34 @@ class SkippingSpec extends AnyFunSuite {
     assert(reduced.count() > 0L)
   }
 
+  test("incremental zone map: delta stats come from new files only and " +
+    "merged stats equal a from-scratch rebuild") {
+    import spark.implicits._
+    val out = graft.sources.Sources.scratchDir(spark, "zonemap_incr_spec")
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"value")
+    ev.filter($"event_id" % 5 =!= 0)
+      .repartitionByRange(8, $"ts").sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(out)
+    val baseFiles = DataSkipping.listFiles(out)
+    val baseStats = DataSkipping
+      .zoneMapOfFiles(spark, baseFiles.toSeq.sorted).localCheckpoint()
+    ev.filter($"event_id" % 5 === 0)
+      .repartitionByRange(4, $"ts").sortWithinPartitions($"ts")
+      .write.mode("append").parquet(out)
+    val newFiles = (DataSkipping.listFiles(out) -- baseFiles).toSeq.sorted
+    assert(newFiles.nonEmpty && newFiles.size <= 4)
+    assert(baseFiles.intersect(newFiles.toSet).isEmpty)
+    val merged = baseStats
+      .unionByName(DataSkipping.zoneMapOfFiles(spark, newFiles))
+    val rebuild = DataSkipping.zoneMapOf(spark, out)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(asSet(merged) === asSet(rebuild),
+      "incrementally maintained stats must equal a full rebuild")
+  }
+
   test("bloom has no false negatives: every dim key probes true") {
     import spark.implicits._
     val dim = RuntimeFilter.dimOrders(spark, sf)

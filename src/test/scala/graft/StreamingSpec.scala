@@ -761,4 +761,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch,
       "per-batch probes of the standing index must union to the batch relation")
   }
+
+  test("left-outer stream-stream join equals the batch left join and " +
+    "emits watermark-expired unmatched clicks") {
+    import spark.implicits._
+    val sf = TestSpark.sf
+    val got = graft.streaming.Streams.streamStreamLeftJoinQuery(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got.exists(_._2 == -1L),
+      "unconverted clicks must surface as NULL purchase rows")
+    assert(got.exists(_._2 >= 0L), "matched rows must still be present")
+    // batch reference: the same time-bounded left join
+    val ev = Tables.events(spark, sf).filter($"event_id" < 10000L)
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"),
+        org.apache.spark.sql.functions.expr("ts div 1000000").as("c_ms"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"),
+        org.apache.spark.sql.functions.expr("ts div 1000000").as("p_ms"))
+    val want = c.join(p, $"cu" === $"pu" && $"p_ms" >= $"c_ms" &&
+        $"p_ms" <= $"c_ms" + 1800000L, "left_outer")
+      .select($"click_id",
+        org.apache.spark.sql.functions.coalesce($"purchase_id", org.apache.spark.sql.functions.lit(-1L)).as("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted)
+  }
 }
