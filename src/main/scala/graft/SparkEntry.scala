@@ -211,6 +211,11 @@ object SparkEntry {
       graft.streaming.Streams.streamStreamLeftJoinQuery(s, d)),
     "zonemap_incremental" -> ((s, d) =>
       graft.sources.DataSkipping.zonemapIncremental(s, d)),
+    "pagerank_personalized" -> ((s, d) => Graph.pagerankPersonalized(s, d)),
+    "bloom_file_skip" -> ((s, d) =>
+      graft.sources.DataSkipping.bloomFileSkip(s, d)),
+    "json_corrupt_recovery" -> ((s, d) =>
+      graft.sources.Sources.jsonCorruptRecovery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2655,5 +2660,29 @@ object SparkEntry {
          |WHERE epoch_us(ts) * 1000 >= ${graft.sources.DataSkipping.QueryLoNs}
          |  AND epoch_us(ts) * 1000 < ${graft.sources.DataSkipping.QueryHiNs}
          |ORDER BY event_id""".stripMargin,
+
+    // random walk with restart to the focus user's seed set, integer
+    // rounds unrolled like pagerank_corated's oracle
+    "pagerank_personalized" ->
+      graft.operators.Graph.pagerankPersonalizedSql(),
+
+    // per-file Bloom point skipping is lossless (no false negatives),
+    // so the oracle is the plain IN-list filter
+    "bloom_file_skip" ->
+      s"""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts,
+         |  user_id, value
+         |FROM events
+         |WHERE event_id IN (${graft.sources.DataSkipping.TargetEventIds.mkString(", ")})
+         |ORDER BY event_id""".stripMargin,
+
+    // PERMISSIVE corrupt-record isolation: good rows pass through
+    // typed; the quarantine count rides the event_id=-1 sentinel row
+    "json_corrupt_recovery" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_id % 37 <> 0
+        |UNION ALL
+        |SELECT -1 AS event_id,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 37 = 0) AS user_id,
+        |  NULL AS value
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -631,7 +631,21 @@ object Dedup {
   val BloomProbeParams: Seq[(Long, Long)] =
     Seq((981272653L, 12345L), (1327217885L, 67890L))
 
-  private def bloomPos(h: Column, a: Long, b: Long, mBits: Int): Column =
+  private[graft] def bloomPos(h: Column, a: Long, b: Long, mBits: Int): Column =
+    ((h % P) * a + b) % P % mBits
+
+  /** Driver-side mirror of [[bloomPos]] ∘ hash60 for metadata-sized
+    * planning (e.g. probing per-file Bloom indexes with a handful of
+    * target keys): md5 → first 15 hex digits → 60-bit long, then the
+    * same affine probe — bit-identical to the Column form.
+    */
+  private[graft] def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+  private[graft] def bloomPosLocal(h: Long, a: Long, b: Long, mBits: Int): Long =
     ((h % P) * a + b) % P % mBits
 
   /** Single-bit longs indexed by (pos & 63): a 64-entry literal lookup

@@ -416,6 +416,119 @@ object Graph {
        |WHERE rank <= $k
        |ORDER BY item, rank""".stripMargin
 
+  /** Focus user whose taste personalizes the teleport set (exists at
+    * every scale factor), and the recommendation list length.
+    */
+  val PprFocusUser = 1L
+  val PprTopK = 20
+
+  /** Personalized PageRank — the graph-walk recommender that completes
+    * the family (ALS = latent factors, item-item cosine = memory CF,
+    * PPR = random walk with restart): teleport mass returns to the
+    * FOCUS USER's rated-song set instead of the whole catalog, so rank
+    * concentrates around their taste neighborhood, and the output is
+    * the top-K songs they have NOT rated. Same exact integer-scaled
+    * arithmetic as [[pagerankOf]]; the per-round base term lands only
+    * on seed nodes via a union + re-aggregate (both partial-
+    * aggregatable), so a node reachable only later simply carries no
+    * row until rank mass arrives — identical semantics in the unrolled
+    * oracle. Seeds are the user's full rated set (the edge build stays
+    * capped; a seed outside the capped graph receives teleport mass
+    * but contributes nothing, in both engines).
+    *
+    * Scale shape: per round ONE (dst, Σ) shuffle over the edge list
+    * plus a seed-sized union; seeds are one user's items (bounded);
+    * the final anti-join removes the rated set.
+    */
+  def pagerankPersonalized(spark: SparkSession, dir: String,
+      rounds: Int = Rounds, focusUser: Long = PprFocusUser,
+      k: Int = PprTopK): DataFrame = {
+    import spark.implicits._
+    pagerankPersonalizedOf(
+      Relational.ratings(spark, dir)
+        .select($"user_id", $"song_id").distinct(),
+      rounds, focusUser, k)
+  }
+
+  /** [[pagerankPersonalized]] over any distinct (user_id, song_id)
+    * relation.
+    */
+  def pagerankPersonalizedOf(pos: DataFrame, rounds: Int = Rounds,
+      focusUser: Long = PprFocusUser, k: Int = PprTopK): DataFrame = {
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val edges = coRatingEdgesOf(pos).cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg"))
+    val edgesDeg = edges.join(deg, Seq("src"))
+      .select($"src", $"dst", $"out_deg").cache()
+    val seeds = pos.filter($"user_id" === focusUser)
+      .select($"song_id".as("node")).cache()
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, s"focus user $focusUser has no rated songs")
+    val base = (RankScale * (100L - DampingPct) / 100L) / nSeeds
+    var ranks = seeds.select($"node", lit(RankScale / nSeeds).as("r"))
+    for (_ <- 1 to rounds) {
+      val contrib = edgesDeg
+        .join(ranks, $"src" === $"node")
+        .select($"dst", expr("r div out_deg").as("c"))
+        .groupBy($"dst")
+        .agg(expr(s"($DampingPct * sum(c)) div 100").as("r"))
+        .select($"dst".as("node"), $"r")
+      ranks = contrib
+        .unionByName(seeds.select($"node", lit(base).as("r")))
+        .groupBy($"node").agg(sum($"r").as("r"))
+    }
+    // TakeOrderedAndProject first (distributed top-k), THEN number the
+    // k survivors — never a global row_number over the whole catalog
+    val top = ranks.join(seeds, Seq("node"), "left_anti")
+      .orderBy($"r".desc, $"node").limit(k)
+    top.select(row_number().over(
+        Window.orderBy($"r".desc, $"node")).as("rank"),
+      $"node".as("song_id"), $"r".as("rank_scaled"))
+      .orderBy($"rank")
+  }
+
+  /** DuckDB mirror of [[pagerankPersonalized]] — the same rounds
+    * unrolled with the union + re-aggregate base-term shape.
+    */
+  def pagerankPersonalizedSql(rounds: Int = Rounds,
+      maxItemsPerUser: Int = MaxItemsPerUser,
+      focusUser: Long = PprFocusUser, k: Int = PprTopK): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT node, SUM(r) AS r FROM (
+         |  SELECT e.dst AS node,
+         |    ($DampingPct * SUM(p${i - 1}.r // d.out_deg)) // 100 AS r
+         |  FROM e JOIN d USING (src) JOIN p${i - 1} ON e.src = p${i - 1}.node
+         |  GROUP BY e.dst
+         |  UNION ALL
+         |  SELECT node,
+         |    (($RankScale * ${100L - DampingPct} // 100) // (SELECT n FROM ns)) AS r
+         |  FROM seeds) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pos0 AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |popc AS (SELECT song_id, COUNT(*) AS pop FROM pos0 GROUP BY song_id),
+       |pos AS (SELECT user_id, song_id FROM (
+       |    SELECT p.user_id, p.song_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.user_id ORDER BY c.pop DESC, p.song_id) AS rn
+       |    FROM pos0 p JOIN popc c USING (song_id))
+       |  WHERE rn <= $maxItemsPerUser),
+       |e AS (SELECT DISTINCT x.song_id AS src, y.song_id AS dst
+       |  FROM pos x JOIN pos y ON x.user_id = y.user_id
+       |    AND x.song_id <> y.song_id),
+       |d AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+       |seeds AS (SELECT song_id AS node FROM pos0 WHERE user_id = $focusUser),
+       |ns AS (SELECT COUNT(*) AS n FROM seeds),
+       |p0 AS (SELECT node, $RankScale // (SELECT n FROM ns) AS r FROM seeds),
+       |$iter
+       |SELECT CAST(rank AS INTEGER) AS rank, song_id, rank_scaled FROM (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rank,
+       |    node AS song_id, CAST(r AS BIGINT) AS rank_scaled
+       |  FROM p$rounds WHERE node NOT IN (SELECT node FROM seeds))
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   def pagerankSql(rounds: Int = Rounds,
       maxItemsPerUser: Int = MaxItemsPerUser): String = {
     val iter = (1 to rounds).map { i =>

@@ -160,6 +160,85 @@ object DataSkipping {
       .orderBy($"event_id")
   }
 
+  /** Per-file Bloom width for [[bloomFileSkip]]: 2^16 bits per file
+    * (1024 longs) keeps the 2-probe false-positive rate ≈3% at the
+    * largest test SF's ~6k rows/file — sized to rows-per-file, not to
+    * the table, exactly like parquet's own column bloom filters.
+    */
+  val FileBloomBits = 1 << 16
+
+  /** Point-lookup targets shared with the oracle (< 1000, so they
+    * exist at every scale factor).
+    */
+  val TargetEventIds = Seq(17L, 257L, 801L)
+
+  private def idHash(c: org.apache.spark.sql.Column) =
+    graft.operators.Dedup.hash60(
+      concat(lit("bfs:"), c.cast("string")))
+
+  /** Per-file Bloom index over `event_id` — the data-skipping layer for
+    * POINT lookups on a column the file layout is NOT clustered by
+    * (zone maps only help range-correlated columns): one pass builds a
+    * (file, word, bits) index by per-file `bit_or` of probe bits (the
+    * grouped form of [[graft.operators.Dedup.bloomWordsOf]]); a point
+    * query probes each file's words DRIVER-SIDE with the target keys'
+    * hashes (metadata-sized: #files × mBits/64 longs) and reads only
+    * files some target may inhabit. No false negatives, so skipping is
+    * lossless and the oracle is the plain IN-list filter; false
+    * positives only cost an extra file read. This is parquet's own
+    * column-bloom mechanism made explicit as an operator.
+    */
+  /** Build the per-file Bloom index: (file → word → bits), one grouped
+    * `bit_or` pass, collected metadata-sized.
+    */
+  def bloomFileIndexOf(spark: SparkSession, path: String,
+      mBits: Int = FileBloomBits): Map[String, Map[Long, Long]] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rows = spark.read.parquet(path)
+      .select(input_file_name().as("file"), idHash($"event_id").as("h"))
+    val positions = Dedup.BloomProbeParams.map { case (a, b) =>
+      rows.select($"file", Dedup.bloomPos($"h", a, b, mBits).as("pos"))
+    }.reduce(_ unionByName _)
+    val bitLit = typedLit((0 until 64).map(1L << _))
+    positions
+      .select($"file", shiftrightunsigned($"pos", 6).as("w"),
+        element_at(bitLit, $"pos".bitwiseAND(63L).cast("int") + 1).as("bit"))
+      .groupBy($"file", $"w")
+      .agg(expr("bit_or(bit)").as("bits"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
+  }
+
+  /** Driver-side plan: the files some target id may inhabit. */
+  def bloomPlanFiles(index: Map[String, Map[Long, Long]],
+      targets: Seq[Long], mBits: Int = FileBloomBits): Seq[String] = {
+    import graft.operators.Dedup
+    val targetHs = targets.map(id => Dedup.hash60Local(s"bfs:$id"))
+    def fileMayHold(words: Map[Long, Long], h: Long): Boolean =
+      Dedup.BloomProbeParams.forall { case (a, b) =>
+        val pos = Dedup.bloomPosLocal(h, a, b, mBits)
+        (words.getOrElse(pos >> 6, 0L) & (1L << (pos & 63L))) != 0L
+      }
+    index.collect {
+      case (f, words) if targetHs.exists(fileMayHold(words, _)) => f
+    }.toSeq.sorted
+  }
+
+  def bloomFileSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = zoneLayout(spark, dir) // ts-clustered: event_ids scatter
+    val index = bloomFileIndexOf(spark, path)
+    val keep = bloomPlanFiles(index, TargetEventIds)
+    val out =
+      if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep: _*)
+        .filter($"event_id".isin(TargetEventIds.map(java.lang.Long.valueOf): _*))
+    out.select($"event_id", $"ts", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
   /** Driver query: build the layout, answer the one-week window scan
     * through the zone map. Oracle: the same filter over the raw events
     * table — any row a skipped file actually contained would mismatch.

@@ -138,6 +138,48 @@ object Sources {
     jsonLines(spark, out, Some(schema)).orderBy("p_partkey")
   }
 
+  /** Oracle-checked driver query: PERMISSIVE JSON ingestion with
+    * corrupt-record isolation — the robustness surface every real feed
+    * hits (a producer bug emits truncated lines; the reader must
+    * quarantine them WITHOUT failing the job or silently dropping
+    * them). Every 37th event is written as a deliberately truncated
+    * JSON line; the schema'd PERMISSIVE read routes those rows to
+    * `_corrupt_record`, good rows come back typed, and the corrupt
+    * COUNT is emitted as a sentinel row (event_id −1, count in
+    * user_id) so the quarantine size itself is oracle-checked — a
+    * reader that dropped or double-counted a corrupt line mismatches.
+    * (The read is cached once: Spark disallows queries referencing
+    * only the corrupt column on the lazy relation.)
+    */
+  def jsonCorruptRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = scratchDir(spark, "json_corrupt")
+    graft.Tables.events(spark, dir)
+      .select(when($"event_id" % 37 === 0,
+          concat(lit("{\"event_id\":"), $"event_id", lit(",\"user_id\":")))
+        .otherwise(to_json(struct($"event_id", $"user_id", $"value")))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .cache()
+    val good = parsed.filter($"_corrupt_record".isNull)
+      .select($"event_id", $"user_id", $"value")
+    val quarantined = parsed.filter($"_corrupt_record".isNotNull)
+      .agg(count(lit(1)).as("n"))
+      .select(lit(-1L).as("event_id"), $"n".as("user_id"),
+        lit(null).cast("double").as("value"))
+    good.unionByName(quarantined).orderBy($"event_id")
+  }
+
   /** Oracle-checked driver query: the part catalog through Spark's
     * built-in columnar ORC source/sink — the other first-class
     * warehouse format besides parquet (schema'd, predicate-pushdown

@@ -119,4 +119,26 @@ class FeatureSpec extends AnyFunSuite {
     assert(got((3L, 3L)) === 0.0)
     assert(got.size === 36)
   }
+  test("personalized pagerank: walk favors the seed neighborhood and " +
+    "never recommends a rated song") {
+    import spark.implicits._
+    // chain graph via co-raters: u1:{1,2} u2:{2,3} u3:{3,4} — from u1's
+    // seeds {1,2}, song 3 (one hop) must outrank song 4 (two hops)
+    val pos = Seq((1L, 1), (1L, 2), (2L, 2), (2L, 3), (3L, 3), (3L, 4))
+      .toDF("user_id", "song_id")
+    val got = graft.operators.Graph
+      .pagerankPersonalizedOf(pos, focusUser = 1L, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(_._2).toSet === Set(3, 4), s"unrated songs only: ${got.toSeq}")
+    val byRank = got.sortBy(_._1).map(_._2).toSeq
+    assert(byRank === Seq(3, 4), "one-hop song must outrank two-hop song")
+    assert(got.forall(_._3 > 0L))
+    // driver corpus: top-k excludes every song the focus user rated
+    val driver = graft.operators.Graph.pagerankPersonalized(spark, sf)
+      .collect().map(_.getInt(1)).toSet
+    val rated = graft.operators.Relational.ratings(spark, sf)
+      .filter($"user_id" === graft.operators.Graph.PprFocusUser)
+      .select($"song_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(driver.nonEmpty && driver.intersect(rated).isEmpty)
+  }
 }

@@ -107,6 +107,39 @@ class SkippingSpec extends AnyFunSuite {
       "incrementally maintained stats must equal a full rebuild")
   }
 
+  test("per-file bloom index: point lookups skip files losslessly") {
+    import spark.implicits._
+    val path = DataSkipping.zoneLayout(spark, sf)
+    val index = DataSkipping.bloomFileIndexOf(spark, path)
+    val keep = DataSkipping.bloomPlanFiles(index, DataSkipping.TargetEventIds)
+    // 3 target rows over >= 8 files at sf0.001 (~62 rows/file, fp ~ 0):
+    // most files must be skipped
+    assert(index.size >= DataSkipping.ZoneFiles / 2)
+    assert(keep.size < index.size,
+      s"no files skipped (${keep.size} of ${index.size})")
+    // lossless: planned files contain every target row
+    val got = DataSkipping.bloomFileSkip(spark, sf)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    val want = Tables.events(spark, sf)
+      .filter($"event_id".isin(
+        DataSkipping.TargetEventIds.map(java.lang.Long.valueOf): _*))
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("json corrupt recovery: quarantine count is exact and good rows " +
+    "pass through typed") {
+    import spark.implicits._
+    val got = graft.sources.Sources.jsonCorruptRecovery(spark, sf).collect()
+    val sentinel = got.filter(_.getLong(0) == -1L)
+    assert(sentinel.length === 1)
+    val nCorrupt = Tables.events(spark, sf)
+      .filter($"event_id" % 37 === 0).count()
+    assert(sentinel.head.getLong(1) === nCorrupt && nCorrupt > 0)
+    assert(got.length - 1 ===
+      (Tables.events(spark, sf).count() - nCorrupt).toInt)
+  }
+
   test("bloom has no false negatives: every dim key probes true") {
     import spark.implicits._
     val dim = RuntimeFilter.dimOrders(spark, sf)
