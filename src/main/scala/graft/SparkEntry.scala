@@ -216,6 +216,7 @@ object SparkEntry {
       graft.sources.DataSkipping.bloomFileSkip(s, d)),
     "json_corrupt_recovery" -> ((s, d) =>
       graft.sources.Sources.jsonCorruptRecovery(s, d)),
+    "zorder_skip" -> ((s, d) => graft.sources.DataSkipping.zorderSkip(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2683,6 +2684,15 @@ object SparkEntry {
         |SELECT -1 AS event_id,
         |  (SELECT COUNT(*) FROM events WHERE event_id % 37 = 0) AS user_id,
         |  NULL AS value
+        |ORDER BY event_id""".stripMargin,
+
+    // the z-order layout shapes only WHICH files hold which rows;
+    // skipping is lossless, so the oracle is the plain prefix filter
+    "zorder_skip" ->
+      """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts,
+        |  user_id, value
+        |FROM events
+        |WHERE user_id <= (SELECT MAX(user_id) FROM events) // 8
         |ORDER BY event_id""".stripMargin,
   )
 }

@@ -63,11 +63,12 @@ object DataSkipping {
     * pass. `input_file_name()` is plan metadata per row, so this is a
     * single partial-aggregatable shuffle with <= #files output rows.
     */
-  def zoneMapOf(spark: SparkSession, path: String): DataFrame = {
+  def zoneMapOf(spark: SparkSession, path: String,
+      column: String = "ts"): DataFrame = {
     import spark.implicits._
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(min($"ts").as("min_ts"), max($"ts").as("max_ts"),
+      .agg(min(col(column)).as("min_ts"), max(col(column)).as("max_ts"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -236,6 +237,47 @@ object DataSkipping {
       else spark.read.parquet(keep: _*)
         .filter($"event_id".isin(TargetEventIds.map(java.lang.Long.valueOf): _*))
     out.select($"event_id", $"ts", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
+  /** Z-order layout + zone-map skipping end-to-end — the lakehouse
+    * OPTIMIZE ZORDER pattern measured, not just the key function
+    * ([[ZOrder.zorderKey]]): events are laid out by the Morton
+    * interleave of BIT-BALANCED (user, hour) keys (each dimension
+    * rank-scaled to 16 bits — unbalanced bit ranges would degenerate
+    * the curve to a single-key sort and kill pruning on the minor
+    * dimension), so per-file min/max stats are tight on BOTH columns
+    * and a query on user_id ALONE — not the leading sort key of any
+    * single-column layout — skips ~7/8 of the files for a 1/8 user
+    * prefix. The normalization scalars (max user, hour span) are two
+    * broadcast-sized aggregates; they shape only the LAYOUT, so the
+    * oracle is the plain user-range filter (skipping is lossless, same
+    * argument as [[zonemapSkip]]).
+    */
+  def zorderSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Sources.scratchDir(spark, "zorder_skip")
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"value",
+        expr("ts div 3600000000000").as("hour"))
+    val s = ev.agg(max($"user_id").as("mu"), min($"hour").as("h0"),
+      max($"hour").as("h1")).first()
+    val (maxU, h0, h1) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val span = math.max(h1 - h0, 1L)
+    ZOrder.zorderWrite(
+      ev.select($"event_id", $"ts", $"user_id", $"value",
+        expr(s"user_id * 65535 div $maxU").as("unorm"),
+        expr(s"(hour - $h0) * 65535 div $span").as("hnorm")),
+      "unorm", "hnorm", out, ZoneFiles)
+    val hiUser = maxU / 8
+    val zones = zoneMapOf(spark, out, "user_id")
+      .select($"file", $"min_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val keep = zones.collect { case (f, mn) if mn <= hiUser => f }.sorted
+    val rows =
+      if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+      else spark.read.parquet(keep: _*).filter($"user_id" <= hiUser)
+    rows.select($"event_id", $"ts", $"user_id", $"value")
       .orderBy($"event_id")
   }
 

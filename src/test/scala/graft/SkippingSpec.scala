@@ -140,6 +140,38 @@ class SkippingSpec extends AnyFunSuite {
       (Tables.events(spark, sf).count() - nCorrupt).toInt)
   }
 
+  test("z-order layout: a user-prefix query prunes files on the NON-" +
+    "leading dimension, and the read is lossless") {
+    import spark.implicits._
+    val out = graft.sources.Sources.scratchDir(spark, "zorder_skip_spec")
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"value",
+        org.apache.spark.sql.functions.expr("ts div 3600000000000").as("hour"))
+    val s = ev.agg(
+      org.apache.spark.sql.functions.max($"user_id"),
+      org.apache.spark.sql.functions.min($"hour"),
+      org.apache.spark.sql.functions.max($"hour")).first()
+    val (maxU, h0, h1) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val span = math.max(h1 - h0, 1L)
+    graft.sources.ZOrder.zorderWrite(
+      ev.select($"event_id", $"user_id",
+        org.apache.spark.sql.functions.expr(s"user_id * 65535 div $maxU").as("unorm"),
+        org.apache.spark.sql.functions.expr(s"(hour - $h0) * 65535 div $span").as("hnorm")),
+      "unorm", "hnorm", out, 16)
+    val hiUser = maxU / 8
+    val zones = DataSkipping.zoneMapOf(spark, out, "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val keep = zones.filter(_._2 <= hiUser)
+    assert(zones.length >= 8, s"layout produced only ${zones.length} files")
+    assert(keep.length * 2 <= zones.length,
+      s"user-prefix box should prune >= half the z-ordered files " +
+        s"(kept ${keep.length}/${zones.length})")
+    // lossless through the driver query
+    val got = graft.sources.DataSkipping.zorderSkip(spark, sf)
+    val want = Tables.events(spark, sf).filter($"user_id" <= hiUser)
+    assert(got.count() === want.count() && got.count() > 0)
+  }
+
   test("bloom has no false negatives: every dim key probes true") {
     import spark.implicits._
     val dim = RuntimeFilter.dimOrders(spark, sf)
