@@ -217,6 +217,9 @@ object SparkEntry {
     "json_corrupt_recovery" -> ((s, d) =>
       graft.sources.Sources.jsonCorruptRecovery(s, d)),
     "zorder_skip" -> ((s, d) => graft.sources.DataSkipping.zorderSkip(s, d)),
+    "position_attribution" -> ((s, d) => Temporal.positionAttribution(s, d)),
+    "incremental_join_view" -> ((s, d) =>
+      graft.sources.Maintenance.incrementalJoinView(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2694,5 +2697,42 @@ object SparkEntry {
         |FROM events
         |WHERE user_id <= (SELECT MAX(user_id) FROM events) // 8
         |ORDER BY event_id""".stripMargin,
+
+    // U-shaped credit in exact ppm: 40/20/40, middle remainder rides
+    // the first touch, per-purchase sum is exactly 1,000,000
+    "position_attribution" ->
+      s"""WITH ev AS (SELECT event_id, user_id,
+         |    CAST(epoch_us(ts) AS BIGINT) AS tsu, event_type FROM events),
+         |p AS (SELECT event_id AS purchase_id, user_id, tsu FROM ev
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS c_id, user_id, tsu AS c_tsu FROM ev
+         |  WHERE event_type = 'click'),
+         |pr AS (SELECT purchase_id, c_id, c_tsu,
+         |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+         |      ORDER BY c_tsu, c_id) AS pos,
+         |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+         |  FROM p JOIN c USING (user_id)
+         |  WHERE c_tsu < p.tsu
+         |    AND c_tsu >= p.tsu - ${graft.operators.Temporal.AttributionWindowUs})
+         |SELECT purchase_id, c_id AS click_id, CAST(pos AS INTEGER) AS pos,
+         |  n_touches,
+         |  CAST(CASE WHEN n_touches = 1 THEN 1000000
+         |    WHEN n_touches = 2 THEN 500000
+         |    WHEN pos = 1 THEN 400000 + 200000 % (n_touches - 2)
+         |    WHEN pos = n_touches THEN 400000
+         |    ELSE 200000 // (n_touches - 2) END AS BIGINT) AS credit_ppm
+         |FROM pr ORDER BY purchase_id, pos""".stripMargin,
+
+    // the maintained Δ-join view must equal the from-scratch join over
+    // the day-2 state (fact delta folded, dim updates applied)
+    "incremental_join_view" ->
+      s"""WITH dim AS (SELECT c_custkey,
+         |    CASE WHEN c_custkey % ${graft.sources.Maintenance.DimUpdateMod} = 0
+         |      THEN c_name || ' v2' ELSE c_name END AS c_name,
+         |    c_mktsegment FROM customer)
+         |SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate
+         |FROM orders JOIN dim ON o_custkey = c_custkey
+         |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -138,6 +138,52 @@ object Temporal {
       .orderBy($"event_id")
   }
 
+  /** Attribution window for [[positionAttribution]] (µs). */
+  val AttributionWindowUs = 1800L * 1000000L
+
+  /** Position-based (U-shaped) multi-touch attribution — the marketing
+    * credit model between last-touch ([[asofAttributionQuery]]) and
+    * uniform linear: for each purchase, every click in the preceding
+    * 30-minute window shares the conversion credit 40/20/40 — first
+    * touch 400k ppm, last touch 400k ppm, middles split 200k ppm.
+    * Credits are EXACT integer ppm and sum to exactly 1,000,000 per
+    * purchase by construction: the middle split is floor division and
+    * the remainder rides the first touch (n=1 → 1M, n=2 → 500k each) —
+    * deterministic in both engines, spec-asserted.
+    *
+    * Scale shape: candidate pairs come from the bucketed [[rangeJoin]]
+    * (each pair found in exactly one probe bucket — no quadratic
+    * window self-join), positions from a per-purchase window over the
+    * few clicks inside 30 minutes.
+    */
+  def positionAttribution(spark: SparkSession, dir: String,
+      windowUs: Long = AttributionWindowUs): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("tsu"),
+        $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"tsu")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tsu".as("c_tsu"), $"event_id".as("c_id"))
+    val pairs = rangeJoin(purchases, clicks, Seq("user_id"), "tsu", "c_tsu",
+        windowUs, Seq("c_tsu", "c_id"), prefix = "")
+      .filter($"c_tsu" < $"tsu") // strictly-before touches only
+    val w = Window.partitionBy($"purchase_id")
+    val positioned = pairs.select($"purchase_id", $"c_id".as("click_id"),
+      row_number().over(w.orderBy($"c_tsu", $"c_id")).as("pos"),
+      count(lit(1)).over(w).as("n_touches"))
+    positioned.select($"purchase_id", $"click_id", $"pos", $"n_touches",
+        when($"n_touches" === 1, lit(1000000L))
+          .when($"n_touches" === 2, lit(500000L))
+          .when($"pos" === 1,
+            lit(400000L) + expr("200000L % (n_touches - 2)"))
+          .when($"pos" === $"n_touches", lit(400000L))
+          .otherwise(expr("200000L div (n_touches - 2)"))
+          .as("credit_ppm"))
+      .orderBy($"purchase_id", $"pos")
+  }
+
   /** SAX geometry: 8 symbol levels of width 64 over the value domain
     * [0, 512) — power-of-two widths, so symbolization is one exact
     * IEEE divide+floor in both engines (same argument as the

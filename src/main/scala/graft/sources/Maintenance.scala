@@ -297,6 +297,66 @@ object Maintenance {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** Scratch location for the materialized join view's base. */
+  val JoinViewBasePath = "/tmp/graft_join_view_base"
+
+  /** Every 31st customer receives a dimension update on day 2 (name
+    * suffix), shared with the oracle SQL.
+    */
+  val DimUpdateMod = 31L
+
+  /** Incremental JOIN-view maintenance — the other half of
+    * materialized-view IVM next to [[incrementalAggMerge]]'s
+    * aggregates: a stored orders⋈customer view is maintained under a
+    * day-2 delta on BOTH sides (new fact rows AND dimension updates)
+    * without re-joining history:
+    *
+    *   view' = stored view − rows of updated customers   (anti-join)
+    *         ∪ historical orders of updated customers ⋈ dim'
+    *         ∪ delta orders ⋈ dim'
+    *
+    * — the classic Δ-join decomposition (ΔA⋈B ∪ A⋈ΔB with the
+    * overlap folded into the dim' term). Cost ∝ |delta| + |rows
+    * touching updated dims| + |stored view|, never a full history
+    * re-join; the from-scratch join is exactly what the DuckDB oracle
+    * computes, so a stale dim value surviving in the maintained view
+    * hash-mismatches.
+    */
+  def incrementalJoinView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit(graft.operators.RuntimeFilter.CutoffTs).cast("timestamp")
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+    val custV1 = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    def joined(o: DataFrame, c: DataFrame) =
+      o.join(c, $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_custkey", $"c_name", $"c_mktsegment",
+          $"o_totalprice", $"o_orderdate".cast("date").as("o_orderdate"))
+    // day 1: materialize the historical view
+    joined(orders.filter($"o_orderdate" < cutoff), custV1)
+      .write.mode(SaveMode.Overwrite).parquet(JoinViewBasePath)
+    val stored = spark.read.parquet(JoinViewBasePath)
+    // day 2: dim updates + fact delta
+    val updated = custV1.filter($"c_custkey" % DimUpdateMod === 0)
+      .select($"c_custkey", concat($"c_name", lit(" v2")).as("c_name"),
+        $"c_mktsegment")
+    val dimV2 = custV1.filter($"c_custkey" % DimUpdateMod =!= 0)
+      .unionByName(updated)
+    val affectedHist = orders.filter($"o_orderdate" < cutoff)
+      .join(updated.select($"c_custkey".as("o_custkey")), Seq("o_custkey"),
+        "left_semi")
+    stored.join(updated.select($"c_custkey".as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .unionByName(joined(affectedHist, broadcast(updated)))
+      .unionByName(joined(orders.filter($"o_orderdate" >= cutoff), dimV2))
+      // the USING anti-join promotes its key to first position; pin the
+      // canonical column order for schema-positional consumers
+      .select($"o_orderkey", $"o_custkey", $"c_name", $"c_mktsegment",
+        $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_orderkey")
+  }
+
   /** Driver query: seed the table with documents v1, apply the same
     * deterministic mutation `Relational.tableDiff` classifies (every
     * 17th doc deleted, every 13th surviving doc edited, one appended

@@ -13,6 +13,33 @@ import scala.jdk.CollectionConverters._
 class MaintenanceSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("incremental join view: maintained Δ-join equals the from-scratch " +
+    "join and stale dim values are gone") {
+    import spark.implicits._
+    val got = Maintenance.incrementalJoinView(spark, sf)
+    val dim = Tables.customer(spark, sf).select($"c_custkey",
+      org.apache.spark.sql.functions.when(
+          $"c_custkey" % Maintenance.DimUpdateMod === 0,
+          org.apache.spark.sql.functions.concat($"c_name",
+            org.apache.spark.sql.functions.lit(" v2")))
+        .otherwise($"c_name").as("c_name"),
+      $"c_mktsegment")
+    val want = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderdate".cast("date").as("o_orderdate"))
+      .join(dim, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_custkey", $"c_name", $"c_mktsegment",
+        $"o_totalprice", $"o_orderdate")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // dim updates were actually exercised and applied
+    assert(got.filter($"c_name".endsWith(" v2")).count() > 0L)
+    assert(got.filter($"o_custkey" % Maintenance.DimUpdateMod === 0 &&
+      !$"c_name".endsWith(" v2")).count() === 0L,
+      "no stale pre-update name may survive for an updated customer")
+  }
+
   /** (relative-path -> file bytes) snapshot of every parquet file under
     * a partition dir tree, ignoring _SUCCESS and CRCs.
     */

@@ -240,4 +240,24 @@ class TemporalSpec extends AnyFunSuite {
     // the step function ends at zero: all intervals eventually close
     assert(got.maxBy(_._1)._2 == 0L)
   }
+  test("position attribution: credits sum to exactly 1,000,000 ppm per " +
+    "purchase and U-shape favors first/last touches") {
+    import TestSpark._
+    import spark.implicits._
+    val got = graft.operators.Temporal.positionAttribution(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "corpus must contain attributed purchases")
+    got.groupBy(_._1).foreach { case (pid, touches) =>
+      assert(touches.map(_._5).sum === 1000000L,
+        s"purchase $pid credits sum to ${touches.map(_._5).sum}")
+      val n = touches.head._4
+      assert(touches.length === n.toInt)
+      if (n >= 3) {
+        val byPos = touches.sortBy(_._3)
+        assert(byPos.head._5 >= 400000L && byPos.last._5 === 400000L)
+        assert(byPos.tail.init.forall(_._5 <= 200000L))
+      }
+    }
+  }
 }
