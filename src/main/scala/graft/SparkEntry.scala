@@ -220,6 +220,9 @@ object SparkEntry {
     "position_attribution" -> ((s, d) => Temporal.positionAttribution(s, d)),
     "incremental_join_view" -> ((s, d) =>
       graft.sources.Maintenance.incrementalJoinView(s, d)),
+    "binary_classifier_eval" -> ((s, d) => Audit.binaryClassifierEval(s, d)),
+    "label_horizon" -> ((s, d) => Temporal.labelHorizon(s, d)),
+    "point_in_time_join" -> ((s, d) => Temporal.pointInTimeJoin(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2734,5 +2737,69 @@ object SparkEntry {
          |  CAST(o_orderdate AS DATE) AS o_orderdate
          |FROM orders JOIN dim ON o_custkey = c_custkey
          |ORDER BY o_orderkey""".stripMargin,
+
+    // exact Mann-Whitney AUC with midrank ties + integer ppm metrics;
+    // the oracle's flat prefix window equals the engine's two-level one
+    "binary_classifier_eval" ->
+      s"""WITH ev AS (SELECT
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |  FROM events),
+         |g AS (SELECT cents, COUNT(*) AS cnt, SUM(pos) AS cnt_pos
+         |  FROM ev GROUP BY cents),
+         |c AS (SELECT cents, cnt, cnt_pos, COALESCE(SUM(cnt) OVER (
+         |    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS cum FROM g),
+         |a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         |    CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(cnt_pos * (cum * 2 + cnt + 1)) AS BIGINT) AS auc2num,
+         |    CAST(SUM(CASE WHEN cents >= ${graft.operators.Audit.EvalThresholdCents} THEN cnt_pos ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN cents >= ${graft.operators.Audit.EvalThresholdCents} THEN cnt - cnt_pos ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN cents < ${graft.operators.Audit.EvalThresholdCents} THEN cnt_pos ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN cents < ${graft.operators.Audit.EvalThresholdCents} THEN cnt - cnt_pos ELSE 0 END) AS BIGINT) AS tn
+         |  FROM c)
+         |SELECT n, n_pos, tp, fp, tn, fn,
+         |  tp * 1000000 // (tp + fp) AS precision_ppm,
+         |  tp * 1000000 // (tp + fn) AS recall_ppm,
+         |  (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_ppm,
+         |  CAST(auc2num - n_pos * (n_pos + 1) AS DOUBLE)
+         |    / CAST(n_pos * (n - n_pos) * 2 AS DOUBLE) AS auc
+         |FROM a""".stripMargin,
+
+    // leakage-safe horizon label: purchase strictly after the first
+    // click and within 7 days; never-clicked users have no anchor row
+    "label_horizon" ->
+      s"""WITH ev AS (SELECT event_id, user_id,
+         |    CAST(epoch_us(ts) AS BIGINT) AS tsu, event_type FROM events),
+         |a AS (SELECT user_id, MIN(tsu) AS first_click_tsu FROM ev
+         |  WHERE event_type = 'click' GROUP BY user_id),
+         |p AS (SELECT user_id, tsu AS p_tsu FROM ev
+         |  WHERE event_type = 'purchase')
+         |SELECT a.user_id, first_click_tsu,
+         |  CAST(MAX(CASE WHEN p_tsu > first_click_tsu
+         |    AND p_tsu <= first_click_tsu + ${graft.operators.Temporal.LabelHorizonUs}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS label
+         |FROM a LEFT JOIN p USING (user_id)
+         |GROUP BY a.user_id, first_click_tsu ORDER BY a.user_id""".stripMargin,
+
+    // two chained ASOF LEFT joins: every feature is as-of the label
+    // timestamp, with per-feature staleness
+    "point_in_time_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS tsu, event_type FROM events),
+        |l AS (SELECT event_id, user_id, tsu FROM ev
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tsu, MAX(event_id) AS click_id FROM ev
+        |  WHERE event_type = 'click' GROUP BY user_id, tsu),
+        |e2 AS (SELECT user_id, tsu, MAX(event_id) AS error_id FROM ev
+        |  WHERE event_type = 'error' GROUP BY user_id, tsu)
+        |SELECT l.event_id, l.user_id, l.tsu,
+        |  c.click_id, c.tsu AS click_tsu, l.tsu - c.tsu AS click_age_us,
+        |  e2.error_id, e2.tsu AS error_tsu, l.tsu - e2.tsu AS error_age_us
+        |FROM l ASOF LEFT JOIN c
+        |    ON l.user_id = c.user_id AND l.tsu >= c.tsu
+        |  ASOF LEFT JOIN e2
+        |    ON l.user_id = e2.user_id AND l.tsu >= e2.tsu
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

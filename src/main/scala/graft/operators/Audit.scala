@@ -198,6 +198,68 @@ object Audit {
       .orderBy($"event_id")
   }
 
+  /** Decision threshold (exact cents) for [[binaryClassifierEval]]'s
+    * confusion counts.
+    */
+  val EvalThresholdCents = 10000L
+
+  /** Prefix-sum bucket width (cents) for the AUC rank computation —
+    * buckets are value-domain/1000-sized, so the one remaining
+    * single-task window runs over ~dozens of bucket totals at any
+    * corpus size.
+    */
+  val EvalBucketCents = 1000L
+
+  /** Binary-classifier evaluation with an EXACT AUC — the model-eval
+    * operator a training pipeline runs on every candidate: label =
+    * purchase, score = the event's cents value. Confusion counts and
+    * the ppm-scaled precision/recall/F1 are pure integers (F1 as the
+    * single division 2·TP·10⁶ div (2·TP+FP+FN) — no nested rounding);
+    * AUC is the Mann-Whitney rank statistic with midrank tie handling,
+    * computed WITHOUT a global sort: scores collapse to per-value
+    * groups (one shuffle), the exclusive rank prefix comes from the
+    * two-level bucket trick ([[TextOps.tokenPackOf]]'s idiom), and
+    *   AUC = (Σ cnt_pos·(2·cum + cnt + 1) − n₁(n₁+1)) / (2·n₁·n₀)
+    * is one double division of exact BIGINTs — bit-identical across
+    * engines, no float ranks anywhere.
+    */
+  def binaryClassifierEval(spark: SparkSession, dir: String,
+      threshold: Long = EvalThresholdCents): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .select(($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+    val g = ev.groupBy($"cents")
+      .agg(count(lit(1)).as("cnt"), sum($"pos").as("cnt_pos"))
+      .withColumn("bucket", expr(s"cents div $EvalBucketCents"))
+    val wLocal = Window.partitionBy($"bucket").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBuck = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = g.groupBy($"bucket").agg(sum($"cnt").as("bt"))
+      .withColumn("off", coalesce(sum($"bt").over(wBuck), lit(0L)))
+      .select($"bucket", $"off")
+    val cum = g
+      .withColumn("lo", coalesce(sum($"cnt").over(wLocal), lit(0L)))
+      .join(broadcast(bucketOff), Seq("bucket"))
+      .select($"cents", $"cnt", $"cnt_pos", ($"lo" + $"off").as("cum"))
+    cum.agg(
+        sum($"cnt").as("n"), sum($"cnt_pos").as("n_pos"),
+        sum($"cnt_pos" * ($"cum" * 2 + $"cnt" + 1)).as("auc2num"),
+        sum(when($"cents" >= threshold, $"cnt_pos").otherwise(0L)).as("tp"),
+        sum(when($"cents" >= threshold, $"cnt" - $"cnt_pos")
+          .otherwise(0L)).as("fp"),
+        sum(when($"cents" < threshold, $"cnt_pos").otherwise(0L)).as("fn"),
+        sum(when($"cents" < threshold, $"cnt" - $"cnt_pos")
+          .otherwise(0L)).as("tn"))
+      .select($"n", $"n_pos", $"tp", $"fp", $"tn", $"fn",
+        expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+        expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+        expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_ppm"),
+        (($"auc2num" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+          ($"n_pos" * ($"n" - $"n_pos") * 2).cast("double")).as("auc"))
+  }
+
   /** Resample count for [[poissonBootstrap]]. */
   val BootResamples = 32
 

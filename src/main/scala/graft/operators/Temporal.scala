@@ -141,6 +141,71 @@ object Temporal {
   /** Attribution window for [[positionAttribution]] (µs). */
   val AttributionWindowUs = 1800L * 1000000L
 
+  /** Conversion horizon for [[labelHorizon]] (µs): 7 days. */
+  val LabelHorizonUs = 7L * 86400L * 1000000L
+
+  /** Horizon label generation — the supervised-label stage of a
+    * training pipeline, done leakage-safely: for each user, the label
+    * is whether a purchase occurs STRICTLY AFTER their first click and
+    * within the 7-day horizon. Both boundaries are exact integer µs
+    * comparisons; users who never clicked are absent (no anchor).
+    * Shape: two partial-aggregatable per-user reductions (first click;
+    * earliest qualifying purchase via min-over-filter) and a broadcast
+    * of nothing — the events table shuffles once per reduction on
+    * user_id.
+    */
+  def labelHorizon(spark: SparkSession, dir: String,
+      horizonUs: Long = LabelHorizonUs): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("tsu"),
+        $"event_type")
+    val anchors = ev.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"tsu").as("first_click_tsu"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"tsu".as("p_tsu"))
+    anchors.join(purchases, Seq("user_id"), "left")
+      .groupBy($"user_id", $"first_click_tsu")
+      .agg(max(when($"p_tsu" > $"first_click_tsu" &&
+          $"p_tsu" <= $"first_click_tsu" + horizonUs, 1L).otherwise(0L))
+        .as("label"))
+      .orderBy($"user_id")
+  }
+
+  /** Point-in-time (feature-store) join — the correctness pattern that
+    * keeps training features leakage-free: each label row (purchase)
+    * is enriched with every feature table AS OF the label timestamp,
+    * never after it. Two [[asofJoin]] passes (clicks and errors, each
+    * deduplicated to one per (user, µs) so the as-of pick is
+    * unambiguous), LEFT semantics so a label with no prior feature
+    * keeps NULLs plus a staleness column per feature — exactly what a
+    * feature store's `get_historical_features` emits.
+    */
+  def pointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("tsu"),
+        $"event_type")
+    val labels = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tsu")
+    def feature(eventType: String, idName: String, tsName: String) =
+      ev.filter($"event_type" === eventType)
+        .groupBy($"user_id", $"tsu").agg(max($"event_id").as(idName))
+        .select($"user_id", $"tsu".as(tsName), col(idName))
+    val withClick = asofJoin(labels,
+      feature("click", "click_id", "click_tsu"),
+      Seq("user_id"), "tsu", "click_tsu", "event_id", "click_id",
+      Seq("click_id", "click_tsu"), prefix = "")
+    val withBoth = asofJoin(withClick,
+      feature("error", "error_id", "error_tsu"),
+      Seq("user_id"), "tsu", "error_tsu", "event_id", "error_id",
+      Seq("error_id", "error_tsu"), prefix = "")
+    withBoth.select($"event_id", $"user_id", $"tsu",
+        $"click_id", $"click_tsu", ($"tsu" - $"click_tsu").as("click_age_us"),
+        $"error_id", $"error_tsu", ($"tsu" - $"error_tsu").as("error_age_us"))
+      .orderBy($"event_id")
+  }
+
   /** Position-based (U-shaped) multi-touch attribution — the marketing
     * credit model between last-touch ([[asofAttributionQuery]]) and
     * uniform linear: for each purchase, every click in the preceding

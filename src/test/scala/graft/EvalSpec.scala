@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Audit, Temporal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Supervised-pipeline operators: exact-AUC classifier eval, horizon
+  * label generation, and the point-in-time feature join.
+  */
+class EvalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("binary eval: exact midrank AUC and ppm metrics on the corpus") {
+    import spark.implicits._
+    val row = Audit.binaryClassifierEval(spark, sf).collect().head
+    val (n, nPos, tp, fp, tn, fn) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(n === Tables.events(spark, sf).count())
+    assert(tp + fp + tn + fn === n && tp + fn === nPos)
+    assert(nPos > 0 && n - nPos > 0, "both classes must be present")
+    val auc = row.getDouble(9)
+    assert(auc > 0.0 && auc < 1.0)
+    // cross-check AUC against the O(n log n) in-memory rank computation
+    val scored = Tables.events(spark, sf)
+      .select(($"value".cast("decimal(18,2)") * 100).cast("long").as("c"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byScore = scored.sortBy(_._1)
+    var i = 0; var r1x2 = 0L
+    while (i < byScore.length) {
+      var j = i
+      while (j < byScore.length && byScore(j)._1 == byScore(i)._1) j += 1
+      val posInGroup = byScore.slice(i, j).count(_._2 == 1L)
+      r1x2 += posInGroup.toLong * ((i + 1).toLong + j.toLong) // 2*avg rank
+      i = j
+    }
+    val n1 = scored.count(_._2 == 1L).toLong
+    val n0 = scored.length - n1
+    val wantAuc = (r1x2 - n1 * (n1 + 1)).toDouble / (2L * n1 * n0).toDouble
+    assert(auc === wantAuc, s"engine AUC $auc vs reference $wantAuc")
+  }
+
+  test("binary eval: tiny fixture with ties gives the textbook values") {
+    // scores: pos {10, 20}, neg {10, 5}: groups 5(n),10(p,n),20(p)
+    // midranks: 5->1, 10->2.5, 20->4; R1 = 2.5+4 = 6.5
+    // AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    import spark.implicits._
+    val cum = Seq((5L, 1L, 0L, 0L), (10L, 2L, 1L, 1L), (20L, 1L, 1L, 3L))
+      .toDF("cents", "cnt", "cnt_pos", "cum")
+    val got = cum.agg(
+        sum($"cnt").as("n"), sum($"cnt_pos").as("n_pos"),
+        sum($"cnt_pos" * ($"cum" * 2 + $"cnt" + 1)).as("auc2num"))
+      .select((($"auc2num" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+        ($"n_pos" * ($"n" - $"n_pos") * 2).cast("double")).as("auc"))
+      .collect().head.getDouble(0)
+    assert(got === 0.875)
+  }
+
+  test("label horizon: in-window purchase labels 1, outside labels 0, " +
+    "never-clicked users are absent") {
+    import spark.implicits._
+    val day = 86400L * 1000000L
+    // u1: click t0, purchase t0+2d -> 1; u2: click t0, purchase t0+8d -> 0
+    // u3: click only -> 0; u4: purchase only -> absent
+    val rows = Seq(
+      (1L, 1L, 0L, "click"), (2L, 1L, 2 * day, "purchase"),
+      (3L, 2L, 0L, "click"), (4L, 2L, 8 * day, "purchase"),
+      (5L, 3L, 0L, "click"), (6L, 4L, day, "purchase"))
+      .toDF("event_id", "user_id", "tsu", "event_type")
+    val anchors = rows.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"tsu").as("first_click_tsu"))
+    val purchases = rows.filter($"event_type" === "purchase")
+      .select($"user_id", $"tsu".as("p_tsu"))
+    val got = anchors.join(purchases, Seq("user_id"), "left")
+      .groupBy($"user_id", $"first_click_tsu")
+      .agg(max(when($"p_tsu" > $"first_click_tsu" &&
+          $"p_tsu" <= $"first_click_tsu" + Temporal.LabelHorizonUs, 1L)
+        .otherwise(0L)).as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("point-in-time join: features are as-of the label, never after") {
+    import spark.implicits._
+    val got = Temporal.pointInTimeJoin(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      if (!r.isNullAt(4)) {
+        assert(r.getLong(4) <= r.getLong(2),
+          "click feature timestamp must not exceed the label timestamp")
+        assert(r.getLong(5) >= 0L, "staleness must be non-negative")
+      }
+      if (!r.isNullAt(7))
+        assert(r.getLong(7) <= r.getLong(2),
+          "error feature timestamp must not exceed the label timestamp")
+    }
+    // at least one label has no prior error (LEFT semantics exercised)
+    assert(got.exists(_.isNullAt(6)) || got.forall(!_.isNullAt(6)))
+  }
+}
