@@ -223,6 +223,9 @@ object SparkEntry {
     "binary_classifier_eval" -> ((s, d) => Audit.binaryClassifierEval(s, d)),
     "label_horizon" -> ((s, d) => Temporal.labelHorizon(s, d)),
     "point_in_time_join" -> ((s, d) => Temporal.pointInTimeJoin(s, d)),
+    "user_similarity_topk" -> ((s, d) => Graph.userSimilarityTopK(s, d)),
+    "streaming_topk_complete" -> ((s, d) =>
+      graft.streaming.Streams.topkCompleteQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2801,5 +2804,16 @@ object SparkEntry {
         |  ASOF LEFT JOIN e2
         |    ON l.user_id = e2.user_id AND l.tsu >= e2.tsu
         |ORDER BY l.event_id""".stripMargin,
+
+    // item-item CF transposed: per-song user cap, exact integer cos²-ppm
+    "user_similarity_topk" -> graft.operators.Graph.userSimilaritySql(),
+
+    // Complete-mode leaderboard: the final sink table after the last
+    // trigger equals the one-shot aggregate over the whole feed
+    "streaming_topk_complete" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
   )
 }

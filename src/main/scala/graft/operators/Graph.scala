@@ -381,6 +381,63 @@ object Graph {
       .orderBy($"item", $"rank")
   }
 
+  /** User-user collaborative similarity — the memory-based CF member
+    * the item-item operator mirrors, via the SAME machinery TRANSPOSED:
+    * feeding [[itemSimilarityTopKOf]] the (song, user) relation makes
+    * the grouping key the song, so the cap becomes a per-SONG user cap
+    * — exactly the hot-item bound user-user CF needs (a song everyone
+    * likes would otherwise contribute a quadratic user-pair block, the
+    * transposed twin of the power-user hazard). Output: each user's
+    * top-k neighbors by the same exact integer cos²-ppm.
+    */
+  def userSimilarityTopK(spark: SparkSession, dir: String,
+      k: Int = 5, maxUsersPerSong: Int = MaxItemsPerUser): DataFrame = {
+    import spark.implicits._
+    val pos = Relational.ratings(spark, dir)
+      .select($"user_id", $"song_id").distinct()
+    itemSimilarityTopKOf(
+        pos.select($"song_id".as("user_id"), $"user_id".as("song_id")),
+        k, maxUsersPerSong)
+      .select($"item".as("user"), $"rank", $"other".as("other_user"),
+        $"c_ab", $"cos2_ppm")
+      .orderBy($"user", $"rank")
+  }
+
+  /** DuckDB mirror of [[userSimilarityTopK]] — the item-item SQL with
+    * the roles transposed (cap per song, similarity between users).
+    */
+  def userSimilaritySql(k: Int = 5,
+      maxUsersPerSong: Int = MaxItemsPerUser): String =
+    s"""WITH pos0 AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |popc AS (SELECT user_id, COUNT(*) AS pop FROM pos0 GROUP BY user_id),
+       |pos AS (SELECT song_id, user_id FROM (
+       |    SELECT p.song_id, p.user_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.song_id ORDER BY c.pop DESC, p.user_id) AS rn
+       |    FROM pos0 p JOIN popc c USING (user_id))
+       |  WHERE rn <= $maxUsersPerSong),
+       |cnt AS (SELECT user_id, COUNT(*) AS n FROM pos GROUP BY user_id),
+       |coc AS (SELECT x.user_id AS a, y.user_id AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c_ab
+       |  FROM pos x JOIN pos y ON x.song_id = y.song_id
+       |    AND x.user_id < y.user_id
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT a AS "user", b AS other_user, c_ab FROM coc
+       |  UNION ALL SELECT b AS "user", a AS other_user, c_ab FROM coc)
+       |SELECT "user", rank, other_user, c_ab, cos2_ppm FROM (
+       |  SELECT s."user", s.other_user, s.c_ab,
+       |    CAST((s.c_ab * s.c_ab * $SimScale) // (ci.n * co.n) AS BIGINT)
+       |      AS cos2_ppm,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s."user"
+       |      ORDER BY (s.c_ab * s.c_ab * $SimScale) // (ci.n * co.n) DESC,
+       |        s.other_user) AS INTEGER) AS rank
+       |  FROM sym s
+       |  JOIN cnt ci ON s."user" = ci.user_id
+       |  JOIN cnt co ON s.other_user = co.user_id)
+       |WHERE rank <= $k
+       |ORDER BY "user", rank""".stripMargin
+
   /** DuckDB mirror of [[itemSimilarityTopK]]: same capped sets, same
     * oriented pair count, same integer cos²-ppm ranking.
     */

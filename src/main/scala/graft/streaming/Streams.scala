@@ -544,6 +544,43 @@ object Streams {
       .orderBy($"click_id", $"purchase_id")
   }
 
+  /** Complete-output-mode global top-k — the third output-mode member
+    * next to the Append (windowed counts) and Update-shaped (state
+    * store) streaming queries: a running word-count aggregate whose
+    * sink holds the FULL result table, rewritten every trigger, so the
+    * final table after the last batch equals the one-shot batch
+    * aggregate over everything fed — which is exactly what the oracle
+    * states (fed in two batches so cross-trigger state accumulation is
+    * what's being proven, not single-batch arithmetic). Complete mode
+    * is the right contract for a small driver-facing leaderboard;
+    * state is vocabulary-sized.
+    */
+  def topkCompleteQuery(spark: SparkSession, dir: String, k: Int = 10,
+      docCap: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+      .filter($"doc_id" < docCap).select($"doc_id", $"text")
+      .orderBy($"doc_id").collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1)))
+    if (docs.isEmpty)
+      return Seq.empty[(String, Long)].toDF("word", "cnt")
+    val in = MemoryStream[DocEvent](spark)
+    val counts = in.toDF()
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val name = runStreamToTable(spark, "topk_complete", Some(4)) { (n, ck) =>
+      counts.writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Complete).start()
+    } { q =>
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    spark.table(name).orderBy($"cnt".desc, $"word").limit(k)
+  }
+
   /** Driver-contract query with a FULL DuckDB oracle: the day-2 dedup
     * pipeline run AS A STREAM — a standing corpus (doc_id % 10 != 0)
     * stands still while fresh documents (doc_id % 10 == 0) arrive over

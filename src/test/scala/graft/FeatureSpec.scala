@@ -141,4 +141,31 @@ class FeatureSpec extends AnyFunSuite {
       .select($"song_id").distinct().collect().map(_.getInt(0)).toSet
     assert(driver.nonEmpty && driver.intersect(rated).isEmpty)
   }
+  test("user-user CF: literal fixture ranks the full-overlap neighbor " +
+    "first and c_ab is symmetric") {
+    import spark.implicits._
+    // u1:{1,2,3} u2:{1,2,3} u3:{1}: u1's best neighbor is u2 (3 shared),
+    // then u3 (1 shared)
+    val pos = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2), (2L, 3),
+      (3L, 1)).toDF("user_id", "song_id")
+    val got = graft.operators.Graph.itemSimilarityTopKOf(
+        pos.select($"song_id".as("user_id"), $"user_id".as("song_id")),
+        k = 5, maxItemsPerUser = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val u1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1.map(_._3) === Seq(2L, 3L), s"u1 neighbors: $u1")
+    assert(u1.head._4 === 3L, "u1-u2 share 3 songs")
+    // symmetry: c_ab(u1,u2) == c_ab(u2,u1)
+    val u2row = got.find(t => t._1 == 2L && t._3 == 1L).get
+    assert(u2row._4 === 3L)
+    // driver corpus: no self-pairs, ranks contiguous from 1
+    val driver = graft.operators.Graph.userSimilarityTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(driver.nonEmpty)
+    assert(driver.forall(t => t._1 != t._3), "no self-similarity rows")
+    driver.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+  }
 }

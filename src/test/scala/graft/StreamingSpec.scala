@@ -788,4 +788,21 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got.sorted == want.sorted)
   }
+  test("complete-mode top-k equals the one-shot batch aggregate after " +
+    "multi-trigger accumulation") {
+    import spark.implicits._
+    val sf = TestSpark.sf
+    val got = graft.streaming.Streams.topkCompleteQuery(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    val want = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" < 200L)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("word"))
+      .groupBy($"word").count()
+      .orderBy($"count".desc, $"word").limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want,
+      "final Complete-mode table must equal the batch aggregate")
+  }
 }
