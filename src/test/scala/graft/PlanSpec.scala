@@ -53,6 +53,27 @@ class PlanSpec extends AnyFunSuite {
       "orderBy.limit must plan as per-partition top-K + merge")
   }
 
+  test("feature hash reads only (doc_id, text) and aggregates " +
+    "partial+final") {
+    val p = executedPlanOf(graft.operators.TextOps.featureHash(spark, sf))
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"),
+      "untouched document columns must not be read")
+    assert(p.contains("partial_"),
+      "bucket counts must pre-reduce before the shuffle")
+  }
+
+  test("runtime-filter join plans shuffle-hash (not broadcast: the " +
+    "premise is a beyond-broadcast dim) with the bloom filter below " +
+    "the exchange") {
+    val p = plan(graft.operators.RuntimeFilter.runtimeFilterJoin(spark, sf))
+    assert(p.contains("ShuffledHashJoin"),
+      "exact join must honor the shuffle_hash hint")
+    // the bloom probe is a Filter on the fact scan side, pre-exchange
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(exchangeIdx >= 0 && p.contains("Filter"),
+      "fact side must carry the probe filter")
+  }
+
   test("anti-join plans as a real join, not a driver-side IN list") {
     val p = plan(Relational.antiJoinUnrated(spark, sf))
     assert(p.contains("LeftAnti"), "NOT-IN semantics must be a distributed anti-join")
