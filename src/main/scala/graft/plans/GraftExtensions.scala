@@ -33,11 +33,22 @@ object GraftExtensions {
         build(args(0), args(1))
       })
 
+  private def unary(name: String, clazz: Class[_],
+      build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"$name expects exactly 1 argument")
+        build(args.head)
+      })
+
   /** The injectable function set (shared by both wiring paths). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary("float_dot", classOf[FloatDotProduct], FloatDotProduct(_, _)),
-    binary("double_dot", classOf[DoubleDotProduct], DoubleDotProduct(_, _)))
+    binary("double_dot", classOf[DoubleDotProduct], DoubleDotProduct(_, _)),
+    unary("nfc_normalize", classOf[NfcNormalize], NfcNormalize(_)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -209,6 +209,13 @@ class PlanSpec extends AnyFunSuite {
       s"as-of attribution must not read the events props column:\n$p3")
   }
 
+  test("extensions expose nfc_normalize to SQL, same expression") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT nfc_normalize('cafe\\u0301') AS s").collect().head.getString(0)
+    assert(got == "caf\u00e9" && got.length == 4)
+  }
+
   test("extensions expose float_dot/double_dot to SQL, same expression") {
     graft.plans.GraftExtensions.register(spark)
     val viaSql = spark.sql(
