@@ -226,6 +226,7 @@ object SparkEntry {
     "user_similarity_topk" -> ((s, d) => Graph.userSimilarityTopK(s, d)),
     "streaming_topk_complete" -> ((s, d) =>
       graft.streaming.Streams.topkCompleteQuery(s, d)),
+    "semantic_dedup_keeper" -> ((s, d) => Dedup.semanticDedupKeeper(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -321,6 +322,45 @@ object SparkEntry {
        |  SELECT * FROM reach)
        |GROUP BY node""".stripMargin
 
+  /** Cluster SQL over embedding LSH pairs — the genuine fixed point as
+    * a recursive CTE, same shape as [[dedupClustersSql]].
+    */
+  private lazy val embeddingClustersSql =
+    s"""WITH pairs AS ($embeddingLshPairsSql),
+       |verts AS (SELECT vec_a AS id FROM pairs UNION SELECT vec_b FROM pairs),
+       |sym AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs)
+       |SELECT node AS doc_id, MIN(label) AS cluster_id FROM (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT id AS node, id AS label FROM verts
+       |    UNION
+       |    SELECT s.dst AS node, r.label
+       |    FROM reach r JOIN sym s ON s.src = r.node
+       |    WHERE r.label < s.dst)
+       |  SELECT * FROM reach)
+       |GROUP BY node""".stripMargin
+
+  /** Best-quality keeper statement over any (doc_id, cluster_id) SQL —
+    * shared by cluster_best_keeper (MinHash clusters) and
+    * semantic_dedup_keeper (embedding clusters).
+    */
+  private def keeperSql(clustersSql: String): String =
+    s"""WITH cl AS ($clustersSql),
+       |q AS (SELECT doc_id,
+       |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+       |    + CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) * 0.5
+       |    + CAST(len(list_filter(l, x -> x IN ${inList(graft.functions.TextFns.stopwordProfiles("en"))})) AS DOUBLE)
+       |      / CAST(len(l) AS DOUBLE) * 0.25 AS quality
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)),
+       |m AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+       |  FROM cl JOIN q USING (doc_id))
+       |SELECT cluster_id, keeper, quality, n_members FROM (
+       |  SELECT cluster_id, doc_id AS keeper, quality,
+       |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality DESC, doc_id) AS rn
+       |  FROM m) WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   /** Decontamination SQL — shared by decontaminate (broadcast plan) and
     * decontaminate_bloom (Bloom-prefilter + shuffle-verify plan): both
     * compute the same relation by construction.
@@ -378,6 +418,31 @@ object SparkEntry {
   private val vecCtes =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** SRP-banded embedding near-dup pair SQL (no trailing ORDER BY) —
+    * shared by the embedding_neardup_lsh oracle and, CTE-wrapped, by
+    * semantic_dedup_keeper's cluster resolution.
+    */
+  private lazy val embeddingLshPairsSql: String = {
+    import graft.operators.Similarity
+    val bandRows = (0 until Similarity.NearDupBands).map { b =>
+      val key = (0 until Similarity.NearDupRows).map { i =>
+        val lits = Similarity.NearDupPlanes(b * Similarity.NearDupRows + i)
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $vecCtes,
+       |band AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb FROM band x
+       |  JOIN band y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+       |SELECT va AS vec_a, vb AS vec_b,
+       |  list_inner_product(a.v, b.v) / a.nrm / b.nrm AS cos
+       |FROM cand JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id
+       |WHERE list_inner_product(a.v, b.v) / a.nrm / b.nrm >= 0.4""".stripMargin
+  }
 
   /** Shared oracle for the batch and streaming incremental-IVF
     * queries: base-only quantizer + assignment, batch probes, no
@@ -863,26 +928,7 @@ object SparkEntry {
          |WHERE list_inner_product(a.v, b.v) / a.nrm / b.nrm >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "embedding_neardup_lsh" -> {
-      val bandRows = (0 until Similarity.NearDupBands).map { b =>
-        val key = (0 until Similarity.NearDupRows).map { i =>
-          val lits = Similarity.NearDupPlanes(b * Similarity.NearDupRows + i)
-            .mkString("[", ", ", "]")
-          s"(CASE WHEN list_inner_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
-        }.mkString(" + ")
-        s"SELECT vec_id, $b AS band, $key AS key FROM n"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $vecCtes,
-         |band AS (
-         |  $bandRows),
-         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb FROM band x
-         |  JOIN band y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
-         |SELECT va AS vec_a, vb AS vec_b,
-         |  list_inner_product(a.v, b.v) / a.nrm / b.nrm AS cos
-         |FROM cand JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id
-         |WHERE list_inner_product(a.v, b.v) / a.nrm / b.nrm >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
-    },
+    "embedding_neardup_lsh" -> s"$embeddingLshPairsSql\nORDER BY vec_a, vec_b",
 
     "cosine_topk" ->
       s"""WITH $vecCtes,
@@ -2425,22 +2471,11 @@ object SparkEntry {
     // production keeper policy: per near-dup cluster, the argmax by
     // (quality DESC, doc_id ASC) — quality is the oracle-checked
     // bit-identical double, so the winner is engine-identical
-    "cluster_best_keeper" ->
-      s"""WITH cl AS ($dedupClustersSql),
-         |q AS (SELECT doc_id,
-         |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
-         |    + CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) * 0.5
-         |    + CAST(len(list_filter(l, x -> x IN ${inList(graft.functions.TextFns.stopwordProfiles("en"))})) AS DOUBLE)
-         |      / CAST(len(l) AS DOUBLE) * 0.25 AS quality
-         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)),
-         |m AS (SELECT cl.cluster_id, cl.doc_id, q.quality
-         |  FROM cl JOIN q USING (doc_id))
-         |SELECT cluster_id, keeper, quality, n_members FROM (
-         |  SELECT cluster_id, doc_id AS keeper, quality,
-         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
-         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
-         |      ORDER BY quality DESC, doc_id) AS rn
-         |  FROM m) WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "cluster_best_keeper" -> keeperSql(dedupClustersSql),
+
+    // the same keeper policy driven by EMBEDDING near-dup clusters
+    // (vec_id ≡ doc_id for the embedded subset, stated by the contract)
+    "semantic_dedup_keeper" -> keeperSql(embeddingClustersSql),
 
     // power-of-two padded-batch buckets from the binary digit count —
     // no float log2 near exact powers of two

@@ -873,6 +873,25 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Semantic dedup keeper — the cross-modal composition that makes
+    * the embedding pipeline end in the same production decision as the
+    * text pipeline: SRP-banded embedding near-dup pairs
+    * ([[embeddingNearDupLshOf]], the scale path) resolve to clusters
+    * via the detected-fixpoint pointer jumping ([[clusterPairsOf]]),
+    * and each cluster keeps its best-quality document via the same
+    * struct-max argmax as [[clusterBestKeeperOf]]. The corpus contract
+    * declares vectors indexed by the documents' id space (vec_id ≡
+    * doc_id for embedded docs — the embeddings table is the embedded
+    * SUBSET), which both the query and the oracle state explicitly.
+    */
+  def semanticDedupKeeper(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = embeddingNearDupLshOf(Tables.embeddings(spark, dir))
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    clusterBestKeeperOf(clusterPairsOf(pairs),
+      Tables.widened(spark, Tables.documents(spark, dir)))
+  }
+
   /** Embedding cosine near-dup pairs >= minCos. Norms are precomputed
     * per vector (one pass) so the pair loop does a single dot product.
     * Brute-force all-pairs is the verification baseline; the scale path

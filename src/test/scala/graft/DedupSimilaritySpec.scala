@@ -512,4 +512,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       rows.foreach(r => assert(r.getLong(2) != q, "no self-match"))
     }
   }
+  test("semantic dedup keeper: keepers are cluster members with the " +
+    "best quality, clusters come from the embedding pairs") {
+    import spark.implicits._
+    val keepers = graft.operators.Dedup.semanticDedupKeeper(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(keepers.nonEmpty, "corpus must contain embedding near-dup clusters")
+    assert(keepers.forall(_._4 >= 2), "a cluster has at least two members")
+    // every keeper appears in some embedding near-dup pair
+    val paired = graft.operators.Dedup.embeddingNearDupLsh(spark, sf)
+      .select($"vec_a").union(
+        graft.operators.Dedup.embeddingNearDupLsh(spark, sf).select($"vec_b"))
+      .distinct().as[Long].collect().toSet
+    assert(keepers.forall(k => paired.contains(k._2)))
+    // keeper quality is the max over its cluster (re-derived independently)
+    val clusters = graft.operators.Dedup.clusterPairsOf(
+      graft.operators.Dedup.embeddingNearDupLsh(spark, sf)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+    val quality = Tables.documents(spark, sf).select($"doc_id",
+      graft.functions.TextFns.qualityScore($"text").as("q"))
+    val best = clusters.join(quality, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(org.apache.spark.sql.functions.max($"q").as("qmax"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    keepers.foreach { case (cid, _, q, _) => assert(q === best(cid)) }
+  }
 }
