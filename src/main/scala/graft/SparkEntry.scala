@@ -227,6 +227,8 @@ object SparkEntry {
     "streaming_topk_complete" -> ((s, d) =>
       graft.streaming.Streams.topkCompleteQuery(s, d)),
     "semantic_dedup_keeper" -> ((s, d) => Dedup.semanticDedupKeeper(s, d)),
+    "trend_slope" -> ((s, d) => Temporal.trendSlope(s, d)),
+    "ohlc_bars" -> ((s, d) => Temporal.ohlcBars(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2850,5 +2852,49 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 200)
         |SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+
+    // per-group OLS from exact co-moments; slope then intercept through
+    // one shared IEEE tree
+    "trend_slope" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h0 AS (SELECT MIN(h) AS v FROM ev),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(h - (SELECT v FROM h0)) AS BIGINT) AS sx,
+        |    CAST(SUM(cents) AS BIGINT) AS sy,
+        |    CAST(SUM((h - (SELECT v FROM h0)) * cents) AS BIGINT) AS sxy,
+        |    CAST(SUM((h - (SELECT v FROM h0))
+        |      * (h - (SELECT v FROM h0))) AS BIGINT) AS sxx
+        |  FROM ev GROUP BY event_type),
+        |s AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour
+        |  FROM m)
+        |SELECT event_type, n, sx, sy, sxy, sxx, slope_cents_per_hour,
+        |  (CAST(sy AS DOUBLE) - slope_cents_per_hour * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept_cents
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // struct-min/max open/close over the total (tsu, event_id) order
+    "ohlc_bars" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |    CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_type, h, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, h
+        |      ORDER BY tsu, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, h
+        |      ORDER BY tsu DESC, event_id DESC) AS rn_d
+        |  FROM ev)
+        |SELECT event_type, h,
+        |  MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+        |  MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+        |  MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS volume,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY event_type, h ORDER BY event_type, h""".stripMargin,
   )
 }

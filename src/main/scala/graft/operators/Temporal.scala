@@ -144,6 +144,65 @@ object Temporal {
   /** Conversion horizon for [[labelHorizon]] (µs): 7 days. */
   val LabelHorizonUs = 7L * 86400L * 1000000L
 
+  /** Per-group OLS trend — value-vs-time regression from EXACT BIGINT
+    * co-moments, the time-series sibling of [[Audit.corrMoments]]:
+    * x = hour index since the corpus epoch (bounded ints), y = exact
+    * cents; (n, Σx, Σy, Σxy, Σx²) is one partial+final aggregate pass
+    * and the mergeable state a backfill ships; slope and intercept are
+    * derived AFTER aggregation through one fixed IEEE expression tree
+    * (slope first, intercept reusing it), so the doubles are
+    * bit-identical across engines. Overflow-free: Σxy ≤ rows·720·56k
+    * stays < 2^63 past 10⁹ rows.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_type",
+        expr("ts div 3600000000000").as("h"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val h0 = ev.agg(min($"h")).first().getLong(0)
+    val x = $"h" - h0
+    val m = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum($"cents").as("sy"),
+        sum(x * $"cents").as("sxy"), sum(x * x).as("sxx"))
+    m.select($"event_type", $"n", $"sx", $"sy", $"sxy", $"sxx",
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+          .as("slope_cents_per_hour"))
+      .select($"event_type", $"n", $"sx", $"sy", $"sxy", $"sxx",
+        $"slope_cents_per_hour",
+        (($"sy".cast("double") - $"slope_cents_per_hour" * $"sx".cast("double"))
+          / $"n".cast("double")).as("intercept_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** OHLC downsampling — the financial-bar shape every time-series
+    * store offers: per (event_type, hour) the open/high/low/close of
+    * the cents value plus volume. Open/close are struct-min/max over
+    * (tsu, event_id, cents) — the total (time, id) order makes the
+    * first/last picks engine-identical even with equal timestamps —
+    * and the whole bar is ONE partial-aggregatable shuffle.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_type", expr("ts div 3600000000000").as("h"),
+        expr("ts div 1000").as("tsu"), $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    ev.groupBy($"event_type", $"h")
+      .agg(
+        min(struct($"tsu", $"event_id", $"cents")).as("o"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max(struct($"tsu", $"event_id", $"cents")).as("c"),
+        count(lit(1)).as("volume"),
+        sum($"cents").as("sum_cents"))
+      .select($"event_type", $"h", $"o.cents".as("open_cents"),
+        $"high_cents", $"low_cents", $"c.cents".as("close_cents"),
+        $"volume", $"sum_cents")
+      .orderBy($"event_type", $"h")
+  }
+
   /** Horizon label generation — the supervised-label stage of a
     * training pipeline, done leakage-safely: for each user, the label
     * is whether a purchase occurs STRICTLY AFTER their first click and

@@ -260,4 +260,35 @@ class TemporalSpec extends AnyFunSuite {
       }
     }
   }
+  test("trend slope: exact-moment OLS matches the closed form on a " +
+    "literal series, and OHLC bars pin deterministic open/close") {
+    import TestSpark._
+    import spark.implicits._
+    // y = 100 + 50x at x in {0,1,2}: slope 50, intercept 100
+    val m = Seq((0L, 100L), (1L, 150L), (2L, 200L))
+      .toDF("x", "y")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"x").as("sx"),
+        org.apache.spark.sql.functions.sum($"y").as("sy"),
+        org.apache.spark.sql.functions.sum($"x" * $"y").as("sxy"),
+        org.apache.spark.sql.functions.sum($"x" * $"x").as("sxx"))
+      .select(
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("slope"))
+      .collect().head.getDouble(0)
+    assert(m === 50.0)
+    val driver = graft.operators.Temporal.trendSlope(spark, sf).collect()
+    assert(driver.nonEmpty && driver.forall(!_.isNullAt(6)))
+    // OHLC: open/close come from the bar's earliest/latest event
+    val bars = graft.operators.Temporal.ohlcBars(spark, sf).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { b =>
+      val (open, high, low, close) =
+        (b.getLong(2), b.getLong(3), b.getLong(4), b.getLong(5))
+      assert(high >= low, "high >= low")
+      assert(close <= high && close >= low, "close within [low, high]")
+      assert(open <= high && open >= low, "open within [low, high]")
+    }
+  }
 }
