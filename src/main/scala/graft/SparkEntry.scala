@@ -229,6 +229,9 @@ object SparkEntry {
     "semantic_dedup_keeper" -> ((s, d) => Dedup.semanticDedupKeeper(s, d)),
     "trend_slope" -> ((s, d) => Temporal.trendSlope(s, d)),
     "ohlc_bars" -> ((s, d) => Temporal.ohlcBars(s, d)),
+    "streaming_anomaly" -> ((s, d) =>
+      graft.streaming.Streams.anomalyStreamQuery(s, d)),
+    "bitmap_set_ops" -> ((s, d) => Sketches.bitmapSetOps(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2896,5 +2899,40 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS volume,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM r GROUP BY event_type, h ORDER BY event_type, h""".stripMargin,
+
+    // the streamed expanding z-score equals the batch expanding-window
+    // form: each event judged against all PRIOR events of its user
+    "streaming_anomaly" ->
+      s"""WITH ev AS (SELECT event_id, user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}),
+         |w AS (SELECT event_id, user_id, cents,
+         |    COUNT(*) OVER pw AS n_prior,
+         |    SUM(cents) OVER pw AS s, SUM(cents * cents) OVER pw AS s2
+         |  FROM ev WINDOW pw AS (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, cents,
+         |  CAST(n_prior AS BIGINT) AS n_prior,
+         |  (n_prior >= 5 AND (n_prior * cents - s) * (n_prior * cents - s)
+         |    > 9 * (n_prior * s2 - s * s)) AS is_anomaly
+         |FROM w ORDER BY event_id""".stripMargin,
+
+    // exact bitmap-index set algebra over per-type user bitmaps; the
+    // oracle recomputes from the raw distinct sets
+    "bitmap_set_ops" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u
+        |  GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_intersect
+        |  FROM u a JOIN u b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.n AS n_a, cb.n AS n_b, COALESCE(p.n_intersect, 0) AS n_intersect,
+        |  ca.n + cb.n - COALESCE(p.n_intersect, 0) AS n_union
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN p ON p.type_a = ca.event_type AND p.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

@@ -517,4 +517,45 @@ object Sketches {
        |       THEN ($lcList)[e.v] ELSE e.raw END AS hll_estimate
        |FROM ex JOIN e USING (k) ORDER BY key""".stripMargin
   }
+  /** Bitmap-index set operations — the exact companion to the KMV
+    * ESTIMATES ([[kmvSetOps]]): each event type's user set is held as
+    * a word-indexed bitmap (user_id div 64 → one long of presence
+    * bits, built by a per-(type, word) `bit_or` — mergeable,
+    * user-space/64-sized state, the roaring-bitmap idea in its dense
+    * form), and every pairwise intersection is one word-aligned join +
+    * `bit_count(a AND b)` sum. Zero-intersection pairs survive via the
+    * type-pair frame (type-count² rows, broadcast). At 100 TB the
+    * bitmap build is ONE shuffle of (type, word) longs and set algebra
+    * never touches the fact table again — the classic bitmap-index
+    * trade every warehouse offers next to sketches.
+    */
+  def bitmapSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_type", $"user_id").distinct()
+    val bitLit = typedLit((0 until 64).map(1L << _))
+    val words = u.select($"event_type", expr("user_id div 64").as("w"),
+        element_at(bitLit, ($"user_id" % 64).cast("int") + 1).as("bit"))
+      .groupBy($"event_type", $"w")
+      .agg(expr("bit_or(bit)").as("bits"))
+      .cache()
+    val counts = words.groupBy($"event_type")
+      .agg(sum(expr("bit_count(bits)")).as("n"))
+    val pairs = counts.select($"event_type".as("type_a"), $"n".as("n_a"))
+      .join(counts.select($"event_type".as("type_b"), $"n".as("n_b")),
+        $"type_a" < $"type_b")
+    val inter = words.select($"event_type".as("type_a"), $"w",
+        $"bits".as("ba"))
+      .join(words.select($"event_type".as("type_b"), $"w", $"bits".as("bb")),
+        Seq("w"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(sum(expr("bit_count(ba & bb)")).as("n_intersect"))
+    pairs.join(inter, Seq("type_a", "type_b"), "left")
+      .select($"type_a", $"type_b", $"n_a", $"n_b",
+        coalesce($"n_intersect", lit(0L)).as("n_intersect"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_intersect",
+        ($"n_a" + $"n_b" - $"n_intersect").as("n_union"))
+      .orderBy($"type_a", $"type_b")
+  }
 }

@@ -35,6 +35,9 @@ object Streams {
     */
   case class StampedType(user_id: Long, tsu: Long, event_type: String)
   case class CentEvent(user_id: Long, event_id: Long, cents: Long)
+  /** Per-event anomaly verdict (streaming z-score). */
+  case class AnomalyFlag(event_id: Long, user_id: Long, cents: Long,
+    n_prior: Long, is_anomaly: Boolean)
   case class EwmaProgress(user_id: Long, seq: Long, n_events: Long,
       ewma_cents: Long)
   case class StampedRow(event_id: Long, user_id: Long,
@@ -1062,6 +1065,66 @@ object Streams {
       .agg(max_by(struct($"n_events", $"ewma_cents"), $"seq").as("f"))
       .select($"user_id", $"f.n_events", $"f.ewma_cents")
       .orderBy($"user_id")
+  }
+
+  /** Streaming per-user anomaly detection — the live form of
+    * `Temporal.anomalyZscore`'s integer inequality, with EXPANDING
+    * state instead of a trailing frame (the state a monitor keeps):
+    * three longs (n, Σ, Σ²) of prior-event statistics per user, each
+    * event flagged against the stats of everything BEFORE it via
+    * (n·x − Σ)² > 9·(n·Σ² − Σ²) — exact integers, no float, no sqrt.
+    * Events are fed in event_id order (the fold's total order; within
+    * a trigger the group iterator is re-sorted, across triggers the
+    * feed preserves it), so the appended verdicts equal the batch
+    * expanding-window SQL — the oracle. State is 3 longs per user
+    * forever; flatMapGroupsWithState in Append emits each verdict
+    * exactly once.
+    */
+  def anomalyStreamQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"user_id", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .orderBy($"event_id")
+      .as[CentEvent].collect()
+    val emptyOut = Seq.empty[AnomalyFlag].toDS().toDF()
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val in = MemoryStream[CentEvent](spark)
+    val name = runStreamToTable(spark, "anomaly_stream", Some(4)) { (n, ck) =>
+      in.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[(Long, Long, Long), AnomalyFlag](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[CentEvent],
+              gs: GroupState[(Long, Long, Long)]) =>
+            var (n, s, s2) = gs.getOption.getOrElse((0L, 0L, 0L))
+            val out = it.toIndexedSeq.sortBy(_.event_id).map { e =>
+              val x = e.cents
+              val dev = n * x - s
+              val flag = n >= 5 && dev * dev > 9L * (n * s2 - s * s)
+              val row = AnomalyFlag(e.event_id, uid, x, n, flag)
+              n += 1; s += x; s2 += x * x
+              row
+            }
+            gs.update((n, s, s2))
+            out.iterator
+        }
+        .toDF()
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q =>
+      slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    spark.table(name).orderBy($"event_id")
   }
 
   /** Streaming exact dedup — `dropDuplicates` on the event key under a

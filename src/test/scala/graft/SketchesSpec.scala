@@ -136,4 +136,22 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
     assert(merged == whole)
   }
+  test("bitmap set ops: literal sets give exact intersections and " +
+    "bitmap cardinalities equal COUNT DISTINCT") {
+    import spark.implicits._
+    val got = graft.operators.Sketches.bitmapSetOps(spark, TestSpark.sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.sf)
+    got.foreach { case ((a, b), (na, nb, ni, nu)) =>
+      val sa = ev.filter($"event_type" === a)
+        .select($"user_id").distinct().collect().map(_.getLong(0)).toSet
+      val sb = ev.filter($"event_type" === b)
+        .select($"user_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(na === sa.size.toLong && nb === sb.size.toLong)
+      assert(ni === sa.intersect(sb).size.toLong)
+      assert(nu === sa.union(sb).size.toLong)
+    }
+  }
 }

@@ -805,4 +805,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want,
       "final Complete-mode table must equal the batch aggregate")
   }
+  test("streaming anomaly: expanding z-score state accumulates across " +
+    "triggers and flags match the batch expanding-window form") {
+    import spark.implicits._
+    val sf = TestSpark.sf
+    val got = graft.streaming.Streams.anomalyStreamQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(got.nonEmpty)
+    assert(got.exists(_._3), "some anomaly must fire on the corpus")
+    assert(got.exists(t => !t._3))
+    // batch reference: per-user expanding window over prior events
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = ev
+      .withColumn("n", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(w))
+      .withColumn("s", org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum($"cents").over(w),
+        org.apache.spark.sql.functions.lit(0L)))
+      .withColumn("s2", org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum($"cents" * $"cents").over(w),
+        org.apache.spark.sql.functions.lit(0L)))
+      .select($"event_id", $"n",
+        ($"n" >= 5 && ($"n" * $"cents" - $"s") * ($"n" * $"cents" - $"s")
+          > org.apache.spark.sql.functions.lit(9L) * ($"n" * $"s2" - $"s" * $"s"))
+          .as("flag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq === want.toSeq)
+  }
 }
