@@ -232,6 +232,9 @@ object SparkEntry {
     "streaming_anomaly" -> ((s, d) =>
       graft.streaming.Streams.anomalyStreamQuery(s, d)),
     "bitmap_set_ops" -> ((s, d) => Sketches.bitmapSetOps(s, d)),
+    "streaming_file_source" -> ((s, d) =>
+      graft.streaming.Streams.fileSourceQuery(s, d)),
+    "dedup_method_agreement" -> ((s, d) => Dedup.dedupMethodAgreement(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2934,5 +2937,31 @@ object SparkEntry {
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN p ON p.type_a = ca.event_type AND p.type_b = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // real file-source streaming drain: final Complete-mode counts
+    // equal the one-shot batch aggregate over the landing directory
+    "streaming_file_source" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // agreement of the two oracle-checked detectors over the embedded
+    // id space, as exact counts + integer-ppm set Jaccard
+    "dedup_method_agreement" ->
+      s"""WITH lex0 AS ($minhashPairsSql),
+         |emb AS ($embeddingLshPairsSql),
+         |lex AS (SELECT doc_a, doc_b FROM lex0
+         |  WHERE doc_a IN (SELECT vec_id FROM embeddings)
+         |    AND doc_b IN (SELECT vec_id FROM embeddings)),
+         |e2 AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM emb),
+         |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+         |  FROM lex JOIN e2 USING (doc_a, doc_b))
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lex) AS n_lexical,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n_semantic,
+         |  n_both,
+         |  (n_both * 1000000) // ((SELECT COUNT(*) FROM lex)
+         |    + (SELECT COUNT(*) FROM e2) - n_both) AS jaccard_ppm
+         |FROM b""".stripMargin,
   )
 }

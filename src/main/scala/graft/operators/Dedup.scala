@@ -892,6 +892,32 @@ object Dedup {
       Tables.widened(spark, Tables.documents(spark, dir)))
   }
 
+  /** Lexical-vs-semantic dedup agreement — the methodology audit a
+    * dataset card reports: how much of the MinHash (surface-form) pair
+    * set and the embedding (semantic) pair set overlap, as exact
+    * counts plus the integer-ppm Jaccard of the two pair SETS. Both
+    * detectors are the engine's own oracle-checked operators; the
+    * lexical side is restricted to the embedded id space so the two
+    * sets range over the same documents. One number to watch in
+    * production: a collapsing agreement means one detector's
+    * threshold drifted.
+    */
+  def dedupMethodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.embeddings(spark, dir).select($"vec_id")
+    val lex = minhashLsh(spark, dir).select($"doc_a", $"doc_b")
+      .join(ids.select($"vec_id".as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select($"vec_id".as("doc_b")), Seq("doc_b"), "left_semi")
+      .select($"doc_a", $"doc_b")
+    val sem = embeddingNearDupLshOf(Tables.embeddings(spark, dir))
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val nLex = lex.count(); val nSem = sem.count()
+    val nBoth = lex.join(sem, Seq("doc_a", "doc_b")).count()
+    Seq((nLex, nSem, nBoth,
+        nBoth * 1000000L / (nLex + nSem - nBoth)))
+      .toDF("n_lexical", "n_semantic", "n_both", "jaccard_ppm")
+  }
+
   /** Embedding cosine near-dup pairs >= minCos. Norms are precomputed
     * per vector (one pass) so the pair loop does a single dot product.
     * Brute-force all-pairs is the verification baseline; the scale path

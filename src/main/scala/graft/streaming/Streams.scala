@@ -547,6 +547,48 @@ object Streams {
       .orderBy($"click_id", $"purchase_id")
   }
 
+  /** File-source streaming ingestion — the one PRODUCTION streaming
+    * source this container can run end-to-end (the Kafka connector jar
+    * is absent; MemoryStream is a test harness): events land in a
+    * directory as discrete parquet files (the standard landing-zone
+    * pattern), `spark.readStream` tails it with `maxFilesPerTrigger=1`
+    * so the aggregate is built across MULTIPLE genuine micro-batches,
+    * and `Trigger.AvailableNow` drains exactly the files present —
+    * the replay/backfill mode that runs a streaming pipeline over
+    * historical data with the SAME code. The final Complete-mode
+    * counts must equal the one-shot batch aggregate (the oracle).
+    */
+  def fileSourceQuery(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val landing = graft.sources.Sources.scratchDir(spark, "file_source")
+    graft.Tables.events(spark, dir)
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(landing)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+    val name = runStreamToTable(spark, "file_source", Some(4)) { (n, ck) =>
+      stream.writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } { q => q.awaitTermination() }
+    spark.table(name).orderBy($"event_type")
+  }
+
   /** Complete-output-mode global top-k — the third output-mode member
     * next to the Append (windowed counts) and Update-shaped (state
     * store) streaming queries: a running word-count aggregate whose

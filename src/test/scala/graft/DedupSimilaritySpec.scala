@@ -538,4 +538,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     keepers.foreach { case (cid, _, q, _) => assert(q === best(cid)) }
   }
+  test("dedup method agreement: counts are consistent and the ppm " +
+    "jaccard is the exact integer ratio") {
+    val r = graft.operators.Dedup.dedupMethodAgreement(spark, sf)
+      .collect().head
+    val (nl, ns, nb, j) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(ns > 0, "semantic pairs must exist")
+    assert(nb <= math.min(nl, ns))
+    assert(j === nb * 1000000L / (nl + ns - nb))
+  }
 }

@@ -838,4 +838,21 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(got.sortBy(_._1).toSeq === want.toSeq)
   }
+  test("file-source streaming drains the landing dir in multiple real " +
+    "micro-batches and equals the batch aggregate") {
+    import spark.implicits._
+    val sf = TestSpark.sf
+    val got = graft.streaming.Streams.fileSourceQuery(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Tables.events(spark, sf)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"cents").as("sum_cents"))
+      .orderBy($"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
 }
