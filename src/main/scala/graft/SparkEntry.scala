@@ -235,6 +235,8 @@ object SparkEntry {
     "streaming_file_source" -> ((s, d) =>
       graft.streaming.Streams.fileSourceQuery(s, d)),
     "dedup_method_agreement" -> ((s, d) => Dedup.dedupMethodAgreement(s, d)),
+    "topn_other_rollup" -> ((s, d) => Relational.topnOtherRollup(s, d)),
+    "dup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2963,5 +2965,33 @@ object SparkEntry {
          |  (n_both * 1000000) // ((SELECT COUNT(*) FROM lex)
          |    + (SELECT COUNT(*) FROM e2) - n_both) AS jaccard_ppm
          |FROM b""".stripMargin,
+
+    // bounded dashboard rollup: top-3 users per type + one OTHER row
+    "topn_other_rollup" ->
+      """WITH pu AS (SELECT event_type, user_id, COUNT(*) AS cnt
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY cnt DESC, user_id) AS rk FROM pu),
+        |t AS (SELECT event_type, CAST(rk AS INTEGER) AS rk,
+        |    'user_' || CAST(user_id AS VARCHAR) AS who,
+        |    CAST(cnt AS BIGINT) AS cnt, CAST(1 AS BIGINT) AS n_members
+        |  FROM r WHERE rk <= 3),
+        |o AS (SELECT event_type, 4 AS rk, 'OTHER' AS who,
+        |    CAST(SUM(cnt) AS BIGINT) AS cnt,
+        |    CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM r WHERE rk > 3 GROUP BY event_type)
+        |SELECT * FROM t UNION ALL SELECT * FROM o
+        |ORDER BY event_type, rk""".stripMargin,
+
+    // per-source exact-identity duplicate rate in integer ppm
+    "dup_rate_by_source" ->
+      """WITH g AS (SELECT source, md5(text) AS h, COUNT(*) AS c
+        |  FROM documents GROUP BY source, md5(text))
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dups,
+        |  (CAST(SUM(c) - COUNT(*) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT)
+        |    AS dup_rate_ppm
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -892,6 +892,25 @@ object Dedup {
       Tables.widened(spark, Tables.documents(spark, dir)))
   }
 
+  /** Duplicate rate by source — the per-provider hygiene report a
+    * corpus intake publishes: for each source, document count, unique
+    * content count (exact md5 identity), duplicate count and the
+    * integer-ppm duplicate rate. One partial-aggregatable
+    * (source, md5) shuffle + a source-sized rollup.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.widened(spark, Tables.documents(spark, dir))
+      .groupBy($"source", md5($"text").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_docs"), count(lit(1)).as("n_unique"))
+      .select($"source", $"n_docs", $"n_unique",
+        ($"n_docs" - $"n_unique").as("n_dups"),
+        expr("(n_docs - n_unique) * 1000000 div n_docs").as("dup_rate_ppm"))
+      .orderBy($"source")
+  }
+
   /** Lexical-vs-semantic dedup agreement — the methodology audit a
     * dataset card reports: how much of the MinHash (surface-form) pair
     * set and the embedding (semantic) pair set overlap, as exact

@@ -1397,6 +1397,44 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Cardinality-capped reporting rollup — the dashboard shape that
+    * keeps result sets bounded at any fan-out: per event type, the
+    * top-3 users by event count as named rows plus ONE 'OTHER' row
+    * aggregating everyone else, so the report is (groups × 4) rows no
+    * matter how many users exist. Selection is deterministic (count
+    * DESC, user ASC) via a rank-filter window (WindowGroupLimit
+    * partial pass); the OTHER mass is total − top mass, computed from
+    * the same per-(type, user) aggregate, not a second scan.
+    */
+  def topnOtherRollup(spark: SparkSession, dir: String,
+      n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.widened(spark, Tables.events(spark, dir))
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"cnt".desc, $"user_id")
+    val top = perUser.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= n)
+    val totals = perUser.groupBy($"event_type")
+      .agg(sum($"cnt").as("total"), count(lit(1)).as("n_users"))
+    val other = totals
+      .join(top.groupBy($"event_type").agg(sum($"cnt").as("topc"),
+        count(lit(1)).as("topn")), Seq("event_type"))
+      .select($"event_type", lit(n + 1).as("rk"),
+        lit("OTHER").as("who"), ($"total" - $"topc").as("cnt"),
+        ($"n_users" - $"topn").as("n_members"))
+      // a group with <= n users has no OTHER mass — emit no row (the
+      // oracle's empty GROUP BY does the same)
+      .filter($"n_members" > 0)
+    top.select($"event_type", $"rk",
+        concat(lit("user_"), $"user_id").as("who"), $"cnt",
+        lit(1L).as("n_members"))
+      .unionByName(other)
+      .orderBy($"event_type", $"rk")
+  }
+
   /** Leave-one-out target encoding — the leakage-safe categorical
     * feature every tabular training pipeline derives: each row's
     * category is replaced by the mean target of all OTHER rows in its

@@ -510,4 +510,27 @@ class RelationalSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(got == raw && got > 0.0)
   }
+  test("topn+OTHER rollup: per-type mass is conserved and the report " +
+    "is bounded at 4 rows per group") {
+    import spark.implicits._
+    val got = Relational.topnOtherRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(got.map(_._4).sum === total, "no event lost or double-counted")
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 4)
+      assert(rows.count(_._3 == "OTHER") <= 1)
+      val named = rows.filter(_._3 != "OTHER").sortBy(_._2)
+      assert(named.map(_._4).toSeq == named.map(_._4).sortBy(-_).toSeq,
+        "top rows ranked by descending count")
+    }
+    // per-source duplicate rate: docs partition into unique + dups
+    val dr = graft.operators.Dedup.dupRateBySource(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dr.map(_._1).sum ===
+      Tables.documents(spark, sf).count())
+    dr.foreach { case (n, u, d) => assert(n === u + d && u > 0) }
+  }
 }
