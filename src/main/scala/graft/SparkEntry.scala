@@ -237,6 +237,8 @@ object SparkEntry {
     "dedup_method_agreement" -> ((s, d) => Dedup.dedupMethodAgreement(s, d)),
     "topn_other_rollup" -> ((s, d) => Relational.topnOtherRollup(s, d)),
     "dup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
+    "streaming_merge_apply" -> ((s, d) =>
+      graft.streaming.Streams.mergeApplyStreamQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -2993,5 +2995,18 @@ object SparkEntry {
         |  (CAST(SUM(c) - COUNT(*) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT)
         |    AS dup_rate_ppm
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // the CDC stream applies the same mutation the batch merge does
+    // (each key in exactly one trigger), so the final table is the
+    // same reconstruction
+    "streaming_merge_apply" ->
+      s"""SELECT doc_id, CAST(doc_id % ${graft.sources.Maintenance.NumParts} AS INT) AS part, text FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + ${graft.operators.Relational.DiffAppendOffset} AS doc_id, text
+        |  FROM documents WHERE doc_id % 29 = 0)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -547,6 +547,70 @@ object Streams {
       .orderBy($"click_id", $"purchase_id")
   }
 
+  /** CDC change record for the streaming MERGE feed. */
+  case class CdcOp(doc_id: Long, text: String, op: String)
+
+  /** Scratch table for [[mergeApplyStreamQuery]] (separate from the
+    * batch merge_apply's so the two queries never clobber each other).
+    */
+  val StreamMergePath = "/tmp/graft_stream_merge"
+
+  /** Streaming CDC upsert — the Delta-style `MERGE INTO` as a
+    * streaming SINK: a change feed (upserts + deletes) arrives over
+    * micro-batches and `foreachBatch` applies each batch through the
+    * partition-scoped [[graft.sources.Maintenance.mergeApply]], so
+    * every trigger touches only the partitions its keys live in. The
+    * feed is the same deterministic mutation the batch merge_apply
+    * applies, split across two triggers (each key appears in exactly
+    * one batch, so the final table is order-independent) — the oracle
+    * is merge_apply's own reconstruction SQL.
+    */
+  def mergeApplyStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.Maintenance
+    val v1 = graft.Tables.widened(spark,
+        graft.Tables.documents(spark, dir))
+      .select($"doc_id", $"text")
+    v1.select($"doc_id", $"text",
+        ($"doc_id" % Maintenance.NumParts).cast("int").as("part"))
+      .repartition(Maintenance.NumParts, $"part")
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(StreamMergePath)
+    val offset = graft.operators.Relational.DiffAppendOffset
+    val feed: Array[CdcOp] =
+      (v1.filter($"doc_id" % 13 === 5 && $"doc_id" % 17 =!= 3)
+        .select($"doc_id", concat($"text", lit(" rev2")).as("text"))
+        .collect().map(r => CdcOp(r.getLong(0), r.getString(1), "upsert")) ++
+      v1.filter($"doc_id" % 29 === 0)
+        .select(($"doc_id" + offset).as("doc_id"), $"text")
+        .collect().map(r => CdcOp(r.getLong(0), r.getString(1), "upsert")) ++
+      v1.filter($"doc_id" % 17 === 3).select($"doc_id")
+        .collect().map(r => CdcOp(r.getLong(0), "", "delete")))
+        .sortBy(_.doc_id)
+    val in = MemoryStream[CdcOp](spark)
+    runStreamToTable(spark, "cdc_merge", Some(4)) { (n, ck) =>
+      in.toDS().writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[CdcOp],
+            _: Long) =>
+          val b = batch.cache()
+          Maintenance.mergeApply(spark, StreamMergePath,
+            b.filter($"op" === "upsert").select($"doc_id", $"text"),
+            b.filter($"op" === "delete").select($"doc_id"))
+          b.unpersist(); ()
+        }
+        .queryName(n).start()
+    } { q =>
+      val (a, b) = feed.splitAt(feed.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    spark.read.parquet(StreamMergePath)
+      .select($"doc_id", $"part", $"text")
+      .orderBy($"doc_id")
+  }
+
   /** File-source streaming ingestion — the one PRODUCTION streaming
     * source this container can run end-to-end (the Kafka connector jar
     * is absent; MemoryStream is a test harness): events land in a

@@ -855,4 +855,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === want)
   }
+  test("streaming CDC merge equals the one-shot batch merge row for row") {
+    import spark.implicits._
+    val sf = TestSpark.sf
+    val streamed = graft.streaming.Streams.mergeApplyStreamQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val batch = graft.sources.Maintenance.mergeApplyQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "per-trigger merges must converge to the one-shot merged table")
+  }
 }
