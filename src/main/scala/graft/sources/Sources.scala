@@ -148,8 +148,10 @@ object Sources {
     * COUNT is emitted as a sentinel row (event_id −1, count in
     * user_id) so the quarantine size itself is oracle-checked — a
     * reader that dropped or double-counted a corrupt line mismatches.
-    * (The read is cached once: Spark disallows queries referencing
-    * only the corrupt column on the lazy relation.)
+    * (The quarantine count is raw-line-count minus good-row-count —
+    * both plain distributed counts — because Spark disallows queries
+    * referencing ONLY the corrupt column, and caching the whole parse
+    * to satisfy that is wrong at any real corpus size.)
     */
   def jsonCorruptRecovery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -166,17 +168,20 @@ object Sources {
       StructField("user_id", LongType),
       StructField("value", DoubleType),
       StructField("_corrupt_record", StringType)))
-    val parsed = spark.read.schema(schema)
+    def parsed = spark.read.schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(out)
-      .cache()
     val good = parsed.filter($"_corrupt_record".isNull)
       .select($"event_id", $"user_id", $"value")
-    val quarantined = parsed.filter($"_corrupt_record".isNotNull)
-      .agg(count(lit(1)).as("n"))
-      .select(lit(-1L).as("event_id"), $"n".as("user_id"),
-        lit(null).cast("double").as("value"))
+    // count good rows via the typed key (corrupt rows parse all-null),
+    // so the count's pruned plan never references the corrupt column
+    val nGood = parsed.select($"event_id")
+      .filter($"event_id".isNotNull).count()
+    val nCorrupt = spark.read.text(out).count() - nGood
+    val quarantined = Seq((-1L, nCorrupt))
+      .toDF("event_id", "user_id")
+      .select($"event_id", $"user_id", lit(null).cast("double").as("value"))
     good.unionByName(quarantined).orderBy($"event_id")
   }
 
