@@ -239,6 +239,7 @@ object SparkEntry {
     "dup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "streaming_merge_apply" -> ((s, d) =>
       graft.streaming.Streams.mergeApplyStreamQuery(s, d)),
+    "ranking_metrics" -> ((s, d) => RankingEval.rankingMetrics(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3008,5 +3009,10 @@ object SparkEntry {
         |  SELECT doc_id + ${graft.operators.Relational.DiffAppendOffset} AS doc_id, text
         |  FROM documents WHERE doc_id % 29 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // ranked-retrieval eval: identical split gate, identical embedded
+    // fixed-point DCG weight literals — every metric an exact integer
+    "ranking_metrics" ->
+      graft.operators.RankingEval.rankingMetricsSql(),
   )
 }

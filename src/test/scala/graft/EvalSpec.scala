@@ -97,4 +97,48 @@ class EvalSpec extends AnyFunSuite {
     // at least one label has no prior error (LEFT semantics exercised)
     assert(got.exists(_.isNullAt(6)) || got.forall(!_.isNullAt(6)))
   }
+
+  test("ranking metrics: textbook values on a hand-built fixture") {
+    import spark.implicits._
+    import graft.operators.RankingEval
+    // ranked list: songs 1..5 at ranks 1..5
+    val topk = (1 to 5).map(i => (i, i.toLong)).toDF("song_id", "rank")
+    // user 10: relevant {1, 3}  -> first=1, hits=2, MRR=1,
+    //   DCG = w1+w3, IDCG = w1+w2, AP = (1/1 + 2/3)/2
+    // user 20: relevant {4}     -> first=4, MRR=1/4, AP = 1/4
+    // user 30: relevant {99}    -> no hit, all zeros
+    val rel = Seq((10, 1), (10, 3), (20, 4), (30, 99))
+      .toDF("user_id", "song_id")
+    val got = RankingEval.metricsOf(rel, topk, 5)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val w = RankingEval.dcgWeightNano
+    val u10 = got(10)
+    assert(u10.getLong(2) === 1L && u10.getLong(3) === 2L)
+    assert(u10.getLong(4) === 1000000L)
+    assert(u10.getLong(5) === (w(0) + w(2)) * 1000000L / (w(0) + w(1)))
+    assert(u10.getLong(6) === (1000000L + 2000000L / 3L) / 2L)
+    val u20 = got(20)
+    assert(u20.getLong(2) === 4L && u20.getLong(4) === 250000L)
+    assert(u20.getLong(6) === 250000L)
+    val u30 = got(30)
+    assert(u30.getLong(2) === 0L && u30.getLong(3) === 0L &&
+      u30.getLong(4) === 0L && u30.getLong(5) === 0L &&
+      u30.getLong(6) === 0L)
+  }
+
+  test("ranking metrics: corpus invariants and metric consistency") {
+    import spark.implicits._
+    val rows = graft.operators.RankingEval.rankingMetrics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTest, first, hits, mrr, ndcg, ap) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(hits <= nTest && hits <= 20)
+      assert(ndcg <= 1000000L && ap <= 1000000L && mrr <= 1000000L)
+      if (first == 0L) assert(hits == 0L && mrr == 0L && ndcg == 0L && ap == 0L)
+      else assert(mrr === 1000000L / first && hits >= 1L)
+    }
+    // the popularity baseline must actually hit for someone at sf0.001
+    assert(rows.exists(_.getLong(3) > 0L))
+  }
 }
