@@ -240,6 +240,9 @@ object SparkEntry {
     "streaming_merge_apply" -> ((s, d) =>
       graft.streaming.Streams.mergeApplyStreamQuery(s, d)),
     "ranking_metrics" -> ((s, d) => RankingEval.rankingMetrics(s, d)),
+    "hll_daily_merge" -> ((s, d) => Sketches.hllDailyMerge(s, d)),
+    "ks_drift" -> ((s, d) => Audit.ksDrift(s, d)),
+    "score_lift_table" -> ((s, d) => Audit.scoreLiftTable(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3014,5 +3017,18 @@ object SparkEntry {
     // fixed-point DCG weight literals — every metric an exact integer
     "ranking_metrics" ->
       graft.operators.RankingEval.rankingMetricsSql(),
+
+    // daily HLL sketches max-merged to one estimate per type — the
+    // identical register pipeline, day layer included, in both engines
+    "hll_daily_merge" ->
+      graft.operators.Sketches.hllDailyMergeSql(),
+
+    // exact two-sample KS: integer sup-gap, one final double division
+    "ks_drift" ->
+      graft.operators.Audit.ksDriftSql(),
+
+    // gains/lift table: ppm rates, bp lift, descending capture prefix
+    "score_lift_table" ->
+      graft.operators.Audit.scoreLiftTableSql(),
   )
 }

@@ -315,4 +315,140 @@ object Audit {
         $"boot_lo", $"boot_hi")
       .orderBy($"event_type")
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic — the
+    * distribution-level companion to [[distributionDrift]]'s binned
+    * PSI (Relational): D = sup_x |F_A(x) − F_B(x)| between two event
+    * types' value distributions, computed EXACTLY. The sup runs over
+    * the observed support only (the ECDF gap can only change at a
+    * sample point); cross-multiplying the two ECDFs by n_A·n_B keeps
+    * every compared quantity an integer: D_num = max |cumA·n_B −
+    * cumB·n_A|, and D itself is ONE double division of exact BIGINTs
+    * (the AUC contract). Inclusive cumulative counts come from the
+    * same two-level bucket prefix sum as [[binaryClassifierEval]] — no
+    * global sort; the only single-task window runs over bucket totals.
+    */
+  def ksDrift(spark: SparkSession, dir: String, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .filter($"event_type".isin(typeA, typeB))
+      .select(($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        when($"event_type" === typeA, 1L).otherwise(0L).as("a"))
+    val g = ev.groupBy($"cents")
+      .agg(sum($"a").as("ca"), sum(lit(1L) - $"a").as("cb"))
+      .withColumn("bucket", expr(s"cents div $EvalBucketCents"))
+    val wLocal = Window.partitionBy($"bucket").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBuck = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = g.groupBy($"bucket")
+      .agg(sum($"ca").as("bta"), sum($"cb").as("btb"))
+      .withColumn("offa", coalesce(sum($"bta").over(wBuck), lit(0L)))
+      .withColumn("offb", coalesce(sum($"btb").over(wBuck), lit(0L)))
+      .select($"bucket", $"offa", $"offb")
+    val cum = g
+      .withColumn("la", sum($"ca").over(wLocal))
+      .withColumn("lb", sum($"cb").over(wLocal))
+      .join(broadcast(bucketOff), Seq("bucket"))
+      .select(($"la" + $"offa").as("cuma"), ($"lb" + $"offb").as("cumb"))
+    val tot = ev.agg(sum($"a").as("n_a"),
+      (count(lit(1)) - sum($"a")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs($"cuma" * $"n_b" - $"cumb" * $"n_a").as("gap"),
+        $"n_a", $"n_b")
+      .groupBy($"n_a", $"n_b").agg(max($"gap").as("d_num"))
+      .select($"n_a", $"n_b", $"d_num",
+        expr("(d_num * 1000000) div (n_a * n_b)").as("ks_ppm"),
+        ($"d_num".cast("double") /
+          ($"n_a" * $"n_b").cast("double")).as("ks"))
+  }
+
+  /** [[ksDrift]] oracle: plain inclusive window over the per-value
+    * groups (the oracle need not avoid the global sort).
+    */
+  def ksDriftSql(typeA: String = "click",
+      typeB: String = "purchase"): String =
+    s"""WITH ev AS (SELECT
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    CASE WHEN event_type = '$typeA' THEN 1 ELSE 0 END AS a
+       |  FROM events WHERE event_type IN ('$typeA', '$typeB')),
+       |g AS (SELECT cents, CAST(SUM(a) AS BIGINT) AS ca,
+       |    CAST(SUM(1 - a) AS BIGINT) AS cb FROM ev GROUP BY cents),
+       |c AS (SELECT
+       |    CAST(SUM(ca) OVER (ORDER BY cents) AS BIGINT) AS cuma,
+       |    CAST(SUM(cb) OVER (ORDER BY cents) AS BIGINT) AS cumb
+       |  FROM g),
+       |t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+       |    CAST(COUNT(*) - SUM(a) AS BIGINT) AS n_b FROM ev),
+       |d AS (SELECT n_a, n_b,
+       |    MAX(ABS(cuma * n_b - cumb * n_a)) AS d_num
+       |  FROM c, t GROUP BY n_a, n_b)
+       |SELECT n_a, n_b, d_num,
+       |  (d_num * 1000000) // (n_a * n_b) AS ks_ppm,
+       |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks
+       |FROM d""".stripMargin
+
+  /** Score-bin width (cents) for [[scoreLiftTable]] — ~10 bins over
+    * the corpus value domain.
+    */
+  val LiftBinCents = 5000L
+
+  /** Gains/lift table — the campaign-targeting report next to
+    * [[binaryClassifierEval]]: score (value cents) binned to
+    * [[LiftBinCents]]-wide bins, each bin's observed positive
+    * (purchase) rate versus the base rate as an exact basis-point
+    * lift, plus the cumulative capture ("top-k bins catch X% of all
+    * positives") folded DESCENDING over bins. Every emitted number is
+    * an integer: rates in ppm via single `div`s, lift in bp as
+    * rate·10⁴ div base-rate, capture from an inclusive prefix over
+    * the bounded bin totals (the only window runs over ~10 rows).
+    */
+  def scoreLiftTable(spark: SparkSession, dir: String,
+      binCents: Long = LiftBinCents): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .select(($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+    val bins = ev.groupBy(expr(s"cents div $binCents").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+        sum($"cents").as("cents_sum"))
+    val tot = ev.agg(count(lit(1)).as("nt"), sum($"pos").as("npt"))
+    val wDesc = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bins.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum($"n_pos").over(wDesc))
+      .select($"bin", $"n", $"n_pos",
+        expr("cents_sum div n").as("mean_cents_floor"),
+        expr("(n_pos * 1000000) div n").as("pos_rate_ppm"),
+        expr("((n_pos * 1000000 div n) * 10000) div (npt * 1000000 div nt)")
+          .as("lift_bp"),
+        expr("(cum_pos * 1000000) div npt").as("capture_ppm"))
+      .orderBy($"bin")
+  }
+
+  /** [[scoreLiftTable]] oracle. */
+  def scoreLiftTableSql(binCents: Long = LiftBinCents): String =
+    s"""WITH ev AS (SELECT
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |b AS (SELECT cents // $binCents AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(cents) AS BIGINT) AS cents_sum
+       |  FROM ev GROUP BY 1),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+       |    CAST(SUM(pos) AS BIGINT) AS npt FROM ev),
+       |c AS (SELECT b.*, t.nt, t.npt,
+       |    CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_pos
+       |  FROM b, t)
+       |SELECT bin, n, n_pos,
+       |  cents_sum // n AS mean_cents_floor,
+       |  (n_pos * 1000000) // n AS pos_rate_ppm,
+       |  ((n_pos * 1000000 // n) * 10000) // (npt * 1000000 // nt) AS lift_bp,
+       |  (cum_pos * 1000000) // npt AS capture_ppm
+       |FROM c ORDER BY bin""".stripMargin
 }

@@ -116,6 +116,80 @@ object Sketches {
       .orderBy($"key")
   }
 
+  /** Sketch RE-AGGREGATION — the reason a pipeline stores sketches at
+    * all: per-(event_type, day) HLL register relations (the shape a
+    * daily job would persist next to its partition) are max-MERGED
+    * across the month into one estimate per event_type, without ever
+    * touching the raw events again past the daily pass. The merged
+    * estimate is provably identical to the one-shot whole-corpus
+    * sketch (max is associative over any partitioning — spec'd against
+    * [[hllDistinct]]), which is the property that lets 100 TB of
+    * history answer "distinct users this quarter?" from kilobytes of
+    * stored registers. Self-auditing columns: exact distinct and the
+    * day count the merge folded.
+    */
+  def hllDailyMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .filter($"user_id".isNotNull)
+      .withColumn("d", expr("ts div 86400000000000"))
+    // the persisted daily artifact: one (type, day, reg, r) row per
+    // non-empty register — partial-aggregatable, at most 64 rows per
+    // (type, day)
+    val daily = ev
+      .select($"event_type", $"d",
+        Dedup.hash60($"user_id".cast("string")).as("h"))
+      .select($"event_type", $"d", ($"h" % HllRegisters).as("reg"),
+        rho(shiftrightunsigned($"h", 6)).as("rho"))
+      .groupBy($"event_type", $"d", $"reg").agg(max($"rho").as("r"))
+    val merged = daily.groupBy($"event_type", $"reg")
+      .agg(max($"r").as("r")).withColumnRenamed("event_type", "k")
+    val est = estimateFromRegisters(merged)
+    val days = daily.select($"event_type", $"d").distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    val exact = ev.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+    exact.join(days, Seq("event_type"))
+      .join(est, $"event_type" === $"k")
+      .select($"event_type".as("key"), $"n_days", $"n_exact",
+        $"hll_estimate")
+      .orderBy($"key")
+  }
+
+  /** DuckDB oracle for [[hllDailyMerge]]: the identical daily-sketch →
+    * max-merge pipeline.
+    */
+  def hllDailyMergeSql(): String = {
+    val h60 = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val lcList = LinearCountTable.mkString("[", ", ", "]")
+    s"""WITH nn AS (SELECT event_type,
+       |    (epoch_us(ts) * 1000) // 86400000000000 AS d, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |hx AS (SELECT event_type, d, $h60 AS h FROM nn),
+       |rr AS (SELECT event_type, d, h % $HllRegisters AS reg,
+       |  CASE WHEN (h // 64) = 0 THEN 55
+       |       ELSE 55 - length(bin(h // 64)) END AS rho FROM hx),
+       |daily AS (SELECT event_type, d, reg, MAX(rho) AS r
+       |  FROM rr GROUP BY event_type, d, reg),
+       |merged AS (SELECT event_type AS k, reg, MAX(r) AS r
+       |  FROM daily GROUP BY event_type, reg),
+       |s AS (SELECT k,
+       |  CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - r AS INTEGER)) AS BIGINT)
+       |    + ($HllRegisters - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS s,
+       |  $HllRegisters - COUNT(*) AS v
+       |  FROM merged GROUP BY k),
+       |e AS (SELECT k, $HllK / CAST(s AS DOUBLE) AS raw, v FROM s),
+       |days AS (SELECT event_type, COUNT(DISTINCT d) AS n_days
+       |  FROM nn GROUP BY event_type),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM nn GROUP BY event_type)
+       |SELECT ex.event_type AS key, days.n_days, ex.n_exact,
+       |  CASE WHEN e.v > 0 AND e.raw <= $LinearCountThreshold
+       |       THEN ($lcList)[e.v] ELSE e.raw END AS hll_estimate
+       |FROM ex JOIN days USING (event_type)
+       |JOIN e ON e.k = ex.event_type ORDER BY key""".stripMargin
+  }
+
   /** Finish a register relation (k, reg, r) into (k, hll_estimate) —
     * shared by the batch query and the streaming accumulator (whose
     * state IS a register relation, max-merged per micro-batch).

@@ -141,4 +141,48 @@ class EvalSpec extends AnyFunSuite {
     // the popularity baseline must actually hit for someone at sf0.001
     assert(rows.exists(_.getLong(3) > 0L))
   }
+
+  test("ks drift: exact sup-gap matches the in-memory ECDF reference") {
+    import spark.implicits._
+    val row = Audit.ksDrift(spark, sf).collect().head
+    val (na, nb, dNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val cents = Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select(($"value".cast("decimal(18,2)") * 100).cast("long").as("c"),
+        ($"event_type" === "click").as("isA"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val a = cents.filter(_._2).map(_._1).sorted
+    val b = cents.filterNot(_._2).map(_._1).sorted
+    assert(na === a.length.toLong && nb === b.length.toLong)
+    val support = (a ++ b).distinct.sorted
+    val want = support.map { x =>
+      val ca = a.count(_ <= x).toLong
+      val cb = b.count(_ <= x).toLong
+      math.abs(ca * nb - cb * na)
+    }.max
+    assert(dNum === want, s"engine D_num $dNum vs reference $want")
+    assert(row.getLong(3) === dNum * 1000000L / (na * nb))
+    assert(row.getDouble(4) === dNum.toDouble / (na * nb).toDouble)
+  }
+
+  test("lift table: bins partition the corpus, capture folds to 100%") {
+    import spark.implicits._
+    val rows = Audit.scoreLiftTable(spark, sf).collect()
+    assert(rows.length > 1)
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val nPos = ev.filter($"event_type" === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    assert(rows.map(_.getLong(2)).sum === nPos)
+    // rows come back ordered by bin ascending; the lowest bin's
+    // descending-cumulative capture covers every positive
+    assert(rows.head.getLong(6) === 1000000L)
+    // capture is monotone non-increasing in bin order
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(6) >= hi.getLong(6))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
 }

@@ -154,4 +154,22 @@ class SketchesSpec extends AnyFunSuite {
       assert(nu === sa.union(sb).size.toLong)
     }
   }
+
+  test("hll daily merge: cross-day register merge equals the one-shot sketch") {
+    import spark.implicits._
+    val merged = Sketches.hllDailyMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val oneShot = Sketches.hllDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged.keySet === oneShot.keySet)
+    merged.foreach { case (k, (nDays, nExact, est)) =>
+      assert(nDays > 1L, s"$k: the merge must fold more than one daily sketch")
+      assert(nExact === oneShot(k)._1)
+      // max is associative over the day partitioning: identical registers,
+      // identical estimate — bit-for-bit
+      assert(est === oneShot(k)._2,
+        s"$k: merged estimate $est != one-shot ${oneShot(k)._2}")
+    }
+  }
 }
