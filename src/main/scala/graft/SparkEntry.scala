@@ -243,6 +243,7 @@ object SparkEntry {
     "hll_daily_merge" -> ((s, d) => Sketches.hllDailyMerge(s, d)),
     "ks_drift" -> ((s, d) => Audit.ksDrift(s, d)),
     "score_lift_table" -> ((s, d) => Audit.scoreLiftTable(s, d)),
+    "rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3030,5 +3031,10 @@ object SparkEntry {
     // gains/lift table: ppm rates, bp lift, descending capture prefix
     "score_lift_table" ->
       graft.operators.Audit.scoreLiftTableSql(),
+
+    // hybrid retrieval: cosine + shingle-jaccard rankings fused by
+    // integer reciprocal-rank; both rankings mirrored rank-for-rank
+    "rrf_fusion" ->
+      graft.operators.Retrieval.rrfFusionSql(),
   )
 }

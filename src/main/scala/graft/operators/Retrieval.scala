@@ -176,4 +176,145 @@ object Retrieval {
        |FROM p, s
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** RRF constant k (the standard Cormack/Clarke value). */
+  val RrfK = 60L
+  /** Fixed-point numerator for the RRF terms: score contributions are
+    * `1e9 div (k + rank)` — exact integers, so the fused ORDER is never
+    * decided by a float (the discretization loses nothing at these
+    * list depths: 1e9/(60+r) is injective in r for r ≤ 10⁴).
+    */
+  val RrfNano = 1000000000L
+  /** Queries / per-source depth / fused depth for [[rrfFusion]]. */
+  val FusionQueries = 4
+  val FusionPerSource = 20
+  val FusionOut = 10
+
+  /** Hybrid retrieval via reciprocal-rank fusion — the production RAG
+    * pattern: a SEMANTIC ranking (embedding cosine over the
+    * `embeddings` table) and a LEXICAL ranking (word-3-gram Jaccard
+    * over the same id space of `documents`, the [[Dedup.shingleSetOf]]
+    * shingles) are fused per query as Σ 1e9 div (60 + rank), and the
+    * fused top-[[FusionOut]] is emitted with both source ranks (0 =
+    * absent from that source's top-[[FusionPerSource]]).
+    *
+    * Scale shape: the semantic side is [[Similarity.cosineTopKOf]]'s
+    * two-phase top-k (broadcast queries, partition-local prune); the
+    * lexical side joins the corpus shingle relation against the
+    * BROADCAST query shingle sets (each corpus shingle row meets at
+    * most nQueries query rows — no pairwise posting-list blowup, no df
+    * cap needed), then the same two-phase top-k; the fusion itself is
+    * a full-outer join of two (queries × k)-sized relations. Nothing
+    * shuffles the corpus beyond the one (query, doc) intersect count.
+    */
+  def rrfFusion(spark: SparkSession, dir: String,
+      nQueries: Int = FusionQueries, kPer: Int = FusionPerSource,
+      kOut: Int = FusionOut): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val sem = Similarity.cosineTopKOf(emb, kPer, nQueries)
+      .select($"query_id", $"neighbor_id".as("id"),
+        $"rank".cast("long").as("rank_sem"))
+    // lexical candidates restricted to the embedded id space so both
+    // rankings range over the same documents (the dedupMethodAgreement
+    // restriction)
+    val ids = emb.select($"vec_id")
+    val docs = Tables.widened(spark, Tables.documents(spark, dir))
+      .join(ids, $"doc_id" === $"vec_id", "left_semi")
+    val sh = Dedup.shingleSetOf(docs, 3)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val qsh = sh.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"h")
+    val qsz = sizes.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"sz".as("qsz"))
+    val inter = sh.join(broadcast(qsh), Seq("h"))
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("inter"))
+    val jac = inter.join(sizes, Seq("doc_id"))
+      .join(broadcast(qsz), Seq("query_id"))
+      .select($"query_id", $"doc_id",
+        expr("(inter * 1000000) div (sz + qsz - inter)").as("jac_ppm"))
+    val localW = Window.partitionBy($"query_id", spark_partition_id())
+      .orderBy($"jac_ppm".desc, $"doc_id")
+    val globalW = Window.partitionBy($"query_id")
+      .orderBy($"jac_ppm".desc, $"doc_id")
+    val lex = jac
+      .withColumn("lrn", row_number().over(localW)).filter($"lrn" <= kPer)
+      .withColumn("rank_lex", row_number().over(globalW).cast("long"))
+      .filter($"rank_lex" <= kPer)
+      .select($"query_id", $"doc_id".as("id"), $"rank_lex")
+    val fused = sem.join(lex, Seq("query_id", "id"), "full_outer")
+      .select($"query_id", $"id",
+        coalesce($"rank_sem", lit(0L)).as("rank_sem"),
+        coalesce($"rank_lex", lit(0L)).as("rank_lex"),
+        (coalesce(expr(s"$RrfNano div ($RrfK + rank_sem)"), lit(0L)) +
+          coalesce(expr(s"$RrfNano div ($RrfK + rank_lex)"), lit(0L)))
+          .as("rrf_nano"))
+    val fusedW = Window.partitionBy($"query_id")
+      .orderBy($"rrf_nano".desc, $"id")
+    fused.withColumn("rank_fused", row_number().over(fusedW).cast("long"))
+      .filter($"rank_fused" <= kOut)
+      .select($"query_id", $"rank_fused", $"id", $"rank_sem", $"rank_lex",
+        $"rrf_nano")
+      .orderBy($"query_id", $"rank_fused")
+  }
+
+  /** DuckDB oracle for [[rrfFusion]] — the identical two rankings and
+    * fusion arithmetic. `vecCtes`/shingle fragments are inlined here
+    * (not shared with SparkEntry's private CTE vals) so the fragment
+    * stays next to the algorithm it mirrors.
+    */
+  def rrfFusionSql(nQueries: Int = FusionQueries,
+      kPer: Int = FusionPerSource, kOut: Int = FusionOut): String = {
+    val h60t = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+    val h60g = "CAST(('0x' || substr(md5(array_to_string(l[i:i+2], ' ')), 1, 15)) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+       |  WHERE vec_id < $nQueries),
+       |semscored AS (SELECT query_id, a.vec_id AS id,
+       |    list_inner_product(qv, a.v) / qn / a.nrm AS cos
+       |  FROM n a JOIN q ON a.vec_id <> query_id),
+       |sem AS (SELECT query_id, id, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT)
+       |    AS rank_sem FROM semscored
+       |  QUALIFY rank_sem <= $kPer),
+       |d AS (SELECT doc_id, text, string_split(text, ' ') AS l
+       |  FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+       |sh AS (SELECT DISTINCT doc_id, unnest(ss) AS h FROM (
+       |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [$h60t]
+       |    ELSE list_transform(generate_series(1, len(l) - 2),
+       |           i -> $h60g) END AS ss FROM d)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |qsh AS (SELECT doc_id AS query_id, h FROM sh WHERE doc_id < $nQueries),
+       |qsz AS (SELECT doc_id AS query_id, sz AS qsz FROM sizes
+       |  WHERE doc_id < $nQueries),
+       |i AS (SELECT qsh.query_id, sh.doc_id, COUNT(*) AS inter
+       |  FROM sh JOIN qsh USING (h) WHERE sh.doc_id <> qsh.query_id
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT i.query_id, i.doc_id,
+       |    (inter * 1000000) // (sz + qsz - inter) AS jac_ppm
+       |  FROM i JOIN sizes ON i.doc_id = sizes.doc_id
+       |  JOIN qsz ON i.query_id = qsz.query_id),
+       |lex AS (SELECT query_id, doc_id AS id, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY jac_ppm DESC, doc_id) AS BIGINT)
+       |    AS rank_lex FROM jac
+       |  QUALIFY rank_lex <= $kPer),
+       |fused AS (SELECT
+       |    COALESCE(sem.query_id, lex.query_id) AS query_id,
+       |    COALESCE(sem.id, lex.id) AS id,
+       |    COALESCE(sem.rank_sem, 0) AS rank_sem,
+       |    COALESCE(lex.rank_lex, 0) AS rank_lex,
+       |    COALESCE($RrfNano // ($RrfK + sem.rank_sem), 0)
+       |      + COALESCE($RrfNano // ($RrfK + lex.rank_lex), 0) AS rrf_nano
+       |  FROM sem FULL OUTER JOIN lex
+       |    ON sem.query_id = lex.query_id AND sem.id = lex.id),
+       |out AS (SELECT query_id, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY rrf_nano DESC, id) AS BIGINT)
+       |    AS rank_fused, id, rank_sem, rank_lex, rrf_nano FROM fused)
+       |SELECT query_id, rank_fused, id, rank_sem, rank_lex, rrf_nano
+       |FROM out WHERE rank_fused <= $kOut
+       |ORDER BY query_id, rank_fused""".stripMargin
+  }
 }

@@ -231,4 +231,32 @@ class RetrievalSpec extends AnyFunSuite {
     val revs = rows.map(_.getAs[Double]("revenue"))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("rrf fusion: scores recompute from ranks, fused order is total") {
+    val rows = Retrieval.rrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0 until Retrieval.FusionQueries)
+      .map(_.toLong).toSet)
+    byQuery.foreach { case (_, qRows) =>
+      assert(qRows.length === Retrieval.FusionOut)
+      qRows.foreach { r =>
+        val (semR, lexR, rrf) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(semR > 0L || lexR > 0L, "fused item must come from a source")
+        val want =
+          (if (semR > 0L) Retrieval.RrfNano / (Retrieval.RrfK + semR) else 0L) +
+          (if (lexR > 0L) Retrieval.RrfNano / (Retrieval.RrfK + lexR) else 0L)
+        assert(rrf === want)
+      }
+      // rank_fused must order by (rrf desc, id)
+      val sorted = qRows.sortBy(r => (-r.getLong(5), r.getLong(2)))
+      assert(sorted.map(_.getLong(1)).sameElements(
+        (1 to Retrieval.FusionOut).map(_.toLong)))
+    }
+    // somewhere, the two modalities must actually fuse (an item present
+    // in BOTH source lists) — otherwise the operator degenerates to
+    // interleaving and the test corpus isn't exercising the overlap
+    assert(rows.exists(r => r.getLong(3) > 0L && r.getLong(4) > 0L),
+      "no fused item carried both a semantic and a lexical rank")
+  }
 }
