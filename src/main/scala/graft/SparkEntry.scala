@@ -244,6 +244,9 @@ object SparkEntry {
     "ks_drift" -> ((s, d) => Audit.ksDrift(s, d)),
     "score_lift_table" -> ((s, d) => Audit.scoreLiftTable(s, d)),
     "rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(s, d)),
+    "audio_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioFeatures(s, d)),
+    "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3036,5 +3039,30 @@ object SparkEntry {
     // integer reciprocal-rank; both rankings mirrored rank-for-rank
     "rrf_fusion" ->
       graft.operators.Retrieval.rrfFusionSql(),
+
+    // windowed DSP features recomputed from the sample FORMULA — a
+    // match proves the Spark side's javax.sound decode recovered the
+    // encoded PCM16 stream exactly (the audio_resample contract)
+    "audio_features" ->
+      s"""WITH a AS (SELECT doc_id AS media_id, 64 + (doc_id % 64) AS ns
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |s AS (SELECT media_id, ns, unnest(range(ns)) AS i FROM a),
+         |v AS (SELECT media_id, i // ${graft.multimodal.Multimodal.AudioWindow} AS w,
+         |    i % ${graft.multimodal.Multimodal.AudioWindow} AS j,
+         |    ((media_id * 7919 + i * 104729) % 65536) - 32768 AS v
+         |  FROM s WHERE i < (ns // ${graft.multimodal.Multimodal.AudioWindow}) * ${graft.multimodal.Multimodal.AudioWindow}),
+         |z AS (SELECT media_id, w, j, v,
+         |    LAG(v) OVER (PARTITION BY media_id, w ORDER BY j) AS pv FROM v)
+         |SELECT media_id, CAST(w AS BIGINT) AS w,
+         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+         |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+         |  CAST(SUM(v * v) AS BIGINT) AS ssq,
+         |  CAST(SUM(v * v) AS BIGINT) // ${graft.multimodal.Multimodal.AudioWindow} AS mean_sq
+         |FROM z GROUP BY media_id, w ORDER BY media_id, w""".stripMargin,
+
+    // wide->long melt: UNION ALL mirror of Dataset.unpivot
+    "unpivot_metrics" ->
+      graft.operators.Relational.unpivotMetricsSql(),
   )
 }

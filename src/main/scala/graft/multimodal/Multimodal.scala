@@ -448,6 +448,52 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Analysis window (samples) for [[audioFeatures]]; partial tail
+    * windows are dropped (the standard frame-based DSP convention).
+    */
+  val AudioWindow = 32
+
+  /** Windowed audio features over the REAL WAV decode — the
+    * signal-level profiling a speech/audio curation pipeline runs
+    * before any model sees the clip: per non-overlapping
+    * [[AudioWindow]]-sample frame, the zero-crossing count (voicing /
+    * noisiness proxy), peak amplitude (clipping detector), energy as
+    * the exact sum of squares, and its floor mean. Every emitted
+    * number is an integer — ssq ≤ 32·32768² ≪ 2⁶³ — so the driver
+    * hash-check is exact; the oracle reproduces the features from the
+    * deterministic sample formula alone, which proves the decode
+    * really recovered the encoded samples.
+    *
+    * Scale shape: one mapPartitions pass per clip (the codec leaf is
+    * imperative JVM work, the justified mapPartitions case); output is
+    * frames-per-clip rows, never the sample stream.
+    */
+  def audioFeatures(spark: SparkSession, dir: String,
+      window: Int = AudioWindow): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).filter($"kind" === "audio").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val (_, samples) = AudioCodec.decodePcm16(r.payload)
+        val nw = samples.length / window
+        (0 until nw).map { w =>
+          val frame = samples.slice(w * window, (w + 1) * window)
+          var zc = 0L; var peak = 0L; var ssq = 0L
+          var i = 0
+          while (i < frame.length) {
+            val s = frame(i)
+            if (i > 0 && ((s >= 0) != (frame(i - 1) >= 0))) zc += 1
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            ssq += s.toLong * s
+            i += 1
+          }
+          (r.media_id, w.toLong, zc, peak, ssq, ssq / window)
+        }
+      })
+      .toDF("media_id", "w", "zero_crossings", "peak", "ssq", "mean_sq")
+      .orderBy($"media_id", $"w")
+  }
+
   /** Driver query: media embeddings via the batched decode path over
     * ALL kinds — image rows from REAL decoded pixels, fallback kinds
     * from payload bytes. The typed [[decodeFeatures]] API keeps

@@ -1461,4 +1461,44 @@ object Relational {
           .as("loo_cents_floor"))
       .orderBy($"event_id")
   }
+
+  /** Wide → long UNPIVOT (melt) — the inverse of [[pivotEventCounts]],
+    * and the missing half of every reshape pair: a per-flag aggregate
+    * (sum_qty, sum_price, n_items in the exact decimal domain) is
+    * melted into (l_returnflag, metric, value) rows via Spark's native
+    * `Dataset.unpivot` (Expand under the hood — one pass, no join, row
+    * growth = #value columns). The count rides as a double exactly
+    * (n ≪ 2⁵³).
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(graft.Fx.dsum($"l_quantity").as("sum_qty"),
+        graft.Fx.dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+    wide.unpivot(
+        Array($"l_returnflag"),
+        Array($"sum_qty", $"sum_price", $"n_items"),
+        "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  /** [[unpivotMetrics]] oracle: the same aggregate, melted by UNION
+    * ALL (metric names must match Spark's unpivot, which uses the
+    * source column names).
+    */
+  def unpivotMetricsSql(): String =
+    s"""WITH w AS (SELECT l_returnflag,
+       |    ${graft.Fx.dsumSql("l_quantity")} AS sum_qty,
+       |    ${graft.Fx.dsumSql("l_extendedprice")} AS sum_price,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_items
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, metric, value FROM (
+       |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_price', sum_price FROM w
+       |  UNION ALL
+       |  SELECT l_returnflag, 'n_items', n_items FROM w)
+       |ORDER BY l_returnflag, metric""".stripMargin
 }

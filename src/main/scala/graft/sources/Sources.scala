@@ -172,10 +172,13 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(out)
-    val good = parsed.filter($"_corrupt_record".isNull)
+    // gate good rows on the typed key, NOT on _corrupt_record: corrupt
+    // rows parse all-null, and a caller-side count() prunes the plan
+    // down to the filter's columns — a corrupt-column filter would
+    // leave _corrupt_record as the ONLY referenced column, which the
+    // JSON reader rejects (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val good = parsed.filter($"event_id".isNotNull)
       .select($"event_id", $"user_id", $"value")
-    // count good rows via the typed key (corrupt rows parse all-null),
-    // so the count's pruned plan never references the corrupt column
     val nGood = parsed.select($"event_id")
       .filter($"event_id".isNotNull).count()
     val nCorrupt = spark.read.text(out).count() - nGood

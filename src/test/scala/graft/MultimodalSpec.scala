@@ -166,4 +166,26 @@ class MultimodalSpec extends AnyFunSuite {
       assert(g.forall(_._4 == g.length))
     }
   }
+
+  test("audio features: windowed zc/peak/ssq recompute from the sample formula") {
+    val rows = Multimodal.audioFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val W = Multimodal.AudioWindow
+    val byClip = rows.groupBy(_.getLong(0))
+    byClip.foreach { case (mediaId, frames) =>
+      val n = Multimodal.AudioCodec.nSamples(mediaId)
+      assert(frames.length === n / W, s"clip $mediaId frame count")
+      frames.foreach { r =>
+        val w = r.getLong(1).toInt
+        val s = (w * W until (w + 1) * W)
+          .map(Multimodal.AudioCodec.sample(mediaId, _))
+        val zc = s.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+        val ssq = s.map(x => x.toLong * x).sum
+        assert(r.getLong(2) === zc.toLong)
+        assert(r.getLong(3) === s.map(x => math.abs(x.toLong)).max)
+        assert(r.getLong(4) === ssq)
+        assert(r.getLong(5) === ssq / W)
+      }
+    }
+  }
 }

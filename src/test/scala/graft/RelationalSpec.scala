@@ -533,4 +533,27 @@ class RelationalSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
     dr.foreach { case (n, u, d) => assert(n === u + d && u > 0) }
   }
+
+  test("unpivot: melt emits one row per (flag, metric), values match direct aggregates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val long = Relational.unpivotMetrics(spark, sf).collect()
+    val flags = Tables.lineitem(spark, sf).select($"l_returnflag")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(long.length === flags.size * 3)
+    assert(long.map(_.getString(1)).toSet ===
+      Set("sum_qty", "sum_price", "n_items"))
+    val n = long.filter(_.getString(1) == "n_items").map(_.getDouble(2)).sum
+    assert(n === Tables.lineitem(spark, sf).count().toDouble)
+    // melt is lossless: pivoting back reproduces the wide aggregate
+    val back = Relational.unpivotMetrics(spark, sf)
+      .groupBy($"l_returnflag").pivot($"metric").agg(first($"value"))
+    val wide = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(graft.Fx.dsum($"l_quantity").as("sum_qty"),
+        graft.Fx.dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+    assert(back.select($"l_returnflag", $"n_items", $"sum_price", $"sum_qty")
+      .except(wide.select($"l_returnflag", $"n_items", $"sum_price", $"sum_qty"))
+      .isEmpty)
+  }
 }
