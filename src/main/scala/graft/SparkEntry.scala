@@ -247,6 +247,8 @@ object SparkEntry {
     "audio_features" -> ((s, d) =>
       graft.multimodal.Multimodal.audioFeatures(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
+    "link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
+    "crossval_folds" -> ((s, d) => Audit.crossvalFolds(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3064,5 +3066,14 @@ object SparkEntry {
     // wide->long melt: UNION ALL mirror of Dataset.unpivot
     "unpivot_metrics" ->
       graft.operators.Relational.unpivotMetricsSql(),
+
+    // common-neighbor Jaccard over the capped wedge space; integer ppm
+    "link_prediction" ->
+      graft.operators.Graph.linkPredictionSql(),
+
+    // k-fold CV of the train-mean predictor: exact floor means, exact
+    // BIGINT squared errors, sqrt/div correctly rounded in both engines
+    "crossval_folds" ->
+      graft.operators.Audit.crossvalFoldsSql(),
   )
 }

@@ -451,4 +451,71 @@ object Audit {
        |  ((n_pos * 1000000 // n) * 10000) // (npt * 1000000 // nt) AS lift_bp,
        |  (cum_pos * 1000000) // npt AS capture_ppm
        |FROM c ORDER BY bin""".stripMargin
+
+  /** Fold count for [[crossvalFolds]]. */
+  val CvFolds = 5
+
+  /** K-fold cross-validation harness — the eval-infrastructure piece
+    * under every model selection loop, shown on the simplest honest
+    * model (predict the train-fold mean): rows land in
+    * [[CvFolds]] folds by the salted hash gate (deterministic,
+    * rerun-identical, leakage-free by construction); each fold's
+    * held-out RMSE is evaluated against the complement's mean.
+    * Exactness: the train mean is an exact floor division in cents
+    * (the [[poissonBootstrap]] `mean_floor_cents` contract), squared
+    * errors are exact BIGINTs, and rmse = sqrt(Σsq/n) is two
+    * correctly-rounded IEEE ops over exact integers — bit-identical
+    * across engines.
+    *
+    * Scale shape: two passes — one partial-aggregatable fold
+    * aggregate (k rows, broadcast back), one squared-error fold
+    * aggregate. Leave-one-fold-out statistics come from the totals
+    * minus the fold's own, so no per-fold rescan of the corpus.
+    */
+  def crossvalFolds(spark: SparkSession, dir: String,
+      folds: Int = CvFolds): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("fold",
+        (graft.operators.Dedup.hash60(concat(lit("cv:"),
+          $"event_id".cast("string"))) % folds).cast("int"))
+    val perFold = ev.groupBy($"fold")
+      .agg(count(lit(1)).as("n_k"), sum($"cents").as("sum_k"))
+    val tot = perFold.agg(sum($"n_k").as("n"), sum($"sum_k").as("s"))
+    val means = perFold.crossJoin(broadcast(tot))
+      .select($"fold", ($"n" - $"n_k").as("n_train"), $"n_k".as("n_test"),
+        expr("(s - sum_k) div (n - n_k)").as("train_mean_cents_floor"))
+    ev.join(broadcast(means), Seq("fold"))
+      .withColumn("d", $"cents" - $"train_mean_cents_floor")
+      .groupBy($"fold", $"n_train", $"n_test", $"train_mean_cents_floor")
+      .agg(sum($"d" * $"d").as("ssq"))
+      .select($"fold", $"n_train", $"n_test", $"train_mean_cents_floor",
+        sqrt($"ssq".cast("double") / $"n_test".cast("double"))
+          .as("rmse_cents"))
+      .orderBy($"fold")
+  }
+
+  /** [[crossvalFolds]] oracle: identical gate, identical arithmetic. */
+  def crossvalFoldsSql(folds: Int = CvFolds): String = {
+    val h60 = "CAST(('0x' || substr(md5('cv:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""WITH ev AS (SELECT event_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    CAST($h60 % $folds AS INTEGER) AS fold
+       |  FROM events),
+       |pf AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_k,
+       |    CAST(SUM(cents) AS BIGINT) AS sum_k FROM ev GROUP BY fold),
+       |t AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+       |    CAST(SUM(sum_k) AS BIGINT) AS s FROM pf),
+       |m AS (SELECT fold, n - n_k AS n_train, n_k AS n_test,
+       |    (s - sum_k) // (n - n_k) AS train_mean_cents_floor FROM pf, t)
+       |SELECT m.fold, m.n_train, m.n_test, m.train_mean_cents_floor,
+       |  sqrt(CAST(SUM((cents - train_mean_cents_floor)
+       |      * (cents - train_mean_cents_floor)) AS DOUBLE)
+       |    / CAST(m.n_test AS DOUBLE)) AS rmse_cents
+       |FROM ev JOIN m USING (fold)
+       |GROUP BY m.fold, m.n_train, m.n_test, m.train_mean_cents_floor
+       |ORDER BY m.fold""".stripMargin
+  }
 }

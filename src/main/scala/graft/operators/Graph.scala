@@ -284,6 +284,150 @@ object Graph {
       .orderBy($"song_id")
   }
 
+  /** Per-node neighbor-list cap for [[linkPrediction]] wedge
+    * enumeration — the same hot-key bound as [[MaxItemsPerUser]], one
+    * level up the graph.
+    */
+  val LinkMaxDeg = 30
+  /** Emitted candidate count for [[linkPrediction]]. */
+  val LinkTopK = 50
+
+  /** Significance ratio for [[significantCoEdges]]: a pair is an edge
+    * iff co-raters ≥ (SigNum/SigDen)·min(raters_a, raters_b) — a
+    * RELATIVE gate, so the graph stays comparably sparse at every
+    * corpus size (an absolute co-count threshold saturates as data
+    * grows: every pair eventually crosses it and the graph completes,
+    * measured on this corpus at 10× — which is also why the plain
+    * [[coRatingEdges]] graph, near-complete by design, has no
+    * non-adjacent pairs for link prediction to rank).
+    */
+  val SigNum = 4L
+  val SigDen = 7L
+
+  /** SIGNIFICANT co-rating edges: the capped per-user pair space of
+    * [[coRatingEdgesOf]], kept only where the exact integer inequality
+    * SigDen·co ≥ SigNum·min(ua, ub) holds. Symmetric, distinct.
+    */
+  def significantCoEdges(spark: SparkSession, dir: String,
+      maxItemsPerUser: Int = MaxItemsPerUser): DataFrame = {
+    import spark.implicits._
+    val pos = Relational.ratings(spark, dir)
+      .select($"user_id", $"song_id").distinct()
+    val popularity = pos.groupBy($"song_id").agg(count(lit(1)).as("pop"))
+    val capped = pos.join(popularity, Seq("song_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"pop".desc, $"song_id")))
+      .filter($"rn" <= maxItemsPerUser)
+      .select($"user_id", $"song_id")
+      .cache()
+    val users = capped.groupBy($"song_id").agg(count(lit(1)).as("u"))
+    val co = capped.as("x").join(capped.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.song_id" < $"y.song_id")
+      .groupBy($"x.song_id".as("a"), $"y.song_id".as("b"))
+      .agg(count(lit(1)).as("co"))
+    val sig = co
+      .join(users.select($"song_id".as("a"), $"u".as("ua")), Seq("a"))
+      .join(users.select($"song_id".as("b"), $"u".as("ub")), Seq("b"))
+      .filter($"co" * SigDen >= lit(SigNum) * least($"ua", $"ub"))
+      .select($"a", $"b")
+    sig.select($"a".as("src"), $"b".as("dst"))
+      .union(sig.select($"b".as("src"), $"a".as("dst")))
+  }
+
+  /** Common-neighbor link prediction — "users who co-rated these also
+    * co-rated that": for non-adjacent song pairs (a, b) of the
+    * [[significantCoEdges]] graph, the Jaccard of their
+    * co-recommender sets, ranked. The completion-suggestion operator
+    * every graph store ships (and the classic LP baseline).
+    *
+    * Scale shape: wedges are enumerated per NODE over its CAPPED
+    * neighbor list (top-[[LinkMaxDeg]] by neighbor degree, ties by id
+    * — deterministic), so per-node work is O(cap²) no matter how
+    * dense the graph gets — the [[coRatingEdgesOf]] bound one level
+    * up. cn(a,b) therefore counts wedge CENTERS x with both a, b in
+    * cappedN(x); the denominators are the matching capped in-degrees,
+    * so the Jaccard is exact over the capped wedge space (the cap is
+    * the operator's contract, mirrored in the oracle — not a silent
+    * approximation). Direct edges are anti-joined out; ranking is an
+    * integer ppm (no float decides order); top-k is a distributed
+    * TakeOrderedAndProject.
+    */
+  def linkPrediction(spark: SparkSession, dir: String,
+      k: Int = LinkTopK, maxDeg: Int = LinkMaxDeg): DataFrame =
+    linkPredictionOf(significantCoEdges(spark, dir), k, maxDeg)
+
+  /** [[linkPrediction]] over any symmetric (src, dst) edge relation. */
+  def linkPredictionOf(edges: DataFrame, k: Int = LinkTopK,
+      maxDeg: Int = LinkMaxDeg): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val adj = edges
+      .join(deg.select($"src".as("dst"), $"deg".as("dst_deg")), Seq("dst"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"dst_deg".desc, $"dst")))
+      .filter($"rn" <= maxDeg)
+      .select($"src", $"dst")
+      .cache()
+    // capped in-degree: how many centers list this song
+    val indeg = adj.groupBy($"dst").agg(count(lit(1)).as("ideg"))
+    val cn = adj.as("l").join(adj.as("r"),
+        col("l.src") === col("r.src") && col("l.dst") < col("r.dst"))
+      .groupBy(col("l.dst").as("a"), col("r.dst").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val scored = cn
+      .join(indeg.select($"dst".as("a"), $"ideg".as("da")), Seq("a"))
+      .join(indeg.select($"dst".as("b"), $"ideg".as("db")), Seq("b"))
+      .join(edges.select($"src".as("a"), $"dst".as("b")),
+        Seq("a", "b"), "left_anti")
+      .select($"a", $"b", $"cn",
+        expr("(cn * 1000000) div (da + db - cn)").as("jaccard_ppm"))
+    scored.orderBy($"jaccard_ppm".desc, $"a", $"b").limit(k)
+  }
+
+  /** DuckDB mirror of [[linkPrediction]]: significant edges, capped
+    * adjacency, wedge-center enumeration, anti-join, identical ppm.
+    */
+  def linkPredictionSql(k: Int = LinkTopK, maxDeg: Int = LinkMaxDeg,
+      maxItemsPerUser: Int = MaxItemsPerUser): String =
+    s"""WITH pos0 AS (SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS song_id
+       |  FROM events),
+       |popc AS (SELECT song_id, COUNT(*) AS pop FROM pos0 GROUP BY song_id),
+       |pos AS (SELECT user_id, song_id FROM (
+       |    SELECT p.user_id, p.song_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.user_id ORDER BY c.pop DESC, p.song_id) AS rn
+       |    FROM pos0 p JOIN popc c USING (song_id))
+       |  WHERE rn <= $maxItemsPerUser),
+       |su AS (SELECT song_id, COUNT(*) AS u FROM pos GROUP BY song_id),
+       |co AS (SELECT x.song_id AS a, y.song_id AS b, COUNT(*) AS co
+       |  FROM pos x JOIN pos y ON x.user_id = y.user_id
+       |    AND x.song_id < y.song_id GROUP BY 1, 2),
+       |sig AS (SELECT a, b FROM co
+       |  JOIN su ua ON co.a = ua.song_id
+       |  JOIN su ub ON co.b = ub.song_id
+       |  WHERE co.co * $SigDen >= $SigNum * LEAST(ua.u, ub.u)),
+       |e AS (SELECT a AS src, b AS dst FROM sig
+       |  UNION ALL SELECT b AS src, a AS dst FROM sig),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |adj AS (SELECT src, dst FROM (
+       |    SELECT e.src, e.dst, ROW_NUMBER() OVER (
+       |        PARTITION BY e.src ORDER BY d.deg DESC, e.dst) AS rn
+       |    FROM e JOIN deg d ON e.dst = d.src)
+       |  WHERE rn <= $maxDeg),
+       |indeg AS (SELECT dst, COUNT(*) AS ideg FROM adj GROUP BY dst),
+       |cn AS (SELECT l.dst AS a, r.dst AS b, COUNT(*) AS cn
+       |  FROM adj l JOIN adj r ON l.src = r.src AND l.dst < r.dst
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT cn.a, cn.b, cn.cn,
+       |    (cn.cn * 1000000) // (da.ideg + db.ideg - cn.cn) AS jaccard_ppm
+       |  FROM cn JOIN indeg da ON cn.a = da.dst
+       |  JOIN indeg db ON cn.b = db.dst
+       |  WHERE NOT EXISTS (SELECT 1 FROM e
+       |    WHERE e.src = cn.a AND e.dst = cn.b))
+       |SELECT a, b, cn, jaccard_ppm FROM scored
+       |ORDER BY jaccard_ppm DESC, a, b LIMIT $k""".stripMargin
+
   /** DuckDB mirror of [[triangleCounts]]: same capped edge CTEs as
     * [[pagerankSql]], same oriented wedge-close enumeration.
     */

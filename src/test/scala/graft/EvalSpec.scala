@@ -185,4 +185,28 @@ class EvalSpec extends AnyFunSuite {
       assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(1))
     }
   }
+
+  test("crossval folds: folds partition the corpus, rmse recomputes in-memory") {
+    import spark.implicits._
+    val rows = Audit.crossvalFolds(spark, sf).collect()
+    assert(rows.length === Audit.CvFolds)
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === n)
+    rows.foreach(r => assert(r.getLong(1) + r.getLong(2) === n))
+    // recompute fold 0's held-out rmse from the raw cents
+    val cents = Tables.events(spark, sf)
+      .select($"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (graft.operators.Dedup.hash60Local(
+        s"cv:${r.getLong(0)}") % Audit.CvFolds, r.getLong(1)))
+    val f0 = cents.filter(_._1 == 0L).map(_._2)
+    val rest = cents.filter(_._1 != 0L).map(_._2)
+    val mean = rest.sum / rest.length
+    val wantRmse = math.sqrt(
+      f0.map(c => (c - mean) * (c - mean)).sum.toDouble / f0.length)
+    val r0 = rows.find(_.getInt(0) == 0).get
+    assert(r0.getLong(3) === mean)
+    assert(r0.getDouble(4) === wantRmse)
+  }
 }

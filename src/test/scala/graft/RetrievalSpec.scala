@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Relational, Retrieval}
+import graft.operators.{Graph, Relational, Retrieval}
 
 /** BM25 retrieval, event funnel, and the Q3-shaped headline join. */
 class RetrievalSpec extends AnyFunSuite {
@@ -258,5 +258,28 @@ class RetrievalSpec extends AnyFunSuite {
     // interleaving and the test corpus isn't exercising the overlap
     assert(rows.exists(r => r.getLong(3) > 0L && r.getLong(4) > 0L),
       "no fused item carried both a semantic and a lexical rank")
+  }
+
+  test("link prediction: path fixture closes the open wedge; corpus " +
+    "predictions are non-edges") {
+    import spark.implicits._
+    // path 1-2-3: the only non-adjacent pair is (1,3), closed via
+    // center 2 with Jaccard 1/1 (capped in-degrees: 1 each, cn 1)
+    val edges = Seq((1, 2), (2, 1), (2, 3), (3, 2)).toDF("src", "dst")
+    val got = Graph.linkPredictionOf(edges).collect()
+    assert(got.length === 1)
+    assert(got.head.getInt(0) === 1 && got.head.getInt(1) === 3)
+    assert(got.head.getLong(2) === 1L)
+    assert(got.head.getLong(3) === 1000000L)
+    // corpus: exercised (non-empty), and no prediction is an edge
+    val corpus = Graph.linkPrediction(spark, sf).collect()
+    assert(corpus.nonEmpty, "link prediction must be exercised at sf0.001")
+    val edgeSet = Graph.significantCoEdges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    corpus.foreach { r =>
+      assert(!edgeSet.contains((r.getInt(0), r.getInt(1))),
+        "predicted pair is already an edge")
+      assert(r.getLong(3) <= 1000000L)
+    }
   }
 }
