@@ -249,6 +249,7 @@ object SparkEntry {
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     "link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
     "crossval_folds" -> ((s, d) => Audit.crossvalFolds(s, d)),
+    "bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3075,5 +3076,10 @@ object SparkEntry {
     // BIGINT squared errors, sqrt/div correctly rounded in both engines
     "crossval_folds" ->
       graft.operators.Audit.crossvalFoldsSql(),
+
+    // BPE training: identical unrolled census -> argmax -> rewrite
+    // rounds; the merge table is the checked artifact
+    "bpe_merges" ->
+      graft.operators.TextOps.bpeMergesSql(),
   )
 }

@@ -1015,4 +1015,106 @@ object TextOps {
         ($"sum_bits".cast("double") / $"n_tokens").as("mean_bits"))
       .orderBy($"doc_id")
   }
+
+  /** Merge rounds learned by [[bpeMerges]]. */
+  val BpeRounds = 4
+
+  /** Symbol boundary sentinel (U+0001) for the BPE rewrite. Every
+    * symbol is stored WRAPPED -- `<a><b>` with <> = the sentinel -- so
+    * the merge pattern `<l><r>` can only match at symbol STARTS: with
+    * a bare space separator, merging (a, b) would also corrupt
+    * `aa b` (its tail `a b` is a substring match across the symbol
+    * boundary -- measured, not hypothetical). Adjacent matches share
+    * no characters, so leftmost non-overlapping `replace` is exactly
+    * the standard greedy BPE scan in both engines. The sentinel cannot
+    * appear in corpus text (the tokenizer splits on space; the JSON
+    * transport escapes control chars).
+    */
+  val BpeSep = "\u0001"
+
+  /** Distributed BPE tokenizer training — the vocabulary-induction
+    * job a 100 TB text pipeline runs before anything else tokenizes:
+    * the classic byte-pair-encoding loop (Sennrich et al., public
+    * algorithm) over the word-frequency table. Each round counts
+    * adjacent symbol pairs weighted by word frequency, merges the
+    * globally most frequent pair (ties: lexicographic — total and
+    * engine-identical for this ASCII corpus), and rewrites the symbol
+    * strings. Emitted: the learned merge table, one row per round —
+    * the artifact a tokenizer ships.
+    *
+    * Scale shape per round: the pair census is ONE partial-aggregatable
+    * (l, r) shuffle over the word TABLE (already collapsed to unique
+    * words × freq — corpus text is read once, ever); the argmax is a
+    * 1-row TakeOrdered broadcast back; the rewrite is a projection.
+    * Rounds compose as plan operators — no driver-side loop state, no
+    * action until the single final collect of [[BpeRounds]] rows.
+    * `replace` merges occurrences leftmost-first without overlap in
+    * both engines (the standard greedy BPE scan).
+    */
+  def bpeMerges(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds): DataFrame =
+    bpeMergesOf(Tables.widened(spark, Tables.documents(spark, dir)), rounds)
+
+  /** [[bpeMerges]] over any (text) relation. */
+  def bpeMergesOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextFns.tokens($"text")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    // initial symbolization: every character sentinel-WRAPPED
+    var sym = words.select(
+      regexp_replace($"word", "(.)", BpeSep + "$1" + BpeSep).as("sym"),
+      $"freq")
+    val merges = (1 to rounds).map { round =>
+      val pairs = sym
+        .select(split($"sym", BpeSep).as("ls0"), $"freq")
+        .select(expr("filter(ls0, x -> x != '')").as("ls"), $"freq")
+        .filter(size($"ls") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ls) - 1), " +
+            "i -> struct(ls[i-1] AS l, ls[i] AS r))")).as("p"), $"freq")
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("c"))
+      val top = pairs.orderBy($"c".desc, $"l", $"r").limit(1)
+      sym = sym.crossJoin(broadcast(top))
+        .withColumn("pat", concat(lit(BpeSep), $"l", lit(BpeSep),
+          lit(BpeSep), $"r", lit(BpeSep)))
+        .withColumn("rep", concat(lit(BpeSep), $"l", $"r", lit(BpeSep)))
+        .select(expr("replace(sym, pat, rep)").as("sym"), $"freq")
+      top.select(lit(round).as("round"), $"l", $"r", $"c")
+    }
+    merges.reduce(_.unionByName(_)).orderBy($"round")
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]: the identical unrolled rounds
+    * (the raw U+0001 sentinel rides inside the SQL literals; the
+    * Verify JSON dump escapes control characters in transport).
+    */
+  def bpeMergesSql(rounds: Int = BpeRounds): String = {
+    val S = BpeSep
+    val roundCtes = (1 to rounds).map { i =>
+      s"""q$i AS (SELECT list_filter(string_split(sym, '$S'),
+         |    x -> x <> '') AS ls, freq FROM s${i - 1}),
+         |p$i AS (SELECT ls[i] AS l, ls[i + 1] AS r,
+         |    CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM q$i, UNNEST(generate_series(1, len(ls) - 1)) AS t(i)
+         |  WHERE len(ls) >= 2 GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |s$i AS (SELECT replace(sym, '$S' || l || '$S$S' || r || '$S',
+         |    '$S' || l || r || '$S') AS sym, freq
+         |  FROM s${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(i =>
+      s"SELECT $i AS round, l, r, c FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |s0 AS (SELECT regexp_replace(word, '(.)', '$S\\1$S', 'g') AS sym,
+       |    freq FROM w),
+       |$roundCtes
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -447,4 +447,25 @@ class TextFnsSpec extends AnyFunSuite {
     missing.foreach(r =>
       assert(r.getDouble(2) == medians(r.getString(1))))
   }
+
+  test("bpe merges: textbook evolution on a hand-traced fixture, rerun identical") {
+    import spark.implicits._
+    // freq: aaab x3, aab x2, ab x1 — hand trace:
+    //   r1: (a,a)=8  -> 'a a a b'->'aa a b', 'a a b'->'aa b'
+    //   r2: (a,b)=4  -> 'aa a b'->'aa ab',  'a b'->'ab'
+    //   r3: (aa,ab)=3 -> 'aa ab'->'aaab'
+    //   r4: (aa,b)=2
+    val docs = Seq("aaab aaab aab ab", "aaab aab").toDF("text")
+    val got = TextOps.bpeMergesOf(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "a", "a", 8L), (2, "a", "b", 4L),
+      (3, "aa", "ab", 3L), (4, "aa", "b", 2L)))
+    // corpus: 4 rounds, weights non-increasing is NOT guaranteed by BPE
+    // in general, but rerun determinism is the contract
+    val c1 = TextOps.bpeMerges(spark, sf).collect().toSeq
+    val c2 = TextOps.bpeMerges(spark, sf).collect().toSeq
+    assert(c1 === c2)
+    assert(c1.length === TextOps.BpeRounds)
+  }
 }
