@@ -250,6 +250,8 @@ object SparkEntry {
     "link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
     "crossval_folds" -> ((s, d) => Audit.crossvalFolds(s, d)),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(s, d)),
+    "rec_coverage" -> ((s, d) => Graph.recCoverage(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3081,5 +3083,14 @@ object SparkEntry {
     // rounds; the merge table is the checked artifact
     "bpe_merges" ->
       graft.operators.TextOps.bpeMergesSql(),
+
+    // BPE apply: learned vocabulary joined onto per-doc word counts;
+    // fertility ppm is one integer division
+    "bpe_tokenize" ->
+      graft.operators.TextOps.bpeTokenizeSql(),
+
+    // catalog coverage + slot concentration of the item-item rec lists
+    "rec_coverage" ->
+      graft.operators.Graph.recCoverageSql(),
   )
 }

@@ -525,6 +525,66 @@ object Graph {
       .orderBy($"item", $"rank")
   }
 
+  /** Head size for [[recCoverage]]'s concentration share. */
+  val CoverageTopN = 10
+
+  /** Recommendation coverage & concentration audit — the dataset-card
+    * numbers a recommender team watches next to accuracy: how much of
+    * the catalog ever appears in a top-k list (coverage), and how
+    * concentrated the recommendation SLOTS are on the most-recommended
+    * items (the popularity-bias check). Computed over the
+    * [[itemSimilarityTopK]] lists; every emitted number is an exact
+    * integer (counts and two ppm divisions).
+    *
+    * Scale shape: one (item)-keyed count of the k·catalog-sized rec
+    * relation, one distinct over ratings for the catalog, one
+    * TakeOrdered head for the top-N share — no per-user state, no
+    * full-list sort.
+    */
+  def recCoverage(spark: SparkSession, dir: String, k: Int = 5,
+      topN: Int = CoverageTopN): DataFrame = {
+    import spark.implicits._
+    val recs = itemSimilarityTopK(spark, dir, k)
+    val slots = recs.groupBy($"other").agg(count(lit(1)).as("slots"))
+    val tot = slots.agg(count(lit(1)).as("n_recommended"),
+      sum($"slots").as("total_slots"))
+    val top = slots.orderBy($"slots".desc, $"other").limit(topN)
+      .agg(sum($"slots").as("top_slots"))
+    val cat = Relational.ratings(spark, dir)
+      .filter($"song_id".isNotNull).select($"song_id").distinct()
+      .agg(count(lit(1)).as("catalog_size"))
+    cat.crossJoin(tot).crossJoin(top)
+      .select($"catalog_size", $"n_recommended",
+        expr("(n_recommended * 1000000) div catalog_size")
+          .as("coverage_ppm"),
+        $"total_slots",
+        expr("(top_slots * 1000000) div total_slots")
+          .as(s"top${topN}_share_ppm"))
+  }
+
+  /** [[recCoverage]] oracle: [[itemSimilaritySql]] wrapped as the rec
+    * relation, identical aggregates.
+    */
+  def recCoverageSql(k: Int = 5, topN: Int = CoverageTopN): String =
+    s"""WITH recs AS (SELECT * FROM (${itemSimilaritySql(k)}) t),
+       |slots AS (SELECT other, CAST(COUNT(*) AS BIGINT) AS slots
+       |  FROM recs GROUP BY other),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recommended,
+       |    CAST(SUM(slots) AS BIGINT) AS total_slots FROM slots),
+       |top AS (SELECT CAST(SUM(slots) AS BIGINT) AS top_slots FROM (
+       |    SELECT slots FROM slots ORDER BY slots DESC, other
+       |    LIMIT $topN) h),
+       |cat AS (SELECT CAST(COUNT(DISTINCT song_id) AS BIGINT)
+       |    AS catalog_size FROM (
+       |    SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER)
+       |      AS song_id FROM events)
+       |  WHERE song_id IS NOT NULL)
+       |SELECT catalog_size, n_recommended,
+       |  (n_recommended * 1000000) // catalog_size AS coverage_ppm,
+       |  total_slots,
+       |  (top_slots * 1000000) // total_slots AS top${topN}_share_ppm
+       |FROM cat, tot, top""".stripMargin
+
   /** User-user collaborative similarity — the memory-based CF member
     * the item-item operator mirrors, via the SAME machinery TRANSPOSED:
     * feeding [[itemSimilarityTopKOf]] the (song, user) relation makes

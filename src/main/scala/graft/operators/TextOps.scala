@@ -1056,7 +1056,16 @@ object TextOps {
     bpeMergesOf(Tables.widened(spark, Tables.documents(spark, dir)), rounds)
 
   /** [[bpeMerges]] over any (text) relation. */
-  def bpeMergesOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+  def bpeMergesOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    bpeStateOf(docs, rounds)._1
+
+  /** The shared training loop: returns (merge table, final word→symbol
+    * vocabulary). The vocabulary frame is what [[bpeTokenizeOf]]
+    * applies — tokenization cost scales with the VOCABULARY, never the
+    * corpus (the corpus is only word-counted).
+    */
+  private[graft] def bpeStateOf(docs: DataFrame,
+      rounds: Int = BpeRounds): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
@@ -1064,7 +1073,7 @@ object TextOps {
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("freq"))
     // initial symbolization: every character sentinel-WRAPPED
-    var sym = words.select(
+    var sym = words.select($"word",
       regexp_replace($"word", "(.)", BpeSep + "$1" + BpeSep).as("sym"),
       $"freq")
     val merges = (1 to rounds).map { round =>
@@ -1082,17 +1091,57 @@ object TextOps {
         .withColumn("pat", concat(lit(BpeSep), $"l", lit(BpeSep),
           lit(BpeSep), $"r", lit(BpeSep)))
         .withColumn("rep", concat(lit(BpeSep), $"l", $"r", lit(BpeSep)))
-        .select(expr("replace(sym, pat, rep)").as("sym"), $"freq")
+        .select($"word", expr("replace(sym, pat, rep)").as("sym"), $"freq")
       top.select(lit(round).as("round"), $"l", $"r", $"c")
     }
-    merges.reduce(_.unionByName(_)).orderBy($"round")
+    (merges.reduce(_.unionByName(_)).orderBy($"round"), sym)
   }
 
-  /** DuckDB oracle for [[bpeMerges]]: the identical unrolled rounds
-    * (the raw U+0001 sentinel rides inside the SQL literals; the
-    * Verify JSON dump escapes control characters in transport).
+  /** BPE APPLY — the training pair's other half: tokenize every
+    * document with the merges [[bpeMerges]] just learned, reporting
+    * per-doc char count, whitespace word count, BPE token count and
+    * the compression in ppm (tokens·10⁶ div chars — the fertility
+    * number a tokenizer card reports).
+    *
+    * Scale shape: the learned vocabulary (word → final symbol string)
+    * is joined onto the per-doc WORD COUNTS — the rewrite chain runs
+    * once per unique word, never per occurrence; the per-doc fold is
+    * one integer shuffle keyed by doc_id.
     */
-  def bpeMergesSql(rounds: Int = BpeRounds): String = {
+  def bpeTokenize(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds): DataFrame =
+    bpeTokenizeOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      rounds)
+
+  /** [[bpeTokenize]] over any (doc_id, text) relation. */
+  def bpeTokenizeOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = bpeStateOf(docs, rounds)._2
+      .select($"word",
+        size(expr(s"filter(split(sym, '${BpeSep}'), x -> x != '')"))
+          .cast("long").as("n_sym"))
+    val docWords = docs
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+    docWords.join(vocab, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_words"),
+        sum($"cnt" * length($"word")).as("n_chars"),
+        sum($"cnt" * $"n_sym").as("n_tokens_bpe"))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_tokens_bpe",
+        expr("(n_tokens_bpe * 1000000) div n_chars").as("compression_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared training CTE chain for the BPE oracles: w → s0 → (qᵢ, pᵢ,
+    * mᵢ, sᵢ)×rounds, with `word` carried through every sᵢ so the apply
+    * oracle can join the final vocabulary back to documents. (The raw
+    * U+0001 sentinel rides inside the SQL literals; the Verify JSON
+    * dump escapes control characters in transport.)
+    */
+  private def bpeCtes(rounds: Int): String = {
     val S = BpeSep
     val roundCtes = (1 to rounds).map { i =>
       s"""q$i AS (SELECT list_filter(string_split(sym, '$S'),
@@ -1102,19 +1151,46 @@ object TextOps {
          |  FROM q$i, UNNEST(generate_series(1, len(ls) - 1)) AS t(i)
          |  WHERE len(ls) >= 2 GROUP BY 1, 2),
          |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-         |s$i AS (SELECT replace(sym, '$S' || l || '$S$S' || r || '$S',
+         |s$i AS (SELECT word, replace(sym, '$S' || l || '$S$S' || r || '$S',
          |    '$S' || l || r || '$S') AS sym, freq
          |  FROM s${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map(i =>
-      s"SELECT $i AS round, l, r, c FROM m$i").mkString("\nUNION ALL\n")
-    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE len(word) > 0 GROUP BY word),
-       |s0 AS (SELECT regexp_replace(word, '(.)', '$S\\1$S', 'g') AS sym,
+       |s0 AS (SELECT word,
+       |    regexp_replace(word, '(.)', '$S\\1$S', 'g') AS sym,
        |    freq FROM w),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]: the identical unrolled rounds. */
+  def bpeMergesSql(rounds: Int = BpeRounds): String = {
+    val out = (1 to rounds).map(i =>
+      s"SELECT $i AS round, l, r, c FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(rounds)}
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeTokenize]]: the same training chain, final
+    * vocabulary joined onto per-doc word counts.
+    */
+  def bpeTokenizeSql(rounds: Int = BpeRounds): String = {
+    val S = BpeSep
+    s"""WITH ${bpeCtes(rounds)},
+       |tok AS (SELECT word, CAST(len(list_filter(string_split(sym, '$S'),
+       |    x -> x <> '')) AS BIGINT) AS n_sym FROM s$rounds),
+       |dw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(cnt * n_sym) AS BIGINT) AS n_tokens_bpe,
+       |  (CAST(SUM(cnt * n_sym) AS BIGINT) * 1000000)
+       |    // CAST(SUM(cnt * len(word)) AS BIGINT) AS compression_ppm
+       |FROM dw JOIN tok USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

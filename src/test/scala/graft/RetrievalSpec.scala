@@ -282,4 +282,19 @@ class RetrievalSpec extends AnyFunSuite {
       assert(r.getLong(3) <= 1000000L)
     }
   }
+
+  test("rec coverage: counts reconcile against the underlying rec lists") {
+    import spark.implicits._
+    val row = Graph.recCoverage(spark, sf).collect().head
+    val (cat, nRec, covPpm, slots, sharePpm) = (row.getLong(0),
+      row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    val recs = Graph.itemSimilarityTopK(spark, sf).collect()
+    assert(slots === recs.length.toLong)
+    val byOther = recs.groupBy(_.get(2)).view.mapValues(_.length).toMap
+    assert(nRec === byOther.size.toLong)
+    assert(covPpm === nRec * 1000000L / cat && covPpm <= 1000000L)
+    val topSlots = byOther.values.toSeq.sorted.reverse
+      .take(Graph.CoverageTopN).map(_.toLong).sum
+    assert(sharePpm === topSlots * 1000000L / slots)
+  }
 }

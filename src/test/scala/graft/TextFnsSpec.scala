@@ -468,4 +468,25 @@ class TextFnsSpec extends AnyFunSuite {
     assert(c1 === c2)
     assert(c1.length === TextOps.BpeRounds)
   }
+
+  test("bpe tokenize: fixture fertility by hand; corpus tokens bounded by chars and words") {
+    import spark.implicits._
+    // after the 4 traced merges the vocab is aaab->1, aab->1, ab->1 sym
+    val docs = Seq((0L, "aaab aaab aab ab"), (1L, "aaab aab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTokenizeOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got(0L) === ((4L, 13L, 4L, 4L * 1000000L / 13L)))
+    assert(got(1L) === ((2L, 7L, 2L, 2L * 1000000L / 7L)))
+    val corpus = TextOps.bpeTokenize(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (nw, nc, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt <= nc, "a token never has less than one char")
+      assert(nt >= nw, "a word is at least one token")
+    }
+    // the learned merges must actually compress somewhere
+    assert(corpus.exists(r => r.getLong(3) < r.getLong(2)))
+  }
 }
