@@ -252,6 +252,7 @@ object SparkEntry {
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(s, d)),
     "rec_coverage" -> ((s, d) => Graph.recCoverage(s, d)),
+    "gate_agreement" -> ((s, d) => TextOps.gateAgreement(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3092,5 +3093,11 @@ object SparkEntry {
     // catalog coverage + slot concentration of the item-item rec lists
     "rec_coverage" ->
       graft.operators.Graph.recCoverageSql(),
+
+    // Cohen's kappa between the Gopher bundle and the weighted quality
+    // gate: integer confusion cells, one double division for kappa
+    "gate_agreement" ->
+      graft.operators.TextOps.gateAgreementSql(
+        inList(graft.functions.TextFns.stopwordProfiles("en"))),
   )
 }

@@ -1135,6 +1135,89 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Inter-gate agreement audit — Cohen's kappa between two
+    * INDEPENDENT quality gates (the Gopher rule bundle vs the weighted
+    * quality score at the corpus-clean threshold): the
+    * annotator-agreement number a dataset card reports when two
+    * labeling policies disagree. Everything up to the final kappa is
+    * an exact BIGINT: the confusion cells are counts,
+    * agreement ppm is one integer division, and kappa — which can be
+    * negative, where Spark's `div` (truncate) and DuckDB's `//`
+    * (floor) would diverge — is ONE double division of the exact
+    * integers n·(a+d) − E over n² − E (E the chance-agreement
+    * numerator), the AUC contract. One joined pass, one single-row
+    * aggregate.
+    */
+  def gateAgreement(spark: SparkSession, dir: String,
+      minQuality: Double = 0.41): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.widened(spark, Tables.documents(spark, dir))
+    val g = gopherQualityFilterOf(docs)
+      .select($"doc_id", $"keep".as("g_keep"))
+    val q = docs.select($"doc_id",
+      (TextFns.qualityScore($"text") >= minQuality).as("q_keep"))
+    g.join(q, Seq("doc_id"))
+      .agg(
+        sum(when($"g_keep" && $"q_keep", 1L).otherwise(0L)).as("both_keep"),
+        sum(when($"g_keep" && !$"q_keep", 1L).otherwise(0L)).as("gopher_only"),
+        sum(when(!$"g_keep" && $"q_keep", 1L).otherwise(0L)).as("quality_only"),
+        sum(when(!$"g_keep" && !$"q_keep", 1L).otherwise(0L)).as("both_drop"))
+      .withColumn("n", $"both_keep" + $"gopher_only" + $"quality_only" +
+        $"both_drop")
+      .withColumn("e", ($"both_keep" + $"gopher_only") *
+        ($"both_keep" + $"quality_only") +
+        ($"quality_only" + $"both_drop") * ($"gopher_only" + $"both_drop"))
+      .select($"both_keep", $"gopher_only", $"quality_only", $"both_drop",
+        $"n",
+        expr("((both_keep + both_drop) * 1000000) div n").as("agree_ppm"),
+        ((($"n" * ($"both_keep" + $"both_drop")) - $"e").cast("double") /
+          (($"n" * $"n") - $"e").cast("double")).as("kappa"))
+  }
+
+  /** [[gateAgreement]] oracle: both gates' published SQL forms joined,
+    * identical confusion/kappa arithmetic.
+    */
+  def gateAgreementSql(stopwordsIn: String,
+      minQuality: Double = 0.41): String =
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS l
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+       |    CAST(list_sum(list_transform(l, x -> len(x))) AS BIGINT) AS chars,
+       |    CAST(len(list_distinct(l)) AS BIGINT) AS nd,
+       |    CAST(list_max(list_transform(list_distinct(l),
+       |      d -> len(list_filter(l, x -> x = d)))) AS BIGINT) AS topc,
+       |    CAST(len(list_filter(list_distinct(l),
+       |      x -> x IN $stopwordsIn)) AS BIGINT) AS dstops
+       |  FROM w),
+       |g AS (SELECT doc_id,
+       |    ((n >= 20 AND n <= 80)
+       |      AND (chars * 10 >= n * 38 AND chars * 10 <= n * 50)
+       |      AND (topc * 5 <= n) AND (nd * 10 >= n * 3)
+       |      AND (dstops >= 2)) AS g_keep FROM s),
+       |q AS (SELECT doc_id,
+       |    (LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+       |     + CAST(len(list_distinct(l)) AS DOUBLE)
+       |       / CAST(len(l) AS DOUBLE) * 0.5
+       |     + CAST(len(list_filter(l, x -> x IN $stopwordsIn)) AS DOUBLE)
+       |       / CAST(len(l) AS DOUBLE) * 0.25) >= $minQuality AS q_keep
+       |  FROM w),
+       |cm AS (SELECT
+       |    CAST(SUM(CASE WHEN g_keep AND q_keep THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+       |    CAST(SUM(CASE WHEN g_keep AND NOT q_keep THEN 1 ELSE 0 END) AS BIGINT) AS gopher_only,
+       |    CAST(SUM(CASE WHEN NOT g_keep AND q_keep THEN 1 ELSE 0 END) AS BIGINT) AS quality_only,
+       |    CAST(SUM(CASE WHEN NOT g_keep AND NOT q_keep THEN 1 ELSE 0 END) AS BIGINT) AS both_drop
+       |  FROM g JOIN q USING (doc_id)),
+       |x AS (SELECT *,
+       |    both_keep + gopher_only + quality_only + both_drop AS n,
+       |    (both_keep + gopher_only) * (both_keep + quality_only)
+       |      + (quality_only + both_drop) * (gopher_only + both_drop) AS e
+       |  FROM cm)
+       |SELECT both_keep, gopher_only, quality_only, both_drop, n,
+       |  ((both_keep + both_drop) * 1000000) // n AS agree_ppm,
+       |  CAST(n * (both_keep + both_drop) - e AS DOUBLE)
+       |    / CAST(n * n - e AS DOUBLE) AS kappa
+       |FROM x""".stripMargin
+
   /** Shared training CTE chain for the BPE oracles: w → s0 → (qᵢ, pᵢ,
     * mᵢ, sᵢ)×rounds, with `word` carried through every sᵢ so the apply
     * oracle can join the final vocabulary back to documents. (The raw

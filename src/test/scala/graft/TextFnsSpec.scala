@@ -489,4 +489,20 @@ class TextFnsSpec extends AnyFunSuite {
     // the learned merges must actually compress somewhere
     assert(corpus.exists(r => r.getLong(3) < r.getLong(2)))
   }
+
+  test("gate agreement: confusion cells reconcile, kappa recomputes, both gates fire") {
+    val row = TextOps.gateAgreement(spark, sf).collect().head
+    val (a, b, c, d, n) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4))
+    assert(a + b + c + d === n)
+    assert(n === Tables.documents(spark, sf).count())
+    // both gates must disagree somewhere AND agree somewhere, or the
+    // audit is degenerate
+    assert(a + d > 0L && b + c > 0L)
+    assert(row.getLong(5) === (a + d) * 1000000L / n)
+    val e = (a + b) * (a + c) + (c + d) * (b + d)
+    val wantKappa = (n * (a + d) - e).toDouble / (n * n - e).toDouble
+    assert(row.getDouble(6) === wantKappa)
+    assert(row.getDouble(6) > -1.0 && row.getDouble(6) < 1.0)
+  }
 }
