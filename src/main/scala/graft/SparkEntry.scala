@@ -253,6 +253,7 @@ object SparkEntry {
     "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(s, d)),
     "rec_coverage" -> ((s, d) => Graph.recCoverage(s, d)),
     "gate_agreement" -> ((s, d) => TextOps.gateAgreement(s, d)),
+    "neyman_allocation" -> ((s, d) => Audit.neymanAllocation(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3099,5 +3100,10 @@ object SparkEntry {
     "gate_agreement" ->
       graft.operators.TextOps.gateAgreementSql(
         inList(graft.functions.TextFns.stopwordProfiles("en"))),
+
+    // Neyman budget allocation: exact decimal/hugeint variance, one
+    // floored sqrt per stratum, integer divisions after
+    "neyman_allocation" ->
+      graft.operators.Audit.neymanAllocationSql(),
   )
 }

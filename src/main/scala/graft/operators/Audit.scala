@@ -452,6 +452,69 @@ object Audit {
        |  (cum_pos * 1000000) // npt AS capture_ppm
        |FROM c ORDER BY bin""".stripMargin
 
+  /** Sample budget for [[neymanAllocation]]. */
+  val NeymanBudget = 1000L
+
+  /** Neyman sampling-budget allocation — the survey-design operator
+    * behind every "sample 1000 rows per day for human eval" job done
+    * right: the optimal per-stratum budget is ∝ N_h·σ_h, and since
+    * v_h := n·Σx² − (Σx)² equals n²σ², the weight N_h·σ_h is exactly
+    * √v_h. Exactness: v_h is computed in the DECIMAL(38,0) domain
+    * (n·Σx² overflows BIGINT at sf0.1 cents scale — measured, hence
+    * the widening, which DuckDB mirrors in HUGEINT); the weight is
+    * floor(√v_h) — one correctly-rounded IEEE sqrt of the SAME input
+    * in both engines, floored to an integer so every downstream
+    * division is exact integer arithmetic (allocations sum to ≤
+    * budget; the proportional column is the naive comparison).
+    * One partial-aggregatable pass; strata-count-sized output.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String,
+      budget: Long = NeymanBudget): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val strata = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_h"), sum($"cents").as("sx"),
+        sum($"cents" * $"cents").as("sx2"))
+      .withColumn("v_h",
+        $"n_h".cast("decimal(38,0)") * $"sx2".cast("decimal(38,0)") -
+          $"sx".cast("decimal(38,0)") * $"sx".cast("decimal(38,0)"))
+      .withColumn("w_h", floor(sqrt($"v_h".cast("double"))).cast("long"))
+    val tot = strata.agg(sum($"w_h").as("sw"), sum($"n_h").as("n"))
+    strata.crossJoin(broadcast(tot))
+      .select($"event_type", $"n_h", $"v_h".cast("string").as("v_h"),
+        $"w_h",
+        expr(s"($budget * w_h) div sw").as("neyman_alloc"),
+        expr(s"($budget * n_h) div n").as("proportional_alloc"))
+      .orderBy($"event_type")
+  }
+
+  /** [[neymanAllocation]] oracle (v_h emitted as a string: DuckDB's
+    * HUGEINT and Spark's DECIMAL(38,0) differ as parquet types but
+    * print identically).
+    */
+  def neymanAllocationSql(budget: Long = NeymanBudget): String =
+    s"""WITH ev AS (SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+       |    CAST(SUM(cents) AS BIGINT) AS sx,
+       |    CAST(SUM(cents * cents) AS HUGEINT) AS sx2
+       |  FROM ev GROUP BY event_type),
+       |v AS (SELECT event_type, n_h,
+       |    CAST(n_h AS HUGEINT) * sx2
+       |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS v_h
+       |  FROM s),
+       |w AS (SELECT *, CAST(FLOOR(SQRT(CAST(v_h AS DOUBLE))) AS BIGINT)
+       |    AS w_h FROM v),
+       |t AS (SELECT CAST(SUM(w_h) AS BIGINT) AS sw,
+       |    CAST(SUM(n_h) AS BIGINT) AS n FROM w)
+       |SELECT event_type, n_h, CAST(v_h AS VARCHAR) AS v_h, w_h,
+       |  ($budget * w_h) // sw AS neyman_alloc,
+       |  ($budget * n_h) // n AS proportional_alloc
+       |FROM w, t ORDER BY event_type""".stripMargin
+
   /** Fold count for [[crossvalFolds]]. */
   val CvFolds = 5
 

@@ -209,4 +209,34 @@ class EvalSpec extends AnyFunSuite {
     assert(r0.getLong(3) === mean)
     assert(r0.getDouble(4) === wantRmse)
   }
+
+  test("neyman allocation: weights recompute from exact moments, budget respected") {
+    import spark.implicits._
+    val rows = Audit.neymanAllocation(spark, sf).collect()
+    assert(rows.length > 1)
+    val cents = Tables.events(spark, sf)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var sumW = 0L
+    rows.foreach { r =>
+      val xs = cents(r.getString(0))
+      assert(r.getLong(1) === xs.length.toLong)
+      val v = BigInt(xs.length) * xs.map(x => BigInt(x) * BigInt(x)).sum -
+        BigInt(xs.sum) * BigInt(xs.sum)
+      assert(BigInt(r.getString(2)) === v)
+      val w = math.floor(math.sqrt(v.toDouble)).toLong
+      assert(r.getLong(3) === w)
+      sumW += w
+    }
+    rows.foreach { r =>
+      assert(r.getLong(4) === Audit.NeymanBudget * r.getLong(3) / sumW)
+    }
+    // floor allocations never exceed the budget
+    assert(rows.map(_.getLong(4)).sum <= Audit.NeymanBudget)
+    // the high-variance stratum gets more than proportional somewhere,
+    // or the design is degenerate on this corpus
+    assert(rows.exists(r => r.getLong(4) != r.getLong(5)))
+  }
 }
