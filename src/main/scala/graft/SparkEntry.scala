@@ -254,6 +254,7 @@ object SparkEntry {
     "rec_coverage" -> ((s, d) => Graph.recCoverage(s, d)),
     "gate_agreement" -> ((s, d) => TextOps.gateAgreement(s, d)),
     "neyman_allocation" -> ((s, d) => Audit.neymanAllocation(s, d)),
+    "dpp_join" -> ((s, d) => graft.sources.DataSkipping.dppJoin(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3105,5 +3106,10 @@ object SparkEntry {
     // floored sqrt per stratum, integer divisions after
     "neyman_allocation" ->
       graft.operators.Audit.neymanAllocationSql(),
+
+    // dynamic partition pruning: promo-month dim join over the
+    // hive-partitioned fact; oracle filters the raw table directly
+    "dpp_join" ->
+      graft.sources.DataSkipping.dppJoinSql(),
   )
 }

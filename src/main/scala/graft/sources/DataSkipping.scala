@@ -292,4 +292,59 @@ object DataSkipping {
     rows.select($"event_id", $"ts", $"user_id", $"value")
       .orderBy($"event_id")
   }
+
+  /** Promo months (calendar month numbers) for the [[dppJoin]] dim
+    * filter — keeps 4 of 12 partitions per year.
+    */
+  val PromoMonths: Seq[Int] = Seq(1, 4, 7, 10)
+
+  /** Dynamic Partition Pruning — the RUNTIME member of the skipping
+    * family (zone maps and Bloom files above are planner/driver-side):
+    * the orders fact is laid out hive-partitioned by month
+    * (`partitionBy` write — the 100 TB warehouse layout), the month
+    * dimension carries the promo flag, and the join's fact scan is
+    * pruned by a `dynamicpruning` subquery Catalyst injects from the
+    * FILTERED dim — only promo-month directories are ever read, a
+    * decision that cannot be made statically because the kept months
+    * come from the dim relation at execution time. The plan is
+    * asserted in PlanSpec; the oracle recomputes from the raw table,
+    * so a row lost (or kept) by wrong pruning mismatches.
+    */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val factPath = Sources.scratchDir(spark, "dpp_fact")
+    val dimPath = Sources.scratchDir(spark, "dpp_dim")
+    if (!new java.io.File(factPath, "_SUCCESS").exists()) {
+      val fact = Tables.orders(spark, dir)
+        .withColumn("month",
+          (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("int"))
+      fact.write.mode("overwrite").partitionBy("month").parquet(factPath)
+      // the season tag is a STRING matched by equality: Catalyst's DPP
+      // insertion requires a "likely selective" predicate on the dim
+      // (EqualTo/In/Like...); a bare boolean attribute filter is not on
+      // that list and silently disables pruning (measured)
+      fact.select($"month").distinct()
+        .withColumn("season",
+          when(($"month" % 100).isin(PromoMonths.map(Int.box): _*),
+            lit("promo")).otherwise(lit("regular")))
+        .write.mode("overwrite").parquet(dimPath)
+    }
+    val factR = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath).filter($"season" === "promo")
+    factR.join(dim.select($"month"), Seq("month"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Fx.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"month")
+  }
+
+  /** [[dppJoin]] oracle: the promo-month filter applied directly. */
+  def dppJoinSql(): String =
+    s"""SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+       |    AS month,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${graft.Fx.dsumSql("o_totalprice")} AS revenue
+       |FROM orders
+       |WHERE month(o_orderdate) IN (${PromoMonths.mkString(", ")})
+       |GROUP BY 1 ORDER BY month""".stripMargin
 }

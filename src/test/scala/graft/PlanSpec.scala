@@ -384,7 +384,29 @@ class PlanSpec extends AnyFunSuite {
       !sim.contains("CartesianProduct"))
   }
 
-  test("Q19 decomposition: coarse envelopes reach both parquet scans, " +
+  test("dpp join: the fact scan carries a runtime dynamicpruning " +
+    "subquery on the partition column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = graft.sources.DataSkipping.dppJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamicpruning partition filter on the fact scan")
+    // pruning must be lossless: equals the direct-filter computation
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = Tables.orders(spark, sf)
+      .filter(month($"o_orderdate")
+        .isin(graft.sources.DataSkipping.PromoMonths.map(Int.box): _*))
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate"))
+        .cast("int").as("month"))
+      .agg(count(lit(1)).as("n"), graft.Fx.dsum($"o_totalprice").as("rev"))
+      .orderBy($"month")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want))
+  }
+
+  test("Q19 decomposition: coarse envelopes reach both parquet scans," +
     "join stays equi, Q13 join is LEFT outer") {
     // the quantity envelope must reach the lineitem reader and the
     // brand IN-list the part reader — that's the whole point of
