@@ -255,6 +255,7 @@ object SparkEntry {
     "gate_agreement" -> ((s, d) => TextOps.gateAgreement(s, d)),
     "neyman_allocation" -> ((s, d) => Audit.neymanAllocation(s, d)),
     "dpp_join" -> ((s, d) => graft.sources.DataSkipping.dppJoin(s, d)),
+    "ann_recall_report" -> ((s, d) => Similarity.annRecallReport(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -589,7 +590,42 @@ object SparkEntry {
        |LEFT JOIN ${graft.functions.Afinn.domainSql} lex(w, v) ON d.w = lex.w
        |GROUP BY d.doc_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Oracles derived by COMPOSING base entries (wrapping their full
+    * published SQL as subqueries), split out so the base map can be
+    * referenced during construction.
+    */
+  private lazy val derivedOracleSql: Map[String, String] = Map(
+    // recall@k of each ANN method against the brute-force truth — the
+    // four rankings are the bases' own oracle SQL, verbatim
+    "ann_recall_report" -> {
+      def sub(name: String) =
+        s"SELECT query_id, neighbor_id FROM (${oracleSqlBase(name)}) t"
+      s"""WITH truth AS (${sub("cosine_topk")}),
+         |approx AS (
+         |  SELECT 'ivf' AS method, * FROM (${sub("ann_ivf_topk")}) a
+         |  UNION ALL
+         |  SELECT 'ivf_kmeans', * FROM (${sub("ann_ivf_kmeans_topk")}) b
+         |  UNION ALL
+         |  SELECT 'pq', * FROM (${sub("ann_pq_topk")}) c
+         |  UNION ALL
+         |  SELECT 'srp', * FROM (${sub("ann_srp_topk")}) d),
+         |hits AS (SELECT method, query_id, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM approx JOIN truth USING (query_id, neighbor_id)
+         |  GROUP BY method, query_id),
+         |mq AS (SELECT m.method, q.query_id
+         |  FROM (SELECT DISTINCT query_id FROM truth) q,
+         |    (VALUES ('ivf'), ('ivf_kmeans'), ('pq'), ('srp')) m(method))
+         |SELECT mq.method, mq.query_id,
+         |  COALESCE(h, 0) AS n_hits,
+         |  COALESCE((h * 1000000) // 5, 0) AS recall_ppm
+         |FROM mq LEFT JOIN hits
+         |  ON mq.method = hits.method AND mq.query_id = hits.query_id
+         |ORDER BY mq.method, mq.query_id""".stripMargin
+    })
+
+  def oracleSql: Map[String, String] = oracleSqlBase ++ derivedOracleSql
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "json_decode_ratings" ->
       s"$ratingsSql ORDER BY event_id",
 

@@ -702,6 +702,44 @@ object Similarity {
       m: Int = 4, centroidEvery: Int = 50, iters: Int = 1): DataFrame =
     pqTopKOf(Tables.embeddings(spark, dir), k, nQueries, m, centroidEvery, iters)
 
+  /** ANN recall report — the benchmark table a vector-search team
+    * publishes for every index build: each approximate method's
+    * per-query hit count against the brute-force cosine ground truth,
+    * recall@k as an exact ppm integer. Every ranking here is already
+    * an oracle-checked query of this engine, so the report composes
+    * deterministically (and the oracle composes the same published
+    * SQL forms); (method, query) pairs with zero hits survive via the
+    * method×query frame.
+    *
+    * Scale shape: ground truth is queries×k rows, each method's list
+    * likewise — the report joins and folds relations whose size is
+    * set by the EVAL design (queries × k × methods), not the corpus;
+    * the corpus-sized work lives inside the underlying index scans.
+    */
+  def annRecallReport(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8): DataFrame = {
+    import spark.implicits._
+    val truth = cosineTopK(spark, dir, k, nQueries)
+      .select($"query_id", $"neighbor_id")
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> ivfTopK(spark, dir, k, nQueries),
+      "ivf_kmeans" -> ivfKmeansTopK(spark, dir, k, nQueries),
+      "pq" -> pqTopK(spark, dir, k, nQueries),
+      "srp" -> srpTopK(spark, dir, k, nQueries))
+    val approx = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), $"query_id", $"neighbor_id")
+    }.reduce(_.unionByName(_))
+    val hits = approx.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy($"method", $"query_id").agg(count(lit(1)).as("h"))
+    val mq = truth.select($"query_id").distinct()
+      .crossJoin(methods.map(_._1).toDF("method"))
+    mq.join(hits, Seq("method", "query_id"), "left")
+      .select($"method", $"query_id",
+        coalesce($"h", lit(0L)).as("n_hits"),
+        coalesce(expr(s"(h * 1000000) div $k"), lit(0L)).as("recall_ppm"))
+      .orderBy($"method", $"query_id")
+  }
+
   /** [[pqTopK]] over any (vec_id, embedding ARRAY<FLOAT>). `maxBook`
     * BOUNDS each subspace's codebook (seeds are the subsample's first
     * maxBook members): a production PQ codebook is a fixed size (256

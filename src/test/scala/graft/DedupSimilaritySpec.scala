@@ -548,4 +548,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nb <= math.min(nl, ns))
     assert(j === nb * 1000000L / (nl + ns - nb))
   }
+
+  test("ann recall report: every (method, query) cell present, hits " +
+    "reconcile against the underlying rankings") {
+    val rows = Similarity.annRecallReport(spark, sf).collect()
+    val methods = Set("ivf", "ivf_kmeans", "pq", "srp")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet.size ===
+      rows.length)
+    assert(rows.map(_.getString(0)).toSet === methods)
+    assert(rows.length === methods.size * 8)
+    val truth = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.filter(_.getString(0) == "ivf").foreach { r =>
+      val want = ivf.count(p => p._1 == r.getLong(1) && truth.contains(p))
+      assert(r.getLong(2) === want.toLong)
+      assert(r.getLong(3) === want.toLong * 1000000L / 5L)
+    }
+    // the report must be exercised: some method imperfect somewhere,
+    // some method perfect somewhere (else the eval corpus is degenerate)
+    assert(rows.exists(_.getLong(3) < 1000000L))
+    assert(rows.exists(_.getLong(3) === 1000000L))
+  }
 }
