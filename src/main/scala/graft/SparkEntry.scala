@@ -256,6 +256,8 @@ object SparkEntry {
     "neyman_allocation" -> ((s, d) => Audit.neymanAllocation(s, d)),
     "dpp_join" -> ((s, d) => graft.sources.DataSkipping.dppJoin(s, d)),
     "ann_recall_report" -> ((s, d) => Similarity.annRecallReport(s, d)),
+    "binary_file_ingest" -> ((s, d) =>
+      graft.multimodal.Multimodal.binaryFileIngest(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3147,5 +3149,19 @@ object SparkEntry {
     // hive-partitioned fact; oracle filters the raw table directly
     "dpp_join" ->
       graft.sources.DataSkipping.dppJoinSql(),
+
+    // binaryFile ingest: pixel stats recomputed from the pattern
+    // formula — proves file write -> binaryFile read -> decode exact
+    "binary_file_ingest" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |    (doc_id % 64) + 1 AS w, (doc_id % 48) + 1 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT media_id, w, h, x, y FROM img,
+        |  UNNEST(generate_series(0, w - 1)) t1(x),
+        |  UNNEST(generate_series(0, h - 1)) t2(y))
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(SUM((media_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
+        |    AS pixel_sum
+        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
   )
 }

@@ -494,6 +494,48 @@ object Multimodal {
       .orderBy($"media_id", $"w")
   }
 
+  /** Binary-file object-store ingest — Spark's built-in `binaryFile`
+    * source driven end to end: the PNG payloads are materialized as
+    * REAL standalone files (executor-side writes — the landing-zone
+    * shape of an image-scrape delivery), read back through
+    * `spark.read.format("binaryFile")` with a glob filter, identified
+    * from their paths, and ImageIO-decoded to verifiable pixel
+    * statistics. The oracle recomputes width/height/pixel-sum from
+    * the deterministic pattern formula alone — a match proves the
+    * whole file → source → decode chain byte-faithful. (The PNG byte
+    * LENGTH is deliberately not emitted: compressed size is a codec
+    * artifact no cross-engine oracle can reproduce.)
+    *
+    * Scale shape: the write and the read are both per-file
+    * executor-parallel; `binaryFile` is the production path for "a
+    * bucket of millions of images" (each row carries one file's
+    * bytes; partition count tracks file count).
+    */
+  def binaryFileIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = graft.sources.Sources.scratchDir(spark, "binary_ingest")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    mediaTable(spark, dir).filter($"kind" === "image").as[MediaRecord]
+      .foreachPartition { (it: Iterator[MediaRecord]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"media_${r.media_id}%08d.png"),
+            r.payload): Unit
+        }
+      }
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.png")
+      .load(out)
+      .select(regexp_extract($"path", "media_(\\d+)\\.png$", 1)
+        .cast("long").as("media_id"), $"content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, pix) = ImageCodec.decodeGray(bytes)
+        (id, w, h, pix.foldLeft(0L)(_ + _))
+      })
+      .toDF("media_id", "width", "height", "pixel_sum")
+      .orderBy($"media_id")
+  }
+
   /** Driver query: media embeddings via the batched decode path over
     * ALL kinds — image rows from REAL decoded pixels, fallback kinds
     * from payload bytes. The typed [[decodeFeatures]] API keeps

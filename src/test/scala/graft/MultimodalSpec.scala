@@ -167,6 +167,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile ingest: every image lands as a file, decode matches the formula") {
+    val rows = Multimodal.binaryFileIngest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val imageIds = Multimodal.mediaMeta(spark, sf).collect()
+      .filter(_.getString(1) == "image").map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === imageIds,
+      "one output row per written image file")
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(w === (id % 64 + 1).toInt && h === (id % 48 + 1).toInt)
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.ImageCodec.pixel(id, x, y).toLong).sum
+      assert(r.getLong(3) === want)
+    }
+  }
+
   test("audio features: windowed zc/peak/ssq recompute from the sample formula") {
     val rows = Multimodal.audioFeatures(spark, sf).collect()
     assert(rows.nonEmpty)
