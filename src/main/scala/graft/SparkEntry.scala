@@ -258,6 +258,8 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Similarity.annRecallReport(s, d)),
     "binary_file_ingest" -> ((s, d) =>
       graft.multimodal.Multimodal.binaryFileIngest(s, d)),
+    "streaming_tws_stats" -> ((s, d) =>
+      graft.streaming.Streams.twsRunningStatsQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3163,5 +3165,18 @@ object SparkEntry {
         |  CAST(SUM((media_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
         |    AS pixel_sum
         |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
+
+    // transformWithState running stats == the batch aggregate over the
+    // same capped feed (exact integers end to end)
+    "streaming_tws_stats" ->
+      s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+         |  CAST(MAX(cents) AS BIGINT) AS max_cents
+         |FROM (SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -40,6 +40,9 @@ object Streams {
     n_prior: Long, is_anomaly: Boolean)
   case class EwmaProgress(user_id: Long, seq: Long, n_events: Long,
       ewma_cents: Long)
+  /** Per-trigger running-stats emission (transformWithState query). */
+  case class TwsStats(user_id: Long, seq: Long, n_events: Long,
+      cents_sum: Long, min_cents: Long, max_cents: Long)
   case class StampedRow(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp, value: Double)
   /** Per-trigger funnel progress emission: `seq` (events processed so
@@ -1115,6 +1118,109 @@ object Streams {
       .select($"user_id", $"f.n_stages", $"f.t_signup", $"f.t_view",
         $"f.t_click", $"f.t_purchase")
       .orderBy($"user_id")
+  }
+
+  /** [[twsRunningStatsQuery]]'s processor on Spark 4's
+    * `transformWithState` — the arbitrary-state API that SUPERSEDES
+    * mapGroupsWithState (typed named state on the RocksDB store,
+    * TTL-capable, schema-evolvable): per-user running
+    * (n, Σcents, min, max) in one `ValueState`. The state is
+    * algebraic partial-aggregate state — 4 longs per user regardless
+    * of stream length.
+    */
+  private[streaming] class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CentEvent, TwsStats] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("stats",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CentEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsStats] = {
+      var (n, s, mn, mx) =
+        if (st.exists()) st.get()
+        else (0L, 0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        n += 1; s += e.cents
+        if (e.cents < mn) mn = e.cents
+        if (e.cents > mx) mx = e.cents
+      }
+      st.update((n, s, mn, mx))
+      Iterator.single(TwsStats(key, n, n, s, mn, mx))
+    }
+  }
+
+  /** Per-user running statistics via `transformWithState` (Spark 4's
+    * replacement for mapGroupsWithState), on the RocksDB state-store
+    * provider the API requires — the engine's forward-facing stateful
+    * path next to the mapGroupsWithState operators it will succeed.
+    * The per-trigger emissions carry a monotone `seq`, so the final
+    * per-key row (max_by seq) equals the batch aggregate — the
+    * oracle. Count/sum/min/max are exact integers end to end.
+    */
+  def twsRunningStatsQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"user_id", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .orderBy($"event_id")
+      .as[CentEvent].collect()
+    val emptyOut = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("user_id", "n_events", "cents_sum", "min_cents", "max_cents")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    // transformWithState requires the RocksDB provider; scope the
+    // override to this query and restore the session default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[CentEvent](spark)
+      val name = runStreamToTable(spark, "tws_stats", Some(4)) { (n, ck) =>
+        in.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningStatsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update(),
+            implicitly[org.apache.spark.sql.Encoder[TwsStats]])
+          .toDF()
+          .writeStream.format("memory").queryName(n)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Update).start()
+      } { q =>
+        slices.foreach { s =>
+          in.addData(s.toIndexedSeq); q.processAllAvailable()
+        }
+      }
+      spark.table(name)
+        .groupBy($"user_id")
+        .agg(max_by(struct($"n_events", $"cents_sum", $"min_cents",
+          $"max_cents"), $"seq").as("f"))
+        .select($"user_id", $"f.n_events", $"f.cents_sum",
+          $"f.min_cents", $"f.max_cents")
+        .orderBy($"user_id")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 
   /** Streaming EWMA: the per-user exponential recency score
