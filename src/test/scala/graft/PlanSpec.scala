@@ -384,6 +384,42 @@ class PlanSpec extends AnyFunSuite {
       !sim.contains("CartesianProduct"))
   }
 
+  test("session-8 additions: no cartesian products anywhere; the " +
+    "broadcast sides broadcast") {
+    import graft.operators._
+    val sf = TestSpark.sf
+    val plans = Seq(
+      "ranking_metrics" -> RankingEval.rankingMetrics(spark, sf),
+      "hll_daily_merge" -> Sketches.hllDailyMerge(spark, sf),
+      "ks_drift" -> Audit.ksDrift(spark, sf),
+      "score_lift_table" -> Audit.scoreLiftTable(spark, sf),
+      "rrf_fusion" -> Retrieval.rrfFusion(spark, sf),
+      "link_prediction" -> Graph.linkPrediction(spark, sf),
+      "crossval_folds" -> Audit.crossvalFolds(spark, sf),
+      "unpivot_metrics" -> Relational.unpivotMetrics(spark, sf),
+      "bpe_merges" -> TextOps.bpeMerges(spark, sf),
+      "rec_coverage" -> Graph.recCoverage(spark, sf),
+      "gate_agreement" -> TextOps.gateAgreement(spark, sf),
+      "neyman_allocation" -> Audit.neymanAllocation(spark, sf),
+      "ann_recall_report" -> Similarity.annRecallReport(spark, sf))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+    // the ranked-list join must broadcast the k-row list, and the KS
+    // bucket offsets must broadcast (the two-level prefix contract)
+    val rm = RankingEval.rankingMetrics(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(rm.contains("BroadcastHashJoin"))
+    val ks = Audit.ksDrift(spark, sf).queryExecution.executedPlan.toString
+    assert(ks.contains("BroadcastHashJoin"))
+    // unpivot compiles to Expand (one pass), not a self-union of scans
+    val up = Relational.unpivotMetrics(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(up.contains("Expand") && !up.contains("Union"))
+  }
+
   test("dpp join: the fact scan carries a runtime dynamicpruning " +
     "subquery on the partition column") {
     import org.apache.spark.sql.functions._
