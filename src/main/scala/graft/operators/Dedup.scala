@@ -930,11 +930,20 @@ object Dedup {
       .select($"doc_a", $"doc_b")
     val sem = embeddingNearDupLshOf(Tables.embeddings(spark, dir))
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
-    val nLex = lex.count(); val nSem = sem.count()
-    val nBoth = lex.join(sem, Seq("doc_a", "doc_b")).count()
-    Seq((nLex, nSem, nBoth,
-        nBoth * 1000000L / (nLex + nSem - nBoth)))
-      .toDF("n_lexical", "n_semantic", "n_both", "jaccard_ppm")
+    // ONE action over a tagged union: each detector's (expensive) pair
+    // pipeline evaluates exactly once — the former count()/count()/
+    // join().count() sequence re-ran MinHash and SRP twice each
+    // (measured 14 s -> this shape at sf0.1)
+    val tagged = lex.select($"doc_a", $"doc_b", lit(1L).as("l"), lit(0L).as("s"))
+      .unionByName(sem.select($"doc_a", $"doc_b", lit(0L).as("l"),
+        lit(1L).as("s")))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"l").as("l"), max($"s").as("s"))
+    tagged.agg(sum($"l").as("n_lexical"), sum($"s").as("n_semantic"),
+        sum($"l" * $"s").as("n_both"))
+      .select($"n_lexical", $"n_semantic", $"n_both",
+        expr("(n_both * 1000000) div (n_lexical + n_semantic - n_both)")
+          .as("jaccard_ppm"))
   }
 
   /** Embedding cosine near-dup pairs >= minCos. Norms are precomputed
