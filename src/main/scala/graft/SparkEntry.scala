@@ -260,6 +260,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.binaryFileIngest(s, d)),
     "streaming_tws_stats" -> ((s, d) =>
       graft.streaming.Streams.twsRunningStatsQuery(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containmentDedup(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -947,6 +948,24 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" -> s"$minhashPairsSql\nORDER BY doc_a, doc_b",
+
+    // asymmetric containment over the same df-capped inverted index;
+    // orientation tie (ca == cb) resolves to doc_a in both engines
+    "dedup_containment" ->
+      s"""WITH $shingleCtes,
+         |scored AS (SELECT da, db, c,
+         |    (c * 1000000) // x.sz AS ca, (c * 1000000) // y.sz AS cb
+         |  FROM common JOIN sizes x ON da = x.doc_id
+         |  JOIN sizes y ON db = y.doc_id)
+         |SELECT CASE WHEN ca >= cb THEN da ELSE db END AS doc_small,
+         |  CASE WHEN ca >= cb THEN db ELSE da END AS doc_large,
+         |  c AS common,
+         |  GREATEST(ca, cb) AS containment_ppm,
+         |  LEAST(ca, cb) AS reverse_ppm
+         |FROM scored
+         |WHERE ca >= ${graft.operators.Dedup.ContainmentMinPpm}
+         |  OR cb >= ${graft.operators.Dedup.ContainmentMinPpm}
+         |ORDER BY doc_small, doc_large""".stripMargin,
 
     // connected components over the minhash pairs as a recursive CTE:
     // `reach` enumerates every (node, label) with a path label→node

@@ -125,6 +125,69 @@ object Dedup {
       .filter($"jaccard" >= minJ).orderBy($"doc_a", $"doc_b")
   }
 
+  /** Containment threshold (ppm of the smaller doc's shingles) for
+    * [[containmentDedup]].
+    */
+  val ContainmentMinPpm = 800000L
+
+  /** Containment near-dup detection — the ASYMMETRIC member of the
+    * dedup family: containment(A→B) = |S_A ∩ S_B| / |S_A| flags a
+    * short document embedded inside a longer one (quotes, mirrored
+    * excerpts, boilerplate-wrapped reposts) that symmetric Jaccard
+    * misses by construction (a 50-shingle doc inside a 1000-shingle
+    * doc has Jaccard ≤ 0.05 but containment 1.0 — the Broder
+    * distinction). Emits each candidate pair once, oriented so the
+    * MORE-contained side is `doc_small`, with both directions' exact
+    * ppm scores; kept when either direction clears
+    * [[ContainmentMinPpm]].
+    *
+    * Scale shape: identical to [[ngramJaccardOf]] — the pair space
+    * comes from the SAME df-capped inverted index (one posting-list
+    * self-join), and the scores are integer divisions; no new shuffle
+    * class.
+    */
+  def containmentDedup(spark: SparkSession, dir: String, n: Int = 3,
+      minPpm: Long = ContainmentMinPpm,
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    containmentDedupOf(Tables.widened(spark, Tables.documents(spark, dir)),
+      n, minPpm, maxDf)
+
+  /** [[containmentDedup]] over an arbitrary (doc_id, text) relation. */
+  def containmentDedupOf(docs: DataFrame, n: Int = 3,
+      minPpm: Long = ContainmentMinPpm,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingleSetOf(docs, n).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val shc = capDf(sh, maxDf)
+    val common = shc.as("a").join(shc.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "nb"), "doc_b")
+      .select($"doc_a", $"doc_b", $"common", $"na", $"nb",
+        expr("(common * 1000000) div na").as("containment_a_ppm"),
+        expr("(common * 1000000) div nb").as("containment_b_ppm"))
+      .filter($"containment_a_ppm" >= minPpm ||
+        $"containment_b_ppm" >= minPpm)
+      .select(
+        when($"containment_a_ppm" >= $"containment_b_ppm", $"doc_a")
+          .otherwise($"doc_b").as("doc_small"),
+        when($"containment_a_ppm" >= $"containment_b_ppm", $"doc_b")
+          .otherwise($"doc_a").as("doc_large"),
+        $"common",
+        greatest($"containment_a_ppm", $"containment_b_ppm")
+          .as("containment_ppm"),
+        least($"containment_a_ppm", $"containment_b_ppm")
+          .as("reverse_ppm"))
+      .orderBy($"doc_small", $"doc_large")
+  }
+
   /** (doc_a, doc_b, common) + per-doc sizes -> Jaccard = c/(na+nb-c);
     * shared by the all-pairs and LSH-candidate paths so both stay
     * bit-identical to the oracle formula.

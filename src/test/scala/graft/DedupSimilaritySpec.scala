@@ -549,6 +549,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(j === nb * 1000000L / (nl + ns - nb))
   }
 
+  test("containment: a short doc embedded in a long one is caught at " +
+    "full containment while its Jaccard stays tiny") {
+    import spark.implicits._
+    val words = (1 to 200).map(i => s"w$i")
+    val long = words.mkString(" ")
+    val short = words.take(12).mkString(" ")   // 10 shingles, all shared
+    val docs = Seq((1L, short), (2L, long), (3L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentDedupOf(docs).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L,
+      "the contained (small) doc leads the pair")
+    assert(r.getLong(2) === 10L)
+    assert(r.getLong(3) === 1000000L, "full containment")
+    // reverse direction: 10 of 198 shingles
+    assert(r.getLong(4) === 10L * 1000000L / 198L)
+    // symmetric Jaccard would have rejected this pair at any usual gate
+    val jac = graft.operators.Dedup.ngramJaccardOf(docs, minJ = 0.0)
+      .collect().head.getDouble(2)
+    assert(jac < 0.06)
+    // corpus: exercised, oriented, bounded
+    val corpus = graft.operators.Dedup.containmentDedup(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(4))
+      assert(r.getLong(3) >= graft.operators.Dedup.ContainmentMinPpm)
+      assert(r.getLong(3) <= 1000000L)
+    }
+  }
+
   test("ann recall report: every (method, query) cell present, hits " +
     "reconcile against the underlying rankings") {
     val rows = Similarity.annRecallReport(spark, sf).collect()
