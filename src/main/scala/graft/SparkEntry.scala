@@ -261,6 +261,7 @@ object SparkEntry {
     "streaming_tws_stats" -> ((s, d) =>
       graft.streaming.Streams.twsRunningStatsQuery(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentDedup(s, d)),
+    "histogram_daily_merge" -> ((s, d) => Sketches.histogramDailyMerge(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3187,6 +3188,12 @@ object SparkEntry {
 
     // transformWithState running stats == the batch aggregate over the
     // same capped feed (exact integers end to end)
+    // the oracle IS the one-shot histogram SQL: sum-merged daily bins
+    // equal the direct counts algebraically, and the hash match is the
+    // mergeability proof (the hll_daily_merge contract, SUM algebra)
+    "histogram_daily_merge" ->
+      graft.operators.Sketches.histogramQuantilesSql(),
+
     "streaming_tws_stats" ->
       s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
          |  CAST(SUM(cents) AS BIGINT) AS cents_sum,

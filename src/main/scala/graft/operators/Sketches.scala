@@ -490,6 +490,28 @@ object Sketches {
     quantilesFromCounts(counts)
   }
 
+  /** Histogram-sketch re-aggregation — [[hllDailyMerge]]'s counterpart
+    * for the OTHER merge algebra: HLL registers merge by MAX, histogram
+    * bins merge by SUM. The per-(event_type, day, bin) count relation
+    * is the artifact a daily profiling job persists; summing bins
+    * across the month and finishing with the SAME quantile fold is
+    * algebraically identical to the one-shot histogram — which is
+    * exactly what the oracle checks (it IS the one-shot SQL: a hash
+    * match proves the merge lossless). Day layer is one extra integer
+    * in the shuffle key; state stays bins-sized per (key, day).
+    */
+  def histogramDailyMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .withColumn("d", expr("ts div 86400000000000"))
+    val bin = least(lit(QuantileBins - 1),
+      greatest(lit(0L), floor($"value" * lit(2.0)))).cast("long")
+    val daily = ev.select($"event_type".as("k"), $"d", bin.as("bin"))
+      .groupBy($"k", $"d", $"bin").agg(count(lit(1)).as("n"))
+    val merged = daily.groupBy($"k", $"bin").agg(sum($"n").as("n"))
+    quantilesFromCounts(merged)
+  }
+
   /** Finish a bin-count relation (k, bin, n) into per-key quantiles —
     * shared by the batch build and the streaming accumulator (whose
     * state IS the histogram).

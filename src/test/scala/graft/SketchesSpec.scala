@@ -172,4 +172,12 @@ class SketchesSpec extends AnyFunSuite {
         s"$k: merged estimate $est != one-shot ${oneShot(k)._2}")
     }
   }
+
+  test("histogram daily merge: sum-merged daily bins equal the one-shot quantiles") {
+    import spark.implicits._
+    val merged = Sketches.histogramDailyMerge(spark, sf).collect().toSeq
+    val oneShot = Sketches.histogramQuantiles(spark, sf).collect().toSeq
+    assert(merged.nonEmpty && merged.map(_.toSeq) === oneShot.map(_.toSeq),
+      "SUM algebra over the day partitioning must be lossless")
+  }
 }
