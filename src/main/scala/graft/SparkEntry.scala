@@ -135,6 +135,8 @@ object SparkEntry {
     "distribution_drift" -> ((s, d) => TextOps.distributionDrift(s, d)),
     "streaming_ewma" -> ((s, d) => graft.streaming.Streams.ewmaStreamQuery(s, d)),
     "streaming_exact_dedup" -> ((s, d) => graft.streaming.Streams.dedupStreamQuery(s, d)),
+    "streaming_dedup_watermark" -> ((s, d) =>
+      graft.streaming.Streams.dedupWithinWatermarkQuery(s, d)),
     "entity_match" -> ((s, d) => graft.operators.EntityResolution.entityMatch(s, d)),
     "kmv_set_ops" -> ((s, d) => Sketches.kmvSetOps(s, d)),
     "pagerank_corated" -> ((s, d) => Graph.pagerank(s, d)),
@@ -262,6 +264,14 @@ object SparkEntry {
       graft.streaming.Streams.twsRunningStatsQuery(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentDedup(s, d)),
     "histogram_daily_merge" -> ((s, d) => Sketches.histogramDailyMerge(s, d)),
+    "min_cost_supplier" -> ((s, d) => Relational.minCostSupplier(s, d)),
+    "product_profit" -> ((s, d) => Relational.productProfit(s, d)),
+    "important_parts" -> ((s, d) => Relational.importantParts(s, d)),
+    "dedup_prefix_join" -> ((s, d) => Dedup.prefixJaccardJoin(s, d)),
+    "hierarchy_rollup" -> ((s, d) => Graph.hierarchyRollup(s, d)),
+    "ab_test_report" -> ((s, d) => Audit.abTestReport(s, d)),
+    "video_scene_cuts" -> ((s, d) =>
+      graft.multimodal.Multimodal.videoSceneCuts(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -1658,6 +1668,14 @@ object SparkEntry {
     // watermarked dropDuplicates over a feed that re-sends every slice:
     // the appended output must equal the distinct relation
     "streaming_exact_dedup" ->
+      s"""SELECT event_id, user_id, value FROM events
+         |WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
+         |ORDER BY event_id""".stripMargin,
+
+    // dropDuplicatesWithinWatermark: same distinct relation as the
+    // unbounded variant (re-sends arrive inside the delay), but the
+    // key state EVICTS at the watermark — bounded-state contract
+    "streaming_dedup_watermark" ->
       s"""SELECT event_id, user_id, value FROM events
          |WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
          |ORDER BY event_id""".stripMargin,
@@ -3204,5 +3222,41 @@ object SparkEntry {
          |  FROM events
          |  WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // TPC-H gap-fill analogs (Q2/Q9/Q11 shapes) — decorrelated
+    // min-join, multi-way profit join, global-scalar HAVING; exact
+    // integer/decimal domains throughout (Relational.scala)
+    "min_cost_supplier" -> Relational.minCostSupplierSql(),
+    "product_profit" -> Relational.productProfitSql(),
+    "important_parts" -> Relational.importantPartsSql(),
+
+    // prefix-filter set-similarity join: the oracle is the SPEC, not
+    // the algorithm — brute inverted-index Jaccard with NO prefix
+    // filter and NO df cap, so a hash match proves the prefix filter
+    // generated a complete candidate set (exactness of AllPairs)
+    "dedup_prefix_join" ->
+      s"""WITH ${shingleSqlCte("sh", 3)},
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common,
+         |  (common * 1000000) // (sa.sz + sb.sz - common) AS jaccard_ppm
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE (common * 1000000) // (sa.sz + sb.sz - common) >= ${graft.operators.Dedup.PrefixTauPpm}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // pointer-doubling hierarchy closure vs a genuine recursive-CTE
+    // walk — independent traversal strategies, same rollup
+    "hierarchy_rollup" -> Graph.hierarchyRollupSql(),
+
+    // two-proportion z + Wilson bounds from four exact integers
+    // (matched IEEE trees; corr_moments determinism contract)
+    "ab_test_report" -> Audit.abTestReportSql,
+
+    // window+HOF scene cuts vs a per-byte unnest/self-join
+    // reconstruction — independent formulations of the same distances
+    "video_scene_cuts" -> graft.multimodal.Multimodal.videoSceneCutsSql(),
   )
 }

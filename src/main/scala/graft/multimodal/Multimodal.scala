@@ -553,4 +553,80 @@ object Multimodal {
           x => format_string("%.6f", x))).as("embedding"))
       .orderBy($"media_id")
   }
+
+  /** Scene-cut fixture geometry: [[SceneFrames]] frames per video,
+    * scene id = frame div [[SceneLen]], [[FrameBytes]] gray "pixels"
+    * per frame from the deterministic formula
+    * `(media·31 + scene·17 + j·7) mod 256` — constant within a scene,
+    * shifted by 17 (mod 256) across a boundary, so the true cut set is
+    * knowable from the formula alone (the binary_file_ingest oracle
+    * idiom). A cut fires when the inter-frame L1 distance exceeds
+    * [[CutThreshold]] (boundary distance ≥ 16·17 ≫ 64 ≫ 0).
+    */
+  val SceneFrames = 12
+  val SceneLen = 4
+  val FrameBytes = 16
+  val CutThreshold = 64L
+
+  /** Video scene-cut detection: per-media inter-frame L1 distance via
+    * a lag window, thresholded. The DATAFLOW is the production shape —
+    * frames arrive as (media_id, frame_idx, feature-vector) rows, the
+    * comparison is one window shuffle partitioned by media_id with the
+    * per-pair distance a codegen'd `zip_with`/`aggregate` HOF (no UDF),
+    * output is cut-sized, not frame-sized. At 100 TB of video the same
+    * plan holds: decode ([[ImageCodec]]/[[frameSample]]) emits frame
+    * features executor-side, and no media's frames ever gather beyond
+    * its own window partition. Frame features here are the synthetic
+    * formula above — the container has no video codecs ([[MultimodalPipeline]]
+    * note), and the formula makes the oracle independent: DuckDB
+    * reconstructs distances per-BYTE (unnest + self-join) rather than
+    * via the window+HOF plan, so a hash match checks the algorithm,
+    * not a mirrored implementation.
+    */
+  def videoSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vids = graft.Tables.widened(spark, graft.Tables.documents(spark, dir))
+      .filter($"doc_id" % 3 === 2)
+      .select($"doc_id".as("media_id"))
+    val bytesOf = transform(sequence(lit(0), lit(FrameBytes - 1)),
+      j => ($"media_id" * 31 + $"scene" * 17 + j * 7) % 256)
+    val frames = vids
+      .select($"media_id",
+        explode(sequence(lit(0), lit(SceneFrames - 1))).as("frame_idx"))
+      .withColumn("scene", expr(s"frame_idx div $SceneLen"))
+      .select($"media_id", $"frame_idx", bytesOf.as("px"))
+    val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+    frames
+      .withColumn("prev", lag($"px", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"media_id", $"frame_idx",
+        aggregate(zip_with($"px", $"prev", (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_delta"))
+      .filter($"l1_delta" > CutThreshold)
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  /** [[videoSceneCuts]] oracle: per-byte reconstruction — no lists, no
+    * window; distances from the formula via unnest + adjacent-frame
+    * self-join.
+    */
+  def videoSceneCutsSql(): String =
+    s"""WITH v AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2),
+       |px AS (
+       |  SELECT media_id, f.f AS frame_idx, j.j AS j,
+       |    (media_id * 31 + (f.f // $SceneLen) * 17 + j.j * 7) % 256 AS b
+       |  FROM v,
+       |    unnest(generate_series(0, ${SceneFrames - 1})) AS f(f),
+       |    unnest(generate_series(0, ${FrameBytes - 1})) AS j(j)),
+       |d AS (
+       |  SELECT a.media_id, a.frame_idx,
+       |    CAST(SUM(ABS(a.b - p.b)) AS BIGINT) AS l1_delta
+       |  FROM px a JOIN px p
+       |    ON a.media_id = p.media_id AND a.j = p.j
+       |    AND p.frame_idx = a.frame_idx - 1
+       |  GROUP BY a.media_id, a.frame_idx)
+       |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, l1_delta
+       |FROM d WHERE l1_delta > $CutThreshold
+       |ORDER BY media_id, frame_idx""".stripMargin
 }

@@ -581,4 +581,111 @@ object Audit {
        |GROUP BY m.fold, m.n_train, m.n_test, m.train_mean_cents_floor
        |ORDER BY m.fold""".stripMargin
   }
+
+  /** A/B experiment readout: two-proportion z statistic + Wilson 95%
+    * interval per arm, from exact integer counts.
+    *
+    * Assignment is the deterministic hash gate (`user_id % 2` — the
+    * same RNG-free rerun-identical idiom as the hash split): exposure
+    * = a 'view' event, conversion = an exposed user with at least
+    * [[AbConvThreshold]] 'purchase' events (every user in the
+    * synthetic corpus purchases at least once, so a ≥1 definition
+    * degenerates to 100% conversion in both arms and a 0/0 z — the
+    * count threshold sits at the per-user purchase median, which the
+    * corpus generator holds constant across scale factors).
+    * The distributed work is two distinct-user sets and ONE global
+    * conditional aggregate → four exact BIGINTs (n_a, x_a, n_b, x_b);
+    * every statistic is then derived from those four scalars with a
+    * matched IEEE expression tree ([[corrMomentsOf]]'s determinism
+    * contract: correctly-rounded ×,−,/,√ over identical inputs are
+    * bit-identical in both engines). At 100 TB the plan is two
+    * semi-joined distincts on user_id and a 4-long reduce — no state
+    * grows with events, and the four counts are mergeable across
+    * shards/days by addition.
+    */
+  def abTestReport(spark: SparkSession, dir: String): DataFrame =
+    abTestReportOf(Tables.events(spark, dir))
+
+  /** Purchase-count cutoff defining conversion (≈ the per-user
+    * purchase median, scale-invariant by corpus construction).
+    */
+  val AbConvThreshold = 14L
+
+  /** [[abTestReport]] over any (user_id, event_type) relation. */
+  def abTestReportOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val exposed = events.filter($"event_type" === "view")
+      .select($"user_id").distinct()
+      .withColumn("arm", pmod($"user_id", lit(2L)))
+    val converted = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_purch"))
+      .filter($"n_purch" >= AbConvThreshold)
+      .select($"user_id").withColumn("cv", lit(1L))
+    val counts = exposed.join(converted, Seq("user_id"), "left")
+      .select($"arm", coalesce($"cv", lit(0L)).as("cv"))
+      .agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0, $"cv").otherwise(0L)).as("x_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1, $"cv").otherwise(0L)).as("x_b"))
+    // Wilson 95% bounds as a matched IEEE tree; z=1.96 parses to the
+    // same binary double in both engines
+    val z = lit(1.96)
+    def wilson(x: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+        sign: Double) = {
+      val p = d(x) / d(n)
+      val z2 = z * z
+      (p + z2 / (lit(2.0) * d(n)) + lit(sign) * z *
+        sqrt(p * (lit(1.0) - p) / d(n) + z2 / (lit(4.0) * d(n) * d(n)))) /
+        (lit(1.0) + z2 / d(n))
+    }
+    val pp = (d($"x_a") + d($"x_b")) / (d($"n_a") + d($"n_b"))
+    counts.select(
+      $"n_a", $"x_a", $"n_b", $"x_b",
+      expr("x_a * 1000000 div n_a").as("conv_a_ppm"),
+      expr("x_b * 1000000 div n_b").as("conv_b_ppm"),
+      ((d($"x_b") / d($"n_b") - d($"x_a") / d($"n_a")) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / d($"n_a") + lit(1.0) / d($"n_b")))).as("z_stat"),
+      wilson($"x_a", $"n_a", -1.0).as("wilson_a_lo"),
+      wilson($"x_a", $"n_a", 1.0).as("wilson_a_hi"),
+      wilson($"x_b", $"n_b", -1.0).as("wilson_b_lo"),
+      wilson($"x_b", $"n_b", 1.0).as("wilson_b_hi"))
+  }
+
+  /** DuckDB mirror of [[abTestReportOf]] — same four integers, same
+    * IEEE trees (subexpression order preserved verbatim).
+    */
+  def abTestReportSql: String = {
+    def w(x: String, n: String, sign: String) =
+      s"(CAST($x AS DOUBLE) / CAST($n AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST($n AS DOUBLE)) + $sign 1.96 * " +
+        s"sqrt(CAST($x AS DOUBLE) / CAST($n AS DOUBLE) * (1.0 - CAST($x AS DOUBLE) / CAST($n AS DOUBLE)) / CAST($n AS DOUBLE) + " +
+        s"(1.96 * 1.96) / (4.0 * CAST($n AS DOUBLE) * CAST($n AS DOUBLE)))) / (1.0 + (1.96 * 1.96) / CAST($n AS DOUBLE))"
+    s"""WITH exposed AS (
+       |  SELECT DISTINCT user_id, user_id % 2 AS arm FROM events WHERE event_type = 'view'),
+       |conv AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id HAVING COUNT(*) >= $AbConvThreshold),
+       |f AS (SELECT e.arm, CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS cv
+       |  FROM exposed e LEFT JOIN conv c ON e.user_id = c.user_id),
+       |k AS (SELECT
+       |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT) AS x_a,
+       |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  CAST(SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT) AS x_b
+       |  FROM f)
+       |SELECT n_a, x_a, n_b, x_b,
+       |  x_a * 1000000 // n_a AS conv_a_ppm,
+       |  x_b * 1000000 // n_b AS conv_b_ppm,
+       |  (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+       |    sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+       |      * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+       |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z_stat,
+       |  ${w("x_a", "n_a", "-")} AS wilson_a_lo,
+       |  ${w("x_a", "n_a", "+")} AS wilson_a_hi,
+       |  ${w("x_b", "n_b", "-")} AS wilson_b_lo,
+       |  ${w("x_b", "n_b", "+")} AS wilson_b_hi
+       |FROM k""".stripMargin
+  }
 }

@@ -1089,4 +1089,84 @@ object Dedup {
       .filter($"cos" >= minCos)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** Jaccard threshold (ppm) for [[prefixJaccardJoin]] — matches the
+    * [[ngramJaccard]] family's 0.3.
+    */
+  val PrefixTauPpm = 300000L
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08 — public algorithms). The third member of the near-dup
+    * family's candidate-generation spectrum:
+    *
+    *  - inverted index ([[ngramJaccard]]): exact-ish, but needs the
+    *    [[DefaultMaxDf]] posting-list cap to bound hot tokens — pairs
+    *    overlapping ONLY in capped tokens are lost;
+    *  - MinHash LSH ([[minhashLsh]]): probabilistic recall;
+    *  - prefix filtering (this): EXACT with NO df cap and no
+    *    probability. Each doc indexes only its `|T| − ⌈τ·|T|⌉ + 1`
+    *    globally-RAREST tokens (ascending document frequency): two
+    *    sets with Jaccard ≥ τ must share at least one prefix token
+    *    (pigeonhole on the ⌈τ·|T|⌉ highest-df tokens), so joining
+    *    prefixes alone generates a candidate superset. High-df
+    *    boilerplate tokens sort to the END of every doc and thus never
+    *    enter a posting list — the hot-key blowup the df cap exists to
+    *    prevent cannot occur by construction (the one degenerate case,
+    *    a corpus of verbatim copies where every token is high-df, is
+    *    collapsed upstream by [[exactDedup]] — same contract as the
+    *    LSH path's rep-compression).
+    *
+    * Plan: one df aggregation (8-byte keys, partial agg), one
+    * row_number window per doc (shuffle by doc_id), prefix-prefix
+    * equi-join on token with the pairwise length filter
+    * `min(sz)·10⁶ ≥ τppm·max(sz)` applied IN the join condition, then
+    * an exact overlap verify on the full token sets (pair-bounded:
+    * Σ_pairs |T_a|). All arithmetic is integer ppm — the threshold
+    * boundary classifies identically in DuckDB, whose oracle is the
+    * SPEC (brute inverted-index Jaccard with no prefix filter), so a
+    * green hash is an end-to-end completeness proof of the filter.
+    */
+  def prefixJaccardJoin(spark: SparkSession, dir: String,
+      tauPpm: Long = PrefixTauPpm, n: Int = 3): DataFrame =
+    prefixJaccardJoinOf(
+      Tables.widened(spark, Tables.documents(spark, dir)), tauPpm, n)
+
+  /** [[prefixJaccardJoin]] over an arbitrary (doc_id, text) relation. */
+  def prefixJaccardJoinOf(docs: DataFrame, tauPpm: Long = PrefixTauPpm,
+      n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSetOf(docs, n).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    // rank each doc's tokens rarest-first; ties broken by h so the
+    // prefix is deterministic in both engines
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+      .join(sizes, "doc_id")
+      // prefix length = sz − ⌈τ·sz⌉ + 1, in exact ppm arithmetic
+      .filter($"pos" <= $"sz" - expr(s"(sz * $tauPpm + 999999) div 1000000") + 1)
+      .select($"doc_id", $"h", $"sz")
+    val cand = ranked.as("a").join(ranked.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+          $"b.sz" * 1000000L >= $"a.sz" * tauPpm &&
+          $"a.sz" * 1000000L >= $"b.sz" * tauPpm)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // exact verify on the FULL sets — candidates × their tokens only
+    val common = cand
+      .join(sh.as("ta"), $"doc_a" === $"ta.doc_id")
+      .join(sh.as("tb"), $"doc_b" === $"tb.doc_id" && $"ta.h" === $"tb.h")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"common",
+        expr("common * 1000000 div (sza + szb - common)").as("jaccard_ppm"))
+      .filter($"jaccard_ppm" >= tauPpm)
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

@@ -825,4 +825,109 @@ object Graph {
        |SELECT node AS song_id, CAST(r AS BIGINT) AS rank_scaled FROM r$rounds
        |ORDER BY rank_scaled DESC, song_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Hierarchy closure by pointer doubling
+  // ---------------------------------------------------------------------
+
+  /** Number of roots in the synthetic document hierarchy: ids below
+    * this are their own root; every other id's parent is `id div 2`
+    * (a deterministic forest any engine can reconstruct — the oracle
+    * walks it with WITH RECURSIVE).
+    */
+  val HierarchyRoots = 16L
+
+  /** Pointer-doubling rounds. Each round composes the ancestor pointer
+    * with itself, so round r covers 2^r parent steps; the halving
+    * parent rule bounds depth by log2(maxId) < 63 < 2^6 for ANY 64-bit
+    * id — 6 is a CONSTANT sufficient round count, not a tuned guess.
+    */
+  val DoublingRounds = 6
+
+  /** Transitive ancestor closure of a parent forest in O(log depth)
+    * self-joins — pointer doubling / path halving (Wyllie's list
+    * ranking; same doubling idiom as [[Dedup]]'s CCF pointer jumping).
+    *
+    * `ptr0` rows are (node, anc, d): roots carry (r, r, 0) — a
+    * self-loop of length 0, the fixed point — and non-roots carry
+    * (n, parent(n), 1). Each round joins the relation with itself on
+    * `anc = node`, replacing every pointer with its pointer's pointer
+    * and summing the jump distances; a pointer that has reached its
+    * root composes with the root's zero-length self-loop and stays
+    * put. After r rounds every pointer has jumped min(2^r, depth)
+    * steps, so `rounds ≥ log2(max depth)` yields (node, root, depth)
+    * for every node.
+    *
+    * The scale contrast this operator exists for: a recursive-CTE /
+    * naive-loop walk is O(depth) sequential joins — a depth-10⁴
+    * linked chain (sessions, version lineages) needs 10⁴ barriers —
+    * while doubling needs ⌈log2 10⁴⌉ = 14. Each round is one
+    * equi-join shuffle of an n-row, 24-byte relation with no growth
+    * between rounds (one row per node throughout).
+    */
+  def pointerDoublingClosure(ptr0: DataFrame,
+      rounds: Int = DoublingRounds): DataFrame = {
+    val spark = ptr0.sparkSession
+    import spark.implicits._
+    // materialize each round before the self-join (house idiom of
+    // Dedup.scala:430): BOTH join sides then read one materialized
+    // round-r relation and the plan stays constant-size per round. An
+    // unmaterialized fold references round r−1 twice → 2^rounds plan
+    // copies — the exponential-lineage trap of every self-joining
+    // iteration (cache() alone doesn't save you: execution reuses the
+    // cache but the LOGICAL tree still doubles, and analysis cost
+    // explodes with it). On a cluster, swap localCheckpoint for
+    // reliable checkpoint() if executor loss mid-iteration matters.
+    (1 to rounds).foldLeft(ptr0) { (p, _) =>
+      val pc = p.localCheckpoint(true)
+      val q = pc.select($"node".as("bn"), $"anc".as("banc"), $"d".as("bd"))
+      pc.join(q, pc("anc") === q("bn"))
+        .select(pc("node"), $"banc".as("anc"), (pc("d") + $"bd").as("d"))
+    }
+  }
+
+  /** Per-root rollup of the synthetic document forest: members, depth
+    * extremes, and subtree character mass — the org-chart / category-
+    * tree report every hierarchy-owning pipeline runs. The closure is
+    * 6 constant doubling rounds (see [[DoublingRounds]]); the final
+    * rollup is one partial-aggregatable shuffle on the root key.
+    */
+  def hierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.widened(spark,
+        graft.Tables.documents(spark, dir))
+      .select($"doc_id", $"n_chars")
+    val ptr0 = docs.select(
+      $"doc_id".as("node"),
+      when($"doc_id" < HierarchyRoots, $"doc_id")
+        .otherwise(expr("doc_id div 2")).as("anc"),
+      when($"doc_id" < HierarchyRoots, lit(0L)).otherwise(lit(1L)).as("d"))
+    pointerDoublingClosure(ptr0)
+      .join(docs, $"node" === $"doc_id")
+      .groupBy($"anc".as("root"))
+      .agg(count(lit(1)).as("n_members"),
+        max($"d").as("max_depth"),
+        sum($"d").as("sum_depth"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"root")
+  }
+
+  /** [[hierarchyRollup]] oracle: the same forest walked by a genuine
+    * recursive CTE (depth-sequential — the thing doubling replaces),
+    * so the hash match cross-validates the closure against an
+    * independent traversal strategy, not a mirrored plan.
+    */
+  def hierarchyRollupSql(): String =
+    s"""WITH RECURSIVE walk AS (
+       |  SELECT doc_id AS node, doc_id AS anc, 0 AS d FROM documents
+       |  UNION ALL
+       |  SELECT node, anc // 2, d + 1 FROM walk WHERE anc >= $HierarchyRoots
+       |)
+       |SELECT w.anc AS root, COUNT(*) AS n_members,
+       |  CAST(MAX(w.d) AS BIGINT) AS max_depth,
+       |  CAST(SUM(w.d) AS BIGINT) AS sum_depth,
+       |  CAST(SUM(d2.n_chars) AS BIGINT) AS total_chars
+       |FROM walk w JOIN documents d2 ON w.node = d2.doc_id
+       |WHERE w.anc < $HierarchyRoots
+       |GROUP BY w.anc ORDER BY root""".stripMargin
 }

@@ -1501,4 +1501,192 @@ object Relational {
        |  UNION ALL
        |  SELECT l_returnflag, 'n_items', n_items FROM w)
        |ORDER BY l_returnflag, metric""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H gap-fill analogs: the three classic shapes not yet covered —
+  // correlated-scalar-subquery decorrelation (Q2), the multi-way profit
+  // join (Q9), and the global-scalar HAVING threshold (Q11). The corpus
+  // has no partsupp table, so lineitem plays the supply-catalog role:
+  // each (part, supplier) pair's offered unit price is the MIN unit
+  // price across that pair's line items.
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q2-shaped min-cost supplier. For every part of a given
+    * `ptype` whose suppliers sit in `region`, find the supplier(s)
+    * offering the global minimum unit price. TPC-H writes this as a
+    * correlated scalar subquery (`ps_supplycost = (SELECT min(...)
+    * WHERE ps_partkey = p_partkey)`); the scalable decorrelated plan is
+    * written out explicitly: ONE aggregation producing min-per-part,
+    * joined back on (partkey, unit price) — two shuffles on p_partkey
+    * total, and Catalyst reuses the exchange between them. The
+    * region→nation→supplier chain broadcasts end to end (5 regions ×
+    * 25 nations × suppliers ≪ lineitem), so the only shuffled relation
+    * is the date-pruned offer table. Unit price is exact integer
+    * micro-units, so the min-equality join has no float-tie hazard at
+    * any scale.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String,
+      ptype: String = "ECONOMY", region: String = "EUROPE",
+      k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir).filter($"p_type" === ptype)
+      .select($"p_partkey", $"p_name")
+    val reg = Tables.region(spark, dir).filter($"r_name" === region)
+      .select($"r_regionkey")
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    // the supply catalog: best unit price each in-region supplier has
+    // ever offered on each filtered part
+    val offers = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 10000 AS BIGINT)" +
+          " div CAST(l_quantity AS BIGINT)").as("unit_micros"))
+      .join(broadcast(parts.select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(broadcast(sup.select($"s_suppkey")), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"unit_micros").as("unit_micros"))
+    val minPerPart = offers.groupBy($"l_partkey".as("mp_partkey"))
+      .agg(min($"unit_micros").as("min_micros"))
+    offers
+      .join(minPerPart, $"l_partkey" === $"mp_partkey" &&
+        $"unit_micros" === $"min_micros")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        $"unit_micros")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(k)
+  }
+
+  /** [[minCostSupplier]] oracle: the same decorrelated min-join in
+    * DuckDB SQL (integer `//` division mirrors Spark's `div`).
+    */
+  def minCostSupplierSql(ptype: String = "ECONOMY",
+      region: String = "EUROPE", k: Int = 100): String =
+    s"""WITH sup AS (
+       |  SELECT s_suppkey, s_name, s_acctbal, n_name
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$region'),
+       |offers AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
+       |        // CAST(l_quantity AS BIGINT)) AS unit_micros
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey AND p_type = '$ptype'
+       |  JOIN sup ON l_suppkey = s_suppkey
+       |  GROUP BY l_partkey, l_suppkey),
+       |mp AS (SELECT l_partkey AS mp_partkey, MIN(unit_micros) AS min_micros
+       |  FROM offers GROUP BY l_partkey)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_micros
+       |FROM offers
+       |JOIN mp ON l_partkey = mp_partkey AND unit_micros = min_micros
+       |JOIN sup ON l_suppkey = s_suppkey
+       |JOIN part ON l_partkey = p_partkey
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT $k""".stripMargin
+
+  /** TPC-H Q9-shaped product-type profit. Profit per (supplier nation,
+    * order year) over parts whose name contains `needle`: revenue −
+    * cost, where cost is proxied as 80% of the part's retail price per
+    * unit (the corpus has no partsupp.supplycost). All arithmetic
+    * stays in the decimal domain end to end — `0.80 × retail × qty` is
+    * exact at scale 4 — so the grouped sums are bit-identical to the
+    * oracle. Plan shape at scale: the name filter prunes `part` before
+    * its broadcast; supplier+nation broadcast; the only shuffles are
+    * the lineitem⨝orders key exchange and the final (nation, year)
+    * aggregation — partial aggregation applies to both.
+    */
+  def productProfit(spark: SparkSession, dir: String,
+      needle: String = "widget"): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .filter($"p_name".contains(needle))
+      .select($"p_partkey", $"p_retailprice")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", year($"o_orderdate").as("o_year"))
+    val cost = Fx.dec2($"p_retailprice") *
+      lit(BigDecimal("0.80")).cast(org.apache.spark.sql.types.DecimalType(3, 2)) *
+      $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(4, 0))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), $"o_year")
+      .agg(sum(Fx.dec2($"l_extendedprice") * (Fx.one - Fx.rate2($"l_discount")) - cost)
+        .cast("double").as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** [[productProfit]] oracle. */
+  def productProfitSql(needle: String = "widget"): String =
+    s"""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM(${Fx.dec2Sql("l_extendedprice")} * (${Fx.oneSql} - ${Fx.rate2Sql("l_discount")})
+       |    - ${Fx.dec2Sql("p_retailprice")} * CAST(0.80 AS DECIMAL(3,2))
+       |      * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%$needle%'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY n_name, YEAR(o_orderdate)
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q11's threshold in tenths-of-mean: a part is "important" when its
+    * traded value exceeds `ImportantPartTenths/10 ×` the MEAN per-part
+    * value. TPC-H's original fraction-of-total cutoff divides by SF
+    * precisely because per-part share shrinks as the catalog grows; a
+    * mean-relative threshold is the scale-FREE formulation — the same
+    * constant selects a stable quantile of parts at every corpus size.
+    */
+  val ImportantPartTenths = 13L
+
+  /** TPC-H Q11-shaped important-parts report: parts whose total traded
+    * value exceeds 1.3× the mean per-part value. The global scalars
+    * (total value, part count) are a one-row aggregate cross-joined in
+    * (Spark broadcasts a single-row side automatically; the oracle's
+    * scalar subqueries are the same plan) — the
+    * HAVING-against-global-aggregate shape every "share of total"
+    * report uses. Value accumulates in exact integer cents; the
+    * threshold compare `value × n × 10 > tenths × total` runs in the
+    * DECIMAL(38) domain (DuckDB: HUGEINT) so it neither overflows nor
+    * rounds at any corpus size, and the boundary part classifies
+    * identically in both engines.
+    */
+  def importantParts(spark: SparkSession, dir: String,
+      tenths: Long = ImportantPartTenths): DataFrame = {
+    import spark.implicits._
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .as("value_cents"))
+    val total = perPart.agg(sum($"value_cents").as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      // value/(total/n) > tenths/10  ⇔  value × n × 10 > tenths × total
+      .filter($"value_cents".cast(big) * $"n_parts" * lit(10) >
+        lit(tenths) * $"total_cents".cast(big))
+      .select($"l_partkey", $"value_cents")
+      .orderBy($"value_cents".desc, $"l_partkey")
+  }
+
+  /** [[importantParts]] oracle. */
+  def importantPartsSql(tenths: Long = ImportantPartTenths): String =
+    s"""WITH pp AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT l_partkey, value_cents FROM pp
+       |WHERE CAST(value_cents AS HUGEINT) * (SELECT COUNT(*) FROM pp) * 10
+       |    > $tenths * (SELECT CAST(SUM(value_cents) AS HUGEINT) FROM pp)
+       |ORDER BY value_cents DESC, l_partkey""".stripMargin
 }

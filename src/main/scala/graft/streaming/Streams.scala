@@ -1391,6 +1391,56 @@ object Streams {
       .orderBy($"event_id")
   }
 
+  /** Watermark-EXPIRING stream dedup — `dropDuplicatesWithinWatermark`
+    * (Spark 3.5+), the state-bounded sibling of [[dedupStreamQuery]].
+    * Plain watermarked `dropDuplicates` keeps ONE state row per key
+    * FOREVER — on an unbounded-key stream (event ids, request ids) the
+    * state store grows without limit, which is the actual production
+    * failure mode at 100 TB/day. WithinWatermark instead guarantees
+    * suppression only for duplicates arriving closer together than the
+    * watermark delay and EVICTS each key's state once the watermark
+    * passes it: state size is bounded by (arrival rate × delay),
+    * independent of stream lifetime. The harness re-sends every slice
+    * immediately (well inside the 10-minute delay), so the appended
+    * output still equals the batch distinct relation — same oracle as
+    * the unbounded variant, different state contract.
+    */
+  def dedupWithinWatermarkQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"event_id", $"user_id",
+        expr("timestamp_micros(ts div 1000)").as("ts"), $"value")
+      .orderBy($"event_id")
+      .as[StampedRow].collect()
+    val emptyOut = Seq.empty[(Long, Long, Double)]
+      .toDF("event_id", "user_id", "value")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val feeds = slices.zipWithIndex.map { case (s, i) =>
+      if (i == 0) s else slices(i - 1) ++ s
+    }
+    val in = MemoryStream[StampedRow](spark)
+    val name = runStreamToTable(spark, "dedup_within_wm", Some(4)) { (n, ck) =>
+      in.toDS()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q =>
+      feeds.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+    }
+    spark.table(name)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
   /** Streaming SCD2 maintenance — the CDC shape of
     * [[graft.operators.Relational.scd2Dimension]]: each user's OPEN
     * dimension version is per-key state (one small row), and an

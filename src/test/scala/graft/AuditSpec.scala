@@ -69,4 +69,24 @@ class AuditSpec extends AnyFunSuite {
     assert(math.abs(rows("neg").getDouble(7) + 1.0) < 1e-12)
     assert(rows("flat").isNullAt(7), "zero variance must yield NULL, not NaN")
   }
+
+  test("ab test report: counts partition the exposed set, Wilson " +
+    "brackets the point estimate, z matches a hand computation") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Audit.abTestReport(spark, sf).head()
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val viewers = Tables.events(spark, sf)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(na + nb == viewers)
+    assert(xa <= na && xb <= nb && na > 0 && nb > 0)
+    assert(xa > 0 && xa < na, "degenerate arm A: z/wilson would be 0/0")
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pb - pa) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(6) - z) < 1e-12)
+    // Wilson 95% bounds bracket p-hat and sit inside [0, 1]
+    val (lo, hi) = (r.getDouble(7), r.getDouble(8))
+    assert(lo >= 0 && hi <= 1 && lo <= pa && pa <= hi && lo < hi)
+    assert(r.getLong(4) == xa * 1000000L / na)
+  }
 }

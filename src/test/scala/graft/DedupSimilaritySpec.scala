@@ -602,4 +602,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(3) < 1000000L))
     assert(rows.exists(_.getLong(3) === 1000000L))
   }
+
+  test("prefix-filter join matches brute inverted-index jaccard (exactness)") {
+    // the brute path with NO df cap and the matching ppm threshold is
+    // the spec; prefix filtering must return the identical pair set
+    val pre = Dedup.prefixJaccardJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccardOf(
+        Tables.widened(spark, Tables.documents(spark, sf)),
+        n = 3, minJ = 0.3, maxDf = Long.MaxValue / 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre === brute)
+    assert(pre.nonEmpty, "degenerate spec: no near-dup pairs at this sf")
+  }
+
+  test("prefix filter excludes the ubiquitous token by construction " +
+    "(no df cap needed, still exact)") {
+    import spark.implicits._
+    // 40 docs sharing exactly one hot trigram, otherwise disjoint:
+    // each doc's prefix (its 3 rarest of 4 shingles) omits the hot
+    // one, so the candidate join generates ZERO pairs — and zero IS
+    // the exact answer (true pairwise jaccard 1/7 < 0.3). Where the
+    // inverted index needed the lossy DefaultMaxDf cap to avoid
+    // C(40,2) candidates, prefix filtering is exact AND bounded.
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"u$i v$i w$i hot1 hot2 hot3"))
+      .toDF("doc_id", "text")
+    assert(Dedup.prefixJaccardJoinOf(docs).count() == 0)
+    // a genuine near-dup through the hot region still surfaces: an
+    // exact copy shares the rare prefix tokens too
+    val twins = docs.union(Seq((100L, "u0 v0 w0 hot1 hot2 hot3"))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.prefixJaccardJoinOf(twins).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 100L)))
+    assert(pairs.head.getLong(3) == 1000000L, "identical docs: jaccard 1.0")
+  }
 }

@@ -204,4 +204,26 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scene cuts fire exactly at scene boundaries, nowhere else") {
+    import org.apache.spark.sql.functions.col
+    val M = graft.multimodal.Multimodal
+    val cuts = M.videoSceneCuts(spark, TestSpark.sf).collect()
+    assert(cuts.nonEmpty)
+    // a boundary is the first frame of scenes 1..n-1: idx % SceneLen == 0
+    cuts.foreach { r =>
+      val f = r.getInt(1)
+      assert(f % M.SceneLen == 0 && f > 0,
+        s"cut at non-boundary frame $f (media ${r.getLong(0)})")
+      // boundary L1: 16 bytes each shifted by 17 mod 256 — every |diff|
+      // is 17 or 239, so the delta is bounded by those extremes
+      val d = r.getLong(2)
+      assert(d >= 16L * 17 && d <= 16L * 239)
+    }
+    // and EVERY boundary of every video doc is present (no missed cuts)
+    val nVideos = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 3 === 2).count()
+    val boundariesPerVideo = (M.SceneFrames - 1) / M.SceneLen
+    assert(cuts.length.toLong == nVideos * boundariesPerVideo)
+  }
 }

@@ -556,4 +556,65 @@ class RelationalSpec extends AnyFunSuite {
       .except(wide.select($"l_returnflag", $"n_items", $"sum_price", $"sum_qty"))
       .isEmpty)
   }
+
+  test("min-cost supplier: every surviving offer IS its part's minimum " +
+    "(decorrelation did not drop or fabricate winners)") {
+    val rows = Relational.minCostSupplier(spark, sf, k = 1000000).collect()
+    assert(rows.nonEmpty)
+    // within the result, a part's rows all carry one identical price
+    // (the min), possibly from several tied suppliers
+    val byPart = rows.groupBy(_.getLong(3))
+    byPart.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(5)).distinct.length == 1) }
+    // independent recomputation of one part's true minimum
+    val somePart = byPart.keys.head
+    val want = spark.sql(
+      s"""SELECT MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
+         |  div CAST(l_quantity AS BIGINT))
+         |FROM parquet.`$sf/lineitem.parquet` WHERE l_partkey = $somePart
+         |""".stripMargin).head().getLong(0)
+    // the catalog min over in-region suppliers can exceed the global
+    // min but never undercut it
+    assert(byPart(somePart).head.getLong(5) >= want)
+  }
+
+  test("important parts: threshold is mean-relative and exact on the boundary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Relational.importantParts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val per = Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey")
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .as("v")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = per.map(_._2).map(BigInt(_)).sum
+    val n = BigInt(per.length)
+    val want = per.filter { case (_, v) =>
+      BigInt(v) * n * 10 > BigInt(Relational.ImportantPartTenths) * total }
+    assert(got === want.toMap)
+    assert(got.nonEmpty && got.size < per.length)
+  }
+
+  test("product profit: decimal-domain identity Σ(rev − cost) = Σrev − Σcost") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Relational.productProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val profitTotal = rows.map(_.getDouble(2)).sum
+    val parts = Tables.part(spark, sf)
+      .filter($"p_name".contains("widget"))
+      .select($"p_partkey", $"p_retailprice")
+    val li = Tables.lineitem(spark, sf)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val rev = li.agg(sum(graft.Fx.dec2($"l_extendedprice") *
+        (graft.Fx.one - graft.Fx.rate2($"l_discount"))).cast("double"))
+      .head().getDouble(0)
+    val cost = li.agg(sum(graft.Fx.dec2($"p_retailprice") *
+        lit(BigDecimal("0.80")).cast(org.apache.spark.sql.types.DecimalType(3, 2)) *
+        $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(4, 0)))
+      .cast("double")).head().getDouble(0)
+    // all three sums are exact decimals cast to double at the end, so
+    // the identity holds to double rounding of the final subtraction
+    assert(math.abs(profitTotal - (rev - cost)) < 1e-6 * math.abs(rev))
+  }
 }

@@ -297,4 +297,46 @@ class RetrievalSpec extends AnyFunSuite {
       .take(Graph.CoverageTopN).map(_.toLong).sum
     assert(sharePpm === topSlots * 1000000L / slots)
   }
+
+  test("pointer doubling: a depth-100 chain closes in 7 rounds, not 100") {
+    import spark.implicits._
+    // pure chain 0←1←2…←100; naive iteration needs 100 joins, doubling
+    // needs ⌈log2 100⌉ = 7
+    val ptr0 = (0L to 100L).map(i =>
+        if (i == 0) (i, 0L, 0L) else (i, i - 1, 1L))
+      .toDF("node", "anc", "d")
+    val closed = Graph.pointerDoublingClosure(ptr0, rounds = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(closed.size == 101)
+    (0L to 100L).foreach { i =>
+      assert(closed(i) == ((0L, i)), s"node $i root/depth wrong") }
+    // 6 rounds (2^6 = 64 < 100) must NOT fully close — proves the
+    // round count is doing real work, not masking a fixed point
+    val under = Graph.pointerDoublingClosure(ptr0, rounds = 6)
+      .filter(org.apache.spark.sql.functions.col("anc") =!= 0L).count()
+    assert(under > 0)
+  }
+
+  test("hierarchy rollup: doubling matches a driver-side recursive walk") {
+    val got = Graph.hierarchyRollup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // brute force on the collected fixture (500 docs at sf0.001)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def walk(id: Long): (Long, Long) = {  // (root, depth)
+      var cur = id; var d = 0L
+      while (cur >= Graph.HierarchyRoots) { cur = cur / 2; d += 1 }
+      (cur, d)
+    }
+    val brute = docs.map { case (id, nc) =>
+      val (root, depth) = walk(id); (root, depth, nc)
+    }.groupBy(_._1).map { case (root, xs) =>
+      root -> ((xs.length.toLong, xs.map(_._2).max, xs.map(_._2).sum,
+        xs.map(_._3).sum))
+    }
+    assert(got === brute)
+    assert(got.keySet == (0L until Graph.HierarchyRoots).toSet)
+  }
 }

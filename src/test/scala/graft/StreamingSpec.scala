@@ -891,4 +891,47 @@ class StreamingSpec extends AnyFunSuite {
     // otherwise the cross-trigger accumulation claim is untested
     assert(got.exists(_._2 > 1L))
   }
+
+  test("dedupWithinWatermark: suppresses close duplicates, equals batch distinct") {
+    val sf = TestSpark.sf
+    import spark.implicits._
+    val got = Streams.dedupWithinWatermarkQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.Tables.events(spark, sf)
+      .filter($"event_id" < Streams.HarnessFeedCap)
+      .select($"event_id", $"user_id", $"value").distinct()
+      .orderBy($"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("dedupWithinWatermark EVICTS key state at the watermark " +
+    "(a re-send after the delay re-emits — the bounded-state contract)") {
+    import spark.implicits._
+    import graft.streaming.Streams.StampedRow
+    def row(id: Long, tMin: Long) =
+      StampedRow(id, 1L, new java.sql.Timestamp(tMin * 60000L), 1.0)
+    val in = MemoryStream[StampedRow](spark)
+    val ck = java.nio.file.Files.createTempDirectory("wm_evict").toString
+    val q = in.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("wm_evict_t")
+      .option("checkpointLocation", ck)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      in.addData(row(1, 0));   q.processAllAvailable() // first arrival: emit
+      in.addData(row(1, 1));   q.processAllAvailable() // dup inside delay: suppressed
+      in.addData(row(99, 60)); q.processAllAvailable() // advance watermark to ~50min
+      in.addData(row(1, 61));  q.processAllAvailable() // id 1 state evicted: re-emit
+      val emitted = spark.table("wm_evict_t")
+        .filter($"event_id" === 1L).count()
+      assert(emitted == 2L,
+        "state for id 1 must be evicted once the watermark passes it")
+      // and plain dropDuplicates never would have: that's the
+      // unbounded-state tradeoff this operator exists to avoid
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS wm_evict_t")
+    }
+  }
 }
