@@ -272,6 +272,8 @@ object SparkEntry {
     "ab_test_report" -> ((s, d) => Audit.abTestReport(s, d)),
     "video_scene_cuts" -> ((s, d) =>
       graft.multimodal.Multimodal.videoSceneCuts(s, d)),
+    "hilbert_key" -> ((s, d) => graft.sources.Hilbert.hilbertKey(s, d)),
+    "curve_clustering" -> ((s, d) => graft.sources.Hilbert.curveClustering(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3258,5 +3260,10 @@ object SparkEntry {
     // window+HOF scene cuts vs a per-byte unnest/self-join
     // reconstruction — independent formulations of the same distances
     "video_scene_cuts" -> graft.multimodal.Multimodal.videoSceneCutsSql(),
+
+    // Hilbert curve: nibble-compiled automaton, identical literal
+    // tables in both engines (SpreadTable idiom)
+    "hilbert_key" -> graft.sources.Hilbert.hilbertKeySql(),
+    "curve_clustering" -> graft.sources.Hilbert.curveClusteringSql(),
   )
 }

@@ -65,4 +65,43 @@ class ZOrderSpec extends AnyFunSuite {
     // a-box/b-box workload reads strictly fewer files under z-order
     assert(zA + zB < linA + linB, s"sum: z=${zA + zB} lin=${linA + linB}")
   }
+
+  test("hilbert reference obeys the adjacency law (exhaustive, order 8)") {
+    import graft.sources.Hilbert
+    // THE Hilbert property Morton lacks: consecutive curve indexes are
+    // Manhattan-1 neighbors. Exhaustive over the full 256×256 grid.
+    val cells = for (x <- 0 until 256; y <- 0 until 256)
+      yield (Hilbert.xy2dRef(8, x, y), (x, y))
+    val sorted = cells.sortBy(_._1)
+    assert(sorted.map(_._1) == (0L until 65536L))   // a bijection
+    sorted.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
+  test("nibble-compiled hval equals the bit-level reference (order 16)") {
+    import graft.sources.Hilbert
+    import spark.implicits._
+    // mixed coverage: dense low grid + scattered large 16-bit values
+    val pts = (for (x <- 0 until 48; y <- 0 until 48) yield (x.toLong, y.toLong)) ++
+      (0 until 4096).map(i => ((i * 2654435761L) % 65536, (i * 40503L) % 65536))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Hilbert.hval($"x", $"y").as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == Hilbert.xy2dRef(16, x, y), s"($x,$y)")
+    }
+  }
+
+  test("curve clustering: hilbert covers the box workload in fewer runs") {
+    val rows = graft.sources.Hilbert.curveClustering(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // runs are between 1 and n_cells for both curves
+      val (n, h, z) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(h >= 1 && h <= n && z >= 1 && z <= n)
+    }
+    val (th, tz) = (rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    assert(th < tz, s"hilbert total runs $th must beat morton $tz")
+  }
 }
