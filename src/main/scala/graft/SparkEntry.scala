@@ -274,6 +274,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.videoSceneCuts(s, d)),
     "hilbert_key" -> ((s, d) => graft.sources.Hilbert.hilbertKey(s, d)),
     "curve_clustering" -> ((s, d) => graft.sources.Hilbert.curveClustering(s, d)),
+    "bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
+    "interval_overlap_join" -> ((s, d) => Temporal.intervalOverlapJoin(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3265,5 +3267,13 @@ object SparkEntry {
     // tables in both engines (SpreadTable idiom)
     "hilbert_key" -> graft.sources.Hilbert.hilbertKeySql(),
     "curve_clustering" -> graft.sources.Hilbert.curveClusteringSql(),
+
+    // bigram stupid-backoff code lengths in whole bits; conditional
+    // table capped, unigram census full — mirrored exactly
+    "bigram_surprisal" -> TextOps.bigramSurprisalSql(),
+
+    // bucket-decomposed interval×interval join with the exactly-once
+    // responsibility rule; oracle is the direct theta join
+    "interval_overlap_join" -> Temporal.intervalOverlapJoinSql(),
   )
 }

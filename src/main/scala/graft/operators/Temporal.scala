@@ -645,4 +645,85 @@ object Temporal {
       .select($"user_id", $"day", $"filled_value")
       .orderBy($"user_id", $"day")
   }
+
+  // ---------------------------------------------------------------------
+  // Interval × interval overlap join (bucket decomposition)
+  // ---------------------------------------------------------------------
+
+  /** Interval fixture durations (micros): an 'error' burst lasts 2 h, a
+    * deploy ('signup' plays the role) holds a 6 h window. Bucket width
+    * = the longer duration, so every interval spans at most 2 buckets.
+    */
+  val ErrorLenUs: Long = 2L * 3600 * 1000000
+  val DeployLenUs: Long = 6L * 3600 * 1000000
+  val OverlapBucketUs: Long = DeployLenUs
+
+  /** Incident attribution by INTERVAL OVERLAP — the interval×interval
+    * sibling of [[asofJoin]] (point→latest) and
+    * `range_join_nearby` (point-in-window): for each deploy window,
+    * how many error bursts did it overlap? Neither side is a point, and
+    * there is no equi-key, so the naive plan is a nested-loop theta
+    * join — quadratic, the thing that cannot run at 100 TB.
+    *
+    * The scalable plan is BUCKET DECOMPOSITION: time is cut into
+    * fixed-width buckets no narrower than the longest interval, each
+    * interval is exploded into the (≤2) buckets it touches — a pure
+    * bounded projection — and candidates come from ONE equi-join on the
+    * bucket id. A pair overlapping across a bucket boundary would be
+    * seen twice, so instead of a distinct, the RESPONSIBILITY RULE
+    * keeps exactly the bucket containing `max(start_a, start_b)` (the
+    * instant the overlap begins, provably inside both intervals and
+    * both bucket lists): every overlapping pair is emitted exactly
+    * once, with no dedup shuffle. Half-open [s, e) semantics; the
+    * DuckDB oracle is the direct theta join — independent plan, same
+    * pairs.
+    */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def intervals(eventType: String, lenUs: Long) =
+      graft.Tables.events(spark, dir)
+        .filter($"event_type" === eventType)
+        .select($"event_id", expr("ts div 1000").as("s"),
+          (expr("ts div 1000") + lenUs).as("e"))
+    intervalOverlapJoinOf(intervals("signup", DeployLenUs),
+      intervals("error", ErrorLenUs), OverlapBucketUs)
+  }
+
+  /** [[intervalOverlapJoin]] over arbitrary (event_id, s, e) interval
+    * relations. `bucketUs` must be ≥ the longest interval on either
+    * side (required, checked: a longer interval would explode into >2
+    * buckets — still correct, but the caller should know its cost
+    * model broke).
+    */
+  def intervalOverlapJoinOf(deploys: DataFrame, errors: DataFrame,
+      bucketUs: Long): DataFrame = {
+    val spark = deploys.sparkSession
+    import spark.implicits._
+    val W = bucketUs
+    def bucketed(df: DataFrame, tag: String) =
+      df.select($"event_id".as(s"${tag}_id"), $"s".as(s"${tag}_s"),
+          $"e".as(s"${tag}_e"),
+          // integer division: timestamps are positive micros
+          explode(sequence(expr(s"s div $W"), expr(s"(e - 1) div $W")))
+            .as("bucket"))
+    val cand = bucketed(deploys, "d").join(bucketed(errors, "x"), "bucket")
+      .filter($"d_s" < $"x_e" && $"x_s" < $"d_e" &&
+        $"bucket" === expr(s"greatest(d_s, x_s) div $W"))
+    val counts = cand.groupBy($"d_id").agg(count(lit(1)).as("n_overlaps"))
+    deploys.join(counts, $"event_id" === $"d_id", "left")
+      .select($"event_id", coalesce($"n_overlaps", lit(0L)).as("n_overlaps"))
+      .orderBy($"event_id")
+  }
+
+  /** [[intervalOverlapJoin]] oracle: the direct theta join. */
+  def intervalOverlapJoinSql(): String =
+    s"""WITH d AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+       |    CAST(epoch_us(ts) AS BIGINT) + $DeployLenUs AS e
+       |  FROM events WHERE event_type = 'signup'),
+       |x AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS s,
+       |    CAST(epoch_us(ts) AS BIGINT) + $ErrorLenUs AS e
+       |  FROM events WHERE event_type = 'error')
+       |SELECT d.event_id, CAST(COUNT(x.s) AS BIGINT) AS n_overlaps
+       |FROM d LEFT JOIN x ON d.s < x.e AND x.s < d.e
+       |GROUP BY d.event_id ORDER BY d.event_id""".stripMargin
 }

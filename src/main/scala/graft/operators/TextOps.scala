@@ -1276,4 +1276,93 @@ object TextOps {
        |FROM dw JOIN tok USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** Bigram-model state bounds: the conditional table keeps the top
+    * [[BigramVocab]] pairs (the quadratic space is the one that needs
+    * capping); a pair outside it BACKS OFF to the unigram code plus
+    * [[BackoffPenaltyBits]] whole bits — the stupid-backoff shape
+    * (Brants et al. 2007) in integer arithmetic.
+    */
+  val BigramVocab = 2000
+  val BackoffPenaltyBits = 3L
+
+  /** Bigram-LM surprisal — the perplexity-flavored quality filter one
+    * step up from [[unigramSurprisalOf]]: each adjacent pair (w1, w2)
+    * costs floor(log2(c(w1) / c(w1,w2))) whole bits — the integer
+    * conditional code length P(w2|w1) — when the pair is in the top-V
+    * bigram table, else the unigram code of w2 plus a fixed backoff
+    * penalty. Fluent text (pairs the corpus has seen) scores low;
+    * shuffled or boilerplate-stitched text scores high even when its
+    * unigrams are common — the signal unigram surprisal cannot see.
+    *
+    * Scale shape: pair extraction is a PURE projection (tokens zipped
+    * with their own shift — no positional self-join); the bigram table
+    * is capped state (top-V, deterministic tie-break) and broadcasts;
+    * the unigram census is vocabulary-sized (Heaps-sublinear in corpus
+    * size) and broadcasts here — swap its two joins to shuffle joins
+    * at vocabularies beyond broadcast reach, nothing else changes.
+    * Whole-bit integers end to end; docs with fewer than 2 tokens have
+    * no bigrams and are excluded by construction (mirrored in the
+    * oracle).
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[bigramSurprisal]] over any (doc_id, text) relation. */
+  def bigramSurprisalOf(docs: DataFrame,
+      vocab: Int = BigramVocab): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = TextFns.tokens($"text")
+    val pairs = docs.filter(size(t) >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val words = docs.select(explode(TextFns.tokens($"text")).as("word"))
+    val ucensus = words.groupBy($"word").agg(count(lit(1)).as("ucnt")).cache()
+    val total = ucensus.agg(sum($"ucnt")).first().getLong(0)
+    val bcensus = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("bcnt"))
+      .orderBy($"bcnt".desc, $"w1", $"w2").limit(vocab)
+    val bits =
+      when($"bcnt".isNotNull, length(bin(expr("c1 div bcnt"))) - 1)
+        .otherwise(length(bin(expr(s"${total}L div c2"))) - 1
+          + lit(BackoffPenaltyBits))
+    pairs
+      .join(broadcast(bcensus), Seq("w1", "w2"), "left")
+      .join(broadcast(ucensus.select($"word".as("w1"), $"ucnt".as("c1"))), Seq("w1"))
+      .join(broadcast(ucensus.select($"word".as("w2"), $"ucnt".as("c2"))), Seq("w2"))
+      .select($"doc_id", bits.cast("long").as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("sum_bits"))
+      .select($"doc_id", $"n_bigrams", $"sum_bits",
+        expr("sum_bits * 100 div n_bigrams").as("centibits_per_bigram"))
+      .orderBy($"doc_id")
+  }
+
+  /** [[bigramSurprisal]] oracle. */
+  def bigramSurprisalSql(vocab: Int = BigramVocab): String =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |uc AS (SELECT word, COUNT(*) AS ucnt FROM w GROUP BY word),
+       |t AS (SELECT SUM(ucnt) AS total FROM uc),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |bg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+       |  FROM d, unnest(generate_series(1, len(l) - 1)) AS g(i)
+       |  WHERE len(l) >= 2),
+       |bc AS (SELECT w1, w2, COUNT(*) AS bcnt FROM bg GROUP BY w1, w2
+       |  ORDER BY bcnt DESC, w1, w2 LIMIT $vocab),
+       |sc AS (SELECT bg.doc_id,
+       |    CASE WHEN bc.bcnt IS NOT NULL
+       |      THEN length(bin(u1.ucnt // bc.bcnt)) - 1
+       |      ELSE length(bin((SELECT total FROM t) // u2.ucnt)) - 1
+       |        + $BackoffPenaltyBits END AS bits
+       |  FROM bg
+       |  LEFT JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+       |  JOIN uc u1 ON bg.w1 = u1.word
+       |  JOIN uc u2 ON bg.w2 = u2.word)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       |  CAST(SUM(bits) AS BIGINT) * 100 // COUNT(*) AS centibits_per_bigram
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

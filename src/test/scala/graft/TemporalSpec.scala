@@ -291,4 +291,31 @@ class TemporalSpec extends AnyFunSuite {
       assert(open <= high && open >= low, "open within [low, high]")
     }
   }
+
+  test("interval overlap join: responsibility rule emits each pair once, " +
+    "half-open boundaries, zero-overlap rows kept") {
+    import spark.implicits._
+    val W = 100L
+    // deploys: d1=[50,250) spans 3 buckets; d2=[300,340); d3=[500,520)
+    val deploys = Seq((1L, 50L, 250L), (2L, 300L, 340L), (3L, 500L, 520L))
+      .toDF("event_id", "s", "e")
+    // errors: a=[240,260) overlaps d1 in its LAST bucket (cross-boundary
+    // pair seen in 2 shared buckets — must count once); b=[0,51)
+    // overlaps d1's first; c=[340,360) TOUCHES d2 (e==s: half-open, no
+    // overlap); d=[100,200) nested inside d1
+    val errors = Seq((10L, 240L, 260L), (11L, 0L, 51L), (12L, 340L, 360L),
+        (13L, 100L, 200L))
+      .toDF("event_id", "s", "e")
+    val got = graft.operators.Temporal
+      .intervalOverlapJoinOf(deploys, errors, W)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+    // agreement with the corpus-level query's direct-oracle semantics:
+    // brute-force theta count over the same frames
+    val brute = deploys.as("d").crossJoin(errors.as("x"))
+      .filter($"d.s" < $"x.e" && $"x.s" < $"d.e")
+      .groupBy($"d.event_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._2 > 0) == brute)
+  }
 }

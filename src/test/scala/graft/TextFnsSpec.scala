@@ -505,4 +505,35 @@ class TextFnsSpec extends AnyFunSuite {
     assert(row.getDouble(6) === wantKappa)
     assert(row.getDouble(6) > -1.0 && row.getDouble(6) < 1.0)
   }
+
+  test("bigram surprisal: hand-computed bits, fluent < disfluent") {
+    // census: c(x)=c(y)=7, total 14; pairs: xy=5, yx=4, yy=1, xx=1
+    val docs = Seq(
+      (1L, "x y x y x y"),   // all pairs common → 0 bits each
+      (2L, "x y x y"),
+      (3L, "y y x x")        // yy/xx are rare: 7 div 1 = 7 → 2 bits
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisalOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 0L, 0L)))
+    assert(got(2L) == ((3L, 0L, 0L)))
+    assert(got(3L) == ((3L, 4L, 133L)))   // 0+2+2 bits over 3 pairs
+    // capped table (top-2 pairs): yy/xx back off to unigram+penalty =
+    // floor(log2(14 div 7)) + 3 = 4 bits each
+    val capped = TextOps.bigramSurprisalOf(docs, vocab = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped(3L) == 8L)
+    assert(capped(1L) == 0L)
+    // the discriminative claim on the real corpus: reversing a doc's
+    // tokens (same unigrams, broken pairs) must not score lower
+    val real = Tables.documents(spark, sf).select("doc_id", "text")
+    val fluent = TextOps.bigramSurprisalOf(real)
+      .agg(sum($"sum_bits")).head().getLong(0)
+    val scrambled = TextOps.bigramSurprisalOf(
+        real.select($"doc_id",
+          concat_ws(" ", reverse(split($"text", " "))).as("text")))
+      .agg(sum($"sum_bits")).head().getLong(0)
+    assert(scrambled > fluent,
+      s"reversed corpus must cost more bits: $scrambled vs $fluent")
+  }
 }
