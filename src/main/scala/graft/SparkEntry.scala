@@ -276,6 +276,7 @@ object SparkEntry {
     "curve_clustering" -> ((s, d) => graft.sources.Hilbert.curveClustering(s, d)),
     "bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     "interval_overlap_join" -> ((s, d) => Temporal.intervalOverlapJoin(s, d)),
+    "xml_roundtrip" -> ((s, d) => graft.sources.Sources.xmlRoundtrip(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3275,5 +3276,8 @@ object SparkEntry {
     // bucket-decomposed interval×interval join with the exactly-once
     // responsibility rule; oracle is the direct theta join
     "interval_overlap_join" -> Temporal.intervalOverlapJoinSql(),
+
+    // Spark 4 built-in XML source round-trip
+    "xml_roundtrip" -> "SELECT * FROM part ORDER BY p_partkey",
   )
 }

@@ -138,6 +138,32 @@ object Sources {
     jsonLines(spark, out, Some(schema)).orderBy("p_partkey")
   }
 
+  /** Oracle-checked driver query: the part catalog through Spark 4's
+    * BUILT-IN XML source (native since 4.0 — no spark-xml package
+    * needed; the Avro CONNECTOR, by contrast, is an external module
+    * absent from this container, so XML is the remaining exercisable
+    * built-in format after csv/json/parquet/orc). Round-trips the
+    * table through an XML write (one `<part>` row element per record)
+    * and a schema'd read with the same type coercion discipline as
+    * [[jsonRoundtrip]]. XML scan is splittable per file; the write
+    * shards by partition like every other text sink, so the shape
+    * holds at scale.
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType)))
+    val out = scratchDir(spark, "xml_roundtrip")
+    graft.Tables.part(spark, dir).write.mode("overwrite")
+      .format("xml").option("rowTag", "part").save(out)
+    spark.read.format("xml").option("rowTag", "part").schema(schema)
+      .load(out).orderBy("p_partkey")
+  }
+
   /** Oracle-checked driver query: PERMISSIVE JSON ingestion with
     * corrupt-record isolation — the robustness surface every real feed
     * hits (a producer bug emits truncated lines; the reader must

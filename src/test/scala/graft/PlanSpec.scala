@@ -490,4 +490,77 @@ class PlanSpec extends AnyFunSuite {
     assert(!ph.contains("BroadcastNestedLoopJoin") &&
       !ph.contains("CartesianProduct"))
   }
+
+  test("observe() rides the existing scan: dq metrics with zero extra passes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the production pattern for pipeline health counters: attach
+    // accumulator-backed metrics to the SAME pass that does the work,
+    // instead of a second count()/agg() scan of the input
+    val df = Tables.lineitem(spark, sf)
+      .observe("dq", count(lit(1)).as("rows_seen"),
+        sum(($"l_quantity" <= 0).cast("long")).as("bad_qty"),
+        sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .as("cents_seen"))
+      .filter($"l_quantity" >= 30)
+    // execute THIS dataframe's own queryExecution: metrics attach to
+    // the executed plan (a .count() action plans a separate query and
+    // would leave these observed metrics unpopulated)
+    val kept = df.collect().length.toLong
+    val m = df.queryExecution.observedMetrics("dq")
+    assert(m.getAs[Long]("rows_seen") > kept,
+      "metrics must see PRE-filter rows — they ride the scan, not the result")
+    assert(m.getAs[Long]("bad_qty") == 0L)
+    // exact agreement with an independent aggregate over the table
+    val want = Tables.lineitem(spark, sf).agg(count(lit(1)),
+      sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")))
+      .head()
+    assert(m.getAs[Long]("rows_seen") == want.getLong(0))
+    assert(m.getAs[Long]("cents_seen") == want.getLong(1))
+    // and only ONE scan of lineitem in the executed plan
+    val scans = plan(df).split('\n').count(_.contains("lineitem.parquet"))
+    assert(scans == 1, s"observe must not add a scan ($scans seen)")
+  }
+
+  test("CBO column stats flip a filtered-dim join to broadcast") {
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("cbo_part").toString
+    Tables.part(spark, sf).write.mode("overwrite").parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS cbo_part")
+    spark.sql(s"CREATE TABLE cbo_part USING parquet LOCATION '$loc'")
+    val li = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_quantity"))
+    // the dim keeps ALL columns through the join: the size-only
+    // estimator scales sizeInBytes by projected column widths, so a
+    // pre-projected dim would look broadcastable without any stats
+    def joined = li.join(spark.table("cbo_part")
+        .filter(col("p_type") === "ECONOMY"),
+      col("l_partkey") === col("p_partkey"))
+    val fileBytes = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    try {
+      // threshold at 60% of the actual file size: the size-only
+      // estimator (filter selectivity 1.0) sees the full file and
+      // refuses to broadcast; the CBO estimate after ANALYZE is
+      // ECONOMY's ~17% share and fits
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(2048L, fileBytes * 6 / 10).toString)
+      val before = plan(joined)
+      assert(before.contains("SortMergeJoin"),
+        s"without column stats the filtered dim must look too big:\n$before")
+      // ANALYZE: row count + p_type histogram → the equality filter's
+      // selectivity is now known, the estimate drops under the
+      // threshold, and the SAME query plans a broadcast with NO hint
+      spark.sql("ANALYZE TABLE cbo_part COMPUTE STATISTICS FOR COLUMNS p_type, p_partkey")
+      val after = plan(joined)
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats must flip the join to broadcast:\n$after")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS cbo_part")
+    }
+  }
 }
