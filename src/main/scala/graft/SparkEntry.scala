@@ -277,6 +277,9 @@ object SparkEntry {
     "bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     "interval_overlap_join" -> ((s, d) => Temporal.intervalOverlapJoin(s, d)),
     "xml_roundtrip" -> ((s, d) => graft.sources.Sources.xmlRoundtrip(s, d)),
+    "funnel_windowed" -> ((s, d) => Relational.funnelWindowed(s, d)),
+    "streaming_tws_timer_sessions" -> ((s, d) =>
+      graft.streaming.Streams.twsTimerSessionsQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3279,5 +3282,32 @@ object SparkEntry {
 
     // Spark 4 built-in XML source round-trip
     "xml_roundtrip" -> "SELECT * FROM part ORDER BY p_partkey",
+
+    // earliest-qualifying funnel with a 24h conversion window: greedy
+    // HOF walk vs chained bounded-MIN fixpoint — equivalent by
+    // induction, independently formulated
+    "funnel_windowed" -> Relational.funnelWindowedSql(),
+
+    // event-time-timer sessionizer == the batch lag-form sessionize
+    // over the same capped feed (close-ordered 0-based session ids)
+    "streaming_tws_timer_sessions" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+         |  WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
+         |), f AS (
+         |  SELECT user_id, event_id, tsu,
+         |    CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+         |              > 43200000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM x
+         |), s AS (
+         |  SELECT user_id, tsu,
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM f
+         |)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  CAST(MIN(tsu) AS BIGINT) AS t_start, CAST(MAX(tsu) AS BIGINT) AS t_end
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
   )
 }

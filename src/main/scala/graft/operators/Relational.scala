@@ -521,6 +521,78 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Conversion window for [[funnelWindowed]]: each stage must land
+    * within 24 h of the previous one (micros).
+    */
+  val FunnelWindowUs: Long = 24L * 3600 * 1000000
+
+  /** Time-bounded funnel — [[funnelSteps]] with the conversion-window
+    * constraint every product funnel actually ships: stage i counts
+    * only if it lands in `(t_{i-1}, t_{i-1} + W]`. Semantics are
+    * EARLIEST-QUALIFYING (the industry-standard greedy walk — each
+    * stage takes the first qualifying event given the previous stage's
+    * fixed time), stated identically in the oracle as a chain of
+    * bounded MINs; this is deliberately NOT maximal-reachability,
+    * which would require backtracking over candidate times and is not
+    * what funnel products report. Same single-shuffle shape as the
+    * unbounded funnel: per-user sorted fold, greedy walk as a codegen
+    * `aggregate` HOF, per-user state bounded by the user's own events.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnelWindowedOf(Tables.events(spark, dir), FunnelStages, FunnelWindowUs)
+
+  /** [[funnelWindowed]] over any (user_id, ts NANOS-LONG, event_type). */
+  def funnelWindowedOf(events: DataFrame, stages: Seq[String],
+      windowUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stagesArr = array(stages.map(lit): _*)
+    val perUser = events
+      .filter($"event_type".isin(stages: _*))
+      .select($"user_id", expr("ts div 1000").as("tsu"), $"event_type")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tsu", $"event_type"))).as("seq"))
+    val walked = aggregate($"seq",
+      array().cast("array<bigint>"),
+      (st, e) => when(
+        size(st) < stages.size &&
+          e.getField("event_type") === element_at(stagesArr, size(st) + 1) &&
+          (size(st) === 0 ||
+            (e.getField("tsu") > element_at(st, -1) &&
+              e.getField("tsu") <= element_at(st, -1) + windowUs)),
+        concat(st, array(e.getField("tsu")))).otherwise(st))
+    perUser.select($"user_id", walked.as("ts_arr"))
+      .select(($"user_id" +: size($"ts_arr").as("n_stages") +:
+        stages.indices.map(i => get($"ts_arr", lit(i)).as(s"t_${stages(i)}"))): _*)
+      .orderBy($"user_id")
+  }
+
+  /** [[funnelWindowed]] oracle: chained bounded-MIN CTEs — the
+    * fixpoint formulation of the same earliest-qualifying walk.
+    */
+  def funnelWindowedSql(stages: Seq[String] = FunnelStages,
+      windowUs: Long = FunnelWindowUs): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      val bound = if (i == 0) "" else
+        s" JOIN s${i - 1} USING (user_id)" +
+          s" WHERE e.tsu > s${i - 1}.t_${stages(i - 1)}" +
+          s" AND e.tsu <= s${i - 1}.t_${stages(i - 1)} + $windowUs"
+      s"""s$i AS (SELECT user_id, MIN(tsu) AS t_$st
+         |  FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+         |        FROM events WHERE event_type = '$st') e$bound
+         |  GROUP BY user_id)""".stripMargin
+    }.mkString(",\n")
+    val tCols = stages.map(st => s"t_$st").mkString(", ")
+    val nStages = stages.map(st =>
+      s"CASE WHEN t_$st IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events
+       |  WHERE event_type IN (${stages.map(s => s"'$s'").mkString(", ")})),
+       |$ctes
+       |SELECT user_id, CAST($nStages AS INTEGER) AS n_stages, $tCols
+       |FROM u ${stages.indices.map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")}
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** Snapshot reconciliation (table diff) — the incremental-sync audit
     * a pipeline runs between corpus versions: full outer join on the
     * key, rows classified added / removed / changed by md5 content

@@ -1223,6 +1223,143 @@ object Streams {
     }
   }
 
+  case class TwsSession(user_id: Long, session_id: Long, n_events: Long,
+      t_start: Long, t_end: Long)
+
+  /** Gap-close sessionizer on `transformWithState` EVENT-TIME TIMERS —
+    * the timer surface of the modern stateful API ([[RunningStatsProcessor]]
+    * covers the state surface; MarkerBuffer covers the legacy
+    * mapGroupsWithState timeout). A session closes in one of two ways:
+    * an in-batch successor arrives more than `gap` after the current
+    * end (immediate close + new session), or NO successor arrives and
+    * the registered timer at `t_end + gap` fires once the WATERMARK
+    * passes it — the production mechanism that flushes idle users
+    * without waiting for their next event. State per user: one open
+    * session (3 longs) + the closed-session counter; stale timers are
+    * deleted on every extension, so live timers ≤ 1 per user.
+    */
+  private[streaming] class TimerSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StampedRow, TwsSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, ValueState}
+    // (closed_count, t_start, t_end, n) — t_start = -1 ⇔ no open session
+    @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + t.getNanos / 1000 % 1000
+    private def timerMs(tEndUs: Long): Long = (tEndUs + gapUs) / 1000
+    override def handleInputRows(key: Long, rows: Iterator[StampedRow],
+        tv: TimerValues): Iterator[TwsSession] = {
+      var (closed, ts0, ts1, n) =
+        if (st.exists()) st.get() else (0L, -1L, -1L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[TwsSession]
+      // within a trigger the iterator is unordered; the fold needs the
+      // same (tsu, event_id) total order as the batch lag form
+      rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+        val t = micros(r.ts)
+        if (ts0 < 0) { ts0 = t; ts1 = t; n = 1 }
+        else if (t - ts1 > gapUs) {
+          out += TwsSession(key, closed, n, ts0, ts1)
+          getHandle.deleteTimer(timerMs(ts1))
+          closed += 1; ts0 = t; ts1 = t; n = 1
+        } else {
+          getHandle.deleteTimer(timerMs(ts1))
+          ts1 = math.max(ts1, t); n += 1
+        }
+        getHandle.registerTimer(timerMs(ts1))
+      }
+      st.update((closed, ts0, ts1, n))
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TwsSession] = {
+      val (closed, ts0, ts1, n) =
+        if (st.exists()) st.get() else (0L, -1L, -1L, 0L)
+      // only the CURRENT session's timer is live (stale ones deleted);
+      // guard anyway: a fired timer for an already-closed session no-ops
+      if (ts0 >= 0 && info.getExpiryTimeInMs() == timerMs(ts1)) {
+        st.update((closed + 1, -1L, -1L, 0L))
+        Iterator.single(TwsSession(key, closed, n, ts0, ts1))
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer sentinel horizon: one far-future row advances the watermark
+    * past every pending session timer so the final sessions flush —
+    * the bounded-harness stand-in for a stream that keeps running.
+    */
+  private val TimerSentinelUs = 100L * 24 * 3600 * 1000000
+
+  /** Event-time-timer sessionization query: the streamed closed-session
+    * set must equal the batch lag-form [[graft.operators.Relational.sessionize]]
+    * over the same capped feed (session ids are close-ordered 0-based
+    * per user in both). Watermark 1 h covers the corpus's local
+    * disorder; a sentinel user advances the final watermark.
+    */
+  def twsTimerSessionsQuery(spark: SparkSession, dir: String,
+      gapUs: Long = 12L * 3600 * 1000000L,
+      numBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"event_id", $"user_id",
+        expr("timestamp_micros(ts div 1000)").as("ts"), $"value")
+      .orderBy($"event_id")
+      .as[StampedRow].collect()
+    val emptyOut = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("user_id", "session_id", "n_events", "t_start", "t_end")
+    if (evs.isEmpty) return emptyOut
+    val maxUs = evs.map(r => r.ts.getTime * 1000 + r.ts.getNanos / 1000 % 1000).max
+    val sentinel = StampedRow(-1L, -1L,
+      new java.sql.Timestamp((maxUs + TimerSentinelUs) / 1000), 0.0)
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StampedRow](spark)
+      val name = runStreamToTable(spark, "tws_timer_sessions", Some(4)) { (n, ck) =>
+        in.toDS()
+          .withWatermark("ts", "1 hour")
+          .groupByKey(_.user_id)
+          .transformWithState(new TimerSessionProcessor(gapUs),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[TwsSession]])
+          .toDF()
+          .writeStream.format("memory").queryName(n)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Append).start()
+      } { q =>
+        slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+        in.addData(sentinel); q.processAllAvailable()
+      }
+      spark.table(name)
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"session_id", $"n_events", $"t_start", $"t_end")
+        .orderBy($"user_id", $"session_id")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   /** Streaming EWMA: the per-user exponential recency score
     * (`Temporal.ewmaValueOf`, α = 1/2 integer-cents halving) maintained
     * as ONE long of `mapGroupsWithState` state per user — the

@@ -595,6 +595,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < per.length)
   }
 
+  test("windowed funnel: late stages break the chain; never beats unbounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val h = 3600L * 1000000000L  // an hour in nanos
+    val ev = Seq(
+      // u1: clean conversion inside every 24h window
+      (1L, 0 * h, "signup"), (1L, 1 * h, "view"), (1L, 2 * h, "click"),
+      (1L, 3 * h, "purchase"),
+      // u2: click arrives 26h after view → window broken at stage 3;
+      // the later purchase cannot resurrect it
+      (2L, 0 * h, "signup"), (2L, 1 * h, "view"), (2L, 27 * h, "click"),
+      (2L, 28 * h, "purchase"),
+      // u3: the EARLIEST view is in-window, a second view is not —
+      // earliest-qualifying must bind to the first
+      (3L, 0 * h, "signup"), (3L, 2 * h, "view"), (3L, 30 * h, "view"),
+      (3L, 3 * h, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Relational.funnelWindowedOf(ev, Relational.FunnelStages,
+        Relational.FunnelWindowUs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 4, 2L -> 2, 3L -> 2))
+    // u2's chain break is the window's doing, not the data's
+    val unbounded = Relational.funnelStepsOf(ev, Relational.FunnelStages)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(unbounded(2L) == 4)
+    // corpus-level: windowed progression is pointwise <= unbounded and
+    // strictly below somewhere (the window must bite at this sf)
+    val w = Relational.funnelWindowed(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val u = Relational.funnelSteps(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(w.keySet == u.keySet)
+    assert(w.forall { case (k, n) => n <= u(k) })
+    assert(w.exists { case (k, n) => n < u(k) })
+  }
+
   test("product profit: decimal-domain identity Σ(rev − cost) = Σrev − Σcost") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

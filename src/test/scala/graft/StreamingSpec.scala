@@ -892,6 +892,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 1L))
   }
 
+  test("tws event-time timers: streamed sessions equal the batch lag form " +
+    "(every user's final session can only close via its timer)") {
+    val sf = TestSpark.sf
+    import spark.implicits._
+    val got = Streams.twsTimerSessionsQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val cap = Streams.HarnessFeedCap
+    val want = graft.operators.Relational.sessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // sf0.001 has all event_ids < cap, so batch over the full table IS
+    // the capped feed
+    assert(Tables.events(spark, sf)
+      .filter($"event_id" >= cap).isEmpty, "feed-cap premise")
+    assert(got == want)
+    assert(got.nonEmpty)
+    // multi-session users exist, so IN-BATCH closes ran too — both
+    // close paths are exercised, not just the timer flush
+    assert(got.exists(_._2 > 0L), "no user ever re-sessioned: gap never bit")
+  }
+
   test("dedupWithinWatermark: suppresses close duplicates, equals batch distinct") {
     val sf = TestSpark.sf
     import spark.implicits._
