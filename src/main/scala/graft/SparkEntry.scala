@@ -280,6 +280,7 @@ object SparkEntry {
     "funnel_windowed" -> ((s, d) => Relational.funnelWindowed(s, d)),
     "streaming_tws_timer_sessions" -> ((s, d) =>
       graft.streaming.Streams.twsTimerSessionsQuery(s, d)),
+    "variant_decode" -> ((s, d) => Relational.variantDecode(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3309,5 +3310,8 @@ object SparkEntry {
          |  CAST(MIN(tsu) AS BIGINT) AS t_start, CAST(MAX(tsu) AS BIGINT) AS t_end
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // Spark 4 VARIANT parse/extract/schema vs DuckDB JSON extraction
+    "variant_decode" -> Relational.variantDecodeSql(),
   )
 }

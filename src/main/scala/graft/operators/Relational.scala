@@ -593,6 +593,44 @@ object Relational {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Semi-structured decode through Spark 4's VARIANT type — the
+    * binary-encoded JSON representation that replaces
+    * string-JSON + get_json_object for schema-flexible columns (parse
+    * once, extract many, no per-access reparse; the same design as
+    * Snowflake/Delta variant). The pipeline: `parse_json` lifts the
+    * props payload to VariantType, `variant_get` does typed path
+    * extraction, `schema_of_variant` reports the observed shape, and a
+    * per-type aggregate proves the extracted values survive exactly.
+    * At scale the parse is a codegen'd projection; only the extracted
+    * longs reach the shuffle. Oracle: DuckDB's native JSON extraction
+    * over the same strings.
+    */
+  def variantDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.widened(spark, Tables.events(spark, dir))
+      .select($"event_type",
+        parse_json($"props").as("v"))
+      .select($"event_type",
+        variant_get($"v", "$.k", "long").as("k"),
+        schema_of_variant($"v").as("vschema"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"),
+        max($"vschema").as("variant_schema"))
+      .orderBy($"event_type")
+  }
+
+  /** [[variantDecode]] oracle — the schema string matches Spark's
+    * `schema_of_variant` rendering for `{"k": <int>}`.
+    */
+  def variantDecodeSql(): String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  'OBJECT<k: BIGINT>' AS variant_schema
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Snapshot reconciliation (table diff) — the incremental-sync audit
     * a pipeline runs between corpus versions: full outer join on the
     * key, rows classified added / removed / changed by md5 content

@@ -154,6 +154,18 @@ object Hilbert {
       .orderBy($"hval", $"l_partkey", $"l_suppkey")
   }
 
+  /** Write `df` Hilbert-ordered on (a, b) into `nFiles`
+    * range-partitioned parquet files — [[ZOrder.zorderWrite]] with the
+    * curve swapped. Same write pipeline, same scale shape.
+    */
+  def hilbertWrite(df: DataFrame, a: String, b: String, out: String,
+      nFiles: Int): Unit =
+    df.withColumn("__h", hval(col(a), col(b)))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(out)
+
   /** [[hilbertKey]] oracle. */
   def hilbertKeySql(): String =
     s"""SELECT l_partkey, l_suppkey, ${hvalSql("l_partkey", "l_suppkey")} AS hval

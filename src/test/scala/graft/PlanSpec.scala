@@ -522,6 +522,29 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"observe must not add a scan ($scans seen)")
   }
 
+  test("AQE re-plans a sort-merge join to broadcast from RUNTIME sizes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the small side is an aggregate (per-supplier totals): its STATIC
+    // estimate is the child's full size, so the static planner picks
+    // sort-merge; at runtime the shuffle materializes ~10 rows and AQE
+    // swaps in a broadcast join mid-query — the mechanism that saves
+    // every mis-estimated join at 100 TB without a manual hint
+    val li = Tables.lineitem(spark, sf)
+    val perSupp = li.groupBy($"l_suppkey")
+      .agg(sum(graft.Fx.dec2($"l_extendedprice")).as("supp_total"))
+    val joined = li.select($"l_suppkey", $"l_quantity")
+      .join(perSupp, Seq("l_suppkey"))
+    val statik = joined.queryExecution.executedPlan.toString
+    assert(statik.contains("SortMergeJoin") || statik.contains("AdaptiveSparkPlan"),
+      s"pre-execution plan should not already be broadcast:\n$statik")
+    val after = executedPlanOf(joined)
+    assert(after.contains("isFinalPlan=true"))
+    assert(after.contains("BroadcastHashJoin"),
+      s"AQE must flip to broadcast once runtime sizes are known:\n$after")
+    assert(!after.contains("SortMergeJoin"))
+  }
+
   test("CBO column stats flip a filtered-dim join to broadcast") {
     import org.apache.spark.sql.functions._
     val loc = java.nio.file.Files.createTempDirectory("cbo_part").toString

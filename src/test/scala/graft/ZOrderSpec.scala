@@ -66,6 +66,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zA + zB < linA + linB, s"sum: z=${zA + zB} lin=${linA + linB}")
   }
 
+  test("hilbert layout prunes files like z-order; box workload never worse") {
+    import spark.implicits._
+    val grid = spark.range(65536L)
+      .select(($"id" % 256).as("a"), ($"id" / 256).cast("long").as("b"))
+    val hDir = graft.sources.Sources.scratchDir(spark, "hilbert_grid")
+    val zDir = graft.sources.Sources.scratchDir(spark, "zorder_grid_cmp")
+    graft.sources.Hilbert.hilbertWrite(grid, "a", "b", hDir, 16)
+    ZOrder.zorderWrite(grid, "a", "b", zDir, 16)
+    val full = (0L, 255L)
+    val box = (0L, 63L)
+    // per-dimension boxes: hilbert, like z-order, prunes on BOTH axes
+    val (hA, hB) = (overlapping(hDir, box, full), overlapping(hDir, full, box))
+    assert(hA < 16 && hB < 16, s"hilbert must prune both axes: a=$hA b=$hB")
+    // the 16-box tiling workload (each an aligned 64×64 quadrant):
+    // total files touched under hilbert ≤ z-order — the file-level
+    // manifestation of the curve_clustering run advantage
+    val tiles = for (i <- 0 until 4; j <- 0 until 4)
+      yield ((64L * i, 64L * i + 63), (64L * j, 64L * j + 63))
+    val hSum = tiles.map { case (ar, br) => overlapping(hDir, ar, br) }.sum
+    val zSum = tiles.map { case (ar, br) => overlapping(zDir, ar, br) }.sum
+    assert(hSum <= zSum, s"tiled workload: hilbert $hSum vs zorder $zSum")
+    // and every tile is servable without a full scan under hilbert
+    tiles.foreach { case (ar, br) =>
+      assert(overlapping(hDir, ar, br) < 16) }
+  }
+
   test("hilbert reference obeys the adjacency law (exhaustive, order 8)") {
     import graft.sources.Hilbert
     // THE Hilbert property Morton lacks: consecutive curve indexes are
