@@ -281,6 +281,9 @@ object SparkEntry {
     "streaming_tws_timer_sessions" -> ((s, d) =>
       graft.streaming.Streams.twsTimerSessionsQuery(s, d)),
     "variant_decode" -> ((s, d) => Relational.variantDecode(s, d)),
+    "multi_distinct_report" -> ((s, d) => Relational.multiDistinctReport(s, d)),
+    "twap_value" -> ((s, d) => Relational.twapValue(s, d)),
+    "posting_list_stats" -> ((s, d) => Retrieval.postingListStats(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3313,5 +3316,13 @@ object SparkEntry {
 
     // Spark 4 VARIANT parse/extract/schema vs DuckDB JSON extraction
     "variant_decode" -> Relational.variantDecodeSql(),
+
+    // n distinct aggregates in ONE Expand pass (plan-asserted)
+    "multi_distinct_report" -> Relational.multiDistinctReportSql(),
+    // hold-until-next weighted average; DECIMAL(38)/HUGEINT products,
+    // integral div (decimal true-division would round HALF_UP)
+    "twap_value" -> Relational.twapValueSql(),
+    // Elias-γ-style delta-encoded index size per top term
+    "posting_list_stats" -> Retrieval.postingListStatsSql(),
   )
 }

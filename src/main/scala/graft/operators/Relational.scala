@@ -593,6 +593,93 @@ object Relational {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Multi-DISTINCT aggregate — COUNT(DISTINCT user), COUNT(DISTINCT
+    * day), and a plain SUM in ONE statement. Catalyst compiles n
+    * distinct aggregates over different columns into a single Expand
+    * pass (each input row fans out once per distinct group, tagged by
+    * gid) + two aggregates — NOT n separate scans of the fact table,
+    * which is what makes a multi-metric daily report affordable at
+    * 100 TB. PlanSpec asserts the Expand. Exact integers throughout.
+    */
+  def multiDistinctReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", $"user_id",
+        expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        countDistinct($"day").as("n_days"),
+        count(lit(1)).as("n_events"),
+        sum($"cents").as("cents_sum"))
+      .orderBy($"event_type")
+  }
+
+  /** [[multiDistinctReport]] oracle. */
+  def multiDistinctReportSql(): String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Time-weighted average price (TWAP) — the irregular-sampling
+    * average where each observation holds until the next one: per
+    * user, Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first), via one LEAD window
+    * (no interval explode). The weighted sum runs in DECIMAL(38,0)
+    * (cents × micro-duration products reach ~2⁶³ on month-long
+    * windows); the final division is one integer div back to cents.
+    * Users with a single event have no holding interval and are
+    * excluded (mirrored). The plain AVG sits alongside to show why
+    * TWAP exists: burst-sampled values skew it.
+    */
+  def twapValue(spark: SparkSession, dir: String): DataFrame =
+    twapValueOf(Tables.events(spark, dir))
+
+  /** [[twapValue]] over any (user_id, event_id, ts NANOS-LONG, value). */
+  def twapValueOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    events
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tsu"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("t_next", lead($"tsu", 1).over(w))
+      .filter($"t_next".isNotNull)
+      .groupBy($"user_id")
+      .agg(
+        sum(($"t_next" - $"tsu").cast(big) * $"cents").as("wsum"),
+        sum(($"t_next" - $"tsu").cast(big)).as("span"),
+        sum($"cents").as("csum"), count(lit(1)).as("n"))
+      .select($"user_id",
+        // integral div, not /: decimal true-division rounds HALF_UP at
+        // its result scale before any cast, diverging from DuckDB's
+        // floor `//` on near-integer quotients
+        expr("CAST(wsum div span AS BIGINT)").as("twap_cents"),
+        expr("csum div n").as("mean_cents"),
+        $"span".cast("long").as("span_us"))
+      .orderBy($"user_id")
+  }
+
+  /** [[twapValue]] oracle. */
+  def twapValueSql(): String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (SELECT user_id, tsu, cents,
+      |    LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t_next
+      |  FROM x)
+      |SELECT user_id,
+      |  CAST(SUM(CAST(t_next - tsu AS HUGEINT) * cents)
+      |    // SUM(CAST(t_next - tsu AS HUGEINT)) AS BIGINT) AS twap_cents,
+      |  CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents,
+      |  CAST(SUM(t_next - tsu) AS BIGINT) AS span_us
+      |FROM l WHERE t_next IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Semi-structured decode through Spark 4's VARIANT type — the
     * binary-encoded JSON representation that replaces
     * string-JSON + get_json_object for schema-flexible columns (parse

@@ -317,4 +317,65 @@ object Retrieval {
        |FROM out WHERE rank_fused <= $kOut
        |ORDER BY query_id, rank_fused""".stripMargin
   }
+
+  /** Terms reported by [[postingListStats]] (top df, deterministic
+    * (df DESC, word) tie-break).
+    */
+  val PostingTopTerms = 50
+
+  /** Gap-encoded posting-list size estimate — the inverted-index
+    * LAYOUT question behind every IR/retrieval store (public scheme:
+    * Elias-γ-style delta encoding; e.g. Witten/Moffat/Bell, "Managing
+    * Gigabytes"): store each term's sorted doc-id list as first-id +
+    * deltas, each delta costing floor(log2(gap))+1 whole bits. For
+    * high-df terms the gaps are small and the list compresses far
+    * below 64-bit ids — the emitted ppm ratio quantifies exactly how
+    * far, per term, in exact integers. Dataflow: distinct postings
+    * (8-byte shuffled keys), df census to pick the top terms
+    * (broadcast), ONE lag window per term partition for the deltas —
+    * no collect, no per-term driver loop; at 100 TB each term's
+    * posting list is one window partition, the same bound every
+    * sharded index build accepts.
+    */
+  def postingListStats(spark: SparkSession, dir: String,
+      topTerms: Int = PostingTopTerms): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val postings = Tables.widened(spark, Tables.documents(spark, dir))
+      .select(explode(TextFns.tokens($"text")).as("word"), $"doc_id")
+      .distinct()
+    val top = postings.groupBy($"word").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"word").limit(topTerms)
+    val w = Window.partitionBy($"word").orderBy($"doc_id")
+    val gapped = postings.join(broadcast(top), Seq("word"))
+      .withColumn("prev", lag($"doc_id", 1).over(w))
+      // first posting stores doc_id+1 (ids start at 0); deltas ≥ 1
+      .withColumn("gap", when($"prev".isNull, $"doc_id" + 1)
+        .otherwise($"doc_id" - $"prev"))
+      .withColumn("bits", (length(bin($"gap"))).cast("long"))
+    gapped.groupBy($"word").agg(
+        max($"df").as("df"),
+        sum($"bits").as("gap_bits"))
+      .select($"word", $"df", $"gap_bits",
+        ($"df" * 64L).as("raw_bits"),
+        expr("gap_bits * 1000000 div (df * 64)").as("size_ppm"))
+      .orderBy($"df".desc, $"word")
+  }
+
+  /** [[postingListStats]] oracle. */
+  def postingListStatsSql(topTerms: Int = PostingTopTerms): String =
+    s"""WITH p AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word, doc_id
+       |  FROM documents),
+       |top AS (SELECT word, COUNT(*) AS df FROM p GROUP BY word
+       |  ORDER BY df DESC, word LIMIT $topTerms),
+       |g AS (SELECT p.word, top.df,
+       |    COALESCE(p.doc_id - LAG(p.doc_id) OVER (
+       |      PARTITION BY p.word ORDER BY p.doc_id), p.doc_id + 1) AS gap
+       |  FROM p JOIN top ON p.word = top.word)
+       |SELECT word, CAST(MAX(df) AS BIGINT) AS df,
+       |  CAST(SUM(length(bin(gap))) AS BIGINT) AS gap_bits,
+       |  CAST(MAX(df) AS BIGINT) * 64 AS raw_bits,
+       |  CAST(SUM(length(bin(gap))) AS BIGINT) * 1000000
+       |    // (CAST(MAX(df) AS BIGINT) * 64) AS size_ppm
+       |FROM g GROUP BY word ORDER BY df DESC, word""".stripMargin
 }

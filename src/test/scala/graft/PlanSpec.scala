@@ -522,6 +522,14 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"observe must not add a scan ($scans seen)")
   }
 
+  test("multi-distinct report compiles to ONE Expand pass over one scan") {
+    val p = plan(Relational.multiDistinctReport(spark, sf))
+    assert(p.contains("Expand"),
+      s"two COUNT(DISTINCT x≠y) must plan an Expand, not rescans:\n$p")
+    assert(p.split('\n').count(_.contains("events.parquet")) == 1,
+      "one scan of the fact table")
+  }
+
   test("AQE re-plans a sort-merge join to broadcast from RUNTIME sizes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -631,6 +631,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(w.exists { case (k, n) => n < u(k) })
   }
 
+  test("twap: held durations weight the average; burst sampling skews only the mean") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // build a deliberately burst-sampled events relation through the
+    // query's own loader contract (ts is NANOS-long after Tables.events
+    // — here feed micros*1000 directly): value 100 held for 90 time
+    // units, then three rapid samples at 200 in the last 10
+    val us = 1000L  // 1 micro in nanos
+    val ev = Seq(
+      (1L, 0L, 1.00), (1L, 90L, 2.00), (1L, 94L, 2.00), (1L, 97L, 2.00),
+      (1L, 100L, 9.99) // terminal sample: closes the last interval
+    ).map { case (u, t, v) => (u, t, t * us, v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    // twap = (100·90 + 200·(4+3+3)) / 100 = 110; mean of the 4 closed
+    // samples = (100+200+200+200)/4 = 175
+    val r = Relational.twapValueOf(ev).head()
+    assert(r.getLong(1) == 110L, s"twap ${r.getLong(1)}")
+    assert(r.getLong(2) == 175L, s"mean ${r.getLong(2)}")
+    assert(r.getLong(3) == 100L)
+  }
+
   test("product profit: decimal-domain identity Σ(rev − cost) = Σrev − Σcost") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -298,6 +298,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(sharePpm === topSlots * 1000000L / slots)
   }
 
+  test("posting lists: delta coding compresses every top term below raw 64-bit") {
+    val rows = graft.operators.Retrieval.postingListStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, gapBits, rawBits, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rawBits == df * 64)
+      assert(gapBits >= df, "every delta costs at least 1 bit")
+      assert(ppm == gapBits * 1000000 / rawBits)
+      assert(ppm < 1000000, s"top-df term must compress: $ppm ppm")
+    }
+    // the highest-df term has the densest gaps → best ratio of the set
+    val best = rows.map(_.getLong(4)).min
+    assert(rows.head.getLong(4) == best ||
+      rows.head.getLong(4) < 250000,
+      "head term should be among the most compressible")
+  }
+
   test("pointer doubling: a depth-100 chain closes in 7 rounds, not 100") {
     import spark.implicits._
     // pure chain 0←1←2…←100; naive iteration needs 100 joins, doubling
