@@ -284,6 +284,8 @@ object SparkEntry {
     "multi_distinct_report" -> ((s, d) => Relational.multiDistinctReport(s, d)),
     "twap_value" -> ((s, d) => Relational.twapValue(s, d)),
     "posting_list_stats" -> ((s, d) => Retrieval.postingListStats(s, d)),
+    "hll_sliding_window" -> ((s, d) => Sketches.hllSlidingWindow(s, d)),
+    "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3324,5 +3326,10 @@ object SparkEntry {
     "twap_value" -> Relational.twapValueSql(),
     // Elias-γ-style delta-encoded index size per top term
     "posting_list_stats" -> Retrieval.postingListStatsSql(),
+
+    // 7-day rolling reach from stored daily HLL registers only
+    "hll_sliding_window" -> Sketches.hllSlidingWindowSql(),
+    // quintiled recency/frequency/monetary segmentation
+    "rfm_segments" -> Relational.rfmSegmentsSql(),
   )
 }

@@ -593,6 +593,62 @@ object Relational {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-base report, over purchase events: per user, days since
+    * last purchase (relative to the corpus's last day), purchase
+    * count, and cents total, each quintiled by NTILE(5) with quintile
+    * 1 the best (most recent / most frequent / highest spend) and
+    * user_id as the deterministic tie-break. The corpus-max day is ONE
+    * broadcast scalar; the three NTILEs share one global sort each —
+    * at scale swap NTILE for the percentile-threshold join (the
+    * [[quantileRatingLevels]] idiom) if a single ordered pass per
+    * metric is too hot; semantics stay identical. Segment code is
+    * r·100 + f·10 + m (111 = best-everything).
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purch = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val base = purch.groupBy($"user_id")
+      .agg(max($"day").as("last_day"), count(lit(1)).as("n_purch"),
+        sum($"cents").as("cents_total"))
+    val maxDay = base.agg(max($"last_day").as("corpus_last"))
+    val scored = base.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", $"corpus_last" - $"last_day")
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy($"recency_days", $"user_id")))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy($"n_purch".desc, $"user_id")))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy($"cents_total".desc, $"user_id")))
+    scored.select($"user_id", $"recency_days", $"n_purch", $"cents_total",
+        ($"r_score" * 100 + $"f_score" * 10 + $"m_score").as("segment"))
+      .orderBy($"user_id")
+  }
+
+  /** [[rfmSegments]] oracle. */
+  def rfmSegmentsSql(): String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id, MAX(day) AS last_day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_purch,
+      |    CAST(SUM(cents) AS BIGINT) AS cents_total
+      |  FROM p GROUP BY user_id),
+      |s AS (SELECT user_id,
+      |    (SELECT MAX(last_day) FROM b) - last_day AS recency_days,
+      |    n_purch, cents_total,
+      |    NTILE(5) OVER (ORDER BY (SELECT MAX(last_day) FROM b) - last_day, user_id) AS r_score,
+      |    NTILE(5) OVER (ORDER BY n_purch DESC, user_id) AS f_score,
+      |    NTILE(5) OVER (ORDER BY cents_total DESC, user_id) AS m_score
+      |  FROM b)
+      |SELECT user_id, recency_days, n_purch, cents_total,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+      |FROM s ORDER BY user_id""".stripMargin
+
   /** Multi-DISTINCT aggregate — COUNT(DISTINCT user), COUNT(DISTINCT
     * day), and a plain SUM in ONE statement. Catalyst compiles n
     * distinct aggregates over different columns into a single Expand

@@ -654,4 +654,75 @@ object Sketches {
         ($"n_a" + $"n_b" - $"n_intersect").as("n_union"))
       .orderBy($"type_a", $"type_b")
   }
+
+  /** Sliding-window distinct users from STORED DAILY SKETCHES — the
+    * serving-side payoff of [[hllDailyMerge]]'s mergeability: a 7-day
+    * rolling reach metric computed entirely from the per-day register
+    * relations, never re-touching raw events. Each daily register row
+    * contributes to the `windowDays` output days it falls inside — a
+    * bounded explode (7 rows per register row, ≤ 64·7 per day
+    * regardless of traffic) — then one max-merge per output day and
+    * the shared estimator. Contrast with `rolling_distinct_users`,
+    * which is the EXACT form and must carry user-id sets through the
+    * window: the sketch path's state is 64 bytes/day forever, which is
+    * the only thing that works when a day holds billions of distinct
+    * keys. Windows are labeled by their END day and emitted only for
+    * days that exist in the data; `n_days` audits how many source days
+    * each window folded (≤ windowDays at the calendar edges).
+    */
+  def hllSlidingWindow(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.widened(spark, Tables.events(spark, dir))
+      .filter($"user_id".isNotNull)
+      .withColumn("d", expr("ts div 86400000000000"))
+    val daily = ev
+      .select($"d", Dedup.hash60($"user_id".cast("string")).as("h"))
+      .select($"d", ($"h" % HllRegisters).as("reg"),
+        rho(shiftrightunsigned($"h", 6)).as("rho"))
+      .groupBy($"d", $"reg").agg(max($"rho").as("r"))
+    val days = ev.select($"d").distinct()
+    val contrib = daily
+      .select($"d", explode(sequence($"d", $"d" + (windowDays - 1))).as("k"),
+        $"reg", $"r")
+      .join(days.select($"d".as("k")), Seq("k"))
+    val merged = contrib.groupBy($"k", $"reg").agg(max($"r").as("r"))
+    val nDays = contrib.select($"k", $"d").distinct()
+      .groupBy($"k").agg(count(lit(1)).as("n_days"))
+    estimateFromRegisters(merged)
+      .join(nDays, Seq("k"))
+      .select($"k".as("day"), $"n_days", $"hll_estimate")
+      .orderBy($"day")
+  }
+
+  /** [[hllSlidingWindow]] oracle — the identical daily-register →
+    * window-explode → max-merge pipeline.
+    */
+  def hllSlidingWindowSql(windowDays: Int = 7): String = {
+    val h60 = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val lcList = LinearCountTable.mkString("[", ", ", "]")
+    s"""WITH nn AS (SELECT (epoch_us(ts) * 1000) // 86400000000000 AS d, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |hx AS (SELECT d, $h60 AS h FROM nn),
+       |rr AS (SELECT d, h % $HllRegisters AS reg,
+       |  CASE WHEN (h // 64) = 0 THEN 55
+       |       ELSE 55 - length(bin(h // 64)) END AS rho FROM hx),
+       |daily AS (SELECT d, reg, MAX(rho) AS r FROM rr GROUP BY d, reg),
+       |days AS (SELECT DISTINCT d FROM nn),
+       |contrib AS (SELECT daily.d, t.k, reg, r
+       |  FROM daily, unnest(generate_series(daily.d, daily.d + ${windowDays - 1})) AS t(k)
+       |  WHERE t.k IN (SELECT d FROM days)),
+       |merged AS (SELECT k, reg, MAX(r) AS r FROM contrib GROUP BY k, reg),
+       |nd AS (SELECT k, COUNT(DISTINCT d) AS n_days FROM contrib GROUP BY k),
+       |s AS (SELECT k,
+       |  CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - r AS INTEGER)) AS BIGINT)
+       |    + ($HllRegisters - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS s,
+       |  $HllRegisters - COUNT(*) AS v
+       |  FROM merged GROUP BY k),
+       |e AS (SELECT k, $HllK / CAST(s AS DOUBLE) AS raw, v FROM s)
+       |SELECT e.k AS day, CAST(nd.n_days AS BIGINT) AS n_days,
+       |  CASE WHEN e.v > 0 AND e.raw <= $LinearCountThreshold
+       |       THEN ($lcList)[e.v] ELSE e.raw END AS hll_estimate
+       |FROM e JOIN nd USING (k) ORDER BY day""".stripMargin
+  }
 }

@@ -180,4 +180,49 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged.nonEmpty && merged.map(_.toSeq) === oneShot.map(_.toSeq),
       "SUM algebra over the day partitioning must be lossless")
   }
+
+  test("sliding-window HLL: window merge of daily sketches == direct " +
+    "sketch of the window's raw events; estimate tracks exact") {
+    import spark.implicits._
+    val rows = Sketches.hllSlidingWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf).filter($"user_id".isNotNull)
+      .withColumn("d", expr("ts div 86400000000000"))
+    // pick a mid-corpus day with a full window behind it
+    val midDay = rows.map(_.getLong(0)).sorted.apply(rows.length / 2)
+    val windowEv = ev.filter($"d".between(midDay - 6, midDay))
+    // mergeability: the stored-sketch path must equal the one-shot
+    // sketch built directly from that window's raw events
+    val direct = Sketches.estimateFromRegisters(
+        Sketches.hllRegistersOf(windowEv.withColumn("k", lit(1L)),
+          $"k", $"user_id"))
+      .head().getDouble(1)
+    val viaDaily = rows.find(_.getLong(0) == midDay).get.getDouble(2)
+    assert(math.abs(direct - viaDaily) < 1e-9,
+      s"daily-merge $viaDaily vs direct $direct")
+    // accuracy: within HLL-64's expected error of the exact count
+    val exact = windowEv.select($"user_id").distinct().count()
+    assert(math.abs(viaDaily - exact) <= 0.30 * exact,
+      s"estimate $viaDaily vs exact $exact")
+    // edge windows fold fewer days
+    assert(rows.head.getLong(1) <= 7 && rows.forall(_.getLong(1) >= 1))
+  }
+
+  test("rfm segments: balanced quintiles, digit domains, best spender is m=1") {
+    val rows = graft.operators.Relational.rfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def digit(seg: Int, pos: Int) = (seg / math.pow(10, pos).toInt) % 10
+    rows.foreach { r =>
+      val seg = r.getInt(4)
+      Seq(0, 1, 2).foreach(p => assert(digit(seg, p) >= 1 && digit(seg, p) <= 5))
+    }
+    // NTILE balance: each quintile's size differs by at most 1
+    Seq(0, 1, 2).foreach { p =>
+      val sizes = rows.groupBy(r => digit(r.getInt(4), p)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"digit $p sizes: $sizes")
+    }
+    // the single highest spender carries m_score 1 (ties broken by id)
+    val top = rows.minBy(r => (-r.getLong(3), r.getLong(0)))
+    assert(digit(top.getInt(4), 0) == 1)
+  }
 }
