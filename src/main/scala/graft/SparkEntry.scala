@@ -286,6 +286,10 @@ object SparkEntry {
     "posting_list_stats" -> ((s, d) => Retrieval.postingListStats(s, d)),
     "hll_sliding_window" -> ((s, d) => Sketches.hllSlidingWindow(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
+    "streaming_tws_recent_items" -> ((s, d) =>
+      graft.streaming.Streams.twsRecentItemsQuery(s, d)),
+    "streaming_tws_map_counts" -> ((s, d) =>
+      graft.streaming.Streams.twsMapCountsQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3331,5 +3335,24 @@ object SparkEntry {
     "hll_sliding_window" -> Sketches.hllSlidingWindowSql(),
     // quintiled recency/frequency/monetary segmentation
     "rfm_segments" -> Relational.rfmSegmentsSql(),
+
+    // ListState recent-K items: final emission == batch top-K recency
+    "streaming_tws_recent_items" ->
+      s"""WITH x AS (SELECT user_id, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}),
+         |r AS (SELECT user_id, cents, ROW_NUMBER() OVER (
+         |    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM x)
+         |SELECT user_id, string_agg(CAST(cents AS VARCHAR), ',' ORDER BY rn) AS items
+         |FROM r WHERE rn <= ${graft.streaming.Streams.RecentK}
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // MapState per-kind counters: final counts == batch groupBy
+    "streaming_tws_map_counts" ->
+      s"""SELECT user_id,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 10 AS kind,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
+         |GROUP BY user_id, kind ORDER BY user_id, kind""".stripMargin,
   )
 }

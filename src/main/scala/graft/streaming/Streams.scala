@@ -1360,6 +1360,171 @@ object Streams {
     }
   }
 
+  case class RecentItems(user_id: Long, seq: Long, items: String)
+  case class TypeCount(user_id: Long, seq: Long, kind: Long, cnt: Long)
+
+  /** Recent-items feature state on `transformWithState` LIST STATE —
+    * the third state primitive ([[RunningStatsProcessor]] = ValueState,
+    * [[TimerSessionProcessor]] = timers; this = ListState): each user's
+    * last [[RecentK]] item ids by event recency, the classic online
+    * recsys feature ("recently viewed"). ListState appends without
+    * deserializing the whole list; the bounded rewrite happens only
+    * when the cap trims. Emitted as a comma-joined string (newest
+    * first) so the driver's hash compare sees a flat column.
+    */
+  val RecentK = 5
+
+  private[streaming] class RecentItemsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CentEvent, RecentItems] {
+    import org.apache.spark.sql.streaming.ListState
+    // (event_id, item) pairs, newest kept; event_id is the recency key
+    @transient private var items: ListState[(Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      items = getHandle.getListState[(Long, Long)]("items",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CentEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RecentItems] = {
+      val prev = items.get().toSeq
+      // item id: the event's cents value plays the item role (a stable
+      // deterministic surrogate); recency = event_id
+      val merged = (prev ++ rows.map(e => (e.event_id, e.cents)))
+        .sortBy(-_._1).take(RecentK)
+      items.put(merged.toArray)
+      val maxSeq = merged.headOption.map(_._1).getOrElse(0L)
+      Iterator.single(RecentItems(key, maxSeq,
+        merged.map(_._2).mkString(",")))
+    }
+  }
+
+  /** Per-(user, event-kind) counters on `transformWithState` MAP STATE
+    * — point lookups and single-key updates instead of rewriting a
+    * whole value: the state shape for high-cardinality per-key
+    * sub-maps (feature counters, per-category quotas). The kind is the
+    * cents value mod 10 (a deterministic small domain).
+    */
+  private[streaming] class MapCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CentEvent, TypeCount] {
+    import org.apache.spark.sql.streaming.MapState
+    @transient private var counts: MapState[Long, Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("counts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CentEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCount] = {
+      var maxSeq = 0L
+      rows.foreach { e =>
+        val k = e.cents % 10
+        val cur = if (counts.containsKey(k)) counts.getValue(k) else 0L
+        counts.updateValue(k, cur + 1)
+        if (e.event_id > maxSeq) maxSeq = e.event_id
+      }
+      counts.iterator().map { case (k, v) => TypeCount(key, maxSeq, k, v) }
+    }
+  }
+
+  /** ListState recent-items query: the FINAL per-user emission (max
+    * seq) must equal the batch top-[[RecentK]]-by-recency projection —
+    * the oracle.
+    */
+  def twsRecentItemsQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame =
+    twsDriver(spark, dir, numBatches, "tws_recent") { in =>
+      val sp = in.sparkSession
+      import sp.implicits._
+      in.groupByKey(_.user_id)
+        .transformWithState(new RecentItemsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update(),
+          implicitly[org.apache.spark.sql.Encoder[RecentItems]])
+        .toDF()
+    } { (spark, table) =>
+      import spark.implicits._
+      spark.table(table)
+        .groupBy($"user_id")
+        .agg(max_by($"items", $"seq").as("items"))
+        .orderBy($"user_id")
+    }
+
+  /** MapState counter query: final per-(user, kind) counts == batch
+    * groupBy — the oracle.
+    */
+  def twsMapCountsQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame =
+    twsDriver(spark, dir, numBatches, "tws_map") { in =>
+      val sp = in.sparkSession
+      import sp.implicits._
+      in.groupByKey(_.user_id)
+        .transformWithState(new MapCountsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update(),
+          implicitly[org.apache.spark.sql.Encoder[TypeCount]])
+        .toDF()
+    } { (spark, table) =>
+      import spark.implicits._
+      spark.table(table)
+        .groupBy($"user_id", $"kind")
+        .agg(max_by($"cnt", $"seq").as("cnt"))
+        .orderBy($"user_id", $"kind")
+    }
+
+  /** Shared TWS harness: capped CentEvent feed in event_id order,
+    * RocksDB provider scoped to the query, slices fed through a
+    * MemoryStream, finisher reduces the Update-mode emissions.
+    */
+  private def twsDriver(spark: SparkSession, dir: String, numBatches: Int,
+      name: String)(
+      pipe: org.apache.spark.sql.Dataset[CentEvent] => DataFrame)(
+      finish: (SparkSession, String) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"user_id", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .orderBy($"event_id")
+      .as[CentEvent].collect()
+    if (evs.isEmpty)
+      return Seq.empty[(Long, String)].toDF("user_id", "items")
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[CentEvent](spark)
+      val tbl = runStreamToTable(spark, name, Some(4)) { (n, ck) =>
+        pipe(in.toDS())
+          .writeStream.format("memory").queryName(n)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Update).start()
+      } { q =>
+        slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+      }
+      finish(spark, tbl)
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   /** Streaming EWMA: the per-user exponential recency score
     * (`Temporal.ewmaValueOf`, α = 1/2 integer-cents halving) maintained
     * as ONE long of `mapGroupsWithState` state per user — the

@@ -914,6 +914,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 0L), "no user ever re-sessioned: gap never bit")
   }
 
+  test("tws ListState/MapState: slicing is invisible — 3-batch == 1-batch") {
+    val sf = TestSpark.sf
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(s(Streams.twsRecentItemsQuery(spark, sf, numBatches = 3)) ==
+      s(Streams.twsRecentItemsQuery(spark, sf, numBatches = 1)))
+    assert(s(Streams.twsMapCountsQuery(spark, sf, numBatches = 3)) ==
+      s(Streams.twsMapCountsQuery(spark, sf, numBatches = 1)))
+    // the recent list truly trims: nobody carries more than K items
+    val items = Streams.twsRecentItemsQuery(spark, sf).collect()
+    assert(items.forall(_.getString(1).split(',').length <= Streams.RecentK))
+    assert(items.exists(_.getString(1).split(',').length == Streams.RecentK),
+      "some user must hit the cap or the trim path went unexercised")
+  }
+
   test("dedupWithinWatermark: suppresses close duplicates, equals batch distinct") {
     val sf = TestSpark.sf
     import spark.implicits._
