@@ -290,6 +290,9 @@ object SparkEntry {
       graft.streaming.Streams.twsRecentItemsQuery(s, d)),
     "streaming_tws_map_counts" -> ((s, d) =>
       graft.streaming.Streams.twsMapCountsQuery(s, d)),
+    "excess_share_suppliers" -> ((s, d) => Relational.excessShareSuppliers(s, d)),
+    "range_frame_revenue" -> ((s, d) => Relational.rangeFrameRevenue(s, d)),
+    "l_diversity_audit" -> ((s, d) => Audit.lDiversityAudit(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3354,5 +3357,12 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
          |GROUP BY user_id, kind ORDER BY user_id, kind""".stripMargin,
+
+    // Q20 shape: nested aggregate inside an EXISTS semi-join chain
+    "excess_share_suppliers" -> Relational.excessShareSuppliersSql(),
+    // value-based RANGE frame over the calendar-sized pre-aggregate
+    "range_frame_revenue" -> Relational.rangeFrameRevenueSql(),
+    // k-anonymity's blind spot: distinct-sensitive-value gate
+    "l_diversity_audit" -> Audit.lDiversityAuditSql(),
   )
 }

@@ -582,6 +582,57 @@ object Audit {
        |ORDER BY m.fold""".stripMargin
   }
 
+  /** l for the [[lDiversityAudit]] gate. */
+  val LDiversity = 3L
+
+  /** l-diversity audit — the disclosure-risk check k-anonymity misses
+    * (Machanavajjhala et al., ICDE 2006, public): a quasi-identifier
+    * cell can hold ≥ k people yet still leak if they all share one
+    * SENSITIVE value. Per (mktsegment, nationkey) cell over customers:
+    * group size, count of DISTINCT sensitive values (the account-
+    * balance band plays the sensitive attribute), the plurality
+    * share in ppm, and the l-gate. Same one-aggregation shape as
+    * [[kAnonymityAudit]]; the plurality count is a per-cell max over
+    * the (cell, band) sub-aggregate — both partial-aggregatable.
+    */
+  def lDiversityAudit(spark: SparkSession, dir: String,
+      l: Long = LDiversity): DataFrame = {
+    import spark.implicits._
+    val banded = Tables.customer(spark, dir)
+      .select($"c_mktsegment", $"c_nationkey",
+        // +100000 shifts the TPC-H-style [-999.99, 9999.99] domain
+        // non-negative: Spark's div truncates toward zero, DuckDB's //
+        // floors — they agree only on non-negative operands
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " + 100000) div 100000").as("bal_band"))
+    val sub = banded.groupBy($"c_mktsegment", $"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("nb"))
+    sub.groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(sum($"nb").as("n"),
+        count(lit(1)).as("n_distinct_sensitive"),
+        max($"nb").as("plurality"))
+      .select($"c_mktsegment", $"c_nationkey", $"n",
+        $"n_distinct_sensitive",
+        expr("plurality * 1000000 div n").as("plurality_ppm"),
+        ($"n_distinct_sensitive" >= l).as("l_ok"))
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** [[lDiversityAudit]] oracle. */
+  def lDiversityAuditSql(l: Long = LDiversity): String =
+    s"""WITH b AS (SELECT c_mktsegment, c_nationkey,
+       |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_band
+       |  FROM customer),
+       |sub AS (SELECT c_mktsegment, c_nationkey, bal_band, COUNT(*) AS nb
+       |  FROM b GROUP BY c_mktsegment, c_nationkey, bal_band)
+       |SELECT c_mktsegment, c_nationkey,
+       |  CAST(SUM(nb) AS BIGINT) AS n,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+       |  CAST(MAX(nb) AS BIGINT) * 1000000 // CAST(SUM(nb) AS BIGINT) AS plurality_ppm,
+       |  (COUNT(*) >= $l) AS l_ok
+       |FROM sub GROUP BY c_mktsegment, c_nationkey
+       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
   /** A/B experiment readout: two-proportion z statistic + Wilson 95%
     * interval per arm, from exact integer counts.
     *

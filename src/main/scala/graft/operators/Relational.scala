@@ -593,6 +593,101 @@ object Relational {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** TPC-H Q20-shaped excess-share suppliers — the last of the 22
+    * TPC-H query SHAPES (nested aggregate inside a semi-join chain):
+    * suppliers who shipped more than `tenths/10 ×` their FAIR SHARE of
+    * some `ptype` part's total quantity (fair share = total/n_suppliers
+    * for that part — an absolute share cutoff dilutes to zero as the
+    * supplier pool grows with scale; the fair-share multiple is the
+    * scale-free formulation, same reasoning as [[ImportantPartTenths]]).
+    * Decorrelated: per-(part, supplier) quantity and per-part totals
+    * are two aggregations over one scan lineage; the test
+    * `qty·n·10 > tenths·total` is exact integers; the supplier
+    * dimension joins AFTER the filter (semi-join-sized), nation
+    * broadcasts. A supplier qualifies once (EXISTS semantics →
+    * distinct before the dim join).
+    */
+  def excessShareSuppliers(spark: SparkSession, dir: String,
+      ptype: String = "PROMO", tenths: Long = 25): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir).filter($"p_type" === ptype)
+      .select($"p_partkey")
+    val shipped = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_suppkey",
+        $"l_quantity".cast("long").as("qty"))
+    val perPair = shipped.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"qty").as("pair_qty"))
+    val perPart = perPair.groupBy($"l_partkey")
+      .agg(sum($"pair_qty").as("part_qty"), count(lit(1)).as("n_supp"))
+    val qualifying = perPair.join(perPart, Seq("l_partkey"))
+      .filter($"pair_qty" * $"n_supp" * 10 > $"part_qty" * tenths)
+      .select($"l_suppkey").distinct()
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    Tables.supplier(spark, dir)
+      .join(qualifying, $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+      .orderBy($"s_suppkey")
+  }
+
+  /** [[excessShareSuppliers]] oracle (EXISTS formulation). */
+  def excessShareSuppliersSql(ptype: String = "PROMO",
+      tenths: Long = 25): String =
+    s"""WITH sh AS (
+       |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_type = '$ptype'),
+       |pp AS (SELECT l_partkey, l_suppkey, SUM(qty) AS pair_qty
+       |  FROM sh GROUP BY l_partkey, l_suppkey),
+       |pt AS (SELECT l_partkey, SUM(pair_qty) AS part_qty,
+       |    COUNT(*) AS n_supp
+       |  FROM pp GROUP BY l_partkey)
+       |SELECT s_suppkey, s_name, n_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE EXISTS (SELECT 1 FROM pp JOIN pt USING (l_partkey)
+       |  WHERE pp.l_suppkey = s_suppkey
+       |    AND pp.pair_qty * pt.n_supp * 10 > pt.part_qty * $tenths)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Trailing 7-day revenue by RANGE window frame — the VALUE-based
+    * frame (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the day
+    * number), which a ROWS frame cannot emulate when the calendar has
+    * gaps or multiple rows share a day. One global date-ordered window
+    * over the per-day pre-aggregate (365-row state per year — the
+    * window input is calendar-sized, never fact-sized, which is what
+    * keeps a trailing-revenue report viable at any fact volume).
+    */
+  def rangeFrameRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .select(expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)" +
+          " div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("day_cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy($"day").rangeBetween(-6, 0)
+    daily.select($"day", $"n_orders", $"day_cents",
+        sum($"day_cents").over(w).as("trailing7_cents"),
+        sum($"n_orders").over(w).as("trailing7_orders"))
+      .orderBy($"day")
+  }
+
+  /** [[rangeFrameRevenue]] oracle. */
+  def rangeFrameRevenueSql(): String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY day)
+      |SELECT day, n_orders, day_cents,
+      |  CAST(SUM(day_cents) OVER (ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_cents,
+      |  CAST(SUM(n_orders) OVER (ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_orders
+      |FROM daily ORDER BY day""".stripMargin
+
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * customer-base report, over purchase events: per user, days since
     * last purchase (relative to the corpus's last day), purchase

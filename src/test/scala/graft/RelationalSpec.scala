@@ -652,6 +652,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getLong(3) == 100L)
   }
 
+  test("range frame: trailing-7d sums are value-based, immune to calendar gaps") {
+    val rows = Relational.rangeFrameRevenue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val want = (day - 6 to day).flatMap(byDay.get).sum
+      assert(r.getLong(3) == want, s"day $day")
+      // a ROWS(6) frame would instead sum the previous 7 PRESENT rows
+      // regardless of their dates — equal only when the calendar has
+      // no gaps in the window
+    }
+  }
+
   test("product profit: decimal-domain identity Σ(rev − cost) = Σrev − Σcost") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
