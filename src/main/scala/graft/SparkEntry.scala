@@ -290,6 +290,8 @@ object SparkEntry {
       graft.streaming.Streams.twsRecentItemsQuery(s, d)),
     "streaming_tws_map_counts" -> ((s, d) =>
       graft.streaming.Streams.twsMapCountsQuery(s, d)),
+    "streaming_tws_initial_state" -> ((s, d) =>
+      graft.streaming.Streams.twsInitialStateQuery(s, d)),
     "excess_share_suppliers" -> ((s, d) => Relational.excessShareSuppliers(s, d)),
     "range_frame_revenue" -> ((s, d) => Relational.rangeFrameRevenue(s, d)),
     "l_diversity_audit" -> ((s, d) => Audit.lDiversityAudit(s, d)),
@@ -3357,6 +3359,20 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}
          |GROUP BY user_id, kind ORDER BY user_id, kind""".stripMargin,
+
+    // warm-started state (batch snapshot seeds, stream advances) must
+    // equal the batch aggregate over the WHOLE feed, restricted to
+    // users with a second-half event (Update-mode emission rule)
+    "streaming_tws_initial_state" ->
+      s"""WITH x AS (SELECT user_id, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap})
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+         |FROM x
+         |WHERE user_id IN (SELECT user_id FROM x
+         |  WHERE event_id >= (SELECT (MAX(event_id) + 1) // 2 FROM x))
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Q20 shape: nested aggregate inside an EXISTS semi-join chain
     "excess_share_suppliers" -> Relational.excessShareSuppliersSql(),

@@ -1480,6 +1480,123 @@ object Streams {
         .orderBy($"user_id", $"kind")
     }
 
+  case class WarmState(user_id: Long, n_events: Long, cents_sum: Long)
+
+  /** WARM-START stateful processing — `StatefulProcessorWithInitialState`,
+    * the lambda-architecture bridge in the transformWithState family
+    * (ValueState = [[RunningStatsProcessor]], ListState/MapState =
+    * recent/map processors, timers = [[TimerSessionProcessor]]; this
+    * closes the API): per-user running (n, Σcents) BOOTSTRAPPED from a
+    * batch-computed historical snapshot, then advanced by the live
+    * stream. `handleInitialState` seeds each key's state before any
+    * stream row arrives — the mechanism that lets a new streaming job
+    * take over from years of batch history without replaying it
+    * through the stream.
+    */
+  private[streaming] class WarmStartProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, CentEvent, TwsStats, WarmState] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("warm",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(key: Long, initial: WarmState,
+        tv: org.apache.spark.sql.streaming.TimerValues): Unit =
+      st.update((initial.n_events, initial.cents_sum))
+    override def handleInputRows(key: Long, rows: Iterator[CentEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsStats] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+      var maxSeq = 0L
+      rows.foreach { e =>
+        n += 1; s += e.cents
+        if (e.event_id > maxSeq) maxSeq = e.event_id
+      }
+      st.update((n, s))
+      Iterator.single(TwsStats(key, maxSeq, n, s, 0L, 0L))
+    }
+  }
+
+  /** Initial-state query: history = the feed's first half aggregated
+    * in BATCH (the snapshot a nightly job would persist); the stream
+    * carries only the second half. The final per-user totals must
+    * equal the batch aggregate over the WHOLE capped feed — proving
+    * the seeded state and the streamed increments compose exactly.
+    * Users live only in history (never stream) are absent from the
+    * Update-mode output by design — the oracle restricts to users with
+    * ≥1 second-half event.
+    */
+  def twsInitialStateQuery(spark: SparkSession, dir: String,
+      numBatches: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // adaptive split: half the OBSERVED id range, so the stream half is
+    // non-empty at every scale factor (a fixed cap/2 leaves the stream
+    // empty when the corpus is smaller than the cap)
+    val half = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .agg(expr("(max(event_id) + 1) div 2")).head().getLong(0)
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" >= half && $"event_id" < HarnessFeedCap)
+      .select($"user_id", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .orderBy($"event_id")
+      .as[CentEvent].collect()
+    val warm = graft.Tables.events(spark, dir)
+      .filter($"event_id" < half)
+      .select($"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents_sum"))
+      .as[WarmState]
+    val emptyOut = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "n_events", "cents_sum")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / numBatches).toInt)
+      evs.grouped(per).toSeq
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[CentEvent](spark)
+      val name = runStreamToTable(spark, "tws_warm", Some(4)) { (n, ck) =>
+        in.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new WarmStartProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update(),
+            warm.groupByKey(_.user_id),
+            implicitly[org.apache.spark.sql.Encoder[TwsStats]],
+            implicitly[org.apache.spark.sql.Encoder[WarmState]])
+          .toDF()
+          .writeStream.format("memory").queryName(n)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Update).start()
+      } { q =>
+        slices.foreach { s => in.addData(s.toIndexedSeq); q.processAllAvailable() }
+      }
+      spark.table(name)
+        .groupBy($"user_id")
+        .agg(max_by(struct($"n_events", $"cents_sum"), $"seq").as("f"))
+        .select($"user_id", $"f.n_events", $"f.cents_sum")
+        .orderBy($"user_id")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   /** Shared TWS harness: capped CentEvent feed in event_id order,
     * RocksDB provider scoped to the query, slices fed through a
     * MemoryStream, finisher reduces the Update-mode emissions.

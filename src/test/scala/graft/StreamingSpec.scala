@@ -914,6 +914,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 0L), "no user ever re-sessioned: gap never bit")
   }
 
+  test("tws initial state: batch-seeded history composes with streamed " +
+    "increments — totals equal the whole-feed aggregate") {
+    val sf = TestSpark.sf
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val got = Streams.twsInitialStateQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    val x = Tables.events(spark, sf)
+      .filter($"event_id" < Streams.HarnessFeedCap)
+      .select($"user_id", $"event_id",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val half = x.agg(expr("(max(event_id) + 1) div 2")).head().getLong(0)
+    // every reported user's totals cover history + stream
+    val whole = x.groupBy($"user_id")
+      .agg(expr("count(1)").as("n"), expr("sum(cents)").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (u, t) => assert(t == whole(u), s"user $u") }
+    // and the seed genuinely contributed: some user has MORE events in
+    // the final total than the stream half alone delivered
+    val streamOnly = x.filter($"event_id" >= half).groupBy($"user_id")
+      .agg(expr("count(1)").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (u, (n, _)) => n > streamOnly.getOrElse(u, 0L) },
+      "warm-start state never observed: split left no history")
+  }
+
   test("tws ListState/MapState: slicing is invisible — 3-batch == 1-batch") {
     val sf = TestSpark.sf
     def s(df: org.apache.spark.sql.DataFrame) =
