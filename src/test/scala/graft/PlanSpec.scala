@@ -522,6 +522,52 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"observe must not add a scan ($scans seen)")
   }
 
+  test("round-7 batch additions: no cartesian products, small sides broadcast") {
+    val qs: Seq[(String, DataFrame)] = Seq(
+      "min_cost_supplier" -> Relational.minCostSupplier(spark, sf),
+      "product_profit" -> Relational.productProfit(spark, sf),
+      "important_parts" -> Relational.importantParts(spark, sf),
+      "hierarchy_rollup" -> graft.operators.Graph.hierarchyRollup(spark, sf),
+      "ab_test_report" -> graft.operators.Audit.abTestReport(spark, sf),
+      "video_scene_cuts" ->
+        graft.multimodal.Multimodal.videoSceneCuts(spark, sf),
+      "hilbert_key" -> graft.sources.Hilbert.hilbertKey(spark, sf),
+      "curve_clustering" -> graft.sources.Hilbert.curveClustering(spark, sf),
+      "bigram_surprisal" -> graft.operators.TextOps.bigramSurprisal(spark, sf),
+      "interval_overlap_join" ->
+        graft.operators.Temporal.intervalOverlapJoin(spark, sf),
+      "funnel_windowed" -> Relational.funnelWindowed(spark, sf),
+      "twap_value" -> Relational.twapValue(spark, sf),
+      "posting_list_stats" ->
+        graft.operators.Retrieval.postingListStats(spark, sf),
+      "rfm_segments" -> Relational.rfmSegments(spark, sf),
+      "excess_share_suppliers" -> Relational.excessShareSuppliers(spark, sf),
+      "range_frame_revenue" -> Relational.rangeFrameRevenue(spark, sf),
+      "l_diversity_audit" -> graft.operators.Audit.lDiversityAudit(spark, sf),
+      "hll_sliding_window" ->
+        graft.operators.Sketches.hllSlidingWindow(spark, sf))
+    qs.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      // single-row global scalars are the only sanctioned BNLJ shape
+      // (important_parts total, rfm corpus-max) — anything else is a
+      // join-condition bug
+      val bnlj = p.split('\n').count(_.contains("BroadcastNestedLoopJoin"))
+      val sanctioned = Set("important_parts", "rfm_segments")
+      assert(bnlj == 0 || sanctioned(name),
+        s"$name: unsanctioned BroadcastNestedLoopJoin\n$p")
+    }
+    // the dimension chains genuinely broadcast where claimed
+    assert(plan(Relational.minCostSupplier(spark, sf))
+      .contains("BroadcastHashJoin"))
+    assert(plan(Relational.productProfit(spark, sf))
+      .contains("BroadcastHashJoin"))
+    // interval overlap join: candidates come from an equi-join on the
+    // bucket id, not a nested-loop theta join
+    val io = plan(graft.operators.Temporal.intervalOverlapJoin(spark, sf))
+    assert(io.contains("bucket"), "bucket key missing from the plan")
+  }
+
   test("multi-distinct report compiles to ONE Expand pass over one scan") {
     val p = plan(Relational.multiDistinctReport(spark, sf))
     assert(p.contains("Expand"),
