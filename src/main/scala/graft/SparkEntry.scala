@@ -295,6 +295,8 @@ object SparkEntry {
     "excess_share_suppliers" -> ((s, d) => Relational.excessShareSuppliers(s, d)),
     "range_frame_revenue" -> ((s, d) => Relational.rangeFrameRevenue(s, d)),
     "l_diversity_audit" -> ((s, d) => Audit.lDiversityAudit(s, d)),
+    "asof_join_forward" -> ((s, d) => Temporal.asofForwardQuery(s, d)),
+    "asof_join_nearest" -> ((s, d) => Temporal.asofNearestQuery(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3380,5 +3382,11 @@ object SparkEntry {
     "range_frame_revenue" -> Relational.rangeFrameRevenueSql(),
     // k-anonymity's blind spot: distinct-sensitive-value gate
     "l_diversity_audit" -> Audit.lDiversityAuditSql(),
+
+    // forward / nearest as-of: reversed running window and the
+    // two-direction pick; oracles are independent grouped-MIN plans
+    // (DuckDB ASOF is backward-only)
+    "asof_join_forward" -> Temporal.asofForwardSql(),
+    "asof_join_nearest" -> Temporal.asofNearestSql(),
   )
 }

@@ -646,6 +646,148 @@ object Temporal {
       .orderBy($"user_id", $"day")
   }
 
+  /** FORWARD as-of join — the mirror of [[asofJoin]]: each left row
+    * matched to the EARLIEST right row with `rightTs ≥ leftTs` in the
+    * same keys (ties toward the smallest rightOrd). Same single-
+    * exchange union+running-window plan, with the window order
+    * REVERSED (and __tag still placing right rows first at an equal
+    * timestamp, so an exactly-simultaneous payload is visible to both
+    * directions). The direction every "next event after X" question
+    * needs — next deploy after an error, next restock after a
+    * stock-out — without the self-join explosion of a naive ≥ theta
+    * join.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, leftOrd: String, rightOrd: String,
+      rightPayload: Seq[String], prefix: String = "next_"): DataFrame = {
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), col(leftOrd).as("__ord"),
+        lit(1).as("__tag"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), col(rightOrd).as("__ord"),
+        lit(0).as("__tag"),
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    // descending time; right-before-left at equal ts; DESCENDING ord so
+    // the running last() lands on the SMALLEST qualifying rightOrd
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__tag"), col("__ord").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__l.*") +:
+        rightPayload.map(p => col(s"__m.$p").as(s"$prefix$p")): _*)
+  }
+
+  /** Driver form of [[asofJoinForward]]: each purchase matched to the
+    * user's NEXT 'error' event (post-purchase incident attribution) —
+    * the forward complement of `asof_join_attribution`.
+    */
+  def asofForwardQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("tsu"),
+        $"value", $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tsu", $"value")
+    val errors = ev.filter($"event_type" === "error")
+      .groupBy($"user_id", $"tsu").agg(min($"event_id").as("err_id"))
+      .select($"user_id", $"tsu".as("err_tsu"), $"err_id")
+    asofJoinForward(purchases, errors, Seq("user_id"), "tsu", "err_tsu",
+        "event_id", "err_id", Seq("err_id", "err_tsu"), prefix = "")
+      .orderBy($"event_id")
+  }
+
+  /** [[asofForwardQuery]] oracle: min-over-qualifying formulation
+    * (DuckDB's ASOF is backward-only, so forward is stated as the
+    * grouped MIN + equi-join back — an independent plan).
+    */
+  def asofForwardSql(): String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, MIN(event_id) AS err_id
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+      |), m AS (
+      |  SELECT p.event_id, MIN(c.tsu) AS nts
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.tsu >= p.tsu
+      |  GROUP BY p.event_id
+      |)
+      |SELECT p.event_id, p.user_id, p.tsu, p.value,
+      |  c.err_id, c.tsu AS err_tsu
+      |FROM p JOIN m USING (event_id)
+      |LEFT JOIN c ON c.user_id = p.user_id AND c.tsu = m.nts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** NEAREST as-of: both directions computed by the two running
+    * windows over ONE union, the closer match kept (ties toward the
+    * backward match — the deterministic convention). The trade-
+    * matching / sensor-alignment join: each left row pairs with its
+    * temporally closest right row regardless of side.
+    */
+  def asofNearestQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("tsu"),
+        $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tsu")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"tsu").agg(min($"event_id").as("click_id"))
+      .select($"user_id", $"tsu".as("click_tsu"), $"click_id")
+    val back = asofJoin(purchases, clicks, Seq("user_id"), "tsu",
+      "click_tsu", "event_id", "click_id", Seq("click_id", "click_tsu"),
+      prefix = "b_")
+    val fwd = asofJoinForward(purchases, clicks, Seq("user_id"), "tsu",
+      "click_tsu", "event_id", "click_id", Seq("click_id", "click_tsu"),
+      prefix = "f_")
+    back.join(fwd.select($"event_id", $"f_click_id", $"f_click_tsu"),
+        Seq("event_id"))
+      .select($"event_id", $"user_id", $"tsu",
+        when($"f_click_tsu".isNull ||
+            ($"b_click_tsu".isNotNull &&
+              $"tsu" - $"b_click_tsu" <= $"f_click_tsu" - $"tsu"),
+          $"b_click_id").otherwise($"f_click_id").as("near_id"),
+        when($"f_click_tsu".isNull ||
+            ($"b_click_tsu".isNotNull &&
+              $"tsu" - $"b_click_tsu" <= $"f_click_tsu" - $"tsu"),
+          $"b_click_tsu").otherwise($"f_click_tsu").as("near_tsu"))
+      .orderBy($"event_id")
+  }
+
+  /** [[asofNearestQuery]] oracle: min-|Δt| with the backward tie rule,
+    * stated as grouped MINs over the two half-spaces.
+    */
+  def asofNearestSql(): String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tsu
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, MIN(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), b AS (
+      |  SELECT p.event_id, MAX(c.tsu) AS bts
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.tsu <= p.tsu
+      |  GROUP BY p.event_id
+      |), f AS (
+      |  SELECT p.event_id, MIN(c.tsu) AS fts
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.tsu >= p.tsu
+      |  GROUP BY p.event_id
+      |), pick AS (
+      |  SELECT p.event_id, p.user_id, p.tsu,
+      |    CASE WHEN f.fts IS NULL
+      |           OR (b.bts IS NOT NULL AND p.tsu - b.bts <= f.fts - p.tsu)
+      |      THEN b.bts ELSE f.fts END AS nts
+      |  FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+      |)
+      |SELECT pick.event_id, pick.user_id, pick.tsu,
+      |  c.click_id AS near_id, c.tsu AS near_tsu
+      |FROM pick LEFT JOIN c
+      |  ON c.user_id = pick.user_id AND c.tsu = pick.nts
+      |ORDER BY pick.event_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Interval × interval overlap join (bucket decomposition)
   // ---------------------------------------------------------------------

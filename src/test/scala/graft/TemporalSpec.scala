@@ -292,6 +292,24 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of directions: backward <=, forward >=, equal-ts visible to both") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (2L, 200L), (3L, 50L))
+      .toDF("event_id", "tsu").withColumn("user_id", org.apache.spark.sql.functions.lit(7L))
+    val right = Seq((10L, 90L), (11L, 200L), (12L, 310L))
+      .toDF("rid", "rtsu").withColumn("user_id", org.apache.spark.sql.functions.lit(7L))
+    val T = graft.operators.Temporal
+    def m(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex(c))) -1L else r.getLong(r.fieldIndex(c)))).toMap
+    val b = m(T.asofJoin(left, right, Seq("user_id"), "tsu", "rtsu",
+      "event_id", "rid", Seq("rid", "rtsu")), "asof_rid")
+    assert(b == Map(1L -> 10L, 2L -> 11L, 3L -> -1L))  // 3: nothing <= 50
+    val f = m(T.asofJoinForward(left, right, Seq("user_id"), "tsu", "rtsu",
+      "event_id", "rid", Seq("rid", "rtsu")), "next_rid")
+    assert(f == Map(1L -> 11L, 2L -> 11L, 3L -> 10L))  // 2: equal ts visible
+  }
+
   test("interval overlap join: responsibility rule emits each pair once, " +
     "half-open boundaries, zero-overlap rows kept") {
     import spark.implicits._
