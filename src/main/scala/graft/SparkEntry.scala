@@ -297,6 +297,8 @@ object SparkEntry {
     "l_diversity_audit" -> ((s, d) => Audit.lDiversityAudit(s, d)),
     "asof_join_forward" -> ((s, d) => Temporal.asofForwardQuery(s, d)),
     "asof_join_nearest" -> ((s, d) => Temporal.asofNearestQuery(s, d)),
+    "rolling_median" -> ((s, d) => Temporal.rollingMedian(s, d)),
+    "interpolate_daily" -> ((s, d) => Temporal.interpolateDaily(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3388,5 +3390,11 @@ object SparkEntry {
     // (DuckDB ASOF is backward-only)
     "asof_join_forward" -> Temporal.asofForwardSql(),
     "asof_join_nearest" -> Temporal.asofNearestSql(),
+
+    // bounded-frame exact lower median (sorted-list HOF, no floats)
+    "rolling_median" -> Temporal.rollingMedianSql(),
+    // straight-line gap fill between bracketing observations; FLOOR
+    // semantics pinned on both engines (slope can be negative)
+    "interpolate_daily" -> Temporal.interpolateDailySql(),
   )
 }

@@ -646,6 +646,140 @@ object Temporal {
       .orderBy($"user_id", $"day")
   }
 
+  /** Rolling-median frame size (rows: 9 preceding + current). */
+  val MedianFrame = 10
+
+  /** Exact rolling median — the robust sibling of a trailing mean: per
+    * user, the LOWER median of the last ≤[[MedianFrame]] cent values in
+    * (tsu, event_id) order. Exact and integer (lower median = element
+    * (n+1) div 2 of the sorted frame — no interpolation, no floats),
+    * computed as a bounded `collect_list` frame + `array_sort` +
+    * `element_at`, all codegen HOFs. The frame bound is what keeps it
+    * scale-safe: per-row state is ≤ 10 longs regardless of history
+    * (an unbounded exact running median needs an order-statistics
+    * structure no window API provides). The mean sits alongside — on
+    * bursty values the median's robustness is visible in the data, and
+    * the oracle checks both.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame =
+    rollingMedianOf(graft.Tables.events(spark, dir))
+
+  /** [[rollingMedian]] over any (user_id, event_id, ts NANOS, value). */
+  def rollingMedianOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+      .rowsBetween(-(MedianFrame - 1), 0)
+    events
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tsu"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("frame", array_sort(collect_list($"cents").over(w)))
+      .select($"user_id", $"event_id", $"tsu", $"cents",
+        element_at($"frame", expr("CAST((size(frame) + 1) div 2 AS INT)"))
+          .as("med_cents"),
+        expr("aggregate(frame, 0L, (a, x) -> a + x) div size(frame)")
+          .as("mean_cents"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** [[rollingMedian]] oracle. */
+  def rollingMedianSql(): String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |f AS (SELECT user_id, event_id, tsu, cents,
+       |    list_sort(list(cents) OVER (PARTITION BY user_id
+       |      ORDER BY tsu, event_id
+       |      ROWS BETWEEN ${MedianFrame - 1} PRECEDING AND CURRENT ROW)) AS frame
+       |  FROM x)
+       |SELECT user_id, event_id, tsu, cents,
+       |  frame[CAST((len(frame) + 1) // 2 AS INT)] AS med_cents,
+       |  CAST(list_sum(frame) AS BIGINT) // len(frame) AS mean_cents
+       |FROM f ORDER BY user_id, event_id""".stripMargin
+
+  /** Linear interpolation of daily gaps — [[gapFillDailyOf]]'s
+    * forward-fill replaced by the straight line between the bracketing
+    * observed days: v(d) = v_p + (v_n − v_p)·(d − p) div (n − p) in
+    * integer cents (floor). Days before the first / after the last
+    * observation stay NULL (no extrapolation — mirrored). Two
+    * IGNORE-NULLS running windows (last-preceding and first-following
+    * observation) over the calendar-sized grid; state per row is one
+    * (day, value) pair per direction.
+    */
+  def interpolateDaily(spark: SparkSession, dir: String): DataFrame =
+    interpolateDailyOf(graft.Tables.events(spark, dir))
+
+  /** [[interpolateDaily]] over any (user_id, event_id, ts NANOS, value). */
+  def interpolateDailyOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val daily = events
+      .select($"user_id", expr("ts div 86400000000000").as("day"),
+        $"ts", $"event_id",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(wDay))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day", $"cents")
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .withColumn("day", explode(expr("sequence(d0, d1)")))
+      .select($"user_id", $"day")
+    val wB = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last($"cents", ignoreNulls = true).over(wB))
+      .withColumn("pd", last(when($"cents".isNotNull, $"day"),
+        ignoreNulls = true).over(wB))
+      .withColumn("nv", first($"cents", ignoreNulls = true).over(wF))
+      .withColumn("nd", first(when($"cents".isNotNull, $"day"),
+        ignoreNulls = true).over(wF))
+    obs.select($"user_id", $"day",
+        when($"cents".isNotNull, $"cents")
+          .when($"pv".isNull || $"nv".isNull, lit(null))
+          // `div` — both engines TRUNCATE integral division toward
+          // zero (DuckDB's // is truncation too: (-7)//2 = -3,
+          // measured), so the negative-slope days agree exactly
+          .otherwise(expr("pv + (nv - pv) * (day - pd) div (nd - pd)"))
+          .as("interp_cents"),
+        $"cents".isNotNull.as("observed"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** [[interpolateDaily]] oracle. */
+  def interpolateDailySql(): String =
+    """WITH d0 AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 // 86400000000000 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) * 1000 // 86400000000000
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |daily AS (SELECT user_id, day, cents FROM d0 WHERE rn = 1),
+      |grid AS (SELECT user_id, unnest(generate_series(MIN(day), MAX(day))) AS day
+      |  FROM daily GROUP BY user_id),
+      |g AS (SELECT grid.user_id, grid.day, daily.cents
+      |  FROM grid LEFT JOIN daily USING (user_id, day)),
+      |ob AS (SELECT user_id, day, cents,
+      |    LAST_VALUE(cents IGNORE NULLS) OVER wb AS pv,
+      |    LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pd,
+      |    FIRST_VALUE(cents IGNORE NULLS) OVER wf AS nv,
+      |    FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd
+      |  FROM g
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day,
+      |  CASE WHEN cents IS NOT NULL THEN cents
+      |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |       ELSE pv + (nv - pv) * (day - pd) // (nd - pd) END AS interp_cents,
+      |  (cents IS NOT NULL) AS observed
+      |FROM ob ORDER BY user_id, day""".stripMargin
+
   /** FORWARD as-of join — the mirror of [[asofJoin]]: each left row
     * matched to the EARLIEST right row with `rightTs ≥ leftTs` in the
     * same keys (ties toward the smallest rightOrd). Same single-

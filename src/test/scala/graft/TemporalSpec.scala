@@ -310,6 +310,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(f == Map(1L -> 11L, 2L -> 11L, 3L -> 10L))  // 2: equal ts visible
   }
 
+  test("rolling median: lower-median hand case; interpolation bridges " +
+    "gaps linearly, truncated division, no extrapolation") {
+    import spark.implicits._
+    val us = 1000L
+    val day = 86400L * 1000000000L
+    // one user, values 1.00, 9.00, 2.00 → frames [100],[100,900],
+    // [100,900,200]: lower medians 100, 100, 200
+    val ev = Seq((1L, 0L, 1.00), (2L, 1L, 9.00), (3L, 2L, 2.00))
+      .map { case (id, t, v) => (7L, id, t * us, v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val med = graft.operators.Temporal.rollingMedianOf(ev)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(med == Map(1L -> 100L, 2L -> 100L, 3L -> 200L))
+    // interpolation: days 0 and 3 observed (100, 1000) → days 1,2 are
+    // 100 + 900*k/3 = 400, 700; negative slope day 4..6: 1000 → 100
+    // at day 6: day5 = 1000 + (-900)*2 div 3... check truncation
+    val ev2 = Seq((1L, 0L, 1.00), (2L, 3L, 10.00), (3L, 6L, 1.00))
+      .map { case (id, d, v) => (9L, id, d * day + 1000L, v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val itp = graft.operators.Temporal.interpolateDailyOf(ev2)
+      .collect().map(r => r.getLong(1) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(itp == Map(0L -> 100L, 1L -> 400L, 2L -> 700L, 3L -> 1000L,
+      4L -> 700L, 5L -> 400L, 6L -> 100L))
+  }
+
   test("interval overlap join: responsibility rule emits each pair once, " +
     "half-open boundaries, zero-overlap rows kept") {
     import spark.implicits._
