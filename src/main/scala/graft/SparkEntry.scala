@@ -299,6 +299,8 @@ object SparkEntry {
     "asof_join_nearest" -> ((s, d) => Temporal.asofNearestQuery(s, d)),
     "rolling_median" -> ((s, d) => Temporal.rollingMedian(s, d)),
     "interpolate_daily" -> ((s, d) => Temporal.interpolateDaily(s, d)),
+    "ship_latency_percentiles" -> ((s, d) =>
+      Relational.shipLatencyPercentiles(s, d)),
   )
 
   /** Queries excluded from the timing bench: ALS training dominates
@@ -3393,8 +3395,11 @@ object SparkEntry {
 
     // bounded-frame exact lower median (sorted-list HOF, no floats)
     "rolling_median" -> Temporal.rollingMedianSql(),
-    // straight-line gap fill between bracketing observations; FLOOR
-    // semantics pinned on both engines (slope can be negative)
+    // straight-line gap fill between bracketing observations; div
+    // truncation verified identical on both engines
     "interpolate_daily" -> Temporal.interpolateDailySql(),
+
+    // exact discrete percentiles by rank selection (no interpolation)
+    "ship_latency_percentiles" -> Relational.shipLatencyPercentilesSql(),
   )
 }

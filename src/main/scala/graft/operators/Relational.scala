@@ -593,6 +593,63 @@ object Relational {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Order-to-ship latency percentiles per priority — the fulfillment
+    * SLA report, with EXACT discrete percentiles by rank selection:
+    * p50 = the value at rank ⌈n/2⌉, p90 at ⌈9n/10⌉ in the total order
+    * (days, orderkey, linenumber) — deterministic in both engines, no
+    * interpolation, no floats. One ranked window per group + two
+    * rank-equality self-filters (each a broadcast-sized result); at
+    * scale swap the global per-group sort for the percentile-threshold
+    * join if a group outgrows a window partition.
+    */
+  def shipLatencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lat = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        expr("CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000 AS BIGINT)")
+          .as("days"),
+        $"l_orderkey", $"l_linenumber")
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"days", $"l_orderkey", $"l_linenumber")
+    val ranked = lat.withColumn("rn", row_number().over(w))
+    val stats = lat.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), max($"days").as("max_days"))
+    val p50 = ranked.join(stats, Seq("o_orderpriority"))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"o_orderpriority", $"days".as("p50_days"))
+    val p90 = ranked.join(stats, Seq("o_orderpriority"))
+      .filter($"rn" === expr("(9 * n + 9) div 10"))
+      .select($"o_orderpriority", $"days".as("p90_days"))
+    stats.join(p50, Seq("o_orderpriority")).join(p90, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"n", $"p50_days", $"p90_days", $"max_days")
+      .orderBy($"o_orderpriority")
+  }
+
+  /** [[shipLatencyPercentiles]] oracle. */
+  def shipLatencyPercentilesSql(): String =
+    """WITH lat AS (
+      |  SELECT o_orderpriority,
+      |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS days,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |r AS (SELECT o_orderpriority, days, ROW_NUMBER() OVER (
+      |    PARTITION BY o_orderpriority
+      |    ORDER BY days, l_orderkey, l_linenumber) AS rn FROM lat),
+      |s AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(MAX(days) AS BIGINT) AS max_days
+      |  FROM lat GROUP BY o_orderpriority)
+      |SELECT s.o_orderpriority, s.n,
+      |  CAST(p50.days AS BIGINT) AS p50_days,
+      |  CAST(p90.days AS BIGINT) AS p90_days, s.max_days
+      |FROM s
+      |JOIN r p50 ON p50.o_orderpriority = s.o_orderpriority
+      |  AND p50.rn = (s.n + 1) // 2
+      |JOIN r p90 ON p90.o_orderpriority = s.o_orderpriority
+      |  AND p90.rn = (9 * s.n + 9) // 10
+      |ORDER BY s.o_orderpriority""".stripMargin
+
   /** TPC-H Q20-shaped excess-share suppliers — the last of the 22
     * TPC-H query SHAPES (nested aggregate inside a semi-join chain):
     * suppliers who shipped more than `tenths/10 ×` their FAIR SHARE of
