@@ -702,6 +702,34 @@ object SparkEntry {
          |SELECT songId, prediction, cnt
          |FROM s ORDER BY prediction DESC, songId LIMIT 25""".stripMargin,
 
+    // per-rank RMSE entirely from the rank-tagged factor + holdout
+    // parquet the query just exported: <uf,pf> via list_inner_product
+    // (== Spark's in-order double fold bit-for-bit), squared errors in
+    // DECIMAL(18,8) so summation order cannot matter, round(.,6);
+    // inner joins replicate coldStartStrategy="drop". Only the fits
+    // are upstream of the export and not replayed.
+    "als_grid_rmse" -> {
+      def rmseCte(split: String) =
+        s"""SELECT uf.rank,
+           |  ROUND(SQRT(CAST(SUM(CAST(POW(s.rating -
+           |      list_inner_product(uf.features, itf.features), 2)
+           |    AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)), 6) AS rmse_$split
+           |FROM read_parquet('${graft.ml.Recommender.GridFactorsPath}/$split/*.parquet') s
+           |JOIN read_parquet('${graft.ml.Recommender.GridFactorsPath}/user/*.parquet') uf
+           |  ON uf.id = s.userId
+           |JOIN read_parquet('${graft.ml.Recommender.GridFactorsPath}/item/*.parquet') itf
+           |  ON itf.rank = uf.rank AND itf.id = s.songId
+           |GROUP BY uf.rank""".stripMargin
+      s"""WITH rv AS (${rmseCte("validation")}),
+         |rt AS (${rmseCte("test")}),
+         |j AS (SELECT rv.rank, rmse_validation, rmse_test
+         |  FROM rv JOIN rt ON rv.rank = rt.rank)
+         |SELECT rank, rmse_validation, rmse_test,
+         |  CAST(CASE WHEN rmse_validation = MIN(rmse_validation) OVER ()
+         |    THEN 1 ELSE 0 END AS INTEGER) AS is_best
+         |FROM j ORDER BY rank""".stripMargin
+    },
+
     "als_factors_topk" ->
       s"""WITH u AS (SELECT id AS userId FROM
          |    read_parquet('$MllibArtifactPath/data/user/*.parquet')
@@ -1141,6 +1169,32 @@ object SparkEntry {
     // epoch-µs BIGINTs on both sides (hour buckets are unaffected by
     // the feed's ns→ms truncation); the // floor-div returns DOUBLE in
     // DuckDB, hence the CAST (exact: epoch-µs < 2^53)
+    // batch mirror of the flatMapGroupsWithState marker buffer: the
+    // single-batch, single-partition feed preserves per-user event_id
+    // order, so "buffered until the user's next m3 marker" is a pure
+    // window computation — emitted iff a marker exists at-or-after the
+    // row, flush ordinal = markers strictly before it + 1
+    "streaming_marker_flush" ->
+      s"""WITH f AS (
+         |  SELECT event_id, CAST(user_id AS INTEGER) AS userid,
+         |    'm' || CAST((event_id % 3) + 1 AS VARCHAR) AS tag,
+         |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS songid,
+         |    CAST(FLOOR(value) AS INTEGER) AS rating
+         |  FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}),
+         |w AS (
+         |  SELECT userid, tag, songid, rating,
+         |    COUNT(*) FILTER (WHERE tag = 'm3') OVER (
+         |      PARTITION BY userid ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS flushes_before,
+         |    MAX(CASE WHEN tag = 'm3' THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY userid ORDER BY event_id
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS flushable
+         |  FROM f)
+         |SELECT userid, tag, songid, rating,
+         |  CAST(flushes_before + 1 AS INTEGER) AS flushSeq
+         |FROM w WHERE flushable = 1
+         |ORDER BY userid, flushSeq, songid, tag, rating""".stripMargin,
+
     "streaming_windowed_counts" ->
       s"""SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600000000 AS w_start_us,
          |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600000000 + 3600000000 AS w_end_us,

@@ -281,23 +281,67 @@ object Recommender {
       .limit(25)
   }
 
+  /** Export location for the grid search's per-rank factors + the
+    * seed-0 holdout splits — constant for the same reason as
+    * [[TrainedFactorsPath]].
+    */
+  val GridFactorsPath = "/tmp/graft_grid_als"
+
   /** ALS holdout evaluation, reference protocol (spark_music.py:16):
     * 60/20/20 split seed 0, grid over {4,8,12}, report per-rank
-    * validation RMSE and the chosen rank's test RMSE.
+    * validation RMSE, test RMSE, and the argmin flag.
+    *
+    * Oracle-anchored past training via the same trick as
+    * [[alsRecommendTop25]]: every trained model's factors (tagged with
+    * their rank) AND the exact validation/test splits are exported to
+    * parquet, and BOTH engines then compute the per-rank RMSE from
+    * those relations alone — prediction = in-order ⟨uf,pf⟩ double fold
+    * (list_inner_product-exact), squared errors accumulated in
+    * DECIMAL(18,8) so the sum is order-independent, final
+    * round(·, 6). The inner factor joins drop cold-start pairs exactly
+    * like coldStartStrategy="drop". Only the fits themselves stay
+    * un-replayed (not SQL-expressible); everything downstream of them
+    * is hash-checked.
     */
   def alsGridRmse(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val Array(tr, va, te) =
       ratings(spark, dir).randomSplit(Array(0.6, 0.2, 0.2), seed = 0L)
-    tr.cache(); va.cache()
-    val results = Seq(4, 8, 12).map { r =>
-      val m = train(tr, rank = r)
-      (r, rmse(m, va), rmse(m, te))
+    tr.cache()
+    def exportSplit(df: DataFrame, sub: String): Unit =
+      df.select($"userId", $"songId", $"rating".cast("double").as("rating"))
+        .write.mode("overwrite").parquet(s"$GridFactorsPath/$sub")
+    exportSplit(va, "validation"); exportSplit(te, "test")
+    val ranks = Seq(4, 8, 12)
+    val models = ranks.map(r => (r, train(tr, rank = r)))
+    def exportFactors(sub: String, fs: Seq[(Int, DataFrame)]): DataFrame = {
+      fs.map { case (r, f) =>
+        f.select(lit(r).as("rank"), $"id",
+          transform($"features", x => x.cast("double")).as("features"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$GridFactorsPath/$sub")
+      spark.read.parquet(s"$GridFactorsPath/$sub")
     }
-    val best = results.minBy(_._2)._1
-    spark.createDataFrame(results.map { case (r, v, t) =>
-      (r, v, t, r == best)
-    }).toDF("rank", "rmse_validation", "rmse_test", "is_best")
+    val uf = exportFactors("user", models.map { case (r, m) => (r, m.userFactors) })
+    val itf = exportFactors("item", models.map { case (r, m) => (r, m.itemFactors) })
+    def rmseByRank(split: String): DataFrame = {
+      val s = spark.read.parquet(s"$GridFactorsPath/$split")
+      val dot = aggregate(zip_with($"uf", $"pf", (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      s.join(uf.select($"rank", $"id".as("userId"), $"features".as("uf")),
+          Seq("userId"))
+        .join(itf.select($"rank", $"id".as("songId"), $"features".as("pf")),
+          Seq("songId", "rank"))
+        .select($"rank", ($"rating" - dot).as("diff"))
+        .groupBy($"rank")
+        .agg(round(sqrt(Fx.dsum(pow($"diff", 2), 8) / count(lit(1))), 6)
+          .as(s"rmse_$split"))
+    }
+    rmseByRank("validation").join(rmseByRank("test"), "rank")
+      .withColumn("is_best",
+        ($"rmse_validation" ===
+          min($"rmse_validation").over(Window.partitionBy())).cast("int"))
       .orderBy($"rank")
   }
 }

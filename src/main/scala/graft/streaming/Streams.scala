@@ -338,22 +338,25 @@ object Streams {
     }
   }
 
-  /** Driver-contract query (rows-only — streaming state is not SQL):
-    * feed the corpus's decoded events through the real
-    * flatMapGroupsWithState marker operator via MemoryStream and
-    * return the flushed rows. One micro-batch carries all events, so
-    * within-user processing order (and hence exactly which trailing
-    * events stay buffered) follows the batch's group iteration — the
-    * operator's invariants (every flush ends at a marker, flushSeq
-    * increments per user) hold regardless. State partitions stay at
-    * the session setting: the recorded row set depends on within-group
-    * input order, which must not shift between rounds.
+  /** Driver-contract query with a FULL DuckDB oracle: feed the
+    * corpus's decoded events through the real flatMapGroupsWithState
+    * marker operator via MemoryStream and return the flushed rows.
+    *
+    * The feed is the event_id-ordered, HarnessFeedCap-bounded decode
+    * slice delivered as ONE addData block → one MemoryStream batch with
+    * one input partition, so per-user rows reach the state function in
+    * event_id order (Spark's pre-state SortExec is stable on key ties).
+    * That makes the emitted set a pure window computation over the
+    * capped feed: a row flushes iff a same-user 'm3' marker exists at
+    * or after it, with flushSeq = 1 + markers strictly before it —
+    * exactly the batch mirror the oracle states, so the stateful
+    * operator is hash-checked end-to-end.
     */
   def markerFlushQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val evs = graft.operators.TextOps.pseudoJsonRoundtrip(spark, dir)
-      .limit(2000).collect()
+      .filter($"event_id" < HarnessFeedCap).collect()
       .map(r => RateEvent(r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
     val in = MemoryStream[RateEvent](spark)
     in.addData(evs.toIndexedSeq)
@@ -1819,10 +1822,13 @@ object Streams {
     * suppression only for duplicates arriving closer together than the
     * watermark delay and EVICTS each key's state once the watermark
     * passes it: state size is bounded by (arrival rate × delay),
-    * independent of stream lifetime. The harness re-sends every slice
-    * immediately (well inside the 10-minute delay), so the appended
-    * output still equals the batch distinct relation — same oracle as
-    * the unbounded variant, different state contract.
+    * independent of stream lifetime. The 1-hour delay matches the
+    * other event-time queries (twsTimerSessionsQuery) and covers the
+    * corpus's cross-slice event-time disorder with margin, so a
+    * re-sent duplicate can never land behind the watermark and leak
+    * through as a "new" row — the appended output equals the batch
+    * distinct relation exactly. Same oracle as the unbounded variant,
+    * different state contract.
     */
   def dedupWithinWatermarkQuery(spark: SparkSession, dir: String,
       numBatches: Int = 2): DataFrame = {
@@ -1847,7 +1853,7 @@ object Streams {
     val in = MemoryStream[StampedRow](spark)
     val name = runStreamToTable(spark, "dedup_within_wm", Some(4)) { (n, ck) =>
       in.toDS()
-        .withWatermark("ts", "10 minutes")
+        .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream.format("memory").queryName(n)
         .option("checkpointLocation", ck)
