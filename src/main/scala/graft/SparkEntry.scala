@@ -73,6 +73,8 @@ object SparkEntry {
     "als_factors_topk" -> ((s, _) =>
       graft.ml.Recommender.factorsTopK(s, MllibArtifactPath)),
     "streaming_marker_flush" -> ((s, d) => graft.streaming.Streams.markerFlushQuery(s, d)),
+    "streaming_recommend_e2e" -> ((s, d) =>
+      graft.streaming.Streams.streamingRecommendE2eQuery(s, d)),
     "streaming_windowed_counts" -> ((s, d) => graft.streaming.Streams.windowedCountsQuery(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "bucket_join" -> ((s, d) => graft.sources.Bucketing.bucketJoinQuery(s, d)),
@@ -307,7 +309,8 @@ object SparkEntry {
     * wall-clock and measures MLlib, not this engine's operators. They
     * still run in Verify (rows-only correctness).
     */
-  val benchExcluded: Set[String] = Set("als_recommend_top25", "als_grid_rmse")
+  val benchExcluded: Set[String] =
+    Set("als_recommend_top25", "als_grid_rmse", "streaming_recommend_e2e")
 
   /** The reference's shipped mllib artifact (spark_music.py:116's
     * model.save output) — read directly by both the Spark query and
@@ -1169,6 +1172,42 @@ object SparkEntry {
     // epoch-µs BIGINTs on both sides (hour buckets are unaffected by
     // the feed's ns→ms truncation); the // floor-div returns DOUBLE in
     // DuckDB, hence the CAST (exact: epoch-µs < 2^53)
+    // the reference's whole lifecycle replayed downstream of the fit:
+    // decode -> stream/history union (= the whole capped feed) ->
+    // most-active stream user -> candidates minus rated, cnt >= 5 ->
+    // <uf,pf> top-25 from the exported factors -> JSON sink payload.
+    // Scores as exact floor-microunits so the payload text is
+    // byte-identical; Spark's to_json emits {"k":v,...} with no spaces
+    "streaming_recommend_e2e" ->
+      s"""WITH f AS (
+         |  SELECT event_id, CAST(user_id AS INTEGER) AS userid,
+         |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS songid,
+         |    CAST(FLOOR(value) AS INTEGER) AS rating
+         |  FROM events WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}),
+         |fresh AS (SELECT * FROM f WHERE event_id % 2 = 0),
+         |tu AS (SELECT userid FROM fresh GROUP BY userid
+         |  ORDER BY COUNT(*) DESC, userid LIMIT 1),
+         |uf AS (SELECT features FROM
+         |    read_parquet('${graft.streaming.Streams.E2eFactorsPath}/user/*.parquet') u
+         |  JOIN tu ON u.id = tu.userid),
+         |itf AS (SELECT id, features FROM
+         |  read_parquet('${graft.streaming.Streams.E2eFactorsPath}/item/*.parquet')),
+         |counts AS (SELECT songid, COUNT(*) AS cnt FROM f GROUP BY songid),
+         |rated AS (SELECT DISTINCT f.songid FROM f, tu WHERE f.userid = tu.userid),
+         |cand AS (SELECT c.songid FROM counts c
+         |  LEFT JOIN rated ON c.songid = rated.songid
+         |  WHERE rated.songid IS NULL AND c.cnt >= 5),
+         |s AS (SELECT cand.songid,
+         |    list_inner_product(uf.features, i.features) AS prediction
+         |  FROM cand JOIN itf i ON i.id = cand.songid CROSS JOIN uf),
+         |r AS (SELECT songid,
+         |    CAST(FLOOR(prediction * 1000000.0) AS BIGINT) AS score_uppm
+         |  FROM s ORDER BY prediction DESC, songid LIMIT 25)
+         |SELECT tu.userid, r.songid, r.score_uppm,
+         |  '{"userid":' || tu.userid || ',"songid":' || r.songid ||
+         |    ',"score_uppm":' || r.score_uppm || '}' AS payload
+         |FROM r CROSS JOIN tu ORDER BY songid""".stripMargin,
+
     // batch mirror of the flatMapGroupsWithState marker buffer: the
     // single-batch, single-partition feed preserves per-user event_id
     // order, so "buffered until the user's next m3 marker" is a pure

@@ -255,18 +255,29 @@ object Recommender {
     * post-training path is hash-checked; only the fit itself remains
     * rows-only (als_grid_rmse), being genuinely not SQL-expressible.
     */
+  /** Export a trained model's factors (float→double widening, exact)
+    * to `path/{user,item}` parquet and reload them as [[MllibFactors]]
+    * — the bridge that lets a DuckDB oracle replay everything
+    * downstream of a fit through the identical relations.
+    */
+  def exportTrainedFactors(model: ALSModel, path: String): MllibFactors = {
+    val spark = model.userFactors.sparkSession
+    import spark.implicits._
+    def one(factors: DataFrame, sub: String): DataFrame = {
+      factors.select($"id",
+          transform($"features", x => x.cast("double")).as("features"))
+        .write.mode("overwrite").parquet(s"$path/$sub")
+      spark.read.parquet(s"$path/$sub")
+    }
+    MllibFactors(model.rank,
+      one(model.userFactors, "user"), one(model.itemFactors, "item"))
+  }
+
   def alsRecommendTop25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val r = ratings(spark, dir).cache()
     val model = train(r, rank = 4)
-    def export(factors: DataFrame, sub: String): DataFrame = {
-      factors.select($"id",
-          transform($"features", x => x.cast("double")).as("features"))
-        .write.mode("overwrite").parquet(s"$TrainedFactorsPath/$sub")
-      spark.read.parquet(s"$TrainedFactorsPath/$sub")
-    }
-    val f = MllibFactors(model.rank,
-      export(model.userFactors, "user"), export(model.itemFactors, "item"))
+    val f = exportTrainedFactors(model, TrainedFactorsPath)
     val topUser = r.groupBy($"userId").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"userId").limit(1)
       .collect()(0).getInt(0)

@@ -828,15 +828,28 @@ object TextOps {
     * the fields directly from the source columns, so any parse defect
     * shows up as a mismatch.
     */
-  def pseudoJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  /** The Kafka-shaped wire relation feeding the pseudo-JSON decode:
+    * (event_id, value) where value is the reference producer's
+    * Python-dict-literal payload (spark_kafka.py:118 — single quotes,
+    * a ('tag', songid) tuple, int rating) rebuilt deterministically
+    * from the events table. Shared by the batch roundtrip query and
+    * the streaming ingest paths so every consumer decodes the
+    * identical bytes.
+    */
+  def pseudoJsonWire(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wire = Tables.widened(spark, Tables.events(spark, dir)).select(
+    Tables.widened(spark, Tables.events(spark, dir)).select(
       $"event_id",
       concat(
         lit("{'userid': "), $"user_id",
         lit(",'music': ('m"), pmod($"event_id", lit(3)) + lit(1),
         lit("', "), get_json_object($"props", "$.k").cast("int"),
         lit("), 'rating': "), floor($"value").cast("int"), lit("}")).as("value"))
+  }
+
+  def pseudoJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wire = pseudoJsonWire(spark, dir)
     val (userid, tag, songid, rating) = PseudoJson.parse($"value")
     wire.select($"event_id", userid.as("userid"), tag.as("tag"),
         songid.as("songid"), rating.as("rating"))

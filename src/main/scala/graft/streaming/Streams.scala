@@ -1961,4 +1961,87 @@ object Streams {
           ()
         }
       }
+
+  /** Export location for the E2E lifecycle's trained factors —
+    * constant because the oracle SQL is a static string (see
+    * [[graft.ml.Recommender.TrainedFactorsPath]]).
+    */
+  val E2eFactorsPath = "/tmp/graft_e2e_als"
+
+  /** The reference's ENTIRE product lifecycle as ONE oracle-anchored
+    * driver query (spark_streaming_kafka.py:11–75): Kafka-shaped
+    * pseudo-JSON wire lines are ingested as a stream (S4 shape via
+    * MemoryStream — the connector jar is absent from this container),
+    * decoded in-stream (F3), unioned with the static rating history
+    * (ST5), a fresh ALS model is refit on the union inside
+    * foreachBatch (M5, rank 4 seed 5), the most-active stream user
+    * gets the candidates-minus-rated top-25 (M6, song count ≥ 5), and
+    * each recommendation is serialized to its JSON sink payload (F4,
+    * to_json — the Kafka value the reference would publish).
+    *
+    * Hash-anchoring: the refit model's factors are exported to parquet
+    * and the DuckDB oracle replays decode → union → candidate gate →
+    * ⟨uf,pf⟩ top-25 → payload from those relations, so every stage
+    * downstream of the fit is hash-checked. Scores ride in the payload
+    * as exact floor-µunits (BIGINT) so the JSON text is byte-identical
+    * across engines. Stream slice = even event_ids of the capped feed,
+    * history = odd — a set-based, scale-free split.
+    */
+  def streamingRecommendE2eQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Int, Long, String)]
+      .toDF("userid", "songid", "score_uppm", "payload")
+    // bounded: HarnessFeedCap
+    val streamLines = graft.operators.TextOps.pseudoJsonWire(spark, dir)
+      .filter($"event_id" < HarnessFeedCap && $"event_id" % 2 === 0)
+      .orderBy($"event_id").select($"value").as[String].collect()
+    if (streamLines.isEmpty) return empty
+    val history = graft.operators.TextOps.pseudoJsonRoundtrip(spark, dir)
+      .filter($"event_id" < HarnessFeedCap && $"event_id" % 2 === 1)
+      .selectExpr("userid AS userId", "songid AS songId",
+        "CAST(rating AS FLOAT) AS rating")
+    val in = MemoryStream[String](spark)
+    in.addData(streamLines.toIndexedSeq)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    runStreamToTable(spark, "recommend_e2e", None) { (n, ck) =>
+      in.toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .queryName(n)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) { // ST4 empty-batch skip
+            val fresh = decodeRateEvents(batch)
+              .selectExpr("userid AS userId", "songid AS songId",
+                "CAST(rating AS FLOAT) AS rating")
+            val all = history.unionByName(fresh).cache() // ST5
+            val model = graft.ml.Recommender.train(all, rank = 4) // M5
+            val f = graft.ml.Recommender
+              .exportTrainedFactors(model, E2eFactorsPath)
+            // bounded: 1 row (argmax)
+            val topUser = fresh.groupBy($"userId")
+              .agg(count(lit(1)).as("n"))
+              .orderBy($"n".desc, $"userId").limit(1)
+              .collect()(0).getInt(0)
+            val rated = all.filter($"userId" === topUser)
+              .select($"songId").distinct()
+            val cand = all.groupBy($"songId").agg(count(lit(1)).as("cnt"))
+              .filter($"cnt" >= 5)
+              .join(rated, Seq("songId"), "left_anti")
+            val recs = graft.ml.Recommender.predictFromFactors(f,
+                cand.select(lit(topUser).as("userId"), $"songId"))
+              .orderBy($"prediction".desc, $"songId").limit(25)
+              .select($"userId".as("userid"), $"songId".as("songid"),
+                floor($"prediction" * lit(1000000.0)).cast("long")
+                  .as("score_uppm"))
+            out += recs.withColumn("payload",
+                to_json(struct($"userid", $"songid", $"score_uppm")))
+              .localCheckpoint(true)
+            all.unpersist()
+            ()
+          }
+        }.start()
+    } { q => q.processAllAvailable() }
+    out.foldLeft(empty)(_ unionByName _).orderBy($"songid")
+  }
 }

@@ -998,4 +998,33 @@ class StreamingSpec extends AnyFunSuite {
       q.stop(); spark.sql("DROP TABLE IF EXISTS wm_evict_t")
     }
   }
+
+  test("e2e lifecycle emits top-25 payloads that round-trip the sink codec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val recs = Streams.streamingRecommendE2eQuery(spark, TestSpark.sf)
+    val rows = recs.collect()
+    assert(rows.length == 25, "top-25 cut must fill at sf0.001")
+    assert(recs.select($"userid").distinct().count() == 1,
+      "one most-active stream user per lifecycle run")
+    // F4 sink payload is the exact inverse of the from_json decode —
+    // the Kafka value a downstream consumer would parse back
+    val decoded = recs.select(from_json($"payload",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "userid INT, songid INT, score_uppm BIGINT")).as("j"), $"userid",
+        $"songid", $"score_uppm")
+      .filter($"j.userid" === $"userid" && $"j.songid" === $"songid" &&
+        $"j.score_uppm" === $"score_uppm")
+    assert(decoded.count() == 25)
+    // every recommended song clears the M6 gates: >= 5 ratings in the
+    // union relation and never rated by the chosen user
+    val f = graft.operators.TextOps.pseudoJsonRoundtrip(spark, TestSpark.sf)
+      .filter($"event_id" < Streams.HarnessFeedCap)
+    val u = rows.head.getInt(0)
+    val counts = f.groupBy($"songid").agg(count(lit(1)).as("cnt"))
+    val gated = recs.join(counts, "songid").filter($"cnt" >= 5)
+    assert(gated.count() == 25)
+    val ratedByU = f.filter($"userid" === u).select($"songid").distinct()
+    assert(recs.join(ratedByU, "songid").count() == 0)
+  }
 }
