@@ -881,8 +881,15 @@ object Graph {
     (1 to rounds).foldLeft(ptr0) { (p, _) =>
       val pc = p.localCheckpoint(true)
       val q = pc.select($"node".as("bn"), $"anc".as("banc"), $"d".as("bd"))
-      pc.join(q, pc("anc") === q("bn"))
-        .select(pc("node"), $"banc".as("anc"), (pc("d") + $"bd").as("d"))
+      // LEFT join: a pointer to a node absent from the relation (an
+      // orphaned parent id — fixture gap, partial load) composes with
+      // nothing and STAYS PUT instead of silently vanishing from the
+      // closure; on well-formed input every anc matches and this is
+      // exactly the inner self-join. Keeps the operator total without
+      // a correctness-gating denseness assumption on ids.
+      pc.join(q, pc("anc") === q("bn"), "left")
+        .select(pc("node"), coalesce($"banc", pc("anc")).as("anc"),
+          (pc("d") + coalesce($"bd", lit(0L))).as("d"))
     }
   }
 

@@ -677,8 +677,13 @@ object Relational {
       .agg(sum($"qty").as("pair_qty"))
     val perPart = perPair.groupBy($"l_partkey")
       .agg(sum($"pair_qty").as("part_qty"), count(lit(1)).as("n_supp"))
+    // DECIMAL(38,0) like importantParts: plain BIGINT would wrap on
+    // overflow in non-ANSI Spark at extreme scale where DuckDB's
+    // HUGEINT promotion keeps going — a latent cross-engine divergence
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val qualifying = perPair.join(perPart, Seq("l_partkey"))
-      .filter($"pair_qty" * $"n_supp" * 10 > $"part_qty" * tenths)
+      .filter($"pair_qty".cast(big) * $"n_supp" * 10 >
+        $"part_qty".cast(big) * tenths)
       .select($"l_suppkey").distinct()
     val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
     Tables.supplier(spark, dir)

@@ -966,10 +966,12 @@ object Temporal {
   }
 
   /** [[intervalOverlapJoin]] over arbitrary (event_id, s, e) interval
-    * relations. `bucketUs` must be ≥ the longest interval on either
-    * side (required, checked: a longer interval would explode into >2
-    * buckets — still correct, but the caller should know its cost
-    * model broke).
+    * relations. `bucketUs` ≥ the longest interval is the COST-MODEL
+    * guideline, not a checked precondition: a longer interval simply
+    * explodes into ceil(len/bucketUs)+1 candidate buckets — the
+    * post-join overlap predicate keeps the result exact regardless
+    * (spec'd with a 3-bucket interval), the join input just grows by
+    * that replication factor.
     */
   def intervalOverlapJoinOf(deploys: DataFrame, errors: DataFrame,
       bucketUs: Long): DataFrame = {

@@ -335,6 +335,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(under > 0)
   }
 
+  test("pointer doubling keeps orphans (ancestor id absent from relation)") {
+    import spark.implicits._
+    // node 5's parent 999 was never loaded — the closure must keep the
+    // row at its dangling pointer, not silently drop it through the
+    // self-join; the well-formed chain beside it still closes fully
+    val ptr0 = Seq((0L, 0L, 0L), (1L, 0L, 1L), (2L, 1L, 1L), (5L, 999L, 1L))
+      .toDF("node", "anc", "d")
+    val closed = Graph.pointerDoublingClosure(ptr0, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(closed.size == 4, "orphan row must survive every round")
+    assert(closed(5L) == ((999L, 1L)), "orphan pointer must stay put")
+    assert(closed(2L) == ((0L, 2L)) && closed(1L) == ((0L, 1L)))
+  }
+
   test("hierarchy rollup: doubling matches a driver-side recursive walk") {
     val got = Graph.hierarchyRollup(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
