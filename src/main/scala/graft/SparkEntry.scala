@@ -262,6 +262,8 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Similarity.annRecallReport(s, d)),
     "binary_file_ingest" -> ((s, d) =>
       graft.multimodal.Multimodal.binaryFileIngest(s, d)),
+    "streaming_tws_ttl" -> ((s, d) =>
+      graft.streaming.Streams.twsTtlCountsQuery(s, d)),
     "streaming_tws_stats" -> ((s, d) =>
       graft.streaming.Streams.twsRunningStatsQuery(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentDedup(s, d)),
@@ -3333,6 +3335,27 @@ object SparkEntry {
     // mergeability proof (the hll_daily_merge contract, SUM algebra)
     "histogram_daily_merge" ->
       graft.operators.Sketches.histogramQuantilesSql(),
+
+    // TTL witness: emissions are slice-local counts BECAUSE the store
+    // evicted every slice-1 value during the inter-batch sleep, so
+    // sum(emissions) = the batch count and #emissions = #slices
+    // containing the user (feed split at ceil(n/2) by event_id rank).
+    // Without the TTL the second emission would double-count slice 1
+    // and this hash would break.
+    "streaming_tws_ttl" ->
+      s"""WITH f AS (SELECT user_id, event_id FROM events
+         |  WHERE event_id < ${graft.streaming.Streams.HarnessFeedCap}),
+         |n AS (SELECT COUNT(*) AS total FROM f),
+         |r AS (SELECT user_id,
+         |    ROW_NUMBER() OVER (ORDER BY event_id) AS rk FROM f),
+         |s AS (SELECT user_id,
+         |    CASE WHEN rk <= CAST(CEIL(total / 2.0) AS BIGINT)
+         |      THEN 1 ELSE 2 END AS slice
+         |  FROM r CROSS JOIN n)
+         |SELECT user_id,
+         |  CAST(COUNT(DISTINCT slice) AS BIGINT) AS n_flushes,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "streaming_tws_stats" ->
       s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1226,6 +1226,138 @@ object Streams {
     }
   }
 
+  case class TwsTtlCount(user_id: Long, n: Long)
+
+  /** Per-user counter whose ValueState carries a PROCESSING-TIME TTL —
+    * the state-lifecycle knob of the transformWithState API the other
+    * processors leave at TTLConfig.NONE. An expired value reads as
+    * absent, so a flush after the TTL horizon restarts the count from
+    * zero: bounded-lifetime feature state (trending counters, abuse
+    * windows) with eviction done BY THE STORE, not by operator code.
+    */
+  private[streaming] class TtlCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CentEvent, TwsTtlCount] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: Long, rows: Iterator[CentEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsTtlCount] = {
+      val prior = if (st.exists()) st.get() else 0L // expired reads absent
+      val n = prior + rows.size
+      st.update(n)
+      Iterator.single(TwsTtlCount(key, n))
+    }
+  }
+
+  /** Driver-contract query with a FULL DuckDB oracle for TTL-configured
+    * state: the capped feed arrives in two slices with an inter-run
+    * sleep far past the 200 ms TTL, so every slice-1 counter has been
+    * store-evicted before slice 2 processes and each emission is a
+    * SLICE-LOCAL count. That makes the per-user sum of emissions equal
+    * the plain batch count — an equality that holds ONLY because the
+    * TTL fired (without eviction the second emission double-counts
+    * slice 1 and the oracle hash breaks) — and the per-user emission
+    * count equal the number of slices containing that user, which the
+    * oracle restates by splitting the event_id-ranked feed at
+    * ceil(n/2). Deterministic because the sleep upper-bounds nothing:
+    * it only needs to EXCEED the TTL, and 2000 ms ≫ 200 ms.
+    *
+    * Lifecycle note: TTL forces TimeMode.ProcessingTime, and in that
+    * mode a stream NEVER quiesces — TransformWithStateExecBase
+    * .shouldRunAnotherBatch returns true unconditionally (processing
+    * time always advances timers/TTL), so no-data batches cascade
+    * forever and BOTH processAllAvailable and Trigger.AvailableNow
+    * block indefinitely (observed: 700+ empty commits; Spark's own TTL
+    * suites sidestep this with a manual trigger clock the public API
+    * doesn't expose). The harness therefore waits on the OUTPUT — each
+    * slice produces exactly one data batch, so the feed polls the
+    * foreachBatch buffer until that batch's emissions land, then moves
+    * on, and the stream is stopped as soon as slice 2's batch is out.
+    */
+  def twsTtlCountsQuery(spark: SparkSession, dir: String,
+      ttlMs: Long = 200L, gapMs: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .filter($"event_id" < HarnessFeedCap)
+      .select($"user_id", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .orderBy($"event_id")
+      .as[CentEvent].collect()
+    val emptyOut = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "n_flushes", "n_events")
+    if (evs.isEmpty) return emptyOut
+    val slices = {
+      val per = math.max(1, math.ceil(evs.length.toDouble / 2).toInt)
+      evs.grouped(per).toSeq
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // volatile-free is fine: ArrayBuffer append happens on the stream
+    // thread, reads poll length with sleeps; synchronize for safety
+    def outSize: Int = out.synchronized(out.length)
+    def waitFor(n: Int): Unit = {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (outSize < n) {
+        if (System.nanoTime > deadline)
+          throw new IllegalStateException(
+            s"tws_ttl: slice $n emissions never arrived")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      val in = MemoryStream[CentEvent](spark)
+      runStreamToTable(spark, "tws_ttl", Some(4)) { (n, ck) =>
+        in.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new TtlCountProcessor(ttlMs),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            OutputMode.Update(),
+            implicitly[org.apache.spark.sql.Encoder[TwsTtlCount]])
+          .toDF()
+          .writeStream
+          .queryName(n)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Update)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              val cp = b.localCheckpoint(true)
+              out.synchronized { out += cp }
+              ()
+            }
+          }
+          .start()
+      } { _ =>
+        in.addData(slices.head.toIndexedSeq); waitFor(1)
+        if (slices.length > 1) {
+          Thread.sleep(gapMs) // let every slice-1 TTL lapse
+          in.addData(slices(1).toIndexedSeq); waitFor(2)
+        }
+      }
+      out.foldLeft(Seq.empty[(Long, Long)].toDF("user_id", "n"))(
+          _ unionByName _)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_flushes"), sum($"n").as("n_events"))
+        .orderBy($"user_id")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   case class TwsSession(user_id: Long, session_id: Long, n_events: Long,
       t_start: Long, t_end: Long)
 

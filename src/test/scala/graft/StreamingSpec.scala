@@ -999,6 +999,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state TTL evicts between slices; a lapsed-free TTL accumulates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf
+    // batch truth over the same capped feed
+    val batchCounts = graft.Tables.events(spark, sf)
+      .filter($"event_id" < Streams.HarnessFeedCap)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_batch"))
+    // (a) TTL 200ms, 2s gap: every slice-1 value is store-evicted, so
+    // summed emissions == the batch count for EVERY user
+    val evicted = Streams.twsTtlCountsQuery(spark, sf)
+    assert(evicted.join(batchCounts, "user_id")
+      .filter($"n_events" =!= $"n_batch").count() == 0)
+    assert(evicted.filter($"n_flushes" === 2).count() > 0,
+      "some user must span both slices or the TTL was never exercised")
+    // (b) TTL 1h, no gap: nothing expires, the second emission is a
+    // RUNNING count — summed emissions now OVERCOUNT slice 1 for every
+    // user that appears in both slices
+    val kept = Streams.twsTtlCountsQuery(spark, sf,
+      ttlMs = 3600L * 1000, gapMs = 0L)
+    val over = kept.filter($"n_flushes" === 2)
+      .join(batchCounts, "user_id")
+      .filter($"n_events" <= $"n_batch").count()
+    assert(over == 0,
+      "without eviction every 2-slice user must double-count slice 1")
+  }
+
   test("e2e lifecycle emits top-25 payloads that round-trip the sink codec") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
