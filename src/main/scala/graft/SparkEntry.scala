@@ -98,6 +98,7 @@ object SparkEntry {
     "media_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
     "media_embed" -> ((s, d) => graft.multimodal.Multimodal.mediaEmbed(s, d)),
     "media_resize" -> ((s, d) => graft.multimodal.Multimodal.mediaResize(s, d)),
+    "media_quarantine" -> ((s, d) => graft.multimodal.Multimodal.mediaQuarantine(s, d)),
     "media_phash_dedup" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaPhashDedup(s, d)),
     "audio_resample" -> ((s, d) => graft.multimodal.Multimodal.audioResample(s, d)),
@@ -1441,6 +1442,30 @@ object SparkEntry {
         |SELECT media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
         |  string_agg(CAST(p AS VARCHAR), ';' ORDER BY pos) AS pixels
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // corrupt-blob gate: truncated sentinels (media_id % 7 = 0) land
+    // in quarantine, healthy rows re-prove the decode via the exact
+    // pixel-formula sum — so the oracle checks BOTH that the gate
+    // caught every corrupt blob and that it never ate a good row
+    "media_quarantine" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |    (doc_id % 64) + 1 AS w, (doc_id % 48) + 1 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |okpx AS (SELECT media_id, w, h,
+        |    CAST(SUM((media_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS ps
+        |  FROM img,
+        |    UNNEST(generate_series(0, w - 1)) t1(x),
+        |    UNNEST(generate_series(0, h - 1)) t2(y)
+        |  WHERE media_id % 7 <> 0
+        |  GROUP BY media_id, w, h)
+        |SELECT media_id, 'ok' AS status, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, ps AS pixel_sum
+        |FROM okpx
+        |UNION ALL
+        |SELECT media_id, 'quarantined' AS status, CAST(NULL AS INT),
+        |  CAST(NULL AS INT), CAST(NULL AS BIGINT)
+        |FROM img WHERE media_id % 7 = 0
+        |ORDER BY media_id""".stripMargin,
 
     // aHash from the pixel formula: 8x8 nearest downsample, strict
     // compare against the integer-floor mean, bit_or of set bits

@@ -288,6 +288,41 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Corrupt-payload quarantine — the binary analog of
+    * json_corrupt_recovery: a deterministic subset of the PNG payloads
+    * (media_id % 7 == 0) is truncated to a 10-byte stub — valid PNG
+    * signature, no image data — before decode, the REAL ImageIO path
+    * runs per row, and any payload whose decode throws or yields no
+    * image routes to status='quarantined' instead of failing the job.
+    * That is the robustness gate every at-scale media ingest needs: a
+    * 100-TB crawl always contains truncated blobs, and one bad row
+    * must cost one row, not the stage. Healthy rows emit their decoded
+    * dimensions and exact pixel sum, so the oracle's formula replay
+    * also proves the gate never eats good rows.
+    */
+  def mediaQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .filter(_.kind == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload =
+            if (r.media_id % 7 == 0) r.payload.take(10) else r.payload
+          try {
+            val (w, h, pix) = ImageCodec.decodeGray(payload)
+            (r.media_id, "ok", Option(w), Option(h),
+              Option(pix.foldLeft(0L)(_ + _)))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (r.media_id, "quarantined", Option.empty[Int],
+                Option.empty[Int], Option.empty[Long])
+          }
+        }
+      }
+      .toDF("media_id", "status", "width", "height", "pixel_sum")
+      .orderBy($"media_id")
+  }
+
   /** Frame sampling: split a video payload into 16-byte frames, keep
     * every `stride`-th. The explode happens executor-side; each output
     * row carries only its frame slice, not the whole payload. Reads

@@ -226,4 +226,32 @@ class MultimodalSpec extends AnyFunSuite {
     val boundariesPerVideo = (M.SceneFrames - 1) / M.SceneLen
     assert(cuts.length.toLong == nVideos * boundariesPerVideo)
   }
+
+  test("quarantine gate: one bad blob costs one row, for any corruption shape") {
+    // the driver query's sentinel is a truncated PNG; the gate itself
+    // must be total over arbitrary garbage — decode failure modes
+    // differ (IIOException vs null reader vs EOF) but all must route
+    // to quarantine, never up the stage
+    val good = ImageCodec.encodePng(5, 4, ImageCodec.renderPattern(3L, 5, 4))
+    val shapes = Seq[Array[Byte]](
+      good.take(10),                      // truncated after signature
+      Array.empty[Byte],                  // zero bytes
+      Array.fill[Byte](64)(0x41),         // not an image at all
+      good.updated(15, 0x7f.toByte))      // flipped header byte
+    shapes.foreach { bad =>
+      val r = scala.util.Try(ImageCodec.decodeGray(bad))
+      assert(r.isFailure, "every corruption shape must fail decode, not return junk")
+    }
+    // and the driver query quarantines exactly the sentinel subset
+    import org.apache.spark.sql.functions.col
+    val q = Multimodal.mediaQuarantine(spark, TestSpark.sf)
+    val bad = q.filter(col("status") === "quarantined")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val imgIds = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 3 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == imgIds.filter(_ % 7 == 0))
+    assert(q.filter(col("status") === "ok").count() ==
+      (imgIds.size - bad.size).toLong)
+  }
 }
