@@ -48,7 +48,7 @@ object Bench {
     // untimed warmup: session/scheduler/codegen-infra JIT, one tiny
     // parquet footer read — so the first measured query isn't charged
     // ~4s of one-time JVM cost. Table data itself stays uncached.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr("sum(id)").collect() // bounded: 1-row warmup aggregate
     Tables.region(spark, sfDir).count()
 
     // dev knob: SPARK_GRAFT_QUERIES=a,b,c restricts the run for quick

@@ -736,7 +736,7 @@ object Dedup {
     val words = positions
       .select(shiftrightunsigned($"pos", 6).as("w"), bitOf($"pos").as("bit"))
       .groupBy($"w").agg(expr("bit_or(bit)").as("bits"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // bounded: mBits/64 words
     Array.tabulate(mBits / 64)(i => words.getOrElse(i.toLong, 0L))
   }
 

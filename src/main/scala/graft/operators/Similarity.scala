@@ -233,6 +233,7 @@ object Similarity {
     * floor()ed means are integer-valued doubles, floats are binary.
     */
   private def collectCents[T](df: DataFrame): Seq[(Long, Seq[T])] =
+    // bounded: centroid k (= n/centroidEvery here, ~sqrt(n) in production IVF)
     df.collect().toSeq.map(r => (r.getLong(0), r.getSeq[T](1))).sortBy(_._1)
 
   /** Per-centroid cosine columns in the quantized domain, mirroring

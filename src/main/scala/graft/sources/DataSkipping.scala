@@ -90,7 +90,7 @@ object DataSkipping {
     import spark.implicits._
     val zones = stats
       .select($"file", $"min_ts", $"max_ts")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))) // bounded: file count (zone-map metadata)
     val keep = zones.collect {
       case (f, mn, mx) if mx >= lo && mn < hi => f
     }.sorted
@@ -207,7 +207,7 @@ object DataSkipping {
         element_at(bitLit, $"pos".bitwiseAND(63L).cast("int") + 1).as("bit"))
       .groupBy($"file", $"w")
       .agg(expr("bit_or(bit)").as("bits"))
-      .collect()
+      .collect() // bounded: file count x mBits/64 words (filter metadata)
       .groupBy(_.getString(0))
       .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
   }
@@ -272,7 +272,7 @@ object DataSkipping {
     val hiUser = maxU / 8
     val zones = zoneMapOf(spark, out, "user_id")
       .select($"file", $"min_ts")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1))) // bounded: ZoneFiles
     val keep = zones.collect { case (f, mn) if mn <= hiUser => f }.sorted
     val rows =
       if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))

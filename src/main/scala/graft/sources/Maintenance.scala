@@ -47,7 +47,7 @@ object Maintenance {
     val touchedKeys = upserts.select($"doc_id")
       .unionByName(deletes.select($"doc_id"))
     val affected = touchedKeys.select(partOf($"doc_id").as("part"))
-      .distinct().as[Int].collect().toSeq.sorted
+      .distinct().as[Int].collect().toSeq.sorted // bounded: NumParts
     // partition-pruned read: only affected partitions' files are
     // scanned (PartitionFilters on the partition column)
     val current = spark.read.parquet(path)

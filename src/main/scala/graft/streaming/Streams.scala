@@ -584,6 +584,9 @@ object Streams {
       .write.mode(SaveMode.Overwrite).partitionBy("part")
       .parquet(StreamMergePath)
     val offset = graft.operators.Relational.DiffAppendOffset
+    // bounded: fixed modulus slices of the corpus (1/13 + 1/29 + 1/17)
+    // — the driver-side CDC harness feed, same class as the
+    // HarnessFeedCap feeds; production CDC arrives from a log source
     val feed: Array[CdcOp] =
       (v1.filter($"doc_id" % 13 === 5 && $"doc_id" % 17 =!= 3)
         .select($"doc_id", concat($"text", lit(" rev2")).as("text"))
@@ -592,7 +595,8 @@ object Streams {
         .select(($"doc_id" + offset).as("doc_id"), $"text")
         .collect().map(r => CdcOp(r.getLong(0), r.getString(1), "upsert")) ++
       v1.filter($"doc_id" % 17 === 3).select($"doc_id")
-        .collect().map(r => CdcOp(r.getLong(0), "", "delete")))
+        .collect() // bounded: 1/17 corpus slice (same CDC harness feed)
+        .map(r => CdcOp(r.getLong(0), "", "delete")))
         .sortBy(_.doc_id)
     val in = MemoryStream[CdcOp](spark)
     runStreamToTable(spark, "cdc_merge", Some(4)) { (n, ck) =>
@@ -676,7 +680,7 @@ object Streams {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, dir)
       .filter($"doc_id" < docCap).select($"doc_id", $"text")
-      .orderBy($"doc_id").collect()
+      .orderBy($"doc_id").collect() // bounded: docCap
       .map(r => DocEvent(r.getLong(0), r.getString(1)))
     if (docs.isEmpty)
       return Seq.empty[(String, Long)].toDF("word", "cnt")
@@ -730,7 +734,7 @@ object Streams {
     val standing = docs.filter($"doc_id" % 10 =!= 0)
     val streamed = docs.filter($"doc_id" % 10 === 0)
       .orderBy($"doc_id")
-      .as[DocEvent].collect()
+      .as[DocEvent].collect() // bounded: 1/10 corpus slice, driver harness feed
     val empty = Seq.empty[(Long, Long, Double)]
       .toDF("doc_a", "doc_b", "jaccard")
     if (streamed.isEmpty) return empty
@@ -782,7 +786,7 @@ object Streams {
     val nNew = 8
     val emb = graft.Tables.embeddings(spark, dir)
     val streamed = emb.filter($"vec_id" < nNew).orderBy($"vec_id")
-      .as[VecEvent].collect()
+      .as[VecEvent].collect() // bounded: nNew
     val empty = Seq.empty[(Long, Int, Long, Double)]
       .toDF("query_id", "rank", "neighbor_id", "cos")
     if (streamed.isEmpty) return empty

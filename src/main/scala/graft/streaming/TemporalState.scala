@@ -86,7 +86,7 @@ object TemporalState {
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("tsu"), col("value"), col("event_type"))
-      .collect()
+      .collect() // bounded: cap (HarnessFeedCap-style event_id predicate)
       .map(r => AsofIn(r.getLong(1), r.getLong(2),
         if (r.getString(4) == "click") 0 else 1, r.getLong(0), r.getDouble(3)))
     val in = MemoryStream[AsofIn](spark)
