@@ -78,6 +78,7 @@ object SparkEntry {
     "streaming_windowed_counts" -> ((s, d) => graft.streaming.Streams.windowedCountsQuery(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "bucket_join" -> ((s, d) => graft.sources.Bucketing.bucketJoinQuery(s, d)),
+    "dsv2_pushdown_scan" -> ((s, _) => graft.sources.RangeV2.pushdownQuery(s)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3338,6 +3339,15 @@ object SparkEntry {
     // hive-partitioned fact; oracle filters the raw table directly
     "dpp_join" ->
       graft.sources.DataSkipping.dppJoinSql(),
+
+    // DSv2 connector end-to-end: the oracle restates the generator
+    // formulas over the pushed id range — a pushdown that dropped or
+    // duplicated rows (split-boundary off-by-one, residual filter
+    // skipped) hash-mismatches
+    "dsv2_pushdown_scan" ->
+      """SELECT id, (id * 31) % 1000 AS v_mul
+        |FROM range(25000, 30000) t(id)
+        |WHERE (id % 97) % 3 = 0 ORDER BY id""".stripMargin,
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

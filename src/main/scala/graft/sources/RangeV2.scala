@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A full DataSource V2 connector (SURVEY §2.2's custom-source slot,
+  * re-expressed as Spark's connector API instead of the reference's
+  * hand-rolled readers): a deterministic generated table of `rows`
+  * rows split into `parts` input partitions, with the three pushdowns
+  * a real warehouse connector implements —
+  *
+  *  - SupportsPushDownRequiredColumns: the reader materializes ONLY
+  *    the pruned schema (a skipped `tag` column is never even
+  *    computed — the DSv2 analog of parquet column pruning);
+  *  - SupportsPushDownFilters: id-range predicates (>, >=, <, <=, =)
+  *    are consumed at the source and — the part that matters at
+  *    scale — used to PLAN ONLY THE OVERLAPPING PARTITIONS, so a
+  *    selective filter turns a 100 TB scan into the few splits that
+  *    can match (partition pruning at planInputPartitions time);
+  *  - SupportsPushDownLimit: a pushed LIMIT caps every split's row
+  *    budget at the source.
+  *
+  * Row content is formula-deterministic (id, v_mod = id % 97,
+  * v_mul = id·31 % 1000, tag = 't' ++ id % 5), so a DuckDB
+  * generate_series restates the whole table and the oracle checks the
+  * connector end to end — pushdown short-circuits included.
+  *
+  * Usage: spark.read.format("graft.sources.RangeV2")
+  *   .option("rows", n).option("parts", p).load()
+  */
+class RangeV2 extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RangeV2.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RangeV2Table(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("parts", "8").toInt)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object RangeV2 {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v_mod", LongType, nullable = false),
+    StructField("v_mul", LongType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+
+  /** The row formulas — shared by the reader and the oracle SQL. */
+  def vMod(id: Long): Long = id % 97
+  def vMul(id: Long): Long = (id * 31) % 1000
+  def tag(id: Long): String = "t" + (id % 5)
+
+  /** Driver-contract query: a selective id-range read through the
+    * connector. The id bounds push into the source and prune the
+    * planned splits to the 1-2 that overlap; the v_mod predicate is
+    * NOT pushable so it evaluates above the scan (proving residual
+    * filters still apply); `tag` is absent from the projection so
+    * column pruning removes it from the read schema and the reader
+    * never computes it. The oracle restates the generator formulas
+    * over the same id range.
+    */
+  def pushdownQuery(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft.sources.RangeV2")
+      .option("rows", "100000").option("parts", "16").load()
+      .filter($"id" >= 25000L && $"id" < 30000L && $"v_mod" % 3 === 0)
+      .select($"id", $"v_mul")
+      .orderBy($"id")
+  }
+}
+
+class RangeV2Table(rows: Long, parts: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_range($rows, $parts)"
+  override def schema(): StructType = RangeV2.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RangeV2ScanBuilder(rows, parts)
+}
+
+class RangeV2ScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+
+  private var required: StructType = RangeV2.schema
+  private var lo: Long = 0L // inclusive id lower bound after pushdown
+  private var hi: Long = Long.MaxValue // exclusive upper bound
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Consume id-range filters exactly (they narrow [lo, hi) and need
+    * no re-evaluation above the scan); leave everything else to Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThan("id", _: Long) => true
+      case GreaterThanOrEqual("id", _: Long) => true
+      case LessThan("id", _: Long) => true
+      case LessThanOrEqual("id", _: Long) => true
+      case EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  // the limit caps each SPLIT's row budget; Spark still applies the
+  // global limit above (isPartiallyPushed), which is the correct
+  // contract for any multi-split source
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan =
+    new RangeV2Scan(rows, parts, required, math.min(hi, rows), lo, limit,
+      pushed.map(_.toString))
+}
+
+class RangeV2Scan(rows: Long, parts: Int, required: StructType,
+    hi: Long, lo: Long, limit: Int, pushedDesc: Array[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // surfaced in .explain so plan audits can assert the pushdown
+  override def description(): String =
+    s"graft RangeV2 rows=$rows parts=$parts bounds=[$lo,$hi) " +
+      s"limit=$limit pushed=[${pushedDesc.mkString(",")}] " +
+      s"cols=[${required.fieldNames.mkString(",")}]"
+
+  /** Partition pruning: only splits overlapping [lo, hi) are planned —
+    * the scale lever. A selective id predicate reads O(matching
+    * splits), not O(parts).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0 until parts).iterator
+      .map { p =>
+        val s = p * per
+        val e = math.min(rows, s + per)
+        RangeV2Partition(math.max(s, lo), math.min(e, hi))
+      }
+      .filter(ip => ip.start < ip.end)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeV2ReaderFactory(required, limit)
+}
+
+case class RangeV2Partition(start: Long, end: Long) extends InputPartition
+
+class RangeV2ReaderFactory(required: StructType, limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[RangeV2Partition]
+    new PartitionReader[InternalRow] {
+      private var cur = rp.start - 1
+      private var emitted = 0
+      override def next(): Boolean = {
+        if (limit >= 0 && emitted >= limit) return false
+        cur += 1; emitted += 1; cur < rp.end
+      }
+      override def get(): InternalRow = {
+        // compute ONLY the pruned columns — a skipped column costs 0
+        InternalRow.fromSeq(required.fieldNames.toIndexedSeq.map {
+          case "id" => cur
+          case "v_mod" => RangeV2.vMod(cur)
+          case "v_mul" => RangeV2.vMul(cur)
+          case "tag" => UTF8String.fromString(RangeV2.tag(cur))
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -110,4 +110,40 @@ class SourcesSpec extends AnyFunSuite {
       read("FAILFAST").collect()
     }
   }
+
+  test("DSv2 connector: filters, columns, and limit push into the source") {
+    import org.apache.spark.sql.functions.col
+    def load() = spark.read.format("graft.sources.RangeV2")
+      .option("rows", "100000").option("parts", "16").load()
+
+    // id-range pushdown prunes the PLANNED SPLITS: [25000, 30000)
+    // overlaps exactly one of the sixteen 6250-row splits
+    val pruned = load()
+      .filter(col("id") >= 25000L && col("id") < 30000L)
+      .select("id", "v_mul")
+    assert(pruned.rdd.getNumPartitions == 1,
+      "id bounds must prune planning to the single overlapping split")
+    assert(pruned.count() == 5000)
+
+    // the physical plan carries the connector's evidence string:
+    // consumed filters and the pruned column set (tag absent)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("id"),
+      s"scan description must list pushed filters, got:\n$plan")
+    assert(plan.contains("cols=[id,v_mul]"),
+      "column pruning must reach the reader (tag never computed)")
+
+    // residual (non-pushable) predicates still evaluate above the scan
+    val residual = load()
+      .filter(col("id") < 970L && col("v_mod") === 0L)
+    assert(residual.count() == 10) // v_mod = id % 97 == 0 for 10 ids < 970
+
+    // pushed limit caps split budgets; the global limit stays exact
+    val lim = load().limit(7)
+    assert(lim.queryExecution.executedPlan.toString.contains("limit=7"))
+    assert(lim.count() == 7)
+
+    // unfiltered read plans every split
+    assert(load().rdd.getNumPartitions == 16)
+  }
 }
