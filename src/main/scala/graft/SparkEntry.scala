@@ -48,6 +48,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "corpus_clean" -> ((s, d) => TextOps.cleanCorpus(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
+    "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -993,6 +994,56 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS songid,
         |  CAST(FLOOR(value) AS INTEGER) AS rating
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the preprocessing funnel: every stage's oracle fragment composed
+    // cumulatively (gopher rules, lang argmax, md5 keeper, exact
+    // 3-gram jaccard >= 0.5 pair drop, 8-gram benchmark decontam) --
+    // six rows, each a survivor count + token mass
+    "corpus_funnel" ->
+      s"""WITH $langScoreCte,
+         |lang AS (SELECT doc_id, $langCaseExpr AS lang FROM ls),
+         |tok AS (SELECT doc_id, md5(text) AS hh,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+         |gw AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |gs AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(l, x -> len(x))) AS BIGINT) AS chars,
+         |    CAST(len(list_distinct(l)) AS BIGINT) AS nd,
+         |    CAST(list_max(list_transform(list_distinct(l),
+         |      d2 -> len(list_filter(l, x -> x = d2)))) AS BIGINT) AS topc,
+         |    CAST(len(list_filter(list_distinct(l),
+         |      x -> x IN ${inList(graft.functions.TextFns.stopwordProfiles("en"))})) AS BIGINT) AS dstops
+         |  FROM gw),
+         |g AS (SELECT doc_id FROM gs
+         |  WHERE n >= 20 AND n <= 80 AND chars * 10 >= n * 38
+         |    AND chars * 10 <= n * 50 AND topc * 5 <= n
+         |    AND nd * 10 >= n * 3 AND dstops >= 2),
+         |s1 AS (SELECT tok.* FROM tok JOIN g USING (doc_id)),
+         |s2 AS (SELECT s1.* FROM s1 JOIN lang USING (doc_id)
+         |  WHERE lang = 'en'),
+         |s3 AS (SELECT s2.* FROM s2
+         |  JOIN (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY hh) k
+         |  USING (doc_id)),
+         |$shingleCtes,
+         |near AS (SELECT DISTINCT db AS doc_id FROM common x
+         |  JOIN sizes a ON a.doc_id = x.da
+         |  JOIN sizes b ON b.doc_id = x.db
+         |  WHERE CAST(c AS DOUBLE) / (a.sz + b.sz - c) >= 0.5),
+         |s4 AS (SELECT s3.* FROM s3 LEFT JOIN near USING (doc_id)
+         |  WHERE near.doc_id IS NULL),
+         |${shingleSqlCte("sh8", 8)},
+         |bench AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 49 = 0),
+         |contam AS (SELECT DISTINCT sh8.doc_id FROM sh8
+         |  JOIN bench USING (h) WHERE sh8.doc_id % 49 <> 0),
+         |s5 AS (SELECT s4.* FROM s4 LEFT JOIN contam USING (doc_id)
+         |  WHERE contam.doc_id IS NULL AND s4.doc_id % 49 <> 0)
+         |SELECT CAST(0 AS INT) AS stage_ord, '0_raw' AS stage,
+         |  COUNT(*) AS n_docs, CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS sum_tokens FROM tok
+         |UNION ALL SELECT 1, '1_gopher', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s1
+         |UNION ALL SELECT 2, '2_lang_en', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s2
+         |UNION ALL SELECT 3, '3_exact_dedup', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s3
+         |UNION ALL SELECT 4, '4_near_dedup', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s4
+         |UNION ALL SELECT 5, '5_decontam', COUNT(*), CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s5
+         |ORDER BY stage_ord""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH $langScoreCte,

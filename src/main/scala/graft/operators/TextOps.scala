@@ -97,6 +97,65 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The FULL preprocessing funnel — the per-stage survivor report
+    * every pretraining pipeline publishes (docs and tokens remaining
+    * after each gate), composing the already-oracle-checked stages
+    * cumulatively:
+    *
+    *   0_raw          the whole corpus
+    *   1_gopher       the 5-rule Gopher gate ([[gopherQualityFilterOf]])
+    *   2_lang_en      n-gram language gate (langGuess == "en")
+    *   3_exact_dedup  min-doc_id keeper per md5(text) among survivors
+    *   4_near_dedup   drop docs with an exact 3-gram Jaccard ≥ 0.5
+    *                  near-dup of smaller id (full-corpus pair set —
+    *                  the global-cluster convention, so the keeper is
+    *                  stable under upstream gate changes)
+    *   5_decontam     drop the benchmark slice (doc_id % 49 == 0) and
+    *                  every doc sharing an 8-gram with it
+    *
+    * Scale shape: the report costs one tokenize pass per stage flag
+    * plus the pair computations the dedup stages already need; nothing
+    * here is new shuffle work beyond the stages themselves, and the
+    * output is six rows.
+    */
+  def corpusFunnel(spark: SparkSession, dir: String): DataFrame =
+    corpusFunnelOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[corpusFunnel]] over an arbitrary (doc_id, text) relation. */
+  def corpusFunnelOf(docs: DataFrame, benchMod: Long = 49L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", md5($"text").as("hh"),
+      TextFns.whitespaceTokenCount($"text").cast("long").as("nt"),
+      TextFns.langGuess($"text").as("lang"))
+    val gop = gopherQualityFilterOf(docs).filter($"keep").select($"doc_id")
+    val s1 = toks.join(gop, Seq("doc_id"), "left_semi")
+    val s2 = s1.filter($"lang" === "en")
+    val s3 = s2
+      .withColumn("mn", min($"doc_id").over(Window.partitionBy($"hh")))
+      .filter($"doc_id" === $"mn").drop("mn")
+    val near = graft.operators.Dedup.ngramJaccardOf(docs, 3, 0.5)
+      .select($"doc_b".as("doc_id")).distinct()
+    val s4 = s3.join(near, Seq("doc_id"), "left_anti")
+    val contam = graft.operators.Dedup.decontaminateOf(
+        docs.filter($"doc_id" % benchMod =!= 0),
+        docs.filter($"doc_id" % benchMod === 0))
+      .select($"doc_id")
+    val s5 = s4.filter($"doc_id" % benchMod =!= 0)
+      .join(contam, Seq("doc_id"), "left_anti")
+    def stage(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"nt"), lit(0L)).as("sum_tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          $"n_docs", $"sum_tokens")
+    Seq(stage(0, "0_raw", toks), stage(1, "1_gopher", s1),
+      stage(2, "2_lang_en", s2), stage(3, "3_exact_dedup", s3),
+      stage(4, "4_near_dedup", s4), stage(5, "5_decontam", s5))
+      .reduce(_ unionByName _)
+      .orderBy($"stage_ord")
+  }
+
   /** Per-language corpus statistics (doc counts, token volumes) — the
     * aggregate a pipeline reports after every filter stage. Token sums
     * are integer arithmetic, so the averages are cross-engine exact

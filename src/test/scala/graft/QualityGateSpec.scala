@@ -69,4 +69,33 @@ class QualityGateSpec extends AnyFunSuite {
         "top_word_ok" -> 4, "distinct_ok" -> 5, "stopword_ok" -> 6))
       assert(got.exists(r => !r.getBoolean(i)), s"rule $col never fires")
   }
+
+  test("corpus funnel: monotone, anchored to the corpus, every stage bites") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.TextOps.corpusFunnel(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0 to 5))
+    // stage 0 is the whole corpus, in docs and tokens
+    val nDocs = Tables.documents(spark, TestSpark.sf).count()
+    assert(rows(0)._3 == nDocs)
+    // survivors never increase, in either measure
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"${b._2} grew vs ${a._2}")
+    }
+    // the sf0.001 fixture makes these stages drop something (a no-op
+    // stage would mean the gate is not wired to the relation it
+    // claims); lang_en and exact_dedup are legitimately near-no-op
+    // here — gopher's stopword rule already implies English, and the
+    // corpus's exact duplicates don't survive the upstream gates
+    val byName = rows.map(r => r._2 -> r._3).toMap
+    assert(byName("1_gopher") < byName("0_raw"))
+    assert(byName("4_near_dedup") < byName("3_exact_dedup"))
+    assert(byName("5_decontam") < byName("4_near_dedup"))
+    // stage 1 equals the standalone gopher gate's keep count
+    val gopherKeep = graft.operators.TextOps
+      .gopherQualityFilter(spark, TestSpark.sf)
+      .filter(col("keep")).count()
+    assert(rows(1)._3 == gopherKeep)
+  }
 }
