@@ -63,6 +63,7 @@ object SparkEntry {
     "embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
     "streaming_incremental_ivf" -> ((s, d) =>
@@ -500,6 +501,60 @@ object SparkEntry {
   private val vecCtes =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** MMR greedy oracle: the k selection rounds UNROLLED (the
+    * labelPropagationSql idiom) — round i scores every unselected
+    * candidate as 0.5·rel − 0.5·max(sim to the i−1 already-selected)
+    * and takes the per-query argmax (ties on vec_id). rel/sim are the
+    * same cosine doubles as cosine_topk, so the greedy trajectory is
+    * bit-deterministic.
+    */
+  private lazy val mmrRerankSql: String = {
+    val (k, topN) = (5, 20)
+    val rounds = (2 to k).map { i =>
+      val pre = (1 until i).map(j => s"SELECT * FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""pre$i AS ($pre),
+         |sc$i AS (SELECT c.query_id, c.neighbor_id,
+         |    0.5 * c.rel - 0.5 * MAX(s.s) AS sc
+         |  FROM cand c
+         |  JOIN msim s ON s.query_id = c.query_id AND s.ca = c.neighbor_id
+         |  JOIN pre$i p ON p.query_id = s.query_id AND p.vec_id = s.cb
+         |  LEFT JOIN pre$i me
+         |    ON me.query_id = c.query_id AND me.vec_id = c.neighbor_id
+         |  WHERE me.vec_id IS NULL
+         |  GROUP BY c.query_id, c.neighbor_id, c.rel),
+         |sel$i AS (SELECT query_id, neighbor_id AS vec_id, $i AS rank,
+         |    sc AS mmr FROM (
+         |  SELECT query_id, neighbor_id, sc, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn
+         |  FROM sc$i) t WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH $vecCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       |scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |    list_inner_product(qv, a.v) / qn / a.nrm AS cos
+       |  FROM n a JOIN q ON a.vec_id <> query_id),
+       |cand AS (SELECT query_id, neighbor_id, cos AS rel FROM (
+       |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored) t WHERE rk <= $topN),
+       |msim AS (SELECT x.query_id, x.neighbor_id AS ca, y.neighbor_id AS cb,
+       |    list_inner_product(na.v, nb.v) / na.nrm / nb.nrm AS s
+       |  FROM cand x JOIN cand y
+       |    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+       |  JOIN n na ON na.vec_id = x.neighbor_id
+       |  JOIN n nb ON nb.vec_id = y.neighbor_id),
+       |sel1 AS (SELECT query_id, neighbor_id AS vec_id, 1 AS rank,
+       |    0.5 * rel AS mmr FROM (
+       |  SELECT query_id, neighbor_id, rel, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+       |  FROM cand) t WHERE rn = 1),
+       |${rounds.mkString(",\n")}
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, mmr
+       |FROM (${(1 to k).map(j => s"SELECT * FROM sel$j").mkString(" UNION ALL ")}) u
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** SRP-banded embedding near-dup pair SQL (no trailing ORDER BY) —
     * shared by the embedding_neardup_lsh oracle and, CTE-wrapped, by
@@ -1142,6 +1197,8 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "embedding_neardup_lsh" -> s"$embeddingLshPairsSql\nORDER BY vec_a, vec_b",
+
+    "mmr_rerank" -> mmrRerankSql,
 
     "cosine_topk" ->
       s"""WITH $vecCtes,

@@ -59,6 +59,77 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity-aware top-k a training-data pipeline runs
+    * after retrieval so the selected examples aren't near-duplicates
+    * of each other: greedily pick k of each query's top-N cosine
+    * candidates maximizing
+    *
+    *   score(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    *
+    * with λ = 0.5 (exact in binary) and max over ∅ = 0, so the first
+    * pick's score is λ·rel — one uniform formula both engines state.
+    * Ties break on vec_id; rel and sim are the bit-exact cosine
+    * doubles of [[cosineTopKOf]], so the greedy trajectory is
+    * cross-engine deterministic.
+    *
+    * Scale shape: candidate generation is the two-phase broadcast
+    * top-N; the quadratic part (N² sims, N·k greedy) runs INSIDE each
+    * query's group via flatMapGroups — O(queries) parallel groups of
+    * constant N=20 work, never a global quadratic.
+    */
+  def mmrRerank(spark: SparkSession, dir: String, k: Int = 5,
+      topN: Int = 20, nQueries: Int = 8): DataFrame =
+    mmrRerankOf(Tables.embeddings(spark, dir), k, topN, nQueries)
+
+  /** [[mmrRerank]] over any (vec_id, embedding ARRAY<FLOAT>). */
+  def mmrRerankOf(embeddings: DataFrame, k: Int = 5, topN: Int = 20,
+      nQueries: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cand = cosineTopKOf(embeddings, topN, nQueries)
+      .select($"query_id", $"neighbor_id", $"cos".as("rel"))
+    val e = embeddings.select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val pairs = cand.as("x").join(cand.as("y"),
+        $"x.query_id" === $"y.query_id" &&
+          $"x.neighbor_id" =!= $"y.neighbor_id")
+      .join(e.select($"vec_id".as("ca_id"), $"v".as("va"), $"nrm".as("na")),
+        $"x.neighbor_id" === $"ca_id")
+      .join(e.select($"vec_id".as("cb_id"), $"v".as("vb"), $"nrm".as("nb")),
+        $"y.neighbor_id" === $"cb_id")
+      .select($"x.query_id".as("query_id"), $"x.neighbor_id".as("ca"),
+        $"x.rel".as("rel"), $"y.neighbor_id".as("cb"),
+        (dot($"va", $"vb") / $"na" / $"nb").as("sim"))
+    pairs.as[(Long, Long, Double, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Long, Double)]) =>
+        val rows = it.toVector // bounded: topN·(topN−1) pair rows per group
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+        val selected = Vector.newBuilder[(Long, Int, Double)]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val kk = math.min(k, rel.size)
+        var rank = 1
+        while (rank <= kk) {
+          val best = rel.keysIterator.filterNot(chosen.contains)
+            .map { c =>
+              val pen =
+                if (chosen.isEmpty) 0.0
+                else chosen.iterator.map(s => sim((c, s))).max
+              (c, 0.5 * rel(c) - 0.5 * pen)
+            }
+            .minBy { case (c, sc) => (-sc, c) } // max score, tie: low id
+          selected += ((best._1, rank, best._2))
+          chosen += best._1
+          rank += 1
+        }
+        selected.result().iterator.map { case (c, r, sc) => (qid, r, c, sc) }
+      }
+      .toDF("query_id", "rank", "vec_id", "mmr")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Sign-random-projection (hyperplane) LSH geometry: `Planes(j)(i)`
     * is a 3-decimal rational in [-1, 1] from a fixed multiplicative
     * hash — exact to print, parse, and dot in both engines. Shared

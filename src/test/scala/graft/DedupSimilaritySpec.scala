@@ -637,4 +637,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 100L)))
     assert(pairs.head.getLong(3) == 1000000L, "identical docs: jaccard 1.0")
   }
+
+  test("mmr: rank-1 is the cosine top-1 and the penalty changes the set") {
+    val sf = TestSpark.sf
+    val mmr = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val top = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val queries = mmr.map(_._1).distinct
+    assert(queries.nonEmpty && mmr.groupBy(_._1).values.forall(_.size == 5))
+    // with an empty selected set the penalty term vanishes, so the
+    // first pick must be pure relevance — identical to cosine top-1
+    queries.foreach { q =>
+      assert(mmr.find(r => r._1 == q && r._2 == 1).map(_._3) ==
+        top.find(r => r._1 == q && r._2 == 1).map(_._3), s"query $q rank 1")
+    }
+    // and the diversity penalty must actually bite somewhere: at least
+    // one query's MMR five differs from its plain cosine five
+    val differs = queries.exists { q =>
+      mmr.filter(_._1 == q).map(_._3).toSet !=
+        top.filter(_._1 == q).map(_._3).toSet
+    }
+    assert(differs, "MMR degenerated to plain top-k on every query")
+  }
 }
