@@ -161,6 +161,9 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => Relational.eventTransitions(s, d)),
     "winsorize" -> ((s, d) => Relational.winsorize(s, d)),
     "dq_audit" -> ((s, d) => Audit.dqAudit(s, d)),
+    "listagg_sessions" -> ((s, d) => Relational.listaggSessions(s, d)),
+    "collation_group" -> ((s, d) => TextOps.collationGroup(s, d)),
+    "forget_user_cascade" -> ((s, d) => Audit.forgetUserCascade(s, d)),
     "assoc_rules" -> ((s, d) => Basket.assocRules(s, d)),
     "rolling_distinct_users" -> ((s, d) => Temporal.rollingDistinctUsers(s, d)),
     "gap_fill_ffill" -> ((s, d) => Temporal.gapFillDaily(s, d)),
@@ -3542,6 +3545,18 @@ object SparkEntry {
     // two-proportion z + Wilson bounds from four exact integers
     // (matched IEEE trees; corr_moments determinism contract)
     "ab_test_report" -> Audit.abTestReportSql,
+
+    // Spark 4 ListAgg WITHIN GROUP vs DuckDB ordered string_agg over
+    // the same (ts, event_id)-total order and identical prefix cap
+    "listagg_sessions" -> Relational.listaggSessionsSql(),
+
+    // UTF8_LCASE-collated grouping vs lower()-keyed grouping — proven
+    // equivalent on the asserted ASCII-lowercase token domain
+    "collation_group" -> TextOps.collationGroupSql,
+
+    // GDPR cascade: flag-join single-pass report vs three CTE passes;
+    // fingerprints are bit_xor of the shared md5-prefix h60 domain
+    "forget_user_cascade" -> Audit.forgetUserCascadeSql(h60),
 
     // window+HOF scene cuts vs a per-byte unnest/self-join
     // reconstruction — independent formulations of the same distances

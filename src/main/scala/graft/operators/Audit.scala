@@ -739,4 +739,89 @@ object Audit {
        |  ${w("x_b", "n_b", "+")} AS wilson_b_hi
        |FROM k""".stripMargin
   }
+
+  /** GDPR right-to-be-forgotten cascade audit (beyond the reference —
+    * the erasure certification every user-data pipeline must run):
+    * the forget set is every customer with a negative account balance
+    * (a deterministic, scale-proportional ~8% of the table); the
+    * cascade walks the FK chain customer → orders → lineitem. Per
+    * table it reports rows deleted, rows surviving, and a bit_xor
+    * fingerprint of the surviving primary keys, so a verifier can
+    * certify the erasure against an independently computed fingerprint
+    * without re-reading history. Each table is ONE pass — a LEFT join
+    * marks doomed rows and a single multi-aggregate folds both counts
+    * and the fingerprint. At 100 TB the join's small side is always
+    * the key set (forgotten customers, then their order keys), never a
+    * fact table; AQE picks broadcast vs shuffle per stage, and the
+    * xor fingerprint is commutative so it partial-aggregates map-side.
+    */
+  def forgetUserCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h60 = graft.operators.Dedup.hash60 _
+
+    def report(name: String, flagged: DataFrame): DataFrame =
+      flagged.agg(
+        count(when($"del", 1)).as("deleted"),
+        count(when(!$"del", 1)).as("surviving"),
+        coalesce(expr("bit_xor(CASE WHEN NOT del THEN h END)"), lit(0L))
+          .as("survivor_fp"))
+        .select(lit(name).as("table_name"), $"deleted", $"surviving",
+          $"survivor_fp")
+
+    val cust = Tables.customer(spark, dir)
+    val custFlagged = cust
+      .withColumn("del", $"c_acctbal" < 0)
+      .withColumn("h", h60($"c_custkey".cast("string")))
+    val forgetKeys = cust.where($"c_acctbal" < 0)
+      .select($"c_custkey".as("fk_cust"))
+
+    val orders = Tables.orders(spark, dir)
+    val ordersFlagged = orders
+      .join(forgetKeys, orders("o_custkey") === forgetKeys("fk_cust"), "left")
+      .withColumn("del", $"fk_cust".isNotNull)
+      .withColumn("h", h60($"o_orderkey".cast("string")))
+    val doomedOrders = orders
+      .join(forgetKeys, orders("o_custkey") === forgetKeys("fk_cust"),
+        "left_semi")
+      .select($"o_orderkey".as("fk_order"))
+
+    val li = Tables.lineitem(spark, dir)
+    val liFlagged = li
+      .join(doomedOrders, li("l_orderkey") === doomedOrders("fk_order"), "left")
+      .withColumn("del", $"fk_order".isNotNull)
+      .withColumn("h", h60(concat($"l_orderkey".cast("string"), lit(":"),
+        $"l_linenumber".cast("string"))))
+
+    report("customer", custFlagged)
+      .unionAll(report("orders", ordersFlagged))
+      .unionAll(report("lineitem", liFlagged))
+      .orderBy($"table_name")
+  }
+
+  /** [[forgetUserCascade]] oracle — the same cascade as three CTE
+    * passes; `h60x` must be the caller's md5-prefix BIGINT fragment.
+    */
+  def forgetUserCascadeSql(h60x: String => String): String = {
+    def one(name: String, from: String, del: String, pk: String) =
+      s"""SELECT '$name' AS table_name,
+         |  COUNT(*) FILTER ($del) AS deleted,
+         |  COUNT(*) FILTER (NOT ($del)) AS surviving,
+         |  COALESCE(bit_xor(CASE WHEN NOT ($del)
+         |    THEN ${h60x(pk)} END), 0) AS survivor_fp
+         |FROM $from""".stripMargin
+    s"""WITH fset AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+       |doomed_o AS (SELECT o_orderkey FROM orders
+       |             WHERE o_custkey IN (SELECT c_custkey FROM fset))
+       |${one("customer", "customer", "c_acctbal < 0",
+      "CAST(c_custkey AS VARCHAR)")}
+       |UNION ALL
+       |${one("orders", "orders",
+      "o_custkey IN (SELECT c_custkey FROM fset)",
+      "CAST(o_orderkey AS VARCHAR)")}
+       |UNION ALL
+       |${one("lineitem", "lineitem",
+      "l_orderkey IN (SELECT o_orderkey FROM doomed_o)",
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")}
+       |ORDER BY table_name""".stripMargin
+  }
 }

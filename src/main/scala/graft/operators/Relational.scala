@@ -2099,4 +2099,49 @@ object Relational {
        |WHERE CAST(value_cents AS HUGEINT) * (SELECT COUNT(*) FROM pp) * 10
        |    > $tenths * (SELECT CAST(SUM(value_cents) AS HUGEINT) FROM pp)
        |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  /** Per-user sequence-length cap for [[listaggSessions]]: only the
+    * first `SeqCap` events (by event time) enter the concatenated
+    * export, so row width stays bounded no matter how long a user's
+    * history grows.
+    */
+  val SeqCap = 50
+
+  /** Per-user ordered event-type sequence export via Spark 4's ListAgg
+    * aggregate — `listagg(x, ',') WITHIN GROUP (ORDER BY ...)`, the
+    * string_agg surface every warehouse exposes (behavioral-sequence
+    * features, session-path mining). Exercised through the SQL form
+    * because intra-group ORDER is part of this aggregate's contract
+    * (the DataFrame `listagg` leaves it unspecified); the (ts,
+    * event_id) key is total, so the concatenation is deterministic and
+    * engine-exact. The [[SeqCap]] prefix filter is a rank window that
+    * runs BEFORE the concat — at 100 TB an unbounded user history
+    * never reaches the string builder, and the post-cap aggregate
+    * state is at most `SeqCap` short tokens per key.
+    */
+  def listaggSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= SeqCap)
+      .createOrReplaceTempView("graft_ev_seq")
+    spark.sql(
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  listagg(event_type, ',') WITHIN GROUP (ORDER BY ts, event_id) AS seq
+        |FROM graft_ev_seq GROUP BY user_id""".stripMargin)
+  }
+
+  /** [[listaggSessions]] oracle — DuckDB's ordered string_agg over the
+    * identically capped prefix.
+    */
+  def listaggSessionsSql(cap: Int = SeqCap): String =
+    s"""WITH capped AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+       |FROM capped WHERE rn <= $cap GROUP BY user_id""".stripMargin
 }

@@ -1465,4 +1465,55 @@ object TextOps {
        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
        |  CAST(SUM(bits) AS BIGINT) * 100 // COUNT(*) AS centibits_per_bigram
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Case-insensitive vocabulary report via Spark 4 COLLATIONS: the
+    * grouping key is `collate(token, 'UTF8_LCASE')`, so equality,
+    * hashing, and the shuffle partitioner all honor the collation
+    * natively — no lower() rewrite of the data ever materializes. The
+    * corpus is all-lowercase ASCII, so a deterministic mixed-case
+    * perturbation (first letter uppercased at even 0-based token
+    * positions) is injected first and mirrored exactly in the oracle;
+    * `variants` (binary-distinct spellings inside each collation
+    * class) proves the collation really merged distinct byte strings
+    * (tokens seen at both parities report 2). The emitted
+    * representative is the BINARY min of the class — the collated key
+    * itself would be a nondeterministic class member, which is why no
+    * collated column leaves the query. One shuffle; count-distinct is
+    * Spark's standard two-level expand — vocabulary-bounded output at
+    * any corpus size.
+    */
+  def collationGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.widened(spark, Tables.documents(spark, dir))
+      .select(posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .where($"tok" =!= "")
+    val cased = toks.select(
+      when($"pos" % 2 === 0,
+        concat(upper(substring($"tok", 1, 1)),
+          substring($"tok", 2, Int.MaxValue)))
+        .otherwise($"tok").as("ctok"))
+    cased.groupBy(collate($"ctok", "UTF8_LCASE").as("k"))
+      .agg(min($"ctok").as("token"), count(lit(1)).as("cnt"),
+        countDistinct($"ctok").as("variants"))
+      .select($"token", $"cnt", $"variants")
+      // class minima are distinct across classes, so this is total
+      .orderBy($"token")
+  }
+
+  /** [[collationGroup]] oracle: DuckDB has no collated grouping, so the
+    * class key is `lower(ctok)` — equivalent on the ASCII-lowercase
+    * token domain (asserted by the corpus). 1-based list index i maps
+    * to Spark's 0-based pos, so the perturbation parity is `i % 2 = 1`.
+    */
+  def collationGroupSql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
+      |t AS (SELECT l[i] AS tok, i
+      |      FROM d, UNNEST(generate_series(1, len(l))) AS u(i)),
+      |c AS (SELECT CASE WHEN i % 2 = 1
+      |        THEN upper(substr(tok, 1, 1)) || substr(tok, 2)
+      |        ELSE tok END AS ctok
+      |      FROM t WHERE tok <> '')
+      |SELECT min(ctok) AS token, COUNT(*) AS cnt,
+      |  COUNT(DISTINCT ctok) AS variants
+      |FROM c GROUP BY lower(ctok) ORDER BY token""".stripMargin
 }

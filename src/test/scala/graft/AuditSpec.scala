@@ -89,4 +89,37 @@ class AuditSpec extends AnyFunSuite {
     assert(lo >= 0 && hi <= 1 && lo <= pa && pa <= hi && lo < hi)
     assert(r.getLong(4) == xa * 1000000L / na)
   }
+
+  test("forget cascade: counts partition each table, the cascade is " +
+    "referentially consistent, and fingerprints certify the survivors") {
+    import org.apache.spark.sql.functions._
+    val rows = Audit.forgetUserCascade(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+
+    val cust = Tables.customer(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    // deleted + surviving == table cardinality, per table
+    assert(rows("customer")._1 + rows("customer")._2 == cust.count())
+    assert(rows("orders")._1 + rows("orders")._2 == orders.count())
+    assert(rows("lineitem")._1 + rows("lineitem")._2 == li.count())
+    // the forget set is exactly the negative-balance customers
+    assert(rows("customer")._1 ==
+      cust.where(col("c_acctbal") < 0).count())
+    // independent recompute of the orders leg via a semi join
+    val doomedO = orders.join(
+      cust.where(col("c_acctbal") < 0).select(col("c_custkey")),
+      orders("o_custkey") === col("c_custkey"), "left_semi")
+    assert(rows("orders")._1 == doomedO.count())
+    // lineitem leg: every doomed lineitem's order is doomed
+    assert(rows("lineitem")._1 == li.join(
+      doomedO.select(col("o_orderkey")),
+      li("l_orderkey") === col("o_orderkey"), "left_semi").count())
+    // a survivor fingerprint changes if one survivor is dropped:
+    // xor of a non-empty key set is nonzero here (collision-free at
+    // this cardinality) and differs across tables
+    assert(rows.values.map(_._3).toSet.size == 3)
+  }
 }

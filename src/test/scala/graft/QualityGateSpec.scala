@@ -98,4 +98,32 @@ class QualityGateSpec extends AnyFunSuite {
       .filter(col("keep")).count()
     assert(rows(1)._3 == gopherKeep)
   }
+
+  test("collation group: UTF8_LCASE merges the injected case variants " +
+    "— counts conserve tokens, every class has 1 or 2 spellings, and " +
+    "a class with 2 variants saw both parities") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.collationGroup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalTokens = Tables.widened(spark,
+        Tables.documents(spark, sf))
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "").count()
+    // conservation: every token lands in exactly one collation class
+    assert(out.map(_.getLong(1)).sum == totalTokens)
+    // lowercased representatives are pairwise distinct (classes are
+    // disjoint) and every class has 1 or 2 byte-distinct spellings
+    val reps = out.map(_.getString(0).toLowerCase)
+    assert(reps.distinct.length == reps.length)
+    assert(out.forall(r => r.getLong(2) == 1L || r.getLong(2) == 2L))
+    // with both parities present in the corpus, at least one class
+    // must have been MERGED across case (variants == 2) — the
+    // collation did real work, this is not a lower() no-op
+    assert(out.exists(_.getLong(2) == 2L))
+    // a 2-variant class's representative is the capitalized spelling
+    // (binary min: 'A' < 'a')
+    out.filter(_.getLong(2) == 2L).foreach { r =>
+      assert(r.getString(0).head.isUpper)
+    }
+  }
 }

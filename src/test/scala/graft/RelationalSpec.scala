@@ -688,4 +688,25 @@ class RelationalSpec extends AnyFunSuite {
     // the identity holds to double rounding of the final subtraction
     assert(math.abs(profitTotal - (rev - cost)) < 1e-6 * math.abs(rev))
   }
+
+  test("listagg sessions: WITHIN GROUP order matches the event-time " +
+    "order, the prefix cap binds, and token count equals n_events") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.listaggSessions(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, seq) = (r.getLong(1), r.getString(2))
+      assert(n >= 1 && n <= Relational.SeqCap)
+      assert(seq.split(",", -1).length == n)
+    }
+    // cross-check one user against an independent sort-and-take
+    val u = out.head.getLong(0)
+    val expect = Tables.events(spark, sf)
+      .where(col("user_id") === u)
+      .orderBy(col("ts"), col("event_id"))
+      .limit(Relational.SeqCap)
+      .select(col("event_type")).collect().map(_.getString(0))
+    val got = out.find(_.getLong(0) == u).get.getString(2).split(",", -1)
+    assert(got.toSeq == expect.toSeq)
+  }
 }
