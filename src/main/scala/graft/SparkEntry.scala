@@ -164,6 +164,10 @@ object SparkEntry {
     "listagg_sessions" -> ((s, d) => Relational.listaggSessions(s, d)),
     "collation_group" -> ((s, d) => TextOps.collationGroup(s, d)),
     "forget_user_cascade" -> ((s, d) => Audit.forgetUserCascade(s, d)),
+    "t_closeness_audit" -> ((s, d) => Audit.tClosenessAudit(s, d)),
+    "benford_audit" -> ((s, d) => Audit.benfordAudit(s, d)),
+    "activity_streaks" -> ((s, d) => Relational.activityStreaks(s, d)),
+    "growth_accounting" -> ((s, d) => Relational.growthAccounting(s, d)),
     "assoc_rules" -> ((s, d) => Basket.assocRules(s, d)),
     "rolling_distinct_users" -> ((s, d) => Temporal.rollingDistinctUsers(s, d)),
     "gap_fill_ffill" -> ((s, d) => Temporal.gapFillDaily(s, d)),
@@ -3557,6 +3561,22 @@ object SparkEntry {
     // GDPR cascade: flag-join single-pass report vs three CTE passes;
     // fingerprints are bit_xor of the shared md5-prefix h60 domain
     "forget_user_cascade" -> Audit.forgetUserCascadeSql(h60),
+
+    // t-closeness EMD: integer CDF-difference sum over the band grid,
+    // wide products DECIMAL(38)/HUGEINT, gate decided ppm-exact
+    "t_closeness_audit" -> Audit.tClosenessAuditSql(),
+
+    // Benford screen: nine literal log10 expectations (they sum to
+    // 10^6), chi-square contributions in the exact micro domain
+    "benford_audit" -> Audit.benfordAuditSql(),
+
+    // gaps-and-islands via day - row_number() island arithmetic;
+    // best-streak tie-break (len DESC, start) is total per user
+    "activity_streaks" -> Relational.activityStreaksSql(),
+
+    // lag/lead growth accounting; churn attributed to gap-start + 1 so
+    // the identity telescopes to the DAU delta
+    "growth_accounting" -> Relational.growthAccountingSql(),
 
     // window+HOF scene cuts vs a per-byte unnest/self-join
     // reconstruction — independent formulations of the same distances

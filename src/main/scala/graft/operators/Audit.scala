@@ -824,4 +824,184 @@ object Audit {
       "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")}
        |ORDER BY table_name""".stripMargin
   }
+
+  /** EMD threshold for the [[tClosenessAudit]] gate: t = 0.2 in ppm. */
+  val TClosenessPpm = 200000L
+
+  /** t-closeness audit — the third rung of the disclosure-risk ladder
+    * (Li, Li & Venkatasubramanian, ICDE 2007, public): a cell can be
+    * l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    * differs from the table's. For the ordered sensitive attribute
+    * (the same balance band as [[lDiversityAudit]]) the paper's
+    * distance is the Earth Mover's Distance with unit adjacent-band
+    * cost, which closed-forms to
+    * `EMD = (1/(m-1)) * Σ_i |CDF_cell(i) - CDF_global(i)|`.
+    *
+    * Everything stays exact: the cumulative difference at band i is
+    * `(N·cnb_i − n·cgb_i) / (n·N)`, so the per-cell score is the
+    * integer `Σ|N·cnb − n·cgb|` scaled by `10^6 div ((m−1)·n·N)` — no
+    * float ever decides the gate. Products run in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB): at 10^9 customers `N·cnb ≈ 10^18`
+    * already brushes BIGINT, the [[Relational.excessShareSuppliers]]
+    * overflow lesson.
+    *
+    * Scale shape: one (cell, band) sub-aggregate shuffle — the same
+    * pass l-diversity makes — then a cells × m grid (m = global band
+    * count, domain-bounded ≈ 12) with a per-cell window cumsum. The
+    * global band census and the (N, m) totals are m-row/1-row
+    * broadcasts; nothing driver-side grows with data.
+    */
+  def tClosenessAudit(spark: SparkSession, dir: String,
+      tPpm: Long = TClosenessPpm): DataFrame = {
+    import spark.implicits._
+    tClosenessAuditOf(Tables.customer(spark, dir)
+      .select($"c_mktsegment", $"c_nationkey",
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " + 100000) div 100000").as("bal_band")), tPpm)
+  }
+
+  /** [[tClosenessAudit]] over any (c_mktsegment, c_nationkey,
+    * bal_band) relation with an ordered integer sensitive band.
+    */
+  def tClosenessAuditOf(banded: DataFrame, tPpm: Long): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val sub = banded.groupBy($"c_mktsegment", $"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("nb"))
+    val gl = banded.groupBy($"bal_band").agg(count(lit(1)).as("gb"))
+    val tot = gl.agg(sum($"gb").as("big_n"), count(lit(1)).as("m"))
+    val cells = sub.groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(sum($"nb").as("n"))
+    val grid = cells.crossJoin(broadcast(gl))
+      .join(sub, Seq("c_mktsegment", "c_nationkey", "bal_band"), "left")
+      .na.fill(0L, Seq("nb"))
+    val w = Window.partitionBy($"c_mktsegment", $"c_nationkey")
+      .orderBy($"bal_band")
+    grid
+      .withColumn("cnb", sum($"nb").over(w))
+      .withColumn("cgb", sum($"gb").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", abs(
+        $"big_n".cast("decimal(38,0)") * $"cnb" -
+          $"n".cast("decimal(38,0)") * $"cgb"))
+      .groupBy($"c_mktsegment", $"c_nationkey", $"n", $"big_n", $"m")
+      .agg(sum($"diff").as("s"))
+      .select($"c_mktsegment", $"c_nationkey", $"n",
+        expr("CAST(s * 1000000 AS DECIMAL(38,0)) div " +
+          "(CAST(greatest(m - 1, 1) AS DECIMAL(38,0)) * n * big_n)")
+          .as("emd_ppm"))
+      .withColumn("t_ok", $"emd_ppm" <= tPpm)
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** [[tClosenessAudit]] oracle — same banding, same grid, same
+    * integer EMD; wide products in HUGEINT.
+    */
+  def tClosenessAuditSql(tPpm: Long = TClosenessPpm): String =
+    s"""WITH b AS (SELECT c_mktsegment, c_nationkey,
+       |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_band
+       |  FROM customer),
+       |sub AS (SELECT c_mktsegment, c_nationkey, bal_band, COUNT(*) AS nb
+       |  FROM b GROUP BY c_mktsegment, c_nationkey, bal_band),
+       |gl AS (SELECT bal_band, COUNT(*) AS gb FROM b GROUP BY bal_band),
+       |tot AS (SELECT CAST(SUM(gb) AS HUGEINT) AS big_n, COUNT(*) AS m FROM gl),
+       |cells AS (SELECT c_mktsegment, c_nationkey, CAST(SUM(nb) AS HUGEINT) AS n
+       |  FROM sub GROUP BY c_mktsegment, c_nationkey),
+       |grid AS (SELECT c.c_mktsegment, c.c_nationkey, c.n, g.bal_band, g.gb,
+       |    COALESCE(s.nb, 0) AS nb
+       |  FROM cells c CROSS JOIN gl g
+       |  LEFT JOIN sub s ON s.c_mktsegment = c.c_mktsegment
+       |    AND s.c_nationkey = c.c_nationkey AND s.bal_band = g.bal_band),
+       |cum AS (SELECT c_mktsegment, c_nationkey, n, bal_band,
+       |    SUM(nb) OVER (PARTITION BY c_mktsegment, c_nationkey
+       |      ORDER BY bal_band) AS cnb,
+       |    SUM(gb) OVER (PARTITION BY c_mktsegment, c_nationkey
+       |      ORDER BY bal_band) AS cgb
+       |  FROM grid),
+       |sc AS (SELECT c_mktsegment, c_nationkey, n,
+       |    SUM(ABS((SELECT big_n FROM tot) * CAST(cnb AS HUGEINT)
+       |      - n * CAST(cgb AS HUGEINT))) AS s
+       |  FROM cum GROUP BY c_mktsegment, c_nationkey, n)
+       |SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n,
+       |  CAST(CAST(s AS HUGEINT) * 1000000 // (GREATEST((SELECT m FROM tot) - 1, 1)
+       |    * n * (SELECT big_n FROM tot)) AS BIGINT) AS emd_ppm,
+       |  CAST(CAST(s AS HUGEINT) * 1000000 // (GREATEST((SELECT m FROM tot) - 1, 1)
+       |    * n * (SELECT big_n FROM tot)) AS BIGINT) <= $tPpm AS t_ok
+       |FROM sc ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** Benford first-digit expectation, ppm: `round(log10(1 + 1/d)·10^6)`
+    * for d = 1..9 — nine fixed literals (they sum to exactly 10^6), so
+    * neither engine ever evaluates a log.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301030L, 2 -> 176091L,
+    3 -> 124939L, 4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+    8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law audit over `l_extendedprice` (§2-beyond — the
+    * forensic screen for fabricated or truncated monetary data;
+    * Benford 1938 / Nigrini 2012, public): the leading significant
+    * digit of naturally-scaled amounts follows log10(1+1/d). Emits per
+    * digit the observed count, observed and expected shares in ppm,
+    * and the exact chi-square contribution in micro-units:
+    * `(n·10^6 − total·e_ppm)² div (total·e_ppm)` — algebraically
+    * `10^6·(O−E)²/E` with O, E in counts — computed in DECIMAL(38,0) /
+    * HUGEINT (the squared term is ~10^23 at sf0.1). The 9-digit
+    * expectation table is a broadcast literal; the scan reduces in one
+    * partial-aggregatable groupBy on a 9-value key. Digits are taken
+    * from the integer cents' decimal string — pure integer→text, no
+    * float log10 anywhere.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    benfordAuditOf(Tables.lineitem(spark, dir).select(
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents")))
+  }
+
+  /** [[benfordAudit]] over any single-column (cents: BIGINT, positive)
+    * relation.
+    */
+  def benfordAuditOf(amounts: DataFrame): DataFrame = {
+    val spark = amounts.sparkSession
+    import spark.implicits._
+    val counts = amounts
+      .select(substring($"cents".cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum($"n").as("total"))
+    val expected = BenfordPpm.toDF("digit", "expected_ppm")
+    expected
+      .join(broadcast(counts), Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev",
+        expr("CAST(n * 1000000 - total * expected_ppm AS DECIMAL(38,0))"))
+      .select($"digit", $"n",
+        expr("n * 1000000 div total").as("observed_ppm"),
+        $"expected_ppm",
+        expr("dev * dev div CAST(total * expected_ppm AS DECIMAL(38,0))")
+          .as("chi2_micro"))
+      .orderBy($"digit")
+  }
+
+  /** [[benfordAudit]] oracle. */
+  def benfordAuditSql(): String = {
+    val values = BenfordPpm.map { case (d, p) => s"($d, ${p})" }
+      .mkString(", ")
+    s"""WITH amt AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM lineitem),
+       |c AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    COUNT(*) AS n
+       |  FROM amt GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+       |e(digit, expected_ppm) AS (VALUES $values)
+       |SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       |  COALESCE(c.n, 0) * 1000000 // (SELECT total FROM tot) AS observed_ppm,
+       |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+       |  CAST(CAST(COALESCE(c.n, 0) * 1000000 - (SELECT total FROM tot) * e.expected_ppm AS HUGEINT)
+       |      * CAST(COALESCE(c.n, 0) * 1000000 - (SELECT total FROM tot) * e.expected_ppm AS HUGEINT)
+       |    // CAST((SELECT total FROM tot) * e.expected_ppm AS HUGEINT) AS BIGINT) AS chi2_micro
+       |FROM e LEFT JOIN c ON e.digit = c.digit
+       |ORDER BY e.digit""".stripMargin
+  }
 }

@@ -2144,4 +2144,138 @@ object Relational {
        |SELECT user_id, COUNT(*) AS n_events,
        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
        |FROM capped WHERE rn <= $cap GROUP BY user_id""".stripMargin
+
+  /** Longest-streak report (§2-beyond — the gaps-and-islands idiom
+    * every engagement dashboard runs): per user, the number of
+    * distinct active days, the number of maximal consecutive-day
+    * streaks, and the best streak's length and day span. Islands are
+    * found arithmetically: within a user, `day − row_number()` is
+    * constant exactly on a run of consecutive days, so a streak is one
+    * group of that difference — no self-join, no recursion. Day index
+    * is the same pure `ts div 86.4e12` floor as [[dailyActivity]].
+    *
+    * Scale shape: one (user, day) distinct shuffle, then two window
+    * passes over the SAME user partitioning (Catalyst reuses the
+    * exchange); per-row state is O(1) and the streak relation is
+    * bounded by active user-days. Ties for best streak break on
+    * earliest start — (len DESC, start) is total within a user.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
+    activityStreaksOf(Tables.events(spark, dir))
+
+  /** [[activityStreaks]] over any (user_id, ts-nanos) relation. */
+  def activityStreaksOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val streaks = days
+      .withColumn("grp", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("best_len"), min($"day").as("best_start_day"),
+        max($"day").as("best_end_day"))
+    val wu = Window.partitionBy($"user_id")
+    streaks
+      .withColumn("rk", row_number().over(
+        wu.orderBy($"best_len".desc, $"best_start_day")))
+      .withColumn("n_streaks", count(lit(1)).over(wu))
+      .withColumn("n_active_days", sum($"best_len").over(wu))
+      .filter($"rk" === 1)
+      .select($"user_id", $"n_active_days", $"n_streaks", $"best_len",
+        $"best_start_day", $"best_end_day")
+      .orderBy($"user_id")
+  }
+
+  /** [[activityStreaks]] oracle — same island arithmetic. */
+  def activityStreaksSql(): String =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |g AS (SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, grp, COUNT(*) AS best_len,
+      |    MIN(day) AS best_start_day, MAX(day) AS best_end_day
+      |  FROM g GROUP BY user_id, grp),
+      |r AS (SELECT user_id, best_len, best_start_day, best_end_day,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY best_len DESC, best_start_day) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+      |    SUM(best_len) OVER (PARTITION BY user_id) AS n_active_days
+      |  FROM s)
+      |SELECT user_id, CAST(n_active_days AS BIGINT) AS n_active_days,
+      |  CAST(n_streaks AS BIGINT) AS n_streaks,
+      |  CAST(best_len AS BIGINT) AS best_len, best_start_day, best_end_day
+      |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  /** Growth-accounting report (§2-beyond — the new/retained/
+    * resurrected/churned daily split of the standard growth-
+    * accounting identity, e.g. the Social Capital framework, public):
+    * classify each active (user, day) by its predecessor — first-ever
+    * day ⇒ new, active yesterday ⇒ retained, a gap ⇒ resurrected —
+    * and attribute a churn event to the day AFTER an activity gap
+    * begins (a user's final day also churns them into day+1, so
+    * `new + retained + resurrected − churned` telescopes to the DAU
+    * delta). Day grain and ordering are pure integer arithmetic.
+    *
+    * Scale shape: one (user, day) distinct shuffle, one lag/lead
+    * window over it (single exchange serves both), then a
+    * partial-aggregatable groupBy on day — grain-bounded output. The
+    * churn and activity legs aggregate separately and full-outer-merge
+    * on the tiny day grain.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthAccountingOf(Tables.events(spark, dir))
+
+  /** [[growthAccounting]] over any (user_id, ts-nanos) relation. */
+  def growthAccountingOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val marked = days
+      .withColumn("prev", lag($"day", 1).over(w))
+      .withColumn("next", lead($"day", 1).over(w))
+    val act = marked
+      .groupBy($"day")
+      .agg(
+        count(when($"prev".isNull, 1)).as("n_new"),
+        count(when($"prev" === $"day" - 1, 1)).as("n_retained"),
+        count(when($"prev".isNotNull && $"prev" < $"day" - 1, 1))
+          .as("n_resurrected"))
+    val churn = marked
+      .filter($"next".isNull || $"next" > $"day" + 1)
+      .groupBy(($"day" + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "full_outer")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+      .orderBy($"day")
+  }
+
+  /** [[growthAccounting]] oracle — same lag/lead classification. */
+  def growthAccountingSql(): String =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |m AS (SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+      |  FROM d),
+      |act AS (SELECT day,
+      |    COUNT(*) FILTER (WHERE prev IS NULL) AS n_new,
+      |    COUNT(*) FILTER (WHERE prev = day - 1) AS n_retained,
+      |    COUNT(*) FILTER (WHERE prev IS NOT NULL AND prev < day - 1)
+      |      AS n_resurrected
+      |  FROM m GROUP BY day),
+      |churn AS (SELECT day + 1 AS day, COUNT(*) AS n_churned FROM m
+      |  WHERE next IS NULL OR next > day + 1 GROUP BY day + 1)
+      |SELECT COALESCE(act.day, churn.day) AS day,
+      |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+      |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+      |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+      |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+      |FROM act FULL OUTER JOIN churn ON act.day = churn.day
+      |ORDER BY day""".stripMargin
 }
