@@ -283,6 +283,7 @@ object SparkEntry {
     "product_profit" -> ((s, d) => Relational.productProfit(s, d)),
     "important_parts" -> ((s, d) => Relational.importantParts(s, d)),
     "dedup_prefix_join" -> ((s, d) => Dedup.prefixJaccardJoin(s, d)),
+    "dedup_substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     "hierarchy_rollup" -> ((s, d) => Graph.hierarchyRollup(s, d)),
     "ab_test_report" -> ((s, d) => Audit.abTestReport(s, d)),
     "video_scene_cuts" -> ((s, d) =>
@@ -320,7 +321,9 @@ object SparkEntry {
 
   /** Queries excluded from the timing bench: ALS training dominates
     * wall-clock and measures MLlib, not this engine's operators. They
-    * still run in Verify (rows-only correctness).
+    * still run in Verify, fully hash-checked against their DuckDB
+    * oracles (rank-tagged factor export) like every other query — the
+    * exclusion is timing-only.
     */
   val benchExcluded: Set[String] =
     Set("als_recommend_top25", "als_grid_rmse", "streaming_recommend_e2e")
@@ -3541,6 +3544,12 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE (common * 1000000) // (sa.sz + sb.sz - common) >= ${graft.operators.Dedup.PrefixTauPpm}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // exact-substring dedup (Lee et al. 2022 shape): the oracle is the
+    // brute per-pair recompute of the same anchored gaps-and-islands
+    // algebra — every maximal shared run's length, count, and
+    // interval-union coverage hash-checked
+    "dedup_substring_spans" -> Dedup.substringSpansSql(),
 
     // pointer-doubling hierarchy closure vs a genuine recursive-CTE
     // walk — independent traversal strategies, same rollup

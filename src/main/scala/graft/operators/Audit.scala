@@ -944,8 +944,12 @@ object Audit {
     * digit the observed count, observed and expected shares in ppm,
     * and the exact chi-square contribution in micro-units:
     * `(n·10^6 − total·e_ppm)² div (total·e_ppm)` — algebraically
-    * `10^6·(O−E)²/E` with O, E in counts — computed in DECIMAL(38,0) /
-    * HUGEINT (the squared term is ~10^23 at sf0.1). The 9-digit
+    * `10^6·(O−E)²/E` with O, E in counts — with EVERY product
+    * (including the inner `n·10^6` and `total·e_ppm` terms and the
+    * observed-ppm ratio) computed in DECIMAL(38,0) / HUGEINT: at
+    * ~3·10^13 rows (the 100 TB regime) `total·e_ppm` alone exceeds
+    * 2^63, where non-ANSI Spark would wrap silently while DuckDB
+    * errors — so no term ever runs in 64-bit. The 9-digit
     * expectation table is a broadcast literal; the scan reduces in one
     * partial-aggregatable groupBy on a 9-value key. Digits are taken
     * from the integer cents' decimal string — pure integer→text, no
@@ -974,13 +978,13 @@ object Audit {
       .join(broadcast(counts), Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(tot))
-      .withColumn("dev",
-        expr("CAST(n * 1000000 - total * expected_ppm AS DECIMAL(38,0))"))
+      .withColumn("nw", expr("CAST(n AS DECIMAL(38,0))"))
+      .withColumn("totw", expr("CAST(total AS DECIMAL(38,0))"))
+      .withColumn("dev", expr("nw * 1000000 - totw * expected_ppm"))
       .select($"digit", $"n",
-        expr("n * 1000000 div total").as("observed_ppm"),
+        expr("nw * 1000000 div totw").as("observed_ppm"),
         $"expected_ppm",
-        expr("dev * dev div CAST(total * expected_ppm AS DECIMAL(38,0))")
-          .as("chi2_micro"))
+        expr("dev * dev div (totw * expected_ppm)").as("chi2_micro"))
       .orderBy($"digit")
   }
 
@@ -993,15 +997,17 @@ object Audit {
        |c AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
        |    COUNT(*) AS n
        |  FROM amt GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
-       |e(digit, expected_ppm) AS (VALUES $values)
-       |SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
-       |  COALESCE(c.n, 0) * 1000000 // (SELECT total FROM tot) AS observed_ppm,
-       |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
-       |  CAST(CAST(COALESCE(c.n, 0) * 1000000 - (SELECT total FROM tot) * e.expected_ppm AS HUGEINT)
-       |      * CAST(COALESCE(c.n, 0) * 1000000 - (SELECT total FROM tot) * e.expected_ppm AS HUGEINT)
-       |    // CAST((SELECT total FROM tot) * e.expected_ppm AS HUGEINT) AS BIGINT) AS chi2_micro
-       |FROM e LEFT JOIN c ON e.digit = c.digit
-       |ORDER BY e.digit""".stripMargin
+       |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS total FROM c),
+       |e(digit, expected_ppm) AS (VALUES $values),
+       |w AS (SELECT e.digit, CAST(COALESCE(c.n, 0) AS HUGEINT) AS nw,
+       |    CAST(e.expected_ppm AS HUGEINT) AS ew,
+       |    (SELECT total FROM tot) AS totw
+       |  FROM e LEFT JOIN c ON e.digit = c.digit)
+       |SELECT digit, CAST(nw AS BIGINT) AS n,
+       |  CAST(nw * 1000000 // totw AS BIGINT) AS observed_ppm,
+       |  CAST(ew AS BIGINT) AS expected_ppm,
+       |  CAST((nw * 1000000 - totw * ew) * (nw * 1000000 - totw * ew)
+       |    // (totw * ew) AS BIGINT) AS chi2_micro
+       |FROM w ORDER BY digit""".stripMargin
   }
 }

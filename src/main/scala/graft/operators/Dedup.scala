@@ -1169,4 +1169,163 @@ object Dedup {
       .filter($"jaccard_ppm" >= tauPpm)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Minimum reportable shared-run length (tokens) for
+    * [[substringSpans]]. Lee et al. 2022 use 50 BPE tokens against web
+    * corpora; this corpus' documents average ~55 words, so the
+    * operator-default K is 8 — the knob scales with the deployment's
+    * document length, not with corpus size.
+    */
+  val SubstringMinRun = 8
+
+  /** EXACT-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — ExactSubstr): report, per
+    * document pair, every MAXIMAL run of >= K consecutive shared
+    * tokens, with dropped-span accounting. The family member the
+    * n-gram/MinHash/simhash/containment ops all approximate but don't
+    * implement: those score whole-document set similarity; this finds
+    * the literal copied SPANS (boilerplate licenses, quoted passages,
+    * syndicated paragraphs) even when the enclosing documents are
+    * otherwise unrelated.
+    *
+    * Distributed shape — bucketed anchors, never a global suffix sort
+    * (the paper's single-machine suffix array does not shard; this
+    * plan is the shuffle-native equivalent):
+    *
+    *  1. ANCHORS: every K-token window of every doc, hashed to 60 bits
+    *     with its start position — O(total tokens) rows, embarrassingly
+    *     parallel.
+    *  2. CANDIDATES: self-join on the anchor hash (da < db). COMPLETE
+    *     by pigeonhole: a shared run of R >= K tokens contains a
+    *     K-window at each of its R−K+1 start offsets, each an
+    *     identical anchor in both docs at aligned positions — so no
+    *     anchor match implies no shared run >= K (spec'd). An
+    *     occurrence cap (maxDf, oracle-mirrored) bounds any one
+    *     anchor's posting list, the same hot-key guard as
+    *     [[DefaultMaxDf]].
+    *  3. EXTENSION, relationally: an anchor match at (pa, pb) lies on
+    *     diagonal pa − pb, and a maximal run of R tokens is exactly a
+    *     run of R−K+1 CONSECUTIVE anchor positions on one diagonal
+    *     (runs on the same diagonal are separated by a mismatching
+    *     token, hence a gap >= 2 in anchor starts) — so gaps-and-islands
+    *     over (pair, diagonal, pa) recovers every maximal run and its
+    *     length without ever re-reading the texts: count + K − 1.
+    *  4. ACCOUNTING: `n_runs`, `longest_run`, and `dup_tokens_b` = the
+    *     interval-union size of the runs over doc_b's token axis (the
+    *     tokens one copy of which ExactSubstr would drop from the
+    *     later doc) via a second gaps-and-islands merge.
+    *
+    * Every stage is a keyed shuffle or a window — no driver loop, no
+    * all-pairs scan; cost is O(tokens) + O(anchor-match rows), with
+    * the match rows bounded by maxDf exactly like every other posting
+    * join here. The DuckDB oracle restates the same algebra, so the
+    * driver check is hash-exact end to end.
+    */
+  def substringSpans(spark: SparkSession, dir: String,
+      k: Int = SubstringMinRun, maxDf: Long = DefaultMaxDf): DataFrame =
+    substringSpansOf(
+      Tables.widened(spark, Tables.documents(spark, dir)), k, maxDf)
+
+  /** [[substringSpans]] over an arbitrary (doc_id, text) relation. */
+  def substringSpansOf(docs: DataFrame, k: Int = SubstringMinRun,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = TextFns.tokens($"text")
+    // anchors: (doc_id, pos, g) — one 60-bit hash per K-token window,
+    // 1-based start position; docs shorter than K can't hold a run
+    val anchors = docs
+      .select($"doc_id", t.as("toks"))
+      .filter(size($"toks") >= k)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(1), size($"toks") - lit(k - 1)),
+        i => hash60(concat_ws(" ", slice($"toks", i, lit(k)))))))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("g"))
+    // hot-anchor cap: same broadcast anti-join shape as capDf, but on
+    // OCCURRENCES (positions), the quantity the match join squares
+    val hot = anchors.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"g")
+    val idx = anchors.join(broadcast(hot), Seq("g"), "left_anti")
+    val matches = idx.as("a").join(idx.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+        $"a.pos".as("pa"), ($"a.pos" - $"b.pos").as("diag"))
+    // gaps-and-islands on (pair, diagonal): consecutive anchor starts
+    // = one maximal run; its token length is count + K − 1
+    val wd = Window.partitionBy($"da", $"db", $"diag").orderBy($"pa")
+    val runs = matches
+      .withColumn("grp", $"pa" - row_number().over(wd))
+      .groupBy($"da", $"db", $"diag", $"grp")
+      .agg(min($"pa").as("sa"), (count(lit(1)) + lit(k - 1)).as("run_tokens"))
+      .select($"da", $"db", ($"sa" - $"diag").as("sb"), $"run_tokens")
+    val perPair = runs.groupBy($"da", $"db")
+      .agg(count(lit(1)).as("n_runs"), max($"run_tokens").as("longest_run"))
+    // dropped-span accounting: interval-union of runs on doc_b's token
+    // axis (runs from different diagonals overlap; union, don't sum)
+    val wi = Window.partitionBy($"da", $"db").orderBy($"sb", $"eb")
+    val iv = runs
+      .select($"da", $"db", $"sb", ($"sb" + $"run_tokens" - 1).as("eb"))
+      .withColumn("prev_max",
+        max($"eb").over(wi.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when($"prev_max".isNull || $"sb" > $"prev_max" + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum($"ni").over(wi.rowsBetween(Window.unboundedPreceding, 0)))
+    val cover = iv.groupBy($"da", $"db", $"island")
+      .agg((max($"eb") - min($"sb") + 1).as("cov"))
+      .groupBy($"da", $"db").agg(sum($"cov").as("dup_tokens_b"))
+    perPair.join(cover, Seq("da", "db"))
+      .select($"da".as("doc_a"), $"db".as("doc_b"),
+        $"n_runs", $"longest_run".cast("long").as("longest_run"),
+        $"dup_tokens_b".cast("long").as("dup_tokens_b"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[substringSpans]] DuckDB oracle: the identical anchored
+    * gaps-and-islands algebra restated over the same tables (the
+    * brute per-pair recompute — no prefix structure, no shortcuts), so
+    * a candidate missed, a run mis-extended, or an interval-union
+    * miscount all hash-mismatch.
+    */
+  def substringSpansSql(k: Int = SubstringMinRun,
+      maxDf: Long = DefaultMaxDf): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |an AS (SELECT doc_id, i AS pos,
+       |    CAST(('0x' || substr(md5(array_to_string(l[i:i+${k - 1}], ' ')), 1, 15)) AS BIGINT) AS g
+       |  FROM d, UNNEST(generate_series(1, len(l) - ${k - 1})) t(i)
+       |  WHERE len(l) >= $k),
+       |hot AS (SELECT g FROM an GROUP BY g HAVING COUNT(*) > $maxDf),
+       |idx AS (SELECT an.* FROM an ANTI JOIN hot USING (g)),
+       |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+       |    a.pos - b.pos AS diag
+       |  FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |isl AS (SELECT da, db, diag, pa,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+       |  FROM m),
+       |runs AS (SELECT da, db, diag, grp, MIN(pa) AS sa,
+       |    COUNT(*) + ${k - 1} AS run_tokens
+       |  FROM isl GROUP BY da, db, diag, grp),
+       |iv0 AS (SELECT da, db, sa - diag AS sb,
+       |    sa - diag + run_tokens - 1 AS eb, run_tokens FROM runs),
+       |iv AS (SELECT da, db, sb, eb,
+       |    MAX(eb) OVER (PARTITION BY da, db ORDER BY sb, eb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM iv0),
+       |num AS (SELECT da, db, sb, eb,
+       |    SUM(CASE WHEN prev_max IS NULL OR sb > prev_max + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY da, db ORDER BY sb, eb
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM iv),
+       |merged AS (SELECT da, db, island, MAX(eb) - MIN(sb) + 1 AS cov
+       |  FROM num GROUP BY da, db, island),
+       |cover AS (SELECT da, db, CAST(SUM(cov) AS BIGINT) AS dup_tokens_b
+       |  FROM merged GROUP BY da, db),
+       |pair AS (SELECT da, db, COUNT(*) AS n_runs,
+       |    CAST(MAX(run_tokens) AS BIGINT) AS longest_run
+       |  FROM iv0 GROUP BY da, db)
+       |SELECT pair.da AS doc_a, pair.db AS doc_b,
+       |  CAST(n_runs AS BIGINT) AS n_runs, longest_run, dup_tokens_b
+       |FROM pair JOIN cover ON pair.da = cover.da AND pair.db = cover.db
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

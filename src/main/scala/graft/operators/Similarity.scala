@@ -101,12 +101,21 @@ object Similarity {
       .select($"x.query_id".as("query_id"), $"x.neighbor_id".as("ca"),
         $"x.rel".as("rel"), $"y.neighbor_id".as("cb"),
         (dot($"va", $"vb") / $"na" / $"nb").as("sim"))
-    pairs.as[(Long, Long, Double, Long, Double)]
+    // rel is seeded from `cand` itself (cb = -1 sentinel rows), NOT
+    // inferred from the pair rows: a query whose candidate set is a
+    // singleton produces zero pairs, and building rel from pairs alone
+    // would silently drop that query while the SQL oracle's sel1 still
+    // emits its rank-1 pick
+    val seeded = cand
+      .select($"query_id", $"neighbor_id".as("ca"), $"rel",
+        lit(-1L).as("cb"), lit(0.0).as("sim"))
+      .unionAll(pairs)
+    seeded.as[(Long, Long, Double, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Long, Double)]) =>
-        val rows = it.toVector // bounded: topN·(topN−1) pair rows per group
-        val rel = rows.map(r => r._2 -> r._3).toMap
-        val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+        val rows = it.toVector // bounded: topN·topN rows per group
+        val rel = rows.collect { case r if r._4 == -1L => r._2 -> r._3 }.toMap
+        val sim = rows.collect { case r if r._4 != -1L => (r._2, r._4) -> r._5 }.toMap
         val selected = Vector.newBuilder[(Long, Int, Double)]
         val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
         val kk = math.min(k, rel.size)

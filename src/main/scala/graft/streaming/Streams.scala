@@ -1906,6 +1906,11 @@ object Streams {
     * grows forever). The harness feeds every slice WITH the previous
     * slice re-sent (guaranteed duplicate arrivals across triggers); the
     * appended output must still equal the distinct batch relation.
+    * The 1-hour delay is the shared corpus-disorder bound every other
+    * event-time query uses (twsTimerSessionsQuery,
+    * dedupWithinWatermarkQuery): a first-arrival row landing behind a
+    * slice boundary's watermark would be dropped as late and break the
+    * batch-distinct equality, so no event-time query sits below it.
     */
   def dedupStreamQuery(spark: SparkSession, dir: String,
       numBatches: Int = 2): DataFrame = {
@@ -1933,7 +1938,7 @@ object Streams {
     val in = MemoryStream[StampedRow](spark)
     val name = runStreamToTable(spark, "dedup_stream", Some(4)) { (n, ck) =>
       in.toDS()
-        .withWatermark("ts", "10 minutes")
+        .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id")
         .writeStream.format("memory").queryName(n)
         .option("checkpointLocation", ck)

@@ -660,4 +660,122 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(differs, "MMR degenerated to plain top-k on every query")
   }
+
+  test("mmr: a singleton candidate group still emits its rank-1 pick") {
+    import spark.implicits._
+    // two vectors total -> each query's candidate set is exactly one
+    // vector, so the pair self-join is EMPTY. rel is seeded from the
+    // candidate relation itself, so both queries must still surface
+    // their single candidate at rank 1 with mmr = 0.5*rel (the oracle's
+    // sel1 emits this row; building rel from pair rows would drop it)
+    val vecs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerankOf(vecs, k = 5, topN = 20, nQueries = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 2, s"expected both singleton groups, got ${out.toSeq}")
+    assert(out.map(t => (t._1, t._2, t._3)).toSet == Set((0L, 1, 1L), (1L, 1, 0L)))
+    // cos(v0, v1) = 32 / (8 * sqrt(32)); first pick score is 0.5*rel
+    val cos = 32.0 / (8.0 * math.sqrt(32.0))
+    out.foreach(t => assert(math.abs(t._4 - 0.5 * cos) < 1e-12))
+  }
+
+  /** Brute-force reference for substringSpansOf: all maximal shared
+    * token runs >= k between two token arrays, by walking every
+    * diagonal — the quadratic recompute the anchored plan must equal.
+    */
+  private def bruteRuns(a: Array[String], b: Array[String], k: Int)
+      : Seq[(Int, Int)] = { // (startInB 1-based, runTokens)
+    val out = Seq.newBuilder[(Int, Int)]
+    for (d <- -(b.length - 1) to (a.length - 1)) {
+      var j = math.max(0, -d) // index into b; index into a is j + d
+      while (j < b.length && j + d < a.length) {
+        if (a(j + d) == b(j)) {
+          val s = j
+          while (j < b.length && j + d < a.length && a(j + d) == b(j)) j += 1
+          if (j - s >= k) out += ((s + 1, j - s))
+        } else j += 1
+      }
+    }
+    out.result()
+  }
+
+  private def bruteReport(a: Array[String], b: Array[String], k: Int)
+      : Option[(Long, Long, Long)] = { // (n_runs, longest, dup_tokens_b)
+    val runs = bruteRuns(a, b, k)
+    if (runs.isEmpty) None
+    else {
+      val covered = runs.flatMap { case (s, len) => s until (s + len) }.toSet
+      Some((runs.size.toLong, runs.map(_._2).max.toLong, covered.size.toLong))
+    }
+  }
+
+  test("substring spans: anchor completeness at the K boundary") {
+    import spark.implicits._
+    val k = Dedup.SubstringMinRun // 8
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val shared = words("s", k) // exactly K shared tokens
+    // pair (0,1): shares exactly K consecutive tokens -> ONE run of K.
+    // pair (2,3): shares only K-1 consecutive tokens -> NO K-anchor can
+    // exist, so the operator must emit nothing for it (no anchor => no
+    // run >= K: the pigeonhole completeness direction, inverted)
+    val docs = Seq(
+      (0L, (words("a", 5) ++ shared ++ words("c", 5)).mkString(" ")),
+      (1L, (words("d", 3) ++ shared ++ words("e", 7)).mkString(" ")),
+      (2L, (words("f", 6) ++ shared.take(k - 1) ++ words("g", 6)).mkString(" ")),
+      (3L, (words("h", 2) ++ shared.take(k - 1) ++ words("i", 9)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpansOf(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 1L, 1L, k.toLong, k.toLong)),
+      s"expected exactly the K-run pair, got ${out.toSeq}")
+  }
+
+  test("substring spans: overlapping runs union, not sum, in dup accounting") {
+    import spark.implicits._
+    val k = 4
+    val s = (0 until 10).map(i => s"s$i")
+    // doc a contains the 10-token segment TWICE; doc b once: two
+    // diagonals each cover b's same 10 positions -> n_runs = 2 but
+    // dup_tokens_b must be the UNION (10), not the sum (20)
+    val docs = Seq(
+      (0L, (s ++ Seq("z") ++ s).mkString(" ")),
+      (1L, (Seq("p", "q") ++ s ++ Seq("r")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpansOf(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 1L, 2L, 10L, 10L)), s"got ${out.toSeq}")
+  }
+
+  test("substring spans: equals the brute diagonal recompute on fuzz docs") {
+    import spark.implicits._
+    val k = 5
+    val rnd = new scala.util.Random(42)
+    // small alphabet + splice-in of a shared motif => rich run structure
+    // (periodic repeats, multiple diagonals, boundary runs)
+    val motif = (0 until 12).map(i => s"m$i")
+    val corpus = (0L until 12L).map { id =>
+      val base = Vector.fill(20 + rnd.nextInt(20))(s"w${rnd.nextInt(4)}")
+      val spliced =
+        if (id % 3 == 0) {
+          val at = rnd.nextInt(base.size)
+          (base.take(at) ++ motif.drop(rnd.nextInt(4)) ++ base.drop(at)).toVector
+        } else base
+      (id, spliced.mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.substringSpansOf(docs, k).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val toks = corpus.map { case (id, t) => id -> t.split(" ") }.toMap
+    val want = (for {
+      i <- corpus.map(_._1); j <- corpus.map(_._1) if i < j
+      rep <- bruteReport(toks(i), toks(j), k)
+    } yield (i, j) -> rep).toMap
+    assert(got == want,
+      s"mismatch: only-in-got=${got.keySet -- want.keySet} " +
+        s"only-in-want=${want.keySet -- got.keySet} " +
+        s"diff=${want.keys.filter(p => got.get(p) != want.get(p))}")
+  }
 }
