@@ -78,6 +78,7 @@ object SparkEntry {
     "streaming_recommend_e2e" -> ((s, d) =>
       graft.streaming.Streams.streamingRecommendE2eQuery(s, d)),
     "streaming_windowed_counts" -> ((s, d) => graft.streaming.Streams.windowedCountsQuery(s, d)),
+    "streaming_dsv2_source" -> ((s, _) => graft.streaming.Streams.dsv2StreamQuery(s)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "bucket_join" -> ((s, d) => graft.sources.Bucketing.bucketJoinQuery(s, d)),
     "dsv2_pushdown_scan" -> ((s, _) => graft.sources.RangeV2.pushdownQuery(s)),
@@ -3466,6 +3467,13 @@ object SparkEntry {
       """SELECT id, (id * 31) % 1000 AS v_mul
         |FROM range(25000, 30000) t(id)
         |WHERE (id % 97) % 3 = 0 ORDER BY id""".stripMargin,
+
+    // DSv2 MICRO_BATCH_READ end-to-end: the watermark lifecycle over
+    // the connector's admission-control batches must finalize exactly
+    // the closed-form hour windows of the generated ids — an offset
+    // dropped, a batch re-read, or a window flushed early/late all
+    // hash-mismatch
+    "streaming_dsv2_source" -> graft.streaming.Streams.dsv2StreamSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

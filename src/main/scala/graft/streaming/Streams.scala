@@ -443,6 +443,78 @@ object Streams {
       .orderBy($"w_start_us", $"event_type")
   }
 
+  /** [[dsv2StreamQuery]] feed geometry — shared with its oracle SQL so
+    * both engines state the same closed-form relation. 20 481 ids in
+    * 4 096-row admission-control batches = five full batches then a
+    * one-row sixth; the last two ids are WATERMARK SENTINELS in their
+    * own separate batches (ids 20 479 and 20 480 — the first marches
+    * the watermark past every data window, the second triggers the
+    * batch in which those windows flush, the windowedCountsQuery
+    * two-sentinel protocol expressed through the connector's batch
+    * geometry instead of addData calls).
+    */
+  val Dsv2Rows = 20481L
+  val Dsv2BatchRows = 4096L
+  val Dsv2BaseSec = 1704067200L // 2024-01-01 00:00:00 UTC
+  val Dsv2StepSec = 10L
+
+  /** Driver-contract query with a FULL DuckDB oracle: event-time
+    * tumbling-window counts driven through the DataSource V2
+    * MICRO_BATCH_READ connector (sources/RangeV2.scala) instead of
+    * MemoryStream — the same transport API the absent Kafka connector
+    * jar implements, exercised natively. The generated stream is
+    * formula-deterministic (ts = base + id·10 s, value = id % 97), so
+    * the finalized windows are a closed-form GROUP BY the oracle
+    * restates over generate_series — the whole chain (admission
+    * control, per-batch split planning, watermark lifecycle, Append
+    * finalization) is hash-checked end to end.
+    */
+  def dsv2StreamQuery(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val s1 = Dsv2Rows - 2; val s2 = Dsv2Rows - 1 // ids 0..20478 are data
+    val name = runStreamToTable(spark, "dsv2_stream", Some(4)) { (n, ck) =>
+      val src = spark.readStream.format("graft.sources.RangeV2")
+        .option("rows", Dsv2Rows.toString)
+        .option("parts", "4")
+        .option("batchRows", Dsv2BatchRows.toString)
+        .load()
+      val tsSec = when($"id" === s1, lit(Dsv2BaseSec + 5000000L))
+        .when($"id" === s2, lit(Dsv2BaseSec + 10000000L))
+        .otherwise(lit(Dsv2BaseSec) + $"id" * Dsv2StepSec)
+      src.select($"id", timestamp_seconds(tsSec).as("ts"), $"v_mod")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"))
+        .agg(count(lit(1)).as("n_events"), sum($"v_mod").as("sum_mod"))
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q => q.processAllAvailable() }
+    // the sentinels' own windows never finalize (nothing marches the
+    // watermark past them) — and the cutoff keeps them out even if a
+    // later Spark emitted them
+    val cutoffUs = (Dsv2BaseSec + 4000000L) * 1000000L
+    spark.table(name)
+      .select(($"window.start".cast("long") * 1000000L).as("w_start_us"),
+        ($"window.end".cast("long") * 1000000L).as("w_end_us"),
+        $"n_events", $"sum_mod")
+      .filter($"w_start_us" < cutoffUs)
+      .orderBy($"w_start_us")
+  }
+
+  /** [[dsv2StreamQuery]] oracle: the identical windowed aggregation in
+    * closed form over the data ids (sentinels excluded by id, mirrored
+    * by the query's window-start cutoff).
+    */
+  def dsv2StreamSql(): String = {
+    val lastData = Dsv2Rows - 2 // exclusive bound over data ids
+    s"""WITH w AS (SELECT ($Dsv2BaseSec + (id * $Dsv2StepSec) // 3600 * 3600) AS ws,
+       |    id % 97 AS vmod
+       |  FROM range(0, $lastData) t(id))
+       |SELECT ws * 1000000 AS w_start_us, (ws + 3600) * 1000000 AS w_end_us,
+       |  COUNT(*) AS n_events, CAST(SUM(vmod) AS BIGINT) AS sum_mod
+       |FROM w GROUP BY ws ORDER BY w_start_us""".stripMargin
+  }
+
   /** Driver-contract query with a FULL DuckDB oracle: the watermarked
     * stream-stream inner join run end-to-end under the driver — every
     * purchase attributed to every click by the same user in the 30

@@ -146,4 +146,62 @@ class SourcesSpec extends AnyFunSuite {
     // unfiltered read plans every split
     assert(load().rdd.getNumPartitions == 16)
   }
+
+  test("DSv2 micro-batch stream: admission-control batches partition the ids") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val ck = tmp()
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Long)]())
+    val q = spark.readStream.format("graft.sources.RangeV2")
+      .option("rows", "10000").option("parts", "4").option("batchRows", "3000")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = df.agg(min("id"), max("id"), count(lit(1))).head()
+        batches.add((r.getLong(0), r.getLong(1), r.getLong(2))); ()
+      }
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    // each trigger admits exactly batchRows more ids (last one partial):
+    // [0,3000) [3000,6000) [6000,9000) [9000,10000)
+    import scala.jdk.CollectionConverters._
+    assert(batches.asScala.toSeq ==
+      Seq((0L, 2999L, 3000L), (3000L, 5999L, 3000L),
+        (6000L, 8999L, 3000L), (9000L, 9999L, 1000L)))
+    // and the checkpointed offsets advance through the same bounds
+    val ends = q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.sources.apply(0).endOffset.trim.toLong).toSeq
+    assert(ends == Seq(3000L, 6000L, 9000L, 10000L),
+      s"per-batch end offsets, got $ends")
+  }
+
+  test("DSv2 micro-batch stream: restart resumes from the checkpointed offset") {
+    val ck = tmp()
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    def run(rows: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft.sources.RangeV2")
+        .option("rows", rows.toString).option("parts", "4")
+        .option("batchRows", "4096").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      q
+    }
+    run(8192L) // run 1 reveals [0, 8192) in two committed batches
+    val q2 = run(20480L) // same checkpoint, more data available
+    // run 2's first batch starts EXACTLY where run 1's commit log ends —
+    // not at 0 (no replay of revealed ids), not at latest (no data loss)
+    val starts = q2.recentProgress.filter(_.numInputRows > 0)
+      .map(_.sources.apply(0).startOffset.trim.toLong).toSeq
+    assert(starts.headOption.contains(8192L),
+      s"restart must resume at the checkpointed offset, got starts=$starts")
+    import scala.jdk.CollectionConverters._
+    val ids = got.asScala.toSeq
+    assert(ids.size == 20480 && ids.toSet == (0L until 20480L).toSet,
+      s"every id exactly once across the restart (got ${ids.size} rows)")
+  }
 }
