@@ -82,6 +82,8 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "bucket_join" -> ((s, d) => graft.sources.Bucketing.bucketJoinQuery(s, d)),
     "dsv2_pushdown_scan" -> ((s, _) => graft.sources.RangeV2.pushdownQuery(s)),
+    "dsv2_write_roundtrip" -> ((s, d) =>
+      graft.sources.ManifestV2.writeRoundtripQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3474,6 +3476,11 @@ object SparkEntry {
     // dropped, a batch re-read, or a window flushed early/late all
     // hash-mismatch
     "streaming_dsv2_source" -> graft.streaming.Streams.dsv2StreamSql(),
+
+    // DSv2 BATCH_WRITE end-to-end: task commit -> manifest publish ->
+    // split-planned read-back must be invisible next to the aggregate
+    // stated directly over lineitem
+    "dsv2_write_roundtrip" -> graft.sources.ManifestV2.writeRoundtripSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

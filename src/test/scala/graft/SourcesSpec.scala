@@ -204,4 +204,105 @@ class SourcesSpec extends AnyFunSuite {
     assert(ids.size == 20480 && ids.toSet == (0L until 20480L).toSet,
       s"every id exactly once across the restart (got ${ids.size} rows)")
   }
+
+  private def manifestWrite(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.write.format("graft.sources.ManifestV2")
+      .option("path", dir).mode("append").save()
+  private def manifestRead(dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.format("graft.sources.ManifestV2").option("path", dir).load()
+  private def stagedFiles(dir: String): Set[String] =
+    Option(new java.io.File(dir, "staging").listFiles())
+      .map(_.map("staging/" + _.getName).toSet).getOrElse(Set.empty)
+  private def manifestFiles(dir: String): Set[String] =
+    graft.sources.ManifestV2.readManifest(java.nio.file.Paths.get(dir))
+      .map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+
+  test("ManifestV2 write: escaped round-trip, append accumulation, pruning") {
+    import spark.implicits._
+    val dir = tmp()
+    val df1 = Seq(
+      (1L, Option("plain"), Option(1.5), Option(true), Option(7)),
+      (2L, Option("tab\there nl\nback\\slash\rcr"), Option(-2.25), Option(false), None),
+      (3L, None: Option[String], None: Option[Double], None: Option[Boolean], Option(-2)))
+      .toDF("k", "s", "d", "b", "i")
+    manifestWrite(df1, dir)
+    val back1 = manifestRead(dir)
+    assert(back1.schema.map(f => (f.name, f.dataType)) ==
+      df1.schema.map(f => (f.name, f.dataType)))
+    assert(back1.exceptAll(df1).count() == 0 && df1.exceptAll(back1).count() == 0,
+      "escaped TSV must round-trip tabs, newlines, backslashes, and nulls")
+    // append publishes a second snapshot: union visible, nothing lost
+    val df2 = Seq((4L, Option("later"), Option(0.5), Option(true), Option(0)))
+      .toDF("k", "s", "d", "b", "i")
+    manifestWrite(df2, dir)
+    val both = df1.unionAll(df2)
+    val back2 = manifestRead(dir)
+    assert(back2.exceptAll(both).count() == 0 && both.exceptAll(back2).count() == 0)
+    // column pruning reaches the reader (evidence string in the plan)
+    val pruned = manifestRead(dir).select("k")
+    assert(pruned.queryExecution.executedPlan.toString.contains("cols=[k]"))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("ManifestV2 write: a failed job leaves the previous snapshot untouched") {
+    import spark.implicits._
+    val dir = tmp()
+    val initial = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    manifestWrite(initial, dir)
+    // partition 0 commits its task; partition 1 throws mid-write — the
+    // JOB aborts, and BatchWrite.abort must delete even the
+    // already-committed task's staged file
+    val boom = org.apache.spark.sql.functions.udf((x: Long) => {
+      if (x == 7L) throw new RuntimeException("boom")
+      "x"
+    })
+    val failing = spark.range(0, 10, 1, 2)
+      .select($"id".as("k"), boom($"id").as("v"))
+    intercept[Exception] { manifestWrite(failing, dir) }
+    // readers saw — and still see — the old snapshot
+    val back = manifestRead(dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b")))
+    // no orphaned staging files: what exists on disk is exactly what
+    // the manifest publishes
+    assert(stagedFiles(dir) == manifestFiles(dir),
+      s"staging must equal the manifest after a job abort: " +
+        s"staged=${stagedFiles(dir)} manifest=${manifestFiles(dir)}")
+  }
+
+  test("ManifestV2 write: retried attempts are idempotent (one wins, one aborts)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp()
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val table = new graft.sources.ManifestTable(dir, sch)
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+      override def queryId(): String = "retry-test"
+      override def schema(): StructType = sch
+    }
+    val bw = table.newWriteBuilder(info).build().toBatch
+    val factory = bw.createBatchWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    // two attempts of the SAME partition (a speculative retry): each
+    // writes its own uniquely-named staged file
+    val attempt0 = factory.createWriter(0, 0L)
+    val attempt1 = factory.createWriter(0, 1L)
+    val row = InternalRow.fromSeq(Seq(1L, UTF8String.fromString("x")))
+    attempt0.write(row); attempt1.write(row)
+    // the commit coordinator admits attempt 1; attempt 0 must abort
+    val msg = attempt1.commit()
+    attempt0.abort()
+    bw.commit(Array(msg))
+    // exactly ONE copy of the row is visible, from exactly one file
+    val back = manifestRead(dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((1L, "x")), s"got ${back.toSeq}")
+    assert(stagedFiles(dir).size == 1 && stagedFiles(dir) == manifestFiles(dir),
+      "the aborted attempt's file must be gone; the winner's published")
+  }
 }
