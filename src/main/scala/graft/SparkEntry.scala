@@ -84,6 +84,7 @@ object SparkEntry {
     "dsv2_pushdown_scan" -> ((s, _) => graft.sources.RangeV2.pushdownQuery(s)),
     "dsv2_write_roundtrip" -> ((s, d) =>
       graft.sources.ManifestV2.writeRoundtripQuery(s, d)),
+    "dsv2_agg_pushdown" -> ((s, _) => graft.sources.RangeV2.aggPushdownQuery(s)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3481,6 +3482,10 @@ object SparkEntry {
     // split-planned read-back must be invisible next to the aggregate
     // stated directly over lineitem
     "dsv2_write_roundtrip" -> graft.sources.ManifestV2.writeRoundtripSql(),
+
+    // DSv2 aggregate pushdown: per-split closed-form partials merged by
+    // Spark's final aggregate vs the closed form over the same range
+    "dsv2_agg_pushdown" -> graft.sources.RangeV2.aggPushdownSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

@@ -3,6 +3,8 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -78,6 +80,29 @@ object RangeV2 {
       .select($"id", $"v_mul")
       .orderBy($"id")
   }
+
+  /** Driver-contract query for AGGREGATE pushdown: a global
+    * min/max/count over a pushed id range. The filter prunes the
+    * planned splits, each surviving split emits one closed-form
+    * partial row, and Spark's final aggregate merges them — the scan
+    * never materializes a data row. The oracle restates the closed
+    * form over the same range.
+    */
+  def aggPushdownQuery(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    import spark.implicits._
+    spark.read.format("graft.sources.RangeV2")
+      .option("rows", "100000").option("parts", "16").load()
+      .filter($"id" >= 20000L && $"id" < 90000L)
+      .agg(min($"id").as("min_id"), max($"id").as("max_id"),
+        count(lit(1)).as("n"))
+  }
+
+  /** [[aggPushdownQuery]] oracle. */
+  def aggPushdownSql(): String =
+    """SELECT MIN(id) AS min_id, MAX(id) AS max_id, COUNT(*) AS n
+      |FROM range(20000, 90000) t(id)""".stripMargin
 }
 
 class RangeV2Table(rows: Long, parts: Int, batchRows: Long = 1024L)
@@ -92,13 +117,14 @@ class RangeV2Table(rows: Long, parts: Int, batchRows: Long = 1024L)
 
 class RangeV2ScanBuilder(rows: Long, parts: Int, batchRows: Long = 1024L) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = RangeV2.schema
   private var lo: Long = 0L // inclusive id lower bound after pushdown
   private var hi: Long = Long.MaxValue // exclusive upper bound
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggSpecs: Seq[String] = Seq.empty // "min_id" | "max_id" | "count_star"
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -134,9 +160,85 @@ class RangeV2ScanBuilder(rows: Long, parts: Int, batchRows: Long = 1024L) extend
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true
 
+  /** Aggregate pushdown (PARTIAL — [[supportCompletePushDown]] is
+    * false): each planned split answers min(id)/max(id)/count(*) for
+    * its own id range in closed form and emits ONE row; Spark's final
+    * aggregation merges the per-split partials (min of mins, sum of
+    * counts). The scan that would have produced `end − start` rows per
+    * split produces exactly one — at 100 TB this is the difference
+    * between moving the table and moving `parts` rows. Composes with
+    * filter pushdown: the pushed id bounds prune the splits first, so
+    * the partials cover exactly the filtered range.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false // split partials still need Spark's final merge
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames().sameElements(Array("id"))
+        case _ => false
+      }
+    val specs = aggregation.aggregateExpressions().toSeq.map {
+      case m: Min if isId(m.column()) => Some("min_id")
+      case m: Max if isId(m.column()) => Some("max_id")
+      case _: CountStar => Some("count_star")
+      case _ => None // anything else stays above the scan, un-pushed
+    }
+    if (specs.contains(None)) false
+    else { aggSpecs = specs.flatten; true }
+  }
+
   override def build(): Scan =
-    new RangeV2Scan(rows, parts, required, math.min(hi, rows), lo, limit,
-      pushed.map(_.toString), batchRows)
+    if (aggSpecs.nonEmpty)
+      new RangeV2AggScan(rows, parts, math.min(hi, rows), lo, aggSpecs,
+        pushed.map(_.toString))
+    else
+      new RangeV2Scan(rows, parts, required, math.min(hi, rows), lo, limit,
+        pushed.map(_.toString), batchRows)
+}
+
+/** The aggregate-pushdown scan: same split pruning as [[RangeV2Scan]],
+  * but every split's reader emits a single partial-aggregate row
+  * computed in closed form from its [start, end) bounds.
+  */
+class RangeV2AggScan(rows: Long, parts: Int, hi: Long, lo: Long,
+    specs: Seq[String], pushedDesc: Array[String]) extends Scan with Batch {
+  // positional contract: one column per pushed aggregate function
+  override def readSchema(): StructType =
+    StructType(specs.map(s => StructField(s, LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft RangeV2 rows=$rows parts=$parts bounds=[$lo,$hi) " +
+      s"pushedAgg=[${specs.mkString(",")}] pushed=[${pushedDesc.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0 until parts).iterator
+      .map { p =>
+        val s = p * per
+        val e = math.min(rows, s + per)
+        RangeV2Partition(math.max(s, lo), math.min(e, hi))
+      }
+      .filter(ip => ip.start < ip.end)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val out = specs
+    (p: InputPartition) => {
+      val rp = p.asInstanceOf[RangeV2Partition]
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = !emitted && { emitted = true; true }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(out.map {
+            case "min_id" => rp.start
+            case "max_id" => rp.end - 1
+            case "count_star" => rp.end - rp.start
+          })
+        override def close(): Unit = ()
+      }
+    }
+  }
 }
 
 class RangeV2Scan(rows: Long, parts: Int, required: StructType,
