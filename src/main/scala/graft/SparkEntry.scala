@@ -79,12 +79,15 @@ object SparkEntry {
       graft.streaming.Streams.streamingRecommendE2eQuery(s, d)),
     "streaming_windowed_counts" -> ((s, d) => graft.streaming.Streams.windowedCountsQuery(s, d)),
     "streaming_dsv2_source" -> ((s, _) => graft.streaming.Streams.dsv2StreamQuery(s)),
+    "streaming_dsv2_pipe" -> ((s, _) => graft.streaming.Streams.dsv2PipeQuery(s)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "bucket_join" -> ((s, d) => graft.sources.Bucketing.bucketJoinQuery(s, d)),
     "dsv2_pushdown_scan" -> ((s, _) => graft.sources.RangeV2.pushdownQuery(s)),
     "dsv2_write_roundtrip" -> ((s, d) =>
       graft.sources.ManifestV2.writeRoundtripQuery(s, d)),
     "dsv2_agg_pushdown" -> ((s, _) => graft.sources.RangeV2.aggPushdownQuery(s)),
+    "dsv2_runtime_filter" -> ((s, d) =>
+      graft.sources.RangeV2.runtimeFilterQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3478,6 +3481,11 @@ object SparkEntry {
     // hash-mismatch
     "streaming_dsv2_source" -> graft.streaming.Streams.dsv2StreamSql(),
 
+    // the full connector pipeline (DSv2 stream source -> windowed agg
+    // -> DSv2 streaming sink with per-epoch exactly-once commits ->
+    // DSv2 read-back) must publish exactly the same finalized windows
+    "streaming_dsv2_pipe" -> graft.streaming.Streams.dsv2StreamSql(),
+
     // DSv2 BATCH_WRITE end-to-end: task commit -> manifest publish ->
     // split-planned read-back must be invisible next to the aggregate
     // stated directly over lineitem
@@ -3486,6 +3494,10 @@ object SparkEntry {
     // DSv2 aggregate pushdown: per-split closed-form partials merged by
     // Spark's final aggregate vs the closed form over the same range
     "dsv2_agg_pushdown" -> graft.sources.RangeV2.aggPushdownSql(),
+
+    // DSv2 runtime filtering (DPP on a V2 source): the join through the
+    // split-pruned scan vs the dimension-side closed form
+    "dsv2_runtime_filter" -> graft.sources.RangeV2.runtimeFilterSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

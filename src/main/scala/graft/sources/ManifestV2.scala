@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,7 +53,7 @@ class ManifestV2 extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = ManifestV2.rootOf(options.get("path"))
     ManifestV2.readManifest(root)
-      .map(_._1)
+      .map(_.schema)
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — write to the table first"))
   }
@@ -104,31 +105,44 @@ object ManifestV2 {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin
 
-  /** Read the committed snapshot: (schema, Seq(relative file, rows)).
-    * Line 1 is the schema DDL; each further line `file\trows`.
+  /** A committed snapshot: the schema, the latest committed streaming
+    * epoch per query id (the exactly-once ledger), and the published
+    * data files. Serialized as: line 1 = schema DDL, line 2 =
+    * `@epochs\tqid:epoch,...`, then one `file\trows` line per file —
+    * the whole table state in one atomically-swapped object.
     */
-  private[graft] def readManifest(root: Path): Option[(StructType, Seq[(String, Long)])] = {
+  private[graft] case class ManifestState(schema: StructType,
+      epochs: Map[String, Long], files: Seq[(String, Long)])
+
+  private[graft] def readManifest(root: Path): Option[ManifestState] = {
     val m = root.resolve("manifest.txt")
     if (!Files.exists(m)) None
     else {
       val lines = Files.readAllLines(m, StandardCharsets.UTF_8)
       val schema = StructType.fromDDL(lines.get(0))
-      val files = (1 until lines.size).map { i =>
+      val epochs = lines.get(1).split("\t", 2)(1) match {
+        case "" => Map.empty[String, Long]
+        case s => s.split(",").map { e =>
+          val Array(q, n) = e.split(":", 2); (q, n.toLong)
+        }.toMap
+      }
+      val files = (2 until lines.size).map { i =>
         val Array(f, n) = lines.get(i).split("\t", 2)
         (f, n.toLong)
       }
-      Some((schema, files.toSeq))
+      Some(ManifestState(schema, epochs, files.toSeq))
     }
   }
 
   /** Atomically publish a snapshot: write a temp manifest, then a
     * same-directory ATOMIC_MOVE over `manifest.txt`.
     */
-  private[graft] def writeManifest(root: Path, schema: StructType,
-      files: Seq[(String, Long)]): Unit = {
+  private[graft] def writeManifest(root: Path, state: ManifestState): Unit = {
     Files.createDirectories(root)
-    val body = (schema.toDDL +: files.map { case (f, n) => s"$f\t$n" })
-      .mkString("", "\n", "\n")
+    val epochLine = "@epochs\t" + state.epochs.toSeq.sorted
+      .map { case (q, n) => s"$q:$n" }.mkString(",")
+    val body = (state.schema.toDDL +: epochLine +:
+      state.files.map { case (f, n) => s"$f\t$n" }).mkString("", "\n", "\n")
     val tmp = root.resolve(s".manifest.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, root.resolve("manifest.txt"),
@@ -161,6 +175,18 @@ object ManifestV2 {
   }
   private[graft] val NullToken = "\\N"
 
+  /** Delete the staged files named by a set of commit messages (task
+    * or job abort, or a replayed-epoch discard).
+    */
+  private[graft] def deleteStaged(path: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val root = rootOf(path)
+    messages.foreach {
+      case m: ManifestCommit => Files.deleteIfExists(root.resolve(m.file)): Unit
+      case _ => ()
+    }
+  }
+
   private[graft] def cellOf(row: InternalRow, i: Int, dt: DataType): String =
     if (row.isNullAt(i)) NullToken
     else dt match {
@@ -192,19 +218,34 @@ class ManifestTable(path: String, externalSchema: StructType)
   override def name(): String = s"graft_manifest($path)"
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
-    else ManifestV2.readManifest(root).map(_._1).getOrElse(new StructType())
+    else ManifestV2.readManifest(root).map(_.schema).getOrElse(new StructType())
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(root, schema())
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def description(): String = s"graft ManifestV2 write -> $path"
-        override def toBatch: BatchWrite = new ManifestBatchWrite(path, info.schema())
-      }
-    }
+    new ManifestWriteBuilder(path, info, truncate = false)
+}
+
+/** [[SupportsTruncate]] gives the connector overwrite semantics for
+  * free: `mode("overwrite")` arrives as truncate() + append, and the
+  * commit publishes ONLY the new files (deleting the replaced
+  * snapshot's) — still one atomic manifest swap, so a reader sees the
+  * whole old table or the whole new one.
+  */
+class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
+    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new ManifestWriteBuilder(path, info, truncate = true)
+  override def build(): Write = new Write {
+    override def description(): String = s"graft ManifestV2 write -> $path"
+    override def toBatch: BatchWrite =
+      new ManifestBatchWrite(path, info.schema(), truncate)
+    override def toStreaming: StreamingWrite =
+      new ManifestStreamingWrite(path, info.schema(), info.queryId(), truncate)
+  }
 }
 
 class ManifestScanBuilder(root: Path, full: StructType) extends ScanBuilder
@@ -213,7 +254,7 @@ class ManifestScanBuilder(root: Path, full: StructType) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
-    val files = ManifestV2.readManifest(root).map(_._2).getOrElse(Seq.empty)
+    val files = ManifestV2.readManifest(root).map(_.files).getOrElse(Seq.empty)
     new ManifestScan(root.toString, full, required, files)
   }
 }
@@ -260,37 +301,97 @@ class ManifestReaderFactory(full: StructType, required: StructType)
 /** Driver-side half of the commit protocol: merge the committed tasks'
   * files into the manifest atomically, or delete them on job abort.
   */
-class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class ManifestBatchWrite(path: String, schema: StructType,
+    truncate: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
     val prev = ManifestV2.readManifest(root)
-    prev.foreach { case (s, _) =>
-      require(s.toDDL == schema.toDDL,
-        s"append schema mismatch: table has ${s.toDDL}, write has ${schema.toDDL}")
+    if (!truncate) prev.foreach { p =>
+      require(p.schema.toDDL == schema.toDDL,
+        s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
     }
     val added = messages.map { case m: ManifestCommit => (m.file, m.rows) }
-    ManifestV2.writeManifest(root, schema,
-      prev.map(_._2).getOrElse(Seq.empty) ++ added)
+    val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
+    ManifestV2.writeManifest(root, ManifestV2.ManifestState(schema,
+      prev.map(_.epochs).getOrElse(Map.empty), kept ++ added))
+    // overwrite: the replaced snapshot's files are unreferenced once
+    // the swap lands — reclaim them (readers mid-scan on a local FS
+    // hold open handles; on an object store this would be a deferred
+    // GC pass keyed off the previous manifest)
+    if (truncate) prev.foreach(_.files.foreach { case (f, _) =>
+      Files.deleteIfExists(root.resolve(f)): Unit
+    })
   }
 
   /** Job abort: staged files of tasks that already committed are
     * deleted; the previous manifest was never touched, so readers kept
     * (and keep) seeing the old snapshot.
     */
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ManifestV2.deleteStaged(path, messages)
+}
+
+/** The STREAMING sink half (STREAMING_WRITE): per-epoch commits with
+  * an exactly-once replay guard. Structured Streaming may re-run the
+  * last un-checkpointed micro-batch after a restart and re-commit the
+  * SAME epoch; the manifest's `@epochs` ledger records the latest
+  * committed epoch per query, so a replayed commit publishes nothing
+  * (its staged files are deleted) — the published table never carries
+  * a duplicate batch. That ledger travels INSIDE the atomically-
+  * swapped manifest, so the dedup decision and the publish are one
+  * atomic unit (a crash between "check" and "publish" cannot admit
+  * the epoch twice).
+  */
+class ManifestStreamingWrite(path: String, schema: StructType,
+    queryId: String, truncate: Boolean)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestStreamingWriterFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
-    messages.foreach {
-      case m: ManifestCommit =>
-        Files.deleteIfExists(root.resolve(m.file)): Unit
-      case _ => ()
+    val prev = ManifestV2.readManifest(root)
+    prev.foreach { p =>
+      require(p.schema.toDDL == schema.toDDL,
+        s"streaming schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
+    }
+    if (prev.exists(_.epochs.getOrElse(queryId, -1L) >= epochId)) {
+      // replayed micro-batch after restart: this epoch is already in
+      // the snapshot — publish nothing, reclaim the replay's files
+      ManifestV2.deleteStaged(path, messages)
+    } else {
+      val added = messages.map { case m: ManifestCommit => (m.file, m.rows) }
+      val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
+      ManifestV2.writeManifest(root, ManifestV2.ManifestState(schema,
+        prev.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
+        kept ++ added))
+      if (truncate) prev.foreach(_.files.foreach { case (f, _) =>
+        Files.deleteIfExists(root.resolve(f)): Unit
+      })
     }
   }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ManifestV2.deleteStaged(path, messages)
 }
 
 case class ManifestCommit(file: String, rows: Long) extends WriterCommitMessage
+
+/** Ships to executors (the streaming-write analog of
+  * [[ManifestWriterFactory]]); the epoch lands in the staged file name
+  * so an operator can attribute any file to its micro-batch.
+  */
+class ManifestStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(path, schema, partitionId, taskId,
+      tag = s"e$epochId")
+}
 
 class ManifestWriterFactory(path: String, schema: StructType)
     extends DataWriterFactory {
@@ -303,10 +404,11 @@ class ManifestWriterFactory(path: String, schema: StructType)
 }
 
 class ManifestDataWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, tag: String = "b")
+    extends DataWriter[InternalRow] {
   private val root = ManifestV2.rootOf(path)
   private val rel =
-    s"staging/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.tsv"
+    s"staging/part-$tag-$partitionId-$taskId-${java.util.UUID.randomUUID()}.tsv"
   private val file = root.resolve(rel)
   Files.createDirectories(file.getParent)
   private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)

@@ -3,8 +3,9 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -51,6 +52,14 @@ class RangeV2 extends TableProvider {
 }
 
 object RangeV2 {
+  /** Driver-side instrumentation: every runtime-filter delivery to a
+    * [[RangeV2Scan]] is recorded here (predicate strings + the split
+    * counts before/after), so specs can assert that a DPP-style
+    * runtime filter actually REACHED the source rather than inferring
+    * it from timings. Bounded: one small string per filtered scan.
+    */
+  val runtimeFilterLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("v_mod", LongType, nullable = false),
@@ -103,6 +112,34 @@ object RangeV2 {
   def aggPushdownSql(): String =
     """SELECT MIN(id) AS min_id, MAX(id) AS max_id, COUNT(*) AS n
       |FROM range(20000, 90000) t(id)""".stripMargin
+
+  /** Driver-contract query for RUNTIME filtering: the generated fact
+    * table joined to a filtered dimension (distinct purchase users).
+    * Dynamic partition pruning hands the realized user ids to the scan
+    * as an IN predicate at execution time, and split planning shrinks
+    * to the splits containing them (all purchase users live in the
+    * first of sixteen splits at every SF) — spec-witnessed via
+    * [[runtimeFilterLog]]. The oracle restates the join in closed form
+    * over the dimension alone, so an id lost or duplicated by the
+    * pruning hash-mismatches.
+    */
+  def runtimeFilterQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fact = spark.read.format("graft.sources.RangeV2")
+      .option("rows", "100000").option("parts", "16").load()
+    val dim = graft.Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("k")).distinct()
+    fact.join(dim, $"id" === $"k")
+      .select($"id", $"v_mul")
+      .orderBy($"id")
+  }
+
+  /** [[runtimeFilterQuery]] oracle. */
+  def runtimeFilterSql(): String =
+    """SELECT DISTINCT user_id AS id, (user_id * 31) % 1000 AS v_mul
+      |FROM events WHERE event_type = 'purchase' ORDER BY id""".stripMargin
 }
 
 class RangeV2Table(rows: Long, parts: Int, batchRows: Long = 1024L)
@@ -185,7 +222,11 @@ class RangeV2ScanBuilder(rows: Long, parts: Int, batchRows: Long = 1024L) extend
       case _: CountStar => Some("count_star")
       case _ => None // anything else stays above the scan, un-pushed
     }
-    if (specs.contains(None)) false
+    // an EMPTY list must be refused, not vacuously accepted: an outer
+    // count() over the aggregate prunes every inner agg expression
+    // away, and "accepting" it would leave the row scan in place while
+    // Spark expects a zero-column aggregate schema
+    if (specs.isEmpty || specs.contains(None)) false
     else { aggSpecs = specs.flatten; true }
   }
 
@@ -244,7 +285,7 @@ class RangeV2AggScan(rows: Long, parts: Int, hi: Long, lo: Long,
 class RangeV2Scan(rows: Long, parts: Int, required: StructType,
     hi: Long, lo: Long, limit: Int, pushedDesc: Array[String],
     batchRows: Long = 1024L)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in .explain so plan audits can assert the pushdown
@@ -253,9 +294,41 @@ class RangeV2Scan(rows: Long, parts: Int, required: StructType,
       s"limit=$limit pushed=[${pushedDesc.mkString(",")}] " +
       s"cols=[${required.fieldNames.mkString(",")}]"
 
-  /** Partition pruning: only splits overlapping [lo, hi) are planned —
-    * the scale lever. A selective id predicate reads O(matching
-    * splits), not O(parts).
+  /** RUNTIME filtering (the DSv2 dynamic-partition-pruning contract —
+    * what DPP calls on a V2 source): after the build side of a join
+    * executes, Spark hands the scan the realized join-key values as an
+    * IN predicate, and split planning shrinks to the splits that
+    * contain at least one of them. Static pushdown prunes on what the
+    * QUERY says; this prunes on what the DATA said at run time — at
+    * 100 TB, a 100-value dimension key list turns a full fact scan
+    * into a handful of splits. Best-effort by contract: splits are
+    * pruned, rows inside a kept split still flow, and Spark's own join
+    * re-applies the exact predicate above.
+    */
+  private var runtimeKeep: Option[Set[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+  override def filter(predicates: Array[Predicate]): Unit = {
+    predicates.foreach { p =>
+      if (p.name() == "IN") {
+        val vals = p.children().toSeq
+          .collect { case l: Literal[_] => l.value() }
+          .collect { case x: java.lang.Long => x.longValue() }
+        if (vals.nonEmpty)
+          runtimeKeep = Some(
+            runtimeKeep.map(_ intersect vals.toSet).getOrElse(vals.toSet))
+      }
+    }
+    RangeV2.runtimeFilterLog.add(
+      s"filter(${predicates.map(_.toString).mkString(";")}) " +
+        s"keep=${runtimeKeep.map(_.size).getOrElse(-1)} " +
+        s"splits=${planInputPartitions().length}")
+  }
+
+  /** Partition pruning: only splits overlapping [lo, hi) — and, once a
+    * runtime filter landed, containing at least one realized join key —
+    * are planned. A selective id predicate reads O(matching splits),
+    * not O(parts).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + parts - 1) / parts)
@@ -266,6 +339,7 @@ class RangeV2Scan(rows: Long, parts: Int, required: StructType,
         RangeV2Partition(math.max(s, lo), math.min(e, hi))
       }
       .filter(ip => ip.start < ip.end)
+      .filter(ip => runtimeKeep.forall(_.exists(v => v >= ip.start && v < ip.end)))
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

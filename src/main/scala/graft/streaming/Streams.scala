@@ -469,35 +469,77 @@ object Streams {
     * control, per-batch split planning, watermark lifecycle, Append
     * finalization) is hash-checked end to end.
     */
-  def dsv2StreamQuery(spark: SparkSession): DataFrame = {
+  /** The shared streaming relation of the DSv2 queries: the RangeV2
+    * micro-batch source, id→event-time mapping with the two batch-
+    * geometry sentinels, watermarked hour windows, flattened to
+    * epoch-µs bounds with the sentinel windows cut off BEFORE the
+    * sink (so any Append-mode sink receives exactly the 57 data
+    * windows; the sentinels' own windows never finalize anyway — the
+    * cutoff just pins that against a future Spark emitting them).
+    */
+  private def dsv2WindowedRelation(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val s1 = Dsv2Rows - 2; val s2 = Dsv2Rows - 1 // ids 0..20478 are data
-    val name = runStreamToTable(spark, "dsv2_stream", Some(4)) { (n, ck) =>
-      val src = spark.readStream.format("graft.sources.RangeV2")
-        .option("rows", Dsv2Rows.toString)
-        .option("parts", "4")
-        .option("batchRows", Dsv2BatchRows.toString)
-        .load()
-      val tsSec = when($"id" === s1, lit(Dsv2BaseSec + 5000000L))
-        .when($"id" === s2, lit(Dsv2BaseSec + 10000000L))
-        .otherwise(lit(Dsv2BaseSec) + $"id" * Dsv2StepSec)
-      src.select($"id", timestamp_seconds(tsSec).as("ts"), $"v_mod")
-        .withWatermark("ts", "1 hour")
-        .groupBy(window($"ts", "1 hour"))
-        .agg(count(lit(1)).as("n_events"), sum($"v_mod").as("sum_mod"))
-        .writeStream.format("memory").queryName(n)
-        .option("checkpointLocation", ck)
-        .outputMode(OutputMode.Append).start()
-    } { q => q.processAllAvailable() }
-    // the sentinels' own windows never finalize (nothing marches the
-    // watermark past them) — and the cutoff keeps them out even if a
-    // later Spark emitted them
+    val src = spark.readStream.format("graft.sources.RangeV2")
+      .option("rows", Dsv2Rows.toString)
+      .option("parts", "4")
+      .option("batchRows", Dsv2BatchRows.toString)
+      .load()
+    val tsSec = when($"id" === s1, lit(Dsv2BaseSec + 5000000L))
+      .when($"id" === s2, lit(Dsv2BaseSec + 10000000L))
+      .otherwise(lit(Dsv2BaseSec) + $"id" * Dsv2StepSec)
     val cutoffUs = (Dsv2BaseSec + 4000000L) * 1000000L
-    spark.table(name)
+    src.select($"id", timestamp_seconds(tsSec).as("ts"), $"v_mod")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n_events"), sum($"v_mod").as("sum_mod"))
       .select(($"window.start".cast("long") * 1000000L).as("w_start_us"),
         ($"window.end".cast("long") * 1000000L).as("w_end_us"),
         $"n_events", $"sum_mod")
       .filter($"w_start_us" < cutoffUs)
+  }
+
+  def dsv2StreamQuery(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val name = runStreamToTable(spark, "dsv2_stream", Some(4)) { (n, ck) =>
+      dsv2WindowedRelation(spark)
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+    } { q => q.processAllAvailable() }
+    spark.table(name).orderBy($"w_start_us")
+  }
+
+  /** Driver-contract query with a FULL DuckDB oracle: the WHOLE
+    * pipeline through the connector layer — DSv2 micro-batch SOURCE →
+    * watermarked windowed aggregation → DSv2 streaming SINK
+    * (ManifestV2's per-epoch commit protocol with the exactly-once
+    * replay ledger) → DSv2 batch read-back of the published table. No
+    * MemoryStream, no memory sink: both transports are the connector
+    * API, end to end. Same closed-form oracle as
+    * [[dsv2StreamQuery]] — the sink's epoch commits must publish
+    * exactly the finalized windows, once each.
+    */
+  def dsv2PipeQuery(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = graft.sources.Sources.scratchDir(spark, "dsv2_pipe")
+    // fresh table + checkpoint per invocation (the bench re-runs
+    // queries in one JVM; appending into a shared table would double)
+    val dest = new java.io.File(base,
+      java.util.UUID.randomUUID().toString).toString
+    val ck = new java.io.File(base,
+      "ck_" + java.util.UUID.randomUUID().toString).toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try dsv2WindowedRelation(spark)
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", dest)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.format("graft.sources.ManifestV2").option("path", dest).load()
       .orderBy($"w_start_us")
   }
 

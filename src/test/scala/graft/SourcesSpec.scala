@@ -198,6 +198,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(rich.collect().head.getLong(0) == (0L until 1000L).map(_ % 97).sum)
   }
 
+  test("DSv2 runtime filtering: the join's realized keys prune the splits") {
+    import spark.implicits._
+    graft.sources.RangeV2.runtimeFilterLog.clear()
+    val joined = graft.sources.RangeV2.runtimeFilterQuery(spark, sf)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // correctness: exactly the distinct purchase users, formula intact
+    val want = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(got.map(_._1).toSeq == want.toSeq)
+    got.foreach { case (id, v) => assert(v == (id * 31) % 1000) }
+    // evidence: an IN predicate REACHED the source at runtime and split
+    // planning shrank to the single split holding every purchase user
+    import scala.jdk.CollectionConverters._
+    val log = graft.sources.RangeV2.runtimeFilterLog.asScala.toSeq
+    assert(log.exists(e => e.contains("IN") && e.contains("splits=1")),
+      s"expected a delivered IN filter pruning to 1 split, log=$log")
+  }
+
   test("DSv2 micro-batch stream: admission-control batches partition the ids") {
     import org.apache.spark.sql.functions.{count, lit, max, min}
     val ck = tmp()
@@ -266,7 +285,7 @@ class SourcesSpec extends AnyFunSuite {
       .map(_.map("staging/" + _.getName).toSet).getOrElse(Set.empty)
   private def manifestFiles(dir: String): Set[String] =
     graft.sources.ManifestV2.readManifest(java.nio.file.Paths.get(dir))
-      .map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+      .map(_.files.map(_._1).toSet).getOrElse(Set.empty)
 
   test("ManifestV2 write: escaped round-trip, append accumulation, pruning") {
     import spark.implicits._
@@ -355,5 +374,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.toSeq == Seq((1L, "x")), s"got ${back.toSeq}")
     assert(stagedFiles(dir).size == 1 && stagedFiles(dir) == manifestFiles(dir),
       "the aborted attempt's file must be gone; the winner's published")
+  }
+
+  test("ManifestV2 write: overwrite replaces the snapshot atomically") {
+    import spark.implicits._
+    val dir = tmp()
+    manifestWrite(Seq((1L, "old"), (2L, "old")).toDF("k", "v"), dir)
+    val df2 = Seq((10L, "new")).toDF("k", "v")
+    df2.write.format("graft.sources.ManifestV2")
+      .option("path", dir).mode("overwrite").save()
+    val back = manifestRead(dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((10L, "new")))
+    // the replaced snapshot's files are reclaimed: disk == manifest
+    assert(stagedFiles(dir) == manifestFiles(dir),
+      s"staged=${stagedFiles(dir)} manifest=${manifestFiles(dir)}")
+  }
+
+  test("ManifestV2 streaming sink: a replayed epoch publishes nothing twice") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp()
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val table = new graft.sources.ManifestTable(dir, sch)
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+      override def queryId(): String = "epoch-test"
+      override def schema(): StructType = sch
+    }
+    val sw = table.newWriteBuilder(info).build().toStreaming
+    val factory = sw.createStreamingWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    def commitEpoch(epoch: Long, k: Long): Unit = {
+      val w = factory.createWriter(0, epoch * 100, epoch)
+      w.write(InternalRow.fromSeq(Seq(k, UTF8String.fromString(s"e$epoch"))))
+      sw.commit(epoch, Array[WriterCommitMessage](w.commit()))
+    }
+    commitEpoch(0, 1L)
+    commitEpoch(1, 2L)
+    // restart replay: Structured Streaming re-runs the last micro-batch
+    // and re-commits the SAME epoch — the @epochs ledger must swallow it
+    commitEpoch(1, 2L)
+    commitEpoch(2, 3L)
+    val back = manifestRead(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "e0"), (2L, "e1"), (3L, "e2")),
+      s"each epoch exactly once, got ${back.toSeq}")
+    // the replayed epoch's staged file was reclaimed, not orphaned
+    assert(stagedFiles(dir) == manifestFiles(dir) && stagedFiles(dir).size == 3)
   }
 }
