@@ -291,6 +291,7 @@ object SparkEntry {
     "important_parts" -> ((s, d) => Relational.importantParts(s, d)),
     "dedup_prefix_join" -> ((s, d) => Dedup.prefixJaccardJoin(s, d)),
     "dedup_substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
+    "dedup_substring_scrub" -> ((s, d) => Dedup.substringScrub(s, d)),
     "hierarchy_rollup" -> ((s, d) => Graph.hierarchyRollup(s, d)),
     "ab_test_report" -> ((s, d) => Audit.abTestReport(s, d)),
     "video_scene_cuts" -> ((s, d) =>
@@ -3582,6 +3583,11 @@ object SparkEntry {
     // algebra — every maximal shared run's length, count, and
     // interval-union coverage hash-checked
     "dedup_substring_spans" -> Dedup.substringSpansSql(),
+
+    // the APPLY half: per-doc interval-union scrub of duplicated spans
+    // (keep-first), Spark's higher-order-function text rebuild vs the
+    // oracle's token-per-row relational reconstruction
+    "dedup_substring_scrub" -> Dedup.substringScrubSql(),
 
     // pointer-doubling hierarchy closure vs a genuine recursive-CTE
     // walk — independent traversal strategies, same rollup

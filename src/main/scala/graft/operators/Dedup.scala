@@ -1226,9 +1226,13 @@ object Dedup {
     substringSpansOf(
       Tables.widened(spark, Tables.documents(spark, dir)), k, maxDf)
 
-  /** [[substringSpans]] over an arbitrary (doc_id, text) relation. */
-  def substringSpansOf(docs: DataFrame, k: Int = SubstringMinRun,
-      maxDf: Long = DefaultMaxDf): DataFrame = {
+  /** The maximal-shared-run relation (da, db, sb, run_tokens) both
+    * substring operators derive from: anchors → df-capped hash-bucket
+    * join → per-diagonal gaps-and-islands. sb is the run's 1-based
+    * start on doc_b's token axis.
+    */
+  private[graft] def substringRuns(docs: DataFrame, k: Int,
+      maxDf: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1254,11 +1258,20 @@ object Dedup {
     // gaps-and-islands on (pair, diagonal): consecutive anchor starts
     // = one maximal run; its token length is count + K − 1
     val wd = Window.partitionBy($"da", $"db", $"diag").orderBy($"pa")
-    val runs = matches
+    matches
       .withColumn("grp", $"pa" - row_number().over(wd))
       .groupBy($"da", $"db", $"diag", $"grp")
       .agg(min($"pa").as("sa"), (count(lit(1)) + lit(k - 1)).as("run_tokens"))
       .select($"da", $"db", ($"sa" - $"diag").as("sb"), $"run_tokens")
+  }
+
+  /** [[substringSpans]] over an arbitrary (doc_id, text) relation. */
+  def substringSpansOf(docs: DataFrame, k: Int = SubstringMinRun,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val runs = substringRuns(docs, k, maxDf)
     val perPair = runs.groupBy($"da", $"db")
       .agg(count(lit(1)).as("n_runs"), max($"run_tokens").as("longest_run"))
     // dropped-span accounting: interval-union of runs on doc_b's token
@@ -1282,15 +1295,68 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** [[substringSpans]] DuckDB oracle: the identical anchored
-    * gaps-and-islands algebra restated over the same tables (the
-    * brute per-pair recompute — no prefix structure, no shortcuts), so
-    * a candidate missed, a run mis-extended, or an interval-union
-    * miscount all hash-mismatch.
+  /** Exact-substring SCRUB — the APPLY half of Lee et al. 2022 (the
+    * paper's pipeline doesn't just report duplicated spans, it REMOVES
+    * all but one copy): every token of a document covered by a shared
+    * run >= K with any EARLIER document (keep-first policy, same
+    * da < db orientation as [[substringSpans]]) is dropped, and the
+    * survivors are re-joined in order. Emits every document —
+    * untouched ones pass through verbatim — with the dropped-token
+    * count, so `sum(n_dropped)` is the corpus-level dedup yield.
+    *
+    * Plan: the shared [[substringRuns]] relation, interval-union
+    * merged PER TARGET DOC (one gaps-and-islands window over all its
+    * pairs at once), collected to a per-doc interval array (bounded:
+    * intervals per doc << tokens per doc), then one codegen'd
+    * higher-order-function pass (`filter`/`exists`/`transform` over
+    * the token sequence) rebuilds the text — the corpus is never
+    * exploded to a token-per-row relation on the Spark side.
     */
-  def substringSpansSql(k: Int = SubstringMinRun,
-      maxDf: Long = DefaultMaxDf): String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  def substringScrub(spark: SparkSession, dir: String,
+      k: Int = SubstringMinRun, maxDf: Long = DefaultMaxDf): DataFrame =
+    substringScrubOf(
+      Tables.widened(spark, Tables.documents(spark, dir)), k, maxDf)
+
+  /** [[substringScrub]] over an arbitrary (doc_id, text) relation. */
+  def substringScrubOf(docs: DataFrame, k: Int = SubstringMinRun,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val runs = substringRuns(docs, k, maxDf)
+    // union the run intervals on each TARGET doc's token axis across
+    // all of its earlier partners (one islands pass per db)
+    val wi = Window.partitionBy($"db").orderBy($"sb", $"eb")
+    val merged = runs
+      .select($"db", $"sb", ($"sb" + $"run_tokens" - 1).as("eb"))
+      .withColumn("prev_max",
+        max($"eb").over(wi.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when($"prev_max".isNull || $"sb" > $"prev_max" + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum($"ni").over(wi.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"db", $"island")
+      .agg(min($"sb").as("s"), max($"eb").as("e"))
+      // bounded: merged scrub intervals per doc (disjoint, length >= K
+      // each) number at most tokens/K — a short array per row
+      .groupBy($"db").agg(collect_list(struct($"s", $"e")).as("ivs"))
+    docs.select($"doc_id", TextFns.tokens($"text").as("toks"))
+      .join(merged, $"doc_id" === $"db", "left")
+      .withColumn("kept", expr(
+        "filter(sequence(1, size(toks)), " +
+          "i -> ivs IS NULL OR NOT exists(ivs, v -> i >= v.s AND i <= v.e))"))
+      .select($"doc_id",
+        expr("concat_ws(' ', transform(kept, i -> element_at(toks, i)))")
+          .as("scrubbed_text"),
+        (size($"toks") - size($"kept")).cast("long").as("n_dropped"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared CTE chain through the per-diagonal `runs` relation — the
+    * oracle half of [[substringRuns]].
+    */
+  private def substringRunsCtes(k: Int, maxDf: Long): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |an AS (SELECT doc_id, i AS pos,
        |    CAST(('0x' || substr(md5(array_to_string(l[i:i+${k - 1}], ' ')), 1, 15)) AS BIGINT) AS g
        |  FROM d, UNNEST(generate_series(1, len(l) - ${k - 1})) t(i)
@@ -1305,7 +1371,54 @@ object Dedup {
        |  FROM m),
        |runs AS (SELECT da, db, diag, grp, MIN(pa) AS sa,
        |    COUNT(*) + ${k - 1} AS run_tokens
-       |  FROM isl GROUP BY da, db, diag, grp),
+       |  FROM isl GROUP BY da, db, diag, grp)""".stripMargin
+
+  /** [[substringScrub]] oracle: same runs algebra, then a genuinely
+    * different reconstruction strategy — the corpus exploded to a
+    * token-per-row relation, covered positions anti-joined out, and
+    * the survivors re-agged in order — so the higher-order-function
+    * rebuild on the Spark side is checked against a relational one.
+    */
+  def substringScrubSql(k: Int = SubstringMinRun,
+      maxDf: Long = DefaultMaxDf): String =
+    s"""WITH ${substringRunsCtes(k, maxDf)},
+       |iv0 AS (SELECT db, sa - diag AS sb,
+       |    sa - diag + run_tokens - 1 AS eb FROM runs),
+       |iv AS (SELECT db, sb, eb,
+       |    MAX(eb) OVER (PARTITION BY db ORDER BY sb, eb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM iv0),
+       |num AS (SELECT db, sb, eb,
+       |    SUM(CASE WHEN prev_max IS NULL OR sb > prev_max + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY db ORDER BY sb, eb
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM iv),
+       |merged AS (SELECT db, island, MIN(sb) AS s, MAX(eb) AS e
+       |  FROM num GROUP BY db, island),
+       |covd AS (SELECT DISTINCT db, UNNEST(generate_series(s, e)) AS pos
+       |  FROM merged),
+       |tok AS (SELECT doc_id, i AS pos, l[i] AS tok
+       |  FROM d, UNNEST(generate_series(1, len(l))) t(i)),
+       |kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+       |  FROM tok LEFT JOIN covd ON tok.doc_id = covd.db AND tok.pos = covd.pos
+       |  WHERE covd.pos IS NULL),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text,
+       |    COUNT(*) AS n_kept
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(agg.scrubbed_text, '') AS scrubbed_text,
+       |  CAST(len(d.l) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+       |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** [[substringSpans]] DuckDB oracle: the identical anchored
+    * gaps-and-islands algebra restated over the same tables (the
+    * brute per-pair recompute — no prefix structure, no shortcuts), so
+    * a candidate missed, a run mis-extended, or an interval-union
+    * miscount all hash-mismatch.
+    */
+  def substringSpansSql(k: Int = SubstringMinRun,
+      maxDf: Long = DefaultMaxDf): String =
+    s"""WITH ${substringRunsCtes(k, maxDf)},
        |iv0 AS (SELECT da, db, sa - diag AS sb,
        |    sa - diag + run_tokens - 1 AS eb, run_tokens FROM runs),
        |iv AS (SELECT da, db, sb, eb,

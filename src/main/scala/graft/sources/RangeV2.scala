@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -375,7 +375,16 @@ case class RangeV2Offset(n: Long) extends Offset {
   */
 class RangeV2MicroBatchStream(rows: Long, parts: Int, required: StructType,
     hi: Long, lo: Long, batchRows: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow support: the run-to-completion-then-stop
+    * trigger a batch-over-stream job uses. The generated table is
+    * static, so the "available now" target is simply `rows` — which
+    * [[latestOffset(start, limit)]] already converges to in
+    * admission-control (`batchRows`) steps; nothing to snapshot.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def initialOffset(): Offset = RangeV2Offset(0L)
   override def deserializeOffset(json: String): Offset =

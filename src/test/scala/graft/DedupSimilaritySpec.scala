@@ -748,6 +748,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 1L, 2L, 10L, 10L)), s"got ${out.toSeq}")
   }
 
+  test("substring scrub: keep-first span removal with pass-through docs") {
+    import spark.implicits._
+    val k = 4
+    val s = (0 until 10).map(i => s"s$i")
+    val docs = Seq(
+      (0L, (Seq("a1", "a2") ++ s ++ Seq("a3")).mkString(" ")), // first copy: kept whole
+      (1L, (Seq("b1") ++ s ++ Seq("b2", "b3")).mkString(" ")), // later copy: s scrubbed
+      (2L, "c1 c2 c3 c4 c5")) // untouched: passes through verbatim
+      .toDF("doc_id", "text")
+    val out = Dedup.substringScrubOf(docs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, (Seq("a1", "a2") ++ s ++ Seq("a3")).mkString(" "), 0L),
+      (1L, "b1 b2 b3", 10L),
+      (2L, "c1 c2 c3 c4 c5", 0L)), s"got ${out.toSeq}")
+  }
+
+  test("substring scrub: a fully-duplicated doc scrubs to empty") {
+    import spark.implicits._
+    val k = 3
+    val s = (0 until 6).map(i => s"s$i")
+    val docs = Seq(
+      (0L, s.mkString(" ")),
+      (1L, s.mkString(" "))) // identical later copy: everything drops
+      .toDF("doc_id", "text")
+    val out = Dedup.substringScrubOf(docs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, s.mkString(" "), 0L), (1L, "", 6L)),
+      s"got ${out.toSeq}")
+  }
+
   test("substring spans: equals the brute diagonal recompute on fuzz docs") {
     import spark.implicits._
     val k = 5

@@ -275,6 +275,31 @@ class SourcesSpec extends AnyFunSuite {
       s"every id exactly once across the restart (got ${ids.size} rows)")
   }
 
+  test("DSv2 micro-batch stream: Trigger.AvailableNow runs to completion and stops") {
+    val ck = tmp()
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft.sources.RangeV2")
+      .option("rows", "10000").option("parts", "4").option("batchRows", "3000")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        df.select("id").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow must TERMINATE BY ITSELF once the prepared target is
+    // reached — no processAllAvailable, no manual stop
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == (0L until 10000L).toSet)
+    assert(batches.get() >= 4,
+      s"admission control must still batch under AvailableNow, got ${batches.get()}")
+  }
+
   private def manifestWrite(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
     df.write.format("graft.sources.ManifestV2")
       .option("path", dir).mode("append").save()
