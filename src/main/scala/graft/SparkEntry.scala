@@ -88,6 +88,7 @@ object SparkEntry {
     "dsv2_agg_pushdown" -> ((s, _) => graft.sources.RangeV2.aggPushdownQuery(s)),
     "dsv2_runtime_filter" -> ((s, d) =>
       graft.sources.RangeV2.runtimeFilterQuery(s, d)),
+    "dsv2_spj_join" -> ((s, _) => graft.sources.RangeV2.spjJoinQuery(s)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3499,6 +3500,10 @@ object SparkEntry {
     // DSv2 runtime filtering (DPP on a V2 source): the join through the
     // split-pruned scan vs the dimension-side closed form
     "dsv2_runtime_filter" -> graft.sources.RangeV2.runtimeFilterSql(),
+
+    // storage-partitioned join: the shuffle-free co-bucketed self-join
+    // vs the closed-form bucket-grouped product sum
+    "dsv2_spj_join" -> graft.sources.RangeV2.spjJoinSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

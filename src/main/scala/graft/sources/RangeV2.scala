@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -64,12 +65,20 @@ object RangeV2 {
     StructField("id", LongType, nullable = false),
     StructField("v_mod", LongType, nullable = false),
     StructField("v_mul", LongType, nullable = false),
-    StructField("tag", StringType, nullable = false)))
+    StructField("tag", StringType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
 
-  /** The row formulas — shared by the reader and the oracle SQL. */
+  /** The row formulas — shared by the reader and the oracle SQL.
+    * `bucket` is the split index (id div per-split-rows): a REAL data
+    * column every row carries, and simultaneously the storage
+    * partitioning key each split reports for storage-partitioned
+    * joins (single-valued per split by construction).
+    */
   def vMod(id: Long): Long = id % 97
   def vMul(id: Long): Long = (id * 31) % 1000
   def tag(id: Long): String = "t" + (id % 5)
+  def perSplit(rows: Long, parts: Int): Long =
+    math.max(1L, (rows + parts - 1) / parts)
 
   /** Driver-contract query: a selective id-range read through the
     * connector. The id bounds push into the source and prune the
@@ -140,6 +149,45 @@ object RangeV2 {
   def runtimeFilterSql(): String =
     """SELECT DISTINCT user_id AS id, (user_id * 31) % 1000 AS v_mul
       |FROM events WHERE event_type = 'purchase' ORDER BY id""".stripMargin
+
+  /** Driver-contract query for the STORAGE-PARTITIONED JOIN: two
+    * full-size RangeV2 scans self-joined on (bucket, id). Both scans
+    * report KeyGroupedPartitioning on `bucket` and every split carries
+    * its partition key, so Spark zips co-bucketed splits directly —
+    * the executed plan has NO exchange anywhere (spec-asserted), and
+    * the bucket-grouped aggregate above the join reuses the same
+    * partitioning. At 100 TB the eliminated shuffle of BOTH join
+    * inputs is the whole cost of the query; this is the
+    * Iceberg-bucketed-table join shape expressed by the connector.
+    */
+  def spjJoinQuery(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import spark.implicits._
+    // SPJ gate; scoped in effect to V2 sources that report a
+    // KeyGroupedPartitioning — i.e. this connector only
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the join clusters on (bucket, id) while the storage key is
+    // (bucket) alone — co-partitioning on a SUBSET of the cluster keys
+    // is exactly the bucketed-join shape, so relax the all-keys gate
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    def load() = spark.read.format("graft.sources.RangeV2")
+      .option("rows", "100000").option("parts", "16").load()
+    val a = load().select($"bucket", $"id", $"v_mul")
+    val b = load().select($"bucket".as("b_bucket"), $"id".as("b_id"), $"v_mod")
+    a.join(b, $"bucket" === $"b_bucket" && $"id" === $"b_id")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"v_mul" * $"v_mod").as("cross_sum"))
+      .orderBy($"bucket")
+  }
+
+  /** [[spjJoinQuery]] oracle: the self-join collapses to the identity
+    * match, so the closed form is a bucket-grouped product sum.
+    */
+  def spjJoinSql(): String =
+    """SELECT id // 6250 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(((id * 31) % 1000) * (id % 97)) AS BIGINT) AS cross_sum
+      |FROM range(0, 100000) t(id) GROUP BY 1 ORDER BY bucket""".stripMargin
 }
 
 class RangeV2Table(rows: Long, parts: Int, batchRows: Long = 1024L)
@@ -253,12 +301,12 @@ class RangeV2AggScan(rows: Long, parts: Int, hi: Long, lo: Long,
     s"graft RangeV2 rows=$rows parts=$parts bounds=[$lo,$hi) " +
       s"pushedAgg=[${specs.mkString(",")}] pushed=[${pushedDesc.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + parts - 1) / parts)
+    val per = RangeV2.perSplit(rows, parts)
     (0 until parts).iterator
       .map { p =>
         val s = p * per
         val e = math.min(rows, s + per)
-        RangeV2Partition(math.max(s, lo), math.min(e, hi))
+        RangeV2Partition(math.max(s, lo), math.min(e, hi), p.toLong)
       }
       .filter(ip => ip.start < ip.end)
       .toArray
@@ -285,7 +333,25 @@ class RangeV2AggScan(rows: Long, parts: Int, hi: Long, lo: Long,
 class RangeV2Scan(rows: Long, parts: Int, required: StructType,
     hi: Long, lo: Long, limit: Int, pushedDesc: Array[String],
     batchRows: Long = 1024L)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
+
+  /** Storage-partitioned-join contract: the scan's output is
+    * key-grouped by `bucket` (every split is single-valued on it), so
+    * two RangeV2 scans joined on a key set including `bucket` need NO
+    * shuffle — Spark zips co-bucketed splits directly (the Iceberg SPJ
+    * shape; requires spark.sql.sources.v2.bucketing.enabled). At
+    * 100 TB the eliminated exchange IS the query cost. Reported only
+    * when `bucket` survives column pruning — the keys must resolve
+    * against the scan output.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (required.fieldNames.contains("bucket"))
+      new KeyGroupedPartitioning(Array(Expressions.column("bucket")),
+        planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(planInputPartitions().length)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in .explain so plan audits can assert the pushdown
@@ -331,19 +397,19 @@ class RangeV2Scan(rows: Long, parts: Int, required: StructType,
     * not O(parts).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + parts - 1) / parts)
+    val per = RangeV2.perSplit(rows, parts)
     (0 until parts).iterator
       .map { p =>
         val s = p * per
         val e = math.min(rows, s + per)
-        RangeV2Partition(math.max(s, lo), math.min(e, hi))
+        RangeV2Partition(math.max(s, lo), math.min(e, hi), p.toLong)
       }
       .filter(ip => ip.start < ip.end)
       .filter(ip => runtimeKeep.forall(_.exists(v => v >= ip.start && v < ip.end)))
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeV2ReaderFactory(required, limit)
+    new RangeV2ReaderFactory(required, limit, RangeV2.perSplit(rows, parts))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RangeV2MicroBatchStream(rows, parts, required, hi, lo, batchRows)
@@ -425,16 +491,25 @@ class RangeV2MicroBatchStream(rows: Long, parts: Int, required: StructType,
       .filter(ip => ip.start < ip.end)
       .toArray
   }
+  // TABLE-level perSplit: batch slices cross split boundaries, so the
+  // bucket column stays consistent with the batch scan's
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeV2ReaderFactory(required, -1)
+    new RangeV2ReaderFactory(required, -1, RangeV2.perSplit(rows, parts))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class RangeV2Partition(start: Long, end: Long) extends InputPartition
+/** A split: an id range plus its bucket (the split index). The
+  * [[HasPartitionKey]] value is what lets Spark group co-bucketed
+  * splits across two scans for a storage-partitioned join.
+  */
+case class RangeV2Partition(start: Long, end: Long, bucket: Long = -1L)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(Seq(bucket))
+}
 
-class RangeV2ReaderFactory(required: StructType, limit: Int)
+class RangeV2ReaderFactory(required: StructType, limit: Int, per: Long)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RangeV2Partition]
@@ -452,6 +527,7 @@ class RangeV2ReaderFactory(required: StructType, limit: Int)
           case "v_mod" => RangeV2.vMod(cur)
           case "v_mul" => RangeV2.vMul(cur)
           case "tag" => UTF8String.fromString(RangeV2.tag(cur))
+          case "bucket" => cur / per
         })
       }
       override def close(): Unit = ()

@@ -198,6 +198,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(rich.collect().head.getLong(0) == (0L until 1000L).map(_ % 97).sum)
   }
 
+  test("DSv2 storage-partitioned join: co-bucketed scans join with no exchange") {
+    val df = graft.sources.RangeV2.spjJoinQuery(spark)
+    // the whole point: NO shuffle and NO broadcast anywhere — the
+    // co-bucketed splits zip directly, and the bucket-grouped agg
+    // above the join reuses the reported partitioning
+    val plan = df.queryExecution.executedPlan.toString
+    // the data path must be shuffle-free: no hash exchange anywhere —
+    // the only permitted exchange is the 16-row presentation sort's
+    // rangepartitioning above the aggregate
+    assert(!plan.contains("hashpartitioning"),
+      s"storage-partitioned join must shuffle neither join input nor the agg:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"only the final 16-row presentation sort may exchange:\n$plan")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 16 && rows.forall(_._2 == 6250L))
+    // spot-check bucket 0's product sum against the closed form
+    val want0 = (0L until 6250L).map(i => ((i * 31) % 1000) * (i % 97)).sum
+    assert(rows.head == (0L, 6250L, want0), s"got ${rows.head}, want $want0")
+  }
+
   test("DSv2 runtime filtering: the join's realized keys prune the splits") {
     import spark.implicits._
     graft.sources.RangeV2.runtimeFilterLog.clear()
