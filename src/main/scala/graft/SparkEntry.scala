@@ -89,6 +89,8 @@ object SparkEntry {
     "dsv2_runtime_filter" -> ((s, d) =>
       graft.sources.RangeV2.runtimeFilterQuery(s, d)),
     "dsv2_spj_join" -> ((s, _) => graft.sources.RangeV2.spjJoinQuery(s)),
+    "dsv2_catalog_sql" -> ((s, d) =>
+      graft.sources.GraftCatalog.catalogSqlQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3504,6 +3506,10 @@ object SparkEntry {
     // storage-partitioned join: the shuffle-free co-bucketed self-join
     // vs the closed-form bucket-grouped product sum
     "dsv2_spj_join" -> graft.sources.RangeV2.spjJoinSql(),
+
+    // V2 catalog: SQL-only DDL/DML round-trip with V2 functions vs the
+    // same algebra stated straight off orders
+    "dsv2_catalog_sql" -> graft.sources.GraftCatalog.catalogSqlSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

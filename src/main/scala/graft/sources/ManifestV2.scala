@@ -175,6 +175,16 @@ object ManifestV2 {
   }
   private[graft] val NullToken = "\\N"
 
+  /** Write-vs-table schema compatibility: names and types must match;
+    * NULLABILITY must not participate — Spark nullable-izes a created
+    * table's schema (useNullableQuerySchema) while an INSERT/CTAS
+    * query schema keeps its literals NOT NULL, and that tightening is
+    * always safe to append.
+    */
+  private[graft] def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq
+
   /** Delete the staged files named by a set of commit messages (task
     * or job abort, or a replayed-epoch discard).
     */
@@ -310,12 +320,15 @@ class ManifestBatchWrite(path: String, schema: StructType,
     val root = ManifestV2.rootOf(path)
     val prev = ManifestV2.readManifest(root)
     if (!truncate) prev.foreach { p =>
-      require(p.schema.toDDL == schema.toDDL,
+      require(ManifestV2.sameShape(p.schema, schema),
         s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
     }
     val added = messages.map { case m: ManifestCommit => (m.file, m.rows) }
     val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
-    ManifestV2.writeManifest(root, ManifestV2.ManifestState(schema,
+    // an append onto an existing table KEEPS the table's schema (incl.
+    // its nullability) — the write's tighter schema must not narrow it
+    ManifestV2.writeManifest(root, ManifestV2.ManifestState(
+      prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
       prev.map(_.epochs).getOrElse(Map.empty), kept ++ added))
     // overwrite: the replaced snapshot's files are unreferenced once
     // the swap lands — reclaim them (readers mid-scan on a local FS
@@ -356,7 +369,7 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     val root = ManifestV2.rootOf(path)
     val prev = ManifestV2.readManifest(root)
     prev.foreach { p =>
-      require(p.schema.toDDL == schema.toDDL,
+      require(ManifestV2.sameShape(p.schema, schema),
         s"streaming schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
     }
     if (prev.exists(_.epochs.getOrElse(queryId, -1L) >= epochId)) {
@@ -366,7 +379,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     } else {
       val added = messages.map { case m: ManifestCommit => (m.file, m.rows) }
       val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
-      ManifestV2.writeManifest(root, ManifestV2.ManifestState(schema,
+      ManifestV2.writeManifest(root, ManifestV2.ManifestState(
+        prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
         prev.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
         kept ++ added))
       if (truncate) prev.foreach(_.files.foreach { case (f, _) =>
