@@ -91,6 +91,8 @@ object SparkEntry {
     "dsv2_spj_join" -> ((s, _) => graft.sources.RangeV2.spjJoinQuery(s)),
     "dsv2_catalog_sql" -> ((s, d) =>
       graft.sources.GraftCatalog.catalogSqlQuery(s, d)),
+    "dsv2_metadata_delete" -> ((s, d) =>
+      graft.sources.GraftCatalog.metadataDeleteQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3510,6 +3512,10 @@ object SparkEntry {
     // V2 catalog: SQL-only DDL/DML round-trip with V2 functions vs the
     // same algebra stated straight off orders
     "dsv2_catalog_sql" -> graft.sources.GraftCatalog.catalogSqlSql(),
+
+    // metadata-only DELETE decided by in-manifest file stats vs the
+    // survivors' closed form
+    "dsv2_metadata_delete" -> graft.sources.GraftCatalog.metadataDeleteSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

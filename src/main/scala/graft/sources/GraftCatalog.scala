@@ -282,6 +282,44 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum,
       |  CAST(SUM(CAST(o_orderkey AS HUGEINT) * o_orderkey) AS DECIMAL(38,0)) AS key_sumsq
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for METADATA-ONLY DELETE: four quartile-
+    * bounded INSERTs land files whose in-manifest m-stats are quartile-
+    * pure, so `DELETE FROM … WHERE m < 25` is decidable file-by-file —
+    * the delete is ONE manifest swap, no data row is read or written
+    * (ManifestTable rejects any delete that would need a rewrite, so
+    * the statement succeeding IS the proof it ran metadata-only). The
+    * read-back aggregate then hashes against the survivors' closed
+    * form. At 100 TB, retention deletes against a range-clustered
+    * layout are exactly this shape.
+    */
+  def metadataDeleteQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_del_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okd")
+    spark.sql("CREATE TABLE graft.db.okd (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okd
+        |SELECT o_orderkey, o_orderkey % 97 FROM graft_del_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    spark.sql("DELETE FROM graft.db.okd WHERE m < 25")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.okd GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** [[metadataDeleteQuery]] oracle: survivors of the quartile delete,
+    * stated straight off `orders`.
+    */
+  def metadataDeleteSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders WHERE o_orderkey % 97 >= 25
+      |GROUP BY 1 ORDER BY m""".stripMargin
 }
 
 /** `graft.fn.vmod(BIGINT) -> BIGINT`: the RangeV2 row formula id % 97

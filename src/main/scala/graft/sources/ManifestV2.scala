@@ -4,9 +4,10 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
@@ -105,14 +106,25 @@ object ManifestV2 {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin
 
+  /** One published data file: its path (relative to the table root),
+    * row count, and per-column [min, max] stats for every BIGINT
+    * column (the Iceberg/Delta zone-map shape, kept INSIDE the
+    * manifest so stats and file list are one atomic unit). Stats feed
+    * metadata-only DELETE: a predicate decidable against every file's
+    * box needs no data rewrite at all.
+    */
+  private[graft] case class FileEntry(file: String, rows: Long,
+      stats: Map[String, (Long, Long)] = Map.empty)
+
   /** A committed snapshot: the schema, the latest committed streaming
     * epoch per query id (the exactly-once ledger), and the published
     * data files. Serialized as: line 1 = schema DDL, line 2 =
-    * `@epochs\tqid:epoch,...`, then one `file\trows` line per file —
-    * the whole table state in one atomically-swapped object.
+    * `@epochs\tqid:epoch,...`, then one `file\trows[\tcol:min:max,...]`
+    * line per file — the whole table state in one atomically-swapped
+    * object.
     */
   private[graft] case class ManifestState(schema: StructType,
-      epochs: Map[String, Long], files: Seq[(String, Long)])
+      epochs: Map[String, Long], files: Seq[FileEntry])
 
   private[graft] def readManifest(root: Path): Option[ManifestState] = {
     val m = root.resolve("manifest.txt")
@@ -127,8 +139,14 @@ object ManifestV2 {
         }.toMap
       }
       val files = (2 until lines.size).map { i =>
-        val Array(f, n) = lines.get(i).split("\t", 2)
-        (f, n.toLong)
+        val parts = lines.get(i).split("\t", -1)
+        val stats =
+          if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, (Long, Long)]
+          else parts(2).split(",").map { s =>
+            val Array(c, lo, hi) = s.split(":", 3)
+            (c, (lo.toLong, hi.toLong))
+          }.toMap
+        FileEntry(parts(0), parts(1).toLong, stats)
       }
       Some(ManifestState(schema, epochs, files.toSeq))
     }
@@ -142,7 +160,12 @@ object ManifestV2 {
     val epochLine = "@epochs\t" + state.epochs.toSeq.sorted
       .map { case (q, n) => s"$q:$n" }.mkString(",")
     val body = (state.schema.toDDL +: epochLine +:
-      state.files.map { case (f, n) => s"$f\t$n" }).mkString("", "\n", "\n")
+      state.files.map { e =>
+        val stats = e.stats.toSeq.sorted
+          .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
+        if (stats.isEmpty) s"${e.file}\t${e.rows}"
+        else s"${e.file}\t${e.rows}\t$stats"
+      }).mkString("", "\n", "\n")
     val tmp = root.resolve(s".manifest.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, root.resolve("manifest.txt"),
@@ -185,6 +208,65 @@ object ManifestV2 {
     a.fields.map(f => (f.name, f.dataType)).toSeq ==
       b.fields.map(f => (f.name, f.dataType)).toSeq
 
+  /** Tri-state decision for one file under a DELETE predicate:
+    * Some(true) = every row matches (drop the whole file),
+    * Some(false) = no row can match (keep, untouched),
+    * None = the stats box cannot decide (the delete must be rejected).
+    * The filter array is the usual implicit conjunction.
+    */
+  private[graft] def decideBox(filters: Array[Filter],
+      e: FileEntry): Option[Boolean] = {
+    if (e.rows == 0L) return Some(true) // an empty file matches vacuously
+    val evals = filters.map(f => evalBox(f, e.stats))
+    if (evals.contains(Some(false))) Some(false)
+    else if (evals.forall(_.contains(true))) Some(true)
+    else None
+  }
+
+  private def evalBox(f: Filter,
+      stats: Map[String, (Long, Long)]): Option[Boolean] = {
+    def lit(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    def cmp(col: String, v: Any)(
+        allTrue: (Long, Long, Long) => Boolean,
+        allFalse: (Long, Long, Long) => Boolean): Option[Boolean] =
+      for {
+        x <- lit(v)
+        (lo, hi) <- stats.get(col)
+        d <- if (allTrue(lo, hi, x)) Some(true)
+             else if (allFalse(lo, hi, x)) Some(false)
+             else None
+      } yield d
+    f match {
+      case AlwaysTrue() => Some(true)
+      case AlwaysFalse() => Some(false)
+      case And(l, r) => (evalBox(l, stats), evalBox(r, stats)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (evalBox(l, stats), evalBox(r, stats)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(c) => evalBox(c, stats).map(!_)
+      case EqualTo(c, v) => cmp(c, v)(
+        (lo, hi, x) => lo == x && hi == x, (lo, hi, x) => x < lo || x > hi)
+      case GreaterThan(c, v) => cmp(c, v)(
+        (lo, _, x) => lo > x, (_, hi, x) => hi <= x)
+      case GreaterThanOrEqual(c, v) => cmp(c, v)(
+        (lo, _, x) => lo >= x, (_, hi, x) => hi < x)
+      case LessThan(c, v) => cmp(c, v)(
+        (_, hi, x) => hi < x, (lo, _, x) => lo >= x)
+      case LessThanOrEqual(c, v) => cmp(c, v)(
+        (_, hi, x) => hi <= x, (lo, _, x) => lo > x)
+      case _ => None // unsupported shape: undecidable by design
+    }
+  }
+
   /** Delete the staged files named by a set of commit messages (task
     * or job abort, or a replayed-epoch discard).
     */
@@ -222,8 +304,17 @@ object ManifestV2 {
     }
 }
 
+object ManifestTable {
+  /** Name of the file-provenance metadata column (the Iceberg `_file`
+    * convention): hidden from `SELECT *`, served from the split with
+    * zero parse cost when selected explicitly.
+    */
+  val FileMetaCol = "_file"
+}
+
 class ManifestTable(path: String, externalSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns with SupportsDelete {
   private val root = ManifestV2.rootOf(path)
   override def name(): String = s"graft_manifest($path)"
   override def schema(): StructType =
@@ -237,6 +328,55 @@ class ManifestTable(path: String, externalSchema: StructType)
     new ManifestScanBuilder(root, schema())
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(path, info, truncate = false)
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = ManifestTable.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest-relative data file path"
+    })
+
+  /** METADATA-ONLY DELETE (`DELETE FROM t WHERE …` through a V2
+    * catalog): the predicate is evaluated against every file's
+    * in-manifest [min, max] stats box. Accepted ONLY when every file
+    * is decidable — entirely matching (drop the file, no read) or
+    * entirely missing (keep, no read); one undecidable file rejects
+    * the whole delete, because this connector's contract is that
+    * DELETE never rewrites data. At 100 TB this is the difference
+    * between a manifest swap and a table-sized write: the layout that
+    * makes files decidable (range-clustered inserts) is the same one
+    * compaction maintains anyway.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val st = ManifestV2.readManifest(root)
+    st.exists(_.files.forall(e => ManifestV2.decideBox(filters, e).isDefined))
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val st = ManifestV2.readManifest(root).getOrElse(return)
+    val (dropped, kept) = st.files.partition { e =>
+      ManifestV2.decideBox(filters, e) match {
+        case Some(d) => d
+        case None => throw new UnsupportedOperationException(
+          s"delete predicate is not decidable against file stats of ${e.file}" +
+            " — this table never rewrites data for a DELETE")
+      }
+    }
+    ManifestV2.writeManifest(root,
+      ManifestV2.ManifestState(st.schema, st.epochs, kept))
+    // the swap has landed: the dropped files are unreferenced
+    dropped.foreach(e =>
+      Files.deleteIfExists(root.resolve(e.file)): Unit)
+  }
+
+  override def truncateTable(): Boolean = {
+    val st = ManifestV2.readManifest(root).getOrElse(return true)
+    ManifestV2.writeManifest(root,
+      ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty))
+    st.files.foreach(e => Files.deleteIfExists(root.resolve(e.file)): Unit)
+    true
+  }
 }
 
 /** [[SupportsTruncate]] gives the connector overwrite semantics for
@@ -270,7 +410,7 @@ class ManifestScanBuilder(root: Path, full: StructType) extends ScanBuilder
 }
 
 class ManifestScan(root: String, full: StructType, required: StructType,
-    files: Seq[(String, Long)]) extends Scan with Batch {
+    files: Seq[ManifestV2.FileEntry]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -278,7 +418,7 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   // one split per committed file: write-task parallelism == read
   // parallelism, with no directory listing (the manifest IS the listing)
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => ManifestFilePartition(root, f._1)).toArray
+    files.map(f => ManifestFilePartition(root, f.file)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required)
 }
@@ -289,8 +429,13 @@ class ManifestReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[ManifestFilePartition]
-    // parse ONLY the pruned columns, by position in the full schema
-    val idx = required.fields.map(f => full.fieldIndex(f.name))
+    // parse ONLY the pruned columns, by position in the full schema;
+    // the `_file` METADATA column (index -1) is served from the split
+    // itself — provenance costs no parsing at all
+    val idx = required.fields.map { f =>
+      if (f.name == ManifestTable.FileMetaCol) -1 else full.fieldIndex(f.name)
+    }
+    val fileName = UTF8String.fromString(fp.file)
     val lines = Files.readAllLines(
       Paths.get(fp.root).resolve(fp.file), StandardCharsets.UTF_8).iterator()
     new PartitionReader[InternalRow] {
@@ -299,7 +444,8 @@ class ManifestReaderFactory(full: StructType, required: StructType)
         if (!lines.hasNext) return false
         val cells = lines.next().split("\t", -1)
         row = InternalRow.fromSeq(idx.toIndexedSeq.map(i =>
-          ManifestV2.parseCell(cells(i), full.fields(i).dataType)))
+          if (i < 0) fileName
+          else ManifestV2.parseCell(cells(i), full.fields(i).dataType)))
         true
       }
       override def get(): InternalRow = row
@@ -323,7 +469,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
       require(ManifestV2.sameShape(p.schema, schema),
         s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
     }
-    val added = messages.map { case m: ManifestCommit => (m.file, m.rows) }
+    val added = messages.map { case m: ManifestCommit =>
+      ManifestV2.FileEntry(m.file, m.rows, m.stats) }
     val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
     // an append onto an existing table KEEPS the table's schema (incl.
     // its nullability) — the write's tighter schema must not narrow it
@@ -334,9 +481,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     // the swap lands — reclaim them (readers mid-scan on a local FS
     // hold open handles; on an object store this would be a deferred
     // GC pass keyed off the previous manifest)
-    if (truncate) prev.foreach(_.files.foreach { case (f, _) =>
-      Files.deleteIfExists(root.resolve(f)): Unit
-    })
+    if (truncate) prev.foreach(_.files.foreach(e =>
+      Files.deleteIfExists(root.resolve(e.file)): Unit))
   }
 
   /** Job abort: staged files of tasks that already committed are
@@ -377,15 +523,15 @@ class ManifestStreamingWrite(path: String, schema: StructType,
       // the snapshot — publish nothing, reclaim the replay's files
       ManifestV2.deleteStaged(path, messages)
     } else {
-      val added = messages.map { case m: ManifestCommit => (m.file, m.rows) }
+      val added = messages.map { case m: ManifestCommit =>
+        ManifestV2.FileEntry(m.file, m.rows, m.stats) }
       val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
       ManifestV2.writeManifest(root, ManifestV2.ManifestState(
         prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
         prev.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
         kept ++ added))
-      if (truncate) prev.foreach(_.files.foreach { case (f, _) =>
-        Files.deleteIfExists(root.resolve(f)): Unit
-      })
+      if (truncate) prev.foreach(_.files.foreach(e =>
+        Files.deleteIfExists(root.resolve(e.file)): Unit))
     }
   }
 
@@ -393,7 +539,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     ManifestV2.deleteStaged(path, messages)
 }
 
-case class ManifestCommit(file: String, rows: Long) extends WriterCommitMessage
+case class ManifestCommit(file: String, rows: Long,
+    stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
 
 /** Ships to executors (the streaming-write analog of
   * [[ManifestWriterFactory]]); the epoch lands in the staged file name
@@ -427,6 +574,15 @@ class ManifestDataWriter(path: String, schema: StructType,
   Files.createDirectories(file.getParent)
   private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
   private var rows = 0L
+  // per-column [min, max] for BIGINT columns with manifest-safe names
+  // (the stats line format uses `:`/`,` separators) — maintained
+  // inline at write time, zero extra passes
+  private val statCols: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType &&
+      f.name.forall(c => c.isLetterOrDigit || c == '_') => i
+  }
+  private val statLo = Array.fill(statCols.length)(Long.MaxValue)
+  private val statHi = Array.fill(statCols.length)(Long.MinValue)
 
   override def write(record: InternalRow): Unit = {
     val sb = new java.lang.StringBuilder()
@@ -438,6 +594,16 @@ class ManifestDataWriter(path: String, schema: StructType,
     }
     sb.append('\n')
     out.write(sb.toString)
+    var s = 0
+    while (s < statCols.length) {
+      val c = statCols(s)
+      if (!record.isNullAt(c)) {
+        val v = record.getLong(c)
+        if (v < statLo(s)) statLo(s) = v
+        if (v > statHi(s)) statHi(s) = v
+      }
+      s += 1
+    }
     rows += 1
   }
 
@@ -446,7 +612,11 @@ class ManifestDataWriter(path: String, schema: StructType,
     */
   override def commit(): WriterCommitMessage = {
     out.close()
-    ManifestCommit(rel, rows)
+    val stats = statCols.indices.collect {
+      case s if statLo(s) <= statHi(s) => // all-null columns carry no box
+        (schema.fields(statCols(s)).name, (statLo(s), statHi(s)))
+    }.toMap
+    ManifestCommit(rel, rows, stats)
   }
 
   /** Task abort: nothing this attempt wrote can ever be seen. */

@@ -105,6 +105,75 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("DROP TABLE graft.spec.missing") }
   }
 
+  test("metadata-only DELETE drops aligned files and rejects misaligned predicates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.del")
+    spark.sql("CREATE TABLE graft.spec.del (k BIGINT)")
+    // two stat-disjoint files: [0,9] and [100,109]
+    spark.sql("INSERT INTO graft.spec.del SELECT id FROM range(0, 10, 1, 1)")
+    spark.sql("INSERT INTO graft.spec.del SELECT id + 100 FROM range(0, 10, 1, 1)")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tableDir = java.nio.file.Paths.get(wh, "spec", "del")
+    def dataFiles(): Set[String] = {
+      val st = java.nio.file.Files.list(tableDir.resolve("staging"))
+      try st.toArray.map(_.toString).toSet finally st.close()
+    }
+    val before = dataFiles()
+    assert(before.size >= 2)
+
+    // misaligned: k < 5 splits the first file's [0,9] box — the
+    // connector must refuse rather than rewrite
+    intercept[Exception] { spark.sql("DELETE FROM graft.spec.del WHERE k < 5") }
+    assert(dataFiles() == before, "a rejected delete must touch nothing")
+
+    // aligned: k < 50 fully covers [0,9] and fully misses [100,109]
+    spark.sql("DELETE FROM graft.spec.del WHERE k < 50")
+    val after = dataFiles()
+    assert(after.subsetOf(before) && after.size < before.size,
+      "the delete must drop files, never rewrite them")
+    assert(spark.sql("SELECT MIN(k) AS lo, COUNT(*) AS n FROM graft.spec.del")
+      .head().toSeq == Seq(100L, 10L))
+    spark.sql("DROP TABLE graft.spec.del")
+  }
+
+  test("_file metadata column serves provenance without parsing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.prov")
+    spark.sql("CREATE TABLE graft.spec.prov (k BIGINT)")
+    spark.sql("INSERT INTO graft.spec.prov SELECT id FROM range(0, 7, 1, 1)")
+    spark.sql("INSERT INTO graft.spec.prov SELECT id FROM range(0, 3, 1, 1)")
+    // hidden from SELECT *
+    assert(spark.sql("SELECT * FROM graft.spec.prov").schema.fieldNames
+      .sameElements(Array("k")))
+    // explicit selection groups rows by their physical file, matching
+    // the manifest's per-file row counts
+    val perFile = spark.sql(
+      "SELECT _file, COUNT(*) AS n FROM graft.spec.prov GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "prov",
+      "manifest.txt"))
+    val want = (2 until manifest.size).map { i =>
+      val p = manifest.get(i).split("\t"); (p(0), p(1).toLong)
+    }.toMap.filter(_._2 > 0) // zero-row task files never emit a group
+    assert(perFile == want, s"got $perFile want $want")
+    spark.sql("DROP TABLE graft.spec.prov")
+  }
+
+  test("file stats land in the manifest for safe-named BIGINT columns only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.st")
+    spark.sql("CREATE TABLE graft.spec.st (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.spec.st SELECT id + 5, 'x' FROM range(0, 10, 1, 1)")
+    val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "st",
+      "manifest.txt"))
+    val fileLines = (2 until manifest.size).map(manifest.get)
+    assert(fileLines.exists(_.contains("k:5:14")), fileLines.mkString("\n"))
+    assert(!fileLines.exists(_.contains("s:")), "no stats for string columns")
+    spark.sql("DROP TABLE graft.spec.st")
+  }
+
   test("catalog is stateless: a second plugin instance sees committed tables") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.shared")

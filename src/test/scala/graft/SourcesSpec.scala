@@ -330,7 +330,7 @@ class SourcesSpec extends AnyFunSuite {
       .map(_.map("staging/" + _.getName).toSet).getOrElse(Set.empty)
   private def manifestFiles(dir: String): Set[String] =
     graft.sources.ManifestV2.readManifest(java.nio.file.Paths.get(dir))
-      .map(_.files.map(_._1).toSet).getOrElse(Set.empty)
+      .map(_.files.map(_.file).toSet).getOrElse(Set.empty)
 
   test("ManifestV2 write: escaped round-trip, append accumulation, pruning") {
     import spark.implicits._
