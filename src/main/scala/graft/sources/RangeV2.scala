@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
@@ -334,7 +334,7 @@ class RangeV2Scan(rows: Long, parts: Int, required: StructType,
     hi: Long, lo: Long, limit: Int, pushedDesc: Array[String],
     batchRows: Long = 1024L)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   /** Storage-partitioned-join contract: the scan's output is
     * key-grouped by `bucket` (every split is single-valued on it), so
@@ -352,6 +352,22 @@ class RangeV2Scan(rows: Long, parts: Int, required: StructType,
     else
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(planInputPartitions().length)
+
+  /** Each split emits ids ascending, and `bucket` is constant within a
+    * split — so every split is ordered by (bucket, id). Reporting that
+    * ordering lets the sort-merge machinery above a storage-partitioned
+    * join skip BOTH sides' SortExec entirely: the 100 TB join runs with
+    * no shuffle (partitioning above) and no sort (this), i.e. a pure
+    * merge of pre-clustered storage — the same contract an Iceberg
+    * table with a sorted write order exports. Keys must resolve against
+    * the pruned output, so each prefix is reported only while present.
+    */
+  override def outputOrdering(): Array[SortOrder] = {
+    val cols = required.fieldNames
+    val order = Seq("bucket", "id").takeWhile(cols.contains)
+    order.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in .explain so plan audits can assert the pushdown

@@ -211,6 +211,11 @@ class SourcesSpec extends AnyFunSuite {
       s"storage-partitioned join must shuffle neither join input nor the agg:\n$plan")
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
       s"only the final 16-row presentation sort may exchange:\n$plan")
+    // reported per-split ordering (bucket, id) must also eliminate the
+    // merge join's sorts: pre-clustered storage merges directly — the
+    // only Sort left is the final 16-row presentation sort
+    assert(plan.linesIterator.count(_.contains("Sort [")) <= 1,
+      s"join-side sorts must be satisfied by the reported ordering:\n$plan")
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 16 && rows.forall(_._2 == 6250L))
     // spot-check bucket 0's product sum against the closed form
