@@ -223,6 +223,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.head == (0L, 6250L, want0), s"got ${rows.head}, want $want0")
   }
 
+  test("DSv2 SPJ with pruned partitions: pushPartValues keeps the join shuffle-free") {
+    import org.apache.spark.sql.functions.{count, lit}
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // one side's pushed filter prunes splits away — the sides no longer
+    // have matching partition sets; pushPartValues aligns them by key
+    // value (missing groups read as empty) instead of re-shuffling both
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    def load() = spark.read.format("graft.sources.RangeV2")
+      .option("rows", "100000").option("parts", "16").load()
+    val a = load().select($"bucket", $"id")
+    val b = load().filter($"id" < 25000L) // 4 of 16 splits survive planning
+      .select($"bucket".as("bb"), $"id".as("bid"))
+    val joined = a.join(b, $"bucket" === $"bb" && $"id" === $"bid")
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // Catalyst infers the id bound across the equi-join, so BOTH scans
+    // plan only the 4 overlapping splits — and the SPJ zips those
+    // surviving key groups directly: no hash exchange, no join-side
+    // sort. The only exchange is the unavoidable single-row gather of
+    // the scalar count.
+    assert(!plan.contains("hashpartitioning"),
+      s"pruned-split SPJ must not reintroduce a shuffle:\n$plan")
+    assert(plan.contains("bounds=[0,25000)"),
+      s"the pushed bound must prune both sides' splits:\n$plan")
+    assert(!plan.contains("Sort ["),
+      s"the reported ordering must carry through the pruned join:\n$plan")
+    assert(joined.head().getLong(0) == 25000L)
+  }
+
   test("DSv2 runtime filtering: the join's realized keys prune the splits") {
     import spark.implicits._
     graft.sources.RangeV2.runtimeFilterLog.clear()
