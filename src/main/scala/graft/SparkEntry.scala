@@ -93,6 +93,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.catalogSqlQuery(s, d)),
     "dsv2_metadata_delete" -> ((s, d) =>
       graft.sources.GraftCatalog.metadataDeleteQuery(s, d)),
+    "dsv2_time_travel" -> ((s, d) =>
+      graft.sources.GraftCatalog.timeTravelQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3516,6 +3518,10 @@ object SparkEntry {
     // metadata-only DELETE decided by in-manifest file stats vs the
     // survivors' closed form
     "dsv2_metadata_delete" -> graft.sources.GraftCatalog.metadataDeleteSql(),
+
+    // VERSION AS OF time travel: the overwritten snapshot and the live
+    // one read side by side vs both closed forms
+    "dsv2_time_travel" -> graft.sources.GraftCatalog.timeTravelSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

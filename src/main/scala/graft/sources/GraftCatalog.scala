@@ -85,6 +85,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new ManifestTable(d.toString, null)
   }
 
+  /** SQL time travel (`SELECT … FROM graft.db.t VERSION AS OF n`):
+    * serve the table pinned to that immutable manifest version. Reads
+    * plan the historical file list; writes are rejected by the table.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"version must be a manifest number, got '$version'")
+    }
+    if (ManifestV2.readManifest(d, v).isEmpty)
+      throw new IllegalArgumentException(
+        s"table $ident has no snapshot v$v " +
+          s"(published: ${ManifestV2.listVersions(d).mkString(", ")})")
+    new ManifestTable(d.toString, null, v)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft snapshots are versioned, not wall-clock stamped — use VERSION AS OF")
+
   override def tableExists(ident: Identifier): Boolean = ident.namespace match {
     case Array("gen") => GenRange.matches(ident.name)
     case _ => isTableDir(dirOf(ident))
@@ -320,6 +342,52 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
       |FROM orders WHERE o_orderkey % 97 >= 25
       |GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for SQL TIME TRAVEL: every commit publishes
+    * an immutable `manifest.v<N>.txt` before the pointer swap, so
+    * `VERSION AS OF` reads any historical snapshot with zero copies —
+    * CREATE is v1, the INSERT is v2, and the INSERT OVERWRITE that
+    * replaces the whole table is v3. The query reads v2 (the
+    * overwritten data, physically still on disk because commits never
+    * reclaim) and the live v3 side by side; both halves hash against
+    * the closed form, so a version leak in either direction mismatches.
+    */
+  def timeTravelQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_tt_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.tt")
+    spark.sql("CREATE TABLE graft.db.tt (okey BIGINT, m BIGINT)") // v1
+    spark.sql("""INSERT INTO graft.db.tt
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_tt_orders_src
+      |WHERE o_orderkey % 97 < 50""".stripMargin) // v2
+    spark.sql("""INSERT OVERWRITE graft.db.tt
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_tt_orders_src
+      |WHERE o_orderkey % 97 >= 50""".stripMargin) // v3 replaces v2
+    spark.sql("""SELECT 'current' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.tt
+      |UNION ALL
+      |SELECT 'v2' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.tt VERSION AS OF 2
+      |ORDER BY snap""".stripMargin)
+  }
+
+  /** [[timeTravelQuery]] oracle: both snapshots stated straight off
+    * `orders`.
+    */
+  def timeTravelSql(): String =
+    """SELECT 'current' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders WHERE o_orderkey % 97 >= 50
+      |UNION ALL
+      |SELECT 'v2' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders WHERE o_orderkey % 97 < 50
+      |ORDER BY snap""".stripMargin
 }
 
 /** `graft.fn.vmod(BIGINT) -> BIGINT`: the RangeV2 row formula id % 97

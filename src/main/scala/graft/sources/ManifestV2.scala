@@ -116,29 +116,43 @@ object ManifestV2 {
   private[graft] case class FileEntry(file: String, rows: Long,
       stats: Map[String, (Long, Long)] = Map.empty)
 
-  /** A committed snapshot: the schema, the latest committed streaming
-    * epoch per query id (the exactly-once ledger), and the published
-    * data files. Serialized as: line 1 = schema DDL, line 2 =
-    * `@epochs\tqid:epoch,...`, then one `file\trows[\tcol:min:max,...]`
-    * line per file — the whole table state in one atomically-swapped
-    * object.
+  /** A committed snapshot: its version, the schema, the latest
+    * committed streaming epoch per query id (the exactly-once ledger),
+    * and the published data files. Serialized as: line 1 = schema DDL,
+    * line 2 = `@v\tversion`, line 3 = `@epochs\tqid:epoch,...`, then
+    * one `file\trows[\tcol:min:max,...]` line per file — the whole
+    * table state in one atomically-swapped object.
+    *
+    * Every publish ALSO lands as an immutable `manifest.v<N>.txt`
+    * before the `manifest.txt` pointer swap, so every historical
+    * snapshot stays readable (SQL `VERSION AS OF N`) until an explicit
+    * [[expireSnapshots]] — the Iceberg retention model: replaced data
+    * files are never deleted by a commit, only by expiry, because an
+    * older manifest may still reference them.
     */
   private[graft] case class ManifestState(schema: StructType,
-      epochs: Map[String, Long], files: Seq[FileEntry])
+      epochs: Map[String, Long], files: Seq[FileEntry], version: Long = 0L)
 
-  private[graft] def readManifest(root: Path): Option[ManifestState] = {
-    val m = root.resolve("manifest.txt")
+  /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
+    * one (`manifest.v<version>.txt`).
+    */
+  private[graft] def readManifest(root: Path,
+      version: Long = -1L): Option[ManifestState] = {
+    val m =
+      if (version < 0L) root.resolve("manifest.txt")
+      else root.resolve(s"manifest.v$version.txt")
     if (!Files.exists(m)) None
     else {
       val lines = Files.readAllLines(m, StandardCharsets.UTF_8)
       val schema = StructType.fromDDL(lines.get(0))
-      val epochs = lines.get(1).split("\t", 2)(1) match {
+      val v = lines.get(1).split("\t", 2)(1).toLong
+      val epochs = lines.get(2).split("\t", 2)(1) match {
         case "" => Map.empty[String, Long]
         case s => s.split(",").map { e =>
           val Array(q, n) = e.split(":", 2); (q, n.toLong)
         }.toMap
       }
-      val files = (2 until lines.size).map { i =>
+      val files = (3 until lines.size).map { i =>
         val parts = lines.get(i).split("\t", -1)
         val stats =
           if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, (Long, Long)]
@@ -148,28 +162,72 @@ object ManifestV2 {
           }.toMap
         FileEntry(parts(0), parts(1).toLong, stats)
       }
-      Some(ManifestState(schema, epochs, files.toSeq))
+      Some(ManifestState(schema, epochs, files.toSeq, v))
     }
   }
 
-  /** Atomically publish a snapshot: write a temp manifest, then a
-    * same-directory ATOMIC_MOVE over `manifest.txt`.
+  /** Atomically publish a snapshot: assign the next version, write the
+    * immutable `manifest.v<N>.txt` first (a crash after this point
+    * leaves an unreferenced version file — harmless, reclaimed by
+    * expiry), then a same-directory ATOMIC_MOVE over `manifest.txt`.
     */
   private[graft] def writeManifest(root: Path, state: ManifestState): Unit = {
     Files.createDirectories(root)
+    val next = readManifest(root).map(_.version).getOrElse(0L) + 1L
     val epochLine = "@epochs\t" + state.epochs.toSeq.sorted
       .map { case (q, n) => s"$q:$n" }.mkString(",")
-    val body = (state.schema.toDDL +: epochLine +:
+    val body = (state.schema.toDDL +: s"@v\t$next" +: epochLine +:
       state.files.map { e =>
         val stats = e.stats.toSeq.sorted
           .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
         if (stats.isEmpty) s"${e.file}\t${e.rows}"
         else s"${e.file}\t${e.rows}\t$stats"
       }).mkString("", "\n", "\n")
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    Files.write(root.resolve(s"manifest.v$next.txt"), bytes)
     val tmp = root.resolve(s".manifest.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, bytes)
     Files.move(tmp, root.resolve("manifest.txt"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** List every published version number, ascending. */
+  private[graft] def listVersions(root: Path): Seq[Long] = {
+    val re = raw"manifest\.v(\d+)\.txt".r
+    val b = Seq.newBuilder[Long]
+    if (Files.isDirectory(root)) {
+      val st = Files.list(root)
+      try st.iterator().forEachRemaining { p =>
+        p.getFileName.toString match {
+          case re(n) => b += n.toLong
+          case _ => ()
+        }
+      } finally st.close()
+    }
+    b.result().sorted
+  }
+
+  /** Explicit snapshot retention (the only operation that deletes
+    * published data): keep the newest `keepLast` versions, delete the
+    * older manifest files, then delete every staged data file no
+    * surviving manifest references. Commits never reclaim — an old
+    * manifest may still reference a replaced file — so table size is
+    * bounded by expiry cadence, exactly Iceberg's expire_snapshots.
+    * Returns (expired versions, reclaimed data files).
+    */
+  def expireSnapshots(path: String, keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val root = rootOf(path)
+    val versions = listVersions(root)
+    val (old, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val referenced = kept.flatMap(v => readManifest(root, v))
+      .flatMap(_.files.map(_.file)).toSet
+    val allEver = versions.flatMap(v => readManifest(root, v))
+      .flatMap(_.files.map(_.file)).toSet
+    val reclaim = (allEver -- referenced).toSeq.sorted
+    old.foreach(v => Files.deleteIfExists(root.resolve(s"manifest.v$v.txt")): Unit)
+    reclaim.foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
+    (old, reclaim)
   }
 
   /** TSV escaping: tab/newline/backslash escaped, null as \N — so a
@@ -312,22 +370,33 @@ object ManifestTable {
   val FileMetaCol = "_file"
 }
 
-class ManifestTable(path: String, externalSchema: StructType)
+/** The table handle. `version < 0` = the live table; `version >= 0` =
+  * a snapshot pinned for time travel (`VERSION AS OF n`): reads plan
+  * that manifest's file list, writes are rejected.
+  */
+class ManifestTable(path: String, externalSchema: StructType,
+    version: Long = -1L)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns with SupportsDelete {
   private val root = ManifestV2.rootOf(path)
-  override def name(): String = s"graft_manifest($path)"
+  override def name(): String =
+    if (version < 0) s"graft_manifest($path)"
+    else s"graft_manifest($path)@v$version"
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
-    else ManifestV2.readManifest(root).map(_.schema).getOrElse(new StructType())
+    else ManifestV2.readManifest(root, version).map(_.schema)
+      .getOrElse(new StructType())
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(root, schema())
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ManifestScanBuilder(root, schema(), version)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (version >= 0) throw new UnsupportedOperationException(
+      s"cannot write to snapshot v$version — writes go to the live table")
     new ManifestWriteBuilder(path, info, truncate = false)
+  }
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
@@ -365,25 +434,24 @@ class ManifestTable(path: String, externalSchema: StructType)
     }
     ManifestV2.writeManifest(root,
       ManifestV2.ManifestState(st.schema, st.epochs, kept))
-    // the swap has landed: the dropped files are unreferenced
-    dropped.foreach(e =>
-      Files.deleteIfExists(root.resolve(e.file)): Unit)
+    // dropped files stay on disk: older manifest versions still
+    // reference them (time travel); expireSnapshots reclaims
   }
 
   override def truncateTable(): Boolean = {
     val st = ManifestV2.readManifest(root).getOrElse(return true)
     ManifestV2.writeManifest(root,
       ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty))
-    st.files.foreach(e => Files.deleteIfExists(root.resolve(e.file)): Unit)
     true
   }
 }
 
 /** [[SupportsTruncate]] gives the connector overwrite semantics for
   * free: `mode("overwrite")` arrives as truncate() + append, and the
-  * commit publishes ONLY the new files (deleting the replaced
-  * snapshot's) — still one atomic manifest swap, so a reader sees the
-  * whole old table or the whole new one.
+  * commit publishes ONLY the new files — still one atomic manifest
+  * swap, so a reader sees the whole old table or the whole new one.
+  * The replaced snapshot's files stay on disk, referenced by the
+  * previous manifest version, until [[ManifestV2.expireSnapshots]].
   */
 class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
     truncate: Boolean) extends WriteBuilder with SupportsTruncate {
@@ -398,13 +466,15 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
   }
 }
 
-class ManifestScanBuilder(root: Path, full: StructType) extends ScanBuilder
+class ManifestScanBuilder(root: Path, full: StructType,
+    version: Long = -1L) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
-    val files = ManifestV2.readManifest(root).map(_.files).getOrElse(Seq.empty)
+    val files = ManifestV2.readManifest(root, version)
+      .map(_.files).getOrElse(Seq.empty)
     new ManifestScan(root.toString, full, required, files)
   }
 }
@@ -477,12 +547,9 @@ class ManifestBatchWrite(path: String, schema: StructType,
     ManifestV2.writeManifest(root, ManifestV2.ManifestState(
       prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
       prev.map(_.epochs).getOrElse(Map.empty), kept ++ added))
-    // overwrite: the replaced snapshot's files are unreferenced once
-    // the swap lands — reclaim them (readers mid-scan on a local FS
-    // hold open handles; on an object store this would be a deferred
-    // GC pass keyed off the previous manifest)
-    if (truncate) prev.foreach(_.files.foreach(e =>
-      Files.deleteIfExists(root.resolve(e.file)): Unit))
+    // overwrite does NOT reclaim the replaced snapshot's files: the
+    // previous manifest version still references them (VERSION AS OF);
+    // expireSnapshots is the only reclamation path
   }
 
   /** Job abort: staged files of tasks that already committed are
@@ -530,8 +597,7 @@ class ManifestStreamingWrite(path: String, schema: StructType,
         prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
         prev.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
         kept ++ added))
-      if (truncate) prev.foreach(_.files.foreach(e =>
-        Files.deleteIfExists(root.resolve(e.file)): Unit))
+      // replaced files stay for time travel; expireSnapshots reclaims
     }
   }
 

@@ -128,11 +128,18 @@ class CatalogSpec extends AnyFunSuite {
 
     // aligned: k < 50 fully covers [0,9] and fully misses [100,109]
     spark.sql("DELETE FROM graft.spec.del WHERE k < 50")
-    val after = dataFiles()
-    assert(after.subsetOf(before) && after.size < before.size,
-      "the delete must drop files, never rewrite them")
+    assert(dataFiles() == before,
+      "a metadata delete rewrites nothing — files stay for time travel")
     assert(spark.sql("SELECT MIN(k) AS lo, COUNT(*) AS n FROM graft.spec.del")
       .head().toSeq == Seq(100L, 10L))
+    // snapshot expiry is the reclamation path: only then do the
+    // delete's dropped files leave the disk
+    val wh2 = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    graft.sources.ManifestV2.expireSnapshots(
+      java.nio.file.Paths.get(wh2, "spec", "del").toString, 1)
+    val after = dataFiles()
+    assert(after.subsetOf(before) && after.size < before.size,
+      s"expiry must reclaim the dropped files: before=$before after=$after")
     spark.sql("DROP TABLE graft.spec.del")
   }
 
@@ -153,7 +160,7 @@ class CatalogSpec extends AnyFunSuite {
     val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "prov",
       "manifest.txt"))
-    val want = (2 until manifest.size).map { i =>
+    val want = (3 until manifest.size).map { i => // schema, @v, @epochs
       val p = manifest.get(i).split("\t"); (p(0), p(1).toLong)
     }.toMap.filter(_._2 > 0) // zero-row task files never emit a group
     assert(perFile == want, s"got $perFile want $want")
@@ -168,10 +175,28 @@ class CatalogSpec extends AnyFunSuite {
     val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "st",
       "manifest.txt"))
-    val fileLines = (2 until manifest.size).map(manifest.get)
+    val fileLines = (3 until manifest.size).map(manifest.get)
     assert(fileLines.exists(_.contains("k:5:14")), fileLines.mkString("\n"))
     assert(!fileLines.exists(_.contains("s:")), "no stats for string columns")
     spark.sql("DROP TABLE graft.spec.st")
+  }
+
+  test("VERSION AS OF reads historical snapshots through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.tt")
+    spark.sql("CREATE TABLE graft.spec.tt (k BIGINT)") // v1
+    spark.sql("INSERT INTO graft.spec.tt VALUES (1), (2)") // v2
+    spark.sql("INSERT OVERWRITE graft.spec.tt VALUES (9)") // v3
+    assert(spark.sql("SELECT * FROM graft.spec.tt VERSION AS OF 1").count() == 0)
+    assert(spark.sql("SELECT SUM(k) FROM graft.spec.tt VERSION AS OF 2")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT SUM(k) FROM graft.spec.tt")
+      .head().getLong(0) == 9L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.spec.tt VERSION AS OF 42").collect()
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    spark.sql("DROP TABLE graft.spec.tt")
   }
 
   test("catalog is stateless: a second plugin instance sees committed tables") {

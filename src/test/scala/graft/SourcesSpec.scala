@@ -466,9 +466,46 @@ class SourcesSpec extends AnyFunSuite {
       .option("path", dir).mode("overwrite").save()
     val back = manifestRead(dir).collect().map(r => (r.getLong(0), r.getString(1)))
     assert(back.toSeq == Seq((10L, "new")))
-    // the replaced snapshot's files are reclaimed: disk == manifest
-    assert(stagedFiles(dir) == manifestFiles(dir),
+    // the replaced snapshot's files STAY on disk — the previous
+    // manifest version still references them (time travel) — until an
+    // explicit snapshot expiry reclaims; after keepLast=1 expiry,
+    // disk == live manifest again
+    assert(manifestFiles(dir).subsetOf(stagedFiles(dir)) &&
+      stagedFiles(dir).size > manifestFiles(dir).size,
       s"staged=${stagedFiles(dir)} manifest=${manifestFiles(dir)}")
+    val (expired, reclaimed) = graft.sources.ManifestV2.expireSnapshots(dir, 1)
+    assert(expired.nonEmpty && reclaimed.nonEmpty)
+    assert(stagedFiles(dir) == manifestFiles(dir),
+      s"after expiry: staged=${stagedFiles(dir)} manifest=${manifestFiles(dir)}")
+  }
+
+  test("ManifestV2 versions: every commit is a readable snapshot until expired") {
+    import spark.implicits._
+    val dir = tmp()
+    manifestWrite(Seq((1L, "a")).toDF("k", "v"), dir) // v1
+    Seq((2L, "b")).toDF("k", "v").write.format("graft.sources.ManifestV2")
+      .option("path", dir).mode("append").save() // v2
+    Seq((9L, "z")).toDF("k", "v").write.format("graft.sources.ManifestV2")
+      .option("path", dir).mode("overwrite").save() // v3
+    def pinned(v: Long) =
+      new graft.sources.ManifestTable(dir, null, v)
+    def rowsOf(v: Long): Seq[Long] = {
+      val files = graft.sources.ManifestV2
+        .readManifest(java.nio.file.Paths.get(dir), v).get.files
+      files.map(_.rows).filter(_ > 0)
+    }
+    assert(rowsOf(1).sum == 1 && rowsOf(2).sum == 2 && rowsOf(3).sum == 1)
+    assert(pinned(2).schema().fieldNames.sameElements(Array("k", "v")))
+    // a pinned snapshot rejects writes
+    intercept[UnsupportedOperationException] {
+      pinned(2).newWriteBuilder(null)
+    }
+    // expiry keeps the newest 1: v1/v2 manifests gone, their files
+    // reclaimed, live table intact
+    graft.sources.ManifestV2.expireSnapshots(dir, 1)
+    assert(graft.sources.ManifestV2
+      .listVersions(java.nio.file.Paths.get(dir)) == Seq(3L))
+    assert(manifestRead(dir).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
   test("ManifestV2 streaming sink: a replayed epoch publishes nothing twice") {
