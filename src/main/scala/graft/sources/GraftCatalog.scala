@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -47,7 +49,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    BIGINT accumulator would wrap at ~100 TB scale).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -249,6 +251,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog (namespace `system`) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "expire_snapshots"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "expire_snapshots")
+      new ExpireSnapshotsProcedure(warehouse)
+    else throw new IllegalArgumentException(s"no such procedure: $ident")
+}
+
+/** `CALL graft.system.expire_snapshots(ns => …, tbl => …, keep => n)`:
+  * the maintenance surface of the retention model as a V2 PROCEDURE —
+  * the Iceberg expire_snapshots shape. Drops every manifest version
+  * older than the newest `keep`, then deletes the data files no
+  * surviving snapshot references, and returns one row of accounting
+  * (versions expired, files reclaimed) as a driver-local scan.
+  */
+class ExpireSnapshotsProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "reclaim manifest versions and unreferenced data files"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String = ExpireSnapshotsProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates table state
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("keep", IntegerType)
+        .comment("how many newest snapshots survive").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")),
+        s"no table at $dir")
+      val (expired, reclaimed) =
+        ManifestV2.expireSnapshots(dir.toString, input.getInt(2))
+      val out: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("expired_versions", LongType, nullable = false),
+          StructField("reclaimed_files", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(expired.size.toLong, reclaimed.size.toLong)))
+      }
+      util.Collections.singletonList(out).iterator()
+    }
+  }
 }
 
 object GraftCatalog {

@@ -199,6 +199,25 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.tt")
   }
 
+  test("CALL graft.system.expire_snapshots reclaims through the procedure surface") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.exp")
+    spark.sql("CREATE TABLE graft.spec.exp (k BIGINT)") // v1
+    spark.sql("INSERT INTO graft.spec.exp VALUES (1)") // v2
+    spark.sql("INSERT OVERWRITE graft.spec.exp VALUES (2)") // v3
+    val r = spark.sql(
+      "CALL graft.system.expire_snapshots(ns => 'spec', tbl => 'exp', keep => 1)")
+      .head()
+    assert(r.getLong(0) == 2L, s"v1+v2 expired, got $r") // versions expired
+    assert(r.getLong(1) >= 1L, s"v2's file reclaimed, got $r")
+    // live table intact, history gone
+    assert(spark.sql("SELECT k FROM graft.spec.exp").head().getLong(0) == 2L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.spec.exp VERSION AS OF 2").collect()
+    }
+    spark.sql("DROP TABLE graft.spec.exp")
+  }
+
   test("catalog is stateless: a second plugin instance sees committed tables") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.shared")
