@@ -95,6 +95,12 @@ object SparkEntry {
       graft.sources.GraftCatalog.metadataDeleteQuery(s, d)),
     "dsv2_time_travel" -> ((s, d) =>
       graft.sources.GraftCatalog.timeTravelQuery(s, d)),
+    "dsv2_merge_upsert" -> ((s, d) =>
+      graft.sources.GraftCatalog.mergeUpsertQuery(s, d)),
+    "dsv2_update_rewrite" -> ((s, d) =>
+      graft.sources.GraftCatalog.updateRewriteQuery(s, d)),
+    "dsv2_delete_rewrite" -> ((s, d) =>
+      graft.sources.GraftCatalog.deleteRewriteQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3522,6 +3528,18 @@ object SparkEntry {
     // VERSION AS OF time travel: the overwritten snapshot and the live
     // one read side by side vs both closed forms
     "dsv2_time_travel" -> graft.sources.GraftCatalog.timeTravelSql(),
+
+    // row-level MERGE INTO (delete/update/insert branches in one
+    // statement, copy-on-write) vs the full-outer-join closed form
+    "dsv2_merge_upsert" -> graft.sources.GraftCatalog.mergeUpsertSql(),
+
+    // row-level UPDATE through the group-filtered rewrite vs the
+    // shifted-bucket closed form
+    "dsv2_update_rewrite" -> graft.sources.GraftCatalog.updateRewriteSql(),
+
+    // DELETE too misaligned for any stats box: the copy-on-write
+    // fallback vs the odd-key survivors
+    "dsv2_delete_rewrite" -> graft.sources.GraftCatalog.deleteRewriteSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

@@ -429,6 +429,132 @@ object GraftCatalog {
       |ORDER BY snap""".stripMargin)
   }
 
+  /** Driver-contract query for row-level MERGE INTO (the upsert every
+    * warehouse ingest loop runs): the table is seeded with the
+    * `o_orderkey % 3 = 0` third of per-customer order stats, then ONE
+    * MERGE statement folds in the other two thirds — exercising all
+    * three clause kinds at once (matched+predicate DELETE, matched
+    * UPDATE, not-matched INSERT). Every branch is exact BIGINT
+    * arithmetic, so the read-back hashes against the closed form. The
+    * rewrite is group-based copy-on-write with runtime group
+    * filtering: at 100 TB an upsert touching one day's files rewrites
+    * one day's files (CatalogSpec pins that pruning; here the hash
+    * pins the semantics).
+    */
+  def mergeUpsertQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_mrg_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mrg")
+    spark.sql("CREATE TABLE graft.db.mrg (ck BIGINT, n BIGINT, ks BIGINT)")
+    spark.sql("""INSERT INTO graft.db.mrg
+      |SELECT o_custkey, COUNT(*), SUM(o_orderkey)
+      |FROM graft_mrg_orders_src WHERE o_orderkey % 3 = 0
+      |GROUP BY o_custkey""".stripMargin)
+    spark.sql("""MERGE INTO graft.db.mrg t
+      |USING (SELECT o_custkey AS ck, COUNT(*) AS n, SUM(o_orderkey) AS ks
+      |       FROM graft_mrg_orders_src WHERE o_orderkey % 3 <> 0
+      |       GROUP BY o_custkey) s
+      |ON t.ck = s.ck
+      |WHEN MATCHED AND t.ck % 10 = 0 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET n = t.n + s.n, ks = t.ks + s.ks
+      |WHEN NOT MATCHED THEN INSERT (ck, n, ks) VALUES (s.ck, s.n, s.ks)"""
+      .stripMargin)
+    spark.sql("SELECT ck, n, ks FROM graft.db.mrg ORDER BY ck")
+  }
+
+  /** [[mergeUpsertQuery]] oracle: the post-merge table stated as a
+    * full outer join of the two thirds — both present merges the
+    * stats (unless the delete branch fires), one side passes through.
+    */
+  def mergeUpsertSql(): String =
+    """WITH t AS (SELECT o_custkey AS ck, COUNT(*) AS n,
+      |             CAST(SUM(o_orderkey) AS BIGINT) AS ks
+      |           FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+      |     s AS (SELECT o_custkey AS ck, COUNT(*) AS n,
+      |             CAST(SUM(o_orderkey) AS BIGINT) AS ks
+      |           FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1)
+      |SELECT COALESCE(t.ck, s.ck) AS ck,
+      |  CASE WHEN t.ck IS NOT NULL AND s.ck IS NOT NULL THEN t.n + s.n
+      |       WHEN t.ck IS NOT NULL THEN t.n ELSE s.n END AS n,
+      |  CASE WHEN t.ck IS NOT NULL AND s.ck IS NOT NULL THEN t.ks + s.ks
+      |       WHEN t.ck IS NOT NULL THEN t.ks ELSE s.ks END AS ks
+      |FROM t FULL OUTER JOIN s ON t.ck = s.ck
+      |WHERE NOT (t.ck IS NOT NULL AND s.ck IS NOT NULL AND t.ck % 10 = 0)
+      |ORDER BY ck""".stripMargin
+
+  /** Driver-contract query for row-level UPDATE: the same quartile-
+    * clustered layout as [[metadataDeleteQuery]], then an UPDATE whose
+    * predicate `m = 12` no stats box can decide — the copy-on-write
+    * fallback rewrites it, and the runtime group filter confines the
+    * rewrite to the one file whose rows match (the other three
+    * quartile files survive by name; CatalogSpec pins that). The
+    * read-back aggregate hashes every row the statement did and did
+    * not touch.
+    */
+  def updateRewriteQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_upd_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okupd")
+    spark.sql("CREATE TABLE graft.db.okupd (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okupd
+        |SELECT o_orderkey, o_orderkey % 97 FROM graft_upd_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    spark.sql(
+      "UPDATE graft.db.okupd SET okey = okey + 100000000 WHERE m = 12")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.okupd GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** [[updateRewriteQuery]] oracle: the shifted m=12 bucket stated
+    * straight off `orders`.
+    */
+  def updateRewriteSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey +
+      |    CASE WHEN o_orderkey % 97 = 12 THEN 100000000 ELSE 0 END)
+      |    AS DECIMAL(38,0)) AS key_sum
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for the DELETE rewrite fallback: a
+    * predicate on key parity that NO file's [min,max] box can decide,
+    * so the metadata-only path is impossible and the statement must
+    * run as a copy-on-write rewrite of every matching group — the
+    * complement of [[metadataDeleteQuery]], which proves the aligned
+    * fast path. Survivors hash against the closed form.
+    */
+  def deleteRewriteQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_delrw_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okdrw")
+    spark.sql("CREATE TABLE graft.db.okdrw (okey BIGINT, m BIGINT)")
+    spark.sql("""INSERT INTO graft.db.okdrw
+      |SELECT o_orderkey, o_orderkey % 97
+      |FROM graft_delrw_orders_src""".stripMargin)
+    spark.sql("DELETE FROM graft.db.okdrw WHERE okey % 2 = 0")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.okdrw GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** [[deleteRewriteQuery]] oracle: odd-key survivors off `orders`. */
+  def deleteRewriteSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders WHERE o_orderkey % 2 <> 0
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off
     * `orders`.
     */

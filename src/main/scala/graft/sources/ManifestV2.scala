@@ -4,8 +4,9 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.connector.write._
@@ -377,7 +378,8 @@ object ManifestTable {
 class ManifestTable(path: String, externalSchema: StructType,
     version: Long = -1L)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns with SupportsDelete {
+    with SupportsMetadataColumns with SupportsDelete
+    with SupportsRowLevelOperations {
   private val root = ManifestV2.rootOf(path)
   override def name(): String =
     if (version < 0) s"graft_manifest($path)"
@@ -410,12 +412,16 @@ class ManifestTable(path: String, externalSchema: StructType,
     * catalog): the predicate is evaluated against every file's
     * in-manifest [min, max] stats box. Accepted ONLY when every file
     * is decidable — entirely matching (drop the file, no read) or
-    * entirely missing (keep, no read); one undecidable file rejects
-    * the whole delete, because this connector's contract is that
-    * DELETE never rewrites data. At 100 TB this is the difference
-    * between a manifest swap and a table-sized write: the layout that
-    * makes files decidable (range-clustered inserts) is the same one
-    * compaction maintains anyway.
+    * entirely missing (keep, no read). An undecidable file no longer
+    * rejects the statement: since the table also implements
+    * [[SupportsRowLevelOperations]], Spark's
+    * OptimizeMetadataOnlyDeleteFromTable keeps the manifest-swap fast
+    * path exactly when `canDeleteWhere` accepts, and otherwise falls
+    * back to the group-based copy-on-write rewrite
+    * ([[ManifestRowLevelOperation]]) that rewrites ONLY the affected
+    * files. At 100 TB this is the difference between a manifest swap
+    * (aligned retention delete) and an O(matching files) rewrite — and
+    * never a table-sized one.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     val st = ManifestV2.readManifest(root)
@@ -444,6 +450,177 @@ class ManifestTable(path: String, externalSchema: StructType,
       ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty))
     true
   }
+
+  /** ROW-LEVEL OPERATIONS (`DELETE`/`UPDATE`/`MERGE INTO` through a V2
+    * catalog), group-based copy-on-write — the Iceberg COW shape. One
+    * operation instance links the scan that identifies the affected
+    * groups (files) with the write that replaces them; see
+    * [[ManifestRowLevelOperation]] for the group-pruning contract.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (version >= 0) throw new UnsupportedOperationException(
+      s"cannot ${info.command()} snapshot v$version — writes go to the live table")
+    () => new ManifestRowLevelOperation(path, info.command())
+  }
+}
+
+/** Group-based copy-on-write row-level operation: Spark rewrites
+  * DELETE/UPDATE/MERGE into ReplaceData — read the affected groups,
+  * recompute their surviving/updated rows, write them back, swap. The
+  * unit of replacement is the FILE, and the scale story is group
+  * pruning, in two layers:
+  *
+  *  1. at runtime, Spark's RowLevelOperationRuntimeGroupFiltering
+  *     plans a subquery for `_file` values containing matching rows
+  *     and hands them to [[ManifestRowLevelScan.filter]] — files with
+  *     no matching row are never read OR rewritten (the IN-subquery
+  *     DPP shape, so a MERGE touching one day's files rewrites one
+  *     day's files, not the table);
+  *  2. whatever survives that filter at [[ManifestRowLevelScan
+  *     .planInputPartitions]] is recorded on THIS shared operation
+  *     instance as the replaced set, and the commit drops exactly
+  *     those files and publishes the rewrite's output — one atomic
+  *     manifest swap, readers see the old or the new snapshot, never
+  *     a mix. Replaced files stay on disk for time travel, reclaimed
+  *     only by [[ManifestV2.expireSnapshots]].
+  *
+  * Aligned DELETEs never reach this path at all: Spark's
+  * OptimizeMetadataOnlyDeleteFromTable converts the plan back to
+  * [[ManifestTable.deleteWhere]] whenever the stats boxes decide every
+  * file, so the rewrite is strictly the misaligned-predicate fallback.
+  */
+class ManifestRowLevelOperation(path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  private[sources] val root = ManifestV2.rootOf(path)
+  /** The groups the write replaces — assigned by the operation's own
+    * scan at plan time, after runtime group filtering pruned it. The
+    * group-filter subquery's scan (built from this same operation,
+    * unfiltered) also lands here first; the main scan is planned after
+    * the subquery executes, so the last write is the pruned set.
+    */
+  @volatile private[sources] var replaced: Seq[ManifestV2.FileEntry] =
+    ManifestV2.readManifest(root).map(_.files).getOrElse(Seq.empty)
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft ManifestV2 copy-on-write $cmd -> $path"
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(ManifestTable.FileMetaCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private val full = ManifestV2.readManifest(root).map(_.schema)
+        .getOrElse(new StructType())
+      private var required: StructType = full
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new ManifestRowLevelScan(
+        ManifestRowLevelOperation.this, full, required)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String =
+          ManifestRowLevelOperation.this.description()
+        override def toBatch: BatchWrite =
+          new ManifestReplaceDataWrite(path, info.schema(),
+            ManifestRowLevelOperation.this)
+      }
+    }
+}
+
+/** The affected-groups scan of a copy-on-write operation. Reads whole
+  * files (matching and non-matching rows alike — the rewrite needs
+  * both), serves `_file` from the split, and accepts the runtime group
+  * filter: an `IN (_file, …)` predicate realized from the matching-rows
+  * subquery prunes the file list BEFORE any partition is planned.
+  */
+class ManifestRowLevelScan(op: ManifestRowLevelOperation,
+    full: StructType, required: StructType)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  private val all: Seq[ManifestV2.FileEntry] =
+    ManifestV2.readManifest(op.root).map(_.files).getOrElse(Seq.empty)
+  @volatile private var current: Seq[ManifestV2.FileEntry] = all
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft ManifestV2 COW files=${current.size}/${all.size} " +
+      s"cols=[${required.fieldNames.mkString(",")}]"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(ManifestTable.FileMetaCol))
+  override def filter(predicates: Array[Predicate]): Unit = {
+    predicates.foreach { p =>
+      if (p.name() == "IN" &&
+          p.children().headOption.exists {
+            case r: NamedReference =>
+              r.fieldNames.sameElements(Array(ManifestTable.FileMetaCol))
+            case _ => false
+          }) {
+        val vals = p.children().toSeq
+          .collect { case l: Literal[_] => l.value() }
+          .collect { case s: UTF8String => s.toString }
+          .toSet
+        // an empty realized set is a real answer: no group has a
+        // matching row, nothing is read and nothing is replaced
+        current = current.filter(e => vals.contains(e.file))
+      }
+    }
+    op.replaced = current
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    op.replaced = current
+    current.map(f => ManifestFilePartition(op.root.toString, f.file)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(full, required)
+}
+
+/** The replace-groups half: tasks stage rewritten files through the
+  * ordinary commit protocol, and the driver commit swaps in ONE
+  * manifest that drops the replaced files and adds the new ones —
+  * delete-old and publish-new are a single atomic unit (a reader can
+  * never see both or neither). Abort leaves the staged files deleted
+  * and the manifest untouched, exactly like a batch-write abort.
+  */
+class ManifestReplaceDataWrite(path: String, schema: StructType,
+    op: ManifestRowLevelOperation) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = ManifestV2.rootOf(path)
+    val st = ManifestV2.readManifest(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
+    require(ManifestV2.sameShape(st.schema, schema),
+      s"rewrite schema mismatch: table has ${st.schema.toDDL}, " +
+        s"rewrite has ${schema.toDDL}")
+    val gone = op.replaced.map(_.file).toSet
+    val kept = st.files.filterNot(e => gone.contains(e.file))
+    val added = messages.collect {
+      case m: ManifestCommit if m.rows > 0 =>
+        ManifestV2.FileEntry(m.file, m.rows, m.stats)
+    }
+    // rows == 0 staged files (a task whose whole group was deleted)
+    // are reclaimed right away: no manifest ever references them
+    messages.foreach {
+      case m: ManifestCommit if m.rows == 0L =>
+        Files.deleteIfExists(root.resolve(m.file)): Unit
+      case _ => ()
+    }
+    ManifestV2.writeManifest(root,
+      ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added))
+    // replaced files stay on disk: older manifest versions reference
+    // them (time travel); expireSnapshots is the reclamation path
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ManifestV2.deleteStaged(path, messages)
 }
 
 /** [[SupportsTruncate]] gives the connector overwrite semantics for

@@ -105,42 +105,117 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("DROP TABLE graft.spec.missing") }
   }
 
-  test("metadata-only DELETE drops aligned files and rejects misaligned predicates") {
+  /** The manifest's current file list for a spec table. */
+  private def manifestFiles(ns: String, tbl: String): Seq[(String, Map[String, (Long, Long)])] = {
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    graft.sources.ManifestV2
+      .readManifest(java.nio.file.Paths.get(wh, ns, tbl))
+      .map(_.files.map(e => (e.file, e.stats))).getOrElse(Seq.empty)
+  }
+
+  test("DELETE: aligned stays metadata-only, misaligned rewrites only the affected file") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.del")
     spark.sql("CREATE TABLE graft.spec.del (k BIGINT)")
     // two stat-disjoint files: [0,9] and [100,109]
     spark.sql("INSERT INTO graft.spec.del SELECT id FROM range(0, 10, 1, 1)")
     spark.sql("INSERT INTO graft.spec.del SELECT id + 100 FROM range(0, 10, 1, 1)")
-    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
-    val tableDir = java.nio.file.Paths.get(wh, "spec", "del")
-    def dataFiles(): Set[String] = {
-      val st = java.nio.file.Files.list(tableDir.resolve("staging"))
-      try st.toArray.map(_.toString).toSet finally st.close()
-    }
-    val before = dataFiles()
-    assert(before.size >= 2)
+    val before = manifestFiles("spec", "del")
+    assert(before.size == 2)
+    val fileA = before.collectFirst { case (f, s) if s("k") == (0L, 9L) => f }.get
+    val fileB = before.collectFirst { case (f, s) if s("k") == (100L, 109L) => f }.get
 
-    // misaligned: k < 5 splits the first file's [0,9] box — the
-    // connector must refuse rather than rewrite
-    intercept[Exception] { spark.sql("DELETE FROM graft.spec.del WHERE k < 5") }
-    assert(dataFiles() == before, "a rejected delete must touch nothing")
+    // misaligned: k < 5 splits file A's [0,9] box — the row-level
+    // fallback engages and COPY-ON-WRITE rewrites it; the runtime
+    // group filter must keep file B (no matching row) out of the
+    // rewrite entirely
+    spark.sql("DELETE FROM graft.spec.del WHERE k < 5")
+    val after1 = manifestFiles("spec", "del")
+    assert(after1.map(_._1).contains(fileB),
+      s"untouched group must keep its file: $after1")
+    assert(!after1.map(_._1).contains(fileA),
+      "the affected group must be replaced")
+    assert(after1.size == 2, s"one rewritten file expected: $after1")
+    assert(spark.sql("SELECT COUNT(*) AS n, MIN(k) AS lo FROM graft.spec.del")
+      .head().toSeq == Seq(15L, 5L))
 
-    // aligned: k < 50 fully covers [0,9] and fully misses [100,109]
+    // aligned: k < 50 fully covers the rewritten [5,9] file and fully
+    // misses [100,109] — OptimizeMetadataOnlyDeleteFromTable must take
+    // it back to the manifest-swap path: file B survives BY NAME and
+    // nothing is rewritten
     spark.sql("DELETE FROM graft.spec.del WHERE k < 50")
-    assert(dataFiles() == before,
-      "a metadata delete rewrites nothing — files stay for time travel")
+    val after2 = manifestFiles("spec", "del")
+    assert(after2.map(_._1) == Seq(fileB),
+      s"a metadata delete keeps surviving files unrewritten: $after2")
     assert(spark.sql("SELECT MIN(k) AS lo, COUNT(*) AS n FROM graft.spec.del")
       .head().toSeq == Seq(100L, 10L))
-    // snapshot expiry is the reclamation path: only then do the
-    // delete's dropped files leave the disk
-    val wh2 = spark.conf.get("spark.sql.catalog.graft.warehouse")
-    graft.sources.ManifestV2.expireSnapshots(
-      java.nio.file.Paths.get(wh2, "spec", "del").toString, 1)
-    val after = dataFiles()
-    assert(after.subsetOf(before) && after.size < before.size,
-      s"expiry must reclaim the dropped files: before=$before after=$after")
     spark.sql("DROP TABLE graft.spec.del")
+  }
+
+  test("UPDATE rewrites only the group holding matching rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.upd")
+    spark.sql("CREATE TABLE graft.spec.upd (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.spec.upd SELECT id, id FROM range(0, 10, 1, 1)")
+    spark.sql(
+      "INSERT INTO graft.spec.upd SELECT id + 100, id FROM range(0, 10, 1, 1)")
+    val before = manifestFiles("spec", "upd")
+    val fileB = before.collectFirst { case (f, s) if s("k")._1 == 100L => f }.get
+
+    spark.sql("UPDATE graft.spec.upd SET v = v + 1000 WHERE k = 3")
+    val after = manifestFiles("spec", "upd")
+    assert(after.map(_._1).contains(fileB),
+      s"group filter must exclude the file with no k=3 row: $after")
+    assert(after.size == 2)
+    assert(spark.sql(
+      "SELECT v FROM graft.spec.upd WHERE k = 3").head().getLong(0) == 1003L)
+    assert(spark.sql(
+      "SELECT CAST(SUM(v) AS BIGINT) AS s FROM graft.spec.upd")
+      .head().getLong(0) == (0 until 10).sum * 2 + 1000L)
+    spark.sql("DROP TABLE graft.spec.upd")
+  }
+
+  test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
+    spark.sql("CREATE TABLE graft.spec.mrg (k BIGINT, v BIGINT)") // v1
+    spark.sql("INSERT INTO graft.spec.mrg SELECT id, id FROM range(0, 10, 1, 1)") // v2
+    spark.sql(
+      "INSERT INTO graft.spec.mrg SELECT id + 100, id FROM range(0, 10, 1, 1)") // v3
+    val before = manifestFiles("spec", "mrg")
+    val fileB = before.collectFirst { case (f, s) if s("k")._1 == 100L => f }.get
+
+    spark.sql("""MERGE INTO graft.spec.mrg t
+      |USING (SELECT * FROM VALUES (3L, 333L), (200L, 222L) AS s(k, v)) s
+      |ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+
+    val got = spark.sql(
+      "SELECT k, v FROM graft.spec.mrg WHERE k IN (3, 4, 200) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 333L), (4L, 4L), (200L, 222L)),
+      s"matched-update + not-matched-insert: $got")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.spec.mrg")
+      .head().getLong(0) == 21L)
+    // the group with no matching ON key is not rewritten
+    assert(manifestFiles("spec", "mrg").map(_._1).contains(fileB),
+      "MERGE must not rewrite groups without matching rows")
+    // pre-merge snapshot intact (copy-on-write never mutates in place)
+    assert(spark.sql(
+      "SELECT v FROM graft.spec.mrg VERSION AS OF 3 WHERE k = 3")
+      .head().getLong(0) == 3L)
+
+    // a target row matching two source rows is a cardinality violation
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.spec.mrg t
+        |USING (SELECT * FROM VALUES (4L, 1L), (4L, 2L) AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(e.getMessage.toUpperCase.contains("MERGE"),
+      s"expected a merge cardinality error, got: ${e.getMessage}")
+    spark.sql("DROP TABLE graft.spec.mrg")
   }
 
   test("_file metadata column serves provenance without parsing") {
