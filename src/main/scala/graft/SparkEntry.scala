@@ -237,6 +237,7 @@ object SparkEntry {
     "unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
     "text_normalize" -> ((s, d) => TextOps.textNormalize(s, d)),
     "feature_hash" -> ((s, d) => TextOps.featureHash(s, d)),
+    "dsir_select" -> ((s, d) => TextOps.dsirSelect(s, d)),
     "target_encode_loo" -> ((s, d) => Relational.targetEncodeLoo(s, d)),
     "k_anonymity_audit" -> ((s, d) => Audit.kAnonymityAudit(s, d)),
     "embedding_covariance" -> ((s, d) => Similarity.embeddingCovariance(s, d)),
@@ -2964,6 +2965,32 @@ object SparkEntry {
          |    <> CAST(length(raw) AS INTEGER)) AS changed,
          |  md5(nfc_normalize(raw)) AS norm_md5
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-ngram
+    // target/raw models, whole-bit exact log-ratio weights, and the
+    // deterministic top-ceil(N/10) selection — the entire pipeline
+    // hash-checked, threshold row and all
+    "dsir_select" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS word FROM documents),
+         |f AS (SELECT doc_id,
+         |    ${h60("'dsir:' || word")} % ${graft.operators.TextOps.DsirBuckets} AS b,
+         |    lang FROM w),
+         |c AS (SELECT b, COUNT(*) AS r,
+         |    COUNT(*) FILTER (WHERE lang = 'en') AS t FROM f GROUP BY b),
+         |sb AS (SELECT b,
+         |    length(bin((t + 1) * ${graft.operators.TextOps.DsirScale} // (r + 1))) - 1 AS s
+         |  FROM c),
+         |dw AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(s) AS w_bits
+         |  FROM f JOIN sb USING (b) GROUP BY doc_id),
+         |k AS (SELECT (COUNT(*) + ${graft.operators.TextOps.DsirKeepDenom} - 1)
+         |    // ${graft.operators.TextOps.DsirKeepDenom} AS k FROM documents),
+         |rk AS (SELECT doc_id, n_feats, w_bits,
+         |    ROW_NUMBER() OVER (ORDER BY w_bits DESC, doc_id) AS rn FROM dw)
+         |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+         |  CAST(w_bits AS BIGINT) AS w_bits,
+         |  rn <= (SELECT k FROM k) AS picked
+         |FROM rk ORDER BY doc_id""".stripMargin,
 
     // hashing-trick featurizer: same salted h60 % buckets on both sides
     "feature_hash" ->

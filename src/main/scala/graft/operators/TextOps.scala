@@ -1079,6 +1079,87 @@ object TextOps {
     featureHashOf(Tables.widened(spark, Tables.documents(spark, dir)))
 
   /** [[featureHash]] over any (doc_id, text) relation. */
+  /** Bucket count for [[dsirSelect]]'s hashed n-gram models — the
+    * paper's hashed generative model dimension, sized so bucket
+    * statistics stay broadcast-sized at any corpus size.
+    */
+  val DsirBuckets = 4096L
+
+  /** Fixed-point scale (2^20) for the DSIR log-ratio: multiplying the
+    * smoothed target count by 2^20 before the exact integer division
+    * keeps ratios below 1 representable, and shifts every score by a
+    * constant +20 bits — rank-irrelevant, sign-free.
+    */
+  val DsirScale: Long = 1L << 20
+
+  /** Share kept by [[dsirSelect]]: ceil(1/10) of the corpus. */
+  val DsirKeepDenom = 10L
+
+  /** Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much more
+    * likely its hashed n-gram features are under a TARGET bag-of-ngrams
+    * model than under the RAW pool's, then keep the top share. Target
+    * here: the `lang = 'en'` slice (the paper's "formal text" target,
+    * stood in by the corpus's own labeled slice); raw: the whole
+    * corpus.
+    *
+    * Exactness: the per-bucket log importance ratio
+    * log2(p_target/p_raw) is computed in WHOLE BITS as
+    * `length(bin((t+1) * 2^20 div (r+1))) - 1` — the binary-digit-count
+    * idiom of [[unigramSurprisal]] (no float log anywhere), with +1
+    * smoothing on both models and the 2^20 fixed-point shift keeping
+    * sub-unit ratios representable. A document's weight is the exact
+    * integer sum over its feature OCCURRENCES; selection is the
+    * deterministic top-ceil(N/10) by (weight, doc_id) — the paper's
+    * Gumbel top-k at temperature → 0, which makes the whole selection
+    * hash-checkable cross-engine.
+    *
+    * Scale shape: tokenize → hash to [[DsirBuckets]] buckets; ONE
+    * partial-aggregatable shuffle builds both models at once (raw
+    * count + target count per bucket, a 4096-row relation); scoring is
+    * a broadcast join of that table onto a second tokenization pass
+    * (no corpus-sized cache — re-scanning beats materializing at
+    * 100 TB); the keep threshold is ONE TakeOrderedAndProject row, and
+    * the picked flag is a pure projection against it — no global sort,
+    * no window over the corpus, no data-sized collect.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectOf(Tables.widened(spark, Tables.documents(spark, dir)))
+
+  /** [[dsirSelect]] over any (doc_id, lang, text) relation. */
+  def dsirSelectOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def feats = docs.select($"doc_id", $"lang",
+        explode(TextFns.tokens($"text")).as("word"))
+      .select($"doc_id", $"lang",
+        (Dedup.hash60(concat(lit("dsir:"), $"word")) % DsirBuckets).as("b"))
+    // both models in one shuffle: per bucket, raw occurrences r and
+    // target (en) occurrences t — 4096 rows out, map-side combined
+    val census = feats.groupBy($"b").agg(
+      count(lit(1)).as("r"),
+      count(when($"lang" === "en", 1)).as("t"))
+    val sBits = (length(bin(expr(s"(t + 1L) * ${DsirScale}L div (r + 1L)"))) - 1)
+      .cast("long")
+    val weights = feats
+      .join(broadcast(census.select($"b", sBits.as("s"))), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"s").as("w_bits"))
+    val k = ((docs.count() + DsirKeepDenom - 1L) / DsirKeepDenom).toInt
+    // the k-th (weight, doc_id) pair IS the acceptance threshold: two
+    // bounded sorts of k rows, then flagging is a projection
+    val thr = weights.orderBy($"w_bits".desc, $"doc_id")
+      .limit(k)
+      .orderBy($"w_bits".asc, $"doc_id".desc)
+      .first() // bounded: single threshold row of the k-th candidate
+    val (thrBits, thrDoc) =
+      (thr.getAs[Long]("w_bits"), thr.getAs[Long]("doc_id"))
+    weights.select($"doc_id", $"n_feats", $"w_bits",
+        ($"w_bits" > thrBits ||
+          ($"w_bits" === thrBits && $"doc_id" <= thrDoc)).as("picked"))
+      .orderBy($"doc_id")
+  }
+
   def featureHashOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
