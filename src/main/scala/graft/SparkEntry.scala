@@ -80,6 +80,10 @@ object SparkEntry {
     "streaming_windowed_counts" -> ((s, d) => graft.streaming.Streams.windowedCountsQuery(s, d)),
     "streaming_dsv2_source" -> ((s, _) => graft.streaming.Streams.dsv2StreamQuery(s)),
     "streaming_dsv2_pipe" -> ((s, _) => graft.streaming.Streams.dsv2PipeQuery(s)),
+    "streaming_table_feed" -> ((s, d) =>
+      graft.streaming.Streams.tableFeedQuery(s, d)),
+    "dsv2_incremental_read" -> ((s, d) =>
+      graft.sources.ManifestV2.incrementalReadQuery(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "bucket_join" -> ((s, d) => graft.sources.Bucketing.bucketJoinQuery(s, d)),
     "dsv2_pushdown_scan" -> ((s, _) => graft.sources.RangeV2.pushdownQuery(s)),
@@ -3567,6 +3571,14 @@ object SparkEntry {
     // DELETE too misaligned for any stats box: the copy-on-write
     // fallback vs the odd-key survivors
     "dsv2_delete_rewrite" -> graft.sources.GraftCatalog.deleteRewriteSql(),
+
+    // incremental append-only read (startVersion option): exactly the
+    // post-backfill commits vs their closed form
+    "dsv2_incremental_read" -> graft.sources.ManifestV2.incrementalReadSql(),
+
+    // table-as-a-stream: snapshot versions are offsets, commits are
+    // micro-batches; the running aggregate vs the whole table
+    "streaming_table_feed" -> graft.streaming.Streams.tableFeedSql(),
 
     // binaryFile ingest: pixel stats recomputed from the pattern
     // formula — proves file write -> binaryFile read -> decode exact

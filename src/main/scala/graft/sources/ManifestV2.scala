@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, Or}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
@@ -106,6 +107,43 @@ object ManifestV2 {
       |  COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin
+
+  /** Driver-contract query for the INCREMENTAL batch read: three
+    * thirds of `orders` land as three append commits (v1..v3), and the
+    * read pins `startVersion = 1` — so it must serve EXACTLY the
+    * second and third commits' files, never re-reading the backfill.
+    * The aggregate hashes against the two thirds' closed form: a file
+    * double-served or dropped from the diff mismatches. This is the
+    * change-feed consumption shape at 100 TB — downstream work is
+    * sized by the commit, not the table.
+    */
+  def incrementalReadQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Sources.scratchDir(spark, "manifest_incr")
+    val dest = new java.io.File(base,
+      java.util.UUID.randomUUID().toString).toString
+    val src = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey".as("okey"), ($"o_orderkey" % 97).as("m"))
+    for (t <- 0 until 3)
+      src.filter($"okey" % 3 === t)
+        .write.format("graft.sources.ManifestV2")
+        .option("path", dest).mode("append").save()
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", dest).option("startVersion", "1").load()
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(okey) AS DECIMAL(38,0))").as("key_sum"))
+      .orderBy($"m")
+  }
+
+  /** [[incrementalReadQuery]] oracle: the two post-backfill thirds. */
+  def incrementalReadSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders WHERE o_orderkey % 3 <> 0
+      |GROUP BY 1 ORDER BY m""".stripMargin
 
   /** One published data file: its path (relative to the table root),
     * row count, and per-column [min, max] stats for every BIGINT
@@ -229,6 +267,31 @@ object ManifestV2 {
     old.foreach(v => Files.deleteIfExists(root.resolve(s"manifest.v$v.txt")): Unit)
     reclaim.foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
     (old, reclaim)
+  }
+
+  /** Files appended strictly after snapshot `fromV`, up to and
+    * including snapshot `toV` — the Iceberg incremental-append-scan
+    * contract. `fromV = 0` means "from table creation" (everything in
+    * `toV`). The range must be APPEND-ONLY: if any file referenced by
+    * `fromV` is gone from `toV` (an overwrite, row-level rewrite, or
+    * delete happened in between), the read throws instead of silently
+    * serving a half-diff — a consumer of a change feed must not
+    * mistake a replace for an append.
+    */
+  private[graft] def appendedFiles(root: Path, fromV: Long,
+      toV: Long): Seq[FileEntry] = {
+    val from: Set[String] =
+      if (fromV == 0L) Set.empty
+      else readManifest(root, fromV).map(_.files.map(_.file).toSet)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot v$fromV at $root (expired or never published)"))
+    val to = readManifest(root, toV).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot v$toV at $root"))
+    val removed = from -- to.files.map(_.file).toSet
+    if (removed.nonEmpty) throw new UnsupportedOperationException(
+      s"incremental read (v$fromV, v$toV] crosses a replace/delete of " +
+        s"${removed.size} file(s) — only append-only ranges are readable")
+    to.files.filterNot(e => from.contains(e.file))
   }
 
   /** TSV escaping: tab/newline/backslash escaped, null as \N — so a
@@ -389,11 +452,35 @@ class ManifestTable(path: String, externalSchema: StructType,
     else ManifestV2.readManifest(root, version).map(_.schema)
       .getOrElse(new StructType())
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(root, schema(), version)
+  /** Plain reads scan the pinned (or live) snapshot. With a
+    * `startVersion` (exclusive) and optional `endVersion` (inclusive,
+    * default = live) option, the scan becomes an INCREMENTAL
+    * APPEND-ONLY read: exactly the files published in that version
+    * range — the batch half of the change-feed surface (the streaming
+    * half is [[ManifestMicroBatchStream]]). At 100 TB a downstream
+    * consumer re-processes one commit's files, never the table.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startV = Option(options.get("startVersion")).map(_.toLong)
+    val endV = Option(options.get("endVersion")).map(_.toLong)
+    if (startV.isEmpty && endV.isEmpty)
+      new ManifestScanBuilder(root, schema(), version)
+    else {
+      if (version >= 0) throw new UnsupportedOperationException(
+        "VERSION AS OF and startVersion/endVersion cannot be combined " +
+          "— endVersion IS the pinned end of an incremental read")
+      val to = endV.orElse(ManifestV2.readManifest(root).map(_.version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no manifest at $root"))
+      val files = ManifestV2.appendedFiles(root, startV.getOrElse(0L), to)
+      new ManifestScanBuilder(root, schema(), version,
+        Some(files), streamable = false)
+    }
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (version >= 0) throw new UnsupportedOperationException(
       s"cannot write to snapshot v$version — writes go to the live table")
@@ -644,20 +731,24 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
 }
 
 class ManifestScanBuilder(root: Path, full: StructType,
-    version: Long = -1L) extends ScanBuilder
+    version: Long = -1L,
+    fixedFiles: Option[Seq[ManifestV2.FileEntry]] = None,
+    streamable: Boolean = true) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
-    val files = ManifestV2.readManifest(root, version)
-      .map(_.files).getOrElse(Seq.empty)
-    new ManifestScan(root.toString, full, required, files)
+    val files = fixedFiles.getOrElse(ManifestV2.readManifest(root, version)
+      .map(_.files).getOrElse(Seq.empty))
+    new ManifestScan(root.toString, full, required, files,
+      streamable = streamable && version < 0)
   }
 }
 
 class ManifestScan(root: String, full: StructType, required: StructType,
-    files: Seq[ManifestV2.FileEntry]) extends Scan with Batch {
+    files: Seq[ManifestV2.FileEntry], streamable: Boolean = true)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -668,6 +759,52 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     files.map(f => ManifestFilePartition(root, f.file)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (!streamable) throw new UnsupportedOperationException(
+      "cannot stream from a version-pinned or incremental scan — " +
+        "stream the live table (offsets ARE versions)")
+    new ManifestMicroBatchStream(Paths.get(root), full, required)
+  }
+}
+
+/** Offset of the table-as-a-stream: the highest manifest VERSION
+  * already consumed — commits are the batches.
+  */
+case class ManifestVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** MICRO_BATCH_READ over a published table (the Delta/Iceberg
+  * table-as-a-source shape): every committed snapshot is an offset,
+  * and a micro-batch reads exactly the files APPENDED between two
+  * snapshots ([[ManifestV2.appendedFiles]] — replaces in the range
+  * fail loudly rather than double-serving rewritten rows). A restart
+  * resumes from the checkpointed version: batches are replayed
+  * file-identically, which together with the sink-side epoch ledger
+  * gives exactly-once across the whole table→stream→table pipeline.
+  * Backfill = first batch (v0 → current), then the stream follows new
+  * commits — no directory listing, no modification-time heuristics,
+  * at any table size.
+  */
+class ManifestMicroBatchStream(root: Path, full: StructType,
+    required: StructType) extends MicroBatchStream {
+  override def initialOffset(): Offset = ManifestVersionOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    ManifestVersionOffset(json.trim.toLong)
+  override def latestOffset(): Offset = ManifestVersionOffset(
+    ManifestV2.readManifest(root).map(_.version).getOrElse(0L))
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ManifestVersionOffset].v
+    val e = end.asInstanceOf[ManifestVersionOffset].v
+    if (e <= s) Array.empty
+    else ManifestV2.appendedFiles(root, s, e)
+      .map(f => ManifestFilePartition(root.toString, f.file)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(full, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class ManifestFilePartition(root: String, file: String) extends InputPartition

@@ -543,6 +543,49 @@ object Streams {
       .orderBy($"w_start_us")
   }
 
+  /** Driver-contract query for the TABLE-AS-A-SOURCE surface: three
+    * thirds of `orders` are published as three commits of a ManifestV2
+    * table, then a STREAM reads the table — each snapshot version is
+    * an offset, each micro-batch is exactly one commit's files
+    * ([[graft.sources.ManifestMicroBatchStream]]) — into a running
+    * aggregate. The final Complete-mode state must equal the whole
+    * table's closed form: a commit skipped, split, or double-served by
+    * the version-offset bookkeeping mismatches the hash. (The restart-
+    * from-checkpoint half — only NEW commits replay — is pinned by
+    * spec in SourcesSpec.)
+    */
+  def tableFeedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.sources.Sources.scratchDir(spark, "table_feed")
+    val dest = new java.io.File(base,
+      java.util.UUID.randomUUID().toString).toString
+    val src = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey".as("okey"), ($"o_orderkey" % 97).as("m"))
+    for (t <- 0 until 3)
+      src.filter($"okey" % 3 === t)
+        .write.format("graft.sources.ManifestV2")
+        .option("path", dest).mode("append").save()
+    val name = runStreamToTable(spark, "table_feed", Some(4)) { (n, ck) =>
+      spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", dest).load()
+        .groupBy($"m")
+        .agg(count(lit(1)).as("n"), sum($"okey").as("key_sum_raw"))
+        .writeStream.format("memory").queryName(n)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Complete).start()
+    } { q => q.processAllAvailable() }
+    spark.table(name)
+      .select($"m", $"n",
+        expr("CAST(key_sum_raw AS DECIMAL(38,0))").as("key_sum"))
+      .orderBy($"m")
+  }
+
+  /** [[tableFeedQuery]] oracle: the full table's closed form. */
+  def tableFeedSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
   /** [[dsv2StreamQuery]] oracle: the identical windowed aggregation in
     * closed form over the data ids (sentinels excluded by id, mirrored
     * by the query's window-start cutoff).

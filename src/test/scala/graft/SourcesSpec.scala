@@ -546,4 +546,62 @@ class SourcesSpec extends AnyFunSuite {
     // the replayed epoch's staged file was reclaimed, not orphaned
     assert(stagedFiles(dir) == manifestFiles(dir) && stagedFiles(dir).size == 3)
   }
+
+  test("ManifestV2 incremental read serves exactly the appended commits") {
+    import spark.implicits._
+    val dir = tmp()
+    manifestWrite(spark.range(0, 5, 1, 1).select($"id".as("k")), dir) // v1
+    manifestWrite(
+      spark.range(100, 105, 1, 1).select($"id".as("k")), dir) // v2
+    manifestWrite(
+      spark.range(200, 205, 1, 1).select($"id".as("k")), dir) // v3
+    def incr(from: Long, to: Option[Long]): Seq[Long] = {
+      val r = spark.read.format("graft.sources.ManifestV2")
+        .option("path", dir).option("startVersion", from.toString)
+      to.fold(r)(v => r.option("endVersion", v.toString))
+        .load().collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(incr(1L, None) == ((100L to 104L) ++ (200L to 204L)),
+      "(v1, live] = the two later commits")
+    assert(incr(1L, Some(2L)) == (100L to 104L),
+      "(v1, v2] = exactly the second commit")
+    assert(incr(0L, Some(1L)) == (0L to 4L),
+      "(v0, v1] = the backfill commit alone")
+    // a replace inside the range makes the diff a lie — must throw
+    spark.range(0, 3, 1, 1).select($"id".as("k"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dir).mode("overwrite").save() // v4 replaces all
+    val e = intercept[Exception] { incr(1L, None) }
+    assert(e.getMessage.contains("append-only"),
+      s"replace in range must fail loudly, got: ${e.getMessage}")
+  }
+
+  test("ManifestV2 table-as-a-stream: commits are batches, restart reads only new ones") {
+    import spark.implicits._
+    val dir = tmp()
+    val sink = tmp()
+    val ck = tmp()
+    manifestWrite(spark.range(0, 5, 1, 1).select($"id".as("k")), dir) // v1
+    manifestWrite(
+      spark.range(100, 105, 1, 1).select($"id".as("k")), dir) // v2
+    // table → stream → table: the connector is BOTH transports, and
+    // the memory sink's no-recovery limitation never enters the test
+    def run(): Seq[Long] = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", dir).load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink)
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      manifestRead(sink).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(run() == ((0L to 4L) ++ (100L to 104L)),
+      "first run backfills every committed snapshot")
+    manifestWrite(
+      spark.range(200, 205, 1, 1).select($"id".as("k")), dir) // v3
+    // SAME checkpoint: only the new commit replays — a re-served old
+    // version would land duplicate rows in the append-only sink
+    assert(run() == ((0L to 4L) ++ (100L to 104L) ++ (200L to 204L)),
+      "restart must resume at the checkpointed version offset")
+  }
 }
