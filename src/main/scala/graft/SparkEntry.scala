@@ -133,6 +133,7 @@ object SparkEntry {
     "json_roundtrip" -> ((s, d) => graft.sources.Sources.jsonRoundtrip(s, d)),
     "partition_prune" -> ((s, d) => graft.sources.Sources.partitionPruneRoundtrip(s, d)),
     "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
+    "temperature_mixture" -> ((s, d) => TextOps.temperatureMixture(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d)),
@@ -1812,6 +1813,24 @@ object SparkEntry {
          |SELECT doc_id, stratum, n_stratum, quota
          |FROM d JOIN c USING (stratum) CROSS JOIN q
          |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % n_stratum < quota
+         |ORDER BY doc_id""".stripMargin,
+
+    // α=1/2 temperature mixture (XLM-R/mT5): half-corpus budget split
+    // by floor(sqrt(n_src)) weights, same salted-hash membership gate;
+    // every quota term is exact integer arithmetic in both engines
+    "temperature_mixture" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_src,
+         |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_tot,
+         |    CAST(SUM(w) AS BIGINT) AS w_tot FROM c)
+         |SELECT doc_id, source, n_src,
+         |  LEAST(n_src, ((SELECT n_tot FROM t) // ${graft.operators.TextOps.TmixBudgetDenom})
+         |    * w // (SELECT w_tot FROM t)) AS quota,
+         |  ${h60("'tmix:' || CAST(doc_id AS VARCHAR)")} % n_src <
+         |    LEAST(n_src, ((SELECT n_tot FROM t) // ${graft.operators.TextOps.TmixBudgetDenom})
+         |      * w // (SELECT w_tot FROM t)) AS picked
+         |FROM documents JOIN c USING (source)
          |ORDER BY doc_id""".stripMargin,
 
     // same salted hash gate as mixture_rebalance, arbitrary per-stratum

@@ -568,6 +568,54 @@ object TextOps {
     mixtureRebalanceOf(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang").as("stratum")))
 
+  /** Budget denominator for [[temperatureMixture]]: the resample keeps
+    * half the corpus, reallocated across sources by the α-smoothed
+    * weights.
+    */
+  val TmixBudgetDenom = 2L
+
+  /** Temperature-smoothed mixture resampling — the multilingual-
+    * pretraining recipe (XLM-R, Conneau et al. 2020 §3; mT5, Xue et
+    * al. 2021 §3.2): sample sources with probability ∝ n_s^α so big
+    * sources stop drowning small ones without equalizing them flat
+    * (α = 1 is proportional, α = 0 is [[mixtureRebalance]]'s uniform
+    * floor). Here α = 1/2: per-source weight w_s = floor(√n_s), quota
+    * q_s = min(n_s, (N div 2) · w_s div Σw) — a half-corpus budget
+    * split by smoothed weight, all in exact integer arithmetic
+    * (floor(√n) on a BIGINT is exact in both engines up to n ≈ 2^31,
+    * far above any per-source document count the corpus reaches;
+    * beyond that an integer Newton isqrt would replace it). Membership
+    * is the house salted-hash gate: picked iff
+    * hash60("tmix:" + doc_id) % n_s < q_s — a pure function of the
+    * row, stable across runs, re-shards, and engines.
+    *
+    * Scale shape: one partial-aggregatable per-source count (sources
+    * number in the hundreds at any corpus size), two broadcast-sized
+    * side relations, and the corpus filtered in place as a pure
+    * projection — never shuffled, nothing collected.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixtureOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")))
+
+  /** [[temperatureMixture]] over any (doc_id, source) relation. */
+  def temperatureMixtureOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        floor(sqrt($"n_src".cast("double"))).cast("long"))
+    val totals = counts.agg(sum($"n_src").as("n_tot"), sum($"w").as("w_tot"))
+    docs.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("quota", least($"n_src",
+        expr(s"(n_tot div ${TmixBudgetDenom}L) * w div w_tot")))
+      .select($"doc_id", $"source", $"n_src", $"quota",
+        (Dedup.hash60(concat(lit("tmix:"), $"doc_id".cast("string")))
+          % $"n_src" < $"quota").as("picked"))
+      .orderBy($"doc_id")
+  }
+
   /** [[mixtureRebalance]] over any (doc_id, stratum) relation. */
   def mixtureRebalanceOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
