@@ -105,6 +105,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.updateRewriteQuery(s, d)),
     "dsv2_delete_rewrite" -> ((s, d) =>
       graft.sources.GraftCatalog.deleteRewriteQuery(s, d)),
+    "dsv2_bucketed_join" -> ((s, d) =>
+      graft.sources.GraftCatalog.bucketedJoinQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3594,6 +3596,10 @@ object SparkEntry {
     // incremental append-only read (startVersion option): exactly the
     // post-backfill commits vs their closed form
     "dsv2_incremental_read" -> graft.sources.ManifestV2.incrementalReadSql(),
+
+    // PARTITIONED BY tables + storage-partitioned join in pure SQL vs
+    // the same join off the base tables
+    "dsv2_bucketed_join" -> graft.sources.GraftCatalog.bucketedJoinSql(),
 
     // table-as-a-stream: snapshot versions are offsets, commits are
     // micro-batches; the running aggregate vs the whole table

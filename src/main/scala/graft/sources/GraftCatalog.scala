@@ -130,8 +130,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables do not support partition transforms")
+    // PARTITIONED BY (col): one identity transform on a BIGINT column.
+    // Writes cluster on it and land bucket-pure files; reads report
+    // KeyGroupedPartitioning, so co-partitioned tables join with no
+    // exchange (the storage-partitioned-join layout as SQL DDL).
+    val part = partitions.toList match {
+      case Nil => None
+      case t :: Nil if t.name == "identity" && t.references.length == 1 =>
+        val col = t.references.head.fieldNames.mkString(".")
+        val f = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $col is not in the schema"))
+        require(f.dataType == LongType,
+          s"graft partition columns must be BIGINT, got ${f.dataType} " +
+            "(store the bucket id explicitly, e.g. key % 8)")
+        Some(col)
+      case other => throw new UnsupportedOperationException(
+        "graft tables support exactly one identity partition transform, " +
+          s"got: ${other.mkString(", ")}")
+    }
     val d = dirOf(ident)
     if (isTableDir(d))
       throw new org.apache.spark.sql.catalyst.analysis
@@ -140,7 +157,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // durable immediately, and the first INSERT's append commit
     // schema-checks against it
     ManifestV2.writeManifest(d,
-      ManifestV2.ManifestState(schema, Map.empty, Seq.empty))
+      ManifestV2.ManifestState(schema, Map.empty, Seq.empty, part = part))
     new ManifestTable(d.toString, null)
   }
 
@@ -554,6 +571,54 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
       |FROM orders WHERE o_orderkey % 2 <> 0
       |GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for PARTITIONED TABLES + the storage-
+    * partitioned join, in pure SQL: two tables created
+    * `PARTITIONED BY (bk)` (bk = custkey % 8, stored explicitly),
+    * loaded through the clustered-write path (every staged file lands
+    * single-valued on bk, provably via its stats box), then joined on
+    * (bk, ck) — the co-partitioned layout means Spark zips the bucket
+    * groups directly with NO exchange on either side (CatalogSpec pins
+    * the plan; here the hash pins the join's semantics). This is the
+    * Iceberg bucketed-join shape as DDL: at 100 TB the eliminated
+    * shuffle IS the join cost.
+    */
+  def bucketedJoinQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_bj_orders_src")
+    graft.Tables.customer(spark, dir)
+      .createOrReplaceTempView("graft_bj_cust_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.ob")
+    spark.sql("DROP TABLE IF EXISTS graft.db.cb")
+    spark.sql("""CREATE TABLE graft.db.ob (ck BIGINT, okey BIGINT, bk BIGINT)
+      |PARTITIONED BY (bk)""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.ob
+      |SELECT o_custkey, o_orderkey, o_custkey % 8
+      |FROM graft_bj_orders_src""".stripMargin)
+    spark.sql("""CREATE TABLE graft.db.cb (ck BIGINT, bk BIGINT)
+      |PARTITIONED BY (bk)""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.cb
+      |SELECT c_custkey, c_custkey % 8 FROM graft_bj_cust_src""".stripMargin)
+    spark.sql("""SELECT o.bk AS bk, COUNT(*) AS n,
+      |  CAST(SUM(o.okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.ob o JOIN graft.db.cb c
+      |  ON o.bk = c.bk AND o.ck = c.ck
+      |GROUP BY o.bk ORDER BY bk""".stripMargin)
+  }
+
+  /** [[bucketedJoinQuery]] oracle: the same join stated straight off
+    * the base tables.
+    */
+  def bucketedJoinSql(): String =
+    """SELECT o_custkey % 8 AS bk, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY bk""".stripMargin
 
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off
     * `orders`.

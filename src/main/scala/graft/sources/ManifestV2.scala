@@ -5,9 +5,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
@@ -157,8 +159,11 @@ object ManifestV2 {
 
   /** A committed snapshot: its version, the schema, the latest
     * committed streaming epoch per query id (the exactly-once ledger),
-    * and the published data files. Serialized as: line 1 = schema DDL,
-    * line 2 = `@v\tversion`, line 3 = `@epochs\tqid:epoch,...`, then
+    * the identity-partition column (if the table is partitioned), and
+    * the published data files. Serialized as: line 1 = schema DDL,
+    * line 2 = `@v\tversion`, line 3 = `@epochs\tqid:epoch,...`,
+    * line 4 = `@part\tcol` (empty col = unpartitioned; absent on
+    * pre-partitioning manifests, which read as unpartitioned), then
     * one `file\trows[\tcol:min:max,...]` line per file — the whole
     * table state in one atomically-swapped object.
     *
@@ -170,7 +175,8 @@ object ManifestV2 {
     * older manifest may still reference them.
     */
   private[graft] case class ManifestState(schema: StructType,
-      epochs: Map[String, Long], files: Seq[FileEntry], version: Long = 0L)
+      epochs: Map[String, Long], files: Seq[FileEntry], version: Long = 0L,
+      part: Option[String] = None)
 
   /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
     * one (`manifest.v<version>.txt`).
@@ -191,7 +197,11 @@ object ManifestV2 {
           val Array(q, n) = e.split(":", 2); (q, n.toLong)
         }.toMap
       }
-      val files = (3 until lines.size).map { i =>
+      val (part, fileStart) =
+        if (lines.size > 3 && lines.get(3).startsWith("@part\t"))
+          (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
+        else (None, 3)
+      val files = (fileStart until lines.size).map { i =>
         val parts = lines.get(i).split("\t", -1)
         val stats =
           if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, (Long, Long)]
@@ -201,7 +211,7 @@ object ManifestV2 {
           }.toMap
         FileEntry(parts(0), parts(1).toLong, stats)
       }
-      Some(ManifestState(schema, epochs, files.toSeq, v))
+      Some(ManifestState(schema, epochs, files.toSeq, v, part))
     }
   }
 
@@ -216,6 +226,7 @@ object ManifestV2 {
     val epochLine = "@epochs\t" + state.epochs.toSeq.sorted
       .map { case (q, n) => s"$q:$n" }.mkString(",")
     val body = (state.schema.toDDL +: s"@v\t$next" +: epochLine +:
+      s"@part\t${state.part.getOrElse("")}" +:
       state.files.map { e =>
         val stats = e.stats.toSeq.sorted
           .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
@@ -389,15 +400,26 @@ object ManifestV2 {
     }
   }
 
+  /** Flatten commit messages: a plain task emits one [[ManifestCommit]],
+    * a partitioned task one [[ManifestMultiCommit]] (one file per
+    * partition value it received).
+    */
+  private[graft] def flatCommits(
+      messages: Array[WriterCommitMessage]): Seq[ManifestCommit] =
+    messages.toSeq.flatMap {
+      case m: ManifestCommit => Seq(m)
+      case mm: ManifestMultiCommit => mm.parts
+      case _ => Seq.empty
+    }
+
   /** Delete the staged files named by a set of commit messages (task
     * or job abort, or a replayed-epoch discard).
     */
   private[graft] def deleteStaged(path: String,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = rootOf(path)
-    messages.foreach {
-      case m: ManifestCommit => Files.deleteIfExists(root.resolve(m.file)): Unit
-      case _ => ()
+    flatCommits(messages).foreach { m =>
+      Files.deleteIfExists(root.resolve(m.file)): Unit
     }
   }
 
@@ -451,6 +473,9 @@ class ManifestTable(path: String, externalSchema: StructType,
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
     else ManifestV2.readManifest(root, version).map(_.schema)
       .getOrElse(new StructType())
+  override def partitioning(): Array[Transform] =
+    ManifestV2.readManifest(root, version).flatMap(_.part)
+      .map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
@@ -526,7 +551,7 @@ class ManifestTable(path: String, externalSchema: StructType,
       }
     }
     ManifestV2.writeManifest(root,
-      ManifestV2.ManifestState(st.schema, st.epochs, kept))
+      ManifestV2.ManifestState(st.schema, st.epochs, kept, part = st.part))
     // dropped files stay on disk: older manifest versions still
     // reference them (time travel); expireSnapshots reclaims
   }
@@ -534,7 +559,8 @@ class ManifestTable(path: String, externalSchema: StructType,
   override def truncateTable(): Boolean = {
     val st = ManifestV2.readManifest(root).getOrElse(return true)
     ManifestV2.writeManifest(root,
-      ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty))
+      ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty,
+        part = st.part))
     true
   }
 
@@ -608,13 +634,22 @@ class ManifestRowLevelOperation(path: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def description(): String =
-          ManifestRowLevelOperation.this.description()
-        override def toBatch: BatchWrite =
-          new ManifestReplaceDataWrite(path, info.schema(),
-            ManifestRowLevelOperation.this)
-      }
+      override def build(): Write =
+        ManifestV2.readManifest(root).flatMap(_.part) match {
+          case Some(col) =>
+            // the rewrite of a partitioned table must land bucket-pure
+            // files again: same clustered distribution, same splitter
+            new ManifestPartitionedWrite(path, info.schema(), col,
+              truncate = false,
+              replacing = Some(ManifestRowLevelOperation.this))
+          case None => new Write {
+            override def description(): String =
+              ManifestRowLevelOperation.this.description()
+            override def toBatch: BatchWrite =
+              new ManifestReplaceDataWrite(path, info.schema(),
+                ManifestRowLevelOperation.this)
+          }
+        }
     }
 }
 
@@ -675,10 +710,14 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation,
   * and the manifest untouched, exactly like a batch-write abort.
   */
 class ManifestReplaceDataWrite(path: String, schema: StructType,
-    op: ManifestRowLevelOperation) extends BatchWrite {
+    op: ManifestRowLevelOperation,
+    partitioned: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema)
+    partitioned match {
+      case Some(col) => new ManifestPartitionedWriterFactory(path, schema, col)
+      case None => new ManifestWriterFactory(path, schema)
+    }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
@@ -689,19 +728,18 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
         s"rewrite has ${schema.toDDL}")
     val gone = op.replaced.map(_.file).toSet
     val kept = st.files.filterNot(e => gone.contains(e.file))
-    val added = messages.collect {
-      case m: ManifestCommit if m.rows > 0 =>
-        ManifestV2.FileEntry(m.file, m.rows, m.stats)
+    val parts = ManifestV2.flatCommits(messages)
+    val added = parts.collect {
+      case m if m.rows > 0 => ManifestV2.FileEntry(m.file, m.rows, m.stats)
     }
     // rows == 0 staged files (a task whose whole group was deleted)
     // are reclaimed right away: no manifest ever references them
-    messages.foreach {
-      case m: ManifestCommit if m.rows == 0L =>
-        Files.deleteIfExists(root.resolve(m.file)): Unit
-      case _ => ()
+    parts.foreach { m =>
+      if (m.rows == 0L) Files.deleteIfExists(root.resolve(m.file)): Unit
     }
     ManifestV2.writeManifest(root,
-      ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added))
+      ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
+        part = st.part))
     // replaced files stay on disk: older manifest versions reference
     // them (time travel); expireSnapshots is the reclamation path
   }
@@ -721,13 +759,57 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
     truncate: Boolean) extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, info, truncate = true)
-  override def build(): Write = new Write {
-    override def description(): String = s"graft ManifestV2 write -> $path"
-    override def toBatch: BatchWrite =
-      new ManifestBatchWrite(path, info.schema(), truncate)
-    override def toStreaming: StreamingWrite =
-      new ManifestStreamingWrite(path, info.schema(), info.queryId(), truncate)
+  override def build(): Write = {
+    val part = ManifestV2.readManifest(ManifestV2.rootOf(path))
+      .flatMap(_.part)
+    part match {
+      case Some(col) => new ManifestPartitionedWrite(path, info.schema(),
+        col, truncate, replacing = None)
+      case None => new Write {
+        override def description(): String =
+          s"graft ManifestV2 write -> $path"
+        override def toBatch: BatchWrite =
+          new ManifestBatchWrite(path, info.schema(), truncate)
+        override def toStreaming: StreamingWrite =
+          new ManifestStreamingWrite(path, info.schema(), info.queryId(),
+            truncate)
+      }
+    }
   }
+}
+
+/** The write of an identity-partitioned table (and of a row-level
+  * rewrite against one, when `replacing` carries the operation): it
+  * DEMANDS a clustered distribution on the partition column
+  * ([[RequiresDistributionAndOrdering]] — Spark inserts the shuffle,
+  * exactly the Iceberg write-distribution shape), and every task
+  * splits its rows into ONE STAGED FILE PER PARTITION VALUE. The
+  * result is the bucketed layout the read side's storage-partitioned
+  * join consumes: each file single-valued on the partition column,
+  * provably so through its [min,max] stats box — which also keeps
+  * partition-aligned DELETEs on the metadata-only path for free.
+  */
+class ManifestPartitionedWrite(path: String, schema: StructType,
+    partCol: String, truncate: Boolean,
+    replacing: Option[ManifestRowLevelOperation])
+    extends Write with RequiresDistributionAndOrdering {
+  require(schema.fieldNames.contains(partCol),
+    s"write schema ${schema.toDDL} lacks partition column $partCol")
+  override def description(): String =
+    s"graft ManifestV2 partitioned($partCol) write -> $path"
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity(partCol)))
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def toBatch: BatchWrite = replacing match {
+    case Some(op) => new ManifestReplaceDataWrite(path, schema, op,
+      partitioned = Some(partCol))
+    case None => new ManifestBatchWrite(path, schema, truncate,
+      partitioned = Some(partCol))
+  }
+  override def toStreaming: StreamingWrite =
+    throw new UnsupportedOperationException(
+      "streaming writes into a partitioned graft table are not supported" +
+        " — stream into an unpartitioned table and compact")
 }
 
 class ManifestScanBuilder(root: Path, full: StructType,
@@ -739,24 +821,52 @@ class ManifestScanBuilder(root: Path, full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
-    val files = fixedFiles.getOrElse(ManifestV2.readManifest(root, version)
-      .map(_.files).getOrElse(Seq.empty))
+    val st = ManifestV2.readManifest(root, version)
+    val files = fixedFiles.getOrElse(st.map(_.files).getOrElse(Seq.empty))
     new ManifestScan(root.toString, full, required, files,
-      streamable = streamable && version < 0)
+      streamable = streamable && version < 0,
+      partCol = st.flatMap(_.part))
   }
 }
 
 class ManifestScan(root: String, full: StructType, required: StructType,
-    files: Seq[ManifestV2.FileEntry], streamable: Boolean = true)
-    extends Scan with Batch {
+    files: Seq[ManifestV2.FileEntry], streamable: Boolean = true,
+    partCol: Option[String] = None)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft ManifestV2 files=${files.size} cols=[${required.fieldNames.mkString(",")}]"
+    s"graft ManifestV2 files=${files.size} " +
+      s"cols=[${required.fieldNames.mkString(",")}]" +
+      (if (keyGrouped) s" keyGrouped=${partCol.get}" else "")
+
+  private def keyOf(e: ManifestV2.FileEntry): Option[Long] =
+    partCol.flatMap(e.stats.get).collect { case (lo, hi) if lo == hi => lo }
+  private val dataFiles = files.filter(_.rows > 0L)
+  /** The storage-partitioned-join contract holds iff every (non-empty)
+    * file is PROVABLY single-valued on the partition column — its
+    * stats box is a point. The partitioned write path guarantees that
+    * by construction; an old pre-partitioning file would simply turn
+    * the report off rather than lie.
+    */
+  private val keyGrouped: Boolean =
+    partCol.exists(required.fieldNames.contains) &&
+      dataFiles.nonEmpty && dataFiles.forall(e => keyOf(e).isDefined)
+
+  override def outputPartitioning(): Partitioning =
+    if (keyGrouped)
+      new KeyGroupedPartitioning(Array(Expressions.column(partCol.get)),
+        planInputPartitions().length)
+    else new UnknownPartitioning(
+      planInputPartitions().length)
+
   // one split per committed file: write-task parallelism == read
   // parallelism, with no directory listing (the manifest IS the listing)
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => ManifestFilePartition(root, f.file)).toArray
+    if (keyGrouped)
+      dataFiles.map(f =>
+        ManifestBucketedPartition(root, f.file, keyOf(f).get)).toArray
+    else files.map(f => ManifestFilePartition(root, f.file)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -809,10 +919,22 @@ class ManifestMicroBatchStream(root: Path, full: StructType,
 
 case class ManifestFilePartition(root: String, file: String) extends InputPartition
 
+/** A split of an identity-partitioned table: the file plus its proven
+  * partition value — the [[HasPartitionKey]] Spark's SPJ machinery
+  * zips co-bucketed splits by.
+  */
+case class ManifestBucketedPartition(root: String, file: String, key: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(Seq(key))
+}
+
 class ManifestReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val fp = p.asInstanceOf[ManifestFilePartition]
+    val fp = p match {
+      case f: ManifestFilePartition => f
+      case b: ManifestBucketedPartition => ManifestFilePartition(b.root, b.file)
+    }
     // parse ONLY the pruned columns, by position in the full schema;
     // the `_file` METADATA column (index -1) is served from the split
     // itself — provenance costs no parsing at all
@@ -842,9 +964,13 @@ class ManifestReaderFactory(full: StructType, required: StructType)
   * files into the manifest atomically, or delete them on job abort.
   */
 class ManifestBatchWrite(path: String, schema: StructType,
-    truncate: Boolean = false) extends BatchWrite {
+    truncate: Boolean = false,
+    partitioned: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema)
+    partitioned match {
+      case Some(col) => new ManifestPartitionedWriterFactory(path, schema, col)
+      case None => new ManifestWriterFactory(path, schema)
+    }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
@@ -853,14 +979,15 @@ class ManifestBatchWrite(path: String, schema: StructType,
       require(ManifestV2.sameShape(p.schema, schema),
         s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
     }
-    val added = messages.map { case m: ManifestCommit =>
-      ManifestV2.FileEntry(m.file, m.rows, m.stats) }
+    val added = ManifestV2.flatCommits(messages).map(m =>
+      ManifestV2.FileEntry(m.file, m.rows, m.stats))
     val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
     // an append onto an existing table KEEPS the table's schema (incl.
     // its nullability) — the write's tighter schema must not narrow it
     ManifestV2.writeManifest(root, ManifestV2.ManifestState(
       prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
-      prev.map(_.epochs).getOrElse(Map.empty), kept ++ added))
+      prev.map(_.epochs).getOrElse(Map.empty), kept ++ added,
+      part = prev.flatMap(_.part).orElse(partitioned)))
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
     // expireSnapshots is the only reclamation path
@@ -904,13 +1031,13 @@ class ManifestStreamingWrite(path: String, schema: StructType,
       // the snapshot — publish nothing, reclaim the replay's files
       ManifestV2.deleteStaged(path, messages)
     } else {
-      val added = messages.map { case m: ManifestCommit =>
-        ManifestV2.FileEntry(m.file, m.rows, m.stats) }
+      val added = ManifestV2.flatCommits(messages).map(m =>
+        ManifestV2.FileEntry(m.file, m.rows, m.stats))
       val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
       ManifestV2.writeManifest(root, ManifestV2.ManifestState(
         prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
         prev.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
-        kept ++ added))
+        kept ++ added, part = prev.flatMap(_.part)))
       // replaced files stay for time travel; expireSnapshots reclaims
     }
   }
@@ -921,6 +1048,43 @@ class ManifestStreamingWrite(path: String, schema: StructType,
 
 case class ManifestCommit(file: String, rows: Long,
     stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
+
+/** Commit of a partitioned write task: one staged file per partition
+  * value the task received.
+  */
+case class ManifestMultiCommit(parts: Seq[ManifestCommit])
+    extends WriterCommitMessage
+
+/** Ships to executors for identity-partitioned writes: rows are routed
+  * to one [[ManifestDataWriter]] per partition value (the clustered
+  * distribution bounds live writers at values-per-task, typically 1),
+  * so every staged file is single-valued — and provably so through its
+  * stats box — on the partition column.
+  */
+class ManifestPartitionedWriterFactory(path: String, schema: StructType,
+    partCol: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
+    val idx = schema.fieldIndex(partCol)
+    new DataWriter[InternalRow] {
+      private val open =
+        scala.collection.mutable.LinkedHashMap.empty[Long, ManifestDataWriter]
+      override def write(record: InternalRow): Unit = {
+        if (record.isNullAt(idx)) throw new IllegalArgumentException(
+          s"partition column $partCol must not be NULL")
+        val k = record.getLong(idx)
+        open.getOrElseUpdate(k,
+          new ManifestDataWriter(path, schema, partitionId, taskId,
+            tag = s"p$k")).write(record)
+      }
+      override def commit(): WriterCommitMessage =
+        ManifestMultiCommit(open.values.toSeq.map(w =>
+          w.commit().asInstanceOf[ManifestCommit]))
+      override def abort(): Unit = open.values.foreach(_.abort())
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** Ships to executors (the streaming-write analog of
   * [[ManifestWriterFactory]]); the epoch lands in the staged file name

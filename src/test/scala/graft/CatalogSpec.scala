@@ -175,6 +175,55 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.upd")
   }
 
+  test("PARTITIONED BY: clustered writes land bucket-pure files; the join plans no shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.pa")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.pb")
+    spark.sql(
+      "CREATE TABLE graft.spec.pa (k BIGINT, bk BIGINT) PARTITIONED BY (bk)")
+    spark.sql(
+      "CREATE TABLE graft.spec.pb (k BIGINT, v BIGINT, bk BIGINT) PARTITIONED BY (bk)")
+    // 5-partition inputs: the write's REQUIRED clustered distribution
+    // must shuffle them so every staged file is single-valued on bk
+    spark.sql("""INSERT INTO graft.spec.pa
+      |SELECT id, id % 4 FROM range(0, 100, 1, 5)""".stripMargin)
+    spark.sql("""INSERT INTO graft.spec.pb
+      |SELECT id, id * 3, id % 4 FROM range(0, 100, 1, 5)""".stripMargin)
+    val pa = manifestFiles("spec", "pa")
+    assert(pa.nonEmpty && pa.forall { case (_, s) =>
+      s.get("bk").exists(b => b._1 == b._2) },
+      s"every file must be bucket-pure: $pa")
+    assert(pa.map(_._2("bk")._1).toSet == Set(0L, 1L, 2L, 3L))
+
+    // co-partitioned join: storage keys (bk) under join keys (bk, k) —
+    // the SPJ zips bucket groups, no hash exchange on the data path
+    val joined = spark.sql("""SELECT a.bk AS bk, COUNT(*) AS n,
+      |  CAST(SUM(b.v) AS BIGINT) AS vsum
+      |FROM graft.spec.pa a JOIN graft.spec.pb b
+      |  ON a.bk = b.bk AND a.k = b.k
+      |GROUP BY a.bk ORDER BY bk""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"co-partitioned tables must join with no shuffle:\n$plan")
+    val got = joined.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (0L until 4L).map(b =>
+      (b, 25L, (0L until 100L).filter(_ % 4 == b).map(_ * 3).sum)).toSeq
+    assert(got == want, s"got $got")
+
+    // partition-aligned DELETE stays metadata-only: survivors by name
+    val before = manifestFiles("spec", "pa").map(_._1).toSet
+    spark.sql("DELETE FROM graft.spec.pa WHERE bk = 2")
+    val after = manifestFiles("spec", "pa").map(_._1).toSet
+    assert(after.subsetOf(before) && after.size == before.size - 1,
+      "bucket-aligned delete must drop exactly the bucket's file, " +
+        s"rewriting nothing: before=$before after=$after")
+    spark.sql("DROP TABLE graft.spec.pa")
+    spark.sql("DROP TABLE graft.spec.pb")
+  }
+
   test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
@@ -235,7 +284,7 @@ class CatalogSpec extends AnyFunSuite {
     val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "prov",
       "manifest.txt"))
-    val want = (3 until manifest.size).map { i => // schema, @v, @epochs
+    val want = (4 until manifest.size).map { i => // schema, @v, @epochs, @part
       val p = manifest.get(i).split("\t"); (p(0), p(1).toLong)
     }.toMap.filter(_._2 > 0) // zero-row task files never emit a group
     assert(perFile == want, s"got $perFile want $want")
@@ -250,7 +299,7 @@ class CatalogSpec extends AnyFunSuite {
     val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "st",
       "manifest.txt"))
-    val fileLines = (3 until manifest.size).map(manifest.get)
+    val fileLines = (4 until manifest.size).map(manifest.get)
     assert(fileLines.exists(_.contains("k:5:14")), fileLines.mkString("\n"))
     assert(!fileLines.exists(_.contains("s:")), "no stats for string columns")
     spark.sql("DROP TABLE graft.spec.st")
