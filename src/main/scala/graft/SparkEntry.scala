@@ -107,6 +107,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.deleteRewriteQuery(s, d)),
     "dsv2_bucketed_join" -> ((s, d) =>
       graft.sources.GraftCatalog.bucketedJoinQuery(s, d)),
+    "dsv2_compact_table" -> ((s, d) =>
+      graft.sources.GraftCatalog.compactTableQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3600,6 +3602,10 @@ object SparkEntry {
     // PARTITIONED BY tables + storage-partitioned join in pure SQL vs
     // the same join off the base tables
     "dsv2_bucketed_join" -> graft.sources.GraftCatalog.bucketedJoinSql(),
+
+    // CALL graft.system.compact: fragments merged in one atomic swap;
+    // the hash covers both the survivors and the accounting row
+    "dsv2_compact_table" -> graft.sources.GraftCatalog.compactTableSql(),
 
     // table-as-a-stream: snapshot versions are offsets, commits are
     // micro-batches; the running aggregate vs the whole table

@@ -273,14 +273,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "expire_snapshots"))
+      Array(Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "compact"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "expire_snapshots")
       new ExpireSnapshotsProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "compact")
+      new CompactProcedure(warehouse)
     else throw new IllegalArgumentException(s"no such procedure: $ident")
+}
+
+/** `CALL graft.system.compact(ns => …, tbl => …, max_rows => n)`: the
+  * OPTIMIZE maintenance pass as a V2 procedure — merge every file
+  * smaller than `max_rows` into ~ceil(rows/max_rows) files via a
+  * distributed rewrite committed as ONE atomic manifest swap
+  * ([[ManifestV2.compactSnapshot]]). Returns one accounting row
+  * (files_in, files_out, rows_rewritten).
+  */
+class CompactProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "compact"
+  override def description(): String =
+    "merge fragment files into max_rows-sized ones, one atomic swap"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String = CompactProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates table state
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("max_rows", LongType)
+        .comment("files below this row count are fragments").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val (filesIn, filesOut, rowsRewritten) = ManifestV2.compactSnapshot(
+        org.apache.spark.sql.SparkSession.active, dir.toString,
+        input.getLong(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("files_in", LongType, nullable = false),
+          StructField("files_out", LongType, nullable = false),
+          StructField("rows_rewritten", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(filesIn, filesOut, rowsRewritten)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
 }
 
 /** `CALL graft.system.expire_snapshots(ns => …, tbl => …, keep => n)`:
@@ -619,6 +662,49 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY bk""".stripMargin
+
+  /** Driver-contract query for `CALL graft.system.compact`: the table
+    * is fragmented by four quartile INSERTs, the procedure merges every
+    * fragment in one atomic swap, and the read-back carries BOTH the
+    * data aggregate and the procedure's accounting columns — so the
+    * hash pins that compaction rewrote every row (rows_rewritten =
+    * COUNT(orders)), produced exactly one file (files_out = 1 under a
+    * huge max_rows), and lost or duplicated nothing (the m-grouped
+    * closed form).
+    */
+  def compactTableQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_cmp_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okc")
+    spark.sql("CREATE TABLE graft.db.okc (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okc
+        |SELECT o_orderkey, o_orderkey % 97 FROM graft_cmp_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    spark.sql("""CALL graft.system.compact(ns => 'db', tbl => 'okc',
+      |  max_rows => CAST(100000000 AS BIGINT))""".stripMargin)
+      .select("files_out", "rows_rewritten")
+      .createOrReplaceTempView("graft_cmp_acct")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum,
+      |  files_out, rows_rewritten
+      |FROM graft.db.okc CROSS JOIN graft_cmp_acct
+      |GROUP BY m, files_out, rows_rewritten ORDER BY m""".stripMargin)
+  }
+
+  /** [[compactTableQuery]] oracle: the whole table's closed form with
+    * the deterministic accounting constants.
+    */
+  def compactTableSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum,
+      |  CAST(1 AS BIGINT) AS files_out,
+      |  (SELECT COUNT(*) FROM orders) AS rows_rewritten
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off
     * `orders`.

@@ -305,6 +305,44 @@ object ManifestV2 {
     to.files.filterNot(e => from.contains(e.file))
   }
 
+  /** Compact the current snapshot's fragment files (rows < maxRows)
+    * into ~ceil(rows/maxRows) merged files — the OPTIMIZE/rewrite_data_files
+    * maintenance pass. The rewrite is a DISTRIBUTED Spark job: the
+    * `files` read option plans exactly the fragments (nothing else is
+    * touched or read), and the `replaceFiles` write option makes
+    * drop-fragments + add-merged ONE atomic manifest swap, validated
+    * against concurrent commits (a fragment replaced mid-compaction
+    * fails the rewrite instead of resurrecting rows). Partitioned
+    * tables re-cluster through the partitioned writer, so bucket
+    * purity survives compaction. Replaced fragments stay on disk for
+    * time travel until [[expireSnapshots]].
+    * Returns (filesIn, filesOut, rowsRewritten).
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxRows: Long): (Long, Long, Long) = {
+    require(maxRows > 0, "maxRows must be positive")
+    val root = rootOf(path)
+    val st = readManifest(root).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $root"))
+    val smalls = st.files.filter(e => e.rows > 0 && e.rows < maxRows)
+    if (smalls.size < 2) return (0L, 0L, 0L)
+    val rows = smalls.map(_.rows).sum
+    val names = smalls.map(_.file)
+    val target = math.max(1L, (rows + maxRows - 1L) / maxRows).toInt
+    val frags = spark.read.format("graft.sources.ManifestV2")
+      .option("path", path).option("files", names.mkString(",")).load()
+    // unpartitioned tables coalesce to the target count; partitioned
+    // ones get re-clustered by the write's required distribution anyway
+    (if (st.part.isEmpty) frags.repartition(target) else frags)
+      .write.format("graft.sources.ManifestV2")
+      .option("path", path)
+      .option("replaceFiles", names.mkString(","))
+      .mode("append").save()
+    val after = readManifest(root).map(_.files.size).getOrElse(0)
+    val filesOut = after - (st.files.size - smalls.size)
+    (smalls.size.toLong, filesOut.toLong, rows)
+  }
+
   /** TSV escaping: tab/newline/backslash escaped, null as \N — so a
     * literal tab never appears inside a value and split('\t') is safe.
     */
@@ -488,11 +526,27 @@ class ManifestTable(path: String, externalSchema: StructType,
     * range — the batch half of the change-feed surface (the streaming
     * half is [[ManifestMicroBatchStream]]). At 100 TB a downstream
     * consumer re-processes one commit's files, never the table.
+    * A `files` option (comma-separated manifest-relative names) plans
+    * exactly those files — the maintenance surface compaction reads
+    * its fragments through.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startV = Option(options.get("startVersion")).map(_.toLong)
     val endV = Option(options.get("endVersion")).map(_.toLong)
-    if (startV.isEmpty && endV.isEmpty)
+    val fileList = Option(options.get("files"))
+    if (fileList.isDefined) {
+      require(startV.isEmpty && endV.isEmpty && version < 0,
+        "the files option cannot combine with versioned reads")
+      val want = fileList.get.split(",").filter(_.nonEmpty).toSet
+      val st = ManifestV2.readManifest(root).getOrElse(
+        throw new IllegalArgumentException(s"no manifest at $root"))
+      val missing = want -- st.files.map(_.file).toSet
+      require(missing.isEmpty,
+        s"files not in the current snapshot: ${missing.mkString(", ")}")
+      new ManifestScanBuilder(root, schema(), version,
+        Some(st.files.filter(e => want.contains(e.file))),
+        streamable = false)
+    } else if (startV.isEmpty && endV.isEmpty)
       new ManifestScanBuilder(root, schema(), version)
     else {
       if (version >= 0) throw new UnsupportedOperationException(
@@ -762,14 +816,19 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
   override def build(): Write = {
     val part = ManifestV2.readManifest(ManifestV2.rootOf(path))
       .flatMap(_.part)
+    // maintenance surface: an append that atomically REPLACES the
+    // named files in the same manifest swap (compaction's rewrite)
+    val replace = Option(info.options().get("replaceFiles")).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
     part match {
       case Some(col) => new ManifestPartitionedWrite(path, info.schema(),
-        col, truncate, replacing = None)
+        col, truncate, replacing = None, replaceFiles = replace)
       case None => new Write {
         override def description(): String =
           s"graft ManifestV2 write -> $path"
         override def toBatch: BatchWrite =
-          new ManifestBatchWrite(path, info.schema(), truncate)
+          new ManifestBatchWrite(path, info.schema(), truncate,
+            replaceFiles = replace)
         override def toStreaming: StreamingWrite =
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
             truncate)
@@ -791,7 +850,8 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
   */
 class ManifestPartitionedWrite(path: String, schema: StructType,
     partCol: String, truncate: Boolean,
-    replacing: Option[ManifestRowLevelOperation])
+    replacing: Option[ManifestRowLevelOperation],
+    replaceFiles: Seq[String] = Seq.empty)
     extends Write with RequiresDistributionAndOrdering {
   require(schema.fieldNames.contains(partCol),
     s"write schema ${schema.toDDL} lacks partition column $partCol")
@@ -804,7 +864,7 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     case Some(op) => new ManifestReplaceDataWrite(path, schema, op,
       partitioned = Some(partCol))
     case None => new ManifestBatchWrite(path, schema, truncate,
-      partitioned = Some(partCol))
+      partitioned = Some(partCol), replaceFiles = replaceFiles)
   }
   override def toStreaming: StreamingWrite =
     throw new UnsupportedOperationException(
@@ -965,7 +1025,8 @@ class ManifestReaderFactory(full: StructType, required: StructType)
   */
 class ManifestBatchWrite(path: String, schema: StructType,
     truncate: Boolean = false,
-    partitioned: Option[String] = None) extends BatchWrite {
+    partitioned: Option[String] = None,
+    replaceFiles: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     partitioned match {
       case Some(col) => new ManifestPartitionedWriterFactory(path, schema, col)
@@ -979,9 +1040,21 @@ class ManifestBatchWrite(path: String, schema: StructType,
       require(ManifestV2.sameShape(p.schema, schema),
         s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
     }
+    // replaceFiles (compaction): drop-olds and add-news are ONE swap,
+    // and every named file must still be current — a file replaced by
+    // a concurrent commit fails the rewrite instead of resurrecting
+    // (optimistic concurrency, the Iceberg validation shape)
+    val gone = replaceFiles.toSet
+    val stillThere = prev.map(_.files.map(_.file).toSet).getOrElse(Set.empty)
+    val lost = gone -- stillThere
+    require(lost.isEmpty,
+      s"concurrent commit replaced ${lost.mkString(", ")} — retry compaction")
     val added = ManifestV2.flatCommits(messages).map(m =>
       ManifestV2.FileEntry(m.file, m.rows, m.stats))
-    val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
+    val kept =
+      if (truncate) Seq.empty
+      else prev.map(_.files).getOrElse(Seq.empty)
+        .filterNot(e => gone.contains(e.file))
     // an append onto an existing table KEEPS the table's schema (incl.
     // its nullability) — the write's tighter schema must not narrow it
     ManifestV2.writeManifest(root, ManifestV2.ManifestState(

@@ -224,6 +224,77 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.pb")
   }
 
+  test("CALL graft.system.compact merges fragments in one atomic swap") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.cpt")
+    spark.sql("CREATE TABLE graft.spec.cpt (k BIGINT)")
+    for (i <- 0 until 6)
+      spark.sql(s"""INSERT INTO graft.spec.cpt
+        |SELECT id FROM range(${i * 10}, ${(i + 1) * 10}, 1, 1)""".stripMargin)
+    val before = manifestFiles("spec", "cpt")
+    assert(before.size == 6)
+    val preVersion = {
+      val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+      graft.sources.ManifestV2.readManifest(
+        java.nio.file.Paths.get(wh, "spec", "cpt")).get.version
+    }
+    val acct = spark.sql("""CALL graft.system.compact(
+      |ns => 'spec', tbl => 'cpt', max_rows => CAST(1000 AS BIGINT))"""
+      .stripMargin).head()
+    assert((acct.getLong(0), acct.getLong(1), acct.getLong(2)) == (6L, 1L, 60L),
+      s"accounting: $acct")
+    val after = manifestFiles("spec", "cpt")
+    assert(after.size == 1 && after.head._2("k") == (0L, 59L),
+      s"one merged file expected: $after")
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s FROM graft.spec.cpt")
+      .head().toSeq == Seq(60L, (0L until 60L).sum))
+    // the pre-compaction snapshot is still readable: the swap replaced,
+    // never mutated
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.spec.cpt VERSION AS OF $preVersion")
+      .head().getLong(0) == 60L)
+    // optimistic concurrency: replacing an already-replaced file fails
+    // instead of resurrecting it
+    val stale = before.head._1
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("id AS k")
+        .write.format("graft.sources.ManifestV2")
+        .option("path", java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.catalog.graft.warehouse"),
+          "spec", "cpt").toString)
+        .option("replaceFiles", stale)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("concurrent commit") ||
+      Option(e.getCause).exists(_.getMessage.contains("concurrent commit")),
+      s"stale replace must fail loudly: ${e.getMessage}")
+    spark.sql("DROP TABLE graft.spec.cpt")
+  }
+
+  test("compacting a partitioned table keeps every file bucket-pure") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.cpp")
+    spark.sql(
+      "CREATE TABLE graft.spec.cpp (k BIGINT, bk BIGINT) PARTITIONED BY (bk)")
+    for (i <- 0 until 3)
+      spark.sql(s"""INSERT INTO graft.spec.cpp
+        |SELECT id, id % 4 FROM range(${i * 20}, ${(i + 1) * 20}, 1, 1)"""
+        .stripMargin)
+    assert(manifestFiles("spec", "cpp").size == 12, "3 inserts x 4 buckets")
+    spark.sql("""CALL graft.system.compact(
+      |ns => 'spec', tbl => 'cpp', max_rows => CAST(1000 AS BIGINT))"""
+      .stripMargin).collect()
+    val after = manifestFiles("spec", "cpp")
+    assert(after.size == 4, s"one file per bucket expected: $after")
+    assert(after.forall { case (_, s) => s("bk")._1 == s("bk")._2 },
+      s"bucket purity must survive compaction: $after")
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s FROM graft.spec.cpp")
+      .head().toSeq == Seq(60L, (0L until 60L).sum))
+    spark.sql("DROP TABLE graft.spec.cpp")
+  }
+
   test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
