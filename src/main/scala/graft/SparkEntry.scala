@@ -109,6 +109,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.bucketedJoinQuery(s, d)),
     "dsv2_compact_table" -> ((s, d) =>
       graft.sources.GraftCatalog.compactTableQuery(s, d)),
+    "dsv2_add_column" -> ((s, d) =>
+      graft.sources.GraftCatalog.addColumnQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3606,6 +3608,10 @@ object SparkEntry {
     // CALL graft.system.compact: fragments merged in one atomic swap;
     // the hash covers both the survivors and the accounting row
     "dsv2_compact_table" -> graft.sources.GraftCatalog.compactTableSql(),
+
+    // additive schema evolution: pre-evolution rows null-fill, later
+    // rows carry values — both populations vs the closed form
+    "dsv2_add_column" -> graft.sources.GraftCatalog.addColumnSql(),
 
     // table-as-a-stream: snapshot versions are offsets, commits are
     // micro-batches; the running aggregate vs the whole table

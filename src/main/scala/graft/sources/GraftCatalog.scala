@@ -161,9 +161,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new ManifestTable(d.toString, null)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"graft catalog does not alter tables (got: ${changes.mkString(", ")})")
+  /** SCHEMA EVOLUTION, the additive half (`ALTER TABLE … ADD COLUMN`):
+    * the manifest's schema line grows, data files are untouched, and
+    * the reader null-fills the missing trailing cells of pre-evolution
+    * files — the Delta/Iceberg add-column shape, O(1) at any table
+    * size because no row is rewritten. Appended columns must be
+    * nullable (old rows HAVE no value), top-level, default-free, and
+    * land at the end (the row format is positional, so reordering or
+    * dropping would re-address every historical file's cells — those
+    * evolutions are the rewrite-shaped kind this connector refuses).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val st = ManifestV2.readManifest(d).get
+    var schema = st.schema
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested column adds are not supported: ${a.fieldNames.mkString(".")}")
+        require(a.isNullable,
+          s"added column ${a.fieldNames.head} must be nullable — " +
+            "pre-evolution rows have no value for it")
+        require(a.position() == null,
+          "added columns land at the end (positional row format)")
+        require(a.defaultValue() == null,
+          "column defaults are not supported")
+        require(!schema.fieldNames.contains(a.fieldNames.head),
+          s"column ${a.fieldNames.head} already exists")
+        schema = schema.add(StructField(a.fieldNames.head, a.dataType,
+          nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"graft tables only evolve by ADD COLUMN (got: $other)")
+    }
+    ManifestV2.writeManifest(d, ManifestV2.ManifestState(
+      schema, st.epochs, st.files, part = st.part))
+    new ManifestTable(d.toString, null)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirOf(ident)
@@ -704,6 +738,43 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum,
       |  CAST(1 AS BIGINT) AS files_out,
       |  (SELECT COUNT(*) FROM orders) AS rows_rewritten
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for ADDITIVE SCHEMA EVOLUTION: half the
+    * orders land under the one-column schema, `ALTER TABLE … ADD
+    * COLUMN m` grows the manifest schema without touching a data file,
+    * and the other half lands two-columned. The read-back groups by
+    * COALESCE(m, -1), so the hash pins BOTH populations: pre-evolution
+    * rows must null-fill (bucket -1) and post-evolution rows must
+    * carry their real m — a reader off-by-one on the positional cells,
+    * or an evolution that rewrote/dropped anything, mismatches.
+    */
+  def addColumnQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_evo_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.evo")
+    spark.sql("CREATE TABLE graft.db.evo (okey BIGINT)")
+    spark.sql("""INSERT INTO graft.db.evo
+      |SELECT o_orderkey FROM graft_evo_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMN m BIGINT")
+    spark.sql("""INSERT INTO graft.db.evo
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_evo_orders_src
+      |WHERE o_orderkey % 2 <> 0""".stripMargin)
+    spark.sql("""SELECT COALESCE(m, -1) AS m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.evo GROUP BY 1 ORDER BY m""".stripMargin)
+  }
+
+  /** [[addColumnQuery]] oracle: both populations stated off `orders`. */
+  def addColumnSql(): String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN -1
+      |    ELSE o_orderkey % 97 END AS m,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off

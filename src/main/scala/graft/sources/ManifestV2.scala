@@ -1009,8 +1009,11 @@ class ManifestReaderFactory(full: StructType, required: StructType)
       override def next(): Boolean = {
         if (!lines.hasNext) return false
         val cells = lines.next().split("\t", -1)
+        // a file written BEFORE an ADD COLUMN evolution has fewer
+        // cells than the current schema: the missing trailers are NULL
         row = InternalRow.fromSeq(idx.toIndexedSeq.map(i =>
           if (i < 0) fileName
+          else if (i >= cells.length) null
           else ManifestV2.parseCell(cells(i), full.fields(i).dataType)))
         true
       }

@@ -295,6 +295,37 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.cpp")
   }
 
+  test("ADD COLUMN evolves the schema; old files null-fill, rewrites are refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.evo")
+    spark.sql("CREATE TABLE graft.spec.evo (k BIGINT)")
+    spark.sql("INSERT INTO graft.spec.evo VALUES (1), (2)") // v2, one-column
+    spark.sql("ALTER TABLE graft.spec.evo ADD COLUMN tag STRING") // v3
+    spark.sql("INSERT INTO graft.spec.evo VALUES (3, 'new')")
+    val got = spark.sql(
+      "SELECT k, tag FROM graft.spec.evo ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some("new"))),
+      s"old rows must null-fill the added column: $got")
+    // the pre-evolution snapshot still reads with its own schema
+    assert(spark.sql("SELECT * FROM graft.spec.evo VERSION AS OF 2")
+      .schema.fieldNames.sameElements(Array("k")))
+    // rewrite-shaped evolutions are refused loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.spec.evo ADD COLUMN bad BIGINT NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.spec.evo DROP COLUMN tag")
+    }
+    // a by-name insert omitting the new column: Spark pads it with
+    // NULL before the write, so the connector still receives (and
+    // stores) full-width rows — no positional shift is possible
+    spark.sql("INSERT INTO graft.spec.evo (k) VALUES (4)")
+    assert(spark.sql("SELECT tag FROM graft.spec.evo WHERE k = 4")
+      .head().isNullAt(0))
+    spark.sql("DROP TABLE graft.spec.evo")
+  }
+
   test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
