@@ -193,6 +193,8 @@ object SparkEntry {
     "winsorize" -> ((s, d) => Relational.winsorize(s, d)),
     "dq_audit" -> ((s, d) => Audit.dqAudit(s, d)),
     "listagg_sessions" -> ((s, d) => Relational.listaggSessions(s, d)),
+    "sql_variables_pipeline" -> ((s, d) => Relational.sqlVariablesQuery(s, d)),
+    "sql_scripting_loop" -> ((s, d) => Relational.sqlScriptingQuery(s, d)),
     "collation_group" -> ((s, d) => TextOps.collationGroup(s, d)),
     "forget_user_cascade" -> ((s, d) => Audit.forgetUserCascade(s, d)),
     "t_closeness_audit" -> ((s, d) => Audit.tClosenessAudit(s, d)),
@@ -3717,6 +3719,13 @@ object SparkEntry {
     // Spark 4 ListAgg WITHIN GROUP vs DuckDB ordered string_agg over
     // the same (ts, event_id)-total order and identical prefix cap
     "listagg_sessions" -> Relational.listaggSessionsSql(),
+
+    // session variable + SQL UDF + EXECUTE IMMEDIATE ... USING vs the
+    // closed form with variable and UDF inlined
+    "sql_variables_pipeline" -> Relational.sqlVariablesSql(),
+
+    // SQL scripting WHILE loop vs its bit-arithmetic closed form
+    "sql_scripting_loop" -> Relational.sqlScriptingSql(),
 
     // UTF8_LCASE-collated grouping vs lower()-keyed grouping — proven
     // equivalent on the asserted ASCII-lowercase token domain

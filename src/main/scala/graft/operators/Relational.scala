@@ -2145,6 +2145,82 @@ object Relational {
        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
        |FROM capped WHERE rn <= $cap GROUP BY user_id""".stripMargin
 
+  /** The Spark-4 SQL programmability surface in one pipeline: a
+    * SESSION VARIABLE declared and SET VAR'd from a scalar subquery
+    * (the half-max order key), a SQL UDF (`CREATE TEMPORARY FUNCTION …
+    * RETURN expr` — a catalog function defined in SQL, inlined by the
+    * analyzer into the plan, codegen-friendly unlike an external UDF),
+    * and EXECUTE IMMEDIATE running a parameter-marker query with the
+    * variable bound via USING. The oracle states the same algebra with
+    * the variable inlined as a subquery — so the hash pins that the
+    * variable capture, the UDF body, and the parameter binding all
+    * computed exactly what the closed form says.
+    */
+  def sqlVariablesQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_var_orders_src")
+    spark.sql(
+      "DECLARE OR REPLACE VARIABLE graft_half_max BIGINT")
+    spark.sql("""SET VAR graft_half_max =
+      |  (SELECT MAX(o_orderkey) div 2 FROM graft_var_orders_src)"""
+      .stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bucket(x BIGINT)
+      |RETURNS BIGINT RETURN x % 97""".stripMargin)
+    spark.sql("""EXECUTE IMMEDIATE
+      |'SELECT graft_bucket(o_orderkey) AS m, COUNT(*) AS n,
+      |   CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      | FROM graft_var_orders_src WHERE o_orderkey <= ?
+      | GROUP BY 1 ORDER BY m'
+      |USING graft_half_max""".stripMargin)
+  }
+
+  /** [[sqlVariablesQuery]] oracle: the variable inlined as a scalar
+    * subquery, the UDF inlined as its body.
+    */
+  def sqlVariablesSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders
+      |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Spark-4 SQL SCRIPTING (`BEGIN … END` with control flow): a WHILE
+    * loop doubles an accumulator to the smallest power of two at or
+    * above the max order key, counting iterations — procedural SQL
+    * whose final SELECT is the script's result. The oracle states the
+    * closed form with the loop replaced by bit arithmetic
+    * (`1 << bitlen(mx − 1)`), so the hash pins that the loop ran the
+    * exact integer recurrence. Driver-side control flow over
+    * metadata-sized state only — the single corpus touch is the MAX
+    * aggregate.
+    */
+  def sqlScriptingQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_scr_orders_src")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    spark.sql("""BEGIN
+      |  DECLARE mx BIGINT;
+      |  DECLARE p BIGINT DEFAULT 1;
+      |  DECLARE n_iter BIGINT DEFAULT 0;
+      |  SET mx = (SELECT MAX(o_orderkey) FROM graft_scr_orders_src);
+      |  WHILE p < mx DO
+      |    SET p = p * 2;
+      |    SET n_iter = n_iter + 1;
+      |  END WHILE;
+      |  SELECT p AS pow2, n_iter, mx AS max_key;
+      |END""".stripMargin)
+  }
+
+  /** [[sqlScriptingQuery]] oracle: the doubling loop in closed form. */
+  def sqlScriptingSql(): String =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+      |SELECT CASE WHEN mx <= 1 THEN 1
+      |    ELSE CAST(1 AS BIGINT) << length(bin(mx - 1)) END AS pow2,
+      |  CAST(CASE WHEN mx <= 1 THEN 0
+      |    ELSE length(bin(mx - 1)) END AS BIGINT) AS n_iter,
+      |  mx AS max_key
+      |FROM m""".stripMargin
+
   /** Longest-streak report (§2-beyond — the gaps-and-islands idiom
     * every engagement dashboard runs): per user, the number of
     * distinct active days, the number of maximal consecutive-day
