@@ -111,6 +111,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.compactTableQuery(s, d)),
     "dsv2_add_column" -> ((s, d) =>
       graft.sources.GraftCatalog.addColumnQuery(s, d)),
+    "dsv2_replace_table" -> ((s, d) =>
+      graft.sources.GraftCatalog.replaceTableQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3614,6 +3616,10 @@ object SparkEntry {
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form
     "dsv2_add_column" -> graft.sources.GraftCatalog.addColumnSql(),
+
+    // atomic REPLACE TABLE AS SELECT: live table + replaced snapshot
+    // read side by side vs both halves' closed forms
+    "dsv2_replace_table" -> graft.sources.GraftCatalog.replaceTableSql(),
 
     // table-as-a-stream: snapshot versions are offsets, commits are
     // micro-batches; the running aggregate vs the whole table

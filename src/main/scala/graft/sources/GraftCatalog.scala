@@ -49,7 +49,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    BIGINT accumulator would wrap at ~100 TB scale).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog {
+    with FunctionCatalog with ProcedureCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -230,6 +230,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(newIdent.namespace)
     Files.move(from, to): Unit
   }
+
+  // ---- StagingTableCatalog: atomic CTAS / REPLACE TABLE AS SELECT ----
+
+  /** Atomic CTAS/RTAS ride the manifest design for free: the staged
+    * write lands its files in the TARGET's staging/ directory — where
+    * files are invisible until a manifest references them — and
+    * `commitStagedChanges` is one atomic manifest swap. A reader never
+    * sees a half-written CTAS; a REPLACE keeps serving the old
+    * snapshot until the instant the new one is complete, and the
+    * replaced version stays time-travelable (RTAS is just another
+    * commit in the table's version lineage). Abort deletes the staged
+    * files and leaves the previous state untouched.
+    */
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], mustExist: Option[Boolean]): StagedTable = {
+    val part = partitions.toList match {
+      case Nil => None
+      case t :: Nil if t.name == "identity" && t.references.length == 1 =>
+        Some(t.references.head.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"one identity partition transform at most, got: ${other.mkString(", ")}")
+    }
+    val d = dirOf(ident)
+    mustExist match {
+      case Some(true) if !isTableDir(d) =>
+        throw new NoSuchTableException(ident)
+      case Some(false) if isTableDir(d) =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      case _ => ()
+    }
+    new StagedManifestTable(d.toString, schema, part)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, mustExist = Some(false))
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, mustExist = Some(true))
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, mustExist = None)
 
   // ---- SupportsNamespaces (directories under the warehouse) ----
 
@@ -776,6 +824,51 @@ object GraftCatalog {
       |  COUNT(*) AS n,
       |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for ATOMIC REPLACE TABLE AS SELECT
+    * (StagingTableCatalog): the even half of orders lands as v2, then
+    * one RTAS statement atomically replaces the whole table with the
+    * odd half — readers see the complete old table or the complete new
+    * one, never a mix, and the replaced snapshot stays in the version
+    * lineage. The read-back unions the live table with `VERSION AS OF
+    * 2`, so the hash pins both sides of the swap (a leak in either
+    * direction, or an RTAS that dropped lineage, mismatches).
+    */
+  def replaceTableQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_rt_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rt")
+    spark.sql("CREATE TABLE graft.db.rt (okey BIGINT, m BIGINT)") // v1
+    spark.sql("""INSERT INTO graft.db.rt
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_rt_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin) // v2
+    spark.sql("""REPLACE TABLE graft.db.rt AS
+      |SELECT o_orderkey AS okey, o_orderkey % 97 AS m
+      |FROM graft_rt_orders_src
+      |WHERE o_orderkey % 2 <> 0""".stripMargin) // v3, one atomic swap
+    spark.sql("""SELECT 'current' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.rt
+      |UNION ALL
+      |SELECT 'v2' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.rt VERSION AS OF 2
+      |ORDER BY snap""".stripMargin)
+  }
+
+  /** [[replaceTableQuery]] oracle: both halves off `orders`. */
+  def replaceTableSql(): String =
+    """SELECT 'current' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders WHERE o_orderkey % 2 <> 0
+      |UNION ALL
+      |SELECT 'v2' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |ORDER BY snap""".stripMargin
 
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off
     * `orders`.

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, StagedTable, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -800,6 +800,83 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     ManifestV2.deleteStaged(path, messages)
+}
+
+/** A table mid-CREATE/REPLACE … AS SELECT ([[org.apache.spark.sql
+  * .connector.catalog.StagedTable]]): the CTAS query writes through
+  * the ordinary task-commit protocol into the TARGET's staging/
+  * directory — invisible by construction, since no manifest references
+  * the files — and the job-level commit is deferred to
+  * [[commitStagedChanges]], ONE atomic manifest swap. A failed or
+  * aborted CTAS deletes its staged files and the previous table state
+  * (or the table's absence) is untouched; a committed REPLACE is just
+  * the next version in the table's lineage, so the replaced snapshot
+  * stays readable via VERSION AS OF until expiry.
+  */
+class StagedManifestTable(path: String, stagedSchema: StructType,
+    part: Option[String])
+    extends Table with SupportsWrite with StagedTable {
+  private val root = ManifestV2.rootOf(path)
+  @volatile private var pending: Seq[ManifestV2.FileEntry] = Seq.empty
+  @volatile private var stagedMsgs: Array[WriterCommitMessage] = Array.empty
+
+  override def name(): String = s"graft_manifest($path) [staged]"
+  override def schema(): StructType = stagedSchema
+  override def partitioning(): Array[Transform] =
+    part.map(c => Expressions.identity(c)).toArray
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // REPLACE … AS SELECT plans an overwrite: truncate() is a no-op here
+  // because the staged pending set REPLACES the table at commit anyway
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = {
+        val batch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory = part match {
+            case Some(col) =>
+              new ManifestPartitionedWriterFactory(path, stagedSchema, col)
+            case None => new ManifestWriterFactory(path, stagedSchema)
+          }
+          // job "commit" only RECORDS the staged files: publication is
+          // the staged table's own commitStagedChanges
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            stagedMsgs = messages
+            pending = ManifestV2.flatCommits(messages).map(m =>
+              ManifestV2.FileEntry(m.file, m.rows, m.stats))
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            ManifestV2.deleteStaged(path, messages)
+        }
+        part match {
+          case Some(col) => new Write with RequiresDistributionAndOrdering {
+            override def description(): String =
+              s"graft ManifestV2 staged partitioned($col) write -> $path"
+            override def requiredDistribution(): Distribution =
+              Distributions.clustered(Array(Expressions.identity(col)))
+            override def requiredOrdering(): Array[SortOrder] = Array.empty
+            override def toBatch: BatchWrite = batch
+          }
+          case None => new Write {
+            override def description(): String =
+              s"graft ManifestV2 staged write -> $path"
+            override def toBatch: BatchWrite = batch
+          }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val prev = ManifestV2.readManifest(root)
+    ManifestV2.writeManifest(root, ManifestV2.ManifestState(
+      stagedSchema, prev.map(_.epochs).getOrElse(Map.empty), pending,
+      part = part))
+  }
+
+  override def abortStagedChanges(): Unit =
+    ManifestV2.deleteStaged(path, stagedMsgs)
 }
 
 /** [[SupportsTruncate]] gives the connector overwrite semantics for

@@ -326,6 +326,49 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.evo")
   }
 
+  test("staged CTAS/RTAS are atomic: failures leave no table / the old table") {
+    import org.apache.spark.sql.functions.{col, udf}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.rt")
+    val boom = udf((k: Long) =>
+      if (k > 2) throw new RuntimeException("boom") else k)
+    spark.range(0, 5).select(boom(col("id")).as("k"))
+      .createOrReplaceTempView("graft_spec_boom")
+    // a failing CTAS must leave NO table behind — not a half-written one
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.spec.rt AS SELECT * FROM graft_spec_boom")
+    }
+    assert(!spark.catalog.tableExists("graft.spec.rt"),
+      "aborted CTAS must not mint a table")
+
+    spark.sql("CREATE TABLE graft.spec.rt AS SELECT id AS k FROM range(0, 4)")
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.rt")
+      .head().getLong(0) == 6L)
+    // a failing RTAS must keep serving the OLD table
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.spec.rt AS SELECT * FROM graft_spec_boom")
+    }
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.rt")
+      .head().getLong(0) == 6L,
+      "aborted RTAS must leave the previous snapshot untouched")
+    // a successful RTAS is the next version in the lineage
+    spark.sql("REPLACE TABLE graft.spec.rt AS SELECT id + 100 AS k FROM range(0, 2)")
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.rt")
+      .head().getLong(0) == 201L)
+    assert(spark.sql(
+      "SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.rt VERSION AS OF 1")
+      .head().getLong(0) == 6L,
+      "the replaced snapshot must stay time-travelable")
+    // REPLACE on a missing table is an error; CREATE OR REPLACE is not
+    spark.sql("DROP TABLE graft.spec.rt")
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.spec.rt AS SELECT 1L AS k")
+    }
+    spark.sql("CREATE OR REPLACE TABLE graft.spec.rt AS SELECT 7L AS k")
+    assert(spark.sql("SELECT k FROM graft.spec.rt").head().getLong(0) == 7L)
+    spark.sql("DROP TABLE graft.spec.rt")
+  }
+
   test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
