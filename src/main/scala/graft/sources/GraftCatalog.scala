@@ -49,7 +49,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    BIGINT accumulator would wrap at ~100 TB scale).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog with StagingTableCatalog {
+    with FunctionCatalog with ProcedureCatalog with StagingTableCatalog
+    with ViewCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -332,6 +333,107 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       rm(d)
       true
     }
+  }
+
+  // ---- ViewCatalog: persisted SQL views in the warehouse ----
+
+  /** Views are single files `<ns>/<name>.view` beside the table
+    * directories — the catalog stays stateless (a second instance over
+    * the warehouse serves the same views), and a view can never be
+    * confused with a table (files vs manifest-bearing directories).
+    * The stored text is the view's SQL plus the catalog/namespace
+    * resolution context captured at CREATE, per the V2 view contract.
+    *
+    * NOTE: Spark 4.1 ships the [[ViewCatalog]] API but does not yet
+    * route `CREATE VIEW` SQL to non-session catalogs
+    * (ResolveSessionCatalog rejects it; verified against the jars —
+    * no V2 view resolution rule exists). This implementation is the
+    * storage half engines like Iceberg wire through their extensions;
+    * CatalogSpec exercises the full API contract directly.
+    */
+  private def viewFileOf(ident: Identifier): Path =
+    dirOf(ident.namespace).resolve(ident.name + ".view")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val d = dirOf(ns)
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    else if (!Files.isDirectory(d)) Array.empty
+    else {
+      val b = Array.newBuilder[Identifier]
+      val st = Files.list(d)
+      try st.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".view") && Files.isRegularFile(p))
+          b += Identifier.of(ns, n.stripSuffix(".view"))
+      } finally st.close()
+      b.result()
+    }
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFileOf(ident)
+    if (!Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    val lines = Files.readAllLines(f)
+    new View {
+      override def name(): String = ident.toString
+      override def query(): String = ManifestV2.unesc(lines.get(0))
+      override def currentCatalog(): String = lines.get(1)
+      override def currentNamespace(): Array[String] =
+        lines.get(2).split(",").filter(_.nonEmpty)
+      override def schema(): StructType = StructType.fromDDL(lines.get(3))
+      override def queryColumnNames(): Array[String] =
+        if (lines.get(4).isEmpty) Array.empty
+        else lines.get(4).split("\t").map(ManifestV2.unesc)
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] =
+        util.Collections.emptyMap()
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val f = viewFileOf(ident)
+    if (Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    require(info.columnAliases() == null || info.columnAliases().isEmpty,
+      "graft views store the query's own column names (no alias list)")
+    val body = Seq(
+      ManifestV2.esc(info.sql()),
+      info.currentCatalog(),
+      info.currentNamespace().mkString(","),
+      info.schema().toDDL,
+      Option(info.queryColumnNames()).getOrElse(Array.empty[String])
+        .map(ManifestV2.esc).mkString("\t")
+    ).mkString("", "\n", "\n")
+    Files.createDirectories(f.getParent)
+    Files.write(f, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "graft views are immutable — drop and recreate")
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewFileOf(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = viewFileOf(oldIdent)
+    if (!Files.isRegularFile(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    val to = viewFileOf(newIdent)
+    if (Files.isRegularFile(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    Files.move(from, to): Unit
   }
 
   // ---- FunctionCatalog (namespace `fn`) ----

@@ -369,6 +369,45 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.rt")
   }
 
+  test("ViewCatalog API: views persist as warehouse files across instances") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val id = Identifier.of(Array("spec"), "apiview")
+    val id2 = Identifier.of(Array("spec"), "apiview2")
+    cat.dropView(id); cat.dropView(id2)
+    val schema = StructType(Seq(StructField("s", LongType)))
+    val info = new ViewInfo(id,
+      "SELECT CAST(SUM(k) AS BIGINT) AS s\nFROM graft.spec.vtab",
+      "graft", Array("spec"), schema, Array("s"), Array.empty,
+      Array.empty, java.util.Collections.emptyMap())
+    val v = cat.createView(info)
+    assert(v.query().contains("SUM(k)") && v.query().contains("\n"),
+      "SQL text (incl. newlines) must round-trip")
+    assert(v.currentCatalog() == "graft" &&
+      v.currentNamespace().sameElements(Array("spec")))
+    assert(v.schema() == schema && v.queryColumnNames().sameElements(Array("s")))
+    // duplicate create is an error; listViews sees it; tables don't
+    intercept[Exception] { cat.createView(info) }
+    assert(cat.listViews("spec").contains(id))
+    assert(!cat.listTables(Array("spec")).contains(id),
+      "views and tables must never mix")
+    // a SECOND instance over the same warehouse serves it: the view is
+    // a warehouse file, not catalog memory
+    val other = new GraftCatalog
+    other.initialize("g2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse",
+        spark.conf.get("spark.sql.catalog.graft.warehouse"))))
+    assert(other.loadView(id).query().contains("SUM(k)"))
+    // rename, then drop; loads after drop must fail
+    cat.renameView(id, id2)
+    assert(cat.viewExists(id2) && !cat.viewExists(id))
+    assert(cat.dropView(id2) && !cat.dropView(id2))
+    intercept[Exception] { cat.loadView(id2) }
+  }
+
   test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
