@@ -113,6 +113,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.addColumnQuery(s, d)),
     "dsv2_replace_table" -> ((s, d) =>
       graft.sources.GraftCatalog.replaceTableQuery(s, d)),
+    "dsv2_check_constraint" -> ((s, d) =>
+      graft.sources.GraftCatalog.checkConstraintQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3620,6 +3622,10 @@ object SparkEntry {
     // atomic REPLACE TABLE AS SELECT: live table + replaced snapshot
     // read side by side vs both halves' closed forms
     "dsv2_replace_table" -> graft.sources.GraftCatalog.replaceTableSql(),
+
+    // enforced CHECK constraint riding every insert plan vs the
+    // constrained load's closed form
+    "dsv2_check_constraint" -> graft.sources.GraftCatalog.checkConstraintSql(),
 
     // table-as-a-stream: snapshot versions are offsets, commits are
     // micro-batches; the running aggregate vs the whole table

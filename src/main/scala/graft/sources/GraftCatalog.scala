@@ -65,6 +65,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catalogName
 
+  // advertises enforced CHECK constraints (ResolveTableConstraints
+  // gates both ALTER TABLE ADD CONSTRAINT and write-side enforcement
+  // on this catalog capability)
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def dirOf(ident: Identifier): Path =
     dirOf(ident.namespace :+ ident.name())
   private def dirOf(parts: Array[String]): Path =
@@ -177,7 +183,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val st = ManifestV2.readManifest(d).get
     var schema = st.schema
+    var checks = st.checks
     changes.foreach {
+      // ENFORCED CHECK constraints (`ALTER TABLE … ADD CONSTRAINT c
+      // CHECK (…)`): Spark validates the existing rows first
+      // (AddCheckConstraintExec scans for violations), then hands the
+      // constraint here; from that point every write plan carries the
+      // predicate (ResolveTableConstraints), so violations fail before
+      // a row lands
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(!checks.exists(_._1 == c.name),
+              s"constraint ${c.name} already exists")
+            checks = checks :+ ((c.name, c.predicateSql()))
+          case other => throw new UnsupportedOperationException(
+            s"graft tables enforce CHECK constraints only, got: $other")
+        }
+      case dcon: TableChange.DropConstraint =>
+        require(checks.exists(_._1 == dcon.name) || dcon.ifExists(),
+          s"no such constraint: ${dcon.name}")
+        checks = checks.filterNot(_._1 == dcon.name)
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested column adds are not supported: ${a.fieldNames.mkString(".")}")
@@ -196,7 +222,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft tables only evolve by ADD COLUMN (got: $other)")
     }
     ManifestV2.writeManifest(d, ManifestV2.ManifestState(
-      schema, st.epochs, st.files, part = st.part))
+      schema, st.epochs, st.files, part = st.part, checks = checks))
     new ManifestTable(d.toString, null)
   }
 
@@ -971,6 +997,41 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
       |FROM orders WHERE o_orderkey % 2 = 0
       |ORDER BY snap""".stripMargin
+
+  /** Driver-contract query for ENFORCED CHECK CONSTRAINTS: the table
+    * is loaded under `CHECK (okey >= 0 AND m BETWEEN 0 AND 96)` — every
+    * INSERT plan carries the predicate (ResolveTableConstraints), so
+    * the statements succeeding proves validation and write-boundary
+    * enforcement accepted exactly the valid corpus, and the read-back
+    * hash proves enforcement altered nothing. The rejection half (a
+    * violating write fails before any row lands) is pinned by
+    * CatalogSpec.
+    */
+  def checkConstraintQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_ck_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okck")
+    spark.sql("CREATE TABLE graft.db.okck (okey BIGINT, m BIGINT)")
+    spark.sql("""ALTER TABLE graft.db.okck ADD CONSTRAINT ok_range
+      |CHECK (okey >= 0 AND m BETWEEN 0 AND 96)""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.okck
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_ck_orders_src"""
+      .stripMargin)
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |FROM graft.db.okck GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** [[checkConstraintQuery]] oracle: the constrained load's closed
+    * form.
+    */
+  def checkConstraintSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off
     * `orders`.

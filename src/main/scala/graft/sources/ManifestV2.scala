@@ -176,7 +176,8 @@ object ManifestV2 {
     */
   private[graft] case class ManifestState(schema: StructType,
       epochs: Map[String, Long], files: Seq[FileEntry], version: Long = 0L,
-      part: Option[String] = None)
+      part: Option[String] = None,
+      checks: Seq[(String, String)] = Nil)
 
   /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
     * one (`manifest.v<version>.txt`).
@@ -197,10 +198,18 @@ object ManifestV2 {
           val Array(q, n) = e.split(":", 2); (q, n.toLong)
         }.toMap
       }
-      val (part, fileStart) =
+      val (part, afterPart) =
         if (lines.size > 3 && lines.get(3).startsWith("@part\t"))
           (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
         else (None, 3)
+      val checks = Seq.newBuilder[(String, String)]
+      var fileStart = afterPart
+      while (fileStart < lines.size &&
+          lines.get(fileStart).startsWith("@check\t")) {
+        val Array(_, n, sql) = lines.get(fileStart).split("\t", 3)
+        checks += ((n, unesc(sql)))
+        fileStart += 1
+      }
       val files = (fileStart until lines.size).map { i =>
         val parts = lines.get(i).split("\t", -1)
         val stats =
@@ -211,7 +220,8 @@ object ManifestV2 {
           }.toMap
         FileEntry(parts(0), parts(1).toLong, stats)
       }
-      Some(ManifestState(schema, epochs, files.toSeq, v, part))
+      Some(ManifestState(schema, epochs, files.toSeq, v, part,
+        checks.result()))
     }
   }
 
@@ -227,12 +237,13 @@ object ManifestV2 {
       .map { case (q, n) => s"$q:$n" }.mkString(",")
     val body = (state.schema.toDDL +: s"@v\t$next" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
+      (state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
       state.files.map { e =>
         val stats = e.stats.toSeq.sorted
           .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
         if (stats.isEmpty) s"${e.file}\t${e.rows}"
         else s"${e.file}\t${e.rows}\t$stats"
-      }).mkString("", "\n", "\n")
+      })).mkString("", "\n", "\n")
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     Files.write(root.resolve(s"manifest.v$next.txt"), bytes)
     val tmp = root.resolve(s".manifest.${java.util.UUID.randomUUID()}.tmp")
@@ -514,6 +525,24 @@ class ManifestTable(path: String, externalSchema: StructType,
   override def partitioning(): Array[Transform] =
     ManifestV2.readManifest(root, version).flatMap(_.part)
       .map(c => Expressions.identity(c)).toArray
+
+  /** ENFORCED CHECK constraints from the manifest: Spark's
+    * ResolveTableConstraints compiles them into every write plan, so a
+    * violating INSERT/UPDATE/MERGE fails before a row lands — data
+    * integrity enforced at the write boundary, the only place it can
+    * be cheap (validating after the fact is a table scan).
+    */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    ManifestV2.readManifest(root, version).map(_.checks).getOrElse(Nil)
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog
+          .constraints.Constraint
+      }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
@@ -605,7 +634,8 @@ class ManifestTable(path: String, externalSchema: StructType,
       }
     }
     ManifestV2.writeManifest(root,
-      ManifestV2.ManifestState(st.schema, st.epochs, kept, part = st.part))
+      ManifestV2.ManifestState(st.schema, st.epochs, kept, part = st.part,
+        checks = st.checks))
     // dropped files stay on disk: older manifest versions still
     // reference them (time travel); expireSnapshots reclaims
   }
@@ -614,7 +644,7 @@ class ManifestTable(path: String, externalSchema: StructType,
     val st = ManifestV2.readManifest(root).getOrElse(return true)
     ManifestV2.writeManifest(root,
       ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty,
-        part = st.part))
+        part = st.part, checks = st.checks))
     true
   }
 
@@ -793,7 +823,7 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
     }
     ManifestV2.writeManifest(root,
       ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
-        part = st.part))
+        part = st.part, checks = st.checks))
     // replaced files stay on disk: older manifest versions reference
     // them (time travel); expireSnapshots is the reclamation path
   }
@@ -1140,7 +1170,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     ManifestV2.writeManifest(root, ManifestV2.ManifestState(
       prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
       prev.map(_.epochs).getOrElse(Map.empty), kept ++ added,
-      part = prev.flatMap(_.part).orElse(partitioned)))
+      part = prev.flatMap(_.part).orElse(partitioned),
+      checks = prev.map(_.checks).getOrElse(Nil)))
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
     // expireSnapshots is the only reclamation path
@@ -1190,7 +1221,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
       ManifestV2.writeManifest(root, ManifestV2.ManifestState(
         prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
         prev.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
-        kept ++ added, part = prev.flatMap(_.part)))
+        kept ++ added, part = prev.flatMap(_.part),
+        checks = prev.map(_.checks).getOrElse(Nil)))
       // replaced files stay for time travel; expireSnapshots reclaims
     }
   }

@@ -408,6 +408,40 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] { cat.loadView(id2) }
   }
 
+  test("CHECK constraints are enforced at the write boundary") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.ck")
+    spark.sql("CREATE TABLE graft.spec.ck (k BIGINT)")
+    spark.sql("INSERT INTO graft.spec.ck VALUES (5), (10)")
+    // adding a constraint VALIDATES existing rows: a violated one is
+    // rejected and never lands in the manifest
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.spec.ck ADD CONSTRAINT pos CHECK (k > 7)")
+    }
+    spark.sql("ALTER TABLE graft.spec.ck ADD CONSTRAINT pos CHECK (k > 0)")
+    // a violating INSERT fails BEFORE any row lands; a valid one passes
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.spec.ck VALUES (3), (-1)")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM graft.spec.ck")
+      .head().getLong(0) == 2L,
+      "a rejected insert must land nothing (task commit never reached)")
+    spark.sql("INSERT INTO graft.spec.ck VALUES (7)")
+    // the constraint also guards row-level UPDATEs
+    intercept[Exception] {
+      spark.sql("UPDATE graft.spec.ck SET k = -5 WHERE k = 7")
+    }
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.ck")
+      .head().getLong(0) == 22L)
+    // dropped constraint: the write is free again
+    spark.sql("ALTER TABLE graft.spec.ck DROP CONSTRAINT pos")
+    spark.sql("INSERT INTO graft.spec.ck VALUES (-1)")
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.ck")
+      .head().getLong(0) == 21L)
+    spark.sql("DROP TABLE graft.spec.ck")
+  }
+
   test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
