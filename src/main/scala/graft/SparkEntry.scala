@@ -115,6 +115,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.replaceTableQuery(s, d)),
     "dsv2_check_constraint" -> ((s, d) =>
       graft.sources.GraftCatalog.checkConstraintQuery(s, d)),
+    "dsv2_cluster_by" -> ((s, d) =>
+      graft.sources.GraftCatalog.clusterByQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3626,6 +3628,10 @@ object SparkEntry {
     // enforced CHECK constraint riding every insert plan vs the
     // constrained load's closed form
     "dsv2_check_constraint" -> graft.sources.GraftCatalog.checkConstraintSql(),
+
+    // CALL graft.system.cluster_by: range-clustering rewrite with the
+    // accounting row, vs the table's closed form
+    "dsv2_cluster_by" -> graft.sources.GraftCatalog.clusterBySql(),
 
     // table-as-a-stream: snapshot versions are offsets, commits are
     // micro-batches; the running aggregate vs the whole table

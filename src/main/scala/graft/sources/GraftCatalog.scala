@@ -484,7 +484,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "expire_snapshots"),
-        Identifier.of(Array("system"), "compact"))
+        Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "cluster_by"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -494,7 +495,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "compact")
       new CompactProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "cluster_by")
+      new ClusterByProcedure(warehouse)
     else throw new IllegalArgumentException(s"no such procedure: $ident")
+}
+
+/** `CALL graft.system.cluster_by(ns => …, tbl => …, col => …,
+  * n_files => n)`: the OPTIMIZE … ZORDER maintenance pass
+  * (one-dimensional) — range-cluster the table on a BIGINT column so
+  * every file's stats box is tight and disjoint
+  * ([[ManifestV2.clusterSnapshot]]); range DELETEs become
+  * metadata-only and range scans prune whole files afterwards.
+  */
+class ClusterByProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "cluster_by"
+  override def description(): String =
+    "range-cluster a table on a column, one atomic swap"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "cluster_by"
+    override def description(): String = ClusterByProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates table state
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("col", StringType)
+        .comment("BIGINT cluster column").build(),
+      ProcedureParameter.in("n_files", IntegerType)
+        .comment("target file count").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val (filesIn, filesOut, rowsMoved) = ManifestV2.clusterSnapshot(
+        org.apache.spark.sql.SparkSession.active, dir.toString,
+        input.getString(2), input.getInt(3))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("files_in", LongType, nullable = false),
+          StructField("files_out", LongType, nullable = false),
+          StructField("rows_clustered", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(filesIn, filesOut, rowsMoved)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
 }
 
 /** `CALL graft.system.compact(ns => …, tbl => …, max_rows => n)`: the
@@ -1031,6 +1076,48 @@ object GraftCatalog {
   def checkConstraintSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for `CALL graft.system.cluster_by`: the
+    * corpus lands in one unsorted insert, the procedure range-clusters
+    * it on m into 4 files via a distributed rewrite + atomic swap, and
+    * the read-back carries the data aggregate plus the deterministic
+    * accounting columns (files_out = n_files, rows_clustered =
+    * COUNT(orders)) — so the hash pins that clustering moved every row
+    * exactly once and lost nothing. The layout payoff (disjoint stats
+    * boxes → metadata-only range deletes, pruned range scans) is
+    * pinned by CatalogSpec.
+    */
+  def clusterByQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_cl_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okcl")
+    spark.sql("CREATE TABLE graft.db.okcl (okey BIGINT, m BIGINT)")
+    spark.sql("""INSERT INTO graft.db.okcl
+      |SELECT o_orderkey, o_orderkey % 97
+      |FROM graft_cl_orders_src""".stripMargin)
+    spark.sql("""CALL graft.system.cluster_by(
+      |ns => 'db', tbl => 'okcl', col => 'm', n_files => 4)""".stripMargin)
+      .select("files_out", "rows_clustered")
+      .createOrReplaceTempView("graft_cl_acct")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum,
+      |  files_out, rows_clustered
+      |FROM graft.db.okcl CROSS JOIN graft_cl_acct
+      |GROUP BY m, files_out, rows_clustered ORDER BY m""".stripMargin)
+  }
+
+  /** [[clusterByQuery]] oracle: the clustered table's closed form with
+    * the deterministic accounting constants.
+    */
+  def clusterBySql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum,
+      |  CAST(4 AS BIGINT) AS files_out,
+      |  (SELECT COUNT(*) FROM orders) AS rows_clustered
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off

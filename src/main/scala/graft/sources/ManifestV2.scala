@@ -354,6 +354,46 @@ object ManifestV2 {
     (smalls.size.toLong, filesOut.toLong, rows)
   }
 
+  /** Range-cluster the whole snapshot on one BIGINT column into
+    * `nFiles` files (the OPTIMIZE … ZORDER maintenance pass,
+    * one-dimensional): a distributed repartitionByRange + in-partition
+    * sort rewrite, committed through the same `replaceFiles` atomic
+    * swap as [[compactSnapshot]]. Afterwards every file's [min,max]
+    * stats box on the cluster column is TIGHT AND DISJOINT — which is
+    * exactly what makes range DELETEs decidable (metadata-only), range
+    * scans prunable, and future compactions cheap. The layout the
+    * metadata-delete contract wants is the layout this maintains.
+    * Partitioned tables are rejected (their bucket layout IS the
+    * clustering). Returns (filesIn, filesOut, rows).
+    */
+  def clusterSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, clusterCol: String, nFiles: Int): (Long, Long, Long) = {
+    require(nFiles > 0, "nFiles must be positive")
+    val root = rootOf(path)
+    val st = readManifest(root).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $root"))
+    require(st.part.isEmpty,
+      "cluster_by on a partitioned table is not supported — its bucket" +
+        " layout is the clustering")
+    require(st.schema.fields.exists(f =>
+      f.name == clusterCol && f.dataType == LongType),
+      s"cluster column $clusterCol must be a BIGINT table column")
+    val live = st.files.filter(_.rows > 0)
+    if (live.isEmpty) return (0L, 0L, 0L)
+    val names = live.map(_.file)
+    val df = spark.read.format("graft.sources.ManifestV2")
+      .option("path", path).option("files", names.mkString(",")).load()
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.format("graft.sources.ManifestV2")
+      .option("path", path)
+      .option("replaceFiles", names.mkString(","))
+      .mode("append").save()
+    val after = readManifest(root).map(_.files.size).getOrElse(0)
+    (live.size.toLong, (after - (st.files.size - live.size)).toLong,
+      live.map(_.rows).sum)
+  }
+
   /** TSV escaping: tab/newline/backslash escaped, null as \N — so a
     * literal tab never appears inside a value and split('\t') is safe.
     */

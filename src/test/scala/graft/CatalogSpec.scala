@@ -442,6 +442,49 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.ck")
   }
 
+  test("CALL graft.system.cluster_by yields disjoint boxes; range deletes go metadata-only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.cb")
+    spark.sql("CREATE TABLE graft.spec.cb (k BIGINT)")
+    // four interleaved inserts: every file's k-box spans ~the whole
+    // domain, so nothing is range-decidable before clustering
+    for (i <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.spec.cb
+        |SELECT id * 4 + $i FROM range(0, 25, 1, 1)""".stripMargin)
+    val before = manifestFiles("spec", "cb")
+    assert(before.size == 4 &&
+      before.forall { case (_, s) => s("k")._2 - s("k")._1 > 90 },
+      s"pre-clustering boxes must interleave: $before")
+
+    val acct = spark.sql("""CALL graft.system.cluster_by(
+      |ns => 'spec', tbl => 'cb', col => 'k', n_files => 4)"""
+      .stripMargin).head()
+    assert(acct.getLong(2) == 100L, s"accounting: $acct")
+    val boxes = manifestFiles("spec", "cb")
+      .filter(_._2.contains("k")).map(_._2("k")).sortBy(_._1)
+    assert(boxes.nonEmpty &&
+      boxes.sliding(2).forall {
+        case Seq((_, hi), (lo2, _)) => lo2 > hi
+        case _ => true
+      }, s"clustered boxes must be disjoint: $boxes")
+    assert(boxes.head._1 == 0L && boxes.last._2 == 99L)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s FROM graft.spec.cb")
+      .head().toSeq == Seq(100L, (0L until 100L).sum))
+
+    // a range delete cut AT a box boundary is now decidable file-by-
+    // file: the statement is a manifest swap, survivors keep their
+    // file names (nothing rewritten)
+    val cut = boxes.head._2 + 1
+    val names = manifestFiles("spec", "cb")
+    val surviving = names.collect {
+      case (f, s) if s.get("k").forall(_._1 >= cut) => f }.toSet
+    spark.sql(s"DELETE FROM graft.spec.cb WHERE k < $cut")
+    assert(manifestFiles("spec", "cb").map(_._1).toSet == surviving,
+      "a boundary-aligned range delete after clustering must be metadata-only")
+    spark.sql("DROP TABLE graft.spec.cb")
+  }
+
   test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
