@@ -2197,6 +2197,9 @@ object Relational {
   def sqlScriptingQuery(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
       .createOrReplaceTempView("graft_scr_orders_src")
+    // session-scoped deliberately: the flag only changes how BEGIN…END
+    // blocks parse (inert for every other query), and the script must
+    // still be enabled when the returned frame executes
     spark.conf.set("spark.sql.scripting.enabled", "true")
     spark.sql("""BEGIN
       |  DECLARE mx BIGINT;

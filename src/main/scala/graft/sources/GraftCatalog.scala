@@ -134,14 +134,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (col): one identity transform on a BIGINT column.
-    // Writes cluster on it and land bucket-pure files; reads report
-    // KeyGroupedPartitioning, so co-partitioned tables join with no
-    // exchange (the storage-partitioned-join layout as SQL DDL).
-    val part = partitions.toList match {
+  /** PARTITIONED BY (col) validation shared by CREATE TABLE and the
+    * staged CTAS/RTAS path: exactly one identity transform, on a
+    * BIGINT column of THIS schema. Writes cluster on it and land
+    * bucket-pure files; reads report KeyGroupedPartitioning, so
+    * co-partitioned tables join with no exchange (the
+    * storage-partitioned-join layout as SQL DDL).
+    */
+  private def parsePartition(schema: StructType,
+      partitions: Array[Transform]): Option[String] =
+    partitions.toList match {
       case Nil => None
       case t :: Nil if t.name == "identity" && t.references.length == 1 =>
         val col = t.references.head.fieldNames.mkString(".")
@@ -156,6 +158,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "graft tables support exactly one identity partition transform, " +
           s"got: ${other.mkString(", ")}")
     }
+
+  /** One name, one object: a table may not shadow a view and vice
+    * versa (the table dir `x` and the view file `x.view` are distinct
+    * paths, so without this check both CREATEs would succeed and the
+    * name would resolve ambiguously).
+    */
+  private def requireNoView(ident: Identifier): Unit =
+    if (Files.isRegularFile(viewFileOf(ident)))
+      throw new IllegalArgumentException(
+        s"a view named $ident already exists")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val part = parsePartition(schema, partitions)
+    requireNoView(ident)
     val d = dirOf(ident)
     if (isTableDir(d))
       throw new org.apache.spark.sql.catalyst.analysis
@@ -272,13 +290,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def stage(ident: Identifier, schema: StructType,
       partitions: Array[Transform], mustExist: Option[Boolean]): StagedTable = {
-    val part = partitions.toList match {
-      case Nil => None
-      case t :: Nil if t.name == "identity" && t.references.length == 1 =>
-        Some(t.references.head.fieldNames.mkString("."))
-      case other => throw new UnsupportedOperationException(
-        s"one identity partition transform at most, got: ${other.mkString(", ")}")
-    }
+    val part = parsePartition(schema, partitions)
+    requireNoView(ident)
     val d = dirOf(ident)
     mustExist match {
       case Some(true) if !isTableDir(d) =>
@@ -424,6 +437,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ident = info.ident()
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
+    if (isTableDir(dirOf(ident)))
+      throw new IllegalArgumentException(
+        s"a table named $ident already exists")
     val f = viewFileOf(ident)
     if (Files.isRegularFile(f))
       throw new org.apache.spark.sql.catalyst.analysis
@@ -884,6 +900,12 @@ object GraftCatalog {
   def bucketedJoinQuery(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     install(spark)
+    // session-scoped like RangeV2.spjJoinQuery's: both flags are inert
+    // for anything but a V2 scan that REPORTS a KeyGroupedPartitioning
+    // (i.e. this connector), so later queries in a shared session are
+    // unaffected; restoring them before returning would instead
+    // un-plan the SPJ, because the returned frame is physically
+    // planned at execution time
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     graft.Tables.orders(spark, dir)

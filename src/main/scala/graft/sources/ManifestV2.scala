@@ -555,16 +555,22 @@ class ManifestTable(path: String, externalSchema: StructType,
     with SupportsMetadataColumns with SupportsDelete
     with SupportsRowLevelOperations {
   private val root = ManifestV2.rootOf(path)
+  /** Table METADATA (schema / partitioning / constraints) is pinned at
+    * resolution: one manifest read per table handle, not one per
+    * analyzer call (schema() alone is consulted several times per
+    * statement). Scans and writes read the manifest FRESH themselves —
+    * they must see the state at execution, not at resolution.
+    */
+  private lazy val meta: Option[ManifestV2.ManifestState] =
+    ManifestV2.readManifest(root, version)
   override def name(): String =
     if (version < 0) s"graft_manifest($path)"
     else s"graft_manifest($path)@v$version"
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
-    else ManifestV2.readManifest(root, version).map(_.schema)
-      .getOrElse(new StructType())
+    else meta.map(_.schema).getOrElse(new StructType())
   override def partitioning(): Array[Transform] =
-    ManifestV2.readManifest(root, version).flatMap(_.part)
-      .map(c => Expressions.identity(c)).toArray
+    meta.flatMap(_.part).map(c => Expressions.identity(c)).toArray
 
   /** ENFORCED CHECK constraints from the manifest: Spark's
     * ResolveTableConstraints compiles them into every write plan, so a
@@ -574,7 +580,7 @@ class ManifestTable(path: String, externalSchema: StructType,
     */
   override def constraints(): Array[
       org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    ManifestV2.readManifest(root, version).map(_.checks).getOrElse(Nil)
+    meta.map(_.checks).getOrElse(Nil)
       .map { case (n, sql) =>
         org.apache.spark.sql.connector.catalog.constraints.Constraint
           .check(n).predicateSql(sql).enforced(true)
@@ -851,6 +857,13 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
       s"rewrite schema mismatch: table has ${st.schema.toDDL}, " +
         s"rewrite has ${schema.toDDL}")
     val gone = op.replaced.map(_.file).toSet
+    // optimistic concurrency, same contract as the compaction path: a
+    // group replaced by a concurrent commit (compact/cluster_by/
+    // overwrite) since this operation scanned it must FAIL the rewrite
+    // — silently keeping the successor file would duplicate its rows
+    val lost = gone -- st.files.map(_.file).toSet
+    require(lost.isEmpty,
+      s"concurrent commit replaced ${lost.mkString(", ")} — retry the statement")
     val kept = st.files.filterNot(e => gone.contains(e.file))
     val parts = ManifestV2.flatCommits(messages)
     val added = parts.collect {
@@ -940,13 +953,34 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
 
   override def commitStagedChanges(): Unit = {
     val prev = ManifestV2.readManifest(root)
+    // a REPLACE installs a whole new table DEFINITION: schema,
+    // partitioning, and CHECK constraints all come from the statement
+    // (constraints deliberately do NOT survive — the old predicate may
+    // not even resolve against the new schema). The streaming epoch
+    // ledger DOES carry over: it is sink-progress state keyed by query
+    // id, not part of the definition, and dropping it would let a
+    // restarted stream double-publish its last epoch into the replaced
+    // table.
     ManifestV2.writeManifest(root, ManifestV2.ManifestState(
       stagedSchema, prev.map(_.epochs).getOrElse(Map.empty), pending,
       part = part))
   }
 
-  override def abortStagedChanges(): Unit =
+  override def abortStagedChanges(): Unit = {
     ManifestV2.deleteStaged(path, stagedMsgs)
+    // an aborted CREATE must not leave a phantom directory tree behind
+    // (namespaceExists would see it and non-cascade DROP NAMESPACE
+    // would refuse); only remove what is provably not a table
+    if (!Files.exists(root.resolve("manifest.txt"))) {
+      val staging = root.resolve("staging")
+      def emptyDir(p: Path): Boolean = Files.isDirectory(p) && {
+        val s = Files.list(p)
+        try !s.findFirst().isPresent finally s.close()
+      }
+      if (emptyDir(staging)) Files.deleteIfExists(staging): Unit
+      if (emptyDir(root)) Files.deleteIfExists(root): Unit
+    }
+  }
 }
 
 /** [[SupportsTruncate]] gives the connector overwrite semantics for
@@ -1063,9 +1097,8 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   override def outputPartitioning(): Partitioning =
     if (keyGrouped)
       new KeyGroupedPartitioning(Array(Expressions.column(partCol.get)),
-        planInputPartitions().length)
-    else new UnknownPartitioning(
-      planInputPartitions().length)
+        dataFiles.size)
+    else new UnknownPartitioning(files.size)
 
   // one split per committed file: write-task parallelism == read
   // parallelism, with no directory listing (the manifest IS the listing)

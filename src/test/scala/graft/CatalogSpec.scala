@@ -485,6 +485,74 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.cb")
   }
 
+  test("a COW rewrite racing a compaction fails instead of duplicating rows") {
+    import org.apache.spark.sql.connector.write.RowLevelOperation
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.race")
+    spark.sql("CREATE TABLE graft.spec.race (k BIGINT)")
+    spark.sql("INSERT INTO graft.spec.race SELECT id FROM range(0, 5, 1, 1)")
+    spark.sql("INSERT INTO graft.spec.race SELECT id + 10 FROM range(0, 5, 1, 1)")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "race")
+    // the op captures its replaced set (all files), THEN a concurrent
+    // maintenance pass replaces them — the late COW commit must refuse
+    val op = new graft.sources.ManifestRowLevelOperation(
+      dir.toString, RowLevelOperation.Command.DELETE)
+    graft.sources.ManifestV2.compactSnapshot(spark, dir.toString, 1000L)
+    val write = new graft.sources.ManifestReplaceDataWrite(
+      dir.toString, graft.sources.ManifestV2.readManifest(dir).get.schema, op)
+    val e = intercept[Exception] { write.commit(Array.empty) }
+    assert(e.getMessage.contains("concurrent commit"),
+      s"stale COW rewrite must fail loudly: ${e.getMessage}")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.spec.race")
+      .head().getLong(0) == 10L, "the racing statement must change nothing")
+    spark.sql("DROP TABLE graft.spec.race")
+  }
+
+  test("an aborted CTAS leaves no phantom directory; names don't cross table/view") {
+    import org.apache.spark.sql.functions.{col, udf}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.ghost")
+    val boom2 = udf((k: Long) =>
+      if (k > 2) throw new RuntimeException("boom") else k)
+    spark.range(0, 5).select(boom2(col("id")).as("k"))
+      .createOrReplaceTempView("graft_spec_boom2")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.spec.ghost AS SELECT * FROM graft_spec_boom2")
+    }
+    val d = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "ghost")
+    assert(!java.nio.file.Files.exists(d),
+      "aborted CTAS must not leave a directory that reads as a namespace")
+
+    // one name, one object: a view may not shadow a table, nor a table
+    // a view
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    spark.sql("DROP TABLE IF EXISTS graft.spec.solo")
+    spark.sql("CREATE TABLE graft.spec.solo (k BIGINT)")
+    val vinfo = new ViewInfo(Identifier.of(Array("spec"), "solo"),
+      "SELECT 1 AS s", "graft", Array("spec"),
+      StructType(Seq(StructField("s", LongType))), Array("s"),
+      Array.empty, Array.empty, java.util.Collections.emptyMap())
+    intercept[Exception] { cat.createView(vinfo) }
+    val vinfo2 = new ViewInfo(Identifier.of(Array("spec"), "soloview"),
+      "SELECT 1 AS s", "graft", Array("spec"),
+      StructType(Seq(StructField("s", LongType))), Array("s"),
+      Array.empty, Array.empty, java.util.Collections.emptyMap())
+    cat.createView(vinfo2)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.spec.soloview (k BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.spec.soloview AS SELECT 1L AS k")
+    }
+    cat.dropView(Identifier.of(Array("spec"), "soloview"))
+    spark.sql("DROP TABLE graft.spec.solo")
+  }
+
   test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
