@@ -117,6 +117,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.checkConstraintQuery(s, d)),
     "dsv2_cluster_by" -> ((s, d) =>
       graft.sources.GraftCatalog.clusterByQuery(s, d)),
+    "dsv2_expire_snapshots" -> ((s, d) =>
+      graft.sources.GraftCatalog.expireSnapshotsQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3616,6 +3618,7 @@ object SparkEntry {
     // CALL graft.system.compact: fragments merged in one atomic swap;
     // the hash covers both the survivors and the accounting row
     "dsv2_compact_table" -> graft.sources.GraftCatalog.compactTableSql(),
+    "dsv2_expire_snapshots" -> graft.sources.GraftCatalog.expireSnapshotsSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

@@ -2168,7 +2168,7 @@ object Relational {
       |RETURNS BIGINT RETURN x % 97""".stripMargin)
     spark.sql("""EXECUTE IMMEDIATE
       |'SELECT graft_bucket(o_orderkey) AS m, COUNT(*) AS n,
-      |   CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       | FROM graft_var_orders_src WHERE o_orderkey <= ?
       | GROUP BY 1 ORDER BY m'
       |USING graft_half_max""".stripMargin)
@@ -2179,7 +2179,7 @@ object Relational {
     */
   def sqlVariablesSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders
       |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
       |GROUP BY 1 ORDER BY m""".stripMargin

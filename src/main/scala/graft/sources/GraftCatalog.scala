@@ -73,10 +73,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def dirOf(ident: Identifier): Path =
     dirOf(ident.namespace :+ ident.name())
-  private def dirOf(parts: Array[String]): Path =
-    parts.foldLeft(warehouse)(_.resolve(_))
+  private def dirOf(parts: Array[String]): Path = {
+    // quoted identifiers arrive verbatim: a part like `..` or one
+    // containing a separator would escape the warehouse root, and
+    // dropTable/dropNamespace RECURSIVELY DELETE at the resolved path —
+    // reject anything that is not a plain single path element
+    parts.foreach { p =>
+      require(p.nonEmpty && p != "." && p != ".." &&
+          !p.contains('/') && !p.contains('\\'),
+        s"illegal identifier part '$p' — names must be plain path " +
+          "elements (no separators, no '.'/'..')")
+    }
+    val d = parts.foldLeft(warehouse)(_.resolve(_)).normalize()
+    require(d.startsWith(warehouse.normalize()),
+      s"identifier ${parts.mkString(".")} resolves outside the warehouse")
+    d
+  }
   private def isTableDir(p: Path): Boolean =
     Files.exists(p.resolve("manifest.txt"))
+  /** Files.list with a guaranteed close — every directory listing in
+    * this catalog goes through here (an unclosed stream leaks the
+    * directory file descriptor until GC).
+    */
+  private def withList[A](d: Path)(f: java.util.stream.Stream[Path] => A): A = {
+    val st = Files.list(d)
+    try f(st) finally st.close()
+  }
 
   // ---- TableCatalog ----
 
@@ -127,9 +149,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
     else {
       val b = Array.newBuilder[Identifier]
-      Files.list(d).iterator().forEachRemaining { (p: Path) =>
+      withList(d)(_.iterator().forEachRemaining { (p: Path) =>
         if (isTableDir(p)) b += Identifier.of(namespace, p.getFileName.toString)
-      }
+      })
       b.result()
     }
   }
@@ -199,7 +221,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = dirOf(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
-    val st = ManifestV2.readManifest(d).get
+    // the whole derivation runs inside the CAS loop: an INSERT that
+    // interleaves with the ALTER keeps its files (the re-derivation
+    // starts from the succeeding snapshot)
+    ManifestV2.commit(d) { cur =>
+      val st = cur.getOrElse(throw new NoSuchTableException(ident))
+      applyChanges(st, changes)
+    }: Unit
+    new ManifestTable(d.toString, null)
+  }
+
+  /** Pure derivation half of [[alterTable]] — re-runnable under the
+    * commit CAS loop.
+    */
+  private def applyChanges(st: ManifestV2.ManifestState,
+      changes: Seq[TableChange]): ManifestV2.ManifestState = {
     var schema = st.schema
     var checks = st.checks
     changes.foreach {
@@ -239,9 +275,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft tables only evolve by ADD COLUMN (got: $other)")
     }
-    ManifestV2.writeManifest(d, ManifestV2.ManifestState(
-      schema, st.epochs, st.files, part = st.part, checks = checks))
-    new ManifestTable(d.toString, null)
+    ManifestV2.ManifestState(
+      schema, st.epochs, st.files, part = st.part, checks = checks)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -250,8 +285,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else {
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p))
-          Files.list(p).iterator()
-            .forEachRemaining((c: Path) => rm(c))
+          withList(p)(_.iterator()
+            .forEachRemaining((c: Path) => rm(c)))
         Files.deleteIfExists(p): Unit
       }
       rm(d)
@@ -273,6 +308,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // minting a `graft` namespace inside the warehouse
     if (!namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceException(newIdent.namespace)
+    // "one name, one object" holds on rename too: the create-path check
+    // (requireNoView) must also guard the rename target, or RENAME can
+    // mint a coexisting table and view that resolve ambiguously
+    requireNoView(newIdent)
     Files.move(from, to): Unit
   }
 
@@ -322,12 +361,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- SupportsNamespaces (directories under the warehouse) ----
 
   override def listNamespaces(): Array[Array[String]] = {
-    val real = Files.list(warehouse).iterator()
     val b = Array.newBuilder[Array[String]]
-    real.forEachRemaining { (p: Path) =>
+    withList(warehouse)(_.iterator().forEachRemaining { (p: Path) =>
       if (Files.isDirectory(p) && !isTableDir(p))
         b += Array(p.getFileName.toString)
-    }
+    })
     b += Array("gen")
     b += Array("fn")
     b.result().distinct
@@ -361,12 +399,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = dirOf(namespace)
     if (!Files.isDirectory(d)) false
     else {
-      if (!cascade && Files.list(d).findFirst().isPresent)
+      if (!cascade && withList(d)(_.findFirst().isPresent))
         throw new IllegalStateException(
           s"namespace ${namespace.mkString(".")} is not empty")
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p))
-          Files.list(p).iterator().forEachRemaining((c: Path) => rm(c))
+          withList(p)(_.iterator().forEachRemaining((c: Path) => rm(c)))
         Files.deleteIfExists(p): Unit
       }
       rm(d)
@@ -475,6 +513,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (Files.isRegularFile(to))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(newIdent)
+    // mirror of renameTable's guard: the rename target must not collide
+    // with a table either
+    if (isTableDir(dirOf(newIdent)))
+      throw new IllegalArgumentException(
+        s"a table named $newIdent already exists")
     Files.move(from, to): Unit
   }
 
@@ -657,6 +700,16 @@ object GraftCatalog {
     * through the manifest scan using the exact BigInteger V2
     * aggregate. No DataFrame transform anywhere: every step is a SQL
     * statement resolved by [[GraftCatalog]], which is the point.
+    *
+    * Finals follow the Fx rule — accumulate exact, convert ONCE at the
+    * end, and the converted-to type is BIGINT, never DECIMAL (engines
+    * canonicalize decimal finals differently, so a decimal in a FINAL
+    * schema is a cross-engine hash hazard; StructuralSpec bans it).
+    * Bounds: `key_sum` = Σ o_orderkey fits BIGINT through sf1
+    * (≈ 4.5e12 « 2^63); `key_sumsq` = Σ o_orderkey² fits through
+    * sf0.1 (≈ 5.4e16), the largest scale any check runs — the sumsq
+    * aggregate itself still accumulates in exact BigInteger, only the
+    * final value is narrowed.
     */
   def catalogSqlQuery(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -672,8 +725,8 @@ object GraftCatalog {
       |SELECT o_orderkey, graft.fn.vmod(o_orderkey)
       |FROM graft_cat_orders_src""".stripMargin)
     spark.sql("""SELECT m, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum,
-      |  graft.fn.sumsq(okey) AS key_sumsq
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum,
+      |  CAST(graft.fn.sumsq(okey) AS BIGINT) AS key_sumsq
       |FROM graft.db.okeys GROUP BY m ORDER BY m""".stripMargin)
   }
 
@@ -685,8 +738,8 @@ object GraftCatalog {
     */
   def catalogSqlSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum,
-      |  CAST(SUM(CAST(o_orderkey AS HUGEINT) * o_orderkey) AS DECIMAL(38,0)) AS key_sumsq
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(o_orderkey AS HUGEINT) * o_orderkey) AS BIGINT) AS key_sumsq
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** Driver-contract query for METADATA-ONLY DELETE: four quartile-
@@ -714,7 +767,7 @@ object GraftCatalog {
         |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
     spark.sql("DELETE FROM graft.db.okd WHERE m < 25")
     spark.sql("""SELECT m, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.okd GROUP BY m ORDER BY m""".stripMargin)
   }
 
@@ -723,7 +776,7 @@ object GraftCatalog {
     */
   def metadataDeleteSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders WHERE o_orderkey % 97 >= 25
       |GROUP BY 1 ORDER BY m""".stripMargin
 
@@ -751,11 +804,11 @@ object GraftCatalog {
       |SELECT o_orderkey, o_orderkey % 97 FROM graft_tt_orders_src
       |WHERE o_orderkey % 97 >= 50""".stripMargin) // v3 replaces v2
     spark.sql("""SELECT 'current' AS snap, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.tt
       |UNION ALL
       |SELECT 'v2' AS snap, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.tt VERSION AS OF 2
       |ORDER BY snap""".stripMargin)
   }
@@ -841,7 +894,7 @@ object GraftCatalog {
     spark.sql(
       "UPDATE graft.db.okupd SET okey = okey + 100000000 WHERE m = 12")
     spark.sql("""SELECT m, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.okupd GROUP BY m ORDER BY m""".stripMargin)
   }
 
@@ -852,7 +905,7 @@ object GraftCatalog {
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey +
       |    CASE WHEN o_orderkey % 97 = 12 THEN 100000000 ELSE 0 END)
-      |    AS DECIMAL(38,0)) AS key_sum
+      |    AS BIGINT) AS key_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** Driver-contract query for the DELETE rewrite fallback: a
@@ -875,14 +928,14 @@ object GraftCatalog {
       |FROM graft_delrw_orders_src""".stripMargin)
     spark.sql("DELETE FROM graft.db.okdrw WHERE okey % 2 = 0")
     spark.sql("""SELECT m, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.okdrw GROUP BY m ORDER BY m""".stripMargin)
   }
 
   /** [[deleteRewriteQuery]] oracle: odd-key survivors off `orders`. */
   def deleteRewriteSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders WHERE o_orderkey % 2 <> 0
       |GROUP BY 1 ORDER BY m""".stripMargin
 
@@ -925,7 +978,7 @@ object GraftCatalog {
     spark.sql("""INSERT INTO graft.db.cb
       |SELECT c_custkey, c_custkey % 8 FROM graft_bj_cust_src""".stripMargin)
     spark.sql("""SELECT o.bk AS bk, COUNT(*) AS n,
-      |  CAST(SUM(o.okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o.okey) AS BIGINT) AS key_sum
       |FROM graft.db.ob o JOIN graft.db.cb c
       |  ON o.bk = c.bk AND o.ck = c.ck
       |GROUP BY o.bk ORDER BY bk""".stripMargin)
@@ -936,7 +989,7 @@ object GraftCatalog {
     */
   def bucketedJoinSql(): String =
     """SELECT o_custkey % 8 AS bk, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY bk""".stripMargin
 
@@ -967,7 +1020,7 @@ object GraftCatalog {
       .select("files_out", "rows_rewritten")
       .createOrReplaceTempView("graft_cmp_acct")
     spark.sql("""SELECT m, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum,
       |  files_out, rows_rewritten
       |FROM graft.db.okc CROSS JOIN graft_cmp_acct
       |GROUP BY m, files_out, rows_rewritten ORDER BY m""".stripMargin)
@@ -978,7 +1031,7 @@ object GraftCatalog {
     */
   def compactTableSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
       |  CAST(1 AS BIGINT) AS files_out,
       |  (SELECT COUNT(*) FROM orders) AS rows_rewritten
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
@@ -1008,7 +1061,7 @@ object GraftCatalog {
       |SELECT o_orderkey, o_orderkey % 97 FROM graft_evo_orders_src
       |WHERE o_orderkey % 2 <> 0""".stripMargin)
     spark.sql("""SELECT COALESCE(m, -1) AS m, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.evo GROUP BY 1 ORDER BY m""".stripMargin)
   }
 
@@ -1017,7 +1070,7 @@ object GraftCatalog {
     """SELECT CASE WHEN o_orderkey % 2 = 0 THEN -1
       |    ELSE o_orderkey % 97 END AS m,
       |  COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** Driver-contract query for ATOMIC REPLACE TABLE AS SELECT
@@ -1045,11 +1098,11 @@ object GraftCatalog {
       |FROM graft_rt_orders_src
       |WHERE o_orderkey % 2 <> 0""".stripMargin) // v3, one atomic swap
     spark.sql("""SELECT 'current' AS snap, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.rt
       |UNION ALL
       |SELECT 'v2' AS snap, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.rt VERSION AS OF 2
       |ORDER BY snap""".stripMargin)
   }
@@ -1057,11 +1110,11 @@ object GraftCatalog {
   /** [[replaceTableQuery]] oracle: both halves off `orders`. */
   def replaceTableSql(): String =
     """SELECT 'current' AS snap, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders WHERE o_orderkey % 2 <> 0
       |UNION ALL
       |SELECT 'v2' AS snap, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders WHERE o_orderkey % 2 = 0
       |ORDER BY snap""".stripMargin
 
@@ -1088,7 +1141,7 @@ object GraftCatalog {
       |SELECT o_orderkey, o_orderkey % 97 FROM graft_ck_orders_src"""
       .stripMargin)
     spark.sql("""SELECT m, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
       |FROM graft.db.okck GROUP BY m ORDER BY m""".stripMargin)
   }
 
@@ -1097,7 +1150,7 @@ object GraftCatalog {
     */
   def checkConstraintSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** Driver-contract query for `CALL graft.system.cluster_by`: the
@@ -1126,7 +1179,7 @@ object GraftCatalog {
       .select("files_out", "rows_clustered")
       .createOrReplaceTempView("graft_cl_acct")
     spark.sql("""SELECT m, COUNT(*) AS n,
-      |  CAST(SUM(okey) AS DECIMAL(38,0)) AS key_sum,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum,
       |  files_out, rows_clustered
       |FROM graft.db.okcl CROSS JOIN graft_cl_acct
       |GROUP BY m, files_out, rows_clustered ORDER BY m""".stripMargin)
@@ -1137,21 +1190,76 @@ object GraftCatalog {
     */
   def clusterBySql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
       |  CAST(4 AS BIGINT) AS files_out,
       |  (SELECT COUNT(*) FROM orders) AS rows_clustered
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for `CALL graft.system.expire_snapshots`
+    * (the Iceberg retention pass) AND the segmented-manifest read path
+    * end to end: the overwrite lands through REPARTITION(20), so the
+    * table crosses [[ManifestV2.InlineCap]] and its manifest holds
+    * `@seg` references instead of inline file lines — the final
+    * aggregate is served THROUGH the manifest-list layout. Versions:
+    * v1 CREATE, v2 backfill (m < 50), v3 OVERWRITE (m >= 50, 20
+    * files), v4 append (m < 25). Expiry with keep = 2 drops v1 + v2
+    * and reclaims the overwritten backfill's files; the read-back
+    * carries the deterministic accounting (expired_versions = 2) and
+    * the survivors' closed form — an expiry that touched a LIVE file,
+    * or retention bookkeeping off by one, mismatches the hash. (That
+    * expired versions become unreadable and live time travel survives
+    * is pinned by CatalogSpec.)
+    */
+  def expireSnapshotsQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_exp_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.exp")
+    spark.sql("CREATE TABLE graft.db.exp (okey BIGINT, m BIGINT)") // v1
+    spark.sql("""INSERT INTO graft.db.exp
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_exp_orders_src
+      |WHERE o_orderkey % 97 < 50""".stripMargin) // v2, to be expired
+    spark.sql("""INSERT OVERWRITE graft.db.exp
+      |SELECT /*+ REPARTITION(20) */ o_orderkey, o_orderkey % 97
+      |FROM graft_exp_orders_src
+      |WHERE o_orderkey % 97 >= 50""".stripMargin) // v3: 20 files → @seg
+    spark.sql("""INSERT INTO graft.db.exp
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_exp_orders_src
+      |WHERE o_orderkey % 97 < 25""".stripMargin) // v4 reuses v3's segment
+    spark.sql("""CALL graft.system.expire_snapshots(
+      |ns => 'db', tbl => 'exp', keep => 2)""".stripMargin)
+      .select("expired_versions")
+      .createOrReplaceTempView("graft_exp_acct")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum, expired_versions
+      |FROM graft.db.exp CROSS JOIN graft_exp_acct
+      |GROUP BY m, expired_versions ORDER BY m""".stripMargin)
+  }
+
+  /** [[expireSnapshotsQuery]] oracle: the surviving populations (the
+    * overwrite's upper half plus the appended low quartile) with the
+    * deterministic retention accounting.
+    */
+  def expireSnapshotsSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(2 AS BIGINT) AS expired_versions
+      |FROM orders
+      |WHERE o_orderkey % 97 >= 50 OR o_orderkey % 97 < 25
+      |GROUP BY 1 ORDER BY m""".stripMargin
 
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off
     * `orders`.
     */
   def timeTravelSql(): String =
     """SELECT 'current' AS snap, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders WHERE o_orderkey % 97 >= 50
       |UNION ALL
       |SELECT 'v2' AS snap, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders WHERE o_orderkey % 97 < 50
       |ORDER BY snap""".stripMargin
 }

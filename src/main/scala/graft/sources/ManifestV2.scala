@@ -136,14 +136,14 @@ object ManifestV2 {
       .option("path", dest).option("startVersion", "1").load()
       .groupBy($"m")
       .agg(count(lit(1)).as("n"),
-        expr("CAST(SUM(okey) AS DECIMAL(38,0))").as("key_sum"))
+        expr("CAST(SUM(okey) AS BIGINT)").as("key_sum"))
       .orderBy($"m")
   }
 
   /** [[incrementalReadQuery]] oracle: the two post-backfill thirds. */
   def incrementalReadSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders WHERE o_orderkey % 3 <> 0
       |GROUP BY 1 ORDER BY m""".stripMargin
 
@@ -164,8 +164,19 @@ object ManifestV2 {
     * line 2 = `@v\tversion`, line 3 = `@epochs\tqid:epoch,...`,
     * line 4 = `@part\tcol` (empty col = unpartitioned; absent on
     * pre-partitioning manifests, which read as unpartitioned), then
-    * one `file\trows[\tcol:min:max,...]` line per file — the whole
-    * table state in one atomically-swapped object.
+    * `@check\tname\tsql` constraint lines, then `@seg\tname` lines
+    * referencing immutable METADATA SEGMENTS (`seg.<uuid>.txt`, each
+    * holding file lines for a slice of the table — the Iceberg
+    * manifest-list shape), then inline `file\trows[\tcol:min:max,...]`
+    * lines. Small tables (≤ [[InlineCap]] files) stay fully inline;
+    * larger ones are segmented so an APPEND commit writes O(added +
+    * number of segments) bytes, not O(table files) — at a million
+    * files the difference between a manifest commit and a manifest
+    * rewrite. Segments are immutable and shared across versions; a
+    * commit that removes files reuses every untouched segment and
+    * flattens only the affected ones, and once the reference list
+    * exceeds [[MaxSegs]] the commit checkpoints (rewrites the refs as
+    * fresh chunked segments), bounding both the list and read fan-out.
     *
     * Every publish ALSO lands as an immutable `manifest.v<N>.txt`
     * before the `manifest.txt` pointer swap, so every historical
@@ -179,11 +190,40 @@ object ManifestV2 {
       part: Option[String] = None,
       checks: Seq[(String, String)] = Nil)
 
-  /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
-    * one (`manifest.v<version>.txt`).
+  /** One immutable metadata segment: its file name and the entries it
+    * carries. Reused by reference across versions.
     */
-  private[graft] def readManifest(root: Path,
-      version: Long = -1L): Option[ManifestState] = {
+  private[graft] case class SegRef(name: String, files: Seq[FileEntry])
+
+  /** Tables at or under this many files keep their file lines inline
+    * in the manifest (human-readable, and the hand-parsing specs'
+    * contract for small tables).
+    */
+  private[graft] val InlineCap = 16
+  /** Files per freshly-written segment. */
+  private[graft] val SegChunk = 1000
+  /** Checkpoint threshold: a commit whose reference list would exceed
+    * this flattens into fresh chunked segments instead (amortized O(1)
+    * per commit).
+    */
+  private[graft] val MaxSegs = 64
+
+  private def parseFileLine(line: String): FileEntry = {
+    val parts = line.split("\t", -1)
+    val stats =
+      if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, (Long, Long)]
+      else parts(2).split(",").map { s =>
+        val Array(c, lo, hi) = s.split(":", 3)
+        (c, (lo.toLong, hi.toLong))
+      }.toMap
+    FileEntry(parts(0), parts(1).toLong, stats)
+  }
+
+  /** Read a snapshot INCLUDING its segment structure — the commit path
+    * needs the structure to reuse untouched segments by reference.
+    */
+  private[graft] def readManifestSegs(root: Path, version: Long = -1L)
+      : Option[(ManifestState, Seq[SegRef], Seq[FileEntry])] = {
     val m =
       if (version < 0L) root.resolve("manifest.txt")
       else root.resolve(s"manifest.v$version.txt")
@@ -203,54 +243,194 @@ object ManifestV2 {
           (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
         else (None, 3)
       val checks = Seq.newBuilder[(String, String)]
-      var fileStart = afterPart
-      while (fileStart < lines.size &&
-          lines.get(fileStart).startsWith("@check\t")) {
-        val Array(_, n, sql) = lines.get(fileStart).split("\t", 3)
+      var i = afterPart
+      while (i < lines.size && lines.get(i).startsWith("@check\t")) {
+        val Array(_, n, sql) = lines.get(i).split("\t", 3)
         checks += ((n, unesc(sql)))
-        fileStart += 1
+        i += 1
       }
-      val files = (fileStart until lines.size).map { i =>
-        val parts = lines.get(i).split("\t", -1)
-        val stats =
-          if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, (Long, Long)]
-          else parts(2).split(",").map { s =>
-            val Array(c, lo, hi) = s.split(":", 3)
-            (c, (lo.toLong, hi.toLong))
-          }.toMap
-        FileEntry(parts(0), parts(1).toLong, stats)
+      val segs = Seq.newBuilder[SegRef]
+      while (i < lines.size && lines.get(i).startsWith("@seg\t")) {
+        val name = lines.get(i).split("\t", 2)(1)
+        val segLines = Files.readAllLines(root.resolve(name),
+          StandardCharsets.UTF_8)
+        val b = Seq.newBuilder[FileEntry]
+        segLines.forEach(l => if (l.nonEmpty) b += parseFileLine(l))
+        segs += SegRef(name, b.result())
+        i += 1
       }
-      Some(ManifestState(schema, epochs, files.toSeq, v, part,
-        checks.result()))
+      val inline = (i until lines.size).map(j => parseFileLine(lines.get(j)))
+      val segd = segs.result()
+      val all = segd.flatMap(_.files) ++ inline
+      Some((ManifestState(schema, epochs, all, v, part, checks.result()),
+        segd, inline.toSeq))
     }
   }
 
-  /** Atomically publish a snapshot: assign the next version, write the
-    * immutable `manifest.v<N>.txt` first (a crash after this point
-    * leaves an unreferenced version file — harmless, reclaimed by
-    * expiry), then a same-directory ATOMIC_MOVE over `manifest.txt`.
+  /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
+    * one (`manifest.v<version>.txt`), as a flat file list.
     */
-  private[graft] def writeManifest(root: Path, state: ManifestState): Unit = {
-    Files.createDirectories(root)
-    val next = readManifest(root).map(_.version).getOrElse(0L) + 1L
+  private[graft] def readManifest(root: Path,
+      version: Long = -1L): Option[ManifestState] =
+    readManifestSegs(root, version).map(_._1)
+
+  /** A commit lost the version-file CAS beyond the retry budget, or a
+    * claimed version never published its body (claimant crashed
+    * mid-write) — the statement should be retried by the caller.
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  private def fileLine(e: FileEntry): String = {
+    val stats = e.stats.toSeq.sorted
+      .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
+    if (stats.isEmpty) s"${e.file}\t${e.rows}"
+    else s"${e.file}\t${e.rows}\t$stats"
+  }
+
+  /** Serialize a snapshot body at the given version number, with its
+    * file population split into referenced segments + inline lines.
+    */
+  private def render(state: ManifestState, version: Long,
+      segNames: Seq[String], inline: Seq[FileEntry]): Array[Byte] = {
     val epochLine = "@epochs\t" + state.epochs.toSeq.sorted
       .map { case (q, n) => s"$q:$n" }.mkString(",")
-    val body = (state.schema.toDDL +: s"@v\t$next" +: epochLine +:
+    val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
       (state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
-      state.files.map { e =>
-        val stats = e.stats.toSeq.sorted
-          .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
-        if (stats.isEmpty) s"${e.file}\t${e.rows}"
-        else s"${e.file}\t${e.rows}\t$stats"
-      })).mkString("", "\n", "\n")
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    Files.write(root.resolve(s"manifest.v$next.txt"), bytes)
+      segNames.map(n => s"@seg\t$n") ++
+      inline.map(fileLine))).mkString("", "\n", "\n")
+    body.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Decide the metadata layout of a snapshot: which of the current
+    * segments survive by reference (every entry still live), and which
+    * entries need fresh placement. Reuse is sound because a data
+    * file's entry is immutable for the file's lifetime — staged files
+    * are written once and never renamed or restated.
+    */
+  private def layout(curSegs: Seq[SegRef], state: ManifestState)
+      : (Seq[SegRef], Seq[FileEntry]) =
+    if (state.files.size <= InlineCap) (Nil, state.files)
+    else {
+      val newSet = state.files.map(_.file).toSet
+      val keep0 = curSegs.filter(s =>
+        s.files.nonEmpty && s.files.forall(f => newSet.contains(f.file)))
+      // checkpoint: past MaxSegs the list is rewritten as fresh chunks
+      val keep = if (keep0.size >= MaxSegs) Nil else keep0
+      val covered = keep.iterator.flatMap(_.files.iterator.map(_.file)).toSet
+      (keep, state.files.filterNot(f => covered.contains(f.file)))
+    }
+
+  /** Write one immutable segment file; uuid-named, so a lost CAS never
+    * collides (the orphan is reclaimed by [[expireSnapshots]]).
+    */
+  private def writeSeg(root: Path, entries: Seq[FileEntry]): String = {
+    val name = s"seg.${java.util.UUID.randomUUID()}.txt"
+    Files.write(root.resolve(name),
+      entries.map(fileLine).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    name
+  }
+
+  /** Advance the `manifest.txt` pointer to the given rendered snapshot
+    * via a same-directory ATOMIC_MOVE (readers see a whole snapshot or
+    * the previous one, never a torn file).
+    */
+  private def advancePointer(root: Path, bytes: Array[Byte]): Unit = {
     val tmp = root.resolve(s".manifest.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, root.resolve("manifest.txt"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** readManifest that treats a mid-write (torn) version file as
+    * absent instead of throwing — used only by the CAS loop while
+    * waiting for a competitor's claim to finish publishing.
+    */
+  private def tryReadVersion(root: Path, v: Long): Option[ManifestState] =
+    try readManifest(root, v) catch { case _: Exception => None }
+
+  /** ONE optimistic commit — the Iceberg shape, with the immutable
+    * version file as the CAS token. Reads the current snapshot,
+    * derives the successor via `fn`, and claims `manifest.v<N>.txt`
+    * with CREATE_NEW: of two committers deriving from the same base
+    * exactly one wins the version number; the loser re-reads and
+    * re-derives, so every validation inside `fn` (schema shape,
+    * replaced-file liveness, the epoch ledger) re-runs against the
+    * snapshot actually being succeeded — no interleave between read
+    * and publish is undetectable, and no commit can silently drop a
+    * concurrent commit's files. `fn` may run several times and must be
+    * pure; a throw from `fn` aborts the commit with nothing published.
+    *
+    * The `manifest.txt` pointer advances AFTER the claim. Losers spin
+    * until the winner's body is readable, and roll the pointer forward
+    * themselves if the winner died between claim and pointer move —
+    * liveness does not depend on the winner surviving. On a real
+    * object store the pointer itself would be the CAS primitive; on a
+    * local FS `CREATE_NEW` (O_EXCL) is the operation that is actually
+    * atomic, so the version file carries the token.
+    */
+  private[graft] def commit(root: Path)(
+      fn: Option[ManifestState] => ManifestState): ManifestState = {
+    Files.createDirectories(root)
+    var spins = 0
+    while (spins < 1000) {
+      val raw = readManifestSegs(root)
+      val cur = raw.map(_._1)
+      val state = fn(cur)
+      val next = cur.map(_.version).getOrElse(0L) + 1L
+      // metadata layout: reuse untouched segments BY REFERENCE, write
+      // only the changed entries — an append to a million-file table
+      // writes O(added + segment count) bytes, never O(table)
+      val (reuse, fresh) = layout(raw.map(_._2).getOrElse(Nil), state)
+      val (newSegs, inline) =
+        if (state.files.size <= InlineCap) (Seq.empty[String], fresh)
+        else (fresh.grouped(SegChunk).map(c => writeSeg(root, c)).toSeq,
+          Seq.empty[FileEntry])
+      val bytes = render(state, next, reuse.map(_.name) ++ newSegs, inline)
+      try {
+        Files.write(root.resolve(s"manifest.v$next.txt"), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        advancePointer(root, bytes)
+        return state.copy(version = next)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the CAS: a competitor claimed v<next>. Its claim and
+          // its body write are two steps, so wait (bounded) for the
+          // body, then make sure the pointer reflects it (roll-forward
+          // if the claimant crashed pre-move) and re-derive. Freshly
+          // written segments of the losing attempt are orphans —
+          // uuid-named, unreferenced, reclaimed by expiry.
+          var waited = 0
+          while (tryReadVersion(root, next).isEmpty && waited < 400) {
+            Thread.sleep(5); waited += 1
+          }
+          tryReadVersion(root, next) match {
+            case Some(_) =>
+              if (readManifest(root).forall(_.version < next))
+                advancePointer(root,
+                  Files.readAllBytes(root.resolve(s"manifest.v$next.txt")))
+            case None => throw new CommitConflictException(
+              s"manifest.v$next.txt at $root was claimed but its body " +
+                "never published (claimant crashed mid-write) — " +
+                "remove the orphan file and retry")
+          }
+          spins += 1
+      }
+    }
+    throw new CommitConflictException(
+      s"commit at $root lost the version CAS $spins times — giving up")
+  }
+
+  /** Publish a snapshot whose content does NOT derive from the current
+    * one (table creation, definition replacement). Derived states —
+    * anything that carries forward files, epochs, or checks — must go
+    * through [[commit]] with the derivation in the function, or a
+    * concurrent commit's work can be silently dropped.
+    */
+  private[graft] def writeManifest(root: Path, state: ManifestState): Unit =
+    commit(root)(_ => state): Unit
 
   /** List every published version number, ascending. */
   private[graft] def listVersions(root: Path): Seq[Long] = {
@@ -281,12 +461,26 @@ object ManifestV2 {
     val root = rootOf(path)
     val versions = listVersions(root)
     val (old, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
-    val referenced = kept.flatMap(v => readManifest(root, v))
-      .flatMap(_.files.map(_.file)).toSet
+    val keptRaw = kept.flatMap(v => readManifestSegs(root, v))
+    val referenced = keptRaw.flatMap(_._1.files.map(_.file)).toSet
     val allEver = versions.flatMap(v => readManifest(root, v))
       .flatMap(_.files.map(_.file)).toSet
     val reclaim = (allEver -- referenced).toSeq.sorted
+    // metadata segments: keep exactly those the surviving manifests
+    // reference; everything else on disk (expired versions' segments
+    // AND lost-CAS orphans) is reclaimable
+    val keptSegs = keptRaw.flatMap(_._2.map(_.name)).toSet
+    val segRe = raw"seg\..*\.txt".r
+    val segReclaim = Seq.newBuilder[String]
+    if (Files.isDirectory(root)) {
+      val st = Files.list(root)
+      try st.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (segRe.matches(n) && !keptSegs.contains(n)) segReclaim += n
+      } finally st.close()
+    }
     old.foreach(v => Files.deleteIfExists(root.resolve(s"manifest.v$v.txt")): Unit)
+    segReclaim.result().foreach(s => Files.deleteIfExists(root.resolve(s)): Unit)
     reclaim.foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
     (old, reclaim)
   }
@@ -394,8 +588,10 @@ object ManifestV2 {
       live.map(_.rows).sum)
   }
 
-  /** TSV escaping: tab/newline/backslash escaped, null as \N — so a
-    * literal tab never appears inside a value and split('\t') is safe.
+  /** Metadata-line escaping (manifest `@check` predicates, view files):
+    * tab/newline/backslash escaped so a literal tab never appears
+    * inside a value and split('\t') is safe. Data files are parquet
+    * and need no escaping.
     */
   private[graft] def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t")
@@ -418,7 +614,6 @@ object ManifestV2 {
     }
     b.toString
   }
-  private[graft] val NullToken = "\\N"
 
   /** Write-vs-table schema compatibility: names and types must match;
     * NULLABILITY must not participate — Spark nullable-izes a created
@@ -512,29 +707,56 @@ object ManifestV2 {
     }
   }
 
-  private[graft] def cellOf(row: InternalRow, i: Int, dt: DataType): String =
-    if (row.isNullAt(i)) NullToken
-    else dt match {
-      case LongType => row.getLong(i).toString
-      case IntegerType => row.getInt(i).toString
-      case DoubleType => row.getDouble(i).toString
-      case BooleanType => row.getBoolean(i).toString
-      case StringType => esc(row.getString(i))
-      case o => throw new UnsupportedOperationException(
-        s"ManifestV2 row format does not support $o")
+  /** DATA FILES ARE PARQUET. The manifest/commit protocol is storage-
+    * format-agnostic (it deals in file names, row counts, and stats
+    * boxes); the leaves themselves are standard parquet — columnar,
+    * ZSTD-compressed, footer-described — written and read through the
+    * parquet-java Group API that ships inside Spark's own jars. That
+    * buys the three things row-text storage can never have at 100 TB:
+    * column pruning at the I/O layer (a 2-column projection reads 2
+    * column chunks, not every byte), real compression, and
+    * count-only reads served from the footer with zero data pages
+    * touched. Schema evolution is BY NAME: a file written before an
+    * ADD COLUMN simply lacks the column in its footer and the reader
+    * null-fills it — strictly sounder than positional cell counting.
+    */
+  private[graft] def parquetTypeOf(schema: StructType)
+      : org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{Types, LogicalTypeAnnotation}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val p = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case o => throw new UnsupportedOperationException(
+          s"ManifestV2 row format does not support $o")
+      }
+      b.addField(p.named(f.name))
     }
+    b.named("graft_row")
+  }
 
-  private[graft] def parseCell(s: String, dt: DataType): Any =
-    if (s == NullToken) null
-    else dt match {
-      case LongType => s.toLong
-      case IntegerType => s.toInt
-      case DoubleType => s.toDouble
-      case BooleanType => s.toBoolean
-      case StringType => UTF8String.fromString(unesc(s))
-      case o => throw new UnsupportedOperationException(
-        s"ManifestV2 row format does not support $o")
-    }
+  /** A Hadoop conf for the connector's own parquet I/O: RawLocalFileSystem
+    * (no .crc sidecars — the staged-file protocol tracks files by exact
+    * name) and no cached FS instances shared with Spark's sessions.
+    * Loading Hadoop's default resources costs milliseconds, so it
+    * happens once per JVM; callers get a cheap copy they may mutate
+    * (the reader sets its per-file projection on it).
+    */
+  private lazy val leafConfBase: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.set("fs.file.impl",
+      classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+  private[graft] def leafConf(): org.apache.hadoop.conf.Configuration =
+    new org.apache.hadoop.conf.Configuration(leafConfBase)
 }
 
 object ManifestTable {
@@ -670,27 +892,35 @@ class ManifestTable(path: String, externalSchema: StructType,
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val st = ManifestV2.readManifest(root).getOrElse(return)
-    val (dropped, kept) = st.files.partition { e =>
-      ManifestV2.decideBox(filters, e) match {
-        case Some(d) => d
-        case None => throw new UnsupportedOperationException(
-          s"delete predicate is not decidable against file stats of ${e.file}" +
-            " — this table never rewrites data for a DELETE")
+    if (ManifestV2.readManifest(root).isEmpty) return
+    // derivation inside commit(): on a CAS conflict the decidability
+    // check and the partition re-run against the succeeding snapshot
+    ManifestV2.commit(root) { cur =>
+      val st = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val kept = st.files.filter { e =>
+        ManifestV2.decideBox(filters, e) match {
+          case Some(d) => !d
+          case None => throw new UnsupportedOperationException(
+            s"delete predicate is not decidable against file stats of ${e.file}" +
+              " — this table never rewrites data for a DELETE")
+        }
       }
-    }
-    ManifestV2.writeManifest(root,
       ManifestV2.ManifestState(st.schema, st.epochs, kept, part = st.part,
-        checks = st.checks))
+        checks = st.checks)
+    }: Unit
     // dropped files stay on disk: older manifest versions still
     // reference them (time travel); expireSnapshots reclaims
   }
 
   override def truncateTable(): Boolean = {
-    val st = ManifestV2.readManifest(root).getOrElse(return true)
-    ManifestV2.writeManifest(root,
+    if (ManifestV2.readManifest(root).isEmpty) return true
+    ManifestV2.commit(root) { cur =>
+      val st = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
       ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty,
-        part = st.part, checks = st.checks))
+        part = st.part, checks = st.checks)
+    }: Unit
     true
   }
 
@@ -851,20 +1081,7 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
-    val st = ManifestV2.readManifest(root).getOrElse(
-      throw new IllegalStateException(s"no manifest at $root"))
-    require(ManifestV2.sameShape(st.schema, schema),
-      s"rewrite schema mismatch: table has ${st.schema.toDDL}, " +
-        s"rewrite has ${schema.toDDL}")
     val gone = op.replaced.map(_.file).toSet
-    // optimistic concurrency, same contract as the compaction path: a
-    // group replaced by a concurrent commit (compact/cluster_by/
-    // overwrite) since this operation scanned it must FAIL the rewrite
-    // — silently keeping the successor file would duplicate its rows
-    val lost = gone -- st.files.map(_.file).toSet
-    require(lost.isEmpty,
-      s"concurrent commit replaced ${lost.mkString(", ")} — retry the statement")
-    val kept = st.files.filterNot(e => gone.contains(e.file))
     val parts = ManifestV2.flatCommits(messages)
     val added = parts.collect {
       case m if m.rows > 0 => ManifestV2.FileEntry(m.file, m.rows, m.stats)
@@ -874,9 +1091,26 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
     parts.foreach { m =>
       if (m.rows == 0L) Files.deleteIfExists(root.resolve(m.file)): Unit
     }
-    ManifestV2.writeManifest(root,
+    // validations run INSIDE the CAS loop, against the snapshot this
+    // commit actually succeeds — an interleaved commit between read
+    // and publish re-runs them instead of being silently overwritten
+    ManifestV2.commit(root) { cur =>
+      val st = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      require(ManifestV2.sameShape(st.schema, schema),
+        s"rewrite schema mismatch: table has ${st.schema.toDDL}, " +
+          s"rewrite has ${schema.toDDL}")
+      // optimistic concurrency, same contract as the compaction path: a
+      // group replaced by a concurrent commit (compact/cluster_by/
+      // overwrite) since this operation scanned it must FAIL the rewrite
+      // — silently keeping the successor file would duplicate its rows
+      val lost = gone -- st.files.map(_.file).toSet
+      require(lost.isEmpty,
+        s"concurrent commit replaced ${lost.mkString(", ")} — retry the statement")
+      val kept = st.files.filterNot(e => gone.contains(e.file))
       ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
-        part = st.part, checks = st.checks))
+        part = st.part, checks = st.checks)
+    }: Unit
     // replaced files stay on disk: older manifest versions reference
     // them (time travel); expireSnapshots is the reclamation path
   }
@@ -952,7 +1186,6 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
     }
 
   override def commitStagedChanges(): Unit = {
-    val prev = ManifestV2.readManifest(root)
     // a REPLACE installs a whole new table DEFINITION: schema,
     // partitioning, and CHECK constraints all come from the statement
     // (constraints deliberately do NOT survive — the old predicate may
@@ -960,25 +1193,35 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
     // ledger DOES carry over: it is sink-progress state keyed by query
     // id, not part of the definition, and dropping it would let a
     // restarted stream double-publish its last epoch into the replaced
-    // table.
-    ManifestV2.writeManifest(root, ManifestV2.ManifestState(
-      stagedSchema, prev.map(_.epochs).getOrElse(Map.empty), pending,
-      part = part))
+    // table. The ledger carry-over is a derivation, so it runs inside
+    // the CAS loop.
+    ManifestV2.commit(root) { prev =>
+      ManifestV2.ManifestState(
+        stagedSchema, prev.map(_.epochs).getOrElse(Map.empty), pending,
+        part = part)
+    }: Unit
   }
 
   override def abortStagedChanges(): Unit = {
     ManifestV2.deleteStaged(path, stagedMsgs)
     // an aborted CREATE must not leave a phantom directory tree behind
     // (namespaceExists would see it and non-cascade DROP NAMESPACE
-    // would refuse); only remove what is provably not a table
+    // would refuse); only remove what is provably not a table. With no
+    // manifest.txt nothing was ever published, and a competing CREATE
+    // would have collided at stage time — so the directory is this
+    // CTAS's exclusively, including any staged file whose task ran to
+    // completion but whose commit message never reached the driver
+    // (the completed-after-abort-decision race): remove the whole tree.
     if (!Files.exists(root.resolve("manifest.txt"))) {
-      val staging = root.resolve("staging")
-      def emptyDir(p: Path): Boolean = Files.isDirectory(p) && {
-        val s = Files.list(p)
-        try !s.findFirst().isPresent finally s.close()
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().forEachRemaining((c: Path) => rm(c))
+          finally s.close()
+        }
+        Files.deleteIfExists(p): Unit
       }
-      if (emptyDir(staging)) Files.deleteIfExists(staging): Unit
-      if (emptyDir(root)) Files.deleteIfExists(root): Unit
+      rm(root)
     }
   }
 }
@@ -1175,30 +1418,81 @@ class ManifestReaderFactory(full: StructType, required: StructType)
       case f: ManifestFilePartition => f
       case b: ManifestBucketedPartition => ManifestFilePartition(b.root, b.file)
     }
-    // parse ONLY the pruned columns, by position in the full schema;
-    // the `_file` METADATA column (index -1) is served from the split
-    // itself — provenance costs no parsing at all
-    val idx = required.fields.map { f =>
-      if (f.name == ManifestTable.FileMetaCol) -1 else full.fieldIndex(f.name)
-    }
     val fileName = UTF8String.fromString(fp.file)
-    val lines = Files.readAllLines(
-      Paths.get(fp.root).resolve(fp.file), StandardCharsets.UTF_8).iterator()
-    new PartitionReader[InternalRow] {
-      private var row: InternalRow = _
-      override def next(): Boolean = {
-        if (!lines.hasNext) return false
-        val cells = lines.next().split("\t", -1)
-        // a file written BEFORE an ADD COLUMN evolution has fewer
-        // cells than the current schema: the missing trailers are NULL
-        row = InternalRow.fromSeq(idx.toIndexedSeq.map(i =>
-          if (i < 0) fileName
-          else if (i >= cells.length) null
-          else ManifestV2.parseCell(cells(i), full.fields(i).dataType)))
-        true
+    val conf = ManifestV2.leafConf()
+    val hPath = new org.apache.hadoop.fs.Path(
+      Paths.get(fp.root).resolve(fp.file).toString)
+    // the file's OWN footer schema decides what exists: a file written
+    // before an ADD COLUMN evolution simply lacks the column by name
+    // and null-fills — by-name resolution, the Iceberg/parquet shape
+    val fileSchema = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(hPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    // data columns to DECODE = required ∩ file footer, in required
+    // order; `_file` (the provenance metadata column) is served from
+    // the split, and evolution-missing columns are NULL constants —
+    // neither touches a data page
+    val dataFields = required.fields.filter(f =>
+      f.name != ManifestTable.FileMetaCol && fileSchema.containsField(f.name))
+    val dataPos = dataFields.map(f => f.name).zipWithIndex.toMap
+    val srcOf: Array[Int] = required.fields.map { f =>
+      if (f.name == ManifestTable.FileMetaCol) -1
+      else dataPos.getOrElse(f.name, -2)
+    }
+    if (dataFields.isEmpty) {
+      // count-only / provenance-only projection: the row count comes
+      // from the footer; ZERO data pages are read or decoded
+      val total = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(hPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
       }
-      override def get(): InternalRow = row
-      override def close(): Unit = ()
+      val const = InternalRow.fromSeq(srcOf.toIndexedSeq.map(i =>
+        if (i == -1) fileName else null))
+      new PartitionReader[InternalRow] {
+        private var served = 0L
+        override def next(): Boolean = { served += 1; served <= total }
+        override def get(): InternalRow = const
+        override def close(): Unit = ()
+      }
+    } else {
+      // project at the parquet I/O layer: only the requested columns'
+      // chunks are read from disk
+      val requested = ManifestV2.parquetTypeOf(StructType(dataFields))
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        requested.toString)
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hPath)
+        .withConf(conf).build()
+      val dts = dataFields.map(_.dataType)
+      new PartitionReader[InternalRow] {
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          val g = reader.read()
+          if (g == null) return false
+          row = InternalRow.fromSeq(srcOf.toIndexedSeq.map { i =>
+            if (i == -1) fileName
+            else if (i == -2) null
+            else if (g.getFieldRepetitionCount(i) == 0) null
+            else dts(i) match {
+              case LongType => g.getLong(i, 0)
+              case IntegerType => g.getInteger(i, 0)
+              case DoubleType => g.getDouble(i, 0)
+              case BooleanType => g.getBoolean(i, 0)
+              case StringType => UTF8String.fromString(g.getString(i, 0))
+              case o => throw new UnsupportedOperationException(
+                s"ManifestV2 row format does not support $o")
+            }
+          })
+          true
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = reader.close()
+      }
     }
   }
 }
@@ -1218,33 +1512,37 @@ class ManifestBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
-    val prev = ManifestV2.readManifest(root)
-    if (!truncate) prev.foreach { p =>
-      require(ManifestV2.sameShape(p.schema, schema),
-        s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
-    }
-    // replaceFiles (compaction): drop-olds and add-news are ONE swap,
-    // and every named file must still be current — a file replaced by
-    // a concurrent commit fails the rewrite instead of resurrecting
-    // (optimistic concurrency, the Iceberg validation shape)
-    val gone = replaceFiles.toSet
-    val stillThere = prev.map(_.files.map(_.file).toSet).getOrElse(Set.empty)
-    val lost = gone -- stillThere
-    require(lost.isEmpty,
-      s"concurrent commit replaced ${lost.mkString(", ")} — retry compaction")
     val added = ManifestV2.flatCommits(messages).map(m =>
       ManifestV2.FileEntry(m.file, m.rows, m.stats))
-    val kept =
-      if (truncate) Seq.empty
-      else prev.map(_.files).getOrElse(Seq.empty)
-        .filterNot(e => gone.contains(e.file))
-    // an append onto an existing table KEEPS the table's schema (incl.
-    // its nullability) — the write's tighter schema must not narrow it
-    ManifestV2.writeManifest(root, ManifestV2.ManifestState(
-      prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
-      prev.map(_.epochs).getOrElse(Map.empty), kept ++ added,
-      part = prev.flatMap(_.part).orElse(partitioned),
-      checks = prev.map(_.checks).getOrElse(Nil)))
+    val gone = replaceFiles.toSet
+    // schema + replaced-file validations run INSIDE the CAS loop, so a
+    // commit interleaved between our read and our publish re-runs them
+    // against the snapshot actually being succeeded
+    ManifestV2.commit(root) { prev =>
+      if (!truncate) prev.foreach { p =>
+        require(ManifestV2.sameShape(p.schema, schema),
+          s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
+      }
+      // replaceFiles (compaction): drop-olds and add-news are ONE swap,
+      // and every named file must still be current — a file replaced by
+      // a concurrent commit fails the rewrite instead of resurrecting
+      // (optimistic concurrency, the Iceberg validation shape)
+      val stillThere = prev.map(_.files.map(_.file).toSet).getOrElse(Set.empty)
+      val lost = gone -- stillThere
+      require(lost.isEmpty,
+        s"concurrent commit replaced ${lost.mkString(", ")} — retry compaction")
+      val kept =
+        if (truncate) Seq.empty
+        else prev.map(_.files).getOrElse(Seq.empty)
+          .filterNot(e => gone.contains(e.file))
+      // an append onto an existing table KEEPS the table's schema (incl.
+      // its nullability) — the write's tighter schema must not narrow it
+      ManifestV2.ManifestState(
+        prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
+        prev.map(_.epochs).getOrElse(Map.empty), kept ++ added,
+        part = prev.flatMap(_.part).orElse(partitioned),
+        checks = prev.map(_.checks).getOrElse(Nil))
+    }: Unit
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
     // expireSnapshots is the only reclamation path
@@ -1290,12 +1588,19 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     } else {
       val added = ManifestV2.flatCommits(messages).map(m =>
         ManifestV2.FileEntry(m.file, m.rows, m.stats))
-      val kept = if (truncate) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
-      ManifestV2.writeManifest(root, ManifestV2.ManifestState(
-        prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
-        prev.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
-        kept ++ added, part = prev.flatMap(_.part),
-        checks = prev.map(_.checks).getOrElse(Nil)))
+      // the epoch ledger merge runs inside the CAS loop: a concurrent
+      // BATCH commit interleaving with this epoch cannot be dropped
+      // (only one streaming writer exists per queryId, so the ledger
+      // entry itself has no same-key race)
+      ManifestV2.commit(root) { cur =>
+        val kept = if (truncate) Seq.empty
+          else cur.map(_.files).getOrElse(Seq.empty)
+        ManifestV2.ManifestState(
+          cur.map(_.schema).filter(_ => !truncate).getOrElse(schema),
+          cur.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
+          kept ++ added, part = cur.flatMap(_.part),
+          checks = cur.map(_.checks).getOrElse(Nil))
+      }: Unit
       // replaced files stay for time travel; expireSnapshots reclaims
     }
   }
@@ -1371,14 +1676,23 @@ class ManifestDataWriter(path: String, schema: StructType,
     extends DataWriter[InternalRow] {
   private val root = ManifestV2.rootOf(path)
   private val rel =
-    s"staging/part-$tag-$partitionId-$taskId-${java.util.UUID.randomUUID()}.tsv"
+    s"staging/part-$tag-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
   private val file = root.resolve(rel)
   Files.createDirectories(file.getParent)
-  private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
+  private val msgType = ManifestV2.parquetTypeOf(schema)
+  private val out = org.apache.parquet.hadoop.example.ExampleParquetWriter
+    .builder(new org.apache.hadoop.fs.Path(file.toString))
+    .withType(msgType)
+    .withConf(ManifestV2.leafConf())
+    .withCompressionCodec(
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD)
+    .build()
   private var rows = 0L
   // per-column [min, max] for BIGINT columns with manifest-safe names
   // (the stats line format uses `:`/`,` separators) — maintained
-  // inline at write time, zero extra passes
+  // inline at write time, zero extra passes. Kept in the MANIFEST
+  // (not only the parquet footer) so pruning decisions never open a
+  // data file.
   private val statCols: Array[Int] = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == LongType &&
       f.name.forall(c => c.isLetterOrDigit || c == '_') => i
@@ -1387,15 +1701,21 @@ class ManifestDataWriter(path: String, schema: StructType,
   private val statHi = Array.fill(statCols.length)(Long.MinValue)
 
   override def write(record: InternalRow): Unit = {
-    val sb = new java.lang.StringBuilder()
+    val g = new org.apache.parquet.example.data.simple.SimpleGroup(msgType)
     var i = 0
     while (i < schema.length) {
-      if (i > 0) sb.append('\t')
-      sb.append(ManifestV2.cellOf(record, i, schema.fields(i).dataType))
+      if (!record.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType => g.add(i, record.getLong(i))
+        case IntegerType => g.add(i, record.getInt(i))
+        case DoubleType => g.add(i, record.getDouble(i))
+        case BooleanType => g.add(i, record.getBoolean(i))
+        case StringType => g.add(i, record.getString(i).toString)
+        case o => throw new UnsupportedOperationException(
+          s"ManifestV2 row format does not support $o")
+      }
       i += 1
     }
-    sb.append('\n')
-    out.write(sb.toString)
+    out.write(g)
     var s = 0
     while (s < statCols.length) {
       val c = statCols(s)
@@ -1421,9 +1741,13 @@ class ManifestDataWriter(path: String, schema: StructType,
     ManifestCommit(rel, rows, stats)
   }
 
-  /** Task abort: nothing this attempt wrote can ever be seen. */
+  /** Task abort: nothing this attempt wrote can ever be seen. The
+    * close is best-effort — a parquet writer mid-page can throw on
+    * close after a task failure, and the DELETE must still run (a
+    * leaked staged file would block the aborted-CTAS dir cleanup).
+    */
   override def abort(): Unit = {
-    out.close()
+    try out.close() catch { case _: Exception => () }
     Files.deleteIfExists(file): Unit
   }
 

@@ -576,14 +576,14 @@ object Streams {
     } { q => q.processAllAvailable() }
     spark.table(name)
       .select($"m", $"n",
-        expr("CAST(key_sum_raw AS DECIMAL(38,0))").as("key_sum"))
+        expr("CAST(key_sum_raw AS BIGINT)").as("key_sum"))
       .orderBy($"m")
   }
 
   /** [[tableFeedQuery]] oracle: the full table's closed form. */
   def tableFeedSql(): String =
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
-      |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS key_sum
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** [[dsv2StreamQuery]] oracle: the identical windowed aggregation in

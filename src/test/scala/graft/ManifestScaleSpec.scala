@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, ManifestV2}
+
+/** Metadata scalability of the manifest plane (the Iceberg
+  * manifest-list shape): past [[ManifestV2.InlineCap]] files the
+  * manifest references immutable SEGMENT files, so a commit writes
+  * O(changed entries + segment count) bytes instead of restating the
+  * whole file list — at a million files the difference between a
+  * manifest commit and a manifest rewrite. Plus the parquet-leaf
+  * count-only read path (footer row count, zero data pages).
+  */
+class ManifestScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val schema = StructType.fromDDL("k BIGINT")
+
+  private def freshRoot(): Path =
+    Files.createTempDirectory("graft_mfs_")
+
+  private def entries(from: Int, until: Int): Seq[ManifestV2.FileEntry] =
+    (from until until).map(i =>
+      ManifestV2.FileEntry(s"staging/f$i.parquet", 1L,
+        Map("k" -> ((i.toLong, i.toLong)))))
+
+  private def state(files: Seq[ManifestV2.FileEntry]) =
+    ManifestV2.ManifestState(schema, Map.empty, files)
+
+  private def segsOf(root: Path, v: Long = -1L): Seq[ManifestV2.SegRef] =
+    ManifestV2.readManifestSegs(root, v).get._2
+
+  test("append to a segmented table writes O(changed) manifest bytes") {
+    val root = freshRoot()
+    val base = entries(0, 5000)
+    ManifestV2.commit(root)(_ => state(base)) // v1: 5 chunked segments
+    val v1Segs = segsOf(root).map(_.name)
+    assert(v1Segs.size == 5, s"expected 5 chunks, got ${v1Segs.size}")
+
+    ManifestV2.commit(root) { cur =>
+      state(cur.get.files ++ entries(5000, 5003))
+    } // v2: append 3
+    val v2 = ManifestV2.readManifestSegs(root, 2L).get
+    assert(v2._1.files.size == 5003)
+    val v2Segs = segsOf(root, 2L)
+    assert(v2Segs.map(_.name).take(5) == v1Segs,
+      "untouched segments must be reused BY REFERENCE")
+    assert(v2Segs.size == 6 && v2Segs.last.files.size == 3,
+      "the appended entries land in one fresh segment")
+    // the O(changed) claim, in actual bytes: manifest + new segment
+    // together are tiny next to what a flattened restatement costs
+    val manifestBytes = Files.size(root.resolve("manifest.v2.txt"))
+    val newSegBytes = Files.size(root.resolve(v2Segs.last.name))
+    val flattenedBytes = v1Segs.map(n => Files.size(root.resolve(n))).sum
+    assert(manifestBytes + newSegBytes < flattenedBytes / 20,
+      s"commit wrote ${manifestBytes + newSegBytes} bytes; a flatten " +
+        s"would restate $flattenedBytes")
+    // time travel still reads the whole historical population
+    assert(ManifestV2.readManifest(root, 1L).get.files.size == 5000)
+  }
+
+  test("a removal flattens only the affected segment") {
+    val root = freshRoot()
+    ManifestV2.commit(root)(_ => state(entries(0, 5000)))
+    val v1Segs = segsOf(root).map(_.name)
+    ManifestV2.commit(root) { cur =>
+      state(cur.get.files.filterNot(_.file == "staging/f17.parquet"))
+    }
+    val v2Segs = segsOf(root)
+    assert(ManifestV2.readManifest(root).get.files.size == 4999)
+    assert(v2Segs.map(_.name).count(v1Segs.contains) == 4,
+      "the four untouched chunks survive by reference")
+    assert(v2Segs.exists(s => !v1Segs.contains(s.name) &&
+      s.files.size == 999), "the pierced chunk is rewritten minus one")
+  }
+
+  test("the segment reference list is checkpoint-bounded") {
+    val root = freshRoot()
+    ManifestV2.commit(root)(_ => state(entries(0, 100)))
+    for (i <- 0 until (ManifestV2.MaxSegs + 5))
+      ManifestV2.commit(root) { cur =>
+        state(cur.get.files ++ entries(1000 + i, 1001 + i))
+      }
+    val segs = segsOf(root)
+    assert(segs.size <= ManifestV2.MaxSegs,
+      s"reference list must stay bounded, got ${segs.size}")
+    assert(ManifestV2.readManifest(root).get.files.size ==
+      100 + ManifestV2.MaxSegs + 5)
+  }
+
+  test("small tables stay fully inline (hand-readable manifests)") {
+    val root = freshRoot()
+    ManifestV2.commit(root)(_ => state(entries(0, ManifestV2.InlineCap)))
+    assert(segsOf(root).isEmpty)
+    val lines = Files.readAllLines(root.resolve("manifest.txt"))
+    assert((4 until lines.size).forall(i => !lines.get(i).startsWith("@")),
+      "file lines inline after the header, no references")
+  }
+
+  test("expiry reclaims segments no surviving manifest references") {
+    val root = freshRoot()
+    ManifestV2.commit(root)(_ => state(entries(0, 3000)))      // v1
+    ManifestV2.commit(root)(_ => state(entries(5000, 8000)))   // v2 replaces
+    val v1Segs = segsOf(root, 1L).map(_.name)
+    val v2Segs = segsOf(root, 2L).map(_.name)
+    ManifestV2.expireSnapshots(root.toString, keepLast = 1)
+    v1Segs.foreach(n => assert(!Files.exists(root.resolve(n)),
+      s"expired segment $n must be reclaimed"))
+    v2Segs.foreach(n => assert(Files.exists(root.resolve(n)),
+      s"live segment $n must survive"))
+    assert(ManifestV2.readManifest(root).get.files.size == 3000)
+  }
+
+  test("parquet leaves: count-only and provenance-only reads are footer-served") {
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.pq")
+    spark.sql("CREATE TABLE graft.spec.pq (k BIGINT, s STRING)")
+    spark.sql(
+      "INSERT INTO graft.spec.pq SELECT id, CONCAT('v', id) FROM range(0, 101, 1, 2)")
+    // empty projection: rows come from the parquet footer
+    assert(spark.sql("SELECT COUNT(*) FROM graft.spec.pq").collect()
+      .head.getLong(0) == 101L)
+    // provenance-only projection: _file from the split, no data pages
+    val perFile = spark.sql(
+      "SELECT _file, COUNT(*) AS n FROM graft.spec.pq GROUP BY _file")
+      .collect().map(_.getLong(1)).sum
+    assert(perFile == 101L)
+    spark.sql("DROP TABLE graft.spec.pq")
+  }
+}
