@@ -119,6 +119,10 @@ object SparkEntry {
       graft.sources.GraftCatalog.clusterByQuery(s, d)),
     "dsv2_expire_snapshots" -> ((s, d) =>
       graft.sources.GraftCatalog.expireSnapshotsQuery(s, d)),
+    "dsv2_stats_agg" -> ((s, d) =>
+      graft.sources.GraftCatalog.statsAggQuery(s, d)),
+    "dsv2_prune_scan" -> ((s, d) =>
+      graft.sources.GraftCatalog.pruneScanQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3619,6 +3623,8 @@ object SparkEntry {
     // the hash covers both the survivors and the accounting row
     "dsv2_compact_table" -> graft.sources.GraftCatalog.compactTableSql(),
     "dsv2_expire_snapshots" -> graft.sources.GraftCatalog.expireSnapshotsSql(),
+    "dsv2_stats_agg" -> graft.sources.GraftCatalog.statsAggSql(),
+    "dsv2_prune_scan" -> graft.sources.GraftCatalog.pruneScanSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

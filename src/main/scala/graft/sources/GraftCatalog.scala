@@ -1250,6 +1250,74 @@ object GraftCatalog {
       |WHERE o_orderkey % 97 >= 50 OR o_orderkey % 97 < 25
       |GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** Driver-contract query for METADATA-SERVED AGGREGATES: COUNT(*) /
+    * MIN / MAX over a manifest table answer from the manifest's
+    * per-file row counts and [min,max] stats boxes — complete
+    * aggregate pushdown, ZERO data files opened (CatalogSpec pins the
+    * METADATA-AGG scan in the plan; the hash here pins the values).
+    * At 100 TB this is `SELECT COUNT(*), MAX(ts) FROM events` — the
+    * monitoring query every pipeline runs — as a metadata read, the
+    * Iceberg snapshot-summary optimization.
+    */
+  def statsAggQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_sa_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.oks")
+    spark.sql("CREATE TABLE graft.db.oks (okey BIGINT, m BIGINT)")
+    spark.sql("""INSERT INTO graft.db.oks
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_sa_orders_src"""
+      .stripMargin)
+    spark.sql("""SELECT COUNT(*) AS n, MIN(okey) AS lo, MAX(okey) AS hi,
+      |  MIN(m) AS mlo, MAX(m) AS mhi
+      |FROM graft.db.oks""".stripMargin)
+  }
+
+  /** [[statsAggQuery]] oracle: the same extrema straight off orders. */
+  def statsAggSql(): String =
+    """SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+      |  MIN(o_orderkey % 97) AS mlo, MAX(o_orderkey % 97) AS mhi
+      |FROM orders""".stripMargin
+
+  /** Driver-contract query for SCAN-TIME FILE PRUNING: the quartile-
+    * clustered layout of [[metadataDeleteQuery]], read back with a
+    * predicate only the top quartile's file can satisfy — the pushed
+    * filter's stats-box evaluation (the same tri-state the
+    * metadata-only DELETE runs) skips the other three files at PLAN
+    * time, and the surviving file is additionally row-group- and
+    * record-filtered inside parquet. CatalogSpec pins the 1-of-4 plan;
+    * the hash pins that pruning lost and invented nothing. This is the
+    * Iceberg scan-planning shape: at 100 TB a time-range query plans
+    * O(matching files), not O(table).
+    */
+  def pruneScanQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_pr_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okpr")
+    spark.sql("CREATE TABLE graft.db.okpr (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okpr
+        |SELECT o_orderkey, o_orderkey % 97 FROM graft_pr_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
+      |FROM graft.db.okpr WHERE m >= 80 AND m < 90
+      |GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** [[pruneScanQuery]] oracle: the filtered band off orders. */
+  def pruneScanSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 97 >= 80 AND o_orderkey % 97 < 90
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off
     * `orders`.
     */

@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, StagedTable, Supp
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, Or}
@@ -1300,33 +1301,188 @@ class ManifestScanBuilder(root: Path, full: StructType,
     version: Long = -1L,
     fixedFiles: Option[Seq[ManifestV2.FileEntry]] = None,
     streamable: Boolean = true) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var aggSpecs: Seq[(String, Option[String])] = Seq.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Is a filter's SHAPE stats-box-evaluable (numeric comparisons on
+    * named columns, composed by AND/OR/NOT)? Per-file decidability
+    * still depends on that file carrying the column's stats — a file
+    * without them simply evaluates to "undecidable, keep".
+    */
+  private def boxShaped(f: Filter): Boolean = f match {
+    case And(l, r) => boxShaped(l) && boxShaped(r)
+    case Or(l, r) => boxShaped(l) && boxShaped(r)
+    case Not(c) => boxShaped(c)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case EqualTo(_, _: java.lang.Number) => true
+    case GreaterThan(_, _: java.lang.Number) => true
+    case GreaterThanOrEqual(_, _: java.lang.Number) => true
+    case LessThan(_, _: java.lang.Number) => true
+    case LessThanOrEqual(_, _: java.lang.Number) => true
+    case _ => false
+  }
+
+  /** FILE PRUNING (the Iceberg scan-planning shape): box-shaped
+    * conjuncts are recorded and used at plan time to skip every file
+    * whose [min,max] stats box proves "no row can match" — the same
+    * tri-state evaluation the metadata-only DELETE runs, now on the
+    * read path. Every conjunct is ALSO returned as residual: the box
+    * decides at file granularity, and rows inside kept files still
+    * need the predicate (the parquet reader additionally applies it
+    * at row-group/record level from the same pushed set).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(boxShaped)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** METADATA-SERVED AGGREGATES (COMPLETE pushdown): COUNT(*) is the
+    * sum of the manifest's per-file row counts, MIN/MAX of a stat
+    * column fold the per-file boxes — ZERO data files are opened. Only
+    * sound when no filter survived pushdown (a filter would need row
+    * inspection) and every data file carries the column's stats box
+    * (an all-null or unsafe-named column refuses, loudly falling back
+    * to the row scan). At 100 TB this turns `SELECT COUNT(*), MAX(ts)
+    * FROM events` — the monitoring query every pipeline runs — into a
+    * manifest read.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    planAgg(aggregation).isDefined
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    planAgg(aggregation) match {
+      case Some(specs) => aggSpecs = specs; true
+      case None => false
+    }
+  }
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      Some(nr.fieldNames().head)
+    case _ => None
+  }
+  private def planAgg(aggregation: Aggregation)
+      : Option[Seq[(String, Option[String])]] = {
+    if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty)
+      return None
+    def statCol(c: Option[String]): Option[String] = c.filter(n =>
+      full.fields.exists(f => f.name == n && f.dataType == LongType))
+    val specs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("count", None))
+      case m: Min => statCol(colOf(m.column())).map(c => ("min", Some(c)))
+      case m: Max => statCol(colOf(m.column())).map(c => ("max", Some(c)))
+      case _ => None
+    }
+    if (specs.isEmpty || specs.contains(None)) return None
+    val flat = specs.flatten
+    // MIN/MAX are decidable only if EVERY non-empty file carries the
+    // column's box (a file without it may hold the true extremum)
+    val st = ManifestV2.readManifest(root, version)
+    val files = fixedFiles.getOrElse(st.map(_.files).getOrElse(Seq.empty))
+    val needed = flat.collect { case (_, Some(c)) => c }.distinct
+    val ok = needed.forall(c =>
+      files.filter(_.rows > 0L).forall(_.stats.contains(c)))
+    if (ok) Some(flat) else None
+  }
+
   override def build(): Scan = {
     val st = ManifestV2.readManifest(root, version)
     val files = fixedFiles.getOrElse(st.map(_.files).getOrElse(Seq.empty))
-    new ManifestScan(root.toString, full, required, files,
-      streamable = streamable && version < 0,
-      partCol = st.flatMap(_.part))
+    if (aggSpecs.nonEmpty)
+      new ManifestAggScan(root.toString, files, aggSpecs)
+    else
+      new ManifestScan(root.toString, full, required, files,
+        streamable = streamable && version < 0,
+        partCol = st.flatMap(_.part), pushed = pushed)
   }
 }
 
+/** The metadata-aggregate scan: one split, one row, straight off the
+  * manifest — no data file is opened.
+  */
+class ManifestAggScan(root: String, files: Seq[ManifestV2.FileEntry],
+    specs: Seq[(String, Option[String])]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(specs.map {
+    case ("count", _) => StructField("count_star", LongType, nullable = false)
+    case (op, Some(c)) => StructField(s"${op}_$c", LongType, nullable = true)
+    case other => throw new IllegalStateException(s"bad agg spec $other")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft ManifestV2 METADATA-AGG files=${files.size} " +
+      s"specs=[${specs.map { case (o, c) => o + c.fold("")("_" + _) }.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition(values))
+  private def values: Seq[Any] = {
+    val data = files.filter(_.rows > 0L)
+    specs.map {
+      case ("count", _) => files.map(_.rows).sum
+      case ("min", Some(c)) =>
+        if (data.isEmpty) null else data.map(_.stats(c)._1).min
+      case ("max", Some(c)) =>
+        if (data.isEmpty) null else data.map(_.stats(c)._2).max
+      case other => throw new IllegalStateException(s"bad agg spec $other")
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val row = InternalRow.fromSeq(
+        p.asInstanceOf[ManifestAggPartition].values)
+      new PartitionReader[InternalRow] {
+        private var served = false
+        override def next(): Boolean = { val r = !served; served = true; r }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    }
+}
+
+case class ManifestAggPartition(values: Seq[Any]) extends InputPartition
+
 class ManifestScan(root: String, full: StructType, required: StructType,
     files: Seq[ManifestV2.FileEntry], streamable: Boolean = true,
-    partCol: Option[String] = None)
-    extends Scan with Batch with SupportsReportPartitioning {
+    partCol: Option[String] = None, pushed: Array[Filter] = Array.empty)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft ManifestV2 files=${files.size} " +
+    s"graft ManifestV2 files=${planned.size}/${files.size} " +
       s"cols=[${required.fieldNames.mkString(",")}]" +
+      s" pushed=[${pushed.mkString(",")}]" +
       (if (keyGrouped) s" keyGrouped=${partCol.get}" else "")
+
+  /** The planned file set after stats-box pruning: a file is skipped
+    * exactly when the pushed conjunction provably matches no row of it
+    * (`decideBox == Some(false)`). No pushed filters = every file.
+    */
+  private val planned: Seq[ManifestV2.FileEntry] =
+    if (pushed.isEmpty) files
+    else files.filter(e => !ManifestV2.decideBox(pushed, e).contains(false))
+
+  /** Manifest-derived statistics: exact row count of the PLANNED files
+    * (post-pruning), sized by the read schema — so Catalyst can
+    * broadcast a small manifest table without a config hint, the same
+    * decision Iceberg feeds from its snapshot summary.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = planned.map(_.rows).sum
+    private val rowWidth = math.max(1,
+      (if (required.isEmpty) full else required).defaultSize)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   private def keyOf(e: ManifestV2.FileEntry): Option[Long] =
     partCol.flatMap(e.stats.get).collect { case (lo, hi) if lo == hi => lo }
-  private val dataFiles = files.filter(_.rows > 0L)
+  private val dataFiles = planned.filter(_.rows > 0L)
   /** The storage-partitioned-join contract holds iff every (non-empty)
     * file is PROVABLY single-valued on the partition column — its
     * stats box is a point. The partitioned write path guarantees that
@@ -1343,15 +1499,16 @@ class ManifestScan(root: String, full: StructType, required: StructType,
         dataFiles.size)
     else new UnknownPartitioning(files.size)
 
-  // one split per committed file: write-task parallelism == read
-  // parallelism, with no directory listing (the manifest IS the listing)
+  // one split per committed PLANNED file: write-task parallelism ==
+  // read parallelism, with no directory listing (the manifest IS the
+  // listing), minus every file the stats boxes pruned
   override def planInputPartitions(): Array[InputPartition] =
     if (keyGrouped)
       dataFiles.map(f =>
         ManifestBucketedPartition(root, f.file, keyOf(f).get)).toArray
-    else files.map(f => ManifestFilePartition(root, f.file)).toArray
+    else planned.map(f => ManifestFilePartition(root, f.file)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(full, required)
+    new ManifestReaderFactory(full, required, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (!streamable) throw new UnsupportedOperationException(
       "cannot stream from a version-pinned or incremental scan — " +
@@ -1411,8 +1568,51 @@ case class ManifestBucketedPartition(root: String, file: String, key: Long)
   override def partitionKey(): InternalRow = InternalRow.fromSeq(Seq(key))
 }
 
-class ManifestReaderFactory(full: StructType, required: StructType)
+class ManifestReaderFactory(full: StructType, required: StructType,
+    pushed: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
+
+  /** Strict (all-or-nothing) translation of one pushed filter to a
+    * parquet FilterPredicate — row-group statistics skip whole pages
+    * and record-level filtering skips rows BEFORE Group
+    * materialization. Conjuncts that don't translate are simply not
+    * applied here (the box already pruned at file level and the
+    * residual filter above the scan stays); partial translation inside
+    * OR/NOT would be unsound, so those require full child coverage.
+    */
+  private def toParquet(f: Filter,
+      fileSchema: org.apache.parquet.schema.MessageType)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    def longCol(c: String) =
+      if (fileSchema.containsField(c) &&
+          full.fields.exists(x => x.name == c && x.dataType == LongType))
+        Some(FilterApi.longColumn(c))
+      else None
+    def jl(v: Any) = java.lang.Long.valueOf(
+      v.asInstanceOf[java.lang.Number].longValue())
+    f match {
+      case And(l, r) => for {
+        a <- toParquet(l, fileSchema); b <- toParquet(r, fileSchema)
+      } yield FilterApi.and(a, b)
+      case Or(l, r) => for {
+        a <- toParquet(l, fileSchema); b <- toParquet(r, fileSchema)
+      } yield FilterApi.or(a, b)
+      case Not(c) => toParquet(c, fileSchema).map(FilterApi.not)
+      case EqualTo(c, v: java.lang.Number) =>
+        longCol(c).map(FilterApi.eq(_, jl(v)))
+      case GreaterThan(c, v: java.lang.Number) =>
+        longCol(c).map(FilterApi.gt(_, jl(v)))
+      case GreaterThanOrEqual(c, v: java.lang.Number) =>
+        longCol(c).map(FilterApi.gtEq(_, jl(v)))
+      case LessThan(c, v: java.lang.Number) =>
+        longCol(c).map(FilterApi.lt(_, jl(v)))
+      case LessThanOrEqual(c, v: java.lang.Number) =>
+        longCol(c).map(FilterApi.ltEq(_, jl(v)))
+      case _ => None
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p match {
       case f: ManifestFilePartition => f
@@ -1435,8 +1635,16 @@ class ManifestReaderFactory(full: StructType, required: StructType)
     // order; `_file` (the provenance metadata column) is served from
     // the split, and evolution-missing columns are NULL constants —
     // neither touches a data page
-    val dataFields = required.fields.filter(f =>
+    val dataFields0 = required.fields.filter(f =>
       f.name != ManifestTable.FileMetaCol && fileSchema.containsField(f.name))
+    // defensive: the footer-count fast path is only sound when no
+    // record-level filter applies; if a pushed filter references data
+    // columns the projection must carry one so the filtered read below
+    // runs (residual filters above the scan normally force this anyway)
+    val dataFields =
+      if (dataFields0.nonEmpty || pushed.isEmpty) dataFields0
+      else full.fields.filter(f => pushed.flatMap(_.references)
+        .contains(f.name) && fileSchema.containsField(f.name))
     val dataPos = dataFields.map(f => f.name).zipWithIndex.toMap
     val srcOf: Array[Int] = required.fields.map { f =>
       if (f.name == ManifestTable.FileMetaCol) -1
@@ -1465,9 +1673,22 @@ class ManifestReaderFactory(full: StructType, required: StructType)
       val requested = ManifestV2.parquetTypeOf(StructType(dataFields))
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
         requested.toString)
-      val reader = org.apache.parquet.hadoop.ParquetReader
+      // pushed conjuncts that translate also filter INSIDE the file:
+      // row-group statistics skip pages, record assembly skips rows.
+      // A record-level predicate may only reference PROJECTED columns
+      // (an unprojected column's values are never assembled, and the
+      // filter would evaluate against nothing) — conjuncts outside the
+      // projection stay file-box-and-residual-only.
+      val pqFilter = pushed
+        .filter(_.references.forall(dataPos.contains))
+        .flatMap(toParquet(_, fileSchema))
+        .reduceOption((a, b) =>
+          org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
+      val builder0 = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hPath)
-        .withConf(conf).build()
+        .withConf(conf)
+      val reader = pqFilter.fold(builder0)(p => builder0.withFilter(
+        org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
       val dts = dataFields.map(_.dataType)
       new PartitionReader[InternalRow] {
         private var row: InternalRow = _

@@ -115,6 +115,73 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(ManifestV2.readManifest(root).get.files.size == 3000)
   }
 
+  test("metadata-served aggregates: COUNT/MIN/MAX answer from the manifest") {
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.ma")
+    spark.sql("CREATE TABLE graft.spec.ma (k BIGINT, s STRING)")
+    spark.sql(
+      "INSERT INTO graft.spec.ma SELECT id + 3, CONCAT('v', id) FROM range(0, 50, 1, 4)")
+    val agg = spark.sql(
+      "SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi FROM graft.spec.ma")
+    assert(agg.queryExecution.executedPlan.toString.contains("METADATA-AGG"),
+      "COUNT/MIN/MAX over stat columns must plan the metadata scan")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((50L, 3L, 52L)))
+
+    // fallbacks, each loudly a ROW scan, never a wrong answer:
+    // (a) a filter needs row inspection
+    val filtered = spark.sql(
+      "SELECT COUNT(*) FROM graft.spec.ma WHERE k % 2 = 0")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("METADATA-AGG"))
+    assert(filtered.collect().head.getLong(0) == 25L)
+    // (b) MIN of a string column has no stats box
+    val strMin = spark.sql("SELECT MIN(s) FROM graft.spec.ma")
+    assert(!strMin.queryExecution.executedPlan.toString.contains("METADATA-AGG"))
+    assert(strMin.collect().head.getString(0) == "v0")
+    spark.sql("DROP TABLE graft.spec.ma")
+  }
+
+  test("pushed filters prune files by stats box and filter inside parquet") {
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.pf")
+    spark.sql("CREATE TABLE graft.spec.pf (k BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.spec.pf
+        |SELECT id FROM range(${q * 100}, ${q * 100 + 100}, 1, 1)""".stripMargin)
+    val df = spark.sql(
+      "SELECT k FROM graft.spec.pf WHERE k >= 310 AND k < 320")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("files=1/4"),
+      s"the three non-matching quartile files must be pruned at plan time:\n$plan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (310L until 320L))
+    // a predicate no box can decide keeps every file (conservative)
+    val undec = spark.sql("SELECT k FROM graft.spec.pf WHERE k % 7 = 0")
+    assert(undec.queryExecution.executedPlan.toString.contains("files=4/4"))
+    assert(undec.count() == (0 until 400).count(_ % 7 == 0))
+    spark.sql("DROP TABLE graft.spec.pf")
+  }
+
+  test("manifest statistics let Catalyst broadcast a small table unhinted") {
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.dim")
+    spark.sql("CREATE TABLE graft.spec.dim (k BIGINT, tag BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.spec.dim SELECT id, id * 10 FROM range(0, 64, 1, 1)")
+    import spark.implicits._
+    val fact = spark.range(0, 100000).select(($"id" % 64).as("k"),
+      $"id".as("v"))
+    val joined = fact.join(spark.table("graft.spec.dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "a 64-row manifest table reporting exact stats must broadcast " +
+        s"without a hint:\n$plan")
+    assert(joined.count() == 100000L)
+    spark.sql("DROP TABLE graft.spec.dim")
+  }
+
   test("parquet leaves: count-only and provenance-only reads are footer-served") {
     GraftCatalog.install(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
