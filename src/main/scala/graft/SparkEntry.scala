@@ -123,6 +123,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.statsAggQuery(s, d)),
     "dsv2_prune_scan" -> ((s, d) =>
       graft.sources.GraftCatalog.pruneScanQuery(s, d)),
+    "dsv2_mor_compact" -> ((s, d) =>
+      graft.sources.GraftCatalog.morCompactQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3625,6 +3627,7 @@ object SparkEntry {
     "dsv2_expire_snapshots" -> graft.sources.GraftCatalog.expireSnapshotsSql(),
     "dsv2_stats_agg" -> graft.sources.GraftCatalog.statsAggSql(),
     "dsv2_prune_scan" -> graft.sources.GraftCatalog.pruneScanSql(),
+    "dsv2_mor_compact" -> graft.sources.GraftCatalog.morCompactSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

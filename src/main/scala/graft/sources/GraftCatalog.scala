@@ -908,12 +908,15 @@ object GraftCatalog {
       |    AS BIGINT) AS key_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
-  /** Driver-contract query for the DELETE rewrite fallback: a
+  /** Driver-contract query for the non-aligned DELETE path: a
     * predicate on key parity that NO file's [min,max] box can decide,
-    * so the metadata-only path is impossible and the statement must
-    * run as a copy-on-write rewrite of every matching group — the
-    * complement of [[metadataDeleteQuery]], which proves the aligned
-    * fast path. Survivors hash against the closed form.
+    * so the metadata-only manifest swap is impossible and the
+    * statement runs MERGE-ON-READ — each touched file gains a
+    * position-delete sidecar, NO data file is rewritten, and readers
+    * subtract the positions (the complement of [[metadataDeleteQuery]],
+    * which proves the aligned fast path; CatalogSpec pins that the
+    * data files are byte-identical after this statement). Survivors
+    * hash against the closed form.
     */
   def deleteRewriteQuery(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -1316,6 +1319,57 @@ object GraftCatalog {
     """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders WHERE o_orderkey % 97 >= 80 AND o_orderkey % 97 < 90
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for the MERGE-ON-READ lifecycle end to end:
+    * the quartile-clustered layout, then a parity DELETE no stats box
+    * can decide — which under the delta operation attaches a position-
+    * delete sidecar to every file and rewrites NOTHING — then `CALL
+    * graft.system.compact`, which is where the deletes get APPLIED
+    * (the rewrite reads live rows only) and their references cleared.
+    * The read-back carries the survivors' closed form plus the
+    * deterministic accounting (files_out = 1, rows_rewritten = the
+    * pre-delete manifest row count — delete sidecars don't restate row
+    * counts, by design). A sidecar lost, double-applied, or surviving
+    * compaction mismatches the hash. At 100 TB this is the production
+    * delete story: point deletes cost kilobytes at statement time, and
+    * the rewrite batches into maintenance.
+    */
+  def morCompactQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_mc_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okmc")
+    spark.sql("CREATE TABLE graft.db.okmc (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okmc
+        |SELECT o_orderkey, o_orderkey % 97 FROM graft_mc_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    spark.sql("DELETE FROM graft.db.okmc WHERE okey % 2 = 0") // merge-on-read
+    spark.sql("""CALL graft.system.compact(ns => 'db', tbl => 'okmc',
+      |  max_rows => CAST(100000000 AS BIGINT))""".stripMargin)
+      .select("files_out", "rows_rewritten")
+      .createOrReplaceTempView("graft_mc_acct")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum,
+      |  files_out, rows_rewritten
+      |FROM graft.db.okmc CROSS JOIN graft_mc_acct
+      |GROUP BY m, files_out, rows_rewritten ORDER BY m""".stripMargin)
+  }
+
+  /** [[morCompactQuery]] oracle: odd-key survivors with the
+    * deterministic compaction accounting (rows_rewritten counts the
+    * PRE-delete manifest rows — the whole table).
+    */
+  def morCompactSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(1 AS BIGINT) AS files_out,
+      |  (SELECT COUNT(*) FROM orders) AS rows_rewritten
+      |FROM orders WHERE o_orderkey % 2 <> 0
       |GROUP BY 1 ORDER BY m""".stripMargin
 
   /** [[timeTravelQuery]] oracle: both snapshots stated straight off

@@ -156,7 +156,8 @@ object ManifestV2 {
     * box needs no data rewrite at all.
     */
   private[graft] case class FileEntry(file: String, rows: Long,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      deletes: Seq[String] = Nil)
 
   /** A committed snapshot: its version, the schema, the latest
     * committed streaming epoch per query id (the exactly-once ledger),
@@ -217,7 +218,10 @@ object ManifestV2 {
         val Array(c, lo, hi) = s.split(":", 3)
         (c, (lo.toLong, hi.toLong))
       }.toMap
-    FileEntry(parts(0), parts(1).toLong, stats)
+    val deletes =
+      if (parts.length < 4 || parts(3).isEmpty) Nil
+      else parts(3).split(",").toSeq
+    FileEntry(parts(0), parts(1).toLong, stats, deletes)
   }
 
   /** Read a snapshot INCLUDING its segment structure — the commit path
@@ -282,11 +286,17 @@ object ManifestV2 {
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
+  /** One file line: `file\trows[\tstats[\tdeletes]]` — the optional
+    * 4th field lists the file's position-delete sidecars (merge-on-read
+    * DELETE), comma-separated. Absent fields parse as empty.
+    */
   private def fileLine(e: FileEntry): String = {
     val stats = e.stats.toSeq.sorted
       .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
-    if (stats.isEmpty) s"${e.file}\t${e.rows}"
-    else s"${e.file}\t${e.rows}\t$stats"
+    val base = s"${e.file}\t${e.rows}"
+    if (e.deletes.nonEmpty) s"$base\t$stats\t${e.deletes.mkString(",")}"
+    else if (stats.nonEmpty) s"$base\t$stats"
+    else base
   }
 
   /** Serialize a snapshot body at the given version number, with its
@@ -463,9 +473,11 @@ object ManifestV2 {
     val versions = listVersions(root)
     val (old, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
     val keptRaw = kept.flatMap(v => readManifestSegs(root, v))
-    val referenced = keptRaw.flatMap(_._1.files.map(_.file)).toSet
+    // "referenced" covers data files AND their position-delete sidecars
+    val referenced = keptRaw
+      .flatMap(_._1.files.flatMap(e => e.file +: e.deletes)).toSet
     val allEver = versions.flatMap(v => readManifest(root, v))
-      .flatMap(_.files.map(_.file)).toSet
+      .flatMap(_.files.flatMap(e => e.file +: e.deletes)).toSet
     val reclaim = (allEver -- referenced).toSeq.sorted
     // metadata segments: keep exactly those the surviving manifests
     // reference; everything else on disk (expired versions' segments
@@ -497,18 +509,29 @@ object ManifestV2 {
     */
   private[graft] def appendedFiles(root: Path, fromV: Long,
       toV: Long): Seq[FileEntry] = {
-    val from: Set[String] =
-      if (fromV == 0L) Set.empty
-      else readManifest(root, fromV).map(_.files.map(_.file).toSet)
+    val fromEntries: Map[String, Seq[String]] =
+      if (fromV == 0L) Map.empty
+      else readManifest(root, fromV)
+        .map(_.files.map(e => (e.file, e.deletes)).toMap)
         .getOrElse(throw new IllegalArgumentException(
           s"no snapshot v$fromV at $root (expired or never published)"))
     val to = readManifest(root, toV).getOrElse(
       throw new IllegalArgumentException(s"no snapshot v$toV at $root"))
-    val removed = from -- to.files.map(_.file).toSet
+    val toByFile = to.files.map(e => (e.file, e.deletes)).toMap
+    val removed = fromEntries.keySet -- toByFile.keySet
     if (removed.nonEmpty) throw new UnsupportedOperationException(
       s"incremental read (v$fromV, v$toV] crosses a replace/delete of " +
         s"${removed.size} file(s) — only append-only ranges are readable")
-    to.files.filterNot(e => from.contains(e.file))
+    // a merge-on-read DELETE in the range mutates carried files without
+    // removing them — serving only the appended files would silently
+    // hand the consumer a feed missing those deletions
+    val mutated = fromEntries.collect {
+      case (f, dels) if toByFile(f) != dels => f
+    }
+    if (mutated.nonEmpty) throw new UnsupportedOperationException(
+      s"incremental read (v$fromV, v$toV] crosses a merge-on-read delete " +
+        s"on ${mutated.size} file(s) — only append-only ranges are readable")
+    to.files.filterNot(e => fromEntries.contains(e.file))
   }
 
   /** Compact the current snapshot's fragment files (rows < maxRows)
@@ -530,8 +553,15 @@ object ManifestV2 {
     val root = rootOf(path)
     val st = readManifest(root).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root"))
-    val smalls = st.files.filter(e => e.rows > 0 && e.rows < maxRows)
-    if (smalls.size < 2) return (0L, 0L, 0L)
+    // fragments = small files AND files carrying merge-on-read delete
+    // sidecars: compaction is where deletes get APPLIED (the rewrite
+    // reads live rows only) and their references cleared
+    val smalls = st.files.filter(e =>
+      e.rows > 0 && (e.rows < maxRows || e.deletes.nonEmpty))
+    // a single fragment is only worth rewriting if it carries deletes
+    if (smalls.isEmpty ||
+        (smalls.size < 2 && smalls.forall(_.deletes.isEmpty)))
+      return (0L, 0L, 0L)
     val rows = smalls.map(_.rows).sum
     val names = smalls.map(_.file)
     val target = math.max(1L, (rows + maxRows - 1L) / maxRows).toInt
@@ -766,6 +796,14 @@ object ManifestTable {
     * zero parse cost when selected explicitly.
     */
   val FileMetaCol = "_file"
+  /** Name of the row-position metadata column (the Iceberg `_pos`
+    * convention): the row's ABSOLUTE ordinal within its data file —
+    * the second half of the (file, pos) row id the merge-on-read
+    * DELETE addresses rows by. Served by the reader's own counter;
+    * requesting it disables intra-file record filtering so ordinals
+    * stay absolute.
+    */
+  val PosMetaCol = "_pos"
 }
 
 /** The table handle. `version < 0` = the live table; `version >= 0` =
@@ -870,6 +908,12 @@ class ManifestTable(path: String, externalSchema: StructType,
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "manifest-relative data file path"
+    },
+    new MetadataColumn {
+      override def name(): String = ManifestTable.PosMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row ordinal within its data file"
     })
 
   /** METADATA-ONLY DELETE (`DELETE FROM t WHERE …` through a V2
@@ -925,25 +969,31 @@ class ManifestTable(path: String, externalSchema: StructType,
     true
   }
 
-  /** ROW-LEVEL OPERATIONS (`DELETE`/`UPDATE`/`MERGE INTO` through a V2
-    * catalog), group-based copy-on-write — the Iceberg COW shape. One
-    * operation instance links the scan that identifies the affected
-    * groups (files) with the write that replaces them; see
-    * [[ManifestRowLevelOperation]] for the group-pruning contract.
+  /** ROW-LEVEL OPERATIONS through a V2 catalog, with the Iceberg
+    * production mode split: DELETE runs MERGE-ON-READ (a position-
+    * delete sidecar per touched file, NO data rewrite —
+    * [[ManifestDeltaDeleteOperation]]), while UPDATE and MERGE run
+    * group-based copy-on-write ([[ManifestRowLevelOperation]]). A
+    * point DELETE on a 100 TB table writes kilobytes; the rewrite cost
+    * moves to compaction, where it batches.
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     if (version >= 0) throw new UnsupportedOperationException(
       s"cannot ${info.command()} snapshot v$version — writes go to the live table")
-    () => new ManifestRowLevelOperation(path, info.command())
+    if (info.command() == RowLevelOperation.Command.DELETE)
+      () => new ManifestDeltaDeleteOperation(path)
+    else
+      () => new ManifestRowLevelOperation(path, info.command())
   }
 }
 
-/** Group-based copy-on-write row-level operation: Spark rewrites
-  * DELETE/UPDATE/MERGE into ReplaceData — read the affected groups,
-  * recompute their surviving/updated rows, write them back, swap. The
-  * unit of replacement is the FILE, and the scale story is group
-  * pruning, in two layers:
+/** Group-based copy-on-write row-level operation (UPDATE and MERGE;
+  * DELETE runs merge-on-read via [[ManifestDeltaDeleteOperation]]):
+  * Spark rewrites the statement into ReplaceData — read the affected
+  * groups, recompute their surviving/updated rows, write them back,
+  * swap. The unit of replacement is the FILE, and the scale story is
+  * group pruning, in two layers:
   *
   *  1. at runtime, Spark's RowLevelOperationRuntimeGroupFiltering
   *     plans a subquery for `_file` values containing matching rows
@@ -1057,10 +1107,170 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation,
 
   override def planInputPartitions(): Array[InputPartition] = {
     op.replaced = current
-    current.map(f => ManifestFilePartition(op.root.toString, f.file)).toArray
+    // the COW rewrite reads LIVE rows only: a file's merge-on-read
+    // delete sidecars apply here too, or the rewrite would resurrect
+    // deleted rows into the replacement file
+    current.map(f =>
+      ManifestFilePartition(op.root.toString, f.file, f.deletes)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required)
+}
+
+/** MERGE-ON-READ DELETE ([[SupportsDelta]] — the Iceberg position-
+  * delete shape): instead of rewriting every file with a matching row,
+  * the operation's scan serves each row's (`_file`, `_pos`) identity,
+  * Spark routes matching rows to [[ManifestDeltaDeleteWriter.delete]],
+  * and the commit attaches one position-delete SIDECAR per touched
+  * file to that file's manifest entry — no data file is read back or
+  * rewritten. Readers subtract the positions; compaction applies and
+  * clears them. At 100 TB a point delete costs kilobytes of sidecar
+  * and one manifest swap; the rewrite moves to compaction, where it
+  * batches across many deletes. Aligned DELETEs still take the
+  * metadata-only manifest-swap path (the optimizer converts the plan
+  * back to deleteWhere when every file's box decides).
+  */
+class ManifestDeltaDeleteOperation(path: String)
+    extends RowLevelOperation with SupportsDelta {
+  private[sources] val root = ManifestV2.rootOf(path)
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.DELETE
+  override def description(): String =
+    s"graft ManifestV2 MERGE-ON-READ delete -> $path"
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(ManifestTable.FileMetaCol),
+    Expressions.column(ManifestTable.PosMetaCol))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  // the delta scan is an ordinary live-table scan (filter pushdown
+  // prunes files whose boxes disprove the predicate); requesting _pos
+  // keeps intra-file record filtering off so ordinals stay absolute
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val full = ManifestV2.readManifest(root).map(_.schema)
+      .getOrElse(new StructType())
+    new ManifestScanBuilder(root, full, streamable = false)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        val idSchema = info.rowIdSchema().orElseThrow(() =>
+          new IllegalStateException("delta write without a rowId schema"))
+        val fileOrd = idSchema.fieldIndex(ManifestTable.FileMetaCol)
+        val posOrd = idSchema.fieldIndex(ManifestTable.PosMetaCol)
+        new DeltaWrite {
+          override def description(): String =
+            ManifestDeltaDeleteOperation.this.description()
+          override def toBatch: DeltaBatchWrite =
+            new ManifestDeltaDeleteBatchWrite(path, fileOrd, posOrd)
+        }
+      }
+    }
+}
+
+/** Task half of the merge-on-read delete: buffer each deleted row's
+  * position keyed by its source file, and at task commit write ONE
+  * sidecar per touched file (`staging/posdel-…` — sorted, newline-
+  * separated ordinals; invisible until the driver commit references
+  * it, exactly the staged-data-file protocol). Buffered state is
+  * bounded by the rows THIS task deletes.
+  */
+class ManifestDeltaDeleteWriter(path: String, partitionId: Int,
+    taskId: Long, fileOrd: Int, posOrd: Int)
+    extends DeltaWriter[InternalRow] {
+  private val root = ManifestV2.rootOf(path)
+  private val buf = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val f = id.getUTF8String(fileOrd).toString
+    buf.getOrElseUpdate(f,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(posOrd)
+  }
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = throw new UnsupportedOperationException(
+    "this operation is DELETE-only (UPDATE/MERGE run copy-on-write)")
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "this operation is DELETE-only (UPDATE/MERGE run copy-on-write)")
+
+  override def commit(): WriterCommitMessage =
+    ManifestDeltaCommit(buf.toSeq.map { case (src, poss) =>
+      val rel = s"staging/posdel-$partitionId-$taskId-" +
+        s"${java.util.UUID.randomUUID()}.txt"
+      val file = root.resolve(rel)
+      Files.createDirectories(file.getParent)
+      Files.write(file, poss.distinct.sorted
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      ManifestDeleteSidecar(src, rel, poss.size.toLong)
+    })
+  override def abort(): Unit = () // sidecars are written only at commit
+  override def close(): Unit = ()
+}
+
+/** Ships to executors: builds one [[ManifestDeltaDeleteWriter]] per
+  * task attempt (a standalone case class so the closure carries no
+  * driver-side batch-write state).
+  */
+case class ManifestDeltaWriterFactory(path: String, fileOrd: Int,
+    posOrd: Int) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new ManifestDeltaDeleteWriter(path, partitionId, taskId,
+      fileOrd, posOrd)
+}
+
+/** One position-delete sidecar: which source file, the sidecar's own
+  * manifest-relative name, and how many positions it holds.
+  */
+case class ManifestDeleteSidecar(src: String, delFile: String, n: Long)
+case class ManifestDeltaCommit(parts: Seq[ManifestDeleteSidecar])
+    extends WriterCommitMessage
+
+/** Driver half: attach each sidecar to its source file's manifest
+  * entry in ONE commit — the delete becomes visible atomically, and
+  * time travel to any earlier version reads the entries WITHOUT the
+  * sidecar references (pre-delete state, zero copies). Validation runs
+  * inside the CAS loop: a source file replaced by a concurrent
+  * compaction fails the delete instead of attaching positions to a
+  * file that no longer exists.
+  */
+class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
+    posOrd: Int) extends DeltaBatchWrite {
+  private val root = ManifestV2.rootOf(path)
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    ManifestDeltaWriterFactory(path, fileOrd, posOrd)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.toSeq.flatMap {
+      case d: ManifestDeltaCommit => d.parts
+      case _ => Seq.empty
+    }
+    if (parts.isEmpty) return // nothing matched: nothing to publish
+    val bySrc = parts.groupBy(_.src)
+      .map { case (s, ps) => (s, ps.map(_.delFile)) }
+    ManifestV2.commit(root) { cur =>
+      val st = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val live = st.files.map(_.file).toSet
+      val lost = bySrc.keySet -- live
+      require(lost.isEmpty,
+        s"concurrent commit replaced ${lost.mkString(", ")} — retry the statement")
+      val files = st.files.map(e =>
+        bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
+      ManifestV2.ManifestState(st.schema, st.epochs, files,
+        part = st.part, checks = st.checks)
+    }: Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case d: ManifestDeltaCommit => d.parts.foreach(p =>
+        Files.deleteIfExists(root.resolve(p.delFile)): Unit)
+      case _ => ()
+    }
 }
 
 /** The replace-groups half: tasks stage rewritten files through the
@@ -1381,9 +1591,12 @@ class ManifestScanBuilder(root: Path, full: StructType,
     if (specs.isEmpty || specs.contains(None)) return None
     val flat = specs.flatten
     // MIN/MAX are decidable only if EVERY non-empty file carries the
-    // column's box (a file without it may hold the true extremum)
+    // column's box (a file without it may hold the true extremum), and
+    // NO file carries merge-on-read deletes (a deleted row may be the
+    // extremum, and COUNT would include dead positions)
     val st = ManifestV2.readManifest(root, version)
     val files = fixedFiles.getOrElse(st.map(_.files).getOrElse(Seq.empty))
+    if (files.exists(_.deletes.nonEmpty)) return None
     val needed = flat.collect { case (_, Some(c)) => c }.distinct
     val ok = needed.forall(c =>
       files.filter(_.rows > 0L).forall(_.stats.contains(c)))
@@ -1505,8 +1718,10 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     if (keyGrouped)
       dataFiles.map(f =>
-        ManifestBucketedPartition(root, f.file, keyOf(f).get)).toArray
-    else planned.map(f => ManifestFilePartition(root, f.file)).toArray
+        ManifestBucketedPartition(root, f.file, keyOf(f).get, f.deletes))
+        .toArray
+    else planned.map(f =>
+      ManifestFilePartition(root, f.file, f.deletes)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -1549,7 +1764,8 @@ class ManifestMicroBatchStream(root: Path, full: StructType,
     val e = end.asInstanceOf[ManifestVersionOffset].v
     if (e <= s) Array.empty
     else ManifestV2.appendedFiles(root, s, e)
-      .map(f => ManifestFilePartition(root.toString, f.file)).toArray
+      .map(f => ManifestFilePartition(root.toString, f.file, f.deletes))
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required)
@@ -1557,13 +1773,15 @@ class ManifestMicroBatchStream(root: Path, full: StructType,
   override def stop(): Unit = ()
 }
 
-case class ManifestFilePartition(root: String, file: String) extends InputPartition
+case class ManifestFilePartition(root: String, file: String,
+    deletes: Seq[String] = Nil) extends InputPartition
 
 /** A split of an identity-partitioned table: the file plus its proven
   * partition value — the [[HasPartitionKey]] Spark's SPJ machinery
   * zips co-bucketed splits by.
   */
-case class ManifestBucketedPartition(root: String, file: String, key: Long)
+case class ManifestBucketedPartition(root: String, file: String, key: Long,
+    deletes: Seq[String] = Nil)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow.fromSeq(Seq(key))
 }
@@ -1616,12 +1834,28 @@ class ManifestReaderFactory(full: StructType, required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p match {
       case f: ManifestFilePartition => f
-      case b: ManifestBucketedPartition => ManifestFilePartition(b.root, b.file)
+      case b: ManifestBucketedPartition =>
+        ManifestFilePartition(b.root, b.file, b.deletes)
     }
     val fileName = UTF8String.fromString(fp.file)
     val conf = ManifestV2.leafConf()
     val hPath = new org.apache.hadoop.fs.Path(
       Paths.get(fp.root).resolve(fp.file).toString)
+    // merge-on-read: the union of the file's position-delete sidecars,
+    // subtracted during the read (a position is dead in every later
+    // snapshot; sidecars are immutable and tiny)
+    val deleted = new java.util.BitSet()
+    fp.deletes.foreach { d =>
+      Files.readAllLines(Paths.get(fp.root).resolve(d),
+        StandardCharsets.UTF_8).forEach { l =>
+        if (l.nonEmpty) deleted.set(l.toInt)
+      }
+    }
+    val hasDeletes = !deleted.isEmpty
+    // _pos is the row's ABSOLUTE ordinal in the file: serving it (or
+    // applying delete positions) is incompatible with intra-file
+    // record filtering, which would renumber survivors
+    val posVisible = required.fieldNames.contains(ManifestTable.PosMetaCol)
     // the file's OWN footer schema decides what exists: a file written
     // before an ADD COLUMN evolution simply lacks the column by name
     // and null-fills — by-name resolution, the Iceberg/parquet shape
@@ -1632,11 +1866,13 @@ class ManifestReaderFactory(full: StructType, required: StructType,
       try r.getFooter.getFileMetaData.getSchema finally r.close()
     }
     // data columns to DECODE = required ∩ file footer, in required
-    // order; `_file` (the provenance metadata column) is served from
-    // the split, and evolution-missing columns are NULL constants —
-    // neither touches a data page
+    // order; `_file`/`_pos` (metadata columns) are served from the
+    // split and the read position, and evolution-missing columns are
+    // NULL constants — none of them touches a data page
     val dataFields0 = required.fields.filter(f =>
-      f.name != ManifestTable.FileMetaCol && fileSchema.containsField(f.name))
+      f.name != ManifestTable.FileMetaCol &&
+        f.name != ManifestTable.PosMetaCol &&
+        fileSchema.containsField(f.name))
     // defensive: the footer-count fast path is only sound when no
     // record-level filter applies; if a pushed filter references data
     // columns the projection must carry one so the filtered read below
@@ -1648,23 +1884,31 @@ class ManifestReaderFactory(full: StructType, required: StructType,
     val dataPos = dataFields.map(f => f.name).zipWithIndex.toMap
     val srcOf: Array[Int] = required.fields.map { f =>
       if (f.name == ManifestTable.FileMetaCol) -1
+      else if (f.name == ManifestTable.PosMetaCol) -3
       else dataPos.getOrElse(f.name, -2)
     }
     if (dataFields.isEmpty) {
-      // count-only / provenance-only projection: the row count comes
-      // from the footer; ZERO data pages are read or decoded
+      // count-only / provenance-only / position-only projection: the
+      // row count comes from the footer and positions from counting;
+      // ZERO data pages are read or decoded
       val total = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(hPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }
-      val const = InternalRow.fromSeq(srcOf.toIndexedSeq.map(i =>
-        if (i == -1) fileName else null))
       new PartitionReader[InternalRow] {
-        private var served = 0L
-        override def next(): Boolean = { served += 1; served <= total }
-        override def get(): InternalRow = const
+        private var pos = -1L
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          pos += 1
+          while (pos < total && deleted.get(pos.toInt)) pos += 1
+          if (pos >= total) return false
+          row = InternalRow.fromSeq(srcOf.toIndexedSeq.map(i =>
+            if (i == -1) fileName else if (i == -3) pos else null))
+          true
+        }
+        override def get(): InternalRow = row
         override def close(): Unit = ()
       }
     } else {
@@ -1678,12 +1922,15 @@ class ManifestReaderFactory(full: StructType, required: StructType,
       // A record-level predicate may only reference PROJECTED columns
       // (an unprojected column's values are never assembled, and the
       // filter would evaluate against nothing) — conjuncts outside the
-      // projection stay file-box-and-residual-only.
-      val pqFilter = pushed
-        .filter(_.references.forall(dataPos.contains))
-        .flatMap(toParquet(_, fileSchema))
-        .reduceOption((a, b) =>
-          org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
+      // projection stay file-box-and-residual-only. Disabled whenever
+      // absolute ordinals matter (_pos requested or deletes to apply).
+      val pqFilter =
+        if (posVisible || hasDeletes) None
+        else pushed
+          .filter(_.references.forall(dataPos.contains))
+          .flatMap(toParquet(_, fileSchema))
+          .reduceOption((a, b) =>
+            org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
       val builder0 = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hPath)
         .withConf(conf)
@@ -1692,19 +1939,26 @@ class ManifestReaderFactory(full: StructType, required: StructType,
       val dts = dataFields.map(_.dataType)
       new PartitionReader[InternalRow] {
         private var row: InternalRow = _
+        private var pos = -1L
         override def next(): Boolean = {
-          val g = reader.read()
+          var g = reader.read()
+          pos += 1
+          while (g != null && hasDeletes && deleted.get(pos.toInt)) {
+            g = reader.read(); pos += 1
+          }
           if (g == null) return false
+          val gg = g
           row = InternalRow.fromSeq(srcOf.toIndexedSeq.map { i =>
             if (i == -1) fileName
+            else if (i == -3) pos
             else if (i == -2) null
-            else if (g.getFieldRepetitionCount(i) == 0) null
+            else if (gg.getFieldRepetitionCount(i) == 0) null
             else dts(i) match {
-              case LongType => g.getLong(i, 0)
-              case IntegerType => g.getInteger(i, 0)
-              case DoubleType => g.getDouble(i, 0)
-              case BooleanType => g.getBoolean(i, 0)
-              case StringType => UTF8String.fromString(g.getString(i, 0))
+              case LongType => gg.getLong(i, 0)
+              case IntegerType => gg.getInteger(i, 0)
+              case DoubleType => gg.getDouble(i, 0)
+              case BooleanType => gg.getBoolean(i, 0)
+              case StringType => UTF8String.fromString(gg.getString(i, 0))
               case o => throw new UnsupportedOperationException(
                 s"ManifestV2 row format does not support $o")
             }

@@ -124,25 +124,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(before.size == 2)
     val fileA = before.collectFirst { case (f, s) if s("k") == (0L, 9L) => f }.get
     val fileB = before.collectFirst { case (f, s) if s("k") == (100L, 109L) => f }.get
+    def entries() = {
+      val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+      graft.sources.ManifestV2.readManifest(
+        java.nio.file.Paths.get(wh, "spec", "del")).get.files
+    }
 
     // misaligned: k < 5 splits file A's [0,9] box — the row-level
-    // fallback engages and COPY-ON-WRITE rewrites it; the runtime
-    // group filter must keep file B (no matching row) out of the
-    // rewrite entirely
+    // fallback engages as MERGE-ON-READ: file A gains a position-
+    // delete sidecar and is NOT rewritten, and scan-time box pruning
+    // keeps file B (disjoint from the predicate) out of the statement
+    // entirely
     spark.sql("DELETE FROM graft.spec.del WHERE k < 5")
-    val after1 = manifestFiles("spec", "del")
-    assert(after1.map(_._1).contains(fileB),
-      s"untouched group must keep its file: $after1")
-    assert(!after1.map(_._1).contains(fileA),
-      "the affected group must be replaced")
-    assert(after1.size == 2, s"one rewritten file expected: $after1")
+    val after1 = entries()
+    assert(after1.map(_.file).toSet == Set(fileA, fileB),
+      s"merge-on-read keeps both data files by name: $after1")
+    assert(after1.find(_.file == fileA).get.deletes.nonEmpty,
+      "the pierced file must carry a position-delete sidecar")
+    assert(after1.find(_.file == fileB).get.deletes.isEmpty,
+      "the box-disjoint file must not be touched by the delete")
     assert(spark.sql("SELECT COUNT(*) AS n, MIN(k) AS lo FROM graft.spec.del")
       .head().toSeq == Seq(15L, 5L))
 
-    // aligned: k < 50 fully covers the rewritten [5,9] file and fully
-    // misses [100,109] — OptimizeMetadataOnlyDeleteFromTable must take
-    // it back to the manifest-swap path: file B survives BY NAME and
-    // nothing is rewritten
+    // aligned: k < 50 fully covers file A's [0,9] box (live rows are a
+    // subset of the box, so dropping the whole file is exact) and
+    // fully misses [100,109] — OptimizeMetadataOnlyDeleteFromTable
+    // must take it back to the manifest-swap path even with the delta
+    // operation available: file A and its sidecar leave the manifest
+    // in one swap, file B survives BY NAME, nothing is rewritten
     spark.sql("DELETE FROM graft.spec.del WHERE k < 50")
     val after2 = manifestFiles("spec", "del")
     assert(after2.map(_._1) == Seq(fileB),

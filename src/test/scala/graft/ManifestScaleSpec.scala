@@ -182,6 +182,81 @@ class ManifestScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.dim")
   }
 
+  test("merge-on-read DELETE: sidecars instead of rewrites, applied everywhere") {
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.mor")
+    spark.sql("CREATE TABLE graft.spec.mor (k BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.spec.mor
+        |SELECT id FROM range(${q * 100}, ${q * 100 + 100}, 1, 1)""".stripMargin)
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "mor")
+    val before = ManifestV2.readManifest(dir).get.files
+      .map(e => (e.file, Files.size(dir.resolve(e.file)))).toMap
+    val preVersion = ManifestV2.readManifest(dir).get.version
+
+    // a predicate no stats box can decide: merge-on-read, not a rewrite
+    spark.sql("DELETE FROM graft.spec.mor WHERE k % 10 = 3")
+    val st = ManifestV2.readManifest(dir).get
+    assert(st.files.map(_.file).toSet == before.keySet,
+      "a merge-on-read delete must not add or drop data files")
+    before.foreach { case (f, sz) =>
+      assert(Files.size(dir.resolve(f)) == sz,
+        s"data file $f must be byte-identical after the delete") }
+    assert(st.files.forall(_.deletes.nonEmpty),
+      "every touched file must reference a position-delete sidecar")
+
+    // readers subtract positions — plain, filtered, and count-only paths
+    assert(spark.table("graft.spec.mor").count() == 360L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.spec.mor WHERE k % 10 = 3")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT SUM(k) FROM graft.spec.mor").head().getLong(0)
+      == (0L until 400L).filter(_ % 10 != 3).sum)
+    // the metadata-aggregate shortcut must REFUSE on delete-bearing files
+    assert(!spark.sql("SELECT COUNT(*) FROM graft.spec.mor")
+      .queryExecution.executedPlan.toString.contains("METADATA-AGG"))
+
+    // time travel reads the PRE-delete snapshot (entries without refs)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.spec.mor VERSION AS OF $preVersion")
+      .head().getLong(0) == 400L)
+
+    // an UPDATE (copy-on-write) must not resurrect deleted rows
+    spark.sql("UPDATE graft.spec.mor SET k = k + 10000 WHERE k = 5")
+    assert(spark.table("graft.spec.mor").count() == 360L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.spec.mor WHERE k % 10 = 3 AND k < 10000")
+      .head().getLong(0) == 0L)
+
+    // compaction APPLIES deletes and clears the references
+    ManifestV2.compactSnapshot(spark, dir.toString, 1000000L)
+    val after = ManifestV2.readManifest(dir).get
+    assert(after.files.forall(_.deletes.isEmpty),
+      "compaction must clear applied delete references")
+    assert(spark.table("graft.spec.mor").count() == 360L)
+    spark.sql("DROP TABLE graft.spec.mor")
+  }
+
+  test("incremental reads refuse ranges that cross a merge-on-read delete") {
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.morr")
+    spark.sql("CREATE TABLE graft.spec.morr (k BIGINT)")
+    spark.sql("INSERT INTO graft.spec.morr SELECT id FROM range(0, 100, 1, 1)")
+    spark.sql("INSERT INTO graft.spec.morr SELECT id FROM range(100, 200, 1, 1)")
+    spark.sql("DELETE FROM graft.spec.morr WHERE k % 7 = 1")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "morr")
+    val v = ManifestV2.readManifest(dir).get.version
+    val e = intercept[UnsupportedOperationException] {
+      ManifestV2.appendedFiles(dir, 2L, v)
+    }
+    assert(e.getMessage.contains("merge-on-read delete"),
+      s"a mutated carried file must fail the append-only contract: ${e.getMessage}")
+    spark.sql("DROP TABLE graft.spec.morr")
+  }
+
   test("parquet leaves: count-only and provenance-only reads are footer-served") {
     GraftCatalog.install(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
