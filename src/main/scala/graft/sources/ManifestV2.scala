@@ -315,18 +315,21 @@ object ManifestV2 {
   }
 
   /** Decide the metadata layout of a snapshot: which of the current
-    * segments survive by reference (every entry still live), and which
-    * entries need fresh placement. Reuse is sound because a data
-    * file's entry is immutable for the file's lifetime — staged files
-    * are written once and never renamed or restated.
+    * segments survive by reference, and which entries need fresh
+    * placement. A segment is reusable only when every ENTRY it carries
+    * is bit-identical in the new state — matching by name alone would
+    * silently drop an entry mutation that keeps the name, and one such
+    * mutation exists: a merge-on-read DELETE attaches sidecar
+    * references to an otherwise-unchanged file. A pierced segment
+    * flattens; its unchanged siblings stay referenced.
     */
   private def layout(curSegs: Seq[SegRef], state: ManifestState)
       : (Seq[SegRef], Seq[FileEntry]) =
     if (state.files.size <= InlineCap) (Nil, state.files)
     else {
-      val newSet = state.files.map(_.file).toSet
-      val keep0 = curSegs.filter(s =>
-        s.files.nonEmpty && s.files.forall(f => newSet.contains(f.file)))
+      val newByFile = state.files.map(e => (e.file, e)).toMap
+      val keep0 = curSegs.filter(s => s.files.nonEmpty &&
+        s.files.forall(f => newByFile.get(f.file).contains(f)))
       // checkpoint: past MaxSegs the list is rewritten as fresh chunks
       val keep = if (keep0.size >= MaxSegs) Nil else keep0
       val covered = keep.iterator.flatMap(_.files.iterator.map(_.file)).toSet
@@ -1848,7 +1851,14 @@ class ManifestReaderFactory(full: StructType, required: StructType,
     fp.deletes.foreach { d =>
       Files.readAllLines(Paths.get(fp.root).resolve(d),
         StandardCharsets.UTF_8).forEach { l =>
-        if (l.nonEmpty) deleted.set(l.toInt)
+        if (l.nonEmpty) {
+          val pos = l.toLong
+          // positions index a BitSet: fail loudly past Int range (a
+          // single data file that large predates compaction norms)
+          require(pos >= 0 && pos <= Int.MaxValue,
+            s"delete position $pos in $d exceeds the supported file size")
+          deleted.set(pos.toInt)
+        }
       }
     }
     val hasDeletes = !deleted.isEmpty

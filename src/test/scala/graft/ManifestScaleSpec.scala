@@ -182,6 +182,28 @@ class ManifestScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.dim")
   }
 
+  test("a delete-reference mutation pierces its segment (no silent reuse)") {
+    // a merge-on-read DELETE changes an entry WITHOUT changing its
+    // name — segment reuse must compare entries, not names, or the
+    // sidecar reference is dropped on the floor at serialization
+    val root = freshRoot()
+    ManifestV2.commit(root)(_ => state(entries(0, 5000)))
+    val v1Segs = segsOf(root).map(_.name)
+    ManifestV2.commit(root) { cur =>
+      state(cur.get.files.map(e =>
+        if (e.file == "staging/f17.parquet")
+          e.copy(deletes = Seq("staging/posdel-x.txt"))
+        else e))
+    }
+    val after = ManifestV2.readManifest(root).get
+    assert(after.files.find(_.file == "staging/f17.parquet").get.deletes ==
+      Seq("staging/posdel-x.txt"),
+      "the sidecar reference must survive segmented serialization")
+    val v2Segs = segsOf(root)
+    assert(v2Segs.map(_.name).count(v1Segs.contains) == 4,
+      "only the pierced segment flattens; the other four stay referenced")
+  }
+
   test("merge-on-read DELETE: sidecars instead of rewrites, applied everywhere") {
     GraftCatalog.install(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
