@@ -2165,13 +2165,22 @@ class ManifestDataWriter(path: String, schema: StructType,
   private val file = root.resolve(rel)
   Files.createDirectories(file.getParent)
   private val msgType = ManifestV2.parquetTypeOf(schema)
-  private val out = org.apache.parquet.hadoop.example.ExampleParquetWriter
-    .builder(new org.apache.hadoop.fs.Path(file.toString))
-    .withType(msgType)
-    .withConf(ManifestV2.leafConf())
-    .withCompressionCodec(
-      org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD)
-    .build()
+  private val out = {
+    val b = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file.toString))
+      .withType(msgType)
+      .withConf(ManifestV2.leafConf())
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD)
+    // footer bloom filters on the BIGINT key columns: the reader's
+    // pushed equality predicates get row-group skipping on scattered
+    // keys the [min,max] box cannot decide — the point-lookup
+    // complement of range pruning, at the cost of a few KB of footer
+    schema.fields.foreach { f =>
+      if (f.dataType == LongType) b.withBloomFilterEnabled(f.name, true)
+    }
+    b.build()
+  }
   private var rows = 0L
   // per-column [min, max] for BIGINT columns with manifest-safe names
   // (the stats line format uses `:`/`,` separators) — maintained
