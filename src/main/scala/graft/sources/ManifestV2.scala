@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -154,10 +154,22 @@ object ManifestV2 {
     * manifest so stats and file list are one atomic unit). Stats feed
     * metadata-only DELETE: a predicate decidable against every file's
     * box needs no data rewrite at all.
+    *
+    * `nulls` carries the NULL COUNT per stats column when the writer
+    * recorded it (absent key = unknown, for pre-upgrade entries): an
+    * "every row matches" decision from a [min,max] box is only sound
+    * when the column is known null-free — NULL rows match no
+    * comparison, and dropping a whole file on its box would silently
+    * delete them. `rgs` lists the file's parquet ROW-GROUP row counts
+    * in order (absent = unknown), which lets scan planning split one
+    * large file into row-group-granular input partitions without
+    * opening its footer — the Iceberg split-offsets shape.
     */
   private[graft] case class FileEntry(file: String, rows: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
-      deletes: Seq[String] = Nil)
+      deletes: Seq[String] = Nil,
+      nulls: Map[String, Long] = Map.empty,
+      rgs: Seq[Long] = Nil)
 
   /** A committed snapshot: its version, the schema, the latest
     * committed streaming epoch per query id (the exactly-once ledger),
@@ -210,18 +222,25 @@ object ManifestV2 {
     */
   private[graft] val MaxSegs = 64
 
-  private def parseFileLine(line: String): FileEntry = {
+  private[graft] def parseFileLine(line: String): FileEntry = {
     val parts = line.split("\t", -1)
-    val stats =
-      if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, (Long, Long)]
-      else parts(2).split(",").map { s =>
-        val Array(c, lo, hi) = s.split(":", 3)
-        (c, (lo.toLong, hi.toLong))
-      }.toMap
+    val stats = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
+    if (parts.length >= 3 && parts(2).nonEmpty)
+      parts(2).split(",").foreach { s =>
+        // `c:lo:hi` (null count unknown — pre-upgrade) or `c:lo:hi:n`
+        val t = s.split(":", 4)
+        stats(t(0)) = (t(1).toLong, t(2).toLong)
+        if (t.length == 4) nulls(t(0)) = t(3).toLong
+      }
     val deletes =
       if (parts.length < 4 || parts(3).isEmpty) Nil
       else parts(3).split(",").toSeq
-    FileEntry(parts(0), parts(1).toLong, stats, deletes)
+    val rgs =
+      if (parts.length < 5 || parts(4).isEmpty) Nil
+      else parts(4).split(";").toSeq.map(_.toLong)
+    FileEntry(parts(0), parts(1).toLong, stats.toMap, deletes,
+      nulls.toMap, rgs)
   }
 
   /** Read a snapshot INCLUDING its segment structure — the commit path
@@ -256,7 +275,9 @@ object ManifestV2 {
       }
       val segs = Seq.newBuilder[SegRef]
       while (i < lines.size && lines.get(i).startsWith("@seg\t")) {
-        val name = lines.get(i).split("\t", 2)(1)
+        // `@seg\tname[\tenvelope]` — the envelope is read by the
+        // PRUNED planner; the full read loads the entries regardless
+        val name = lines.get(i).split("\t", 3)(1)
         val segLines = Files.readAllLines(root.resolve(name),
           StandardCharsets.UTF_8)
         val b = Seq.newBuilder[FileEntry]
@@ -270,6 +291,69 @@ object ManifestV2 {
       Some((ManifestState(schema, epochs, all, v, part, checks.result()),
         segd, inline.toSeq))
     }
+  }
+
+  /** Plan-time observability counters for the two metadata-skipping
+    * layers (segment envelopes, parquet row groups) — cheap LongAdders
+    * the specs assert against to PROVE a skip actually happened, not
+    * just that the machinery exists. local[*] executors share the JVM,
+    * so reader-side increments are visible to the test.
+    */
+  private[graft] val segsReadCount = new java.util.concurrent.atomic.LongAdder
+  private[graft] val segsSkippedCount = new java.util.concurrent.atomic.LongAdder
+  private[graft] val rgStatsSkipCount = new java.util.concurrent.atomic.LongAdder
+  private[graft] val rgBloomSkipCount = new java.util.concurrent.atomic.LongAdder
+
+  /** Read a snapshot FOR SCAN PLANNING, skipping every metadata
+    * segment whose `@seg` envelope proves the pushed conjunction can
+    * match no row it governs — the Iceberg manifest-list stats shape.
+    * On a segmented table a point query reads O(matching segments)
+    * metadata files, not all of them; the driver never materializes
+    * the pruned segments' entries at all. Envelope-less references
+    * (pre-upgrade manifests) are always read. Returns the surviving
+    * entries plus the snapshot header fields the scan needs.
+    */
+  private[graft] def readManifestPruned(root: Path, version: Long,
+      filters: Array[Filter])
+      : Option[(StructType, Long, Option[String], Seq[FileEntry])] = {
+    val m =
+      if (version < 0L) root.resolve("manifest.txt")
+      else root.resolve(s"manifest.v$version.txt")
+    if (!Files.exists(m)) return None
+    val lines = Files.readAllLines(m, StandardCharsets.UTF_8)
+    val schema = StructType.fromDDL(lines.get(0))
+    val v = lines.get(1).split("\t", 2)(1).toLong
+    val (part, afterPart) =
+      if (lines.size > 3 && lines.get(3).startsWith("@part\t"))
+        (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
+      else (None, 3)
+    var i = afterPart
+    while (i < lines.size && lines.get(i).startsWith("@check\t")) i += 1
+    val out = Seq.newBuilder[FileEntry]
+    while (i < lines.size && lines.get(i).startsWith("@seg\t")) {
+      val t = lines.get(i).split("\t", 3)
+      val envelope: Option[Map[String, (Long, Long)]] =
+        if (t.length < 3 || t(2).isEmpty) None
+        else Some(t(2).split(",").map { s =>
+          val Array(c, lo, hi) = s.split(":", 3)
+          (c, (lo.toLong, hi.toLong))
+        }.toMap)
+      // a segment is skippable exactly when a file with its envelope
+      // as box would be: "no row can match" at segment granularity.
+      // (Some(false) from a box is null-sound; null counts are not
+      // needed here.)
+      val skip = filters.nonEmpty && envelope.exists(env =>
+        decideBox(filters, FileEntry("@env", 1L, env)).contains(false))
+      if (skip) segsSkippedCount.increment()
+      else {
+        segsReadCount.increment()
+        Files.readAllLines(root.resolve(t(1)), StandardCharsets.UTF_8)
+          .forEach(l => if (l.nonEmpty) out += parseFileLine(l))
+      }
+      i += 1
+    }
+    while (i < lines.size) { out += parseFileLine(lines.get(i)); i += 1 }
+    Some((schema, v, part, out.result()))
   }
 
   /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
@@ -286,30 +370,59 @@ object ManifestV2 {
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
-  /** One file line: `file\trows[\tstats[\tdeletes]]` — the optional
-    * 4th field lists the file's position-delete sidecars (merge-on-read
-    * DELETE), comma-separated. Absent fields parse as empty.
+  /** One file line: `file\trows[\tstats[\tdeletes[\trowgroups]]]` —
+    * the optional 4th field lists the file's position-delete sidecars
+    * (merge-on-read DELETE), comma-separated; the optional 5th its
+    * parquet row-group row counts, `;`-separated. Stats tokens are
+    * `col:lo:hi:nullcount` (3-part tokens parse as null-count-unknown
+    * for pre-upgrade manifests). Absent fields parse as empty.
     */
-  private def fileLine(e: FileEntry): String = {
+  private[graft] def fileLine(e: FileEntry): String = {
     val stats = e.stats.toSeq.sorted
-      .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
-    val base = s"${e.file}\t${e.rows}"
-    if (e.deletes.nonEmpty) s"$base\t$stats\t${e.deletes.mkString(",")}"
-    else if (stats.nonEmpty) s"$base\t$stats"
-    else base
+      .map { case (c, (lo, hi)) =>
+        e.nulls.get(c).fold(s"$c:$lo:$hi")(n => s"$c:$lo:$hi:$n")
+      }.mkString(",")
+    val rgs = e.rgs.mkString(";")
+    val tail = Seq(stats, e.deletes.mkString(","), rgs)
+      .reverse.dropWhile(_.isEmpty).reverse
+    (s"${e.file}\t${e.rows}" +: tail).mkString("\t")
+  }
+
+  /** A segment's [min,max] ENVELOPE per column: the union box of its
+    * member files' boxes, restricted to columns EVERY non-empty member
+    * carries (a member without the box may hold rows outside any
+    * envelope we could state). Rendered into the `@seg` reference line
+    * so scan planning can skip whole segment files without reading
+    * them — the manifest-list column stats Iceberg keeps.
+    */
+  private def segEnvelope(files: Seq[FileEntry]): String = {
+    val data = files.filter(_.rows > 0L)
+    if (data.isEmpty) ""
+    else {
+      val cols = data.map(_.stats.keySet).reduce(_ intersect _)
+      cols.toSeq.sorted.map { c =>
+        val lo = data.map(_.stats(c)._1).min
+        val hi = data.map(_.stats(c)._2).max
+        s"$c:$lo:$hi"
+      }.mkString(",")
+    }
   }
 
   /** Serialize a snapshot body at the given version number, with its
     * file population split into referenced segments + inline lines.
     */
   private def render(state: ManifestState, version: Long,
-      segNames: Seq[String], inline: Seq[FileEntry]): Array[Byte] = {
+      segs: Seq[SegRef], inline: Seq[FileEntry]): Array[Byte] = {
     val epochLine = "@epochs\t" + state.epochs.toSeq.sorted
       .map { case (q, n) => s"$q:$n" }.mkString(",")
+    val segLines = segs.map { s =>
+      val env = segEnvelope(s.files)
+      if (env.isEmpty) s"@seg\t${s.name}" else s"@seg\t${s.name}\t$env"
+    }
     val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
       (state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
-      segNames.map(n => s"@seg\t$n") ++
+      segLines ++
       inline.map(fileLine))).mkString("", "\n", "\n")
     body.getBytes(StandardCharsets.UTF_8)
   }
@@ -358,6 +471,22 @@ object ManifestV2 {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Pointer moves serialize through this monitor so a delayed mover
+    * (a winner slow between claim and move, or a loser's roll-forward)
+    * can never REGRESS `manifest.txt` past a version someone else
+    * already published: the current pointer version is re-read inside
+    * the lock, immediately before the move. All committers share the
+    * JVM under local[*]; on a real object store the pointer itself
+    * would be the CAS primitive and this guard would be the
+    * conditional-put precondition.
+    */
+  private val pointerLock = new Object
+  private def advancePointerIfNewer(root: Path, bytes: Array[Byte],
+      version: Long): Unit = pointerLock.synchronized {
+    if (readManifest(root).forall(_.version < version))
+      advancePointer(root, bytes)
+  }
+
   /** readManifest that treats a mid-write (torn) version file as
     * absent instead of throwing — used only by the CAS loop while
     * waiting for a competitor's claim to finish publishing.
@@ -399,14 +528,15 @@ object ManifestV2 {
       // writes O(added + segment count) bytes, never O(table)
       val (reuse, fresh) = layout(raw.map(_._2).getOrElse(Nil), state)
       val (newSegs, inline) =
-        if (state.files.size <= InlineCap) (Seq.empty[String], fresh)
-        else (fresh.grouped(SegChunk).map(c => writeSeg(root, c)).toSeq,
+        if (state.files.size <= InlineCap) (Seq.empty[SegRef], fresh)
+        else (fresh.grouped(SegChunk)
+          .map(c => SegRef(writeSeg(root, c), c)).toSeq,
           Seq.empty[FileEntry])
-      val bytes = render(state, next, reuse.map(_.name) ++ newSegs, inline)
+      val bytes = render(state, next, reuse ++ newSegs, inline)
       try {
         Files.write(root.resolve(s"manifest.v$next.txt"), bytes,
           java.nio.file.StandardOpenOption.CREATE_NEW)
-        advancePointer(root, bytes)
+        advancePointerIfNewer(root, bytes, next)
         return state.copy(version = next)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -422,9 +552,9 @@ object ManifestV2 {
           }
           tryReadVersion(root, next) match {
             case Some(_) =>
-              if (readManifest(root).forall(_.version < next))
-                advancePointer(root,
-                  Files.readAllBytes(root.resolve(s"manifest.v$next.txt")))
+              advancePointerIfNewer(root,
+                Files.readAllBytes(root.resolve(s"manifest.v$next.txt")),
+                next)
             case None => throw new CommitConflictException(
               s"manifest.v$next.txt at $root was claimed but its body " +
                 "never published (claimant crashed mid-write) — " +
@@ -445,6 +575,21 @@ object ManifestV2 {
     */
   private[graft] def writeManifest(root: Path, state: ManifestState): Unit =
     commit(root)(_ => state): Unit
+
+  /** The `@seg` reference NAMES of one version — header-only parse,
+    * no segment file is opened (expiry classifies by name alone).
+    */
+  private def segNamesOf(root: Path, version: Long): Seq[String] = {
+    val m = root.resolve(s"manifest.v$version.txt")
+    if (!Files.exists(m)) Nil
+    else {
+      val b = Seq.newBuilder[String]
+      Files.readAllLines(m, StandardCharsets.UTF_8).forEach { l =>
+        if (l.startsWith("@seg\t")) b += l.split("\t", 3)(1)
+      }
+      b.result()
+    }
+  }
 
   /** List every published version number, ascending. */
   private[graft] def listVersions(root: Path): Seq[Long] = {
@@ -470,7 +615,8 @@ object ManifestV2 {
     * bounded by expiry cadence, exactly Iceberg's expire_snapshots.
     * Returns (expired versions, reclaimed data files).
     */
-  def expireSnapshots(path: String, keepLast: Int): (Seq[Long], Seq[String]) = {
+  def expireSnapshots(path: String, keepLast: Int,
+      orphanGraceMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val root = rootOf(path)
     val versions = listVersions(root)
@@ -482,17 +628,32 @@ object ManifestV2 {
     val allEver = versions.flatMap(v => readManifest(root, v))
       .flatMap(_.files.flatMap(e => e.file +: e.deletes)).toSet
     val reclaim = (allEver -- referenced).toSeq.sorted
-    // metadata segments: keep exactly those the surviving manifests
-    // reference; everything else on disk (expired versions' segments
-    // AND lost-CAS orphans) is reclaimable
+    // metadata segments, in two classes. (1) Segments referenced by an
+    // EXPIRED version but no kept one: provably dead, reclaim
+    // unconditionally. (2) Segments referenced by NO version on disk:
+    // either lost-CAS orphans — reclaimable — or the just-written
+    // segments of an IN-FLIGHT commit that has not claimed its version
+    // file yet (commit writes segments BEFORE the CAS). Deleting those
+    // would let the commit win the CAS and publish a manifest pointing
+    // at missing segments, so unreferenced segments are reclaimed only
+    // past a grace window no live commit can still straddle.
     val keptSegs = keptRaw.flatMap(_._2.map(_.name)).toSet
+    val oldSegs = old.flatMap(v => segNamesOf(root, v)).toSet
+    val deadSegs = oldSegs -- keptSegs
+    val everSegs = keptSegs ++ oldSegs
     val segRe = raw"seg\..*\.txt".r
     val segReclaim = Seq.newBuilder[String]
+    val now = System.currentTimeMillis()
     if (Files.isDirectory(root)) {
       val st = Files.list(root)
       try st.iterator().forEachRemaining { p =>
         val n = p.getFileName.toString
-        if (segRe.matches(n) && !keptSegs.contains(n)) segReclaim += n
+        if (segRe.matches(n)) {
+          if (deadSegs.contains(n)) segReclaim += n
+          else if (!everSegs.contains(n) &&
+              now - Files.getLastModifiedTime(p).toMillis > orphanGraceMs)
+            segReclaim += n
+        }
       } finally st.close()
     }
     old.foreach(v => Files.deleteIfExists(root.resolve(s"manifest.v$v.txt")): Unit)
@@ -511,7 +672,7 @@ object ManifestV2 {
     * mistake a replace for an append.
     */
   private[graft] def appendedFiles(root: Path, fromV: Long,
-      toV: Long): Seq[FileEntry] = {
+      toV: Long, allowMorDeletes: Boolean = false): Seq[FileEntry] = {
     val fromEntries: Map[String, Seq[String]] =
       if (fromV == 0L) Map.empty
       else readManifest(root, fromV)
@@ -527,13 +688,23 @@ object ManifestV2 {
         s"${removed.size} file(s) — only append-only ranges are readable")
     // a merge-on-read DELETE in the range mutates carried files without
     // removing them — serving only the appended files would silently
-    // hand the consumer a feed missing those deletions
-    val mutated = fromEntries.collect {
-      case (f, dels) if toByFile(f) != dels => f
+    // hand the consumer a feed missing those deletions. A consumer that
+    // explicitly opts in (`mordeletes=appendonly`) gets the documented
+    // APPEND-ONLY SUBSET instead: exactly the files published in the
+    // range, each as of `toV` (so a file appended AND then MoR-deleted
+    // inside the range serves its surviving rows), with mutations to
+    // files carried from before the range ignored — change-feed
+    // semantics over inserts only, never a retraction.
+    if (!allowMorDeletes) {
+      val mutated = fromEntries.collect {
+        case (f, dels) if toByFile(f) != dels => f
+      }
+      if (mutated.nonEmpty) throw new UnsupportedOperationException(
+        s"incremental read (v$fromV, v$toV] crosses a merge-on-read delete " +
+          s"on ${mutated.size} file(s) — only append-only ranges are " +
+          "readable (set mordeletes=appendonly to opt into the " +
+          "append-only subset)")
     }
-    if (mutated.nonEmpty) throw new UnsupportedOperationException(
-      s"incremental read (v$fromV, v$toV] crosses a merge-on-read delete " +
-        s"on ${mutated.size} file(s) — only append-only ranges are readable")
     to.files.filterNot(e => fromEntries.contains(e.file))
   }
 
@@ -575,7 +746,12 @@ object ManifestV2 {
     (if (st.part.isEmpty) frags.repartition(target) else frags)
       .write.format("graft.sources.ManifestV2")
       .option("path", path)
-      .option("replaceFiles", names.mkString(","))
+      // full ENTRIES, not just names: the commit validates each
+      // replaced file bit-identical in the succeeding snapshot, so a
+      // merge-on-read DELETE landing a sidecar between this scan and
+      // the commit fails the rewrite instead of silently resurrecting
+      // the concurrently deleted rows
+      .option("replaceEntries", smalls.map(fileLine).mkString("\n"))
       .mode("append").save()
     val after = readManifest(root).map(_.files.size).getOrElse(0)
     val filesOut = after - (st.files.size - smalls.size)
@@ -615,11 +791,69 @@ object ManifestV2 {
       .sortWithinPartitions(clusterCol)
       .write.format("graft.sources.ManifestV2")
       .option("path", path)
-      .option("replaceFiles", names.mkString(","))
+      .option("replaceEntries", live.map(fileLine).mkString("\n"))
       .mode("append").save()
     val after = readManifest(root).map(_.files.size).getOrElse(0)
     (live.size.toLong, (after - (st.files.size - live.size)).toLong,
       live.map(_.rows).sum)
+  }
+
+  /** Coalesce MERGE-ON-READ DELETE sidecars: a file that accumulated
+    * `minSidecars` or more position-delete sidecars gets them merged
+    * into ONE (union of positions, sorted, deduplicated) and its
+    * manifest entry swapped to reference only the merged sidecar — a
+    * pure metadata maintenance pass, no data file is opened. Reads of
+    * a many-times-deleted file then parse one sidecar instead of N.
+    * Runs through the CAS commit: a delta DELETE landing between the
+    * merge and the publish keeps its sidecar (only the sidecars this
+    * pass actually merged are substituted; unseen ones are carried).
+    * Old sidecars stay on disk — earlier snapshots reference them —
+    * until [[expireSnapshots]]. Returns (files coalesced, sidecars
+    * before, sidecars after).
+    */
+  def coalesceDeletes(path: String, minSidecars: Int = 2)
+      : (Long, Long, Long) = {
+    require(minSidecars >= 2, "coalescing fewer than 2 sidecars is a no-op")
+    val root = rootOf(path)
+    val st = readManifest(root).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $root"))
+    val targets = st.files.filter(_.deletes.size >= minSidecars)
+    if (targets.isEmpty) return (0L, 0L, 0L)
+    // merged sidecar per file, written BEFORE the commit (like data
+    // files); a lost CAS leaves a uuid-named orphan for expiry
+    val merged: Map[String, (String, Set[String])] = targets.map { e =>
+      val positions = scala.collection.mutable.SortedSet.empty[Long]
+      e.deletes.foreach { d =>
+        Files.readAllLines(root.resolve(d), StandardCharsets.UTF_8)
+          .forEach(l => if (l.nonEmpty) positions += l.toLong)
+      }
+      val rel = s"staging/posdel-merged-${java.util.UUID.randomUUID()}.txt"
+      Files.createDirectories(root.resolve(rel).getParent)
+      Files.write(root.resolve(rel),
+        positions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      (e.file, (rel, e.deletes.toSet))
+    }.toMap
+    var before = 0L; var after = 0L
+    commit(root) { cur =>
+      val s = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      before = 0L; after = 0L
+      val files = s.files.map { e =>
+        merged.get(e.file) match {
+          case Some((rel, covered)) if e.deletes.nonEmpty =>
+            before += e.deletes.size
+            // sidecars that appeared after the merge pass are carried
+            val extra = e.deletes.filterNot(covered.contains)
+            val out = rel +: extra
+            after += out.size
+            e.copy(deletes = out)
+          case _ => e
+        }
+      }
+      ManifestState(s.schema, s.epochs, files, part = s.part,
+        checks = s.checks)
+    }: Unit
+    (merged.size.toLong, before, after)
   }
 
   /** Metadata-line escaping (manifest `@check` predicates, view files):
@@ -664,46 +898,69 @@ object ManifestV2 {
     * Some(false) = no row can match (keep, untouched),
     * None = the stats box cannot decide (the delete must be rejected).
     * The filter array is the usual implicit conjunction.
+    *
+    * NULL-sound under SQL three-valued logic: "matches" means the
+    * predicate evaluates to TRUE, and a row that is NULL in a
+    * referenced column evaluates any comparison to NULL — never TRUE.
+    * So "no row matches" (Some(false)) holds regardless of nulls, but
+    * "every row matches" (Some(true)) additionally requires the
+    * referenced columns be KNOWN NULL-FREE (the entry's recorded null
+    * count is zero) — a box that covers every non-null value says
+    * nothing about the null rows, and dropping the file would delete
+    * them wrongly. Entries without null counts (pre-upgrade) decide
+    * Some(false) only.
     */
   private[graft] def decideBox(filters: Array[Filter],
       e: FileEntry): Option[Boolean] = {
     if (e.rows == 0L) return Some(true) // an empty file matches vacuously
-    val evals = filters.map(f => evalBox(f, e.stats))
+    val evals = filters.map(f => evalBox(f, e))
     if (evals.contains(Some(false))) Some(false)
     else if (evals.forall(_.contains(true))) Some(true)
     else None
   }
 
-  private def evalBox(f: Filter,
-      stats: Map[String, (Long, Long)]): Option[Boolean] = {
+  private def evalBox(f: Filter, e: FileEntry): Option[Boolean] = {
+    val stats = e.stats
     def lit(v: Any): Option[Long] = v match {
       case n: java.lang.Number => Some(n.longValue())
       case _ => None
     }
+    def nullFree(cols: Array[String]): Boolean =
+      cols.forall(c => e.nulls.get(c).contains(0L))
     def cmp(col: String, v: Any)(
         allTrue: (Long, Long, Long) => Boolean,
         allFalse: (Long, Long, Long) => Boolean): Option[Boolean] =
       for {
         x <- lit(v)
         (lo, hi) <- stats.get(col)
-        d <- if (allTrue(lo, hi, x)) Some(true)
-             else if (allFalse(lo, hi, x)) Some(false)
+        d <- if (allFalse(lo, hi, x)) Some(false)
+             else if (allTrue(lo, hi, x) && nullFree(Array(col))) Some(true)
              else None
       } yield d
     f match {
       case AlwaysTrue() => Some(true)
       case AlwaysFalse() => Some(false)
-      case And(l, r) => (evalBox(l, stats), evalBox(r, stats)) match {
+      case And(l, r) => (evalBox(l, e), evalBox(r, e)) match {
         case (Some(false), _) | (_, Some(false)) => Some(false)
         case (Some(true), Some(true)) => Some(true)
         case _ => None
       }
-      case Or(l, r) => (evalBox(l, stats), evalBox(r, stats)) match {
+      case Or(l, r) => (evalBox(l, e), evalBox(r, e)) match {
         case (Some(true), _) | (_, Some(true)) => Some(true)
         case (Some(false), Some(false)) => Some(false)
         case _ => None
       }
-      case Not(c) => evalBox(c, stats).map(!_)
+      // NOT under 3VL: "every row matches NOT c" needs every row FALSE
+      // on c — Some(false) on c only says "no row TRUE" (null rows are
+      // NULL, and NOT NULL is still NULL), so the flip to Some(true)
+      // additionally requires c's columns null-free. The other
+      // direction is safe: every row TRUE on c (which already implied
+      // null-free at the leaves) means NOT c is FALSE everywhere.
+      case Not(c) => evalBox(c, e) match {
+        case Some(true) => Some(false)
+        case Some(false) if nullFree(c.references) => Some(true)
+        case _ => None
+      }
       case EqualTo(c, v) => cmp(c, v)(
         (lo, hi, x) => lo == x && hi == x, (lo, hi, x) => x < lo || x > hi)
       case GreaterThan(c, v) => cmp(c, v)(
@@ -714,6 +971,17 @@ object ManifestV2 {
         (_, hi, x) => hi < x, (lo, _, x) => lo >= x)
       case LessThanOrEqual(c, v) => cmp(c, v)(
         (_, hi, x) => hi <= x, (lo, _, x) => lo > x)
+      // null counts make null tests decidable outright
+      case IsNull(c) => e.nulls.get(c).flatMap {
+        case 0L => Some(false)
+        case n if n == e.rows => Some(true)
+        case _ => None
+      }
+      case IsNotNull(c) => e.nulls.get(c).flatMap {
+        case 0L => Some(true)
+        case n if n == e.rows => Some(false)
+        case _ => None
+      }
       case _ => None // unsupported shape: undecidable by design
     }
   }
@@ -873,6 +1141,14 @@ class ManifestTable(path: String, externalSchema: StructType,
     val startV = Option(options.get("startVersion")).map(_.toLong)
     val endV = Option(options.get("endVersion")).map(_.toLong)
     val fileList = Option(options.get("files"))
+    // incremental/streaming semantics when the range crosses a
+    // merge-on-read DELETE: `fail` (default — a change feed must not
+    // mistake a replace for an append) or `appendonly` (explicit
+    // opt-in: serve exactly the files published in the range, each as
+    // of the range end; mutations to carried files are ignored)
+    val morMode = Option(options.get("mordeletes")).getOrElse("fail")
+    require(morMode == "fail" || morMode == "appendonly",
+      s"mordeletes must be fail|appendonly, got $morMode")
     if (fileList.isDefined) {
       require(startV.isEmpty && endV.isEmpty && version < 0,
         "the files option cannot combine with versioned reads")
@@ -886,7 +1162,8 @@ class ManifestTable(path: String, externalSchema: StructType,
         Some(st.files.filter(e => want.contains(e.file))),
         streamable = false)
     } else if (startV.isEmpty && endV.isEmpty)
-      new ManifestScanBuilder(root, schema(), version)
+      new ManifestScanBuilder(root, schema(), version,
+        morStreamMode = morMode)
     else {
       if (version >= 0) throw new UnsupportedOperationException(
         "VERSION AS OF and startVersion/endVersion cannot be combined " +
@@ -894,7 +1171,8 @@ class ManifestTable(path: String, externalSchema: StructType,
       val to = endV.orElse(ManifestV2.readManifest(root).map(_.version))
         .getOrElse(throw new IllegalArgumentException(
           s"no manifest at $root"))
-      val files = ManifestV2.appendedFiles(root, startV.getOrElse(0L), to)
+      val files = ManifestV2.appendedFiles(root, startV.getOrElse(0L), to,
+        allowMorDeletes = morMode == "appendonly")
       new ManifestScanBuilder(root, schema(), version,
         Some(files), streamable = false)
     }
@@ -1295,10 +1573,12 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
-    val gone = op.replaced.map(_.file).toSet
+    val scanned = op.replaced
+    val gone = scanned.map(_.file).toSet
     val parts = ManifestV2.flatCommits(messages)
     val added = parts.collect {
-      case m if m.rows > 0 => ManifestV2.FileEntry(m.file, m.rows, m.stats)
+      case m if m.rows > 0 => ManifestV2.FileEntry(m.file, m.rows, m.stats,
+        nulls = m.nulls, rgs = m.rgs)
     }
     // rows == 0 staged files (a task whose whole group was deleted)
     // are reclaimed right away: no manifest ever references them
@@ -1314,13 +1594,18 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
       require(ManifestV2.sameShape(st.schema, schema),
         s"rewrite schema mismatch: table has ${st.schema.toDDL}, " +
           s"rewrite has ${schema.toDDL}")
-      // optimistic concurrency, same contract as the compaction path: a
-      // group replaced by a concurrent commit (compact/cluster_by/
-      // overwrite) since this operation scanned it must FAIL the rewrite
-      // — silently keeping the successor file would duplicate its rows
-      val lost = gone -- st.files.map(_.file).toSet
+      // optimistic concurrency, same contract as the compaction path,
+      // validated on ENTRY IDENTITY, not file name: a group replaced
+      // by a concurrent commit (compact/cluster_by/overwrite) OR
+      // mutated in place by a concurrent merge-on-read DELETE (same
+      // name, new sidecar — the rewrite was computed WITHOUT those
+      // deletions and would resurrect them) must FAIL the rewrite.
+      // The Iceberg validateNoNewDeleteFiles shape.
+      val byName = st.files.map(e => (e.file, e)).toMap
+      val lost = scanned.filterNot(r => byName.get(r.file).contains(r))
       require(lost.isEmpty,
-        s"concurrent commit replaced ${lost.mkString(", ")} — retry the statement")
+        s"concurrent commit replaced or mutated " +
+          s"${lost.map(_.file).mkString(", ")} — retry the statement")
       val kept = st.files.filterNot(e => gone.contains(e.file))
       ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
         part = st.part, checks = st.checks)
@@ -1454,19 +1739,29 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
   override def build(): Write = {
     val part = ManifestV2.readManifest(ManifestV2.rootOf(path))
       .flatMap(_.part)
-    // maintenance surface: an append that atomically REPLACES the
-    // named files in the same manifest swap (compaction's rewrite)
+    // maintenance surface: an append that atomically REPLACES files in
+    // the same manifest swap (compaction's rewrite). `replaceEntries`
+    // carries the full rendered entries the rewrite was computed from,
+    // so the commit can validate them UNCHANGED (not merely present by
+    // name) in the snapshot it succeeds; name-only `replaceFiles`
+    // remains as the weaker legacy surface.
     val replace = Option(info.options().get("replaceFiles")).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
+    val replaceEntries = Option(info.options().get("replaceEntries")).toSeq
+      .flatMap(_.split("\n")).filter(_.nonEmpty)
+      .map(ManifestV2.parseFileLine)
+    val rgSize = Option(info.options().get("rowGroupSize")).map(_.toLong)
     part match {
       case Some(col) => new ManifestPartitionedWrite(path, info.schema(),
-        col, truncate, replacing = None, replaceFiles = replace)
+        col, truncate, replacing = None, replaceFiles = replace,
+        replaceEntries = replaceEntries, rowGroupSize = rgSize)
       case None => new Write {
         override def description(): String =
           s"graft ManifestV2 write -> $path"
         override def toBatch: BatchWrite =
           new ManifestBatchWrite(path, info.schema(), truncate,
-            replaceFiles = replace)
+            replaceFiles = replace, replaceEntries = replaceEntries,
+            rowGroupSize = rgSize)
         override def toStreaming: StreamingWrite =
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
             truncate)
@@ -1489,7 +1784,9 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
 class ManifestPartitionedWrite(path: String, schema: StructType,
     partCol: String, truncate: Boolean,
     replacing: Option[ManifestRowLevelOperation],
-    replaceFiles: Seq[String] = Seq.empty)
+    replaceFiles: Seq[String] = Seq.empty,
+    replaceEntries: Seq[ManifestV2.FileEntry] = Seq.empty,
+    rowGroupSize: Option[Long] = None)
     extends Write with RequiresDistributionAndOrdering {
   require(schema.fieldNames.contains(partCol),
     s"write schema ${schema.toDDL} lacks partition column $partCol")
@@ -1502,7 +1799,8 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     case Some(op) => new ManifestReplaceDataWrite(path, schema, op,
       partitioned = Some(partCol))
     case None => new ManifestBatchWrite(path, schema, truncate,
-      partitioned = Some(partCol), replaceFiles = replaceFiles)
+      partitioned = Some(partCol), replaceFiles = replaceFiles,
+      replaceEntries = replaceEntries, rowGroupSize = rowGroupSize)
   }
   override def toStreaming: StreamingWrite =
     throw new UnsupportedOperationException(
@@ -1513,12 +1811,14 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
 class ManifestScanBuilder(root: Path, full: StructType,
     version: Long = -1L,
     fixedFiles: Option[Seq[ManifestV2.FileEntry]] = None,
-    streamable: Boolean = true) extends ScanBuilder
+    streamable: Boolean = true,
+    morStreamMode: String = "fail") extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var aggSpecs: Seq[(String, Option[String])] = Seq.empty
+  private var aggFiles: Seq[ManifestV2.FileEntry] = Seq.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -1537,6 +1837,7 @@ class ManifestScanBuilder(root: Path, full: StructType,
     case GreaterThanOrEqual(_, _: java.lang.Number) => true
     case LessThan(_, _: java.lang.Number) => true
     case LessThanOrEqual(_, _: java.lang.Number) => true
+    case IsNull(_) | IsNotNull(_) => true // decidable off null counts
     case _ => false
   }
 
@@ -1569,7 +1870,14 @@ class ManifestScanBuilder(root: Path, full: StructType,
     planAgg(aggregation).isDefined
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     planAgg(aggregation) match {
-      case Some(specs) => aggSpecs = specs; true
+      case Some((specs, files)) =>
+        // the file list the validation ran against is CAPTURED for
+        // build(): re-reading the manifest there would race a
+        // concurrent merge-on-read DELETE or stats-less append
+        // committing between validation and planning — the served
+        // aggregate would silently include deleted rows or throw on a
+        // missing stats box
+        aggSpecs = specs; aggFiles = files; true
       case None => false
     }
   }
@@ -1580,7 +1888,7 @@ class ManifestScanBuilder(root: Path, full: StructType,
     case _ => None
   }
   private def planAgg(aggregation: Aggregation)
-      : Option[Seq[(String, Option[String])]] = {
+      : Option[(Seq[(String, Option[String])], Seq[ManifestV2.FileEntry])] = {
     if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty)
       return None
     def statCol(c: Option[String]): Option[String] = c.filter(n =>
@@ -1603,19 +1911,33 @@ class ManifestScanBuilder(root: Path, full: StructType,
     val needed = flat.collect { case (_, Some(c)) => c }.distinct
     val ok = needed.forall(c =>
       files.filter(_.rows > 0L).forall(_.stats.contains(c)))
-    if (ok) Some(flat) else None
+    if (ok) Some((flat, files)) else None
   }
 
-  override def build(): Scan = {
-    val st = ManifestV2.readManifest(root, version)
-    val files = fixedFiles.getOrElse(st.map(_.files).getOrElse(Seq.empty))
+  override def build(): Scan =
     if (aggSpecs.nonEmpty)
-      new ManifestAggScan(root.toString, files, aggSpecs)
-    else
-      new ManifestScan(root.toString, full, required, files,
-        streamable = streamable && version < 0,
-        partCol = st.flatMap(_.part), pushed = pushed)
-  }
+      // serve the SAME snapshot the pushdown validated, never a re-read
+      new ManifestAggScan(root.toString, aggFiles, aggSpecs)
+    else fixedFiles match {
+      case Some(files) =>
+        val st = ManifestV2.readManifest(root, version)
+        new ManifestScan(root.toString, full, required, files,
+          streamable = streamable && version < 0,
+          partCol = st.flatMap(_.part), pushed = pushed,
+          morStreamMode = morStreamMode)
+      case None =>
+        // segment-envelope-pruned manifest read: a selective scan of a
+        // segmented table materializes O(matching segments) of metadata
+        // on the driver, not the whole file list
+        val pruned = ManifestV2.readManifestPruned(root, version, pushed)
+        val (part, files) = pruned match {
+          case Some((_, _, p, fs)) => (p, fs)
+          case None => (None, Seq.empty[ManifestV2.FileEntry])
+        }
+        new ManifestScan(root.toString, full, required, files,
+          streamable = streamable && version < 0,
+          partCol = part, pushed = pushed, morStreamMode = morStreamMode)
+    }
 }
 
 /** The metadata-aggregate scan: one split, one row, straight off the
@@ -1662,7 +1984,8 @@ case class ManifestAggPartition(values: Seq[Any]) extends InputPartition
 
 class ManifestScan(root: String, full: StructType, required: StructType,
     files: Seq[ManifestV2.FileEntry], streamable: Boolean = true,
-    partCol: Option[String] = None, pushed: Array[Filter] = Array.empty)
+    partCol: Option[String] = None, pushed: Array[Filter] = Array.empty,
+    morStreamMode: String = "fail")
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -1715,23 +2038,36 @@ class ManifestScan(root: String, full: StructType, required: StructType,
         dataFiles.size)
     else new UnknownPartitioning(files.size)
 
-  // one split per committed PLANNED file: write-task parallelism ==
-  // read parallelism, with no directory listing (the manifest IS the
-  // listing), minus every file the stats boxes pruned
+  // ROW-GROUP-GRANULAR splits (the split-offsets shape): a file whose
+  // manifest entry carries row-group row counts yields one split per
+  // row group — at 100 TB a compacted 1 GB file becomes ~8 parallel
+  // tasks instead of one, matching Spark's native parquet planning.
+  // Entries without row-group metadata (pre-upgrade) and bucketed
+  // files (the storage-partitioned-join contract groups whole files)
+  // stay one split per file. `rgHi = MaxValue` means "through the last
+  // row group"; absolute row ordinals per split come from the footer
+  // at read time, so `_pos` and position-delete subtraction stay exact
+  // across splits.
   override def planInputPartitions(): Array[InputPartition] =
     if (keyGrouped)
       dataFiles.map(f =>
         ManifestBucketedPartition(root, f.file, keyOf(f).get, f.deletes))
         .toArray
-    else planned.map(f =>
-      ManifestFilePartition(root, f.file, f.deletes)).toArray
+    else planned.flatMap { f =>
+      if (f.rgs.size <= 1)
+        Seq(ManifestFilePartition(root, f.file, f.deletes))
+      else f.rgs.indices.map(i =>
+        ManifestFilePartition(root, f.file, f.deletes, rgLo = i,
+          rgHi = i + 1))
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (!streamable) throw new UnsupportedOperationException(
       "cannot stream from a version-pinned or incremental scan — " +
         "stream the live table (offsets ARE versions)")
-    new ManifestMicroBatchStream(Paths.get(root), full, required)
+    new ManifestMicroBatchStream(Paths.get(root), full, required,
+      allowMorDeletes = morStreamMode == "appendonly")
   }
 }
 
@@ -1755,7 +2091,8 @@ case class ManifestVersionOffset(v: Long) extends Offset {
   * at any table size.
   */
 class ManifestMicroBatchStream(root: Path, full: StructType,
-    required: StructType) extends MicroBatchStream {
+    required: StructType, allowMorDeletes: Boolean = false)
+    extends MicroBatchStream {
   override def initialOffset(): Offset = ManifestVersionOffset(0L)
   override def deserializeOffset(json: String): Offset =
     ManifestVersionOffset(json.trim.toLong)
@@ -1766,7 +2103,7 @@ class ManifestMicroBatchStream(root: Path, full: StructType,
     val s = start.asInstanceOf[ManifestVersionOffset].v
     val e = end.asInstanceOf[ManifestVersionOffset].v
     if (e <= s) Array.empty
-    else ManifestV2.appendedFiles(root, s, e)
+    else ManifestV2.appendedFiles(root, s, e, allowMorDeletes)
       .map(f => ManifestFilePartition(root.toString, f.file, f.deletes))
       .toArray
   }
@@ -1776,8 +2113,15 @@ class ManifestMicroBatchStream(root: Path, full: StructType,
   override def stop(): Unit = ()
 }
 
+/** One read split: a data file, its position-delete sidecars, and the
+  * half-open ROW-GROUP index range to serve (`[rgLo, rgHi)`;
+  * `rgHi = Int.MaxValue` = through the last group). The reader clamps
+  * to the footer's actual group count, so a whole-file split needs no
+  * metadata.
+  */
 case class ManifestFilePartition(root: String, file: String,
-    deletes: Seq[String] = Nil) extends InputPartition
+    deletes: Seq[String] = Nil, rgLo: Int = 0, rgHi: Int = Int.MaxValue)
+    extends InputPartition
 
 /** A split of an identity-partitioned table: the file plus its proven
   * partition value — the [[HasPartitionKey]] Spark's SPJ machinery
@@ -1789,49 +2133,43 @@ case class ManifestBucketedPartition(root: String, file: String, key: Long,
   override def partitionKey(): InternalRow = InternalRow.fromSeq(Seq(key))
 }
 
+/** The parquet leaf reader, built directly on [[org.apache.parquet
+  * .hadoop.ParquetFileReader]] (ONE footer open per split, reused for
+  * schema, row-group metadata, stats, blooms, and the data read):
+  *
+  *  - serves the split's half-open ROW-GROUP range, skipping groups
+  *    outside it without I/O — the row-group-granular splits
+  *    [[ManifestScan.planInputPartitions]] plans;
+  *  - within the range, skips whole row groups whose column-chunk
+  *    [min,max]+nullcount statistics prove the pushed conjunction
+  *    can match no row (the same tri-state evaluation as file-level
+  *    pruning, one level down), and groups whose FOOTER BLOOM FILTER
+  *    proves a pushed equality value absent — the point-lookup
+  *    complement of range pruning on scattered keys;
+  *  - decodes surviving groups COLUMN-BATCHED through the column
+  *    reader API (one typed array per projected column per group —
+  *    column-major, no per-row Group object), then serves rows off
+  *    the arrays.
+  *
+  * Absolute row ordinals are exact by construction: every group's
+  * first ordinal is the running sum of the preceding groups' footer
+  * row counts, whether those groups were read, skipped by range, or
+  * skipped by stats/bloom — so `_pos` and merge-on-read position
+  * deletes compose with every skipping layer. Row-group skipping is
+  * a pure I/O optimization for correctness purposes: every pushed
+  * filter is also returned as residual and re-applied above the scan.
+  */
 class ManifestReaderFactory(full: StructType, required: StructType,
     pushed: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
 
-  /** Strict (all-or-nothing) translation of one pushed filter to a
-    * parquet FilterPredicate — row-group statistics skip whole pages
-    * and record-level filtering skips rows BEFORE Group
-    * materialization. Conjuncts that don't translate are simply not
-    * applied here (the box already pruned at file level and the
-    * residual filter above the scan stays); partial translation inside
-    * OR/NOT would be unsound, so those require full child coverage.
+  /** Top-level conjuncts of the pushed conjunction (AND flattened;
+    * anything under OR/NOT stays compound): each is individually
+    * necessary, so any one proving "no match" in a row group skips it.
     */
-  private def toParquet(f: Filter,
-      fileSchema: org.apache.parquet.schema.MessageType)
-      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
-    import org.apache.parquet.filter2.predicate.FilterApi
-    def longCol(c: String) =
-      if (fileSchema.containsField(c) &&
-          full.fields.exists(x => x.name == c && x.dataType == LongType))
-        Some(FilterApi.longColumn(c))
-      else None
-    def jl(v: Any) = java.lang.Long.valueOf(
-      v.asInstanceOf[java.lang.Number].longValue())
-    f match {
-      case And(l, r) => for {
-        a <- toParquet(l, fileSchema); b <- toParquet(r, fileSchema)
-      } yield FilterApi.and(a, b)
-      case Or(l, r) => for {
-        a <- toParquet(l, fileSchema); b <- toParquet(r, fileSchema)
-      } yield FilterApi.or(a, b)
-      case Not(c) => toParquet(c, fileSchema).map(FilterApi.not)
-      case EqualTo(c, v: java.lang.Number) =>
-        longCol(c).map(FilterApi.eq(_, jl(v)))
-      case GreaterThan(c, v: java.lang.Number) =>
-        longCol(c).map(FilterApi.gt(_, jl(v)))
-      case GreaterThanOrEqual(c, v: java.lang.Number) =>
-        longCol(c).map(FilterApi.gtEq(_, jl(v)))
-      case LessThan(c, v: java.lang.Number) =>
-        longCol(c).map(FilterApi.lt(_, jl(v)))
-      case LessThanOrEqual(c, v: java.lang.Number) =>
-        longCol(c).map(FilterApi.ltEq(_, jl(v)))
-      case _ => None
-    }
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case o => Seq(o)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -1862,122 +2200,257 @@ class ManifestReaderFactory(full: StructType, required: StructType,
       }
     }
     val hasDeletes = !deleted.isEmpty
-    // _pos is the row's ABSOLUTE ordinal in the file: serving it (or
-    // applying delete positions) is incompatible with intra-file
-    // record filtering, which would renumber survivors
-    val posVisible = required.fieldNames.contains(ManifestTable.PosMetaCol)
-    // the file's OWN footer schema decides what exists: a file written
-    // before an ADD COLUMN evolution simply lacks the column by name
-    // and null-fills — by-name resolution, the Iceberg/parquet shape
-    val fileSchema = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(hPath, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFooter.getFileMetaData.getSchema finally r.close()
-    }
-    // data columns to DECODE = required ∩ file footer, in required
-    // order; `_file`/`_pos` (metadata columns) are served from the
-    // split and the read position, and evolution-missing columns are
-    // NULL constants — none of them touches a data page
-    val dataFields0 = required.fields.filter(f =>
-      f.name != ManifestTable.FileMetaCol &&
-        f.name != ManifestTable.PosMetaCol &&
-        fileSchema.containsField(f.name))
-    // defensive: the footer-count fast path is only sound when no
-    // record-level filter applies; if a pushed filter references data
-    // columns the projection must carry one so the filtered read below
-    // runs (residual filters above the scan normally force this anyway)
-    val dataFields =
-      if (dataFields0.nonEmpty || pushed.isEmpty) dataFields0
-      else full.fields.filter(f => pushed.flatMap(_.references)
-        .contains(f.name) && fileSchema.containsField(f.name))
-    val dataPos = dataFields.map(f => f.name).zipWithIndex.toMap
-    val srcOf: Array[Int] = required.fields.map { f =>
-      if (f.name == ManifestTable.FileMetaCol) -1
-      else if (f.name == ManifestTable.PosMetaCol) -3
-      else dataPos.getOrElse(f.name, -2)
-    }
-    if (dataFields.isEmpty) {
-      // count-only / provenance-only / position-only projection: the
-      // row count comes from the footer and positions from counting;
-      // ZERO data pages are read or decoded
-      val total = {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(hPath, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
+    // ONE footer open, reused for everything below (schema, row-group
+    // metadata, bloom readers, the data read itself)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+    try {
+      val footer = reader.getFooter
+      // the file's OWN footer schema decides what exists: a file
+      // written before an ADD COLUMN evolution simply lacks the column
+      // by name and null-fills — by-name resolution, the Iceberg shape
+      val fileSchema = footer.getFileMetaData.getSchema
+      val createdBy = footer.getFileMetaData.getCreatedBy
+      val blocks = footer.getBlocks
+      val nBlocks = blocks.size()
+      val rgLo = math.max(0, fp.rgLo)
+      val rgHi = math.min(nBlocks, fp.rgHi)
+      // data columns to DECODE = required ∩ file footer, in required
+      // order; `_file`/`_pos` (metadata columns) are served from the
+      // split and the read position, and evolution-missing columns are
+      // NULL constants — none of them touches a data page
+      val dataFields0 = required.fields.filter(f =>
+        f.name != ManifestTable.FileMetaCol &&
+          f.name != ManifestTable.PosMetaCol &&
+          fileSchema.containsField(f.name))
+      // defensive: the footer-count fast path must not swallow a
+      // pushed filter — if one references data columns this file has,
+      // decode them so the residual above the scan sees real values
+      val dataFields =
+        if (dataFields0.nonEmpty || pushed.isEmpty) dataFields0
+        else full.fields.filter(f => pushed.flatMap(_.references)
+          .contains(f.name) && fileSchema.containsField(f.name))
+      val dataPos = dataFields.map(f => f.name).zipWithIndex.toMap
+      val srcOf: Array[Int] = required.fields.map { f =>
+        if (f.name == ManifestTable.FileMetaCol) -1
+        else if (f.name == ManifestTable.PosMetaCol) -3
+        else dataPos.getOrElse(f.name, -2)
       }
-      new PartitionReader[InternalRow] {
-        private var pos = -1L
-        private var row: InternalRow = _
-        override def next(): Boolean = {
-          pos += 1
-          while (pos < total && deleted.get(pos.toInt)) pos += 1
-          if (pos >= total) return false
-          row = InternalRow.fromSeq(srcOf.toIndexedSeq.map(i =>
-            if (i == -1) fileName else if (i == -3) pos else null))
-          true
-        }
-        override def get(): InternalRow = row
-        override def close(): Unit = ()
-      }
-    } else {
-      // project at the parquet I/O layer: only the requested columns'
-      // chunks are read from disk
-      val requested = ManifestV2.parquetTypeOf(StructType(dataFields))
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        requested.toString)
-      // pushed conjuncts that translate also filter INSIDE the file:
-      // row-group statistics skip pages, record assembly skips rows.
-      // A record-level predicate may only reference PROJECTED columns
-      // (an unprojected column's values are never assembled, and the
-      // filter would evaluate against nothing) — conjuncts outside the
-      // projection stay file-box-and-residual-only. Disabled whenever
-      // absolute ordinals matter (_pos requested or deletes to apply).
-      val pqFilter =
-        if (posVisible || hasDeletes) None
-        else pushed
-          .filter(_.references.forall(dataPos.contains))
-          .flatMap(toParquet(_, fileSchema))
-          .reduceOption((a, b) =>
-            org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
-      val builder0 = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hPath)
-        .withConf(conf)
-      val reader = pqFilter.fold(builder0)(p => builder0.withFilter(
-        org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
-      val dts = dataFields.map(_.dataType)
-      new PartitionReader[InternalRow] {
-        private var row: InternalRow = _
-        private var pos = -1L
-        override def next(): Boolean = {
-          var g = reader.read()
-          pos += 1
-          while (g != null && hasDeletes && deleted.get(pos.toInt)) {
-            g = reader.read(); pos += 1
+      if (dataFields.isEmpty) {
+        // count-only / provenance-only / position-only projection: row
+        // counts come from the footer's row-group metadata and
+        // positions from counting; ZERO data pages are read or decoded
+        var startPos = 0L
+        var i = 0
+        while (i < rgLo) { startPos += blocks.get(i).getRowCount; i += 1 }
+        var endPos = startPos
+        while (i < rgHi) { endPos += blocks.get(i).getRowCount; i += 1 }
+        reader.close()
+        new PartitionReader[InternalRow] {
+          private var pos = startPos - 1L
+          private var row: InternalRow = _
+          override def next(): Boolean = {
+            pos += 1
+            if (hasDeletes) // guard: BitSet indexing only when sidecars
+              // exist AND the ordinal fits — delete positions are
+              // require()-bounded to Int range at load, so any larger
+              // ordinal is live by construction
+              while (pos < endPos && pos <= Int.MaxValue &&
+                deleted.get(pos.toInt)) pos += 1
+            if (pos >= endPos) return false
+            row = InternalRow.fromSeq(srcOf.toIndexedSeq.map(i =>
+              if (i == -1) fileName else if (i == -3) pos else null))
+            true
           }
-          if (g == null) return false
-          val gg = g
-          row = InternalRow.fromSeq(srcOf.toIndexedSeq.map { i =>
-            if (i == -1) fileName
-            else if (i == -3) pos
-            else if (i == -2) null
-            else if (gg.getFieldRepetitionCount(i) == 0) null
-            else dts(i) match {
-              case LongType => gg.getLong(i, 0)
-              case IntegerType => gg.getInteger(i, 0)
-              case DoubleType => gg.getDouble(i, 0)
-              case BooleanType => gg.getBoolean(i, 0)
-              case StringType => UTF8String.fromString(gg.getString(i, 0))
-              case o => throw new UnsupportedOperationException(
-                s"ManifestV2 row format does not support $o")
-            }
-          })
-          true
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
         }
-        override def get(): InternalRow = row
-        override def close(): Unit = reader.close()
+      } else {
+        // project at the parquet I/O layer: only the requested
+        // columns' chunks are read from disk
+        val requested = ManifestV2.parquetTypeOf(StructType(dataFields))
+        reader.setRequestedSchema(requested)
+        val colDescs = requested.getColumns
+        val nCols = dataFields.length
+        // per-column decode tag (monomorphic inner loop)
+        val tag: Array[Int] = dataFields.map(_.dataType match {
+          case LongType => 0
+          case IntegerType => 1
+          case DoubleType => 2
+          case BooleanType => 3
+          case StringType => 4
+          case o => throw new UnsupportedOperationException(
+            s"ManifestV2 row format does not support $o")
+        })
+        val longCols: Set[String] = full.fields
+          .collect { case f if f.dataType == LongType => f.name }.toSet
+        val flatConj: Array[Filter] = pushed.flatMap(conjuncts)
+
+        new PartitionReader[InternalRow] {
+          private var blockIdx = 0
+          private var base = 0L // absolute ordinal of blocks(blockIdx)'s first row
+          private var batch: Array[Array[Any]] = _
+          private var batchRows = 0
+          private var batchBase = 0L
+          private var idx = 0
+          private var row: InternalRow = _
+
+          /** Row-group-level skip decision off the footer: chunk
+            * statistics feed the same null-sound tri-state as
+            * file-level boxes; surviving equality conjuncts then probe
+            * the chunk's bloom filter. Sound because every conjunct is
+            * individually necessary and deletes only remove rows.
+            */
+          private def pruned(
+              b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
+            if (flatConj.isEmpty) return false
+            val stats = scala.collection.mutable.Map.empty[String, (Long, Long)]
+            val nulls = scala.collection.mutable.Map.empty[String, Long]
+            val chunks = scala.collection.mutable.Map.empty[String,
+              org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+            val it = b.getColumns.iterator()
+            while (it.hasNext) {
+              val cc = it.next()
+              val name = cc.getPath.toDotString
+              chunks(name) = cc
+              if (longCols.contains(name)) {
+                val s = cc.getStatistics
+                if (s != null && !s.isEmpty) {
+                  if (s.hasNonNullValue) s.genericGetMin match {
+                    case lo: java.lang.Long =>
+                      stats(name) = (lo.longValue(),
+                        s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                    case _ => ()
+                  }
+                  if (s.isNumNullsSet) nulls(name) = s.getNumNulls
+                }
+              }
+            }
+            val entry = ManifestV2.FileEntry(fp.file, b.getRowCount,
+              stats.toMap, Nil, nulls.toMap)
+            if (ManifestV2.decideBox(pushed, entry).contains(false)) {
+              ManifestV2.rgStatsSkipCount.increment()
+              return true
+            }
+            var bfr: org.apache.parquet.hadoop.BloomFilterReader = null
+            var ci = 0
+            while (ci < flatConj.length) {
+              flatConj(ci) match {
+                case EqualTo(c, v: java.lang.Number) if longCols.contains(c) &&
+                    chunks.contains(c) =>
+                  if (bfr == null) bfr = reader.getBloomFilterDataReader(b)
+                  val bf = bfr.readBloomFilter(chunks(c))
+                  if (bf != null && !bf.findHash(bf.hash(v.longValue()))) {
+                    ManifestV2.rgBloomSkipCount.increment()
+                    return true
+                  }
+                case _ => ()
+              }
+              ci += 1
+            }
+            false
+          }
+
+          /** Decode ONE row group column-batched: for each projected
+            * column, one pass through its column reader into a typed
+            * value array — no per-row record assembly.
+            */
+          private def decode(
+              pages: org.apache.parquet.column.page.PageReadStore): Unit = {
+            val n64 = pages.getRowCount
+            require(n64 <= Int.MaxValue, s"row group of $n64 rows in " +
+              s"${fp.file} exceeds the supported group size")
+            val n = n64.toInt
+            val crs = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
+              pages,
+              new org.apache.parquet.example.data.simple.convert
+                .GroupRecordConverter(requested).getRootConverter,
+              requested, createdBy)
+            val cols = new Array[Array[Any]](nCols)
+            var j = 0
+            while (j < nCols) {
+              val desc = colDescs.get(j)
+              val cr = crs.getColumnReader(desc)
+              val maxDef = desc.getMaxDefinitionLevel
+              val t = tag(j)
+              val a = new Array[Any](n)
+              var k = 0
+              while (k < n) {
+                if (cr.getCurrentDefinitionLevel == maxDef) a(k) = t match {
+                  case 0 => java.lang.Long.valueOf(cr.getLong)
+                  case 1 => java.lang.Integer.valueOf(cr.getInteger)
+                  case 2 => java.lang.Double.valueOf(cr.getDouble)
+                  case 3 => java.lang.Boolean.valueOf(cr.getBoolean)
+                  case _ => UTF8String.fromBytes(cr.getBinary.getBytes)
+                }
+                cr.consume()
+                k += 1
+              }
+              cols(j) = a
+              j += 1
+            }
+            batch = cols; batchRows = n; batchBase = base; idx = 0
+          }
+
+          /** Advance to the next decodable row group in range; false =
+            * split exhausted. Skipped groups (out of range, stats- or
+            * bloom-pruned) advance the reader's cursor WITHOUT I/O and
+            * the ordinal base by their footer row count.
+            */
+          private def advance(): Boolean = {
+            while (blockIdx < rgHi) {
+              val b = blocks.get(blockIdx)
+              if (blockIdx < rgLo || pruned(b)) {
+                reader.skipNextRowGroup()
+                base += b.getRowCount
+                blockIdx += 1
+              } else {
+                val pages = reader.readNextRowGroup()
+                blockIdx += 1
+                decode(pages)
+                base += b.getRowCount
+                return true
+              }
+            }
+            false
+          }
+
+          override def next(): Boolean = {
+            while (true) {
+              if (batch == null || idx >= batchRows) {
+                if (!advance()) return false
+              }
+              val pos = batchBase + idx
+              val i = idx
+              idx += 1
+              if (!(hasDeletes && pos <= Int.MaxValue &&
+                  deleted.get(pos.toInt))) {
+                val vals = new Array[Any](srcOf.length)
+                var c = 0
+                while (c < srcOf.length) {
+                  val s = srcOf(c)
+                  vals(c) =
+                    if (s >= 0) batch(s)(i)
+                    else if (s == -1) fileName
+                    else if (s == -3) pos
+                    else null
+                  c += 1
+                }
+                row = new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(vals)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = reader.close()
+        }
       }
+    } catch {
+      case e: Throwable =>
+        try reader.close() catch { case _: Exception => () }
+        throw e
     }
   }
 }
@@ -1988,18 +2461,22 @@ class ManifestReaderFactory(full: StructType, required: StructType,
 class ManifestBatchWrite(path: String, schema: StructType,
     truncate: Boolean = false,
     partitioned: Option[String] = None,
-    replaceFiles: Seq[String] = Seq.empty) extends BatchWrite {
+    replaceFiles: Seq[String] = Seq.empty,
+    replaceEntries: Seq[ManifestV2.FileEntry] = Seq.empty,
+    rowGroupSize: Option[Long] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     partitioned match {
-      case Some(col) => new ManifestPartitionedWriterFactory(path, schema, col)
-      case None => new ManifestWriterFactory(path, schema)
+      case Some(col) => new ManifestPartitionedWriterFactory(path, schema,
+        col, rowGroupSize)
+      case None => new ManifestWriterFactory(path, schema, rowGroupSize)
     }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
     val added = ManifestV2.flatCommits(messages).map(m =>
-      ManifestV2.FileEntry(m.file, m.rows, m.stats))
-    val gone = replaceFiles.toSet
+      ManifestV2.FileEntry(m.file, m.rows, m.stats,
+        nulls = m.nulls, rgs = m.rgs))
+    val gone = replaceEntries.map(_.file).toSet ++ replaceFiles
     // schema + replaced-file validations run INSIDE the CAS loop, so a
     // commit interleaved between our read and our publish re-runs them
     // against the snapshot actually being succeeded
@@ -2008,14 +2485,24 @@ class ManifestBatchWrite(path: String, schema: StructType,
         require(ManifestV2.sameShape(p.schema, schema),
           s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
       }
-      // replaceFiles (compaction): drop-olds and add-news are ONE swap,
-      // and every named file must still be current — a file replaced by
-      // a concurrent commit fails the rewrite instead of resurrecting
-      // (optimistic concurrency, the Iceberg validation shape)
-      val stillThere = prev.map(_.files.map(_.file).toSet).getOrElse(Set.empty)
-      val lost = gone -- stillThere
-      require(lost.isEmpty,
-        s"concurrent commit replaced ${lost.mkString(", ")} — retry compaction")
+      // replaceEntries (compaction/clustering): drop-olds and add-news
+      // are ONE swap, and every replaced ENTRY must still be current
+      // BIT-IDENTICALLY — a file replaced by a concurrent commit, or
+      // mutated in place by a concurrent merge-on-read DELETE (same
+      // name, new sidecar: the rewrite read the file WITHOUT those
+      // deletions and would resurrect the rows), fails the rewrite
+      // (optimistic concurrency, the Iceberg validation shape).
+      // name-only replaceFiles remains for callers that genuinely
+      // cannot carry entries; it catches replaces but not mutations.
+      val byName = prev.map(_.files.map(e => (e.file, e)).toMap)
+        .getOrElse(Map.empty)
+      val lostNames = replaceFiles.toSet -- byName.keySet
+      val lostEntries = replaceEntries.filterNot(r =>
+        byName.get(r.file).contains(r))
+      require(lostNames.isEmpty && lostEntries.isEmpty,
+        "concurrent commit replaced or mutated " +
+          (lostNames ++ lostEntries.map(_.file)).mkString(", ") +
+          " — retry compaction")
       val kept =
         if (truncate) Seq.empty
         else prev.map(_.files).getOrElse(Seq.empty)
@@ -2095,7 +2582,9 @@ class ManifestStreamingWrite(path: String, schema: StructType,
 }
 
 case class ManifestCommit(file: String, rows: Long,
-    stats: Map[String, (Long, Long)] = Map.empty) extends WriterCommitMessage
+    stats: Map[String, (Long, Long)] = Map.empty,
+    nulls: Map[String, Long] = Map.empty,
+    rgs: Seq[Long] = Nil) extends WriterCommitMessage
 
 /** Commit of a partitioned write task: one staged file per partition
   * value the task received.
@@ -2110,7 +2599,8 @@ case class ManifestMultiCommit(parts: Seq[ManifestCommit])
   * stats box — on the partition column.
   */
 class ManifestPartitionedWriterFactory(path: String, schema: StructType,
-    partCol: String) extends DataWriterFactory {
+    partCol: String, rowGroupSize: Option[Long] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
     val idx = schema.fieldIndex(partCol)
@@ -2123,7 +2613,7 @@ class ManifestPartitionedWriterFactory(path: String, schema: StructType,
         val k = record.getLong(idx)
         open.getOrElseUpdate(k,
           new ManifestDataWriter(path, schema, partitionId, taskId,
-            tag = s"p$k")).write(record)
+            tag = s"p$k", rowGroupSize = rowGroupSize)).write(record)
       }
       override def commit(): WriterCommitMessage =
         ManifestMultiCommit(open.values.toSeq.map(w =>
@@ -2146,18 +2636,21 @@ class ManifestStreamingWriterFactory(path: String, schema: StructType)
       tag = s"e$epochId")
 }
 
-class ManifestWriterFactory(path: String, schema: StructType)
+class ManifestWriterFactory(path: String, schema: StructType,
+    rowGroupSize: Option[Long] = None)
     extends DataWriterFactory {
   /** One uniquely-named staged file PER ATTEMPT (partitionId + taskId +
     * uuid): a retried task can never collide with — or resurrect — a
     * failed attempt's output.
     */
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path, schema, partitionId, taskId)
+    new ManifestDataWriter(path, schema, partitionId, taskId,
+      rowGroupSize = rowGroupSize)
 }
 
 class ManifestDataWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long, tag: String = "b")
+    partitionId: Int, taskId: Long, tag: String = "b",
+    rowGroupSize: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val root = ManifestV2.rootOf(path)
   private val rel =
@@ -2179,20 +2672,27 @@ class ManifestDataWriter(path: String, schema: StructType,
     schema.fields.foreach { f =>
       if (f.dataType == LongType) b.withBloomFilterEnabled(f.name, true)
     }
+    // explicit row-group sizing (`rowGroupSize` write option): smaller
+    // groups = finer read parallelism and finer bloom/stats skipping;
+    // the default (128 MB) is right for bulk data
+    rowGroupSize.foreach(s => b.withRowGroupSize(s): Unit)
     b.build()
   }
   private var rows = 0L
-  // per-column [min, max] for BIGINT columns with manifest-safe names
-  // (the stats line format uses `:`/`,` separators) — maintained
-  // inline at write time, zero extra passes. Kept in the MANIFEST
-  // (not only the parquet footer) so pruning decisions never open a
-  // data file.
+  // per-column [min, max] AND null count for BIGINT columns with
+  // manifest-safe names (the stats line format uses `:`/`,`
+  // separators) — maintained inline at write time, zero extra passes.
+  // Kept in the MANIFEST (not only the parquet footer) so pruning
+  // decisions never open a data file. The null count is what licenses
+  // "every row matches" decisions (metadata-only DELETE) — a [min,max]
+  // box alone says nothing about NULL rows.
   private val statCols: Array[Int] = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == LongType &&
       f.name.forall(c => c.isLetterOrDigit || c == '_') => i
   }
   private val statLo = Array.fill(statCols.length)(Long.MaxValue)
   private val statHi = Array.fill(statCols.length)(Long.MinValue)
+  private val statNulls = Array.fill(statCols.length)(0L)
 
   override def write(record: InternalRow): Unit = {
     val g = new org.apache.parquet.example.data.simple.SimpleGroup(msgType)
@@ -2217,7 +2717,7 @@ class ManifestDataWriter(path: String, schema: StructType,
         val v = record.getLong(c)
         if (v < statLo(s)) statLo(s) = v
         if (v > statHi(s)) statHi(s) = v
-      }
+      } else statNulls(s) += 1
       s += 1
     }
     rows += 1
@@ -2232,7 +2732,23 @@ class ManifestDataWriter(path: String, schema: StructType,
       case s if statLo(s) <= statHi(s) => // all-null columns carry no box
         (schema.fields(statCols(s)).name, (statLo(s), statHi(s)))
     }.toMap
-    ManifestCommit(rel, rows, stats)
+    val nulls = statCols.indices.collect {
+      case s if statLo(s) <= statHi(s) =>
+        (schema.fields(statCols(s)).name, statNulls(s))
+    }.toMap
+    // row-group row counts straight off the writer's in-memory footer
+    // (no file reopened): scan planning splits large files by row
+    // group without opening any footer on the driver — the Iceberg
+    // split-offsets-in-manifest shape
+    val rgs =
+      if (rows == 0L) Nil
+      else {
+        val it = out.getFooter.getBlocks.iterator()
+        val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next().getRowCount
+        b.result()
+      }
+    ManifestCommit(rel, rows, stats, nulls, rgs)
   }
 
   /** Task abort: nothing this attempt wrote can ever be seen. The

@@ -1,0 +1,346 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestV2
+
+/** Round-11 warehouse-leaf scale mechanics, each PROVEN by observable
+  * effect (skip counters, split counts, failure injection), not just
+  * exercised:
+  *
+  *  - row-group-granular input splits off manifest metadata;
+  *  - row-group skipping through column-chunk statistics AND footer
+  *    bloom filters (the d03999d feature, now verified to skip);
+  *  - `_pos`/position-delete exactness across splits and skips;
+  *  - segment-envelope pruning of manifest metadata at plan time;
+  *  - position-delete sidecar coalescing;
+  *  - the append-only opt-in for incremental reads crossing a
+  *    merge-on-read delete;
+  *  - NULL-soundness of "every row matches" box decisions;
+  *  - entry-identity (not name) validation of replaced files, the
+  *    Iceberg validateNoNewDeleteFiles shape;
+  *  - expiry's grace window for unreferenced (in-flight) segments.
+  */
+class RowGroupSkipSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_rg").toString
+
+  private def writeMultiRg(dir: String, n: Long): Unit = {
+    import spark.implicits._
+    // ONE ordered write task -> one file, many small row groups:
+    // k = (id*37) % 1000 scatters values so every group's [min,max]
+    // box spans nearly the full domain (stats cannot skip a point
+    // probe); m = id is monotonic so group boxes on m are DISJOINT
+    // (stats skip range probes). 37*27 = 999 ≡ -1 (mod 1000), so any
+    // window of ≥ 28 consecutive ids wraps the modulus.
+    spark.range(0, n, 1, 1)
+      .select(($"id" * 37L % 1000L).as("k"), $"id".as("m"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dir)
+      .option("rowGroupSize", "4096")
+      .mode("append").save()
+  }
+
+  private def read(dir: String): DataFrame =
+    spark.read.format("graft.sources.ManifestV2").option("path", dir).load()
+
+  private def entryOf(dir: String): ManifestV2.FileEntry = {
+    val fs = ManifestV2.readManifest(Paths.get(dir)).get.files
+    assert(fs.size == 1, s"expected one data file, got ${fs.map(_.file)}")
+    fs.head
+  }
+
+  test("a multi-row-group file yields one input split per row group") {
+    val dir = tmp()
+    writeMultiRg(dir, 20000L)
+    val e = entryOf(dir)
+    assert(e.rgs.size > 3,
+      s"expected several row groups at rowGroupSize=4096, got ${e.rgs}")
+    assert(e.rgs.sum == 20000L, "row-group row counts must sum to the file")
+    val df = read(dir)
+    assert(df.rdd.getNumPartitions == e.rgs.size,
+      "one split per row group, planned off manifest metadata alone")
+    assert(df.count() == 20000L)
+    // and the split plan loses/invents nothing
+    val s = df.agg(org.apache.spark.sql.functions.sum("m")).head.getLong(0)
+    assert(s == 19999L * 20000L / 2L)
+  }
+
+  test("column-chunk statistics skip row groups a range probe cannot hit") {
+    val dir = tmp()
+    writeMultiRg(dir, 20000L)
+    val before = ManifestV2.rgStatsSkipCount.sum()
+    // m is monotonic: every group except the one holding [100, 150]
+    // has a disjoint box and is skipped WITHOUT reading a data page
+    val got = read(dir).where("m >= 100 AND m <= 150")
+      .select("m").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (100L to 150L),
+      "skipping must not change the answer")
+    assert(ManifestV2.rgStatsSkipCount.sum() > before,
+      "the range probe must PROVABLY skip row groups via chunk stats")
+  }
+
+  test("footer bloom filters skip row groups on scattered-key equality") {
+    val dir = tmp()
+    writeMultiRg(dir, 20000L)
+    val e = entryOf(dir)
+    assert(e.rgs.size > 3)
+    // k = (id*37) % 1000: every group's box spans ~[0, 999] (windows of
+    // ≥28 ids wrap the modulus), so [min,max] stats CANNOT decide a
+    // point probe — only the bloom filter can prove absence. k == 500
+    // holds exactly for id ≡ 500 (mod 1000): 20 rows, clustered in a
+    // few groups; the rest are bloom-skipped.
+    val statsBefore = ManifestV2.rgStatsSkipCount.sum()
+    val bloomBefore = ManifestV2.rgBloomSkipCount.sum()
+    val got = read(dir).where("k = 500").select("m")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (500L until 20000L by 1000L).toSeq,
+      "bloom skipping must not change the answer")
+    assert(ManifestV2.rgBloomSkipCount.sum() > bloomBefore,
+      "the equality probe must PROVABLY skip row groups via the " +
+        s"footer bloom filter (stats skips: ${ManifestV2.rgStatsSkipCount.sum() - statsBefore})")
+  }
+
+  test("_pos and merge-on-read deletes stay exact across splits and skips") {
+    val dir = tmp()
+    writeMultiRg(dir, 20000L)
+    val root = Paths.get(dir)
+    val e = entryOf(dir)
+    // positions spanning several row groups, including group boundaries
+    val dead = Seq(0L, 1L, 4095L, 4096L, 9999L, 19999L)
+      .filter(_ < 20000L)
+    val rel = "staging/posdel-spec.txt"
+    Files.write(root.resolve(rel),
+      dead.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    ManifestV2.commit(root) { cur =>
+      val st = cur.get
+      st.copy(files = st.files.map(f =>
+        if (f.file == e.file) f.copy(deletes = Seq(rel)) else f))
+    }
+    val df = read(dir)
+    assert(df.count() == 20000L - dead.size)
+    // _pos is the ABSOLUTE ordinal: with one ordered write task,
+    // m == id == ordinal, so _pos must equal m on every surviving row
+    // regardless of which split served it
+    val rows = df.select("m", "_pos").collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)),
+      "_pos must stay absolute across row-group splits")
+    assert(!rows.exists(r => dead.contains(r.getLong(1))),
+      "deleted ordinals must not be served")
+    // ... and with skipping layered on top: the probe row survives,
+    // a deleted probe row does not
+    assert(read(dir).where("m = 4095").count() == 0L)
+    assert(read(dir).where("m = 4097").count() == 1L)
+  }
+
+  test("segment envelopes prune whole metadata segments at plan time") {
+    val root = Files.createTempDirectory("graft_env")
+    val schema = StructType.fromDDL("k BIGINT")
+    // 5000 synthetic single-row files with point boxes -> 5 segments
+    // of 1000, each with a disjoint [min,max] envelope
+    val entries = (0 until 5000).map(i =>
+      ManifestV2.FileEntry(s"staging/f$i.parquet", 1L,
+        Map("k" -> ((i.toLong, i.toLong))), nulls = Map("k" -> 0L)))
+    ManifestV2.commit(root)(_ =>
+      ManifestV2.ManifestState(schema, Map.empty, entries))
+    val readB = ManifestV2.segsReadCount.sum()
+    val skipB = ManifestV2.segsSkippedCount.sum()
+    val pruned = ManifestV2.readManifestPruned(root, -1L,
+      Array(EqualTo("k", java.lang.Long.valueOf(1717L)))).get._4
+    assert(ManifestV2.segsSkippedCount.sum() - skipB == 4,
+      "a point probe must skip the four non-matching segment files")
+    assert(ManifestV2.segsReadCount.sum() - readB == 1)
+    assert(pruned.size == 1000 && pruned.exists(_.file == "staging/f1717.parquet"),
+      "the surviving segment's entries are served in full (file-level " +
+        "pruning happens next, in the scan)")
+    // the scan builder composes both layers: 1 segment read, 1 file planned
+    val sb = new graft.sources.ManifestScanBuilder(root, schema)
+    sb.pushFilters(Array(EqualTo("k", java.lang.Long.valueOf(1717L))))
+    val scan = sb.build()
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length == 1, s"expected 1 planned file, got ${parts.length}")
+    // an UNFILTERED read still sees everything (envelopes only skip
+    // when a filter proves emptiness)
+    assert(ManifestV2.readManifestPruned(root, -1L, Array.empty)
+      .get._4.size == 5000)
+  }
+
+  test("coalesceDeletes merges sidecars; reads are unchanged") {
+    val dir = tmp()
+    writeMultiRg(dir, 2000L)
+    val root = Paths.get(dir)
+    val e = entryOf(dir)
+    // three sidecars, overlapping positions (1 appears twice)
+    val cars = Seq(Seq(0L, 1L), Seq(1L, 2L), Seq(1500L)).zipWithIndex.map {
+      case (poss, i) =>
+        val rel = s"staging/posdel-c$i.txt"
+        Files.write(root.resolve(rel),
+          poss.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        rel
+    }
+    ManifestV2.commit(root) { cur =>
+      val st = cur.get
+      st.copy(files = st.files.map(f =>
+        if (f.file == e.file) f.copy(deletes = cars) else f))
+    }
+    assert(read(dir).count() == 1996L)
+    val (files, before, after) = ManifestV2.coalesceDeletes(dir)
+    assert((files, before, after) == ((1L, 3L, 1L)),
+      s"expected 3 sidecars -> 1, got ($files, $before, $after)")
+    val e2 = entryOf(dir)
+    assert(e2.deletes.size == 1 && e2.deletes.head.contains("posdel-merged"))
+    assert(read(dir).count() == 1996L, "coalescing must not change reads")
+    val merged = Files.readAllLines(root.resolve(e2.deletes.head))
+    assert(merged.size() == 4, "positions union, deduplicated, sorted")
+    // the OLD sidecars survive on disk — the pre-coalesce snapshot
+    // still references them (time travel); expiry is the reclaimer
+    cars.foreach(c => assert(Files.exists(root.resolve(c)),
+      s"sidecar $c is still referenced by the previous version"))
+    val vPrev = ManifestV2.readManifest(root).get.version - 1
+    assert(ManifestV2.readManifest(root, vPrev).get
+      .files.head.deletes == cars)
+  }
+
+  test("incremental reads crossing a MoR delete: fail by default, " +
+      "appendonly serves exactly the files published in the range") {
+    val dir = tmp()
+    import spark.implicits._
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi, 1, 1).select($"id".as("k"), $"id".as("m"))
+        .write.format("graft.sources.ManifestV2")
+        .option("path", dir).mode("append").save()
+    append(0L, 100L) // v1
+    val root = Paths.get(dir)
+    val f1 = ManifestV2.readManifest(root).get.files.head
+    val rel = "staging/posdel-mor.txt"
+    Files.write(root.resolve(rel),
+      "7\n".getBytes(StandardCharsets.UTF_8))
+    ManifestV2.commit(root) { cur => // v2: MoR delete on the v1 file
+      val st = cur.get
+      st.copy(files = st.files.map(f =>
+        if (f.file == f1.file) f.copy(deletes = Seq(rel)) else f))
+    }
+    append(100L, 150L) // v3
+    def inc(opts: Map[String, String]): DataFrame = {
+      val r = spark.read.format("graft.sources.ManifestV2")
+        .option("path", dir).option("startVersion", "1")
+        .option("endVersion", "3")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+    }
+    val ex = intercept[Exception] { inc(Map.empty).collect() }
+    assert(ex.getMessage.contains("merge-on-read"),
+      s"default must refuse the range, got: ${ex.getMessage}")
+    val got = inc(Map("mordeletes" -> "appendonly"))
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (100L until 150L),
+      "appendonly serves the appended files only — the carried file's " +
+        "mutation is explicitly out of contract")
+  }
+
+  test("a [min,max] box never drops NULL rows: all-match decisions " +
+      "require known null-free columns") {
+    val e = ManifestV2.FileEntry("f", 10L, Map("k" -> ((5L, 9L))),
+      nulls = Map("k" -> 2L)) // 2 null rows, non-null all in [5,9]
+    val all = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("k", java.lang.Long.valueOf(5L)))
+    // every NON-NULL row matches, but the nulls do not: must NOT
+    // decide "drop the whole file"
+    assert(ManifestV2.decideBox(all, e).isEmpty,
+      "all-match with nulls present must be undecidable")
+    assert(ManifestV2.decideBox(Array(
+      LessThanOrEqual("k", java.lang.Long.valueOf(4L))), e).contains(false),
+      "no-match stays decidable regardless of nulls")
+    val clean = e.copy(nulls = Map("k" -> 0L))
+    assert(ManifestV2.decideBox(all, clean).contains(true),
+      "known null-free: all-match decides")
+    val legacy = e.copy(nulls = Map.empty) // pre-upgrade entry
+    assert(ManifestV2.decideBox(all, legacy).isEmpty,
+      "unknown null count must stay conservative")
+    // null tests decide straight off the counts
+    import org.apache.spark.sql.sources.{IsNotNull, IsNull}
+    assert(ManifestV2.decideBox(Array(IsNull("k")), clean).contains(false))
+    assert(ManifestV2.decideBox(Array(IsNotNull("k")), clean).contains(true))
+    val allNull = ManifestV2.FileEntry("f", 3L, Map.empty,
+      nulls = Map("k" -> 3L))
+    assert(ManifestV2.decideBox(Array(IsNull("k")), allNull).contains(true))
+  }
+
+  test("replaced-file validation is by ENTRY, not name: a concurrent " +
+      "MoR delete fails the rewrite instead of resurrecting rows") {
+    val dir = tmp()
+    import spark.implicits._
+    spark.range(0, 100, 1, 1).select($"id".as("k"), $"id".as("m"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dir).mode("append").save()
+    val root = Paths.get(dir)
+    val st = ManifestV2.readManifest(root).get
+    // capture the entries a rewrite would have scanned...
+    val staleEntries = st.files.map(ManifestV2.fileLine).mkString("\n")
+    // ...then a merge-on-read DELETE lands a sidecar (same file NAME,
+    // mutated entry) before the rewrite commits
+    val rel = "staging/posdel-race.txt"
+    Files.write(root.resolve(rel), "3\n".getBytes(StandardCharsets.UTF_8))
+    ManifestV2.commit(root) { cur =>
+      val s = cur.get
+      s.copy(files = s.files.map(f => f.copy(deletes = Seq(rel))))
+    }
+    val ex = intercept[Exception] {
+      spark.range(100, 200, 1, 1).select($"id".as("k"), $"id".as("m"))
+        .write.format("graft.sources.ManifestV2")
+        .option("path", dir)
+        .option("replaceEntries", staleEntries)
+        .mode("append").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("replaced or mutated")),
+      s"stale entries must fail the swap, got: ${chain(ex)}")
+    // the deleted row stayed deleted — nothing resurrected
+    assert(read(dir).where("m = 3").count() == 0L)
+    // the same rewrite with CURRENT entries succeeds
+    val fresh = ManifestV2.readManifest(root).get.files
+      .map(ManifestV2.fileLine).mkString("\n")
+    spark.range(100, 200, 1, 1).select($"id".as("k"), $"id".as("m"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dir)
+      .option("replaceEntries", fresh)
+      .mode("append").save()
+    assert(read(dir).count() == 100L)
+    assert(read(dir).agg(org.apache.spark.sql.functions.min("m"))
+      .head.getLong(0) == 100L)
+  }
+
+  test("expiry spares young unreferenced segments (in-flight commits) " +
+      "and reclaims them only past the grace window") {
+    val root = Files.createTempDirectory("graft_exp")
+    val schema = StructType.fromDDL("k BIGINT")
+    def entries(from: Int, until: Int) = (from until until).map(i =>
+      ManifestV2.FileEntry(s"staging/f$i.parquet", 1L))
+    ManifestV2.commit(root)(_ =>
+      ManifestV2.ManifestState(schema, Map.empty, entries(0, 100)))
+    // an orphan segment, as a commit IN FLIGHT would have just written
+    // (segments land before the version-file CAS)
+    val orphan = root.resolve("seg.00000000-feed-face-dead-beefdeadbeef.txt")
+    Files.write(orphan, "staging/inflight.parquet\t1\n"
+      .getBytes(StandardCharsets.UTF_8))
+    ManifestV2.expireSnapshots(root.toString, keepLast = 1)
+    assert(Files.exists(orphan),
+      "a young unreferenced segment may belong to an in-flight commit " +
+        "— the default grace window must spare it")
+    ManifestV2.expireSnapshots(root.toString, keepLast = 1,
+      orphanGraceMs = -1L)
+    assert(!Files.exists(orphan),
+      "past the grace window an unreferenced segment is a lost-CAS " +
+        "orphan and is reclaimed")
+  }
+}
