@@ -125,6 +125,12 @@ object SparkEntry {
       graft.sources.GraftCatalog.pruneScanQuery(s, d)),
     "dsv2_mor_compact" -> ((s, d) =>
       graft.sources.GraftCatalog.morCompactQuery(s, d)),
+    "dsv2_rowgroup_scan" -> ((s, d) =>
+      graft.sources.ManifestV2.rowGroupScanQuery(s, d)),
+    "dsv2_coalesce_deletes" -> ((s, d) =>
+      graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
+    "dsv2_null_guard_delete" -> ((s, d) =>
+      graft.sources.GraftCatalog.nullGuardDeleteQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3628,6 +3634,18 @@ object SparkEntry {
     "dsv2_stats_agg" -> graft.sources.GraftCatalog.statsAggSql(),
     "dsv2_prune_scan" -> graft.sources.GraftCatalog.pruneScanSql(),
     "dsv2_mor_compact" -> graft.sources.GraftCatalog.morCompactSql(),
+
+    // row-group-granular reads: one split per parquet row group off
+    // manifest metadata, chunk-stats group skipping on the range probe
+    "dsv2_rowgroup_scan" -> graft.sources.ManifestV2.rowGroupScanSql(),
+
+    // merge-on-read maintenance: two deletes' sidecars coalesce to one
+    // per file with exact accounting; survivors hash the merge
+    "dsv2_coalesce_deletes" -> graft.sources.GraftCatalog.coalesceDeletesSql(),
+
+    // zone-map null soundness: a DELETE matching every non-null row
+    // must leave exactly the NULL rows behind
+    "dsv2_null_guard_delete" -> graft.sources.GraftCatalog.nullGuardDeleteSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

@@ -544,7 +544,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "compact"),
-        Identifier.of(Array("system"), "cluster_by"))
+        Identifier.of(Array("system"), "cluster_by"),
+        Identifier.of(Array("system"), "coalesce_deletes"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -557,6 +558,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "cluster_by")
       new ClusterByProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "coalesce_deletes")
+      new CoalesceDeletesProcedure(warehouse)
     else throw new IllegalArgumentException(s"no such procedure: $ident")
 }
 
@@ -595,6 +599,44 @@ class ClusterByProcedure(warehouse: Path) extends UnboundProcedure {
           StructField("rows_clustered", LongType, nullable = false)))
         override def rows(): Array[InternalRow] = Array(
           InternalRow.fromSeq(Seq(filesIn, filesOut, rowsMoved)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.coalesce_deletes(ns => …, tbl => …)`: merge
+  * every file's accumulated position-delete sidecars into one
+  * ([[ManifestV2.coalesceDeletes]]) — the merge-on-read maintenance
+  * pass BETWEEN deletes and compaction: pure metadata, no data file
+  * opened, and a many-times-deleted file's reads parse one sidecar
+  * instead of N. Returns (files_coalesced, sidecars_before,
+  * sidecars_after).
+  */
+class CoalesceDeletesProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "coalesce_deletes"
+  override def description(): String =
+    "merge each file's position-delete sidecars into one"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "coalesce_deletes"
+    override def description(): String =
+      CoalesceDeletesProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates table state
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val (files, before, after) =
+        ManifestV2.coalesceDeletes(dir.toString)
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("files_coalesced", LongType, nullable = false),
+          StructField("sidecars_before", LongType, nullable = false),
+          StructField("sidecars_after", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(files, before, after)))
       }
       util.Collections.singletonList(res).iterator()
     }
@@ -871,12 +913,14 @@ object GraftCatalog {
 
   /** Driver-contract query for row-level UPDATE: the same quartile-
     * clustered layout as [[metadataDeleteQuery]], then an UPDATE whose
-    * predicate `m = 12` no stats box can decide — the copy-on-write
-    * fallback rewrites it, and the runtime group filter confines the
-    * rewrite to the one file whose rows match (the other three
-    * quartile files survive by name; CatalogSpec pins that). The
-    * read-back aggregate hashes every row the statement did and did
-    * not touch.
+    * predicate `m = 12` no stats box can decide. On an unpartitioned
+    * table this runs MERGE-ON-READ since round 11
+    * ([[ManifestV2]]'s delta update): the matched rows' old versions
+    * die by position-delete sidecar, the new versions land in fresh
+    * files, one atomic swap, NO source file rewritten (CatalogSpec
+    * pins the storage shape). The read-back aggregate hashes every
+    * row the statement did and did not touch — identical under either
+    * execution strategy, which is exactly the point.
     */
   def updateRewriteQuery(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -1359,6 +1403,95 @@ object GraftCatalog {
       |FROM graft.db.okmc CROSS JOIN graft_mc_acct
       |GROUP BY m, files_out, rows_rewritten ORDER BY m""".stripMargin)
   }
+
+  /** Driver-contract query for SIDECAR COALESCING: the quartile
+    * layout pinned to ONE file per quartile (REPARTITION(1) hint), two
+    * merge-on-read DELETEs — each attaches exactly one position-delete
+    * sidecar per file, since the delta scan plans one task per file —
+    * then `CALL graft.system.coalesce_deletes`, which must merge each
+    * file's two sidecars into one without touching a data file. The
+    * accounting row (4 files, 8 sidecars -> 4) is exact at every scale
+    * factor, and the survivors' aggregate hashes that no position was
+    * lost or double-applied in the merge. At 100 TB this is what keeps
+    * read amplification flat under sustained point-delete traffic:
+    * reads parse one sidecar per file, not one per DELETE statement.
+    */
+  def coalesceDeletesQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_cd_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okcd")
+    spark.sql("CREATE TABLE graft.db.okcd (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okcd
+        |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderkey % 97
+        |FROM graft_cd_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    spark.sql("DELETE FROM graft.db.okcd WHERE okey % 4 = 1")
+    spark.sql("DELETE FROM graft.db.okcd WHERE okey % 4 = 2")
+    spark.sql("CALL graft.system.coalesce_deletes(ns => 'db', tbl => 'okcd')")
+      .createOrReplaceTempView("graft_cd_acct")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum,
+      |  files_coalesced, sidecars_before, sidecars_after
+      |FROM graft.db.okcd CROSS JOIN graft_cd_acct
+      |GROUP BY m, files_coalesced, sidecars_before, sidecars_after
+      |ORDER BY m""".stripMargin)
+  }
+
+  /** [[coalesceDeletesQuery]] oracle: survivors of both parity deletes
+    * with the exact coalescing accounting.
+    */
+  def coalesceDeletesSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(4 AS BIGINT) AS files_coalesced,
+      |  CAST(8 AS BIGINT) AS sidecars_before,
+      |  CAST(4 AS BIGINT) AS sidecars_after
+      |FROM orders WHERE o_orderkey % 4 <> 1 AND o_orderkey % 4 <> 2
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for NULL-SOUND metadata deletes: a table
+    * whose stats column carries NULLs, under a DELETE whose predicate
+    * matches EVERY non-null row — the [min,max] box alone says "drop
+    * the whole file", which would silently delete the NULL rows too
+    * (NULL >= 0 is not TRUE). The manifest's per-column null counts
+    * refuse the all-match decision, the statement falls back to the
+    * merge-on-read path, and exactly the null rows survive. The
+    * read-back (count, key sum, and a COUNT(v) proving every survivor
+    * is NULL) hashes the boundary. This is the classic zone-map
+    * soundness trap at any scale — a retention DELETE must never eat
+    * rows its predicate didn't match.
+    */
+  def nullGuardDeleteQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_ng_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okng")
+    spark.sql("CREATE TABLE graft.db.okng (k BIGINT, v BIGINT)")
+    spark.sql("""INSERT INTO graft.db.okng
+      |SELECT /*+ REPARTITION(1) */ o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |       ELSE o_orderkey % 50 END
+      |FROM graft_ng_orders_src""".stripMargin)
+    spark.sql("DELETE FROM graft.db.okng WHERE v >= 0")
+    spark.sql("""SELECT COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum,
+      |  COUNT(v) AS non_null_survivors
+      |FROM graft.db.okng""".stripMargin)
+  }
+
+  /** [[nullGuardDeleteQuery]] oracle: exactly the NULL-v rows survive. */
+  def nullGuardDeleteSql(): String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(0 AS BIGINT) AS non_null_survivors
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin
 
   /** [[morCompactQuery]] oracle: odd-key survivors with the
     * deterministic compaction accounting (rows_rewritten counts the

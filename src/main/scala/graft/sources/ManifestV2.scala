@@ -148,6 +148,55 @@ object ManifestV2 {
       |FROM orders WHERE o_orderkey % 3 <> 0
       |GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** Driver-contract query for ROW-GROUP-GRANULAR reads: `orders`
+    * lands SORTED in ONE write task with a deliberately small
+    * `rowGroupSize`, so the single data file carries many row groups
+    * with disjoint [min,max] chunk boxes on `okey` — and the read back
+    * plans one split per group off manifest metadata, skips the groups
+    * the range probe cannot hit via chunk statistics, and re-aggregates.
+    * A split double-served, a group skipped wrongly, or an ordinal
+    * drifting across split boundaries mismatches the hash. At 100 TB
+    * this is the difference between one task per compacted file and
+    * one task per 128 MB — and between scanning a file and scanning
+    * the two row groups a time-range query actually touches.
+    */
+  def rowGroupScanQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Sources.scratchDir(spark, "manifest_rg")
+    val dest = new java.io.File(base,
+      java.util.UUID.randomUUID().toString).toString
+    graft.Tables.orders(spark, dir)
+      .select($"o_orderkey".as("okey"), ($"o_orderkey" % 97).as("m"))
+      .repartition(1).sortWithinPartitions($"okey")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dest)
+      .option("rowGroupSize", "16384")
+      .mode("append").save()
+    val t = spark.read.format("graft.sources.ManifestV2")
+      .option("path", dest).load()
+    // a range probe (group stats skip) + the full-file aggregate on
+    // the row-group-split plan, emitted side by side
+    val ranged = t.where($"okey" >= 1000L && $"okey" < 5000L)
+      .agg(count(lit(1)).as("n_range"),
+        expr("CAST(SUM(okey) AS BIGINT)").as("range_sum"))
+    val full = t.groupBy(($"m" % 10L).as("band"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(okey) AS BIGINT)").as("key_sum"))
+    full.crossJoin(ranged).orderBy($"band")
+  }
+
+  /** [[rowGroupScanQuery]] oracle: both aggregates off orders. */
+  def rowGroupScanSql(): String =
+    """SELECT (o_orderkey % 97) % 10 AS band, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  (SELECT COUNT(*) FROM orders
+      |     WHERE o_orderkey >= 1000 AND o_orderkey < 5000) AS n_range,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+      |     WHERE o_orderkey >= 1000 AND o_orderkey < 5000) AS range_sum
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+
   /** One published data file: its path (relative to the table root),
     * row count, and per-column [min, max] stats for every BIGINT
     * column (the Iceberg/Delta zone-map shape, kept INSIDE the
@@ -1253,10 +1302,14 @@ class ManifestTable(path: String, externalSchema: StructType,
   /** ROW-LEVEL OPERATIONS through a V2 catalog, with the Iceberg
     * production mode split: DELETE runs MERGE-ON-READ (a position-
     * delete sidecar per touched file, NO data rewrite —
-    * [[ManifestDeltaDeleteOperation]]), while UPDATE and MERGE run
-    * group-based copy-on-write ([[ManifestRowLevelOperation]]). A
-    * point DELETE on a 100 TB table writes kilobytes; the rewrite cost
-    * moves to compaction, where it batches.
+    * [[ManifestDeltaDeleteOperation]]), UPDATE on an unpartitioned
+    * table runs MERGE-ON-READ too ([[ManifestDeltaUpdateOperation]] —
+    * position-delete the old versions, insert the new ones, one atomic
+    * swap), and MERGE (plus UPDATE on partitioned tables, whose
+    * inserts must land bucket-pure) runs group-based copy-on-write
+    * ([[ManifestRowLevelOperation]]). A point DELETE or UPDATE on a
+    * 100 TB table writes kilobytes; the rewrite cost moves to
+    * compaction, where it batches.
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
@@ -1264,6 +1317,9 @@ class ManifestTable(path: String, externalSchema: StructType,
       s"cannot ${info.command()} snapshot v$version — writes go to the live table")
     if (info.command() == RowLevelOperation.Command.DELETE)
       () => new ManifestDeltaDeleteOperation(path)
+    else if (info.command() == RowLevelOperation.Command.UPDATE &&
+        ManifestV2.readManifest(root).flatMap(_.part).isEmpty)
+      () => new ManifestDeltaUpdateOperation(path)
     else
       () => new ManifestRowLevelOperation(path, info.command())
   }
@@ -1550,6 +1606,190 @@ class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
     messages.foreach {
       case d: ManifestDeltaCommit => d.parts.foreach(p =>
         Files.deleteIfExists(root.resolve(p.delFile)): Unit)
+      case _ => ()
+    }
+}
+
+/** MERGE-ON-READ UPDATE ([[SupportsDelta]], unpartitioned tables —
+  * the Iceberg v2 position-delete update shape): each matched row's
+  * OLD version dies by position (a sidecar on its source file, no
+  * rewrite) and its NEW version lands in a fresh staged data file,
+  * both published in ONE manifest swap — a reader sees every row
+  * exactly once, pre- or post-update, never both and never neither.
+  * A point UPDATE on a 100 TB table writes kilobytes of sidecar plus
+  * one small file; compaction later applies the positions and folds
+  * the fragments.
+  *
+  * Isolation: the touched source files' entries are captured when the
+  * operation's scan is created and must be BIT-IDENTICAL at commit
+  * (same entry-identity contract as the COW rewrite): a concurrent
+  * merge-on-read DELETE or compaction on a touched file fails this
+  * statement with the retry message instead of resurrecting its rows.
+  * MERGE and partitioned-table UPDATE stay copy-on-write.
+  */
+class ManifestDeltaUpdateOperation(path: String)
+    extends RowLevelOperation with SupportsDelta {
+  private[sources] val root = ManifestV2.rootOf(path)
+  /** Entries as of scan creation, for commit-time identity validation
+    * of the files this statement touches.
+    */
+  @volatile private[sources] var scanned: Map[String, ManifestV2.FileEntry] =
+    Map.empty
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.UPDATE
+  override def description(): String =
+    s"graft ManifestV2 MERGE-ON-READ update -> $path"
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(ManifestTable.FileMetaCol),
+    Expressions.column(ManifestTable.PosMetaCol))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val st = ManifestV2.readManifest(root)
+    scanned = st.map(_.files.map(e => (e.file, e)).toMap).getOrElse(Map.empty)
+    val full = st.map(_.schema).getOrElse(new StructType())
+    new ManifestScanBuilder(root, full, streamable = false)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        val idSchema = info.rowIdSchema().orElseThrow(() =>
+          new IllegalStateException("delta write without a rowId schema"))
+        val fileOrd = idSchema.fieldIndex(ManifestTable.FileMetaCol)
+        val posOrd = idSchema.fieldIndex(ManifestTable.PosMetaCol)
+        new DeltaWrite {
+          override def description(): String =
+            ManifestDeltaUpdateOperation.this.description()
+          override def toBatch: DeltaBatchWrite =
+            new ManifestDeltaUpdateBatchWrite(path, info.schema(),
+              fileOrd, posOrd, ManifestDeltaUpdateOperation.this)
+        }
+      }
+    }
+}
+
+/** Task half of the merge-on-read update: every `update(id, row)`
+  * buffers the old version's position under its source file AND
+  * streams the new version into an ordinary staged data writer; task
+  * commit emits both halves (sidecars + staged file) in one message.
+  * Nothing is visible until the driver commit references them.
+  */
+class ManifestDeltaUpdateWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long, fileOrd: Int, posOrd: Int)
+    extends DeltaWriter[InternalRow] {
+  private val root = ManifestV2.rootOf(path)
+  private val buf = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private var dataWriter: ManifestDataWriter = null
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    val f = id.getUTF8String(fileOrd).toString
+    buf.getOrElseUpdate(f,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(posOrd)
+    if (dataWriter == null)
+      dataWriter = new ManifestDataWriter(path, schema, partitionId,
+        taskId, tag = "u")
+    dataWriter.write(row)
+  }
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "this operation is UPDATE-only (DELETE runs its own delta op)")
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "this operation is UPDATE-only (MERGE runs copy-on-write)")
+
+  override def commit(): WriterCommitMessage = {
+    val sidecars = buf.toSeq.map { case (src, poss) =>
+      val rel = s"staging/posdel-$partitionId-$taskId-" +
+        s"${java.util.UUID.randomUUID()}.txt"
+      val file = root.resolve(rel)
+      Files.createDirectories(file.getParent)
+      Files.write(file, poss.distinct.sorted
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      ManifestDeleteSidecar(src, rel, poss.size.toLong)
+    }
+    val added =
+      if (dataWriter == null) Nil
+      else Seq(dataWriter.commit().asInstanceOf[ManifestCommit])
+    ManifestDeltaUpdateCommit(sidecars, added)
+  }
+  override def abort(): Unit =
+    if (dataWriter != null) dataWriter.abort()
+  override def close(): Unit = ()
+}
+
+case class ManifestDeltaUpdateWriterFactory(path: String,
+    schema: StructType, fileOrd: Int, posOrd: Int)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new ManifestDeltaUpdateWriter(path, schema, partitionId, taskId,
+      fileOrd, posOrd)
+}
+
+case class ManifestDeltaUpdateCommit(sidecars: Seq[ManifestDeleteSidecar],
+    added: Seq[ManifestCommit]) extends WriterCommitMessage
+
+/** Driver half of the merge-on-read update: attach the sidecars AND
+  * publish the new-version files in ONE commit. Touched source files
+  * are validated by ENTRY IDENTITY against the state the scan was
+  * planned from — a concurrent mutation (MoR delete sidecar,
+  * compaction) fails the statement instead of double-serving or
+  * resurrecting rows.
+  */
+class ManifestDeltaUpdateBatchWrite(path: String, schema: StructType,
+    fileOrd: Int, posOrd: Int, op: ManifestDeltaUpdateOperation)
+    extends DeltaBatchWrite {
+  private val root = ManifestV2.rootOf(path)
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    ManifestDeltaUpdateWriterFactory(path, schema, fileOrd, posOrd)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.toSeq.collect { case m: ManifestDeltaUpdateCommit => m }
+    val sidecars = ms.flatMap(_.sidecars)
+    val addedRaw = ms.flatMap(_.added)
+    if (sidecars.isEmpty && addedRaw.isEmpty) return // nothing matched
+    val added = addedRaw.collect {
+      case m if m.rows > 0 => ManifestV2.FileEntry(m.file, m.rows, m.stats,
+        nulls = m.nulls, rgs = m.rgs)
+    }
+    addedRaw.foreach { m =>
+      if (m.rows == 0L) Files.deleteIfExists(root.resolve(m.file)): Unit
+    }
+    val bySrc = sidecars.groupBy(_.src)
+      .map { case (s, ps) => (s, ps.map(_.delFile)) }
+    val captured = op.scanned
+    ManifestV2.commit(root) { cur =>
+      val st = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      require(ManifestV2.sameShape(st.schema, schema),
+        s"update schema mismatch: table has ${st.schema.toDDL}, " +
+          s"update emits ${schema.toDDL}")
+      val byName = st.files.map(e => (e.file, e)).toMap
+      val lost = bySrc.keySet.filter(f =>
+        !byName.get(f).exists(cur => captured.get(f).contains(cur)))
+      require(lost.isEmpty,
+        s"concurrent commit replaced or mutated ${lost.mkString(", ")}" +
+          " — retry the statement")
+      val files = st.files.map(e =>
+        bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
+      ManifestV2.ManifestState(st.schema, st.epochs, files ++ added,
+        part = st.part, checks = st.checks)
+    }: Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: ManifestDeltaUpdateCommit =>
+        m.sidecars.foreach(p =>
+          Files.deleteIfExists(root.resolve(p.delFile)): Unit)
+        m.added.foreach(a =>
+          Files.deleteIfExists(root.resolve(a.file)): Unit)
       case _ => ()
     }
 }

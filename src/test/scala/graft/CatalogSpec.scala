@@ -161,7 +161,8 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.del")
   }
 
-  test("UPDATE rewrites only the group holding matching rows") {
+  test("UPDATE runs merge-on-read: old version dies by position, new " +
+      "version lands in a fresh file, NO source file is rewritten") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.upd")
     spark.sql("CREATE TABLE graft.spec.upd (k BIGINT, v BIGINT)")
@@ -169,15 +170,33 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(
       "INSERT INTO graft.spec.upd SELECT id + 100, id FROM range(0, 10, 1, 1)")
     val before = manifestFiles("spec", "upd")
+    val fileA = before.collectFirst { case (f, s) if s("k")._1 == 0L => f }.get
     val fileB = before.collectFirst { case (f, s) if s("k")._1 == 100L => f }.get
 
     spark.sql("UPDATE graft.spec.upd SET v = v + 1000 WHERE k = 3")
-    val after = manifestFiles("spec", "upd")
-    assert(after.map(_._1).contains(fileB),
-      s"group filter must exclude the file with no k=3 row: $after")
-    assert(after.size == 2)
+    // merge-on-read: BOTH original files survive BY NAME; the touched
+    // one carries a position-delete sidecar for the old row version,
+    // the untouched one carries nothing, and one new file holds the
+    // updated version — kilobytes of delta, no group rewrite
+    val st = graft.sources.ManifestV2.readManifest(
+      java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.graft.warehouse"),
+        "spec", "upd")).get
+    val byName = st.files.map(e => (e.file, e)).toMap
+    assert(byName.contains(fileA) && byName.contains(fileB),
+      s"no source file may be replaced by a MoR update: ${byName.keySet}")
+    assert(byName(fileA).deletes.size == 1,
+      "the touched file carries exactly one position-delete sidecar")
+    assert(byName(fileB).deletes.isEmpty,
+      "the untouched file must not be touched")
+    assert(st.files.size == 3, s"old A + old B + one new-version file: $st")
+    val newFile = (st.files.map(_.file).toSet - fileA - fileB).head
+    assert(byName(newFile).rows == 1L)
+    // and the read is exact: exactly once, post-update
     assert(spark.sql(
       "SELECT v FROM graft.spec.upd WHERE k = 3").head().getLong(0) == 1003L)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.spec.upd").head().getLong(0) == 20L)
     assert(spark.sql(
       "SELECT CAST(SUM(v) AS BIGINT) AS s FROM graft.spec.upd")
       .head().getLong(0) == (0 until 10).sum * 2 + 1000L)
