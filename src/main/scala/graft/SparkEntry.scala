@@ -131,6 +131,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
       graft.sources.GraftCatalog.nullGuardDeleteQuery(s, d)),
+    "dsv2_appendonly_feed" -> ((s, d) =>
+      graft.sources.GraftCatalog.appendOnlyFeedQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3646,6 +3648,10 @@ object SparkEntry {
     // zone-map null soundness: a DELETE matching every non-null row
     // must leave exactly the NULL rows behind
     "dsv2_null_guard_delete" -> graft.sources.GraftCatalog.nullGuardDeleteSql(),
+
+    // append-only change feed crossing a merge-on-read delete: the
+    // opted-in incremental read serves exactly the post-delete insert
+    "dsv2_appendonly_feed" -> graft.sources.GraftCatalog.appendOnlyFeedSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

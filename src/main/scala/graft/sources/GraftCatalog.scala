@@ -1454,6 +1454,58 @@ object GraftCatalog {
       |FROM orders WHERE o_orderkey % 4 <> 1 AND o_orderkey % 4 <> 2
       |GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** Driver-contract query for the APPEND-ONLY CHANGE FEED crossing a
+    * merge-on-read delete: two inserts land (v2, v3), a misaligned
+    * DELETE attaches position-delete sidecars (v4 — mutating the
+    * carried files without renaming them), a third insert lands (v5),
+    * and the incremental read over (v3, v5] with
+    * `mordeletes=appendonly` must serve EXACTLY the third insert's
+    * rows — the default contract would refuse the range (spec-pinned),
+    * and serving anything else (the mutation's survivors, a re-served
+    * backfill) mismatches the hash. This is the opt-in a downstream
+    * incremental consumer takes at 100 TB when it only tracks inserts
+    * and handles deletes out of band.
+    */
+  def appendOnlyFeedQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_af_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okaf")
+    spark.sql("CREATE TABLE graft.db.okaf (okey BIGINT, m BIGINT)") // v1
+    for (t <- 0 until 3) {
+      spark.sql(s"""INSERT INTO graft.db.okaf
+        |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderkey % 97
+        |FROM graft_af_orders_src
+        |WHERE o_orderkey % 3 = $t""".stripMargin) // v2..v4... see below
+      if (t == 1) // after the second insert: a MoR delete (v4)
+        spark.sql("DELETE FROM graft.db.okaf WHERE okey % 2 = 0")
+    }
+    val path = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "db", "okaf")
+    // versions: v1 create, v2 insert t=0, v3 insert t=1, v4 delete,
+    // v5 insert t=2 — the feed consumer was caught up through v3
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", path.toString)
+      .option("startVersion", "3").option("endVersion", "5")
+      .option("mordeletes", "appendonly")
+      .load()
+      .groupBy(org.apache.spark.sql.functions.col("m"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(SUM(okey) AS BIGINT)").as("key_sum"))
+      .orderBy("m")
+  }
+
+  /** [[appendOnlyFeedQuery]] oracle: exactly the third insert. */
+  def appendOnlyFeedSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 3 = 2
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
   /** Driver-contract query for NULL-SOUND metadata deletes: a table
     * whose stats column carries NULLs, under a DELETE whose predicate
     * matches EVERY non-null row — the [min,max] box alone says "drop

@@ -1572,6 +1572,14 @@ case class ManifestDeltaCommit(parts: Seq[ManifestDeleteSidecar])
   * inside the CAS loop: a source file replaced by a concurrent
   * compaction fails the delete instead of attaching positions to a
   * file that no longer exists.
+  *
+  * Isolation note: DELETE validates touched files by NAME (liveness),
+  * deliberately weaker than the UPDATE/COW entry-identity check —
+  * two concurrent position DELETEs on the same file are both correct
+  * (marking a position dead twice is idempotent; the sidecar lists
+  * union), so failing one would only cost availability. Operations
+  * whose output DEPENDS on the file's row content (UPDATE, COW
+  * rewrites, compaction) are the ones that must see entries unchanged.
   */
 class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
     posOrd: Int) extends DeltaBatchWrite {
@@ -2232,9 +2240,18 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft ManifestV2 files=${planned.size}/${files.size} " +
+      s"splits=$splitCount " +
       s"cols=[${required.fieldNames.mkString(",")}]" +
       s" pushed=[${pushed.mkString(",")}]" +
       (if (keyGrouped) s" keyGrouped=${partCol.get}" else "")
+
+  /** Planned split count (row-group-granular on unpartitioned files
+    * with known row groups) — surfaced in explain output so a plan
+    * read shows the read parallelism, not just the file count.
+    */
+  private def splitCount: Int =
+    if (keyGrouped) dataFiles.size
+    else planned.map(f => math.max(1, f.rgs.size)).sum
 
   /** The planned file set after stats-box pruning: a file is skipped
     * exactly when the pushed conjunction provably matches no row of it

@@ -246,6 +246,54 @@ class RowGroupSkipSpec extends AnyFunSuite {
         "mutation is explicitly out of contract")
   }
 
+  test("a STREAM crossing a MoR delete: fails at the offending batch " +
+      "by default, appendonly keeps following the appends") {
+    import spark.implicits._
+    val dir = tmp()
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi, 1, 1).select($"id".as("k"))
+        .write.format("graft.sources.ManifestV2")
+        .option("path", dir).mode("append").save()
+    append(0L, 5L) // v1
+    val sink = tmp(); val ck = tmp()
+    def run(extra: Map[String, String]): Seq[Long] = {
+      val r = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", dir)
+      extra.foreach { case (k, v) => r.option(k, v) }
+      val q = r.load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink).option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.format("graft.sources.ManifestV2").option("path", sink)
+        .load().collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(run(Map.empty) == (0L to 4L), "backfill consumes v1")
+    // a MoR delete mutates the v1 file the stream already served...
+    val root = Paths.get(dir)
+    val f1 = ManifestV2.readManifest(root).get.files.head
+    val rel = "staging/posdel-stream.txt"
+    Files.write(root.resolve(rel), "3\n".getBytes(StandardCharsets.UTF_8))
+    ManifestV2.commit(root) { cur =>
+      val st = cur.get
+      st.copy(files = st.files.map(f =>
+        if (f.file == f1.file) f.copy(deletes = Seq(rel)) else f))
+    }
+    append(100L, 105L) // v3
+    // ...so the checkpointed stream's next range (v1, v3] crosses it:
+    // the default contract refuses rather than silently skip the
+    // deletion the consumer already missed
+    val ex = intercept[Exception] { run(Map.empty) }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("merge-on-read")),
+      s"default stream must fail loudly: ${chain(ex).take(3)}")
+    // the explicit opt-in keeps following appends (same checkpoint):
+    // the already-served rows stay as served, only v3's files arrive
+    assert(run(Map("mordeletes" -> "appendonly")) ==
+      ((0L to 4L) ++ (100L to 104L)),
+      "appendonly serves the appended files and moves on")
+  }
+
   test("a [min,max] box never drops NULL rows: all-match decisions " +
       "require known null-free columns") {
     val e = ManifestV2.FileEntry("f", 10L, Map("k" -> ((5L, 9L))),
