@@ -2250,7 +2250,7 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     * read shows the read parallelism, not just the file count.
     */
   private def splitCount: Int =
-    if (keyGrouped) dataFiles.size
+    if (keyGrouped) bucketedSplits.size
     else planned.map(f => math.max(1, f.rgs.size)).sum
 
   /** The planned file set after stats-box pruning: a file is skipped
@@ -2289,27 +2289,41 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     partCol.exists(required.fieldNames.contains) &&
       dataFiles.nonEmpty && dataFiles.forall(e => keyOf(e).isDefined)
 
+  /** Bucketed splits: row-group-granular like the unpartitioned path,
+    * each carrying its file's proven partition key — Spark's SPJ
+    * machinery GROUPS splits by key before zipping sides, and several
+    * splits per key is already the normal shape (the partitioned
+    * writer emits one file per key per task), so finer granularity
+    * composes with storage-partitioned joins instead of fighting them.
+    */
+  private lazy val bucketedSplits: Seq[ManifestBucketedPartition] =
+    dataFiles.flatMap { f =>
+      val key = keyOf(f).get
+      if (f.rgs.size <= 1)
+        Seq(ManifestBucketedPartition(root, f.file, key, f.deletes))
+      else f.rgs.indices.map(i =>
+        ManifestBucketedPartition(root, f.file, key, f.deletes,
+          rgLo = i, rgHi = i + 1))
+    }
+
   override def outputPartitioning(): Partitioning =
     if (keyGrouped)
       new KeyGroupedPartitioning(Array(Expressions.column(partCol.get)),
-        dataFiles.size)
+        bucketedSplits.size)
     else new UnknownPartitioning(files.size)
 
   // ROW-GROUP-GRANULAR splits (the split-offsets shape): a file whose
   // manifest entry carries row-group row counts yields one split per
   // row group — at 100 TB a compacted 1 GB file becomes ~8 parallel
   // tasks instead of one, matching Spark's native parquet planning.
-  // Entries without row-group metadata (pre-upgrade) and bucketed
-  // files (the storage-partitioned-join contract groups whole files)
-  // stay one split per file. `rgHi = MaxValue` means "through the last
-  // row group"; absolute row ordinals per split come from the footer
-  // at read time, so `_pos` and position-delete subtraction stay exact
-  // across splits.
+  // Bucketed files split the same way (each split carries the file's
+  // proven partition key; SPJ groups by key). Entries without
+  // row-group metadata (pre-upgrade) stay one split per file.
+  // `rgHi = MaxValue` means "through the last row group"; absolute row
+  // ordinals per split come from the footer at read time, so `_pos`
+  // and position-delete subtraction stay exact across splits.
   override def planInputPartitions(): Array[InputPartition] =
-    if (keyGrouped)
-      dataFiles.map(f =>
-        ManifestBucketedPartition(root, f.file, keyOf(f).get, f.deletes))
-        .toArray
+    if (keyGrouped) bucketedSplits.toArray
     else planned.flatMap { f =>
       if (f.rgs.size <= 1)
         Seq(ManifestFilePartition(root, f.file, f.deletes))
@@ -2385,7 +2399,7 @@ case class ManifestFilePartition(root: String, file: String,
   * zips co-bucketed splits by.
   */
 case class ManifestBucketedPartition(root: String, file: String, key: Long,
-    deletes: Seq[String] = Nil)
+    deletes: Seq[String] = Nil, rgLo: Int = 0, rgHi: Int = Int.MaxValue)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow.fromSeq(Seq(key))
 }
@@ -2433,7 +2447,7 @@ class ManifestReaderFactory(full: StructType, required: StructType,
     val fp = p match {
       case f: ManifestFilePartition => f
       case b: ManifestBucketedPartition =>
-        ManifestFilePartition(b.root, b.file, b.deletes)
+        ManifestFilePartition(b.root, b.file, b.deletes, b.rgLo, b.rgHi)
     }
     val fileName = UTF8String.fromString(fp.file)
     val conf = ManifestV2.leafConf()

@@ -368,6 +368,54 @@ class RowGroupSkipSpec extends AnyFunSuite {
       .head.getLong(0) == 100L)
   }
 
+  test("bucketed multi-row-group files: finer splits, SPJ still plans " +
+      "no shuffle, reads exact") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("k BIGINT, bk BIGINT")
+    def mk(): String = {
+      val dir = tmp()
+      // a PARTITIONED table shell, then a clustered write with a tiny
+      // rowGroupSize so each bucket file carries several row groups
+      ManifestV2.commit(Paths.get(dir))(_ =>
+        ManifestV2.ManifestState(schema, Map.empty, Seq.empty,
+          part = Some("bk")))
+      spark.range(0, 8000, 1, 4)
+        .select($"id".as("k"), ($"id" % 4L).as("bk"))
+        .write.format("graft.sources.ManifestV2")
+        .option("path", dir).option("rowGroupSize", "4096")
+        .mode("append").save()
+      dir
+    }
+    val da = mk(); val db = mk()
+    val files = ManifestV2.readManifest(Paths.get(da)).get.files
+    assert(files.exists(_.rgs.size > 1),
+      s"bucket files must be multi-row-group: ${files.map(_.rgs)}")
+    // with bucketing off, RDD partitions == raw splits: finer than
+    // files; with bucketing on, Spark GROUPS those splits by key (the
+    // 4 buckets) — which is precisely the SPJ contract
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    assert(read(da).rdd.getNumPartitions > files.size,
+      "row-group splits must apply to bucketed files too")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val a = read(da); val b = read(db)
+    assert(a.rdd.getNumPartitions == 4,
+      "bucketing groups the row-group splits back into the 4 buckets")
+    val joined = a.as("a").join(b.as("b"),
+        $"a.bk" === $"b.bk" && $"a.k" === $"b.k")
+      .groupBy($"a.bk".as("bk"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy("bk")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"SPJ must survive row-group splits (splits group by key):\n$plan")
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 4L).map((_, 2000L)).toSeq, s"got $got")
+  }
+
   test("expiry spares young unreferenced segments (in-flight commits) " +
       "and reclaims them only past the grace window") {
     val root = Files.createTempDirectory("graft_exp")
