@@ -1302,14 +1302,16 @@ class ManifestTable(path: String, externalSchema: StructType,
   /** ROW-LEVEL OPERATIONS through a V2 catalog, with the Iceberg
     * production mode split: DELETE runs MERGE-ON-READ (a position-
     * delete sidecar per touched file, NO data rewrite —
-    * [[ManifestDeltaDeleteOperation]]), UPDATE on an unpartitioned
-    * table runs MERGE-ON-READ too ([[ManifestDeltaUpdateOperation]] —
-    * position-delete the old versions, insert the new ones, one atomic
-    * swap), and MERGE (plus UPDATE on partitioned tables, whose
-    * inserts must land bucket-pure) runs group-based copy-on-write
-    * ([[ManifestRowLevelOperation]]). A point DELETE or UPDATE on a
-    * 100 TB table writes kilobytes; the rewrite cost moves to
-    * compaction, where it batches.
+    * [[ManifestDeltaDeleteOperation]]), and UPDATE and MERGE on
+    * unpartitioned tables run MERGE-ON-READ too
+    * ([[ManifestDeltaUpdateOperation]] — position-delete the old
+    * versions, insert the new/inserted ones, one atomic swap).
+    * Partitioned tables' UPDATE/MERGE stay group-based copy-on-write
+    * ([[ManifestRowLevelOperation]]): their inserts must land
+    * bucket-pure through the clustered write distribution. A point
+    * DELETE, UPDATE, or upsert MERGE on a 100 TB table writes
+    * kilobytes; the rewrite cost moves to compaction, where it
+    * batches.
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
@@ -1317,9 +1319,8 @@ class ManifestTable(path: String, externalSchema: StructType,
       s"cannot ${info.command()} snapshot v$version — writes go to the live table")
     if (info.command() == RowLevelOperation.Command.DELETE)
       () => new ManifestDeltaDeleteOperation(path)
-    else if (info.command() == RowLevelOperation.Command.UPDATE &&
-        ManifestV2.readManifest(root).flatMap(_.part).isEmpty)
-      () => new ManifestDeltaUpdateOperation(path)
+    else if (ManifestV2.readManifest(root).flatMap(_.part).isEmpty)
+      () => new ManifestDeltaUpdateOperation(path, info.command())
     else
       () => new ManifestRowLevelOperation(path, info.command())
   }
@@ -1618,24 +1619,27 @@ class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
     }
 }
 
-/** MERGE-ON-READ UPDATE ([[SupportsDelta]], unpartitioned tables —
-  * the Iceberg v2 position-delete update shape): each matched row's
+/** MERGE-ON-READ UPDATE and MERGE ([[SupportsDelta]], unpartitioned
+  * tables — the Iceberg v2 position-delete shape): each matched row's
   * OLD version dies by position (a sidecar on its source file, no
-  * rewrite) and its NEW version lands in a fresh staged data file,
-  * both published in ONE manifest swap — a reader sees every row
-  * exactly once, pre- or post-update, never both and never neither.
-  * A point UPDATE on a 100 TB table writes kilobytes of sidecar plus
-  * one small file; compaction later applies the positions and folds
-  * the fragments.
+  * rewrite), each new/updated version lands in a fresh staged data
+  * file, and rows a MERGE deletes die by position alone — everything
+  * published in ONE manifest swap, so a reader sees every row exactly
+  * once, pre- or post-statement, never both and never neither. A
+  * point UPDATE or upsert MERGE on a 100 TB table writes kilobytes of
+  * sidecar plus one small file; compaction later applies the
+  * positions and folds the fragments.
   *
   * Isolation: the touched source files' entries are captured when the
   * operation's scan is created and must be BIT-IDENTICAL at commit
   * (same entry-identity contract as the COW rewrite): a concurrent
   * merge-on-read DELETE or compaction on a touched file fails this
   * statement with the retry message instead of resurrecting its rows.
-  * MERGE and partitioned-table UPDATE stay copy-on-write.
+  * Partitioned-table UPDATE/MERGE stays copy-on-write (its inserts
+  * must land bucket-pure through the clustered write distribution).
   */
-class ManifestDeltaUpdateOperation(path: String)
+class ManifestDeltaUpdateOperation(path: String,
+    cmd: RowLevelOperation.Command = RowLevelOperation.Command.UPDATE)
     extends RowLevelOperation with SupportsDelta {
   private[sources] val root = ManifestV2.rootOf(path)
   /** Entries as of scan creation, for commit-time identity validation
@@ -1643,10 +1647,9 @@ class ManifestDeltaUpdateOperation(path: String)
     */
   @volatile private[sources] var scanned: Map[String, ManifestV2.FileEntry] =
     Map.empty
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.UPDATE
+  override def command(): RowLevelOperation.Command = cmd
   override def description(): String =
-    s"graft ManifestV2 MERGE-ON-READ update -> $path"
+    s"graft ManifestV2 MERGE-ON-READ $cmd -> $path"
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(ManifestTable.FileMetaCol),
     Expressions.column(ManifestTable.PosMetaCol))
@@ -1679,9 +1682,11 @@ class ManifestDeltaUpdateOperation(path: String)
     }
 }
 
-/** Task half of the merge-on-read update: every `update(id, row)`
+/** Task half of the merge-on-read update/merge: `update(id, row)`
   * buffers the old version's position under its source file AND
-  * streams the new version into an ordinary staged data writer; task
+  * streams the new version into an ordinary staged data writer;
+  * `delete(id)` buffers the position alone (a MERGE's matched-delete
+  * branch); `insert(row)` streams alone (not-matched inserts). Task
   * commit emits both halves (sidecars + staged file) in one message.
   * Nothing is visible until the driver commit references them.
   */
@@ -1693,22 +1698,26 @@ class ManifestDeltaUpdateWriter(path: String, schema: StructType,
     .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
   private var dataWriter: ManifestDataWriter = null
 
-  override def update(metadata: InternalRow, id: InternalRow,
-      row: InternalRow): Unit = {
+  private def kill(id: InternalRow): Unit = {
     val f = id.getUTF8String(fileOrd).toString
     buf.getOrElseUpdate(f,
       scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(posOrd)
+  }
+  private def emit(row: InternalRow): Unit = {
     if (dataWriter == null)
       dataWriter = new ManifestDataWriter(path, schema, partitionId,
         taskId, tag = "u")
     dataWriter.write(row)
   }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    kill(id); emit(row)
+  }
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "this operation is UPDATE-only (DELETE runs its own delta op)")
+    kill(id)
   override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "this operation is UPDATE-only (MERGE runs copy-on-write)")
+    emit(row)
 
   override def commit(): WriterCommitMessage = {
     val sidecars = buf.toSeq.map { case (src, poss) =>
@@ -2150,16 +2159,33 @@ class ManifestScanBuilder(root: Path, full: StructType,
     if (specs.isEmpty || specs.contains(None)) return None
     val flat = specs.flatten
     // MIN/MAX are decidable only if EVERY non-empty file carries the
-    // column's box (a file without it may hold the true extremum), and
+    // column's box (a file without it may hold the true extremum) and
     // NO file carries merge-on-read deletes (a deleted row may be the
-    // extremum, and COUNT would include dead positions)
+    // extremum). COUNT(*) stays metadata-served even UNDER deletes:
+    // each touched file's live count is its footer row count minus its
+    // sidecars' distinct positions — kilobytes of driver-side sidecar
+    // read, still zero data files opened.
     val st = ManifestV2.readManifest(root, version)
     val files = fixedFiles.getOrElse(st.map(_.files).getOrElse(Seq.empty))
-    if (files.exists(_.deletes.nonEmpty)) return None
+    val hasDeletes = files.exists(_.deletes.nonEmpty)
+    if (hasDeletes && flat.exists(_._1 != "count")) return None
+    val adjusted =
+      if (!hasDeletes) files
+      else files.map { e =>
+        if (e.deletes.isEmpty) e
+        else {
+          val dead = scala.collection.mutable.Set.empty[Long]
+          e.deletes.foreach { d =>
+            Files.readAllLines(root.resolve(d), StandardCharsets.UTF_8)
+              .forEach(l => if (l.nonEmpty) dead += l.toLong)
+          }
+          e.copy(rows = e.rows - dead.size)
+        }
+      }
     val needed = flat.collect { case (_, Some(c)) => c }.distinct
     val ok = needed.forall(c =>
-      files.filter(_.rows > 0L).forall(_.stats.contains(c)))
-    if (ok) Some((flat, files)) else None
+      adjusted.filter(_.rows > 0L).forall(_.stats.contains(c)))
+    if (ok) Some((flat, adjusted)) else None
   }
 
   override def build(): Scan =

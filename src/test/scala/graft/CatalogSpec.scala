@@ -581,7 +581,7 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.solo")
   }
 
-  test("MERGE INTO upserts copy-on-write; time travel sees the pre-merge snapshot") {
+  test("MERGE INTO upserts merge-on-read; time travel sees the pre-merge snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
     spark.sql("DROP TABLE IF EXISTS graft.spec.mrg")
     spark.sql("CREATE TABLE graft.spec.mrg (k BIGINT, v BIGINT)") // v1
@@ -604,10 +604,16 @@ class CatalogSpec extends AnyFunSuite {
       s"matched-update + not-matched-insert: $got")
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft.spec.mrg")
       .head().getLong(0) == 21L)
-    // the group with no matching ON key is not rewritten
-    assert(manifestFiles("spec", "mrg").map(_._1).contains(fileB),
-      "MERGE must not rewrite groups without matching rows")
-    // pre-merge snapshot intact (copy-on-write never mutates in place)
+    // merge-on-read: NO source file is rewritten — both originals
+    // survive by name; the matched one carries a position-delete
+    // sidecar for the pre-update version, and the update's new
+    // version plus the not-matched insert land in fresh file(s)
+    val mrgFiles = manifestFiles("spec", "mrg").map(_._1)
+    assert(mrgFiles.contains(fileB) &&
+      mrgFiles.toSet.intersect(before.map(_._1).toSet) ==
+        before.map(_._1).toSet,
+      s"MERGE must not rewrite any source file: $mrgFiles")
+    // pre-merge snapshot intact (the swap never mutates in place)
     assert(spark.sql(
       "SELECT v FROM graft.spec.mrg VERSION AS OF 3 WHERE k = 3")
       .head().getLong(0) == 3L)

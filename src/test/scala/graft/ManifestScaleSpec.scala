@@ -236,8 +236,15 @@ class ManifestScaleSpec extends AnyFunSuite {
       .head().getLong(0) == 0L)
     assert(spark.sql("SELECT SUM(k) FROM graft.spec.mor").head().getLong(0)
       == (0L until 400L).filter(_ % 10 != 3).sum)
-    // the metadata-aggregate shortcut must REFUSE on delete-bearing files
-    assert(!spark.sql("SELECT COUNT(*) FROM graft.spec.mor")
+    // COUNT(*) stays METADATA-SERVED under deletes (footer rows minus
+    // distinct sidecar positions — zero data files opened)...
+    val morCount = spark.sql("SELECT COUNT(*) FROM graft.spec.mor")
+    assert(morCount.queryExecution.executedPlan.toString
+      .contains("METADATA-AGG"),
+      "live count is derivable from manifest + sidecars alone")
+    assert(morCount.head().getLong(0) == 360L)
+    // ...but MIN/MAX must refuse: a deleted row may be the extremum
+    assert(!spark.sql("SELECT MIN(k), MAX(k) FROM graft.spec.mor")
       .queryExecution.executedPlan.toString.contains("METADATA-AGG"))
 
     // time travel reads the PRE-delete snapshot (entries without refs)
