@@ -545,7 +545,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Array(Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "cluster_by"),
-        Identifier.of(Array("system"), "coalesce_deletes"))
+        Identifier.of(Array("system"), "coalesce_deletes"),
+        Identifier.of(Array("system"), "remove_orphans"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -561,6 +562,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "coalesce_deletes")
       new CoalesceDeletesProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "remove_orphans")
+      new RemoveOrphansProcedure(warehouse)
     else throw new IllegalArgumentException(s"no such procedure: $ident")
 }
 
@@ -637,6 +641,45 @@ class CoalesceDeletesProcedure(warehouse: Path) extends UnboundProcedure {
           StructField("sidecars_after", LongType, nullable = false)))
         override def rows(): Array[InternalRow] = Array(
           InternalRow.fromSeq(Seq(files, before, after)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.remove_orphans(ns => …, tbl => …,
+  * older_than_ms => n)`: delete files under the table root that NO
+  * published snapshot references and that are older than the
+  * threshold ([[ManifestV2.removeOrphans]] — the Iceberg
+  * remove_orphan_files shape). Crashed jobs' staged files and
+  * lost-CAS metadata never make it into a snapshot, so snapshot
+  * expiry alone can never reclaim them; the age threshold keeps
+  * in-flight jobs' staged-but-uncommitted files safe.
+  */
+class RemoveOrphansProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "remove_orphans"
+  override def description(): String =
+    "reclaim unreferenced files older than a threshold"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "remove_orphans"
+    override def description(): String =
+      RemoveOrphansProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates table state
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("older_than_ms", LongType)
+        .comment("only unreferenced files older than this age").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val reclaimed =
+        ManifestV2.removeOrphans(dir.toString, input.getLong(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("orphans_removed", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(reclaimed.size.toLong)))
       }
       util.Collections.singletonList(res).iterator()
     }

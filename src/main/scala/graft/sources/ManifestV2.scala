@@ -847,6 +847,58 @@ object ManifestV2 {
       live.map(_.rows).sum)
   }
 
+  /** Remove ORPHAN files — the Iceberg remove_orphan_files shape: any
+    * file under the table root that NO published snapshot references
+    * (crashed jobs' staged data files, lost-CAS metadata segments and
+    * merged sidecars) and that is older than `olderThanMs`. The age
+    * threshold is the safety contract: a younger unreferenced file may
+    * belong to an IN-FLIGHT job whose commit will reference it — a
+    * long-running write stages files hours before its manifest swap,
+    * so reclamation must never race liveness (Iceberg defaults to
+    * 3 days for the same reason). [[expireSnapshots]] reclaims files
+    * that WERE referenced and aged out of retention; this pass
+    * reclaims files that never made it into any snapshot. Returns the
+    * reclaimed names.
+    */
+  def removeOrphans(path: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
+    val root = rootOf(path)
+    val versions = listVersions(root)
+    // referenced = every data file + sidecar of every version, plus
+    // every metadata segment any version references
+    val referenced = versions.flatMap(v => readManifest(root, v))
+      .flatMap(_.files.flatMap(e => e.file +: e.deletes)).toSet ++
+      versions.flatMap(v => segNamesOf(root, v))
+    val now = System.currentTimeMillis()
+    val out = Seq.newBuilder[String]
+    def sweep(dir: Path, relPrefix: String): Unit =
+      if (Files.isDirectory(dir)) {
+        val st = Files.list(dir)
+        try st.iterator().forEachRemaining { p =>
+          val n = relPrefix + p.getFileName.toString
+          if (Files.isRegularFile(p) && !referenced.contains(n) &&
+              now - Files.getLastModifiedTime(p).toMillis > olderThanMs)
+            out += n
+        } finally st.close()
+      }
+    sweep(root.resolve("staging"), "staging/")
+    // top level: only metadata segments are sweepable (manifests and
+    // the pointer are the log itself)
+    val segRe = raw"seg\..*\.txt".r
+    if (Files.isDirectory(root)) {
+      val st = Files.list(root)
+      try st.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (segRe.matches(n) && !referenced.contains(n) &&
+            now - Files.getLastModifiedTime(p).toMillis > olderThanMs)
+          out += n
+      } finally st.close()
+    }
+    val reclaim = out.result().sorted
+    reclaim.foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
+    reclaim
+  }
+
   /** Coalesce MERGE-ON-READ DELETE sidecars: a file that accumulated
     * `minSidecars` or more position-delete sidecars gets them merged
     * into ONE (union of positions, sorted, deduplicated) and its
@@ -2287,13 +2339,27 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     if (pushed.isEmpty) files
     else files.filter(e => !ManifestV2.decideBox(pushed, e).contains(false))
 
-  /** Manifest-derived statistics: exact row count of the PLANNED files
-    * (post-pruning), sized by the read schema — so Catalyst can
-    * broadcast a small manifest table without a config hint, the same
-    * decision Iceberg feeds from its snapshot summary.
+  /** Manifest-derived statistics: exact LIVE row count of the PLANNED
+    * files (post-pruning, minus each file's distinct position-delete
+    * ordinals — a kilobyte driver-side sidecar read, only on
+    * delete-bearing files), sized by the read schema — so Catalyst
+    * can broadcast a small manifest table without a config hint, the
+    * same decision Iceberg feeds from its snapshot summary, and a
+    * heavily-deleted table does not masquerade as big.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = planned.map(_.rows).sum
+    private val rows = planned.map { e =>
+      if (e.deletes.isEmpty) e.rows
+      else {
+        val dead = scala.collection.mutable.Set.empty[Long]
+        e.deletes.foreach { d =>
+          java.nio.file.Files.readAllLines(
+            Paths.get(root).resolve(d), StandardCharsets.UTF_8)
+            .forEach(l => if (l.nonEmpty) dead += l.toLong)
+        }
+        e.rows - dead.size
+      }
+    }.sum
     private val rowWidth = math.max(1,
       (if (required.isEmpty) full else required).defaultSize)
     override def sizeInBytes(): java.util.OptionalLong =

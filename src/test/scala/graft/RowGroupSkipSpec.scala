@@ -416,6 +416,33 @@ class RowGroupSkipSpec extends AnyFunSuite {
     assert(got == (0L until 4L).map((_, 2000L)).toSeq, s"got $got")
   }
 
+  test("remove_orphans reclaims unreferenced files past the age " +
+      "threshold; referenced and young files are untouchable") {
+    val dir = tmp()
+    import spark.implicits._
+    spark.range(0, 100, 1, 2).select($"id".as("k"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dir).mode("append").save()
+    val root = Paths.get(dir)
+    val live = ManifestV2.readManifest(root).get.files.map(_.file)
+    // orphans a crashed job / lost CAS would leave behind
+    val orphData = root.resolve("staging/part-crashed-orphan.parquet")
+    Files.write(orphData, Array[Byte](1, 2, 3))
+    val orphSeg = root.resolve("seg.deadbeef-0000-0000-0000-000000000000.txt")
+    Files.write(orphSeg, "staging/x.parquet\t1\n".getBytes(StandardCharsets.UTF_8))
+    // young orphans survive (may belong to an in-flight job)...
+    assert(ManifestV2.removeOrphans(dir).isEmpty)
+    assert(Files.exists(orphData) && Files.exists(orphSeg))
+    // ...aged orphans are reclaimed; live files never are
+    val got = ManifestV2.removeOrphans(dir, olderThanMs = -1L)
+    assert(got.toSet == Set("staging/part-crashed-orphan.parquet",
+      orphSeg.getFileName.toString), s"got $got")
+    assert(!Files.exists(orphData) && !Files.exists(orphSeg))
+    live.foreach(f => assert(Files.exists(root.resolve(f)),
+      s"live file $f must never be swept"))
+    assert(read(dir).count() == 100L)
+  }
+
   test("expiry spares young unreferenced segments (in-flight commits) " +
       "and reclaims them only past the grace window") {
     val root = Files.createTempDirectory("graft_exp")
