@@ -133,6 +133,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.nullGuardDeleteQuery(s, d)),
     "dsv2_appendonly_feed" -> ((s, d) =>
       graft.sources.GraftCatalog.appendOnlyFeedQuery(s, d)),
+    "dsv2_eq_delete" -> ((s, d) =>
+      graft.sources.GraftCatalog.eqDeleteQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3652,6 +3654,10 @@ object SparkEntry {
     // append-only change feed crossing a merge-on-read delete: the
     // opted-in incremental read serves exactly the post-delete insert
     "dsv2_appendonly_feed" -> graft.sources.GraftCatalog.appendOnlyFeedSql(),
+
+    // equality-delete sidecars: a key-list DELETE writes kilobytes and
+    // reads nothing; value subtraction composes with position deletes
+    "dsv2_eq_delete" -> graft.sources.GraftCatalog.eqDeleteSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

@@ -1549,6 +1549,48 @@ object GraftCatalog {
       |FROM orders WHERE o_orderkey % 3 = 2
       |GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** Driver-contract query for EQUALITY DELETES (the Iceberg v2
+    * equality-delete sidecar, the zero-read DELETE): a key-list DELETE
+    * no stats box can decide — `okey IN (…)` — writes ONE kilobyte
+    * sidecar naming the dead keys and touches NO data file (the spec
+    * pins byte-identity; this query hashes the read): readers subtract
+    * by value, and a follow-up misaligned position-delete composes on
+    * the same files. At 100 TB this is `DELETE WHERE user_id = X` —
+    * the GDPR shape — costing neither a scan nor a rewrite at
+    * statement time.
+    */
+  def eqDeleteQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_eq_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okeq")
+    spark.sql("CREATE TABLE graft.db.okeq (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okeq
+        |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderkey % 97
+        |FROM graft_eq_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    // equality delete (zero data touched), then a positional one
+    // (merge-on-read) on the same files — both kinds subtract together
+    spark.sql("DELETE FROM graft.db.okeq WHERE okey IN (1, 2, 3, 1000, 32)")
+    spark.sql("DELETE FROM graft.db.okeq WHERE okey % 5 = 4")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
+      |FROM graft.db.okeq GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** [[eqDeleteQuery]] oracle: survivors of both deletes. */
+  def eqDeleteSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE o_orderkey NOT IN (1, 2, 3, 1000, 32)
+      |  AND o_orderkey % 5 <> 4
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
   /** Driver-contract query for NULL-SOUND metadata deletes: a table
     * whose stats column carries NULLs, under a DELETE whose predicate
     * matches EVERY non-null row — the [min,max] box alone says "drop

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -847,6 +847,30 @@ object ManifestV2 {
       live.map(_.rows).sum)
   }
 
+  /** Is this delete-sidecar reference an EQUALITY delete (`eqdel-…` —
+    * first line the column name, then the dead key values) rather than
+    * a position delete (`posdel-…` — one ordinal per line)? The two
+    * kinds coexist on a file's `deletes` list; every consumer that
+    * PARSES sidecars must dispatch on the kind.
+    */
+  private[graft] def isEqDelete(ref: String): Boolean = {
+    val slash = ref.lastIndexOf('/')
+    ref.startsWith("eqdel-", slash + 1)
+  }
+
+  /** Load one equality-delete sidecar: (column, dead key values). */
+  private[graft] def readEqDelete(root: Path, ref: String): (String, Set[Long]) = {
+    val lines = Files.readAllLines(root.resolve(ref), StandardCharsets.UTF_8)
+    val col = lines.get(0)
+    val vals = Set.newBuilder[Long]
+    var i = 1
+    while (i < lines.size) {
+      if (lines.get(i).nonEmpty) vals += lines.get(i).toLong
+      i += 1
+    }
+    (col, vals.result())
+  }
+
   /** Remove ORPHAN files — the Iceberg remove_orphan_files shape: any
     * file under the table root that NO published snapshot references
     * (crashed jobs' staged data files, lost-CAS metadata segments and
@@ -918,13 +942,16 @@ object ManifestV2 {
     val root = rootOf(path)
     val st = readManifest(root).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root"))
-    val targets = st.files.filter(_.deletes.size >= minSidecars)
+    // only POSITION sidecars coalesce (ordinal union); equality
+    // sidecars are value-typed per column and are carried as-is
+    val targets = st.files.filter(
+      _.deletes.count(!isEqDelete(_)) >= minSidecars)
     if (targets.isEmpty) return (0L, 0L, 0L)
     // merged sidecar per file, written BEFORE the commit (like data
     // files); a lost CAS leaves a uuid-named orphan for expiry
     val merged: Map[String, (String, Set[String])] = targets.map { e =>
       val positions = scala.collection.mutable.SortedSet.empty[Long]
-      e.deletes.foreach { d =>
+      e.deletes.filterNot(isEqDelete).foreach { d =>
         Files.readAllLines(root.resolve(d), StandardCharsets.UTF_8)
           .forEach(l => if (l.nonEmpty) positions += l.toLong)
       }
@@ -932,7 +959,7 @@ object ManifestV2 {
       Files.createDirectories(root.resolve(rel).getParent)
       Files.write(root.resolve(rel),
         positions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-      (e.file, (rel, e.deletes.toSet))
+      (e.file, (rel, e.deletes.filterNot(isEqDelete).toSet))
     }.toMap
     var before = 0L; var after = 0L
     commit(root) { cur =>
@@ -1313,27 +1340,69 @@ class ManifestTable(path: String, externalSchema: StructType,
     * (aligned retention delete) and an O(matching files) rewrite — and
     * never a table-sized one.
     */
+  /** A predicate that can become an EQUALITY-DELETE sidecar: a single
+    * `col = v` or `col IN (…)` conjunct on a BIGINT table column. The
+    * Iceberg v2 equality-delete shape — the statement then touches NO
+    * data at all: files the box disproves stay untouched, files the
+    * box fully covers (null-free) drop whole, and every other file
+    * gets a kilobyte sidecar naming the dead key values, which readers
+    * subtract by value. The write path of `DELETE WHERE user_id = X`
+    * on 100 TB.
+    */
+  private def eqDeleteShape(filters: Array[Filter]): Option[(String, Seq[Long])] = {
+    def longCol(c: String): Boolean =
+      schema().fields.exists(f => f.name == c && f.dataType == LongType)
+    filters match {
+      case Array(EqualTo(c, v: java.lang.Number)) if longCol(c) =>
+        Some((c, Seq(v.longValue())))
+      case Array(In(c, vs)) if longCol(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Number]) =>
+        Some((c, vs.toSeq.map(_.asInstanceOf[java.lang.Number].longValue())))
+      case _ => None
+    }
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     val st = ManifestV2.readManifest(root)
-    st.exists(_.files.forall(e => ManifestV2.decideBox(filters, e).isDefined))
+    st.exists(_.files.forall(e =>
+      ManifestV2.decideBox(filters, e).isDefined)) ||
+      (st.isDefined && eqDeleteShape(filters).isDefined)
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (ManifestV2.readManifest(root).isEmpty) return
+    // equality sidecar staged BEFORE the commit (a lost CAS leaves a
+    // uuid orphan for remove_orphans), referenced only if some file
+    // turns out undecidable inside the winning derivation
+    lazy val eqRef: String = {
+      val (c, vals) = eqDeleteShape(filters).get
+      val rel = s"staging/eqdel-${java.util.UUID.randomUUID()}.txt"
+      Files.createDirectories(root.resolve(rel).getParent)
+      Files.write(root.resolve(rel),
+        (c +: vals.sorted.map(_.toString)).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      rel
+    }
     // derivation inside commit(): on a CAS conflict the decidability
     // check and the partition re-run against the succeeding snapshot
     ManifestV2.commit(root) { cur =>
       val st = cur.getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
-      val kept = st.files.filter { e =>
+      val canEq = eqDeleteShape(filters).isDefined
+      val files = st.files.flatMap { e =>
         ManifestV2.decideBox(filters, e) match {
-          case Some(d) => !d
+          case Some(true) => None // every row matches: drop the file
+          case Some(false) => Some(e) // no row can match: untouched
+          case None if canEq =>
+            // undecidable box + eq-shaped predicate: attach the
+            // equality sidecar — the delete costs zero data reads
+            Some(e.copy(deletes = e.deletes :+ eqRef))
           case None => throw new UnsupportedOperationException(
             s"delete predicate is not decidable against file stats of ${e.file}" +
               " — this table never rewrites data for a DELETE")
         }
       }
-      ManifestV2.ManifestState(st.schema, st.epochs, kept, part = st.part,
+      ManifestV2.ManifestState(st.schema, st.epochs, files, part = st.part,
         checks = st.checks)
     }: Unit
     // dropped files stay on disk: older manifest versions still
@@ -2221,6 +2290,9 @@ class ManifestScanBuilder(root: Path, full: StructType,
     val files = fixedFiles.getOrElse(st.map(_.files).getOrElse(Seq.empty))
     val hasDeletes = files.exists(_.deletes.nonEmpty)
     if (hasDeletes && flat.exists(_._1 != "count")) return None
+    // EQUALITY deletes subtract by value, so a live count needs the
+    // data — only position-delete-bearing files stay metadata-served
+    if (files.exists(_.deletes.exists(ManifestV2.isEqDelete))) return None
     val adjusted =
       if (!hasDeletes) files
       else files.map { e =>
@@ -2349,10 +2421,14 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = planned.map { e =>
-      if (e.deletes.isEmpty) e.rows
+      // position deletes subtract exactly; equality deletes would need
+      // the data, so their files report footer rows (a safe over-
+      // estimate for the broadcast decision)
+      val posRefs = e.deletes.filterNot(ManifestV2.isEqDelete)
+      if (posRefs.isEmpty) e.rows
       else {
         val dead = scala.collection.mutable.Set.empty[Long]
-        e.deletes.foreach { d =>
+        posRefs.foreach { d =>
           java.nio.file.Files.readAllLines(
             Paths.get(root).resolve(d), StandardCharsets.UTF_8)
             .forEach(l => if (l.nonEmpty) dead += l.toLong)
@@ -2545,11 +2621,14 @@ class ManifestReaderFactory(full: StructType, required: StructType,
     val conf = ManifestV2.leafConf()
     val hPath = new org.apache.hadoop.fs.Path(
       Paths.get(fp.root).resolve(fp.file).toString)
-    // merge-on-read: the union of the file's position-delete sidecars,
+    // merge-on-read: the union of the file's POSITION-delete sidecars,
     // subtracted during the read (a position is dead in every later
-    // snapshot; sidecars are immutable and tiny)
+    // snapshot; sidecars are immutable and tiny), plus its
+    // EQUALITY-delete sidecars — per-column dead key sets subtracted
+    // by VALUE during the batch serve
+    val (eqRefs, posRefs) = fp.deletes.partition(ManifestV2.isEqDelete)
     val deleted = new java.util.BitSet()
-    fp.deletes.foreach { d =>
+    posRefs.foreach { d =>
       Files.readAllLines(Paths.get(fp.root).resolve(d),
         StandardCharsets.UTF_8).forEach { l =>
         if (l.nonEmpty) {
@@ -2563,6 +2642,11 @@ class ManifestReaderFactory(full: StructType, required: StructType,
       }
     }
     val hasDeletes = !deleted.isEmpty
+    val eqDeletes: Map[String, Set[Long]] = eqRefs
+      .map(ManifestV2.readEqDelete(Paths.get(fp.root), _))
+      .groupBy(_._1).map { case (c, xs) =>
+        (c, xs.iterator.map(_._2).reduce(_ union _))
+      }
     // ONE footer open, reused for everything below (schema, row-group
     // metadata, bloom readers, the data read itself)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -2586,13 +2670,23 @@ class ManifestReaderFactory(full: StructType, required: StructType,
         f.name != ManifestTable.FileMetaCol &&
           f.name != ManifestTable.PosMetaCol &&
           fileSchema.containsField(f.name))
+      // equality deletes that can apply to THIS file (an evolution-era
+      // file without the column is all-null there, and NULL never
+      // matches an equality — the sidecar is vacuous for it)
+      val eqApplicable = eqDeletes.filter { case (c, _) =>
+        fileSchema.containsField(c) }
       // defensive: the footer-count fast path must not swallow a
       // pushed filter — if one references data columns this file has,
-      // decode them so the residual above the scan sees real values
-      val dataFields =
+      // decode them so the residual above the scan sees real values.
+      // Equality-delete columns are FORCED into the decode set the
+      // same way: subtracting by value needs the values.
+      val dataFields1 =
         if (dataFields0.nonEmpty || pushed.isEmpty) dataFields0
         else full.fields.filter(f => pushed.flatMap(_.references)
           .contains(f.name) && fileSchema.containsField(f.name))
+      val dataFields = dataFields1 ++
+        full.fields.filter(f => eqApplicable.contains(f.name) &&
+          !dataFields1.exists(_.name == f.name))
       val dataPos = dataFields.map(f => f.name).zipWithIndex.toMap
       val srcOf: Array[Int] = required.fields.map { f =>
         if (f.name == ManifestTable.FileMetaCol) -1
@@ -2648,6 +2742,10 @@ class ManifestReaderFactory(full: StructType, required: StructType,
         val longCols: Set[String] = full.fields
           .collect { case f if f.dataType == LongType => f.name }.toSet
         val flatConj: Array[Filter] = pushed.flatMap(conjuncts)
+        // equality-delete evaluation plan: (decoded column index, dead
+        // key set) — a row dies when any decoded value is in its set
+        val eqChecks: Array[(Int, Set[Long])] =
+          eqApplicable.toArray.map { case (c, s) => (dataPos(c), s) }
 
         new PartitionReader[InternalRow] {
           private var blockIdx = 0
@@ -2778,6 +2876,22 @@ class ManifestReaderFactory(full: StructType, required: StructType,
             false
           }
 
+          /** A row's equality-delete verdict off the decoded batch:
+            * dead iff some sidecar set contains its (non-null) value.
+            */
+          private def eqDead(i: Int): Boolean = {
+            var c = 0
+            while (c < eqChecks.length) {
+              val (src, set) = eqChecks(c)
+              val v = batch(src)(i)
+              if (v != null &&
+                  set.contains(v.asInstanceOf[java.lang.Long].longValue()))
+                return true
+              c += 1
+            }
+            false
+          }
+
           override def next(): Boolean = {
             while (true) {
               if (batch == null || idx >= batchRows) {
@@ -2787,7 +2901,8 @@ class ManifestReaderFactory(full: StructType, required: StructType,
               val i = idx
               idx += 1
               if (!(hasDeletes && pos <= Int.MaxValue &&
-                  deleted.get(pos.toInt))) {
+                  deleted.get(pos.toInt)) &&
+                  !(eqChecks.nonEmpty && eqDead(i))) {
                 val vals = new Array[Any](srcOf.length)
                 var c = 0
                 while (c < srcOf.length) {

@@ -416,6 +416,62 @@ class RowGroupSkipSpec extends AnyFunSuite {
     assert(got == (0L until 4L).map((_, 2000L)).toSeq, s"got $got")
   }
 
+  test("equality deletes: DELETE BY KEY touches ZERO data; readers " +
+      "subtract by value; position deletes and compaction compose") {
+    import graft.sources.GraftCatalog
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.eqd")
+    spark.sql("CREATE TABLE graft.spec.eqd (k BIGINT, v BIGINT)")
+    spark.sql("""INSERT INTO graft.spec.eqd
+      |SELECT /*+ REPARTITION(1) */ id, id * 7 FROM range(0, 100, 1, 1)""".stripMargin)
+    spark.sql("""INSERT INTO graft.spec.eqd
+      |SELECT /*+ REPARTITION(1) */ id, id * 7 FROM range(100, 200, 1, 1)""".stripMargin)
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "eqd")
+    val before = ManifestV2.readManifest(dir).get.files
+      .map(e => (e.file, Files.size(dir.resolve(e.file)))).toMap
+
+    // an IN-delete no box can decide: the files' k-boxes are [0,99]
+    // and [100,199], and IN is not box-evaluable — yet the statement
+    // must NOT scan or rewrite anything: one equality sidecar, shared
+    spark.sql("DELETE FROM graft.spec.eqd WHERE k IN (5, 150, 700)")
+    val st = ManifestV2.readManifest(dir).get
+    assert(st.files.map(_.file).toSet == before.keySet,
+      "an equality delete must not add or drop data files")
+    before.foreach { case (f, sz) =>
+      assert(Files.size(dir.resolve(f)) == sz,
+        s"data file $f must be byte-identical after the delete") }
+    val refs = st.files.flatMap(_.deletes)
+    assert(refs.size == 2 && refs.distinct.size == 1 &&
+      ManifestV2.isEqDelete(refs.head),
+      s"one SHARED equality sidecar on both files: $refs")
+
+    // readers subtract by value, positions stay absolute
+    assert(spark.table("graft.spec.eqd").count() == 198L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.spec.eqd WHERE k IN (5, 150)")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT _pos FROM graft.spec.eqd WHERE k = 6").head().getLong(0) == 6L)
+    // metadata COUNT must refuse (a live count needs the values)...
+    assert(!spark.sql("SELECT COUNT(*) FROM graft.spec.eqd")
+      .queryExecution.executedPlan.toString.contains("METADATA-AGG"))
+
+    // ...a position delete composes on the same files...
+    spark.sql("DELETE FROM graft.spec.eqd WHERE k % 97 = 3") // k=3,100,197
+    assert(spark.table("graft.spec.eqd").count() == 195L)
+
+    // ...and compaction applies BOTH kinds and clears the references
+    ManifestV2.compactSnapshot(spark, dir.toString, 1000000L)
+    val after = ManifestV2.readManifest(dir).get
+    assert(after.files.forall(_.deletes.isEmpty))
+    assert(spark.table("graft.spec.eqd").count() == 195L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.spec.eqd WHERE k IN (3, 5, 100, 150)")
+      .head().getLong(0) == 0L)
+    spark.sql("DROP TABLE graft.spec.eqd")
+  }
+
   test("remove_orphans reclaims unreferenced files past the age " +
       "threshold; referenced and young files are untouchable") {
     val dir = tmp()
