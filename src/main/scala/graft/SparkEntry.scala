@@ -135,6 +135,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.appendOnlyFeedQuery(s, d)),
     "dsv2_eq_delete" -> ((s, d) =>
       graft.sources.GraftCatalog.eqDeleteQuery(s, d)),
+    "streaming_upsert_sink" -> ((s, d) =>
+      graft.streaming.Streams.streamingUpsertQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3658,6 +3660,10 @@ object SparkEntry {
     // equality-delete sidecars: a key-list DELETE writes kilobytes and
     // reads nothing; value subtraction composes with position deletes
     "dsv2_eq_delete" -> graft.sources.GraftCatalog.eqDeleteSql(),
+
+    // streaming upsert (CDC) sink: per-epoch equality sidecars keep the
+    // table at exactly the latest version of every key
+    "streaming_upsert_sink" -> graft.streaming.Streams.streamingUpsertSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

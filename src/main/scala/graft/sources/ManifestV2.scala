@@ -1123,6 +1123,7 @@ object ManifestV2 {
     messages.toSeq.flatMap {
       case m: ManifestCommit => Seq(m)
       case mm: ManifestMultiCommit => mm.parts
+      case u: ManifestUpsertTaskCommit => Seq(u.data)
       case _ => Seq.empty
     }
 
@@ -1308,7 +1309,12 @@ class ManifestTable(path: String, externalSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (version >= 0) throw new UnsupportedOperationException(
       s"cannot write to snapshot v$version — writes go to the live table")
-    new ManifestWriteBuilder(path, info, truncate = false)
+    // an upsert sink accepts streaming UPDATE output as appends — the
+    // equality sidecar is what turns the append into an upsert
+    if (Option(info.options().get("upsertKey")).isDefined)
+      new ManifestWriteBuilder(path, info, truncate = false)
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    else new ManifestWriteBuilder(path, info, truncate = false)
   }
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
@@ -2142,7 +2148,8 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
             rowGroupSize = rgSize)
         override def toStreaming: StreamingWrite =
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
-            truncate)
+            truncate,
+            upsertKey = Option(info.options().get("upsertKey")))
       }
     }
   }
@@ -3016,13 +3023,29 @@ class ManifestBatchWrite(path: String, schema: StructType,
   * swapped manifest, so the dedup decision and the publish are one
   * atomic unit (a crash between "check" and "publish" cannot admit
   * the epoch twice).
+  *
+  * With an `upsertKey` option (a BIGINT column), the sink runs
+  * STREAMING UPSERT — the Flink/Iceberg CDC shape: each epoch's keys
+  * land as ONE equality-delete sidecar attached to every pre-existing
+  * file whose key box could hold them, and the epoch's rows land as
+  * ordinary appends — one atomic swap per epoch, so the table always
+  * serves exactly the LATEST version of every key, with the same
+  * replay guard. A micro-batch should carry one row per key
+  * (`dropDuplicates` upstream); deletes need an out-of-band DELETE.
   */
 class ManifestStreamingWrite(path: String, schema: StructType,
-    queryId: String, truncate: Boolean)
+    queryId: String, truncate: Boolean, upsertKey: Option[String] = None)
     extends StreamingWrite {
+  upsertKey.foreach { k =>
+    require(schema.fields.exists(f => f.name == k && f.dataType == LongType),
+      s"upsertKey $k must be a BIGINT column of ${schema.toDDL}")
+  }
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(path, schema)
+    upsertKey match {
+      case Some(k) => new ManifestUpsertWriterFactory(path, schema, k)
+      case None => new ManifestStreamingWriterFactory(path, schema)
+    }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
@@ -3031,32 +3054,124 @@ class ManifestStreamingWrite(path: String, schema: StructType,
       require(ManifestV2.sameShape(p.schema, schema),
         s"streaming schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
     }
+    val keyFiles = messages.toSeq.collect {
+      case u: ManifestUpsertTaskCommit => u.keysFile
+    }
     if (prev.exists(_.epochs.getOrElse(queryId, -1L) >= epochId)) {
       // replayed micro-batch after restart: this epoch is already in
       // the snapshot — publish nothing, reclaim the replay's files
       ManifestV2.deleteStaged(path, messages)
+      keyFiles.foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
     } else {
       val added = ManifestV2.flatCommits(messages).map(m =>
-        ManifestV2.FileEntry(m.file, m.rows, m.stats))
+        ManifestV2.FileEntry(m.file, m.rows, m.stats,
+          nulls = m.nulls, rgs = m.rgs))
+      // upsert: union the tasks' key files into ONE epoch sidecar
+      // (driver-side kilobyte reads), then retire the task halves
+      val epochDelete: Option[(String, Seq[Long])] = upsertKey.flatMap { col =>
+        val keys = scala.collection.mutable.SortedSet.empty[Long]
+        keyFiles.foreach { f =>
+          keys ++= ManifestV2.readEqDelete(root, f)._2
+        }
+        if (keys.isEmpty) None
+        else {
+          val rel = s"staging/eqdel-${java.util.UUID.randomUUID()}.txt"
+          Files.write(root.resolve(rel),
+            (col +: keys.toSeq.map(_.toString)).mkString("", "\n", "\n")
+              .getBytes(StandardCharsets.UTF_8))
+          Some((rel, keys.toSeq))
+        }
+      }
+      keyFiles.foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
       // the epoch ledger merge runs inside the CAS loop: a concurrent
       // BATCH commit interleaving with this epoch cannot be dropped
       // (only one streaming writer exists per queryId, so the ledger
       // entry itself has no same-key race)
+      var attached = false
       ManifestV2.commit(root) { cur =>
-        val kept = if (truncate) Seq.empty
+        val kept0 = if (truncate) Seq.empty
           else cur.map(_.files).getOrElse(Seq.empty)
+        // upsert: pre-existing files whose key box could hold an
+        // incoming key get the epoch's equality sidecar — their old
+        // versions die by value; files provably outside stay untouched
+        attached = false
+        val kept = epochDelete match {
+          case None => kept0
+          case Some((rel, vals)) =>
+            val col = upsertKey.get
+            kept0.map { e =>
+              val mayHold = e.rows > 0 && (e.stats.get(col) match {
+                case Some((lo, hi)) => vals.exists(v => v >= lo && v <= hi)
+                case None => true // no box: cannot disprove
+              })
+              if (mayHold) { attached = true; e.copy(deletes = e.deletes :+ rel) }
+              else e
+            }
+        }
         ManifestV2.ManifestState(
           cur.map(_.schema).filter(_ => !truncate).getOrElse(schema),
           cur.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
           kept ++ added, part = cur.flatMap(_.part),
           checks = cur.map(_.checks).getOrElse(Nil))
       }: Unit
+      // an epoch sidecar no pre-existing file needed is unreferenced
+      epochDelete.foreach { case (rel, _) =>
+        if (!attached) Files.deleteIfExists(root.resolve(rel)): Unit
+      }
       // replaced files stay for time travel; expireSnapshots reclaims
     }
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     ManifestV2.deleteStaged(path, messages)
+    messages.toSeq.collect { case u: ManifestUpsertTaskCommit =>
+      Files.deleteIfExists(
+        ManifestV2.rootOf(path).resolve(u.keysFile)): Unit
+    }: Unit
+  }
+}
+
+/** Task commit of the streaming UPSERT sink: the staged data file plus
+  * a staged key file (equality-sidecar format) holding the distinct
+  * upsert keys this task wrote — the driver unions the key files into
+  * the epoch's one equality delete.
+  */
+case class ManifestUpsertTaskCommit(data: ManifestCommit,
+    keysFile: String) extends WriterCommitMessage
+
+/** Executor half of the streaming upsert sink: an ordinary staged data
+  * write that additionally tracks the DISTINCT key values it wrote
+  * (bounded by the task's share of the micro-batch) and stages them as
+  * a key file at task commit.
+  */
+class ManifestUpsertWriterFactory(path: String, schema: StructType,
+    keyCol: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val root = ManifestV2.rootOf(path)
+    private val inner = new ManifestDataWriter(path, schema, partitionId,
+      taskId, tag = s"e$epochId")
+    private val keyIdx = schema.fieldIndex(keyCol)
+    private val keys = scala.collection.mutable.SortedSet.empty[Long]
+    override def write(record: InternalRow): Unit = {
+      require(!record.isNullAt(keyIdx),
+        s"upsert key $keyCol must not be NULL")
+      keys += record.getLong(keyIdx)
+      inner.write(record)
+    }
+    override def commit(): WriterCommitMessage = {
+      val dc = inner.commit().asInstanceOf[ManifestCommit]
+      val rel = s"staging/upkeys-$partitionId-$taskId-" +
+        s"${java.util.UUID.randomUUID()}.txt"
+      Files.createDirectories(root.resolve(rel).getParent)
+      Files.write(root.resolve(rel),
+        (keyCol +: keys.toSeq.map(_.toString)).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      ManifestUpsertTaskCommit(dc, rel)
+    }
+    override def abort(): Unit = inner.abort()
+    override def close(): Unit = ()
+  }
 }
 
 case class ManifestCommit(file: String, rows: Long,

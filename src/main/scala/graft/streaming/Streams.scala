@@ -586,6 +586,64 @@ object Streams {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** Driver-contract query for the STREAMING UPSERT sink (the CDC
+    * shape): a base snapshot of `orders` streams into a ManifestV2
+    * sink keyed on `okey` (epoch 0 — plain backfill), then an UPDATE
+    * feed (every okey % 7 = 0 row with its `m` shifted +1000) lands as
+    * a second source commit and streams through the SAME checkpoint
+    * (epoch 1) — whose keys must kill exactly the stale base versions
+    * via the epoch's equality-delete sidecar, no file rewritten. The
+    * read-back states, per m-class, the row count, key sum, and HOW
+    * MANY rows are the updated version — a stale survivor, a lost
+    * update, or a double-served key all mismatch the closed form. At
+    * 100 TB this is a CDC stream maintaining a warehouse table at
+    * kilobytes per epoch.
+    */
+  def streamingUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.sources.Sources.scratchDir(spark, "stream_upsert")
+    val work = new java.io.File(base, java.util.UUID.randomUUID().toString)
+    val src = new java.io.File(work, "src").toString
+    val sink = new java.io.File(work, "sink").toString
+    val ck = new java.io.File(work, "ck").toString
+    val orders = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey".as("okey"), ($"o_orderkey" % 97).as("m"))
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink).option("upsertKey", "okey")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    orders.write.format("graft.sources.ManifestV2")
+      .option("path", src).mode("append").save()
+    pump() // epoch 0: backfill
+    orders.filter($"okey" % 7 === 0)
+      .select($"okey", ($"m" + 1000L).as("m"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", src).mode("append").save()
+    pump() // epoch 1: updates kill the stale base versions by key
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .groupBy(expr("CASE WHEN m >= 1000 THEN m - 1000 ELSE m END").as("m0"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(okey) AS BIGINT)").as("key_sum"),
+        expr("CAST(SUM(CASE WHEN m >= 1000 THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("updated_n"))
+      .orderBy($"m0")
+  }
+
+  /** [[streamingUpsertQuery]] oracle: every key exactly once, the
+    * okey % 7 = 0 keys in their updated version.
+    */
+  def streamingUpsertSql(): String =
+    """SELECT o_orderkey % 97 AS m0, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS updated_n
+      |FROM orders GROUP BY 1 ORDER BY m0""".stripMargin
+
   /** [[dsv2StreamQuery]] oracle: the identical windowed aggregation in
     * closed form over the data ids (sentinels excluded by id, mirrored
     * by the query's window-start cutoff).

@@ -472,6 +472,57 @@ class RowGroupSkipSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.eqd")
   }
 
+  test("streaming UPSERT sink: each epoch's keys kill prior versions " +
+      "by equality; files provably outside stay untouched") {
+    import spark.implicits._
+    val src = tmp(); val sink = tmp(); val ck = tmp()
+    def push(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").repartition(1)
+        .write.format("graft.sources.ManifestV2")
+        .option("path", src).mode("append").save()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink).option("upsertKey", "k")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    push(Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    run() // epoch 0: plain backfill, nothing to kill
+    push(Seq((1L, 11L), (4L, 40L)))
+    run() // epoch 1: key 1 dies in the backfill file, 4 is new
+    val got = spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      s"latest version per key: $got")
+    // storage shape: the backfill file carries ONE equality sidecar
+    // (its box [1,3] could hold incoming key 1); the epoch-1 file has
+    // none (its own rows must survive their own epoch)
+    val st = ManifestV2.readManifest(Paths.get(sink)).get
+    val files = st.files.sortBy(_.file)
+    assert(files.size == 2)
+    val withDel = files.filter(_.deletes.nonEmpty)
+    assert(withDel.size == 1 &&
+      withDel.head.deletes.forall(ManifestV2.isEqDelete),
+      s"exactly the pre-existing file carries the epoch's sidecar: $files")
+    // epoch 2 touches a key held only by the FIRST file's box; both
+    // files' boxes contain 2, so both get the sidecar (conservative),
+    // and the read still serves exactly the latest versions
+    push(Seq((2L, 22L)))
+    run()
+    val got2 = spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got2 == Seq((1L, 11L), (2L, 22L), (3L, 30L), (4L, 40L)))
+    // no stray task key files survive a commit
+    val staged = Option(new java.io.File(sink, "staging").listFiles())
+      .map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
+    assert(!staged.exists(_.startsWith("upkeys-")),
+      s"task key files must be retired at commit: $staged")
+  }
+
   test("remove_orphans reclaims unreferenced files past the age " +
       "threshold; referenced and young files are untouchable") {
     val dir = tmp()
