@@ -924,17 +924,19 @@ object ManifestV2 {
   }
 
   /** Coalesce MERGE-ON-READ DELETE sidecars: a file that accumulated
-    * `minSidecars` or more position-delete sidecars gets them merged
-    * into ONE (union of positions, sorted, deduplicated) and its
-    * manifest entry swapped to reference only the merged sidecar — a
-    * pure metadata maintenance pass, no data file is opened. Reads of
-    * a many-times-deleted file then parse one sidecar instead of N.
-    * Runs through the CAS commit: a delta DELETE landing between the
-    * merge and the publish keeps its sidecar (only the sidecars this
-    * pass actually merged are substituted; unseen ones are carried).
-    * Old sidecars stay on disk — earlier snapshots reference them —
-    * until [[expireSnapshots]]. Returns (files coalesced, sidecars
-    * before, sidecars after).
+    * `minSidecars` or more sidecars gets them merged — POSITION
+    * sidecars into ONE (union of ordinals, sorted, deduplicated) and
+    * EQUALITY sidecars into one PER COLUMN (union of key values) — and
+    * its manifest entry swapped to reference only the merged ones. A
+    * pure metadata maintenance pass, no data file is opened: a
+    * long-running streaming UPSERT attaches one equality sidecar per
+    * epoch, and this is what keeps reads parsing O(columns) sidecars
+    * instead of O(epochs). Runs through the CAS commit: a delta DELETE
+    * landing between the merge and the publish keeps its sidecar (only
+    * the sidecars this pass actually read are substituted; unseen ones
+    * are carried). Old sidecars stay on disk — earlier snapshots
+    * reference them — until [[expireSnapshots]]. Returns (files
+    * coalesced, sidecars before, sidecars after).
     */
   def coalesceDeletes(path: String, minSidecars: Int = 2)
       : (Long, Long, Long) = {
@@ -942,24 +944,51 @@ object ManifestV2 {
     val root = rootOf(path)
     val st = readManifest(root).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root"))
-    // only POSITION sidecars coalesce (ordinal union); equality
-    // sidecars are value-typed per column and are carried as-is
-    val targets = st.files.filter(
-      _.deletes.count(!isEqDelete(_)) >= minSidecars)
+    // a file is worth coalescing when EITHER kind has piled up
+    def eqByCol(e: FileEntry): Map[String, Seq[String]] =
+      e.deletes.filter(isEqDelete)
+        .map(d => (readEqDelete(root, d)._1, d))
+        .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
+    val targets = st.files.filter { e =>
+      e.deletes.count(!isEqDelete(_)) >= minSidecars ||
+        eqByCol(e).values.exists(_.size >= minSidecars)
+    }
     if (targets.isEmpty) return (0L, 0L, 0L)
-    // merged sidecar per file, written BEFORE the commit (like data
-    // files); a lost CAS leaves a uuid-named orphan for expiry
-    val merged: Map[String, (String, Set[String])] = targets.map { e =>
-      val positions = scala.collection.mutable.SortedSet.empty[Long]
-      e.deletes.filterNot(isEqDelete).foreach { d =>
-        Files.readAllLines(root.resolve(d), StandardCharsets.UTF_8)
-          .forEach(l => if (l.nonEmpty) positions += l.toLong)
+    // merged sidecars per file, written BEFORE the commit (like data
+    // files); a lost CAS leaves uuid-named orphans for remove_orphans.
+    // `covered` is exactly the set read into a merge — anything else
+    // (including single sidecars not worth merging) is carried as-is.
+    val merged: Map[String, (Seq[String], Set[String])] = targets.map { e =>
+      val out = Seq.newBuilder[String]
+      val covered = Set.newBuilder[String]
+      val posRefs = e.deletes.filterNot(isEqDelete)
+      if (posRefs.size >= minSidecars) {
+        val positions = scala.collection.mutable.SortedSet.empty[Long]
+        posRefs.foreach { d =>
+          Files.readAllLines(root.resolve(d), StandardCharsets.UTF_8)
+            .forEach(l => if (l.nonEmpty) positions += l.toLong)
+        }
+        val rel = s"staging/posdel-merged-${java.util.UUID.randomUUID()}.txt"
+        Files.createDirectories(root.resolve(rel).getParent)
+        Files.write(root.resolve(rel),
+          positions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        out += rel
+        covered ++= posRefs
       }
-      val rel = s"staging/posdel-merged-${java.util.UUID.randomUUID()}.txt"
-      Files.createDirectories(root.resolve(rel).getParent)
-      Files.write(root.resolve(rel),
-        positions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-      (e.file, (rel, e.deletes.filterNot(isEqDelete).toSet))
+      eqByCol(e).foreach { case (col, refs) =>
+        if (refs.size >= minSidecars) {
+          val vals = scala.collection.mutable.SortedSet.empty[Long]
+          refs.foreach(d => vals ++= readEqDelete(root, d)._2)
+          val rel = s"staging/eqdel-merged-${java.util.UUID.randomUUID()}.txt"
+          Files.createDirectories(root.resolve(rel).getParent)
+          Files.write(root.resolve(rel),
+            (col +: vals.toSeq.map(_.toString)).mkString("", "\n", "\n")
+              .getBytes(StandardCharsets.UTF_8))
+          out += rel
+          covered ++= refs
+        }
+      }
+      (e.file, (out.result(), covered.result()))
     }.toMap
     var before = 0L; var after = 0L
     commit(root) { cur =>
@@ -968,11 +997,11 @@ object ManifestV2 {
       before = 0L; after = 0L
       val files = s.files.map { e =>
         merged.get(e.file) match {
-          case Some((rel, covered)) if e.deletes.nonEmpty =>
+          case Some((rels, covered)) if e.deletes.nonEmpty =>
             before += e.deletes.size
             // sidecars that appeared after the merge pass are carried
             val extra = e.deletes.filterNot(covered.contains)
-            val out = rel +: extra
+            val out = rels ++ extra
             after += out.size
             e.copy(deletes = out)
           case _ => e

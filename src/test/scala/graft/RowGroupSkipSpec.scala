@@ -186,27 +186,44 @@ class RowGroupSkipSpec extends AnyFunSuite {
           poss.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
         rel
     }
+    // plus two equality sidecars on the same column (the shape a
+    // streaming upsert leaves behind, one per epoch): k=10 and k=11
+    val eqCars = Seq(Seq(10L), Seq(11L)).zipWithIndex.map {
+      case (vals, i) =>
+        val rel = s"staging/eqdel-c$i.txt"
+        Files.write(root.resolve(rel),
+          ("k" +: vals.map(_.toString)).mkString("", "\n", "\n")
+            .getBytes(StandardCharsets.UTF_8))
+        rel
+    }
     ManifestV2.commit(root) { cur =>
       val st = cur.get
       st.copy(files = st.files.map(f =>
-        if (f.file == e.file) f.copy(deletes = cars) else f))
+        if (f.file == e.file) f.copy(deletes = cars ++ eqCars) else f))
     }
-    assert(read(dir).count() == 1996L)
+    assert(read(dir).count() == 1992L) // 4 positions + keys 10, 11 (2 rows each)
     val (files, before, after) = ManifestV2.coalesceDeletes(dir)
-    assert((files, before, after) == ((1L, 3L, 1L)),
-      s"expected 3 sidecars -> 1, got ($files, $before, $after)")
+    assert((files, before, after) == ((1L, 5L, 2L)),
+      s"expected 3 posdels -> 1 and 2 eqdels -> 1, got ($files, $before, $after)")
     val e2 = entryOf(dir)
-    assert(e2.deletes.size == 1 && e2.deletes.head.contains("posdel-merged"))
-    assert(read(dir).count() == 1996L, "coalescing must not change reads")
-    val merged = Files.readAllLines(root.resolve(e2.deletes.head))
-    assert(merged.size() == 4, "positions union, deduplicated, sorted")
+    assert(e2.deletes.size == 2 &&
+      e2.deletes.exists(_.contains("posdel-merged")) &&
+      e2.deletes.exists(_.contains("eqdel-merged")))
+    assert(read(dir).count() == 1992L, "coalescing must not change reads")
+    assert(read(dir).where("k = 10 OR k = 11").count() == 0L)
+    val mergedPos = Files.readAllLines(root.resolve(
+      e2.deletes.find(_.contains("posdel-merged")).get))
+    assert(mergedPos.size() == 4, "positions union, deduplicated, sorted")
+    val mergedEq = ManifestV2.readEqDelete(root,
+      e2.deletes.find(_.contains("eqdel-merged")).get)
+    assert(mergedEq == (("k", Set(10L, 11L))))
     // the OLD sidecars survive on disk — the pre-coalesce snapshot
     // still references them (time travel); expiry is the reclaimer
-    cars.foreach(c => assert(Files.exists(root.resolve(c)),
+    (cars ++ eqCars).foreach(c => assert(Files.exists(root.resolve(c)),
       s"sidecar $c is still referenced by the previous version"))
     val vPrev = ManifestV2.readManifest(root).get.version - 1
     assert(ManifestV2.readManifest(root, vPrev).get
-      .files.head.deletes == cars)
+      .files.head.deletes == cars ++ eqCars)
   }
 
   test("incremental reads crossing a MoR delete: fail by default, " +
