@@ -14,18 +14,25 @@ import graft.sources.ManifestV2
   * effect (skip counters, split counts, failure injection), not just
   * exercised:
   *
-  *  - row-group-granular input splits off manifest metadata;
+  *  - row-group-granular input splits off manifest metadata, for
+  *    unpartitioned AND bucketed files (SPJ groups splits by key);
   *  - row-group skipping through column-chunk statistics AND footer
   *    bloom filters (the d03999d feature, now verified to skip);
   *  - `_pos`/position-delete exactness across splits and skips;
   *  - segment-envelope pruning of manifest metadata at plan time;
-  *  - position-delete sidecar coalescing;
-  *  - the append-only opt-in for incremental reads crossing a
-  *    merge-on-read delete;
+  *  - sidecar coalescing, positional (ordinal union) and equality
+  *    (per-column value union);
+  *  - equality deletes: the zero-read key-list DELETE, composing with
+  *    positional deletes and compaction;
+  *  - the streaming UPSERT sink (per-epoch equality sidecars keep
+  *    latest-per-key);
+  *  - the append-only opt-in for incremental and STREAMING reads
+  *    crossing a merge-on-read delete;
   *  - NULL-soundness of "every row matches" box decisions;
   *  - entry-identity (not name) validation of replaced files, the
   *    Iceberg validateNoNewDeleteFiles shape;
-  *  - expiry's grace window for unreferenced (in-flight) segments.
+  *  - expiry's grace window for unreferenced (in-flight) segments and
+  *    the remove_orphans age-thresholded sweep.
   */
 class RowGroupSkipSpec extends AnyFunSuite {
   import TestSpark._
