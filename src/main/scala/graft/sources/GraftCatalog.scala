@@ -610,17 +610,19 @@ class ClusterByProcedure(warehouse: Path) extends UnboundProcedure {
 }
 
 /** `CALL graft.system.coalesce_deletes(ns => …, tbl => …)`: merge
-  * every file's accumulated position-delete sidecars into one
-  * ([[ManifestV2.coalesceDeletes]]) — the merge-on-read maintenance
-  * pass BETWEEN deletes and compaction: pure metadata, no data file
-  * opened, and a many-times-deleted file's reads parse one sidecar
+  * every file's accumulated merge-on-read delete sidecars — POSITION
+  * sidecars into one, EQUALITY sidecars into one per column
+  * ([[ManifestV2.coalesceDeletes]]) — the maintenance pass BETWEEN
+  * deletes and compaction: pure metadata, no data file opened, and a
+  * many-times-deleted file's reads parse one sidecar per kind
   * instead of N. Returns (files_coalesced, sidecars_before,
   * sidecars_after).
   */
 class CoalesceDeletesProcedure(warehouse: Path) extends UnboundProcedure {
   override def name(): String = "coalesce_deletes"
   override def description(): String =
-    "merge each file's position-delete sidecars into one"
+    "merge each file's position-delete sidecars into one and its " +
+      "equality-delete sidecars into one per column"
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
     override def name(): String = "coalesce_deletes"
     override def description(): String =

@@ -858,7 +858,11 @@ object ManifestV2 {
     ref.startsWith("eqdel-", slash + 1)
   }
 
-  /** Load one equality-delete sidecar: (column, dead key values). */
+  /** Load one equality-delete sidecar in its LEGACY single-BIGINT form:
+    * (column, dead key values). Only valid on v1 sidecars (bare column
+    * header) — the streaming upsert sink's key files are always this
+    * shape; general consumers use [[readEqDeleteTyped]].
+    */
   private[graft] def readEqDelete(root: Path, ref: String): (String, Set[Long]) = {
     val lines = Files.readAllLines(root.resolve(ref), StandardCharsets.UTF_8)
     val col = lines.get(0)
@@ -869,6 +873,83 @@ object ManifestV2 {
       i += 1
     }
     (col, vals.result())
+  }
+
+  /** One parsed equality delete in its GENERAL (Iceberg-v2) shape: the
+    * key columns with their types, and the set of dead key TUPLES. A
+    * row dies when every component is non-null and the tuple is in the
+    * set (SQL equality: NULL never matches any component). Components
+    * are [[java.lang.Long]] for BIGINT and [[UTF8String]] for STRING —
+    * exactly what the parquet decode produces, so reader-side
+    * subtraction compares without conversion.
+    */
+  private[graft] case class EqDelete(cols: Seq[(String, DataType)],
+      keys: Set[Seq[Any]])
+
+  /** Parse one equality-delete sidecar, either format:
+    *  - v1 (legacy): line 1 a bare BIGINT column name, then one key
+    *    value per line — what the upsert sink and pre-r12 deletes
+    *    write;
+    *  - v2 (typed): line 1 is tab-joined `col:type` tokens
+    *    (`bigint`|`string`), then one tab-joined, [[esc]]-escaped key
+    *    tuple per line. Detected by the `:` no bare column name can
+    *    contain (manifest-safe names are `[A-Za-z0-9_]`).
+    */
+  private[graft] def readEqDeleteTyped(root: Path, ref: String): EqDelete = {
+    val lines = Files.readAllLines(root.resolve(ref), StandardCharsets.UTF_8)
+    val header = lines.get(0)
+    val cols: Seq[(String, DataType)] =
+      if (!header.contains(':')) Seq((header, LongType))
+      else header.split('\t').toSeq.map { tok =>
+        val i = tok.lastIndexOf(':')
+        (tok.substring(0, i), tok.substring(i + 1) match {
+          case "bigint" => LongType
+          case "string" => StringType
+          case o => throw new IllegalArgumentException(
+            s"unsupported equality-delete key type $o in $ref")
+        })
+      }
+    val keys = Set.newBuilder[Seq[Any]]
+    var i = 1
+    while (i < lines.size) {
+      val l = lines.get(i)
+      if (l.nonEmpty) {
+        val parts = l.split("\t", -1)
+        require(parts.length == cols.length,
+          s"equality-delete tuple arity ${parts.length} != ${cols.length} in $ref")
+        keys += cols.indices.map { j =>
+          cols(j)._2 match {
+            case LongType => java.lang.Long.valueOf(unesc(parts(j)).toLong)
+            case _ => UTF8String.fromString(unesc(parts(j))): Any
+          }
+        }
+      }
+      i += 1
+    }
+    EqDelete(cols, keys.result())
+  }
+
+  /** Render an equality-delete sidecar body. Single-BIGINT keys keep
+    * the v1 format (bare column header, one value per line) so they
+    * stay mergeable with the upsert sink's epoch sidecars; everything
+    * else renders the typed v2 format. Key components are external
+    * values: Long/java.lang.Number for BIGINT, String for STRING.
+    */
+  private[graft] def renderEqDelete(cols: Seq[(String, DataType)],
+      keys: Seq[Seq[Any]]): String = {
+    def longOf(v: Any): Long = v.asInstanceOf[java.lang.Number].longValue()
+    if (cols.length == 1 && cols.head._2 == LongType)
+      (cols.head._1 +: keys.map(k => longOf(k.head)).distinct.sorted
+        .map(_.toString)).mkString("", "\n", "\n")
+    else {
+      val header = cols.map { case (n, t) =>
+        s"$n:${if (t == LongType) "bigint" else "string"}" }.mkString("\t")
+      val rows = keys.map(_.zip(cols).map {
+        case (v, (_, LongType)) => longOf(v).toString
+        case (v, _) => esc(v.toString)
+      }.mkString("\t")).distinct.sorted
+      (header +: rows).mkString("", "\n", "\n")
+    }
   }
 
   /** Remove ORPHAN files — the Iceberg remove_orphan_files shape: any
@@ -926,7 +1007,8 @@ object ManifestV2 {
   /** Coalesce MERGE-ON-READ DELETE sidecars: a file that accumulated
     * `minSidecars` or more sidecars gets them merged — POSITION
     * sidecars into ONE (union of ordinals, sorted, deduplicated) and
-    * EQUALITY sidecars into one PER COLUMN (union of key values) — and
+    * EQUALITY sidecars into one PER KEY SIGNATURE (union of key
+    * tuples; a signature is the sidecar's typed column header) — and
     * its manifest entry swapped to reference only the merged ones. A
     * pure metadata maintenance pass, no data file is opened: a
     * long-running streaming UPSERT attaches one equality sidecar per
@@ -944,14 +1026,22 @@ object ManifestV2 {
     val root = rootOf(path)
     val st = readManifest(root).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root"))
-    // a file is worth coalescing when EITHER kind has piled up
-    def eqByCol(e: FileEntry): Map[String, Seq[String]] =
+    // a file is worth coalescing when EITHER kind has piled up.
+    // Equality sidecars group by their HEADER LINE (the key signature:
+    // a bare column for v1, tab-joined col:type tokens for v2) — only
+    // same-signature sidecars merge, and the merge is a value-line
+    // union needing no typed parse at all.
+    def eqHeaderOf(ref: String): String = {
+      val in = Files.newBufferedReader(root.resolve(ref), StandardCharsets.UTF_8)
+      try in.readLine() finally in.close()
+    }
+    def eqBySig(e: FileEntry): Map[String, Seq[String]] =
       e.deletes.filter(isEqDelete)
-        .map(d => (readEqDelete(root, d)._1, d))
+        .map(d => (eqHeaderOf(d), d))
         .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
     val targets = st.files.filter { e =>
       e.deletes.count(!isEqDelete(_)) >= minSidecars ||
-        eqByCol(e).values.exists(_.size >= minSidecars)
+        eqBySig(e).values.exists(_.size >= minSidecars)
     }
     if (targets.isEmpty) return (0L, 0L, 0L)
     // merged sidecars per file, written BEFORE the commit (like data
@@ -975,14 +1065,26 @@ object ManifestV2 {
         out += rel
         covered ++= posRefs
       }
-      eqByCol(e).foreach { case (col, refs) =>
+      eqBySig(e).foreach { case (header, refs) =>
         if (refs.size >= minSidecars) {
-          val vals = scala.collection.mutable.SortedSet.empty[Long]
-          refs.foreach(d => vals ++= readEqDelete(root, d)._2)
+          // union of value lines; v1 (bare BIGINT header) keeps its
+          // numeric ordering, v2 tuples sort lexically — order is
+          // cosmetic (readers build a set), determinism is not
+          val vals = scala.collection.mutable.SortedSet.empty[String](
+            if (header.contains(':')) Ordering.String
+            else Ordering.by((s: String) => s.toLong))
+          refs.foreach { d =>
+            val lines = Files.readAllLines(root.resolve(d), StandardCharsets.UTF_8)
+            var i = 1
+            while (i < lines.size) {
+              if (lines.get(i).nonEmpty) vals += lines.get(i)
+              i += 1
+            }
+          }
           val rel = s"staging/eqdel-merged-${java.util.UUID.randomUUID()}.txt"
           Files.createDirectories(root.resolve(rel).getParent)
           Files.write(root.resolve(rel),
-            (col +: vals.toSeq.map(_.toString)).mkString("", "\n", "\n")
+            (header +: vals.toSeq).mkString("", "\n", "\n")
               .getBytes(StandardCharsets.UTF_8))
           out += rel
           covered ++= refs
@@ -1128,6 +1230,21 @@ object ManifestV2 {
         (_, hi, x) => hi < x, (lo, _, x) => lo >= x)
       case LessThanOrEqual(c, v) => cmp(c, v)(
         (_, hi, x) => hi <= x, (lo, _, x) => lo > x)
+      // IN under 3VL: "no row matches" when every listed value falls
+      // outside the box — without this an IN-shaped equality DELETE
+      // would attach its sidecar to every file in the table, forcing
+      // the key column into every subsequent read's decode set even on
+      // files provably unaffected. "Every row matches" needs the box
+      // to be a point equal to a listed value, and null-freedom.
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Number]) =>
+        stats.get(c).flatMap { case (lo, hi) =>
+          val xs = vs.map(_.asInstanceOf[java.lang.Number].longValue())
+          if (xs.forall(x => x < lo || x > hi)) Some(false)
+          else if (lo == hi && xs.contains(lo) && nullFree(Array(c)))
+            Some(true)
+          else None
+        }
       // null counts make null tests decidable outright
       case IsNull(c) => e.nulls.get(c).flatMap {
         case 0L => Some(false)
@@ -1817,7 +1934,12 @@ class ManifestDeltaUpdateOperation(path: String,
     val st = ManifestV2.readManifest(root)
     scanned = st.map(_.files.map(e => (e.file, e)).toMap).getOrElse(Map.empty)
     val full = st.map(_.schema).getOrElse(new StructType())
-    new ManifestScanBuilder(root, full, streamable = false)
+    // the scan plans from THE SAME snapshot `scanned` captured: a
+    // commit landing between two independent manifest reads would make
+    // the commit-time entry-identity check fail a statement that was
+    // actually computed against the newer snapshot
+    new ManifestScanBuilder(root, full, fixedFiles = st.map(_.files),
+      streamable = false)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -2281,9 +2403,9 @@ class ManifestScanBuilder(root: Path, full: StructType,
     * manifest read.
     */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    planAgg(aggregation).isDefined
+    planAggCached(aggregation).isDefined
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    planAgg(aggregation) match {
+    planAggCached(aggregation) match {
       case Some((specs, files)) =>
         // the file list the validation ran against is CAPTURED for
         // build(): re-reading the manifest there would race a
@@ -2300,6 +2422,22 @@ class ManifestScanBuilder(root: Path, full: StructType,
     case nr: NamedReference if nr.fieldNames().length == 1 =>
       Some(nr.fieldNames().head)
     case _ => None
+  }
+  /** Memoized [[planAgg]]: Spark calls supportCompletePushDown and
+    * then pushAggregation with the SAME Aggregation instance, and each
+    * plan reads the manifest plus every position-delete sidecar —
+    * driver I/O worth paying once per builder, not twice.
+    */
+  private var aggCacheKey: Aggregation = null
+  private var aggCacheVal
+      : Option[(Seq[(String, Option[String])], Seq[ManifestV2.FileEntry])] = None
+  private def planAggCached(aggregation: Aggregation)
+      : Option[(Seq[(String, Option[String])], Seq[ManifestV2.FileEntry])] = {
+    if (aggregation ne aggCacheKey) {
+      aggCacheKey = aggregation
+      aggCacheVal = planAgg(aggregation)
+    }
+    aggCacheVal
   }
   private def planAgg(aggregation: Aggregation)
       : Option[(Seq[(String, Option[String])], Seq[ManifestV2.FileEntry])] = {
@@ -2455,23 +2593,31 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     * same decision Iceberg feeds from its snapshot summary, and a
     * heavily-deleted table does not masquerade as big.
     */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = planned.map { e =>
-      // position deletes subtract exactly; equality deletes would need
-      // the data, so their files report footer rows (a safe over-
-      // estimate for the broadcast decision)
-      val posRefs = e.deletes.filterNot(ManifestV2.isEqDelete)
-      if (posRefs.isEmpty) e.rows
-      else {
-        val dead = scala.collection.mutable.Set.empty[Long]
-        posRefs.foreach { d =>
-          java.nio.file.Files.readAllLines(
-            Paths.get(root).resolve(d), StandardCharsets.UTF_8)
-            .forEach(l => if (l.nonEmpty) dead += l.toLong)
-        }
-        e.rows - dead.size
+  /** Live-row estimate, computed ONCE per scan instance: Catalyst may
+    * call estimateStatistics several times while planning one query,
+    * and each computation reads every position-delete sidecar of the
+    * planned files — kilobyte reads, but O(delete-bearing files) of
+    * driver I/O that must not multiply per plan.
+    */
+  private lazy val liveRowEstimate: Long = planned.map { e =>
+    // position deletes subtract exactly; equality deletes would need
+    // the data, so their files report footer rows (a safe over-
+    // estimate for the broadcast decision)
+    val posRefs = e.deletes.filterNot(ManifestV2.isEqDelete)
+    if (posRefs.isEmpty) e.rows
+    else {
+      val dead = scala.collection.mutable.Set.empty[Long]
+      posRefs.foreach { d =>
+        java.nio.file.Files.readAllLines(
+          Paths.get(root).resolve(d), StandardCharsets.UTF_8)
+          .forEach(l => if (l.nonEmpty) dead += l.toLong)
       }
-    }.sum
+      e.rows - dead.size
+    }
+  }.sum
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = liveRowEstimate
     private val rowWidth = math.max(1,
       (if (required.isEmpty) full else required).defaultSize)
     override def sizeInBytes(): java.util.OptionalLong =
@@ -3105,6 +3251,10 @@ class ManifestStreamingWrite(path: String, schema: StructType,
         if (keys.isEmpty) None
         else {
           val rel = s"staging/eqdel-${java.util.UUID.randomUUID()}.txt"
+          // own directory creation — the task key files happen to have
+          // created staging/ already, but this write must not depend
+          // on that coupling
+          Files.createDirectories(root.resolve(rel).getParent)
           Files.write(root.resolve(rel),
             (col +: keys.toSeq.map(_.toString)).mkString("", "\n", "\n")
               .getBytes(StandardCharsets.UTF_8))
@@ -3128,9 +3278,19 @@ class ManifestStreamingWrite(path: String, schema: StructType,
           case None => kept0
           case Some((rel, vals)) =>
             val col = upsertKey.get
+            // epoch keys are sorted (SortedSet union): each file's
+            // box probes by binary search — O(files · log keys), not
+            // O(files · keys), inside the commit lock (a wide CDC
+            // epoch against a wide table must not quadratic here)
+            val sorted = vals.toArray
+            def anyKeyIn(lo: Long, hi: Long): Boolean = {
+              var i = java.util.Arrays.binarySearch(sorted, lo)
+              if (i < 0) i = -i - 1
+              i < sorted.length && sorted(i) <= hi
+            }
             kept0.map { e =>
               val mayHold = e.rows > 0 && (e.stats.get(col) match {
-                case Some((lo, hi)) => vals.exists(v => v >= lo && v <= hi)
+                case Some((lo, hi)) => anyKeyIn(lo, hi)
                 case None => true // no box: cannot disprove
               })
               if (mayHold) { attached = true; e.copy(deletes = e.deletes :+ rel) }
