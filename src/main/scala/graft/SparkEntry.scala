@@ -135,8 +135,16 @@ object SparkEntry {
       graft.sources.GraftCatalog.appendOnlyFeedQuery(s, d)),
     "dsv2_eq_delete" -> ((s, d) =>
       graft.sources.GraftCatalog.eqDeleteQuery(s, d)),
+    "dsv2_eq_delete_str" -> ((s, d) =>
+      graft.sources.GraftCatalog.eqDeleteStrQuery(s, d)),
+    "dsv2_eq_delete_multi" -> ((s, d) =>
+      graft.sources.GraftCatalog.eqDeleteMultiQuery(s, d)),
+    "dsv2_changefeed" -> ((s, d) =>
+      graft.sources.GraftCatalog.changeFeedQuery(s, d)),
     "streaming_upsert_sink" -> ((s, d) =>
       graft.streaming.Streams.streamingUpsertQuery(s, d)),
+    "streaming_upsert_tombstone" -> ((s, d) =>
+      graft.streaming.Streams.streamingTombstoneQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3661,9 +3669,26 @@ object SparkEntry {
     // reads nothing; value subtraction composes with position deletes
     "dsv2_eq_delete" -> graft.sources.GraftCatalog.eqDeleteSql(),
 
+    // typed equality deletes, the full Iceberg-v2 shape: STRING keys
+    // (no stats box — every file takes the shared sidecar, NULL keys
+    // survive) and composite multi-column tuples (the BIGINT component
+    // still prunes files through stats boxes)
+    "dsv2_eq_delete_str" -> graft.sources.GraftCatalog.eqDeleteStrSql(),
+    "dsv2_eq_delete_multi" -> graft.sources.GraftCatalog.eqDeleteMultiSql(),
+
+    // change feed with retractions: appends read back as inserts,
+    // positional deletes as full-row retractions, equality deletes as
+    // once-emitted per-key markers
+    "dsv2_changefeed" -> graft.sources.GraftCatalog.changeFeedSql(),
+
     // streaming upsert (CDC) sink: per-epoch equality sidecars keep the
     // table at exactly the latest version of every key
     "streaming_upsert_sink" -> graft.streaming.Streams.streamingUpsertSql(),
+
+    // upsert sink delete-tombstone channel: a flagged CDC row kills its
+    // key via the epoch sidecar and never lands in a data file
+    "streaming_upsert_tombstone" ->
+      graft.streaming.Streams.streamingTombstoneSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

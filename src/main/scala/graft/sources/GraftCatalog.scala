@@ -1593,6 +1593,157 @@ object GraftCatalog {
       |  AND o_orderkey % 5 <> 4
       |GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** Driver-contract query for STRING-keyed equality deletes (r11
+    * verdict ask #2, first half): `DELETE WHERE tag = '…'` and
+    * `tag IN (…)` on a STRING column — no stats box exists for
+    * strings, so every file takes the shared kilobyte sidecar and the
+    * statement still touches NO data (the spec pins byte-identity of
+    * every pre-existing file). Readers subtract by UTF8 value; rows
+    * whose key is NULL never match (SQL equality) and must survive.
+    * At 100 TB this is `DELETE WHERE tenant = 'x'` — the multi-tenant
+    * GDPR shape the BIGINT-only r11 surface could not serve.
+    */
+  def eqDeleteStrQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_eqs_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okeqs")
+    spark.sql("CREATE TABLE graft.db.okeqs (okey BIGINT, tag STRING, m BIGINT)")
+    // NULL tags on the % 11 == 0 keys: they must survive every
+    // equality delete below
+    for (q <- 0 until 2)
+      spark.sql(s"""INSERT INTO graft.db.okeqs
+        |SELECT /*+ REPARTITION(1) */ o_orderkey,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       ELSE concat('t', CAST(o_orderkey % 13 AS STRING)) END,
+        |  o_orderkey % 97
+        |FROM graft_eqs_orders_src
+        |WHERE o_orderkey % 2 = $q""".stripMargin)
+    spark.sql("DELETE FROM graft.db.okeqs WHERE tag = 't3'")
+    spark.sql("DELETE FROM graft.db.okeqs WHERE tag IN ('t5', 't11')")
+    spark.sql("""SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum, COUNT(tag) AS tagged
+      |FROM graft.db.okeqs GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** [[eqDeleteStrQuery]] oracle: NULL-tag rows survive; others die on
+    * tag ∈ {t3, t5, t11}.
+    */
+  def eqDeleteStrSql(): String =
+    """SELECT o_orderkey % 97 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CASE WHEN o_orderkey % 11 = 0 THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS tagged
+      |FROM orders
+      |WHERE o_orderkey % 11 = 0
+      |   OR ('t' || CAST(o_orderkey % 13 AS VARCHAR))
+      |      NOT IN ('t3', 't5', 't11')
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for COMPOSITE-KEY equality deletes (r11
+    * verdict ask #2, second half — the multi-column CDC key):
+    * `DELETE WHERE m = X AND grp = 'Y'` writes ONE typed tuple sidecar
+    * (`m:bigint` + `grp:string` header). The BIGINT component still
+    * prunes through file stats boxes — a file whose m-box excludes X
+    * stays sidecar-free (the spec pins that) — and a follow-up
+    * misaligned positional delete composes on the same files.
+    */
+  def eqDeleteMultiQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_eqm_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okeqm")
+    spark.sql("CREATE TABLE graft.db.okeqm (okey BIGINT, grp STRING, m BIGINT)")
+    // two disjoint m-range inserts -> two files with DISJOINT m boxes,
+    // so each composite delete's BIGINT component decides one of them
+    for ((lo, hi) <- Seq((0, 48), (48, 97)))
+      spark.sql(s"""INSERT INTO graft.db.okeqm
+        |SELECT /*+ REPARTITION(1) */ o_orderkey,
+        |  concat('g', CAST(o_orderkey % 3 AS STRING)), o_orderkey % 97
+        |FROM graft_eqm_orders_src
+        |WHERE o_orderkey % 97 >= $lo AND o_orderkey % 97 < $hi""".stripMargin)
+    spark.sql("DELETE FROM graft.db.okeqm WHERE m = 60 AND grp = 'g1'")
+    spark.sql("DELETE FROM graft.db.okeqm WHERE m = 10 AND grp = 'g2'")
+    // misaligned positional delete composes with both tuple sidecars
+    spark.sql("DELETE FROM graft.db.okeqm WHERE okey % 7 = 6")
+    spark.sql("""SELECT m % 10 AS mb, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum
+      |FROM graft.db.okeqm GROUP BY 1 ORDER BY mb""".stripMargin)
+  }
+
+  /** [[eqDeleteMultiQuery]] oracle: survivors of the two composite
+    * tuples and the positional delete.
+    */
+  def eqDeleteMultiSql(): String =
+    """SELECT (o_orderkey % 97) % 10 AS mb, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE NOT (o_orderkey % 97 = 60 AND o_orderkey % 3 = 1)
+      |  AND NOT (o_orderkey % 97 = 10 AND o_orderkey % 3 = 2)
+      |  AND o_orderkey % 7 <> 6
+      |GROUP BY 1 ORDER BY mb""".stripMargin
+
+  /** Driver-contract query for the CHANGE FEED with retractions (r11
+    * verdict ask #4): a table history of appends (four quartile
+    * inserts), a misaligned positional DELETE (merge-on-read), and a
+    * key-list equality DELETE, read back as `changefeed=true` over the
+    * full version range. The feed must contain: every appended row as
+    * an `insert`; the positionally deleted rows as FULL-ROW `delete`s
+    * (values resolved against the files); and the equality delete as
+    * per-key `delete` MARKERS (key set, other columns NULL) emitted
+    * ONCE despite the sidecar being shared by all four files. The
+    * aggregation splits deletes into row-retractions vs markers by the
+    * NULL shape, so a duplicated marker, a lost retraction, or a
+    * marker-per-file bug all mismatch the closed form.
+    */
+  def changeFeedQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_cdc_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okcdc")
+    spark.sql("CREATE TABLE graft.db.okcdc (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okcdc
+        |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderkey % 97
+        |FROM graft_cdc_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    spark.sql("DELETE FROM graft.db.okcdc WHERE okey % 5 = 4") // positional
+    spark.sql("DELETE FROM graft.db.okcdc WHERE okey IN (1, 2, 3, 1000, 32)")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirPath = java.nio.file.Paths.get(warehouse, "db", "okcdc").toString
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("changefeed", "true").load()
+      .createOrReplaceTempView("graft_cdc_feed")
+    spark.sql("""SELECT _change_type AS change, (m IS NULL) AS marker,
+      |  COUNT(*) AS n, CAST(SUM(okey) AS BIGINT) AS key_sum
+      |FROM graft_cdc_feed
+      |GROUP BY 1, 2 ORDER BY change, marker""".stripMargin)
+  }
+
+  /** [[changeFeedQuery]] oracle: inserts = the whole table; full-row
+    * retractions = the positional delete's rows; markers = the
+    * statement's five keys, once.
+    */
+  def changeFeedSql(): String =
+    """SELECT * FROM (
+      |  SELECT 'delete' AS change, FALSE AS marker, COUNT(*) AS n,
+      |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |  FROM orders WHERE o_orderkey % 5 = 4
+      |  UNION ALL
+      |  SELECT 'delete', TRUE, CAST(5 AS BIGINT), CAST(1038 AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'insert', FALSE, COUNT(*),
+      |    CAST(SUM(o_orderkey) AS BIGINT)
+      |  FROM orders
+      |) ORDER BY change, marker""".stripMargin
+
   /** Driver-contract query for NULL-SOUND metadata deletes: a table
     * whose stats column carries NULLs, under a DELETE whose predicate
     * matches EVERY non-null row — the [min,max] box alone says "drop

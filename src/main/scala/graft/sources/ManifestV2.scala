@@ -58,10 +58,14 @@ import org.apache.spark.unsafe.types.UTF8String
 class ManifestV2 extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = ManifestV2.rootOf(options.get("path"))
-    ManifestV2.readManifest(root)
+    val base = ManifestV2.readManifest(root)
       .map(_.schema)
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — write to the table first"))
+    // changefeed reads carry the change-row columns
+    if (options.getBoolean("changefeed", false))
+      ManifestChangeFeed.extend(base)
+    else base
   }
   // writes hand us the dataframe's schema directly
   override def supportsExternalMetadata(): Boolean = true
@@ -1416,6 +1420,27 @@ class ManifestTable(path: String, externalSchema: StructType,
     val startV = Option(options.get("startVersion")).map(_.toLong)
     val endV = Option(options.get("endVersion")).map(_.toLong)
     val fileList = Option(options.get("files"))
+    // changefeed: the version range becomes CHANGE ROWS (inserts AND
+    // retractions) instead of an append-only file read — see
+    // [[ManifestChangeFeed]]
+    if (options.getBoolean("changefeed", false)) {
+      require(version < 0,
+        "VERSION AS OF and changefeed cannot be combined — " +
+          "endVersion IS the pinned end of a feed")
+      require(fileList.isEmpty, "the files option is not a version range")
+      val live = ManifestV2.readManifest(root).getOrElse(
+        throw new IllegalArgumentException(s"no manifest at $root"))
+      val to = endV.getOrElse(live.version)
+      // table columns at the range end (the feed's row shape); the
+      // provider-inferred schema carries the two change columns on top
+      val tableSchema =
+        if (to == live.version) live.schema
+        else ManifestV2.readManifest(root, to).getOrElse(
+          throw new IllegalArgumentException(s"no manifest v$to at $root"))
+          .schema
+      return new ManifestChangeFeedScanBuilder(root, tableSchema,
+        startV.getOrElse(0L), to)
+    }
     // incremental/streaming semantics when the range crosses a
     // merge-on-read DELETE: `fail` (default — a change feed must not
     // mistake a replace for an append) or `appendonly` (explicit
@@ -1492,24 +1517,67 @@ class ManifestTable(path: String, externalSchema: StructType,
     * (aligned retention delete) and an O(matching files) rewrite — and
     * never a table-sized one.
     */
-  /** A predicate that can become an EQUALITY-DELETE sidecar: a single
-    * `col = v` or `col IN (…)` conjunct on a BIGINT table column. The
-    * Iceberg v2 equality-delete shape — the statement then touches NO
+  /** A predicate that can become an EQUALITY-DELETE sidecar — the full
+    * Iceberg v2 equality-delete shape (r11 verdict ask #2):
+    *  - `col = v` or `col IN (…)` on a BIGINT or STRING table column;
+    *  - a CONJUNCTION of equalities on distinct such columns (the
+    *    composite-key CDC shape) — one dead key TUPLE.
+    * `IsNotNull` conjuncts on key columns are implied by the equality
+    * (never TRUE on NULL) and drop out. The statement then touches NO
     * data at all: files the box disproves stay untouched, files the
     * box fully covers (null-free) drop whole, and every other file
     * gets a kilobyte sidecar naming the dead key values, which readers
-    * subtract by value. The write path of `DELETE WHERE user_id = X`
-    * on 100 TB.
+    * subtract by value (NULL components never match — a row with a
+    * NULL key survives any equality delete). The write path of
+    * `DELETE WHERE user_id = X` — or `tenant = 'x'` — on 100 TB.
     */
-  private def eqDeleteShape(filters: Array[Filter]): Option[(String, Seq[Long])] = {
-    def longCol(c: String): Boolean =
-      schema().fields.exists(f => f.name == c && f.dataType == LongType)
-    filters match {
-      case Array(EqualTo(c, v: java.lang.Number)) if longCol(c) =>
-        Some((c, Seq(v.longValue())))
-      case Array(In(c, vs)) if longCol(c) && vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[java.lang.Number]) =>
-        Some((c, vs.toSeq.map(_.asInstanceOf[java.lang.Number].longValue())))
+  private def eqDeleteShape(filters: Array[Filter])
+      : Option[(Seq[(String, DataType)], Seq[Seq[Any]])] = {
+    def keyType(c: String): Option[DataType] =
+      schema().fields.find(_.name == c).map(_.dataType)
+        .filter(t => t == LongType || t == StringType)
+    def litOk(t: DataType, v: Any): Boolean = (t, v) match {
+      case (LongType, _: java.lang.Number) => true
+      case (StringType, _: String) => true
+      case _ => false
+    }
+    def norm(t: DataType, v: Any): Any = t match {
+      case LongType =>
+        java.lang.Long.valueOf(v.asInstanceOf[java.lang.Number].longValue())
+      case _ => v
+    }
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case o => Seq(o)
+    }
+    val conj = filters.flatMap(flat)
+    val eqCols = conj.collect {
+      case EqualTo(c, _) => c
+      case In(c, _) => c
+    }.toSet
+    val rest = conj.filter {
+      case IsNotNull(c) => !eqCols.contains(c)
+      case _ => true
+    }
+    rest match {
+      case Array(EqualTo(c, v)) =>
+        keyType(c).filter(litOk(_, v))
+          .map(t => (Seq((c, t)), Seq(Seq(norm(t, v)))))
+      case Array(In(c, vs)) if vs.nonEmpty =>
+        keyType(c).filter(t => vs.forall(litOk(t, _)))
+          .map(t => (Seq((c, t)), vs.toSeq.map(v => Seq(norm(t, v)))))
+      case arr if arr.length >= 2 && arr.forall(_.isInstanceOf[EqualTo]) =>
+        val eqs = arr.map(_.asInstanceOf[EqualTo])
+        val cols = eqs.map(_.attribute)
+        if (cols.distinct.length != cols.length) None
+        else {
+          val typed = eqs.map(e => keyType(e.attribute)
+            .filter(litOk(_, e.value))
+            .map(t => ((e.attribute, t), norm(t, e.value))))
+          if (typed.exists(_.isEmpty)) None
+          else Some((typed.map(_.get._1).toSeq,
+            Seq(typed.map(_.get._2).toSeq)))
+        }
       case _ => None
     }
   }
@@ -1527,11 +1595,11 @@ class ManifestTable(path: String, externalSchema: StructType,
     // uuid orphan for remove_orphans), referenced only if some file
     // turns out undecidable inside the winning derivation
     lazy val eqRef: String = {
-      val (c, vals) = eqDeleteShape(filters).get
+      val (cols, keys) = eqDeleteShape(filters).get
       val rel = s"staging/eqdel-${java.util.UUID.randomUUID()}.txt"
       Files.createDirectories(root.resolve(rel).getParent)
       Files.write(root.resolve(rel),
-        (c +: vals.sorted.map(_.toString)).mkString("", "\n", "\n")
+        ManifestV2.renderEqDelete(cols, keys)
           .getBytes(StandardCharsets.UTF_8))
       rel
     }
@@ -2300,7 +2368,8 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
         override def toStreaming: StreamingWrite =
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
             truncate,
-            upsertKey = Option(info.options().get("upsertKey")))
+            upsertKey = Option(info.options().get("upsertKey")),
+            upsertDeleteCol = Option(info.options().get("upsertDeleteCol")))
       }
     }
   }
@@ -2754,367 +2823,6 @@ case class ManifestBucketedPartition(root: String, file: String, key: Long,
   override def partitionKey(): InternalRow = InternalRow.fromSeq(Seq(key))
 }
 
-/** The parquet leaf reader, built directly on [[org.apache.parquet
-  * .hadoop.ParquetFileReader]] (ONE footer open per split, reused for
-  * schema, row-group metadata, stats, blooms, and the data read):
-  *
-  *  - serves the split's half-open ROW-GROUP range, skipping groups
-  *    outside it without I/O — the row-group-granular splits
-  *    [[ManifestScan.planInputPartitions]] plans;
-  *  - within the range, skips whole row groups whose column-chunk
-  *    [min,max]+nullcount statistics prove the pushed conjunction
-  *    can match no row (the same tri-state evaluation as file-level
-  *    pruning, one level down), and groups whose FOOTER BLOOM FILTER
-  *    proves a pushed equality value absent — the point-lookup
-  *    complement of range pruning on scattered keys;
-  *  - decodes surviving groups COLUMN-BATCHED through the column
-  *    reader API (one typed array per projected column per group —
-  *    column-major, no per-row Group object), then serves rows off
-  *    the arrays.
-  *
-  * Absolute row ordinals are exact by construction: every group's
-  * first ordinal is the running sum of the preceding groups' footer
-  * row counts, whether those groups were read, skipped by range, or
-  * skipped by stats/bloom — so `_pos` and merge-on-read position
-  * deletes compose with every skipping layer. Row-group skipping is
-  * a pure I/O optimization for correctness purposes: every pushed
-  * filter is also returned as residual and re-applied above the scan.
-  */
-class ManifestReaderFactory(full: StructType, required: StructType,
-    pushed: Array[Filter] = Array.empty)
-    extends PartitionReaderFactory {
-
-  /** Top-level conjuncts of the pushed conjunction (AND flattened;
-    * anything under OR/NOT stays compound): each is individually
-    * necessary, so any one proving "no match" in a row group skips it.
-    */
-  private def conjuncts(f: Filter): Seq[Filter] = f match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case o => Seq(o)
-  }
-
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val fp = p match {
-      case f: ManifestFilePartition => f
-      case b: ManifestBucketedPartition =>
-        ManifestFilePartition(b.root, b.file, b.deletes, b.rgLo, b.rgHi)
-    }
-    val fileName = UTF8String.fromString(fp.file)
-    val conf = ManifestV2.leafConf()
-    val hPath = new org.apache.hadoop.fs.Path(
-      Paths.get(fp.root).resolve(fp.file).toString)
-    // merge-on-read: the union of the file's POSITION-delete sidecars,
-    // subtracted during the read (a position is dead in every later
-    // snapshot; sidecars are immutable and tiny), plus its
-    // EQUALITY-delete sidecars — per-column dead key sets subtracted
-    // by VALUE during the batch serve
-    val (eqRefs, posRefs) = fp.deletes.partition(ManifestV2.isEqDelete)
-    val deleted = new java.util.BitSet()
-    posRefs.foreach { d =>
-      Files.readAllLines(Paths.get(fp.root).resolve(d),
-        StandardCharsets.UTF_8).forEach { l =>
-        if (l.nonEmpty) {
-          val pos = l.toLong
-          // positions index a BitSet: fail loudly past Int range (a
-          // single data file that large predates compaction norms)
-          require(pos >= 0 && pos <= Int.MaxValue,
-            s"delete position $pos in $d exceeds the supported file size")
-          deleted.set(pos.toInt)
-        }
-      }
-    }
-    val hasDeletes = !deleted.isEmpty
-    val eqDeletes: Map[String, Set[Long]] = eqRefs
-      .map(ManifestV2.readEqDelete(Paths.get(fp.root), _))
-      .groupBy(_._1).map { case (c, xs) =>
-        (c, xs.iterator.map(_._2).reduce(_ union _))
-      }
-    // ONE footer open, reused for everything below (schema, row-group
-    // metadata, bloom readers, the data read itself)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
-    try {
-      val footer = reader.getFooter
-      // the file's OWN footer schema decides what exists: a file
-      // written before an ADD COLUMN evolution simply lacks the column
-      // by name and null-fills — by-name resolution, the Iceberg shape
-      val fileSchema = footer.getFileMetaData.getSchema
-      val createdBy = footer.getFileMetaData.getCreatedBy
-      val blocks = footer.getBlocks
-      val nBlocks = blocks.size()
-      val rgLo = math.max(0, fp.rgLo)
-      val rgHi = math.min(nBlocks, fp.rgHi)
-      // data columns to DECODE = required ∩ file footer, in required
-      // order; `_file`/`_pos` (metadata columns) are served from the
-      // split and the read position, and evolution-missing columns are
-      // NULL constants — none of them touches a data page
-      val dataFields0 = required.fields.filter(f =>
-        f.name != ManifestTable.FileMetaCol &&
-          f.name != ManifestTable.PosMetaCol &&
-          fileSchema.containsField(f.name))
-      // equality deletes that can apply to THIS file (an evolution-era
-      // file without the column is all-null there, and NULL never
-      // matches an equality — the sidecar is vacuous for it)
-      val eqApplicable = eqDeletes.filter { case (c, _) =>
-        fileSchema.containsField(c) }
-      // defensive: the footer-count fast path must not swallow a
-      // pushed filter — if one references data columns this file has,
-      // decode them so the residual above the scan sees real values.
-      // Equality-delete columns are FORCED into the decode set the
-      // same way: subtracting by value needs the values.
-      val dataFields1 =
-        if (dataFields0.nonEmpty || pushed.isEmpty) dataFields0
-        else full.fields.filter(f => pushed.flatMap(_.references)
-          .contains(f.name) && fileSchema.containsField(f.name))
-      val dataFields = dataFields1 ++
-        full.fields.filter(f => eqApplicable.contains(f.name) &&
-          !dataFields1.exists(_.name == f.name))
-      val dataPos = dataFields.map(f => f.name).zipWithIndex.toMap
-      val srcOf: Array[Int] = required.fields.map { f =>
-        if (f.name == ManifestTable.FileMetaCol) -1
-        else if (f.name == ManifestTable.PosMetaCol) -3
-        else dataPos.getOrElse(f.name, -2)
-      }
-      if (dataFields.isEmpty) {
-        // count-only / provenance-only / position-only projection: row
-        // counts come from the footer's row-group metadata and
-        // positions from counting; ZERO data pages are read or decoded
-        var startPos = 0L
-        var i = 0
-        while (i < rgLo) { startPos += blocks.get(i).getRowCount; i += 1 }
-        var endPos = startPos
-        while (i < rgHi) { endPos += blocks.get(i).getRowCount; i += 1 }
-        reader.close()
-        new PartitionReader[InternalRow] {
-          private var pos = startPos - 1L
-          private var row: InternalRow = _
-          override def next(): Boolean = {
-            pos += 1
-            if (hasDeletes) // guard: BitSet indexing only when sidecars
-              // exist AND the ordinal fits — delete positions are
-              // require()-bounded to Int range at load, so any larger
-              // ordinal is live by construction
-              while (pos < endPos && pos <= Int.MaxValue &&
-                deleted.get(pos.toInt)) pos += 1
-            if (pos >= endPos) return false
-            row = InternalRow.fromSeq(srcOf.toIndexedSeq.map(i =>
-              if (i == -1) fileName else if (i == -3) pos else null))
-            true
-          }
-          override def get(): InternalRow = row
-          override def close(): Unit = ()
-        }
-      } else {
-        // project at the parquet I/O layer: only the requested
-        // columns' chunks are read from disk
-        val requested = ManifestV2.parquetTypeOf(StructType(dataFields))
-        reader.setRequestedSchema(requested)
-        val colDescs = requested.getColumns
-        val nCols = dataFields.length
-        // per-column decode tag (monomorphic inner loop)
-        val tag: Array[Int] = dataFields.map(_.dataType match {
-          case LongType => 0
-          case IntegerType => 1
-          case DoubleType => 2
-          case BooleanType => 3
-          case StringType => 4
-          case o => throw new UnsupportedOperationException(
-            s"ManifestV2 row format does not support $o")
-        })
-        val longCols: Set[String] = full.fields
-          .collect { case f if f.dataType == LongType => f.name }.toSet
-        val flatConj: Array[Filter] = pushed.flatMap(conjuncts)
-        // equality-delete evaluation plan: (decoded column index, dead
-        // key set) — a row dies when any decoded value is in its set
-        val eqChecks: Array[(Int, Set[Long])] =
-          eqApplicable.toArray.map { case (c, s) => (dataPos(c), s) }
-
-        new PartitionReader[InternalRow] {
-          private var blockIdx = 0
-          private var base = 0L // absolute ordinal of blocks(blockIdx)'s first row
-          private var batch: Array[Array[Any]] = _
-          private var batchRows = 0
-          private var batchBase = 0L
-          private var idx = 0
-          private var row: InternalRow = _
-
-          /** Row-group-level skip decision off the footer: chunk
-            * statistics feed the same null-sound tri-state as
-            * file-level boxes; surviving equality conjuncts then probe
-            * the chunk's bloom filter. Sound because every conjunct is
-            * individually necessary and deletes only remove rows.
-            */
-          private def pruned(
-              b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
-            if (flatConj.isEmpty) return false
-            val stats = scala.collection.mutable.Map.empty[String, (Long, Long)]
-            val nulls = scala.collection.mutable.Map.empty[String, Long]
-            val chunks = scala.collection.mutable.Map.empty[String,
-              org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
-            val it = b.getColumns.iterator()
-            while (it.hasNext) {
-              val cc = it.next()
-              val name = cc.getPath.toDotString
-              chunks(name) = cc
-              if (longCols.contains(name)) {
-                val s = cc.getStatistics
-                if (s != null && !s.isEmpty) {
-                  if (s.hasNonNullValue) s.genericGetMin match {
-                    case lo: java.lang.Long =>
-                      stats(name) = (lo.longValue(),
-                        s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-                    case _ => ()
-                  }
-                  if (s.isNumNullsSet) nulls(name) = s.getNumNulls
-                }
-              }
-            }
-            val entry = ManifestV2.FileEntry(fp.file, b.getRowCount,
-              stats.toMap, Nil, nulls.toMap)
-            if (ManifestV2.decideBox(pushed, entry).contains(false)) {
-              ManifestV2.rgStatsSkipCount.increment()
-              return true
-            }
-            var bfr: org.apache.parquet.hadoop.BloomFilterReader = null
-            var ci = 0
-            while (ci < flatConj.length) {
-              flatConj(ci) match {
-                case EqualTo(c, v: java.lang.Number) if longCols.contains(c) &&
-                    chunks.contains(c) =>
-                  if (bfr == null) bfr = reader.getBloomFilterDataReader(b)
-                  val bf = bfr.readBloomFilter(chunks(c))
-                  if (bf != null && !bf.findHash(bf.hash(v.longValue()))) {
-                    ManifestV2.rgBloomSkipCount.increment()
-                    return true
-                  }
-                case _ => ()
-              }
-              ci += 1
-            }
-            false
-          }
-
-          /** Decode ONE row group column-batched: for each projected
-            * column, one pass through its column reader into a typed
-            * value array — no per-row record assembly.
-            */
-          private def decode(
-              pages: org.apache.parquet.column.page.PageReadStore): Unit = {
-            val n64 = pages.getRowCount
-            require(n64 <= Int.MaxValue, s"row group of $n64 rows in " +
-              s"${fp.file} exceeds the supported group size")
-            val n = n64.toInt
-            val crs = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
-              pages,
-              new org.apache.parquet.example.data.simple.convert
-                .GroupRecordConverter(requested).getRootConverter,
-              requested, createdBy)
-            val cols = new Array[Array[Any]](nCols)
-            var j = 0
-            while (j < nCols) {
-              val desc = colDescs.get(j)
-              val cr = crs.getColumnReader(desc)
-              val maxDef = desc.getMaxDefinitionLevel
-              val t = tag(j)
-              val a = new Array[Any](n)
-              var k = 0
-              while (k < n) {
-                if (cr.getCurrentDefinitionLevel == maxDef) a(k) = t match {
-                  case 0 => java.lang.Long.valueOf(cr.getLong)
-                  case 1 => java.lang.Integer.valueOf(cr.getInteger)
-                  case 2 => java.lang.Double.valueOf(cr.getDouble)
-                  case 3 => java.lang.Boolean.valueOf(cr.getBoolean)
-                  case _ => UTF8String.fromBytes(cr.getBinary.getBytes)
-                }
-                cr.consume()
-                k += 1
-              }
-              cols(j) = a
-              j += 1
-            }
-            batch = cols; batchRows = n; batchBase = base; idx = 0
-          }
-
-          /** Advance to the next decodable row group in range; false =
-            * split exhausted. Skipped groups (out of range, stats- or
-            * bloom-pruned) advance the reader's cursor WITHOUT I/O and
-            * the ordinal base by their footer row count.
-            */
-          private def advance(): Boolean = {
-            while (blockIdx < rgHi) {
-              val b = blocks.get(blockIdx)
-              if (blockIdx < rgLo || pruned(b)) {
-                reader.skipNextRowGroup()
-                base += b.getRowCount
-                blockIdx += 1
-              } else {
-                val pages = reader.readNextRowGroup()
-                blockIdx += 1
-                decode(pages)
-                base += b.getRowCount
-                return true
-              }
-            }
-            false
-          }
-
-          /** A row's equality-delete verdict off the decoded batch:
-            * dead iff some sidecar set contains its (non-null) value.
-            */
-          private def eqDead(i: Int): Boolean = {
-            var c = 0
-            while (c < eqChecks.length) {
-              val (src, set) = eqChecks(c)
-              val v = batch(src)(i)
-              if (v != null &&
-                  set.contains(v.asInstanceOf[java.lang.Long].longValue()))
-                return true
-              c += 1
-            }
-            false
-          }
-
-          override def next(): Boolean = {
-            while (true) {
-              if (batch == null || idx >= batchRows) {
-                if (!advance()) return false
-              }
-              val pos = batchBase + idx
-              val i = idx
-              idx += 1
-              if (!(hasDeletes && pos <= Int.MaxValue &&
-                  deleted.get(pos.toInt)) &&
-                  !(eqChecks.nonEmpty && eqDead(i))) {
-                val vals = new Array[Any](srcOf.length)
-                var c = 0
-                while (c < srcOf.length) {
-                  val s = srcOf(c)
-                  vals(c) =
-                    if (s >= 0) batch(s)(i)
-                    else if (s == -1) fileName
-                    else if (s == -3) pos
-                    else null
-                  c += 1
-                }
-                row = new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(vals)
-                return true
-              }
-            }
-            false
-          }
-          override def get(): InternalRow = row
-          override def close(): Unit = reader.close()
-        }
-      }
-    } catch {
-      case e: Throwable =>
-        try reader.close() catch { case _: Exception => () }
-        throw e
-    }
-  }
-}
-
 /** Driver-side half of the commit protocol: merge the committed tasks'
   * files into the manifest atomically, or delete them on job abort.
   */
@@ -3206,19 +2914,47 @@ class ManifestBatchWrite(path: String, schema: StructType,
   * ordinary appends — one atomic swap per epoch, so the table always
   * serves exactly the LATEST version of every key, with the same
   * replay guard. A micro-batch should carry one row per key
-  * (`dropDuplicates` upstream); deletes need an out-of-band DELETE.
+  * (`dropDuplicates` upstream).
+  *
+  * With an additional `upsertDeleteCol` option (a BOOLEAN column of
+  * the STREAM schema, r11 verdict ask #3), the sink gains a DELETE
+  * TOMBSTONE channel — the full CDC contract: a row whose flag is TRUE
+  * contributes its key to the epoch's equality sidecar but is NOT
+  * appended (its bytes never land in a data file), so the key simply
+  * vanishes from the table at the epoch commit. The flag column is
+  * CHANNEL METADATA, not data: the table's schema is the stream schema
+  * MINUS the flag, and upsert rows append with the flag projected
+  * away. A CDC source with interleaved upserts and deletes now mirrors
+  * into the table with no out-of-band statements.
   */
 class ManifestStreamingWrite(path: String, schema: StructType,
-    queryId: String, truncate: Boolean, upsertKey: Option[String] = None)
+    queryId: String, truncate: Boolean, upsertKey: Option[String] = None,
+    upsertDeleteCol: Option[String] = None)
     extends StreamingWrite {
   upsertKey.foreach { k =>
     require(schema.fields.exists(f => f.name == k && f.dataType == LongType),
       s"upsertKey $k must be a BIGINT column of ${schema.toDDL}")
   }
+  upsertDeleteCol.foreach { c =>
+    require(upsertKey.isDefined,
+      "upsertDeleteCol requires upsertKey — tombstones are keyed")
+    require(schema.fields.exists(f => f.name == c &&
+        f.dataType == BooleanType),
+      s"upsertDeleteCol $c must be a BOOLEAN column of ${schema.toDDL}")
+    require(!upsertKey.contains(c), "upsertDeleteCol cannot be the key")
+  }
+  /** What the TABLE holds: the stream schema minus the tombstone flag
+    * (channel metadata, never stored).
+    */
+  private val dataSchema: StructType = upsertDeleteCol match {
+    case Some(c) => StructType(schema.fields.filterNot(_.name == c))
+    case None => schema
+  }
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     upsertKey match {
-      case Some(k) => new ManifestUpsertWriterFactory(path, schema, k)
+      case Some(k) =>
+        new ManifestUpsertWriterFactory(path, schema, k, upsertDeleteCol)
       case None => new ManifestStreamingWriterFactory(path, schema)
     }
 
@@ -3226,8 +2962,9 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     val root = ManifestV2.rootOf(path)
     val prev = ManifestV2.readManifest(root)
     prev.foreach { p =>
-      require(ManifestV2.sameShape(p.schema, schema),
-        s"streaming schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
+      require(ManifestV2.sameShape(p.schema, dataSchema),
+        s"streaming schema mismatch: table has ${p.schema.toDDL}, " +
+          s"write has ${dataSchema.toDDL}")
     }
     val keyFiles = messages.toSeq.collect {
       case u: ManifestUpsertTaskCommit => u.keysFile
@@ -3298,7 +3035,7 @@ class ManifestStreamingWrite(path: String, schema: StructType,
             }
         }
         ManifestV2.ManifestState(
-          cur.map(_.schema).filter(_ => !truncate).getOrElse(schema),
+          cur.map(_.schema).filter(_ => !truncate).getOrElse(dataSchema),
           cur.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
           kept ++ added, part = cur.flatMap(_.part),
           checks = cur.map(_.checks).getOrElse(Nil))
@@ -3331,14 +3068,25 @@ case class ManifestUpsertTaskCommit(data: ManifestCommit,
 /** Executor half of the streaming upsert sink: an ordinary staged data
   * write that additionally tracks the DISTINCT key values it wrote
   * (bounded by the task's share of the micro-batch) and stages them as
-  * a key file at task commit.
+  * a key file at task commit. With a `deleteCol` (tombstone channel),
+  * flagged rows contribute ONLY their key — nothing of them reaches
+  * the data file — and upsert rows append with the flag column
+  * projected away (the table schema excludes it).
   */
 class ManifestUpsertWriterFactory(path: String, schema: StructType,
-    keyCol: String) extends StreamingDataWriterFactory {
+    keyCol: String, deleteCol: Option[String] = None)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val root = ManifestV2.rootOf(path)
-    private val inner = new ManifestDataWriter(path, schema, partitionId,
+    private val delIdx: Int = deleteCol.map(schema.fieldIndex).getOrElse(-1)
+    private val dataSchema: StructType =
+      if (delIdx < 0) schema
+      else StructType(schema.fields.filterNot(_.name == deleteCol.get))
+    // stream-row ordinal of each TABLE column (identity when no flag)
+    private val srcIdx: Array[Int] =
+      dataSchema.fields.map(f => schema.fieldIndex(f.name))
+    private val inner = new ManifestDataWriter(path, dataSchema, partitionId,
       taskId, tag = s"e$epochId")
     private val keyIdx = schema.fieldIndex(keyCol)
     private val keys = scala.collection.mutable.SortedSet.empty[Long]
@@ -3346,7 +3094,23 @@ class ManifestUpsertWriterFactory(path: String, schema: StructType,
       require(!record.isNullAt(keyIdx),
         s"upsert key $keyCol must not be NULL")
       keys += record.getLong(keyIdx)
-      inner.write(record)
+      // tombstone: the key above kills every older version at commit;
+      // the row itself is never written (NULL flag = not a tombstone)
+      if (delIdx >= 0 && !record.isNullAt(delIdx) &&
+          record.getBoolean(delIdx)) return
+      if (delIdx < 0) inner.write(record)
+      else {
+        val vals = new Array[Any](srcIdx.length)
+        var i = 0
+        while (i < srcIdx.length) {
+          val s = srcIdx(i)
+          vals(i) = if (record.isNullAt(s)) null
+            else record.get(s, dataSchema.fields(i).dataType)
+          i += 1
+        }
+        inner.write(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vals))
+      }
     }
     override def commit(): WriterCommitMessage = {
       val dc = inner.commit().asInstanceOf[ManifestCommit]

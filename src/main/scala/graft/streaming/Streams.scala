@@ -644,6 +644,70 @@ object Streams {
       |    AS BIGINT) AS updated_n
       |FROM orders GROUP BY 1 ORDER BY m0""".stripMargin
 
+  /** Driver-contract query for the upsert sink's DELETE TOMBSTONE
+    * channel (r11 verdict ask #3 — the missing half of the CDC
+    * contract): the stream schema carries a BOOLEAN `del` flag
+    * (`upsertDeleteCol`); a base snapshot backfills (epoch 0,
+    * all-false), then ONE mixed CDC epoch interleaves updates
+    * (okey % 7 = 0, m shifted +1000) and deletes (okey % 5 = 3,
+    * del = true) through the same checkpoint. Tombstoned keys must
+    * VANISH — their key lands only in the epoch's equality sidecar,
+    * never in a data file — while updates land as latest-version rows
+    * and everything else keeps its base version. A key that is both
+    * (%7=0 AND %5=3) is a delete: the feed carries one row per key,
+    * the CDC contract. The read-back states, per m-class, count, key
+    * sum, and updated-row count — a surviving tombstone, a lost
+    * update, or a double-served key all mismatch the closed form.
+    */
+  def streamingTombstoneQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.sources.Sources.scratchDir(spark, "stream_tomb")
+    val work = new java.io.File(base, java.util.UUID.randomUUID().toString)
+    val src = new java.io.File(work, "src").toString
+    val sink = new java.io.File(work, "sink").toString
+    val ck = new java.io.File(work, "ck").toString
+    val orders = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey".as("okey"), ($"o_orderkey" % 97).as("m"))
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink).option("upsertKey", "okey")
+        .option("upsertDeleteCol", "del")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    orders.select($"okey", $"m", lit(false).as("del"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", src).mode("append").save()
+    pump() // epoch 0: backfill (no tombstones)
+    orders.filter($"okey" % 7 === 0 || $"okey" % 5 === 3)
+      .select($"okey", ($"m" + 1000L).as("m"),
+        ($"okey" % 5 === 3).as("del"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", src).mode("append").save()
+    pump() // epoch 1: updates + tombstones in one CDC batch
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .groupBy(expr("CASE WHEN m >= 1000 THEN m - 1000 ELSE m END").as("m0"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(okey) AS BIGINT)").as("key_sum"),
+        expr("CAST(SUM(CASE WHEN m >= 1000 THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("updated_n"))
+      .orderBy($"m0")
+  }
+
+  /** [[streamingTombstoneQuery]] oracle: %5=3 keys gone, surviving
+    * %7=0 keys updated, everything else base.
+    */
+  def streamingTombstoneSql(): String =
+    """SELECT o_orderkey % 97 AS m0, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS updated_n
+      |FROM orders WHERE o_orderkey % 5 <> 3
+      |GROUP BY 1 ORDER BY m0""".stripMargin
+
   /** [[dsv2StreamQuery]] oracle: the identical windowed aggregation in
     * closed form over the data ids (sentinels excluded by id, mirrored
     * by the query's window-start cutoff).

@@ -547,6 +547,58 @@ class RowGroupSkipSpec extends AnyFunSuite {
       s"task key files must be retired at commit: $staged")
   }
 
+  test("upsert DELETE TOMBSTONES: a flagged key vanishes, its bytes " +
+      "never land in a data file, the flag column is never stored") {
+    import spark.implicits._
+    val src = tmp(); val sink = tmp(); val ck = tmp()
+    def push(rows: Seq[(Long, Long, Boolean)]): Unit =
+      rows.toDF("k", "v", "del").repartition(1)
+        .write.format("graft.sources.ManifestV2")
+        .option("path", src).mode("append").save()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink).option("upsertKey", "k")
+        .option("upsertDeleteCol", "del")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    push(Seq((1L, 10L, false), (2L, 20L, false), (3L, 30L, false)))
+    run() // epoch 0: backfill
+    // epoch 1: update k=1, TOMBSTONE k=2, insert k=4
+    push(Seq((1L, 11L, false), (2L, 0L, true), (4L, 40L, false)))
+    run()
+    val got = spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 11L), (3L, 30L), (4L, 40L)),
+      s"tombstoned key must vanish: $got")
+    val st = ManifestV2.readManifest(Paths.get(sink)).get
+    // the TABLE schema is the stream schema minus the flag
+    assert(st.schema.fieldNames.toSeq == Seq("k", "v"),
+      s"flag column must never be stored: ${st.schema.toDDL}")
+    // epoch 1's data file holds exactly the two NON-tombstone rows —
+    // the tombstone's bytes never landed (footer row count proves it)
+    val files = st.files.sortBy(_.file)
+    assert(files.map(_.rows).sorted == Seq(2L, 3L), s"rows: $files")
+    // the epoch sidecar carries ALL THREE epoch keys (1 update,
+    // 2 tombstone, 4 insert) against the backfill file
+    val backfill = files.find(_.rows == 3L).get
+    assert(backfill.deletes.size == 1 &&
+      ManifestV2.isEqDelete(backfill.deletes.head))
+    val (col, dead) = ManifestV2.readEqDelete(
+      Paths.get(sink), backfill.deletes.head)
+    assert(col == "k" && dead == Set(1L, 2L, 4L))
+    // a tombstone-only epoch also works (kills in BOTH existing files)
+    push(Seq((4L, 0L, true)))
+    run()
+    val got2 = spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got2 == Seq((1L, 11L), (3L, 30L)), s"epoch-2 tombstone: $got2")
+  }
+
   test("remove_orphans reclaims unreferenced files past the age " +
       "threshold; referenced and young files are untouchable") {
     val dir = tmp()
