@@ -141,10 +141,14 @@ object SparkEntry {
       graft.sources.GraftCatalog.eqDeleteMultiQuery(s, d)),
     "dsv2_changefeed" -> ((s, d) =>
       graft.sources.GraftCatalog.changeFeedQuery(s, d)),
+    "streaming_changefeed" -> ((s, d) =>
+      graft.sources.GraftCatalog.streamingChangeFeedQuery(s, d)),
     "streaming_upsert_sink" -> ((s, d) =>
       graft.streaming.Streams.streamingUpsertQuery(s, d)),
     "streaming_upsert_tombstone" -> ((s, d) =>
       graft.streaming.Streams.streamingTombstoneQuery(s, d)),
+    "streaming_upsert_string_key" -> ((s, d) =>
+      graft.streaming.Streams.streamingUpsertStrQuery(s, d)),
     "skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     "asof_join_attribution" -> ((s, d) => Temporal.asofAttributionQuery(s, d)),
     "range_join_nearby" -> ((s, d) => Temporal.nearbyClicksQuery(s, d)),
@@ -3681,6 +3685,11 @@ object SparkEntry {
     // once-emitted per-key markers
     "dsv2_changefeed" -> graft.sources.GraftCatalog.changeFeedSql(),
 
+    // the change feed as a STREAM: commits are offsets, each arrives as
+    // one micro-batch of change rows (retractions included)
+    "streaming_changefeed" ->
+      graft.sources.GraftCatalog.streamingChangeFeedSql(),
+
     // streaming upsert (CDC) sink: per-epoch equality sidecars keep the
     // table at exactly the latest version of every key
     "streaming_upsert_sink" -> graft.streaming.Streams.streamingUpsertSql(),
@@ -3689,6 +3698,11 @@ object SparkEntry {
     // key via the epoch sidecar and never lands in a data file
     "streaming_upsert_tombstone" ->
       graft.streaming.Streams.streamingTombstoneSql(),
+
+    // typed upsert keys: the same CDC replay keyed on a STRING column
+    // (typed v2 epoch sidecars) must give the identical closed form
+    "streaming_upsert_string_key" ->
+      graft.streaming.Streams.streamingUpsertStrSql(),
 
     // additive schema evolution: pre-evolution rows null-fill, later
     // rows carry values — both populations vs the closed form

@@ -1727,6 +1727,61 @@ object GraftCatalog {
       |GROUP BY 1, 2 ORDER BY change, marker""".stripMargin)
   }
 
+  /** Driver-contract query for the STREAMING change feed (the
+    * Delta-CDF-stream shape): the [[changeFeedQuery]] history replayed
+    * through `readStream` — the backfill arrives as one micro-batch of
+    * inserts, then each DELETE committed WHILE THE STREAM RUNS arrives
+    * as its own micro-batch of retractions (full rows for the
+    * positional delete, once-emitted markers for the equality delete).
+    * Offsets are versions, so the accumulated memory-sink contents
+    * must equal the batch feed's closed form exactly — a dropped
+    * batch, a double-served version, or a marker-per-file bug all
+    * mismatch. At 100 TB this is a downstream consumer maintaining an
+    * incremental mirror of an upsert table without ever rescanning it.
+    */
+  def streamingChangeFeedQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_scdc_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.okscdc")
+    spark.sql("CREATE TABLE graft.db.okscdc (okey BIGINT, m BIGINT)")
+    for (q <- 0 until 4)
+      spark.sql(s"""INSERT INTO graft.db.okscdc
+        |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderkey % 97
+        |FROM graft_scdc_orders_src
+        |WHERE o_orderkey % 97 >= ${q * 25}
+        |  AND o_orderkey % 97 < ${(q + 1) * 25}""".stripMargin)
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirPath = java.nio.file.Paths.get(warehouse, "db", "okscdc").toString
+    val name = s"graft_scdc_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val ck = java.nio.file.Files.createTempDirectory("graft_scdc_ck")
+    val q = spark.readStream.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("changefeed", "true").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable() // backfill: the four appends as inserts
+      spark.sql("DELETE FROM graft.db.okscdc WHERE okey % 5 = 4")
+      q.processAllAvailable() // one micro-batch of full-row retractions
+      spark.sql("DELETE FROM graft.db.okscdc WHERE okey IN (1, 2, 3, 1000, 32)")
+      q.processAllAvailable() // one micro-batch of per-key markers
+    } finally q.stop()
+    spark.table(name).createOrReplaceTempView("graft_scdc_feed")
+    spark.sql("""SELECT _change_type AS change, (m IS NULL) AS marker,
+      |  COUNT(*) AS n, CAST(SUM(okey) AS BIGINT) AS key_sum
+      |FROM graft_scdc_feed
+      |GROUP BY 1, 2 ORDER BY change, marker""".stripMargin)
+  }
+
+  /** [[streamingChangeFeedQuery]] oracle: identical closed form to the
+    * batch feed — streaming must not change the answer.
+    */
+  def streamingChangeFeedSql(): String = changeFeedSql()
+
   /** [[changeFeedQuery]] oracle: inserts = the whole table; full-row
     * retractions = the positional delete's rows; markers = the
     * statement's five keys, once.

@@ -44,11 +44,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - APPEND = read manifest + add entries + atomic swap; readers see
   *    either the old or the new file list, never a partial one.
   *
-  * Row format is escaped TSV (long/int/double/string/boolean), one
-  * file per write task, one read split per manifest file — the
-  * parallelism a 1000-executor write naturally produces is exactly the
-  * read parallelism back. Column pruning pushes into the reader
-  * (pruned columns are never parsed).
+  * Data files are ZSTD parquet (long/int/double/string/boolean, footer
+  * bloom filters on BIGINT columns), one file per write task, one read
+  * split per ROW GROUP — the parallelism a 1000-executor write
+  * naturally produces is exactly the read parallelism back, and a
+  * compacted 1 GB file still fans out. Column pruning pushes into the
+  * parquet I/O layer (pruned chunks are never read) and the leaf
+  * serves typed ColumnarBatches ([[ManifestReaderFactory]]).
   *
   * Usage:
   *   df.write.format("graft.sources.ManifestV2")
@@ -255,7 +257,8 @@ object ManifestV2 {
   private[graft] case class ManifestState(schema: StructType,
       epochs: Map[String, Long], files: Seq[FileEntry], version: Long = 0L,
       part: Option[String] = None,
-      checks: Seq[(String, String)] = Nil)
+      checks: Seq[(String, String)] = Nil,
+      maint: Boolean = false)
 
   /** One immutable metadata segment: its file name and the entries it
     * carries. Reused by reference across versions.
@@ -319,8 +322,10 @@ object ManifestV2 {
         if (lines.size > 3 && lines.get(3).startsWith("@part\t"))
           (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
         else (None, 3)
+      val maint = lines.size > afterPart &&
+        lines.get(afterPart).startsWith("@maint\t")
       val checks = Seq.newBuilder[(String, String)]
-      var i = afterPart
+      var i = if (maint) afterPart + 1 else afterPart
       while (i < lines.size && lines.get(i).startsWith("@check\t")) {
         val Array(_, n, sql) = lines.get(i).split("\t", 3)
         checks += ((n, unesc(sql)))
@@ -341,8 +346,8 @@ object ManifestV2 {
       val inline = (i until lines.size).map(j => parseFileLine(lines.get(j)))
       val segd = segs.result()
       val all = segd.flatMap(_.files) ++ inline
-      Some((ManifestState(schema, epochs, all, v, part, checks.result()),
-        segd, inline.toSeq))
+      Some((ManifestState(schema, epochs, all, v, part, checks.result(),
+        maint), segd, inline.toSeq))
     }
   }
 
@@ -381,6 +386,7 @@ object ManifestV2 {
         (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
       else (None, 3)
     var i = afterPart
+    if (i < lines.size && lines.get(i).startsWith("@maint\t")) i += 1
     while (i < lines.size && lines.get(i).startsWith("@check\t")) i += 1
     val out = Seq.newBuilder[FileEntry]
     while (i < lines.size && lines.get(i).startsWith("@seg\t")) {
@@ -472,9 +478,15 @@ object ManifestV2 {
       val env = segEnvelope(s.files)
       if (env.isEmpty) s"@seg\t${s.name}" else s"@seg\t${s.name}\t$env"
     }
+    // `@maint\t1` marks a MAINTENANCE commit (compaction, clustering,
+    // sidecar coalescing): same logical content, new physical layout —
+    // the Delta dataChange=false analogue. Change feeds skip these
+    // versions instead of emitting remove+add noise.
+    val maintLine = if (state.maint) Seq("@maint\t1") else Seq.empty
     val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
-      (state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
+      (maintLine ++
+      state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
       segLines ++
       inline.map(fileLine))).mkString("", "\n", "\n")
     body.getBytes(StandardCharsets.UTF_8)
@@ -805,6 +817,7 @@ object ManifestV2 {
       // the commit fails the rewrite instead of silently resurrecting
       // the concurrently deleted rows
       .option("replaceEntries", smalls.map(fileLine).mkString("\n"))
+      .option("maintenance", "true")
       .mode("append").save()
     val after = readManifest(root).map(_.files.size).getOrElse(0)
     val filesOut = after - (st.files.size - smalls.size)
@@ -845,6 +858,7 @@ object ManifestV2 {
       .write.format("graft.sources.ManifestV2")
       .option("path", path)
       .option("replaceEntries", live.map(fileLine).mkString("\n"))
+      .option("maintenance", "true")
       .mode("append").save()
     val after = readManifest(root).map(_.files.size).getOrElse(0)
     (live.size.toLong, (after - (st.files.size - live.size)).toLong,
@@ -1114,7 +1128,7 @@ object ManifestV2 {
         }
       }
       ManifestState(s.schema, s.epochs, files, part = s.part,
-        checks = s.checks)
+        checks = s.checks, maint = true)
     }: Unit
     (merged.size.toLong, before, after)
   }
@@ -1439,7 +1453,7 @@ class ManifestTable(path: String, externalSchema: StructType,
           throw new IllegalArgumentException(s"no manifest v$to at $root"))
           .schema
       return new ManifestChangeFeedScanBuilder(root, tableSchema,
-        startV.getOrElse(0L), to)
+        startV.getOrElse(0L), endV)
     }
     // incremental/streaming semantics when the range crosses a
     // merge-on-read DELETE: `fail` (default — a change feed must not
@@ -2354,17 +2368,21 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
       .flatMap(_.split("\n")).filter(_.nonEmpty)
       .map(ManifestV2.parseFileLine)
     val rgSize = Option(info.options().get("rowGroupSize")).map(_.toLong)
+    // `maintenance=true` marks the commit @maint (same logical content,
+    // new physical layout) — change feeds skip it
+    val maint = Option(info.options().get("maintenance")).exists(_.toBoolean)
     part match {
       case Some(col) => new ManifestPartitionedWrite(path, info.schema(),
         col, truncate, replacing = None, replaceFiles = replace,
-        replaceEntries = replaceEntries, rowGroupSize = rgSize)
+        replaceEntries = replaceEntries, rowGroupSize = rgSize,
+        maintenance = maint)
       case None => new Write {
         override def description(): String =
           s"graft ManifestV2 write -> $path"
         override def toBatch: BatchWrite =
           new ManifestBatchWrite(path, info.schema(), truncate,
             replaceFiles = replace, replaceEntries = replaceEntries,
-            rowGroupSize = rgSize)
+            rowGroupSize = rgSize, maintenance = maint)
         override def toStreaming: StreamingWrite =
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
             truncate,
@@ -2391,7 +2409,8 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     replacing: Option[ManifestRowLevelOperation],
     replaceFiles: Seq[String] = Seq.empty,
     replaceEntries: Seq[ManifestV2.FileEntry] = Seq.empty,
-    rowGroupSize: Option[Long] = None)
+    rowGroupSize: Option[Long] = None,
+    maintenance: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   require(schema.fieldNames.contains(partCol),
     s"write schema ${schema.toDDL} lacks partition column $partCol")
@@ -2405,7 +2424,8 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
       partitioned = Some(partCol))
     case None => new ManifestBatchWrite(path, schema, truncate,
       partitioned = Some(partCol), replaceFiles = replaceFiles,
-      replaceEntries = replaceEntries, rowGroupSize = rowGroupSize)
+      replaceEntries = replaceEntries, rowGroupSize = rowGroupSize,
+      maintenance = maintenance)
   }
   override def toStreaming: StreamingWrite =
     throw new UnsupportedOperationException(
@@ -2831,7 +2851,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     partitioned: Option[String] = None,
     replaceFiles: Seq[String] = Seq.empty,
     replaceEntries: Seq[ManifestV2.FileEntry] = Seq.empty,
-    rowGroupSize: Option[Long] = None) extends BatchWrite {
+    rowGroupSize: Option[Long] = None,
+    maintenance: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     partitioned match {
       case Some(col) => new ManifestPartitionedWriterFactory(path, schema,
@@ -2881,7 +2902,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
         prev.map(_.schema).filter(_ => !truncate).getOrElse(schema),
         prev.map(_.epochs).getOrElse(Map.empty), kept ++ added,
         part = prev.flatMap(_.part).orElse(partitioned),
-        checks = prev.map(_.checks).getOrElse(Nil))
+        checks = prev.map(_.checks).getOrElse(Nil),
+        maint = maintenance)
     }: Unit
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
@@ -2931,17 +2953,33 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, upsertKey: Option[String] = None,
     upsertDeleteCol: Option[String] = None)
     extends StreamingWrite {
-  upsertKey.foreach { k =>
-    require(schema.fields.exists(f => f.name == k && f.dataType == LongType),
-      s"upsertKey $k must be a BIGINT column of ${schema.toDDL}")
-  }
+  /** The upsert key columns (comma-separated in the option): each
+    * BIGINT or STRING — the same typed shape equality deletes accept,
+    * so a composite or string-keyed CDC stream mirrors exactly like a
+    * BIGINT-keyed one.
+    */
+  private val upsertKeyCols: Seq[(String, DataType)] =
+    upsertKey.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { k =>
+        val f = schema.fields.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"upsertKey $k is not a column of ${schema.toDDL}"))
+        require(f.dataType == LongType || f.dataType == StringType,
+          s"upsertKey $k must be BIGINT or STRING, got ${f.dataType.sql}")
+        (f.name, f.dataType)
+      }
+  require(upsertKey.isEmpty || upsertKeyCols.nonEmpty,
+    "upsertKey must name at least one column")
+  require(upsertKeyCols.map(_._1).distinct.length == upsertKeyCols.length,
+    s"upsertKey columns must be distinct, got ${upsertKeyCols.map(_._1)}")
   upsertDeleteCol.foreach { c =>
-    require(upsertKey.isDefined,
+    require(upsertKeyCols.nonEmpty,
       "upsertDeleteCol requires upsertKey — tombstones are keyed")
     require(schema.fields.exists(f => f.name == c &&
         f.dataType == BooleanType),
       s"upsertDeleteCol $c must be a BOOLEAN column of ${schema.toDDL}")
-    require(!upsertKey.contains(c), "upsertDeleteCol cannot be the key")
+    require(!upsertKeyCols.exists(_._1 == c),
+      "upsertDeleteCol cannot be a key column")
   }
   /** What the TABLE holds: the stream schema minus the tombstone flag
     * (channel metadata, never stored).
@@ -2952,11 +2990,10 @@ class ManifestStreamingWrite(path: String, schema: StructType,
   }
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    upsertKey match {
-      case Some(k) =>
-        new ManifestUpsertWriterFactory(path, schema, k, upsertDeleteCol)
-      case None => new ManifestStreamingWriterFactory(path, schema)
-    }
+    if (upsertKeyCols.nonEmpty)
+      new ManifestUpsertWriterFactory(path, schema, upsertKeyCols,
+        upsertDeleteCol)
+    else new ManifestStreamingWriterFactory(path, schema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
@@ -2979,25 +3016,44 @@ class ManifestStreamingWrite(path: String, schema: StructType,
         ManifestV2.FileEntry(m.file, m.rows, m.stats,
           nulls = m.nulls, rgs = m.rgs))
       // upsert: union the tasks' key files into ONE epoch sidecar
-      // (driver-side kilobyte reads), then retire the task halves
-      val epochDelete: Option[(String, Seq[Long])] = upsertKey.flatMap { col =>
-        val keys = scala.collection.mutable.SortedSet.empty[Long]
-        keyFiles.foreach { f =>
-          keys ++= ManifestV2.readEqDelete(root, f)._2
-        }
-        if (keys.isEmpty) None
+      // (driver-side kilobyte reads, typed parse), then retire the
+      // task halves
+      val epochDelete: Option[(String, Map[String, Array[Long]])] =
+        if (upsertKeyCols.isEmpty) None
         else {
-          val rel = s"staging/eqdel-${java.util.UUID.randomUUID()}.txt"
-          // own directory creation — the task key files happen to have
-          // created staging/ already, but this write must not depend
-          // on that coupling
-          Files.createDirectories(root.resolve(rel).getParent)
-          Files.write(root.resolve(rel),
-            (col +: keys.toSeq.map(_.toString)).mkString("", "\n", "\n")
-              .getBytes(StandardCharsets.UTF_8))
-          Some((rel, keys.toSeq))
+          val tuples = scala.collection.mutable.LinkedHashSet.empty[Seq[Any]]
+          keyFiles.foreach { f =>
+            tuples ++= ManifestV2.readEqDeleteTyped(root, f).keys
+          }
+          if (tuples.isEmpty) None
+          else {
+            // externalize (render wants Long/String, parse gave
+            // Long/UTF8String)
+            val ext = tuples.toSeq.map(_.map {
+              case u: UTF8String => u.toString: Any
+              case o => o
+            })
+            val rel = s"staging/eqdel-${java.util.UUID.randomUUID()}.txt"
+            // own directory creation — the task key files happen to
+            // have created staging/ already, but this write must not
+            // depend on that coupling
+            Files.createDirectories(root.resolve(rel).getParent)
+            Files.write(root.resolve(rel),
+              ManifestV2.renderEqDelete(upsertKeyCols, ext)
+                .getBytes(StandardCharsets.UTF_8))
+            // per-BIGINT-component sorted value arrays for the stats-
+            // box probe below (string components have no box)
+            val probes: Map[String, Array[Long]] =
+              upsertKeyCols.zipWithIndex.collect {
+                case ((c, LongType), i) =>
+                  val a = tuples.iterator.map(
+                    _(i).asInstanceOf[java.lang.Number].longValue()).toArray
+                  java.util.Arrays.sort(a)
+                  (c, a)
+              }.toMap
+            Some((rel, probes))
+          }
         }
-      }
       keyFiles.foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
       // the epoch ledger merge runs inside the CAS loop: a concurrent
       // BATCH commit interleaving with this epoch cannot be dropped
@@ -3013,23 +3069,27 @@ class ManifestStreamingWrite(path: String, schema: StructType,
         attached = false
         val kept = epochDelete match {
           case None => kept0
-          case Some((rel, vals)) =>
-            val col = upsertKey.get
-            // epoch keys are sorted (SortedSet union): each file's
-            // box probes by binary search — O(files · log keys), not
-            // O(files · keys), inside the commit lock (a wide CDC
-            // epoch against a wide table must not quadratic here)
-            val sorted = vals.toArray
-            def anyKeyIn(lo: Long, hi: Long): Boolean = {
+          case Some((rel, probes)) =>
+            // per-column sorted value arrays: each file probes each
+            // BIGINT key component's box by binary search —
+            // O(files · cols · log keys) inside the commit lock (a
+            // wide CDC epoch against a wide table must not quadratic
+            // here). Per-column independence is CONSERVATIVE for
+            // composite keys (a tuple needs every component in range
+            // at once; any component provably outside disproves) —
+            // never misses a file that could hold a key.
+            def anyKeyIn(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
               var i = java.util.Arrays.binarySearch(sorted, lo)
               if (i < 0) i = -i - 1
               i < sorted.length && sorted(i) <= hi
             }
             kept0.map { e =>
-              val mayHold = e.rows > 0 && (e.stats.get(col) match {
-                case Some((lo, hi)) => anyKeyIn(lo, hi)
-                case None => true // no box: cannot disprove
-              })
+              val mayHold = e.rows > 0 && probes.forall { case (c, sorted) =>
+                e.stats.get(c) match {
+                  case Some((lo, hi)) => anyKeyIn(sorted, lo, hi)
+                  case None => true // no box: cannot disprove
+                }
+              }
               if (mayHold) { attached = true; e.copy(deletes = e.deletes :+ rel) }
               else e
             }
@@ -3066,15 +3126,16 @@ case class ManifestUpsertTaskCommit(data: ManifestCommit,
     keysFile: String) extends WriterCommitMessage
 
 /** Executor half of the streaming upsert sink: an ordinary staged data
-  * write that additionally tracks the DISTINCT key values it wrote
-  * (bounded by the task's share of the micro-batch) and stages them as
-  * a key file at task commit. With a `deleteCol` (tombstone channel),
-  * flagged rows contribute ONLY their key — nothing of them reaches
-  * the data file — and upsert rows append with the flag column
-  * projected away (the table schema excludes it).
+  * write that additionally tracks the DISTINCT key tuples it wrote
+  * (bounded by the task's share of the micro-batch; BIGINT and/or
+  * STRING components) and stages them as a typed key file at task
+  * commit. With a `deleteCol` (tombstone channel), flagged rows
+  * contribute ONLY their key — nothing of them reaches the data
+  * file — and upsert rows append with the flag column projected away
+  * (the table schema excludes it).
   */
 class ManifestUpsertWriterFactory(path: String, schema: StructType,
-    keyCol: String, deleteCol: Option[String] = None)
+    keyCols: Seq[(String, DataType)], deleteCol: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
@@ -3088,12 +3149,23 @@ class ManifestUpsertWriterFactory(path: String, schema: StructType,
       dataSchema.fields.map(f => schema.fieldIndex(f.name))
     private val inner = new ManifestDataWriter(path, dataSchema, partitionId,
       taskId, tag = s"e$epochId")
-    private val keyIdx = schema.fieldIndex(keyCol)
-    private val keys = scala.collection.mutable.SortedSet.empty[Long]
+    private val keyIdx: Array[Int] =
+      keyCols.map(c => schema.fieldIndex(c._1)).toArray
+    private val keyIsLong: Array[Boolean] =
+      keyCols.map(_._2 == LongType).toArray
+    private val keys = scala.collection.mutable.LinkedHashSet.empty[Seq[Any]]
     override def write(record: InternalRow): Unit = {
-      require(!record.isNullAt(keyIdx),
-        s"upsert key $keyCol must not be NULL")
-      keys += record.getLong(keyIdx)
+      val comp = new Array[Any](keyIdx.length)
+      var ki = 0
+      while (ki < keyIdx.length) {
+        require(!record.isNullAt(keyIdx(ki)),
+          s"upsert key ${keyCols(ki)._1} must not be NULL")
+        comp(ki) =
+          if (keyIsLong(ki)) java.lang.Long.valueOf(record.getLong(keyIdx(ki)))
+          else record.getUTF8String(keyIdx(ki)).toString
+        ki += 1
+      }
+      keys += comp.toSeq
       // tombstone: the key above kills every older version at commit;
       // the row itself is never written (NULL flag = not a tombstone)
       if (delIdx >= 0 && !record.isNullAt(delIdx) &&
@@ -3118,7 +3190,7 @@ class ManifestUpsertWriterFactory(path: String, schema: StructType,
         s"${java.util.UUID.randomUUID()}.txt"
       Files.createDirectories(root.resolve(rel).getParent)
       Files.write(root.resolve(rel),
-        (keyCol +: keys.toSeq.map(_.toString)).mkString("", "\n", "\n")
+        ManifestV2.renderEqDelete(keyCols, keys.toSeq)
           .getBytes(StandardCharsets.UTF_8))
       ManifestUpsertTaskCommit(dc, rel)
     }

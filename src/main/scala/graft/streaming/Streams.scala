@@ -697,6 +697,57 @@ object Streams {
       .orderBy($"m0")
   }
 
+  /** Driver-contract query for TYPED upsert keys (the r12 follow-on to
+    * the r11 BIGINT-only sink): the same base + update CDC replay as
+    * [[streamingUpsertQuery]], but keyed on a STRING column
+    * (`ukey = 'u' || okey`) — the epoch sidecar lands in the typed v2
+    * format and readers subtract by UTF8 value. No stats box exists
+    * for strings, so every pre-existing file takes the epoch sidecar
+    * conservatively; correctness must be identical to the BIGINT-keyed
+    * run. At 100 TB this is a CDC stream keyed on a natural string id
+    * (user uuid, document id) mirroring into the warehouse.
+    */
+  def streamingUpsertStrQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.sources.Sources.scratchDir(spark, "stream_upsert_str")
+    val work = new java.io.File(base, java.util.UUID.randomUUID().toString)
+    val src = new java.io.File(work, "src").toString
+    val sink = new java.io.File(work, "sink").toString
+    val ck = new java.io.File(work, "ck").toString
+    val orders = graft.Tables.orders(spark, dir)
+      .select(concat(lit("u"), $"o_orderkey".cast("string")).as("ukey"),
+        $"o_orderkey".as("okey"), ($"o_orderkey" % 97).as("m"))
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink).option("upsertKey", "ukey")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    orders.write.format("graft.sources.ManifestV2")
+      .option("path", src).mode("append").save()
+    pump() // epoch 0: backfill
+    orders.filter($"okey" % 7 === 0)
+      .select($"ukey", $"okey", ($"m" + 1000L).as("m"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", src).mode("append").save()
+    pump() // epoch 1: updates kill stale versions by STRING key
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .groupBy(expr("CASE WHEN m >= 1000 THEN m - 1000 ELSE m END").as("m0"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(okey) AS BIGINT)").as("key_sum"),
+        expr("CAST(SUM(CASE WHEN m >= 1000 THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("updated_n"))
+      .orderBy($"m0")
+  }
+
+  /** [[streamingUpsertStrQuery]] oracle: identical closed form to the
+    * BIGINT-keyed sink — the key type must not change the answer.
+    */
+  def streamingUpsertStrSql(): String = streamingUpsertSql()
+
   /** [[streamingTombstoneQuery]] oracle: %5=3 keys gone, surviving
     * %7=0 keys updated, everything else base.
     */

@@ -151,6 +151,54 @@ class ChangeFeedSpec extends AnyFunSuite {
       s"the tombstoned key must have NO insert: $inserts")
   }
 
+  test("the change feed STREAMS: each commit arrives as one micro-batch " +
+      "of change rows, retractions included; offsets are versions") {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.cdc4")
+    spark.sql("CREATE TABLE graft.spec.cdc4 (k BIGINT, v BIGINT)")
+    spark.range(0, 40, 1, 1).select($"id".as("k"), ($"id" * 3).as("v"))
+      .createOrReplaceTempView("graft_cdc4_src")
+    spark.sql("INSERT INTO graft.spec.cdc4 SELECT /*+ REPARTITION(1) */ " +
+      "k, v FROM graft_cdc4_src")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dir = Paths.get(warehouse, "spec", "cdc4").toString
+    val name = s"cdcstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ck = tmp()
+    val q = spark.readStream.format("graft.sources.ManifestV2")
+      .option("path", dir).option("changefeed", "true").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val afterBackfill = spark.table(name).count()
+      assert(afterBackfill == 40, s"backfill inserts: $afterBackfill")
+      // a positional delete lands as a retraction micro-batch
+      spark.sql("DELETE FROM graft.spec.cdc4 WHERE k % 8 = 5")
+      q.processAllAvailable()
+      val retractions = spark.table(name)
+        .filter($"_change_type" === "delete").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(retractions == (0L until 40L).filter(_ % 8 == 5)
+        .map(k => (k, k * 3)).toSet, s"streamed retractions: $retractions")
+      // an equality delete lands as marker rows
+      spark.sql("DELETE FROM graft.spec.cdc4 WHERE k IN (2, 12)")
+      q.processAllAvailable()
+      val markers = spark.table(name)
+        .filter($"_change_type" === "delete" && $"v".isNull)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(markers == Seq(2L, 12L), s"streamed markers: $markers")
+    } finally q.stop()
+    // the streamed feed equals the batch feed over the same range
+    assert(spark.table(name).collect().map(r => (
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+      if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+      r.getString(2), r.getLong(3))).toSet == rows(feed(dir)))
+    spark.sql("DROP TABLE graft.spec.cdc4")
+  }
+
   test("position-sidecar coalescing is feed-invariant") {
     import spark.implicits._
     graft.sources.GraftCatalog.install(spark)
@@ -168,11 +216,26 @@ class ChangeFeedSpec extends AnyFunSuite {
     val before = rows(feed(dir))
     val vBefore = ManifestV2.readManifest(Paths.get(dir)).get.version
     ManifestV2.coalesceDeletes(dir)
-    // the coalesce commit emits NOTHING (merged ordinals − prior
-    // ordinals = ∅), and the full feed is unchanged
+    // the coalesce commit emits NOTHING — doubly guaranteed: it is
+    // @maint-marked (skipped outright) AND merged ordinals − prior
+    // ordinals is empty — and the full feed is unchanged
     assert(rows(feed(dir, vBefore)).isEmpty,
       "coalescing must be invisible to the feed")
     assert(rows(feed(dir)) == before)
+    // COMPACTION is also @maint-marked: a layout rewrite that replaces
+    // every file emits NO change rows (the Delta dataChange=false
+    // shape), and a REAL commit after it diffs against the
+    // post-compaction layout correctly
+    val vBeforeCompact = ManifestV2.readManifest(Paths.get(dir)).get.version
+    ManifestV2.compactSnapshot(spark, dir, 1000000L)
+    assert(ManifestV2.readManifest(Paths.get(dir)).get.maint)
+    assert(rows(feed(dir, vBeforeCompact)).isEmpty,
+      "compaction must be invisible to the feed")
+    assert(rows(feed(dir)) == before)
+    spark.sql("DELETE FROM graft.spec.cdc2 WHERE k = 10")
+    val afterDel = rows(feed(dir, vBeforeCompact))
+    assert(afterDel.map(r => (r._1, r._3)) == Set((10L, "delete")),
+      s"a real post-compaction commit still feeds: $afterDel")
     spark.sql("DROP TABLE graft.spec.cdc2")
   }
 }

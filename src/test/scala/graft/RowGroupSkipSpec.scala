@@ -599,6 +599,82 @@ class RowGroupSkipSpec extends AnyFunSuite {
     assert(got2 == Seq((1L, 11L), (3L, 30L)), s"epoch-2 tombstone: $got2")
   }
 
+  test("TYPED upsert keys: a STRING-keyed CDC stream upserts and " +
+      "tombstones; the epoch sidecar is the typed v2 format") {
+    import spark.implicits._
+    val src = tmp(); val sink = tmp(); val ck = tmp()
+    def push(rows: Seq[(String, Long, Boolean)]): Unit =
+      rows.toDF("id", "v", "del").repartition(1)
+        .write.format("graft.sources.ManifestV2")
+        .option("path", src).mode("append").save()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink).option("upsertKey", "id")
+        .option("upsertDeleteCol", "del")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    push(Seq(("a", 10L, false), ("b", 20L, false), ("c", 30L, false)))
+    run() // epoch 0: backfill
+    push(Seq(("a", 11L, false), ("b", 0L, true), ("d", 40L, false)))
+    run() // epoch 1: update a, tombstone b, insert d
+    val got = spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("a", 11L), ("c", 30L), ("d", 40L)),
+      s"string-keyed latest state: $got")
+    // the epoch sidecar is typed v2 (no stats box for strings, so it
+    // attaches to the backfill file conservatively)
+    val st = ManifestV2.readManifest(Paths.get(sink)).get
+    val backfill = st.files.find(_.deletes.nonEmpty).get
+    val header = Files.readAllLines(
+      Paths.get(sink).resolve(backfill.deletes.head),
+      StandardCharsets.UTF_8).get(0)
+    assert(header == "id:string", header)
+  }
+
+  test("TYPED upsert keys: a COMPOSITE (string, bigint) key kills " +
+      "exactly its tuple; BIGINT components still box-probe") {
+    import spark.implicits._
+    val src = tmp(); val sink = tmp(); val ck = tmp()
+    def push(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("g", "id", "v").repartition(1)
+        .write.format("graft.sources.ManifestV2")
+        .option("path", src).mode("append").save()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.format("graft.sources.ManifestV2")
+        .option("path", sink).option("upsertKey", "g,id")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // (g1,1) and (g2,1) share the id; only the full tuple may die
+    push(Seq(("g1", 1L, 10L), ("g1", 2L, 20L), ("g2", 1L, 30L)))
+    run()
+    push(Seq(("g1", 1L, 11L)))
+    run()
+    val got = spark.read.format("graft.sources.ManifestV2")
+      .option("path", sink).load()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq(("g1", 1L, 11L), ("g1", 2L, 20L), ("g2", 1L, 30L)),
+      s"composite-keyed latest state: $got")
+    // BIGINT component box probe: an epoch whose id lies outside the
+    // backfill file's id box must leave it sidecar-free
+    push(Seq(("g9", 100L, 990L)))
+    run()
+    val st = ManifestV2.readManifest(Paths.get(sink)).get
+    // the 3-row backfill file: it took epoch 1's sidecar (id 1 in its
+    // box) but must NOT take epoch 2's (id 100 outside [1,2])
+    val bf = st.files.find(_.rows == 3L).get
+    assert(bf.deletes.size == 1,
+      s"the out-of-box epoch must not attach to the backfill: ${st.files
+        .map(e => (e.file, e.rows, e.deletes.size))}")
+  }
+
   test("remove_orphans reclaims unreferenced files past the age " +
       "threshold; referenced and young files are untouchable") {
     val dir = tmp()

@@ -402,9 +402,14 @@ class SourcesSpec extends AnyFunSuite {
     manifestWrite(initial, dir)
     // partition 0 commits its task; partition 1 throws mid-write — the
     // JOB aborts, and BatchWrite.abort must delete even the
-    // already-committed task's staged file
+    // already-committed task's staged file. The throw is DELAYED so
+    // partition 0's task-commit message deterministically reaches the
+    // driver before the job fails: Spark's abort can only name files
+    // from messages it received (a message lost to this race is what
+    // remove_orphans exists to reclaim), and this test pins the
+    // received-message contract, not the race.
     val boom = org.apache.spark.sql.functions.udf((x: Long) => {
-      if (x == 7L) throw new RuntimeException("boom")
+      if (x == 7L) { Thread.sleep(2000); throw new RuntimeException("boom") }
       "x"
     })
     val failing = spark.range(0, 10, 1, 2)
