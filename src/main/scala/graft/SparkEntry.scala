@@ -127,6 +127,18 @@ object SparkEntry {
       graft.sources.GraftCatalog.morCompactQuery(s, d)),
     "dsv2_rowgroup_scan" -> ((s, d) =>
       graft.sources.ManifestV2.rowGroupScanQuery(s, d)),
+    "dsv2_ts_prune" -> ((s, d) =>
+      graft.sources.ManifestV2.tsPruneQuery(s, d)),
+    "dsv2_hidden_bucket_join" -> ((s, d) =>
+      graft.sources.GraftCatalog.hiddenBucketJoinQuery(s, d)),
+    "dsv2_days_partition" -> ((s, d) =>
+      graft.sources.GraftCatalog.daysPartitionQuery(s, d)),
+    "dsv2_overwrite_where" -> ((s, d) =>
+      graft.sources.GraftCatalog.overwriteWhereQuery(s, d)),
+    "dsv2_dynamic_overwrite" -> ((s, d) =>
+      graft.sources.GraftCatalog.dynamicOverwriteQuery(s, d)),
+    "dsv2_runtime_file_prune" -> ((s, d) =>
+      graft.sources.GraftCatalog.runtimeFilePruneQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3656,6 +3668,16 @@ object SparkEntry {
     // row-group-granular reads: one split per parquet row group off
     // manifest metadata, chunk-stats group skipping on the range probe
     "dsv2_rowgroup_scan" -> graft.sources.ManifestV2.rowGroupScanSql(),
+    "dsv2_ts_prune" -> graft.sources.ManifestV2.tsPruneSql(),
+    "dsv2_hidden_bucket_join" ->
+      graft.sources.GraftCatalog.hiddenBucketJoinSql(),
+    "dsv2_days_partition" -> graft.sources.GraftCatalog.daysPartitionSql(),
+    "dsv2_overwrite_where" ->
+      graft.sources.GraftCatalog.overwriteWhereSql(),
+    "dsv2_dynamic_overwrite" ->
+      graft.sources.GraftCatalog.dynamicOverwriteSql(),
+    "dsv2_runtime_file_prune" ->
+      graft.sources.GraftCatalog.runtimeFilePruneSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

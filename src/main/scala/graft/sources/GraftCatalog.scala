@@ -157,29 +157,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** PARTITIONED BY (col) validation shared by CREATE TABLE and the
-    * staged CTAS/RTAS path: exactly one identity transform, on a
-    * BIGINT column of THIS schema. Writes cluster on it and land
-    * bucket-pure files; reads report KeyGroupedPartitioning, so
-    * co-partitioned tables join with no exchange (the
-    * storage-partitioned-join layout as SQL DDL).
+    * staged CTAS/RTAS path: exactly one transform — identity on a
+    * BIGINT column (the pre-round-12 surface, serialization
+    * unchanged), or a HIDDEN transform ([[PartTransform]]):
+    * `bucket(N, col)` on BIGINT/STRING, `days/hours/months(col)` on
+    * TIMESTAMP (days/months also DATE), `truncate(W, col)` on BIGINT.
+    * Writes cluster on the DERIVED value and land partition-pure
+    * files; reads report KeyGroupedPartitioning on the transform
+    * expression and transpose data predicates into partition pruning —
+    * the user never stores or mentions a partition column.
     */
   private def parsePartition(schema: StructType,
       partitions: Array[Transform]): Option[String] =
     partitions.toList match {
       case Nil => None
-      case t :: Nil if t.name == "identity" && t.references.length == 1 =>
-        val col = t.references.head.fieldNames.mkString(".")
-        val f = schema.fields.find(_.name == col).getOrElse(
-          throw new IllegalArgumentException(
-            s"partition column $col is not in the schema"))
-        require(f.dataType == LongType,
-          s"graft partition columns must be BIGINT, got ${f.dataType} " +
-            "(store the bucket id explicitly, e.g. key % 8)")
-        Some(col)
+      case t :: Nil =>
+        val spec = toSpec(t)
+        PartTransform.validate(spec, schema)
+        Some(spec.render)
       case other => throw new UnsupportedOperationException(
-        "graft tables support exactly one identity partition transform, " +
+        "graft tables support exactly one partition transform, " +
           s"got: ${other.mkString(", ")}")
     }
+
+  /** A Spark DDL transform as a [[PartTransform.Spec]]. Arguments are
+    * matched generically (the parser may deliver `bucket` as a
+    * BucketTransform or a generic apply), so the match is on name +
+    * reference/literal shape.
+    */
+  private def toSpec(t: Transform): PartTransform.Spec = {
+    def oneRef: String = {
+      require(t.references.length == 1,
+        s"transform ${t.name} must reference exactly one column")
+      t.references.head.fieldNames.mkString(".")
+    }
+    def intArg: Long = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+        if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].longValue()
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform ${t.name} needs an integer argument"))
+    t.name match {
+      case "identity" => PartTransform.Identity(oneRef)
+      case "bucket" => PartTransform.Bucket(intArg.toInt, oneRef)
+      case "days" | "day" => PartTransform.Days(oneRef)
+      case "hours" | "hour" => PartTransform.Hours(oneRef)
+      case "months" | "month" => PartTransform.Months(oneRef)
+      case "truncate" => PartTransform.Trunc(intArg, oneRef)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform: $other")
+    }
+  }
 
   /** One name, one object: a table may not shadow a view and vice
     * versa (the table dir `x` and the view file `x.view` are distinct
@@ -521,18 +549,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.move(from, to): Unit
   }
 
-  // ---- FunctionCatalog (namespace `fn`) ----
+  // ---- FunctionCatalog (namespace `fn`, plus the EMPTY namespace
+  // for Spark's transform resolution: V2ExpressionUtils resolves a
+  // scan's KeyGroupedPartitioning expressions and a write's clustered
+  // distribution by loadFunction(Identifier.of(Array.empty, name)) on
+  // the table's catalog — serving bucket/days/hours/months/truncate
+  // there is what makes hidden-partition SPJ and write clustering
+  // resolve) ----
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("fn")))
-      GraftCatalog.functions.keys
-        .map(Identifier.of(Array("fn"), _)).toArray
+      (GraftCatalog.functions.keys.map(Identifier.of(Array("fn"), _)) ++
+        GraftCatalog.transformFns.keys.map(Identifier.of(Array("fn"), _)))
+        .toArray
+    else if (namespace.isEmpty)
+      GraftCatalog.transformFns.keys
+        .map(Identifier.of(Array.empty[String], _)).toArray
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace.sameElements(Array("fn")))
-      GraftCatalog.functions.getOrElse(ident.name,
+      GraftCatalog.functions.orElse(GraftCatalog.transformFns)
+        .applyOrElse(ident.name, (_: String) =>
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchFunctionException(ident))
+    else if (ident.namespace.isEmpty)
+      GraftCatalog.transformFns.getOrElse(ident.name,
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
@@ -769,6 +812,19 @@ object GraftCatalog {
   private[sources] val functions: Map[String, UnboundFunction] = Map(
     "vmod" -> VModUnbound,
     "sumsq" -> SumSqUnbound)
+
+  /** The hidden-partition transform functions ([[PartTransform]]) as
+    * V2 scalar functions. Bound implementations delegate to the same
+    * [[PartTransform]] derivations the writer and the scan
+    * transposition use, so the three layers cannot drift; canonical
+    * names are what SPJ compares to prove two scans co-partitioned.
+    */
+  private[sources] val transformFns: Map[String, UnboundFunction] = Map(
+    "bucket" -> BucketUnbound,
+    "days" -> DaysUnbound,
+    "hours" -> HoursUnbound,
+    "months" -> MonthsUnbound,
+    "truncate" -> TruncateUnbound)
 
   /** Register the catalog on this session (idempotent). Catalog confs
     * are read once at first resolution per session, so setting the
@@ -1084,6 +1140,263 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY bk""".stripMargin
+
+  /** Driver-contract query for HIDDEN BUCKET PARTITIONING
+    * ([[PartTransform]]): the same orders⋈customer join as
+    * [[bucketedJoinQuery]], but `PARTITIONED BY (bucket(8, ck))` with
+    * NO stored bucket column anywhere — the derived murmur3 bucket
+    * exists only as each file's reserved `@p` point box. Writes
+    * cluster on the transform (resolved through this catalog's V2
+    * `bucket` function), reads report KeyGroupedPartitioning on the
+    * transform expression, and the join zips bucket groups on the
+    * NATURAL key with zero exchange (HiddenPartitionSpec pins the
+    * plan; this hash pins the semantics). A point-lookup subquery on a
+    * single custkey rides the SAME table through `@p` transposition —
+    * 1-in-8 of the files planned off pure metadata, which a [min,max]
+    * box on a hash-scattered key can never prove.
+    */
+  def hiddenBucketJoinQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_hbj_orders_src")
+    graft.Tables.customer(spark, dir)
+      .createOrReplaceTempView("graft_hbj_cust_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.hbo")
+    spark.sql("DROP TABLE IF EXISTS graft.db.hbc")
+    spark.sql("""CREATE TABLE graft.db.hbo (ck BIGINT, okey BIGINT)
+      |PARTITIONED BY (bucket(8, ck))""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.hbo
+      |SELECT o_custkey, o_orderkey FROM graft_hbj_orders_src""".stripMargin)
+    spark.sql("""CREATE TABLE graft.db.hbc (ck BIGINT, nk BIGINT)
+      |PARTITIONED BY (bucket(8, ck))""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.hbc
+      |SELECT c_custkey, c_nationkey FROM graft_hbj_cust_src""".stripMargin)
+    spark.sql("""SELECT c.nk AS nk, COUNT(*) AS n,
+      |  CAST(SUM(o.okey) AS BIGINT) AS key_sum,
+      |  (SELECT CAST(SUM(okey) AS BIGINT) FROM graft.db.hbo
+      |     WHERE ck = 1) AS probe_sum
+      |FROM graft.db.hbo o JOIN graft.db.hbc c ON o.ck = c.ck
+      |GROUP BY c.nk ORDER BY nk""".stripMargin)
+  }
+
+  /** [[hiddenBucketJoinQuery]] oracle: the join and the point probe
+    * straight off the base tables — the hidden layout must be
+    * invisible.
+    */
+  def hiddenBucketJoinSql(): String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+      |     WHERE o_custkey = 1) AS probe_sum
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY nk""".stripMargin
+
+  /** Driver-contract query for RUNTIME FILE PRUNING on the manifest
+    * scan (the DSv2 dynamic-partition-pruning contract, now on the
+    * warehouse workhorse): the fact table is hidden-bucketed on
+    * custkey; the dimension's selective filter realizes a key list at
+    * run time, Spark hands it to the scan as an IN predicate, and
+    * file planning shrinks through stats boxes AND the transposed
+    * `@p` bucket conjuncts (HiddenPartitionSpec pins the skip counter;
+    * this hash pins losslessness). Static pushdown cannot do this —
+    * the keys exist only after the build side executes. At 100 TB
+    * this is the fact⋈dim query: a 25-nation dimension cut turns a
+    * full fact scan into the matching buckets' files.
+    */
+  def runtimeFilePruneQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    // DPP and SPJ are per-scan alternatives in Spark: runtime
+    // filtering is planned only when the scan does not report key
+    // groups, so pin the SPJ gate OFF here (its Spark default) — a
+    // prior query in a shared session may have turned it on
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_rfp_orders_src")
+    graft.Tables.customer(spark, dir)
+      .createOrReplaceTempView("graft_rfp_cust_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rfp")
+    spark.sql("""CREATE TABLE graft.db.rfp (ck BIGINT, okey BIGINT)
+      |PARTITIONED BY (bucket(16, ck))""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.rfp
+      |SELECT o_custkey, o_orderkey FROM graft_rfp_orders_src""".stripMargin)
+    spark.sql("""SELECT COUNT(*) AS n,
+      |  CAST(SUM(f.okey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(d.c_custkey) AS BIGINT) AS ck_sum
+      |FROM graft.db.rfp f
+      |JOIN (SELECT c_custkey FROM graft_rfp_cust_src
+      |      WHERE c_nationkey = 7) d
+      |  ON f.ck = d.c_custkey""".stripMargin)
+  }
+
+  /** [[runtimeFilePruneQuery]] oracle. */
+  def runtimeFilePruneSql(): String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS ck_sum
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_nationkey = 7""".stripMargin
+
+  /** Driver-contract query for DAY-TRANSFORM partitioning: events land
+    * in a `PARTITIONED BY (days(ts))` table with their real TIMESTAMP,
+    * one file per UTC day; the read's time-range predicate transposes
+    * (`ts >= T` ⇒ `@p >= days(T)`) and plans only the covered days'
+    * files. The oracle is the same range aggregate off raw events —
+    * day boundaries, the micros round-trip, and the pruning must all
+    * be invisible. At 100 TB this is the canonical event-table layout:
+    * ingest clusters by day, and every dashboard query carries a time
+    * range that prunes to its days.
+    */
+  def daysPartitionQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.events(spark, dir)
+      .createOrReplaceTempView("graft_dp_events_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.dpe")
+    spark.sql("""CREATE TABLE graft.db.dpe
+      |(eid BIGINT, ts TIMESTAMP, uid BIGINT, etype STRING)
+      |PARTITIONED BY (days(ts))""".stripMargin)
+    // ts arrives as LONG NANOS (the corpus is TIMESTAMP(NANOS));
+    // nanos are micros*1000, so the re-typing is exact
+    spark.sql("""INSERT INTO graft.db.dpe
+      |SELECT event_id, timestamp_micros(ts DIV 1000), user_id, event_type
+      |FROM graft_dp_events_src""".stripMargin)
+    spark.sql("""SELECT etype, COUNT(*) AS n,
+      |  CAST(SUM(uid) AS BIGINT) AS uid_sum,
+      |  unix_micros(MIN(ts)) AS min_ts_us,
+      |  unix_micros(MAX(ts)) AS max_ts_us
+      |FROM graft.db.dpe
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+      |GROUP BY etype ORDER BY etype""".stripMargin)
+  }
+
+  /** Driver-contract query for OVERWRITE-BY-FILTER: a days(ts) events
+    * table gets two days REPLACED by a corrected re-ingest
+    * (`writeTo(t).overwrite(cond)` — delete-matching + append, one
+    * atomic swap, delete half metadata-only because the day condition
+    * is aligned to the hidden day layout). The final aggregate hashes
+    * against the oracle's reconstruction (rows outside the window ∪
+    * corrected rows inside), so a row leaked from the replaced days, a
+    * lost untouched file, or a double-applied append all mismatch.
+    * This is the backfill primitive at 100 TB: replacing two days
+    * costs two days' I/O and one manifest swap.
+    */
+  def overwriteWhereQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    install(spark)
+    graft.Tables.events(spark, dir)
+      .createOrReplaceTempView("graft_ow_events_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.owe")
+    spark.sql("""CREATE TABLE graft.db.owe
+      |(eid BIGINT, ts TIMESTAMP, uid BIGINT, etype STRING)
+      |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.owe
+      |SELECT event_id, timestamp_micros(ts DIV 1000), user_id, event_type
+      |FROM graft_ow_events_src""".stripMargin)
+    // the corrected re-ingest of [01-08, 01-10): uid shifted +5000000
+    val lo = lit("2024-01-08 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-10 00:00:00").cast("timestamp")
+    spark.sql("""SELECT event_id AS eid,
+      |  timestamp_micros(ts DIV 1000) AS ts,
+      |  user_id + 5000000 AS uid, event_type AS etype
+      |FROM graft_ow_events_src""".stripMargin)
+      .where(col("ts") >= lo && col("ts") < hi)
+      .writeTo("graft.db.owe")
+      .overwrite(col("ts") >= lo && col("ts") < hi)
+    spark.sql("""SELECT etype, COUNT(*) AS n,
+      |  CAST(SUM(uid) AS BIGINT) AS uid_sum,
+      |  CAST(SUM(eid) AS BIGINT) AS eid_sum
+      |FROM graft.db.owe GROUP BY etype ORDER BY etype""".stripMargin)
+  }
+
+  /** [[overwriteWhereQuery]] oracle: outside-window rows ∪ corrected
+    * inside-window rows.
+    */
+  def overwriteWhereSql(): String =
+    """WITH final AS (
+      |  SELECT event_id, user_id, event_type FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      |     OR ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  UNION ALL
+      |  SELECT event_id, user_id + 5000000, event_type FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts < TIMESTAMP '2024-01-10 00:00:00'
+      |)
+      |SELECT event_type AS etype, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+      |  CAST(SUM(event_id) AS BIGINT) AS eid_sum
+      |FROM final GROUP BY 1 ORDER BY etype""".stripMargin
+
+  /** Driver-contract query for DYNAMIC PARTITION OVERWRITE: the
+    * incoming frame carries ONLY day 2024-01-05 (uid doubled), and
+    * `overwritePartitions()` swaps exactly that day's files — every
+    * other day survives by name (OverwriteSpec pins the file
+    * identity; this hash pins the semantics). The Iceberg/Hive
+    * dynamic-overwrite re-ingest shape with a HIDDEN day partition:
+    * the user never names the partition, the data does.
+    */
+  def dynamicOverwriteQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    install(spark)
+    graft.Tables.events(spark, dir)
+      .createOrReplaceTempView("graft_dow_events_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.dow")
+    spark.sql("""CREATE TABLE graft.db.dow
+      |(eid BIGINT, ts TIMESTAMP, uid BIGINT, etype STRING)
+      |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.dow
+      |SELECT event_id, timestamp_micros(ts DIV 1000), user_id, event_type
+      |FROM graft_dow_events_src""".stripMargin)
+    spark.sql("""SELECT event_id AS eid,
+      |  timestamp_micros(ts DIV 1000) AS ts,
+      |  user_id * 2 AS uid, event_type AS etype
+      |FROM graft_dow_events_src""".stripMargin)
+      .where(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .writeTo("graft.db.dow").overwritePartitions()
+    spark.sql("""SELECT etype, COUNT(*) AS n,
+      |  CAST(SUM(uid) AS BIGINT) AS uid_sum
+      |FROM graft.db.dow GROUP BY etype ORDER BY etype""".stripMargin)
+  }
+
+  /** [[dynamicOverwriteQuery]] oracle. */
+  def dynamicOverwriteSql(): String =
+    """WITH final AS (
+      |  SELECT user_id, event_type FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+      |     OR ts >= TIMESTAMP '2024-01-06 00:00:00'
+      |  UNION ALL
+      |  SELECT user_id * 2, event_type FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |    AND ts < TIMESTAMP '2024-01-06 00:00:00'
+      |)
+      |SELECT event_type AS etype, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      |FROM final GROUP BY 1 ORDER BY etype""".stripMargin
+
+  /** [[daysPartitionQuery]] oracle: the range aggregate off raw
+    * events.
+    */
+  def daysPartitionSql(): String =
+    """SELECT event_type AS etype, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+      |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+      |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+      |GROUP BY 1 ORDER BY etype""".stripMargin
 
   /** Driver-contract query for `CALL graft.system.compact`: the table
     * is fragmented by four quartile INSERTs, the procedure merges every
@@ -1870,6 +2183,202 @@ object GraftCatalog {
   * whole-stage codegen instead of the row-boxing produceResult path
   * (both are implemented; the spec pins the plan to the magic path).
   */
+/** `bucket(n, col)` — the hidden-partition hash bucket
+  * ([[PartTransform.bucketLong]]/[[PartTransform.bucketUtf8]]: murmur3
+  * of the value's canonical bytes, non-negative mod n). BIGINT and
+  * STRING columns bind to distinct monomorphic implementations under
+  * ONE canonical name per type, so storage-partitioned joins match
+  * exactly when both sides bucket the same way.
+  */
+object BucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n INT, col BIGINT|STRING) -> murmur3 bucket in [0, n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2 &&
+      inputType.head.dataType == IntegerType,
+      s"bucket expects (INT, BIGINT|STRING), got ${inputType.simpleString}")
+    inputType.fields(1).dataType match {
+      case LongType => new BucketLongFn
+      case StringType => new BucketStrFn
+      case o => throw new UnsupportedOperationException(
+        s"bucket does not support $o columns")
+    }
+  }
+}
+
+class BucketLongFn extends ScalarFunction[Long] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.fn.bucket"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(n: Int, v: Long): Long = PartTransform.bucketLong(n, v)
+  override def produceResult(input: InternalRow): Long =
+    PartTransform.bucketLong(input.getInt(0), input.getLong(1))
+}
+
+class BucketStrFn extends ScalarFunction[Long] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.fn.bucket.str"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(n: Int, v: org.apache.spark.unsafe.types.UTF8String): Long =
+    PartTransform.bucketUtf8(n, v)
+  override def produceResult(input: InternalRow): Long =
+    PartTransform.bucketUtf8(input.getInt(0), input.getUTF8String(1))
+}
+
+/** `days(ts)` / `hours(ts)` / `months(ts)` — epoch unit indices off
+  * the internal micros (or days, for DATE columns) form.
+  */
+object DaysUnbound extends UnboundFunction {
+  override def name(): String = "days"
+  override def description(): String =
+    "days(col TIMESTAMP|DATE) -> days since epoch"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"days expects one argument, got ${inputType.simpleString}")
+    inputType.head.dataType match {
+      case TimestampType | TimestampNTZType =>
+        new DaysMicrosFn(inputType.head.dataType)
+      case DateType => new DaysDateFn
+      case o => throw new UnsupportedOperationException(
+        s"days does not support $o columns")
+    }
+  }
+}
+
+class DaysMicrosFn(it: DataType) extends ScalarFunction[Long] {
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.fn.days"
+  override def inputTypes(): Array[DataType] = Array(it)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(us: Long): Long = PartTransform.daysOfMicros(us)
+  override def produceResult(input: InternalRow): Long =
+    PartTransform.daysOfMicros(input.getLong(0))
+}
+
+class DaysDateFn extends ScalarFunction[Long] {
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.fn.days.date"
+  override def inputTypes(): Array[DataType] = Array(DateType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(d: Int): Long = d.toLong
+  override def produceResult(input: InternalRow): Long =
+    input.getInt(0).toLong
+}
+
+object HoursUnbound extends UnboundFunction {
+  override def name(): String = "hours"
+  override def description(): String =
+    "hours(col TIMESTAMP) -> hours since epoch"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1 &&
+      (inputType.head.dataType == TimestampType ||
+        inputType.head.dataType == TimestampNTZType),
+      s"hours expects one TIMESTAMP argument, got ${inputType.simpleString}")
+    new HoursFn(inputType.head.dataType)
+  }
+}
+
+class HoursFn(it: DataType) extends ScalarFunction[Long] {
+  override def name(): String = "hours"
+  override def canonicalName(): String = "graft.fn.hours"
+  override def inputTypes(): Array[DataType] = Array(it)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(us: Long): Long = PartTransform.hoursOfMicros(us)
+  override def produceResult(input: InternalRow): Long =
+    PartTransform.hoursOfMicros(input.getLong(0))
+}
+
+object MonthsUnbound extends UnboundFunction {
+  override def name(): String = "months"
+  override def description(): String =
+    "months(col TIMESTAMP|DATE) -> months since epoch"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"months expects one argument, got ${inputType.simpleString}")
+    inputType.head.dataType match {
+      case TimestampType | TimestampNTZType =>
+        new MonthsMicrosFn(inputType.head.dataType)
+      case DateType => new MonthsDateFn
+      case o => throw new UnsupportedOperationException(
+        s"months does not support $o columns")
+    }
+  }
+}
+
+class MonthsMicrosFn(it: DataType) extends ScalarFunction[Long] {
+  override def name(): String = "months"
+  override def canonicalName(): String = "graft.fn.months"
+  override def inputTypes(): Array[DataType] = Array(it)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(us: Long): Long =
+    PartTransform.monthsOfDays(PartTransform.daysOfMicros(us))
+  override def produceResult(input: InternalRow): Long =
+    PartTransform.monthsOfDays(PartTransform.daysOfMicros(input.getLong(0)))
+}
+
+class MonthsDateFn extends ScalarFunction[Long] {
+  override def name(): String = "months"
+  override def canonicalName(): String = "graft.fn.months.date"
+  override def inputTypes(): Array[DataType] = Array(DateType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(d: Int): Long = PartTransform.monthsOfDays(d.toLong)
+  override def produceResult(input: InternalRow): Long =
+    PartTransform.monthsOfDays(input.getInt(0).toLong)
+}
+
+/** `truncate(w, col)` — the floored multiple (width literals arrive as
+  * INT from DDL/SQL or LONG from the connector's own transform
+  * rendering; both bind).
+  */
+object TruncateUnbound extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w INT|BIGINT, col BIGINT) -> floor(col / w) * w"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2 &&
+      inputType.fields(1).dataType == LongType,
+      s"truncate expects (INT|BIGINT, BIGINT), got ${inputType.simpleString}")
+    inputType.head.dataType match {
+      case IntegerType => new TruncIntFn
+      case LongType => new TruncLongFn
+      case o => throw new UnsupportedOperationException(
+        s"truncate does not support $o widths")
+    }
+  }
+}
+
+class TruncIntFn extends ScalarFunction[Long] {
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.fn.truncate"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(w: Int, v: Long): Long = PartTransform.truncLong(w.toLong, v)
+  override def produceResult(input: InternalRow): Long =
+    PartTransform.truncLong(input.getInt(0).toLong, input.getLong(1))
+}
+
+class TruncLongFn extends ScalarFunction[Long] {
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.fn.truncate"
+  override def inputTypes(): Array[DataType] = Array(LongType, LongType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  def invoke(w: Long, v: Long): Long = PartTransform.truncLong(w, v)
+  override def produceResult(input: InternalRow): Long =
+    PartTransform.truncLong(input.getLong(0), input.getLong(1))
+}
+
 object VModUnbound extends UnboundFunction {
   override def name(): String = "vmod"
   override def description(): String = "vmod(x BIGINT) -> x % 97"

@@ -99,7 +99,8 @@ object ManifestReaderFactory {
 
   private[sources] def vectorizable(s: StructType): Boolean =
     s.fields.forall(f => f.dataType match {
-      case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+      case LongType | IntegerType | DoubleType | BooleanType | StringType |
+        TimestampType | TimestampNTZType | DateType => true
       case _ => false
     })
 }
@@ -242,11 +243,14 @@ private[sources] final class ManifestSplitState(
     else dataPos.getOrElse(f.name, -2)
   }
   /** Per-column decode tag (monomorphic inner loops):
-    * 0=long 1=int 2=double 3=boolean 4=string.
+    * 0=long 1=int 2=double 3=boolean 4=string. Temporal types are
+    * physically their integer internal form (micros/days), so they
+    * share the long/int loops — the vector is constructed with the
+    * LOGICAL type, so Catalyst sees timestamps, not longs.
     */
   val tag: Array[Int] = dataFields.map(_.dataType match {
-    case LongType => 0
-    case IntegerType => 1
+    case LongType | TimestampType | TimestampNTZType => 0
+    case IntegerType | DateType => 1
     case DoubleType => 2
     case BooleanType => 3
     case StringType => 4
@@ -261,8 +265,14 @@ private[sources] final class ManifestSplitState(
   if (requested != null) reader.setRequestedSchema(requested)
   val colDescs = if (requested == null) null else requested.getColumns
 
+  // bloom probes stay BIGINT-only (the writer only builds blooms
+  // there); chunk-statistics skipping covers every box-eligible type
+  // (BIGINT / INT / TIMESTAMP micros / DATE days — [[ManifestV2.statType]])
   private val longCols: Set[String] = full.fields
     .collect { case f if f.dataType == LongType => f.name }.toSet
+  private val statWidth: Map[String, Int] = full.fields.iterator
+    .map(f => f.name -> ManifestV2.statType(f.dataType))
+    .filter(_._2 != 0).toMap
   private def conjuncts(f: Filter): Seq[Filter] = f match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case o => Seq(o)
@@ -295,13 +305,16 @@ private[sources] final class ManifestSplitState(
       val cc = it.next()
       val name = cc.getPath.toDotString
       chunks(name) = cc
-      if (longCols.contains(name)) {
+      if (statWidth.contains(name)) {
         val s = cc.getStatistics
         if (s != null && !s.isEmpty) {
           if (s.hasNonNullValue) s.genericGetMin match {
             case lo: java.lang.Long =>
               stats(name) = (lo.longValue(),
                 s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            case lo: java.lang.Integer =>
+              stats(name) = (lo.longValue(),
+                s.genericGetMax.asInstanceOf[java.lang.Integer].longValue())
             case _ => ()
           }
           if (s.isNumNullsSet) nulls(name) = s.getNumNulls
@@ -323,6 +336,22 @@ private[sources] final class ManifestSplitState(
           if (bfr == null) bfr = reader.getBloomFilterDataReader(b)
           val bf = bfr.readBloomFilter(chunks(c))
           if (bf != null && !bf.findHash(bf.hash(v.longValue()))) {
+            ManifestV2.rgBloomSkipCount.increment()
+            return true
+          }
+        // IN — the shape runtime (DPP) filters arrive in: the group is
+        // skippable when the bloom disproves EVERY listed key. Bounded
+        // so a huge realized key list doesn't turn the probe itself
+        // into the cost.
+        case org.apache.spark.sql.sources.In(c, vs)
+            if vs.nonEmpty && vs.length <= 64 && longCols.contains(c) &&
+              chunks.contains(c) &&
+              vs.forall(_.isInstanceOf[java.lang.Number]) =>
+          if (bfr == null) bfr = reader.getBloomFilterDataReader(b)
+          val bf = bfr.readBloomFilter(chunks(c))
+          if (bf != null && vs.forall(v =>
+            !bf.findHash(bf.hash(v.asInstanceOf[java.lang.Number]
+              .longValue())))) {
             ManifestV2.rgBloomSkipCount.increment()
             return true
           }

@@ -193,6 +193,67 @@ object ManifestV2 {
     full.crossJoin(ranged).orderBy($"band")
   }
 
+  /** Driver-contract query for TEMPORAL columns end to end: `events`
+    * lands in the warehouse with its REAL `ts` as a TIMESTAMP column —
+    * three time-sliced appends (disjoint per-file [min,max] micros
+    * boxes), each sorted within one task with a small row-group size
+    * (disjoint per-GROUP chunk boxes) — then a time-range read comes
+    * back through the vectorized leaf. The range predicate is pushed
+    * as a temporal literal, converted to micros by [[boxLit]], and
+    * prunes at BOTH granularities: whole files off manifest boxes,
+    * then row groups off chunk statistics — at 100 TB the time-range
+    * predicate is THE pruning predicate of an event table, and before
+    * this round a TIMESTAMP column could not even be STORED by the
+    * connector (TemporalTypesSpec pins the skip counters; this hash
+    * pins that pruning never drops a live row).
+    */
+  def tsPruneQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Sources.scratchDir(spark, "manifest_ts")
+    val dest = new java.io.File(base,
+      java.util.UUID.randomUUID().toString).toString
+    // Tables.events serves ts as LONG NANOS (the corpus is
+    // TIMESTAMP(NANOS) parquet); re-type it to a true TIMESTAMP column
+    // — nanos are micros*1000 in this corpus, so the division is exact
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id",
+        expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        $"user_id", $"event_type")
+    for (cut <- Seq(("2024-01-01", "2024-01-11"),
+        ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")))
+      ev.filter($"ts" >= lit(cut._1).cast("timestamp") &&
+          $"ts" < lit(cut._2).cast("timestamp"))
+        .repartition(1).sortWithinPartitions($"ts")
+        .write.format("graft.sources.ManifestV2")
+        .option("path", dest).option("rowGroupSize", "8192")
+        .mode("append").save()
+    spark.read.format("graft.sources.ManifestV2").option("path", dest).load()
+      .where($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-13 00:00:00").cast("timestamp"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(user_id) AS BIGINT)").as("uid_sum"),
+        expr("unix_micros(MIN(ts))").as("min_ts_us"),
+        expr("unix_micros(MAX(ts))").as("max_ts_us"))
+      .orderBy($"event_type")
+  }
+
+  /** [[tsPruneQuery]] oracle: the same range aggregate straight off
+    * events — storage, pruning, and the micros round-trip must all be
+    * invisible.
+    */
+  def tsPruneSql(): String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+      |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+      |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** [[rowGroupScanQuery]] oracle: both aggregates off orders. */
   def rowGroupScanSql(): String =
     """SELECT (o_orderkey % 97) % 10 AS band, COUNT(*) AS n,
@@ -361,6 +422,7 @@ object ManifestV2 {
   private[graft] val segsSkippedCount = new java.util.concurrent.atomic.LongAdder
   private[graft] val rgStatsSkipCount = new java.util.concurrent.atomic.LongAdder
   private[graft] val rgBloomSkipCount = new java.util.concurrent.atomic.LongAdder
+  private[graft] val rtFileSkipCount = new java.util.concurrent.atomic.LongAdder
 
   /** Read a snapshot FOR SCAN PLANNING, skipping every metadata
     * segment whose `@seg` envelope proves the pushed conjunction can
@@ -385,6 +447,12 @@ object ManifestV2 {
       if (lines.size > 3 && lines.get(3).startsWith("@part\t"))
         (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
       else (None, 3)
+    // hidden-partition transposition at SEGMENT granularity: the `@p`
+    // envelope spans a segment's files' point boxes, so the implied
+    // conjuncts prune whole metadata files before any entry is read
+    val conj = part.map(PartTransform.parse).fold(filters) { s =>
+      filters ++ PartTransform.impliedPartitionConjuncts(s, schema, filters)
+    }
     var i = afterPart
     if (i < lines.size && lines.get(i).startsWith("@maint\t")) i += 1
     while (i < lines.size && lines.get(i).startsWith("@check\t")) i += 1
@@ -401,8 +469,8 @@ object ManifestV2 {
       // as box would be: "no row can match" at segment granularity.
       // (Some(false) from a box is null-sound; null counts are not
       // needed here.)
-      val skip = filters.nonEmpty && envelope.exists(env =>
-        decideBox(filters, FileEntry("@env", 1L, env)).contains(false))
+      val skip = conj.nonEmpty && envelope.exists(env =>
+        decideBox(conj, FileEntry("@env", 1L, env)).contains(false))
       if (skip) segsSkippedCount.increment()
       else {
         segsReadCount.increment()
@@ -806,11 +874,22 @@ object ManifestV2 {
     val target = math.max(1L, (rows + maxRows - 1L) / maxRows).toInt
     val frags = spark.read.format("graft.sources.ManifestV2")
       .option("path", path).option("files", names.mkString(",")).load()
-    // unpartitioned tables coalesce to the target count; partitioned
-    // ones get re-clustered by the write's required distribution anyway
-    (if (st.part.isEmpty) frags.repartition(target) else frags)
-      .write.format("graft.sources.ManifestV2")
+    // unpartitioned tables coalesce to the target count; identity-
+    // partitioned ones get re-clustered by the write's required
+    // distribution; TRANSFORM-partitioned ones are pre-clustered here
+    // (a path-routed write has no function catalog to resolve the
+    // transform against, so the write itself runs unclustered — the
+    // task writer still derives and splits per value, this clustering
+    // only minimizes the output file count)
+    val spec = st.part.map(PartTransform.parse)
+    val isTransform = spec.exists(!_.isInstanceOf[PartTransform.Identity])
+    val pre =
+      if (st.part.isEmpty) frags.repartition(target)
+      else if (!isTransform) frags
+      else frags.repartition(compactClusterCol(spark, spec.get, st.schema))
+    pre.write.format("graft.sources.ManifestV2")
       .option("path", path)
+      .option("clusteredWrite", if (isTransform) "false" else "true")
       // full ENTRIES, not just names: the commit validates each
       // replaced file bit-identical in the succeeding snapshot, so a
       // merge-on-read DELETE landing a sidecar between this scan and
@@ -822,6 +901,41 @@ object ManifestV2 {
     val after = readManifest(root).map(_.files.size).getOrElse(0)
     val filesOut = after - (st.files.size - smalls.size)
     (smalls.size.toLong, filesOut.toLong, rows)
+  }
+
+  /** A clustering COLUMN equal-in-grouping to the hidden transform's
+    * partition value, for pre-clustering maintenance rewrites: rows
+    * with the same derived value land in the same task, so the
+    * unclustered write emits one file per live partition value. The
+    * bucket UDFs call the exact shared derivation; the temporal/trunc
+    * expressions are zone-free integer arithmetic over internal units.
+    * Grouping is the only contract here — the authoritative value is
+    * derived again inside the task writer.
+    */
+  private def compactClusterCol(spark: org.apache.spark.sql.SparkSession,
+      spec: PartTransform.Spec,
+      schema: StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val dt = schema.fields.find(_.name == spec.col).get.dataType
+    spec match {
+      case PartTransform.Bucket(n, c) if dt == StringType =>
+        udf((s: String) => PartTransform.bucketUtf8(n,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+          .apply(col(c))
+      case PartTransform.Bucket(n, c) =>
+        udf((v: Long) => PartTransform.bucketLong(n, v)).apply(col(c))
+      case PartTransform.Days(c) if dt == DateType => col(c)
+      case PartTransform.Days(c) =>
+        expr(s"unix_micros($c) div 86400000000")
+      case PartTransform.Hours(c) =>
+        expr(s"unix_micros($c) div 3600000000")
+      case PartTransform.Months(c) if dt == DateType =>
+        expr(s"(year($c) - 1970) * 12 + month($c) - 1")
+      case PartTransform.Months(c) =>
+        expr(s"(year($c) - 1970) * 12 + month($c) - 1")
+      case PartTransform.Trunc(w, c) => expr(s"$c div $w * $w")
+      case PartTransform.Identity(c) => col(c)
+    }
   }
 
   /** Range-cluster the whole snapshot on one BIGINT column into
@@ -1187,6 +1301,43 @@ object ManifestV2 {
     * them wrongly. Entries without null counts (pre-upgrade) decide
     * Some(false) only.
     */
+  /** Stats-box eligibility of a column type: 0 = no box, 1 = INT64-
+    * backed (BIGINT / TIMESTAMP micros), 2 = INT32-backed widened to
+    * Long (INT / DATE days). The box is Long in every case, in the
+    * column's INTERNAL units, and [[boxLit]] converts filter literals
+    * to those same units — so box comparisons are unit-consistent by
+    * construction.
+    */
+  private[graft] def statType(dt: DataType): Int = dt match {
+    case LongType | TimestampType | TimestampNTZType => 1
+    case IntegerType | DateType => 2
+    case _ => 0
+  }
+
+  /** A pushed-filter literal as a Long in internal units, if the
+    * literal's class has one: numbers as-is, timestamp literals
+    * (either java.time or java.sql form, per
+    * spark.sql.datetime.java8API.enabled) as MICROS since epoch, date
+    * literals as DAYS since epoch — matching what the writer boxed for
+    * the corresponding column types. The class of the literal is
+    * pinned to the column's type by Spark's filter translation, so
+    * class-directed conversion cannot mix units.
+    */
+  private[graft] def boxLit(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case lt: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(lt))
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case _ => None
+  }
+
   private[graft] def decideBox(filters: Array[Filter],
       e: FileEntry): Option[Boolean] = {
     if (e.rows == 0L) return Some(true) // an empty file matches vacuously
@@ -1198,10 +1349,7 @@ object ManifestV2 {
 
   private def evalBox(f: Filter, e: FileEntry): Option[Boolean] = {
     val stats = e.stats
-    def lit(v: Any): Option[Long] = v match {
-      case n: java.lang.Number => Some(n.longValue())
-      case _ => None
-    }
+    def lit(v: Any): Option[Long] = boxLit(v)
     def nullFree(cols: Array[String]): Boolean =
       cols.forall(c => e.nulls.get(c).contains(0L))
     def cmp(col: String, v: Any)(
@@ -1254,10 +1402,9 @@ object ManifestV2 {
       // the key column into every subsequent read's decode set even on
       // files provably unaffected. "Every row matches" needs the box
       // to be a point equal to a listed value, and null-freedom.
-      case In(c, vs) if vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[java.lang.Number]) =>
+      case In(c, vs) if vs.nonEmpty && vs.forall(boxLit(_).isDefined) =>
         stats.get(c).flatMap { case (lo, hi) =>
-          val xs = vs.map(_.asInstanceOf[java.lang.Number].longValue())
+          val xs = vs.map(boxLit(_).get)
           if (xs.forall(x => x < lo || x > hi)) Some(false)
           else if (lo == hi && xs.contains(lo) && nullFree(Array(c)))
             Some(true)
@@ -1328,6 +1475,18 @@ object ManifestV2 {
         case BooleanType => Types.optional(BOOLEAN)
         case StringType =>
           Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        // temporal columns are physically integers (Spark's own
+        // internal form: micros since epoch / days since epoch), so
+        // they ride the INT64/INT32 machinery — stats boxes, row-group
+        // splits, vectorized decode — with only a logical annotation
+        case TimestampType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case DateType => Types.optional(INT32).as(
+          LogicalTypeAnnotation.dateType())
         case o => throw new UnsupportedOperationException(
           s"ManifestV2 row format does not support $o")
       }
@@ -1395,7 +1554,8 @@ class ManifestTable(path: String, externalSchema: StructType,
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
     else meta.map(_.schema).getOrElse(new StructType())
   override def partitioning(): Array[Transform] =
-    meta.flatMap(_.part).map(c => Expressions.identity(c)).toArray
+    meta.flatMap(_.part)
+      .map(c => PartTransform.v2Transform(PartTransform.parse(c))).toArray
 
   /** ENFORCED CHECK constraints from the manifest: Spark's
     * ResolveTableConstraints compiles them into every write plan, so a
@@ -1417,7 +1577,9 @@ class ManifestTable(path: String, externalSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** Plain reads scan the pinned (or live) snapshot. With a
     * `startVersion` (exclusive) and optional `endVersion` (inclusive,
@@ -2256,7 +2418,7 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
   override def name(): String = s"graft_manifest($path) [staged]"
   override def schema(): StructType = stagedSchema
   override def partitioning(): Array[Transform] =
-    part.map(c => Expressions.identity(c)).toArray
+    part.map(c => PartTransform.v2Transform(PartTransform.parse(c))).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
@@ -2278,17 +2440,23 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             stagedMsgs = messages
             pending = ManifestV2.flatCommits(messages).map(m =>
-              ManifestV2.FileEntry(m.file, m.rows, m.stats))
+              ManifestV2.FileEntry(m.file, m.rows, m.stats,
+                nulls = m.nulls, rgs = m.rgs))
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             ManifestV2.deleteStaged(path, messages)
         }
         part match {
           case Some(col) => new Write with RequiresDistributionAndOrdering {
+            private val spec = PartTransform.parse(col)
             override def description(): String =
-              s"graft ManifestV2 staged partitioned($col) write -> $path"
+              s"graft ManifestV2 staged partitioned(${spec.render}) " +
+                s"write -> $path"
             override def requiredDistribution(): Distribution =
-              Distributions.clustered(Array(Expressions.identity(col)))
+              Distributions.clustered(Array(spec match {
+                case PartTransform.Identity(c) => Expressions.identity(c)
+                case s => PartTransform.v2Transform(s)
+              }))
             override def requiredOrdering(): Array[SortOrder] = Array.empty
             override def toBatch: BatchWrite = batch
           }
@@ -2350,9 +2518,36 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
   * previous manifest version, until [[ManifestV2.expireSnapshots]].
   */
 class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
-    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+    truncate: Boolean,
+    overwriteWhere: Array[Filter] = Array.empty,
+    overwriteDynamic: Boolean = false) extends WriteBuilder
+    with SupportsTruncate with SupportsOverwrite
+    with SupportsDynamicOverwrite {
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, info, truncate = true)
+  /** OVERWRITE-BY-FILTER (`writeTo(t).overwrite(cond)`, static INSERT
+    * OVERWRITE): delete-matching + append as ONE atomic swap. The
+    * delete half is strictly METADATA-ONLY — every existing file must
+    * be box-decidable under the condition (all-match drops it by name,
+    * no-match keeps it untouched, a straddler fails the statement
+    * loudly with the alignment rule) — because an ingest primitive
+    * that silently rewrote terabytes would be a footgun at 100 TB.
+    * Time-range conditions are decidable off temporal boxes; hidden
+    * day partitions make day-aligned conditions decidable BY LAYOUT.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder =
+    if (filters.forall(_ == AlwaysTrue())) truncate()
+    else new ManifestWriteBuilder(path, info, truncate = false,
+      overwriteWhere = filters)
+  /** DYNAMIC PARTITION OVERWRITE (`writeTo(t).overwritePartitions()`,
+    * INSERT OVERWRITE under partitionOverwriteMode=dynamic): replace
+    * exactly the partition VALUES present in the incoming data — the
+    * daily re-ingest shape (yesterday's partition swaps for its
+    * correction, every other day untouched, one commit).
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder =
+    new ManifestWriteBuilder(path, info, truncate = false,
+      overwriteDynamic = true)
   override def build(): Write = {
     val part = ManifestV2.readManifest(ManifestV2.rootOf(path))
       .flatMap(_.part)
@@ -2371,18 +2566,28 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
     // `maintenance=true` marks the commit @maint (same logical content,
     // new physical layout) — change feeds skip it
     val maint = Option(info.options().get("maintenance")).exists(_.toBoolean)
+    // `clusteredWrite=false`: the caller pre-clustered (or accepts the
+    // incoming layout) — used by PATH-routed maintenance rewrites,
+    // where a transform distribution has no function catalog to
+    // resolve against
+    val cluster = !Option(info.options().get("clusteredWrite"))
+      .contains("false")
+    if (overwriteDynamic) require(part.isDefined,
+      "dynamic partition overwrite needs a partitioned table")
     part match {
       case Some(col) => new ManifestPartitionedWrite(path, info.schema(),
         col, truncate, replacing = None, replaceFiles = replace,
         replaceEntries = replaceEntries, rowGroupSize = rgSize,
-        maintenance = maint)
+        maintenance = maint, requireClustering = cluster,
+        overwriteWhere = overwriteWhere, overwriteDynamic = overwriteDynamic)
       case None => new Write {
         override def description(): String =
           s"graft ManifestV2 write -> $path"
         override def toBatch: BatchWrite =
           new ManifestBatchWrite(path, info.schema(), truncate,
             replaceFiles = replace, replaceEntries = replaceEntries,
-            rowGroupSize = rgSize, maintenance = maint)
+            rowGroupSize = rgSize, maintenance = maint,
+            overwriteWhere = overwriteWhere)
         override def toStreaming: StreamingWrite =
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
             truncate,
@@ -2410,14 +2615,36 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     replaceFiles: Seq[String] = Seq.empty,
     replaceEntries: Seq[ManifestV2.FileEntry] = Seq.empty,
     rowGroupSize: Option[Long] = None,
-    maintenance: Boolean = false)
+    maintenance: Boolean = false,
+    requireClustering: Boolean = true,
+    overwriteWhere: Array[Filter] = Array.empty,
+    overwriteDynamic: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
-  require(schema.fieldNames.contains(partCol),
-    s"write schema ${schema.toDDL} lacks partition column $partCol")
+  private val spec = PartTransform.parse(partCol)
+  require(schema.fieldNames.contains(spec.col),
+    s"write schema ${schema.toDDL} lacks partition column ${spec.col}")
   override def description(): String =
-    s"graft ManifestV2 partitioned($partCol) write -> $path"
+    s"graft ManifestV2 partitioned(${spec.render}) write -> $path"
+  /** Identity clusters on the column; a hidden transform clusters on
+    * the TRANSFORM expression — Spark resolves it through the table
+    * catalog's V2 functions ([[GraftCatalog.loadFunction]]), hashes
+    * rows by the derived value, and each task sees whole partition
+    * values (the Iceberg write-distribution shape).
+    *
+    * `requireClustering = false` (the internal `clusteredWrite=false`
+    * write option) drops the demand: a PATH-routed write has no
+    * function catalog to resolve a transform expression against, so
+    * maintenance rewrites (compaction) pre-cluster the frame
+    * explicitly and opt out here. Output stays partition-pure either
+    * way — the task writer derives and splits per value regardless;
+    * only the file count depends on the incoming layout.
+    */
   override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.identity(partCol)))
+    if (!requireClustering) Distributions.unspecified()
+    else Distributions.clustered(Array(spec match {
+      case PartTransform.Identity(c) => Expressions.identity(c)
+      case s => PartTransform.v2Transform(s)
+    }))
   override def requiredOrdering(): Array[SortOrder] = Array.empty
   override def toBatch: BatchWrite = replacing match {
     case Some(op) => new ManifestReplaceDataWrite(path, schema, op,
@@ -2425,7 +2652,8 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     case None => new ManifestBatchWrite(path, schema, truncate,
       partitioned = Some(partCol), replaceFiles = replaceFiles,
       replaceEntries = replaceEntries, rowGroupSize = rowGroupSize,
-      maintenance = maintenance)
+      maintenance = maintenance, overwriteWhere = overwriteWhere,
+      overwriteDynamic = overwriteDynamic)
   }
   override def toStreaming: StreamingWrite =
     throw new UnsupportedOperationException(
@@ -2447,21 +2675,33 @@ class ManifestScanBuilder(root: Path, full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Is a filter's SHAPE stats-box-evaluable (numeric comparisons on
-    * named columns, composed by AND/OR/NOT)? Per-file decidability
-    * still depends on that file carrying the column's stats — a file
-    * without them simply evaluates to "undecidable, keep".
+  /** Is a filter's SHAPE stats-box-evaluable (numeric or temporal
+    * comparisons on named columns, composed by AND/OR/NOT)? Per-file
+    * decidability still depends on that file carrying the column's
+    * stats — a file without them simply evaluates to "undecidable,
+    * keep". Temporal literals qualify because the writer boxes
+    * TIMESTAMP/DATE columns in their internal integer units and
+    * [[ManifestV2.boxLit]] converts the literal to the same units — at
+    * 100 TB the time-range predicate is THE pruning predicate of an
+    * event table.
     */
   private def boxShaped(f: Filter): Boolean = f match {
     case And(l, r) => boxShaped(l) && boxShaped(r)
     case Or(l, r) => boxShaped(l) && boxShaped(r)
     case Not(c) => boxShaped(c)
     case AlwaysTrue() | AlwaysFalse() => true
-    case EqualTo(_, _: java.lang.Number) => true
-    case GreaterThan(_, _: java.lang.Number) => true
-    case GreaterThanOrEqual(_, _: java.lang.Number) => true
-    case LessThan(_, _: java.lang.Number) => true
-    case LessThanOrEqual(_, _: java.lang.Number) => true
+    // STRING equality/IN are box-UNDECIDABLE (no string boxes) but are
+    // kept pushed: a hidden bucket(N, stringCol) partition transposes
+    // them into `@p` pruning conjuncts, which is the only plan-time
+    // pruning a hashed string key can get
+    case EqualTo(_, v) =>
+      ManifestV2.boxLit(v).isDefined || v.isInstanceOf[String]
+    case GreaterThan(_, v) => ManifestV2.boxLit(v).isDefined
+    case GreaterThanOrEqual(_, v) => ManifestV2.boxLit(v).isDefined
+    case LessThan(_, v) => ManifestV2.boxLit(v).isDefined
+    case LessThanOrEqual(_, v) => ManifestV2.boxLit(v).isDefined
+    case In(_, vs) => vs.nonEmpty && vs.forall(v =>
+      ManifestV2.boxLit(v).isDefined || v.isInstanceOf[String])
     case IsNull(_) | IsNotNull(_) => true // decidable off null counts
     case _ => false
   }
@@ -2532,8 +2772,14 @@ class ManifestScanBuilder(root: Path, full: StructType,
       : Option[(Seq[(String, Option[String])], Seq[ManifestV2.FileEntry])] = {
     if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty)
       return None
+    // any box-eligible column serves MIN/MAX off the manifest: BIGINT,
+    // INT, and the temporal types (the box is the internal integer
+    // form, which is exactly what the typed InternalRow cell wants) —
+    // `SELECT MAX(ts) FROM events`, the monitoring query every
+    // pipeline runs, is a manifest read at any table size
     def statCol(c: Option[String]): Option[String] = c.filter(n =>
-      full.fields.exists(f => f.name == n && f.dataType == LongType))
+      full.fields.exists(f => f.name == n &&
+        ManifestV2.statType(f.dataType) != 0))
     val specs = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(("count", None))
       case m: Min => statCol(colOf(m.column())).map(c => ("min", Some(c)))
@@ -2578,7 +2824,7 @@ class ManifestScanBuilder(root: Path, full: StructType,
   override def build(): Scan =
     if (aggSpecs.nonEmpty)
       // serve the SAME snapshot the pushdown validated, never a re-read
-      new ManifestAggScan(root.toString, aggFiles, aggSpecs)
+      new ManifestAggScan(root.toString, aggFiles, aggSpecs, full)
     else fixedFiles match {
       case Some(files) =>
         val st = ManifestV2.readManifest(root, version)
@@ -2602,13 +2848,19 @@ class ManifestScanBuilder(root: Path, full: StructType,
 }
 
 /** The metadata-aggregate scan: one split, one row, straight off the
-  * manifest — no data file is opened.
+  * manifest — no data file is opened. MIN/MAX cells carry the COLUMN's
+  * type: temporal boxes are already the internal integer form (micros
+  * / days), so the Long (or Int, for INT32-backed columns) lands in
+  * the typed InternalRow cell unconverted.
   */
 class ManifestAggScan(root: String, files: Seq[ManifestV2.FileEntry],
-    specs: Seq[(String, Option[String])]) extends Scan with Batch {
+    specs: Seq[(String, Option[String])],
+    full: StructType = new StructType()) extends Scan with Batch {
+  private def typeOf(c: String): DataType =
+    full.fields.find(_.name == c).map(_.dataType).getOrElse(LongType)
   override def readSchema(): StructType = StructType(specs.map {
     case ("count", _) => StructField("count_star", LongType, nullable = false)
-    case (op, Some(c)) => StructField(s"${op}_$c", LongType, nullable = true)
+    case (op, Some(c)) => StructField(s"${op}_$c", typeOf(c), nullable = true)
     case other => throw new IllegalStateException(s"bad agg spec $other")
   })
   override def toBatch: Batch = this
@@ -2617,14 +2869,16 @@ class ManifestAggScan(root: String, files: Seq[ManifestV2.FileEntry],
       s"specs=[${specs.map { case (o, c) => o + c.fold("")("_" + _) }.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
     Array(ManifestAggPartition(values))
+  private def cell(c: String, v: Long): Any =
+    if (ManifestV2.statType(typeOf(c)) == 2) v.toInt else v
   private def values: Seq[Any] = {
     val data = files.filter(_.rows > 0L)
     specs.map {
       case ("count", _) => files.map(_.rows).sum
       case ("min", Some(c)) =>
-        if (data.isEmpty) null else data.map(_.stats(c)._1).min
+        if (data.isEmpty) null else cell(c, data.map(_.stats(c)._1).min)
       case ("max", Some(c)) =>
-        if (data.isEmpty) null else data.map(_.stats(c)._2).max
+        if (data.isEmpty) null else cell(c, data.map(_.stats(c)._2).max)
       case other => throw new IllegalStateException(s"bad agg spec $other")
     }
   }
@@ -2648,7 +2902,19 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     partCol: Option[String] = None, pushed: Array[Filter] = Array.empty,
     morStreamMode: String = "fail")
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+  private val pSpec: Option[PartTransform.Spec] =
+    partCol.map(PartTransform.parse)
+  /** Implied `@p` conjuncts of the pushed predicates under the table's
+    * hidden transform ([[PartTransform.impliedPartitionConjuncts]]):
+    * extra pruning conjuncts for the plan-time box decision below —
+    * never passed to the leaf reader (no data file has an `@p`
+    * column). For a bucketed table this is what turns a key point
+    * lookup into a 1-in-N file plan.
+    */
+  private val partPruned: Array[Filter] = pSpec
+    .map(PartTransform.impliedPartitionConjuncts(_, full, pushed))
+    .getOrElse(Array.empty)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -2656,7 +2922,9 @@ class ManifestScan(root: String, full: StructType, required: StructType,
       s"splits=$splitCount " +
       s"cols=[${required.fieldNames.mkString(",")}]" +
       s" pushed=[${pushed.mkString(",")}]" +
-      (if (keyGrouped) s" keyGrouped=${partCol.get}" else "")
+      (if (partPruned.nonEmpty) s" partPruned=[${partPruned.mkString(",")}]"
+       else "") +
+      (if (keyGrouped) s" keyGrouped=${pSpec.get.render}" else "")
 
   /** Planned split count (row-group-granular on unpartitioned files
     * with known row groups) — surfaced in explain output so a plan
@@ -2667,12 +2935,15 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     else planned.map(f => math.max(1, f.rgs.size)).sum
 
   /** The planned file set after stats-box pruning: a file is skipped
-    * exactly when the pushed conjunction provably matches no row of it
+    * exactly when the pushed conjunction — plus its implied hidden-
+    * partition conjuncts — provably matches no row of it
     * (`decideBox == Some(false)`). No pushed filters = every file.
     */
-  private val planned: Seq[ManifestV2.FileEntry] =
-    if (pushed.isEmpty) files
-    else files.filter(e => !ManifestV2.decideBox(pushed, e).contains(false))
+  private val planned: Seq[ManifestV2.FileEntry] = {
+    val conj = pushed ++ partPruned
+    if (conj.isEmpty) files
+    else files.filter(e => !ManifestV2.decideBox(conj, e).contains(false))
+  }
 
   /** Manifest-derived statistics: exact LIVE row count of the PLANNED
     * files (post-pruning, minus each file's distinct position-delete
@@ -2715,17 +2986,27 @@ class ManifestScan(root: String, full: StructType, required: StructType,
       java.util.OptionalLong.of(rows)
   }
 
+  /** A file's proven partition value: the partition column's own point
+    * box for identity partitioning, the reserved `@p` point box for a
+    * hidden transform (a hash bucket is not derivable from the source
+    * column's box).
+    */
   private def keyOf(e: ManifestV2.FileEntry): Option[Long] =
-    partCol.flatMap(e.stats.get).collect { case (lo, hi) if lo == hi => lo }
+    pSpec.flatMap {
+      case PartTransform.Identity(c) => e.stats.get(c)
+      case _ => e.stats.get(PartTransform.PKey)
+    }.collect { case (lo, hi) if lo == hi => lo }
   private val dataFiles = planned.filter(_.rows > 0L)
   /** The storage-partitioned-join contract holds iff every (non-empty)
-    * file is PROVABLY single-valued on the partition column — its
+    * file is PROVABLY single-valued on the partition value — its
     * stats box is a point. The partitioned write path guarantees that
     * by construction; an old pre-partitioning file would simply turn
-    * the report off rather than lie.
+    * the report off rather than lie. The report also needs the
+    * transform's SOURCE column in the read schema (the partitioning
+    * expression references it).
     */
   private val keyGrouped: Boolean =
-    partCol.exists(required.fieldNames.contains) &&
+    pSpec.exists(s => required.fieldNames.contains(s.col)) &&
       dataFiles.nonEmpty && dataFiles.forall(e => keyOf(e).isDefined)
 
   /** Bucketed splits: row-group-granular like the unpartitioned path,
@@ -2745,11 +3026,69 @@ class ManifestScan(root: String, full: StructType, required: StructType,
           rgLo = i, rgHi = i + 1))
     }
 
+  /** Identity reports the bare column (resolvable with no function
+    * catalog); a hidden transform reports the TRANSFORM expression —
+    * Spark resolves it through [[GraftCatalog]]'s V2 functions, and
+    * two tables with the SAME transform (same function canonical name,
+    * same bucket count) storage-partition-join with zero shuffle.
+    */
   override def outputPartitioning(): Partitioning =
     if (keyGrouped)
-      new KeyGroupedPartitioning(Array(Expressions.column(partCol.get)),
-        bucketedSplits.size)
+      new KeyGroupedPartitioning(Array(pSpec.get match {
+        case PartTransform.Identity(c) => Expressions.column(c)
+        case s => PartTransform.v2Transform(s)
+      }), bucketedSplits.size)
     else new UnknownPartitioning(files.size)
+
+  /** RUNTIME filtering (the DSv2 dynamic-partition-pruning contract):
+    * after a join's build side executes, Spark hands this scan the
+    * realized join-key values as IN predicates, and split planning
+    * shrinks to the files whose boxes could hold any of them — plus,
+    * under a hidden transform, to the files whose `@p` box matches a
+    * transposed key (a 100-customer dimension result prunes a hashed
+    * fact key at file granularity, which no static box could). Static
+    * pushdown prunes on what the QUERY says; this prunes on what the
+    * DATA said at run time. The realized values ALSO flow to the leaf
+    * reader, where they skip row groups via chunk statistics and
+    * bloom filters. Best-effort by contract — Spark re-applies the
+    * exact predicate above. Key-grouped scans stay filterable too —
+    * Spark's BatchScanExec re-groups the surviving splits by partition
+    * value before a storage-partitioned zip.
+    */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    full.fields.collect {
+      case f if ManifestV2.statType(f.dataType) != 0 ||
+          pSpec.exists(_.col == f.name) => Expressions.column(f.name)
+    }
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val ins: Array[Filter] = predicates.flatMap { p =>
+      if (p.name() != "IN") None
+      else p.children().headOption.collect {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          val vals = p.children().toSeq.collect {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value() match {
+                case u: UTF8String => u.toString
+                case v => v
+              }
+          }
+          In(r.fieldNames.head, vals.toArray)
+      }.filter(_.asInstanceOf[In].values.nonEmpty)
+    }
+    if (ins.nonEmpty) runtime = runtime ++ ins ++
+      pSpec.map(PartTransform.impliedPartitionConjuncts(_, full, ins))
+        .getOrElse(Array.empty)
+  }
+  /** The file set after BOTH static and runtime pruning. */
+  private def livePlanned: Seq[ManifestV2.FileEntry] =
+    if (runtime.isEmpty) planned
+    else {
+      val live = planned.filter(e => !ManifestV2.decideBox(runtime, e)
+        .contains(false))
+      ManifestV2.rtFileSkipCount.add(planned.size - live.size)
+      live
+    }
 
   // ROW-GROUP-GRANULAR splits (the split-offsets shape): a file whose
   // manifest entry carries row-group row counts yields one split per
@@ -2762,8 +3101,15 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   // ordinals per split come from the footer at read time, so `_pos`
   // and position-delete subtraction stay exact across splits.
   override def planInputPartitions(): Array[InputPartition] =
-    if (keyGrouped) bucketedSplits.toArray
-    else planned.flatMap { f =>
+    if (keyGrouped) {
+      // runtime filtering composes with SPJ: prune whole files, then
+      // BatchScanExec re-groups the survivors by partition value
+      val live =
+        if (runtime.isEmpty) null else livePlanned.map(_.file).toSet
+      bucketedSplits.filter(s => live == null || live.contains(s.file))
+        .toArray
+    }
+    else livePlanned.flatMap { f =>
       if (f.rgs.size <= 1)
         Seq(ManifestFilePartition(root, f.file, f.deletes))
       else f.rgs.indices.map(i =>
@@ -2771,7 +3117,9 @@ class ManifestScan(root: String, full: StructType, required: StructType,
           rgHi = i + 1))
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(full, required, pushed)
+    new ManifestReaderFactory(full, required,
+      pushed ++ runtime.filterNot(f =>
+        f.references.contains(PartTransform.PKey)))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (!streamable) throw new UnsupportedOperationException(
       "cannot stream from a version-pinned or incremental scan — " +
@@ -2852,7 +3200,9 @@ class ManifestBatchWrite(path: String, schema: StructType,
     replaceFiles: Seq[String] = Seq.empty,
     replaceEntries: Seq[ManifestV2.FileEntry] = Seq.empty,
     rowGroupSize: Option[Long] = None,
-    maintenance: Boolean = false) extends BatchWrite {
+    maintenance: Boolean = false,
+    overwriteWhere: Array[Filter] = Array.empty,
+    overwriteDynamic: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     partitioned match {
       case Some(col) => new ManifestPartitionedWriterFactory(path, schema,
@@ -2892,10 +3242,55 @@ class ManifestBatchWrite(path: String, schema: StructType,
         "concurrent commit replaced or mutated " +
           (lostNames ++ lostEntries.map(_.file)).mkString(", ") +
           " — retry compaction")
+      // dynamic partition overwrite: drop every existing file whose
+      // PROVEN partition value appears among the incoming files'
+      // values; a pre-partitioning file with no provable value cannot
+      // be attributed and fails the statement (never silently kept)
+      val dynGone: ManifestV2.FileEntry => Boolean =
+        if (!overwriteDynamic) _ => false
+        else {
+          val spec = PartTransform.parse(partitioned.get)
+          def valueOf(e: ManifestV2.FileEntry): Option[Long] = (spec match {
+            case PartTransform.Identity(c) => e.stats.get(c)
+            case _ => e.stats.get(PartTransform.PKey)
+          }).collect { case (lo, hi) if lo == hi => lo }
+          val incoming = added.flatMap(valueOf).toSet
+          require(added.forall(e => e.rows == 0L || valueOf(e).isDefined),
+            "dynamic overwrite: an incoming file has no provable " +
+              "partition value")
+          e => e.rows > 0L && {
+            val v = valueOf(e)
+            require(v.isDefined,
+              s"dynamic overwrite cannot attribute ${e.file} to a " +
+                "partition (pre-partitioning file) — compact first")
+            incoming.contains(v.get)
+          }
+        }
+      // overwrite-by-filter: metadata-only delete half — every
+      // existing file must be box-decidable (all-match -> dropped,
+      // no-match -> kept BY NAME, straddler -> fail with the
+      // alignment rule)
+      val whereGone: ManifestV2.FileEntry => Boolean =
+        if (overwriteWhere.isEmpty) _ => false
+        else {
+          val conj = overwriteWhere ++ partitioned.toSeq.flatMap(p =>
+            PartTransform.impliedPartitionConjuncts(
+              PartTransform.parse(p), schema, overwriteWhere))
+          e => e.rows > 0L && (ManifestV2.decideBox(conj, e) match {
+            case Some(d) => d
+            case None => throw new IllegalStateException(
+              s"overwrite condition ${overwriteWhere.mkString(" AND ")} " +
+                s"straddles file ${e.file} — overwrite-by-filter is " +
+                "metadata-only; align the condition to the table's " +
+                "layout (e.g. whole days of a days(ts) table) or use " +
+                "DELETE + append")
+          })
+        }
       val kept =
         if (truncate) Seq.empty
         else prev.map(_.files).getOrElse(Seq.empty)
-          .filterNot(e => gone.contains(e.file))
+          .filterNot(e => gone.contains(e.file) || dynGone(e) ||
+            whereGone(e))
       // an append onto an existing table KEEPS the table's schema (incl.
       // its nullability) — the write's tighter schema must not narrow it
       ManifestV2.ManifestState(
@@ -3210,32 +3605,38 @@ case class ManifestCommit(file: String, rows: Long,
 case class ManifestMultiCommit(parts: Seq[ManifestCommit])
     extends WriterCommitMessage
 
-/** Ships to executors for identity-partitioned writes: rows are routed
-  * to one [[ManifestDataWriter]] per partition value (the clustered
-  * distribution bounds live writers at values-per-task, typically 1),
-  * so every staged file is single-valued — and provably so through its
-  * stats box — on the partition column.
+/** Ships to executors for partitioned writes — identity or hidden
+  * transform ([[PartTransform]]): each row's LONG partition value is
+  * derived by the spec's [[PartTransform.keyFn]] and rows are routed
+  * to one [[ManifestDataWriter]] per value (the clustered distribution
+  * bounds live writers at values-per-task, typically 1; a bucket
+  * transform bounds them at N by construction), so every staged file
+  * is single-valued — provably so through its stats box: the partition
+  * column's own box for identity, the reserved `@p` point box for
+  * transforms (the source column's box cannot encode a hash bucket).
   */
 class ManifestPartitionedWriterFactory(path: String, schema: StructType,
-    partCol: String, rowGroupSize: Option[Long] = None)
+    partSpec: String, rowGroupSize: Option[Long] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
-    val idx = schema.fieldIndex(partCol)
+    val spec = PartTransform.parse(partSpec)
+    val keyOf = PartTransform.keyFn(spec, schema)
+    val transform = !spec.isInstanceOf[PartTransform.Identity]
     new DataWriter[InternalRow] {
       private val open =
         scala.collection.mutable.LinkedHashMap.empty[Long, ManifestDataWriter]
       override def write(record: InternalRow): Unit = {
-        if (record.isNullAt(idx)) throw new IllegalArgumentException(
-          s"partition column $partCol must not be NULL")
-        val k = record.getLong(idx)
+        val k = keyOf(record)
         open.getOrElseUpdate(k,
           new ManifestDataWriter(path, schema, partitionId, taskId,
             tag = s"p$k", rowGroupSize = rowGroupSize)).write(record)
       }
       override def commit(): WriterCommitMessage =
-        ManifestMultiCommit(open.values.toSeq.map(w =>
-          w.commit().asInstanceOf[ManifestCommit]))
+        ManifestMultiCommit(open.toSeq.map { case (k, w) =>
+          val m = w.commit().asInstanceOf[ManifestCommit]
+          if (transform) PartTransform.withPointBox(m, k) else m
+        })
       override def abort(): Unit = open.values.foreach(_.abort())
       override def close(): Unit = ()
     }
@@ -3297,17 +3698,23 @@ class ManifestDataWriter(path: String, schema: StructType,
     b.build()
   }
   private var rows = 0L
-  // per-column [min, max] AND null count for BIGINT columns with
+  // per-column [min, max] AND null count for integer-backed columns
+  // (BIGINT, INT, TIMESTAMP as micros, DATE as days) with
   // manifest-safe names (the stats line format uses `:`/`,`
   // separators) — maintained inline at write time, zero extra passes.
   // Kept in the MANIFEST (not only the parquet footer) so pruning
   // decisions never open a data file. The null count is what licenses
   // "every row matches" decisions (metadata-only DELETE) — a [min,max]
-  // box alone says nothing about NULL rows.
+  // box alone says nothing about NULL rows. Boxes are Long in every
+  // case; temporal filter literals convert through [[ManifestV2.boxLit]]
+  // to the SAME internal units, so comparisons stay unit-consistent.
   private val statCols: Array[Int] = schema.fields.zipWithIndex.collect {
-    case (f, i) if f.dataType == LongType &&
+    case (f, i) if ManifestV2.statType(f.dataType) != 0 &&
       f.name.forall(c => c.isLetterOrDigit || c == '_') => i
   }
+  // 1 = read via getLong (INT64-backed), 2 = getInt widened (INT32)
+  private val statWidth: Array[Int] =
+    statCols.map(i => ManifestV2.statType(schema.fields(i).dataType))
   private val statLo = Array.fill(statCols.length)(Long.MaxValue)
   private val statHi = Array.fill(statCols.length)(Long.MinValue)
   private val statNulls = Array.fill(statCols.length)(0L)
@@ -3317,8 +3724,9 @@ class ManifestDataWriter(path: String, schema: StructType,
     var i = 0
     while (i < schema.length) {
       if (!record.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType => g.add(i, record.getLong(i))
-        case IntegerType => g.add(i, record.getInt(i))
+        case LongType | TimestampType | TimestampNTZType =>
+          g.add(i, record.getLong(i))
+        case IntegerType | DateType => g.add(i, record.getInt(i))
         case DoubleType => g.add(i, record.getDouble(i))
         case BooleanType => g.add(i, record.getBoolean(i))
         case StringType => g.add(i, record.getString(i).toString)
@@ -3332,7 +3740,9 @@ class ManifestDataWriter(path: String, schema: StructType,
     while (s < statCols.length) {
       val c = statCols(s)
       if (!record.isNullAt(c)) {
-        val v = record.getLong(c)
+        val v =
+          if (statWidth(s) == 2) record.getInt(c).toLong
+          else record.getLong(c)
         if (v < statLo(s)) statLo(s) = v
         if (v > statHi(s)) statHi(s) = v
       } else statNulls(s) += 1
