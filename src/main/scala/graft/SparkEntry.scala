@@ -139,6 +139,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.dynamicOverwriteQuery(s, d)),
     "dsv2_runtime_file_prune" -> ((s, d) =>
       graft.sources.GraftCatalog.runtimeFilePruneQuery(s, d)),
+    "dsv2_partition_evolution" -> ((s, d) =>
+      graft.sources.GraftCatalog.partitionEvolutionQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3678,6 +3680,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.dynamicOverwriteSql(),
     "dsv2_runtime_file_prune" ->
       graft.sources.GraftCatalog.runtimeFilePruneSql(),
+    "dsv2_partition_evolution" ->
+      graft.sources.GraftCatalog.partitionEvolutionSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

@@ -116,17 +116,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new ManifestTable(d.toString, null)
   }
 
-  /** SQL time travel (`SELECT … FROM graft.db.t VERSION AS OF n`):
-    * serve the table pinned to that immutable manifest version. Reads
-    * plan the historical file list; writes are rejected by the table.
+  /** SQL time travel (`SELECT … FROM graft.db.t VERSION AS OF n` or
+    * `VERSION AS OF 'tagname'`): serve the table pinned to that
+    * immutable manifest version — numeric, or resolved through a
+    * SNAPSHOT TAG (`CALL graft.system.tag`; a tag also pins its
+    * snapshot against expiry, so `VERSION AS OF 'audit-2026q3'` keeps
+    * working after any retention sweep). Reads plan the historical
+    * file list; writes are rejected by the table.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = dirOf(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"version must be a manifest number, got '$version'")
-    }
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else ManifestV2.listTags(d.toString).collectFirst {
+        case (n, tv) if n == version => tv
+      }.getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a manifest number nor a tag of $ident " +
+          s"(tags: ${ManifestV2.listTags(d.toString).map(_._1)
+            .mkString(", ")})"))
     if (ManifestV2.readManifest(d, v).isEmpty)
       throw new IllegalArgumentException(
         s"table $ident has no snapshot v$v " +
@@ -304,7 +312,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft tables only evolve by ADD COLUMN (got: $other)")
     }
     ManifestV2.ManifestState(
-      schema, st.epochs, st.files, part = st.part, checks = checks)
+      schema, st.epochs, st.files, part = st.part, checks = checks,
+      partHist = st.partHist)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -589,7 +598,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "cluster_by"),
         Identifier.of(Array("system"), "coalesce_deletes"),
-        Identifier.of(Array("system"), "remove_orphans"))
+        Identifier.of(Array("system"), "remove_orphans"),
+        Identifier.of(Array("system"), "set_partitioning"),
+        Identifier.of(Array("system"), "tag"),
+        Identifier.of(Array("system"), "drop_tag"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -608,6 +620,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "remove_orphans")
       new RemoveOrphansProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "set_partitioning")
+      new SetPartitioningProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "tag")
+      new TagProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "drop_tag")
+      new DropTagProcedure(warehouse)
     else throw new IllegalArgumentException(s"no such procedure: $ident")
 }
 
@@ -686,6 +707,131 @@ class CoalesceDeletesProcedure(warehouse: Path) extends UnboundProcedure {
           StructField("sidecars_after", LongType, nullable = false)))
         override def rows(): Array[InternalRow] = Array(
           InternalRow.fromSeq(Seq(files, before, after)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.set_partitioning(ns => …, tbl => …, spec => …)`:
+  * PARTITION EVOLUTION — change a table's partition spec WITHOUT
+  * rewriting a byte (the Iceberg spec-evolution shape, re-derived for
+  * the text manifest). The old spec is appended to the manifest's era
+  * history; existing files keep their point boxes under the OLD era's
+  * reserved key and keep pruning under the predicates transposed for
+  * THAT spec, while new writes derive, cluster, and box under the new
+  * one. `spec` is a transform render (`bucket(16, k)`, `days(ts)`,
+  * `truncate(1000, k)`, a bare BIGINT column for identity) or '' to
+  * stop partitioning. Storage-partitioned-join reporting needs every
+  * live file on the CURRENT spec — compaction restores it by
+  * rewriting old-era files (their boxes re-derive under the new
+  * spec). At 100 TB this is "we outgrew 8 buckets": re-bucketing is a
+  * metadata statement plus background compaction, not a table rewrite.
+  */
+class SetPartitioningProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "set_partitioning"
+  override def description(): String =
+    "change the table's partition spec without rewriting data " +
+      "(old files keep pruning under the spec that wrote them)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_partitioning"
+    override def description(): String =
+      SetPartitioningProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates table state
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("spec", StringType)
+        .comment("transform render, bare column, or '' to unpartition")
+        .build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val spec = Option(input.getString(2)).map(_.trim).filter(_.nonEmpty)
+      val (oldSpec, newId) = ManifestV2.setPartitioning(dir, spec)
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("old_spec", StringType, nullable = false),
+          StructField("new_spec", StringType, nullable = false),
+          StructField("spec_id", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(
+            org.apache.spark.unsafe.types.UTF8String.fromString(oldSpec),
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              spec.getOrElse("")),
+            newId)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.tag(ns => …, tbl => …, name => …, version => n)`
+  * — SNAPSHOT TAGS (the Iceberg named-ref shape): pin a manifest
+  * version under a name. `version => -1` tags the CURRENT snapshot.
+  * A tag serves time travel by name (`VERSION AS OF 'audit-2026q3'`)
+  * and pins its snapshot — and every file it references — against
+  * `expire_snapshots` until dropped: the reproducibility anchor a
+  * training-data pipeline needs ("the exact corpus the model saw")
+  * without freezing retention for the whole table.
+  */
+class TagProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin a snapshot version under a name (time travel by name; " +
+      "survives expire_snapshots until dropped)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String = TagProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("name", StringType).comment("tag name").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("snapshot version; -1 = current").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val v = input.getLong(3)
+      val tagged = ManifestV2.tagSnapshot(dir.toString, input.getString(2),
+        if (v < 0) None else Some(v))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              input.getString(2)), tagged)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.drop_tag(ns => …, tbl => …, name => …)` —
+  * release a snapshot tag; the snapshot becomes expirable again.
+  */
+class DropTagProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "drop_tag"
+  override def description(): String = "release a snapshot tag"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String = DropTagProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("name", StringType).comment("tag name").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      val existed = ManifestV2.dropTag(dir.toString, input.getString(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(existed)))
       }
       util.Collections.singletonList(res).iterator()
     }
@@ -1241,6 +1387,54 @@ object GraftCatalog {
       |  CAST(SUM(c_custkey) AS BIGINT) AS ck_sum
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE c_nationkey = 7""".stripMargin
+
+  /** Driver-contract query for PARTITION EVOLUTION: half of orders
+    * lands under `bucket(4, ck)`, the spec evolves to `bucket(16, ck)`
+    * in one metadata commit (`CALL graft.system.set_partitioning` —
+    * zero bytes rewritten, HiddenPartitionSpec pins file identity),
+    * the other half lands under the new spec, and the read back spans
+    * BOTH eras: each era's files prune under the spec that wrote them
+    * (era-0 via bucket4 on `@p`, era-1 via bucket16 on `@p1`). The
+    * point probe subquery exercises exactly that two-era
+    * transposition; the full aggregate pins that no row was lost or
+    * doubled across the evolution. The 100 TB story: "we outgrew 8
+    * buckets" is a statement plus background compaction, not a
+    * table rewrite.
+    */
+  def partitionEvolutionQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_pe_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.pev")
+    spark.sql("""CREATE TABLE graft.db.pev (ck BIGINT, okey BIGINT)
+      |PARTITIONED BY (bucket(4, ck))""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.pev
+      |SELECT o_custkey, o_orderkey FROM graft_pe_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    // bounded: a procedure result is one accounting row
+    spark.sql("CALL graft.system.set_partitioning(" +
+      "ns => 'db', tbl => 'pev', spec => 'bucket(16, ck)')").collect()
+    spark.sql("""INSERT INTO graft.db.pev
+      |SELECT o_custkey, o_orderkey FROM graft_pe_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql("""SELECT ck % 11 AS band, COUNT(*) AS n,
+      |  CAST(SUM(okey) AS BIGINT) AS key_sum,
+      |  (SELECT CAST(SUM(okey) AS BIGINT) FROM graft.db.pev
+      |     WHERE ck = 19) AS probe_sum
+      |FROM graft.db.pev GROUP BY ck % 11 ORDER BY band""".stripMargin)
+  }
+
+  /** [[partitionEvolutionQuery]] oracle: the evolution must be
+    * invisible — plain orders restates it.
+    */
+  def partitionEvolutionSql(): String =
+    """SELECT o_custkey % 11 AS band, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+      |     WHERE o_custkey = 19) AS probe_sum
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
 
   /** Driver-contract query for DAY-TRANSFORM partitioning: events land
     * in a `PARTITIONED BY (days(ts))` table with their real TIMESTAMP,

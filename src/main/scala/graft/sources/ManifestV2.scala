@@ -319,7 +319,14 @@ object ManifestV2 {
       epochs: Map[String, Long], files: Seq[FileEntry], version: Long = 0L,
       part: Option[String] = None,
       checks: Seq[(String, String)] = Nil,
-      maint: Boolean = false)
+      maint: Boolean = false,
+      partHist: Seq[String] = Nil) {
+    /** The CURRENT spec era's ordinal — index into the full era list
+      * (history first, current last). Files written under era `i`
+      * carry their point box under [[PartTransform.keyName]]`(i)`.
+      */
+    def partId: Int = partHist.size
+  }
 
   /** One immutable metadata segment: its file name and the entries it
     * carries. Reused by reference across versions.
@@ -383,10 +390,16 @@ object ManifestV2 {
         if (lines.size > 3 && lines.get(3).startsWith("@part\t"))
           (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
         else (None, 3)
-      val maint = lines.size > afterPart &&
-        lines.get(afterPart).startsWith("@maint\t")
+      val (hist, afterHist) =
+        if (lines.size > afterPart &&
+            lines.get(afterPart).startsWith("@parthist\t"))
+          (lines.get(afterPart).split("\t", 2)(1).split(";", -1).toSeq,
+            afterPart + 1)
+        else (Nil, afterPart)
+      val maint = lines.size > afterHist &&
+        lines.get(afterHist).startsWith("@maint\t")
       val checks = Seq.newBuilder[(String, String)]
-      var i = if (maint) afterPart + 1 else afterPart
+      var i = if (maint) afterHist + 1 else afterHist
       while (i < lines.size && lines.get(i).startsWith("@check\t")) {
         val Array(_, n, sql) = lines.get(i).split("\t", 3)
         checks += ((n, unesc(sql)))
@@ -408,7 +421,7 @@ object ManifestV2 {
       val segd = segs.result()
       val all = segd.flatMap(_.files) ++ inline
       Some((ManifestState(schema, epochs, all, v, part, checks.result(),
-        maint), segd, inline.toSeq))
+        maint, hist), segd, inline.toSeq))
     }
   }
 
@@ -435,7 +448,8 @@ object ManifestV2 {
     */
   private[graft] def readManifestPruned(root: Path, version: Long,
       filters: Array[Filter])
-      : Option[(StructType, Long, Option[String], Seq[FileEntry])] = {
+      : Option[(StructType, Long, Option[String], Seq[FileEntry],
+        Seq[String])] = {
     val m =
       if (version < 0L) root.resolve("manifest.txt")
       else root.resolve(s"manifest.v$version.txt")
@@ -447,13 +461,18 @@ object ManifestV2 {
       if (lines.size > 3 && lines.get(3).startsWith("@part\t"))
         (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
       else (None, 3)
-    // hidden-partition transposition at SEGMENT granularity: the `@p`
-    // envelope spans a segment's files' point boxes, so the implied
-    // conjuncts prune whole metadata files before any entry is read
-    val conj = part.map(PartTransform.parse).fold(filters) { s =>
-      filters ++ PartTransform.impliedPartitionConjuncts(s, schema, filters)
-    }
     var i = afterPart
+    var hist: Seq[String] = Nil
+    if (i < lines.size && lines.get(i).startsWith("@parthist\t")) {
+      hist = lines.get(i).split("\t", 2)(1).split(";", -1).toSeq
+      i += 1
+    }
+    // hidden-partition transposition at SEGMENT granularity: the `@p`
+    // envelopes span a segment's files' point boxes (one key per spec
+    // era), so the implied conjuncts prune whole metadata files
+    // before any entry is read
+    val conj = filters ++
+      PartTransform.impliedAcrossSpecs(part, hist, schema, filters)
     if (i < lines.size && lines.get(i).startsWith("@maint\t")) i += 1
     while (i < lines.size && lines.get(i).startsWith("@check\t")) i += 1
     val out = Seq.newBuilder[FileEntry]
@@ -480,7 +499,7 @@ object ManifestV2 {
       i += 1
     }
     while (i < lines.size) { out += parseFileLine(lines.get(i)); i += 1 }
-    Some((schema, v, part, out.result()))
+    Some((schema, v, part, out.result(), hist))
   }
 
   /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
@@ -551,9 +570,16 @@ object ManifestV2 {
     // the Delta dataChange=false analogue. Change feeds skip these
     // versions instead of emitting remove+add noise.
     val maintLine = if (state.maint) Seq("@maint\t1") else Seq.empty
+    // PARTITION EVOLUTION history: prior spec renders in era order
+    // (`""` marks an unpartitioned era, keeping ordinals aligned).
+    // Written only when present, so pre-evolution manifests are
+    // byte-identical to before.
+    val histLine =
+      if (state.partHist.isEmpty) Seq.empty
+      else Seq("@parthist\t" + state.partHist.mkString(";"))
     val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
-      (maintLine ++
+      (histLine ++ maintLine ++
       state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
       segLines ++
       inline.map(fileLine))).mkString("", "\n", "\n")
@@ -748,12 +774,73 @@ object ManifestV2 {
     * bounded by expiry cadence, exactly Iceberg's expire_snapshots.
     * Returns (expired versions, reclaimed data files).
     */
+  // ---- SNAPSHOT TAGS (the Iceberg named-ref shape): a tag is a name
+  // pinned to a manifest VERSION, stored as `refs/<name>` (content =
+  // the version number, staged + atomically moved). Tags serve time
+  // travel by name (`VERSION AS OF 'audit-2026q3'`) and — the real
+  // contract — PIN their snapshot against [[expireSnapshots]]: an
+  // audit or reproducibility anchor survives any retention sweep
+  // until the tag itself is dropped. ----
+
+  private def refsDir(root: Path): Path = root.resolve("refs")
+
+  private[graft] def validTagName(name: String): Boolean =
+    name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.') &&
+      !name.forall(_.isDigit) // a numeric name would shadow a version
+
+  def tagSnapshot(path: String, name: String,
+      version: Option[Long] = None): Long = {
+    val root = rootOf(path)
+    require(validTagName(name),
+      s"tag name must be [A-Za-z0-9._-]+ and not purely numeric: '$name'")
+    val v = version.getOrElse(readManifest(root).map(_.version).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root")))
+    require(readManifest(root, v).isDefined,
+      s"no snapshot v$v at $root (expired or never published)")
+    val f = refsDir(root).resolve(name)
+    require(!Files.exists(f),
+      s"tag '$name' already exists — drop it first (tags are pins, " +
+        "not branches)")
+    Files.createDirectories(refsDir(root))
+    val tmp = refsDir(root).resolve(s".$name.${java.util.UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalArgumentException(s"tag '$name' already exists", e)
+    }
+    v
+  }
+
+  def dropTag(path: String, name: String): Boolean =
+    Files.deleteIfExists(refsDir(rootOf(path)).resolve(name))
+
+  def listTags(path: String): Seq[(String, Long)] = {
+    val d = refsDir(rootOf(path))
+    if (!Files.isDirectory(d)) return Nil
+    val out = Seq.newBuilder[(String, Long)]
+    val st = Files.list(d)
+    try st.iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith("."))
+        out += ((n, new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8).trim.toLong))
+    } finally st.close()
+    out.result().sortBy(_._1)
+  }
+
   def expireSnapshots(path: String, keepLast: Int,
       orphanGraceMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val root = rootOf(path)
     val versions = listVersions(root)
-    val (old, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
+    // tagged versions are PINNED: they move from the expire set to the
+    // kept set, and every file/segment they reference stays reachable
+    val tagged = listTags(path).map(_._2).toSet
+    val (old0, kept0) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val old = old0.filterNot(tagged.contains)
+    val kept = old0.filter(tagged.contains) ++ kept0
     val keptRaw = kept.flatMap(v => readManifestSegs(root, v))
     // "referenced" covers data files AND their position-delete sidecars
     val referenced = keptRaw
@@ -1242,7 +1329,7 @@ object ManifestV2 {
         }
       }
       ManifestState(s.schema, s.epochs, files, part = s.part,
-        checks = s.checks, maint = true)
+        checks = s.checks, maint = true, partHist = s.partHist)
     }: Unit
     (merged.size.toLong, before, after)
   }
@@ -1336,6 +1423,31 @@ object ManifestV2 {
     case d: java.sql.Date =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
     case _ => None
+  }
+
+  /** PARTITION EVOLUTION: swap the table's partition spec in one
+    * manifest commit, rewriting nothing. The outgoing spec joins the
+    * era history (`""` for an unpartitioned era keeps ordinals
+    * aligned); files keep their boxes under the era key that wrote
+    * them; the next era's key is `@p<newId>`. Returns
+    * (outgoing spec render, new era ordinal).
+    */
+  private[graft] def setPartitioning(root: Path,
+      newSpec: Option[String]): (String, Long) = {
+    var out: (String, Long) = ("", 0L)
+    commit(root) { cur =>
+      val st = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      newSpec.foreach { r =>
+        PartTransform.validate(PartTransform.parse(r), st.schema)
+      }
+      require(st.part != newSpec,
+        s"the table already has partition spec ${newSpec.getOrElse("<none>")}")
+      val hist = st.partHist :+ st.part.getOrElse("")
+      out = (st.part.getOrElse(""), hist.size.toLong)
+      st.copy(part = newSpec, partHist = hist, maint = false)
+    }: Unit
+    out
   }
 
   private[graft] def decideBox(filters: Array[Filter],
@@ -1799,7 +1911,7 @@ class ManifestTable(path: String, externalSchema: StructType,
         }
       }
       ManifestV2.ManifestState(st.schema, st.epochs, files, part = st.part,
-        checks = st.checks)
+        checks = st.checks, partHist = st.partHist)
     }: Unit
     // dropped files stay on disk: older manifest versions still
     // reference them (time travel); expireSnapshots reclaims
@@ -1811,7 +1923,7 @@ class ManifestTable(path: String, externalSchema: StructType,
       val st = cur.getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
       ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty,
-        part = st.part, checks = st.checks)
+        part = st.part, checks = st.checks, partHist = st.partHist)
     }: Unit
     true
   }
@@ -1900,14 +2012,16 @@ class ManifestRowLevelOperation(path: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write =
-        ManifestV2.readManifest(root).flatMap(_.part) match {
+      override def build(): Write = {
+        val st = ManifestV2.readManifest(root)
+        st.flatMap(_.part) match {
           case Some(col) =>
             // the rewrite of a partitioned table must land bucket-pure
             // files again: same clustered distribution, same splitter
             new ManifestPartitionedWrite(path, info.schema(), col,
               truncate = false,
-              replacing = Some(ManifestRowLevelOperation.this))
+              replacing = Some(ManifestRowLevelOperation.this),
+              pkey = PartTransform.keyName(st.map(_.partId).getOrElse(0)))
           case None => new Write {
             override def description(): String =
               ManifestRowLevelOperation.this.description()
@@ -1916,6 +2030,7 @@ class ManifestRowLevelOperation(path: String,
                 ManifestRowLevelOperation.this)
           }
         }
+      }
     }
 }
 
@@ -2124,7 +2239,7 @@ class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
       val files = st.files.map(e =>
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
       ManifestV2.ManifestState(st.schema, st.epochs, files,
-        part = st.part, checks = st.checks)
+        part = st.part, checks = st.checks, partHist = st.partHist)
     }: Unit
   }
 
@@ -2318,7 +2433,7 @@ class ManifestDeltaUpdateBatchWrite(path: String, schema: StructType,
       val files = st.files.map(e =>
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
       ManifestV2.ManifestState(st.schema, st.epochs, files ++ added,
-        part = st.part, checks = st.checks)
+        part = st.part, checks = st.checks, partHist = st.partHist)
     }: Unit
   }
 
@@ -2342,11 +2457,13 @@ class ManifestDeltaUpdateBatchWrite(path: String, schema: StructType,
   */
 class ManifestReplaceDataWrite(path: String, schema: StructType,
     op: ManifestRowLevelOperation,
-    partitioned: Option[String] = None) extends BatchWrite {
+    partitioned: Option[String] = None,
+    pkey: String = PartTransform.PKey) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     partitioned match {
-      case Some(col) => new ManifestPartitionedWriterFactory(path, schema, col)
+      case Some(col) =>
+        new ManifestPartitionedWriterFactory(path, schema, col, pkey = pkey)
       case None => new ManifestWriterFactory(path, schema)
     }
 
@@ -2387,7 +2504,7 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
           s"${lost.map(_.file).mkString(", ")} — retry the statement")
       val kept = st.files.filterNot(e => gone.contains(e.file))
       ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
-        part = st.part, checks = st.checks)
+        part = st.part, checks = st.checks, partHist = st.partHist)
     }: Unit
     // replaced files stay on disk: older manifest versions reference
     // them (time travel); expireSnapshots is the reclamation path
@@ -2549,8 +2666,9 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
     new ManifestWriteBuilder(path, info, truncate = false,
       overwriteDynamic = true)
   override def build(): Write = {
-    val part = ManifestV2.readManifest(ManifestV2.rootOf(path))
-      .flatMap(_.part)
+    val st0 = ManifestV2.readManifest(ManifestV2.rootOf(path))
+    val part = st0.flatMap(_.part)
+    val pkey = PartTransform.keyName(st0.map(_.partId).getOrElse(0))
     // maintenance surface: an append that atomically REPLACES files in
     // the same manifest swap (compaction's rewrite). `replaceEntries`
     // carries the full rendered entries the rewrite was computed from,
@@ -2579,7 +2697,8 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
         col, truncate, replacing = None, replaceFiles = replace,
         replaceEntries = replaceEntries, rowGroupSize = rgSize,
         maintenance = maint, requireClustering = cluster,
-        overwriteWhere = overwriteWhere, overwriteDynamic = overwriteDynamic)
+        overwriteWhere = overwriteWhere, overwriteDynamic = overwriteDynamic,
+        pkey = pkey)
       case None => new Write {
         override def description(): String =
           s"graft ManifestV2 write -> $path"
@@ -2618,7 +2737,8 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     maintenance: Boolean = false,
     requireClustering: Boolean = true,
     overwriteWhere: Array[Filter] = Array.empty,
-    overwriteDynamic: Boolean = false)
+    overwriteDynamic: Boolean = false,
+    pkey: String = PartTransform.PKey)
     extends Write with RequiresDistributionAndOrdering {
   private val spec = PartTransform.parse(partCol)
   require(schema.fieldNames.contains(spec.col),
@@ -2648,12 +2768,12 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
   override def requiredOrdering(): Array[SortOrder] = Array.empty
   override def toBatch: BatchWrite = replacing match {
     case Some(op) => new ManifestReplaceDataWrite(path, schema, op,
-      partitioned = Some(partCol))
+      partitioned = Some(partCol), pkey = pkey)
     case None => new ManifestBatchWrite(path, schema, truncate,
       partitioned = Some(partCol), replaceFiles = replaceFiles,
       replaceEntries = replaceEntries, rowGroupSize = rowGroupSize,
       maintenance = maintenance, overwriteWhere = overwriteWhere,
-      overwriteDynamic = overwriteDynamic)
+      overwriteDynamic = overwriteDynamic, pkey = pkey)
   }
   override def toStreaming: StreamingWrite =
     throw new UnsupportedOperationException(
@@ -2831,19 +2951,22 @@ class ManifestScanBuilder(root: Path, full: StructType,
         new ManifestScan(root.toString, full, required, files,
           streamable = streamable && version < 0,
           partCol = st.flatMap(_.part), pushed = pushed,
-          morStreamMode = morStreamMode)
+          morStreamMode = morStreamMode,
+          partHist = st.map(_.partHist).getOrElse(Nil))
       case None =>
         // segment-envelope-pruned manifest read: a selective scan of a
         // segmented table materializes O(matching segments) of metadata
         // on the driver, not the whole file list
         val pruned = ManifestV2.readManifestPruned(root, version, pushed)
-        val (part, files) = pruned match {
-          case Some((_, _, p, fs)) => (p, fs)
-          case None => (None, Seq.empty[ManifestV2.FileEntry])
+        val (part, files, hist) = pruned match {
+          case Some((_, _, p, fs, h)) => (p, fs, h)
+          case None =>
+            (None, Seq.empty[ManifestV2.FileEntry], Seq.empty[String])
         }
         new ManifestScan(root.toString, full, required, files,
           streamable = streamable && version < 0,
-          partCol = part, pushed = pushed, morStreamMode = morStreamMode)
+          partCol = part, pushed = pushed, morStreamMode = morStreamMode,
+          partHist = hist)
     }
 }
 
@@ -2900,21 +3023,22 @@ case class ManifestAggPartition(values: Seq[Any]) extends InputPartition
 class ManifestScan(root: String, full: StructType, required: StructType,
     files: Seq[ManifestV2.FileEntry], streamable: Boolean = true,
     partCol: Option[String] = None, pushed: Array[Filter] = Array.empty,
-    morStreamMode: String = "fail")
+    morStreamMode: String = "fail", partHist: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   private val pSpec: Option[PartTransform.Spec] =
     partCol.map(PartTransform.parse)
-  /** Implied `@p` conjuncts of the pushed predicates under the table's
-    * hidden transform ([[PartTransform.impliedPartitionConjuncts]]):
-    * extra pruning conjuncts for the plan-time box decision below —
-    * never passed to the leaf reader (no data file has an `@p`
+  private val pKey: String = PartTransform.keyName(partHist.size)
+  /** Implied `@p…` conjuncts of the pushed predicates under the
+    * table's hidden transform — one conjunct set per SPEC ERA
+    * (partition evolution: each era's files carry their own reserved
+    * key): extra pruning conjuncts for the plan-time box decision
+    * below, never passed to the leaf reader (no data file has an `@p`
     * column). For a bucketed table this is what turns a key point
     * lookup into a 1-in-N file plan.
     */
-  private val partPruned: Array[Filter] = pSpec
-    .map(PartTransform.impliedPartitionConjuncts(_, full, pushed))
-    .getOrElse(Array.empty)
+  private val partPruned: Array[Filter] =
+    PartTransform.impliedAcrossSpecs(partCol, partHist, full, pushed)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -2994,7 +3118,9 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   private def keyOf(e: ManifestV2.FileEntry): Option[Long] =
     pSpec.flatMap {
       case PartTransform.Identity(c) => e.stats.get(c)
-      case _ => e.stats.get(PartTransform.PKey)
+      // CURRENT era's key only: a pre-evolution file turns the SPJ
+      // report off rather than mixing incomparable bucket domains
+      case _ => e.stats.get(pKey)
     }.collect { case (lo, hi) if lo == hi => lo }
   private val dataFiles = planned.filter(_.rows > 0L)
   /** The storage-partitioned-join contract holds iff every (non-empty)
@@ -3056,8 +3182,12 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     * value before a storage-partitioned zip.
     */
   @volatile private var runtime: Array[Filter] = Array.empty
+  /** Only columns in the scan's OUTPUT: Spark resolves these against
+    * the (column-pruned) relation, and an absent name is an analysis
+    * error, not a skipped opportunity.
+    */
   override def filterAttributes(): Array[NamedReference] =
-    full.fields.collect {
+    required.fields.collect {
       case f if ManifestV2.statType(f.dataType) != 0 ||
           pSpec.exists(_.col == f.name) => Expressions.column(f.name)
     }
@@ -3077,8 +3207,7 @@ class ManifestScan(root: String, full: StructType, required: StructType,
       }.filter(_.asInstanceOf[In].values.nonEmpty)
     }
     if (ins.nonEmpty) runtime = runtime ++ ins ++
-      pSpec.map(PartTransform.impliedPartitionConjuncts(_, full, ins))
-        .getOrElse(Array.empty)
+      PartTransform.impliedAcrossSpecs(partCol, partHist, full, ins)
   }
   /** The file set after BOTH static and runtime pruning. */
   private def livePlanned: Seq[ManifestV2.FileEntry] =
@@ -3119,7 +3248,7 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required,
       pushed ++ runtime.filterNot(f =>
-        f.references.contains(PartTransform.PKey)))
+        f.references.exists(_.startsWith(PartTransform.PKey))))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (!streamable) throw new UnsupportedOperationException(
       "cannot stream from a version-pinned or incremental scan — " +
@@ -3202,11 +3331,12 @@ class ManifestBatchWrite(path: String, schema: StructType,
     rowGroupSize: Option[Long] = None,
     maintenance: Boolean = false,
     overwriteWhere: Array[Filter] = Array.empty,
-    overwriteDynamic: Boolean = false) extends BatchWrite {
+    overwriteDynamic: Boolean = false,
+    pkey: String = PartTransform.PKey) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     partitioned match {
       case Some(col) => new ManifestPartitionedWriterFactory(path, schema,
-        col, rowGroupSize)
+        col, rowGroupSize, pkey = pkey)
       case None => new ManifestWriterFactory(path, schema, rowGroupSize)
     }
 
@@ -3223,6 +3353,18 @@ class ManifestBatchWrite(path: String, schema: StructType,
       if (!truncate) prev.foreach { p =>
         require(ManifestV2.sameShape(p.schema, schema),
           s"append schema mismatch: table has ${p.schema.toDDL}, write has ${schema.toDDL}")
+      }
+      // PARTITION EVOLUTION race guard: the task files were written
+      // (and their `@p…` boxes keyed) under the spec era this write
+      // planned against — a set_partitioning landing in between would
+      // mis-attribute them, so fail the write instead
+      if (partitioned.isDefined) prev.foreach { p =>
+        require(PartTransform.keyName(p.partId) == pkey &&
+          p.part == partitioned,
+          s"partition spec changed concurrently (write planned " +
+            s"${partitioned.get}/$pkey, table now " +
+            s"${p.part.getOrElse("<none>")}/" +
+            s"${PartTransform.keyName(p.partId)}) — retry the write")
       }
       // replaceEntries (compaction/clustering): drop-olds and add-news
       // are ONE swap, and every replaced ENTRY must still be current
@@ -3252,7 +3394,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
           val spec = PartTransform.parse(partitioned.get)
           def valueOf(e: ManifestV2.FileEntry): Option[Long] = (spec match {
             case PartTransform.Identity(c) => e.stats.get(c)
-            case _ => e.stats.get(PartTransform.PKey)
+            case _ => e.stats.get(pkey)
           }).collect { case (lo, hi) if lo == hi => lo }
           val incoming = added.flatMap(valueOf).toSet
           require(added.forall(e => e.rows == 0L || valueOf(e).isDefined),
@@ -3298,7 +3440,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
         prev.map(_.epochs).getOrElse(Map.empty), kept ++ added,
         part = prev.flatMap(_.part).orElse(partitioned),
         checks = prev.map(_.checks).getOrElse(Nil),
-        maint = maintenance)
+        maint = maintenance,
+        partHist = prev.map(_.partHist).getOrElse(Nil))
     }: Unit
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
@@ -3493,7 +3636,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
           cur.map(_.schema).filter(_ => !truncate).getOrElse(dataSchema),
           cur.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
           kept ++ added, part = cur.flatMap(_.part),
-          checks = cur.map(_.checks).getOrElse(Nil))
+          checks = cur.map(_.checks).getOrElse(Nil),
+          partHist = cur.map(_.partHist).getOrElse(Nil))
       }: Unit
       // an epoch sidecar no pre-existing file needed is unreferenced
       epochDelete.foreach { case (rel, _) =>
@@ -3616,7 +3760,8 @@ case class ManifestMultiCommit(parts: Seq[ManifestCommit])
   * transforms (the source column's box cannot encode a hash bucket).
   */
 class ManifestPartitionedWriterFactory(path: String, schema: StructType,
-    partSpec: String, rowGroupSize: Option[Long] = None)
+    partSpec: String, rowGroupSize: Option[Long] = None,
+    pkey: String = PartTransform.PKey)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
@@ -3635,7 +3780,7 @@ class ManifestPartitionedWriterFactory(path: String, schema: StructType,
       override def commit(): WriterCommitMessage =
         ManifestMultiCommit(open.toSeq.map { case (k, w) =>
           val m = w.commit().asInstanceOf[ManifestCommit]
-          if (transform) PartTransform.withPointBox(m, k) else m
+          if (transform) PartTransform.withPointBox(m, k, pkey) else m
         })
       override def abort(): Unit = open.values.foreach(_.abort())
       override def close(): Unit = ()

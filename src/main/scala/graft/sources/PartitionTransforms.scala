@@ -53,6 +53,17 @@ object PartTransform {
     */
   val PKey = "@p"
 
+  /** The reserved key for partition-spec ordinal `id` — `@p` for the
+    * table's first spec, `@p1`, `@p2`, … after PARTITION EVOLUTION
+    * (`CALL graft.system.set_partitioning`). Each file's point box
+    * lives under ITS writing spec's key, which is what keeps pruning
+    * sound across evolution: a transposed conjunct is a row-level
+    * fact about the source column (true for every row everywhere),
+    * but it is only DECIDABLE against files that carry that spec's
+    * box — files of other eras simply stay kept.
+    */
+  def keyName(id: Int): String = if (id == 0) PKey else s"$PKey$id"
+
   sealed trait Spec {
     def col: String
     def render: String
@@ -273,7 +284,7 @@ object PartTransform {
     * substituted for it.
     */
   def impliedPartitionConjuncts(spec: Spec, schema: StructType,
-      filters: Array[Filter]): Array[Filter] = {
+      filters: Array[Filter], pkey: String = PKey): Array[Filter] = {
     if (spec.isInstanceOf[Identity]) return Array.empty
     val dt = schema.fields.find(_.name == spec.col)
       .map(_.dataType).getOrElse(return Array.empty)
@@ -286,21 +297,37 @@ object PartTransform {
       }
       case Or(l, r) => for { a <- txp(l); b <- txp(r) } yield Or(a, b)
       case EqualTo(c, v) if c == spec.col =>
-        key(v).map(k => EqualTo(PKey, k))
+        key(v).map(k => EqualTo(pkey, k))
       case In(c, vs) if c == spec.col && vs.nonEmpty &&
           vs.forall(key(_).isDefined) =>
-        Some(In(PKey, vs.map(v => key(v).get: Any)))
+        Some(In(pkey, vs.map(v => key(v).get: Any)))
       case GreaterThan(c, v) if c == spec.col && monotone(spec) =>
-        key(v).map(k => GreaterThanOrEqual(PKey, k))
+        key(v).map(k => GreaterThanOrEqual(pkey, k))
       case GreaterThanOrEqual(c, v) if c == spec.col && monotone(spec) =>
-        key(v).map(k => GreaterThanOrEqual(PKey, k))
+        key(v).map(k => GreaterThanOrEqual(pkey, k))
       case LessThan(c, v) if c == spec.col && monotone(spec) =>
-        key(v).map(k => LessThanOrEqual(PKey, k))
+        key(v).map(k => LessThanOrEqual(pkey, k))
       case LessThanOrEqual(c, v) if c == spec.col && monotone(spec) =>
-        key(v).map(k => LessThanOrEqual(PKey, k))
+        key(v).map(k => LessThanOrEqual(pkey, k))
       case _ => None
     }
     filters.flatMap(txp)
+  }
+
+  /** The implied conjuncts of EVERY spec era — current plus history —
+    * each targeting its own era's reserved key. Sound as a set: each
+    * conjunct is a row-level fact, and only that era's files carry
+    * the box that can decide it.
+    */
+  def impliedAcrossSpecs(part: Option[String], hist: Seq[String],
+      schema: StructType, filters: Array[Filter]): Array[Filter] = {
+    val eras = hist.zipWithIndex.collect {
+      case (r, i) if r.nonEmpty => (r, i)
+    } ++ part.map(r => (r, hist.size)).toSeq
+    eras.toArray.flatMap { case (render, id) =>
+      impliedPartitionConjuncts(parse(render), schema, filters,
+        keyName(id))
+    }
   }
 
   /** The spec as a Spark V2 transform — what [[ManifestTable]] reports
@@ -318,8 +345,10 @@ object PartTransform {
   }
 
   /** Inject a file's proven partition value into its commit message as
-    * the reserved point box (null-free by the writer's NULL rejection).
+    * the reserved point box (null-free by the writer's NULL rejection),
+    * under its writing spec era's key.
     */
-  def withPointBox(m: ManifestCommit, k: Long): ManifestCommit =
-    m.copy(stats = m.stats + (PKey -> (k, k)), nulls = m.nulls + (PKey -> 0L))
+  def withPointBox(m: ManifestCommit, k: Long,
+      pkey: String = PKey): ManifestCommit =
+    m.copy(stats = m.stats + (pkey -> (k, k)), nulls = m.nulls + (pkey -> 0L))
 }

@@ -358,6 +358,79 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be"), e.getMessage)
   }
 
+  test("PARTITION EVOLUTION: re-bucketing is a metadata statement; " +
+      "each era's files prune under the spec that wrote them; " +
+      "compaction migrates to the current era") {
+    spark.sql("DROP TABLE IF EXISTS graft.hp.ev")
+    spark.sql("CREATE TABLE graft.hp.ev (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      "INSERT INTO graft.hp.ev SELECT id, id FROM range(0, 2000, 1, 2)")
+    val eraA = entries("hp", "ev").map(_.file).toSet
+
+    // evolve 4 -> 16 buckets: one commit, zero bytes rewritten
+    val r = spark.sql("CALL graft.system.set_partitioning(" +
+      "ns => 'hp', tbl => 'ev', spec => 'bucket(16, k)')").head()
+    assert(r.getString(0) == "bucket(4,k)" && r.getLong(2) == 1L)
+    assert(entries("hp", "ev").map(_.file).toSet == eraA,
+      "evolution must not touch a single data file")
+
+    spark.sql("INSERT INTO graft.hp.ev " +
+      "SELECT id + 2000, id + 2000 FROM range(0, 2000, 1, 2)")
+    val es = entries("hp", "ev")
+    val (oldEra, newEra) = es.partition(e => eraA.contains(e.file))
+    assert(oldEra.forall(e => e.stats.contains(PartTransform.PKey) &&
+      !e.stats.contains("@p1")), "era-0 files carry only @p")
+    assert(newEra.forall(e => e.stats.contains("@p1") &&
+      !e.stats.contains(PartTransform.PKey)),
+      "era-1 files carry only @p1")
+
+    // a point lookup prunes BOTH eras, each under its own spec: era-0
+    // files via bucket4(key) on @p, era-1 files via bucket16(key) on
+    // @p1 — composed with the ordinary k-box pruning (each era holds
+    // a disjoint key range here, so the box alone excludes the other
+    // era; the bucket conjunct is what cuts WITHIN the owning era)
+    def expectFiles(key: Long): Int = {
+      val b4 = PartTransform.bucketLong(4, key)
+      val b16 = PartTransform.bucketLong(16, key)
+      es.count { e =>
+        val boxOk = e.stats.get("k")
+          .forall { case (lo, hi) => key >= lo && key <= hi }
+        val eraOk =
+          if (e.stats.contains(PartTransform.PKey))
+            e.stats(PartTransform.PKey)._1 == b4
+          else e.stats("@p1")._1 == b16
+        boxOk && eraOk
+      }
+    }
+    for (key <- Seq(123L, 2123L)) {
+      val q = spark.sql(s"SELECT v FROM graft.hp.ev WHERE k = $key")
+      assert(q.rdd.getNumPartitions == expectFiles(key),
+        s"key $key must plan only its bucket's files in each era")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(key))
+    }
+    assert(spark.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft.hp.ev")
+      .head().getLong(0) == (0L until 4000L).sum)
+
+    // compaction migrates everything to the current era (and SPJ
+    // eligibility with it): all live files now box under @p1
+    spark.sql("CALL graft.system.compact(ns => 'hp', tbl => 'ev', " +
+      "max_rows => 1000000)").collect()
+    val after = entries("hp", "ev").filter(_.rows > 0)
+    assert(after.forall(e => e.stats.get("@p1").exists(b => b._1 == b._2)),
+      s"compacted files must be partition-pure under the CURRENT era: " +
+        s"${after.map(_.stats.keySet)}")
+    assert(spark.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft.hp.ev")
+      .head().getLong(0) == (0L until 4000L).sum)
+    // and with a single era live, the point lookup prunes to 1/16
+    val q2 = spark.sql("SELECT v FROM graft.hp.ev WHERE k = 123")
+    val b16 = PartTransform.bucketLong(16, 123L)
+    assert(q2.rdd.getNumPartitions == after
+      .filter(_.stats("@p1")._1 == b16)
+      .map(e => math.max(1, e.rgs.size)).sum)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(123L))
+  }
+
   test("the V2 functions and the writer derivation agree (SQL-visible " +
       "bucket/days match PartTransform)") {
     val r = spark.sql(
