@@ -141,6 +141,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.runtimeFilePruneQuery(s, d)),
     "dsv2_partition_evolution" -> ((s, d) =>
       graft.sources.GraftCatalog.partitionEvolutionQuery(s, d)),
+    "dsv2_multi_partition" -> ((s, d) =>
+      graft.sources.GraftCatalog.multiPartitionQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3682,6 +3684,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.runtimeFilePruneSql(),
     "dsv2_partition_evolution" ->
       graft.sources.GraftCatalog.partitionEvolutionSql(),
+    "dsv2_multi_partition" ->
+      graft.sources.GraftCatalog.multiPartitionSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

@@ -177,15 +177,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def parsePartition(schema: StructType,
       partitions: Array[Transform]): Option[String] =
-    partitions.toList match {
-      case Nil => None
-      case t :: Nil =>
-        val spec = toSpec(t)
-        PartTransform.validate(spec, schema)
-        Some(spec.render)
-      case other => throw new UnsupportedOperationException(
-        "graft tables support exactly one partition transform, " +
-          s"got: ${other.mkString(", ")}")
+    if (partitions.isEmpty) None
+    else {
+      val specs = partitions.toSeq.map(toSpec)
+      specs.foreach(PartTransform.validate(_, schema))
+      require(specs.map(_.col).distinct.size == specs.size,
+        "partition transforms must reference distinct columns, got: " +
+          specs.map(_.render).mkString(", "))
+      Some(PartTransform.renderMulti(specs))
     }
 
   /** A Spark DDL transform as a [[PartTransform.Spec]]. Arguments are
@@ -1387,6 +1386,55 @@ object GraftCatalog {
       |  CAST(SUM(c_custkey) AS BIGINT) AS ck_sum
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE c_nationkey = 7""".stripMargin
+
+  /** Driver-contract query for the MULTI-TRANSFORM spec — the
+    * canonical event-table layout `PARTITIONED BY (days(ts),
+    * bucket(8, uid))`: ingest clusters each UTC day into 8 user
+    * buckets (one file per live (day, bucket) tuple per task, each
+    * pure on BOTH components via its `@p.0`/`@p.1` point boxes), and
+    * the dashboard query's time-range × user predicate prunes to the
+    * INTERSECTION — the day's files in the user's bucket — off pure
+    * metadata. The oracle restates it from raw events: layout,
+    * two-component transposition, and the micros round-trip must all
+    * be invisible.
+    */
+  def multiPartitionQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.events(spark, dir)
+      .createOrReplaceTempView("graft_mp_events_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mpe")
+    spark.sql("""CREATE TABLE graft.db.mpe
+      |(eid BIGINT, ts TIMESTAMP, uid BIGINT, etype STRING)
+      |PARTITIONED BY (days(ts), bucket(8, uid))""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.mpe
+      |SELECT event_id, timestamp_micros(ts DIV 1000), user_id, event_type
+      |FROM graft_mp_events_src""".stripMargin)
+    spark.sql("""SELECT etype, COUNT(*) AS n,
+      |  CAST(SUM(eid) AS BIGINT) AS eid_sum,
+      |  (SELECT COUNT(*) FROM graft.db.mpe
+      |     WHERE uid = 11
+      |       AND ts >= TIMESTAMP '2024-01-12 00:00:00'
+      |       AND ts < TIMESTAMP '2024-01-15 00:00:00') AS probe_n
+      |FROM graft.db.mpe
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY etype ORDER BY etype""".stripMargin)
+  }
+
+  /** [[multiPartitionQuery]] oracle. */
+  def multiPartitionSql(): String =
+    """SELECT event_type AS etype, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS eid_sum,
+      |  (SELECT COUNT(*) FROM events
+      |     WHERE user_id = 11
+      |       AND ts >= TIMESTAMP '2024-01-12 00:00:00'
+      |       AND ts < TIMESTAMP '2024-01-15 00:00:00') AS probe_n
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY 1 ORDER BY etype""".stripMargin
 
   /** Driver-contract query for PARTITION EVOLUTION: half of orders
     * lands under `bucket(4, ck)`, the spec evolves to `bucket(16, ck)`

@@ -968,12 +968,13 @@ object ManifestV2 {
     // transform against, so the write itself runs unclustered — the
     // task writer still derives and splits per value, this clustering
     // only minimizes the output file count)
-    val spec = st.part.map(PartTransform.parse)
-    val isTransform = spec.exists(!_.isInstanceOf[PartTransform.Identity])
+    val specs = st.part.map(PartTransform.parseMulti).getOrElse(Nil)
+    val isTransform = specs.exists(!_.isInstanceOf[PartTransform.Identity])
     val pre =
       if (st.part.isEmpty) frags.repartition(target)
       else if (!isTransform) frags
-      else frags.repartition(compactClusterCol(spark, spec.get, st.schema))
+      else frags.repartition(
+        specs.map(compactClusterCol(spark, _, st.schema)): _*)
     pre.write.format("graft.sources.ManifestV2")
       .option("path", path)
       .option("clusteredWrite", if (isTransform) "false" else "true")
@@ -1439,7 +1440,10 @@ object ManifestV2 {
       val st = cur.getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
       newSpec.foreach { r =>
-        PartTransform.validate(PartTransform.parse(r), st.schema)
+        val specs = PartTransform.parseMulti(r)
+        specs.foreach(PartTransform.validate(_, st.schema))
+        require(specs.map(_.col).distinct.size == specs.size,
+          "partition transforms must reference distinct columns")
       }
       require(st.part != newSpec,
         s"the table already has partition spec ${newSpec.getOrElse("<none>")}")
@@ -1666,8 +1670,9 @@ class ManifestTable(path: String, externalSchema: StructType,
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
     else meta.map(_.schema).getOrElse(new StructType())
   override def partitioning(): Array[Transform] =
-    meta.flatMap(_.part)
-      .map(c => PartTransform.v2Transform(PartTransform.parse(c))).toArray
+    meta.flatMap(_.part).toSeq
+      .flatMap(c => PartTransform.parseMulti(c)
+        .map(PartTransform.v2Transform)).toArray
 
   /** ENFORCED CHECK constraints from the manifest: Spark's
     * ResolveTableConstraints compiles them into every write plan, so a
@@ -2535,7 +2540,8 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
   override def name(): String = s"graft_manifest($path) [staged]"
   override def schema(): StructType = stagedSchema
   override def partitioning(): Array[Transform] =
-    part.map(c => PartTransform.v2Transform(PartTransform.parse(c))).toArray
+    part.toSeq.flatMap(c => PartTransform.parseMulti(c)
+      .map(PartTransform.v2Transform)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
@@ -2565,15 +2571,15 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
         }
         part match {
           case Some(col) => new Write with RequiresDistributionAndOrdering {
-            private val spec = PartTransform.parse(col)
+            private val specs = PartTransform.parseMulti(col)
             override def description(): String =
-              s"graft ManifestV2 staged partitioned(${spec.render}) " +
+              s"graft ManifestV2 staged partitioned($col) " +
                 s"write -> $path"
             override def requiredDistribution(): Distribution =
-              Distributions.clustered(Array(spec match {
+              Distributions.clustered(specs.map {
                 case PartTransform.Identity(c) => Expressions.identity(c)
                 case s => PartTransform.v2Transform(s)
-              }))
+              }.toArray)
             override def requiredOrdering(): Array[SortOrder] = Array.empty
             override def toBatch: BatchWrite = batch
           }
@@ -2740,11 +2746,11 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     overwriteDynamic: Boolean = false,
     pkey: String = PartTransform.PKey)
     extends Write with RequiresDistributionAndOrdering {
-  private val spec = PartTransform.parse(partCol)
-  require(schema.fieldNames.contains(spec.col),
-    s"write schema ${schema.toDDL} lacks partition column ${spec.col}")
+  private val specs = PartTransform.parseMulti(partCol)
+  specs.foreach(s => require(schema.fieldNames.contains(s.col),
+    s"write schema ${schema.toDDL} lacks partition column ${s.col}"))
   override def description(): String =
-    s"graft ManifestV2 partitioned(${spec.render}) write -> $path"
+    s"graft ManifestV2 partitioned($partCol) write -> $path"
   /** Identity clusters on the column; a hidden transform clusters on
     * the TRANSFORM expression — Spark resolves it through the table
     * catalog's V2 functions ([[GraftCatalog.loadFunction]]), hashes
@@ -2761,10 +2767,10 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     */
   override def requiredDistribution(): Distribution =
     if (!requireClustering) Distributions.unspecified()
-    else Distributions.clustered(Array(spec match {
+    else Distributions.clustered(specs.map {
       case PartTransform.Identity(c) => Expressions.identity(c)
       case s => PartTransform.v2Transform(s)
-    }))
+    }.toArray)
   override def requiredOrdering(): Array[SortOrder] = Array.empty
   override def toBatch: BatchWrite = replacing match {
     case Some(op) => new ManifestReplaceDataWrite(path, schema, op,
@@ -3026,9 +3032,10 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     morStreamMode: String = "fail", partHist: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
-  private val pSpec: Option[PartTransform.Spec] =
-    partCol.map(PartTransform.parse)
-  private val pKey: String = PartTransform.keyName(partHist.size)
+  private val pSpecs: Seq[PartTransform.Spec] =
+    partCol.map(PartTransform.parseMulti).getOrElse(Nil)
+  private def compKey(c: Int): String =
+    PartTransform.keyName(partHist.size, c, pSpecs.size)
   /** Implied `@p…` conjuncts of the pushed predicates under the
     * table's hidden transform — one conjunct set per SPEC ERA
     * (partition evolution: each era's files carry their own reserved
@@ -3048,7 +3055,8 @@ class ManifestScan(root: String, full: StructType, required: StructType,
       s" pushed=[${pushed.mkString(",")}]" +
       (if (partPruned.nonEmpty) s" partPruned=[${partPruned.mkString(",")}]"
        else "") +
-      (if (keyGrouped) s" keyGrouped=${pSpec.get.render}" else "")
+      (if (keyGrouped)
+        s" keyGrouped=${PartTransform.renderMulti(pSpecs)}" else "")
 
   /** Planned split count (row-group-granular on unpartitioned files
     * with known row groups) — surfaced in explain output so a plan
@@ -3110,33 +3118,40 @@ class ManifestScan(root: String, full: StructType, required: StructType,
       java.util.OptionalLong.of(rows)
   }
 
-  /** A file's proven partition value: the partition column's own point
-    * box for identity partitioning, the reserved `@p` point box for a
-    * hidden transform (a hash bucket is not derivable from the source
-    * column's box).
+  /** A file's proven partition TUPLE: the partition column's own point
+    * box for single-identity partitioning, the reserved per-component
+    * point boxes otherwise (a hash bucket is not derivable from the
+    * source column's box). CURRENT era's keys only — a pre-evolution
+    * file turns the SPJ report off rather than mixing incomparable
+    * bucket domains.
     */
-  private def keyOf(e: ManifestV2.FileEntry): Option[Long] =
-    pSpec.flatMap {
-      case PartTransform.Identity(c) => e.stats.get(c)
-      // CURRENT era's key only: a pre-evolution file turns the SPJ
-      // report off rather than mixing incomparable bucket domains
-      case _ => e.stats.get(pKey)
-    }.collect { case (lo, hi) if lo == hi => lo }
+  private def keyOf(e: ManifestV2.FileEntry): Option[Seq[Long]] = {
+    if (pSpecs.isEmpty) return None
+    def point(k: String): Option[Long] =
+      e.stats.get(k).collect { case (lo, hi) if lo == hi => lo }
+    if (pSpecs.size == 1 && pSpecs.head.isInstanceOf[PartTransform.Identity])
+      point(pSpecs.head.col).map(Seq(_))
+    else {
+      val comps = pSpecs.indices.map(c => point(compKey(c)))
+      if (comps.forall(_.isDefined)) Some(comps.map(_.get)) else None
+    }
+  }
   private val dataFiles = planned.filter(_.rows > 0L)
   /** The storage-partitioned-join contract holds iff every (non-empty)
-    * file is PROVABLY single-valued on the partition value — its
-    * stats box is a point. The partitioned write path guarantees that
-    * by construction; an old pre-partitioning file would simply turn
-    * the report off rather than lie. The report also needs the
-    * transform's SOURCE column in the read schema (the partitioning
-    * expression references it).
+    * file is PROVABLY single-valued on the partition tuple — its
+    * stats boxes are points. The partitioned write path guarantees
+    * that by construction; an old pre-partitioning file would simply
+    * turn the report off rather than lie. The report also needs every
+    * component's SOURCE column in the read schema (the partitioning
+    * expressions reference them).
     */
   private val keyGrouped: Boolean =
-    pSpec.exists(s => required.fieldNames.contains(s.col)) &&
+    pSpecs.nonEmpty &&
+      pSpecs.forall(s => required.fieldNames.contains(s.col)) &&
       dataFiles.nonEmpty && dataFiles.forall(e => keyOf(e).isDefined)
 
   /** Bucketed splits: row-group-granular like the unpartitioned path,
-    * each carrying its file's proven partition key — Spark's SPJ
+    * each carrying its file's proven partition tuple — Spark's SPJ
     * machinery GROUPS splits by key before zipping sides, and several
     * splits per key is already the normal shape (the partitioned
     * writer emits one file per key per task), so finer granularity
@@ -3155,15 +3170,17 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   /** Identity reports the bare column (resolvable with no function
     * catalog); a hidden transform reports the TRANSFORM expression —
     * Spark resolves it through [[GraftCatalog]]'s V2 functions, and
-    * two tables with the SAME transform (same function canonical name,
-    * same bucket count) storage-partition-join with zero shuffle.
+    * two tables with the SAME transforms (same function canonical
+    * names, same bucket counts) storage-partition-join with zero
+    * shuffle — including multi-component layouts like
+    * `(days(ts), bucket(8, uid))`.
     */
   override def outputPartitioning(): Partitioning =
     if (keyGrouped)
-      new KeyGroupedPartitioning(Array(pSpec.get match {
+      new KeyGroupedPartitioning(pSpecs.map {
         case PartTransform.Identity(c) => Expressions.column(c)
         case s => PartTransform.v2Transform(s)
-      }), bucketedSplits.size)
+      }.toArray, bucketedSplits.size)
     else new UnknownPartitioning(files.size)
 
   /** RUNTIME filtering (the DSv2 dynamic-partition-pruning contract):
@@ -3189,7 +3206,7 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   override def filterAttributes(): Array[NamedReference] =
     required.fields.collect {
       case f if ManifestV2.statType(f.dataType) != 0 ||
-          pSpec.exists(_.col == f.name) => Expressions.column(f.name)
+          pSpecs.exists(_.col == f.name) => Expressions.column(f.name)
     }
   override def filter(predicates: Array[Predicate]): Unit = {
     val ins: Array[Filter] = predicates.flatMap { p =>
@@ -3314,10 +3331,11 @@ case class ManifestFilePartition(root: String, file: String,
   * partition value — the [[HasPartitionKey]] Spark's SPJ machinery
   * zips co-bucketed splits by.
   */
-case class ManifestBucketedPartition(root: String, file: String, key: Long,
+case class ManifestBucketedPartition(root: String, file: String,
+    keys: Seq[Long],
     deletes: Seq[String] = Nil, rgLo: Int = 0, rgHi: Int = Int.MaxValue)
     extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow = InternalRow.fromSeq(Seq(key))
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(keys)
 }
 
 /** Driver-side half of the commit protocol: merge the committed tasks'
@@ -3391,11 +3409,19 @@ class ManifestBatchWrite(path: String, schema: StructType,
       val dynGone: ManifestV2.FileEntry => Boolean =
         if (!overwriteDynamic) _ => false
         else {
-          val spec = PartTransform.parse(partitioned.get)
-          def valueOf(e: ManifestV2.FileEntry): Option[Long] = (spec match {
-            case PartTransform.Identity(c) => e.stats.get(c)
-            case _ => e.stats.get(pkey)
-          }).collect { case (lo, hi) if lo == hi => lo }
+          val specs = PartTransform.parseMulti(partitioned.get)
+          def point(e: ManifestV2.FileEntry, k: String): Option[Long] =
+            e.stats.get(k).collect { case (lo, hi) if lo == hi => lo }
+          def valueOf(e: ManifestV2.FileEntry): Option[Seq[Long]] =
+            if (specs.size == 1 &&
+                specs.head.isInstanceOf[PartTransform.Identity])
+              point(e, specs.head.col).map(Seq(_))
+            else {
+              val comps = specs.indices.map(c => point(e,
+                if (specs.size == 1) pkey else s"$pkey.$c"))
+              if (comps.forall(_.isDefined)) Some(comps.map(_.get))
+              else None
+            }
           val incoming = added.flatMap(valueOf).toSet
           require(added.forall(e => e.rows == 0L || valueOf(e).isDefined),
             "dynamic overwrite: an incoming file has no provable " +
@@ -3765,22 +3791,32 @@ class ManifestPartitionedWriterFactory(path: String, schema: StructType,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
-    val spec = PartTransform.parse(partSpec)
-    val keyOf = PartTransform.keyFn(spec, schema)
-    val transform = !spec.isInstanceOf[PartTransform.Identity]
+    val specs = PartTransform.parseMulti(partSpec)
+    val keyOf = PartTransform.keyFns(specs, schema)
+    // a pure single-IDENTITY spec boxes nothing extra (the partition
+    // column's own stats box is the proof, byte-compatible with every
+    // pre-transform table); any transform — or any multi-component
+    // spec — records the derived tuple under the reserved keys
+    val plain = specs.size == 1 &&
+      specs.head.isInstanceOf[PartTransform.Identity]
     new DataWriter[InternalRow] {
-      private val open =
-        scala.collection.mutable.LinkedHashMap.empty[Long, ManifestDataWriter]
+      private val open = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Long], ManifestDataWriter]
       override def write(record: InternalRow): Unit = {
         val k = keyOf(record)
         open.getOrElseUpdate(k,
           new ManifestDataWriter(path, schema, partitionId, taskId,
-            tag = s"p$k", rowGroupSize = rowGroupSize)).write(record)
+            tag = s"p${k.mkString("_")}", rowGroupSize = rowGroupSize))
+          .write(record)
       }
       override def commit(): WriterCommitMessage =
         ManifestMultiCommit(open.toSeq.map { case (k, w) =>
-          val m = w.commit().asInstanceOf[ManifestCommit]
-          if (transform) PartTransform.withPointBox(m, k, pkey) else m
+          var m = w.commit().asInstanceOf[ManifestCommit]
+          if (!plain) k.indices.foreach { c =>
+            m = PartTransform.withPointBox(m, k(c),
+              if (specs.size == 1) pkey else s"$pkey.$c")
+          }
+          m
         })
       override def abort(): Unit = open.values.foreach(_.abort())
       override def close(): Unit = ()

@@ -64,6 +64,32 @@ object PartTransform {
     */
   def keyName(id: Int): String = if (id == 0) PKey else s"$PKey$id"
 
+  /** The reserved key of COMPONENT `comp` of a MULTI-TRANSFORM spec
+    * (`PARTITIONED BY (days(ts), bucket(8, uid))` — the canonical
+    * event-table layout): single-component specs keep the bare era
+    * key (byte-compatible with every existing table); a k-component
+    * spec boxes each derived value under `<eraKey>.<comp>`.
+    */
+  def keyName(id: Int, comp: Int, nComps: Int): String =
+    if (nComps == 1) keyName(id) else s"${keyName(id)}.$comp"
+
+  /** A multi-transform spec render: components joined by `|` (never
+    * part of a single render). Bare single renders parse unchanged.
+    */
+  def parseMulti(s: String): Seq[Spec] =
+    s.split("\\|", -1).toSeq.map(parse)
+  def renderMulti(specs: Seq[Spec]): String =
+    specs.map(_.render).mkString("|")
+
+  /** The per-row derivation of ALL components, and NULL policy, for
+    * the write path.
+    */
+  def keyFns(specs: Seq[Spec],
+      schema: StructType): InternalRow => Seq[Long] = {
+    val fns = specs.map(keyFn(_, schema))
+    r => fns.map(_(r))
+  }
+
   sealed trait Spec {
     def col: String
     def render: String
@@ -315,9 +341,9 @@ object PartTransform {
   }
 
   /** The implied conjuncts of EVERY spec era — current plus history —
-    * each targeting its own era's reserved key. Sound as a set: each
-    * conjunct is a row-level fact, and only that era's files carry
-    * the box that can decide it.
+    * each COMPONENT targeting its own era+component reserved key.
+    * Sound as a set: each conjunct is a row-level fact, and only that
+    * era's files carry the box that can decide it.
     */
   def impliedAcrossSpecs(part: Option[String], hist: Seq[String],
       schema: StructType, filters: Array[Filter]): Array[Filter] = {
@@ -325,8 +351,11 @@ object PartTransform {
       case (r, i) if r.nonEmpty => (r, i)
     } ++ part.map(r => (r, hist.size)).toSeq
     eras.toArray.flatMap { case (render, id) =>
-      impliedPartitionConjuncts(parse(render), schema, filters,
-        keyName(id))
+      val specs = parseMulti(render)
+      specs.zipWithIndex.flatMap { case (spec, comp) =>
+        impliedPartitionConjuncts(spec, schema, filters,
+          keyName(id, comp, specs.size))
+      }
     }
   }
 

@@ -431,6 +431,66 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(q2.collect().map(_.getLong(0)).toSeq == Seq(123L))
   }
 
+  test("MULTI-TRANSFORM spec (days(ts), bucket(4, uid)) — the canonical " +
+      "event-table layout: per-component point boxes, intersected " +
+      "pruning, tuple SPJ with zero shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft.hp.mt")
+      spark.sql("CREATE TABLE graft.hp.mt (uid BIGINT, ts TIMESTAMP, " +
+        "v BIGINT) PARTITIONED BY (days(ts), bucket(4, uid))")
+      // 5 days x 40 uids; v = uid so values are checkable
+      spark.sql("INSERT INTO graft.hp.mt SELECT id % 40, " +
+        "timestampadd(HOUR, CAST((id DIV 40) * 24 AS INT), " +
+        "TIMESTAMP '2024-06-01 00:00:00'), id % 40 " +
+        "FROM range(0, 200, 1, 4)")
+      val es = entries("hp", "mt").filter(_.rows > 0)
+      es.foreach { e =>
+        for (k <- Seq("@p.0", "@p.1")) {
+          val (lo, hi) = e.stats(k)
+          assert(lo == hi, s"file ${e.file} must be partition-pure on $k")
+        }
+      }
+      val day0 = java.time.LocalDate.of(2024, 6, 1).toEpochDay
+      assert(es.map(_.stats("@p.0")._1).toSet ==
+        (day0 until day0 + 5).toSet)
+
+      // a (time range AND uid) predicate intersects BOTH components'
+      // pruning: only the one day's files in uid 7's bucket plan
+      val b = PartTransform.bucketLong(4, 7L)
+      val expect = es.count(e => e.stats("@p.0")._1 == day0 + 2 &&
+        e.stats("@p.1")._1 == b)
+      val q = spark.sql("SELECT v FROM graft.hp.mt WHERE uid = 7 " +
+        "AND ts >= TIMESTAMP '2024-06-03 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-06-04 00:00:00'")
+      assert(q.rdd.getNumPartitions == expect,
+        s"expected the (day,bucket) intersection ($expect files)")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(7L))
+
+      // tuple SPJ: a second table with the SAME layout joins on
+      // (uid, ts) with no exchange anywhere
+      spark.sql("DROP TABLE IF EXISTS graft.hp.mt2")
+      spark.sql("CREATE TABLE graft.hp.mt2 (uid BIGINT, ts TIMESTAMP, " +
+        "w BIGINT) PARTITIONED BY (days(ts), bucket(4, uid))")
+      spark.sql("INSERT INTO graft.hp.mt2 SELECT id % 40, " +
+        "timestampadd(HOUR, CAST((id DIV 40) * 24 AS INT), " +
+        "TIMESTAMP '2024-06-01 00:00:00'), id % 40 + 100 " +
+        "FROM range(0, 200, 1, 4)")
+      val j = spark.sql("SELECT a.v, b.w FROM graft.hp.mt a " +
+        "JOIN graft.hp.mt2 b ON a.uid = b.uid AND a.ts = b.ts")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-laid (days,bucket) tables must SPJ with no shuffle:\n$plan")
+      val rows = j.collect()
+      assert(rows.length == 200)
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 100L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("the V2 functions and the writer derivation agree (SQL-visible " +
       "bucket/days match PartTransform)") {
     val r = spark.sql(
