@@ -143,6 +143,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.partitionEvolutionQuery(s, d)),
     "dsv2_multi_partition" -> ((s, d) =>
       graft.sources.GraftCatalog.multiPartitionQuery(s, d)),
+    "dsv2_snapshot_tag" -> ((s, d) =>
+      graft.sources.GraftCatalog.snapshotTagQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3686,6 +3688,7 @@ object SparkEntry {
       graft.sources.GraftCatalog.partitionEvolutionSql(),
     "dsv2_multi_partition" ->
       graft.sources.GraftCatalog.multiPartitionSql(),
+    "dsv2_snapshot_tag" -> graft.sources.GraftCatalog.snapshotTagSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

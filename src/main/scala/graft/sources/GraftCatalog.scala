@@ -1387,6 +1387,57 @@ object GraftCatalog {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE c_nationkey = 7""".stripMargin
 
+  /** Driver-contract query for SNAPSHOT TAGS: the first half of
+    * orders lands and is tagged `corpus-v1`; the second half lands;
+    * a retention sweep expires everything but the live snapshot — and
+    * the tagged snapshot must still serve, files and all, because the
+    * tag pins it. The result pairs the LIVE aggregate with the
+    * TAGGED-snapshot aggregate read through `VERSION AS OF
+    * 'corpus-v1'`: a tag resolving to the wrong version, expiry
+    * reclaiming a pinned file, or name resolution drift all mismatch
+    * the hash. This is the reproducibility anchor of a training
+    * pipeline — "the exact corpus the model saw" survives retention.
+    */
+  def snapshotTagQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_st_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.stg")
+    spark.sql("CREATE TABLE graft.db.stg (ck BIGINT, okey BIGINT)")
+    spark.sql("""INSERT INTO graft.db.stg
+      |SELECT o_custkey, o_orderkey FROM graft_st_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    // bounded: a procedure result is one accounting row
+    spark.sql("CALL graft.system.tag(ns => 'db', tbl => 'stg', " +
+      "name => 'corpus-v1', version => -1)").collect()
+    spark.sql("""INSERT INTO graft.db.stg
+      |SELECT o_custkey, o_orderkey FROM graft_st_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+    // bounded: a procedure result is one accounting row
+    spark.sql("CALL graft.system.expire_snapshots(" +
+      "ns => 'db', tbl => 'stg', keep => 1)").collect()
+    spark.sql("""SELECT live.n AS live_n, live.key_sum AS live_sum,
+      |  tagged.n AS tagged_n, tagged.key_sum AS tagged_sum
+      |FROM
+      |  (SELECT COUNT(*) AS n, CAST(SUM(okey) AS BIGINT) AS key_sum
+      |   FROM graft.db.stg) live,
+      |  (SELECT COUNT(*) AS n, CAST(SUM(okey) AS BIGINT) AS key_sum
+      |   FROM graft.db.stg VERSION AS OF 'corpus-v1') tagged""".stripMargin)
+  }
+
+  /** [[snapshotTagQuery]] oracle: live = all orders, tagged = the
+    * even-key half.
+    */
+  def snapshotTagSql(): String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders) AS live_n,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders) AS live_sum,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS tagged_n,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+      |     WHERE o_orderkey % 2 = 0) AS tagged_sum""".stripMargin
+
   /** Driver-contract query for the MULTI-TRANSFORM spec — the
     * canonical event-table layout `PARTITIONED BY (days(ts),
     * bucket(8, uid))`: ingest clusters each UTC day into 8 user
