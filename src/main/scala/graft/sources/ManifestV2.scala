@@ -787,7 +787,10 @@ object ManifestV2 {
   private[graft] def validTagName(name: String): Boolean =
     name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-' || c == '.') &&
-      !name.forall(_.isDigit) // a numeric name would shadow a version
+      !name.forall(_.isDigit) && // a numeric name would shadow a version
+      !name.startsWith(".") // '.'-led files are staging temps: listTags
+        // skips them, so such a "tag" would neither resolve nor pin
+        // its snapshot against expiry — refuse at creation
 
   def tagSnapshot(path: String, name: String,
       version: Option[Long] = None): Long = {
@@ -1000,7 +1003,8 @@ object ManifestV2 {
     * Grouping is the only contract here — the authoritative value is
     * derived again inside the task writer.
     */
-  private def compactClusterCol(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def compactClusterCol(
+      spark: org.apache.spark.sql.SparkSession,
       spec: PartTransform.Spec,
       schema: StructType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -1012,16 +1016,30 @@ object ManifestV2 {
           .apply(col(c))
       case PartTransform.Bucket(n, c) =>
         udf((v: Long) => PartTransform.bucketLong(n, v)).apply(col(c))
+      // temporal/trunc groupers FLOOR like the writer (`div` truncates
+      // toward zero — pre-epoch micros would group off by one day) and
+      // stay zone-free: `a - pmod(a, w)` is floorMod-based, exact Long
+      // arithmetic, divisible result, so the final `div` is exact
       case PartTransform.Days(c) if dt == DateType => col(c)
       case PartTransform.Days(c) =>
-        expr(s"unix_micros($c) div 86400000000")
+        expr(s"(unix_micros($c) - pmod(unix_micros($c), " +
+          s"86400000000)) div 86400000000")
       case PartTransform.Hours(c) =>
-        expr(s"unix_micros($c) div 3600000000")
+        expr(s"(unix_micros($c) - pmod(unix_micros($c), " +
+          s"3600000000)) div 3600000000")
       case PartTransform.Months(c) if dt == DateType =>
+        // DateType is zone-free by construction; calendar months of
+        // the date ARE monthsOfDays(epochDay)
         expr(s"(year($c) - 1970) * 12 + month($c) - 1")
       case PartTransform.Months(c) =>
-        expr(s"(year($c) - 1970) * 12 + month($c) - 1")
-      case PartTransform.Trunc(w, c) => expr(s"$c div $w * $w")
+        // session-timezone year()/month() would drift from the
+        // writer's UTC monthsOfDays near month boundaries — call the
+        // exact shared derivation (maintenance path: grouping only,
+        // codegen opt-out is fine)
+        udf((us: Long) => PartTransform.monthsOfDays(
+          PartTransform.daysOfMicros(us))).apply(expr(s"unix_micros($c)"))
+      case PartTransform.Trunc(w, c) =>
+        expr(s"$c - pmod($c, ${w}L)")
       case PartTransform.Identity(c) => col(c)
     }
   }
@@ -3441,10 +3459,24 @@ class ManifestBatchWrite(path: String, schema: StructType,
       val whereGone: ManifestV2.FileEntry => Boolean =
         if (overwriteWhere.isEmpty) _ => false
         else {
-          val conj = overwriteWhere ++ partitioned.toSeq.flatMap(p =>
-            PartTransform.impliedPartitionConjuncts(
-              PartTransform.parse(p), schema, overwriteWhere))
-          e => e.rows > 0L && (ManifestV2.decideBox(conj, e) match {
+          // implied conjuncts are keyed BY ERA (and component): each
+          // file is decided under the conjuncts of the spec that wrote
+          // it — the only boxes it carries. Applying a current-era
+          // conjunct to a legacy '@p' box (derived under the OLD
+          // transform) would compare values from two different
+          // functions: silently wrong. And demanding a conjunct whose
+          // key the file lacks would turn every all-match decision
+          // undecidable the moment a table evolves. Files older than
+          // any partitioning carry no '@p*' box at all and are decided
+          // by the raw condition against their column boxes alone.
+          val keyed = PartTransform.impliedKeyed(
+            prev.flatMap(_.part).orElse(partitioned),
+            prev.map(_.partHist).getOrElse(Nil), schema, overwriteWhere)
+          e => e.rows > 0L && {
+            val conj = overwriteWhere ++ keyed.collect {
+              case (k, f) if e.stats.contains(k) => f
+            }
+            ManifestV2.decideBox(conj, e) match {
             case Some(d) => d
             case None => throw new IllegalStateException(
               s"overwrite condition ${overwriteWhere.mkString(" AND ")} " +
@@ -3452,7 +3484,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
                 "metadata-only; align the condition to the table's " +
                 "layout (e.g. whole days of a days(ts) table) or use " +
                 "DELETE + append")
-          })
+            }
+          }
         }
       val kept =
         if (truncate) Seq.empty

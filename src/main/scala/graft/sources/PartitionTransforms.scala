@@ -359,6 +359,34 @@ object PartTransform {
     }
   }
 
+  /** [[impliedAcrossSpecs]] with each conjunct PAIRED with the reserved
+    * key it references. The flat form is right for pruning (a conjunct
+    * on a key a file lacks is simply undecidable and prunes nothing);
+    * a decision that needs the ALL-MATCH direction — overwrite-by-
+    * filter's metadata-only delete — must instead apply to each file
+    * ONLY the conjuncts whose box that file actually carries:
+    * otherwise any second era makes every file undecidable (no file
+    * carries another era's key), and, worse, a conjunct derived under
+    * the CURRENT spec but addressed to the bare legacy key would be
+    * compared against boxes derived under the OLD transform — a
+    * silent wrong answer. Era × component keys keep the derivation
+    * and the box it judges from the same spec.
+    */
+  def impliedKeyed(part: Option[String], hist: Seq[String],
+      schema: StructType,
+      filters: Array[Filter]): Seq[(String, Filter)] = {
+    val eras = hist.zipWithIndex.collect {
+      case (r, i) if r.nonEmpty => (r, i)
+    } ++ part.map(r => (r, hist.size)).toSeq
+    eras.flatMap { case (render, id) =>
+      val specs = parseMulti(render)
+      specs.zipWithIndex.flatMap { case (spec, comp) =>
+        val k = keyName(id, comp, specs.size)
+        impliedPartitionConjuncts(spec, schema, filters, k).map((k, _))
+      }
+    }
+  }
+
   /** The spec as a Spark V2 transform — what [[ManifestTable]] reports
     * from `partitioning()` and what write distributions / scan
     * partitionings resolve through [[GraftCatalog]]'s V2 functions.

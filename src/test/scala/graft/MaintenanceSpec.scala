@@ -184,4 +184,37 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(merged == full, s"cutoff $frac diverges from scratch")
     }
   }
+
+  test("compaction's cluster columns group EXACTLY like the writer's " +
+      "derivation — UTC and floored, incl. pre-epoch rows") {
+    import graft.sources.{ManifestV2, PartTransform}
+    import org.apache.spark.sql.functions._
+    // timestamps straddling the epoch and month/day boundaries
+    val micros = Seq(-1L, 0L, 1L, -86400000000L - 1L, -86400000000L,
+      1717286399999999L, 1717286400000000L, // 2024-06-01 23:59/06-02 00:00Z
+      -2678400000000L, -2678400000001L) // 1969-12-01 00:00Z and 1 µs before
+    val df = spark.range(micros.size.toLong).select(
+      timestamp_micros(element_at(lit(micros.toArray),
+        (col("id") + 1).cast("int"))).as("ts"),
+      element_at(lit(micros.toArray), (col("id") + 1).cast("int")).as("v"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val specs = Seq(PartTransform.Days("ts"), PartTransform.Hours("ts"),
+      PartTransform.Months("ts"), PartTransform.Trunc(7000000L, "v"))
+    val cols = specs.map(s =>
+      ManifestV2.compactClusterCol(spark, s, schema).cast("long"))
+    val got = df.select(col("v") +: cols: _*).collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1).map(_.asInstanceOf[Long])))
+      .toMap
+    for (us <- micros) {
+      val want = Seq(
+        PartTransform.daysOfMicros(us), PartTransform.hoursOfMicros(us),
+        PartTransform.monthsOfDays(PartTransform.daysOfMicros(us)),
+        PartTransform.truncLong(7000000L, us))
+      assert(got(us) == want, s"micros $us: got ${got(us)}, want $want")
+    }
+  }
 }

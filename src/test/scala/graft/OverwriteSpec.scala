@@ -118,6 +118,101 @@ class OverwriteSpec extends AnyFunSuite {
       == 1503L)
   }
 
+  test("overwrite-by-filter on an EVOLVED table: each era's files are " +
+      "decided under the spec that wrote them") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.ow.evo")
+    spark.sql("CREATE TABLE graft.ow.evo (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    // era 0 (days): Apr 1 + Apr 2, four rows each at 6h spacing
+    spark.sql("INSERT INTO graft.ow.evo SELECT id, " +
+      "timestampadd(HOUR, CAST(id * 6 AS INT), " +
+      "TIMESTAMP '2024-04-01 00:00:00') FROM range(0, 8, 1, 2)")
+    spark.sql("CALL graft.system.set_partitioning(" +
+      "ns => 'ow', tbl => 'evo', spec => 'hours(ts)')").collect()
+    // era 1 (hours): Apr 3
+    spark.sql("INSERT INTO graft.ow.evo SELECT id + 100, " +
+      "timestampadd(HOUR, CAST(id * 6 AS INT), " +
+      "TIMESTAMP '2024-04-03 00:00:00') FROM range(0, 4, 1, 2)")
+    val before = entries("evo")
+    assert(before.exists(_.stats.contains(PartTransform.PKey)) &&
+      before.exists(_.stats.contains("@p1")), "need two live eras")
+
+    // replace era-0's day 2: its files must be decided (and dropped)
+    // under the DAYS conjunct they were boxed with — an hours-spec
+    // conjunct against the day-valued '@p' box would silently keep
+    // them (duplicate rows); era-1 files must stay decidable (no
+    // spurious straddle from a conjunct on a key they don't carry)
+    val keepers = before.filterNot(e =>
+      e.stats.get(PartTransform.PKey).exists(
+        _._1 == java.time.LocalDate.of(2024, 4, 2).toEpochDay))
+      .map(_.file).toSet
+    Seq((500L, java.sql.Timestamp.valueOf("2024-04-02 01:00:00")))
+      .toDF("k", "ts")
+      .writeTo("graft.ow.evo")
+      .overwrite($"ts" >= org.apache.spark.sql.functions.lit(
+        "2024-04-02 00:00:00").cast("timestamp") &&
+        $"ts" < org.apache.spark.sql.functions.lit(
+          "2024-04-03 00:00:00").cast("timestamp"))
+    val afterA = entries("evo")
+    assert(keepers.subsetOf(afterA.map(_.file).toSet),
+      "files outside the condition must survive BY NAME")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.ow.evo").head()
+      .getLong(0) == 8L + 4L - 4L + 1L) // era0 + era1 - day2 + fix
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.ow.evo " +
+      "WHERE ts >= TIMESTAMP '2024-04-02 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-04-03 00:00:00'").head().getLong(0)
+      == 500L)
+
+    // and a day-aligned overwrite of the era-1 (hours) day still
+    // decides off the '@p1' hour boxes + raw ts boxes
+    Seq((600L, java.sql.Timestamp.valueOf("2024-04-03 05:00:00")))
+      .toDF("k", "ts")
+      .writeTo("graft.ow.evo")
+      .overwrite($"ts" >= org.apache.spark.sql.functions.lit(
+        "2024-04-03 00:00:00").cast("timestamp") &&
+        $"ts" < org.apache.spark.sql.functions.lit(
+          "2024-04-04 00:00:00").cast("timestamp"))
+    assert(spark.sql("SELECT COUNT(*) FROM graft.ow.evo").head()
+      .getLong(0) == 9L - 4L + 1L) // minus day3, plus its fix
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.ow.evo")
+      .head().getLong(0) == (0L + 1L + 2L + 3L) + 500L + 600L)
+  }
+
+  test("overwrite-by-filter on a multi-transform (days, bucket) table: " +
+      "day-aligned backfill swaps the day across every bucket") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.ow.mt")
+    spark.sql("CREATE TABLE graft.ow.mt (uid BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts), bucket(4, uid))")
+    // two days x scattered uids
+    spark.sql("INSERT INTO graft.ow.mt SELECT id, " +
+      "timestampadd(HOUR, CAST((id % 8) * 6 AS INT), " +
+      "TIMESTAMP '2024-06-01 00:00:00') FROM range(0, 32, 1, 2)")
+    val before = entries("mt")
+    val d2 = java.time.LocalDate.of(2024, 6, 2).toEpochDay
+    val others = before.filterNot(
+      _.stats.get(PartTransform.PKey + ".0").exists(_._1 == d2))
+      .map(_.file).toSet
+
+    Seq((7000L, java.sql.Timestamp.valueOf("2024-06-02 01:00:00")),
+      (7001L, java.sql.Timestamp.valueOf("2024-06-02 02:00:00")))
+      .toDF("uid", "ts")
+      .writeTo("graft.ow.mt")
+      .overwrite($"ts" >= org.apache.spark.sql.functions.lit(
+        "2024-06-02 00:00:00").cast("timestamp") &&
+        $"ts" < org.apache.spark.sql.functions.lit(
+          "2024-06-03 00:00:00").cast("timestamp"))
+    val after = entries("mt")
+    assert(others.subsetOf(after.map(_.file).toSet),
+      "day-1 files (every bucket) must survive BY NAME")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.ow.mt").head()
+      .getLong(0) == 32L - 16L + 2L)
+    assert(spark.sql("SELECT CAST(SUM(uid) AS BIGINT) FROM graft.ow.mt " +
+      "WHERE ts >= TIMESTAMP '2024-06-02 00:00:00'").head().getLong(0)
+      == 14001L)
+  }
+
   test("dynamic partition overwrite on an identity-partitioned table") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft.ow.ib")

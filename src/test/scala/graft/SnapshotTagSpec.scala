@@ -80,6 +80,11 @@ class SnapshotTagSpec extends AnyFunSuite {
       ManifestV2.tagSnapshot(dir, "bad/name")
     }
     intercept[IllegalArgumentException] {
+      // '.'-led names collide with staging temps: listTags would skip
+      // the tag, so it would neither resolve nor pin against expiry
+      ManifestV2.tagSnapshot(dir, ".hidden")
+    }
+    intercept[IllegalArgumentException] {
       ManifestV2.tagSnapshot(dir, "ghost", Some(999L)) // no such version
     }
     assert(ManifestV2.listTags(dir) == Seq(("ok-tag_1.0",
