@@ -6,7 +6,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, StagedTable, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
@@ -2481,12 +2481,14 @@ class ManifestDeltaUpdateBatchWrite(path: String, schema: StructType,
 class ManifestReplaceDataWrite(path: String, schema: StructType,
     op: ManifestRowLevelOperation,
     partitioned: Option[String] = None,
-    pkey: String = PartTransform.PKey) extends BatchWrite {
+    pkey: String = PartTransform.PKey,
+    rotate: Boolean = true) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     partitioned match {
       case Some(col) =>
-        new ManifestPartitionedWriterFactory(path, schema, col, pkey = pkey)
+        new ManifestPartitionedWriterFactory(path, schema, col,
+          pkey = pkey, rotate = rotate)
       case None => new ManifestWriterFactory(path, schema)
     }
 
@@ -2598,7 +2600,16 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
                 case PartTransform.Identity(c) => Expressions.identity(c)
                 case s => PartTransform.v2Transform(s)
               }.toArray)
-            override def requiredOrdering(): Array[SortOrder] = Array.empty
+            // local sort on the transforms -> the task writer rotates
+            // ONE open file instead of one per live tuple (see
+            // ManifestRotatePartWriter)
+            override def requiredOrdering(): Array[SortOrder] =
+              specs.map { s =>
+                Expressions.sort(s match {
+                  case PartTransform.Identity(c) => Expressions.identity(c)
+                  case t => PartTransform.v2Transform(t)
+                }, SortDirection.ASCENDING)
+              }.toArray
             override def toBatch: BatchWrite = batch
           }
           case None => new Write {
@@ -2789,15 +2800,32 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
       case PartTransform.Identity(c) => Expressions.identity(c)
       case s => PartTransform.v2Transform(s)
     }.toArray)
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  /** Clustered writes also demand a LOCAL SORT on the partition
+    * expressions (the Iceberg write-ordering shape): equal tuples
+    * arrive contiguous, so the task writer ROTATES one open parquet
+    * writer instead of holding one per live tuple — bounding write
+    * memory by a single row-group buffer however many partition
+    * values a backfill task receives. Unclustered maintenance writes
+    * keep the fanout map (their input is co-tasked but interleaved).
+    */
+  override def requiredOrdering(): Array[SortOrder] =
+    if (!requireClustering) Array.empty
+    else specs.map { s =>
+      Expressions.sort(s match {
+        case PartTransform.Identity(c) => Expressions.identity(c)
+        case t => PartTransform.v2Transform(t)
+      }, SortDirection.ASCENDING)
+    }.toArray
   override def toBatch: BatchWrite = replacing match {
     case Some(op) => new ManifestReplaceDataWrite(path, schema, op,
-      partitioned = Some(partCol), pkey = pkey)
+      partitioned = Some(partCol), pkey = pkey,
+      rotate = requireClustering)
     case None => new ManifestBatchWrite(path, schema, truncate,
       partitioned = Some(partCol), replaceFiles = replaceFiles,
       replaceEntries = replaceEntries, rowGroupSize = rowGroupSize,
       maintenance = maintenance, overwriteWhere = overwriteWhere,
-      overwriteDynamic = overwriteDynamic, pkey = pkey)
+      overwriteDynamic = overwriteDynamic, pkey = pkey,
+      rotate = requireClustering)
   }
   override def toStreaming: StreamingWrite =
     throw new UnsupportedOperationException(
@@ -3368,11 +3396,12 @@ class ManifestBatchWrite(path: String, schema: StructType,
     maintenance: Boolean = false,
     overwriteWhere: Array[Filter] = Array.empty,
     overwriteDynamic: Boolean = false,
-    pkey: String = PartTransform.PKey) extends BatchWrite {
+    pkey: String = PartTransform.PKey,
+    rotate: Boolean = true) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     partitioned match {
       case Some(col) => new ManifestPartitionedWriterFactory(path, schema,
-        col, rowGroupSize, pkey = pkey)
+        col, rowGroupSize, pkey = pkey, rotate = rotate)
       case None => new ManifestWriterFactory(path, schema, rowGroupSize)
     }
 
@@ -3820,41 +3849,133 @@ case class ManifestMultiCommit(parts: Seq[ManifestCommit])
   */
 class ManifestPartitionedWriterFactory(path: String, schema: StructType,
     partSpec: String, rowGroupSize: Option[Long] = None,
-    pkey: String = PartTransform.PKey)
-    extends DataWriterFactory {
+    pkey: String = PartTransform.PKey, rotate: Boolean = true,
+    epochTag: String = "")
+    extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
     val specs = PartTransform.parseMulti(partSpec)
-    val keyOf = PartTransform.keyFns(specs, schema)
     // a pure single-IDENTITY spec boxes nothing extra (the partition
     // column's own stats box is the proof, byte-compatible with every
     // pre-transform table); any transform — or any multi-component
     // spec — records the derived tuple under the reserved keys
     val plain = specs.size == 1 &&
       specs.head.isInstanceOf[PartTransform.Identity]
-    new DataWriter[InternalRow] {
-      private val open = scala.collection.mutable.LinkedHashMap
-        .empty[Seq[Long], ManifestDataWriter]
-      override def write(record: InternalRow): Unit = {
-        val k = keyOf(record)
-        open.getOrElseUpdate(k,
-          new ManifestDataWriter(path, schema, partitionId, taskId,
-            tag = s"p${k.mkString("_")}", rowGroupSize = rowGroupSize))
-          .write(record)
-      }
-      override def commit(): WriterCommitMessage =
-        ManifestMultiCommit(open.toSeq.map { case (k, w) =>
-          var m = w.commit().asInstanceOf[ManifestCommit]
-          if (!plain) k.indices.foreach { c =>
-            m = PartTransform.withPointBox(m, k(c),
-              if (specs.size == 1) pkey else s"$pkey.$c")
-          }
-          m
-        })
-      override def abort(): Unit = open.values.foreach(_.abort())
-      override def close(): Unit = ()
-    }
+    if (rotate)
+      new ManifestRotatePartWriter(path, schema, specs, plain,
+        partitionId, taskId, rowGroupSize, pkey, epochTag)
+    else
+      new ManifestFanoutPartWriter(path, schema, specs, plain,
+        partitionId, taskId, rowGroupSize, pkey, epochTag)
   }
+  /** The streaming (per-epoch) face: same routing, the epoch lands in
+    * the staged file names so any file attributes to its micro-batch.
+    */
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ManifestPartitionedWriterFactory(path, schema, partSpec,
+      rowGroupSize, pkey, rotate, epochTag = s"e$epochId")
+      .createWriter(partitionId, taskId)
+}
+
+/** The SORT-ROTATED partitioned task writer — the memory-bounded
+  * default (r12 verdict ask #2): the write demands an ordering on the
+  * partition transform expressions, so equal tuples arrive contiguous
+  * and AT MOST ONE parquet writer (one row-group buffer) is ever open,
+  * no matter how many partition values the task receives — a year-long
+  * backfill of a (days(ts), bucket(8, uid)) table holds one writer,
+  * not ~90. Rotation is CORRECT regardless of input order (a
+  * reappearing tuple just opens a fresh file — partition purity is
+  * per-file, never one-file-per-value), order only bounds the file
+  * count; the sort demand is what makes count = live tuples exact.
+  */
+private[graft] class ManifestRotatePartWriter(path: String,
+    schema: StructType, specs: Seq[PartTransform.Spec], plain: Boolean,
+    partitionId: Int, taskId: Long, rowGroupSize: Option[Long],
+    pkey: String, epochTag: String = "")
+    extends DataWriter[InternalRow] {
+  private val keyOf = PartTransform.keyFns(specs, schema)
+  private val root = ManifestV2.rootOf(path)
+  private var curKey: Seq[Long] = null
+  private var cur: ManifestDataWriter = null
+  private val done = Seq.newBuilder[ManifestCommit]
+  private var doneFiles = List.empty[String]
+  /** Observability for specs: total files opened / currently open. */
+  private[graft] var filesOpened = 0
+  private[graft] def liveWriters: Int = if (cur == null) 0 else 1
+  private def boxed(m: ManifestCommit, k: Seq[Long]): ManifestCommit =
+    if (plain) m
+    else k.indices.foldLeft(m)((x, c) => PartTransform.withPointBox(x,
+      k(c), if (specs.size == 1) pkey else s"$pkey.$c"))
+  private def roll(): Unit = if (cur != null) {
+    val m = cur.commit().asInstanceOf[ManifestCommit]
+    done += boxed(m, curKey)
+    doneFiles ::= m.file
+    cur = null
+  }
+  override def write(record: InternalRow): Unit = {
+    val k = keyOf(record)
+    if (cur == null || k != curKey) {
+      roll()
+      curKey = k
+      filesOpened += 1
+      cur = new ManifestDataWriter(path, schema, partitionId, taskId,
+        tag = s"${epochTag}p${k.mkString("_")}",
+        rowGroupSize = rowGroupSize)
+    }
+    cur.write(record)
+  }
+  override def commit(): WriterCommitMessage = {
+    roll()
+    ManifestMultiCommit(done.result())
+  }
+  /** Abort deletes BOTH the open writer's file and every already-
+    * rotated (closed) staged file of this attempt — none is referenced
+    * by any manifest yet, so nothing of a failed attempt survives.
+    */
+  override def abort(): Unit = {
+    if (cur != null) cur.abort()
+    doneFiles.foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
+  }
+  override def close(): Unit = ()
+}
+
+/** The MAP-FANOUT partitioned task writer — one open writer per live
+  * tuple. Kept for UNCLUSTERED writes (path-routed maintenance
+  * rewrites pre-cluster by repartition only — rows of one value are
+  * co-tasked but interleaved, where rotation would shatter the output
+  * into one file per run) and for streaming epochs, whose live-tuple
+  * count is bounded by the micro-batch's time span (typically one day
+  * × N buckets).
+  */
+private[graft] class ManifestFanoutPartWriter(path: String,
+    schema: StructType, specs: Seq[PartTransform.Spec], plain: Boolean,
+    partitionId: Int, taskId: Long, rowGroupSize: Option[Long],
+    pkey: String, epochTag: String = "")
+    extends DataWriter[InternalRow] {
+  private val keyOf = PartTransform.keyFns(specs, schema)
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[Seq[Long], ManifestDataWriter]
+  private[graft] def liveWriters: Int = open.size
+  override def write(record: InternalRow): Unit = {
+    val k = keyOf(record)
+    open.getOrElseUpdate(k,
+      new ManifestDataWriter(path, schema, partitionId, taskId,
+        tag = s"${epochTag}p${k.mkString("_")}",
+        rowGroupSize = rowGroupSize))
+      .write(record)
+  }
+  override def commit(): WriterCommitMessage =
+    ManifestMultiCommit(open.toSeq.map { case (k, w) =>
+      var m = w.commit().asInstanceOf[ManifestCommit]
+      if (!plain) k.indices.foreach { c =>
+        m = PartTransform.withPointBox(m, k(c),
+          if (specs.size == 1) pkey else s"$pkey.$c")
+      }
+      m
+    })
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = ()
 }
 
 /** Ships to executors (the streaming-write analog of

@@ -503,4 +503,66 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(r.getLong(2) == 2000L)
     assert(r.getLong(3) == (2024 - 1970) * 12L + 2L)
   }
+
+  test("clustered writes SORT on the transforms and the task writer " +
+      "ROTATES one open file: bounded write memory however many " +
+      "partition tuples a backfill task receives") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    // unit half: sorted (day, bucket) tuples through the rotating
+    // writer — at most ONE parquet writer live, one file per tuple,
+    // point boxes on both components
+    val dir = java.nio.file.Files.createTempDirectory("graft-rotate")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("uid", LongType)))
+    val specs = Seq(PartTransform.Days("ts"),
+      PartTransform.Bucket(4, "uid"))
+    val w = new graft.sources.ManifestRotatePartWriter(dir.toString,
+      schema, specs, plain = false, 0, 0L, None, PartTransform.PKey)
+    val dayUs = 86400000000L
+    val rows = (for { d <- 0 to 2; u <- 0L until 40L } yield
+      (d * dayUs + u, u)).sortBy { case (ts, u) =>
+        (PartTransform.daysOfMicros(ts), PartTransform.bucketLong(4, u))
+      }
+    var peak = 0
+    rows.foreach { case (ts, u) =>
+      w.write(new GenericInternalRow(Array[Any](ts, u)))
+      peak = math.max(peak, w.liveWriters)
+    }
+    val msg = w.commit().asInstanceOf[graft.sources.ManifestMultiCommit]
+    assert(peak == 1,
+      s"rotating writer must hold at most one open file, saw $peak")
+    val tuples = rows.map { case (ts, u) =>
+      (PartTransform.daysOfMicros(ts), PartTransform.bucketLong(4, u))
+    }.distinct
+    assert(w.filesOpened == tuples.size &&
+      msg.parts.size == tuples.size,
+      s"${w.filesOpened} opens / ${msg.parts.size} files for " +
+        s"${tuples.size} tuples")
+    assert(msg.parts.forall(m =>
+      m.stats.get("@p.0").exists(b => b._1 == b._2) &&
+        m.stats.get("@p.1").exists(b => b._1 == b._2)),
+      "every rotated file must carry point boxes on both components")
+
+    // e2e half: ONE shuffle partition forces a single task to receive
+    // all three days interleaved — the write's demanded local sort is
+    // what makes rotation emit exactly one file per day (without it,
+    // one per key-change run: ~30)
+    spark.sql("DROP TABLE IF EXISTS graft.hp.rot")
+    spark.sql("CREATE TABLE graft.hp.rot (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try spark.sql("INSERT INTO graft.hp.rot SELECT id, " +
+      "timestampadd(DAY, CAST(id % 3 AS INT), " +
+      "TIMESTAMP '2024-07-01 00:00:00') FROM range(0, 30, 1, 1)")
+    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    val es = entries("hp", "rot")
+    assert(es.size == 3, s"one file per day, got ${es.size}")
+    assert(es.forall(e =>
+      e.stats.get(PartTransform.PKey).exists(b => b._1 == b._2)),
+      "every file must stay partition-pure")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.hp.rot").head()
+      .getLong(0) == 30L)
+  }
 }
