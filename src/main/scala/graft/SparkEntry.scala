@@ -161,6 +161,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.changeFeedQuery(s, d)),
     "streaming_changefeed" -> ((s, d) =>
       graft.sources.GraftCatalog.streamingChangeFeedQuery(s, d)),
+    "streaming_partitioned_ingest" -> ((s, d) =>
+      graft.sources.GraftCatalog.streamingPartitionedIngestQuery(s, d)),
     "streaming_upsert_sink" -> ((s, d) =>
       graft.streaming.Streams.streamingUpsertQuery(s, d)),
     "streaming_upsert_tombstone" -> ((s, d) =>
@@ -3722,6 +3724,12 @@ object SparkEntry {
     // one micro-batch of change rows (retractions included)
     "streaming_changefeed" ->
       graft.sources.GraftCatalog.streamingChangeFeedSql(),
+
+    // streaming ingest INTO a (days, bucket) partitioned table through
+    // one checkpoint: two epochs land partition-pure behind the replay
+    // ledger; the read-back aggregates per hidden day partition
+    "streaming_partitioned_ingest" ->
+      graft.sources.GraftCatalog.streamingPartitionedIngestSql(),
 
     // streaming upsert (CDC) sink: per-epoch equality sidecars keep the
     // table at exactly the latest version of every key

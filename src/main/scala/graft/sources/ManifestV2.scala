@@ -2733,7 +2733,7 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
         replaceEntries = replaceEntries, rowGroupSize = rgSize,
         maintenance = maint, requireClustering = cluster,
         overwriteWhere = overwriteWhere, overwriteDynamic = overwriteDynamic,
-        pkey = pkey)
+        pkey = pkey, queryId = info.queryId())
       case None => new Write {
         override def description(): String =
           s"graft ManifestV2 write -> $path"
@@ -2773,7 +2773,8 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     requireClustering: Boolean = true,
     overwriteWhere: Array[Filter] = Array.empty,
     overwriteDynamic: Boolean = false,
-    pkey: String = PartTransform.PKey)
+    pkey: String = PartTransform.PKey,
+    queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
   private val specs = PartTransform.parseMulti(partCol)
   specs.foreach(s => require(schema.fieldNames.contains(s.col),
@@ -2827,10 +2828,81 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
       overwriteDynamic = overwriteDynamic, pkey = pkey,
       rotate = requireClustering)
   }
+  /** STREAMING INGEST into the partitioned table (r12 verdict ask #1 —
+    * the missing half of the event-table story: events both ARE a
+    * (days(ts), bucket(N, uid)) table and ARRIVE as a stream). Spark
+    * applies this Write's distribution+ordering to every micro-batch
+    * (V2Writes prepares WriteToMicroBatchDataSource the same way as
+    * batch), so each epoch's staged files land partition-pure with
+    * point boxes through the SAME rotating task writer — and commit
+    * through the same epoch-ledger replay guard as the unpartitioned
+    * streaming sink: one atomic swap per epoch, replays publish
+    * nothing, time-range/bucket pruning works on the table mid-stream.
+    */
   override def toStreaming: StreamingWrite =
-    throw new UnsupportedOperationException(
-      "streaming writes into a partitioned graft table are not supported" +
-        " — stream into an unpartitioned table and compact")
+    new ManifestPartitionedStreamingWrite(path, schema, partCol,
+      queryId, truncate, pkey, rotate = requireClustering)
+}
+
+/** Per-epoch commits of a PARTITIONED streaming sink: the fanout task
+  * writers stage one partition-pure file per (task, tuple) — epoch-
+  * tagged names — and the driver merges them into the manifest behind
+  * the `@epochs` replay ledger (see [[ManifestStreamingWrite]] for the
+  * exactly-once argument; it travels inside the swapped manifest, so
+  * check-and-publish is one atomic unit). A partition-spec change
+  * landing between epochs fails the NEXT epoch loudly instead of
+  * mis-attributing its boxes.
+  */
+class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
+    partCol: String, queryId: String, truncate: Boolean,
+    pkey: String, rotate: Boolean) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestPartitionedWriterFactory(path, schema, partCol,
+      pkey = pkey, rotate = rotate)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val root = ManifestV2.rootOf(path)
+    if (ManifestV2.readManifest(root)
+        .exists(_.epochs.getOrElse(queryId, -1L) >= epochId)) {
+      // replayed micro-batch after restart: already in the snapshot
+      ManifestV2.deleteStaged(path, messages)
+      return
+    }
+    val added = ManifestV2.flatCommits(messages).map(m =>
+      ManifestV2.FileEntry(m.file, m.rows, m.stats,
+        nulls = m.nulls, rgs = m.rgs))
+    ManifestV2.commit(root) { cur =>
+      cur.foreach { p =>
+        require(ManifestV2.sameShape(p.schema, schema),
+          s"streaming schema mismatch: table has ${p.schema.toDDL}, " +
+            s"write has ${schema.toDDL}")
+        // PARTITION EVOLUTION race guard (same as the batch commit):
+        // this epoch's files were derived and boxed under the spec the
+        // write planned against
+        require(PartTransform.keyName(p.partId) == pkey &&
+          p.part.contains(partCol),
+          s"partition spec changed mid-stream (write planned " +
+            s"$partCol/$pkey, table now " +
+            s"${p.part.getOrElse("<none>")}/" +
+            s"${PartTransform.keyName(p.partId)}) — restart the query")
+      }
+      val kept = if (truncate) Seq.empty
+        else cur.map(_.files).getOrElse(Seq.empty)
+      ManifestV2.ManifestState(
+        cur.map(_.schema).filter(_ => !truncate).getOrElse(schema),
+        cur.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
+        kept ++ added,
+        part = cur.flatMap(_.part).orElse(Some(partCol)),
+        checks = cur.map(_.checks).getOrElse(Nil),
+        partHist = cur.map(_.partHist).getOrElse(Nil))
+    }: Unit
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    ManifestV2.deleteStaged(path, messages)
 }
 
 class ManifestScanBuilder(root: Path, full: StructType,

@@ -565,4 +565,86 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM graft.hp.rot").head()
       .getLong(0) == 30L)
   }
+
+  test("STREAMING INGEST into a (days(ts), bucket(4, uid)) table: " +
+      "every epoch's files land partition-pure through one checkpoint, " +
+      "time-range pruning works on the streamed table, and a replayed " +
+      "epoch publishes nothing") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.hp.sev")
+    spark.sql("CREATE TABLE graft.hp.sev (uid BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts), bucket(4, uid))")
+    val work = java.nio.file.Files.createTempDirectory("graft-sev")
+    val src = work.resolve("src").toString
+    val ck = work.resolve("ck").toString
+    def push(day: String, uids: Seq[Long]): Unit =
+      uids.map(u => (u, java.sql.Timestamp.valueOf(s"$day 0${u % 4}:00:00")))
+        .toDF("uid", "ts").repartition(1)
+        .write.format("graft.sources.ManifestV2")
+        .option("path", src).mode("append").save()
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.option("checkpointLocation", ck)
+        .toTable("graft.hp.sev")
+      try q.processAllAvailable() finally q.stop()
+    }
+    push("2024-07-01", 0L until 8L)
+    pump() // epoch 0
+    push("2024-07-02", 0L until 8L)
+    pump() // epoch 1, same checkpoint
+    val es = entries("hp", "sev")
+    assert(es.nonEmpty && es.forall(e =>
+      e.stats.get("@p.0").exists(b => b._1 == b._2) &&
+        e.stats.get("@p.1").exists(b => b._1 == b._2)),
+      s"every streamed file must carry point boxes on BOTH components: " +
+        s"${es.map(e => (e.file, e.stats))}")
+    // epoch attribution is in the staged names
+    assert(es.exists(_.file.contains("-e0p")) &&
+      es.exists(_.file.contains("-e1p")),
+      s"files must attribute to their epochs: ${es.map(_.file)}")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.hp.sev").head()
+      .getLong(0) == 16L)
+
+    // time x user pruning off pure metadata, mid-stream layout
+    val d2 = java.time.LocalDate.of(2024, 7, 2).toEpochDay
+    val q = spark.sql("SELECT uid FROM graft.hp.sev WHERE " +
+      "ts >= TIMESTAMP '2024-07-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-07-03 00:00:00' AND uid = 5")
+    val expect = es.count { e =>
+      e.stats("@p.0")._1 == d2 &&
+        e.stats("@p.1")._1 == PartTransform.bucketLong(4, 5L) &&
+        e.stats.get("uid").forall { case (lo, hi) => 5L >= lo && 5L <= hi }
+    }
+    assert(q.rdd.getNumPartitions == expect,
+      s"day+bucket lookup must plan only the intersection ($expect)")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(5L))
+
+    // replay guard: re-commit an already-led epoch directly — the
+    // staged file is reclaimed, the manifest doesn't move
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dir = java.nio.file.Paths.get(wh, "hp", "sev").toString
+    val st = ManifestV2.readManifest(java.nio.file.Paths.get(dir)).get
+    val (qid, lastEpoch) = st.epochs.head
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("uid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val w = new graft.sources.ManifestPartitionedStreamingWrite(dir,
+      schema, "days(ts)|bucket(4,uid)", qid, truncate = false,
+      PartTransform.PKey, rotate = true)
+    val dw = new graft.sources.ManifestPartitionedWriterFactory(dir,
+      schema, "days(ts)|bucket(4,uid)")
+      .createWriter(0, 99L, lastEpoch)
+    dw.write(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](7L, 1719878400000000L)))
+    val msg = dw.commit()
+    w.commit(lastEpoch, Array(msg)) // replay of the led epoch
+    val st2 = ManifestV2.readManifest(java.nio.file.Paths.get(dir)).get
+    assert(st2.version == st.version && st2.files.size == st.files.size,
+      "a replayed epoch must publish nothing")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.hp.sev").head()
+      .getLong(0) == 16L)
+  }
 }
