@@ -145,6 +145,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.multiPartitionQuery(s, d)),
     "dsv2_snapshot_tag" -> ((s, d) =>
       graft.sources.GraftCatalog.snapshotTagQuery(s, d)),
+    "dsv2_timestamp_travel" -> ((s, d) =>
+      graft.sources.GraftCatalog.timestampTravelQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3691,6 +3693,11 @@ object SparkEntry {
     "dsv2_multi_partition" ->
       graft.sources.GraftCatalog.multiPartitionSql(),
     "dsv2_snapshot_tag" -> graft.sources.GraftCatalog.snapshotTagSql(),
+
+    // TIMESTAMP AS OF: monotone commit stamps in the manifest header;
+    // both timestamps of a mutating table read side by side
+    "dsv2_timestamp_travel" ->
+      graft.sources.GraftCatalog.timestampTravelSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

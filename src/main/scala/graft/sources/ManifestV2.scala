@@ -320,7 +320,15 @@ object ManifestV2 {
       part: Option[String] = None,
       checks: Seq[(String, String)] = Nil,
       maint: Boolean = false,
-      partHist: Seq[String] = Nil) {
+      partHist: Seq[String] = Nil,
+      /** Commit wall-clock (epoch millis), stamped by [[commit]] —
+        * MONOTONE-CLAMPED against the predecessor so a retried commit
+        * under a stepped-back clock can never make history non-
+        * monotone; `TIMESTAMP AS OF t` resolves to the latest version
+        * whose stamp is <= t. 0 = pre-upgrade manifest (unknown,
+        * sorts oldest).
+        */
+      commitTs: Long = 0L) {
     /** The CURRENT spec era's ordinal — index into the full era list
       * (history first, current last). Files written under era `i`
       * carry their point box under [[PartTransform.keyName]]`(i)`.
@@ -390,12 +398,17 @@ object ManifestV2 {
         if (lines.size > 3 && lines.get(3).startsWith("@part\t"))
           (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
         else (None, 3)
-      val (hist, afterHist) =
+      val (cts, afterTs) =
         if (lines.size > afterPart &&
-            lines.get(afterPart).startsWith("@parthist\t"))
-          (lines.get(afterPart).split("\t", 2)(1).split(";", -1).toSeq,
-            afterPart + 1)
-        else (Nil, afterPart)
+            lines.get(afterPart).startsWith("@ts\t"))
+          (lines.get(afterPart).split("\t", 2)(1).toLong, afterPart + 1)
+        else (0L, afterPart)
+      val (hist, afterHist) =
+        if (lines.size > afterTs &&
+            lines.get(afterTs).startsWith("@parthist\t"))
+          (lines.get(afterTs).split("\t", 2)(1).split(";", -1).toSeq,
+            afterTs + 1)
+        else (Nil, afterTs)
       val maint = lines.size > afterHist &&
         lines.get(afterHist).startsWith("@maint\t")
       val checks = Seq.newBuilder[(String, String)]
@@ -421,7 +434,7 @@ object ManifestV2 {
       val segd = segs.result()
       val all = segd.flatMap(_.files) ++ inline
       Some((ManifestState(schema, epochs, all, v, part, checks.result(),
-        maint, hist), segd, inline.toSeq))
+        maint, hist, commitTs = cts), segd, inline.toSeq))
     }
   }
 
@@ -462,6 +475,7 @@ object ManifestV2 {
         (Some(lines.get(3).split("\t", 2)(1)).filter(_.nonEmpty), 4)
       else (None, 3)
     var i = afterPart
+    if (i < lines.size && lines.get(i).startsWith("@ts\t")) i += 1
     var hist: Seq[String] = Nil
     if (i < lines.size && lines.get(i).startsWith("@parthist\t")) {
       hist = lines.get(i).split("\t", 2)(1).split(";", -1).toSeq
@@ -557,7 +571,7 @@ object ManifestV2 {
   /** Serialize a snapshot body at the given version number, with its
     * file population split into referenced segments + inline lines.
     */
-  private def render(state: ManifestState, version: Long,
+  private def render(state: ManifestState, version: Long, commitTs: Long,
       segs: Seq[SegRef], inline: Seq[FileEntry]): Array[Byte] = {
     val epochLine = "@epochs\t" + state.epochs.toSeq.sorted
       .map { case (q, n) => s"$q:$n" }.mkString(",")
@@ -579,6 +593,7 @@ object ManifestV2 {
       else Seq("@parthist\t" + state.partHist.mkString(";"))
     val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
+      s"@ts\t$commitTs" +:
       (histLine ++ maintLine ++
       state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
       segLines ++
@@ -691,12 +706,18 @@ object ManifestV2 {
         else (fresh.grouped(SegChunk)
           .map(c => SegRef(writeSeg(root, c), c)).toSeq,
           Seq.empty[FileEntry])
-      val bytes = render(state, next, reuse ++ newSegs, inline)
+      // commit wall-clock, monotone-clamped against the predecessor:
+      // a retry under a stepped-back clock can never write a snapshot
+      // stamped before its parent, so TIMESTAMP AS OF resolution
+      // (latest version stamped <= t) binary-searches soundly
+      val ts = math.max(System.currentTimeMillis(),
+        cur.map(_.commitTs).getOrElse(0L))
+      val bytes = render(state, next, ts, reuse ++ newSegs, inline)
       try {
         Files.write(root.resolve(s"manifest.v$next.txt"), bytes,
           java.nio.file.StandardOpenOption.CREATE_NEW)
         advancePointerIfNewer(root, bytes, next)
-        return state.copy(version = next)
+        return state.copy(version = next, commitTs = ts)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // lost the CAS: a competitor claimed v<next>. Its claim and
@@ -748,6 +769,58 @@ object ManifestV2 {
       }
       b.result()
     }
+  }
+
+  /** A version's commit wall-clock (epoch millis) — HEADER-ONLY read:
+    * `@ts` is the 5th header line of every post-upgrade manifest, so
+    * resolution never loads a version's file population. None =
+    * version absent or pre-upgrade (unstamped).
+    */
+  private[graft] def commitTsOf(root: Path, version: Long): Option[Long] = {
+    val m = root.resolve(s"manifest.v$version.txt")
+    if (!Files.exists(m)) return None
+    val in = Files.newBufferedReader(m, StandardCharsets.UTF_8)
+    try {
+      var i = 0
+      var line = in.readLine()
+      while (line != null && i < 8) {
+        if (line.startsWith("@ts\t"))
+          return Some(line.split("\t", 2)(1).toLong)
+        line = in.readLine(); i += 1
+      }
+      None
+    } finally in.close()
+  }
+
+  /** `TIMESTAMP AS OF t`: the latest published version whose commit
+    * stamp is <= `tsMillis`. Commit stamps are monotone by
+    * construction (pre-upgrade versions read as 0 and form a prefix),
+    * so this is a binary search over the retained version list —
+    * O(log versions) header reads, no file population loaded. Fails
+    * loudly when `t` precedes the earliest RETAINED commit: serving
+    * the oldest snapshot instead would silently misrepresent a time
+    * the table (as retained) did not exist.
+    */
+  def versionAsOfTimestamp(path: String, tsMillis: Long): Long = {
+    val root = rootOf(path)
+    val vs = listVersions(root)
+    require(vs.nonEmpty, s"no manifest at $root")
+    def tsOf(i: Int): Long = commitTsOf(root, vs(i)).getOrElse(0L)
+    var lo = 0
+    var hi = vs.size - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tsOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    require(ans >= 0,
+      s"table has no snapshot at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} — the earliest " +
+        s"retained commit is v${vs.head} at " +
+        s"${java.time.Instant.ofEpochMilli(tsOf(0))} (older history " +
+        "may have been expired)")
+    vs(ans)
   }
 
   /** List every published version number, ascending. */

@@ -647,9 +647,11 @@ class CatalogSpec extends AnyFunSuite {
     val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "prov",
       "manifest.txt"))
-    val want = (4 until manifest.size).map { i => // schema, @v, @epochs, @part
-      val p = manifest.get(i).split("\t"); (p(0), p(1).toLong)
-    }.toMap.filter(_._2 > 0) // zero-row task files never emit a group
+    val want = (0 until manifest.size) // skip schema + @-header lines
+      .filterNot(i => i == 0 || manifest.get(i).startsWith("@"))
+      .map { i =>
+        val p = manifest.get(i).split("\t"); (p(0), p(1).toLong)
+      }.toMap.filter(_._2 > 0) // zero-row task files never emit a group
     assert(perFile == want, s"got $perFile want $want")
     spark.sql("DROP TABLE graft.spec.prov")
   }
@@ -662,7 +664,8 @@ class CatalogSpec extends AnyFunSuite {
     val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       spark.conf.get("spark.sql.catalog.graft.warehouse"), "spec", "st",
       "manifest.txt"))
-    val fileLines = (4 until manifest.size).map(manifest.get)
+    val fileLines = (1 until manifest.size).map(manifest.get)
+      .filterNot(_.startsWith("@"))
     assert(fileLines.exists(_.contains("k:5:14")), fileLines.mkString("\n"))
     assert(!fileLines.exists(_.contains("s:")), "no stats for string columns")
     spark.sql("DROP TABLE graft.spec.st")

@@ -97,8 +97,9 @@ class ManifestScaleSpec extends AnyFunSuite {
     ManifestV2.commit(root)(_ => state(entries(0, ManifestV2.InlineCap)))
     assert(segsOf(root).isEmpty)
     val lines = Files.readAllLines(root.resolve("manifest.txt"))
-    assert((4 until lines.size).forall(i => !lines.get(i).startsWith("@")),
-      "file lines inline after the header, no references")
+    assert((5 until lines.size).forall(i => !lines.get(i).startsWith("@")),
+      "file lines inline after the header (schema, @v, @epochs, " +
+        "@part, @ts), no references")
   }
 
   test("expiry reclaims segments no surviving manifest references") {

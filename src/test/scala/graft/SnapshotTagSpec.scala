@@ -92,4 +92,38 @@ class SnapshotTagSpec extends AnyFunSuite {
     assert(ManifestV2.dropTag(dir, "ok-tag_1.0"))
     assert(!ManifestV2.dropTag(dir, "ok-tag_1.0"))
   }
+
+  test("TIMESTAMP AS OF: resolves to the latest snapshot at or before " +
+      "t; between-commits picks the earlier; before-first-commit " +
+      "fails loudly") {
+    spark.sql("DROP TABLE IF EXISTS graft.tag.tt")
+    spark.sql("CREATE TABLE graft.tag.tt (k BIGINT)")
+    val dir = java.nio.file.Paths.get(wh, "tag", "tt")
+    val t0 = ManifestV2.readManifest(dir).get.commitTs
+    assert(t0 > 0L, "every commit must carry a wall-clock stamp")
+    Thread.sleep(15)
+    spark.sql("INSERT INTO graft.tag.tt SELECT id FROM range(0, 5, 1, 1)")
+    val t1 = ManifestV2.readManifest(dir).get.commitTs
+    Thread.sleep(15)
+    spark.sql(
+      "INSERT INTO graft.tag.tt SELECT id + 100 FROM range(0, 5, 1, 1)")
+    val t2 = ManifestV2.readManifest(dir).get.commitTs
+    assert(t0 < t1 && t1 < t2, s"monotone stamps: $t0 $t1 $t2")
+    val f = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def countAsOf(ms: Long): Long = spark.sql(
+      "SELECT COUNT(*) FROM graft.tag.tt TIMESTAMP AS OF " +
+        s"'${f.format(java.time.Instant.ofEpochMilli(ms))}'")
+      .head().getLong(0)
+    assert(countAsOf(t2) == 10L, "at the stamp itself: inclusive")
+    assert(countAsOf(t2 - 1L) == 5L, "between commits: the earlier one")
+    assert(countAsOf(t1) == 5L)
+    assert(countAsOf(t1 - 1L) == 0L, "the empty CREATE snapshot")
+    val e = intercept[Exception] { countAsOf(t0 - 60000L) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("earliest retained")),
+      s"before-first-commit must fail loudly: ${msgs(e)}")
+  }
 }
