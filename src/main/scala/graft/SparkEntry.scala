@@ -147,6 +147,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.snapshotTagQuery(s, d)),
     "dsv2_timestamp_travel" -> ((s, d) =>
       graft.sources.GraftCatalog.timestampTravelQuery(s, d)),
+    "dsv2_branch_wap" -> ((s, d) =>
+      graft.sources.GraftCatalog.branchWapQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3698,6 +3700,12 @@ object SparkEntry {
     // both timestamps of a mutating table read side by side
     "dsv2_timestamp_travel" ->
       graft.sources.GraftCatalog.timestampTravelSql(),
+
+    // branches + write-audit-publish: odds staged on a branch
+    // (invisible to main), audited, fast-forwarded as one atomic
+    // commit; pre-publish main / branch tip / published main compared
+    "dsv2_branch_wap" ->
+      graft.sources.GraftCatalog.branchWapSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

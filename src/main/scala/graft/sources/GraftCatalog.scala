@@ -610,7 +610,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "remove_orphans"),
         Identifier.of(Array("system"), "set_partitioning"),
         Identifier.of(Array("system"), "tag"),
-        Identifier.of(Array("system"), "drop_tag"))
+        Identifier.of(Array("system"), "drop_tag"),
+        Identifier.of(Array("system"), "branch"),
+        Identifier.of(Array("system"), "fast_forward"),
+        Identifier.of(Array("system"), "drop_branch"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -638,6 +641,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "drop_tag")
       new DropTagProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "branch")
+      new BranchProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "fast_forward")
+      new FastForwardProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "drop_branch")
+      new DropBranchProcedure(warehouse)
     else throw new IllegalArgumentException(s"no such procedure: $ident")
 }
 
@@ -836,6 +848,104 @@ class DropTagProcedure(warehouse: Path) extends UnboundProcedure {
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
       val existed = ManifestV2.dropTag(dir.toString, input.getString(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(existed)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.branch(ns => …, tbl => …, name => …)` — fork a
+  * WRITABLE BRANCH at the current version (write-audit-publish's
+  * staging ref): writes with the `branch=<name>` option commit onto
+  * it invisibly to main; reads with the same option audit it;
+  * `fast_forward` publishes it.
+  */
+class BranchProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "branch"
+  override def description(): String =
+    "fork a writable branch at the current version " +
+      "(write-audit-publish staging)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "branch"
+    override def description(): String = BranchProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("name", StringType).comment("branch name").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val base = ManifestV2.createBranch(dir.toString, input.getString(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("base_version", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              input.getString(2)), base)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.fast_forward(ns => …, tbl => …, name => …)` —
+  * publish a branch: ONE atomic main commit installing the branch tip,
+  * refused loudly if main advanced since the fork (divergence).
+  */
+class FastForwardProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch tip as main's next version (refuses on divergence)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      FastForwardProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("name", StringType).comment("branch name").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      val v = ManifestV2.fastForward(dir.toString, input.getString(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("published_version", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(v)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.drop_branch(ns => …, tbl => …, name => …)` —
+  * delete a branch ref and its version files; its unpublished data
+  * files become expirable.
+  */
+class DropBranchProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "drop_branch"
+  override def description(): String = "drop a branch ref"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      DropBranchProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("name", StringType).comment("branch name").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      val existed = ManifestV2.dropBranch(dir.toString, input.getString(2))
       val res: Scan = new LocalScan {
         override def readSchema(): StructType = StructType(Seq(
           StructField("dropped", BooleanType, nullable = false)))
@@ -1503,6 +1613,78 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders
       |ORDER BY snap""".stripMargin
+
+  /** Driver-contract query for BRANCHES + WRITE-AUDIT-PUBLISH (r12
+    * verdict ask #4): the even keys land on main; a branch forks; the
+    * odd keys are STAGED onto the branch (`branch=audit` write option
+    * — commits advance the branch ref through its own CAS, never
+    * `manifest.txt`); the branch read audits the full staged state;
+    * `fast_forward` publishes the tip as ONE atomic main commit. The
+    * result reads all three views side by side — main as of
+    * pre-publish (via TIMESTAMP AS OF: proves staging never touched
+    * main), the branch tip, and published main. A staged row leaking
+    * to main early, a lost branch commit, or a non-atomic publish all
+    * break the closed form.
+    */
+  def branchWapQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_wap_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.wap")
+    spark.sql("CREATE TABLE graft.db.wap (k BIGINT, m BIGINT)")
+    spark.sql("""INSERT INTO graft.db.wap
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_wap_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirPath = java.nio.file.Paths.get(wh, "db", "wap").toString
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'db', tbl => 'wap', name => 'audit')").collect()
+    // stage the odd keys ONTO THE BRANCH — invisible to main
+    spark.sql("""SELECT o_orderkey AS k, o_orderkey % 97 AS m
+      |FROM graft_wap_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("branch", "audit")
+      .mode("append").save()
+    val tBefore = ManifestV2.readManifest(
+      java.nio.file.Paths.get(dirPath)).get.commitTs
+    Thread.sleep(20) // keep the publish out of tBefore's millisecond
+    spark.sql("CALL graft.system.fast_forward(" +
+      "ns => 'db', tbl => 'wap', name => 'audit')").collect()
+    val asOf = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tBefore))
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("branch", "audit").load()
+      .createOrReplaceTempView("graft_wap_branch_tip")
+    val agg = "COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum"
+    spark.sql(s"""SELECT 'branch_tip' AS phase, $agg
+      |FROM graft_wap_branch_tip
+      |UNION ALL
+      |SELECT 'main_before' AS phase, $agg
+      |FROM graft.db.wap TIMESTAMP AS OF '$asOf'
+      |UNION ALL
+      |SELECT 'published' AS phase, $agg FROM graft.db.wap
+      |ORDER BY phase""".stripMargin)
+  }
+
+  /** [[branchWapQuery]] oracle: pre-publish main = the even keys; the
+    * branch tip and published main = everything.
+    */
+  def branchWapSql(): String =
+    """SELECT 'branch_tip' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |UNION ALL
+      |SELECT 'main_before' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT 'published' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |ORDER BY phase""".stripMargin
 
   /** Driver-contract query for the MULTI-TRANSFORM spec — the
     * canonical event-table layout `PARTITIONED BY (days(ts),

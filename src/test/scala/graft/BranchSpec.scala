@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, ManifestV2}
+
+/** BRANCHES + WRITE-AUDIT-PUBLISH (round 13): a branch is a mutable
+  * ref (`refs/<name>` = `branch:<K>:<base>`) whose commits claim
+  * immutable `manifest.<name>.v<K>.txt` files through the same
+  * CREATE_NEW CAS as main but advance the BRANCH ref, never
+  * `manifest.txt` — staged work is invisible to main until
+  * `fast_forward` installs the tip as ONE ordinary main commit,
+  * refused loudly when main advanced since the fork (divergence).
+  */
+class BranchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  GraftCatalog.install(spark)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.br")
+  private val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+  private def dir(t: String) = Paths.get(wh, "br", t).toString
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("write-audit-publish lifecycle: staged commits are invisible " +
+      "to main, the branch read audits them, fast_forward publishes " +
+      "atomically, drop_branch cleans up") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.br.wap")
+    spark.sql("CREATE TABLE graft.br.wap (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.wap SELECT id FROM range(0, 10, 1, 1)")
+    val d = dir("wap")
+    val mainV = ManifestV2.readManifest(Paths.get(d)).get.version
+
+    val r = spark.sql("CALL graft.system.branch(" +
+      "ns => 'br', tbl => 'wap', name => 'audit')").head()
+    assert(r.getString(0) == "audit" && r.getLong(1) == mainV)
+
+    // two staged commits onto the branch
+    def stage(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).select($"id".as("k"))
+        .write.format("graft.sources.ManifestV2")
+        .option("path", d).option("branch", "audit")
+        .mode("append").save()
+    stage(100L, 105L)
+    stage(200L, 203L)
+
+    // invisible to main: pointer version AND row set untouched
+    assert(ManifestV2.readManifest(Paths.get(d)).get.version == mainV)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.br.wap")
+      .head().getLong(0) == 10L)
+    // the branch read sees base + both staged commits
+    val br = spark.read.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "audit").load()
+    assert(br.count() == 18L)
+    assert(ManifestV2.branchHead(d, "audit").contains((2L, mainV)))
+
+    // publish: one atomic main commit installing the tip
+    val pv = spark.sql("CALL graft.system.fast_forward(" +
+      "ns => 'br', tbl => 'wap', name => 'audit')").head().getLong(0)
+    assert(pv == mainV + 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.br.wap")
+      .head().getLong(0) == 18L)
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.br.wap")
+      .head().getLong(0) ==
+      (0L until 10L).sum + (100L until 105L).sum + (200L until 203L).sum)
+
+    // drop: ref and branch version files go; main is untouched
+    assert(spark.sql("CALL graft.system.drop_branch(" +
+      "ns => 'br', tbl => 'wap', name => 'audit')").head().getBoolean(0))
+    assert(ManifestV2.branchHead(d, "audit").isEmpty)
+    val leftover = java.nio.file.Files.list(Paths.get(d)).iterator()
+    var hasBranchManifests = false
+    while (leftover.hasNext) {
+      val n = leftover.next().getFileName.toString
+      if (n.startsWith("manifest.audit.")) hasBranchManifests = true
+    }
+    assert(!hasBranchManifests, "drop_branch must remove branch manifests")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.br.wap")
+      .head().getLong(0) == 18L)
+  }
+
+  test("divergence: fast_forward refuses when main advanced since the " +
+      "fork, and the refusal changes nothing") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.dv")
+    spark.sql("CREATE TABLE graft.br.dv (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.dv SELECT id FROM range(0, 5, 1, 1)")
+    val d = dir("dv")
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'br', tbl => 'dv', name => 'b')").collect()
+    spark.range(100, 103).selectExpr("id AS k")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "b").mode("append").save()
+    // main moves after the fork
+    spark.sql("INSERT INTO graft.br.dv SELECT id + 50 FROM range(0, 2, 1, 1)")
+    val before = ManifestV2.readManifest(Paths.get(d)).get
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.fast_forward(" +
+        "ns => 'br', tbl => 'dv', name => 'b')").collect()
+    }
+    assert(msgs(e).exists(_.contains("diverged")), s"got: ${msgs(e)}")
+    val after = ManifestV2.readManifest(Paths.get(d)).get
+    assert(after.version == before.version &&
+      after.files.map(_.file) == before.files.map(_.file),
+      "a refused publish must leave main untouched")
+    // the branch itself is still readable/writable
+    assert(spark.read.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "b").load().count() == 8L)
+  }
+
+  test("expiry respects branch heads: data files only a branch " +
+      "references survive a keepLast=1 sweep and the branch stays " +
+      "readable") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.ex")
+    spark.sql("CREATE TABLE graft.br.ex (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.ex SELECT id FROM range(0, 6, 1, 1)")
+    val d = dir("ex")
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'br', tbl => 'ex', name => 'keep')").collect()
+    spark.range(100, 104).selectExpr("id AS k")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "keep").mode("append").save()
+    // main REPLACES its content: the original files are now referenced
+    // only by expired main versions and by the branch
+    spark.range(500, 502).selectExpr("id AS k")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", d).mode("overwrite").save()
+    ManifestV2.expireSnapshots(d, keepLast = 1)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.br.ex")
+      .head().getLong(0) == 2L)
+    val br = spark.read.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "keep").load()
+    assert(br.count() == 10L,
+      "branch-referenced files must survive the retention sweep")
+  }
+
+  test("ref namespace is shared: a branch cannot shadow a tag, tags " +
+      "list without branches, branch writes need the branch") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.ns")
+    spark.sql("CREATE TABLE graft.br.ns (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.ns SELECT id FROM range(0, 3, 1, 1)")
+    val d = dir("ns")
+    ManifestV2.tagSnapshot(d, "pin")
+    intercept[IllegalArgumentException] {
+      ManifestV2.createBranch(d, "pin")
+    }
+    ManifestV2.createBranch(d, "work")
+    intercept[IllegalArgumentException] {
+      ManifestV2.tagSnapshot(d, "work")
+    }
+    assert(ManifestV2.listTags(d).map(_._1) == Seq("pin"),
+      "tags must list without branch refs")
+    assert(ManifestV2.listBranches(d).map(_._1) == Seq("work"))
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("id AS k")
+        .write.format("graft.sources.ManifestV2")
+        .option("path", d).option("branch", "ghost")
+        .mode("append").save()
+    }
+    assert(msgs(e).exists(_.contains("no branch")), s"got: ${msgs(e)}")
+  }
+}
