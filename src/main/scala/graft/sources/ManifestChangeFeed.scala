@@ -63,16 +63,41 @@ object ManifestChangeFeed {
     */
   private[sources] def planRange(root: Path, startV: Long,
       endV: Long): Array[InputPartition] = {
+    // depth note (r12 verdict ask #6): planning is a DRIVER loop over
+    // version headers — pure metadata, bounded by retention cadence,
+    // but a full-history replay of a deep table deserves a visible
+    // line rather than silent driver time
+    if (endV - startV > 1000L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"change feed at $root spans ${endV - startV} versions " +
+          s"(($startV, $endV]) — planning diffs each step on the " +
+          "driver; consider consuming in narrower ranges")
+    // an expired range start fails with the RESUMABLE position, not a
+    // generic missing-manifest throw: the earliest retained version is
+    // the oldest valid feed base
+    def expired(v: Long): Nothing = {
+      val vs = ManifestV2.listVersions(root)
+      throw new IllegalArgumentException(
+        if (vs.isEmpty) s"no manifest at $root"
+        else s"change feed base v$v at $root has been expired — the " +
+          s"earliest retained version is v${vs.head}; restart the " +
+          s"feed with startVersion = ${vs.head} (changes before it " +
+          "are unrecoverable)")
+    }
     val out = Seq.newBuilder[InputPartition]
     var prev: Seq[ManifestV2.FileEntry] =
-      if (startV == 0) Seq.empty
+      if (startV == 0) {
+        // a from-creation feed needs v1 as its first diff target
+        if (endV >= 1L && ManifestV2.readManifest(root, 1L).isEmpty)
+          expired(0L)
+        Seq.empty
+      }
       else ManifestV2.readManifest(root, startV).map(_.files)
-        .getOrElse(throw new IllegalArgumentException(
-          s"no manifest v$startV at $root"))
+        .getOrElse(expired(startV))
     var v = startV + 1
     while (v <= endV) {
       val curState = ManifestV2.readManifest(root, v).getOrElse(
-        throw new IllegalArgumentException(s"no manifest v$v at $root"))
+        expired(v))
       // a MAINTENANCE commit (@maint: compaction, clustering, sidecar
       // coalescing) rewrites layout, not content — the feed skips it
       // entirely instead of emitting remove+add noise (the Delta

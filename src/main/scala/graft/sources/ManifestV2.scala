@@ -2216,11 +2216,30 @@ class ManifestTable(path: String, externalSchema: StructType,
     }
   }
 
+  /** Per-file decision conjunction: the statement's filters PLUS the
+    * hidden-partition conjuncts of whichever spec era boxed this file
+    * ([[PartTransform.impliedKeyed]]). This is what lets a STRING-key
+    * equality on a `bucket(N, k)` table decide other-bucket files to
+    * "no row matches" — a string column has no [min,max] box, but the
+    * transposed `@p` point box is exact — so their sidecars are never
+    * attached and they keep the count-only fast path.
+    */
+  private def decideConj(st: ManifestV2.ManifestState,
+      filters: Array[Filter]): ManifestV2.FileEntry => Array[Filter] = {
+    val keyed = PartTransform.impliedKeyed(st.part, st.partHist,
+      st.schema, filters)
+    e => filters ++ keyed.collect {
+      case (k, f) if e.stats.contains(k) => f
+    }
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     val st = ManifestV2.readManifest(root)
-    st.exists(_.files.forall(e =>
-      ManifestV2.decideBox(filters, e).isDefined)) ||
-      (st.isDefined && eqDeleteShape(filters).isDefined)
+    st.exists { s =>
+      val conjOf = decideConj(s, filters)
+      s.files.forall(e =>
+        ManifestV2.decideBox(conjOf(e), e).isDefined)
+    } || (st.isDefined && eqDeleteShape(filters).isDefined)
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -2243,8 +2262,9 @@ class ManifestTable(path: String, externalSchema: StructType,
       val st = cur.getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
       val canEq = eqDeleteShape(filters).isDefined
+      val conjOf = decideConj(st, filters)
       val files = st.files.flatMap { e =>
-        ManifestV2.decideBox(filters, e) match {
+        ManifestV2.decideBox(conjOf(e), e) match {
           case Some(true) => None // every row matches: drop the file
           case Some(false) => Some(e) // no row can match: untouched
           case None if canEq =>

@@ -238,4 +238,32 @@ class ChangeFeedSpec extends AnyFunSuite {
       s"a real post-compaction commit still feeds: $afterDel")
     spark.sql("DROP TABLE graft.spec.cdc2")
   }
+
+  test("an expired feed base fails with the RESUMABLE position, and " +
+      "the feed resumes cleanly from the earliest retained version") {
+    import spark.implicits._
+    val dir = tmp()
+    def push(lo: Long, hi: Long): Unit =
+      (lo until hi).map(k => (k, k * 10)).toDF("k", "v").repartition(1)
+        .write.format("graft.sources.ManifestV2")
+        .option("path", dir).mode("append").save()
+    push(0, 3); push(10, 13); push(20, 23); push(30, 33)
+    ManifestV2.expireSnapshots(dir, keepLast = 2)
+    val earliest = ManifestV2.listVersions(
+      java.nio.file.Paths.get(dir)).head
+    // a from-creation replay cannot be served: versions 1..earliest-1
+    // are gone — the error names the resumable start, not a generic
+    // missing-manifest throw
+    val e = intercept[Exception] { feed(dir, from = 0L).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("expired") &&
+      m.contains(s"startVersion = $earliest")), s"got: ${msgs(e)}")
+    // resuming from the named position serves exactly the retained tail
+    val tail = feed(dir, from = earliest).collect()
+    assert(tail.length == 3 &&
+      tail.forall(_.getString(2) == "insert"),
+      s"retained tail must read back: ${tail.mkString(",")}")
+    assert(tail.map(_.getLong(0)).sorted.toSeq == Seq(30L, 31L, 32L))
+  }
 }

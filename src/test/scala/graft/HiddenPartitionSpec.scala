@@ -566,6 +566,34 @@ class HiddenPartitionSpec extends AnyFunSuite {
       .getLong(0) == 30L)
   }
 
+  test("string-key equality DELETE on a bucket(4, s) table attaches " +
+      "its sidecar ONLY to the key's bucket — other buckets stay " +
+      "sidecar-free") {
+    spark.sql("DROP TABLE IF EXISTS graft.hp.sdel")
+    spark.sql("CREATE TABLE graft.hp.sdel (s STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, s))")
+    spark.sql("INSERT INTO graft.hp.sdel SELECT concat('user', id), id " +
+      "FROM range(0, 400, 1, 2)")
+    spark.sql("DELETE FROM graft.hp.sdel WHERE s = 'user17'")
+    val es = entries("hp", "sdel")
+    val b = PartTransform.bucketUtf8(4,
+      org.apache.spark.unsafe.types.UTF8String.fromString("user17"))
+    val (inBucket, others) = es.partition(
+      _.stats(PartTransform.PKey)._1 == b)
+    assert(inBucket.nonEmpty && inBucket.forall(_.deletes.nonEmpty),
+      "the key's bucket files carry the equality sidecar")
+    assert(others.nonEmpty && others.forall(_.deletes.isEmpty),
+      s"other-bucket files must stay sidecar-free: " +
+        s"${others.filter(_.deletes.nonEmpty).map(_.file)}")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.hp.sdel").head()
+      .getLong(0) == 399L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.hp.sdel WHERE s = 'user17'").head()
+      .getLong(0) == 0L)
+    assert(spark.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft.hp.sdel")
+      .head().getLong(0) == (0L until 400L).sum - 17L)
+  }
+
   test("STREAMING INGEST into a (days(ts), bucket(4, uid)) table: " +
       "every epoch's files land partition-pure through one checkpoint, " +
       "time-range pruning works on the streamed table, and a replayed " +
