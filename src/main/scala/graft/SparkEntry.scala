@@ -149,6 +149,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.timestampTravelQuery(s, d)),
     "dsv2_branch_wap" -> ((s, d) =>
       graft.sources.GraftCatalog.branchWapQuery(s, d)),
+    "dsv2_meta_tables" -> ((s, d) =>
+      graft.sources.GraftCatalog.metaTablesQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3706,6 +3708,11 @@ object SparkEntry {
     // commit; pre-publish main / branch tip / published main compared
     "dsv2_branch_wap" ->
       graft.sources.GraftCatalog.branchWapSql(),
+
+    // metadata tables (t.history / t.files / t.tags / t.branches):
+    // the table's own log SELECT-able off manifest headers and refs
+    "dsv2_meta_tables" ->
+      graft.sources.GraftCatalog.metaTablesSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

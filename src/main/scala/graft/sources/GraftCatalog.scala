@@ -111,7 +111,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     case _ =>
       val d = dirOf(ident)
-      if (!isTableDir(d)) throw new NoSuchTableException(ident)
+      if (!isTableDir(d)) {
+        // METADATA TABLES: `graft.<ns>.<table>.<view>` — the namespace
+        // tail names a real table and the leaf a system view
+        // (`history`/`files`/`tags`/`branches`, [[MetaTables]])
+        if (ident.namespace.length >= 2 &&
+            MetaTables.Names.contains(ident.name)) {
+          val pd = dirOf(ident.namespace)
+          if (isTableDir(pd))
+            return new ManifestMetaTable(pd.toString, ident.name)
+        }
+        throw new NoSuchTableException(ident)
+      }
       // null external schema: the manifest's own DDL line is the schema
       new ManifestTable(d.toString, null)
   }
@@ -1614,6 +1625,72 @@ object GraftCatalog {
       |FROM orders
       |ORDER BY snap""".stripMargin
 
+  /** Driver-contract query for METADATA TABLES (round 13 — the
+    * Iceberg `t.history`/`t.files`/`t.tags`/`t.branches` shape): a
+    * table's own log SELECT-able through the catalog, computed from
+    * manifest headers and refs, no data file opened. The query builds
+    * a 3-version history (empty CREATE, evens, odds), pins a tag,
+    * forks a branch, then reads all four views into one closed form —
+    * a miscounted version, file, or ref breaks the hash.
+    */
+  def metaTablesQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_mtt_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mtt")
+    spark.sql("CREATE TABLE graft.db.mtt (k BIGINT)")
+    spark.sql("""INSERT INTO graft.db.mtt
+      |SELECT /*+ REPARTITION(1) */ o_orderkey FROM graft_mtt_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.mtt
+      |SELECT /*+ REPARTITION(1) */ o_orderkey FROM graft_mtt_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+    // bounded: procedure results, one row each
+    spark.sql("CALL graft.system.tag(" +
+      "ns => 'db', tbl => 'mtt', name => 'pinned', version => -1)")
+      .collect()
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'db', tbl => 'mtt', name => 'wip')").collect()
+    spark.sql("""SELECT concat('v', CAST(version AS STRING)) AS item,
+      |  files AS a, rows AS b
+      |FROM graft.db.mtt.history
+      |UNION ALL
+      |SELECT 'files_total' AS item, COUNT(*) AS a,
+      |  CAST(SUM(rows) AS BIGINT) AS b
+      |FROM graft.db.mtt.files
+      |UNION ALL
+      |SELECT concat('tag_', name) AS item, version AS a,
+      |  CAST(0 AS BIGINT) AS b
+      |FROM graft.db.mtt.tags
+      |UNION ALL
+      |SELECT concat('branch_', name) AS item, tip AS a,
+      |  base_version AS b
+      |FROM graft.db.mtt.branches
+      |ORDER BY item""".stripMargin)
+  }
+
+  /** [[metaTablesQuery]] oracle: the log restated as a closed form —
+    * v1 empty, v2 = the evens in one file, v3 = everything in two,
+    * one tag at v3, one branch forked at v3 with tip 0.
+    */
+  def metaTablesSql(): String =
+    """SELECT 'branch_wip' AS item, CAST(0 AS BIGINT) AS a,
+      |  CAST(3 AS BIGINT) AS b
+      |UNION ALL
+      |SELECT 'files_total', CAST(2 AS BIGINT), (SELECT COUNT(*) FROM orders)
+      |UNION ALL
+      |SELECT 'tag_pinned', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'v1', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'v2', CAST(1 AS BIGINT),
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+      |UNION ALL
+      |SELECT 'v3', CAST(2 AS BIGINT), (SELECT COUNT(*) FROM orders)
+      |ORDER BY item""".stripMargin
+
   /** Driver-contract query for BRANCHES + WRITE-AUDIT-PUBLISH (r12
     * verdict ask #4): the even keys land on main; a branch forks; the
     * odd keys are STAGED onto the branch (`branch=audit` write option
@@ -1639,6 +1716,7 @@ object GraftCatalog {
       |WHERE o_orderkey % 2 = 0""".stripMargin)
     val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
     val dirPath = java.nio.file.Paths.get(wh, "db", "wap").toString
+    // bounded: procedure result, one row
     spark.sql("CALL graft.system.branch(" +
       "ns => 'db', tbl => 'wap', name => 'audit')").collect()
     // stage the odd keys ONTO THE BRANCH — invisible to main
@@ -1651,6 +1729,7 @@ object GraftCatalog {
     val tBefore = ManifestV2.readManifest(
       java.nio.file.Paths.get(dirPath)).get.commitTs
     Thread.sleep(20) // keep the publish out of tBefore's millisecond
+    // bounded: procedure result, one row
     spark.sql("CALL graft.system.fast_forward(" +
       "ns => 'db', tbl => 'wap', name => 'audit')").collect()
     val asOf = java.time.format.DateTimeFormatter

@@ -110,12 +110,45 @@ object ManifestReaderFactory {
   * every component is NON-NULL and the tuple is in the set (SQL
   * equality: NULL never matches). Single-column checks — the common
   * case, and the only shape the streaming upsert sink emits — probe a
-  * flat set without tuple allocation.
+  * flat set without tuple allocation; COMPOSITE checks probe an
+  * open-addressed table of component arrays through one REUSED buffer
+  * (the check lives on one split's single-threaded reader), so a
+  * multi-column `DELETE WHERE a=… AND b=…` costs zero allocation per
+  * surviving row instead of a Seq wrap + tuple hash per row.
   */
 private[sources] final class ManifestEqCheck(val srcs: Array[Int],
     keys: Set[Seq[Any]]) {
   private val single: Set[Any] =
     if (srcs.length == 1) keys.iterator.map(_.head).toSet else null
+
+  private def hashOf(a: Array[Any]): Int = {
+    var h = 1
+    var i = 0
+    while (i < a.length) { h = h * 31 + a(i).hashCode; i += 1 }
+    h ^ (h >>> 16)
+  }
+  private def eqArr(a: Array[Any], b: Array[Any]): Boolean = {
+    var i = 0
+    while (i < a.length) { if (a(i) != b(i)) return false; i += 1 }
+    true
+  }
+  // per-row component buffer + linear-probe table, built once
+  private val comps: Array[Any] =
+    if (single == null) new Array[Any](srcs.length) else null
+  private val table: Array[Array[Any]] =
+    if (single == null) {
+      var cap = 8
+      while (cap < keys.size * 2) cap <<= 1
+      val t = new Array[Array[Any]](cap)
+      keys.foreach { k =>
+        val arr = k.toArray
+        var i = hashOf(arr) & (cap - 1)
+        while (t(i) != null && !eqArr(t(i), arr)) i = (i + 1) & (cap - 1)
+        t(i) = arr
+      }
+      t
+    } else null
+  private val mask: Int = if (table != null) table.length - 1 else 0
 
   /** `get` returns the decoded value at the batch's current row for a
     * decode-set column index, or null.
@@ -124,7 +157,6 @@ private[sources] final class ManifestEqCheck(val srcs: Array[Int],
     if (single != null) {
       val v = get(srcs(0)); v != null && single.contains(v)
     } else {
-      val comps = new Array[Any](srcs.length)
       var j = 0
       while (j < srcs.length) {
         val v = get(srcs(j))
@@ -132,7 +164,12 @@ private[sources] final class ManifestEqCheck(val srcs: Array[Int],
         comps(j) = v
         j += 1
       }
-      keys.contains(comps.toSeq)
+      var i = hashOf(comps) & mask
+      while (table(i) != null) {
+        if (eqArr(table(i), comps)) return true
+        i = (i + 1) & mask
+      }
+      false
     }
 }
 

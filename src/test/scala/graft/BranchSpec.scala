@@ -162,4 +162,52 @@ class BranchSpec extends AnyFunSuite {
     }
     assert(msgs(e).exists(_.contains("no branch")), s"got: ${msgs(e)}")
   }
+
+  test("metadata tables: history/files/tags/branches SELECT the log " +
+      "off manifest headers and refs") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.mt")
+    spark.sql("CREATE TABLE graft.br.mt (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.mt " +
+      "SELECT /*+ REPARTITION(1) */ id FROM range(0, 5, 1, 4)")
+    val d = dir("mt")
+    ManifestV2.tagSnapshot(d, "pinned")
+    ManifestV2.createBranch(d, "wip")
+    val hist = spark.sql("SELECT version, maintenance, files, rows " +
+      "FROM graft.br.mt.history ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(hist.toSeq == Seq((1L, false, 0L, 0L), (2L, false, 1L, 5L)),
+      s"got ${hist.toSeq}")
+    // committed_at is stamped and monotone
+    val ts = spark.sql("SELECT committed_at FROM graft.br.mt.history " +
+      "ORDER BY version").collect().map(_.getTimestamp(0).getTime)
+    assert(ts.forall(_ > 0L) && ts.sorted.sameElements(ts))
+    val files = spark.sql("SELECT file, rows, sidecars, row_groups, " +
+      "partition FROM graft.br.mt.files").collect()
+    assert(files.length == 1 && files(0).getLong(1) == 5L &&
+      files(0).getLong(2) == 0L && files(0).getLong(3) >= 1L &&
+      files(0).isNullAt(4))
+    assert(spark.sql("SELECT name, version FROM graft.br.mt.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("pinned", 2L)))
+    assert(spark.sql(
+      "SELECT name, tip, base_version FROM graft.br.mt.branches")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("wip", 0L, 2L)))
+    // a partitioned table's files view renders the reserved boxes
+    spark.sql("DROP TABLE IF EXISTS graft.br.mtp")
+    spark.sql("CREATE TABLE graft.br.mtp (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO graft.br.mtp SELECT id, " +
+      "TIMESTAMP '2024-07-01 12:00:00' FROM range(0, 3, 1, 1)")
+    val p = spark.sql("SELECT partition FROM graft.br.mtp.files")
+      .collect().map(_.getString(0))
+    assert(p.toSeq == Seq("@p=" +
+      java.time.LocalDate.of(2024, 7, 1).toEpochDay), s"got ${p.toSeq}")
+    // an unknown view name is still NoSuchTable
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.br.mt.nosuchview").collect()
+    }
+    assert(msgs(e).exists(m => m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      m.contains("cannot be found")), s"got: ${msgs(e)}")
+  }
 }
