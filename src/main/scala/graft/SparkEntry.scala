@@ -151,6 +151,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.branchWapQuery(s, d)),
     "dsv2_meta_tables" -> ((s, d) =>
       graft.sources.GraftCatalog.metaTablesQuery(s, d)),
+    "dsv2_rename_column" -> ((s, d) =>
+      graft.sources.GraftCatalog.renameColumnQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3713,6 +3715,11 @@ object SparkEntry {
     // the table's own log SELECT-able off manifest headers and refs
     "dsv2_meta_tables" ->
       graft.sources.GraftCatalog.metaTablesSql(),
+
+    // RENAME COLUMN: metadata-only, alias-resolved old footers; both
+    // file populations aggregate under the new name
+    "dsv2_rename_column" ->
+      graft.sources.GraftCatalog.renameColumnSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

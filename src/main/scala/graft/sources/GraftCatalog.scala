@@ -294,6 +294,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes: Seq[TableChange]): ManifestV2.ManifestState = {
     var schema = st.schema
     var checks = st.checks
+    var files = st.files
+    var part = st.part
+    var partHist = st.partHist
+    var aliases = st.aliases
+    // every name that might still live in an OLD parquet footer: a new
+    // column must never take one (by-name reads would resurrect the
+    // old column's data into it)
+    def priorNames: Set[String] = aliases.values.flatten.toSet
     changes.foreach {
       // ENFORCED CHECK constraints (`ALTER TABLE … ADD CONSTRAINT c
       // CHECK (…)`): Spark validates the existing rows first
@@ -326,14 +334,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "column defaults are not supported")
         require(!schema.fieldNames.contains(a.fieldNames.head),
           s"column ${a.fieldNames.head} already exists")
+        require(!priorNames.contains(a.fieldNames.head),
+          s"column name ${a.fieldNames.head} was a PRIOR name of a " +
+            "renamed column and still lives in old data files — " +
+            "by-name reads would resurrect the old values; pick " +
+            "another name")
         schema = schema.add(StructField(a.fieldNames.head, a.dataType,
           nullable = true))
+      // RENAME COLUMN (round 13): metadata-only. The schema field,
+      // every file entry's stats/nulls keys, and the partition-spec
+      // renders (current AND historical eras) rewrite to the new name
+      // in this one commit — so manifest-level pruning, SPJ, and
+      // hidden-partition transposition never need a mapping. Old
+      // parquet FOOTERS keep the old physical name; the read path
+      // resolves through the recorded alias chain
+      // ([[ManifestV2.ManifestState.aliases]]).
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested renames are not supported: ${r.fieldNames.mkString(".")}")
+        val from = r.fieldNames.head
+        val to = r.newName
+        require(schema.fieldNames.contains(from), s"no such column: $from")
+        require(!schema.fieldNames.contains(to),
+          s"column $to already exists")
+        require(to.nonEmpty &&
+          to.forall(c => c.isLetterOrDigit || c == '_'),
+          s"renamed column must be manifest-safe [A-Za-z0-9_]: '$to'")
+        require(!priorNames.contains(to),
+          s"column name $to was a prior name of a renamed column and " +
+            "still lives in old data files — pick another name")
+        require(!checks.exists { case (_, sql) =>
+          sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(from)}\\b.*")
+        }, s"a CHECK constraint references $from — drop the " +
+          "constraint first, rename, then re-add it under the new name")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        aliases = (aliases - from) +
+          (to -> (from +: aliases.getOrElse(from, Nil)))
+        files = files.map(e => e.copy(
+          stats = e.stats.map { case (k, v) =>
+            (if (k == from) to else k, v) },
+          nulls = e.nulls.map { case (k, v) =>
+            (if (k == from) to else k, v) }))
+        def ren(render: String): String =
+          if (render.isEmpty) render
+          else PartTransform.renderMulti(
+            PartTransform.parseMulti(render).map(s =>
+              if (s.col == from) PartTransform.withCol(s, to) else s))
+        part = part.map(ren)
+        partHist = partHist.map(ren)
       case other => throw new UnsupportedOperationException(
-        s"graft tables only evolve by ADD COLUMN (got: $other)")
+        s"graft tables only evolve by ADD COLUMN or RENAME COLUMN " +
+          s"(got: $other)")
     }
     ManifestV2.ManifestState(
-      schema, st.epochs, st.files, part = st.part, checks = checks,
-      partHist = st.partHist)
+      schema, st.epochs, files, part = part, checks = checks,
+      partHist = partHist, aliases = aliases)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -1624,6 +1680,50 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders
       |ORDER BY snap""".stripMargin
+
+  /** Driver-contract query for RENAME COLUMN (round 13 — the last
+    * schema-evolution verb users ask for): metadata-only without
+    * field IDs — the rename commit rewrites the schema field, every
+    * entry's stats keys, and the partition renders to the new name,
+    * and records the old name as an alias the leaf readers resolve
+    * old footers through. The query ingests the even keys, renames
+    * `amt` to `amount`, ingests the odd keys (new physical name),
+    * then aggregates ACROSS both file populations under the new name
+    * with a filter that must prune and decode through the alias — a
+    * null-filled old file, a missed sidecar, or a stale stats key
+    * breaks the closed form.
+    */
+  def renameColumnQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_rnc_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rnc")
+    spark.sql("CREATE TABLE graft.db.rnc (k BIGINT, amt BIGINT)")
+    spark.sql("""INSERT INTO graft.db.rnc
+      |SELECT o_orderkey, o_orderkey * 3 FROM graft_rnc_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.db.rnc RENAME COLUMN amt TO amount")
+    spark.sql("""INSERT INTO graft.db.rnc
+      |SELECT o_orderkey, o_orderkey * 3 FROM graft_rnc_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql("""SELECT amount % 10 AS m, COUNT(*) AS n,
+      |  CAST(SUM(amount) AS BIGINT) AS amount_sum,
+      |  CAST(SUM(CASE WHEN amount >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS big_n
+      |FROM graft.db.rnc GROUP BY 1 ORDER BY m""".stripMargin)
+  }
+
+  /** [[renameColumnQuery]] oracle: the renamed column is exactly
+    * `o_orderkey * 3` over every row, both file populations.
+    */
+  def renameColumnSql(): String =
+    """SELECT (o_orderkey * 3) % 10 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey * 3) AS BIGINT) AS amount_sum,
+      |  CAST(SUM(CASE WHEN o_orderkey * 3 >= 30 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS big_n
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** Driver-contract query for METADATA TABLES (round 13 — the
     * Iceberg `t.history`/`t.files`/`t.tags`/`t.branches` shape): a

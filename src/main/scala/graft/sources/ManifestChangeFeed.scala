@@ -175,7 +175,8 @@ class ManifestChangeFeedScan(root: Path, table: StructType,
           s"no manifest at $root")))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestChangeFeedReaderFactory(table)
+    new ManifestChangeFeedReaderFactory(table,
+      ManifestV2.readManifest(root).map(_.aliases).getOrElse(Map.empty))
 
   /** The STREAMING half (the Delta-CDF-stream shape): commits are the
     * offsets, each micro-batch serves one version window's change rows
@@ -208,7 +209,8 @@ class ManifestChangeFeedMicroBatchStream(root: Path, table: StructType,
     else ManifestChangeFeed.planRange(root, s, e)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestChangeFeedReaderFactory(table)
+    new ManifestChangeFeedReaderFactory(table,
+      ManifestV2.readManifest(root).map(_.aliases).getOrElse(Map.empty))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -238,7 +240,8 @@ case class ChangeDeletedRowsPartition(root: String, file: String,
 case class ChangeMarkersPartition(cols: Seq[String], isLong: Seq[Boolean],
     keys: Seq[Seq[Any]], v: Long) extends InputPartition
 
-class ManifestChangeFeedReaderFactory(table: StructType)
+class ManifestChangeFeedReaderFactory(table: StructType,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   private val insertTag = UTF8String.fromString("insert")
   private val deleteTag = UTF8String.fromString("delete")
@@ -286,7 +289,7 @@ class ManifestChangeFeedReaderFactory(table: StructType)
       case w: ChangeWholeFilePartition =>
         val st = ManifestSplitState(
           ManifestFilePartition(w.root, w.file, w.deletes),
-          innerSchema, innerSchema, Array.empty)
+          innerSchema, innerSchema, Array.empty, aliases)
         wrap(new ManifestRowReader(st),
           if (w.insert) insertTag else deleteTag, w.v, null)
       case d: ChangeDeletedRowsPartition =>
@@ -319,7 +322,7 @@ class ManifestChangeFeedReaderFactory(table: StructType)
         }
         val st = ManifestSplitState(
           ManifestFilePartition(d.root, d.file, prevEq),
-          innerSchema, innerSchema, Array.empty)
+          innerSchema, innerSchema, Array.empty, aliases)
         wrap(new ManifestRowReader(st), deleteTag, d.v, wanted)
       case m: ChangeMarkersPartition =>
         val srcIdx: Array[Int] = m.cols.map(c => table.fieldIndex(c)).toArray

@@ -55,7 +55,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-applied above the scan.
   */
 class ManifestReaderFactory(full: StructType, required: StructType,
-    pushed: Array[Filter] = Array.empty)
+    pushed: Array[Filter] = Array.empty,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
 
   /** Columnar whenever every served type has a vector representation —
@@ -71,7 +72,7 @@ class ManifestReaderFactory(full: StructType, required: StructType,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val st = ManifestSplitState(ManifestReaderFactory.filePartOf(p),
-      full, required, pushed)
+      full, required, pushed, aliases)
     try {
       if (st.nCols == 0) new ManifestCountOnlyRowReader(st)
       else new ManifestRowReader(st)
@@ -81,7 +82,7 @@ class ManifestReaderFactory(full: StructType, required: StructType,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
     val st = ManifestSplitState(ManifestReaderFactory.filePartOf(p),
-      full, required, pushed)
+      full, required, pushed, aliases)
     try new ManifestColumnarReader(st)
     catch { case e: Throwable => st.close(); throw e }
   }
@@ -179,13 +180,14 @@ private[sources] object ManifestSplitState {
     * only thing that touches it before the reader object owns it).
     */
   def apply(fp: ManifestFilePartition, full: StructType,
-      required: StructType, pushed: Array[Filter]): ManifestSplitState = {
+      required: StructType, pushed: Array[Filter],
+      aliases: Map[String, Seq[String]] = Map.empty): ManifestSplitState = {
     val conf = ManifestV2.leafConf()
     val hPath = new org.apache.hadoop.fs.Path(
       Paths.get(fp.root).resolve(fp.file).toString)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
-    try new ManifestSplitState(fp, full, required, pushed, reader)
+    try new ManifestSplitState(fp, full, required, pushed, reader, aliases)
     catch {
       case e: Throwable =>
         try reader.close() catch { case _: Exception => () }
@@ -206,10 +208,22 @@ private[sources] object ManifestSplitState {
 private[sources] final class ManifestSplitState(
     val fp: ManifestFilePartition, full: StructType,
     val required: StructType, pushed: Array[Filter],
-    val reader: org.apache.parquet.hadoop.ParquetFileReader) {
+    val reader: org.apache.parquet.hadoop.ParquetFileReader,
+    aliases: Map[String, Seq[String]] = Map.empty) {
 
   val fileName: UTF8String = UTF8String.fromString(fp.file)
   private val rootPath = Paths.get(fp.root)
+
+  // RENAME COLUMN resolution: a footer written before the rename
+  // carries the OLD physical name. `footerNameOf` finds the name a
+  // CURRENT column actually has in THIS file (newest alias first);
+  // `currentOf` translates stored old names (sidecar headers, chunk
+  // paths) back to current ones. Both empty-cost when no rename ever
+  // happened.
+  private val currentOf: Map[String, String] =
+    aliases.iterator.flatMap { case (cur, olds) =>
+      olds.iterator.map(_ -> cur)
+    }.toMap
 
   // merge-on-read: POSITION sidecars union into a BitSet of dead
   // absolute ordinals; EQUALITY sidecars parse typed (v1 bare-BIGINT
@@ -236,6 +250,13 @@ private[sources] final class ManifestSplitState(
   // before an ADD COLUMN evolution simply lacks the column by name and
   // null-fills — by-name resolution, the Iceberg shape
   val fileSchema = footer.getFileMetaData.getSchema
+  /** The physical name a CURRENT column carries in THIS footer: the
+    * name itself, or its newest alias the footer knows. None =
+    * evolution-missing (null-fill).
+    */
+  private def footerNameOf(c: String): Option[String] =
+    if (fileSchema.containsField(c)) Some(c)
+    else aliases.getOrElse(c, Nil).find(fileSchema.containsField)
   val createdBy: String = footer.getFileMetaData.getCreatedBy
   val blocks = footer.getBlocks
   val rgLo: Int = math.max(0, fp.rgLo)
@@ -246,7 +267,10 @@ private[sources] final class ManifestSplitState(
   // NULL never matches an equality — the sidecar is vacuous for it)
   private val eqApplicable: Seq[ManifestV2.EqDelete] =
     eqRefs.map(ManifestV2.readEqDeleteTyped(rootPath, _))
-      .filter(_.cols.forall { case (c, _) => fileSchema.containsField(c) })
+      // sidecars written before a RENAME name the old column
+      .map(e => e.copy(cols = e.cols.map { case (c, t) =>
+        (currentOf.getOrElse(c, c), t) }))
+      .filter(_.cols.forall { case (c, _) => footerNameOf(c).isDefined })
 
   // data columns to DECODE = required ∩ file footer, in required
   // order; `_file`/`_pos` (metadata columns) are served from the
@@ -255,14 +279,14 @@ private[sources] final class ManifestSplitState(
   private val dataFields0 = required.fields.filter(f =>
     f.name != ManifestTable.FileMetaCol &&
       f.name != ManifestTable.PosMetaCol &&
-      fileSchema.containsField(f.name))
+      footerNameOf(f.name).isDefined)
   // defensive: the footer-count fast path must not swallow a pushed
   // filter — if one references data columns this file has, decode them
   // so the residual above the scan sees real values
   private val dataFields1 =
     if (dataFields0.nonEmpty || pushed.isEmpty) dataFields0
     else full.fields.filter(f => pushed.flatMap(_.references)
-      .contains(f.name) && fileSchema.containsField(f.name))
+      .contains(f.name) && footerNameOf(f.name).isDefined)
   // equality-delete key columns are FORCED into the decode set the
   // same way: subtracting by value needs the values
   val dataFields: Array[StructField] = dataFields1 ++
@@ -296,9 +320,13 @@ private[sources] final class ManifestSplitState(
   })
   // project at the parquet I/O layer: only the requested columns'
   // chunks are read from disk
+  // the I/O projection uses each column's PHYSICAL footer name (an
+  // old file serves a renamed column under its old name); positions
+  // align with dataFields, so everything above stays on current names
   val requested: org.apache.parquet.schema.MessageType =
     if (nCols == 0) null
-    else ManifestV2.parquetTypeOf(StructType(dataFields))
+    else ManifestV2.parquetTypeOf(StructType(dataFields.map(f =>
+      f.copy(name = footerNameOf(f.name).get))))
   if (requested != null) reader.setRequestedSchema(requested)
   val colDescs = if (requested == null) null else requested.getColumns
 
@@ -340,7 +368,10 @@ private[sources] final class ManifestSplitState(
     val it = b.getColumns.iterator()
     while (it.hasNext) {
       val cc = it.next()
-      val name = cc.getPath.toDotString
+      val raw = cc.getPath.toDotString
+      // chunk paths are physical names; index by CURRENT name so the
+      // pushed conjunction (current names) decides directly
+      val name = currentOf.getOrElse(raw, raw)
       chunks(name) = cc
       if (statWidth.contains(name)) {
         val s = cc.getStatistics

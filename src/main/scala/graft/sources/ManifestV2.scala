@@ -328,7 +328,18 @@ object ManifestV2 {
         * whose stamp is <= t. 0 = pre-upgrade manifest (unknown,
         * sorts oldest).
         */
-      commitTs: Long = 0L) {
+      commitTs: Long = 0L,
+      /** RENAME COLUMN history: current name -> its prior names,
+        * newest first. By-name file resolution consults it — a parquet
+        * footer written before the rename carries the old name — and
+        * the reserved-name guards consult it so a later ADD/RENAME can
+        * never reuse a name that still lives in old footers (by-name
+        * reads would resurrect the old column's data). File-entry
+        * stats keys and partition-spec renders are rewritten to the
+        * new name AT the rename commit, so manifest-level pruning
+        * never needs the map.
+        */
+      aliases: Map[String, Seq[String]] = Map.empty) {
     /** The CURRENT spec era's ordinal — index into the full era list
       * (history first, current last). Files written under era `i`
       * carry their point box under [[PartTransform.keyName]]`(i)`.
@@ -353,6 +364,13 @@ object ManifestV2 {
     * per commit).
     */
   private[graft] val MaxSegs = 64
+
+  private[graft] def parseAliases(s: String): Map[String, Seq[String]] =
+    if (s.isEmpty) Map.empty
+    else s.split(";", -1).iterator.filter(_.nonEmpty).map { g =>
+      val Array(c, olds) = g.split("=", 2)
+      (c, olds.split(",", -1).toSeq.filter(_.nonEmpty))
+    }.toMap
 
   private[graft] def parseFileLine(line: String): FileEntry = {
     val parts = line.split("\t", -1)
@@ -410,12 +428,17 @@ object ManifestV2 {
             lines.get(afterPart).startsWith("@ts\t"))
           (lines.get(afterPart).split("\t", 2)(1).toLong, afterPart + 1)
         else (0L, afterPart)
-      val (hist, afterHist) =
+      val (aliases, afterAl) =
         if (lines.size > afterTs &&
-            lines.get(afterTs).startsWith("@parthist\t"))
-          (lines.get(afterTs).split("\t", 2)(1).split(";", -1).toSeq,
-            afterTs + 1)
-        else (Nil, afterTs)
+            lines.get(afterTs).startsWith("@aliases\t"))
+          (parseAliases(lines.get(afterTs).split("\t", 2)(1)), afterTs + 1)
+        else (Map.empty[String, Seq[String]], afterTs)
+      val (hist, afterHist) =
+        if (lines.size > afterAl &&
+            lines.get(afterAl).startsWith("@parthist\t"))
+          (lines.get(afterAl).split("\t", 2)(1).split(";", -1).toSeq,
+            afterAl + 1)
+        else (Nil, afterAl)
       val maint = lines.size > afterHist &&
         lines.get(afterHist).startsWith("@maint\t")
       val checks = Seq.newBuilder[(String, String)]
@@ -441,7 +464,8 @@ object ManifestV2 {
       val segd = segs.result()
       val all = segd.flatMap(_.files) ++ inline
       Some((ManifestState(schema, epochs, all, v, part, checks.result(),
-        maint, hist, commitTs = cts), segd, inline.toSeq))
+        maint, hist, commitTs = cts, aliases = aliases), segd,
+        inline.toSeq))
     }
   }
 
@@ -469,7 +493,7 @@ object ManifestV2 {
   private[graft] def readManifestPruned(root: Path, version: Long,
       filters: Array[Filter])
       : Option[(StructType, Long, Option[String], Seq[FileEntry],
-        Seq[String])] = {
+        Seq[String], Map[String, Seq[String]])] = {
     val m =
       if (version < 0L) root.resolve("manifest.txt")
       else root.resolve(s"manifest.v$version.txt")
@@ -483,6 +507,11 @@ object ManifestV2 {
       else (None, 3)
     var i = afterPart
     if (i < lines.size && lines.get(i).startsWith("@ts\t")) i += 1
+    var aliases: Map[String, Seq[String]] = Map.empty
+    if (i < lines.size && lines.get(i).startsWith("@aliases\t")) {
+      aliases = parseAliases(lines.get(i).split("\t", 2)(1))
+      i += 1
+    }
     var hist: Seq[String] = Nil
     if (i < lines.size && lines.get(i).startsWith("@parthist\t")) {
       hist = lines.get(i).split("\t", 2)(1).split(";", -1).toSeq
@@ -520,7 +549,7 @@ object ManifestV2 {
       i += 1
     }
     while (i < lines.size) { out += parseFileLine(lines.get(i)); i += 1 }
-    Some((schema, v, part, out.result(), hist))
+    Some((schema, v, part, out.result(), hist, aliases))
   }
 
   /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
@@ -598,10 +627,17 @@ object ManifestV2 {
     val histLine =
       if (state.partHist.isEmpty) Seq.empty
       else Seq("@parthist\t" + state.partHist.mkString(";"))
+    // RENAME history, written only when present (pre-rename manifests
+    // stay byte-identical): `cur=old1,old2;cur2=old3`
+    val aliasLine =
+      if (state.aliases.isEmpty) Seq.empty
+      else Seq("@aliases\t" + state.aliases.toSeq.sortBy(_._1)
+        .map { case (c, olds) => s"$c=${olds.mkString(",")}" }
+        .mkString(";"))
     val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
       s"@ts\t$commitTs" +:
-      (histLine ++ maintLine ++
+      (aliasLine ++ histLine ++ maintLine ++
       state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
       segLines ++
       inline.map(fileLine))).mkString("", "\n", "\n")
@@ -1657,7 +1693,8 @@ object ManifestV2 {
         }
       }
       ManifestState(s.schema, s.epochs, files, part = s.part,
-        checks = s.checks, maint = true, partHist = s.partHist)
+        checks = s.checks, maint = true, partHist = s.partHist,
+        aliases = s.aliases)
     }: Unit
     (merged.size.toLong, before, after)
   }
@@ -2277,7 +2314,8 @@ class ManifestTable(path: String, externalSchema: StructType,
         }
       }
       ManifestV2.ManifestState(st.schema, st.epochs, files, part = st.part,
-        checks = st.checks, partHist = st.partHist)
+        checks = st.checks, partHist = st.partHist,
+        aliases = st.aliases)
     }: Unit
     // dropped files stay on disk: older manifest versions still
     // reference them (time travel); expireSnapshots reclaims
@@ -2289,7 +2327,8 @@ class ManifestTable(path: String, externalSchema: StructType,
       val st = cur.getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
       ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty,
-        part = st.part, checks = st.checks, partHist = st.partHist)
+        part = st.part, checks = st.checks, partHist = st.partHist,
+        aliases = st.aliases)
     }: Unit
     true
   }
@@ -2450,7 +2489,9 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation,
       ManifestFilePartition(op.root.toString, f.file, f.deletes)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(full, required)
+    new ManifestReaderFactory(full, required,
+      aliases = ManifestV2.readManifest(op.root)
+        .map(_.aliases).getOrElse(Map.empty))
 }
 
 /** MERGE-ON-READ DELETE ([[SupportsDelta]] — the Iceberg position-
@@ -2605,7 +2646,8 @@ class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
       val files = st.files.map(e =>
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
       ManifestV2.ManifestState(st.schema, st.epochs, files,
-        part = st.part, checks = st.checks, partHist = st.partHist)
+        part = st.part, checks = st.checks, partHist = st.partHist,
+        aliases = st.aliases)
     }: Unit
   }
 
@@ -2799,7 +2841,8 @@ class ManifestDeltaUpdateBatchWrite(path: String, schema: StructType,
       val files = st.files.map(e =>
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
       ManifestV2.ManifestState(st.schema, st.epochs, files ++ added,
-        part = st.part, checks = st.checks, partHist = st.partHist)
+        part = st.part, checks = st.checks, partHist = st.partHist,
+        aliases = st.aliases)
     }: Unit
   }
 
@@ -2872,7 +2915,8 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
           s"${lost.map(_.file).mkString(", ")} — retry the statement")
       val kept = st.files.filterNot(e => gone.contains(e.file))
       ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
-        part = st.part, checks = st.checks, partHist = st.partHist)
+        part = st.part, checks = st.checks, partHist = st.partHist,
+        aliases = st.aliases)
     }: Unit
     // replaced files stay on disk: older manifest versions reference
     // them (time travel); expireSnapshots is the reclamation path
@@ -3260,7 +3304,8 @@ class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
         kept ++ added,
         part = cur.flatMap(_.part).orElse(Some(partCol)),
         checks = cur.map(_.checks).getOrElse(Nil),
-        partHist = cur.map(_.partHist).getOrElse(Nil))
+        partHist = cur.map(_.partHist).getOrElse(Nil),
+        aliases = cur.map(_.aliases).getOrElse(Map.empty))
     }: Unit
   }
 
@@ -3440,21 +3485,23 @@ class ManifestScanBuilder(root: Path, full: StructType,
           streamable = streamable && version < 0,
           partCol = st.flatMap(_.part), pushed = pushed,
           morStreamMode = morStreamMode,
-          partHist = st.map(_.partHist).getOrElse(Nil))
+          partHist = st.map(_.partHist).getOrElse(Nil),
+          aliases = st.map(_.aliases).getOrElse(Map.empty))
       case None =>
         // segment-envelope-pruned manifest read: a selective scan of a
         // segmented table materializes O(matching segments) of metadata
         // on the driver, not the whole file list
         val pruned = ManifestV2.readManifestPruned(root, version, pushed)
-        val (part, files, hist) = pruned match {
-          case Some((_, _, p, fs, h)) => (p, fs, h)
+        val (part, files, hist, al) = pruned match {
+          case Some((_, _, p, fs, h, a)) => (p, fs, h, a)
           case None =>
-            (None, Seq.empty[ManifestV2.FileEntry], Seq.empty[String])
+            (None, Seq.empty[ManifestV2.FileEntry], Seq.empty[String],
+              Map.empty[String, Seq[String]])
         }
         new ManifestScan(root.toString, full, required, files,
           streamable = streamable && version < 0,
           partCol = part, pushed = pushed, morStreamMode = morStreamMode,
-          partHist = hist)
+          partHist = hist, aliases = al)
     }
 }
 
@@ -3511,7 +3558,8 @@ case class ManifestAggPartition(values: Seq[Any]) extends InputPartition
 class ManifestScan(root: String, full: StructType, required: StructType,
     files: Seq[ManifestV2.FileEntry], streamable: Boolean = true,
     partCol: Option[String] = None, pushed: Array[Filter] = Array.empty,
-    morStreamMode: String = "fail", partHist: Seq[String] = Nil)
+    morStreamMode: String = "fail", partHist: Seq[String] = Nil,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   private val pSpecs: Seq[PartTransform.Spec] =
@@ -3747,13 +3795,16 @@ class ManifestScan(root: String, full: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(full, required,
       pushed ++ runtime.filterNot(f =>
-        f.references.exists(_.startsWith(PartTransform.PKey))))
+        f.references.exists(_.startsWith(PartTransform.PKey))),
+      aliases = aliases)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (!streamable) throw new UnsupportedOperationException(
       "cannot stream from a version-pinned or incremental scan — " +
         "stream the live table (offsets ARE versions)")
     new ManifestMicroBatchStream(Paths.get(root), full, required,
-      allowMorDeletes = morStreamMode == "appendonly")
+      allowMorDeletes = morStreamMode == "appendonly",
+      aliases = ManifestV2.readManifest(Paths.get(root))
+        .map(_.aliases).getOrElse(Map.empty))
   }
 }
 
@@ -3777,7 +3828,8 @@ case class ManifestVersionOffset(v: Long) extends Offset {
   * at any table size.
   */
 class ManifestMicroBatchStream(root: Path, full: StructType,
-    required: StructType, allowMorDeletes: Boolean = false)
+    required: StructType, allowMorDeletes: Boolean = false,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends MicroBatchStream {
   override def initialOffset(): Offset = ManifestVersionOffset(0L)
   override def deserializeOffset(json: String): Offset =
@@ -3794,7 +3846,7 @@ class ManifestMicroBatchStream(root: Path, full: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(full, required)
+    new ManifestReaderFactory(full, required, aliases = aliases)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -3974,7 +4026,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
         part = prev.flatMap(_.part).orElse(partitioned),
         checks = prev.map(_.checks).getOrElse(Nil),
         maint = maintenance,
-        partHist = prev.map(_.partHist).getOrElse(Nil))
+        partHist = prev.map(_.partHist).getOrElse(Nil),
+        aliases = prev.map(_.aliases).getOrElse(Map.empty))
     }: Unit
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
@@ -4170,7 +4223,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
           cur.map(_.epochs).getOrElse(Map.empty) + (queryId -> epochId),
           kept ++ added, part = cur.flatMap(_.part),
           checks = cur.map(_.checks).getOrElse(Nil),
-          partHist = cur.map(_.partHist).getOrElse(Nil))
+          partHist = cur.map(_.partHist).getOrElse(Nil),
+          aliases = cur.map(_.aliases).getOrElse(Map.empty))
       }: Unit
       // an epoch sidecar no pre-existing file needed is unreferenced
       epochDelete.foreach { case (rel, _) =>

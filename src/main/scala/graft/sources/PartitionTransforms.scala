@@ -116,6 +116,19 @@ object PartTransform {
     def render: String = s"truncate($w,$col)"
   }
 
+  /** The same spec over a renamed source column (RENAME COLUMN
+    * rewrites partition renders to the current name in the same
+    * commit).
+    */
+  def withCol(spec: Spec, col: String): Spec = spec match {
+    case Identity(_) => Identity(col)
+    case Bucket(n, _) => Bucket(n, col)
+    case Days(_) => Days(col)
+    case Hours(_) => Hours(col)
+    case Months(_) => Months(col)
+    case Trunc(w, _) => Trunc(w, col)
+  }
+
   /** Parse a manifest `@part` value. A bare identifier (no `(`) is
     * identity — the historical serialization, so every pre-transform
     * manifest parses unchanged.

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, ManifestV2, PartTransform}
+
+/** RENAME COLUMN (round 13): metadata-only schema evolution without
+  * field IDs. The rename commit rewrites the schema field, every file
+  * entry's stats/nulls keys, and the partition-spec renders (all
+  * eras) to the new name — so manifest pruning, SPJ, and transposition
+  * stay on current names — and records the old name as an ALIAS; the
+  * leaf readers resolve a current column against an old footer
+  * through the alias chain (the physical name only changes when the
+  * file is rewritten). Names that still live in old footers can never
+  * be reused by ADD or a second RENAME: by-name reads would resurrect
+  * the old column's bytes.
+  */
+class RenameColumnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  GraftCatalog.install(spark)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rn")
+  private val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("rename end to end: old footers resolve through the alias, new " +
+      "files write the new name, rewritten boxes keep pruning, a " +
+      "pre-rename equality sidecar still subtracts") {
+    spark.sql("DROP TABLE IF EXISTS graft.rn.t")
+    spark.sql("CREATE TABLE graft.rn.t (k BIGINT, v BIGINT)")
+    // two disjoint-range files, then an equality DELETE (sidecar
+    // written under the OLD column name)
+    spark.sql("INSERT INTO graft.rn.t " +
+      "SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 100, 1, 4)")
+    spark.sql("INSERT INTO graft.rn.t SELECT /*+ REPARTITION(1) */ " +
+      "id + 1000, id + 1000 FROM range(0, 100, 1, 4)")
+    spark.sql("DELETE FROM graft.rn.t WHERE v = 7")
+
+    spark.sql("ALTER TABLE graft.rn.t RENAME COLUMN v TO val")
+    assert(spark.table("graft.rn.t").schema.fieldNames.toSeq ==
+      Seq("k", "val"))
+    // old rows serve under the new name; the old-name sidecar applies
+    assert(spark.sql("SELECT CAST(SUM(val) AS BIGINT) FROM graft.rn.t")
+      .head().getLong(0) ==
+      (0L until 100L).sum + (1000L until 1100L).sum - 7L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.rn.t WHERE val = 7")
+      .head().getLong(0) == 0L)
+
+    // new files land with the new physical name and mix transparently
+    spark.sql("INSERT INTO graft.rn.t SELECT /*+ REPARTITION(1) */ " +
+      "id + 5000, id + 5000 FROM range(0, 10, 1, 4)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.rn.t WHERE val >= 5000")
+      .head().getLong(0) == 10L)
+
+    // file-entry boxes were rewritten: a range predicate on the NEW
+    // name prunes pre-rename files off metadata
+    val q = spark.sql("SELECT k FROM graft.rn.t WHERE val >= 1000 " +
+      "AND val < 1100")
+    assert(q.rdd.getNumPartitions == 1,
+      "rewritten stats boxes must keep file pruning on the new name")
+    assert(q.count() == 100L)
+
+    // the manifest carries the alias; file stats carry only new keys
+    val st = ManifestV2.readManifest(Paths.get(wh, "rn", "t")).get
+    assert(st.aliases == Map("val" -> Seq("v")))
+    assert(st.files.forall(e => !e.stats.contains("v")))
+
+    // chained rename: footer name 'v' resolves through val2 -> val -> v
+    spark.sql("ALTER TABLE graft.rn.t RENAME COLUMN val TO val2")
+    assert(ManifestV2.readManifest(Paths.get(wh, "rn", "t")).get
+      .aliases == Map("val2" -> Seq("val", "v")))
+    assert(spark.sql("SELECT CAST(SUM(val2) AS BIGINT) FROM graft.rn.t")
+      .head().getLong(0) ==
+      (0L until 100L).sum + (1000L until 1100L).sum - 7L +
+        (5000L until 5010L).sum)
+  }
+
+  test("names that still live in old footers can never be reused; " +
+      "constraint-referenced columns refuse to rename") {
+    spark.sql("DROP TABLE IF EXISTS graft.rn.g")
+    spark.sql("CREATE TABLE graft.rn.g (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graft.rn.g SELECT id, id FROM range(0, 5, 1, 1)")
+    spark.sql("ALTER TABLE graft.rn.g RENAME COLUMN a TO a2")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.g ADD COLUMN a BIGINT")
+    }
+    assert(msgs(e1).exists(_.toLowerCase.contains("prior name")),
+      s"got: ${msgs(e1)}")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.g RENAME COLUMN b TO a")
+    }
+    assert(msgs(e2).exists(_.toLowerCase.contains("prior name")),
+      s"got: ${msgs(e2)}")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.g RENAME COLUMN a2 TO b")
+    }
+    assert(msgs(e3).exists(_.contains("already exists")), s"got: ${msgs(e3)}")
+    spark.sql("ALTER TABLE graft.rn.g " +
+      "ADD CONSTRAINT bpos CHECK (b >= 0)")
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.g RENAME COLUMN b TO b2")
+    }
+    assert(msgs(e4).exists(_.contains("constraint")), s"got: ${msgs(e4)}")
+    // after dropping the constraint the rename goes through
+    spark.sql("ALTER TABLE graft.rn.g DROP CONSTRAINT bpos")
+    spark.sql("ALTER TABLE graft.rn.g RENAME COLUMN b TO b2")
+    assert(spark.sql("SELECT CAST(SUM(b2) AS BIGINT) FROM graft.rn.g")
+      .head().getLong(0) == 10L)
+  }
+
+  test("renaming a hidden-partition source column rewrites the spec " +
+      "renders: pruning and partitioned writes keep working across " +
+      "the rename") {
+    spark.sql("DROP TABLE IF EXISTS graft.rn.p")
+    spark.sql("CREATE TABLE graft.rn.p (uid BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO graft.rn.p SELECT id, " +
+      "timestampadd(DAY, CAST(id % 3 AS INT), " +
+      "TIMESTAMP '2024-08-01 00:00:00') FROM range(0, 30, 1, 2)")
+    spark.sql("ALTER TABLE graft.rn.p RENAME COLUMN ts TO event_ts")
+    val st = ManifestV2.readManifest(Paths.get(wh, "rn", "p")).get
+    assert(st.part.contains("days(event_ts)"), st.part.toString)
+
+    // writes after the rename cluster and box under the new render
+    spark.sql("INSERT INTO graft.rn.p SELECT id + 100, " +
+      "timestampadd(DAY, CAST(id % 3 AS INT), " +
+      "TIMESTAMP '2024-08-10 00:00:00') FROM range(0, 30, 1, 2)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.rn.p").head()
+      .getLong(0) == 60L)
+
+    // a day filter on the NEW name transposes and prunes both eras of
+    // files (the render rewrite + rewritten '@p' boxes)
+    val d = java.time.LocalDate.of(2024, 8, 2).toEpochDay
+    val q = spark.sql("SELECT uid FROM graft.rn.p WHERE " +
+      "event_ts >= TIMESTAMP '2024-08-02 00:00:00' AND " +
+      "event_ts < TIMESTAMP '2024-08-03 00:00:00'")
+    val want = ManifestV2.readManifest(Paths.get(wh, "rn", "p")).get
+      .files.count(e =>
+        e.stats.get(PartTransform.PKey).exists(_._1 == d))
+    assert(want > 0 && q.rdd.getNumPartitions == want,
+      s"day lookup must plan only that day's files ($want)")
+    assert(q.count() == 10L)
+  }
+}
