@@ -153,6 +153,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.metaTablesQuery(s, d)),
     "dsv2_rename_column" -> ((s, d) =>
       graft.sources.GraftCatalog.renameColumnQuery(s, d)),
+    "dsv2_drop_column" -> ((s, d) =>
+      graft.sources.GraftCatalog.dropColumnQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3720,6 +3722,11 @@ object SparkEntry {
     // file populations aggregate under the new name
     "dsv2_rename_column" ->
       graft.sources.GraftCatalog.renameColumnSql(),
+
+    // DROP COLUMN: metadata-only; surviving columns aggregate across
+    // pre- and post-drop file populations
+    "dsv2_drop_column" ->
+      graft.sources.GraftCatalog.dropColumnSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

@@ -282,7 +282,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // starts from the succeeding snapshot)
     ManifestV2.commit(d) { cur =>
       val st = cur.getOrElse(throw new NoSuchTableException(ident))
-      applyChanges(st, changes)
+      applyChanges(d, st, changes)
     }: Unit
     new ManifestTable(d.toString, null)
   }
@@ -290,7 +290,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Pure derivation half of [[alterTable]] — re-runnable under the
     * commit CAS loop.
     */
-  private def applyChanges(st: ManifestV2.ManifestState,
+  private def applyChanges(root: Path, st: ManifestV2.ManifestState,
       changes: Seq[TableChange]): ManifestV2.ManifestState = {
     var schema = st.schema
     var checks = st.checks
@@ -383,9 +383,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               if (s.col == from) PartTransform.withCol(s, to) else s))
         part = part.map(ren)
         partHist = partHist.map(ren)
+      // DROP COLUMN (round 13): metadata-only. The column leaves the
+      // schema (readers project by schema, so old files' bytes are
+      // simply never decoded again) and its stats keys leave every
+      // entry; the name — plus any prior names it accumulated through
+      // renames — lands in the reserved "@dropped" slot of the name
+      // ledger, so no later ADD or RENAME can ever take a name that
+      // still lives in old footers (by-name reads would resurrect the
+      // dropped bytes). Refused while anything still DEPENDS on the
+      // column: the partition spec (any era), a CHECK constraint, or
+      // a live equality-delete sidecar naming it (its subtraction
+      // needs the values — coalesce/compact first).
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested drops are not supported: ${d.fieldNames.mkString(".")}")
+        val col = d.fieldNames.head
+        if (!schema.fieldNames.contains(col)) {
+          require(d.ifExists(), s"no such column: $col")
+        } else {
+          require(schema.length > 1, "cannot drop the only column")
+          val specs = (part.toSeq ++ partHist).filter(_.nonEmpty)
+            .flatMap(PartTransform.parseMulti)
+          require(!specs.exists(_.col == col),
+            s"$col is a partition source column (current or historical " +
+              "era) — set_partitioning away from it first")
+          require(!checks.exists { case (_, sql) =>
+            sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(col)}\\b.*")
+          }, s"a CHECK constraint references $col — drop the " +
+            "constraint first")
+          val liveEq = files.flatMap(_.deletes).distinct
+            .filter(ManifestV2.isEqDelete)
+          require(!liveEq.exists(r => ManifestV2
+            .readEqDeleteTyped(root, r).cols.exists(_._1 == col)),
+            s"a live equality-delete sidecar names $col — its " +
+              "by-value subtraction needs the column; run " +
+              "coalesce_deletes/compact first")
+          schema = StructType(schema.fields.filterNot(_.name == col))
+          files = files.map(e => e.copy(
+            stats = e.stats - col, nulls = e.nulls - col))
+          val dead = col +: aliases.getOrElse(col, Nil)
+          aliases = (aliases - col) + ("@dropped" ->
+            (dead ++ aliases.getOrElse("@dropped", Nil)))
+        }
       case other => throw new UnsupportedOperationException(
-        s"graft tables only evolve by ADD COLUMN or RENAME COLUMN " +
-          s"(got: $other)")
+        s"graft tables only evolve by ADD COLUMN, RENAME COLUMN, or " +
+          s"DROP COLUMN (got: $other)")
     }
     ManifestV2.ManifestState(
       schema, st.epochs, files, part = part, checks = checks,
@@ -1723,6 +1765,48 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey * 3) AS BIGINT) AS amount_sum,
       |  CAST(SUM(CASE WHEN o_orderkey * 3 >= 30 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS big_n
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** Driver-contract query for DROP COLUMN (round 13 — completing the
+    * ADD/RENAME/DROP evolution triple): metadata-only — the column
+    * leaves the schema and every entry's stats keys; old files' bytes
+    * for it are simply never decoded again, and the name joins the
+    * reserved ledger so it can never be re-taken while it lives in
+    * old footers. The query ingests the evens WITH a junk column,
+    * drops it, ingests the odds WITHOUT it, and aggregates the
+    * surviving columns across both file populations — a junk value
+    * leaking into the decode set, a null-filled survivor, or a stale
+    * stats key breaks the closed form.
+    */
+  def dropColumnQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_drc_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.drc")
+    spark.sql("CREATE TABLE graft.db.drc " +
+      "(k BIGINT, junk BIGINT, amt BIGINT)")
+    spark.sql("""INSERT INTO graft.db.drc
+      |SELECT o_orderkey, o_orderkey * 7, o_orderkey * 2
+      |FROM graft_drc_orders_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.db.drc DROP COLUMN junk")
+    spark.sql("""INSERT INTO graft.db.drc
+      |SELECT o_orderkey, o_orderkey * 2
+      |FROM graft_drc_orders_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql("""SELECT amt % 10 AS m, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum,
+      |  CAST(SUM(amt) AS BIGINT) AS amt_sum
+      |FROM graft.db.drc GROUP BY 1 ORDER BY m""".stripMargin)
+  }
+
+  /** [[dropColumnQuery]] oracle: the surviving columns are pure
+    * functions of `orders` over every row, both file populations.
+    */
+  def dropColumnSql(): String =
+    """SELECT (o_orderkey * 2) % 10 AS m, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(o_orderkey * 2) AS BIGINT) AS amt_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
   /** Driver-contract query for METADATA TABLES (round 13 — the

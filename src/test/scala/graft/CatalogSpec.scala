@@ -342,14 +342,21 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.spec.evo ADD COLUMN bad BIGINT NOT NULL")
     }
+    // DROP COLUMN is metadata-only (round 13): the name joins the
+    // reserved ledger and can never be re-taken while old footers
+    // still carry it
+    spark.sql("ALTER TABLE graft.spec.evo DROP COLUMN tag")
+    assert(spark.table("graft.spec.evo").schema.fieldNames
+      .sameElements(Array("k")))
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.spec.evo DROP COLUMN tag")
+      spark.sql("ALTER TABLE graft.spec.evo ADD COLUMN tag STRING")
     }
+    spark.sql("ALTER TABLE graft.spec.evo ADD COLUMN tag2 STRING")
     // a by-name insert omitting the new column: Spark pads it with
     // NULL before the write, so the connector still receives (and
     // stores) full-width rows — no positional shift is possible
     spark.sql("INSERT INTO graft.spec.evo (k) VALUES (4)")
-    assert(spark.sql("SELECT tag FROM graft.spec.evo WHERE k = 4")
+    assert(spark.sql("SELECT tag2 FROM graft.spec.evo WHERE k = 4")
       .head().isNullAt(0))
     spark.sql("DROP TABLE graft.spec.evo")
   }

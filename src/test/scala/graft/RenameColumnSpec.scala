@@ -145,4 +145,81 @@ class RenameColumnSpec extends AnyFunSuite {
       s"day lookup must plan only that day's files ($want)")
     assert(q.count() == 10L)
   }
+
+  test("DROP COLUMN: metadata-only, old bytes never decoded again, " +
+      "the name ledger blocks re-use, dependents refuse") {
+    spark.sql("DROP TABLE IF EXISTS graft.rn.d")
+    spark.sql("CREATE TABLE graft.rn.d (k BIGINT, junk BIGINT, " +
+      "amt BIGINT)")
+    spark.sql("INSERT INTO graft.rn.d SELECT id, id * 7, id * 2 " +
+      "FROM range(0, 50, 1, 2)")
+    spark.sql("ALTER TABLE graft.rn.d DROP COLUMN junk")
+    assert(spark.table("graft.rn.d").schema.fieldNames.toSeq ==
+      Seq("k", "amt"))
+    // old files serve the surviving columns; new writes mix in
+    spark.sql("INSERT INTO graft.rn.d SELECT id + 100, (id + 100) * 2 " +
+      "FROM range(0, 10, 1, 2)")
+    assert(spark.sql("SELECT CAST(SUM(amt) AS BIGINT) FROM graft.rn.d")
+      .head().getLong(0) ==
+      (0L until 50L).map(_ * 2).sum + (100L until 110L).map(_ * 2).sum)
+    val st = ManifestV2.readManifest(Paths.get(wh, "rn", "d")).get
+    assert(st.aliases.get("@dropped").exists(_.contains("junk")))
+    assert(st.files.forall(e => !e.stats.contains("junk")))
+    // the dead name is blocked for ADD and RENAME targets
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.d ADD COLUMN junk BIGINT")
+    }
+    assert(msgs(e1).exists(_.toLowerCase.contains("prior name")),
+      s"got: ${msgs(e1)}")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.d RENAME COLUMN amt TO junk")
+    }
+    assert(msgs(e2).exists(_.toLowerCase.contains("prior name")),
+      s"got: ${msgs(e2)}")
+    // a dropped-then-renamed chain stays blocked end to end
+    spark.sql("ALTER TABLE graft.rn.d RENAME COLUMN amt TO amount")
+    spark.sql("ALTER TABLE graft.rn.d ADD COLUMN extra BIGINT")
+    spark.sql("ALTER TABLE graft.rn.d DROP COLUMN amount")
+    val st2 = ManifestV2.readManifest(Paths.get(wh, "rn", "d")).get
+    assert(st2.aliases("@dropped").toSet == Set("junk", "amount", "amt"),
+      st2.aliases.toString)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.d ADD COLUMN amt BIGINT")
+    }
+    assert(msgs(e3).exists(_.toLowerCase.contains("prior name")))
+    assert(spark.sql("SELECT COUNT(*) FROM graft.rn.d").head()
+      .getLong(0) == 60L)
+
+    // dependents refuse: partition source, CHECK constraint, live
+    // equality sidecar
+    spark.sql("DROP TABLE IF EXISTS graft.rn.dp")
+    spark.sql("CREATE TABLE graft.rn.dp (uid BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.dp DROP COLUMN ts")
+    }
+    assert(msgs(e4).exists(_.contains("partition source")),
+      s"got: ${msgs(e4)}")
+    spark.sql("DROP TABLE IF EXISTS graft.rn.dc")
+    spark.sql("CREATE TABLE graft.rn.dc (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graft.rn.dc SELECT id, id FROM range(0, 9, 1, 1)")
+    spark.sql("ALTER TABLE graft.rn.dc ADD CONSTRAINT bp CHECK (b >= 0)")
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.dc DROP COLUMN b")
+    }
+    assert(msgs(e5).exists(_.contains("constraint")), s"got: ${msgs(e5)}")
+    spark.sql("ALTER TABLE graft.rn.dc DROP CONSTRAINT bp")
+    spark.sql("DELETE FROM graft.rn.dc WHERE b = 3") // equality sidecar
+    val e6 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.dc DROP COLUMN b")
+    }
+    assert(msgs(e6).exists(_.contains("equality-delete")),
+      s"got: ${msgs(e6)}")
+    // after compaction folds the sidecar away, the drop goes through
+    spark.sql("CALL graft.system.compact(ns => 'rn', tbl => 'dc', " +
+      "max_rows => 1000000)").collect()
+    spark.sql("ALTER TABLE graft.rn.dc DROP COLUMN b")
+    assert(spark.sql("SELECT CAST(SUM(a) AS BIGINT) FROM graft.rn.dc")
+      .head().getLong(0) == (0L until 9L).sum - 3L)
+  }
 }
