@@ -59,9 +59,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class ManifestV2 extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val root = ManifestV2.rootOf(options.get("path"))
-    val base = ManifestV2.readManifest(root)
-      .map(_.schema)
+    val path = options.get("path")
+    val root = ManifestV2.rootOf(path)
+    // a branch read resolves against the BRANCH TIP's schema — main
+    // may have evolved (RENAME/ADD/DROP) since the fork, and analyzer
+    // names must match what the branch scan actually serves
+    val branchSchema = Option(options.get("branch")).filter(_.nonEmpty)
+      .map(b => ManifestV2.branchState(path, b).map(_.schema).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$b' at $root")))
+    val base = branchSchema.orElse(
+      ManifestV2.readManifest(root).map(_.schema))
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — write to the table first"))
     // changefeed reads carry the change-row columns

@@ -210,4 +210,26 @@ class BranchSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       m.contains("cannot be found")), s"got: ${msgs(e)}")
   }
+
+  test("a branch read resolves against the BRANCH TIP schema even " +
+      "after main evolved past the fork") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.sch")
+    spark.sql("CREATE TABLE graft.br.sch (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.br.sch SELECT id, id FROM range(0, 5, 1, 1)")
+    val d = dir("sch")
+    ManifestV2.createBranch(d, "b")
+    spark.range(10, 13).selectExpr("id AS k", "id AS v")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "b").mode("append").save()
+    // main evolves AFTER the fork (which also makes it divergent)
+    spark.sql("ALTER TABLE graft.br.sch RENAME COLUMN v TO val")
+    val br = spark.read.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "b").load()
+    assert(br.schema.fieldNames.toSeq == Seq("k", "v"),
+      "the branch serves its fork-time names, not main's")
+    assert(br.selectExpr("CAST(SUM(v) AS BIGINT)").head().getLong(0) ==
+      (0L until 5L).sum + (10L until 13L).sum)
+    assert(spark.table("graft.br.sch").schema.fieldNames.toSeq ==
+      Seq("k", "val"))
+  }
 }
