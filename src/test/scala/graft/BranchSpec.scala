@@ -232,4 +232,29 @@ class BranchSpec extends AnyFunSuite {
     assert(spark.table("graft.br.sch").schema.fieldNames.toSeq ==
       Seq("k", "val"))
   }
+
+  test("metadata tables survive schema evolution: history counts and " +
+      "files boxes reflect renamed/dropped columns") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.me")
+    spark.sql("CREATE TABLE graft.br.me (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.br.me " +
+      "SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 8, 1, 1)")
+    spark.sql("ALTER TABLE graft.br.me RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE graft.br.me ADD COLUMN extra BIGINT")
+    spark.sql("ALTER TABLE graft.br.me DROP COLUMN extra")
+    // history: CREATE, INSERT, then three metadata-only commits that
+    // carry the SAME file population
+    val hist = spark.sql("SELECT version, files, rows FROM " +
+      "graft.br.me.history ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 8L), (3L, 1L, 8L),
+      (4L, 1L, 8L), (5L, 1L, 8L)), s"got ${hist.toSeq}")
+    // the files view reflects the rewritten stats world (no stale keys
+    // — the view renders only reserved @p boxes, none here) and the
+    // table still answers under the current names
+    assert(spark.sql("SELECT COUNT(*) FROM graft.br.me.files")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT CAST(SUM(val) AS BIGINT) FROM graft.br.me")
+      .head().getLong(0) == (0L until 8L).sum)
+  }
 }
