@@ -155,6 +155,14 @@ object SparkEntry {
       graft.sources.GraftCatalog.renameColumnQuery(s, d)),
     "dsv2_drop_column" -> ((s, d) =>
       graft.sources.GraftCatalog.dropColumnQuery(s, d)),
+    "dsv2_widen_type" -> ((s, d) =>
+      graft.sources.GraftCatalog.widenTypeQuery(s, d)),
+    "streaming_wap" -> ((s, d) =>
+      graft.sources.GraftCatalog.streamingWapQuery(s, d)),
+    "dsv2_branch_travel" -> ((s, d) =>
+      graft.sources.GraftCatalog.branchTravelQuery(s, d)),
+    "dsv2_add_column_default" -> ((s, d) =>
+      graft.sources.GraftCatalog.addColumnDefaultQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
       graft.sources.GraftCatalog.coalesceDeletesQuery(s, d)),
     "dsv2_null_guard_delete" -> ((s, d) =>
@@ -3727,6 +3735,28 @@ object SparkEntry {
     // pre- and post-drop file populations
     "dsv2_drop_column" ->
       graft.sources.GraftCatalog.dropColumnSql(),
+
+    // ALTER COLUMN TYPE widening (INT -> BIGINT): pre-widen INT32
+    // files decode through an up-cast, post-widen rows exceed the
+    // int range — one aggregate across both populations
+    "dsv2_widen_type" ->
+      graft.sources.GraftCatalog.widenTypeSql(),
+
+    // streaming write-audit-publish: two epochs stage on a BRANCH of
+    // a partitioned table, main is untouched until fast_forward
+    "streaming_wap" ->
+      graft.sources.GraftCatalog.streamingWapSql(),
+
+    // branch time travel: VERSION AS OF '<branch>@<k>' resolves the
+    // branch's OWN chain (0 = fork base), '<branch>' the tip
+    "dsv2_branch_travel" ->
+      graft.sources.GraftCatalog.branchTravelSql(),
+
+    // ADD COLUMN ... DEFAULT: pre-add files serve the existence
+    // default from the leaf; inserts omitting the column are filled
+    // from the same metadata
+    "dsv2_add_column_default" ->
+      graft.sources.GraftCatalog.addColumnDefaultSql(),
 
     // merge-on-read maintenance: two deletes' sidecars coalesce to one
     // per file with exact accounting; survivors hash the merge

@@ -67,9 +67,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // advertises enforced CHECK constraints (ResolveTableConstraints
   // gates both ALTER TABLE ADD CONSTRAINT and write-side enforcement
-  // on this catalog capability)
+  // on this catalog capability) and COLUMN DEFAULTS (the analyzer
+  // gates `ADD COLUMN ... DEFAULT` on it; INSERTs omitting the column
+  // are filled from CURRENT_DEFAULT metadata driver-side, while
+  // pre-add files serve the existence default at read)
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def dirOf(ident: Identifier): Path =
     dirOf(ident.namespace :+ ident.name())
@@ -138,19 +142,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = dirOf(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
-    val v =
-      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
-      else ManifestV2.listTags(d.toString).collectFirst {
-        case (n, tv) if n == version => tv
-      }.getOrElse(throw new IllegalArgumentException(
-        s"'$version' is neither a manifest number nor a tag of $ident " +
-          s"(tags: ${ManifestV2.listTags(d.toString).map(_._1)
-            .mkString(", ")})"))
-    if (ManifestV2.readManifest(d, v).isEmpty)
-      throw new IllegalArgumentException(
-        s"table $ident has no snapshot v$v " +
-          s"(published: ${ManifestV2.listVersions(d).mkString(", ")})")
-    new ManifestTable(d.toString, null, v)
+    def pinnedMain(v: Long): Table = {
+      if (ManifestV2.readManifest(d, v).isEmpty)
+        throw new IllegalArgumentException(
+          s"table $ident has no snapshot v$v " +
+            s"(published: ${ManifestV2.listVersions(d).mkString(", ")})")
+      new ManifestTable(d.toString, null, v)
+    }
+    if (version.nonEmpty && version.forall(_.isDigit))
+      return pinnedMain(version.toLong)
+    ManifestV2.listTags(d.toString).collectFirst {
+      case (n, tv) if n == version => tv
+    } match {
+      case Some(tv) => pinnedMain(tv)
+      case None =>
+        // BRANCH ref travel (round 14, the Iceberg ref shape):
+        // `VERSION AS OF '<branch>'` reads the branch tip,
+        // `'<branch>@<k>'` travels the branch's OWN chain (ordinal 0
+        // = the fork-base snapshot). Tags and branches share one
+        // namespace, so resolution is unambiguous.
+        val (bName, ord) = version.split("@", 2) match {
+          case Array(n, k) if k.nonEmpty && k.forall(_.isDigit) =>
+            (n, k.toLong)
+          case _ => (version, -1L)
+        }
+        if (ManifestV2.branchHead(d.toString, bName).isDefined)
+          new graft.sources.BranchPinnedTable(d.toString, bName, ord)
+        else throw new IllegalArgumentException(
+          s"'$version' is neither a manifest number, a tag, nor a " +
+            s"branch of $ident (tags: " +
+            s"${ManifestV2.listTags(d.toString).map(_._1).mkString(", ")}" +
+            s"; branches: ${ManifestV2.listBranches(d.toString)
+              .map(_._1).mkString(", ")})")
+    }
   }
 
   /** SQL `TIMESTAMP AS OF t` (Spark hands epoch MICROS): resolve to
@@ -287,6 +311,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new ManifestTable(d.toString, null)
   }
 
+  /** Does a CHECK constraint's predicate SQL reference the column?
+    * Exact w.r.t. string literals and comments: both are stripped
+    * before the word-boundary test, so a column name appearing only
+    * inside a quoted literal (`status = 'amount pending'`) or a
+    * comment never false-positively blocks a rename/drop — while any
+    * real identifier reference still refuses. (Column names are
+    * manifest-safe `[A-Za-z0-9_]`, so the word-boundary test cannot
+    * under-match a quoted identifier.)
+    */
+  private[sources] def checkReferences(sql: String, col: String): Boolean = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // string literal ('' escapes a quote)
+        i += 1
+        var open = true
+        while (i < sql.length && open) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+            else { open = false; i += 1 }
+          } else i += 1
+        }
+        sb.append(' ')
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        sb.append(' ')
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < sql.length &&
+          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, sql.length)
+        sb.append(' ')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString.matches(
+      s"(?s).*\\b${java.util.regex.Pattern.quote(col)}\\b.*")
+  }
+
   /** Pure derivation half of [[alterTable]] — re-runnable under the
     * commit CAS loop.
     */
@@ -298,6 +361,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var part = st.part
     var partHist = st.partHist
     var aliases = st.aliases
+    var defaults = st.defaults
     // every name that might still live in an OLD parquet footer: a new
     // column must never take one (by-name reads would resurrect the
     // old column's data into it)
@@ -330,8 +394,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "pre-evolution rows have no value for it")
         require(a.position() == null,
           "added columns land at the end (positional row format)")
-        require(a.defaultValue() == null,
-          "column defaults are not supported")
         require(!schema.fieldNames.contains(a.fieldNames.head),
           s"column ${a.fieldNames.head} already exists")
         require(!priorNames.contains(a.fieldNames.head),
@@ -339,6 +401,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "renamed column and still lives in old data files — " +
             "by-name reads would resurrect the old values; pick " +
             "another name")
+        // ADD COLUMN ... DEFAULT <lit> (round 14, the Iceberg v3
+        // initial-default shape): the literal lands in the manifest
+        // header with ZERO rewrite — pre-add files serve it at read,
+        // Spark fills omitted INSERT columns from the same metadata.
+        // Spark's DDL analysis already folded and cast it to the
+        // column type; a NULL default is just the null-fill.
+        Option(a.defaultValue()).foreach { dv =>
+          val lit = dv.getValue
+          require(lit != null,
+            s"ADD COLUMN default must be a foldable literal")
+          if (lit.value != null) {
+            val rendered = (a.dataType, lit.value) match {
+              case (LongType, v: java.lang.Number) => v.longValue().toString
+              case (IntegerType, v: java.lang.Number) => v.intValue().toString
+              case (DoubleType, v: java.lang.Number) =>
+                v.doubleValue().toString
+              case (BooleanType, v: java.lang.Boolean) => v.toString
+              case (StringType, v) => v.toString
+              case (t, _) => throw new UnsupportedOperationException(
+                s"column defaults are supported on BIGINT/INT/DOUBLE/" +
+                  s"BOOLEAN/STRING columns, not ${t.simpleString}")
+            }
+            defaults = defaults + (a.fieldNames.head -> rendered)
+          }
+        }
         schema = schema.add(StructField(a.fieldNames.head, a.dataType,
           nullable = true))
       // RENAME COLUMN (round 13): metadata-only. The schema field,
@@ -364,13 +451,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"column name $to was a prior name of a renamed column and " +
             "still lives in old data files — pick another name")
         require(!checks.exists { case (_, sql) =>
-          sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(from)}\\b.*")
+          checkReferences(sql, from)
         }, s"a CHECK constraint references $from — drop the " +
           "constraint first, rename, then re-add it under the new name")
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
         aliases = (aliases - from) +
           (to -> (from +: aliases.getOrElse(from, Nil)))
+        // an existence default follows its column's current name
+        defaults.get(from).foreach { v =>
+          defaults = (defaults - from) + (to -> v)
+        }
         files = files.map(e => e.copy(
           stats = e.stats.map { case (k, v) =>
             (if (k == from) to else k, v) },
@@ -408,30 +499,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"$col is a partition source column (current or historical " +
               "era) — set_partitioning away from it first")
           require(!checks.exists { case (_, sql) =>
-            sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(col)}\\b.*")
+            checkReferences(sql, col)
           }, s"a CHECK constraint references $col — drop the " +
             "constraint first")
+          // eq-delete sidecars store PHYSICAL key names — possibly a
+          // pre-rename alias of this column (sidecar says 'amt' after
+          // RENAME amt TO amount). Compare against every name the
+          // column ever had, or a stale-named sidecar would slip past
+          // the guard and then fail decode at read time (its key maps
+          // to @dropped, absent from the schema).
+          val dead = col +: aliases.getOrElse(col, Nil)
+          val deadSet = dead.toSet
           val liveEq = files.flatMap(_.deletes).distinct
             .filter(ManifestV2.isEqDelete)
           require(!liveEq.exists(r => ManifestV2
-            .readEqDeleteTyped(root, r).cols.exists(_._1 == col)),
-            s"a live equality-delete sidecar names $col — its " +
-              "by-value subtraction needs the column; run " +
-              "coalesce_deletes/compact first")
+            .readEqDeleteTyped(root, r).cols.exists(c =>
+              deadSet.contains(c._1))),
+            s"a live equality-delete sidecar names $col (possibly by " +
+              "a pre-rename alias) — its by-value subtraction needs " +
+              "the column; run coalesce_deletes/compact first")
           schema = StructType(schema.fields.filterNot(_.name == col))
           files = files.map(e => e.copy(
             stats = e.stats - col, nulls = e.nulls - col))
-          val dead = col +: aliases.getOrElse(col, Nil)
           aliases = (aliases - col) + ("@dropped" ->
             (dead ++ aliases.getOrElse("@dropped", Nil)))
+          defaults = defaults - col
+        }
+      // ALTER COLUMN TYPE (round 14): the WIDENING half of Iceberg
+      // type promotion, metadata-only. Only INT -> BIGINT is
+      // promotable in this row format (there is no FLOAT or DECIMAL
+      // column type to widen): the schema field re-types, ZERO data
+      // files rewrite, and the leaf reader decodes an old footer's
+      // INT32 chunks through an up-cast exactly as the alias chain
+      // routes old names. Stats boxes need no rewrite — they are
+      // stored as longs for every integer-family type. Narrowing and
+      // any other re-type is refused: old footers would not survive
+      // the new type (BIGINT values overflow INT; strings are not
+      // numbers), so those evolutions are the rewrite-shaped kind
+      // this connector refuses.
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"nested type changes are not supported: " +
+            s"${u.fieldNames.mkString(".")}")
+        val col = u.fieldNames.head
+        val f = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $col"))
+        if (f.dataType != u.newDataType) {
+          require(f.dataType == IntegerType && u.newDataType == LongType,
+            s"cannot alter $col ${f.dataType.simpleString} -> " +
+              s"${u.newDataType.simpleString}: only the widening " +
+              "promotion INT -> BIGINT is metadata-only; narrowing " +
+              "or re-typing would corrupt values already in old " +
+              "footers")
+          // a partition SOURCE column's transform values were computed
+          // under the old type — refuse rather than risk era boxes
+          // disagreeing with post-widen transposition
+          val specs = (part.toSeq ++ partHist).filter(_.nonEmpty)
+            .flatMap(PartTransform.parseMulti)
+          require(!specs.exists(_.col == col),
+            s"$col is a partition source column (current or " +
+              "historical era) — set_partitioning away from it first")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == col) x.copy(dataType = u.newDataType) else x))
         }
       case other => throw new UnsupportedOperationException(
-        s"graft tables only evolve by ADD COLUMN, RENAME COLUMN, or " +
-          s"DROP COLUMN (got: $other)")
+        s"graft tables only evolve by ADD COLUMN, RENAME COLUMN, " +
+          s"DROP COLUMN, or ALTER COLUMN TYPE widening (got: $other)")
     }
     ManifestV2.ManifestState(
       schema, st.epochs, files, part = part, checks = checks,
-      partHist = partHist, aliases = aliases)
+      partHist = partHist, aliases = aliases, defaults = defaults)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -1809,6 +1946,47 @@ object GraftCatalog {
       |  CAST(SUM(o_orderkey * 2) AS BIGINT) AS amt_sum
       |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** Driver-contract query for ALTER COLUMN TYPE widening (round 14 —
+    * completing type promotion on the evolution ledger): metadata-only
+    * INT -> BIGINT. The query ingests the evens as INT, widens, then
+    * ingests the odds with values BEYOND the int range — so the
+    * aggregate crosses a pre-widen INT32 file population (decoded
+    * through the up-cast) and a post-widen INT64 one, and any
+    * truncation, misdecode, or null-fill breaks the closed form.
+    */
+  def widenTypeQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_wt_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.wt")
+    spark.sql("CREATE TABLE graft.db.wt (k BIGINT, qty INT)")
+    spark.sql("""INSERT INTO graft.db.wt
+      |SELECT o_orderkey, CAST(o_orderkey % 100000 AS INT)
+      |FROM graft_wt_orders_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.db.wt ALTER COLUMN qty TYPE BIGINT")
+    spark.sql("""INSERT INTO graft.db.wt
+      |SELECT o_orderkey, o_orderkey + 4000000000
+      |FROM graft_wt_orders_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql("""SELECT k % 10 AS m, COUNT(*) AS n,
+      |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |  CAST(SUM(CASE WHEN qty > 3000000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS wide_n
+      |FROM graft.db.wt GROUP BY 1 ORDER BY m""".stripMargin)
+  }
+
+  /** [[widenTypeQuery]] oracle: each parity's contribution is a pure
+    * function of `orders`; only post-widen rows exceed the int range.
+    */
+  def widenTypeSql(): String =
+    """SELECT o_orderkey % 10 AS m, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 100000
+      |    ELSE o_orderkey + 4000000000 END) AS BIGINT) AS qty_sum,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS wide_n
+      |FROM orders GROUP BY 1 ORDER BY m""".stripMargin
+
   /** Driver-contract query for METADATA TABLES (round 13 — the
     * Iceberg `t.history`/`t.files`/`t.tags`/`t.branches` shape): a
     * table's own log SELECT-able through the catalog, computed from
@@ -1947,6 +2125,223 @@ object GraftCatalog {
       |UNION ALL
       |SELECT 'published' AS phase, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |ORDER BY phase""".stripMargin
+
+  /** Driver-contract query for ADD COLUMN ... DEFAULT (round 14 — the
+    * Iceberg v3 initial-default shape): the default lands in the
+    * manifest header with ZERO rewrite; pre-add files serve it from
+    * the leaf (existence default), and an INSERT that OMITS the
+    * column is filled from the same metadata by Spark's analyzer
+    * (CURRENT_DEFAULT). The aggregate crosses both populations and
+    * groups BY the defaulted column, so a null-filled pre-add row or
+    * an unfilled insert breaks the closed form.
+    */
+  def addColumnDefaultQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_acd_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.acd")
+    spark.sql("CREATE TABLE graft.db.acd (k BIGINT, amt BIGINT)")
+    spark.sql("""INSERT INTO graft.db.acd
+      |SELECT o_orderkey, o_orderkey * 2 FROM graft_acd_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.db.acd " +
+      "ADD COLUMN region STRING DEFAULT 'emea'")
+    spark.sql("ALTER TABLE graft.db.acd " +
+      "ADD COLUMN score BIGINT DEFAULT 7")
+    // the odd keys INSERT names region but OMITS score — the analyzer
+    // fills it from CURRENT_DEFAULT
+    spark.sql("""INSERT INTO graft.db.acd (k, amt, region)
+      |SELECT o_orderkey, o_orderkey * 2,
+      |  CASE WHEN o_orderkey % 4 = 1 THEN 'amer' ELSE 'apac' END
+      |FROM graft_acd_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql("""SELECT region, COUNT(*) AS n,
+      |  CAST(SUM(amt) AS BIGINT) AS amt_sum,
+      |  CAST(SUM(score) AS BIGINT) AS score_sum
+      |FROM graft.db.acd GROUP BY region ORDER BY region""".stripMargin)
+  }
+
+  /** [[addColumnDefaultQuery]] oracle: evens read the existence
+    * default ('emea'), odds carry their inserted region; score is 7
+    * everywhere (existence default on evens, analyzer fill on odds).
+    */
+  def addColumnDefaultSql(): String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'emea'
+      |  WHEN o_orderkey % 4 = 1 THEN 'amer' ELSE 'apac' END AS region,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey * 2) AS BIGINT) AS amt_sum,
+      |  CAST(SUM(7) AS BIGINT) AS score_sum
+      |FROM orders GROUP BY 1 ORDER BY region""".stripMargin
+
+  /** Driver-contract query for BRANCH TIME TRAVEL (round 14 — the
+    * Iceberg ref-travel shape): `VERSION AS OF '<branch>@<k>'`
+    * resolves against the branch's OWN chain — ordinal 0 is the
+    * fork-base snapshot, each staged commit advances the ordinal —
+    * while `'<branch>'` reads the tip and plain reads stay on main.
+    * The query stages two commits and pins all four positions in one
+    * closed form; a mis-resolved ordinal breaks its phase's hash.
+    */
+  def branchTravelQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_btv_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.btv")
+    spark.sql("CREATE TABLE graft.db.btv (k BIGINT, amt BIGINT)")
+    spark.sql("""INSERT INTO graft.db.btv
+      |SELECT o_orderkey, o_orderkey * 2 FROM graft_btv_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirPath = java.nio.file.Paths.get(wh, "db", "btv").toString
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'db', tbl => 'btv', name => 'stage')").collect()
+    def stage(m: Int): Unit = spark.sql(
+      s"""SELECT o_orderkey AS k, o_orderkey * 2 AS amt
+        |FROM graft_btv_orders_src
+        |WHERE o_orderkey % 4 = $m""".stripMargin)
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("branch", "stage")
+      .mode("append").save()
+    stage(1) // branch ordinal 1
+    stage(3) // branch ordinal 2 (tip)
+    val agg = "COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum, " +
+      "CAST(SUM(amt) AS BIGINT) AS amt_sum"
+    spark.sql(s"""SELECT 'b0_fork' AS phase, $agg
+      |FROM graft.db.btv VERSION AS OF 'stage@0'
+      |UNION ALL
+      |SELECT 'b1_mid' AS phase, $agg
+      |FROM graft.db.btv VERSION AS OF 'stage@1'
+      |UNION ALL
+      |SELECT 'b2_tip' AS phase, $agg
+      |FROM graft.db.btv VERSION AS OF 'stage'
+      |UNION ALL
+      |SELECT 'main' AS phase, $agg FROM graft.db.btv
+      |ORDER BY phase""".stripMargin)
+  }
+
+  /** [[branchTravelQuery]] oracle: the fork base and main hold the
+    * even keys; ordinal 1 adds the `%4 = 1` quarter; the tip holds
+    * everything.
+    */
+  def branchTravelSql(): String = {
+    def agg(pred: String) =
+      s"""SELECT COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(o_orderkey * 2) AS BIGINT) AS amt_sum
+        |FROM orders WHERE $pred""".stripMargin
+    s"""SELECT 'b0_fork' AS phase, * FROM (${agg("o_orderkey % 2 = 0")})
+      |UNION ALL
+      |SELECT 'b1_mid' AS phase, * FROM (
+      |  ${agg("o_orderkey % 2 = 0 OR o_orderkey % 4 = 1")})
+      |UNION ALL
+      |SELECT 'b2_tip' AS phase, * FROM (${agg("TRUE")})
+      |UNION ALL
+      |SELECT 'main' AS phase, * FROM (${agg("o_orderkey % 2 = 0")})
+      |ORDER BY phase""".stripMargin
+  }
+
+  /** Driver-contract query for STREAMING WRITE-AUDIT-PUBLISH (round
+    * 14 — composing round 13's streaming partitioned ingest with the
+    * branch plane, the production CDC pattern branches exist for): a
+    * stream lands TWO epochs through one checkpoint onto a BRANCH of
+    * a hidden-partitioned table — the epoch replay ledger lives in
+    * the branch state, main's pointer never moves — the branch read
+    * audits the staged slice, and `fast_forward` publishes it as ONE
+    * main commit. The closed form pins all three phases: the branch
+    * tip (everything), main pre-publish (the seed only, via
+    * TIMESTAMP AS OF), and main post-publish (everything).
+    */
+  def streamingWapQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_swp_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.swp")
+    spark.sql("CREATE TABLE graft.db.swp " +
+      "(uid BIGINT, ts TIMESTAMP, amt BIGINT) PARTITIONED BY (days(ts))")
+    def slice(pred: String) = spark.sql(
+      s"""SELECT o_orderkey % 40 AS uid,
+        |  timestampadd(DAY, CAST(o_orderkey % 3 AS INT),
+        |    TIMESTAMP '2024-03-01 00:00:00') AS ts,
+        |  o_orderkey AS amt
+        |FROM graft_swp_orders_src WHERE $pred""".stripMargin)
+    slice("o_orderkey % 2 = 0") // seed main with the evens
+      .writeTo("graft.db.swp").append()
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirPath = java.nio.file.Paths.get(wh, "db", "swp").toString
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'db', tbl => 'swp', name => 'ingest')").collect()
+    // stream the odds ONTO THE BRANCH: two micro-batch epochs through
+    // one checkpoint (the restart path included), staged invisibly
+    val work = java.nio.file.Files.createTempDirectory("graft_swp")
+    val src = work.resolve("src").toString
+    val ck = work.resolve("ck").toString
+    def push(m: Int): Unit = slice(s"o_orderkey % 4 = $m")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", src).mode("append").save()
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.option("checkpointLocation", ck)
+        .option("branch", "ingest")
+        .toTable("graft.db.swp")
+      try q.processAllAvailable() finally q.stop()
+    }
+    push(1); pump() // epoch 0
+    push(3); pump() // epoch 1
+    val tBefore = ManifestV2.readManifest(
+      java.nio.file.Paths.get(dirPath)).get.commitTs
+    Thread.sleep(20) // keep the publish out of tBefore's millisecond
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.fast_forward(" +
+      "ns => 'db', tbl => 'swp', name => 'ingest')").collect()
+    val asOf = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tBefore))
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("branch", "ingest").load()
+      .createOrReplaceTempView("graft_swp_branch_tip")
+    val agg = "COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS amt_sum, " +
+      "CAST(SUM(CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)) " +
+      "AS BIGINT) AS day_sum"
+    spark.sql(s"""SELECT 'branch_tip' AS phase, $agg
+      |FROM graft_swp_branch_tip
+      |UNION ALL
+      |SELECT 'main_before' AS phase, $agg
+      |FROM graft.db.swp TIMESTAMP AS OF '$asOf'
+      |UNION ALL
+      |SELECT 'published' AS phase, $agg FROM graft.db.swp
+      |ORDER BY phase""".stripMargin)
+  }
+
+  /** [[streamingWapQuery]] oracle: day index = 19783 + okey%3; the
+    * pre-publish main holds the even keys, the branch tip and the
+    * published main hold everything — a lost epoch, a replayed epoch,
+    * or a leaked pre-publish row breaks a phase's closed form.
+    */
+  def streamingWapSql(): String =
+    """SELECT 'branch_tip' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS amt_sum,
+      |  CAST(SUM(19783 + o_orderkey % 3) AS BIGINT) AS day_sum
+      |FROM orders
+      |UNION ALL
+      |SELECT 'main_before' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS amt_sum,
+      |  CAST(SUM(19783 + o_orderkey % 3) AS BIGINT) AS day_sum
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT 'published' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS amt_sum,
+      |  CAST(SUM(19783 + o_orderkey % 3) AS BIGINT) AS day_sum
+      |FROM orders
       |ORDER BY phase""".stripMargin
 
   /** Driver-contract query for the MULTI-TRANSFORM spec — the

@@ -56,7 +56,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class ManifestReaderFactory(full: StructType, required: StructType,
     pushed: Array[Filter] = Array.empty,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    defaults: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   /** Columnar whenever every served type has a vector representation —
@@ -72,7 +73,7 @@ class ManifestReaderFactory(full: StructType, required: StructType,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val st = ManifestSplitState(ManifestReaderFactory.filePartOf(p),
-      full, required, pushed, aliases)
+      full, required, pushed, aliases, defaults)
     try {
       if (st.nCols == 0) new ManifestCountOnlyRowReader(st)
       else new ManifestRowReader(st)
@@ -82,7 +83,7 @@ class ManifestReaderFactory(full: StructType, required: StructType,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
     val st = ManifestSplitState(ManifestReaderFactory.filePartOf(p),
-      full, required, pushed, aliases)
+      full, required, pushed, aliases, defaults)
     try new ManifestColumnarReader(st)
     catch { case e: Throwable => st.close(); throw e }
   }
@@ -181,13 +182,15 @@ private[sources] object ManifestSplitState {
     */
   def apply(fp: ManifestFilePartition, full: StructType,
       required: StructType, pushed: Array[Filter],
-      aliases: Map[String, Seq[String]] = Map.empty): ManifestSplitState = {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      defaults: Map[String, String] = Map.empty): ManifestSplitState = {
     val conf = ManifestV2.leafConf()
     val hPath = new org.apache.hadoop.fs.Path(
       Paths.get(fp.root).resolve(fp.file).toString)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
-    try new ManifestSplitState(fp, full, required, pushed, reader, aliases)
+    try new ManifestSplitState(fp, full, required, pushed, reader,
+      aliases, defaults)
     catch {
       case e: Throwable =>
         try reader.close() catch { case _: Exception => () }
@@ -209,7 +212,8 @@ private[sources] final class ManifestSplitState(
     val fp: ManifestFilePartition, full: StructType,
     val required: StructType, pushed: Array[Filter],
     val reader: org.apache.parquet.hadoop.ParquetFileReader,
-    aliases: Map[String, Seq[String]] = Map.empty) {
+    aliases: Map[String, Seq[String]] = Map.empty,
+    defaults: Map[String, String] = Map.empty) {
 
   val fileName: UTF8String = UTF8String.fromString(fp.file)
   private val rootPath = Paths.get(fp.root)
@@ -296,37 +300,75 @@ private[sources] final class ManifestSplitState(
   val dataPos: Map[String, Int] = dataFields.map(_.name).zipWithIndex.toMap
   val nCols: Int = dataFields.length
   /** required-field → source: decode-set index, or -1 `_file`,
-    * -3 `_pos`, -2 evolution-missing (NULL).
+    * -3 `_pos`, -2 evolution-missing (NULL, or the column's
+    * EXISTENCE DEFAULT when one is recorded).
     */
   val srcOf: Array[Int] = required.fields.map { f =>
     if (f.name == ManifestTable.FileMetaCol) -1
     else if (f.name == ManifestTable.PosMetaCol) -3
     else dataPos.getOrElse(f.name, -2)
   }
+  /** Per-required-column existence default in INTERNAL form (boxed
+    * primitive / UTF8String), non-null ONLY for evolution-missing
+    * columns (srcOf == -2) that carry one — a file that physically
+    * has the column always serves its real values.
+    */
+  val defaultAt: Array[Any] = required.fields.zipWithIndex.map {
+    case (f, i) =>
+      if (srcOf(i) == -2)
+        defaults.get(f.name)
+          .map(ManifestV2.defaultValueOf(f.dataType, _)).orNull
+      else null
+  }
   /** Per-column decode tag (monomorphic inner loops):
-    * 0=long 1=int 2=double 3=boolean 4=string. Temporal types are
+    * 0=long 1=int 2=double 3=boolean 4=string, and 5=INT32 chunk
+    * under a widened BIGINT-family logical type (ALTER COLUMN TYPE
+    * INT -> BIGINT: the file predates the widening, so its pages
+    * decode as ints and up-cast into the long vector — the type
+    * analog of alias-chain name resolution). Temporal types are
     * physically their integer internal form (micros/days), so they
     * share the long/int loops — the vector is constructed with the
     * LOGICAL type, so Catalyst sees timestamps, not longs.
     */
-  val tag: Array[Int] = dataFields.map(_.dataType match {
-    case LongType | TimestampType | TimestampNTZType => 0
-    case IntegerType | DateType => 1
-    case DoubleType => 2
-    case BooleanType => 3
-    case StringType => 4
-    case o => throw new UnsupportedOperationException(
-      s"ManifestV2 row format does not support $o")
-  })
+  val tag: Array[Int] = dataFields.map { f =>
+    val logical = f.dataType match {
+      case LongType | TimestampType | TimestampNTZType => 0
+      case IntegerType | DateType => 1
+      case DoubleType => 2
+      case BooleanType => 3
+      case StringType => 4
+      case o => throw new UnsupportedOperationException(
+        s"ManifestV2 row format does not support $o")
+    }
+    if (logical == 0 &&
+        footerTypeOf(footerNameOf(f.name).get).asPrimitiveType()
+          .getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+      5
+    else logical
+  }
+  /** The footer's own Type for a physical column name (GroupType
+    * overload disambiguated by index).
+    */
+  private def footerTypeOf(name: String): org.apache.parquet.schema.Type =
+    fileSchema.getType(fileSchema.getFieldIndex(name))
   // project at the parquet I/O layer: only the requested columns'
-  // chunks are read from disk
-  // the I/O projection uses each column's PHYSICAL footer name (an
-  // old file serves a renamed column under its old name); positions
-  // align with dataFields, so everything above stays on current names
+  // chunks are read from disk.
+  // The projection takes each column's Type from the FILE'S OWN
+  // footer: that keeps both the PHYSICAL NAME (an old file serves a
+  // renamed column under its old name) and the PHYSICAL TYPE (a
+  // pre-widening file's INT32 pages must decode as INT32 — requesting
+  // INT64 against them would misread the page bytes). Positions align
+  // with dataFields, so everything above stays on current names and
+  // logical types.
   val requested: org.apache.parquet.schema.MessageType =
     if (nCols == 0) null
-    else ManifestV2.parquetTypeOf(StructType(dataFields.map(f =>
-      f.copy(name = footerNameOf(f.name).get))))
+    else {
+      val b = org.apache.parquet.schema.Types.buildMessage()
+      dataFields.foreach(f =>
+        b.addField(footerTypeOf(footerNameOf(f.name).get)))
+      b.named("graft_row")
+    }
   if (requested != null) reader.setRequestedSchema(requested)
   val colDescs = if (requested == null) null else requested.getColumns
 
@@ -461,8 +503,12 @@ private[sources] final class ManifestCountOnlyRowReader(
       while (pos < endPos && pos <= Int.MaxValue &&
         st.deleted.get(pos.toInt)) pos += 1
     if (pos >= endPos) return false
-    row = InternalRow.fromSeq(st.srcOf.toIndexedSeq.map(i =>
-      if (i == -1) st.fileName else if (i == -3) pos else null))
+    row = InternalRow.fromSeq(st.srcOf.toIndexedSeq.zipWithIndex.map {
+      case (s, c) =>
+        if (s == -1) st.fileName
+        else if (s == -3) pos
+        else st.defaultAt(c) // -2: existence default, or null
+    })
     true
   }
   override def get(): InternalRow = row
@@ -514,6 +560,7 @@ private[sources] final class ManifestRowReader(st: ManifestSplitState)
           case 1 => java.lang.Integer.valueOf(cr.getInteger)
           case 2 => java.lang.Double.valueOf(cr.getDouble)
           case 3 => java.lang.Boolean.valueOf(cr.getBoolean)
+          case 5 => java.lang.Long.valueOf(cr.getInteger.toLong) // widened
           case _ => UTF8String.fromBytes(cr.getBinary.getBytes)
         }
         cr.consume()
@@ -579,7 +626,7 @@ private[sources] final class ManifestRowReader(st: ManifestSplitState)
             if (s >= 0) batch(s)(i)
             else if (s == -1) st.fileName
             else if (s == -3) pos
-            else null
+            else st.defaultAt(c) // -2: existence default, or null
           c += 1
         }
         row = new GenericInternalRow(vals)
@@ -705,6 +752,14 @@ private[sources] final class ManifestColumnarReader(st: ManifestSplitState)
               else vec.putNull(k)
               cr.consume(); k += 1
             }
+          case 5 => // pre-widening INT32 pages into the LONG vector
+            var k = 0
+            while (k < n) {
+              if (cr.getCurrentDefinitionLevel == maxDef)
+                vec.putLong(k, cr.getInteger.toLong)
+              else vec.putNull(k)
+              cr.consume(); k += 1
+            }
           case _ =>
             var k = 0
             while (k < n) {
@@ -755,9 +810,19 @@ private[sources] final class ManifestColumnarReader(st: ManifestSplitState)
           v.setUtf8String(st.fileName)
           v
         } else if (s == -2) {
+          // evolution-missing: the column's existence default, or NULL
           val v = new ConstantColumnVector(live,
             st.required.fields(c).dataType)
-          v.setNull()
+          st.defaultAt(c) match {
+            case null => v.setNull()
+            case l: java.lang.Long => v.setLong(l.longValue())
+            case iv: java.lang.Integer => v.setInt(iv.intValue())
+            case dv: java.lang.Double => v.setDouble(dv.doubleValue())
+            case b: java.lang.Boolean => v.setBoolean(b.booleanValue())
+            case u: UTF8String => v.setUtf8String(u)
+            case o => throw new IllegalStateException(
+              s"unexpected default value ${o.getClass.getName}")
+          }
           v
         } else if (s == -3) {
           // `_pos` carries ORIGINAL absolute ordinals through
@@ -794,7 +859,7 @@ private[sources] final class ManifestColumnarReader(st: ManifestSplitState)
       if (keep(k)) {
         if (src.isNullAt(k)) v.putNull(o)
         else t match {
-          case 0 => v.putLong(o, src.getLong(k))
+          case 0 | 5 => v.putLong(o, src.getLong(k))
           case 1 => v.putInt(o, src.getInt(k))
           case 2 => v.putDouble(o, src.getDouble(k))
           case 3 => v.putBoolean(o, src.getBoolean(k))
@@ -818,7 +883,7 @@ private[sources] final class ManifestColumnarReader(st: ManifestSplitState)
         val vec = vecs(src)
         if (vec.isNullAt(k)) null
         else st.tag(src) match {
-          case 0 => java.lang.Long.valueOf(vec.getLong(k))
+          case 0 | 5 => java.lang.Long.valueOf(vec.getLong(k))
           case 1 => java.lang.Integer.valueOf(vec.getInt(k))
           case 2 => java.lang.Double.valueOf(vec.getDouble(k))
           case 3 => java.lang.Boolean.valueOf(vec.getBoolean(k))

@@ -61,12 +61,14 @@ class ManifestV2 extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     val root = ManifestV2.rootOf(path)
-    // a branch read resolves against the BRANCH TIP's schema — main
-    // may have evolved (RENAME/ADD/DROP) since the fork, and analyzer
+    // a branch read resolves against the BRANCH state's schema (tip,
+    // or the pinned chain position for branch time travel) — main may
+    // have evolved (RENAME/ADD/DROP) since the fork, and analyzer
     // names must match what the branch scan actually serves
     val branchSchema = Option(options.get("branch")).filter(_.nonEmpty)
-      .map(b => ManifestV2.branchState(path, b).map(_.schema).getOrElse(
-        throw new IllegalArgumentException(s"no branch '$b' at $root")))
+      .map(b => ManifestV2.branchPinnedState(path, b,
+        Option(options.get("branchVersion")).map(_.toLong),
+        Option(options.get("branchTimestamp")).map(_.toLong)).schema)
     val base = branchSchema.orElse(
       ManifestV2.readManifest(root).map(_.schema))
       .getOrElse(throw new IllegalArgumentException(
@@ -346,7 +348,17 @@ object ManifestV2 {
         * new name AT the rename commit, so manifest-level pruning
         * never needs the map.
         */
-      aliases: Map[String, Seq[String]] = Map.empty) {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      /** ADD COLUMN ... DEFAULT history (round 14 — the Iceberg v3
+        * initial-default shape): current column name -> the default's
+        * string rendering (typed per the column's schema type at
+        * parse). A file that predates the ADD serves the DEFAULT for
+        * the column instead of NULL — zero rewrite — while post-add
+        * files carry real values (Spark fills omitted INSERT columns
+        * from the same default at write analysis). Keys follow
+        * renames and leave with DROP.
+        */
+      defaults: Map[String, String] = Map.empty) {
     /** The CURRENT spec era's ordinal — index into the full era list
       * (history first, current last). Files written under era `i`
       * carry their point box under [[PartTransform.keyName]]`(i)`.
@@ -440,12 +452,21 @@ object ManifestV2 {
             lines.get(afterTs).startsWith("@aliases\t"))
           (parseAliases(lines.get(afterTs).split("\t", 2)(1)), afterTs + 1)
         else (Map.empty[String, Seq[String]], afterTs)
-      val (hist, afterHist) =
+      val (defaults, afterDef) =
         if (lines.size > afterAl &&
-            lines.get(afterAl).startsWith("@parthist\t"))
-          (lines.get(afterAl).split("\t", 2)(1).split(";", -1).toSeq,
-            afterAl + 1)
-        else (Nil, afterAl)
+            lines.get(afterAl).startsWith("@defaults\t"))
+          (lines.get(afterAl).split("\t", -1).drop(1)
+            .filter(_.nonEmpty).map { tok =>
+              val i = tok.indexOf('=')
+              (tok.substring(0, i), unesc(tok.substring(i + 1)))
+            }.toMap, afterAl + 1)
+        else (Map.empty[String, String], afterAl)
+      val (hist, afterHist) =
+        if (lines.size > afterDef &&
+            lines.get(afterDef).startsWith("@parthist\t"))
+          (lines.get(afterDef).split("\t", 2)(1).split(";", -1).toSeq,
+            afterDef + 1)
+        else (Nil, afterDef)
       val maint = lines.size > afterHist &&
         lines.get(afterHist).startsWith("@maint\t")
       val checks = Seq.newBuilder[(String, String)]
@@ -471,9 +492,51 @@ object ManifestV2 {
       val segd = segs.result()
       val all = segd.flatMap(_.files) ++ inline
       Some((ManifestState(schema, epochs, all, v, part, checks.result(),
-        maint, hist, commitTs = cts, aliases = aliases), segd,
+        maint, hist, commitTs = cts, aliases = aliases,
+        defaults = defaults), segd,
         inline.toSeq))
     }
+  }
+
+  /** The manifest's SEGMENT STRUCTURE only — `@seg` names plus the
+    * parsed INLINE file entries — without opening a single segment
+    * file: what a DISTRIBUTED metadata-table scan plans from. The
+    * driver holds O(segments) pointers; executors parse the entries
+    * ([[readSegEntries]]) — at a million files the difference between
+    * a plan-time driver materialization and a per-task segment read.
+    */
+  private[graft] def manifestStructure(root: Path, version: Long = -1L)
+      : Option[(Seq[String], Seq[FileEntry])] = {
+    val m =
+      if (version < 0L) root.resolve("manifest.txt")
+      else root.resolve(s"manifest.v$version.txt")
+    if (!Files.exists(m)) return None
+    val lines = Files.readAllLines(m, StandardCharsets.UTF_8)
+    val segs = Seq.newBuilder[String]
+    val inline = Seq.newBuilder[FileEntry]
+    // lines 0-2 are schema/@v/@epochs; every other header line is
+    // `@`-prefixed, and data-file paths never start with `@` (staged
+    // files live under `staging/`)
+    var i = 3
+    while (i < lines.size) {
+      val l = lines.get(i)
+      if (l.startsWith("@seg\t")) segs += l.split("\t", 3)(1)
+      else if (l.nonEmpty && !l.startsWith("@")) inline += parseFileLine(l)
+      i += 1
+    }
+    Some((segs.result(), inline.result()))
+  }
+
+  /** Parse one metadata segment's entries — the executor-side half of
+    * a distributed metadata-table scan. Segments are immutable, so a
+    * task reading one published at plan time is always consistent.
+    */
+  private[graft] def readSegEntries(root: Path, name: String)
+      : Seq[FileEntry] = {
+    val b = Seq.newBuilder[FileEntry]
+    Files.readAllLines(root.resolve(name), StandardCharsets.UTF_8)
+      .forEach(l => if (l.nonEmpty) b += parseFileLine(l))
+    b.result()
   }
 
   /** Plan-time observability counters for the two metadata-skipping
@@ -500,7 +563,7 @@ object ManifestV2 {
   private[graft] def readManifestPruned(root: Path, version: Long,
       filters: Array[Filter])
       : Option[(StructType, Long, Option[String], Seq[FileEntry],
-        Seq[String], Map[String, Seq[String]])] = {
+        Seq[String], Map[String, Seq[String]], Map[String, String])] = {
     val m =
       if (version < 0L) root.resolve("manifest.txt")
       else root.resolve(s"manifest.v$version.txt")
@@ -517,6 +580,15 @@ object ManifestV2 {
     var aliases: Map[String, Seq[String]] = Map.empty
     if (i < lines.size && lines.get(i).startsWith("@aliases\t")) {
       aliases = parseAliases(lines.get(i).split("\t", 2)(1))
+      i += 1
+    }
+    var defaults: Map[String, String] = Map.empty
+    if (i < lines.size && lines.get(i).startsWith("@defaults\t")) {
+      defaults = lines.get(i).split("\t", -1).drop(1)
+        .filter(_.nonEmpty).map { tok =>
+          val j = tok.indexOf('=')
+          (tok.substring(0, j), unesc(tok.substring(j + 1)))
+        }.toMap
       i += 1
     }
     var hist: Seq[String] = Nil
@@ -556,7 +628,7 @@ object ManifestV2 {
       i += 1
     }
     while (i < lines.size) { out += parseFileLine(lines.get(i)); i += 1 }
-    Some((schema, v, part, out.result(), hist, aliases))
+    Some((schema, v, part, out.result(), hist, aliases, defaults))
   }
 
   /** Read the CURRENT snapshot (`version < 0`) or a pinned historical
@@ -641,10 +713,17 @@ object ManifestV2 {
       else Seq("@aliases\t" + state.aliases.toSeq.sortBy(_._1)
         .map { case (c, olds) => s"$c=${olds.mkString(",")}" }
         .mkString(";"))
+    // ADD COLUMN existence defaults, written only when present:
+    // tab-joined `col=ESC(value)` tokens (values esc'd, so tabs are
+    // safe separators; split on the FIRST '=' at parse)
+    val defaultsLine =
+      if (state.defaults.isEmpty) Seq.empty
+      else Seq("@defaults\t" + state.defaults.toSeq.sortBy(_._1)
+        .map { case (c, v) => s"$c=${esc(v)}" }.mkString("\t"))
     val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
       s"@ts\t$commitTs" +:
-      (aliasLine ++ histLine ++ maintLine ++
+      (aliasLine ++ defaultsLine ++ histLine ++ maintLine ++
       state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
       segLines ++
       inline.map(fileLine))).mkString("", "\n", "\n")
@@ -925,22 +1004,33 @@ object ManifestV2 {
     require(readManifest(root, v).isDefined,
       s"no snapshot v$v at $root (expired or never published)")
     val f = refsDir(root).resolve(name)
-    require(!Files.exists(f),
-      s"tag '$name' already exists — drop it first (tags are pins, " +
-        "not branches)")
     Files.createDirectories(refsDir(root))
-    val tmp = refsDir(root).resolve(s".$name.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // CREATE_NEW (O_EXCL) IS the CAS token — a check-then-rename would
+    // be a TOCTOU because rename(2) silently REPLACES on POSIX, so two
+    // concurrent creates (or a tag racing a branch) could clobber a ref
+    try Files.write(f, v.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     catch { case e: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
-      throw new IllegalArgumentException(s"tag '$name' already exists", e)
+      throw new IllegalArgumentException(
+        s"ref '$name' already exists (tag or branch) — drop it first " +
+          "(tags are pins, not branches)", e)
     }
     v
   }
 
-  def dropTag(path: String, name: String): Boolean =
-    Files.deleteIfExists(refsDir(rootOf(path)).resolve(name))
+  /** Drop a TAG. Refuses branch refs — they share the `refs/`
+    * directory but deleting one here would orphan its version files;
+    * [[dropBranch]] owns that lifecycle.
+    */
+  def dropTag(path: String, name: String): Boolean = {
+    val f = refsDir(rootOf(path)).resolve(name)
+    if (!Files.exists(f)) return false
+    val c = new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim
+    require(!c.startsWith("branch:"),
+      s"'$name' is a branch, not a tag — use dropBranch (deleting the " +
+        "head ref alone would orphan the branch's version files)")
+    Files.deleteIfExists(f)
+  }
 
   def listTags(path: String): Seq[(String, Long)] = {
     val d = refsDir(rootOf(path))
@@ -1014,18 +1104,15 @@ object ManifestV2 {
         s"'$name'")
     val base = readManifest(root).map(_.version).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
-    // explicit pre-check: ATOMIC_MOVE is rename(2), which silently
-    // REPLACES an existing target on POSIX — it must never clobber a
-    // tag (or another branch) sharing the refs/ namespace
-    require(!Files.exists(branchRef(root, name)),
-      s"ref '$name' already exists (tag or branch) — drop it first")
     Files.createDirectories(refsDir(root))
-    val tmp = refsDir(root).resolve(s".$name.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"branch:0:$base".getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, branchRef(root, name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // CREATE_NEW (O_EXCL) is the CAS: a pre-check + ATOMIC_MOVE would
+    // be a TOCTOU (rename(2) silently replaces on POSIX), letting two
+    // concurrent createBranch calls — or a branch racing tagSnapshot —
+    // clobber each other's ref in the shared refs/ namespace
+    try Files.write(branchRef(root, name),
+      s"branch:0:$base".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     catch { case e: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
       throw new IllegalArgumentException(
         s"ref '$name' already exists (tag or branch) — drop it first", e)
     }
@@ -1064,6 +1151,68 @@ object ManifestV2 {
       if (k == 0L) readManifestSegs(root, base)
       else readSegsAt(root, root.resolve(s"manifest.$name.v$k.txt"))
     }
+  }
+
+  /** The branch's state at ORDINAL k of its OWN chain — branch time
+    * travel (round 14): k = 0 is the fork-base main snapshot, k in
+    * [1, tip] the branch's k-th staged commit. Out-of-range ordinals
+    * refuse loudly (a branch chain is short and explicit — silently
+    * clamping would misrepresent what was staged when).
+    */
+  private[graft] def branchStateAt(path: String, name: String,
+      k: Long): Option[ManifestState] = {
+    val root = rootOf(path)
+    branchHead(path, name).flatMap { case (tip, base) =>
+      require(k >= 0L && k <= tip,
+        s"branch '$name' has no ordinal $k (tip is $tip)")
+      if (k == 0L) readManifest(root, base)
+      else readSegsAt(root, root.resolve(s"manifest.$name.v$k.txt"))
+        .map(_._1)
+    }
+  }
+
+  /** `TIMESTAMP AS OF t` against a BRANCH's own chain: the largest
+    * ordinal whose commit stamp is <= t (ordinal 0 carries the fork
+    * base's stamp; branch stamps are monotone-clamped like main's, so
+    * this is a binary search).
+    */
+  def branchVersionAsOfTimestamp(path: String, name: String,
+      tsMillis: Long): Long = {
+    val (tip, _) = branchHead(path, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' at ${rootOf(path)}"))
+    def tsOf(k: Long): Long =
+      branchStateAt(path, name, k).map(_.commitTs).getOrElse(0L)
+    var lo = 0L
+    var hi = tip
+    var ans = -1L
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tsOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    require(ans >= 0L,
+      s"branch '$name' has no commit at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)}")
+    ans
+  }
+
+  /** Resolve a branch read's pinned state from its read options:
+    * explicit ordinal (`branchVersion`), timestamp
+    * (`branchTimestamp`, epoch millis), or the tip.
+    */
+  private[graft] def branchPinnedState(path: String, name: String,
+      version: Option[Long], tsMillis: Option[Long]): ManifestState = {
+    require(version.isEmpty || tsMillis.isEmpty,
+      "branchVersion and branchTimestamp cannot be combined — each " +
+        "pins the chain position")
+    val k = version.orElse(
+      tsMillis.map(branchVersionAsOfTimestamp(path, name, _)))
+    (k match {
+      case Some(ord) => branchStateAt(path, name, ord)
+      case None => branchState(path, name)
+    }).getOrElse(throw new IllegalArgumentException(
+      s"no branch '$name' at ${rootOf(path)}"))
   }
 
   /** Pointer-advance for a branch ref: monotone on the tip ordinal,
@@ -1162,8 +1311,14 @@ object ManifestV2 {
     val root = rootOf(path)
     val versions = listVersions(root)
     // tagged versions are PINNED: they move from the expire set to the
-    // kept set, and every file/segment they reference stays reachable
-    val tagged = listTags(path).map(_._2).toSet
+    // kept set, and every file/segment they reference stays reachable.
+    // Branch FORK BASES are pinned the same way: a fresh branch
+    // (tip ordinal 0) has no version file of its own yet — its whole
+    // state IS main's manifest.v<base>.txt, so sweeping that manifest
+    // would leave the branch unreadable and fast_forward broken,
+    // violating the staged-WAP-work-survives-retention contract
+    val tagged = listTags(path).map(_._2).toSet ++
+      listBranches(path).map(_._3)
     val (old0, kept0) = versions.splitAt(math.max(0, versions.size - keepLast))
     val old = old0.filterNot(tagged.contains)
     val kept = old0.filter(tagged.contains) ++ kept0
@@ -1701,7 +1856,7 @@ object ManifestV2 {
       }
       ManifestState(s.schema, s.epochs, files, part = s.part,
         checks = s.checks, maint = true, partHist = s.partHist,
-        aliases = s.aliases)
+        aliases = s.aliases, defaults = s.defaults)
     }: Unit
     (merged.size.toLong, before, after)
   }
@@ -1739,6 +1894,22 @@ object ManifestV2 {
     * query schema keeps its literals NOT NULL, and that tightening is
     * always safe to append.
     */
+  /** One stored existence default, parsed to the INTERNAL value the
+    * leaf serves (boxed primitive / UTF8String) — typed by the
+    * column's CURRENT schema type, so a later INT -> BIGINT widening
+    * of a defaulted column re-types the default with it.
+    */
+  private[graft] def defaultValueOf(dt: DataType, s: String): Any =
+    dt match {
+      case LongType => java.lang.Long.valueOf(s.toLong)
+      case IntegerType => java.lang.Integer.valueOf(s.toInt)
+      case DoubleType => java.lang.Double.valueOf(s.toDouble)
+      case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
+      case StringType => UTF8String.fromString(s)
+      case o => throw new UnsupportedOperationException(
+        s"column default on ${o.simpleString} is not supported")
+    }
+
   private[graft] def sameShape(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).toSeq ==
       b.fields.map(f => (f.name, f.dataType)).toSeq
@@ -2039,7 +2210,27 @@ class ManifestTable(path: String, externalSchema: StructType,
     else s"graft_manifest($path)@v$version"
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
-    else meta.map(_.schema).getOrElse(new StructType())
+    else meta.map { st =>
+      if (st.defaults.isEmpty) st.schema
+      else StructType(st.schema.fields.map { f =>
+        st.defaults.get(f.name) match {
+          case Some(v) =>
+            // the analyzer's default-fill metadata keys: INSERTs that
+            // omit the column get CURRENT_DEFAULT; the connector's
+            // leaf serves the same value for pre-add files
+            val sqlLit = f.dataType match {
+              case StringType => "'" + v.replace("'", "''") + "'"
+              case BooleanType | DoubleType | LongType | IntegerType => v
+              case _ => v
+            }
+            f.copy(metadata = new org.apache.spark.sql.types
+              .MetadataBuilder().withMetadata(f.metadata)
+              .putString("CURRENT_DEFAULT", sqlLit)
+              .putString("EXISTS_DEFAULT", sqlLit).build())
+          case None => f
+        }
+      })
+    }.getOrElse(new StructType())
   override def partitioning(): Array[Transform] =
     meta.flatMap(_.part).toSeq
       .flatMap(c => PartTransform.parseMulti(c)
@@ -2092,6 +2283,13 @@ class ManifestTable(path: String, externalSchema: StructType,
         "VERSION AS OF and changefeed cannot be combined — " +
           "endVersion IS the pinned end of a feed")
       require(fileList.isEmpty, "the files option is not a version range")
+      // without this the branch option would be SILENTLY ignored —
+      // the feed serves main's history while inferSchema resolved the
+      // branch schema plus change columns
+      require(Option(options.get("branch")).forall(_.isEmpty),
+        "branch and changefeed cannot be combined — the change feed " +
+          "reads main's version chain; read the branch directly or " +
+          "fast_forward first")
       val live = ManifestV2.readManifest(root).getOrElse(
         throw new IllegalArgumentException(s"no manifest at $root"))
       val to = endV.getOrElse(live.version)
@@ -2114,10 +2312,13 @@ class ManifestTable(path: String, externalSchema: StructType,
         fileList.isEmpty,
         "a branch read cannot combine with versioned or incremental " +
           "options")
-      val st = ManifestV2.branchState(path, b).getOrElse(
-        throw new IllegalArgumentException(s"no branch '$b' at $root"))
+      // `branchVersion`/`branchTimestamp` travel the BRANCH's own
+      // chain (ordinal 0 = fork base)
+      val st = ManifestV2.branchPinnedState(path, b,
+        Option(options.get("branchVersion")).map(_.toLong),
+        Option(options.get("branchTimestamp")).map(_.toLong))
       return new ManifestScanBuilder(root, st.schema, version,
-        Some(st.files), streamable = false)
+        Some(st.files), streamable = false, fixedState = Some(st))
     }
     // incremental/streaming semantics when the range crosses a
     // merge-on-read DELETE: `fail` (default — a change feed must not
@@ -2211,9 +2412,19 @@ class ManifestTable(path: String, externalSchema: StructType,
     */
   private def eqDeleteShape(filters: Array[Filter])
       : Option[(Seq[(String, DataType)], Seq[Seq[Any]])] = {
+    // a column with an EXISTENCE DEFAULT cannot key an equality
+    // sidecar: the leaf treats a sidecar whose key column is missing
+    // from a file's footer as vacuous (NULL never matches), but
+    // defaulted pre-add rows are NOT null — they serve the default,
+    // and a matching one must die. Refusing here routes the statement
+    // to the copy-on-write rewrite, which reads through the scan
+    // (defaults served) and rewrites only the affected files.
+    val defaulted: Set[String] = ManifestV2.readManifest(root)
+      .map(_.defaults.keySet).getOrElse(Set.empty)
     def keyType(c: String): Option[DataType] =
       schema().fields.find(_.name == c).map(_.dataType)
-        .filter(t => t == LongType || t == StringType)
+        .filter(t => (t == LongType || t == StringType) &&
+          !defaulted.contains(c))
     def litOk(t: DataType, v: Any): Boolean = (t, v) match {
       case (LongType, _: java.lang.Number) => true
       case (StringType, _: String) => true
@@ -2322,7 +2533,7 @@ class ManifestTable(path: String, externalSchema: StructType,
       }
       ManifestV2.ManifestState(st.schema, st.epochs, files, part = st.part,
         checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases)
+        aliases = st.aliases, defaults = st.defaults)
     }: Unit
     // dropped files stay on disk: older manifest versions still
     // reference them (time travel); expireSnapshots reclaims
@@ -2335,7 +2546,7 @@ class ManifestTable(path: String, externalSchema: StructType,
         throw new IllegalStateException(s"no manifest at $root"))
       ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty,
         part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases)
+        aliases = st.aliases, defaults = st.defaults)
     }: Unit
     true
   }
@@ -2495,10 +2706,12 @@ class ManifestRowLevelScan(op: ManifestRowLevelOperation,
     current.map(f =>
       ManifestFilePartition(op.root.toString, f.file, f.deletes)).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val live = ManifestV2.readManifest(op.root)
     new ManifestReaderFactory(full, required,
-      aliases = ManifestV2.readManifest(op.root)
-        .map(_.aliases).getOrElse(Map.empty))
+      aliases = live.map(_.aliases).getOrElse(Map.empty),
+      defaults = live.map(_.defaults).getOrElse(Map.empty))
+  }
 }
 
 /** MERGE-ON-READ DELETE ([[SupportsDelta]] — the Iceberg position-
@@ -2654,7 +2867,7 @@ class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
       ManifestV2.ManifestState(st.schema, st.epochs, files,
         part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases)
+        aliases = st.aliases, defaults = st.defaults)
     }: Unit
   }
 
@@ -2713,7 +2926,7 @@ class ManifestDeltaUpdateOperation(path: String,
     // the commit-time entry-identity check fail a statement that was
     // actually computed against the newer snapshot
     new ManifestScanBuilder(root, full, fixedFiles = st.map(_.files),
-      streamable = false)
+      streamable = false, fixedState = st)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -2849,7 +3062,7 @@ class ManifestDeltaUpdateBatchWrite(path: String, schema: StructType,
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
       ManifestV2.ManifestState(st.schema, st.epochs, files ++ added,
         part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases)
+        aliases = st.aliases, defaults = st.defaults)
     }: Unit
   }
 
@@ -2923,7 +3136,7 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
       val kept = st.files.filterNot(e => gone.contains(e.file))
       ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
         part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases)
+        aliases = st.aliases, defaults = st.defaults)
     }: Unit
     // replaced files stay on disk: older manifest versions reference
     // them (time travel); expireSnapshots is the reclamation path
@@ -3151,14 +3364,15 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo,
             replaceFiles = replace, replaceEntries = replaceEntries,
             rowGroupSize = rgSize, maintenance = maint,
             overwriteWhere = overwriteWhere, branch = branch)
-        override def toStreaming: StreamingWrite = {
-          require(branch.isEmpty,
-            "streaming writes target main, not a branch")
+        override def toStreaming: StreamingWrite =
+          // streaming WAP (round 14): a `branch` streaming sink stages
+          // every epoch on the branch ref — the epoch replay ledger
+          // lives in the BRANCH state and publication is fast_forward
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
             truncate,
             upsertKey = Option(info.options().get("upsertKey")),
-            upsertDeleteCol = Option(info.options().get("upsertDeleteCol")))
-        }
+            upsertDeleteCol = Option(info.options().get("upsertDeleteCol")),
+            branch = branch)
       }
     }
   }
@@ -3252,11 +3466,10 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
     * streaming sink: one atomic swap per epoch, replays publish
     * nothing, time-range/bucket pruning works on the table mid-stream.
     */
-  override def toStreaming: StreamingWrite = {
-    require(branch.isEmpty, "streaming writes target main, not a branch")
+  override def toStreaming: StreamingWrite =
     new ManifestPartitionedStreamingWrite(path, schema, partCol,
-      queryId, truncate, pkey, rotate = requireClustering)
-  }
+      queryId, truncate, pkey, rotate = requireClustering,
+      branch = branch)
 }
 
 /** Per-epoch commits of a PARTITIONED streaming sink: the fanout task
@@ -3270,7 +3483,8 @@ class ManifestPartitionedWrite(path: String, schema: StructType,
   */
 class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
     partCol: String, queryId: String, truncate: Boolean,
-    pkey: String, rotate: Boolean) extends StreamingWrite {
+    pkey: String, rotate: Boolean,
+    branch: Option[String] = None) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestPartitionedWriterFactory(path, schema, partCol,
@@ -3279,8 +3493,16 @@ class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
-    if (ManifestV2.readManifest(root)
-        .exists(_.epochs.getOrElse(queryId, -1L) >= epochId)) {
+    // a `branch` sink stages on the branch ref (streaming WAP): the
+    // replay ledger is read from — and the CAS advances — the BRANCH
+    // state; main never sees an epoch until fast_forward
+    val head = branch match {
+      case Some(b) => Some(ManifestV2.branchState(path, b).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '$b' at $root — CALL graft.system.branch first")))
+      case None => ManifestV2.readManifest(root)
+    }
+    if (head.exists(_.epochs.getOrElse(queryId, -1L) >= epochId)) {
       // replayed micro-batch after restart: already in the snapshot
       ManifestV2.deleteStaged(path, messages)
       return
@@ -3288,7 +3510,13 @@ class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
     val added = ManifestV2.flatCommits(messages).map(m =>
       ManifestV2.FileEntry(m.file, m.rows, m.stats,
         nulls = m.nulls, rgs = m.rgs))
-    ManifestV2.commit(root) { cur =>
+    val casCommit: (Option[ManifestV2.ManifestState] =>
+      ManifestV2.ManifestState) => ManifestV2.ManifestState =
+      branch match {
+        case Some(b) => ManifestV2.branchCommit(root, b)
+        case None => ManifestV2.commit(root)
+      }
+    casCommit { cur =>
       cur.foreach { p =>
         require(ManifestV2.sameShape(p.schema, schema),
           s"streaming schema mismatch: table has ${p.schema.toDDL}, " +
@@ -3312,7 +3540,8 @@ class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
         part = cur.flatMap(_.part).orElse(Some(partCol)),
         checks = cur.map(_.checks).getOrElse(Nil),
         partHist = cur.map(_.partHist).getOrElse(Nil),
-        aliases = cur.map(_.aliases).getOrElse(Map.empty))
+        aliases = cur.map(_.aliases).getOrElse(Map.empty),
+        defaults = cur.map(_.defaults).getOrElse(Map.empty))
     }: Unit
   }
 
@@ -3321,11 +3550,43 @@ class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
     ManifestV2.deleteStaged(path, messages)
 }
 
+/** A read-only table pinned to a BRANCH chain position — what SQL
+  * `VERSION AS OF '<branch>'` (tip) / `'<branch>@<k>'` (ordinal
+  * travel) serves through the catalog: the Iceberg ref-travel shape.
+  * The state pins at resolution; scans plan its fixed file list under
+  * its own part/alias metadata, so main's later evolution is
+  * invisible. Writes are rejected (stage through the branch WRITE
+  * option; publish through fast_forward).
+  */
+class BranchPinnedTable(path: String, branchName: String, ordinal: Long)
+    extends Table with SupportsRead {
+  private val st: ManifestV2.ManifestState =
+    ManifestV2.branchPinnedState(path, branchName,
+      if (ordinal < 0L) None else Some(ordinal), None)
+  override def name(): String =
+    s"graft_manifest($path)@$branchName" +
+      (if (ordinal < 0L) "" else s"@$ordinal")
+  override def schema(): StructType = st.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestScanBuilder(ManifestV2.rootOf(path), st.schema, -1L,
+      Some(st.files), streamable = false, fixedState = Some(st))
+}
+
 class ManifestScanBuilder(root: Path, full: StructType,
     version: Long = -1L,
     fixedFiles: Option[Seq[ManifestV2.FileEntry]] = None,
     streamable: Boolean = true,
-    morStreamMode: String = "fail") extends ScanBuilder
+    morStreamMode: String = "fail",
+    // the STATE the fixed files came from (branch tip, or the pinned
+    // snapshot a row-level operation captured). Without it a
+    // fixed-file scan would fetch part-spec/partHist/aliases from
+    // MAIN's current head — wrong once main diverges from a branch
+    // fork (rename or set_partitioning on main would prune and
+    // alias-resolve branch files under main's metadata)
+    fixedState: Option[ManifestV2.ManifestState] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -3455,7 +3716,7 @@ class ManifestScanBuilder(root: Path, full: StructType,
     // each touched file's live count is its footer row count minus its
     // sidecars' distinct positions — kilobytes of driver-side sidecar
     // read, still zero data files opened.
-    val st = ManifestV2.readManifest(root, version)
+    val st = fixedState.orElse(ManifestV2.readManifest(root, version))
     val files = fixedFiles.getOrElse(st.map(_.files).getOrElse(Seq.empty))
     val hasDeletes = files.exists(_.deletes.nonEmpty)
     if (hasDeletes && flat.exists(_._1 != "count")) return None
@@ -3487,28 +3748,29 @@ class ManifestScanBuilder(root: Path, full: StructType,
       new ManifestAggScan(root.toString, aggFiles, aggSpecs, full)
     else fixedFiles match {
       case Some(files) =>
-        val st = ManifestV2.readManifest(root, version)
+        val st = fixedState.orElse(ManifestV2.readManifest(root, version))
         new ManifestScan(root.toString, full, required, files,
           streamable = streamable && version < 0,
           partCol = st.flatMap(_.part), pushed = pushed,
           morStreamMode = morStreamMode,
           partHist = st.map(_.partHist).getOrElse(Nil),
-          aliases = st.map(_.aliases).getOrElse(Map.empty))
+          aliases = st.map(_.aliases).getOrElse(Map.empty),
+          defaults = st.map(_.defaults).getOrElse(Map.empty))
       case None =>
         // segment-envelope-pruned manifest read: a selective scan of a
         // segmented table materializes O(matching segments) of metadata
         // on the driver, not the whole file list
         val pruned = ManifestV2.readManifestPruned(root, version, pushed)
-        val (part, files, hist, al) = pruned match {
-          case Some((_, _, p, fs, h, a)) => (p, fs, h, a)
+        val (part, files, hist, al, dfl) = pruned match {
+          case Some((_, _, p, fs, h, a, d)) => (p, fs, h, a, d)
           case None =>
             (None, Seq.empty[ManifestV2.FileEntry], Seq.empty[String],
-              Map.empty[String, Seq[String]])
+              Map.empty[String, Seq[String]], Map.empty[String, String])
         }
         new ManifestScan(root.toString, full, required, files,
           streamable = streamable && version < 0,
           partCol = part, pushed = pushed, morStreamMode = morStreamMode,
-          partHist = hist, aliases = al)
+          partHist = hist, aliases = al, defaults = dfl)
     }
 }
 
@@ -3566,7 +3828,8 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     files: Seq[ManifestV2.FileEntry], streamable: Boolean = true,
     partCol: Option[String] = None, pushed: Array[Filter] = Array.empty,
     morStreamMode: String = "fail", partHist: Seq[String] = Nil,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    defaults: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   private val pSpecs: Seq[PartTransform.Spec] =
@@ -3803,15 +4066,16 @@ class ManifestScan(root: String, full: StructType, required: StructType,
     new ManifestReaderFactory(full, required,
       pushed ++ runtime.filterNot(f =>
         f.references.exists(_.startsWith(PartTransform.PKey))),
-      aliases = aliases)
+      aliases = aliases, defaults = defaults)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (!streamable) throw new UnsupportedOperationException(
       "cannot stream from a version-pinned or incremental scan — " +
         "stream the live table (offsets ARE versions)")
+    val live = ManifestV2.readManifest(Paths.get(root))
     new ManifestMicroBatchStream(Paths.get(root), full, required,
       allowMorDeletes = morStreamMode == "appendonly",
-      aliases = ManifestV2.readManifest(Paths.get(root))
-        .map(_.aliases).getOrElse(Map.empty))
+      aliases = live.map(_.aliases).getOrElse(Map.empty),
+      defaults = live.map(_.defaults).getOrElse(Map.empty))
   }
 }
 
@@ -3836,7 +4100,8 @@ case class ManifestVersionOffset(v: Long) extends Offset {
   */
 class ManifestMicroBatchStream(root: Path, full: StructType,
     required: StructType, allowMorDeletes: Boolean = false,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    defaults: Map[String, String] = Map.empty)
     extends MicroBatchStream {
   override def initialOffset(): Offset = ManifestVersionOffset(0L)
   override def deserializeOffset(json: String): Offset =
@@ -3853,7 +4118,8 @@ class ManifestMicroBatchStream(root: Path, full: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(full, required, aliases = aliases)
+    new ManifestReaderFactory(full, required, aliases = aliases,
+      defaults = defaults)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -4034,7 +4300,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
         checks = prev.map(_.checks).getOrElse(Nil),
         maint = maintenance,
         partHist = prev.map(_.partHist).getOrElse(Nil),
-        aliases = prev.map(_.aliases).getOrElse(Map.empty))
+        aliases = prev.map(_.aliases).getOrElse(Map.empty),
+        defaults = prev.map(_.defaults).getOrElse(Map.empty))
     }: Unit
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
@@ -4082,8 +4349,14 @@ class ManifestBatchWrite(path: String, schema: StructType,
   */
 class ManifestStreamingWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, upsertKey: Option[String] = None,
-    upsertDeleteCol: Option[String] = None)
+    upsertDeleteCol: Option[String] = None,
+    branch: Option[String] = None)
     extends StreamingWrite {
+  // streaming WAP stages APPENDS; upsert attaches sidecars to the
+  // branch's carried files, which fast_forward would then publish as
+  // mutations of MAIN files — out of the append-only staging contract
+  require(branch.isEmpty || upsertKey.isEmpty,
+    "streaming upsert targets main, not a branch — fast_forward first")
   /** The upsert key columns (comma-separated in the option): each
     * BIGINT or STRING — the same typed shape equality deletes accept,
     * so a composite or string-keyed CDC stream mirrors exactly like a
@@ -4101,6 +4374,16 @@ class ManifestStreamingWrite(path: String, schema: StructType,
       }
   require(upsertKey.isEmpty || upsertKeyCols.nonEmpty,
     "upsertKey must name at least one column")
+  // same existence-default hazard as the metadata DELETE: a sidecar
+  // keyed on a defaulted column is vacuous for pre-add files whose
+  // rows SERVE the default — an upserted key equal to it would leave
+  // the old row alive as a duplicate
+  upsertKeyCols.foreach { case (c, _) =>
+    require(!ManifestV2.readManifest(ManifestV2.rootOf(path))
+      .exists(_.defaults.contains(c)),
+      s"upsertKey $c carries an existence default — compact the table " +
+        "to materialize it before keying a CDC stream on it")
+  }
   require(upsertKeyCols.map(_._1).distinct.length == upsertKeyCols.length,
     s"upsertKey columns must be distinct, got ${upsertKeyCols.map(_._1)}")
   upsertDeleteCol.foreach { c =>
@@ -4128,7 +4411,14 @@ class ManifestStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = ManifestV2.rootOf(path)
-    val prev = ManifestV2.readManifest(root)
+    // a `branch` sink reads the replay ledger from — and commits
+    // through — the BRANCH state (streaming WAP staging)
+    val prev = branch match {
+      case Some(b) => Some(ManifestV2.branchState(path, b).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '$b' at $root — CALL graft.system.branch first")))
+      case None => ManifestV2.readManifest(root)
+    }
     prev.foreach { p =>
       require(ManifestV2.sameShape(p.schema, dataSchema),
         s"streaming schema mismatch: table has ${p.schema.toDDL}, " +
@@ -4191,7 +4481,13 @@ class ManifestStreamingWrite(path: String, schema: StructType,
       // (only one streaming writer exists per queryId, so the ledger
       // entry itself has no same-key race)
       var attached = false
-      ManifestV2.commit(root) { cur =>
+      val casCommit: (Option[ManifestV2.ManifestState] =>
+        ManifestV2.ManifestState) => ManifestV2.ManifestState =
+        branch match {
+          case Some(b) => ManifestV2.branchCommit(root, b)
+          case None => ManifestV2.commit(root)
+        }
+      casCommit { cur =>
         val kept0 = if (truncate) Seq.empty
           else cur.map(_.files).getOrElse(Seq.empty)
         // upsert: pre-existing files whose key box could hold an
@@ -4231,7 +4527,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
           kept ++ added, part = cur.flatMap(_.part),
           checks = cur.map(_.checks).getOrElse(Nil),
           partHist = cur.map(_.partHist).getOrElse(Nil),
-          aliases = cur.map(_.aliases).getOrElse(Map.empty))
+          aliases = cur.map(_.aliases).getOrElse(Map.empty),
+        defaults = cur.map(_.defaults).getOrElse(Map.empty))
       }: Unit
       // an epoch sidecar no pre-existing file needed is unreferenced
       epochDelete.foreach { case (rel, _) =>

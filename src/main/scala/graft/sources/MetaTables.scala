@@ -54,42 +54,54 @@ object MetaTables {
     case o => throw new IllegalArgumentException(s"no metadata view $o")
   }
 
-  /** The view's rows as EXTERNAL values (String/Long/Boolean/null) —
-    * shippable in the input partition; the reader internalizes.
+  /** One `files`-view row from a manifest entry — shared by the
+    * driver's inline-entry partition and the executor-side segment
+    * parse. External values (String/Long/null); the reader
+    * internalizes.
     */
-  def rowsOf(kind: String, dir: String): Seq[Seq[Any]] = {
-    val root = ManifestV2.rootOf(dir)
-    kind match {
-      case "history" =>
-        ManifestV2.listVersions(root)
-          .flatMap(v => ManifestV2.readManifest(root, v))
-          .map { st =>
-            Seq(st.version,
-              if (st.commitTs == 0L) null else st.commitTs * 1000L,
-              st.maint,
-              st.files.count(_.rows > 0L).toLong,
-              st.files.map(_.rows).sum)
-          }
-      case "files" =>
-        ManifestV2.readManifest(root).map(_.files).getOrElse(Nil)
-          .map { e =>
-            val part = e.stats.filter(_._1.startsWith(PartTransform.PKey))
-              .toSeq.sortBy(_._1)
-              .map { case (k, (lo, _)) => s"$k=$lo" }.mkString(",")
-            Seq(e.file, e.rows, e.deletes.size.toLong,
-              e.rgs.size.toLong, if (part.isEmpty) null else part)
-          }
-      case "tags" =>
-        ManifestV2.listTags(dir).map { case (n, v) => Seq(n, v) }
-      case "branches" =>
-        ManifestV2.listBranches(dir).map { case (n, k, b) => Seq(n, k, b) }
-      case o => throw new IllegalArgumentException(s"no metadata view $o")
-    }
+  def fileRow(e: ManifestV2.FileEntry): Seq[Any] = {
+    val part = e.stats.filter(_._1.startsWith(PartTransform.PKey))
+      .toSeq.sortBy(_._1)
+      .map { case (k, (lo, _)) => s"$k=$lo" }.mkString(",")
+    Seq(e.file, e.rows, e.deletes.size.toLong,
+      e.rgs.size.toLong, if (part.isEmpty) null else part)
+  }
+
+  /** One `history`-view row from a version's snapshot — computed
+    * executor-side, one task per retained version.
+    */
+  def historyRow(st: ManifestV2.ManifestState): Seq[Any] =
+    Seq(st.version,
+      if (st.commitTs == 0L) null else st.commitTs * 1000L,
+      st.maint,
+      st.files.count(_.rows > 0L).toLong,
+      st.files.map(_.rows).sum)
+
+  /** The small views' rows as EXTERNAL values — tags/branches are
+    * O(refs), so they ship in the partition directly.
+    */
+  def rowsOf(kind: String, dir: String): Seq[Seq[Any]] = kind match {
+    case "tags" =>
+      ManifestV2.listTags(dir).map { case (n, v) => Seq(n, v) }
+    case "branches" =>
+      ManifestV2.listBranches(dir).map { case (n, k, b) => Seq(n, k, b) }
+    case o => throw new IllegalArgumentException(s"no metadata view $o")
   }
 }
 
 private[sources] case class MetaRowsPartition(rows: Seq[Seq[Any]])
     extends InputPartition
+/** One metadata SEGMENT of the `files` view: the task parses the
+  * (immutable) segment file itself — the driver never materializes
+  * its entries.
+  */
+private[sources] case class MetaSegPartition(dir: String, seg: String)
+    extends InputPartition
+/** One retained VERSION of the `history` view: the task reads that
+  * version's manifest and computes the counts.
+  */
+private[sources] case class MetaVersionPartition(dir: String,
+    version: Long) extends InputPartition
 
 class ManifestMetaTable(dir: String, kind: String)
     extends Table with SupportsRead {
@@ -103,14 +115,38 @@ class ManifestMetaTable(dir: String, kind: String)
       override def readSchema(): StructType = MetaTables.schemaOf(kind)
       override def toBatch: Batch = this
       override def description(): String = name()
-      override def planInputPartitions(): Array[InputPartition] = {
-        // chunked: the files view of a million-file table must not
-        // ship one task a 100 MB closure
-        val rows = MetaTables.rowsOf(kind, dir)
-        if (rows.isEmpty) Array(MetaRowsPartition(Nil))
-        else rows.grouped(8192)
-          .map(c => MetaRowsPartition(c): InputPartition).toArray
-      }
+      override def planInputPartitions(): Array[InputPartition] =
+        kind match {
+          // DISTRIBUTED views: the driver holds only pointers —
+          // segment names (files) or version ordinals (history) —
+          // and each task parses its own metadata file. A
+          // million-file table plans O(segments) partitions with no
+          // driver-side row materialization at all (the Iceberg
+          // metadata-table-by-manifest shape).
+          case "files" =>
+            ManifestV2.manifestStructure(ManifestV2.rootOf(dir)) match {
+              case None => Array(MetaRowsPartition(Nil))
+              case Some((segs, inline)) =>
+                val segParts = segs.map(s =>
+                  MetaSegPartition(dir, s): InputPartition)
+                val inRows = inline.map(MetaTables.fileRow)
+                val inPart =
+                  if (inRows.nonEmpty || segParts.isEmpty)
+                    Seq(MetaRowsPartition(inRows): InputPartition)
+                  else Nil
+                (segParts ++ inPart).toArray
+            }
+          case "history" =>
+            val vs = ManifestV2.listVersions(ManifestV2.rootOf(dir))
+            if (vs.isEmpty) Array(MetaRowsPartition(Nil))
+            else vs.map(v =>
+              MetaVersionPartition(dir, v): InputPartition).toArray
+          case _ =>
+            val rows = MetaTables.rowsOf(kind, dir)
+            if (rows.isEmpty) Array(MetaRowsPartition(Nil))
+            else rows.grouped(8192)
+              .map(c => MetaRowsPartition(c): InputPartition).toArray
+        }
       override def createReaderFactory(): PartitionReaderFactory =
         new MetaReaderFactory(MetaTables.schemaOf(kind))
     }
@@ -120,7 +156,20 @@ private[sources] class MetaReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[MetaRowsPartition].rows
+    // executor-side materialization for the distributed views: the
+    // task parses its own (immutable) metadata file
+    val rows: Seq[Seq[Any]] = partition match {
+      case MetaRowsPartition(r) => r
+      case MetaSegPartition(dir, seg) =>
+        ManifestV2.readSegEntries(ManifestV2.rootOf(dir), seg)
+          .map(MetaTables.fileRow)
+      case MetaVersionPartition(dir, v) =>
+        // expired between plan and read → gracefully empty
+        ManifestV2.readManifest(ManifestV2.rootOf(dir), v)
+          .toSeq.map(MetaTables.historyRow)
+      case o => throw new IllegalArgumentException(
+        s"unexpected metadata partition ${o.getClass.getName}")
+    }
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
       private var cur: InternalRow = _

@@ -233,6 +233,210 @@ class BranchSpec extends AnyFunSuite {
       Seq("k", "val"))
   }
 
+  test("a FRESH branch (tip ordinal 0) pins its fork-base manifest " +
+      "against expiry — its whole state IS that main snapshot") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.fx")
+    spark.sql("CREATE TABLE graft.br.fx (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.fx SELECT id FROM range(0, 6, 1, 1)")
+    val d = dir("fx")
+    val base = ManifestV2.createBranch(d, "fresh") // NO branch commit
+    // main replaces its content: the fork-base files are now referenced
+    // by nothing main keeps — only the k=0 branch needs them
+    spark.range(900, 902).selectExpr("id AS k")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", d).mode("overwrite").save()
+    ManifestV2.expireSnapshots(d, keepLast = 1)
+    assert(java.nio.file.Files.exists(
+      Paths.get(d, s"manifest.v$base.txt")),
+      "the fork-base manifest must be pinned like a tagged version")
+    assert(spark.read.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "fresh").load().count() == 6L,
+      "a fresh branch must survive a retention sweep intact")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.br.fx")
+      .head().getLong(0) == 2L)
+  }
+
+  test("dropTag refuses a branch ref (dropBranch owns that " +
+      "lifecycle); two creates of one ref name race safely") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.rf")
+    spark.sql("CREATE TABLE graft.br.rf (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.rf SELECT id FROM range(0, 3, 1, 1)")
+    val d = dir("rf")
+    ManifestV2.tagSnapshot(d, "pin")
+    ManifestV2.createBranch(d, "work")
+    val e = intercept[IllegalArgumentException] {
+      ManifestV2.dropTag(d, "work")
+    }
+    assert(msgs(e).exists(_.contains("is a branch")), s"got: ${msgs(e)}")
+    assert(ManifestV2.branchHead(d, "work").isDefined,
+      "the refused drop must leave the branch ref intact")
+    assert(ManifestV2.dropTag(d, "pin"))
+    assert(!ManifestV2.dropTag(d, "pin"), "second drop is a no-op")
+    // the CREATE_NEW CAS: of two concurrent creates of one name,
+    // exactly one wins — the loser throws, the winner's content stands
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (1 to 2).map(_ => new Thread(() =>
+      try { ManifestV2.createBranch(d, "race"); () }
+      catch { case _: IllegalArgumentException => hits.incrementAndGet(); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(hits.get() == 1, s"exactly one creator must lose, got ${hits.get()}")
+    assert(ManifestV2.branchHead(d, "race").isDefined)
+  }
+
+  test("branch and changefeed cannot combine — the feed reads main's " +
+      "chain, so the combination refuses instead of silently " +
+      "ignoring the branch") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.cf")
+    spark.sql("CREATE TABLE graft.br.cf (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.cf SELECT id FROM range(0, 4, 1, 1)")
+    val d = dir("cf")
+    ManifestV2.createBranch(d, "b")
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestV2")
+        .option("path", d).option("branch", "b")
+        .option("changefeed", "true").load().collect()
+    }
+    assert(msgs(e).exists(_.contains("cannot be combined")),
+      s"got: ${msgs(e)}")
+  }
+
+  test("branch scan metadata comes from the BRANCH TIP: a post-fork " +
+      "rename on main must not break alias resolution of pre-rename " +
+      "footers inside the branch") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.al")
+    spark.sql("CREATE TABLE graft.br.al (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.br.al SELECT id, id FROM range(0, 5, 1, 1)")
+    // fork AFTER a rename, so the branch carries an alias chain
+    // (val -> v) that old footers need
+    spark.sql("ALTER TABLE graft.br.al RENAME COLUMN v TO val")
+    val d = dir("al")
+    ManifestV2.createBranch(d, "b")
+    spark.range(10, 13).selectExpr("id AS k", "id AS val")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "b").mode("append").save()
+    // main renames AGAIN past the fork: main's alias map now keys on
+    // 'v2', so resolving the branch's 'val' through MAIN's head would
+    // miss and null-fill the pre-rename footers
+    spark.sql("ALTER TABLE graft.br.al RENAME COLUMN val TO v2")
+    val br = spark.read.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "b").load()
+    assert(br.schema.fieldNames.toSeq == Seq("k", "val"))
+    assert(br.selectExpr("CAST(SUM(val) AS BIGINT)").head().getLong(0) ==
+      (0L until 5L).sum + (10L until 13L).sum,
+      "pre-rename footers must decode through the BRANCH's alias chain")
+  }
+
+  test("branch time travel: VERSION AS OF '<b>@<k>' resolves the " +
+      "branch's OWN chain (0 = fork base), '<b>' the tip; " +
+      "branchTimestamp travels by stamp; out-of-range refuses") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.br.tv")
+    spark.sql("CREATE TABLE graft.br.tv (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.tv SELECT id FROM range(0, 5, 1, 1)")
+    val d = dir("tv")
+    ManifestV2.createBranch(d, "b")
+    def stage(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).select($"id".as("k"))
+        .write.format("graft.sources.ManifestV2")
+        .option("path", d).option("branch", "b").mode("append").save()
+    stage(100L, 104L) // ordinal 1
+    val t1 = ManifestV2.branchStateAt(d, "b", 1L).get.commitTs
+    Thread.sleep(20) // separate the two ordinals' stamps
+    stage(200L, 203L) // ordinal 2 (tip)
+    // SQL ref travel through the catalog
+    def n(asOf: String): Long = spark.sql(
+      s"SELECT COUNT(*) FROM graft.br.tv VERSION AS OF '$asOf'")
+      .head().getLong(0)
+    assert(n("b@0") == 5L, "ordinal 0 is the fork base")
+    assert(n("b@1") == 9L)
+    assert(n("b@2") == 12L)
+    assert(n("b") == 12L, "the bare ref reads the tip")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.br.tv")
+      .head().getLong(0) == 5L, "main stays on its own chain")
+    // path-routed pinning options
+    def opt(kv: (String, String)*): Long = {
+      var r = spark.read.format("graft.sources.ManifestV2")
+        .option("path", d).option("branch", "b")
+      kv.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().count()
+    }
+    assert(opt("branchVersion" -> "1") == 9L)
+    assert(opt("branchTimestamp" -> t1.toString) == 9L,
+      "a stamp inside ordinal 1's window resolves to ordinal 1")
+    assert(opt("branchTimestamp" -> System.currentTimeMillis().toString)
+      == 12L)
+    // refusals: out-of-range ordinal, combined pins, unknown ref
+    val e1 = intercept[Exception] { n("b@5") }
+    assert(msgs(e1).exists(_.contains("no ordinal")), s"got: ${msgs(e1)}")
+    val e2 = intercept[Exception] {
+      opt("branchVersion" -> "1", "branchTimestamp" -> t1.toString)
+    }
+    assert(msgs(e2).exists(_.contains("cannot be combined")),
+      s"got: ${msgs(e2)}")
+    val e3 = intercept[Exception] { n("nosuchref") }
+    assert(msgs(e3).exists(_.contains("neither")), s"got: ${msgs(e3)}")
+  }
+
+  test("streaming epochs stage on a BRANCH: the replay ledger lives " +
+      "in the branch state, main never moves, a checkpoint restart " +
+      "duplicates nothing, and fast_forward publishes the slice") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.br.swb")
+    spark.sql("CREATE TABLE graft.br.swb (k BIGINT)")
+    spark.sql("INSERT INTO graft.br.swb SELECT id FROM range(0, 5, 1, 1)")
+    val d = dir("swb")
+    val mainV = ManifestV2.readManifest(Paths.get(d)).get.version
+    ManifestV2.createBranch(d, "in")
+    val work = java.nio.file.Files.createTempDirectory("graft_swb")
+    val src = work.resolve("src").toString
+    val ck = work.resolve("ck").toString
+    def push(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).select($"id".as("k"))
+        .write.format("graft.sources.ManifestV2")
+        .option("path", src).mode("append").save()
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream.option("checkpointLocation", ck)
+        .option("branch", "in")
+        .format("graft.sources.ManifestV2").option("path", d)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    push(100L, 104L); pump() // epoch 0
+    push(200L, 203L); pump() // epoch 1, same checkpoint (restart path)
+    // invisible to main: pointer AND row set untouched
+    assert(ManifestV2.readManifest(Paths.get(d)).get.version == mainV)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.br.swb")
+      .head().getLong(0) == 5L)
+    // the branch holds seed + both epochs exactly once; the replay
+    // ledger travels in the BRANCH state
+    def branchCount(): Long = spark.read
+      .format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "in").load().count()
+    assert(branchCount() == 12L)
+    assert(ManifestV2.branchState(d, "in").get.epochs.values.max == 1L)
+    // publish: main gets the staged slice as one commit
+    assert(ManifestV2.fastForward(d, "in") == mainV + 1L)
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.br.swb")
+      .head().getLong(0) ==
+      (0L until 5L).sum + (100L until 104L).sum + (200L until 203L).sum)
+    // streaming UPSERT cannot stage on a branch (sidecars on carried
+    // files would publish as mutations of main files)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft.sources.ManifestV2")
+        .option("path", src).load()
+        .writeStream
+        .option("checkpointLocation", work.resolve("ck2").toString)
+        .option("branch", "in").option("upsertKey", "k")
+        .format("graft.sources.ManifestV2").option("path", d)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(msgs(e).exists(_.contains("upsert targets main")),
+      s"got: ${msgs(e)}")
+  }
+
   test("metadata tables survive schema evolution: history counts and " +
       "files boxes reflect renamed/dropped columns") {
     spark.sql("DROP TABLE IF EXISTS graft.br.me")

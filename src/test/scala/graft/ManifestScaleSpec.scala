@@ -287,6 +287,41 @@ class ManifestScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.morr")
   }
 
+  test("the files metadata view DISTRIBUTES: one task per metadata " +
+      "segment, the driver plans from pointers with no row " +
+      "materialization, and each task parses its own segment") {
+    val root = freshRoot()
+    ManifestV2.commit(root)(_ => state(entries(0, 2500))) // 3 segments
+    val t = new graft.sources.ManifestMetaTable(root.toString, "files")
+    val batch = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch
+    val parts = batch.planInputPartitions()
+    assert(parts.length == 3, s"expected one partition per segment, " +
+      s"got ${parts.length}")
+    assert(parts.forall(_.getClass.getSimpleName == "MetaSegPartition"),
+      "a segmented table's files view must plan segment POINTERS, " +
+        "not driver-materialized row chunks")
+    // the executor-side parse serves every entry exactly once
+    val rf = batch.createReaderFactory()
+    var n = 0L
+    var rowSum = 0L
+    parts.foreach { p =>
+      val r = rf.createReader(p)
+      while (r.next()) { n += 1; rowSum += r.get().getLong(1) }
+      r.close()
+    }
+    assert(n == 2500L && rowSum == 2500L)
+    // history plans one task per retained version
+    ManifestV2.commit(root)(cur => state(cur.get.files ++ entries(2500, 2501)))
+    val h = new graft.sources.ManifestMetaTable(root.toString, "history")
+      .newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    assert(h.length == 2 &&
+      h.forall(_.getClass.getSimpleName == "MetaVersionPartition"))
+  }
+
   test("parquet leaves: count-only and provenance-only reads are footer-served") {
     GraftCatalog.install(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")

@@ -222,4 +222,62 @@ class RenameColumnSpec extends AnyFunSuite {
     assert(spark.sql("SELECT CAST(SUM(a) AS BIGINT) FROM graft.rn.dc")
       .head().getLong(0) == (0L until 9L).sum - 3L)
   }
+
+  test("the CHECK dependency test is exact w.r.t. string literals: a " +
+      "column name appearing only inside a quoted literal blocks " +
+      "nothing, a true reference still refuses") {
+    spark.sql("DROP TABLE IF EXISTS graft.rn.ck")
+    spark.sql("CREATE TABLE graft.rn.ck (a BIGINT, note STRING)")
+    spark.sql("INSERT INTO graft.rn.ck VALUES (1, 'x')")
+    spark.sql("ALTER TABLE graft.rn.ck ADD CONSTRAINT lit " +
+      "CHECK (note <> 'a pending')")
+    // 'a' lives only inside the literal — rename and drop proceed
+    spark.sql("ALTER TABLE graft.rn.ck RENAME COLUMN a TO a2")
+    assert(spark.table("graft.rn.ck").schema.fieldNames.toSeq ==
+      Seq("a2", "note"))
+    // a REAL reference still refuses (on the renamed name)
+    spark.sql("ALTER TABLE graft.rn.ck ADD CONSTRAINT pos " +
+      "CHECK (a2 >= 0)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.ck RENAME COLUMN a2 TO a3")
+    }
+    assert(msgs(e).exists(_.contains("constraint")), s"got: ${msgs(e)}")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.ck DROP COLUMN a2")
+    }
+    assert(msgs(e2).exists(_.contains("constraint")), s"got: ${msgs(e2)}")
+    // the string-literal constraint alone never blocks the DROP of a
+    spark.sql("ALTER TABLE graft.rn.ck DROP CONSTRAINT pos")
+    spark.sql("ALTER TABLE graft.rn.ck DROP COLUMN a2")
+    assert(spark.table("graft.rn.ck").schema.fieldNames.toSeq ==
+      Seq("note"))
+  }
+
+  test("the DROP COLUMN eq-delete guard translates sidecar names " +
+      "through the alias chain: a sidecar written under a PRE-RENAME " +
+      "name still blocks dropping the renamed column") {
+    spark.sql("DROP TABLE IF EXISTS graft.rn.ad")
+    spark.sql("CREATE TABLE graft.rn.ad (k BIGINT, amt BIGINT)")
+    spark.sql("INSERT INTO graft.rn.ad SELECT id, id FROM range(0, 9, 1, 1)")
+    spark.sql("DELETE FROM graft.rn.ad WHERE amt = 3") // sidecar: 'amt'
+    spark.sql("ALTER TABLE graft.rn.ad RENAME COLUMN amt TO amount")
+    // pre-fix the guard compared the sidecar's stored 'amt' against
+    // the CURRENT name only, let the drop through, and the sidecar's
+    // key then mapped to @dropped at read time — unreadable files
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.rn.ad DROP COLUMN amount")
+    }
+    assert(msgs(e).exists(_.contains("equality-delete")),
+      s"got: ${msgs(e)}")
+    assert(spark.sql(
+      "SELECT CAST(SUM(amount) AS BIGINT) FROM graft.rn.ad")
+      .head().getLong(0) == (0L until 9L).sum - 3L,
+      "the refusal must leave the table fully readable")
+    // compaction folds the sidecar away; the drop then goes through
+    spark.sql("CALL graft.system.compact(ns => 'rn', tbl => 'ad', " +
+      "max_rows => 1000000)").collect()
+    spark.sql("ALTER TABLE graft.rn.ad DROP COLUMN amount")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.rn.ad")
+      .head().getLong(0) == 8L)
+  }
 }
