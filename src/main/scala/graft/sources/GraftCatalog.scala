@@ -271,6 +271,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"a view named $ident already exists")
 
+  /** Extract column defaults Spark hands in through StructField
+    * metadata (`CREATE TABLE (x INT DEFAULT 5)` arrives as the
+    * CURRENT_DEFAULT/EXISTS_DEFAULT keys): the SQL-literal text parses
+    * into the manifest's stored rendering, or refuses loudly — the
+    * catalog advertises SUPPORT_COLUMN_DEFAULT_VALUE, so silently
+    * dropping one would break the insert-fill contract.
+    */
+  private def defaultsOf(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      val m = f.metadata
+      val sql =
+        if (m.contains("CURRENT_DEFAULT")) Some(m.getString("CURRENT_DEFAULT"))
+        else if (m.contains("EXISTS_DEFAULT")) Some(m.getString("EXISTS_DEFAULT"))
+        else None
+      sql.map(_.trim).filter(s => !s.equalsIgnoreCase("NULL")).map { s =>
+        val v = f.dataType match {
+          case StringType =>
+            require(s.length >= 2 && s.head == '\'' && s.last == '\'',
+              s"default for STRING column ${f.name} must be a plain " +
+                s"string literal, got: $s")
+            s.substring(1, s.length - 1).replace("''", "'")
+          case LongType => s.toLong.toString
+          case IntegerType => s.toInt.toString
+          case DoubleType => s.toDouble.toString
+          case BooleanType => s.toBoolean.toString
+          case t => throw new UnsupportedOperationException(
+            s"column defaults are supported on BIGINT/INT/DOUBLE/" +
+              s"BOOLEAN/STRING columns, not ${t.simpleString}")
+        }
+        (f.name, v)
+      }
+    }.toMap
+
+  /** The STORED schema drops the default-metadata keys: toDDL would
+    * render them as a `DEFAULT` clause the manifest's fromDDL parse
+    * cannot read back — the defaults live in their own header.
+    */
+  private def stripDefaultMeta(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT") ||
+          f.metadata.contains("EXISTS_DEFAULT"))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT").build())
+      else f
+    })
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -282,9 +329,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .TableAlreadyExistsException(ident)
     // an empty-file-list manifest IS the created table: the schema is
     // durable immediately, and the first INSERT's append commit
-    // schema-checks against it
+    // schema-checks against it. Column DEFAULTs arrive as field
+    // metadata and land in the manifest's defaults header; the
+    // metadata itself is STRIPPED from the stored schema — toDDL
+    // renders it as a `DEFAULT` clause fromDDL cannot parse — and the
+    // table re-advertises it from the header for analyzer insert-fill.
     ManifestV2.writeManifest(d,
-      ManifestV2.ManifestState(schema, Map.empty, Seq.empty, part = part))
+      ManifestV2.ManifestState(stripDefaultMeta(schema), Map.empty,
+        Seq.empty, part = part, defaults = defaultsOf(schema)))
     new ManifestTable(d.toString, null)
   }
 
@@ -632,7 +684,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .TableAlreadyExistsException(ident)
       case _ => ()
     }
-    new StagedManifestTable(d.toString, schema, part)
+    new StagedManifestTable(d.toString, stripDefaultMeta(schema), part,
+      defaults = defaultsOf(schema))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,

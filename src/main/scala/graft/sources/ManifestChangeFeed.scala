@@ -174,9 +174,12 @@ class ManifestChangeFeedScan(root: Path, table: StructType,
         .getOrElse(throw new IllegalArgumentException(
           s"no manifest at $root")))
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val live = ManifestV2.readManifest(root)
     new ManifestChangeFeedReaderFactory(table,
-      ManifestV2.readManifest(root).map(_.aliases).getOrElse(Map.empty))
+      live.map(_.aliases).getOrElse(Map.empty),
+      live.map(_.defaults).getOrElse(Map.empty))
+  }
 
   /** The STREAMING half (the Delta-CDF-stream shape): commits are the
     * offsets, each micro-batch serves one version window's change rows
@@ -208,9 +211,12 @@ class ManifestChangeFeedMicroBatchStream(root: Path, table: StructType,
     if (e <= s) Array.empty
     else ManifestChangeFeed.planRange(root, s, e)
   }
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val live = ManifestV2.readManifest(root)
     new ManifestChangeFeedReaderFactory(table,
-      ManifestV2.readManifest(root).map(_.aliases).getOrElse(Map.empty))
+      live.map(_.aliases).getOrElse(Map.empty),
+      live.map(_.defaults).getOrElse(Map.empty))
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -241,7 +247,11 @@ case class ChangeMarkersPartition(cols: Seq[String], isLong: Seq[Boolean],
     keys: Seq[Seq[Any]], v: Long) extends InputPartition
 
 class ManifestChangeFeedReaderFactory(table: StructType,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    // existence defaults must serve in the FEED exactly as in table
+    // reads — a pre-add file's change rows otherwise null-fill a
+    // column the table itself serves the default for
+    defaults: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   private val insertTag = UTF8String.fromString("insert")
   private val deleteTag = UTF8String.fromString("delete")
@@ -289,7 +299,7 @@ class ManifestChangeFeedReaderFactory(table: StructType,
       case w: ChangeWholeFilePartition =>
         val st = ManifestSplitState(
           ManifestFilePartition(w.root, w.file, w.deletes),
-          innerSchema, innerSchema, Array.empty, aliases)
+          innerSchema, innerSchema, Array.empty, aliases, defaults)
         wrap(new ManifestRowReader(st),
           if (w.insert) insertTag else deleteTag, w.v, null)
       case d: ChangeDeletedRowsPartition =>
@@ -322,7 +332,7 @@ class ManifestChangeFeedReaderFactory(table: StructType,
         }
         val st = ManifestSplitState(
           ManifestFilePartition(d.root, d.file, prevEq),
-          innerSchema, innerSchema, Array.empty, aliases)
+          innerSchema, innerSchema, Array.empty, aliases, defaults)
         wrap(new ManifestRowReader(st), deleteTag, d.v, wanted)
       case m: ChangeMarkersPartition =>
         val srcIdx: Array[Int] = m.cols.map(c => table.fieldIndex(c)).toArray

@@ -3158,7 +3158,8 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
   * stays readable via VERSION AS OF until expiry.
   */
 class StagedManifestTable(path: String, stagedSchema: StructType,
-    part: Option[String])
+    part: Option[String],
+    defaults: Map[String, String] = Map.empty)
     extends Table with SupportsWrite with StagedTable {
   private val root = ManifestV2.rootOf(path)
   @volatile private var pending: Seq[ManifestV2.FileEntry] = Seq.empty
@@ -3241,7 +3242,7 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
     ManifestV2.commit(root) { prev =>
       ManifestV2.ManifestState(
         stagedSchema, prev.map(_.epochs).getOrElse(Map.empty), pending,
-        part = part)
+        part = part, defaults = defaults)
     }: Unit
   }
 

@@ -125,6 +125,35 @@ class ColumnDefaultSpec extends AnyFunSuite {
       s"got: ${msgs(e)}")
   }
 
+  test("CREATE TABLE with DEFAULT records it: omitted INSERT columns " +
+      "fill, and the change feed serves defaults like table reads") {
+    spark.sql("DROP TABLE IF EXISTS graft.cd.ct")
+    spark.sql("CREATE TABLE graft.cd.ct " +
+      "(k BIGINT, region STRING DEFAULT 'emea', score BIGINT DEFAULT 3)")
+    assert(ManifestV2.readManifest(Paths.get(wh, "cd", "ct")).get
+      .defaults == Map("region" -> "emea", "score" -> "3"))
+    spark.sql("INSERT INTO graft.cd.ct (k) VALUES (1)")
+    spark.sql("INSERT INTO graft.cd.ct (k, region) VALUES (2, 'apac')")
+    val r = spark.sql("SELECT region, CAST(SUM(score) AS BIGINT) " +
+      "FROM graft.cd.ct GROUP BY region ORDER BY region").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("apac", 3L), ("emea", 3L)))
+    // the CHANGE FEED over a table with an ADD-era default serves the
+    // default for pre-add files exactly as table reads do
+    spark.sql("DROP TABLE IF EXISTS graft.cd.cf")
+    spark.sql("CREATE TABLE graft.cd.cf (k BIGINT)")
+    spark.sql("INSERT INTO graft.cd.cf SELECT id FROM range(0, 4, 1, 1)")
+    spark.sql("ALTER TABLE graft.cd.cf ADD COLUMN tag STRING " +
+      "DEFAULT 'seed'")
+    spark.sql("INSERT INTO graft.cd.cf (k, tag) VALUES (10, 'late')")
+    val feed = spark.read.format("graft.sources.ManifestV2")
+      .option("path", Paths.get(wh, "cd", "cf").toString)
+      .option("changefeed", "true").load()
+    assert(feed.where("tag = 'seed'").count() == 4L,
+      "pre-add files' change rows must serve the existence default")
+    assert(feed.where("tag = 'late'").count() == 1L)
+  }
+
   test("the default survives unrelated commits (appends, deletes) — " +
       "the header is carried through every state rebuild") {
     spark.sql("DROP TABLE IF EXISTS graft.cd.cr")
