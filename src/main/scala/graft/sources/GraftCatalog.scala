@@ -278,6 +278,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * catalog advertises SUPPORT_COLUMN_DEFAULT_VALUE, so silently
     * dropping one would break the insert-fill contract.
     */
+  /** Parse one default's SQL-literal text into the manifest's stored
+    * rendering (raw value string), typed by the column. None = an
+    * explicit NULL (no default recorded). Refuses non-literal text.
+    */
+  private[sources] def parseDefaultSql(name: String, dt: DataType,
+      sql: String): Option[String] = {
+    val s = sql.trim
+    if (s.isEmpty || s.equalsIgnoreCase("NULL")) return None
+    Some(dt match {
+      case StringType =>
+        require(s.length >= 2 && s.head == '\'' && s.last == '\'',
+          s"default for STRING column $name must be a plain " +
+            s"string literal, got: $s")
+        s.substring(1, s.length - 1).replace("''", "'")
+      case LongType => s.toLong.toString
+      case IntegerType => s.toInt.toString
+      case DoubleType => s.toDouble.toString
+      case BooleanType => s.toBoolean.toString
+      case t => throw new UnsupportedOperationException(
+        s"column defaults are supported on BIGINT/INT/DOUBLE/" +
+          s"BOOLEAN/STRING columns, not ${t.simpleString}")
+    })
+  }
+
   private def defaultsOf(schema: StructType): Map[String, String] =
     schema.fields.flatMap { f =>
       val m = f.metadata
@@ -285,23 +309,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (m.contains("CURRENT_DEFAULT")) Some(m.getString("CURRENT_DEFAULT"))
         else if (m.contains("EXISTS_DEFAULT")) Some(m.getString("EXISTS_DEFAULT"))
         else None
-      sql.map(_.trim).filter(s => !s.equalsIgnoreCase("NULL")).map { s =>
-        val v = f.dataType match {
-          case StringType =>
-            require(s.length >= 2 && s.head == '\'' && s.last == '\'',
-              s"default for STRING column ${f.name} must be a plain " +
-                s"string literal, got: $s")
-            s.substring(1, s.length - 1).replace("''", "'")
-          case LongType => s.toLong.toString
-          case IntegerType => s.toInt.toString
-          case DoubleType => s.toDouble.toString
-          case BooleanType => s.toBoolean.toString
-          case t => throw new UnsupportedOperationException(
-            s"column defaults are supported on BIGINT/INT/DOUBLE/" +
-              s"BOOLEAN/STRING columns, not ${t.simpleString}")
-        }
-        (f.name, v)
-      }
+      sql.flatMap(parseDefaultSql(f.name, f.dataType, _)).map((f.name, _))
     }.toMap
 
   /** The STORED schema drops the default-metadata keys: toDDL would
@@ -334,9 +342,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // metadata itself is STRIPPED from the stored schema — toDDL
     // renders it as a `DEFAULT` clause fromDDL cannot parse — and the
     // table re-advertises it from the header for analyzer insert-fill.
+    val dfl = defaultsOf(schema)
     ManifestV2.writeManifest(d,
       ManifestV2.ManifestState(stripDefaultMeta(schema), Map.empty,
-        Seq.empty, part = part, defaults = defaultsOf(schema)))
+        Seq.empty, part = part, defaults = dfl, writeDefaults = dfl))
     new ManifestTable(d.toString, null)
   }
 
@@ -414,6 +423,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var partHist = st.partHist
     var aliases = st.aliases
     var defaults = st.defaults
+    var writeDefaults = st.writeDefaults
     // every name that might still live in an OLD parquet footer: a new
     // column must never take one (by-name reads would resurrect the
     // old column's data into it)
@@ -475,7 +485,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 s"column defaults are supported on BIGINT/INT/DOUBLE/" +
                   s"BOOLEAN/STRING columns, not ${t.simpleString}")
             }
+            // both halves of the v3 split: the immutable EXISTENCE
+            // default (pre-add rows) and the initial WRITE default
+            // (insert fill) — SET/DROP DEFAULT later mutates only the
+            // write half
             defaults = defaults + (a.fieldNames.head -> rendered)
+            writeDefaults = writeDefaults + (a.fieldNames.head -> rendered)
           }
         }
         schema = schema.add(StructField(a.fieldNames.head, a.dataType,
@@ -510,9 +525,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (f.name == from) f.copy(name = to) else f))
         aliases = (aliases - from) +
           (to -> (from +: aliases.getOrElse(from, Nil)))
-        // an existence default follows its column's current name
+        // defaults follow their column's current name
         defaults.get(from).foreach { v =>
           defaults = (defaults - from) + (to -> v)
+        }
+        writeDefaults.get(from).foreach { v =>
+          writeDefaults = (writeDefaults - from) + (to -> v)
         }
         files = files.map(e => e.copy(
           stats = e.stats.map { case (k, v) =>
@@ -576,6 +594,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           aliases = (aliases - col) + ("@dropped" ->
             (dead ++ aliases.getOrElse("@dropped", Nil)))
           defaults = defaults - col
+          writeDefaults = writeDefaults - col
         }
       // ALTER COLUMN TYPE (round 14): the WIDENING half of Iceberg
       // type promotion, metadata-only. Only INT -> BIGINT is
@@ -614,13 +633,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = StructType(schema.fields.map(x =>
             if (x.name == col) x.copy(dataType = u.newDataType) else x))
         }
+      // ALTER COLUMN ... SET/DROP DEFAULT (round 14): the MUTABLE half
+      // of the v3 default split — changes what the analyzer fills
+      // OMITTED insert columns with from now on, and NEVER rewrites
+      // history: pre-add files keep serving the immutable existence
+      // default fixed at ADD COLUMN time.
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          s"nested default changes are not supported: " +
+            s"${u.fieldNames.mkString(".")}")
+        val col = u.fieldNames.head
+        val f = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $col"))
+        val sqlTxt = Option(u.newDefaultValue()).map(_.trim).getOrElse("")
+        parseDefaultSql(col, f.dataType, sqlTxt) match {
+          case Some(v) => writeDefaults = writeDefaults + (col -> v)
+          case None => writeDefaults = writeDefaults - col // DROP DEFAULT
+        }
       case other => throw new UnsupportedOperationException(
         s"graft tables only evolve by ADD COLUMN, RENAME COLUMN, " +
-          s"DROP COLUMN, or ALTER COLUMN TYPE widening (got: $other)")
+          s"DROP COLUMN, ALTER COLUMN TYPE widening, or " +
+          s"SET/DROP DEFAULT (got: $other)")
     }
     ManifestV2.ManifestState(
       schema, st.epochs, files, part = part, checks = checks,
-      partHist = partHist, aliases = aliases, defaults = defaults)
+      partHist = partHist, aliases = aliases, defaults = defaults,
+      writeDefaults = writeDefaults)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -358,7 +358,16 @@ object ManifestV2 {
         * from the same default at write analysis). Keys follow
         * renames and leave with DROP.
         */
-      defaults: Map[String, String] = Map.empty) {
+      defaults: Map[String, String] = Map.empty,
+      /** WRITE defaults (`ALTER COLUMN ... SET DEFAULT`, the mutable
+        * half of the Iceberg v3 default split): what the analyzer
+        * fills OMITTED insert columns with from now on. Never touches
+        * history — pre-add files keep serving the IMMUTABLE
+        * [[defaults]] entry fixed at ADD COLUMN time. DROP DEFAULT
+        * removes the entry (omitted inserts go back to NULL / the
+        * initial default).
+        */
+      writeDefaults: Map[String, String] = Map.empty) {
     /** The CURRENT spec era's ordinal — index into the full era list
       * (history first, current last). Files written under era `i`
       * carry their point box under [[PartTransform.keyName]]`(i)`.
@@ -452,21 +461,27 @@ object ManifestV2 {
             lines.get(afterTs).startsWith("@aliases\t"))
           (parseAliases(lines.get(afterTs).split("\t", 2)(1)), afterTs + 1)
         else (Map.empty[String, Seq[String]], afterTs)
+      def parseDefaultsLine(l: String): Map[String, String] =
+        l.split("\t", -1).drop(1).filter(_.nonEmpty).map { tok =>
+          val i = tok.indexOf('=')
+          (tok.substring(0, i), unesc(tok.substring(i + 1)))
+        }.toMap
       val (defaults, afterDef) =
         if (lines.size > afterAl &&
             lines.get(afterAl).startsWith("@defaults\t"))
-          (lines.get(afterAl).split("\t", -1).drop(1)
-            .filter(_.nonEmpty).map { tok =>
-              val i = tok.indexOf('=')
-              (tok.substring(0, i), unesc(tok.substring(i + 1)))
-            }.toMap, afterAl + 1)
+          (parseDefaultsLine(lines.get(afterAl)), afterAl + 1)
         else (Map.empty[String, String], afterAl)
-      val (hist, afterHist) =
+      val (wDefaults, afterWDef) =
         if (lines.size > afterDef &&
-            lines.get(afterDef).startsWith("@parthist\t"))
-          (lines.get(afterDef).split("\t", 2)(1).split(";", -1).toSeq,
-            afterDef + 1)
-        else (Nil, afterDef)
+            lines.get(afterDef).startsWith("@wdefaults\t"))
+          (parseDefaultsLine(lines.get(afterDef)), afterDef + 1)
+        else (Map.empty[String, String], afterDef)
+      val (hist, afterHist) =
+        if (lines.size > afterWDef &&
+            lines.get(afterWDef).startsWith("@parthist\t"))
+          (lines.get(afterWDef).split("\t", 2)(1).split(";", -1).toSeq,
+            afterWDef + 1)
+        else (Nil, afterWDef)
       val maint = lines.size > afterHist &&
         lines.get(afterHist).startsWith("@maint\t")
       val checks = Seq.newBuilder[(String, String)]
@@ -493,7 +508,7 @@ object ManifestV2 {
       val all = segd.flatMap(_.files) ++ inline
       Some((ManifestState(schema, epochs, all, v, part, checks.result(),
         maint, hist, commitTs = cts, aliases = aliases,
-        defaults = defaults), segd,
+        defaults = defaults, writeDefaults = wDefaults), segd,
         inline.toSeq))
     }
   }
@@ -591,6 +606,8 @@ object ManifestV2 {
         }.toMap
       i += 1
     }
+    // write defaults are insert-fill metadata — scan planning skips
+    if (i < lines.size && lines.get(i).startsWith("@wdefaults\t")) i += 1
     var hist: Seq[String] = Nil
     if (i < lines.size && lines.get(i).startsWith("@parthist\t")) {
       hist = lines.get(i).split("\t", 2)(1).split(";", -1).toSeq
@@ -720,10 +737,14 @@ object ManifestV2 {
       if (state.defaults.isEmpty) Seq.empty
       else Seq("@defaults\t" + state.defaults.toSeq.sortBy(_._1)
         .map { case (c, v) => s"$c=${esc(v)}" }.mkString("\t"))
+    val wDefaultsLine =
+      if (state.writeDefaults.isEmpty) Seq.empty
+      else Seq("@wdefaults\t" + state.writeDefaults.toSeq.sortBy(_._1)
+        .map { case (c, v) => s"$c=${esc(v)}" }.mkString("\t"))
     val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
       s"@ts\t$commitTs" +:
-      (aliasLine ++ defaultsLine ++ histLine ++ maintLine ++
+      (aliasLine ++ defaultsLine ++ wDefaultsLine ++ histLine ++ maintLine ++
       state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
       segLines ++
       inline.map(fileLine))).mkString("", "\n", "\n")
@@ -1856,7 +1877,8 @@ object ManifestV2 {
       }
       ManifestState(s.schema, s.epochs, files, part = s.part,
         checks = s.checks, maint = true, partHist = s.partHist,
-        aliases = s.aliases, defaults = s.defaults)
+        aliases = s.aliases, defaults = s.defaults,
+        writeDefaults = s.writeDefaults)
     }: Unit
     (merged.size.toLong, before, after)
   }
@@ -2211,23 +2233,26 @@ class ManifestTable(path: String, externalSchema: StructType,
   override def schema(): StructType =
     if (externalSchema != null && externalSchema.nonEmpty) externalSchema
     else meta.map { st =>
-      if (st.defaults.isEmpty) st.schema
+      if (st.defaults.isEmpty && st.writeDefaults.isEmpty) st.schema
       else StructType(st.schema.fields.map { f =>
-        st.defaults.get(f.name) match {
-          case Some(v) =>
-            // the analyzer's default-fill metadata keys: INSERTs that
-            // omit the column get CURRENT_DEFAULT; the connector's
-            // leaf serves the same value for pre-add files
-            val sqlLit = f.dataType match {
-              case StringType => "'" + v.replace("'", "''") + "'"
-              case BooleanType | DoubleType | LongType | IntegerType => v
-              case _ => v
-            }
-            f.copy(metadata = new org.apache.spark.sql.types
-              .MetadataBuilder().withMetadata(f.metadata)
-              .putString("CURRENT_DEFAULT", sqlLit)
-              .putString("EXISTS_DEFAULT", sqlLit).build())
-          case None => f
+        def sqlLit(v: String): String = f.dataType match {
+          case StringType => "'" + v.replace("'", "''") + "'"
+          case _ => v
+        }
+        // the v3 default split in the analyzer's metadata keys:
+        // CURRENT_DEFAULT (what an omitting INSERT fills — the
+        // mutable write default) and EXISTS_DEFAULT (what pre-add
+        // files serve — the immutable existence default, which the
+        // connector's own leaf also applies)
+        val cur = st.writeDefaults.get(f.name)
+        val ex = st.defaults.get(f.name)
+        if (cur.isEmpty && ex.isEmpty) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          cur.foreach(v => mb.putString("CURRENT_DEFAULT", sqlLit(v)))
+          ex.foreach(v => mb.putString("EXISTS_DEFAULT", sqlLit(v)))
+          f.copy(metadata = mb.build())
         }
       })
     }.getOrElse(new StructType())
@@ -2533,7 +2558,8 @@ class ManifestTable(path: String, externalSchema: StructType,
       }
       ManifestV2.ManifestState(st.schema, st.epochs, files, part = st.part,
         checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults)
+        aliases = st.aliases, defaults = st.defaults,
+        writeDefaults = st.writeDefaults)
     }: Unit
     // dropped files stay on disk: older manifest versions still
     // reference them (time travel); expireSnapshots reclaims
@@ -2546,7 +2572,8 @@ class ManifestTable(path: String, externalSchema: StructType,
         throw new IllegalStateException(s"no manifest at $root"))
       ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty,
         part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults)
+        aliases = st.aliases, defaults = st.defaults,
+        writeDefaults = st.writeDefaults)
     }: Unit
     true
   }
@@ -2867,7 +2894,8 @@ class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
       ManifestV2.ManifestState(st.schema, st.epochs, files,
         part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults)
+        aliases = st.aliases, defaults = st.defaults,
+        writeDefaults = st.writeDefaults)
     }: Unit
   }
 
@@ -3062,7 +3090,8 @@ class ManifestDeltaUpdateBatchWrite(path: String, schema: StructType,
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
       ManifestV2.ManifestState(st.schema, st.epochs, files ++ added,
         part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults)
+        aliases = st.aliases, defaults = st.defaults,
+        writeDefaults = st.writeDefaults)
     }: Unit
   }
 
@@ -3136,7 +3165,8 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
       val kept = st.files.filterNot(e => gone.contains(e.file))
       ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
         part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults)
+        aliases = st.aliases, defaults = st.defaults,
+        writeDefaults = st.writeDefaults)
     }: Unit
     // replaced files stay on disk: older manifest versions reference
     // them (time travel); expireSnapshots is the reclamation path
@@ -3242,7 +3272,7 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
     ManifestV2.commit(root) { prev =>
       ManifestV2.ManifestState(
         stagedSchema, prev.map(_.epochs).getOrElse(Map.empty), pending,
-        part = part, defaults = defaults)
+        part = part, defaults = defaults, writeDefaults = defaults)
     }: Unit
   }
 
@@ -3542,7 +3572,8 @@ class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
         checks = cur.map(_.checks).getOrElse(Nil),
         partHist = cur.map(_.partHist).getOrElse(Nil),
         aliases = cur.map(_.aliases).getOrElse(Map.empty),
-        defaults = cur.map(_.defaults).getOrElse(Map.empty))
+        defaults = cur.map(_.defaults).getOrElse(Map.empty),
+        writeDefaults = cur.map(_.writeDefaults).getOrElse(Map.empty))
     }: Unit
   }
 
@@ -4302,7 +4333,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
         maint = maintenance,
         partHist = prev.map(_.partHist).getOrElse(Nil),
         aliases = prev.map(_.aliases).getOrElse(Map.empty),
-        defaults = prev.map(_.defaults).getOrElse(Map.empty))
+        defaults = prev.map(_.defaults).getOrElse(Map.empty),
+        writeDefaults = prev.map(_.writeDefaults).getOrElse(Map.empty))
     }: Unit
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
@@ -4529,7 +4561,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
           checks = cur.map(_.checks).getOrElse(Nil),
           partHist = cur.map(_.partHist).getOrElse(Nil),
           aliases = cur.map(_.aliases).getOrElse(Map.empty),
-        defaults = cur.map(_.defaults).getOrElse(Map.empty))
+        defaults = cur.map(_.defaults).getOrElse(Map.empty),
+        writeDefaults = cur.map(_.writeDefaults).getOrElse(Map.empty))
       }: Unit
       // an epoch sidecar no pre-existing file needed is unreferenced
       epochDelete.foreach { case (rel, _) =>

@@ -154,6 +154,44 @@ class ColumnDefaultSpec extends AnyFunSuite {
     assert(feed.where("tag = 'late'").count() == 1L)
   }
 
+  test("SET/DROP DEFAULT mutates only the WRITE half: future omitted " +
+      "inserts change, history never rewrites — pre-add rows keep " +
+      "the existence default fixed at ADD COLUMN time") {
+    spark.sql("DROP TABLE IF EXISTS graft.cd.sd")
+    spark.sql("CREATE TABLE graft.cd.sd (k BIGINT)")
+    spark.sql("INSERT INTO graft.cd.sd SELECT id FROM range(0, 5, 1, 1)")
+    spark.sql("ALTER TABLE graft.cd.sd ADD COLUMN tier STRING " +
+      "DEFAULT 'bronze'")
+    spark.sql("INSERT INTO graft.cd.sd (k) VALUES (10)") // fills bronze
+    spark.sql("ALTER TABLE graft.cd.sd ALTER COLUMN tier " +
+      "SET DEFAULT 'silver'")
+    spark.sql("INSERT INTO graft.cd.sd (k) VALUES (11)") // fills silver
+    // pre-add rows STILL serve the existence default, not silver
+    val byTier = spark.sql("SELECT tier, COUNT(*) FROM graft.cd.sd " +
+      "GROUP BY tier ORDER BY tier").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byTier == Seq(("bronze", 6L), ("silver", 1L)), s"got $byTier")
+    val st = ManifestV2.readManifest(Paths.get(wh, "cd", "sd")).get
+    assert(st.defaults == Map("tier" -> "bronze"),
+      "the existence default is immutable")
+    assert(st.writeDefaults == Map("tier" -> "silver"))
+    // DROP DEFAULT: omitted inserts go back to NULL; existence stays
+    spark.sql("ALTER TABLE graft.cd.sd ALTER COLUMN tier DROP DEFAULT")
+    spark.sql("INSERT INTO graft.cd.sd (k) VALUES (12)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.cd.sd " +
+      "WHERE k = 12 AND tier IS NULL").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.cd.sd " +
+      "WHERE tier = 'bronze'").head().getLong(0) == 6L,
+      "DROP DEFAULT must not rewrite history")
+    // SET DEFAULT follows a rename like the existence default
+    spark.sql("ALTER TABLE graft.cd.sd ALTER COLUMN tier " +
+      "SET DEFAULT 'gold'")
+    spark.sql("ALTER TABLE graft.cd.sd RENAME COLUMN tier TO level")
+    spark.sql("INSERT INTO graft.cd.sd (k) VALUES (13)")
+    assert(spark.sql("SELECT level FROM graft.cd.sd WHERE k = 13")
+      .head().getString(0) == "gold")
+  }
+
   test("the default survives unrelated commits (appends, deletes) — " +
       "the header is carried through every state rebuild") {
     spark.sql("DROP TABLE IF EXISTS graft.cd.cr")
