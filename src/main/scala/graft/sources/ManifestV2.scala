@@ -926,8 +926,14 @@ object ManifestV2 {
     * resolution never loads a version's file population. None =
     * version absent or pre-upgrade (unstamped).
     */
-  private[graft] def commitTsOf(root: Path, version: Long): Option[Long] = {
-    val m = root.resolve(s"manifest.v$version.txt")
+  private[graft] def commitTsOf(root: Path, version: Long): Option[Long] =
+    commitTsAt(root.resolve(s"manifest.v$version.txt"))
+
+  /** [[commitTsOf]] against an explicit manifest file — shared with
+    * BRANCH version files, whose timestamp travel must also stay a
+    * header read (never a segment parse).
+    */
+  private[graft] def commitTsAt(m: Path): Option[Long] = {
     if (!Files.exists(m)) return None
     val in = Files.newBufferedReader(m, StandardCharsets.UTF_8)
     try {
@@ -1199,11 +1205,15 @@ object ManifestV2 {
     */
   def branchVersionAsOfTimestamp(path: String, name: String,
       tsMillis: Long): Long = {
-    val (tip, _) = branchHead(path, name).getOrElse(
-      throw new IllegalArgumentException(
-        s"no branch '$name' at ${rootOf(path)}"))
+    val root = rootOf(path)
+    val (tip, base) = branchHead(path, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $root"))
+    // HEADER reads only (like main's timestamp travel): resolving a
+    // position must never parse a version's file population
     def tsOf(k: Long): Long =
-      branchStateAt(path, name, k).map(_.commitTs).getOrElse(0L)
+      (if (k == 0L) commitTsOf(root, base)
+       else commitTsAt(root.resolve(s"manifest.$name.v$k.txt")))
+        .getOrElse(0L)
     var lo = 0L
     var hi = tip
     var ans = -1L
