@@ -650,10 +650,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case Some(v) => writeDefaults = writeDefaults + (col -> v)
           case None => writeDefaults = writeDefaults - col // DROP DEFAULT
         }
+      // ALTER COLUMN ... COMMENT: pure schema metadata — the DDL line
+      // round-trips comments (toDDL renders COMMENT '…', fromDDL
+      // parses it), but only on ONE LINE: control characters would
+      // tear the manifest's line format, so they refuse.
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1,
+          s"nested comments are not supported: ${c.fieldNames.mkString(".")}")
+        val col = c.fieldNames.head
+        require(schema.fieldNames.contains(col), s"no such column: $col")
+        val txt = Option(c.newComment).getOrElse("")
+        require(txt.forall(_ >= ' '),
+          s"column comments must not contain control characters")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == col) f.withComment(txt) else f))
+      // ALTER COLUMN ... DROP NOT NULL: RELAXING nullability is
+      // metadata-only (every old value satisfies the weaker
+      // constraint); tightening to NOT NULL would need a table scan
+      // old files may fail — the rewrite-shaped kind this connector
+      // refuses.
+      case n: TableChange.UpdateColumnNullability =>
+        require(n.fieldNames.length == 1,
+          s"nested nullability changes are not supported: " +
+            s"${n.fieldNames.mkString(".")}")
+        val col = n.fieldNames.head
+        val f = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $col"))
+        if (n.nullable != f.nullable) {
+          require(n.nullable,
+            s"cannot tighten $col to NOT NULL — existing files may " +
+              "hold NULLs and proving otherwise is a table scan")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == col) x.copy(nullable = true) else x))
+        }
       case other => throw new UnsupportedOperationException(
         s"graft tables only evolve by ADD COLUMN, RENAME COLUMN, " +
-          s"DROP COLUMN, ALTER COLUMN TYPE widening, or " +
-          s"SET/DROP DEFAULT (got: $other)")
+          s"DROP COLUMN, ALTER COLUMN TYPE widening, SET/DROP " +
+          s"DEFAULT, COMMENT, or DROP NOT NULL (got: $other)")
     }
     ManifestV2.ManifestState(
       schema, st.epochs, files, part = part, checks = checks,
@@ -1391,13 +1424,21 @@ class ExpireSnapshotsProcedure(warehouse: Path) extends UnboundProcedure {
       ProcedureParameter.in("ns", StringType).comment("namespace").build(),
       ProcedureParameter.in("tbl", StringType).comment("table name").build(),
       ProcedureParameter.in("keep", IntegerType)
-        .comment("how many newest snapshots survive").build())
+        .comment("how many newest snapshots survive").build(),
+      // the Iceberg `older_than` shape: only versions stamped at or
+      // before this (epoch millis) expire; -1 (default) = by count
+      // alone. Composes with keep — the newest `keep` survive
+      // regardless of age.
+      ProcedureParameter.in("older_than_ms", LongType).defaultValue("-1")
+        .comment("age bound in epoch millis; -1 = no age bound").build())
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
       require(Files.exists(dir.resolve("manifest.txt")),
         s"no table at $dir")
+      val ot = input.getLong(3)
       val (expired, reclaimed) =
-        ManifestV2.expireSnapshots(dir.toString, input.getInt(2))
+        ManifestV2.expireSnapshots(dir.toString, input.getInt(2),
+          olderThanMs = if (ot < 0L) Long.MaxValue else ot)
       val out: Scan = new LocalScan {
         override def readSchema(): StructType = StructType(Seq(
           StructField("expired_versions", LongType, nullable = false),

@@ -1337,7 +1337,13 @@ object ManifestV2 {
   }
 
   def expireSnapshots(path: String, keepLast: Int,
-      orphanGraceMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
+      orphanGraceMs: Long = 3600000L,
+      // age bound (the Iceberg `older_than` shape): only versions
+      // whose commit stamp is <= this expire — the default expires by
+      // count alone. Composes with keepLast: the newest `keepLast`
+      // versions survive regardless of age. Pre-upgrade manifests
+      // (stamp 0) count as oldest.
+      olderThanMs: Long = Long.MaxValue): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val root = rootOf(path)
     val versions = listVersions(root)
@@ -1351,8 +1357,10 @@ object ManifestV2 {
     val tagged = listTags(path).map(_._2).toSet ++
       listBranches(path).map(_._3)
     val (old0, kept0) = versions.splitAt(math.max(0, versions.size - keepLast))
-    val old = old0.filterNot(tagged.contains)
-    val kept = old0.filter(tagged.contains) ++ kept0
+    val old = old0.filterNot(tagged.contains).filter(v =>
+      olderThanMs == Long.MaxValue ||
+        commitTsOf(root, v).getOrElse(0L) <= olderThanMs)
+    val kept = old0.filterNot(old.contains) ++ kept0
     val keptRaw = kept.flatMap(v => readManifestSegs(root, v))
     // "referenced" covers data files AND their position-delete
     // sidecars — of kept main versions AND of every branch (staged

@@ -109,6 +109,52 @@ class WidenTypeSpec extends AnyFunSuite {
       (0L until 10L).sum + (0L until 5L).map(_ + 5000000000L).sum)
   }
 
+  test("COMMENT and DROP NOT NULL round out ALTER COLUMN; age-based " +
+      "expiry composes with keepLast") {
+    spark.sql("DROP TABLE IF EXISTS graft.wt.cm")
+    spark.sql("CREATE TABLE graft.wt.cm (k BIGINT NOT NULL, v BIGINT)")
+    spark.sql("INSERT INTO graft.wt.cm VALUES (1, 1)")
+    spark.sql("ALTER TABLE graft.wt.cm ALTER COLUMN v " +
+      "COMMENT 'the value'")
+    assert(spark.table("graft.wt.cm").schema("v").getComment()
+      .contains("the value"))
+    // the comment survives later commits (it round-trips the DDL line)
+    spark.sql("INSERT INTO graft.wt.cm VALUES (2, 2)")
+    assert(spark.table("graft.wt.cm").schema("v").getComment()
+      .contains("the value"))
+    // relaxing NOT NULL is metadata-only; tightening refuses
+    spark.sql("ALTER TABLE graft.wt.cm ALTER COLUMN k DROP NOT NULL")
+    assert(spark.table("graft.wt.cm").schema("k").nullable)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.wt.cm ALTER COLUMN v SET NOT NULL")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wt.cm")
+      .head().getLong(0) == 2L)
+
+    // age-based expiry: versions stamped AFTER older_than_ms survive
+    // even outside the keepLast window
+    spark.sql("DROP TABLE IF EXISTS graft.wt.ex")
+    spark.sql("CREATE TABLE graft.wt.ex (k BIGINT)") // v1
+    spark.sql("INSERT INTO graft.wt.ex VALUES (1)") // v2
+    val d = Paths.get(wh, "wt", "ex")
+    val t2 = ManifestV2.readManifest(d, 2L).get.commitTs
+    Thread.sleep(20)
+    spark.sql("INSERT INTO graft.wt.ex VALUES (2)") // v3
+    spark.sql("INSERT INTO graft.wt.ex VALUES (3)") // v4
+    // keep=1 would expire v1..v3 by count; the age bound t2 protects
+    // v3 (stamped later)
+    val r = spark.sql("CALL graft.system.expire_snapshots(" +
+      s"ns => 'wt', tbl => 'ex', keep => 1, older_than_ms => $t2)")
+      .head()
+    assert(r.getLong(0) == 2L, s"v1+v2 expire, v3 is too young: $r")
+    assert(ManifestV2.readManifest(d, 3L).isDefined)
+    assert(ManifestV2.readManifest(d, 2L).isEmpty)
+    // and without the age bound (default), count alone decides
+    val r2 = spark.sql("CALL graft.system.expire_snapshots(" +
+      "ns => 'wt', tbl => 'ex', keep => 1)").head()
+    assert(r2.getLong(0) == 1L, s"v3 now expires by count: $r2")
+  }
+
   test("refusals: narrowing and re-typing refuse (Spark's up-cast " +
       "check or the catalog's promotion guard); same-type is a no-op") {
     spark.sql("DROP TABLE IF EXISTS graft.wt.rf")
