@@ -1385,13 +1385,25 @@ class CompactProcedure(warehouse: Path) extends UnboundProcedure {
       ProcedureParameter.in("ns", StringType).comment("namespace").build(),
       ProcedureParameter.in("tbl", StringType).comment("table name").build(),
       ProcedureParameter.in("max_rows", LongType)
-        .comment("files below this row count are fragments").build())
+        .comment("files below this row count are fragments").build(),
+      // SCOPED compaction: only fragments whose stats box on
+      // where_col intersects [lo, hi] rewrite (box units — internal
+      // micros/days for temporal columns). '' = unscoped.
+      ProcedureParameter.in("where_col", StringType).defaultValue("''")
+        .comment("stats column bounding the rewrite; '' = whole table")
+        .build(),
+      ProcedureParameter.in("lo", LongType).defaultValue("0")
+        .comment("scope lower bound (box units)").build(),
+      ProcedureParameter.in("hi", LongType).defaultValue("0")
+        .comment("scope upper bound (box units)").build())
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
       require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val scope = Option(input.getString(3)).filter(_.nonEmpty)
+        .map(c => (c, input.getLong(4), input.getLong(5)))
       val (filesIn, filesOut, rowsRewritten) = ManifestV2.compactSnapshot(
         org.apache.spark.sql.SparkSession.active, dir.toString,
-        input.getLong(2))
+        input.getLong(2), scope)
       val res: Scan = new LocalScan {
         override def readSchema(): StructType = StructType(Seq(
           StructField("files_in", LongType, nullable = false),

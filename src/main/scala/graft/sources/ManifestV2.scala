@@ -1489,16 +1489,34 @@ object ManifestV2 {
     * Returns (filesIn, filesOut, rowsRewritten).
     */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
-      path: String, maxRows: Long): (Long, Long, Long) = {
+      path: String, maxRows: Long,
+      // SCOPED compaction (the Iceberg rewrite_data_files-with-where
+      // shape): only fragments whose [min,max] stats box on `col`
+      // INTERSECTS [lo, hi] rewrite — at 100 TB maintenance compacts
+      // yesterday's time range, never the table. Bounds are in the
+      // column's BOX units (BIGINT values; internal micros/days for
+      // temporal columns). Files without a box for the column are
+      // LEFT ALONE — a scoped pass touches only provably-in-range
+      // files; an unscoped pass picks up the rest.
+      scope: Option[(String, Long, Long)] = None): (Long, Long, Long) = {
     require(maxRows > 0, "maxRows must be positive")
     val root = rootOf(path)
     val st = readManifest(root).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root"))
+    scope.foreach { case (c, lo, hi) =>
+      require(st.schema.fieldNames.contains(c),
+        s"scope column $c is not a column of ${st.schema.toDDL}")
+      require(lo <= hi, s"scope bounds are inverted: [$lo, $hi]")
+    }
+    def inScope(e: FileEntry): Boolean = scope.forall { case (c, lo, hi) =>
+      e.stats.get(c).exists { case (l, h) => h >= lo && l <= hi }
+    }
     // fragments = small files AND files carrying merge-on-read delete
     // sidecars: compaction is where deletes get APPLIED (the rewrite
     // reads live rows only) and their references cleared
     val smalls = st.files.filter(e =>
-      e.rows > 0 && (e.rows < maxRows || e.deletes.nonEmpty))
+      e.rows > 0 && (e.rows < maxRows || e.deletes.nonEmpty) &&
+        inScope(e))
     // a single fragment is only worth rewriting if it carries deletes
     if (smalls.isEmpty ||
         (smalls.size < 2 && smalls.forall(_.deletes.isEmpty)))

@@ -217,4 +217,50 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(got(us) == want, s"micros $us: got ${got(us)}, want $want")
     }
   }
+
+  test("SCOPED compaction rewrites only fragments whose stats box " +
+      "intersects the bound — out-of-range files stay byte-identical") {
+    import graft.sources.{GraftCatalog, ManifestV2}
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mn")
+    spark.sql("DROP TABLE IF EXISTS graft.mn.sc")
+    spark.sql("CREATE TABLE graft.mn.sc (k BIGINT)")
+    // three disjoint-range fragment pairs: [0,99], [1000,1099],
+    // [2000,2099] — each range lands as 2 small files
+    Seq(0L, 1000L, 2000L).foreach { base =>
+      spark.sql("INSERT INTO graft.mn.sc SELECT /*+ REPARTITION(2) */ " +
+        s"id + $base FROM range(0, 100, 1, 2)")
+    }
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val d = Paths.get(wh, "mn", "sc")
+    val before = ManifestV2.readManifest(d).get.files
+    assert(before.size == 6, s"expected 6 fragments, got ${before.size}")
+    val outside = before.filter(e =>
+      e.stats("k")._1 >= 1000L).map(_.file).toSet
+    // scope to the first range only
+    val r = spark.sql("CALL graft.system.compact(ns => 'mn', " +
+      "tbl => 'sc', max_rows => 1000000, " +
+      "where_col => 'k', lo => 0, hi => 99)").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L &&
+      r.getLong(2) == 100L, s"got $r")
+    val after = ManifestV2.readManifest(d).get.files
+    assert(after.map(_.file).toSet.intersect(outside) == outside,
+      "out-of-scope files must survive untouched")
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft.mn.sc")
+      .head().getLong(0) ==
+      Seq(0L, 1000L, 2000L).map(b => (0L until 100L).map(_ + b).sum).sum)
+    // the unscoped pass then picks up the rest
+    val r2 = spark.sql("CALL graft.system.compact(ns => 'mn', " +
+      "tbl => 'sc', max_rows => 1000000)").head()
+    assert(r2.getLong(0) == 5L && r2.getLong(1) == 1L, s"got $r2")
+    // an unknown scope column refuses
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.compact(ns => 'mn', tbl => 'sc', " +
+        "max_rows => 10, where_col => 'nope', lo => 0, hi => 1)")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not a column")), s"got: ${msgs(e)}")
+  }
 }
