@@ -161,6 +161,12 @@ object SparkEntry {
       graft.sources.GraftCatalog.streamingWapQuery(s, d)),
     "dsv2_branch_travel" -> ((s, d) =>
       graft.sources.GraftCatalog.branchTravelQuery(s, d)),
+    "dsv2_rollback" -> ((s, d) =>
+      graft.sources.GraftCatalog.rollbackQuery(s, d)),
+    "dsv2_branch_rebase" -> ((s, d) =>
+      graft.sources.GraftCatalog.branchRebaseQuery(s, d)),
+    "dsv2_partitions_meta" -> ((s, d) =>
+      graft.sources.GraftCatalog.partitionsMetaQuery(s, d)),
     "dsv2_add_column_default" -> ((s, d) =>
       graft.sources.GraftCatalog.addColumnDefaultQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
@@ -3751,6 +3757,21 @@ object SparkEntry {
     // branch's OWN chain (0 = fork base), '<branch>' the tip
     "dsv2_branch_travel" ->
       graft.sources.GraftCatalog.branchTravelSql(),
+
+    // snapshot rollback: one metadata commit restores the pre-bad
+    // state; bad version stays readable, the feed shows retractions
+    "dsv2_rollback" ->
+      graft.sources.GraftCatalog.rollbackSql(),
+
+    // cherry-pick: append-only branch published onto a main that
+    // advanced since the fork (the case fast_forward refuses)
+    "dsv2_branch_rebase" ->
+      graft.sources.GraftCatalog.branchRebaseSql(),
+
+    // t.partitions metadata view: per-(era, tuple) file/row/stats
+    // rollup across a partition-spec evolution
+    "dsv2_partitions_meta" ->
+      graft.sources.GraftCatalog.partitionsMetaSql(),
 
     // ADD COLUMN ... DEFAULT: pre-add files serve the existence
     // default from the leaf; inserts omitting the column are filled

@@ -381,7 +381,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * manifest-safe `[A-Za-z0-9_]`, so the word-boundary test cannot
     * under-match a quoted identifier.)
     */
-  private[sources] def checkReferences(sql: String, col: String): Boolean = {
+  private[sources] def checkReferences(sql: String, col: String): Boolean =
+    stripSqlLiterals(sql).matches(
+      s"(?s).*\\b${java.util.regex.Pattern.quote(col)}\\b.*")
+
+  /** Blank out string literals and comments, preserving everything
+    * else — the shared front half of [[checkReferences]] and the
+    * ADD CONSTRAINT identifier guard.
+    */
+  private[graft] def stripSqlLiterals(sql: String): String = {
     val sb = new StringBuilder(sql.length)
     var i = 0
     while (i < sql.length) {
@@ -407,8 +415,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         sb.append(' ')
       } else { sb.append(c); i += 1 }
     }
-    sb.toString.matches(
-      s"(?s).*\\b${java.util.regex.Pattern.quote(col)}\\b.*")
+    sb.toString
+  }
+
+  /** [[checkReferences]] is a literal/comment-aware SCANNER, exact
+    * only while every identifier in constraint SQL is a bare
+    * manifest-safe `[A-Za-z0-9_]` name. This guard ENFORCES that
+    * assumption at ADD CONSTRAINT time instead of assuming it:
+    * backtick-quoted identifiers and dotted references are rejected
+    * before a constraint whose references the scanner could
+    * mis-judge can ever be stored.
+    */
+  private[graft] def requireScannableCheckSql(name: String,
+      sql: String): Unit = {
+    val bare = stripSqlLiterals(sql)
+    require(!bare.contains('`'),
+      s"CHECK constraint $name: backtick-quoted identifiers are not " +
+        "supported in constraint SQL — rename/drop safety analysis " +
+        "resolves bare column names only")
+    // identifier-dot-identifier (`t.col`) — NOT a decimal literal
+    // (`1.5`), which the digit-led left side excludes
+    require(!raw"[A-Za-z_][A-Za-z0-9_]*\s*\.\s*[A-Za-z_]".r
+        .unanchored.matches(bare),
+      s"CHECK constraint $name: dotted identifiers are not supported " +
+        "in constraint SQL — reference the table's own columns by " +
+        "bare name")
   }
 
   /** Pure derivation half of [[alterTable]] — re-runnable under the
@@ -440,6 +471,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
             require(!checks.exists(_._1 == c.name),
               s"constraint ${c.name} already exists")
+            requireScannableCheckSql(c.name, c.predicateSql())
             checks = checks :+ ((c.name, c.predicateSql()))
           case other => throw new UnsupportedOperationException(
             s"graft tables enforce CHECK constraints only, got: $other")
@@ -666,9 +698,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (f.name == col) f.withComment(txt) else f))
       // ALTER COLUMN ... DROP NOT NULL: RELAXING nullability is
       // metadata-only (every old value satisfies the weaker
-      // constraint); tightening to NOT NULL would need a table scan
-      // old files may fail — the rewrite-shaped kind this connector
-      // refuses.
+      // constraint). SET NOT NULL is the scan-backed converse: the
+      // tightened schema commits only once zero NULLs are PROVEN —
+      // metadata-only when every live file tracks a zero null count
+      // for the column, else a column-pruned `IS NULL` count scan
+      // (whose planning already prunes the proven-clean files off
+      // their null-count boxes, so the scan reads only the files
+      // metadata could not clear). Re-proven on every CAS retry: a
+      // concurrent append of a NULL between proof and commit re-runs
+      // the derivation and is caught.
       case n: TableChange.UpdateColumnNullability =>
         require(n.fieldNames.length == 1,
           s"nested nullability changes are not supported: " +
@@ -677,11 +715,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val f = schema.fields.find(_.name == col).getOrElse(
           throw new IllegalArgumentException(s"no such column: $col"))
         if (n.nullable != f.nullable) {
-          require(n.nullable,
-            s"cannot tighten $col to NOT NULL — existing files may " +
-              "hold NULLs and proving otherwise is a table scan")
+          if (!n.nullable) GraftCatalog.proveNoNulls(root, files, col)
           schema = StructType(schema.fields.map(x =>
-            if (x.name == col) x.copy(nullable = true) else x))
+            if (x.name == col) x.copy(nullable = n.nullable) else x))
         }
       case other => throw new UnsupportedOperationException(
         s"graft tables only evolve by ADD COLUMN, RENAME COLUMN, " +
@@ -983,6 +1019,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "drop_tag"),
         Identifier.of(Array("system"), "branch"),
         Identifier.of(Array("system"), "fast_forward"),
+        Identifier.of(Array("system"), "cherry_pick"),
+        Identifier.of(Array("system"), "rollback"),
+        Identifier.of(Array("system"), "rewrite_manifests"),
+        Identifier.of(Array("system"), "set_not_null"),
         Identifier.of(Array("system"), "drop_branch"))
     else Array.empty
 
@@ -1017,6 +1057,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "fast_forward")
       new FastForwardProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "cherry_pick")
+      new CherryPickProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "rollback")
+      new RollbackProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "rewrite_manifests")
+      new RewriteManifestsProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "set_not_null")
+      new SetNotNullProcedure(warehouse)
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "drop_branch")
       new DropBranchProcedure(warehouse)
@@ -1297,6 +1349,161 @@ class FastForwardProcedure(warehouse: Path) extends UnboundProcedure {
   }
 }
 
+/** `CALL graft.system.cherry_pick(ns => …, tbl => …, name => …)` —
+  * publish an APPEND-ONLY branch onto a main that ADVANCED since the
+  * fork, the case [[FastForwardProcedure]] refuses: the published
+  * state is main's current state plus the branch's staged files
+  * ([[ManifestV2.cherryPick]]). Refuses loudly when the branch
+  * carries deletes/rewrites/DDL, or main added CHECK constraints
+  * since the fork — those are real conflicts, not rebases.
+  */
+class CherryPickProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "cherry_pick"
+  override def description(): String =
+    "replay an append-only branch onto an advanced main (refuses on real conflicts)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "cherry_pick"
+    override def description(): String =
+      CherryPickProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("name", StringType).comment("branch name").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      val v = ManifestV2.cherryPick(dir.toString, input.getString(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("published_version", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(v)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.rollback(ns => …, tbl => …, version => v)` (or
+  * `timestamp_ms => t`) — make an old snapshot current again after a
+  * bad commit ([[ManifestV2.rollbackTo]]): one metadata-only commit
+  * whose state IS the old version's, history preserved, the change
+  * feed showing the reversal as retractions. Exactly one of
+  * `version` / `timestamp_ms` must be given.
+  */
+class RollbackProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore an old snapshot as a new commit (history preserved)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      RollbackProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1")
+        .comment("snapshot version to restore; -1 = use timestamp_ms").build(),
+      ProcedureParameter.in("timestamp_ms", LongType).defaultValue("-1")
+        .comment("restore latest snapshot stamped <= this epoch-millis").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val ver = input.getLong(2)
+      val ts = input.getLong(3)
+      require((ver >= 0L) != (ts >= 0L),
+        "give exactly one of version => v / timestamp_ms => t")
+      val target =
+        if (ver >= 0L) ver
+        else ManifestV2.versionAsOfTimestamp(dir.toString, ts)
+      val v = ManifestV2.rollbackTo(dir.toString, target)
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("restored_version", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(target, v)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.set_not_null(ns => …, tbl => …, col => …)` —
+  * the scan-backed converse of `ALTER COLUMN … DROP NOT NULL`
+  * ([[GraftCatalog.setNotNull]]): tighten a column to NOT NULL only
+  * after proving zero nulls (metadata fast path via per-file null
+  * counts; else a column-pruned scan that plans only the unproven
+  * files). A procedure, not ALTER syntax, because Spark's analyzer
+  * refuses nullable→non-nullable for every v2 catalog upstream.
+  */
+class SetNotNullProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "set_not_null"
+  override def description(): String =
+    "tighten a column to NOT NULL after proving zero nulls"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_not_null"
+    override def description(): String =
+      SetNotNullProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("col", StringType).comment("column").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val v = GraftCatalog.setNotNull(dir, input.getString(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("new_version", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(v)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.rewrite_manifests(ns => …, tbl => …,
+  * target_entries => n)` — metadata compaction: coalesce the small
+  * segment files that incremental commits accumulate into
+  * target-sized ones in one `@maint` commit; data files untouched
+  * ([[ManifestV2.rewriteManifests]]).
+  */
+class RewriteManifestsProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "rewrite_manifests"
+  override def description(): String =
+    "coalesce small manifest segments (metadata-only, data untouched)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "rewrite_manifests"
+    override def description(): String =
+      RewriteManifestsProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("table name").build(),
+      ProcedureParameter.in("target_entries", IntegerType)
+        .defaultValue("1000")
+        .comment("file entries per rewritten segment").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
+      val (before, after) =
+        ManifestV2.rewriteManifests(dir.toString, input.getInt(2))
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("segments_before", LongType, nullable = false),
+          StructField("segments_after", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(before, after)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
 /** `CALL graft.system.drop_branch(ns => …, tbl => …, name => …)` —
   * delete a branch ref and its version files; its unpublished data
   * files become expirable.
@@ -1480,6 +1687,54 @@ object GraftCatalog {
     "hours" -> HoursUnbound,
     "months" -> MonthsUnbound,
     "truncate" -> TruncateUnbound)
+
+  /** Prove a column holds ZERO nulls, or refuse with the count —
+    * the gate in front of SET NOT NULL. Metadata-only when every
+    * live file tracks a zero null count for the column; otherwise a
+    * column-pruned `IS NULL` count scan whose PLANNING already prunes
+    * the proven-clean files off their null-count boxes, so the scan
+    * reads only the files metadata could not clear.
+    */
+  private[graft] def proveNoNulls(root: java.nio.file.Path,
+      files: Seq[ManifestV2.FileEntry], col: String): Unit = {
+    val live = files.filter(_.rows > 0L)
+    val provenClean = live.forall(_.nulls.get(col).contains(0L))
+    if (!provenClean) {
+      val nullRows = org.apache.spark.sql.SparkSession.active
+        .read.format("graft.sources.ManifestV2")
+        .option("path", root.toString).load()
+        .where(org.apache.spark.sql.functions.col(col).isNull)
+        .count()
+      require(nullRows == 0L,
+        s"cannot SET NOT NULL on $col: $nullRows row(s) are NULL — " +
+          "clean them (UPDATE/DELETE) first")
+    }
+  }
+
+  /** SET NOT NULL as a commit: prove zero nulls (re-proven on every
+    * CAS retry — a concurrent NULL append between proof and commit
+    * re-derives and is caught), then tighten the schema field.
+    * Surfaced as `CALL graft.system.set_not_null` because Spark's
+    * analyzer hard-refuses `ALTER COLUMN … SET NOT NULL` for EVERY
+    * v2 catalog (CheckAnalysis "Cannot change nullable column to
+    * non-nullable") before a catalog could prove cleanliness — the
+    * same upstream-gate class as ViewCatalog. The TableChange path
+    * through [[GraftCatalog.alterTable]] shares this proof for API
+    * callers.
+    */
+  private[graft] def setNotNull(root: java.nio.file.Path,
+      col: String): Long =
+    ManifestV2.commit(root) { cur =>
+      val st = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val f = st.schema.fields.find(_.name == col).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $col"))
+      require(f.nullable, s"$col is already NOT NULL")
+      proveNoNulls(root, st.files, col)
+      st.copy(schema = org.apache.spark.sql.types.StructType(
+        st.schema.fields.map(x =>
+          if (x.name == col) x.copy(nullable = false) else x)))
+    }.version
 
   /** Register the catalog on this session (idempotent). Catalog confs
     * are read once at first resolution per session, so setting the
@@ -1972,8 +2227,11 @@ object GraftCatalog {
     val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
     val t1 = ManifestV2.readManifest(
       java.nio.file.Paths.get(wh, "db", "ttv")).get.commitTs
-    // stamps are millis: keep the next commit out of t1's millisecond
-    Thread.sleep(20)
+    // stamps are millis: hold the next commit out of t1's millisecond
+    // — the ms separation IS the semantics under test here, so wait
+    // exactly until the clock passes t1 (≤1 ms) instead of guessing a
+    // sleep length
+    while (System.currentTimeMillis() <= t1) Thread.onSpinWait()
     spark.sql("""INSERT INTO graft.db.ttv
       |SELECT o_orderkey, o_orderkey % 97 FROM graft_ttv_orders_src
       |WHERE o_orderkey % 2 = 1""".stripMargin)
@@ -2204,7 +2462,7 @@ object GraftCatalog {
     * `manifest.txt`); the branch read audits the full staged state;
     * `fast_forward` publishes the tip as ONE atomic main commit. The
     * result reads all three views side by side — main as of
-    * pre-publish (via TIMESTAMP AS OF: proves staging never touched
+    * pre-publish (via VERSION AS OF: proves staging never touched
     * main), the branch tip, and published main. A staged row leaking
     * to main early, a lost branch commit, or a non-atomic publish all
     * break the closed form.
@@ -2232,16 +2490,16 @@ object GraftCatalog {
       .write.format("graft.sources.ManifestV2")
       .option("path", dirPath).option("branch", "audit")
       .mode("append").save()
-    val tBefore = ManifestV2.readManifest(
-      java.nio.file.Paths.get(dirPath)).get.commitTs
-    Thread.sleep(20) // keep the publish out of tBefore's millisecond
+    // pre-publish phase pinned by VERSION, not wall-clock: the
+    // version chain is the snapshot's durable identity (`dsv2_time_
+    // travel` proves version pins), so the read below cannot flake
+    // under clock coarsening the way a millisecond TIMESTAMP AS OF
+    // could
+    val vBefore = ManifestV2.readManifest(
+      java.nio.file.Paths.get(dirPath)).get.version
     // bounded: procedure result, one row
     spark.sql("CALL graft.system.fast_forward(" +
       "ns => 'db', tbl => 'wap', name => 'audit')").collect()
-    val asOf = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
-      .withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochMilli(tBefore))
     spark.read.format("graft.sources.ManifestV2")
       .option("path", dirPath).option("branch", "audit").load()
       .createOrReplaceTempView("graft_wap_branch_tip")
@@ -2250,7 +2508,7 @@ object GraftCatalog {
       |FROM graft_wap_branch_tip
       |UNION ALL
       |SELECT 'main_before' AS phase, $agg
-      |FROM graft.db.wap TIMESTAMP AS OF '$asOf'
+      |FROM graft.db.wap VERSION AS OF $vBefore
       |UNION ALL
       |SELECT 'published' AS phase, $agg FROM graft.db.wap
       |ORDER BY phase""".stripMargin)
@@ -2440,16 +2698,12 @@ object GraftCatalog {
     }
     push(1); pump() // epoch 0
     push(3); pump() // epoch 1
-    val tBefore = ManifestV2.readManifest(
-      java.nio.file.Paths.get(dirPath)).get.commitTs
-    Thread.sleep(20) // keep the publish out of tBefore's millisecond
+    // version pin, not wall-clock (see [[branchWapQuery]])
+    val vBefore = ManifestV2.readManifest(
+      java.nio.file.Paths.get(dirPath)).get.version
     // bounded: procedure result, one row
     spark.sql("CALL graft.system.fast_forward(" +
       "ns => 'db', tbl => 'swp', name => 'ingest')").collect()
-    val asOf = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
-      .withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochMilli(tBefore))
     spark.read.format("graft.sources.ManifestV2")
       .option("path", dirPath).option("branch", "ingest").load()
       .createOrReplaceTempView("graft_swp_branch_tip")
@@ -2460,7 +2714,7 @@ object GraftCatalog {
       |FROM graft_swp_branch_tip
       |UNION ALL
       |SELECT 'main_before' AS phase, $agg
-      |FROM graft.db.swp TIMESTAMP AS OF '$asOf'
+      |FROM graft.db.swp VERSION AS OF $vBefore
       |UNION ALL
       |SELECT 'published' AS phase, $agg FROM graft.db.swp
       |ORDER BY phase""".stripMargin)
@@ -2487,6 +2741,237 @@ object GraftCatalog {
       |  CAST(SUM(19783 + o_orderkey % 3) AS BIGINT) AS day_sum
       |FROM orders
       |ORDER BY phase""".stripMargin
+
+  /** Driver-contract query for SNAPSHOT ROLLBACK (round 15 — the
+    * missing half of the time-travel story): seed, a BAD append,
+    * `CALL graft.system.rollback(version => seed)`, then a fresh
+    * append on the restored line. The rollback is ONE metadata-only
+    * commit whose state is the seed snapshot's; the closed form pins
+    * all four faces at once — the post-rollback content (seed ∪ fresh
+    * only: a surviving bad row breaks it), the bad snapshot still
+    * readable via `VERSION AS OF` (history preserved, not erased),
+    * the change feed's reversal step (every bad row retracted as a
+    * `delete` at the rollback version), and the history length (the
+    * rollback ADDED a version — nothing was rewritten). At 100 TB
+    * this is the incident-response primitive: un-publishing a bad
+    * batch costs one manifest write, zero data I/O, and downstream
+    * feed consumers see clean retractions instead of a broken chain.
+    */
+  def rollbackQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_rbk_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rbk")
+    spark.sql("CREATE TABLE graft.db.rbk (k BIGINT, m BIGINT)") // v1
+    spark.sql("""INSERT INTO graft.db.rbk
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_rbk_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin) // v2: the good seed
+    spark.sql("""INSERT INTO graft.db.rbk
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_rbk_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin) // v3: the bad batch
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.rollback(" +
+      "ns => 'db', tbl => 'rbk', version => 2)").collect() // v4
+    spark.sql("""INSERT INTO graft.db.rbk
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_rbk_orders_src
+      |WHERE o_orderkey % 4 = 3""".stripMargin) // v5: fresh append
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirPath = java.nio.file.Paths.get(wh, "db", "rbk").toString
+    // the reversal step as the feed serves it: (v3, v4] must retract
+    // every bad row
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("changefeed", "true")
+      .option("startVersion", "3").option("endVersion", "4").load()
+      .createOrReplaceTempView("graft_rbk_reversal")
+    val agg = "COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum"
+    spark.sql(s"""SELECT 'bad_still_readable' AS phase, $agg
+      |FROM graft.db.rbk VERSION AS OF 3
+      |UNION ALL
+      |SELECT 'current' AS phase, $agg FROM graft.db.rbk
+      |UNION ALL
+      |SELECT 'feed_reversal' AS phase, $agg FROM graft_rbk_reversal
+      |WHERE _change_type = 'delete'
+      |UNION ALL
+      |SELECT 'history' AS phase, COUNT(*) AS n,
+      |  CAST(MAX(version) AS BIGINT) AS key_sum
+      |FROM graft.db.rbk.history
+      |ORDER BY phase""".stripMargin)
+  }
+
+  /** [[rollbackQuery]] oracle: the bad snapshot held everything, the
+    * restored line holds seed ∪ fresh, the reversal retracts exactly
+    * the odd keys, and history is 5 versions deep ending at v5.
+    */
+  def rollbackSql(): String =
+    """SELECT 'bad_still_readable' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |UNION ALL
+      |SELECT 'current' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 3
+      |UNION ALL
+      |SELECT 'feed_reversal' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |WHERE o_orderkey % 2 = 1
+      |UNION ALL
+      |SELECT 'history' AS phase, CAST(5 AS BIGINT) AS n,
+      |  CAST(5 AS BIGINT) AS key_sum
+      |ORDER BY phase""".stripMargin
+
+  /** Driver-contract query for BRANCH PUBLISH PAST DIVERGENCE (round
+    * 15 — the wall every streaming-WAP deployment hits on day one):
+    * main seeds, a branch forks and STAGES an audited slice, then
+    * main advances INDEPENDENTLY — `fast_forward` now refuses
+    * (histories diverged), and `CALL graft.system.cherry_pick`
+    * publishes the safe subset instead: the branch's append-only
+    * staged files replay onto the advanced main as one atomic commit
+    * (file-set union; deletes/rewrites/DDL on the branch refuse — see
+    * CherryPickSpec). Three faces pinned: the diverged main before
+    * publish (VERSION AS OF — staging never leaked, main's own append
+    * is there), the branch tip (fork state + staged slice, WITHOUT
+    * main's divergent append), and the published union.
+    */
+  def branchRebaseQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_rbs_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rbs")
+    spark.sql("CREATE TABLE graft.db.rbs (k BIGINT, m BIGINT)") // v1
+    spark.sql("""INSERT INTO graft.db.rbs
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_rbs_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin) // v2: the seed
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirPath = java.nio.file.Paths.get(wh, "db", "rbs").toString
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'db', tbl => 'rbs', name => 'stage')").collect() // fork @ v2
+    spark.sql("""SELECT o_orderkey AS k, o_orderkey % 97 AS m
+      |FROM graft_rbs_orders_src
+      |WHERE o_orderkey % 4 = 1""".stripMargin)
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("branch", "stage")
+      .mode("append").save() // staged, invisible to main
+    spark.sql("""INSERT INTO graft.db.rbs
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_rbs_orders_src
+      |WHERE o_orderkey % 4 = 3""".stripMargin) // v3: main DIVERGES
+    val vBefore = ManifestV2.readManifest(
+      java.nio.file.Paths.get(dirPath)).get.version
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.cherry_pick(" +
+      "ns => 'db', tbl => 'rbs', name => 'stage')").collect() // v4
+    spark.read.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("branch", "stage").load()
+      .createOrReplaceTempView("graft_rbs_branch_tip")
+    val agg = "COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum"
+    spark.sql(s"""SELECT 'branch_tip' AS phase, $agg
+      |FROM graft_rbs_branch_tip
+      |UNION ALL
+      |SELECT 'main_diverged' AS phase, $agg
+      |FROM graft.db.rbs VERSION AS OF $vBefore
+      |UNION ALL
+      |SELECT 'published' AS phase, $agg FROM graft.db.rbs
+      |ORDER BY phase""".stripMargin)
+  }
+
+  /** [[branchRebaseQuery]] oracle: the branch tip = seed ∪ staged
+    * (k%4=1), diverged main = seed ∪ its own append (k%4=3), the
+    * published union = everything.
+    */
+  def branchRebaseSql(): String =
+    """SELECT 'branch_tip' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+      |UNION ALL
+      |SELECT 'main_diverged' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 3
+      |UNION ALL
+      |SELECT 'published' AS phase, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |ORDER BY phase""".stripMargin
+
+  /** Driver-contract query for the `partitions` METADATA VIEW (round
+    * 15 — the rollup every maintenance decision reads): a table lives
+    * through TWO partition-spec eras (`truncate(2, uid)`, evolved to
+    * `truncate(1, g)` — zero bytes rewritten), and `SELECT … FROM
+    * t.partitions` renders one row per (era, tuple) with file/row
+    * counts and the per-column min/max stats rollup. Each era's files
+    * group under the spec that WROTE them (`@p` vs `@p1` reserved
+    * keys), so a maintenance planner can see at a glance which
+    * pre-evolution partitions still await background compaction. The
+    * oracle restates every cell from raw orders: tuple rendering, the
+    * one-file-per-tuple clustered write, and the sound stats bounds
+    * must all be exact. (`total_bytes` is real but intentionally not
+    * selected — parquet encoding sizes aren't DuckDB-reproducible;
+    * MetaTablesSpec pins it against the filesystem instead.)
+    */
+  def partitionsMetaQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_pme_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.pme")
+    spark.sql("""CREATE TABLE graft.db.pme (uid BIGINT, g BIGINT,
+      |amt BIGINT) PARTITIONED BY (truncate(2, uid))""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.pme
+      |SELECT o_orderkey % 4, o_orderkey % 3, o_orderkey
+      |FROM graft_pme_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin) // era 0: uid ∈ {0, 2}
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.set_partitioning(" +
+      "ns => 'db', tbl => 'pme', spec => 'truncate(1, g)')").collect()
+    spark.sql("""INSERT INTO graft.db.pme
+      |SELECT o_orderkey % 4, o_orderkey % 3, o_orderkey
+      |FROM graft_pme_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin) // era 1: g ∈ {0, 1, 2}
+    spark.sql("""SELECT partition, spec_id, file_count, row_count,
+      |  delete_file_count, stats
+      |FROM graft.db.pme.partitions
+      |ORDER BY spec_id, partition""".stripMargin)
+  }
+
+  /** [[partitionsMetaQuery]] oracle: five (era, tuple) rows restated
+    * from raw orders — era-0 evens group by `truncate(2, uid)` with
+    * `uid = k%4 ∈ {0,2}` (already even, so the tuple IS uid) under
+    * `@p`, era-1 odds by `truncate(1, g) = g = k%3` under `@p1`; the
+    * clustered insert writes exactly one file per tuple, and each
+    * tuple's stats string is the sorted per-column min/max of its
+    * rows.
+    */
+  def partitionsMetaSql(): String =
+    """SELECT '@p=' || CAST(o_orderkey % 4 AS VARCHAR) AS partition,
+      |  CAST(0 AS BIGINT) AS spec_id,
+      |  CAST(1 AS BIGINT) AS file_count,
+      |  COUNT(*) AS row_count,
+      |  CAST(0 AS BIGINT) AS delete_file_count,
+      |  'amt:' || CAST(MIN(o_orderkey) AS VARCHAR) || ':'
+      |    || CAST(MAX(o_orderkey) AS VARCHAR)
+      |    || ',g:' || CAST(MIN(o_orderkey % 3) AS VARCHAR) || ':'
+      |    || CAST(MAX(o_orderkey % 3) AS VARCHAR)
+      |    || ',uid:' || CAST(o_orderkey % 4 AS VARCHAR) || ':'
+      |    || CAST(o_orderkey % 4 AS VARCHAR) AS stats
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |GROUP BY o_orderkey % 4
+      |UNION ALL
+      |SELECT '@p1=' || CAST(o_orderkey % 3 AS VARCHAR) AS partition,
+      |  CAST(1 AS BIGINT) AS spec_id,
+      |  CAST(1 AS BIGINT) AS file_count,
+      |  COUNT(*) AS row_count,
+      |  CAST(0 AS BIGINT) AS delete_file_count,
+      |  'amt:' || CAST(MIN(o_orderkey) AS VARCHAR) || ':'
+      |    || CAST(MAX(o_orderkey) AS VARCHAR)
+      |    || ',g:' || CAST(o_orderkey % 3 AS VARCHAR) || ':'
+      |    || CAST(o_orderkey % 3 AS VARCHAR)
+      |    || ',uid:' || CAST(MIN(o_orderkey % 4) AS VARCHAR) || ':'
+      |    || CAST(MAX(o_orderkey % 4) AS VARCHAR) AS stats
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |GROUP BY o_orderkey % 3
+      |ORDER BY spec_id, partition""".stripMargin
 
   /** Driver-contract query for the MULTI-TRANSFORM spec — the
     * canonical event-table layout `PARTITIONED BY (days(ts),

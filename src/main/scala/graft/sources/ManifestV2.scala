@@ -838,7 +838,12 @@ object ManifestV2 {
     * local FS `CREATE_NEW` (O_EXCL) is the operation that is actually
     * atomic, so the version file carries the token.
     */
-  private[graft] def commit(root: Path)(
+  private[graft] def commit(root: Path,
+      // `rewrite_manifests`: bypass segment reuse and re-chunk EVERY
+      // entry at this size — the one commit whose job is the layout
+      // itself. None (every other commit) keeps the incremental
+      // reuse-by-reference path.
+      relayout: Option[Int] = None)(
       fn: Option[ManifestState] => ManifestState): ManifestState = {
     Files.createDirectories(root)
     var spins = 0
@@ -850,10 +855,13 @@ object ManifestV2 {
       // metadata layout: reuse untouched segments BY REFERENCE, write
       // only the changed entries — an append to a million-file table
       // writes O(added + segment count) bytes, never O(table)
-      val (reuse, fresh) = layout(raw.map(_._2).getOrElse(Nil), state)
+      val (reuse, fresh) = relayout match {
+        case Some(_) => (Seq.empty[SegRef], state.files)
+        case None => layout(raw.map(_._2).getOrElse(Nil), state)
+      }
       val (newSegs, inline) =
         if (state.files.size <= InlineCap) (Seq.empty[SegRef], fresh)
-        else (fresh.grouped(SegChunk)
+        else (fresh.grouped(relayout.getOrElse(SegChunk))
           .map(c => SegRef(writeSeg(root, c), c)).toSeq,
           Seq.empty[FileEntry])
       // commit wall-clock, monotone-clamped against the predecessor:
@@ -1334,6 +1342,156 @@ object ManifestV2 {
           "branch from the current version and re-stage")
       tip.copy(maint = false)
     }.version
+  }
+
+  /** ROLLBACK — the incident-response half of time travel (the
+    * Iceberg `rollback_to_snapshot` shape): make an OLD snapshot's
+    * state current again as a NEW commit. Metadata-only: the commit's
+    * body IS the old version's state — files, schema, partition spec,
+    * alias ledger, defaults, CHECK constraints, and the streaming
+    * epoch ledger all restore wholesale (each retained snapshot is
+    * self-consistent; restoring a subset would splice eras). History
+    * is PRESERVED: the bad version stays readable via `VERSION AS OF`
+    * until expiry, and because the rollback is a real (non-`@maint`)
+    * commit the change feed diffs it like any other step — every row
+    * the bad commit added comes back as a `delete` retraction, and
+    * every row it removed comes back as an `insert`. Restoring the
+    * epoch ledger is deliberate: the rolled-back epochs' data is gone
+    * from the table, so a stream replaying them must NOT be
+    * idempotence-skipped.
+    */
+  def rollbackTo(path: String, version: Long): Long = {
+    val root = rootOf(path)
+    commit(root) { cur =>
+      val curV = cur.map(_.version).getOrElse(0L)
+      require(version >= 1L && version < curV,
+        s"rollback target v$version must be an earlier version " +
+          s"(current is v$curV)")
+      val old = readManifest(root, version).getOrElse {
+        val vs = listVersions(root)
+        throw new IllegalArgumentException(
+          s"rollback target v$version at $root has been expired — " +
+            s"earliest retained is ${vs.headOption.map("v" + _)
+              .getOrElse("<none>")}")
+      }
+      old.copy(maint = false)
+    }.version
+  }
+
+  /** [[rollbackTo]] by wall-clock: restore the latest snapshot whose
+    * commit stamp is <= `tsMillis` (the `TIMESTAMP AS OF` resolution
+    * rule, reused verbatim).
+    */
+  def rollbackToTimestamp(path: String, tsMillis: Long): Long =
+    rollbackTo(path, versionAsOfTimestamp(path, tsMillis))
+
+  /** BRANCH PUBLISH PAST DIVERGENCE — the safe subset [[fastForward]]
+    * refuses: replay a branch's APPEND-ONLY commits onto a main that
+    * advanced since the fork. The published state is main's CURRENT
+    * state plus the branch's added files (file-set union); everything
+    * main did since the fork — its own appends, compactions, schema
+    * evolution — carries untouched, and the staged files decode under
+    * main's evolved schema exactly like any other pre-evolution file
+    * (by-name alias resolution, existence defaults, widening up-cast).
+    * Refused loudly, inside the CAS loop so the checks hold at the
+    * published version:
+    *  - the branch removed or mutated a fork-base file (a delete /
+    *    rewrite staged on the branch — replaying it onto files main
+    *    has since touched is a REAL conflict, not a rebase);
+    *  - the branch carries DDL (schema / spec / constraint / default
+    *    changes — two divergent DDL histories have no automatic
+    *    merge);
+    *  - main ADDED a CHECK constraint since the fork (staged rows
+    *    were validated against fork-era constraints only — proving
+    *    the new one would be a scan, and an unproven publish is a
+    *    wrong-results hazard).
+    * Streaming epoch ledgers merge per-query-id by max, so a stream
+    * that staged epochs onto the branch stays exactly-once after the
+    * publish. The branch ref survives (now published) for the caller
+    * to drop.
+    */
+  def cherryPick(path: String, name: String): Long = {
+    val root = rootOf(path)
+    commit(root) { cur =>
+      val (_, base) = branchHead(path, name).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' at $root"))
+      val tip = branchState(path, name).getOrElse(
+        throw new IllegalStateException(s"branch '$name' head unreadable"))
+      val curSt = cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val baseSt = readManifest(root, base).getOrElse(
+        throw new IllegalStateException(
+          s"fork base v$base of branch '$name' is unreadable — " +
+            "expiry pins fork bases, so this manifest was removed " +
+            "out-of-band"))
+      val baseMap = baseSt.files.map(e => (e.file, e)).toMap
+      val (carried, added) = tip.files.partition(e =>
+        baseMap.contains(e.file))
+      val removed = baseMap.keySet -- carried.map(_.file)
+      require(removed.isEmpty,
+        s"cannot cherry-pick '$name': the branch removed or rewrote " +
+          s"${removed.size} fork-base file(s) (e.g. ${removed.head}) " +
+          "— replaying a delete/rewrite onto an advanced main is a " +
+          "real conflict; resolve by recreating the branch from the " +
+          "current version")
+      val mutated = carried.filter(e => e != baseMap(e.file))
+      require(mutated.isEmpty,
+        s"cannot cherry-pick '$name': the branch mutated " +
+          s"${mutated.size} carried file(s) in place (e.g. " +
+          s"${mutated.head.file} — new delete sidecars are row-level " +
+          "deletes); only append-only branches replay")
+      require(sameShape(tip.schema, baseSt.schema) &&
+          tip.part == baseSt.part && tip.checks == baseSt.checks &&
+          tip.aliases == baseSt.aliases &&
+          tip.defaults == baseSt.defaults &&
+          tip.writeDefaults == baseSt.writeDefaults,
+        s"cannot cherry-pick '$name': the branch carries DDL " +
+          "(schema / partition-spec / constraint / default changes) " +
+          "— divergent DDL histories have no automatic merge")
+      val newChecks = curSt.checks.toSet -- baseSt.checks.toSet
+      require(newChecks.isEmpty,
+        s"cannot cherry-pick '$name': main added CHECK constraint(s) " +
+          s"${newChecks.map(_._1).mkString(", ")} since the fork — " +
+          "staged rows were never validated against them")
+      val clash = added.map(_.file).toSet
+        .intersect(curSt.files.map(_.file).toSet)
+      require(clash.isEmpty,
+        s"cannot cherry-pick '$name': staged file(s) ${clash.take(3)
+          .mkString(", ")} already exist on main")
+      val epochs = (curSt.epochs.keySet ++ tip.epochs.keySet).map { q =>
+        (q, math.max(curSt.epochs.getOrElse(q, Long.MinValue),
+          tip.epochs.getOrElse(q, Long.MinValue)))
+      }.toMap
+      curSt.copy(files = curSt.files ++ added, epochs = epochs,
+        maint = false)
+    }.version
+  }
+
+  /** `rewrite_manifests` — METADATA compaction (the Iceberg procedure
+    * of the same name): incremental commits accumulate small segment
+    * files (each append writes its own chunk; [[MaxSegs]] only bounds
+    * the COUNT by checkpointing past 64 refs, it never merges small
+    * neighbors), so at streaming-ingest commit rates the segment list
+    * itself becomes the metadata hot spot — hundreds of tiny files
+    * opened per scan plan. This coalesces every entry into
+    * `targetEntries`-sized fresh segments in ONE `@maint` commit:
+    * data files untouched, the change feed skips it, old segments
+    * stay referenced by old versions until expiry reclaims them.
+    * Returns (segments before, segments after).
+    */
+  def rewriteManifests(path: String,
+      targetEntries: Int = SegChunk): (Long, Long) = {
+    require(targetEntries >= 1, "target_entries must be >= 1")
+    val root = rootOf(path)
+    val before = manifestStructure(root).map(_._1.size.toLong)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $root"))
+    commit(root, relayout = Some(targetEntries)) { cur =>
+      cur.getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+        .copy(maint = true)
+    }: Unit
+    val after = manifestStructure(root).map(_._1.size.toLong).getOrElse(0L)
+    (before, after)
   }
 
   def expireSnapshots(path: String, keepLast: Int,

@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reader rebuilds InternalRows typed by the view schema.
   */
 object MetaTables {
-  val Names: Set[String] = Set("history", "files", "tags", "branches")
+  val Names: Set[String] =
+    Set("history", "files", "tags", "branches", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
@@ -51,7 +52,108 @@ object MetaTables {
       StructField("name", StringType, nullable = false),
       StructField("tip", LongType, nullable = false),
       StructField("base_version", LongType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      // rendered tuple ("@p.0=19815,@p.1=3"); null = files written
+      // under no partitioning (or before the table's first spec)
+      StructField("partition", StringType, nullable = true),
+      // the spec ERA the tuple belongs to (parsed from the reserved
+      // key: `@p` = 0, `@p1` = 1, …); -1 for unpartitioned files. An
+      // evolved table renders one row per (era, tuple) — each era's
+      // files group under the spec that wrote them.
+      StructField("spec_id", LongType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("total_bytes", LongType, nullable = false),
+      // position-delete sidecar references carried by the partition's
+      // files — the signal `coalesce_deletes` / `compact` decisions read
+      StructField("delete_file_count", LongType, nullable = false),
+      // per-column min/max rollup "col:lo:hi,…" (sorted), restricted
+      // to columns boxed in EVERY file of the partition — a sound
+      // bound or nothing; null when no column qualifies
+      StructField("stats", StringType, nullable = true)))
     case o => throw new IllegalArgumentException(s"no metadata view $o")
+  }
+
+  /** Per-partition rollup partial — one per file at the leaves, merged
+    * associatively per (tuple, era). `part` "" = no tuple (sentinel;
+    * real tuples always start with `@p`).
+    */
+  private[sources] case class PartAgg(part: String, specId: Long,
+      files: Long, rows: Long, bytes: Long, sidecars: Long,
+      stats: Map[String, (Long, Long)])
+
+  private val EraRe = raw"@p(\d*)(?:\..*)?".r
+
+  /** One file's [[PartAgg]] partial — runs EXECUTOR-SIDE for
+    * segmented tables (the task stats its own files; the driver never
+    * sees per-file rows).
+    */
+  private[sources] def filePartAgg(dir: String,
+      e: ManifestV2.FileEntry): PartAgg = {
+    val pKeys = e.stats.filter(_._1.startsWith(PartTransform.PKey))
+      .toSeq.sortBy(_._1)
+    val part = pKeys.map { case (k, (lo, _)) => s"$k=$lo" }.mkString(",")
+    val specId = pKeys.headOption.map(_._1 match {
+      case EraRe(n) => if (n.isEmpty) 0L else n.toLong
+      case _ => -1L
+    }).getOrElse(-1L)
+    val bytes =
+      try java.nio.file.Files.size(ManifestV2.rootOf(dir).resolve(e.file))
+      catch { case _: java.io.IOException => 0L }
+    PartAgg(part, specId, 1L, e.rows, bytes, e.deletes.size.toLong,
+      e.stats.filterNot(_._1.startsWith(PartTransform.PKey)))
+  }
+
+  private[sources] def mergePartAgg(a: PartAgg, b: PartAgg): PartAgg =
+    PartAgg(a.part, a.specId, a.files + b.files, a.rows + b.rows,
+      a.bytes + b.bytes, a.sidecars + b.sidecars,
+      (a.stats.keySet & b.stats.keySet).map { k =>
+        val (al, ah) = a.stats(k); val (bl, bh) = b.stats(k)
+        (k, (math.min(al, bl), math.max(ah, bh)))
+      }.toMap)
+
+  /** The `partitions` view's rows: per-partition file/row/byte/sidecar
+    * rollup with sound min/max stats bounds — what every maintenance
+    * decision (which partition to compact / expire / coalesce) reads.
+    * Distributed like the `files` view: for a segmented table each
+    * TASK parses its own (immutable) metadata segment and stats its
+    * files, a `reduceByKey` merges per tuple, and the driver holds
+    * only the final rollup — O(distinct partition tuples), the table
+    * LAYOUT grain, never O(files). Zero-row entries (delete-only
+    * placeholders) are excluded, matching the `history` view's count.
+    */
+  def partitionRows(dir: String): Seq[Seq[Any]] = {
+    val merged: Seq[PartAgg] =
+      ManifestV2.manifestStructure(ManifestV2.rootOf(dir)) match {
+        case None => Nil
+        case Some((segs, inline)) =>
+          val inlineAgg = inline.filter(_.rows > 0L)
+            .map(filePartAgg(dir, _))
+          val all =
+            if (segs.isEmpty) inlineAgg
+            else {
+              val spark = org.apache.spark.sql.SparkSession.active
+              val d = dir
+              spark.sparkContext.parallelize(segs, segs.size)
+                .flatMap(s =>
+                  ManifestV2.readSegEntries(ManifestV2.rootOf(d), s)
+                    .filter(_.rows > 0L).map(filePartAgg(d, _)))
+                .map(a => ((a.part, a.specId), a))
+                .reduceByKey(mergePartAgg)
+                .values
+                // bounded: distinct (partition tuple, spec era) pairs —
+                // the table layout grain, not the file count
+                .collect().toSeq ++ inlineAgg
+            }
+          all.groupBy(a => (a.part, a.specId)).values
+            .map(_.reduce(mergePartAgg)).toSeq
+      }
+    merged.sortBy(a => (a.specId, a.part)).map { a =>
+      val st = a.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }.mkString(",")
+      Seq(if (a.part.isEmpty) null else a.part, a.specId, a.files,
+        a.rows, a.bytes, a.sidecars, if (st.isEmpty) null else st)
+    }
   }
 
   /** One `files`-view row from a manifest entry — shared by the
@@ -141,6 +243,11 @@ class ManifestMetaTable(dir: String, kind: String)
             if (vs.isEmpty) Array(MetaRowsPartition(Nil))
             else vs.map(v =>
               MetaVersionPartition(dir, v): InputPartition).toArray
+          case "partitions" =>
+            // the rollup itself runs as a Spark job over segments
+            // (executor-side parse + per-tuple reduce); what lands
+            // here is the final O(distinct tuples) result
+            Array(MetaRowsPartition(MetaTables.partitionRows(dir)))
           case _ =>
             val rows = MetaTables.rowsOf(kind, dir)
             if (rows.isEmpty) Array(MetaRowsPartition(Nil))

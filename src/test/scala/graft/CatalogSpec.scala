@@ -520,6 +520,27 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spec.cb")
   }
 
+  test("constraint SQL is pinned to the scanner's identifier " +
+      "assumption: backticked and dotted identifiers refuse at ADD " +
+      "CONSTRAINT time, literals and decimals stay legal") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    intercept[IllegalArgumentException] {
+      cat.requireScannableCheckSql("c", "`k` > 0")
+    }
+    intercept[IllegalArgumentException] {
+      cat.requireScannableCheckSql("c", "t.k > 0")
+    }
+    intercept[IllegalArgumentException] {
+      cat.requireScannableCheckSql("c", "x1 . y > 0") // spaced dots too
+    }
+    // decimals, dotted text inside literals, and backticks inside
+    // literals are all fine — the stripper sees through them
+    cat.requireScannableCheckSql("c", "k > 1.5")
+    cat.requireScannableCheckSql("c", "s <> 'a.b' AND s <> '`q`'")
+    cat.requireScannableCheckSql("c", "k > 0 -- a.dotted comment")
+  }
+
   test("a COW rewrite racing a compaction fails instead of duplicating rows") {
     import org.apache.spark.sql.connector.write.RowLevelOperation
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")

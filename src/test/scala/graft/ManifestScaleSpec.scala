@@ -339,4 +339,92 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(perFile == 101L)
     spark.sql("DROP TABLE graft.spec.pq")
   }
+
+  test("rewrite_manifests coalesces accumulated small segments into " +
+      "target-sized ones: entries identical, data files untouched, " +
+      "old versions still readable") {
+    val root = freshRoot()
+    ManifestV2.commit(root)(_ => state(entries(0, 50))) // v1: 1 segment
+    // 20 incremental appends, each leaving its own tiny fresh segment
+    for (i <- 0 until 20)
+      ManifestV2.commit(root) { cur =>
+        state(cur.get.files ++ entries(50 + 2 * i, 52 + 2 * i))
+      }
+    val before = segsOf(root)
+    assert(before.size == 21, s"20 appends -> 20 tiny segments on " +
+      s"top of the base chunk, got ${before.size}")
+    val vBefore = ManifestV2.readManifest(root).get.version
+
+    val (b, a) = ManifestV2.rewriteManifests(root.toString, 1000)
+    assert(b == 21L && a == 1L, s"got ($b, $a)")
+    val after = ManifestV2.readManifestSegs(root).get
+    assert(after._1.version == vBefore + 1L, "one ordinary commit")
+    assert(after._1.maint, "pure layout: the change feed must skip it")
+    assert(after._2.map(_.name).toSet.intersect(
+      before.map(_.name).toSet).isEmpty, "every segment is fresh")
+    // the entry SET is untouched — same files, rows, stats
+    assert(after._1.files.map(ManifestV2.fileLine).sorted ==
+      ManifestV2.readManifest(root, vBefore).get.files
+        .map(ManifestV2.fileLine).sorted)
+    // pre-rewrite versions keep their own segment references
+    assert(ManifestV2.readManifest(root, vBefore).get.files.size == 90)
+    // a target smaller than the table re-chunks evenly
+    val (_, a2) = ManifestV2.rewriteManifests(root.toString, 30)
+    assert(a2 == 3L, s"90 entries at 30/segment -> 3, got $a2")
+  }
+
+  test("rewrite_manifests on a live catalog table: reads identical " +
+      "before and after, the change feed skips the maintenance " +
+      "commit, expiry reclaims the dead small segments") {
+    GraftCatalog.install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.rw")
+    spark.sql("CREATE TABLE graft.spec.rw (k BIGINT)")
+    // 5 four-file inserts cross InlineCap (16) into segment land,
+    // then single-file appends each add a tiny segment
+    for (i <- 0 until 5)
+      spark.sql(s"INSERT INTO graft.spec.rw SELECT id FROM " +
+        s"range(${i * 100}, ${i * 100 + 40}, 1, 4)")
+    for (i <- 0 until 6)
+      spark.sql(s"INSERT INTO graft.spec.rw SELECT id FROM " +
+        s"range(${1000 + i}, ${1001 + i}, 1, 1)")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val d = java.nio.file.Paths.get(wh, "spec", "rw").toString
+    val sumBefore = spark.sql(
+      "SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.rw").head().getLong(0)
+    val filesBefore = spark.sql(
+      "SELECT file, rows FROM graft.spec.rw.files ORDER BY file")
+      .collect().toSeq
+    val vBefore = ManifestV2.readManifest(
+      java.nio.file.Paths.get(d)).get.version
+
+    val r = spark.sql("CALL graft.system.rewrite_manifests(" +
+      "ns => 'spec', tbl => 'rw', target_entries => 1000)").head()
+    assert(r.getLong(0) > 1L && r.getLong(1) == 1L,
+      s"many small segments -> one, got $r")
+    assert(spark.sql(
+      "SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.rw")
+      .head().getLong(0) == sumBefore)
+    assert(spark.sql(
+      "SELECT file, rows FROM graft.spec.rw.files ORDER BY file")
+      .collect().toSeq == filesBefore, "the files view is identical")
+    // the feed serves NOTHING for the maintenance step
+    assert(spark.read.format("graft.sources.ManifestV2")
+      .option("path", d).option("changefeed", "true")
+      .option("startVersion", vBefore.toString)
+      .option("endVersion", (vBefore + 1L).toString).load()
+      .count() == 0L)
+    // expiry reclaims the pre-rewrite segment files once no retained
+    // version references them
+    spark.sql("CALL graft.system.expire_snapshots(" +
+      "ns => 'spec', tbl => 'rw', keep => 1)").collect()
+    val segCount = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      .filter(p => p.getFileName.toString.startsWith("seg."))
+      .count()
+    assert(segCount == 1L, s"one live segment after expiry, got $segCount")
+    assert(spark.sql(
+      "SELECT CAST(SUM(k) AS BIGINT) FROM graft.spec.rw")
+      .head().getLong(0) == sumBefore)
+    spark.sql("DROP TABLE graft.spec.rw")
+  }
 }

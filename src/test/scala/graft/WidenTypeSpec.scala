@@ -122,12 +122,15 @@ class WidenTypeSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.wt.cm VALUES (2, 2)")
     assert(spark.table("graft.wt.cm").schema("v").getComment()
       .contains("the value"))
-    // relaxing NOT NULL is metadata-only; tightening refuses
+    // relaxing NOT NULL is metadata-only; tightening (round 15) now
+    // PROVES zero nulls first — v is null-free, so it succeeds (via
+    // the procedure: Spark's analyzer refuses ALTER … SET NOT NULL
+    // for every v2 catalog upstream)
     spark.sql("ALTER TABLE graft.wt.cm ALTER COLUMN k DROP NOT NULL")
     assert(spark.table("graft.wt.cm").schema("k").nullable)
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft.wt.cm ALTER COLUMN v SET NOT NULL")
-    }
+    spark.sql("CALL graft.system.set_not_null(" +
+      "ns => 'wt', tbl => 'cm', col => 'v')").collect()
+    assert(!spark.table("graft.wt.cm").schema("v").nullable)
     assert(spark.sql("SELECT COUNT(*) FROM graft.wt.cm")
       .head().getLong(0) == 2L)
 
@@ -181,5 +184,40 @@ class WidenTypeSpec extends AnyFunSuite {
     // the refusals changed nothing
     assert(spark.sql("SELECT COUNT(*) FROM graft.wt.rf")
       .head().getLong(0) == 1L)
+  }
+
+  test("SET NOT NULL proves zero nulls before committing: metadata " +
+      "fast path on clean stats, scan-backed refusal with a count on " +
+      "a dirty column, and the tightened schema rejects NULL inserts") {
+    spark.sql("DROP TABLE IF EXISTS graft.wt.nn")
+    spark.sql("CREATE TABLE graft.wt.nn (k BIGINT, v BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.wt.nn VALUES (1, 10, 'a'), (2, 20, 'b')")
+    spark.sql("INSERT INTO graft.wt.nn VALUES (3, NULL, 'c'), (4, 40, NULL)")
+    def tighten(col: String) = spark.sql("CALL graft.system." +
+      s"set_not_null(ns => 'wt', tbl => 'nn', col => '$col')").collect()
+    // v holds a NULL: refused, with the offending count in the message
+    val e = intercept[Exception] { tighten("v") }
+    assert(msgs(e).exists(m => m.contains("SET NOT NULL") &&
+      m.contains("1 row")), s"got: ${msgs(e)}")
+    assert(spark.table("graft.wt.nn").schema("v").nullable)
+    // k is clean and every file tracks nulls(k) = 0: the tighten is
+    // pure metadata — no scan
+    tighten("k")
+    assert(!spark.table("graft.wt.nn").schema("k").nullable)
+    // s is a STRING (no null-count stats): the proof falls back to a
+    // column-pruned scan — dirty here, so refused with the count
+    val e2 = intercept[Exception] { tighten("s") }
+    assert(msgs(e2).exists(_.contains("1 row")), s"got: ${msgs(e2)}")
+    // clean the NULL (merge-on-read delete); the scan sees sidecars
+    // applied, so the tighten now commits
+    spark.sql("DELETE FROM graft.wt.nn WHERE s IS NULL")
+    tighten("s")
+    assert(!spark.table("graft.wt.nn").schema("s").nullable)
+    // and the tightened schema refuses a NULL insert outright
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.wt.nn VALUES (CAST(NULL AS BIGINT), 5, 'x')")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wt.nn")
+      .head().getLong(0) == 3L)
   }
 }
