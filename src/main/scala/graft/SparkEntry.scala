@@ -167,6 +167,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.branchRebaseQuery(s, d)),
     "dsv2_partitions_meta" -> ((s, d) =>
       graft.sources.GraftCatalog.partitionsMetaQuery(s, d)),
+    "dsv2_clone" -> ((s, d) =>
+      graft.sources.GraftCatalog.cloneQuery(s, d)),
     "dsv2_add_column_default" -> ((s, d) =>
       graft.sources.GraftCatalog.addColumnDefaultQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
@@ -3772,6 +3774,11 @@ object SparkEntry {
     // rollup across a partition-spec evolution
     "dsv2_partitions_meta" ->
       graft.sources.GraftCatalog.partitionsMetaSql(),
+
+    // zero-copy clone: hard-linked shallow clone; both sides then
+    // diverge independently (clone ingests, original deletes)
+    "dsv2_clone" ->
+      graft.sources.GraftCatalog.cloneSql(),
 
     // ADD COLUMN ... DEFAULT: pre-add files serve the existence
     // default from the leaf; inserts omitting the column are filled

@@ -1023,6 +1023,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "rewrite_manifests"),
         Identifier.of(Array("system"), "set_not_null"),
+        Identifier.of(Array("system"), "clone"),
         Identifier.of(Array("system"), "drop_branch"))
     else Array.empty
 
@@ -1069,6 +1070,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "set_not_null")
       new SetNotNullProcedure(warehouse)
+    else if (ident.namespace.sameElements(Array("system")) &&
+        ident.name == "clone")
+      new CloneProcedure(warehouse)
     else if (ident.namespace.sameElements(Array("system")) &&
         ident.name == "drop_branch")
       new DropBranchProcedure(warehouse)
@@ -1424,6 +1428,47 @@ class RollbackProcedure(warehouse: Path) extends UnboundProcedure {
           StructField("new_version", LongType, nullable = false)))
         override def rows(): Array[InternalRow] = Array(
           InternalRow.fromSeq(Seq(target, v)))
+      }
+      util.Collections.singletonList(res).iterator()
+    }
+  }
+}
+
+/** `CALL graft.system.clone(ns => …, tbl => …, dst_ns => …,
+  * dst_tbl => …)` — zero-copy shallow clone
+  * ([[ManifestV2.cloneTable]]): the destination's first commit is the
+  * source's current snapshot with every data file hard-linked, so
+  * cloning any table costs zero data bytes and the two lifecycles
+  * are independent (either side's expiry only unlinks its own name).
+  */
+class CloneProcedure(warehouse: Path) extends UnboundProcedure {
+  override def name(): String = "clone"
+  override def description(): String =
+    "zero-copy shallow clone of a table's current snapshot"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String = CloneProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("ns", StringType).comment("source namespace").build(),
+      ProcedureParameter.in("tbl", StringType).comment("source table").build(),
+      ProcedureParameter.in("dst_ns", StringType)
+        .comment("destination namespace (must exist)").build(),
+      ProcedureParameter.in("dst_tbl", StringType)
+        .comment("destination table (must not exist)").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val src = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
+      val dstNs = warehouse.resolve(input.getString(2))
+      require(Files.isDirectory(dstNs),
+        s"destination namespace ${input.getString(2)} does not exist — " +
+          "CREATE NAMESPACE first")
+      val dst = dstNs.resolve(input.getString(3))
+      val linked = ManifestV2.cloneTable(src.toString, dst.toString)
+      val res: Scan = new LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("files_linked", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(Seq(linked)))
       }
       util.Collections.singletonList(res).iterator()
     }
@@ -2893,6 +2938,65 @@ object GraftCatalog {
       |SELECT 'published' AS phase, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
       |ORDER BY phase""".stripMargin
+
+  /** Driver-contract query for ZERO-COPY CLONE (round 15): seed a
+    * table, `CALL graft.system.clone` it, then DIVERGE both sides —
+    * the clone ingests its own slice, the ORIGINAL deletes a band —
+    * and read original, clone, and the clone's pre-divergence
+    * snapshot side by side. A copied-on-clone row set, a mutation
+    * leaking across the hard links (the sidecar lands on the
+    * original's manifest only — the shared inode is untouched), or a
+    * clone that silently re-used the source's manifest chain all
+    * break a phase's closed form. At 100 TB this is the
+    * dev/staging-fork primitive: a full-table experiment costs zero
+    * data bytes and either side's retention can run without
+    * coordination (hard links make reclamation unlink-safe).
+    */
+  def cloneQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    graft.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_cln_orders_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.cln")
+    spark.sql("DROP TABLE IF EXISTS graft.db.cln2")
+    spark.sql("CREATE TABLE graft.db.cln (k BIGINT, m BIGINT)") // v1
+    spark.sql("""INSERT INTO graft.db.cln
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_cln_orders_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin) // v2: the seed
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.clone(ns => 'db', tbl => 'cln', " +
+      "dst_ns => 'db', dst_tbl => 'cln2')").collect()
+    // diverge: the clone ingests the odds; the original deletes a band
+    spark.sql("""INSERT INTO graft.db.cln2
+      |SELECT o_orderkey, o_orderkey % 97 FROM graft_cln_orders_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql("DELETE FROM graft.db.cln WHERE m < 20")
+    val agg = "COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum"
+    spark.sql(s"""SELECT 'clone' AS side, $agg FROM graft.db.cln2
+      |UNION ALL
+      |SELECT 'clone_at_fork' AS side, $agg
+      |FROM graft.db.cln2 VERSION AS OF 1
+      |UNION ALL
+      |SELECT 'original' AS side, $agg FROM graft.db.cln
+      |ORDER BY side""".stripMargin)
+  }
+
+  /** [[cloneQuery]] oracle: the clone = everything, its v1 = the seed
+    * (evens), the original = evens minus the deleted band.
+    */
+  def cloneSql(): String =
+    """SELECT 'clone' AS side, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |UNION ALL
+      |SELECT 'clone_at_fork' AS side, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT 'original' AS side, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |WHERE o_orderkey % 2 = 0 AND o_orderkey % 97 >= 20
+      |ORDER BY side""".stripMargin
 
   /** Driver-contract query for the `partitions` METADATA VIEW (round
     * 15 — the rollup every maintenance decision reads): a table lives

@@ -1494,6 +1494,45 @@ object ManifestV2 {
     (before, after)
   }
 
+  /** ZERO-COPY CLONE (the Delta shallow-clone / Iceberg snapshot-
+    * table shape): a NEW table whose first commit is the source's
+    * current state, with every data file and delete sidecar
+    * HARD-LINKED rather than copied — cloning a 100 TB table costs
+    * O(files) metadata and zero data bytes. Hard links make the two
+    * tables' lifecycles independent by construction: either side's
+    * expiry/orphan removal merely unlinks ITS name — the inode
+    * survives until the last referent drops it — so reclamation on
+    * the original can never break the clone (CloneSpec proves it by
+    * overwriting + expiring the source). On an object store the link
+    * step becomes a server-side copy; the commit logic is unchanged.
+    * Schema, constraints, defaults, aliases, partition spec, AND the
+    * streaming epoch ledger carry wholesale (the clone is the
+    * snapshot, not a re-ingest target for the same checkpoint).
+    * Filesystems without hard links fall back to a real copy.
+    * Returns the number of files linked.
+    */
+  def cloneTable(srcPath: String, dstPath: String): Long = {
+    val src = rootOf(srcPath)
+    val dst = rootOf(dstPath)
+    val st = readManifest(src).getOrElse(
+      throw new IllegalArgumentException(s"no table at $src"))
+    require(!Files.exists(dst.resolve("manifest.txt")),
+      s"a table already exists at $dst")
+    Files.createDirectories(dst)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    st.files.foreach(e => seen ++= (e.file +: e.deletes))
+    seen.foreach { rel =>
+      val to = dst.resolve(rel)
+      Option(to.getParent).foreach(Files.createDirectories(_): Unit)
+      try { Files.createLink(to, src.resolve(rel)); () }
+      catch { case _: UnsupportedOperationException =>
+        Files.copy(src.resolve(rel), to); ()
+      }
+    }
+    commit(dst)(_ => st): Unit
+    seen.size.toLong
+  }
+
   def expireSnapshots(path: String, keepLast: Int,
       orphanGraceMs: Long = 3600000L,
       // age bound (the Iceberg `older_than` shape): only versions

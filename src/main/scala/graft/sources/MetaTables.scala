@@ -86,17 +86,35 @@ object MetaTables {
 
   /** One file's [[PartAgg]] partial — runs EXECUTOR-SIDE for
     * segmented tables (the task stats its own files; the driver never
-    * sees per-file rows).
+    * sees per-file rows). `idKey`: when the table's CURRENT spec is a
+    * single IDENTITY column, its (name, era) — identity layouts box
+    * files under the plain column (no reserved `@p` key exists), so a
+    * file that is PURE in that column (point box, zero nulls) groups
+    * under its value tuple. Value-attribution is sound by
+    * construction: a pure file's every row carries that value,
+    * whichever era wrote it.
     */
-  private[sources] def filePartAgg(dir: String,
-      e: ManifestV2.FileEntry): PartAgg = {
+  private[sources] def filePartAgg(dir: String, e: ManifestV2.FileEntry,
+      idKey: Option[(String, Long)]): PartAgg = {
     val pKeys = e.stats.filter(_._1.startsWith(PartTransform.PKey))
       .toSeq.sortBy(_._1)
-    val part = pKeys.map { case (k, (lo, _)) => s"$k=$lo" }.mkString(",")
-    val specId = pKeys.headOption.map(_._1 match {
-      case EraRe(n) => if (n.isEmpty) 0L else n.toLong
-      case _ => -1L
-    }).getOrElse(-1L)
+    val (part, specId) =
+      if (pKeys.nonEmpty)
+        (pKeys.map { case (k, (lo, _)) => s"$k=$lo" }.mkString(","),
+          pKeys.head._1 match {
+            case EraRe(n) => if (n.isEmpty) 0L else n.toLong
+            case _ => -1L
+          })
+      else idKey match {
+        case Some((c, era)) =>
+          e.stats.get(c) match {
+            case Some((lo, hi))
+                if lo == hi && e.nulls.get(c).contains(0L) =>
+              (s"$c=$lo", era)
+            case _ => ("", -1L)
+          }
+        case None => ("", -1L)
+      }
     val bytes =
       try java.nio.file.Files.size(ManifestV2.rootOf(dir).resolve(e.file))
       catch { case _: java.io.IOException => 0L }
@@ -123,21 +141,43 @@ object MetaTables {
     * placeholders) are excluded, matching the `history` view's count.
     */
   def partitionRows(dir: String): Seq[Seq[Any]] = {
+    // current-spec identity column (if any): lets identity-era files
+    // group by value even though no reserved key marks them. Header-
+    // only read — a segmented table's manifest holds refs, not rows.
+    val idKey: Option[(String, Long)] = {
+      val m = ManifestV2.rootOf(dir).resolve("manifest.txt")
+      if (!java.nio.file.Files.exists(m)) None
+      else {
+        var part: Option[String] = None
+        var hist = 0
+        java.nio.file.Files.readAllLines(m).forEach { l =>
+          if (l.startsWith("@part\t"))
+            part = Some(l.split("\t", 2)(1)).filter(_.nonEmpty)
+          else if (l.startsWith("@parthist\t"))
+            hist = l.split("\t", 2)(1).split(";", -1).length
+        }
+        part.flatMap(r => PartTransform.parseMulti(r) match {
+          case Seq(PartTransform.Identity(c)) => Some((c, hist.toLong))
+          case _ => None
+        })
+      }
+    }
     val merged: Seq[PartAgg] =
       ManifestV2.manifestStructure(ManifestV2.rootOf(dir)) match {
         case None => Nil
         case Some((segs, inline)) =>
           val inlineAgg = inline.filter(_.rows > 0L)
-            .map(filePartAgg(dir, _))
+            .map(filePartAgg(dir, _, idKey))
           val all =
             if (segs.isEmpty) inlineAgg
             else {
               val spark = org.apache.spark.sql.SparkSession.active
               val d = dir
+              val ik = idKey
               spark.sparkContext.parallelize(segs, segs.size)
                 .flatMap(s =>
                   ManifestV2.readSegEntries(ManifestV2.rootOf(d), s)
-                    .filter(_.rows > 0L).map(filePartAgg(d, _)))
+                    .filter(_.rows > 0L).map(filePartAgg(d, _, ik)))
                 .map(a => ((a.part, a.specId), a))
                 .reduceByKey(mergePartAgg)
                 .values

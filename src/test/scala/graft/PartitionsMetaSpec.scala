@@ -54,6 +54,36 @@ class PartitionsMetaSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pm.b")
   }
 
+  test("identity-partitioned tables group by VALUE: pure files roll " +
+      "up under their column tuple, mixed pre-partitioning files " +
+      "stay in the null group") {
+    spark.sql("DROP TABLE IF EXISTS graft.pm.id")
+    spark.sql("CREATE TABLE graft.pm.id (uid BIGINT, amt BIGINT)")
+    // pre-partitioning era: one MIXED file (several uid values)
+    spark.sql("""INSERT INTO graft.pm.id
+      |SELECT id % 3, id FROM range(0, 30, 1, 1)""".stripMargin)
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.set_partitioning(" +
+      "ns => 'pm', tbl => 'id', spec => 'uid')").collect()
+    // identity era: the clustered write lands one PURE file per value
+    spark.sql("""INSERT INTO graft.pm.id
+      |SELECT id % 3, id FROM range(100, 130, 1, 1)""".stripMargin)
+    val rows = spark.sql("""SELECT partition, spec_id, file_count,
+      |row_count FROM graft.pm.id.partitions
+      |ORDER BY partition NULLS FIRST""".stripMargin).collect()
+    assert(rows.length == 4, s"null group + 3 value tuples: " +
+      rows.map(_.toString).mkString(", "))
+    assert(rows.head.isNullAt(0) && rows.head.getLong(1) == -1L &&
+      rows.head.getLong(3) == 30L, s"mixed file: ${rows.head}")
+    assert(rows.tail.map(_.getString(0)).toSeq ==
+      Seq("uid=0", "uid=1", "uid=2"))
+    assert(rows.tail.forall(r => r.getLong(1) == 1L &&
+      r.getLong(2) == 1L && r.getLong(3) == 10L),
+      s"one pure 10-row file per value under era 1: " +
+        rows.tail.map(_.toString).mkString(", "))
+    spark.sql("DROP TABLE graft.pm.id")
+  }
+
   test("segmented tables roll up distributedly: segment tasks parse, " +
       "a per-tuple reduce merges, the driver holds O(tuples)") {
     val root = Files.createTempDirectory("graft_pms_")
