@@ -345,7 +345,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dfl = defaultsOf(schema)
     ManifestV2.writeManifest(d,
       ManifestV2.ManifestState(stripDefaultMeta(schema), Map.empty,
-        Seq.empty, part = part, defaults = dfl, writeDefaults = dfl))
+        Seq.empty, part = part, defaults = dfl, writeDefaults = dfl,
+        props = GraftCatalog.userProps(properties)))
     new ManifestTable(d.toString, null)
   }
 
@@ -455,6 +456,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var aliases = st.aliases
     var defaults = st.defaults
     var writeDefaults = st.writeDefaults
+    var props = st.props
     // every name that might still live in an OLD parquet footer: a new
     // column must never take one (by-name reads would resurrect the
     // old column's data into it)
@@ -719,15 +721,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = StructType(schema.fields.map(x =>
             if (x.name == col) x.copy(nullable = n.nullable) else x))
         }
+      // TBLPROPERTIES: free-form user metadata, versioned with the
+      // snapshot like every other definition facet
+      case sp: TableChange.SetProperty =>
+        GraftCatalog.requirePropKey(sp.property)
+        props = props + (sp.property -> sp.value)
+      case rp: TableChange.RemoveProperty =>
+        props = props - rp.property
       case other => throw new UnsupportedOperationException(
         s"graft tables only evolve by ADD COLUMN, RENAME COLUMN, " +
           s"DROP COLUMN, ALTER COLUMN TYPE widening, SET/DROP " +
-          s"DEFAULT, COMMENT, or DROP NOT NULL (got: $other)")
+          s"DEFAULT, COMMENT, DROP NOT NULL, or SET/UNSET " +
+          s"TBLPROPERTIES (got: $other)")
     }
-    ManifestV2.ManifestState(
-      schema, st.epochs, files, part = part, checks = checks,
-      partHist = partHist, aliases = aliases, defaults = defaults,
-      writeDefaults = writeDefaults)
+    // .copy from the predecessor, never a field-list rebuild: facets
+    // this DDL didn't touch (and any FUTURE ManifestState field)
+    // carry by construction
+    st.copy(schema = schema, files = files, part = part,
+      checks = checks, partHist = partHist, aliases = aliases,
+      defaults = defaults, writeDefaults = writeDefaults,
+      props = props, maint = false)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -779,7 +792,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * files and leaves the previous state untouched.
     */
   private def stage(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], mustExist: Option[Boolean]): StagedTable = {
+      partitions: Array[Transform], mustExist: Option[Boolean],
+      properties: util.Map[String, String]): StagedTable = {
     val part = parsePartition(schema, partitions)
     requireNoView(ident)
     val d = dirOf(ident)
@@ -792,23 +806,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => ()
     }
     new StagedManifestTable(d.toString, stripDefaultMeta(schema), part,
-      defaults = defaultsOf(schema))
+      defaults = defaultsOf(schema),
+      props = GraftCatalog.userProps(properties))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, partitions, mustExist = Some(false))
+    stage(ident, schema, partitions, mustExist = Some(false),
+      properties = properties)
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, partitions, mustExist = Some(true))
+    stage(ident, schema, partitions, mustExist = Some(true),
+      properties = properties)
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, partitions, mustExist = None)
+    stage(ident, schema, partitions, mustExist = None,
+      properties = properties)
 
   // ---- SupportsNamespaces (directories under the warehouse) ----
 
@@ -1393,7 +1411,7 @@ class CherryPickProcedure(warehouse: Path) extends UnboundProcedure {
   * bad commit ([[ManifestV2.rollbackTo]]): one metadata-only commit
   * whose state IS the old version's, history preserved, the change
   * feed showing the reversal as retractions. Exactly one of
-  * `version` / `timestamp_ms` must be given.
+  * `version` / `timestamp_ms` / `tag` must be given.
   */
 class RollbackProcedure(warehouse: Path) extends UnboundProcedure {
   override def name(): String = "rollback"
@@ -1408,18 +1426,26 @@ class RollbackProcedure(warehouse: Path) extends UnboundProcedure {
       ProcedureParameter.in("ns", StringType).comment("namespace").build(),
       ProcedureParameter.in("tbl", StringType).comment("table name").build(),
       ProcedureParameter.in("version", LongType).defaultValue("-1")
-        .comment("snapshot version to restore; -1 = use timestamp_ms").build(),
+        .comment("snapshot version to restore").build(),
       ProcedureParameter.in("timestamp_ms", LongType).defaultValue("-1")
-        .comment("restore latest snapshot stamped <= this epoch-millis").build())
+        .comment("restore latest snapshot stamped <= this epoch-millis").build(),
+      ProcedureParameter.in("tag", StringType).defaultValue("''")
+        .comment("restore the version a tag pins").build())
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
       require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
       val ver = input.getLong(2)
       val ts = input.getLong(3)
-      require((ver >= 0L) != (ts >= 0L),
-        "give exactly one of version => v / timestamp_ms => t")
+      val tag = input.getString(4)
+      require(Seq(ver >= 0L, ts >= 0L, tag.nonEmpty).count(identity) == 1,
+        "give exactly one of version => v / timestamp_ms => t / tag => name")
       val target =
         if (ver >= 0L) ver
+        else if (tag.nonEmpty)
+          ManifestV2.listTags(dir.toString).collectFirst {
+            case (n, v) if n == tag => v
+          }.getOrElse(throw new IllegalArgumentException(
+            s"no tag '$tag' at $dir"))
         else ManifestV2.versionAsOfTimestamp(dir.toString, ts)
       val v = ManifestV2.rollbackTo(dir.toString, target)
       val res: Scan = new LocalScan {
@@ -1732,6 +1758,33 @@ object GraftCatalog {
     "hours" -> HoursUnbound,
     "months" -> MonthsUnbound,
     "truncate" -> TruncateUnbound)
+
+  /** The USER-set table properties out of a CREATE/REPLACE property
+    * map: engine-reserved keys (provider, location, owner, external)
+    * are Spark bookkeeping, not table metadata — everything else
+    * (including `comment`) is stored, versioned with the snapshot.
+    * Keys are validated against the manifest line format here, the
+    * single entry point for property writes.
+    */
+  private[graft] def userProps(
+      properties: java.util.Map[String, String]): Map[String, String] = {
+    val reserved = Set("provider", "location", "owner", "external")
+    val b = Map.newBuilder[String, String]
+    properties.forEach { (k, v) =>
+      if (!reserved.contains(k)) { requirePropKey(k); b += ((k, v)) }
+    }
+    b.result()
+  }
+
+  /** Property keys ride a `k=ESC(v)` manifest header token: `=` would
+    * split wrong and tab/newline would break the line — refuse them
+    * at set time rather than corrupt the header.
+    */
+  private[graft] def requirePropKey(k: String): Unit =
+    require(k.nonEmpty && !k.exists(c => c == '=' || c == '\t' ||
+        c == '\n' || c == '\r'),
+      s"table property key '$k' must be non-empty and free of " +
+        "'=', tabs, and newlines")
 
   /** Prove a column holds ZERO nulls, or refuse with the count —
     * the gate in front of SET NOT NULL. Metadata-only when every

@@ -367,7 +367,16 @@ object ManifestV2 {
         * removes the entry (omitted inserts go back to NULL / the
         * initial default).
         */
-      writeDefaults: Map[String, String] = Map.empty) {
+      writeDefaults: Map[String, String] = Map.empty,
+      /** TABLE PROPERTIES (`TBLPROPERTIES` / ALTER TABLE SET
+        * TBLPROPERTIES): free-form user metadata, versioned with the
+        * snapshot like every other definition facet (rollback
+        * restores them, clones carry them). Keys are refused at set
+        * time if they contain `=`, tab, or newline — the header line
+        * splits on those; values are esc'd. Reserved engine keys
+        * (provider/location/owner) are never stored.
+        */
+      props: Map[String, String] = Map.empty) {
     /** The CURRENT spec era's ordinal — index into the full era list
       * (history first, current last). Files written under era `i`
       * carry their point box under [[PartTransform.keyName]]`(i)`.
@@ -476,12 +485,17 @@ object ManifestV2 {
             lines.get(afterDef).startsWith("@wdefaults\t"))
           (parseDefaultsLine(lines.get(afterDef)), afterDef + 1)
         else (Map.empty[String, String], afterDef)
-      val (hist, afterHist) =
+      val (props, afterProps) =
         if (lines.size > afterWDef &&
-            lines.get(afterWDef).startsWith("@parthist\t"))
-          (lines.get(afterWDef).split("\t", 2)(1).split(";", -1).toSeq,
-            afterWDef + 1)
-        else (Nil, afterWDef)
+            lines.get(afterWDef).startsWith("@props\t"))
+          (parseDefaultsLine(lines.get(afterWDef)), afterWDef + 1)
+        else (Map.empty[String, String], afterWDef)
+      val (hist, afterHist) =
+        if (lines.size > afterProps &&
+            lines.get(afterProps).startsWith("@parthist\t"))
+          (lines.get(afterProps).split("\t", 2)(1).split(";", -1).toSeq,
+            afterProps + 1)
+        else (Nil, afterProps)
       val maint = lines.size > afterHist &&
         lines.get(afterHist).startsWith("@maint\t")
       val checks = Seq.newBuilder[(String, String)]
@@ -508,8 +522,8 @@ object ManifestV2 {
       val all = segd.flatMap(_.files) ++ inline
       Some((ManifestState(schema, epochs, all, v, part, checks.result(),
         maint, hist, commitTs = cts, aliases = aliases,
-        defaults = defaults, writeDefaults = wDefaults), segd,
-        inline.toSeq))
+        defaults = defaults, writeDefaults = wDefaults,
+        props = props), segd, inline.toSeq))
     }
   }
 
@@ -608,6 +622,8 @@ object ManifestV2 {
     }
     // write defaults are insert-fill metadata — scan planning skips
     if (i < lines.size && lines.get(i).startsWith("@wdefaults\t")) i += 1
+    // table properties are definition metadata — scan planning skips
+    if (i < lines.size && lines.get(i).startsWith("@props\t")) i += 1
     var hist: Seq[String] = Nil
     if (i < lines.size && lines.get(i).startsWith("@parthist\t")) {
       hist = lines.get(i).split("\t", 2)(1).split(";", -1).toSeq
@@ -741,10 +757,18 @@ object ManifestV2 {
       if (state.writeDefaults.isEmpty) Seq.empty
       else Seq("@wdefaults\t" + state.writeDefaults.toSeq.sortBy(_._1)
         .map { case (c, v) => s"$c=${esc(v)}" }.mkString("\t"))
+    // TBLPROPERTIES, written only when present (property-less
+    // manifests stay byte-identical): `@props\tk=ESC(v)\t…` — keys
+    // are `=`/tab/newline-free by the set-time guard, values esc'd
+    val propsLine =
+      if (state.props.isEmpty) Seq.empty
+      else Seq("@props\t" + state.props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${esc(v)}" }.mkString("\t"))
     val body = (state.schema.toDDL +: s"@v\t$version" +: epochLine +:
       s"@part\t${state.part.getOrElse("")}" +:
       s"@ts\t$commitTs" +:
-      (aliasLine ++ defaultsLine ++ wDefaultsLine ++ histLine ++ maintLine ++
+      (aliasLine ++ defaultsLine ++ wDefaultsLine ++ propsLine ++
+        histLine ++ maintLine ++
       state.checks.map { case (n, sql) => s"@check\t$n\t${esc(sql)}" } ++
       segLines ++
       inline.map(fileLine))).mkString("", "\n", "\n")
@@ -2108,10 +2132,9 @@ object ManifestV2 {
           case _ => e
         }
       }
-      ManifestState(s.schema, s.epochs, files, part = s.part,
-        checks = s.checks, maint = true, partHist = s.partHist,
-        aliases = s.aliases, defaults = s.defaults,
-        writeDefaults = s.writeDefaults)
+      // .copy, not a field-list rebuild: every definition facet
+      // (props, defaults, aliases, …) carries by construction
+      s.copy(files = files, maint = true)
     }: Unit
     (merged.size.toLong, before, after)
   }
@@ -2511,6 +2534,17 @@ class ManifestTable(path: String, externalSchema: StructType,
           .build(): org.apache.spark.sql.connector.catalog
           .constraints.Constraint
       }.toArray
+  /** TBLPROPERTIES from the manifest's `@props` header — what SHOW
+    * TBLPROPERTIES and DESCRIBE EXTENDED render. Versioned state:
+    * ALTER SET/UNSET commits a new snapshot, rollback restores them.
+    */
+  override def properties(): util.Map[String, String] = {
+    val out = new util.HashMap[String, String]()
+    meta.map(_.props).getOrElse(Map.empty)
+      .foreach { case (k, v) => out.put(k, v) }
+    out
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
@@ -2789,10 +2823,7 @@ class ManifestTable(path: String, externalSchema: StructType,
               " — this table never rewrites data for a DELETE")
         }
       }
-      ManifestV2.ManifestState(st.schema, st.epochs, files, part = st.part,
-        checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults,
-        writeDefaults = st.writeDefaults)
+      st.copy(files = files, maint = false)
     }: Unit
     // dropped files stay on disk: older manifest versions still
     // reference them (time travel); expireSnapshots reclaims
@@ -2803,10 +2834,7 @@ class ManifestTable(path: String, externalSchema: StructType,
     ManifestV2.commit(root) { cur =>
       val st = cur.getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
-      ManifestV2.ManifestState(st.schema, st.epochs, Seq.empty,
-        part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults,
-        writeDefaults = st.writeDefaults)
+      st.copy(files = Seq.empty, maint = false)
     }: Unit
     true
   }
@@ -3125,10 +3153,7 @@ class ManifestDeltaDeleteBatchWrite(path: String, fileOrd: Int,
         s"concurrent commit replaced ${lost.mkString(", ")} — retry the statement")
       val files = st.files.map(e =>
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
-      ManifestV2.ManifestState(st.schema, st.epochs, files,
-        part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults,
-        writeDefaults = st.writeDefaults)
+      st.copy(files = files, maint = false)
     }: Unit
   }
 
@@ -3321,10 +3346,7 @@ class ManifestDeltaUpdateBatchWrite(path: String, schema: StructType,
           " — retry the statement")
       val files = st.files.map(e =>
         bySrc.get(e.file).fold(e)(ds => e.copy(deletes = e.deletes ++ ds)))
-      ManifestV2.ManifestState(st.schema, st.epochs, files ++ added,
-        part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults,
-        writeDefaults = st.writeDefaults)
+      st.copy(files = files ++ added, maint = false)
     }: Unit
   }
 
@@ -3396,10 +3418,7 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
         s"concurrent commit replaced or mutated " +
           s"${lost.map(_.file).mkString(", ")} — retry the statement")
       val kept = st.files.filterNot(e => gone.contains(e.file))
-      ManifestV2.ManifestState(st.schema, st.epochs, kept ++ added,
-        part = st.part, checks = st.checks, partHist = st.partHist,
-        aliases = st.aliases, defaults = st.defaults,
-        writeDefaults = st.writeDefaults)
+      st.copy(files = kept ++ added, maint = false)
     }: Unit
     // replaced files stay on disk: older manifest versions reference
     // them (time travel); expireSnapshots is the reclamation path
@@ -3422,7 +3441,8 @@ class ManifestReplaceDataWrite(path: String, schema: StructType,
   */
 class StagedManifestTable(path: String, stagedSchema: StructType,
     part: Option[String],
-    defaults: Map[String, String] = Map.empty)
+    defaults: Map[String, String] = Map.empty,
+    props: Map[String, String] = Map.empty)
     extends Table with SupportsWrite with StagedTable {
   private val root = ManifestV2.rootOf(path)
   @volatile private var pending: Seq[ManifestV2.FileEntry] = Seq.empty
@@ -3505,7 +3525,8 @@ class StagedManifestTable(path: String, stagedSchema: StructType,
     ManifestV2.commit(root) { prev =>
       ManifestV2.ManifestState(
         stagedSchema, prev.map(_.epochs).getOrElse(Map.empty), pending,
-        part = part, defaults = defaults, writeDefaults = defaults)
+        part = part, defaults = defaults, writeDefaults = defaults,
+        props = props)
     }: Unit
   }
 
@@ -3806,7 +3827,8 @@ class ManifestPartitionedStreamingWrite(path: String, schema: StructType,
         partHist = cur.map(_.partHist).getOrElse(Nil),
         aliases = cur.map(_.aliases).getOrElse(Map.empty),
         defaults = cur.map(_.defaults).getOrElse(Map.empty),
-        writeDefaults = cur.map(_.writeDefaults).getOrElse(Map.empty))
+        writeDefaults = cur.map(_.writeDefaults).getOrElse(Map.empty),
+        props = cur.map(_.props).getOrElse(Map.empty))
     }: Unit
   }
 
@@ -4567,7 +4589,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
         partHist = prev.map(_.partHist).getOrElse(Nil),
         aliases = prev.map(_.aliases).getOrElse(Map.empty),
         defaults = prev.map(_.defaults).getOrElse(Map.empty),
-        writeDefaults = prev.map(_.writeDefaults).getOrElse(Map.empty))
+        writeDefaults = prev.map(_.writeDefaults).getOrElse(Map.empty),
+        props = prev.map(_.props).getOrElse(Map.empty))
     }: Unit
     // overwrite does NOT reclaim the replaced snapshot's files: the
     // previous manifest version still references them (VERSION AS OF);
@@ -4795,7 +4818,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
           partHist = cur.map(_.partHist).getOrElse(Nil),
           aliases = cur.map(_.aliases).getOrElse(Map.empty),
         defaults = cur.map(_.defaults).getOrElse(Map.empty),
-        writeDefaults = cur.map(_.writeDefaults).getOrElse(Map.empty))
+        writeDefaults = cur.map(_.writeDefaults).getOrElse(Map.empty),
+        props = cur.map(_.props).getOrElse(Map.empty))
       }: Unit
       // an epoch sidecar no pre-existing file needed is unreferenced
       epochDelete.foreach { case (rel, _) =>

@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MetaTables {
   val Names: Set[String] =
-    Set("history", "files", "tags", "branches", "partitions")
+    Set("history", "files", "tags", "branches", "partitions", "refs")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
@@ -52,6 +52,14 @@ object MetaTables {
       StructField("name", StringType, nullable = false),
       StructField("tip", LongType, nullable = false),
       StructField("base_version", LongType, nullable = false)))
+    case "refs" => StructType(Seq(
+      // every named pointer into the log in ONE view (the Iceberg
+      // `refs` table): tags pin a version, branches carry a tip
+      // ordinal over a fork base
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false), // tag|branch
+      StructField("version", LongType, nullable = false), // pin / base
+      StructField("tip", LongType, nullable = true))) // branches only
     case "partitions" => StructType(Seq(
       // rendered tuple ("@p.0=19815,@p.1=3"); null = files written
       // under no partitioning (or before the table's first spec)
@@ -227,6 +235,12 @@ object MetaTables {
       ManifestV2.listTags(dir).map { case (n, v) => Seq(n, v) }
     case "branches" =>
       ManifestV2.listBranches(dir).map { case (n, k, b) => Seq(n, k, b) }
+    case "refs" =>
+      ManifestV2.listTags(dir).map { case (n, v) =>
+        Seq(n, "tag", v, null)
+      } ++ ManifestV2.listBranches(dir).map { case (n, k, b) =>
+        Seq(n, "branch", b, k)
+      }
     case o => throw new IllegalArgumentException(s"no metadata view $o")
   }
 }

@@ -84,6 +84,38 @@ class RollbackSpec extends AnyFunSuite {
       .head().getLong(0) == 18L, "restored rows serve the NEW default")
   }
 
+  test("rollback by TAG name; tags and branches union in the refs view") {
+    spark.sql("DROP TABLE IF EXISTS graft.rb.tg")
+    spark.sql("CREATE TABLE graft.rb.tg (k BIGINT)") // v1
+    spark.sql("INSERT INTO graft.rb.tg VALUES (1), (2)") // v2
+    spark.sql("CALL graft.system.tag(" +
+      "ns => 'rb', tbl => 'tg', name => 'good', version => 2)").collect()
+    spark.sql("INSERT INTO graft.rb.tg VALUES (3)") // v3
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'rb', tbl => 'tg', name => 'wip')").collect()
+    // the unified refs view: one row per named pointer
+    val refs = spark.sql("""SELECT name, type, version, tip
+      |FROM graft.rb.tg.refs ORDER BY name""".stripMargin).collect()
+    assert(refs.length == 2)
+    assert(refs(0).getString(0) == "good" &&
+      refs(0).getString(1) == "tag" && refs(0).getLong(2) == 2L &&
+      refs(0).isNullAt(3))
+    assert(refs(1).getString(0) == "wip" &&
+      refs(1).getString(1) == "branch" && refs(1).getLong(2) == 3L &&
+      refs(1).getLong(3) == 0L)
+    // rollback resolves the tag to its pinned version
+    val r = spark.sql("CALL graft.system.rollback(" +
+      "ns => 'rb', tbl => 'tg', tag => 'good')").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L, s"got $r")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.rb.tg")
+      .head().getLong(0) == 2L)
+    val bad = intercept[Exception] {
+      spark.sql("CALL graft.system.rollback(" +
+        "ns => 'rb', tbl => 'tg', tag => 'nope')").collect()
+    }
+    assert(msgs(bad).exists(_.contains("no tag")), s"got: ${msgs(bad)}")
+  }
+
   test("refusals: current/future/expired targets, and the CALL " +
       "demands exactly one of version / timestamp_ms") {
     spark.sql("DROP TABLE IF EXISTS graft.rb.rf")
