@@ -169,6 +169,10 @@ object SparkEntry {
       graft.sources.GraftCatalog.partitionsMetaQuery(s, d)),
     "dsv2_clone" -> ((s, d) =>
       graft.sources.GraftCatalog.cloneQuery(s, d)),
+    "dsv2_tblproperties" -> ((s, d) =>
+      graft.sources.GraftCatalog.tblPropertiesQuery(s, d)),
+    "dsv2_refs" -> ((s, d) =>
+      graft.sources.GraftCatalog.refsViewQuery(s, d)),
     "dsv2_add_column_default" -> ((s, d) =>
       graft.sources.GraftCatalog.addColumnDefaultQuery(s, d)),
     "dsv2_coalesce_deletes" -> ((s, d) =>
@@ -3779,6 +3783,15 @@ object SparkEntry {
     // diverge independently (clone ingests, original deletes)
     "dsv2_clone" ->
       graft.sources.GraftCatalog.cloneSql(),
+
+    // TBLPROPERTIES: versioned definition state — SET/UNSET commit
+    // snapshots, rollback restores the era's own property set
+    "dsv2_tblproperties" ->
+      graft.sources.GraftCatalog.tblPropertiesSql(),
+
+    // t.refs: tags + branches as one metadata view
+    "dsv2_refs" ->
+      graft.sources.GraftCatalog.refsViewSql(),
 
     // ADD COLUMN ... DEFAULT: pre-add files serve the existence
     // default from the leaf; inserts omitting the column are filled

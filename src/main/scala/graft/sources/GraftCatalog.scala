@@ -3051,6 +3051,86 @@ object GraftCatalog {
       |WHERE o_orderkey % 2 = 0 AND o_orderkey % 97 >= 20
       |ORDER BY side""".stripMargin
 
+  /** Driver-contract query for TBLPROPERTIES (round 15): properties
+    * are VERSIONED DEFINITION STATE in the manifest header — CREATE
+    * carries them, ALTER SET/UNSET commit snapshots, and rollback
+    * restores the era's own set alongside the data. The query drives
+    * the full lifecycle and reads the final SHOW TBLPROPERTIES — a
+    * property leaking across a rollback, a lost UNSET, or a default
+    * engine key polluting the stored set all break the closed form.
+    */
+  def tblPropertiesQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.tpr")
+    spark.sql("""CREATE TABLE graft.db.tpr (k BIGINT)
+      |TBLPROPERTIES ('team' = 'data-eng', 'tier' = 'bronze')"""
+      .stripMargin) // v1
+    spark.sql("INSERT INTO graft.db.tpr VALUES (1), (2)") // v2
+    spark.sql("ALTER TABLE graft.db.tpr SET TBLPROPERTIES " +
+      "('tier' = 'gold', 'ttl' = '30d')") // v3
+    spark.sql("ALTER TABLE graft.db.tpr UNSET TBLPROPERTIES ('team')") // v4
+    // the rollback restores v2's property era WITH its data
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.rollback(" +
+      "ns => 'db', tbl => 'tpr', version => 2)").collect() // v5
+    spark.sql("ALTER TABLE graft.db.tpr SET TBLPROPERTIES " +
+      "('audited' = 'true')") // v6
+    spark.sql("SHOW TBLPROPERTIES graft.db.tpr")
+      .select("key", "value").orderBy("key")
+  }
+
+  /** [[tblPropertiesQuery]] oracle: the rollback revived `team` and
+    * bronze `tier`, erased `ttl`, and the post-rollback SET added
+    * `audited` — a pure-constants closed form.
+    */
+  def tblPropertiesSql(): String =
+    """SELECT 'audited' AS key, 'true' AS value
+      |UNION ALL SELECT 'team', 'data-eng'
+      |UNION ALL SELECT 'tier', 'bronze'
+      |ORDER BY key""".stripMargin
+
+  /** Driver-contract query for the `refs` METADATA VIEW (round 15):
+    * every named pointer — tags and branches — in one SELECT-able
+    * table, the first thing an operator lists before a travel or a
+    * publish. The closed form pins tag pins, branch fork bases, and
+    * tip ordinals after a staged commit.
+    */
+  def refsViewQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rfs")
+    spark.sql("CREATE TABLE graft.db.rfs (k BIGINT)") // v1
+    spark.sql("INSERT INTO graft.db.rfs VALUES (1)") // v2
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.tag(" +
+      "ns => 'db', tbl => 'rfs', name => 'rel_a', version => 2)").collect()
+    spark.sql("INSERT INTO graft.db.rfs VALUES (2)") // v3
+    // bounded: procedure result, one row
+    spark.sql("CALL graft.system.branch(" +
+      "ns => 'db', tbl => 'rfs', name => 'wip')").collect() // fork @ v3
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirPath = java.nio.file.Paths.get(wh, "db", "rfs").toString
+    spark.sql("SELECT CAST(3 AS BIGINT) AS k")
+      .write.format("graft.sources.ManifestV2")
+      .option("path", dirPath).option("branch", "wip")
+      .mode("append").save() // tip ordinal 1
+    spark.sql("""SELECT name, type, version, tip
+      |FROM graft.db.rfs.refs ORDER BY name""".stripMargin)
+  }
+
+  /** [[refsViewQuery]] oracle: one tag pinned at v2, one branch
+    * forked at v3 with one staged commit.
+    */
+  def refsViewSql(): String =
+    """SELECT 'rel_a' AS name, 'tag' AS type, CAST(2 AS BIGINT) AS version,
+      |  CAST(NULL AS BIGINT) AS tip
+      |UNION ALL
+      |SELECT 'wip', 'branch', CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+      |ORDER BY name""".stripMargin
+
   /** Driver-contract query for the `partitions` METADATA VIEW (round
     * 15 — the rollup every maintenance decision reads): a table lives
     * through TWO partition-spec eras (`truncate(2, uid)`, evolved to
