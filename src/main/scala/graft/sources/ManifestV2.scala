@@ -1548,6 +1548,11 @@ object ManifestV2 {
     seen.foreach { rel =>
       val to = dst.resolve(rel)
       Option(to.getParent).foreach(Files.createDirectories(_): Unit)
+      // a clone that crashed mid-link (e.g. the source expired a file
+      // between manifest read and link) leaves orphan names under a
+      // directory with NO manifest — the retry must not trip over
+      // them, so an existing name is replaced, never trusted
+      Files.deleteIfExists(to)
       try { Files.createLink(to, src.resolve(rel)); () }
       catch { case _: UnsupportedOperationException =>
         Files.copy(src.resolve(rel), to); ()
