@@ -1312,8 +1312,8 @@ class DropTagProcedure(warehouse: Path) extends UnboundProcedure {
 class BranchProcedure(warehouse: Path) extends UnboundProcedure {
   override def name(): String = "branch"
   override def description(): String =
-    "fork a writable branch at the current version " +
-      "(write-audit-publish staging)"
+    "fork a writable branch at the current (or a retained older) " +
+      "version (write-audit-publish staging)"
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
     override def name(): String = "branch"
     override def description(): String = BranchProcedure.this.description()
@@ -1321,11 +1321,14 @@ class BranchProcedure(warehouse: Path) extends UnboundProcedure {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("ns", StringType).comment("namespace").build(),
       ProcedureParameter.in("tbl", StringType).comment("table name").build(),
-      ProcedureParameter.in("name", StringType).comment("branch name").build())
+      ProcedureParameter.in("name", StringType).comment("branch name").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1")
+        .comment("fork base; -1 (default) = current version").build())
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val dir = warehouse.resolve(input.getString(0)).resolve(input.getString(1))
       require(Files.exists(dir.resolve("manifest.txt")), s"no table at $dir")
-      val base = ManifestV2.createBranch(dir.toString, input.getString(2))
+      val base = ManifestV2.createBranch(dir.toString, input.getString(2),
+        atVersion = input.getLong(3))
       val res: Scan = new LocalScan {
         override def readSchema(): StructType = StructType(Seq(
           StructField("branch", StringType, nullable = false),

@@ -1152,17 +1152,32 @@ object ManifestV2 {
     out.result().sortBy(_._1)
   }
 
-  /** Fork a branch at the CURRENT main version. Same namespace as
-    * tags (one `refs/` name space — a name is a pin or a head, never
-    * both).
+  /** Fork a branch at the CURRENT main version — or, with
+    * `atVersion >= 0`, at a RETAINED OLDER one (the incident-response
+    * fork: stage a fix against the pre-bad snapshot while main keeps
+    * moving, then cherry-pick or rollback+fast-forward). Same
+    * namespace as tags (one `refs/` name space — a name is a pin or
+    * a head, never both). A historical fork base is pinned against
+    * expiry like any other (expiry treats branch bases as tagged).
     */
-  def createBranch(path: String, name: String): Long = {
+  def createBranch(path: String, name: String,
+      atVersion: Long = -1L): Long = {
     val root = rootOf(path)
     require(validTagName(name),
       s"branch name must be [A-Za-z0-9._-]+ and not purely numeric: " +
         s"'$name'")
-    val base = readManifest(root).map(_.version).getOrElse(
+    val cur = readManifest(root).map(_.version).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
+    val base =
+      if (atVersion < 0L) cur
+      else {
+        require(atVersion <= cur,
+          s"cannot fork at v$atVersion — current is v$cur")
+        require(readManifest(root, atVersion).isDefined,
+          s"cannot fork at v$atVersion — that version is not " +
+            s"retained (expired?)")
+        atVersion
+      }
     Files.createDirectories(refsDir(root))
     // CREATE_NEW (O_EXCL) is the CAS: a pre-check + ATOMIC_MOVE would
     // be a TOCTOU (rename(2) silently replaces on POSIX), letting two

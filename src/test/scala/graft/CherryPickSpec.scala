@@ -73,6 +73,38 @@ class CherryPickSpec extends AnyFunSuite {
       .head().getLong(0) == 13L)
   }
 
+  test("fork at a RETAINED OLDER version (branch(version => v)): the " +
+      "incident-response branch stages against the pre-bad snapshot") {
+    spark.sql("DROP TABLE IF EXISTS graft.cp.hv")
+    spark.sql("CREATE TABLE graft.cp.hv (k BIGINT)") // v1
+    spark.sql("INSERT INTO graft.cp.hv SELECT id FROM range(0, 10, 1, 1)") // v2
+    spark.sql("INSERT INTO graft.cp.hv SELECT id FROM range(500, 503, 1, 1)") // v3 (bad)
+    val r = spark.sql("CALL graft.system.branch(" +
+      "ns => 'cp', tbl => 'hv', name => 'fix', version => 2)").head()
+    assert(r.getLong(1) == 2L, s"fork base v2, got $r")
+    val d = dir("hv")
+    import spark.implicits._
+    spark.range(100L, 103L).select($"id".as("k"))
+      .write.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "fix").mode("append").save()
+    // the branch tip = pre-bad snapshot + the staged fix; main still
+    // carries the bad batch
+    val tip = spark.read.format("graft.sources.ManifestV2")
+      .option("path", d).option("branch", "fix").load()
+    assert(tip.count() == 13L &&
+      tip.agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) ==
+        (0L until 10L).sum + (100L until 103L).sum)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.cp.hv")
+      .head().getLong(0) == 13L, "main untouched: 10 good + 3 bad")
+    // refusals: future version, non-retained version
+    def msgs2(t: Throwable): Seq[String] = msgs(t)
+    val fut = intercept[Exception] {
+      spark.sql("CALL graft.system.branch(" +
+        "ns => 'cp', tbl => 'hv', name => 'f2', version => 9)").collect()
+    }
+    assert(msgs2(fut).exists(_.contains("current is")), s"got: ${msgs(fut)}")
+  }
+
   test("refuses a branch that removed a fork-base file (a staged " +
       "delete/rewrite is a real conflict)") {
     val d = seed("rm")

@@ -116,5 +116,8 @@ class PropertiesSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE graft.pr.s SET TBLPROPERTIES " +
       "('note' = 'line1\\tline2')")
     assert(propsOf("s")("note").contains("line1"))
+    // COMMENT ON TABLE rides the same property plane
+    spark.sql("COMMENT ON TABLE graft.pr.s IS 'the stream sink'")
+    assert(propsOf("s").get("comment").contains("the stream sink"))
   }
 }
