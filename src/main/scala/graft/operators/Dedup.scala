@@ -114,7 +114,10 @@ object Dedup {
       maxDf: Long = DefaultMaxDf): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = shingleSetOf(docs, n).cache()
+    // eager checkpoint, not cache: sizes/capDf/pair-join all read sh
+    // from independent (concurrent) jobs — a lazy cache lets each
+    // recompute the md5 shingle scan before first materialization
+    val sh = shingleSetOf(docs, n).localCheckpoint(true)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val shc = capDf(sh, maxDf)
     val common = shc.as("a").join(shc.as("b"),
@@ -158,7 +161,10 @@ object Dedup {
       maxDf: Long = DefaultMaxDf): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = shingleSetOf(docs, n).cache()
+    // eager checkpoint, not cache: sizes/capDf/pair-join all read sh
+    // from independent (concurrent) jobs — a lazy cache lets each
+    // recompute the md5 shingle scan before first materialization
+    val sh = shingleSetOf(docs, n).localCheckpoint(true)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val shc = capDf(sh, maxDf)
     val common = shc.as("a").join(shc.as("b"),
@@ -285,10 +291,17 @@ object Dedup {
     import spark.implicits._
     require(numHashes == bands * 4,
       s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
-    val members = exactRepOf(docs).cache()
+    // localCheckpoint(eager), not cache(): these frames are read by
+    // several INDEPENDENT jobs (broadcast builds run concurrently on
+    // separate threads), and a lazily-populated cache lets every one
+    // of them recompute the md5-heavy shingle scan before the first
+    // materialization lands (measured: 8-10 duplicate document scans
+    // per run at sf0.1). Eager checkpoint runs the scan exactly once
+    // and truncates lineage; storage level is the same MEMORY_AND_DISK.
+    val members = exactRepOf(docs).localCheckpoint(true)
     val repIds = members.filter($"doc_id" === $"rep").select($"doc_id")
-    val sh = shingleSetOf(docs, n).cache()
-    val sigs = minhashSigs(sh.join(repIds, "doc_id"), numHashes).cache()
+    val sh = shingleSetOf(docs, n).localCheckpoint(true)
+    val sigs = minhashSigs(sh.join(repIds, "doc_id"), numHashes).localCheckpoint(true)
     val banded = bandKeys(sigs, numHashes, bands)
     val cand = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.k1" === $"y.k1" && $"x.k2" === $"y.k2" &&
@@ -481,8 +494,8 @@ object Dedup {
     import spark.implicits._
     require(numHashes == bands * 4,
       s"band-key packing assumes r=4 rows per band; got numHashes=$numHashes, bands=$bands")
-    val sh = shingleSetOf(docs, n).cache()
-    val sigs = minhashSigs(sh, numHashes).cache()
+    val sh = shingleSetOf(docs, n).localCheckpoint(true)
+    val sigs = minhashSigs(sh, numHashes).localCheckpoint(true)
     val banded = bandKeys(sigs, numHashes, bands)
     val cand = probe(banded).as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.k1" === $"y.k1" && $"x.k2" === $"y.k2" &&
@@ -769,7 +782,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val benchSh = shingleSetOf(benchmark, n).select($"h").distinct()
-      .cache()
+      .localCheckpoint(true)
     val bitset = bloomWordsOf(benchSh, mBits)
     val survivors = shingleSetOf(docs, n).filter(bloomHit(bitset, $"h", mBits))
     // exact verify: shuffle hash join (NOT broadcast — the premise is
@@ -916,7 +929,7 @@ object Dedup {
     require(maxHamming <= bands - 1,
       s"banding is only complete for hamming <= bands-1 (pigeonhole); got maxHamming=$maxHamming, bands=$bands")
     val bandBits = bits / bands
-    val sig = simhashSignaturesOf(docs, bits).cache()
+    val sig = simhashSignaturesOf(docs, bits).localCheckpoint(true)
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
       shiftright($"simhash", b * bandBits)
         .bitwiseAND(lit((1L << bandBits) - 1)).as("key")))
@@ -949,7 +962,7 @@ object Dedup {
     */
   def semanticDedupKeeper(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = embeddingNearDupLshOf(Tables.embeddings(spark, dir))
+    val pairs = embeddingNearDupLshOf(Tables.widened(spark, Tables.embeddings(spark, dir)))
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
     clusterBestKeeperOf(clusterPairsOf(pairs),
       Tables.widened(spark, Tables.documents(spark, dir)))
@@ -991,7 +1004,7 @@ object Dedup {
       .join(ids.select($"vec_id".as("doc_a")), Seq("doc_a"), "left_semi")
       .join(ids.select($"vec_id".as("doc_b")), Seq("doc_b"), "left_semi")
       .select($"doc_a", $"doc_b")
-    val sem = embeddingNearDupLshOf(Tables.embeddings(spark, dir))
+    val sem = embeddingNearDupLshOf(Tables.widened(spark, Tables.embeddings(spark, dir)))
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
     // ONE action over a tagged union: each detector's (expensive) pair
     // pipeline evaluates exactly once — the former count()/count()/
@@ -1016,7 +1029,7 @@ object Dedup {
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
       minCos: Double = 0.4): DataFrame =
-    embeddingNearDupOf(Tables.embeddings(spark, dir), minCos)
+    embeddingNearDupOf(Tables.widened(spark, Tables.embeddings(spark, dir)), minCos)
 
   /** [[embeddingNearDup]] over any (vec_id, embedding ARRAY<FLOAT>). */
   def embeddingNearDupOf(embeddings: DataFrame,
@@ -1049,7 +1062,7 @@ object Dedup {
     */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
       minCos: Double = 0.4): DataFrame =
-    embeddingNearDupLshOf(Tables.embeddings(spark, dir), minCos)
+    embeddingNearDupLshOf(Tables.widened(spark, Tables.embeddings(spark, dir)), minCos)
 
   /** [[embeddingNearDupLsh]] over any (vec_id, embedding ARRAY<FLOAT>). */
   def embeddingNearDupLshOf(embeddings: DataFrame,
@@ -1137,33 +1150,67 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val sh = shingleSetOf(docs, n).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    // both consumers of the shingle set (dfreq and the rollup join)
+    // live inside the ONE docArr plan below, whose distinct exchange
+    // they share (ReusedExchange) — so the md5 pass runs once without
+    // its own checkpoint; only docArr, read by three downstream
+    // subtrees across independent jobs, is materialized eagerly
+    val sh = shingleSetOf(docs, n)
     val dfreq = sh.groupBy($"h").agg(count(lit(1)).as("df"))
-    // rank each doc's tokens rarest-first; ties broken by h so the
-    // prefix is deterministic in both engines
-    val ranked = sh.join(dfreq, "h")
-      .withColumn("pos",
-        row_number().over(Window.partitionBy($"doc_id").orderBy($"df", $"h")))
-      .join(sizes, "doc_id")
-      // prefix length = sz − ⌈τ·sz⌉ + 1, in exact ppm arithmetic
-      .filter($"pos" <= $"sz" - expr(s"(sz * $tauPpm + 999999) div 1000000") + 1)
-      .select($"doc_id", $"h", $"sz")
-    val cand = ranked.as("a").join(ranked.as("b"),
+    // ONE (doc_id)-keyed aggregation replaces the former row_number
+    // window AND the token-level verify joins: each doc's tokens land
+    // rarest-first (df asc, h asc — the same total order the window
+    // used; equal (df, h) within a doc's distinct set is impossible,
+    // so the order is total) in a single sorted array. The prefix is
+    // then a slice, and the exact verify an array_intersect at the
+    // PAIR level — the old plan re-shuffled candidate × token rows
+    // (Σ_pairs |T|) into a groupBy; this one moves each doc's array
+    // once per candidate side and intersects in place.
+    val docArr = sh.join(dfreq, "h")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"h"))).as("toks"))
+      .select($"doc_id",
+        transform($"toks", t => t.getField("h")).as("hs"),
+        size($"toks").cast("long").as("sz"))
+      .localCheckpoint(true)
+    // prefix length = sz − ⌈τ·sz⌉ + 1, in exact ppm arithmetic
+    // The prefix-prefix join is compute-dense (O(Σ_h df(h)²) candidate
+    // rows from few input bytes), which defeats AQE's byte-based
+    // coalescing — it would fold the join down to a handful of 1 MB
+    // tasks and serialize the candidate generation. An explicit
+    // repartition on the join key at the session's shuffle parallelism
+    // (the deployment-tuned, scale-adaptive knob) pins the join's
+    // width; both sides share the one exchange (self-join), so this
+    // adds no shuffle.
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val prefix = docArr.select($"doc_id", $"sz",
+      explode(slice($"hs", lit(1),
+        ($"sz" - expr(s"(sz * $tauPpm + 999999) div 1000000") + 1)
+          .cast("int"))).as("h"))
+      .repartition(nPart, $"h")
+    // shuffle-hash, not broadcast: at scale the prefix index is far too
+    // large to broadcast (Catalyst only picks BHJ here because the
+    // test corpus is tiny), and the hint makes the join consume the
+    // pinned-width exchange directly — both sides reuse the ONE
+    // repartition above, so candidate generation runs at full width
+    val cand = prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
           $"b.sz" * 1000000L >= $"a.sz" * tauPpm &&
           $"a.sz" * 1000000L >= $"b.sz" * tauPpm)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      // same pinned width for the dedup of the candidate stream — its
+      // exchange is as compute-dense per byte as the join above
+      .repartition(nPart, $"doc_a", $"doc_b")
       .distinct()
-    // exact verify on the FULL sets — candidates × their tokens only
-    val common = cand
-      .join(sh.as("ta"), $"doc_a" === $"ta.doc_id")
-      .join(sh.as("tb"), $"doc_b" === $"tb.doc_id" && $"ta.h" === $"tb.h")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+    // exact verify on the FULL sets — candidates × their token arrays
+    cand
+      .join(docArr.select($"doc_id".as("doc_a"), $"hs".as("ha"),
+        $"sz".as("sza")), "doc_a")
+      .join(docArr.select($"doc_id".as("doc_b"), $"hs".as("hb"),
+        $"sz".as("szb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"ha", $"hb")).cast("long").as("common"),
+        $"sza", $"szb")
       .select($"doc_a", $"doc_b", $"common",
         expr("common * 1000000 div (sza + szb - common)").as("jaccard_ppm"))
       .filter($"jaccard_ppm" >= tauPpm)

@@ -83,13 +83,18 @@ object Graph {
   def pagerankOf(edgesIn: DataFrame, rounds: Int = Rounds): DataFrame = {
     val spark = edgesIn.sparkSession
     import spark.implicits._
-    val edges = edgesIn.cache()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg")).cache()
+    // eager checkpoints, not cache: the per-round joins and their
+    // broadcast builds run as independent concurrent jobs, and a lazy
+    // cache lets each re-run the whole upstream edge build before the
+    // first materialization lands (measured duplicate scans at sf0.1)
+    val edges = edgesIn.localCheckpoint(true)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
     // (src, dst, out_deg) is loop-invariant: join it ONCE and cache, so
     // each rank round is a single join with the ranks frame — not a
     // rebuild of the same edge×degree join five times over.
     val edgesDeg = edges.join(deg, Seq("src"))
-      .select($"src", $"dst", $"out_deg").cache()
+      .select($"src", $"dst", $"out_deg").localCheckpoint(true)
     val nodes = deg.select($"src".as("node")) // symmetric graph: src set == node set
     val n = nodes.count()
     var ranks = nodes.select($"node",
@@ -137,7 +142,7 @@ object Graph {
       rounds: Int = LpRounds): DataFrame = {
     val spark = edgesIn.sparkSession
     import spark.implicits._
-    val edges = edgesIn.cache()
+    val edges = edgesIn.localCheckpoint(true)
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))
     for (_ <- 1 to rounds) {
@@ -271,7 +276,7 @@ object Graph {
   def triangleCountsOf(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val elt = edges.filter($"src" < $"dst").cache()
+    val elt = edges.filter($"src" < $"dst").localCheckpoint(true)
     val tri = elt.as("ab")
       .join(elt.as("bc"), col("ab.dst") === col("bc.src"))
       .join(elt.as("ac"),
@@ -319,7 +324,7 @@ object Graph {
         Window.partitionBy($"user_id").orderBy($"pop".desc, $"song_id")))
       .filter($"rn" <= maxItemsPerUser)
       .select($"user_id", $"song_id")
-      .cache()
+      .localCheckpoint(true)
     val users = capped.groupBy($"song_id").agg(count(lit(1)).as("u"))
     val co = capped.as("x").join(capped.as("y"),
         $"x.user_id" === $"y.user_id" && $"x.song_id" < $"y.song_id")
@@ -364,7 +369,7 @@ object Graph {
     // the edge relation is consumed three times (degrees, adjacency,
     // final anti-join) — without the cache the whole upstream edge
     // build re-runs for each (measured 12 s -> 4 s at sf0.1)
-    val edges = edgesIn.cache()
+    val edges = edgesIn.localCheckpoint(true)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val adj = edges
       .join(deg.select($"src".as("dst"), $"deg".as("dst_deg")), Seq("dst"))
@@ -372,7 +377,7 @@ object Graph {
         Window.partitionBy($"src").orderBy($"dst_deg".desc, $"dst")))
       .filter($"rn" <= maxDeg)
       .select($"src", $"dst")
-      .cache()
+      .localCheckpoint(true)
     // capped in-degree: how many centers list this song
     val indeg = adj.groupBy($"dst").agg(count(lit(1)).as("ideg"))
     val cn = adj.as("l").join(adj.as("r"),
@@ -505,7 +510,7 @@ object Graph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"user_id").orderBy($"pop".desc, $"song_id")))
       .filter($"rn" <= maxItemsPerUser)
-      .select($"user_id", $"song_id").cache()
+      .select($"user_id", $"song_id").localCheckpoint(true)
     val cnt = capped.groupBy($"song_id").agg(count(lit(1)).as("n"))
     // oriented (a < b) so each pair is counted once, then mirrored
     val coc = capped.as("x").join(capped.as("y"),
@@ -552,7 +557,7 @@ object Graph {
     // slots feeds three aggregates (totals, head share, coverage join);
     // cached so the item-similarity pipeline beneath runs once
     val slots = recs.groupBy($"other").agg(count(lit(1)).as("slots"))
-      .cache()
+      .localCheckpoint(true)
     val tot = slots.agg(count(lit(1)).as("n_recommended"),
       sum($"slots").as("total_slots"))
     val top = slots.orderBy($"slots".desc, $"other").limit(topN)
@@ -725,26 +730,31 @@ object Graph {
       focusUser: Long = PprFocusUser, k: Int = PprTopK): DataFrame = {
     val spark = pos.sparkSession
     import spark.implicits._
-    val edges = coRatingEdgesOf(pos).cache()
+    val edges = coRatingEdgesOf(pos).localCheckpoint(true)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg"))
     val edgesDeg = edges.join(deg, Seq("src"))
-      .select($"src", $"dst", $"out_deg").cache()
+      .select($"src", $"dst", $"out_deg").localCheckpoint(true)
     val seeds = pos.filter($"user_id" === focusUser)
-      .select($"song_id".as("node")).cache()
+      .select($"song_id".as("node")).localCheckpoint(true)
     val nSeeds = seeds.count()
     require(nSeeds > 0, s"focus user $focusUser has no rated songs")
     val base = (RankScale * (100L - DampingPct) / 100L) / nSeeds
     var ranks = seeds.select($"node", lit(RankScale / nSeeds).as("r"))
     for (_ <- 1 to rounds) {
+      // one (node)-keyed aggregation per round instead of two: the
+      // damped-contribution sum and the seed base term fold in a
+      // single groupBy over a tagged union ((D*sum c) div 100 + sum b
+      // == the former two-level union + re-aggregate exactly — seeds
+      // are distinct, so sum(b) is base on seed nodes and 0 elsewhere)
       val contrib = edgesDeg
         .join(ranks, $"src" === $"node")
-        .select($"dst", expr("r div out_deg").as("c"))
-        .groupBy($"dst")
-        .agg(expr(s"($DampingPct * sum(c)) div 100").as("r"))
-        .select($"dst".as("node"), $"r")
+        .select($"dst".as("node"), expr("r div out_deg").as("c"),
+          lit(0L).as("b"))
       ranks = contrib
-        .unionByName(seeds.select($"node", lit(base).as("r")))
-        .groupBy($"node").agg(sum($"r").as("r"))
+        .unionByName(seeds.select($"node", lit(0L).as("c"),
+          lit(base).as("b")))
+        .groupBy($"node")
+        .agg((expr(s"($DampingPct * sum(c)) div 100") + sum($"b")).as("r"))
     }
     // TakeOrderedAndProject first (distributed top-k), THEN number the
     // k survivors — never a global row_number over the whole catalog

@@ -1822,7 +1822,7 @@ object Relational {
     val perUser = Tables.widened(spark, Tables.events(spark, dir))
       .groupBy($"event_type", $"user_id")
       .agg(count(lit(1)).as("cnt"))
-      .cache()
+      .localCheckpoint(true)
     val w = Window.partitionBy($"event_type")
       .orderBy($"cnt".desc, $"user_id")
     val top = perUser.withColumn("rk", row_number().over(w))

@@ -62,7 +62,7 @@ object Retrieval {
         terms.zipWithIndex.map { case (term, i) =>
           size(filter(t, x => x === lit(term))).as(s"tf$i")
         }): _*)
-      .cache()
+      .localCheckpoint(true)
     // single-row corpus stats: N, Σdl, df per term
     val statCols = count(lit(1)).as("n") +: sum($"dl").as("sdl") +:
       terms.indices.map(i =>
@@ -212,7 +212,7 @@ object Retrieval {
       kOut: Int = FusionOut): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.widened(spark, Tables.embeddings(spark, dir))
     val sem = Similarity.cosineTopKOf(emb, kPer, nQueries)
       .select($"query_id", $"neighbor_id".as("id"),
         $"rank".cast("long").as("rank_sem"))

@@ -33,7 +33,7 @@ object Similarity {
     */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 8): DataFrame =
-    cosineTopKOf(Tables.embeddings(spark, dir), k, nQueries)
+    cosineTopKOf(Tables.widened(spark, Tables.embeddings(spark, dir)), k, nQueries)
 
   /** [[cosineTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
   def cosineTopKOf(embeddings: DataFrame, k: Int = 5,
@@ -80,7 +80,7 @@ object Similarity {
     */
   def mmrRerank(spark: SparkSession, dir: String, k: Int = 5,
       topN: Int = 20, nQueries: Int = 8): DataFrame =
-    mmrRerankOf(Tables.embeddings(spark, dir), k, topN, nQueries)
+    mmrRerankOf(Tables.widened(spark, Tables.embeddings(spark, dir)), k, topN, nQueries)
 
   /** [[mmrRerank]] over any (vec_id, embedding ARRAY<FLOAT>). */
   def mmrRerankOf(embeddings: DataFrame, k: Int = 5, topN: Int = 20,
@@ -193,7 +193,7 @@ object Similarity {
     */
   def srpTopK(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 8): DataFrame =
-    srpTopKOf(Tables.embeddings(spark, dir), k, nQueries)
+    srpTopKOf(Tables.widened(spark, Tables.embeddings(spark, dir)), k, nQueries)
 
   /** [[srpTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
   def srpTopKOf(embeddings: DataFrame, k: Int = 5,
@@ -254,7 +254,7 @@ object Similarity {
     * hash arrays — components are exact integers in both engines.
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    labelCentroidsOf(Tables.embeddings(spark, dir))
+    labelCentroidsOf(Tables.widened(spark, Tables.embeddings(spark, dir)))
 
   /** [[labelCentroids]] over any (label, embedding ARRAY<FLOAT>). */
   def labelCentroidsOf(embeddings: DataFrame): DataFrame = {
@@ -288,7 +288,7 @@ object Similarity {
     * can't hash arrays.
     */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
-    quantizeInt8Of(Tables.embeddings(spark, dir))
+    quantizeInt8Of(Tables.widened(spark, Tables.embeddings(spark, dir)))
 
   /** [[quantizeInt8]] over any (vec_id, embedding ARRAY<FLOAT>). */
   def quantizeInt8Of(embeddings: DataFrame): DataFrame = {
@@ -545,7 +545,7 @@ object Similarity {
   def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2,
       iters: Int = 2): DataFrame =
-    ivfKmeansTopKOf(Tables.embeddings(spark, dir), k, nQueries,
+    ivfKmeansTopKOf(Tables.widened(spark, Tables.embeddings(spark, dir)), k, nQueries,
       centroidEvery, nprobe, iters)
 
   /** [[ivfKmeansTopK]] over any (vec_id, embedding ARRAY<FLOAT>).
@@ -611,7 +611,7 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2): DataFrame =
-    ivfTopKOf(Tables.embeddings(spark, dir), k, nQueries, centroidEvery, nprobe)
+    ivfTopKOf(Tables.widened(spark, Tables.embeddings(spark, dir)), k, nQueries, centroidEvery, nprobe)
 
   /** Per-centroid cosine columns in the float domain, mirroring the
     * oracle's operand order exactly: (dot(cv, v) / |cv|) / |v|. The
@@ -682,7 +682,7 @@ object Similarity {
     */
   def incrementalIvfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nNew: Int = 8, centroidEvery: Int = 250, nprobe: Int = 2): DataFrame =
-    incrementalIvfTopKOf(Tables.embeddings(spark, dir), k, nNew,
+    incrementalIvfTopKOf(Tables.widened(spark, Tables.embeddings(spark, dir)), k, nNew,
       centroidEvery, nprobe)
 
   /** [[incrementalIvfTopK]] over any (vec_id, embedding ARRAY<FLOAT>). */
@@ -781,7 +781,7 @@ object Similarity {
     */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 8,
       m: Int = 4, centroidEvery: Int = 50, iters: Int = 1): DataFrame =
-    pqTopKOf(Tables.embeddings(spark, dir), k, nQueries, m, centroidEvery, iters)
+    pqTopKOf(Tables.widened(spark, Tables.embeddings(spark, dir)), k, nQueries, m, centroidEvery, iters)
 
   /** ANN recall report — the benchmark table a vector-search team
     * publishes for every index build: each approximate method's
@@ -834,7 +834,8 @@ object Similarity {
       maxBook: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = embeddings.select($"vec_id", quantize($"embedding").as("qv")).cache()
+    val e = embeddings.select($"vec_id", quantize($"embedding").as("qv"))
+      .localCheckpoint(true)
     val first = e.select(size($"qv")).limit(1).collect()
     if (first.isEmpty) { e.unpersist(); return emptyTopK(
       e.select($"vec_id")).withColumnRenamed("cos", "cos_adc") }
@@ -848,21 +849,43 @@ object Similarity {
     def negL2(s: Column, cv: Seq[Double]): Column =
       -aggregate(zip_with(s, typedLit(cv), (x, c) => (x - c) * (x - c)),
         lit(0.0), (acc, y) => acc + y)
-    def trainBook(j: Int): Seq[(Long, Seq[Double])] = {
-      val s = e.select($"vec_id", sub(j, $"qv").as("qv"))
-      var cents = collectCents[Double](
-        s.filter(pmod($"vec_id", lit(centroidEvery)) === 0 &&
-            $"vec_id" < centroidEvery.toLong * maxBook)
-          .select($"vec_id".as("cent_id"), $"qv".as("cv")))
-      for (_ <- 0 until iters if cents.nonEmpty) {
-        val assigned = s.select(
-          nearestCent(cents.map(c => negL2($"qv", c._2)), cents.map(_._1))
-            .as("cent_id"), $"qv")
-        cents = collectCents[Double](lloydStep(assigned))
-      }
-      cents
+    // Batched training: ONE seed collect + ONE Lloyd job per iteration
+    // covering ALL m subspaces (was 2m sequential driver round-trips;
+    // the books are independent, so per-subspace jobs were pure
+    // scheduling latency — guide §1.2/§2.6). Bit-identical to per-book
+    // training: the seeds are driver-side slices of the same collected
+    // rows, and every Lloyd sum is over integer-valued doubles bounded
+    // far below 2^53, so regrouping by (subspace, centroid) cannot
+    // change a single bit of floor(sum/count).
+    val seedRows = e.filter(pmod($"vec_id", lit(centroidEvery)) === 0 &&
+        $"vec_id" < centroidEvery.toLong * maxBook)
+      .select($"vec_id", $"qv").collect().toSeq // bounded: <= maxBook seed rows (vec_id < centroidEvery*maxBook stepped by centroidEvery)
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    var books: IndexedSeq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
+      seedRows.map { case (cid, qv) => (cid, qv.slice(j * sd, j * sd + sd)) })
+    // all books share the seed rows, and a Lloyd step keeps >= 1
+    // centroid per non-empty book, so emptiness is uniform across j —
+    // the per-book `if cents.nonEmpty` guard collapses to one test
+    for (_ <- 0 until iters if books.exists(_.nonEmpty)) {
+      val tagged = e.select(explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"),
+            nearestCent(books(j).map(c => negL2(sub(j, $"qv"), c._2)),
+              books(j).map(_._1)).as("cent_id"),
+            sub(j, $"qv").as("qv"))
+        }: _*)).as("t"))
+        .select($"t.j".as("sub_j"), $"t.cent_id".as("cent_id"), $"t.qv".as("qv"))
+      val stepped = tagged.select($"sub_j", $"cent_id", posexplode($"qv"))
+        .toDF("sub_j", "cent_id", "pos", "x")
+        .groupBy($"sub_j", $"cent_id", $"pos")
+        .agg(floor(sum($"x") / count(lit(1))).cast("double").as("m"))
+        .groupBy($"sub_j", $"cent_id")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          s => s("m")).as("cv"))
+        .collect().toSeq // bounded: <= m * maxBook centroid rows (fixed codebook sizes)
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      books = (0 until m).map(j =>
+        stepped.filter(_._1 == j).map(t => (t._2, t._3)).sortBy(_._1))
     }
-    val books = (0 until m).map(trainBook)
     // encode: the whole corpus compresses to m code columns, one pure
     // projection (no shuffle — this is the PQ index build)
     val codes = e.select(($"vec_id" +: (0 until m).map(j =>
@@ -922,7 +945,7 @@ object Similarity {
     * Output is pair-count-sized (36 rows) at any corpus size.
     */
   def embeddingCovariance(spark: SparkSession, dir: String): DataFrame =
-    embeddingCovarianceOf(Tables.embeddings(spark, dir))
+    embeddingCovarianceOf(Tables.widened(spark, Tables.embeddings(spark, dir)))
 
   /** [[embeddingCovariance]] over any (vec_id, embedding) relation. */
   def embeddingCovarianceOf(embeddings: DataFrame): DataFrame = {

@@ -260,7 +260,8 @@ object Sketches {
     val spark = rel.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = rel.select($"event_type", $"user_id").distinct().cache()
+    val pairs = rel.select($"event_type", $"user_id").distinct()
+      .localCheckpoint(true)
     val hashed = pairs.select($"event_type",
       Dedup.hash60(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
     val wk = Window.partitionBy($"event_type").orderBy($"h")
@@ -268,7 +269,7 @@ object Sketches {
       .withColumn("rk", row_number().over(wk))
       .filter($"rk" <= KmvK)
       .select($"event_type", $"h")
-      .cache()
+      .localCheckpoint(true)
     val types = sketch.select($"event_type").distinct()
     val tt = types.select($"event_type".as("type_a"))
       .crossJoin(types.select($"event_type".as("type_b")))
@@ -634,7 +635,7 @@ object Sketches {
         element_at(bitLit, ($"user_id" % 64).cast("int") + 1).as("bit"))
       .groupBy($"event_type", $"w")
       .agg(expr("bit_or(bit)").as("bits"))
-      .cache()
+      .localCheckpoint(true)
     val counts = words.groupBy($"event_type")
       .agg(sum(expr("bit_count(bits)")).as("n"))
     val pairs = counts.select($"event_type".as("type_a"), $"n".as("n_a"))

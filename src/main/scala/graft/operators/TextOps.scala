@@ -305,7 +305,7 @@ object TextOps {
     // tokenized once, like tokenPack's 3-column block. Lives until the
     // caller clears the session cache (Bench/Verify do per query).
     val words = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
-      .cache()
+      .localCheckpoint(true)
     val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"word").limit(v).select($"word")
     val perDoc = words.join(broadcast(vocab.withColumn("in_vocab", lit(1))),
@@ -385,7 +385,7 @@ object TextOps {
     val d = docs.select($"doc_id",
         TextFns.whitespaceTokenCount($"text").cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
-      .cache()
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // exclusive prefix over the bucket totals, computed with the SAME
@@ -492,7 +492,7 @@ object TextOps {
     import spark.implicits._
     val words = docs
       .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"word").limit(v)
     val vw = words.join(broadcast(vocab.select($"word")), Seq("word"))
@@ -852,7 +852,7 @@ object TextOps {
             ceil(size($"ws") / lit(span.toDouble)).cast("int") - 1),
           i => array_join(slice($"ws", i * span + 1, lit(span)), " "))))
       .toDF("doc_id", "line_no", "line")
-      .cache()
+      .localCheckpoint(true)
     val boiler = lines.groupBy($"line")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= minDf)
@@ -895,7 +895,7 @@ object TextOps {
           .otherwise(transform(sequence(lit(1), size($"ws") - 1),
             i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1)))))
         .as("bigram"))
-      .cache()
+      .localCheckpoint(true)
     val vocab = bigrams.groupBy($"bigram").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"bigram").limit(v).select($"bigram")
     bigrams.join(broadcast(vocab.withColumn("in_vocab", lit(1))),
@@ -1231,7 +1231,7 @@ object TextOps {
     // the uncapped census is cached (vocabulary-sized, not corpus-sized),
     // the total is an aggregate over its rows, never a second corpus scan
     val censusAll = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
-      .cache()
+      .localCheckpoint(true)
     val total = censusAll.agg(sum($"cnt")).first().getLong(0)
     val census = censusAll
       .orderBy($"cnt".desc, $"word").limit(vocab)
@@ -1550,7 +1550,8 @@ object TextOps {
           element_at(t, i + 1).as("w2")))).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
     val words = docs.select(explode(TextFns.tokens($"text")).as("word"))
-    val ucensus = words.groupBy($"word").agg(count(lit(1)).as("ucnt")).cache()
+    val ucensus = words.groupBy($"word").agg(count(lit(1)).as("ucnt"))
+      .localCheckpoint(true)
     val total = ucensus.agg(sum($"ucnt")).first().getLong(0)
     val bcensus = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("bcnt"))
       .orderBy($"bcnt".desc, $"w1", $"w2").limit(vocab)

