@@ -320,6 +320,11 @@ object Multimodal {
         }
       }
       .toDF("media_id", "status", "width", "height", "pixel_sum")
+      // materialize the decoded rows once (eager) before the
+      // presentation sort: a global orderBy range-partitions via a
+      // SAMPLING pass over its child, which re-ran the full codec
+      // decode a second time (measured ~2x on the media/audio ops)
+      .localCheckpoint(true)
       .orderBy($"media_id")
   }
 
@@ -411,6 +416,11 @@ object Multimodal {
         (r.media_id, dw, dh, pix.mkString(";"))
       })
       .toDF("media_id", "width", "height", "pixels")
+      // materialize the decoded rows once (eager) before the
+      // presentation sort: a global orderBy range-partitions via a
+      // SAMPLING pass over its child, which re-ran the full codec
+      // decode a second time (measured ~2x on the media/audio ops)
+      .localCheckpoint(true)
       .orderBy($"media_id")
   }
 
@@ -453,6 +463,11 @@ object Multimodal {
         }
         (r.media_id, lo, hi)
       }).toDF("media_id", "phash_lo", "phash_hi")
+        // eager checkpoint: consumed by the groups aggregate AND the
+        // re-join below (independent jobs — the lazy-cache race class),
+        // and the decode would otherwise also re-run in the final
+        // sort's range-sampling pass
+        .localCheckpoint(true)
     val groups = hashed.groupBy($"phash_lo", $"phash_hi")
       .agg(min($"media_id").as("keeper"), count(lit(1)).as("n_copies"))
     hashed.join(groups, Seq("phash_lo", "phash_hi"))
@@ -480,6 +495,11 @@ object Multimodal {
         (r.media_id, rate2, dec2.length, dec2.mkString(";"))
       })
       .toDF("media_id", "sample_rate", "n_samples", "samples")
+      // materialize the decoded rows once (eager) before the
+      // presentation sort: a global orderBy range-partitions via a
+      // SAMPLING pass over its child, which re-ran the full codec
+      // decode a second time (measured ~2x on the media/audio ops)
+      .localCheckpoint(true)
       .orderBy($"media_id")
   }
 
@@ -526,6 +546,11 @@ object Multimodal {
         }
       })
       .toDF("media_id", "w", "zero_crossings", "peak", "ssq", "mean_sq")
+      // materialize the decoded rows once (eager) before the
+      // presentation sort: a global orderBy range-partitions via a
+      // SAMPLING pass over its child, which re-ran the full codec
+      // decode a second time (measured ~2x on the media/audio ops)
+      .localCheckpoint(true)
       .orderBy($"media_id", $"w")
   }
 
@@ -568,6 +593,11 @@ object Multimodal {
         (id, w, h, pix.foldLeft(0L)(_ + _))
       })
       .toDF("media_id", "width", "height", "pixel_sum")
+      // materialize the decoded rows once (eager) before the
+      // presentation sort: a global orderBy range-partitions via a
+      // SAMPLING pass over its child, which re-ran the full codec
+      // decode a second time (measured ~2x on the media/audio ops)
+      .localCheckpoint(true)
       .orderBy($"media_id")
   }
 
@@ -583,6 +613,9 @@ object Multimodal {
     import spark.implicits._
     decodeFeatures(mediaTable(spark, dir).as[MediaRecord])
       .toDF()
+      // eager checkpoint: the sort's range-sampling pass otherwise
+      // re-runs the whole decode+embed projection a second time
+      .localCheckpoint(true)
       .select($"media_id", $"kind", $"n_bytes",
         concat_ws(";", transform($"embedding",
           x => format_string("%.6f", x))).as("embedding"))

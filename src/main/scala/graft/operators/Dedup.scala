@@ -743,9 +743,13 @@ object Dedup {
     val spark = keys.sparkSession
     import spark.implicits._
     require(mBits % 64 == 0, "mBits must be 64-aligned")
-    val positions = BloomProbeParams.map { case (a, b) =>
-      keys.select(bloomPos($"h", a, b, mBits).as("pos"))
-    }.reduce(_ union _)
+    // one scan, not k: the k probe positions of one key are a
+    // projection of the same row — explode them out of a single pass
+    // instead of a union that re-runs the upstream per hash function
+    val positions = keys.select(explode(array(
+      BloomProbeParams.map { case (a, b) =>
+        bloomPos($"h", a, b, mBits)
+      }: _*)).as("pos"))
     val words = positions
       .select(shiftrightunsigned($"pos", 6).as("w"), bitOf($"pos").as("bit"))
       .groupBy($"w").agg(expr("bit_or(bit)").as("bits"))
@@ -1000,12 +1004,30 @@ object Dedup {
   def dedupMethodAgreement(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables.embeddings(spark, dir).select($"vec_id")
-    val lex = minhashLsh(spark, dir).select($"doc_a", $"doc_b")
-      .join(ids.select($"vec_id".as("doc_a")), Seq("doc_a"), "left_semi")
-      .join(ids.select($"vec_id".as("doc_b")), Seq("doc_b"), "left_semi")
-      .select($"doc_a", $"doc_b")
-    val sem = embeddingNearDupLshOf(Tables.widened(spark, Tables.embeddings(spark, dir)))
-      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    // the two detectors build independently (each runs its own
+    // checkpoint/materialization jobs during construction) — overlap
+    // them on two threads so the audit's construction is the max of
+    // the two, not the sum (guide §2.6); results are unchanged
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (lexF, semF) =
+      try {
+        val lf = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame =
+            minhashLsh(spark, dir).select($"doc_a", $"doc_b")
+              .join(ids.select($"vec_id".as("doc_a")), Seq("doc_a"), "left_semi")
+              .join(ids.select($"vec_id".as("doc_b")), Seq("doc_b"), "left_semi")
+              .select($"doc_a", $"doc_b")
+        })
+        val sf = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame =
+            embeddingNearDupLshOf(
+              Tables.widened(spark, Tables.embeddings(spark, dir)))
+              .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+        })
+        (lf, sf)
+      } finally pool.shutdown()
+    val lex = lexF.get()
+    val sem = semF.get()
     // ONE action over a tagged union: each detector's (expensive) pair
     // pipeline evaluates exactly once — the former count()/count()/
     // join().count() sequence re-ran MinHash and SRP twice each
@@ -1293,6 +1315,10 @@ object Dedup {
         sequence(lit(1), size($"toks") - lit(k - 1)),
         i => hash60(concat_ws(" ", slice($"toks", i, lit(k)))))))
       .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("g"))
+      // eager checkpoint: the hot-set broadcast build and both sides
+      // of the match self-join otherwise each re-run the md5 anchor
+      // explode (the concurrent-jobs cache-race class)
+      .localCheckpoint(true)
     // hot-anchor cap: same broadcast anti-join shape as capDf, but on
     // OCCURRENCES (positions), the quantity the match join squares
     val hot = anchors.groupBy($"g").agg(count(lit(1)).as("df"))
@@ -1318,7 +1344,9 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val runs = substringRuns(docs, k, maxDf)
+    // materialized once: the per-pair rollup AND the interval-union
+    // chain below both consume the runs relation
+    val runs = substringRuns(docs, k, maxDf).localCheckpoint(true)
     val perPair = runs.groupBy($"da", $"db")
       .agg(count(lit(1)).as("n_runs"), max($"run_tokens").as("longest_run"))
     // dropped-span accounting: interval-union of runs on doc_b's token

@@ -39,10 +39,15 @@ object RuntimeFilter {
 
   /** Both sides hash the join key identically into the 60-bit domain
     * [[Dedup.bloomWordsOf]] probes over; the "rf:" salt decorrelates
-    * from the sampling-gate hashes.
+    * from the sampling-gate hashes. xxhash64 (whole-stage-codegen
+    * native), not the md5/conv path: the filter's hash is NOT
+    * result-affecting — false positives are removed by the exact join
+    * and the oracle is the plain join — so the reduction can use the
+    * cheapest stable hash (md5 cost one string build + digest + hex
+    * parse per FACT row, the hot path of the whole operator).
     */
   private def keyHash(c: Column): Column =
-    Dedup.hash60(concat(lit("rf:"), c.cast("string")))
+    xxhash64(lit("rf:"), c).bitwiseAND(lit((1L << 60) - 1))
 
   /** The filtered dim side (urgent + recent orders). */
   def dimOrders(spark: SparkSession, dir: String): DataFrame = {

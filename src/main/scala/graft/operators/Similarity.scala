@@ -802,11 +802,25 @@ object Similarity {
     import spark.implicits._
     val truth = cosineTopK(spark, dir, k, nQueries)
       .select($"query_id", $"neighbor_id")
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "ivf" -> ivfTopK(spark, dir, k, nQueries),
-      "ivf_kmeans" -> ivfKmeansTopK(spark, dir, k, nQueries),
-      "pq" -> pqTopK(spark, dir, k, nQueries),
-      "srp" -> srpTopK(spark, dir, k, nQueries))
+    // construct the four method frames CONCURRENTLY (guide §2.6):
+    // each index build runs its own short training jobs (seed collects,
+    // Lloyd steps, checkpoints), and running them from one thread made
+    // the report's construction the sum of four sequential latencies.
+    // The methods are independent and each is deterministic, so
+    // overlap changes nothing but the wall clock.
+    val methodFns: Seq[(String, () => DataFrame)] = Seq(
+      "ivf" -> (() => ivfTopK(spark, dir, k, nQueries)),
+      "ivf_kmeans" -> (() => ivfKmeansTopK(spark, dir, k, nQueries)),
+      "pq" -> (() => pqTopK(spark, dir, k, nQueries)),
+      "srp" -> (() => srpTopK(spark, dir, k, nQueries)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(methodFns.size)
+    val methods: Seq[(String, DataFrame)] =
+      try methodFns.map { case (m, fn) =>
+        m -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = fn()
+        })
+      }.map { case (m, fut) => m -> fut.get() }
+      finally pool.shutdown()
     val approx = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), $"query_id", $"neighbor_id")
     }.reduce(_.unionByName(_))

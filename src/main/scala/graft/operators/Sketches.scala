@@ -399,10 +399,16 @@ object Sketches {
   def cmsHeavyHittersOf(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counters = CmsParams.zipWithIndex.map { case ((a, b), j) =>
-      df.select(lit(j).as("j"), cmsBucket($"v", a, b).as("bucket"))
-    }.reduce(_ union _)
-      .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+    // one scan, not d: the former union of d per-row selects re-ran
+    // the upstream decode once per hash row — the d (j, bucket) cells
+    // of one item are a projection of the same input row, so they
+    // explode out of a single pass
+    val counters = df.select(explode(array(
+        CmsParams.zipWithIndex.map { case ((a, b), j) =>
+          struct(lit(j).as("j"), cmsBucket($"v", a, b).as("bucket"))
+        }: _*)).as("e"))
+      .groupBy($"e.j".as("j"), $"e.bucket".as("bucket"))
+      .agg(count(lit(1)).as("c"))
     val items = df.groupBy($"v").agg(count(lit(1)).as("n_exact"))
     cmsEstimate(counters, items)
   }
@@ -415,10 +421,13 @@ object Sketches {
       items: DataFrame): DataFrame = {
     val spark = counters.sparkSession
     import spark.implicits._
-    val probes = CmsParams.zipWithIndex.map { case ((a, b), j) =>
-      items.select($"v", $"n_exact", lit(j).as("j"),
-        cmsBucket($"v", a, b).as("bucket"))
-    }.reduce(_ union _)
+    // same one-pass explode as the build side: the former union of d
+    // selects re-computed the items aggregate once per hash row
+    val probes = items.select($"v", $"n_exact", explode(array(
+        CmsParams.zipWithIndex.map { case ((a, b), j) =>
+          struct(lit(j).as("j"), cmsBucket($"v", a, b).as("bucket"))
+        }: _*)).as("e"))
+      .select($"v", $"n_exact", $"e.j".as("j"), $"e.bucket".as("bucket"))
     probes.join(counters, Seq("j", "bucket"))
       .groupBy($"v", $"n_exact").agg(min($"c").as("n_cms"))
       .select($"v".as("item"), $"n_exact", $"n_cms")

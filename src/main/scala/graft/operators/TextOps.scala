@@ -988,6 +988,9 @@ object TextOps {
     val (userid, tag, songid, rating) = PseudoJson.parse($"value")
     wire.select($"event_id", userid.as("userid"), tag.as("tag"),
         songid.as("songid"), rating.as("rating"))
+      // decoded once (eager): the sort's range-sampling pass otherwise
+      // re-runs the whole encode+parse roundtrip a second time
+      .localCheckpoint(true)
       .orderBy($"event_id")
   }
 
@@ -1284,9 +1287,16 @@ object TextOps {
       rounds: Int = BpeRounds): DataFrame =
     bpeMergesOf(Tables.widened(spark, Tables.documents(spark, dir)), rounds)
 
-  /** [[bpeMerges]] over any (text) relation. */
-  def bpeMergesOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
-    bpeStateOf(docs, rounds)._1
+  /** [[bpeMerges]] over any (text) relation. The merge table is
+    * materialized (eager, rounds-many rows) before the presentation
+    * sort: the sort's range-sampling pass otherwise re-evaluates the
+    * ENTIRE training chain a second time.
+    */
+  def bpeMergesOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeStateOf(docs, rounds)._1.localCheckpoint(true).orderBy($"round")
+  }
 
   /** The shared training loop: returns (merge table, final word→symbol
     * vocabulary). The vocabulary frame is what [[bpeTokenizeOf]]
@@ -1323,7 +1333,7 @@ object TextOps {
         .select($"word", expr("replace(sym, pat, rep)").as("sym"), $"freq")
       top.select(lit(round).as("round"), $"l", $"r", $"c")
     }
-    (merges.reduce(_.unionByName(_)).orderBy($"round"), sym)
+    (merges.reduce(_.unionByName(_)), sym)
   }
 
   /** BPE APPLY — the training pair's other half: tokenize every
@@ -1346,10 +1356,14 @@ object TextOps {
   def bpeTokenizeOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // vocabulary-sized (unique words), materialized eagerly so the
+    // training chain beneath runs once — the apply join and the final
+    // sort's sampling pass would otherwise each re-train
     val vocab = bpeStateOf(docs, rounds)._2
       .select($"word",
         size(expr(s"filter(split(sym, '${BpeSep}'), x -> x != '')"))
           .cast("long").as("n_sym"))
+      .localCheckpoint(true)
     val docWords = docs
       .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
       .filter(length($"word") > 0)

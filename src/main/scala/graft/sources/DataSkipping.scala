@@ -198,9 +198,11 @@ object DataSkipping {
     import graft.operators.Dedup
     val rows = spark.read.parquet(path)
       .select(input_file_name().as("file"), idHash($"event_id").as("h"))
-    val positions = Dedup.BloomProbeParams.map { case (a, b) =>
-      rows.select($"file", Dedup.bloomPos($"h", a, b, mBits).as("pos"))
-    }.reduce(_ unionByName _)
+    // one parquet scan, not k (explode the k probe positions per row)
+    val positions = rows.select($"file", explode(array(
+      Dedup.BloomProbeParams.map { case (a, b) =>
+        Dedup.bloomPos($"h", a, b, mBits)
+      }: _*)).as("pos"))
     val bitLit = typedLit((0 until 64).map(1L << _))
     positions
       .select($"file", shiftrightunsigned($"pos", 6).as("w"),

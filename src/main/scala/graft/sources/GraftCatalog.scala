@@ -2783,7 +2783,7 @@ object GraftCatalog {
       "ns => 'db', tbl => 'swp', name => 'ingest')").collect()
     // stream the odds ONTO THE BRANCH: two micro-batch epochs through
     // one checkpoint (the restart path included), staged invisibly
-    val work = java.nio.file.Files.createTempDirectory("graft_swp")
+    val work = Sources.scratchTempDir("graft_swp")
     val src = work.resolve("src").toString
     val ck = work.resolve("ck").toString
     def push(m: Int): Unit = slice(s"o_orderkey % 4 = $m")
@@ -4138,7 +4138,7 @@ object GraftCatalog {
     val dirPath = java.nio.file.Paths.get(warehouse, "db", "okscdc").toString
     val name = s"graft_scdc_${java.util.UUID.randomUUID()
       .toString.replace("-", "")}"
-    val ck = java.nio.file.Files.createTempDirectory("graft_scdc_ck")
+    val ck = Sources.scratchTempDir("graft_scdc_ck")
     val q = spark.readStream.format("graft.sources.ManifestV2")
       .option("path", dirPath).option("changefeed", "true").load()
       .writeStream.format("memory").queryName(name)
@@ -4187,7 +4187,7 @@ object GraftCatalog {
     spark.sql("CREATE TABLE graft.db.sevt " +
       "(uid BIGINT, ts TIMESTAMP, amt BIGINT) " +
       "PARTITIONED BY (days(ts), bucket(4, uid))")
-    val work = java.nio.file.Files.createTempDirectory("graft_spi")
+    val work = Sources.scratchTempDir("graft_spi")
     val src = work.resolve("src").toString
     val ck = work.resolve("ck").toString
     def push(parity: Int): Unit =

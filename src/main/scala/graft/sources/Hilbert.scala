@@ -147,10 +147,14 @@ object Hilbert {
     */
   def hilbertKey(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // hval computed BELOW the distinct (it is a pure function of the
+    // pair, so distinct over 3 columns == distinct over 2): the key
+    // projection folds into the aggregation's map side and is not
+    // re-evaluated by the final sort's range-sampling pass
     Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
       .select($"l_partkey", $"l_suppkey",
         hval($"l_partkey", $"l_suppkey").as("hval"))
+      .distinct()
       .orderBy($"hval", $"l_partkey", $"l_suppkey")
   }
 

@@ -78,6 +78,20 @@ object Sources {
     */
   private val scratchRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Scratch TEMP directory for single-use streaming checkpoints and
+    * staging feeds: prefers tmpfs (/dev/shm) when writable — the
+    * micro-batch commit protocol churns many tiny files per trigger,
+    * which dominates short harness streams on disk-backed tmpdirs.
+    * Callers delete (or leak-to-shutdown) these dirs; nothing durable
+    * lives here. Real recoverable checkpoints go to real storage.
+    */
+  def scratchTempDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   def scratchDir(spark: SparkSession, name: String): String = {
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_scratch/${name}_${spark.sparkContext.applicationId}").toString

@@ -59,10 +59,13 @@ object ZOrder {
     */
   def zorderKey(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // zval computed BELOW the distinct (pure function of the pair):
+    // same rows, and the projection folds into the aggregation's map
+    // side instead of re-running under the sort's sampling pass
     Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
       .select($"l_partkey", $"l_suppkey",
         zval($"l_partkey", $"l_suppkey").as("zval"))
+      .distinct()
       .orderBy($"zval", $"l_partkey", $"l_suppkey")
   }
 

@@ -308,7 +308,14 @@ object Streams {
       start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery)(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): String = {
     val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    // single-use scratch checkpoint (deleted in the finally below, and
+    // a memory sink cannot recover from it anyway): prefer tmpfs when
+    // the host has one — the micro-batch commit protocol writes
+    // offsets/commits/state-delta files per trigger, and on a disk-
+    // backed tmpdir that file churn dominates short harness streams.
+    // Durable checkpoints for recoverable sinks belong on real storage
+    // and do NOT go through this helper.
+    val ckpt = graft.sources.Sources.scratchTempDir("graft_ckpt")
     try {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       statePartitions.foreach(p =>
@@ -360,7 +367,7 @@ object Streams {
       .map(r => RateEvent(r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
     val in = MemoryStream[RateEvent](spark)
     in.addData(evs.toIndexedSeq)
-    val name = runStreamToTable(spark, "marker_flush", None) { (n, ck) =>
+    val name = runStreamToTable(spark, "marker_flush", Some(4)) { (n, ck) =>
       MarkerBuffer.markerFlush(in.toDS())
         .writeStream.format("memory").queryName(n)
         .option("checkpointLocation", ck)
@@ -1078,7 +1085,7 @@ object Streams {
     // distributed throughout
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var idx = graft.operators.Dedup.buildIndex(standing)
-    runStreamToTable(spark, "inc_minhash", None) { (n, ck) =>
+    runStreamToTable(spark, "inc_minhash", Some(4)) { (n, ck) =>
       in.toDF().writeStream
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ck)
@@ -1130,7 +1137,7 @@ object Streams {
     }
     val in = MemoryStream[VecEvent](spark)
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    runStreamToTable(spark, "inc_ivf", None) { (n, ck) =>
+    runStreamToTable(spark, "inc_ivf", Some(4)) { (n, ck) =>
       in.toDF().writeStream
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ck)
