@@ -593,11 +593,11 @@ object Multimodal {
         (id, w, h, pix.foldLeft(0L)(_ + _))
       })
       .toDF("media_id", "width", "height", "pixel_sum")
-      // materialize the decoded rows once (eager) before the
-      // presentation sort: a global orderBy range-partitions via a
-      // SAMPLING pass over its child, which re-ran the full codec
-      // decode a second time (measured ~2x on the media/audio ops)
-      .localCheckpoint(true)
+      // NO checkpoint here (unlike the other codec queries): the
+      // decode reads PNGs this query just wrote — page-cache-hot, so
+      // the sort's sampling re-read costs less than materializing the
+      // decoded frame (measured: the checkpoint variant was ~0.5 s
+      // SLOWER at sf0.1)
       .orderBy($"media_id")
   }
 

@@ -1356,14 +1356,10 @@ object TextOps {
   def bpeTokenizeOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // vocabulary-sized (unique words), materialized eagerly so the
-    // training chain beneath runs once — the apply join and the final
-    // sort's sampling pass would otherwise each re-train
     val vocab = bpeStateOf(docs, rounds)._2
       .select($"word",
         size(expr(s"filter(split(sym, '${BpeSep}'), x -> x != '')"))
           .cast("long").as("n_sym"))
-      .localCheckpoint(true)
     val docWords = docs
       .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
       .filter(length($"word") > 0)
